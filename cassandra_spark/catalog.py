@@ -1,0 +1,112 @@
+"""Table loader / schema registry — the engine's stand-in for Cassandra's
+schema subsystem (`[C* schema/TableMetadata.java]`, unverified; SURVEY.md §0).
+
+A "keyspace" maps to a directory of parquet tables (TESTDATA.md); each table
+carries declared partition-key / clustering-key metadata mirroring the
+wide-column model (SURVEY.md §1.3, FIXTURES.md "Cassandra-style modeling").
+That metadata drives the R-tier read-path constructors and the W-tier merge
+semantics — it is *declarative* only; physical layout is parquet and Spark
+decides execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class TableMeta:
+    """Cassandra-style table metadata: partition key + clustering columns.
+
+    Mirrors the split in `[C* schema/TableMetadata.java]` (unverified):
+    partition_key = unit of distribution, clustering = sort within partition.
+    """
+
+    name: str
+    partition_key: tuple[str, ...] = ()
+    clustering: tuple[str, ...] = ()  # prefix "-" means DESC
+    notes: str = ""
+
+    @property
+    def clustering_cols(self) -> tuple[str, ...]:
+        return tuple(c.lstrip("-") for c in self.clustering)
+
+
+# FIXTURES.md "Cassandra-style modeling" assignments.
+SCHEMA: dict[str, TableMeta] = {
+    m.name: m
+    for m in (
+        TableMeta("region", ("r_regionkey",)),
+        TableMeta("nation", ("n_nationkey",)),
+        TableMeta("customer", ("c_custkey",)),
+        TableMeta("supplier", ("s_suppkey",)),
+        TableMeta("part", ("p_partkey",)),
+        TableMeta(
+            "orders",
+            ("o_custkey",),
+            ("-o_orderdate", "o_orderkey"),
+            "time-series-per-customer pattern",
+        ),
+        TableMeta("lineitem", ("l_orderkey",), ("l_linenumber",)),
+        TableMeta(
+            "events",
+            ("user_id",),
+            ("-ts", "event_id"),
+            "canonical Cassandra time-series layout",
+        ),
+        TableMeta("documents", ("doc_id",)),
+        TableMeta("embeddings", ("vec_id",)),
+    )
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Declarative scan: Catalyst handles column pruning and
+    predicate pushdown into the parquet reader (replaces Cassandra's
+    bloom-filter / key-range SSTable skipping, SURVEY.md §4.1)."""
+    if name not in SCHEMA:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMA)}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+class Catalog:
+    """Lazy per-sf_dir table accessor. ``cat.lineitem`` → DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in SCHEMA:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def meta(self, name: str) -> TableMeta:
+        return SCHEMA[name]
+
+    def register_views(self, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        """Register temp views so spark.sql() queries see bare table names —
+        the analogue of keyspace activation (`USE ks`)."""
+        for n in names:
+            self.table(n).createOrReplaceTempView(n)

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the engine.
+
+Design notes (SURVEY.md §4):
+- AQE on: runtime join-strategy switching, skew-join splitting and
+  partition coalescing replace Cassandra's hand-tuned read path
+  (`[C* service/StorageProxy]`, unverified — see SURVEY.md §0).
+- UTC session timezone: parquet timestamps are µs-naive; DuckDB (the
+  correctness oracle) treats them as naive — UTC makes the two agree.
+- shuffle.partitions kept modest for local[] testing; at cluster scale
+  AQE coalescing makes the static number far less important.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply the engine's session configuration to any builder.
+
+    Used both by :func:`get_spark` (self-owned sessions) and by tests; the
+    driver passes its own session, which we re-conf at runtime where legal.
+    """
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # dims (region/nation/customer/supplier/part) are broadcast-size even
+        # at 100 TB fact scale; 64 MB threshold keeps them on the broadcast path
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(app_name: str = "cassandra-spark") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession on local[$SPARK_GRAFT_CPUS]."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    return apply_engine_conf(builder).getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Best-effort re-conf of a session we didn't build (e.g. the driver's).
+
+    Only runtime-mutable SQL confs; silently skips anything the running
+    session refuses to change.
+    """
+    runtime_confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    for k, v in runtime_confs.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
