@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -41,6 +42,12 @@ class TableMeta:
     partition_key: tuple[str, ...] = ()
     clustering: tuple[str, ...] = ()  # prefix "-" means DESC
     notes: str = ""
+    # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
+    # read them as long (legacy.parquet.nanosAsLong) and convert to µs
+    # TimestampType. Lossless for this corpus (all values µs-aligned —
+    # verified: epoch_ns % 1000 == 0 for every row) and matches DuckDB,
+    # which surfaces the same column as µs TIMESTAMP.
+    nanos_ts_cols: tuple[str, ...] = ()
 
     @property
     def clustering_cols(self) -> tuple[str, ...]:
@@ -68,6 +75,7 @@ SCHEMA: dict[str, TableMeta] = {
             ("user_id",),
             ("-ts", "event_id"),
             "canonical Cassandra time-series layout",
+            nanos_ts_cols=("ts",),
         ),
         TableMeta("documents", ("doc_id",)),
         TableMeta("embeddings", ("vec_id",)),
@@ -81,7 +89,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bloom-filter / key-range SSTable skipping, SURVEY.md §4.1)."""
     if name not in SCHEMA:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMA)}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    meta = SCHEMA[name]
+    if meta.nanos_ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in meta.nanos_ts_cols:
+        # integer division (no double round-trip: ns epochs exceed 2^53)
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
 
 
 class Catalog:

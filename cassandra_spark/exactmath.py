@@ -41,14 +41,24 @@ def davg(c: Column | str, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
 
 
+def sql_double(expr: str) -> str:
+    """DuckDB decimal→double, correctly rounded.
+
+    DuckDB 1.0's direct CAST(DECIMAL AS DOUBLE) is off by one ulp once the
+    scaled integer exceeds 2^53 (observed: 26916676217.06 → ...059998);
+    routing through VARCHAR hits strtod, which rounds correctly and matches
+    Spark's BigDecimal.doubleValue()."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+    return sql_double(f"SUM(CAST({expr} AS DECIMAL(18,4)))") + f" AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        sql_double(f"SUM(CAST({expr} AS DECIMAL(18,4)))")
+        + f" / COUNT({expr}) AS {alias}"
     )
 
 

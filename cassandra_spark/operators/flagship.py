@@ -21,7 +21,7 @@ from cassandra_spark.exactmath import SQL_REVENUE, revenue_col
 from cassandra_spark.registry import query
 
 _ORACLE = f"""
-SELECT n_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+SELECT n_name, CAST(CAST(SUM({SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -1,1 +1,388 @@
-"""(stub — filled in by later milestone)"""
+"""Read-path tier: R1-R9 scans, P1-P6 predicates, O1-O4 order/limit.
+
+Re-expresses the reference's read path (`[C* db/SinglePartitionReadCommand,
+db/PartitionRangeReadCommand, db/filter/*]`, unverified — SURVEY.md §0) as
+declarative DataFrame constructors. There is deliberately NO index machinery
+here: Catalyst predicate pushdown + parquet row-group stats replace bloom
+filters / key caches / 2i (SURVEY.md §4.1). Every filter below reaches the
+parquet scan as a PushedFilter (asserted in tests/test_plans.py).
+
+Scale posture: point/slice lookups prune at the scan; range scans stay
+narrow (no shuffle); the only wide op in this module is the per-partition
+window in o3 — keyed by the table's partition key, which is exactly how the
+data would already be bucketed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# R-tier: scans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r1_point_lookup",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey = 7",
+)
+def r1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-partition read: full-PK equality fetches one partition's rows.
+
+    `[C* db/SinglePartitionReadCommand.java]` → parquet predicate pushdown;
+    at 100 TB with data written partitioned/sorted by pk this touches one
+    file's one row group.
+    """
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.filter(F.col("l_orderkey") == 7)
+
+
+@query(
+    "r2_in_lookup",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey IN (1, 7, 42, 99, 1001)",
+)
+def r2_in_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-partition read (`IN`): `[C* cql3/restrictions/...]` → isin
+    pushdown (In filter reaches the scan)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.filter(F.col("l_orderkey").isin(1, 7, 42, 99, 1001))
+
+
+@query(
+    "r3_range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
+    """,
+)
+def r3_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-range scan (`get_range_slices`): contiguous key range +
+    column pruning; both the range predicate and the 4-column ReadSchema
+    reach the parquet reader."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.filter(F.col("l_orderkey").between(100, 500)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+
+
+@query(
+    "r4_clustering_slice",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_orderkey = 7 AND l_linenumber >= 2 AND l_linenumber < 5
+    """,
+)
+def r4_clustering_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering slice within a partition: pk equality + ck range
+    (`[C* db/filter/ClusteringIndexSliceFilter]`). With ck-sorted writes the
+    row-group min/max stats on l_linenumber prune inside the partition."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.filter(
+        (F.col("l_orderkey") == 7)
+        & (F.col("l_linenumber") >= 2)
+        & (F.col("l_linenumber") < 5)
+    )
+
+
+@query(
+    "r5_secondary_filter",
+    oracle="SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def r5_secondary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-PK equality — what the reference needs a secondary index for
+    (`[C* index/internal/CassandraIndex]`); Spark needs nothing: the scan
+    filters in place, in parallel."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+
+
+@query(
+    "r6_like_search",
+    oracle="""
+    SELECT doc_id, source, lang FROM documents
+    WHERE text LIKE '%spark%' AND source LIKE 'src1%'
+    """,
+)
+def r6_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SASI/SAI-style text search (`LIKE 'pre%'`, contains) as native
+    pushed-down string predicates (StringStartsWith/StringContains)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.filter(
+        F.col("text").contains("spark") & F.col("source").startswith("src1")
+    ).select("doc_id", "source", "lang")
+
+
+@query(
+    "r8_mat_view",
+    oracle="""
+    SELECT event_type, ts, event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def r8_mat_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view read: the view re-keys events by event_type
+    (`[C* db/view/ViewManager]`). Batch recompute = re-project + re-partition
+    by the view PK; at scale the view would be *written* partitioned by
+    event_type so this read prunes to one partition directory."""
+    cat = Catalog(spark, sf_dir)
+    view = materialized_view(
+        cat.events,
+        view_pk=["event_type"],
+        clustering=[F.col("ts").desc(), F.col("event_id")],
+        cols=["event_type", "ts", "event_id", "user_id", "value"],
+    )
+    return view.filter(F.col("event_type") == "purchase")
+
+
+def materialized_view(base: DataFrame, view_pk, clustering, cols) -> DataFrame:
+    """MV maintenance recast as batch recompute (W7 ≡ R8, SURVEY.md §2.9):
+    select → drop null view-keys (CQL MVs require IS NOT NULL on view PK) →
+    repartition by view PK → clustering order within partitions."""
+    df = base.select(*cols)
+    for k in view_pk:
+        df = df.filter(F.col(k).isNotNull())
+    return df.repartition(*view_pk).sortWithinPartitions(*clustering)
+
+
+@query(
+    "r9_keyset_page",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_orderkey > 55 OR (l_orderkey = 55 AND l_linenumber > 3)
+    ORDER BY l_orderkey, l_linenumber LIMIT 50
+    """,
+)
+def r9_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paging cursor (`[C* service/pager/QueryPagers]`): keyset pagination —
+    resume strictly after (pk=55, ck=3), one page of 50. (pk, ck) is a total
+    order, so the page is deterministic. Catalyst turns orderBy+limit into
+    TakeOrderedAndProject (no full sort)."""
+    cat = Catalog(spark, sf_dir)
+    after = (F.col("l_orderkey") > 55) | (
+        (F.col("l_orderkey") == 55) & (F.col("l_linenumber") > 3)
+    )
+    return (
+        cat.lineitem.filter(after)
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-tier: predicates / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project",
+    oracle="""
+    SELECT c_name AS name, c_mktsegment AS segment, c_acctbal AS balance
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection with aliases (`[C* cql3/selection/Selection]`);
+    ReadSchema shrinks to exactly these columns."""
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.filter(F.col("c_custkey") < 100).select(
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@query(
+    "p2_expr_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS net_price,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def p2_expr_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector expressions: arithmetic, CAST, function calls
+    (`[C* cql3/selection/Selector]`). Exact-decimal arithmetic keeps the
+    computed double bit-identical to the oracle."""
+    from cassandra_spark.exactmath import revenue_col
+
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_col().cast("double").alias("net_price"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+    )
+
+
+@query(
+    "p3_tuple_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey > 40 OR (l_orderkey = 40 AND l_linenumber >= 2))
+      AND (l_orderkey < 60 OR (l_orderkey = 60 AND l_linenumber <= 3))
+    """,
+)
+def p3_tuple_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column tuple relations `(a,b) >= (x,y)` expanded to the
+    equivalent boolean form (`[C* cql3/restrictions/...]`) — still fully
+    pushdown-able (disjunction of range filters on scan columns)."""
+    cat = Catalog(spark, sf_dir)
+    lo = (F.col("l_orderkey") > 40) | (
+        (F.col("l_orderkey") == 40) & (F.col("l_linenumber") >= 2)
+    )
+    hi = (F.col("l_orderkey") < 60) | (
+        (F.col("l_orderkey") == 60) & (F.col("l_linenumber") <= 3)
+    )
+    return cat.lineitem.filter(lo & hi).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "p4_contains",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+    """,
+)
+def p4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL `CONTAINS` on a collection (`[C* db/filter/RowFilter]`): exact
+    set-membership on the tokenized text (vs r6's substring match)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.filter(
+        F.array_contains(F.split(F.col("text"), " "), "spark")
+    ).select("doc_id", "lang")
+
+
+# Portable token function: Knuth multiplicative hash on the partition key.
+# The reference's Murmur3Partitioner is a different hash in the same class
+# (uniform 64-bit mix) `[C* dht/Murmur3Partitioner]`; exact fn is engine-
+# internal, the *semantics* (deterministic token-range split of the ring)
+# are what this models — and plain integer arithmetic is oracle-portable.
+_TOKEN_MULT = 2654435761
+_TOKEN_MOD = 4294967296
+
+
+@query(
+    "p5_token_range",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           (l_orderkey * {_TOKEN_MULT}) % {_TOKEN_MOD} AS token
+    FROM lineitem
+    WHERE (l_orderkey * {_TOKEN_MULT}) % {_TOKEN_MOD}
+          BETWEEN 100000000 AND 1000000000
+    """,
+)
+def p5_token_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token()-range scan: how the reference splits the ring for parallel
+    bulk reads (the Spark-connector pattern). Each worker takes a token
+    slice; here one slice is materialized."""
+    cat = Catalog(spark, sf_dir)
+    token = (F.col("l_orderkey") * F.lit(_TOKEN_MULT)) % F.lit(_TOKEN_MOD)
+    return (
+        cat.lineitem.withColumn("token", token)
+        .filter(F.col("token").between(100000000, 1000000000))
+        .select("l_orderkey", "l_linenumber", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-tier: ordering / limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_order_within_pk",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_custkey = 42 ORDER BY o_orderdate DESC, o_orderkey
+    """,
+)
+def o1_order_within_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-order read: within one partition, rows come back in
+    (reversed) clustering order — orders models pk=o_custkey,
+    clustering=(o_orderdate DESC, o_orderkey) per FIXTURES.md."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.filter(F.col("o_custkey") == 42)
+        .orderBy(F.col("o_orderdate").desc(), "o_orderkey")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "o2_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def o2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT with short-circuit (`[C* db/filter/DataLimits]`): Catalyst
+    plans TakeOrderedAndProject — per-partition top-10 then merge, never a
+    global sort."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "o3_per_partition_limit",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def o3_per_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER PARTITION LIMIT k (`[C* db/filter/DataLimits#CQLPerPartitionLimits]`):
+    newest 2 orders per customer. One shuffle on the partition key — the
+    shuffle the data layout would already have at scale. Tie-break by
+    o_orderkey for determinism."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        cat.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "o4_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy(desc).limit(k) → TakeOrderedAndProject (distributed
+    partial top-k, no global sort). o_orderkey tie-break keeps it total."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(15)
+    )
