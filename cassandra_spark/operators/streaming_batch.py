@@ -1,1 +1,156 @@
-"""(stub — filled in by later milestone)"""
+"""Streaming tier S1-S4 in batch form (SURVEY.md §2.10).
+
+No stream processing exists upstream (Cassandra "streaming" is bulk SSTable
+transfer between nodes — data movement, not queries). This tier is the
+Structured Streaming extension; the SAME aggregation builders run over
+`readStream` in cassandra_spark/streaming/jobs.py (demoed + tested with an
+availableNow trigger), while the batch forms here are what the DuckDB
+oracle can check.
+
+Scale posture: tumbling/sliding windows are groupBy on (bucket, key) —
+partial-aggregated map-side; session windows shuffle once on user_id. In
+true streaming mode the same plans run incrementally with watermark-bounded
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.exactmath import dsum, sql_dsum
+from cassandra_spark.registry import query
+
+WATERMARK_HORIZON = "2024-01-28 00:00:00"  # batch stand-in for the watermark
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window per event_type (used by batch s1 AND the
+    streaming job — single definition, two execution modes)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "s1_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg; epoch-aligned so date_trunc('hour') is the
+    exact oracle."""
+    cat = Catalog(spark, sf_dir)
+    return tumbling_agg(cat.events)
+
+
+@query(
+    "s2_sliding",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 1000000 // 900 * 900
+                           - k.k * 900) * 1000000) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1
+    """,
+)
+def s2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1h length, 15min slide — each event lands in exactly
+    4 epoch-aligned windows. Oracle reproduces the window assignment as
+    floor-to-15min minus k slides."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("win.start").alias("bucket_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "s3_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def s3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute gap) per user. Spark's native
+    session_window does merge-on-aggregate; the oracle is the classic
+    gaps-and-islands encoding — same semantics, so end = last_ts + gap."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "s4_late_filter",
+    oracle=f"""
+    SELECT DISTINCT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type, ts, value FROM events
+      WHERE event_id % 3 = 0
+    )
+    WHERE ts >= TIMESTAMP '{WATERMARK_HORIZON}'
+    """,
+)
+def s4_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + streaming dedup, batch form (S4+S5): at-least-once
+    delivery is simulated by re-appending every 3rd event; rows older than
+    the watermark horizon are dropped and redelivery is deduplicated by
+    key — exactly what withWatermark + dropDuplicates does incrementally."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("event_id", "user_id", "event_type", "ts", "value")
+    redelivered = ev.filter(F.col("event_id") % 3 == 0)
+    return (
+        ev.unionByName(redelivered)
+        .filter(F.col("ts") >= F.lit(WATERMARK_HORIZON).cast("timestamp"))
+        .dropDuplicates(["event_id"])
+    )
