@@ -1,0 +1,387 @@
+"""L-tier dedup operators: exact (L1), MinHash+LSH (L2), SimHash (L2b),
+n-gram Jaccard (L2c) — SURVEY.md §2.12; mandated by the 100 TB
+training-data-pipeline north star.
+
+Everything is pure DataFrame algebra with *portable integer hashing* so the
+DuckDB oracle can verify every stage end-to-end (SURVEY.md §7 M6): a word
+hashes by char-fold (acc*31+code mod 1e9+7), shingles combine word hashes,
+MinHash applies k affine permutations, bands bucket signatures. The same
+constants drive both engines, so candidate sets — not just final counts —
+must agree exactly.
+
+Scale posture (100 TB): this is the standard shingle→minhash→band→bucket-
+join pipeline. Work is linear in corpus size until the band-bucket
+self-join, whose cost is Σ bucket² — controlled by band width; the verify
+join touches only candidate pairs. No cross join exists anywhere. For even
+larger corpora swap the portable hash for xxhash64 (same pipeline shape,
+cheaper mixing) — the hash fn is a parameter of the builders below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.registry import query
+
+MOD = 1_000_000_007
+# MinHash: 8 affine permutations (a*s + b) % MOD, banded 4×2.
+MH_A = (131, 1031, 10007, 100003, 1000033, 333667, 999983, 7919)
+MH_B = (7, 97, 997, 9973, 99991, 24181, 55331, 104729)
+P2, P3 = 1_000_003, 998_244_353  # shingle combiners
+BAND_MIX = 1_000_000_009
+
+# --- Spark-side expression fragments (0-based arrays) ---------------------
+
+WORD_HASH_SPARK = (
+    "transform(split(text, ' '), w -> "
+    f"aggregate(transform(split(w, ''), c -> ascii(c)), 0L, "
+    f"(acc, x) -> (acc * 31 + x) % {MOD}))"
+)
+
+
+def shingle_expr_spark(n: int, wh: str = "wh") -> str:
+    """Distinct n-gram shingle hashes from the word-hash array."""
+    if n == 3:
+        combine = f"(wh[i] + wh[i+1] * {P2} + wh[i+2] * {P3}) % {MOD}"
+    elif n == 2:
+        combine = f"(wh[i] + wh[i+1] * {P2}) % {MOD}"
+    else:
+        raise ValueError(n)
+    return (
+        f"array_distinct(transform(sequence(0, size({wh}) - {n}), "
+        f"i -> {combine}))"
+    )
+
+
+# --- DuckDB-side fragments (1-based lists) --------------------------------
+
+WORD_HASH_DUCK = (
+    "list_transform(string_split(text, ' '), w -> "
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), "
+    f"c -> ascii(c))), (a, b) -> (a * 31 + b) % {MOD}))"
+)
+
+
+def shingle_expr_duck(n: int, wh: str = "wh") -> str:
+    if n == 3:
+        combine = f"(wh[i] + wh[i+1] * {P2} + wh[i+2] * {P3}) % {MOD}"
+    elif n == 2:
+        combine = f"(wh[i] + wh[i+1] * {P2}) % {MOD}"
+    else:
+        raise ValueError(n)
+    return (
+        f"list_distinct(list_transform(range(1, len({wh}) - {n - 2}), "
+        f"i -> {combine}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+               AS content_hash
+      FROM documents
+    )
+    GROUP BY content_hash
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lowercase, collapse whitespace) → SHA-256
+    content hash → keep the lowest doc_id per group. hash-groupBy with
+    map-side partials; the canonical first pass of any corpus pipeline."""
+    cat = Catalog(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        cat.documents.select(
+            "doc_id", F.sha2(norm.cast("binary"), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 3-gram shingle set + 8 MinHash values + 4 band buckets.
+    One narrow pass over the corpus; no shuffle."""
+    df = docs.withColumn("wh", F.expr(WORD_HASH_SPARK)).filter(
+        F.size(F.col("wh")) >= 3
+    )
+    df = df.withColumn("sh", F.expr(shingle_expr_spark(3)))
+    for j, (a, b) in enumerate(zip(MH_A, MH_B)):
+        df = df.withColumn(
+            f"mh{j}",
+            F.expr(f"array_min(transform(sh, s -> ({a} * s + {b}) % {MOD}))"),
+        )
+    for band in range(4):
+        df = df.withColumn(
+            f"band{band}",
+            F.col(f"mh{2 * band}") * BAND_MIX + F.col(f"mh{2 * band + 1}"),
+        )
+    return df
+
+
+def _minhash_sql_cte() -> str:
+    """DuckDB mirror of minhash_signatures (shared by the l2 oracle)."""
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> ({a} * s + {b}) % {MOD}), "
+        f"'min') AS mh{j}"
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_cols = ", ".join(
+        f"mh{2 * b} * {BAND_MIX} + mh{2 * b + 1} AS band{b}" for b in range(4)
+    )
+    return f"""
+    wh_t AS (
+      SELECT doc_id, {WORD_HASH_DUCK} AS wh FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, {shingle_expr_duck(3)} AS sh
+      FROM wh_t WHERE len(wh) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, sh, {mh_cols} FROM sh_t
+    ),
+    banded AS (
+      SELECT doc_id, sh, {band_cols} FROM sig
+    )
+    """
+
+
+_L2_ORACLE = f"""
+WITH {_minhash_sql_cte()},
+bands AS (
+  SELECT doc_id, b.band_id,
+         CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+  FROM banded CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           AS jaccard
+  FROM cand
+  JOIN banded sa ON sa.doc_id = doc_a
+  JOIN banded sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
+"""
+
+
+@query("l2_minhash_neardup", oracle=_L2_ORACLE)
+def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: shingle → MinHash(8) → LSH bands (4×2) →
+    band-bucket candidate join → exact-Jaccard verify ≥ 0.2.
+
+    The band join is an equi-join on (band_id, band_val): only docs
+    agreeing on a full band collide, so candidate count tracks true
+    near-dup density rather than corpus². The verify stage computes exact
+    Jaccard on the (distinct) shingle-hash sets of candidates only."""
+    cat = Catalog(spark, sf_dir)
+    # persist: sig feeds four plan branches (bands×2, shingles×2); without a
+    # materialization barrier Catalyst inlines the nested-lambda signature
+    # tree into every branch — exponential analysis/codegen blowup (observed
+    # 79s → 3s at 500 docs). At 100 TB signatures would be written to a
+    # table between stages for exactly the same reason.
+    sig = (
+        minhash_signatures(cat.documents)
+        .select(
+            "doc_id",
+            "sh",
+            F.array(*[F.col(f"band{b}") for b in range(4)]).alias("bands"),
+        )
+        .persist()
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2b: SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_spark() -> Column:
+    """16-bit SimHash from word hashes: per bit, sum ±1 contributions of
+    every token occurrence; bit set iff the sum is positive."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(wh, 0L, (acc, h) -> "
+        f"acc + (CASE WHEN (h div {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return F.expr(f"({bit_terms})").cast("bigint")
+
+
+def _simhash_duck() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(wh, h -> "
+        f"CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)), "
+        f"(a, b) -> a + b) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"CAST(({bit_terms}) AS BIGINT)"
+
+
+@query(
+    "l2b_simhash",
+    oracle=f"""
+    WITH wh_t AS (
+      SELECT doc_id, source, {WORD_HASH_DUCK} AS wh FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source, {_simhash_duck()} AS simhash
+      FROM wh_t WHERE len(wh) >= 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
+                AS INTEGER) AS hamming
+    FROM fp a JOIN fp b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+    """,
+)
+def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit sign-sum fingerprint per doc; candidate
+    pairs blocked by source with Hamming distance ≤ 2. Blocking bounds the
+    pair space (at 100 TB: block by simhash bytes — split the fingerprint
+    into 4 nibbles-of-4-bits and band like MinHash)."""
+    cat = Catalog(spark, sf_dir)
+    fp = (
+        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
+        .filter(F.size("wh") >= 1)
+        .select("doc_id", "source", _simhash_spark().alias("simhash"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2c: n-gram Jaccard (direct, blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l2c_ngram_jaccard",
+    oracle=f"""
+    WITH wh_t AS (
+      SELECT doc_id, source, lang, {WORD_HASH_DUCK} AS wh FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, source, lang, {shingle_expr_duck(2)} AS sh
+      FROM wh_t WHERE len(wh) >= 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM sh_t a JOIN sh_t b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.15
+    """,
+)
+def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct word-bigram Jaccard within (source, lang) blocks, ≥ 0.15.
+    The un-hashed baseline for l2: exact, but pair cost is quadratic per
+    block — which is why MinHash exists. Blocking keys keep it tractable."""
+    cat = Catalog(spark, sf_dir)
+    sh_t = (
+        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
+        .filter(F.size("wh") >= 2)
+        .select("doc_id", "source", "lang", F.expr(shingle_expr_spark(2)).alias("sh"))
+    )
+    a, b = sh_t.alias("a"), sh_t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.15)
+    )

@@ -1,0 +1,272 @@
+"""L-tier vector operators: brute-force cosine top-k (L3), LSH-bucketed ANN
+(L3b — the 100 TB path), embedding-cosine near-dup (L2d). SURVEY.md §2.12.
+
+Float determinism: DuckDB and Spark must produce bit-identical cosines, so
+every dot product is a LEFT FOLD in index order over float32 values cast to
+double BEFORE multiplying — same operation sequence on both engines, no
+reassociation. (A groupBy-sum over exploded elements would sum in partition
+order and never match.)
+
+Scale posture: the query side is always the broadcast side (k query vectors
+vs N corpus vectors — never corpus×corpus). L3b prunes candidates with a
+random-hyperplane LSH bucket before scoring: integer pseudo-random planes
+(deterministic, engine-portable), bucket equi-join, cosine only within the
+bucket. At 10⁹ vectors the same plan holds with more planes + multiprobe;
+an IVF coarse quantizer is the same shape with learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.registry import query
+
+# --- portable fold-based vector math ---------------------------------------
+
+
+def dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(sequence(0, size({a}) - 1), 0D, "
+        f"(acc, i) -> acc + cast({a}[i] AS double) * cast({b}[i] AS double))"
+    )
+
+
+def dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+NORM_SPARK = f"sqrt({dot_spark('embedding', 'embedding')})"
+NORM_DUCK = f"sqrt({dot_duck('embedding', 'embedding')})"
+
+# LSH: 4 integer pseudo-random hyperplanes (16 buckets on this corpus).
+# w[p][j] = ((p*1103515245 + j*12345 + 12345) % 2048) - 1024, j 0-based.
+N_PLANES = 4
+
+
+def _plane_dot_spark(p: str) -> str:
+    return (
+        f"aggregate(sequence(0, size(embedding) - 1), 0D, (acc, j) -> acc + "
+        f"cast((({p} * 1103515245L + j * 12345L + 12345L) % 2048L) - 1024L "
+        f"AS double) * cast(embedding[j] AS double))"
+    )
+
+
+BUCKET_SPARK = (
+    f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) -> acc + "
+    f"(CASE WHEN ({_plane_dot_spark('p')}) > 0D "
+    f"THEN shiftleft(1L, p) ELSE 0L END))"
+)
+
+
+def _plane_dot_duck(p: str) -> str:
+    # j is 1-based in DuckDB lists; (j-1) matches Spark's 0-based weights
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len(embedding) + 1), j -> "
+        f"CAST((({p} * 1103515245 + (j - 1) * 12345 + 12345) % 2048) - 1024 "
+        f"AS DOUBLE) * CAST(embedding[j] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+BUCKET_DUCK = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(range(0, {N_PLANES}), p -> "
+    f"CASE WHEN ({_plane_dot_duck('p')}) > 0 THEN (1::BIGINT << p) "
+    f"ELSE 0::BIGINT END)), (a, b) -> a + b)"
+)
+
+_NORMED_DUCK = f"""
+  normed AS (
+    SELECT vec_id, label, embedding, {NORM_DUCK} AS nrm
+    FROM embeddings
+  )
+"""
+
+
+def _normed(cat: Catalog) -> DataFrame:
+    """vec_id, label, embedding, nrm — persisted: the fold expression must
+    not be re-inlined into every downstream branch (see llm_dedup note)."""
+    return (
+        cat.embeddings.withColumn("nrm", F.expr(NORM_SPARK)).persist()
+    )
+
+
+@query(
+    "l3_cosine_topk",
+    oracle=f"""
+    WITH {_NORMED_DUCK},
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {dot_duck('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+               AS cosine
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 10
+    """,
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: the exact baseline.
+    Query side broadcast; corpus side scanned once, scored in place,
+    TakeOrdered per query. Linear in corpus size — the right baseline even
+    at 100 TB when k·|queries| is small."""
+    cat = Catalog(spark, sf_dir)
+    normed = _normed(cat)
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(dot_spark("qv", "embedding")) / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "l3b_lsh_ann",
+    oracle=f"""
+    WITH {_NORMED_DUCK},
+    bucketed AS (
+      SELECT vec_id, embedding, nrm, {BUCKET_DUCK} AS bucket FROM normed
+    ),
+    probes AS (
+      SELECT vec_id, embedding, nrm,
+             CASE WHEN k.k = -1 THEN bucket
+                  ELSE xor(bucket, 1::BIGINT << k.k) END AS probe
+      FROM bucketed
+      CROSS JOIN (VALUES (-1), (0), (1), (2), (3)) k(k)
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS vec_id
+      FROM probes p JOIN bucketed c
+        ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+    ),
+    pairs AS (
+      SELECT query_id, cand.vec_id,
+             {dot_duck('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+               AS cosine
+      FROM cand
+      JOIN bucketed q ON q.vec_id = cand.query_id
+      JOIN bucketed c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def l3b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, the scale path: random-hyperplane LSH with Hamming-1 multiprobe
+    — each query probes its own bucket plus the 4 one-bit-flip neighbors
+    (recall ≈ P(≤1 plane disagrees) instead of P(all agree)), candidates
+    come from a bucket equi-join, and cosine is computed only for
+    candidates. Recall vs the exact l3 baseline is asserted in tests.
+    At 10⁹ vectors: more planes + wider multiprobe, same plan shape."""
+    cat = Catalog(spark, sf_dir)
+    bucketed = (
+        _normed(cat).withColumn("bucket", F.expr(BUCKET_SPARK)).persist()
+    )
+    probe = F.when(F.col("k") == -1, F.col("qbucket")).otherwise(
+        F.expr("qbucket ^ shiftleft(1L, k)")
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cat.embeddings.sparkSession.range(-1, N_PLANES).select(
+                    F.col("id").cast("int").alias("k")
+                )
+            )
+        )
+        .select("query_id", "qv", "qn", probe.alias("probe"))
+    )
+    pairs = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "qv", "qn", "embedding", "nrm")
+        .distinct()
+        .withColumn(
+            "cosine",
+            F.expr(dot_spark("qv", "embedding")) / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "l2d_embedding_neardup",
+    oracle=f"""
+    WITH {_NORMED_DUCK}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+             AS cosine
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs within the same label block with
+    cosine ≥ 0.35. Blocking (label here; LSH bucket at scale, see l3b)
+    keeps the pair space linear-ish — never an unblocked corpus²."""
+    cat = Catalog(spark, sf_dir)
+    normed = _normed(cat)
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.expr(dot_spark("ea", "eb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )

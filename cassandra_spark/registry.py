@@ -42,7 +42,10 @@ def load_all() -> None:
         flagship,
         functions,
         joins,
-        llm,
+        llm_dedup,
+        llm_multimodal,
+        llm_text,
+        llm_vectors,
         read_path,
         setops,
         streaming_batch,

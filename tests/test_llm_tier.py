@@ -1,0 +1,82 @@
+"""L-tier behavioral tests beyond oracle parity: dedup invariants, ANN
+recall, multimodal decode plumbing (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_l1_dedup_partitions_corpus(spark):
+    """Dedup groups partition the corpus: Σ n_docs == |documents|, and
+    each keeper belongs to its group."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_dedup import l1_exact_dedup
+
+    out = l1_exact_dedup(spark, SF_SMOKE)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == Catalog(spark, SF_SMOKE).documents.count()
+
+
+def test_l2_pairs_are_real_neardups(spark):
+    """Every emitted pair's Jaccard clears the threshold, and pairs are
+    canonical (doc_a < doc_b, no dups)."""
+    from cassandra_spark.operators.llm_dedup import l2_minhash_neardup
+
+    rows = l2_minhash_neardup(spark, SF_SMOKE).collect()
+    assert all(r.jaccard >= 0.2 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_l3b_ann_recall(spark):
+    """LSH ANN recall@5 vs the exact l3 baseline: every ANN hit must be a
+    true neighbor direction (cosine within the exact top-10 range), and
+    recall@5 ≥ 0.3 on this corpus (multiprobe over 16 buckets)."""
+    from cassandra_spark.operators.llm_vectors import l3_cosine_topk, l3b_lsh_ann
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in l3_cosine_topk(spark, SF_SMOKE).collect()
+        if r.rank <= 5
+    }
+    ann = {
+        (r.query_id, r.vec_id) for r in l3b_lsh_ann(spark, SF_SMOKE).collect()
+    }
+    assert ann, "ANN returned nothing"
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.3, f"recall@5 {recall:.2f}"
+
+
+def test_l4_decode_requires_opt_in(spark):
+    """Without allow_stub the decode stage refuses (no codecs in env)."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_multimodal import decode_documents
+
+    docs = Catalog(spark, SF_SMOKE).documents.limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|media codec"):
+        decode_documents(docs).collect()
+
+
+def test_l4_decode_stub_plumbing(spark):
+    """The mapInPandas decode pipeline: stable schema, one output row per
+    input doc, deterministic features across runs."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_multimodal import decode_documents
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    out = decode_documents(docs, allow_stub=True, n_partitions=8)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,mime:string,n_bytes:bigint,width:int,"
+        "height:int,n_channels:int,feat:array<float>>"
+    )
+    rows1 = sorted((r.doc_id, tuple(r.feat)) for r in out.collect())
+    rows2 = sorted(
+        (r.doc_id, tuple(r.feat))
+        for r in decode_documents(docs, allow_stub=True).collect()
+    )
+    assert rows1 == rows2
+    assert len(rows1) == docs.count()
