@@ -1,0 +1,79 @@
+"""Benchmark harness: per-query wall-clock over the full queries() registry.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Env:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] threads (default 32)
+    BENCH_QUERIES        comma-separated subset (default: all)
+    BENCH_REPEAT         timed repetitions per query, best-of (default 1)
+
+Each query is executed END-TO-END on the JVM via the noop sink — the full
+physical plan runs (scan → shuffle → agg/join), nothing is collected to
+Python, so the number measures the engine, not py4j serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from cassandra_spark.session import get_spark  # noqa: E402
+from cassandra_spark import registry  # noqa: E402
+
+registry.load_all()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else list(registry.QUERIES)
+
+    spark = get_spark("cassandra-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session costs.
+    registry.QUERIES["q_flagship_revenue_by_nation"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
