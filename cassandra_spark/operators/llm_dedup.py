@@ -308,10 +308,14 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space (at 100 TB: block by simhash bytes — split the fingerprint
     into 4 nibbles-of-4-bits and band like MinHash)."""
     cat = Catalog(spark, sf_dir)
+    # persist: fp feeds both sides of the self-join; without it the scan and
+    # the 16-lambda simhash expression run twice (same barrier rationale as
+    # l2_minhash_neardup — at 100 TB fingerprints land in a table first).
     fp = (
         cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
         .filter(F.size("wh") >= 1)
         .select("doc_id", "source", _simhash_spark().alias("simhash"))
+        .persist()
     )
     a, b = fp.alias("a"), fp.alias("b")
     hamming = F.bit_count(
@@ -362,10 +366,12 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The un-hashed baseline for l2: exact, but pair cost is quadratic per
     block — which is why MinHash exists. Blocking keys keep it tractable."""
     cat = Catalog(spark, sf_dir)
+    # persist: both join sides read sh_t; one scan + one shingle pass.
     sh_t = (
         cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
         .filter(F.size("wh") >= 2)
         .select("doc_id", "source", "lang", F.expr(shingle_expr_spark(2)).alias("sh"))
+        .persist()
     )
     a, b = sh_t.alias("a"), sh_t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
