@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the scale posture, checked mechanically.
+
+Correctness tests prove the operators compute the right answer at sf0.001;
+these prove the *plans* are the ones that survive a 100 TB / 1000-executor
+scale-up (SURVEY.md §4): predicates reach the parquet scan (Cassandra's
+bloom-filter / key-range skip analogue), projections prune the read schema,
+small dimensions broadcast instead of shuffling, top-k runs as
+TakeOrderedAndProject (never a global sort), and nothing in the flagship
+degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cassandra_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_predicate(spark):
+    plan = plan_of(spark, "r1_point_lookup")
+    assert "PushedFilters" in plan
+    # the PK equality must reach the scan, not sit in a post-scan Filter only
+    assert "EqualTo" in plan or "In(" in plan
+
+
+def test_clustering_slice_pushes_range(spark):
+    plan = plan_of(spark, "r4_clustering_slice")
+    assert "GreaterThan" in plan or "LessThan" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = plan_of(spark, "p1_project")
+    # ReadSchema keeps only what the query touches; lineitem has 16 cols —
+    # a scan that lists l_comment (never referenced) would be unpruned.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "l_comment" not in read[0]
+
+
+def test_broadcast_join_broadcasts_dim(spark):
+    plan = plan_of(spark, "x2_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_no_cartesian_and_broadcasts(spark):
+    plan = plan_of(spark, "q_flagship_revenue_by_nation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # nation (25 rows) must never shuffle-join against lineitem
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "o4_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_agg_uses_codegen_and_partial_agg(spark):
+    # map-side combine: a partial_* aggregate before the exchange
+    assert "partial_" in plan_of(spark, "a1_global_agg")
+    # the scan→partial-agg stage must fuse into one codegen'd stage; AQE
+    # hides codegen ids until runtime, so inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = plan_of(spark, "a1_global_agg", mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen
+    assert "Found 0" not in codegen
+
+
+def test_limit_short_circuits(spark):
+    plan = plan_of(spark, "o2_limit")
+    assert "Limit" in plan or "TakeOrdered" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["l2_minhash_neardup", "l2b_simhash", "l2c_ngram_jaccard", "l3b_lsh_ann"],
+)
+def test_dedup_family_never_cartesian(spark, name):
+    # every candidate-pair stage must be an equi-join on its blocking /
+    # bucket key — a CartesianProduct here is corpus² at 100 TB
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
