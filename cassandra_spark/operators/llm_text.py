@@ -165,6 +165,123 @@ def l7_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l9_quality_score",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             n_chars,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+           CASE WHEN n_words >= 5
+                 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+                 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.0 AND 0.6
+                THEN TRUE ELSE FALSE END AS keep
+    FROM per_doc
+    """,
+)
+def l9_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring — the filter stage of a training-data
+    pipeline: length, punctuation ratio, stopword ratio, mean word length,
+    and a boolean keep decision (Gopher-rule shape). One narrow pass, no
+    shuffle; at 100 TB this is a streaming map over the corpus scan."""
+    cat = Catalog(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    per_doc = cat.documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.col("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"[\w\s]", "")).alias(
+            "n_punct"
+        ),
+        F.size(
+            F.expr(f"filter(split(text, ' '), w -> w IN ({stop_list}))")
+        ).alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    keep = (
+        (F.col("n_words") >= 5)
+        & (punct_ratio < 0.2)
+        & (stop_ratio >= 0.0)
+        & (stop_ratio <= 0.6)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "l10_tfidf",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS _one
+      FROM tokens GROUP BY doc_id, token
+    ),
+    df_t AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           round(ln(CAST(n_docs AS DOUBLE) / doc_freq), 9) AS idf
+    FROM df_t, n
+    WHERE doc_freq >= 10
+    """,
+)
+def l10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF table (the join side of TF-IDF): explode distinct tokens per doc
+    → document frequency → ln(N/df). The per-doc TF side is u3_explode's
+    plan shape; scoring joins this (broadcast — vocabulary ≪ corpus) back
+    onto term counts. Partial aggregation keeps the shuffle at vocabulary
+    size, not token-occurrence size."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    n_docs = docs.count()  # scalar — one job over footer-only count
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "token"
+        ),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 10)
+        .select(
+            "token",
+            "doc_freq",
+            # round(·, 9): ln is transcendental and DuckDB's libm vs the
+            # JVM's Math.log differ in the last ulp for some inputs; 9
+            # decimals is exact for any IDF purpose and engine-stable
+            F.round(
+                F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 9
+            ).alias("idf"),
+        )
+    )
+
+
+@query(
     "l8_fingerprint",
     oracle=f"""
     WITH norm AS (
