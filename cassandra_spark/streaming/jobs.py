@@ -65,6 +65,50 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.dropDuplicates(["event_id"])
 
 
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+STATEFUL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: custom stateful per-key operator via applyInPandasWithState — a
+    running (count, sum) per user that survives across micro-batches. This
+    is the escape hatch for aggregation logic Spark's built-ins can't
+    express (per-key model state, custom eviction); state lives in the
+    state store, partitioned by key, so it scales with executors not with
+    stream length. Arrow-batched: each group's rows arrive as pandas
+    DataFrames, never row-at-a-time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUT,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

@@ -27,6 +27,40 @@ def test_streaming_tumbling_matches_batch(spark):
     assert got == want
 
 
+def test_stateful_user_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming.jobs import (
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    stream = stateful_user_totals(spark, SF_SMOKE)
+    assert stream.isStreaming
+    run_available_now(stream, "t_stateful", output_mode="update")
+    # update mode re-emits a key on every batch it changes in; the last
+    # emission per key is the final state
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in Catalog(spark, SF_SMOKE)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        assert got[uid][0] == n
+        assert round(got[uid][1], 6) == total
+
+
 def test_streaming_dedup(spark):
     from cassandra_spark.catalog import Catalog
     from cassandra_spark.streaming.jobs import run_available_now, streaming_dedup
