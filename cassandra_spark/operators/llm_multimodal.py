@@ -121,3 +121,107 @@ def decode_documents(
     return src.mapInPandas(
         lambda it: decode_batch(it, allow_stub=allow_stub), DECODED_SCHEMA
     )
+
+
+# --- resize (decoded image → target box) -----------------------------------
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "out_width int, out_height int, scale double"
+)
+
+
+def resize_decoded(
+    decoded: DataFrame, max_side: int = 32, *, allow_stub: bool = False
+) -> DataFrame:
+    """Resize stage: aspect-preserving fit into a max_side box. The stub
+    computes only the output geometry (a real resampler slots into the same
+    batch loop); geometry math is the tested contract — it decides bytes
+    shuffled downstream, which at 100 TB matters more than the pixels."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not allow_stub:
+                raise NotImplementedError(
+                    "no image libraries in this environment; "
+                    "pass allow_stub=True for the geometry-only resizer"
+                )
+            scale = (
+                pd.concat(
+                    [max_side / pdf["width"], max_side / pdf["height"]], axis=1
+                )
+                .min(axis=1)
+                .clip(upper=1.0)
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    # round, don't truncate: width*(max/width) in floats can
+                    # land at 31.999…, and the long side must hit the box
+                    "out_width": (pdf["width"] * scale)
+                    .round()
+                    .astype(int)
+                    .clip(lower=1),
+                    "out_height": (pdf["height"] * scale)
+                    .round()
+                    .astype(int)
+                    .clip(lower=1),
+                    "scale": scale,
+                }
+            )
+            yield out
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+# --- frame sampling (video payload → frame rows) ---------------------------
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_sha string"
+
+
+def sample_frames(
+    docs: DataFrame,
+    every_ms: int = 1000,
+    *,
+    allow_stub: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame — the
+    row-expanding (UDTF-shaped) mapInPandas. The stub derives a fake
+    duration from payload size (1 KB ≈ 1 s) and hashes the payload slice
+    each frame would decode from; a real demuxer (pyav/ffmpeg) keeps the
+    same contract: iterate batches, emit (key, frame_idx, ts, content)."""
+    import hashlib
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not allow_stub:
+                raise NotImplementedError(
+                    "no video demuxer in this environment; "
+                    "pass allow_stub=True for the deterministic fake sampler"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                duration_ms = len(payload)  # 1 byte ≈ 1 ms in the stub
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    chunk = payload[ts : ts + every_ms]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            ts,
+                            hashlib.sha1(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_sha"]
+            )
+
+    src = docs.select(
+        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return src.mapInPandas(run, FRAMES_SCHEMA)

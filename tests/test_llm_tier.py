@@ -61,6 +61,50 @@ def test_l4_decode_requires_opt_in(spark):
         decode_documents(docs).collect()
 
 
+def test_l4_resize_geometry(spark):
+    """Resize stage: aspect ratio preserved, bounded by the box, never
+    upscaled."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_multimodal import (
+        decode_documents,
+        resize_decoded,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    decoded = decode_documents(docs, allow_stub=True)
+    out = resize_decoded(decoded, max_side=32, allow_stub=True).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 1 <= r.out_width <= 32 and 1 <= r.out_height <= 32
+        assert r.scale <= 1.0
+        # the longer side must hit the box (unless already inside it)
+        if max(r.width, r.height) >= 32:
+            assert max(r.out_width, r.out_height) == 32
+
+
+def test_l4_frame_sampling(spark):
+    """Frame sampler: row expansion with the right cadence; frame count
+    == ceil(duration / interval); deterministic frame hashes."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+
+    docs = Catalog(spark, SF_SMOKE).documents.limit(20)
+    out = sample_frames(docs, every_ms=500, allow_stub=True)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    sizes = {
+        r.doc_id: r.n for r in docs.select(
+            F.col("doc_id"), F.octet_length(F.col("text").cast("binary")).alias("n")
+        ).collect()
+    }
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == -(-sizes[doc_id] // 500)  # ceil
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))
+
+
 def test_l4_decode_stub_plumbing(spark):
     """The mapInPandas decode pipeline: stable schema, one output row per
     input doc, deterministic features across runs."""
