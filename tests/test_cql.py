@@ -1,0 +1,106 @@
+"""CQL front-end: accepted statements compile to the right results;
+rejected statements fail with the reference's restriction semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.cql import CQLError, cql_select
+from tests.conftest import SF_SMOKE
+
+
+def q(spark, stmt):
+    return cql_select(spark, SF_SMOKE, stmt)
+
+
+def test_point_lookup(spark):
+    rows = q(
+        spark, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7"
+    ).collect()
+    want = (
+        Catalog(spark, SF_SMOKE)
+        .orders.filter(F.col("o_custkey") == 7)
+        .count()
+    )
+    assert len(rows) == want > 0
+
+
+def test_in_lookup_and_limit(spark):
+    rows = q(
+        spark,
+        "SELECT * FROM orders WHERE o_custkey IN (1, 2, 3) LIMIT 4",
+    ).collect()
+    assert 0 < len(rows) <= 4
+
+
+def test_clustering_slice_with_order(spark):
+    rows = q(
+        spark,
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "WHERE o_custkey = 7 AND o_orderdate >= '1995-01-01' "
+        "ORDER BY o_orderdate DESC",
+    ).collect()
+    dates = [r.o_orderdate for r in rows]
+    assert dates == sorted(dates, reverse=True)
+
+
+def test_per_partition_limit(spark):
+    rows = q(
+        spark,
+        "SELECT user_id, event_id FROM events PER PARTITION LIMIT 2",
+    ).collect()
+    per = {}
+    for r in rows:
+        per[r.user_id] = per.get(r.user_id, 0) + 1
+    assert per and all(n <= 2 for n in per.values())
+
+
+def test_non_key_filter_rejected_without_allow_filtering(spark):
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        q(spark, "SELECT * FROM orders WHERE o_totalprice > 1000")
+
+
+def test_allow_filtering_permits_scan(spark):
+    rows = q(
+        spark,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 1000 "
+        "LIMIT 5 ALLOW FILTERING",
+    ).collect()
+    assert len(rows) == 5
+
+
+def test_order_by_non_clustering_rejected(spark):
+    with pytest.raises(CQLError, match="clustered columns"):
+        q(
+            spark,
+            "SELECT * FROM orders WHERE o_custkey = 7 ORDER BY o_totalprice",
+        )
+
+
+def test_token_range(spark):
+    rows = q(
+        spark,
+        "SELECT o_custkey FROM orders WHERE token(o_custkey) > 0 LIMIT 10",
+    ).collect()
+    assert rows
+
+
+def test_contains_rewrite(spark):
+    # documents has no array col; build one via the projection instead:
+    # CONTAINS on a filtered synthetic array exercises the rewrite path
+    # array_contains on a string errors at analysis (filter construction);
+    # the rewrite itself is what's under test — assert the rewritten
+    # expression reached Catalyst
+    with pytest.raises(Exception, match="array_contains|ARRAY|DATATYPE"):
+        q(
+            spark,
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id = 1 AND lang CONTAINS 'e' ALLOW FILTERING",
+        )
+
+
+def test_malformed_rejected(spark):
+    with pytest.raises(CQLError, match="malformed"):
+        q(spark, "UPDATE orders SET x = 1")
