@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every operator module (side effect: decorator registration)."""
     from cassandra_spark.operators import (  # noqa: F401
         aggregates,
+        cql_queries,
         flagship,
         functions,
         joins,
