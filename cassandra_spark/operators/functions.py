@@ -118,6 +118,58 @@ def f3_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f6_select_json",
+    oracle="""
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type
+             || '","user_id":' || user_id || '}' AS row_json
+    FROM events WHERE user_id = 7
+    """,
+)
+def f6_select_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT JSON (`[C* cql3/Json.java]` row→JSON direction): serialize
+    each row to a JSON string via to_json(struct(...)). The oracle builds
+    the identical compact string by concatenation — integer/string columns
+    only, so formatting is engine-independent."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.filter(F.col("user_id") == 7).select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias(
+            "row_json"
+        ),
+    )
+
+
+@query(
+    "r10_static_column",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           first_value(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+           ) AS latest_type_static
+    FROM events WHERE user_id IN (3, 7)
+    """,
+)
+def r10_static_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static column read (`[C* schema/ColumnMetadata#isStatic]`): one
+    per-partition value visible on every row. Modeled as first_value over
+    the partition window in clustering order (-ts, event_id) — here 'the
+    partition's newest event_type' plays the static cell."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").asc()
+    )
+    return cat.events.filter(F.col("user_id").isin(3, 7)).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first("event_type").over(w).alias("latest_type_static"),
+    )
+
+
+@query(
     "f4_collections",
     oracle="""
     SELECT doc_id,
