@@ -172,6 +172,33 @@ def r9_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def page_after(
+    df: DataFrame,
+    key_cols: list[str],
+    cursor: tuple | None,
+    page_size: int,
+) -> DataFrame:
+    """Generic keyset pager behind r9: rows strictly after ``cursor`` in
+    (key_cols) lexicographic order, one page. ``cursor=None`` → first page.
+    The tuple-> predicate expansion keeps every page a pushdown-able range
+    scan + TakeOrderedAndProject — state lives in the cursor, not the
+    engine (exactly the reference's paging-state token)."""
+    if cursor is not None:
+        if len(cursor) != len(key_cols):
+            raise ValueError("cursor arity != key arity")
+        pred = None
+        for i in range(len(key_cols)):
+            eq = None
+            for c, v in zip(key_cols[:i], cursor[:i]):
+                term = F.col(c) == F.lit(v)
+                eq = term if eq is None else (eq & term)
+            gt = F.col(key_cols[i]) > F.lit(cursor[i])
+            clause = gt if eq is None else (eq & gt)
+            pred = clause if pred is None else (pred | clause)
+        df = df.filter(pred)
+    return df.orderBy(*key_cols).limit(page_size)
+
+
 # ---------------------------------------------------------------------------
 # P-tier: predicates / projections
 # ---------------------------------------------------------------------------

@@ -58,6 +58,28 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(ev)
 
 
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as a stream: watermarked per-user session windows (30 min gap).
+    Session windows are the one window kind whose state can MERGE (two
+    open sessions coalesce when a bridging event arrives), which is why
+    they need the dedicated session_window state store rather than
+    bucketed tumbling state."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: streaming dropDuplicates on the event key with watermark-bounded
     dedup state."""

@@ -61,6 +61,27 @@ def test_stateful_user_totals_matches_batch(spark):
         assert round(got[uid][1], 6) == total
 
 
+def test_streaming_session_matches_batch(spark):
+    from cassandra_spark.operators.streaming_batch import s3_session
+    from cassandra_spark.streaming.jobs import (
+        run_available_now,
+        streaming_session,
+    )
+
+    stream = streaming_session(spark, SF_SMOKE)
+    assert stream.isStreaming
+    run_available_now(stream, "t_session", output_mode="complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in s3_session(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup(spark):
     from cassandra_spark.catalog import Catalog
     from cassandra_spark.streaming.jobs import run_available_now, streaming_dedup
