@@ -85,6 +85,32 @@ def read_compacted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def compact_time_windows(
+    events: DataFrame,
+    out_dir: str,
+    ts_col: str,
+    partition_key: list[str],
+    clustering: list[str],
+    window: str = "1 day",
+) -> None:
+    """TWCS analogue (`[C* db/compaction/TimeWindowCompactionStrategy]`,
+    unverified): time-series data grouped into non-overlapping time
+    windows, one directory per window, rows sorted by (pk, clustering)
+    inside. Time-range queries prune whole windows before opening a file
+    (the SSTable min/max-timestamp skip, SURVEY.md §4.1); expiring a
+    retention period is a directory delete, not a rewrite — exactly why
+    Cassandra recommends TWCS for TTL'd time series."""
+    win = F.window(F.col(ts_col), window).getField("start").cast("date")
+    (
+        events.withColumn("window_start", win)
+        .repartition("window_start")
+        .sortWithinPartitions(*partition_key, *clustering)
+        .write.mode("overwrite")
+        .partitionBy("window_start")
+        .parquet(out_dir)
+    )
+
+
 def point_lookup(
     spark: SparkSession,
     out_dir: str,

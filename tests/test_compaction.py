@@ -76,6 +76,49 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert rows and all(r.user_id == some_key for r in rows)
 
 
+def test_time_window_layout_prunes_ranges(spark, tmp_path):
+    from cassandra_spark.operators.compaction import compact_time_windows
+
+    out = str(tmp_path / "twcs")
+    ev = Catalog(spark, SF_SMOKE).events
+    compact_time_windows(ev, out, "ts", ["user_id"], ["ts", "event_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    q = back.filter(
+        (F.col("window_start") >= "2024-01-10")
+        & (F.col("window_start") < "2024-01-12")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "window_start" in plan
+    # the window column agrees with the row timestamps it contains
+    bad = back.filter(
+        (F.col("ts") < F.col("window_start").cast("timestamp"))
+        | (
+            F.col("ts")
+            >= F.date_add(F.col("window_start"), 1).cast("timestamp")
+        )
+    )
+    assert bad.count() == 0
+    # retention drop = directory delete: expiring a window removes exactly
+    # that window's rows
+    import glob
+    import shutil
+
+    victims = sorted(glob.glob(f"{out}/window_start=*"))[:2]
+    dropped = sum(
+        spark.read.parquet(v).count() for v in victims
+    )
+    total_before = back.count()
+    for v in victims:
+        shutil.rmtree(v)
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(out).count() == total_before - dropped
+
+
 def test_files_sorted_within_partitions(spark, tmp_path):
     out = str(tmp_path / "compacted")
     compact(_cells(spark), out, PK, CK, tiebreak=["src", "event_id"])
