@@ -82,6 +82,73 @@ def test_streaming_session_matches_batch(spark):
     assert got == want
 
 
+def test_stateful_state_accumulates_across_batches(spark, tmp_path):
+    """Real incremental proof: the source is split into 4 files streamed
+    one per micro-batch (maxFilesPerTrigger=1), so per-user state MUST
+    carry across batches to reach the batch totals — a single-batch run
+    can't fake this."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "events_split")
+    ev = Catalog(spark, SF_SMOKE).events
+    # re-shard the fixture into 4 files with ts back in raw nanos form so
+    # events_stream's schema (ts: long) still applies
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    raw = (
+        spark.readStream.schema(jobs._EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=jobs.STATEFUL_OUT,
+            stateStructType=jobs.STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    jobs.run_available_now(out, "t_multi_batch", output_mode="update")
+    emitted = spark.sql("SELECT * FROM t_multi_batch").collect()
+    # >1 emission for some key proves multiple micro-batches touched it;
+    # the running count is monotone, so max(n_events) per key is the final
+    # state and must equal the batch count
+    counts: dict[int, int] = {}
+    final_n: dict[int, int] = {}
+    for r in emitted:
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+        final_n[r.user_id] = max(final_n.get(r.user_id, 0), r.n_events)
+    assert max(counts.values()) > 1, "everything arrived in one batch"
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final_n == want
+
+
 def test_streaming_dedup(spark):
     from cassandra_spark.catalog import Catalog
     from cassandra_spark.streaming.jobs import run_available_now, streaming_dedup
