@@ -50,6 +50,7 @@ def load_all() -> None:
         read_path,
         setops,
         streaming_batch,
+        tpch,
         udfs,
         windows,
         write_semantics,

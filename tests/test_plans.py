@@ -90,6 +90,17 @@ def test_limit_short_circuits(spark):
 
 
 @pytest.mark.parametrize(
+    "name", ["x15_shipping_priority", "x16_returned_items", "x17_large_orders"]
+)
+def test_deep_join_trees_broadcast_and_take_ordered(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    if name != "x17_large_orders":  # x17 has no LIMIT
+        assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
     "name",
     ["l2_minhash_neardup", "l2b_simhash", "l2c_ngram_jaccard", "l3b_lsh_ann"],
 )
