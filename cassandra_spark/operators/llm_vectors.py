@@ -230,6 +230,146 @@ def l3b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF: 8 deterministic pseudo-random centroids (stand-ins for k-means
+# centroids, which would be fit offline at 100 TB and broadcast the same
+# way). w[j][d] = ((j*7919 + d*104729 + 12345) % 2048) - 1024, d 0-based.
+N_CENTROIDS = 8
+
+
+def _centroid_dot_spark(j: str, vec: str = "embedding") -> str:
+    return (
+        f"aggregate(sequence(0, size({vec}) - 1), 0D, (acc, d) -> acc + "
+        f"cast((({j} * 7919L + d * 104729L + 12345L) % 2048L) - 1024L "
+        f"AS double) * cast({vec}[d] AS double))"
+    )
+
+
+def _centroid_dot_duck(j: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len(embedding) + 1), d -> "
+        f"CAST((({j} * 7919 + (d - 1) * 104729 + 12345) % 2048) - 1024 "
+        f"AS DOUBLE) * CAST(embedding[d] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+# argmax over centroids with deterministic smallest-j tie-break.
+# NOT a nested aggregate-in-aggregate lambda: inlining the 64-dim dot
+# twice inside an 8-step fold made Catalyst/codegen blow up (>13 min to
+# plan two tests). Instead: 8 independent flat fold dot-products packed
+# into struct(s, nj) and compared by array_max's lexicographic struct
+# ordering — equal s → max nj → smallest j. One codegen stage, no shuffle.
+def _assign_bucket_col(vec: str = "embedding"):
+    return (
+        -F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(_centroid_dot_spark(str(j), vec)).alias("s"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j in range(N_CENTROIDS)
+                ]
+            )
+        )["nj"]
+    ).cast("int")
+
+
+ASSIGN_DUCK = (
+    f"list_reduce(list_prepend(struct_pack(s := CAST(-1e308 AS DOUBLE), "
+    f"j := -1), list_transform(range(0, {N_CENTROIDS}), j -> "
+    f"struct_pack(s := {_centroid_dot_duck('j')}, j := j))), "
+    f"(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).j"
+)
+
+
+@query(
+    "l3c_ivf_ann",
+    oracle=f"""
+    WITH {_NORMED_DUCK},
+    assigned AS (
+      SELECT vec_id, embedding, nrm, {ASSIGN_DUCK} AS bucket FROM normed
+    ),
+    qdots AS (
+      SELECT q.vec_id AS query_id, q.embedding, q.nrm, j.j AS cj,
+             {_centroid_dot_duck('j.j')} AS cdot
+      FROM assigned q CROSS JOIN (
+        SELECT unnest(range(0, {N_CENTROIDS})) AS j) j
+      WHERE q.vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, embedding, nrm, cj
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cdot DESC, cj) AS rn
+            FROM qdots)
+      WHERE rn <= 2
+    ),
+    pairs AS (
+      SELECT p.query_id, c.vec_id,
+             {dot_duck('p.embedding', 'c.embedding')} / (p.nrm * c.nrm)
+               AS cosine
+      FROM probes p JOIN assigned c
+        ON c.bucket = p.cj AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def l3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization — the learned-partition scale path
+    (same plan shape as a real IVF index: assign once at write time, probe
+    nprobe=2 cells at query time, score only candidates). Centroids here
+    are deterministic pseudo-random stand-ins so the DuckDB oracle can
+    verify assignment + probing + scoring exactly; swap in k-means
+    centroids (broadcast) and nothing else changes. At 10⁹ vectors:
+    √N centroids, nprobe 8-32, same three joins."""
+    cat = Catalog(spark, sf_dir)
+    assigned = (
+        _normed(cat)
+        .withColumn("bucket", _assign_bucket_col())
+        .persist()
+    )
+    centroids = cat.embeddings.sparkSession.range(N_CENTROIDS).select(
+        F.col("id").cast("int").alias("cj")
+    )
+    qdots = (
+        assigned.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", F.expr(_centroid_dot_spark("cj", vec="qv")))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cdot"), "cj")
+    probes = (
+        qdots.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "qn", "cj")
+    )
+    pairs = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("cj"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.expr(dot_spark("qv", "embedding")) / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 @query(
     "l2d_embedding_neardup",
     oracle=f"""

@@ -37,6 +37,13 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOTE: runtime bloom-filter join pruning (the shuffle-level analogue
+        # of Cassandra's per-SSTable bloom skip) is ON by default in this
+        # Spark build (spark.sql.optimizer.runtime.bloomFilter.enabled=true).
+        # Do NOT also set ...runtimeFilter.semiJoinReduction.enabled here:
+        # on Spark 4.1.2 that key is unreadable post-set and the combination
+        # wedges the py4j bridge on the first action (verified 2026-08-13:
+        # a bare parquet count hangs with a ~7k msg/s py4j storm).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
 

@@ -101,6 +101,28 @@ def test_contains_rewrite(spark):
         )
 
 
+def test_cql_aggregates_in_projection(spark):
+    # CQL 2.2+ native aggregates over a partition: count/min/max/sum/avg
+    # flow through the projection path unchanged
+    rows = q(
+        spark,
+        "SELECT count(*) AS n, min(o_totalprice) AS lo, "
+        "max(o_totalprice) AS hi FROM orders WHERE o_custkey = 7",
+    ).collect()
+    assert len(rows) == 1
+    want = (
+        Catalog(spark, SF_SMOKE)
+        .orders.filter(F.col("o_custkey") == 7)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (rows[0].n, rows[0].lo, rows[0].hi) == (want.n, want.lo, want.hi)
+
+
 def test_malformed_rejected(spark):
     with pytest.raises(CQLError, match="malformed"):
         q(spark, "UPDATE orders SET x = 1")

@@ -51,6 +51,23 @@ def test_l3b_ann_recall(spark):
     assert recall >= 0.3, f"recall@5 {recall:.2f}"
 
 
+def test_l3c_ivf_recall(spark):
+    """IVF nprobe=2 recall@5 vs the exact baseline — same bar as LSH."""
+    from cassandra_spark.operators.llm_vectors import l3_cosine_topk, l3c_ivf_ann
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in l3_cosine_topk(spark, SF_SMOKE).collect()
+        if r.rank <= 5
+    }
+    ivf = {
+        (r.query_id, r.vec_id) for r in l3c_ivf_ann(spark, SF_SMOKE).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"recall@5 {recall:.2f}"
+
+
 def test_l4_decode_requires_opt_in(spark):
     """Without allow_stub the decode stage refuses (no codecs in env)."""
     from cassandra_spark.catalog import Catalog
