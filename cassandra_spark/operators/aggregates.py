@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
-from cassandra_spark.exactmath import davg, dsum, sql_davg, sql_dsum
+from cassandra_spark.exactmath import davg, dec, dsum, sql_davg, sql_dsum
 from cassandra_spark.registry import query
 
 
@@ -177,4 +177,58 @@ def a7_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").alias("max_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a8_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^k key subsets in one pass (extension;
+    absent upstream). Spark expands to a single expanded-grouping
+    aggregate — one shuffle, not 2^k scans."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# fixed vocabulary so the pivot is a static projection on both engines
+# (open-ended pivot would need a driver-side distinct — not a 100 TB plan)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "a9_pivot_events",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) "
+               f"FILTER (WHERE event_type = '{t}') AS VARCHAR) AS DOUBLE) "
+               f"AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+)
+def a9_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event-type value matrix. With an explicit value
+    list the pivot is one hash aggregate over conditional sums (no
+    distinct-scan, no second shuffle); absent days/types stay NULL on
+    both engines."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(dec("value")).cast("double"))
+        .orderBy("day")
     )

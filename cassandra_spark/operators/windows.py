@@ -117,3 +117,50 @@ def x11_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
     )
+
+
+@query(
+    "x21_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE) AS mov_sum3,
+           FIRST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           percent_rank() OVER wp AS price_pct,
+           cume_dist() OVER wp AS price_cume
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def x21_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frames + edge values + distribution functions: 3-order
+    moving spend (exact decimal, surfaced double), first/last order key of
+    the customer's history, and percent_rank/cume_dist by price. The
+    moving frame is ROWS (not RANGE) over a unique (date, key) order so
+    both engines see identical frames; percent_rank's (rank-1)/(n-1) is a
+    single double division — engine-identical."""
+    cat = Catalog(spark, sf_dir)
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    mov = seq.rowsBetween(-2, Window.currentRow)
+    head = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tail = seq.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return cat.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(mov).cast("double").alias("mov_sum3"),
+        F.first("o_orderkey").over(head).alias("first_order"),
+        F.last("o_orderkey").over(tail).alias("last_order"),
+        F.percent_rank().over(wp).alias("price_pct"),
+        F.cume_dist().over(wp).alias("price_cume"),
+    )

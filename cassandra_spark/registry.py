@@ -50,6 +50,7 @@ def load_all() -> None:
         read_path,
         setops,
         streaming_batch,
+        subqueries,
         tpch,
         udfs,
         windows,

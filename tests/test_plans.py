@@ -109,3 +109,41 @@ def test_dedup_family_never_cartesian(spark, name):
     # bucket key — a CartesianProduct here is corpus² at 100 TB
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_exists_plans_as_semi_join(spark):
+    # EXISTS must run as LeftSemi (stops at first match — no row
+    # multiplication against a fact table), never as an aggregate+join
+    plan = plan_of(spark, "x18_exists_late")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_plans_as_anti_join_with_broadcast_scalar(spark):
+    plan = plan_of(spark, "x19_rich_no_big_order")
+    assert "LeftAnti" in plan
+    # the scalar threshold is a 1-row relation: must broadcast, and the
+    # deliberate 1-row cross join must not appear as a fact-side cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decorrelated_threshold_broadcasts(spark):
+    # the per-part threshold pre-aggregate (≤ |part| rows) must broadcast
+    # back onto lineitem, not shuffle the fact twice
+    plan = plan_of(spark, "x20_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_single_expand_single_shuffle(spark):
+    # CUBE = one Expand + one partial/final agg pair, not 2^k scans
+    plan = plan_of(spark, "a8_cube")
+    assert "Expand" in plan
+    assert plan.count("Location:") == 1  # one scan feeds all 2^k sets
+    assert "partial_" in plan
+
+
+def test_pivot_is_single_aggregate(spark):
+    # static value list ⇒ one scan + one agg; no distinct-scan stage
+    plan = plan_of(spark, "a9_pivot_events")
+    assert plan.count("Location:") == 1
