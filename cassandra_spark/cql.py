@@ -12,7 +12,13 @@ Cassandra-shaped part:
 - ``ORDER BY`` is only legal on clustering columns of the table;
 - ``PER PARTITION LIMIT k`` compiles to a rank-filter window over the
   declared partition key;
-- ``CONTAINS`` rewrites to ``array_contains``.
+- ``CONTAINS`` rewrites to ``array_contains``;
+- ``GROUP BY`` only on a primary-key prefix covering the partition key,
+  with the reference's first-row-in-clustering-order value for selected
+  non-grouped columns;
+- ``SELECT DISTINCT`` only on partition-key columns;
+- ``ORDER BY col ANN OF [..] LIMIT k`` (the reference's vector search)
+  compiles to cosine top-k with a TakeOrderedAndProject final.
 
 Everything else — comparison/IN/AND expression parsing, constant folding,
 predicate pushdown — is delegated to Catalyst by feeding the (rewritten)
@@ -52,12 +58,16 @@ class _Stmt:
     per_partition_limit: int | None
     limit: int | None
     allow_filtering: bool
+    distinct: bool = False
+    group_by: list[str] | None = None
+    ann: tuple[str, str] | None = None  # (column, "[v1, v2, ...]")
 
 
 _SELECT_RE = re.compile(
-    r"""^\s*SELECT\s+(?P<proj>.+?)
+    r"""^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>.+?)
         \s+FROM\s+(?P<table>\w+)
         (?:\s+WHERE\s+(?P<where>.+?))?
+        (?:\s+GROUP\s+BY\s+(?P<group>.+?))?
         (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
         (?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?
         (?:\s+LIMIT\s+(?P<limit>\d+))?
@@ -66,20 +76,37 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
 
+# Cassandra 5 vector search: ORDER BY <col> ANN OF [v, ...]
+_ANN_RE = re.compile(
+    r"^\s*(\w+)\s+ANN\s+OF\s+(\[[^\]]*\])\s*$", re.IGNORECASE | re.DOTALL
+)
+
 
 def _parse(stmt: str) -> _Stmt:
     m = _SELECT_RE.match(stmt)
     if not m:
         raise CQLError(f"unsupported or malformed CQL SELECT: {stmt!r}")
     order: list[tuple[str, bool]] = []
+    ann: tuple[str, str] | None = None
     if m.group("order"):
-        for part in m.group("order").split(","):
-            toks = part.split()
-            if len(toks) not in (1, 2) or (
-                len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
-            ):
-                raise CQLError(f"bad ORDER BY clause: {part.strip()!r}")
-            order.append((toks[0], len(toks) == 2 and toks[1].upper() == "DESC"))
+        ann_m = _ANN_RE.match(m.group("order"))
+        if ann_m:
+            ann = (ann_m.group(1).lower(), ann_m.group(2))
+        else:
+            for part in m.group("order").split(","):
+                toks = part.split()
+                if len(toks) not in (1, 2) or (
+                    len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
+                ):
+                    raise CQLError(f"bad ORDER BY clause: {part.strip()!r}")
+                order.append(
+                    (toks[0], len(toks) == 2 and toks[1].upper() == "DESC")
+                )
+    group_by = None
+    if m.group("group"):
+        group_by = [c.strip().lower() for c in m.group("group").split(",")]
+        if not all(re.fullmatch(r"\w+", c) for c in group_by):
+            raise CQLError(f"bad GROUP BY clause: {m.group('group')!r}")
     return _Stmt(
         projection=m.group("proj").strip(),
         table=m.group("table").lower(),
@@ -90,6 +117,9 @@ def _parse(stmt: str) -> _Stmt:
         ),
         limit=int(m.group("limit")) if m.group("limit") else None,
         allow_filtering=bool(m.group("allow")),
+        distinct=bool(m.group("distinct")),
+        group_by=group_by,
+        ann=ann,
     )
 
 
@@ -129,6 +159,118 @@ def _rewrite_where(where: str) -> str:
     return where
 
 
+def _split_projection(proj: str) -> list[str]:
+    """Split a projection on top-level commas (aggregate args stay intact)."""
+    items, depth, cur = [], 0, []
+    for ch in proj:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur).strip())
+    return [i for i in items if i]
+
+
+_AGG_RE = re.compile(rf"^({'|'.join(AGG_FNS)})\s*\(", re.IGNORECASE)
+
+
+def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
+    """CQL GROUP BY (`[C* CASSANDRA-10707]`, unverified): keys must be a
+    primary-key prefix covering the full partition key; non-grouped plain
+    columns return the group's FIRST row value in clustering order (the
+    reference's semantics), compiled as min_by over a clustering-order
+    row_number — the window and the aggregate hash-partition on the same
+    keys, so it costs one shuffle, not two."""
+    g = [c for c in (s.group_by or [])]
+    pkck = list(meta.partition_key) + list(meta.clustering_cols)
+    if g != pkck[: len(g)] or len(g) < len(meta.partition_key):
+        raise CQLError(
+            "Group by is currently only supported on the columns of the "
+            f"PRIMARY KEY, got {g}"
+        )
+    items = _split_projection(s.projection)
+    if s.projection.strip() == "*":
+        raise CQLError("SELECT * with GROUP BY is not supported; name columns")
+    first_cols = [
+        i.lower()
+        for i in items
+        if re.fullmatch(r"\w+", i) and i.lower() not in g
+    ]
+    bad = [c for c in first_cols if c not in {x.lower() for x in df.columns}]
+    if bad:
+        raise CQLError(f"undefined columns in projection: {bad}")
+    aggs: list = []
+    if first_cols:
+        order = [
+            F.col(c.lstrip("-")).desc() if c.startswith("-") else F.col(c).asc()
+            for c in meta.clustering
+        ] or [F.lit(1)]
+        w = Window.partitionBy(*g).orderBy(*order)
+        df = df.withColumn("__rn", F.row_number().over(w))
+        aggs += [F.expr(f"min_by({c}, __rn)").alias(c) for c in first_cols]
+    for i in items:
+        if re.fullmatch(r"\w+", i):
+            continue  # group key or first-value column, handled above
+        if not _AGG_RE.match(i):
+            raise CQLError(
+                f"projection item {i!r} must be a primary-key column, a "
+                f"selected-first column, or one of {AGG_FNS}"
+            )
+        aggs.append(F.expr(i))
+    out = df.groupBy(*[F.col(c) for c in g]).agg(*aggs) if aggs else (
+        df.select(*g).distinct()
+    )
+    # restore the user's projection order where names are knowable
+    names = {c.lower(): c for c in out.columns}
+    wanted = [
+        names.get(re.split(r"\s+AS\s+", i, flags=re.IGNORECASE)[-1].lower())
+        if not re.fullmatch(r"\w+", i)
+        else names.get(i.lower())
+        for i in items
+    ]
+    if all(wanted):
+        out = out.select(*wanted)
+    return out
+
+
+def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
+    """Cassandra 5 `ORDER BY col ANN OF [..] LIMIT k` (`[C* cql3/Ordering.
+    Ann]`, unverified): brute-force cosine top-k — the exact-scoring tail
+    of an ANN index probe. The fold-based dot product stays JVM-side; the
+    final top-k is TakeOrderedAndProject, never a global sort. The l3b/l3c
+    bucketed variants are the 100 TB candidate-generation path."""
+    col, vec = s.ann  # type: ignore[misc]
+    if s.limit is None or s.limit > 1000:
+        raise CQLError("ANN ordering requires a LIMIT that is not greater "
+                       "than 1000")
+    dtypes = {c.lower(): t for c, t in df.dtypes}
+    if col not in dtypes or not dtypes[col].startswith("array"):
+        raise CQLError(f"ANN OF requires a vector (array) column, got {col!r}")
+    inner = vec.strip()[1:-1]
+    from cassandra_spark.operators.llm_vectors import dot_spark
+
+    df = df.withColumn("__q", F.expr(f"array({inner})"))
+    score = (
+        F.expr(dot_spark(col, "__q"))
+        / (
+            F.sqrt(F.expr(dot_spark(col, col)))
+            * F.sqrt(F.expr(dot_spark("__q", "__q")))
+        )
+    )
+    tie = [F.col(c) for c in meta.partition_key]
+    return (
+        df.withColumn("__score", score)
+        .orderBy(F.desc("__score"), *tie)
+        .limit(s.limit)
+        .drop("__q", "__score")
+    )
+
+
 def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
     """Compile one CQL SELECT into a DataFrame plan."""
     s = _parse(stmt)
@@ -152,6 +294,41 @@ def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
                 "run it anyway"
             )
         df = df.filter(F.expr(_rewrite_where(s.where)))
+
+    if s.distinct:
+        if s.group_by or s.order_by or s.ann or s.per_partition_limit is not None:
+            raise CQLError("SELECT DISTINCT only supports WHERE and LIMIT")
+        items = [p.strip().lower() for p in s.projection.split(",")]
+        if s.projection.strip() == "*" or not set(items) <= set(
+            meta.partition_key
+        ):
+            raise CQLError(
+                "SELECT DISTINCT queries must only request partition key "
+                "columns"
+            )
+        df = df.select(*items).distinct()
+        return df.limit(s.limit) if s.limit is not None else df
+
+    if s.ann:
+        if s.order_by or s.group_by or s.per_partition_limit is not None:
+            raise CQLError("ANN ordering cannot be combined with other "
+                           "ORDER BY / GROUP BY / PER PARTITION LIMIT")
+        df = _compile_ann(df, meta, s)
+        proj = s.projection.strip()
+        if proj != "*":
+            df = df.selectExpr(*[p.strip() for p in _split_projection(proj)])
+        return df
+
+    if s.group_by is not None:
+        df = _compile_group_by(df, meta, s)
+        if s.order_by:
+            df = df.orderBy(
+                *[
+                    F.col(c).desc() if desc else F.col(c).asc()
+                    for c, desc in s.order_by
+                ]
+            )
+        return df.limit(s.limit) if s.limit is not None else df
 
     if s.order_by:
         bad = [c for c, _ in s.order_by if c.lower() not in meta.clustering_cols]

@@ -70,3 +70,86 @@ def cql3_per_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cql_select(
         spark, sf_dir, "SELECT user_id, event_id FROM events PER PARTITION LIMIT 2"
     )
+
+
+@query(
+    "cql4_group_by",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FIRST(o_orderdate ORDER BY o_orderdate DESC, o_orderkey)
+             AS o_orderdate,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def cql4_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL GROUP BY on the partition key with native aggregates AND a
+    non-grouped plain column (o_orderdate → the group's first row in
+    clustering order (-o_orderdate, o_orderkey), i.e. the newest order's
+    date — the reference's first-value semantics). min/max on raw doubles
+    are exact (no summation), so no decimal routing is needed."""
+    return cql_select(
+        spark,
+        sf_dir,
+        "SELECT o_custkey, count(*) AS n, o_orderdate, "
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    )
+
+
+@query(
+    "cql5_distinct_pk",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    """,
+)
+def cql5_distinct_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL SELECT DISTINCT partition keys: the partition directory listing
+    (the reference streams distinct partition boundaries; here it is a
+    hash-distinct over the single projected column, map-side combined)."""
+    return cql_select(spark, sf_dir, "SELECT DISTINCT user_id FROM events")
+
+
+# deterministic 64-dim query vector: v[d] = (((7d + 3) % 19) - 9) / 10
+_ANN_V = ", ".join(str(round((((7 * d + 3) % 19) - 9) / 10, 1)) for d in range(64))
+
+
+@query(
+    "cql6_ann",
+    oracle=f"""
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE))), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, len(q) + 1),
+                      i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))),
+                    (x, y) -> x + y)))
+             AS score
+      FROM (SELECT vec_id, embedding, [{_ANN_V}] AS q FROM embeddings)
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql6_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vector search (`ORDER BY .. ANN OF ..`, Cassandra 5
+    SAI) through the CQL front-end: cosine top-10 against a literal query
+    vector. Exact brute-force scoring — the front-end analogue of
+    l3_cosine_topk; l3b/l3c are the bucketed 100 TB candidate paths."""
+    return cql_select(
+        spark,
+        sf_dir,
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10",
+    )

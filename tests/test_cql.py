@@ -126,3 +126,78 @@ def test_cql_aggregates_in_projection(spark):
 def test_malformed_rejected(spark):
     with pytest.raises(CQLError, match="malformed"):
         q(spark, "UPDATE orders SET x = 1")
+
+
+def test_group_by_requires_pk_prefix(spark):
+    # clustering col without the partition key → rejected (CASSANDRA-10707)
+    with pytest.raises(CQLError, match="PRIMARY KEY"):
+        q(spark, "SELECT count(*) AS n FROM orders GROUP BY o_orderdate")
+    # non-key column → rejected
+    with pytest.raises(CQLError, match="PRIMARY KEY"):
+        q(spark, "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus")
+
+
+def test_group_by_first_value_is_clustering_order(spark):
+    # non-grouped o_orderdate = first row per group in (-o_orderdate,
+    # o_orderkey) clustering order = the customer's NEWEST order date
+    rows = {
+        r.o_custkey: r.o_orderdate
+        for r in q(
+            spark,
+            "SELECT o_custkey, o_orderdate, count(*) AS n "
+            "FROM orders GROUP BY o_custkey",
+        ).collect()
+    }
+    want = {
+        r.o_custkey: r.newest
+        for r in Catalog(spark, SF_SMOKE)
+        .orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("newest"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_distinct_only_partition_key(spark):
+    with pytest.raises(CQLError, match="partition key"):
+        q(spark, "SELECT DISTINCT o_orderkey FROM orders")
+    users = q(spark, "SELECT DISTINCT user_id FROM events").collect()
+    assert len(users) == len({u.user_id for u in users}) > 0
+
+
+def test_ann_requires_limit(spark):
+    with pytest.raises(CQLError, match="LIMIT"):
+        q(spark, "SELECT vec_id FROM embeddings ORDER BY embedding ANN OF [0.1, 0.2]")
+    with pytest.raises(CQLError, match="LIMIT"):
+        q(
+            spark,
+            "SELECT vec_id FROM embeddings "
+            "ORDER BY embedding ANN OF [0.1, 0.2] LIMIT 5000",
+        )
+
+
+def test_ann_requires_vector_column(spark):
+    with pytest.raises(CQLError, match="vector"):
+        q(spark, "SELECT vec_id FROM embeddings ORDER BY vec_id ANN OF [0.1] LIMIT 5")
+
+
+def test_ann_matches_exact_cosine(spark):
+    """Front-end ANN top-1 = the vector most cosine-similar to the query."""
+    import math
+
+    vec = ", ".join(str(round((((3 * d + 1) % 17) - 8) / 10, 1)) for d in range(64))
+    top = q(
+        spark,
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF [{vec}] LIMIT 3",
+    ).collect()
+    assert len(top) == 3
+    qv = [float(x) for x in vec.split(",")]
+    best, best_s = None, -2.0
+    for r in Catalog(spark, SF_SMOKE).embeddings.collect():
+        e = [float(x) for x in r.embedding]
+        s = sum(a * b for a, b in zip(e, qv)) / (
+            math.sqrt(sum(a * a for a in e)) * math.sqrt(sum(b * b for b in qv))
+        )
+        if s > best_s:
+            best, best_s = r.vec_id, s
+    assert top[0].vec_id == best
