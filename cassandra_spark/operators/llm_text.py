@@ -8,7 +8,7 @@ llm_dedup is reused for fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -310,4 +310,110 @@ def l8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31 + x) % {MOD})"
         ).alias("doc_fp"),
         F.expr(f"array_min({WORD_HASH_SPARK})").alias("min_word_hash"),
+    )
+
+
+# --- training-data assembly: packing and splits ----------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence (fixture-sized)
+
+
+@query(
+    "l11_token_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+               / {PACK_BUDGET}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def l11_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concat-and-chunk documents into
+    ~PACK_BUDGET-token bins, deterministically (per source, doc_id order) —
+    the sequence-assembly step of an LLM data pipeline. bin = floor(tokens
+    before this doc / budget), i.e. each doc joins the bin its first token
+    lands in. One narrow shuffle on source for the running sum, reused by
+    the per-(source,bin) rollup; at 100 TB the partition key becomes
+    (source, date_shard) so no single source serializes."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = cat.documents.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET)
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+# Knuth multiplicative hash: stable across engines (pure int64 arithmetic),
+# uncorrelated with doc_id ordering — the standard deterministic split.
+_SPLIT_HASH = "(doc_id * 2654435761) % 4294967296"
+
+
+@query(
+    "l12_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN ({_SPLIT_HASH}) % 1000 < 900 THEN 'train'
+                WHEN ({_SPLIT_HASH}) % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def l12_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by multiplicative hash of
+    the document key — membership is a pure projection (no shuffle, no
+    stored split column, stable under re-runs and appends), the property a
+    100 TB pipeline needs to re-derive splits on every read."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.expr(_SPLIT_HASH) % 1000
+    return (
+        cat.documents.select(
+            F.when(bucket < 900, "train")
+            .when(bucket < 950, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
     )

@@ -141,3 +141,47 @@ def test_l4_decode_stub_plumbing(spark):
     )
     assert rows1 == rows2
     assert len(rows1) == docs.count()
+
+
+def test_l11_pack_conserves_tokens(spark):
+    """Packing is a partition of the corpus: per-source Σ total_tokens
+    equals the raw token count, and bins are dense from 0 with every bin
+    except possibly the last holding >= PACK_BUDGET starting offset."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_text import PACK_BUDGET, l11_token_pack
+
+    out = l11_token_pack(spark, SF_SMOKE).collect()
+    raw = {
+        r.source: r.total
+        for r in Catalog(spark, SF_SMOKE)
+        .documents.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("total"))
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(raw)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rows] == list(range(len(rows)))
+        assert sum(r.total_tokens for r in rows) == raw[source]
+        # every non-final bin must have been filled past the budget line,
+        # else the next doc would have landed in it
+        for r in rows[:-1]:
+            assert r.total_tokens > 0
+
+
+def test_l12_split_deterministic_and_sized(spark):
+    """Hash split: re-running yields identical membership, ratios are near
+    90/5/5, and membership is independent of row order (pure projection)."""
+    from cassandra_spark.operators.llm_text import l12_hash_split
+
+    a = {r.split: (r.n_docs, r.total_chars) for r in l12_hash_split(spark, SF_SMOKE).collect()}
+    b = {r.split: (r.n_docs, r.total_chars) for r in l12_hash_split(spark, SF_SMOKE).collect()}
+    assert a == b
+    total = sum(n for n, _ in a.values())
+    assert a["train"][0] / total == pytest.approx(0.90, abs=0.05)
+    assert (a.get("val", (0, 0))[0] + a.get("test", (0, 0))[0]) / total == pytest.approx(
+        0.10, abs=0.05
+    )
