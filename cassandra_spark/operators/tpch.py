@@ -154,3 +154,272 @@ def x17_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+@query(
+    "x22_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_double(f"SUM({SQL_REVENUE})")} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def x22_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR of three
+    conjunctive predicate blocks spanning both join sides. The part side
+    broadcasts; the disjunction is a single post-join filter Catalyst
+    keeps in codegen (no union-of-three-scans rewrite needed), and the
+    per-side prunable conjuncts (l_quantity <= 30, p_size <= 35) are what
+    an optimizer can hoist — asserted in plan tests."""
+    cat = Catalog(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(blocks)
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "x23_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def x23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order ("late" adapted to shipdate > orderdate
+    + 90d — the fixture has no commit/receipt dates). The distinctive
+    plan: fact self-SEMI-join (another supplier exists) then fact
+    self-ANTI-join (no other late supplier), both on the already-shuffled
+    l_orderkey key, so the three lineitem branches co-partition and the
+    semi/anti residual (suppkey <>) evaluates without extra exchanges."""
+    cat = Catalog(spark, sf_dir)
+    late = cat.lineitem.join(
+        cat.orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    l2 = cat.lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        cat.lineitem.join(
+            cat.orders.select(
+                F.col("o_orderkey").alias("k3o"), F.col("o_orderdate").alias("d3")
+            ),
+            F.col("l_orderkey") == F.col("k3o"),
+        )
+        .filter(F.col("l_shipdate") > F.col("d3") + F.expr("INTERVAL 90 DAY"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    sole_late = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "x24_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def x24_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution, keeping
+    zero-order customers via a LEFT OUTER join whose filter lives in the
+    join condition (not a WHERE — that would turn it inner). Two-level
+    aggregate; the second groupBy keys on the first's output so it's a
+    cheap low-cardinality shuffle."""
+    cat = Catalog(spark, sf_dir)
+    c_orders = (
+        cat.customer.join(
+            cat.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "x25_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           {sql_double(f"SUM({SQL_REVENUE})")} AS volume
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def x25_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year between two nations.
+    A 6-way tree where only lineitem⋈orders is fact⋈fact; customer,
+    supplier, and both nation legs broadcast, and the nation-pair
+    disjunction filters before the aggregate. The nation filter applies
+    at the broadcast build side, so the big probe rows that survive are
+    already pair-restricted."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.nation.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.nation.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        cat.lineitem.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("nk1") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("nk2") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue_col()).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "x26_priority_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_linestatus = 'F'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def x26_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts (urgent vs not) per
+    shipping class (l_returnflag stands in for the fixture's missing
+    l_shipmode). The lineitem filters (date window + status) push to the
+    parquet scan before the join — asserted in plan tests."""
+    cat = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_linestatus") == "F")
+        )
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x27_promo_revenue",
+    oracle=f"""
+    SELECT {sql_double(f"SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} "
+                       f"ELSE CAST(0 AS DECIMAL(18,4)) END)")} * 100
+           / {sql_double(f"SUM({SQL_REVENUE})")} AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def x27_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregate over a broadcast join, with the ratio computed as exact
+    decimal sums cast to double before one IEEE multiply + divide (the
+    exactmath discipline for cross-engine bit-equality)."""
+    cat = Catalog(spark, sf_dir)
+    promo = F.when(
+        F.col("p_type") == "PROMO", revenue_col()
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * 100
+                / F.sum(revenue_col()).cast("double")
+            ).alias("promo_pct")
+        )
+    )

@@ -147,3 +147,47 @@ def test_pivot_is_single_aggregate(spark):
     # static value list ⇒ one scan + one agg; no distinct-scan stage
     plan = plan_of(spark, "a9_pivot_events")
     assert plan.count("Location:") == 1
+
+
+def test_disjunctive_revenue_broadcasts_and_pushes(spark):
+    # Q19 shape: part broadcasts; the disjunction's common conjuncts
+    # (quantity/size upper bounds) are hoistable but the join itself must
+    # be a plain equi BHJ, never a filter-after-cartesian
+    plan = plan_of(spark, "x22_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti_no_extra_exchange(spark):
+    # Q21 shape: the self-semi and self-anti joins share the l_orderkey
+    # shuffle key with the main join — plan must show LeftSemi + LeftAnti
+    # and no cartesian/BNLJ anywhere in the tree
+    plan = plan_of(spark, "x23_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_customer_distribution_join_stays_outer(spark):
+    # Q13 shape: the priority filter lives in the join condition, so the
+    # outer join must survive planning (a WHERE would have made it inner
+    # and silently dropped zero-order customers)
+    plan = plan_of(spark, "x24_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    # Q7 shape: 6-way tree — exactly one fact⋈fact shuffle join
+    # (lineitem⋈orders); customer/supplier/nation legs all broadcast
+    plan = plan_of(spark, "x25_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_by_status_pushes_date_window(spark):
+    # Q12 shape: the shipdate window + linestatus filter must reach the
+    # lineitem scan (PushedFilters), not evaluate post-join
+    plan = plan_of(spark, "x26_priority_by_status")
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln or "l_linestatus" in ln for ln in read), plan
