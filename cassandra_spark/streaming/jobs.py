@@ -145,3 +145,102 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming upsert sink: the table IS the LWW merge ---------------------
+
+UPSERT_KEYS = ("user_id", "event_type")
+
+
+def _lww_reduce(cells: DataFrame) -> DataFrame:
+    """Per (user_id, event_type) keep the max-(writetime, event_id) cell —
+    the W4 reconcile order (write_semantics.w4_upsert_merge) applied to a
+    micro-batch union."""
+    return (
+        cells.groupBy(*UPSERT_KEYS)
+        .agg(
+            F.max_by(
+                F.struct("value", "writetime", "event_id"),
+                F.struct("writetime", "event_id"),
+            ).alias("c")
+        )
+        .select(*UPSERT_KEYS, "c.value", "c.writetime", "c.event_id")
+    )
+
+
+def streaming_upsert(
+    spark: SparkSession, source_dir: str, table_dir: str
+) -> None:
+    """Continuous upsert maintenance: each micro-batch of events folds into
+    a versioned LWW table via foreachBatch — the streaming form of the
+    reference's write path (every INSERT is an upsert; the visible table is
+    the compacted merge). Version directories ``v=NNNNN`` make each epoch's
+    commit atomic-by-rename and the sink idempotent: a retried epoch sees
+    its version already present and skips (exactly-once upserts on top of
+    foreachBatch's at-least-once contract). A real deployment swaps the
+    version-dir scheme for Delta/Iceberg MERGE; the merge plan is the same
+    one shuffle on the table key."""
+    import os
+
+    ev = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("writetime"),
+            "event_id",
+        )
+    )
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        out = os.path.join(table_dir, f"v={epoch:05d}")
+        if os.path.exists(out):  # retried epoch: already committed
+            return
+        s = batch.sparkSession
+        versions = sorted(
+            d for d in os.listdir(table_dir) if d.startswith("v=")
+        ) if os.path.exists(table_dir) else []
+        cells = batch
+        if versions:
+            cur = s.read.parquet(os.path.join(table_dir, versions[-1]))
+            cells = cur.unionByName(batch)
+        _lww_reduce(cells).coalesce(1).write.parquet(out)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(table_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the newest committed version of the streaming upsert table."""
+    import os
+
+    versions = sorted(d for d in os.listdir(table_dir) if d.startswith("v="))
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, versions[-1]))
+
+
+def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: each events micro-batch enriches
+    against the static customer dimension (user_id → c_custkey). The
+    static side re-resolves per micro-batch and broadcasts — no state, no
+    stream-side shuffle; at 100 TB this is the dimension-enrichment stage
+    before any stateful op."""
+    from cassandra_spark.catalog import Catalog
+
+    dim = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    ev = events_stream(spark, sf_dir)
+    return ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left"
+    ).select("event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment")

@@ -158,3 +158,98 @@ def test_streaming_dedup(spark):
     n_stream = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
     n_batch = Catalog(spark, SF_SMOKE).events.select("event_id").distinct().count()
     assert n_stream == n_batch
+
+
+def test_streaming_upsert_lww_across_batches(spark, tmp_path):
+    """foreachBatch LWW sink: stream the events in 4 micro-batches into a
+    versioned upsert table; the final version must equal the one-shot
+    batch LWW merge, which only holds if each epoch correctly folds into
+    the previous version's state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    jobs.streaming_upsert(spark, src, table)
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert len(versions) >= 2, "everything arrived in one micro-batch"
+
+    got = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in jobs.read_upsert_table(spark, table).collect()
+    }
+    cells = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("writetime"),
+        "event_id",
+    )
+    want = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in jobs._lww_reduce(cells).collect()
+    }
+    assert got == want
+
+
+def test_streaming_upsert_epoch_retry_is_idempotent(spark, tmp_path):
+    """A replayed epoch (same version dir already committed) must be a
+    no-op, not a double-apply."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    jobs.streaming_upsert(spark, src, table)
+    before = sorted(os.listdir(table))
+    # wipe the checkpoint so the same source replays from scratch: epochs
+    # restart at 0 and must hit the already-committed version dirs
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "_chk"))
+    jobs.streaming_upsert(spark, src, table)
+    assert sorted(os.listdir(table)) == before
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static broadcast enrichment drains to exactly the batch
+    left-join result."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    out = jobs.streaming_enriched(spark, SF_SMOKE)
+    jobs.run_available_now(out, "t_enriched", output_mode="append")
+    got = {
+        r.event_id: (r.c_name, r.c_mktsegment)
+        for r in spark.sql("SELECT * FROM t_enriched").collect()
+    }
+    cat = Catalog(spark, SF_SMOKE)
+    dim = cat.customer.select("c_custkey", "c_name", "c_mktsegment")
+    ev = cat.events
+    want = {
+        r.event_id: (r.c_name, r.c_mktsegment)
+        for r in ev.join(
+            dim, ev["user_id"] == dim["c_custkey"], "left"
+        ).select("event_id", "c_name", "c_mktsegment").collect()
+    }
+    assert got == want
