@@ -40,6 +40,7 @@ def load_all() -> None:
     from cassandra_spark.operators import (  # noqa: F401
         aggregates,
         cql_queries,
+        dml_replay,
         flagship,
         functions,
         joins,

@@ -1,0 +1,218 @@
+"""CQL DML front-end semantics (cql_dml.py): the reference's write-path
+visibility rules driven from real statement text."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import CQLError
+from cassandra_spark.cql_dml import CqlTable, TableSchema
+
+
+@pytest.fixture()
+def table(spark):
+    return CqlTable(
+        spark,
+        TableSchema(
+            name="t",
+            partition_key="pk",
+            clustering="ck",
+            regular={"v": "int", "s": "string"},
+        ),
+    )
+
+
+def rows(df):
+    return {
+        (r.pk, r.ck): (r.v, r.s) for r in df.collect()
+    }
+
+
+def test_insert_then_read(table):
+    table.execute("INSERT INTO t (pk, ck, v, s) VALUES ('a', '1', 10, 'x')")
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('a', '2', 20)")
+    assert rows(table.snapshot()) == {("a", "1"): (10, "x"), ("a", "2"): (20, None)}
+
+
+def test_upsert_newest_wins_and_arrival_breaks_ties(table):
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('a', '1', 1)")
+    table.execute("UPDATE t SET v = 2 WHERE pk = 'a' AND ck = '1'")
+    assert rows(table.snapshot()) == {("a", "1"): (2, None)}
+    # same explicit timestamp: later arrival wins among writes
+    table.execute("UPDATE t USING TIMESTAMP 100 SET v = 7 WHERE pk = 'a' AND ck = '1'")
+    table.execute("UPDATE t USING TIMESTAMP 100 SET v = 8 WHERE pk = 'a' AND ck = '1'")
+    assert rows(table.snapshot())[("a", "1")][0] == 8
+
+
+def test_using_timestamp_makes_writes_commute(table):
+    table.execute("UPDATE t USING TIMESTAMP 200 SET v = 5 WHERE pk = 'a' AND ck = '1'")
+    # arrives later, but timestamped earlier — must lose
+    table.execute("UPDATE t USING TIMESTAMP 100 SET v = 9 WHERE pk = 'a' AND ck = '1'")
+    assert rows(table.snapshot())[("a", "1")][0] == 5
+
+
+def test_insert_marker_vs_update_visibility_quirk(table):
+    """The classic reference quirk: an INSERTed row survives deletion of
+    all its cells (row marker), an UPDATE-only row does not."""
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('ins', '1', 1)")
+    table.execute("UPDATE t SET v = 1 WHERE pk = 'upd' AND ck = '1'")
+    table.execute("DELETE v FROM t WHERE pk = 'ins' AND ck = '1'")
+    table.execute("DELETE v FROM t WHERE pk = 'upd' AND ck = '1'")
+    got = rows(table.snapshot())
+    assert got == {("ins", "1"): (None, None)}
+
+
+def test_delete_row_partition_and_resurrection(table):
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('a', '1', 1)")
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('a', '2', 2)")
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('b', '1', 3)")
+    table.execute("DELETE FROM t WHERE pk = 'a' AND ck = '1'")  # row tombstone
+    assert set(rows(table.snapshot())) == {("a", "2"), ("b", "1")}
+    table.execute("DELETE FROM t WHERE pk = 'a'")  # partition tombstone
+    assert set(rows(table.snapshot())) == {("b", "1")}
+    # newer write resurrects the partition
+    table.execute("INSERT INTO t (pk, ck, v) VALUES ('a', '9', 9)")
+    assert set(rows(table.snapshot())) == {("a", "9"), ("b", "1")}
+
+
+def test_equal_timestamp_delete_beats_write(table):
+    table.execute("UPDATE t USING TIMESTAMP 50 SET v = 1 WHERE pk = 'a' AND ck = '1'")
+    table.execute("DELETE v FROM t USING TIMESTAMP 50 WHERE pk = 'a' AND ck = '1'")
+    assert rows(table.snapshot()) == {}
+    # and symmetric arrival order
+    t2 = CqlTable(table.spark, table.schema)
+    t2.execute("DELETE v FROM t USING TIMESTAMP 50 WHERE pk = 'a' AND ck = '1'")
+    t2.execute("UPDATE t USING TIMESTAMP 50 SET v = 1 WHERE pk = 'a' AND ck = '1'")
+    assert rows(t2.snapshot()) == {}
+
+
+def test_ttl_expires_cells_not_rows(table):
+    table.execute(
+        "INSERT INTO t (pk, ck, v, s) VALUES ('a', '1', 1, 'keep')"
+    )
+    table.execute(
+        "UPDATE t USING TTL 5 SET v = 99 WHERE pk = 'a' AND ck = '1'"
+    )
+    wt = {r.ck: r["__writetime_v"] for r in table.snapshot().collect()}
+    assert rows(table.snapshot(asof_us=wt["1"] + 1))[("a", "1")] == (99, "keep")
+    # past the TTL horizon the cell is gone; the INSERTed row (and its
+    # other cell) survive — but note v falls back to nothing, not 1,
+    # because the TTL'd write still shadowed the older value until it
+    # expired, and expiry deletes, it does not resurrect
+    assert rows(table.snapshot(asof_us=wt["1"] + 6))[("a", "1")] == (None, "keep")
+
+
+def test_batch_shares_one_timestamp(table):
+    table.execute(
+        "BEGIN BATCH "
+        "INSERT INTO t (pk, ck, v) VALUES ('a', '1', 1); "
+        "INSERT INTO t (pk, ck, v) VALUES ('a', '2', 2); "
+        "UPDATE t SET s = 'b' WHERE pk = 'a' AND ck = '1'; "
+        "APPLY BATCH"
+    )
+    snap = table.snapshot()
+    wts = {
+        (r.pk, r.ck): (r["__writetime_v"], r["__writetime_s"])
+        for r in snap.collect()
+    }
+    flat = {w for pair in wts.values() for w in pair if w is not None}
+    assert len(flat) == 1, f"batch did not share one writetime: {wts}"
+    assert rows(snap) == {("a", "1"): (1, "b"), ("a", "2"): (2, None)}
+
+
+def test_null_assignment_is_a_delete(table):
+    table.execute("INSERT INTO t (pk, ck, v, s) VALUES ('a', '1', 1, 'x')")
+    table.execute("UPDATE t SET s = null WHERE pk = 'a' AND ck = '1'")
+    assert rows(table.snapshot()) == {("a", "1"): (1, None)}
+
+
+def test_rejections(table):
+    for bad in [
+        "INSERT INTO wrong (pk, ck, v) VALUES ('a', '1', 1)",
+        "INSERT INTO t (ck, v) VALUES ('1', 1)",  # missing pk
+        "UPDATE t SET v = 1 WHERE pk = 'a'",  # missing ck
+        "UPDATE t SET nope = 1 WHERE pk = 'a' AND ck = '1'",
+        "DELETE FROM t WHERE v = 1",  # non-key WHERE
+        "SELECT * FROM t",  # not DML
+        "UPDATE t USING BANANAS 4 SET v = 1 WHERE pk = 'a' AND ck = '1'",
+    ]:
+        with pytest.raises(CQLError):
+            table.execute(bad)
+
+
+def test_fuzz_against_sequential_model(spark):
+    """Mini-Harry at the CQL layer: a deterministic pseudo-random statement
+    history applied through the parser must match a sequential dict model
+    implementing the same visibility rules."""
+    import random
+
+    rng = random.Random(20260813)
+    table = CqlTable(
+        spark,
+        TableSchema("t", "pk", "ck", {"v": "int"}),
+    )
+    # model state: cells[(pk,ck)] = (wt, seq, val_or_TOMB); markers alike;
+    # row/part tombstones as max ts maps
+    cells: dict[tuple[str, str], tuple] = {}
+    markers: dict[tuple[str, str], tuple] = {}
+    row_t: dict[tuple[str, str], int] = {}
+    part_t: dict[str, int] = {}
+    seq = 0
+
+    def put(store, key, wt, is_tomb, val):
+        nonlocal seq
+        seq += 1
+        cur = store.get(key)
+        if cur is None or (wt, is_tomb, seq) > (cur[0], cur[1], cur[2]):
+            store[key] = (wt, is_tomb, seq, val)
+
+    for i in range(120):
+        pk = rng.choice("abc")
+        ck = rng.choice("123")
+        ts = rng.randint(1, 40)
+        op = rng.randrange(6)
+        if op <= 1:
+            v = rng.randint(0, 99)
+            table.execute(
+                f"INSERT INTO t (pk, ck, v) VALUES ('{pk}', '{ck}', {v}) "
+                f"USING TIMESTAMP {ts}"
+            )
+            put(markers, (pk, ck), ts, 0, None)
+            put(cells, (pk, ck), ts, 0, v)
+        elif op <= 3:
+            v = rng.randint(0, 99)
+            table.execute(
+                f"UPDATE t USING TIMESTAMP {ts} SET v = {v} "
+                f"WHERE pk = '{pk}' AND ck = '{ck}'"
+            )
+            put(cells, (pk, ck), ts, 0, v)
+        elif op == 4:
+            table.execute(
+                f"DELETE v FROM t USING TIMESTAMP {ts} "
+                f"WHERE pk = '{pk}' AND ck = '{ck}'"
+            )
+            put(cells, (pk, ck), ts, 1, None)
+        else:
+            table.execute(
+                f"DELETE FROM t USING TIMESTAMP {ts} WHERE pk = '{pk}' AND ck = '{ck}'"
+            )
+            row_t[(pk, ck)] = max(row_t.get((pk, ck), -1), ts)
+
+    def live(store, key):
+        got = store.get(key)
+        if got is None or got[1] == 1:  # absent or tombstone won
+            return None
+        wt = got[0]
+        if wt <= row_t.get(key, -1) or wt <= part_t.get(key[0], -1):
+            return None
+        return got
+
+    want = {}
+    for key in set(cells) | set(markers):
+        c, mk = live(cells, key), live(markers, key)
+        if c is None and mk is None:
+            continue
+        want[key] = c[3] if c else None
+
+    got = {(r.pk, r.ck): r.v for r in table.snapshot().collect()}
+    assert got == want
