@@ -1,0 +1,311 @@
+"""Second batch of classic TPC-H shapes (X tier, SURVEY.md §2.3): the
+scan-heavy and ratio-aggregate classics the fixture's column subset can
+express — Q1 (pricing summary), Q5 (local supplier volume), Q6 (forecast
+revenue), Q8 (market share), Q15 (top supplier).
+
+No partsupp table exists in the fixtures, so Q2/Q9/Q11/Q16/Q20 are out of
+reach; these five complete the Q-shape coverage that IS reachable.
+
+Scale posture per query (asserted in tests/test_plans.py):
+- q1/q6 are single-pass scans: filter + project pushed to parquet, one
+  partial→final aggregate, no shuffle beyond the 2-group (q1) / global (q6)
+  exchange — the shape that saturates I/O at 100 TB.
+- q5/q8 are star joins: the one fact⋈fact shuffle (lineitem⋈orders) on the
+  shared key; every dimension leg (customer, supplier, nation, region,
+  part) broadcasts — zero dimension shuffles.
+- q15 computes the per-supplier revenue ONCE and finds the max with a
+  single-row broadcast join of the aggregated (tiny) side — not a window
+  over the fact table and not a recompute of the revenue view.
+
+Exact-decimal discipline per exactmath: every hashed aggregate is an exact
+decimal sum surfaced as double; ratios are one double division of two
+exact sums (identical IEEE ops on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.exactmath import (
+    SQL_REVENUE,
+    davg,
+    dec,
+    dsum,
+    revenue_col,
+    sql_davg,
+    sql_double,
+    sql_dsum,
+)
+from cassandra_spark.registry import query
+
+# Tight decimal for triple products: price < 1.05e5 with ≤4 decimals fits
+# (10,4); (10,4)·(10,4)·(10,4) stays exact within decimal(38) on both
+# engines (Spark (32,12), DuckDB (30,12)) — DEC(18,4) would overflow.
+_D10 = "decimal(10,4)"
+
+
+def _d10(c: str) -> F.Column:
+    return F.col(c).cast(_D10)
+
+
+_SQL_CHARGE = (
+    "CAST(l_extendedprice AS DECIMAL(10,4))"
+    " * (CAST(1 AS DECIMAL(10,4)) - CAST(l_discount AS DECIMAL(10,4)))"
+    " * (CAST(1 AS DECIMAL(10,4)) + CAST(l_tax AS DECIMAL(10,4)))"
+)
+
+
+@query(
+    "x28_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_double(f"SUM({SQL_REVENUE})")} AS sum_disc_price,
+           {sql_double(f"SUM({_SQL_CHARGE})")} AS sum_charge,
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def x28_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical pricing-summary report — one full
+    scan, eight aggregates over two low-cardinality group keys. The 100 TB
+    shape: partial aggregation collapses every input partition to ≤|groups|
+    rows before the single tiny exchange."""
+    cat = Catalog(spark, sf_dir)
+    one = F.lit(1).cast(_D10)
+    charge = _d10("l_extendedprice") * (one - _d10("l_discount")) * (
+        one + _d10("l_tax")
+    )
+    return (
+        cat.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "x29_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_double(f"SUM({SQL_REVENUE})")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def x29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation where customer and
+    supplier share the nation, one region, one year. 6-way star: the only
+    shuffle is lineitem⋈orders; supplier/customer/nation/region broadcast,
+    and the c_nationkey = s_nationkey residual rides the supplier join."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "x30_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_double(
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * CAST(l_discount AS DECIMAL(18,4)))"
+    )} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def x30_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: what-if revenue increase from ending small
+    discounts — pure filter + global sum, every predicate pushed to the
+    parquet scan (row-group stats skip whole chunks at 100 TB)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "x31_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_double("SUM(nation_volume)")} /
+           {sql_double("SUM(volume)")} AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               {SQL_REVENUE} AS volume,
+               CASE WHEN n2.n_name = 'NATION_7' THEN {SQL_REVENUE}
+                    ELSE CAST(0 AS DECIMAL(18,4)) END AS nation_volume
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def x31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's promo-part volume
+    per year. 8-way tree — lineitem⋈orders is the sole shuffle; part,
+    supplier, customer and both nation legs broadcast. The share is a
+    conditional-sum / total-sum ratio computed as one double division of
+    two exact sums."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = cat.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = revenue_col()
+    orders = cat.orders.filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    return (
+        cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA")),
+            F.col("r_regionkey") == F.col("c_rkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn(
+            "nation_volume",
+            F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            ),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("nation_volume").cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "x32_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_double(f"SUM({SQL_REVENUE})")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def x32_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue. The
+    fact table is scanned and aggregated ONCE; the scalar max is a window
+    over the already-aggregated per-supplier view (supplier-cardinality
+    rows — the single-partition window is on the tiny side, never the
+    fact). The naive rev-joins-max(rev) formulation scans lineitem twice."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_col()).cast("double").alias("total_revenue"))
+    )
+    return (
+        rev.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(cat.supplier),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

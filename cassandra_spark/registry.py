@@ -54,6 +54,7 @@ def load_all() -> None:
         streaming_batch,
         subqueries,
         tpch,
+        tpch2,
         udfs,
         windows,
         write_semantics,

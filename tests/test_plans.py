@@ -191,3 +191,49 @@ def test_priority_by_status_pushes_date_window(spark):
     plan = plan_of(spark, "x26_priority_by_status")
     read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln or "l_linestatus" in ln for ln in read), plan
+
+
+def test_pricing_summary_single_scan_partial_agg(spark):
+    # Q1 shape: one scan, map-side partial agg, shipdate pushed down
+    plan = plan_of(spark, "x28_pricing_summary")
+    assert plan.count("Location:") == 1
+    assert "partial_" in plan
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in read), plan
+
+
+def test_local_supplier_volume_star_broadcasts(spark):
+    # Q5 shape: all four dimension legs broadcast; no cartesian/BNLJ even
+    # with the c_nationkey = s_nationkey cross-dimension residual
+    plan = plan_of(spark, "x29_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    # Q6 shape: every filter (shipdate window, discount band, quantity cap)
+    # must reach the scan — at 100 TB the row-group stats skip is the query
+    plan = plan_of(spark, "x30_forecast_revenue")
+    read = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in read, plan
+    # and the scan reads only the columns the sum needs
+    schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema and "l_returnflag" not in schema[0]
+
+
+def test_market_share_single_fact_shuffle(spark):
+    # Q8 shape: 8-way tree with one fact⋈fact join; all six dims broadcast
+    plan = plan_of(spark, "x31_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_scans_fact_once(spark):
+    # Q15 shape: the max-revenue scalar must come from the aggregated view,
+    # not a second scan+agg of lineitem
+    plan = plan_of(spark, "x32_top_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
