@@ -46,12 +46,13 @@ from cassandra_spark.cql import CQLError
 
 # mutation kinds, in tie-break precedence nowhere — precedence is encoded
 # per-rule below (tombstones beat cells at equal writetime)
-CELL, MARKER, CELL_TOMB, ROW_TOMB, PART_TOMB = (
+CELL, MARKER, CELL_TOMB, ROW_TOMB, PART_TOMB, INCR = (
     "cell",
     "marker",
     "cell_tomb",
     "row_tomb",
     "part_tomb",
+    "incr",
 )
 
 _MUT_SCHEMA = (
@@ -63,12 +64,19 @@ _MUT_SCHEMA = (
 @dataclass
 class TableSchema:
     """Declared table shape: key columns are strings here for simplicity of
-    the mutation log; regular columns carry a Spark cast type."""
+    the mutation log; regular columns carry a Spark cast type.
+
+    ``counter=True`` declares a counter table (the reference's counter-only
+    table rule `[C* db/counters/CounterContext, cql3 counter validation,
+    unverified]`): every regular column is a bigint counter, INSERT is
+    rejected, the only write is ``SET c = c ± n``, and USING TIMESTAMP/TTL
+    are rejected on writes."""
 
     name: str
     partition_key: str
     clustering: str | None
     regular: dict[str, str]  # column -> spark type ("int", "string", ...)
+    counter: bool = False
 
     @property
     def key_cols(self) -> list[str]:
@@ -79,18 +87,24 @@ class TableSchema:
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[^)]*)\)\s*"
-    r"VALUES\s*\((?P<vals>.*)\)\s*(?:USING\s+(?P<using>.+?))?\s*;?\s*$",
+    r"VALUES\s*\((?P<vals>.*)\)\s*(?:(?P<ine>IF\s+NOT\s+EXISTS)\s*)?"
+    r"(?:USING\s+(?P<using>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s*(?:USING\s+(?P<using>.+?)\s+)?"
-    r"SET\s+(?P<set>.+?)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    r"SET\s+(?P<set>.+?)\s+WHERE\s+(?P<where>.+?)"
+    r"(?:\s+IF\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[^;]*?)\s*FROM\s+(?P<table>\w+)\s*"
-    r"(?:USING\s+TIMESTAMP\s+(?P<ts>\d+)\s+)?WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    r"(?:USING\s+TIMESTAMP\s+(?P<ts>\d+)\s+)?WHERE\s+(?P<where>.+?)"
+    r"(?:\s+IF\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_COND_RE = re.compile(
+    r"^(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.DOTALL
 )
 _BATCH_RE = re.compile(
     r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\s+(?P<body>.+?)\s*"
@@ -209,6 +223,8 @@ class CqlTable:
 
     def _insert(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
+        if self.schema.counter:
+            raise CQLError("INSERT is not allowed on counter tables")
         cols = [c.strip().lower() for c in m.group("cols").split(",")]
         vals = [_parse_literal(v) for v in _split_csv(m.group("vals"))]
         if len(cols) != len(vals):
@@ -243,6 +259,10 @@ class CqlTable:
             pairs[col] = _parse_literal(m.group(2))
         return pairs
 
+    _COUNTER_SET_RE = re.compile(
+        r"(\w+)\s*=\s*(\w+)\s*([+-])\s*(\d+)\s*$", re.DOTALL
+    )
+
     def _update(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
         ts, ttl = _parse_using(m.group("using"))
@@ -251,6 +271,21 @@ class CqlTable:
         if self.schema.clustering and self.schema.clustering not in pairs:
             raise CQLError("UPDATE requires the full primary key")
         pk, ck = self._key_from_pairs(pairs)
+        if self.schema.counter:
+            if m.group("using"):
+                raise CQLError("USING is not allowed on counter updates")
+            for assign in _split_csv(m.group("set")):
+                am = self._COUNTER_SET_RE.match(assign.strip())
+                if not am or am.group(1).lower() != am.group(2).lower():
+                    raise CQLError(
+                        f"counter update must be 'c = c +/- n': {assign!r}"
+                    )
+                c = am.group(1).lower()
+                if c not in self.schema.regular:
+                    raise CQLError(f"unknown column {c!r}")
+                delta = int(am.group(3) + am.group(4))
+                self._emit(pk, ck, c, str(delta), INCR, ts, None)
+            return
         for assign in _split_csv(m.group("set")):
             am = re.fullmatch(r"(\w+)\s*=\s*(.+)", assign, re.DOTALL)
             if not am:
@@ -295,6 +330,8 @@ class CqlTable:
         s = self.schema
         if not self._log:
             return self._empty()
+        if s.counter:
+            return self._counter_snapshot()
         mut = self.mutation_log()
         # TTL is in writetime units here (the logical clock); the batch W2
         # operator does the real seconds→µs conversion. Default asof sees
@@ -361,11 +398,65 @@ class CqlTable:
         )
         return out.orderBy(s.partition_key, *( [s.clustering] if s.clustering else []))
 
+    def _counter_snapshot(self) -> DataFrame:
+        """Counter reconcile (W6 driven from statement text): a counter cell
+        is the SUM of its increments newer than the newest tombstone that
+        covers it (cell, row, or partition level — delete wins writetime
+        ties, same strict-`>` rule as the LWW path); a row is visible iff it
+        has at least one live counter cell.
+
+        The reference leaves post-delete increments formally undefined
+        ("counters cannot be reliably re-incremented after deletion"); this
+        engine pins the deterministic reading above — increments strictly
+        newer than the tombstone count, older ones are dropped.
+        """
+        s = self.schema
+        mut = self.mutation_log()
+        cell_tombs = (
+            mut.filter(F.col("kind") == CELL_TOMB)
+            .groupBy("pk", "ck", "col")
+            .agg(F.max("writetime").alias("ct_ts"))
+        )
+        row_tombs = (
+            mut.filter(F.col("kind") == ROW_TOMB)
+            .groupBy("pk", "ck")
+            .agg(F.max("writetime").alias("rt_ts"))
+        )
+        part_tombs = (
+            mut.filter(F.col("kind") == PART_TOMB)
+            .groupBy("pk")
+            .agg(F.max("writetime").alias("pt_ts"))
+        )
+        live = (
+            mut.filter(F.col("kind") == INCR)
+            .join(F.broadcast(cell_tombs), ["pk", "ck", "col"], "left")
+            .join(F.broadcast(row_tombs), ["pk", "ck"], "left")
+            .join(F.broadcast(part_tombs), "pk", "left")
+            .filter(
+                (F.col("ct_ts").isNull() | (F.col("writetime") > F.col("ct_ts")))
+                & (F.col("rt_ts").isNull() | (F.col("writetime") > F.col("rt_ts")))
+                & (F.col("pt_ts").isNull() | (F.col("writetime") > F.col("pt_ts")))
+            )
+        )
+        aggs = [
+            F.sum(
+                F.when(F.col("col") == c, F.col("val").cast("long"))
+            ).alias(c)
+            for c in s.regular
+        ]
+        wide = live.groupBy("pk", "ck").agg(*aggs)
+        return wide.select(
+            F.col("pk").alias(s.partition_key),
+            *([F.col("ck").alias(s.clustering)] if s.clustering else []),
+            *[c for c in s.regular],
+        ).orderBy(s.partition_key, *([s.clustering] if s.clustering else []))
+
     def _empty(self) -> DataFrame:
         s = self.schema
         fields = [f"{s.partition_key} string"]
         if s.clustering:
             fields.append(f"{s.clustering} string")
         fields += [f"{c} {t}" for c, t in s.regular.items()]
-        fields += [f"__writetime_{c} long" for c in s.regular]
+        if not s.counter:
+            fields += [f"__writetime_{c} long" for c in s.regular]
         return self.spark.createDataFrame([], ", ".join(fields))

@@ -39,8 +39,10 @@ def load_all() -> None:
     """Import every operator module (side effect: decorator registration)."""
     from cassandra_spark.operators import (  # noqa: F401
         aggregates,
+        counter_replay,
         cql_queries,
         dml_replay,
+        mv_incremental,
         flagship,
         functions,
         joins,
