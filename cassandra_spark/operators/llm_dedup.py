@@ -77,6 +77,26 @@ def shingle_expr_duck(n: int, wh: str = "wh") -> str:
     )
 
 
+def word_hash_table(docs: DataFrame, min_words: int, *cols: str) -> DataFrame:
+    """(*cols, wh) with the word-hash array MATERIALIZED via persist().
+
+    The persist is an optimizer barrier, not a reuse cache: CollapseProject
+    would otherwise inline the interpreted per-char hash lambda into every
+    `wh[i]` element access of a downstream shingle/signature expression,
+    turning one O(words) pass per doc into O(words x references) — measured
+    ~10x on l13 at sf0.01 (30s -> 3s). Spark's CacheManager dedupes by
+    canonicalized plan, so queries sharing the same projection share one
+    materialization. At 100 TB the equivalent is writing the tokenized
+    corpus to an intermediate table once and reusing it across all
+    dedup / decontamination steps — standard corpus-pipeline practice.
+    """
+    return (
+        docs.select(*cols, F.expr(WORD_HASH_SPARK).alias("wh"))
+        .filter(F.size("wh") >= min_words)
+        .persist()
+    )
+
+
 # ---------------------------------------------------------------------------
 # L1: exact dedup
 # ---------------------------------------------------------------------------
@@ -122,11 +142,13 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → 3-gram shingle set + 8 MinHash values + 4 band buckets.
-    One narrow pass over the corpus; no shuffle."""
-    df = docs.withColumn("wh", F.expr(WORD_HASH_SPARK)).filter(
-        F.size(F.col("wh")) >= 3
-    )
-    df = df.withColumn("sh", F.expr(shingle_expr_spark(3)))
+    One narrow pass over the corpus; no shuffle. Barriers after wh and sh
+    (see word_hash_table): sh indexes wh 3x per element and each of the 8
+    mh columns scans sh, so without them the hash lambda is inlined ~24x."""
+    wh_t = word_hash_table(docs, 3, "doc_id")
+    df = wh_t.withColumn("sh", F.expr(shingle_expr_spark(3))).select(
+        "doc_id", "sh"
+    ).persist()
     for j, (a, b) in enumerate(zip(MH_A, MH_B)):
         df = df.withColumn(
             f"mh{j}",
@@ -312,8 +334,7 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 16-lambda simhash expression run twice (same barrier rationale as
     # l2_minhash_neardup — at 100 TB fingerprints land in a table first).
     fp = (
-        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
-        .filter(F.size("wh") >= 1)
+        word_hash_table(cat.documents, 1, "doc_id", "source")
         .select("doc_id", "source", _simhash_spark().alias("simhash"))
         .persist()
     )
@@ -368,9 +389,10 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # persist: both join sides read sh_t; one scan + one shingle pass.
     sh_t = (
-        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
-        .filter(F.size("wh") >= 2)
-        .select("doc_id", "source", "lang", F.expr(shingle_expr_spark(2)).alias("sh"))
+        word_hash_table(cat.documents, 2, "doc_id", "source", "lang")
+        .select(
+            "doc_id", "source", "lang", F.expr(shingle_expr_spark(2)).alias("sh")
+        )
         .persist()
     )
     a, b = sh_t.alias("a"), sh_t.alias("b")

@@ -26,6 +26,7 @@ from cassandra_spark.operators.llm_dedup import (
     P3,
     WORD_HASH_DUCK,
     WORD_HASH_SPARK,
+    word_hash_table,
 )
 from cassandra_spark.registry import query
 
@@ -89,9 +90,11 @@ def l13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes appear anywhere in the train split. A doc with >= 50% hit rate
     is contaminated. Integer counts per source."""
     cat = Catalog(spark, sf_dir)
+    # word_hash_table is the barrier that keeps the per-char hash lambda
+    # from being inlined into every wh[i] access of _GRAM_SPARK; the second
+    # persist exists because `hashed` feeds both the train and eval branch.
     hashed = (
-        cat.documents.withColumn("wh", F.expr(WORD_HASH_SPARK))
-        .filter(F.size("wh") >= 3)
+        word_hash_table(cat.documents, 3, "doc_id", "source")
         .select(
             "doc_id",
             "source",
@@ -100,6 +103,7 @@ def l13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
             F.array_distinct(F.expr(_GRAM_SPARK)).alias("g"),
         )
+        .persist()
     )
     train_grams = (
         hashed.filter(F.col("split") == "train")
