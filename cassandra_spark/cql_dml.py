@@ -175,31 +175,208 @@ class CqlTable:
 
     # --- statement execution ---------------------------------------------
 
-    def execute(self, stmt: str) -> None:
+    def execute(self, stmt: str) -> bool | None:
+        """Run one statement (or batch). Returns the LWT ``[applied]`` flag
+        for conditional statements (IF NOT EXISTS / IF EXISTS / IF col op
+        lit), None for unconditional ones. The clock ticks even when a
+        condition fails — a rejected proposal still consumed a round."""
         batch = _BATCH_RE.match(stmt)
         if batch:
             # all statements in a batch share one default timestamp — the
             # reference applies the batch atomically at one write time
             self._clock += 1
             default_ts = self._clock
-            for sub in re.split(r";\s*", batch.group("body")):
-                if sub.strip():
-                    self._one(sub, default_ts)
-            return
+            matched = [
+                self._match(sub)
+                for sub in re.split(r";\s*", batch.group("body"))
+                if sub.strip()
+            ]
+            conds = [self._cond_text(m) for _, m in matched]
+            if any(c is not None for c in conds):
+                # conditional batch: single-partition, all-or-nothing, every
+                # condition reads the pre-batch state (the reference runs
+                # the whole batch through one paxos round)
+                if len({self._stmt_pk(h, m) for h, m in matched}) > 1:
+                    raise CQLError(
+                        "conditional batch must target a single partition"
+                    )
+                for (h, m), c in zip(matched, conds):
+                    if c is not None:
+                        self._lwt_guard(m)
+                        if not self._eval_cond(c, *self._cond_key(h, m)):
+                            return False
+                for h, m in matched:
+                    h(m, default_ts)
+                return True
+            for h, m in matched:
+                h(m, default_ts)
+            return None
         self._clock += 1
-        self._one(stmt, self._clock)
+        handler, m = self._match(stmt)
+        cond = self._cond_text(m)
+        if cond is None:
+            handler(m, self._clock)
+            return None
+        self._lwt_guard(m)
+        if not self._eval_cond(cond, *self._cond_key(handler, m)):
+            return False
+        handler(m, self._clock)
+        return True
 
-    def _one(self, stmt: str, default_ts: int) -> None:
-        m = _INSERT_RE.match(stmt)
-        if m:
-            return self._insert(m, default_ts)
-        m = _UPDATE_RE.match(stmt)
-        if m:
-            return self._update(m, default_ts)
-        m = _DELETE_RE.match(stmt)
-        if m:
-            return self._delete(m, default_ts)
+    def _match(self, stmt: str):
+        for regex, handler in (
+            (_INSERT_RE, self._insert),
+            (_UPDATE_RE, self._update),
+            (_DELETE_RE, self._delete),
+        ):
+            m = regex.match(stmt)
+            if m:
+                return handler, m
         raise CQLError(f"unsupported or malformed CQL DML: {stmt!r}")
+
+    # --- lightweight transactions (compare-and-set) -----------------------
+
+    @staticmethod
+    def _cond_text(m: re.Match) -> str | None:
+        g = m.groupdict()
+        if g.get("ine"):
+            return "NOT EXISTS"
+        return g.get("cond")
+
+    def _lwt_guard(self, m: re.Match) -> None:
+        """The reference rejects counter LWT and custom timestamps on
+        conditional writes (paxos owns the write time)."""
+        if self.schema.counter:
+            raise CQLError(
+                "conditional updates are not supported on counter tables"
+            )
+        g = m.groupdict()
+        if g.get("using") and _parse_using(g["using"])[0] is not None:
+            raise CQLError(
+                "custom timestamps are not allowed with conditional updates"
+            )
+        if g.get("ts"):
+            raise CQLError(
+                "custom timestamps are not allowed with conditional updates"
+            )
+
+    def _insert_pairs(self, m: re.Match) -> dict[str, str | None]:
+        cols = [c.strip().lower() for c in m.group("cols").split(",")]
+        vals = [_parse_literal(v) for v in _split_csv(m.group("vals"))]
+        if len(cols) != len(vals):
+            raise CQLError("INSERT column/value count mismatch")
+        return dict(zip(cols, vals))
+
+    def _stmt_pairs(self, m: re.Match) -> dict[str, str | None]:
+        # an INSERT match is the one with a "vals" group (bound methods
+        # can't be identity-compared — each attribute access rebinds)
+        if "vals" in m.re.groupindex:
+            return self._insert_pairs(m)
+        return self._where_pairs(m.group("where"))
+
+    def _stmt_pk(self, handler, m: re.Match) -> str | None:
+        pairs = self._stmt_pairs(m)
+        if self.schema.partition_key not in pairs:
+            raise CQLError(f"missing partition key {self.schema.partition_key}")
+        return pairs[self.schema.partition_key]
+
+    def _cond_key(self, handler, m: re.Match) -> tuple[str | None, str | None]:
+        pairs = self._stmt_pairs(m)
+        pk, ck = self._key_from_pairs(pairs)
+        if self.schema.clustering and ck is None:
+            raise CQLError("conditional DML requires the full primary key")
+        return pk, ck
+
+    def _eval_cond(self, cond: str, pk: str | None, ck: str | None) -> bool:
+        cond = cond.strip()
+        if re.fullmatch(r"NOT\s+EXISTS", cond, re.IGNORECASE):
+            return self._row_state(pk, ck) is None
+        if re.fullmatch(r"EXISTS", cond, re.IGNORECASE):
+            return self._row_state(pk, ck) is not None
+        state = self._row_state(pk, ck)
+        for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+            m = _COND_RE.match(part.strip())
+            if not m:
+                raise CQLError(f"unsupported IF condition: {part!r}")
+            col = m.group(1).lower()
+            if col not in self.schema.regular:
+                raise CQLError(f"IF on unknown column {col!r}")
+            cur = None if state is None else state.get(col)
+            lit = _parse_literal(m.group(3))
+            if not self._cmp(cur, m.group(2), lit, self.schema.regular[col]):
+                return False
+        return True
+
+    _NUMERIC_TYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+    )
+
+    @staticmethod
+    def _cmp(cur: str | None, op: str, lit: str | None, typ: str) -> bool:
+        """Condition compare on canonical string values. Null pinning
+        (matches the reference's LWT null handling): ``= null`` is true iff
+        the cell is unset, ``!=`` is its negation, ordering ops against an
+        unset cell or null literal are never satisfied."""
+        if cur is None or lit is None:
+            if op == "=":
+                return cur is None and lit is None
+            if op == "!=":
+                return not (cur is None and lit is None)
+            return False
+        if typ.split("(")[0] in CqlTable._NUMERIC_TYPES:
+            a, b = float(cur), float(lit)
+        else:
+            a, b = cur, lit
+        return {
+            "=": a == b,
+            "!=": a != b,
+            "<": a < b,
+            "<=": a <= b,
+            ">": a > b,
+            ">=": a >= b,
+        }[op]
+
+    def _row_state(self, pk: str | None, ck: str | None) -> dict | None:
+        """Pure-Python reconcile of one (pk, ck) at the current clock — the
+        LWT read phase. Driver-side by design: a condition reads exactly one
+        row, and the reference serves it from one replica's read path, not a
+        scan; mirroring it as a Spark job per statement would be the
+        anti-pattern. Same W4/W3/W2 rules as :meth:`snapshot` (writetime
+        desc, tombstone beats write, arrival seq; row/partition shadowing;
+        TTL horizon) — ``tests/test_lwt_replay.py`` holds them together."""
+        asof = self._clock
+        best: dict = {}
+        pt = rt = None
+        for lpk, lck, col, val, kind, wt, ttl, seq in self._log:
+            if lpk != pk:
+                continue
+            if kind == PART_TOMB:
+                pt = wt if pt is None else max(pt, wt)
+                continue
+            if lck != ck:
+                continue
+            if kind == ROW_TOMB:
+                rt = wt if rt is None else max(rt, wt)
+                continue
+            rank = (wt, 1 if kind == CELL_TOMB else 0, seq)
+            prev = best.get(col)
+            if prev is None or rank > prev[0]:
+                best[col] = (rank, kind, val, ttl)
+        horizons = [h for h in (pt, rt) if h is not None]
+        horizon = max(horizons) if horizons else None
+        live: dict = {}
+        exists = False
+        for col, ((wt, _, _), kind, val, ttl) in best.items():
+            if kind == CELL_TOMB:
+                continue
+            if ttl and wt + ttl <= asof:
+                continue
+            if horizon is not None and wt <= horizon:
+                continue
+            exists = True
+            if col is not None:
+                live[col] = val
+        return live if exists else None
 
     def _check_table(self, name: str) -> None:
         if name.lower() != self.schema.name:
@@ -225,13 +402,9 @@ class CqlTable:
         self._check_table(m.group("table"))
         if self.schema.counter:
             raise CQLError("INSERT is not allowed on counter tables")
-        cols = [c.strip().lower() for c in m.group("cols").split(",")]
-        vals = [_parse_literal(v) for v in _split_csv(m.group("vals"))]
-        if len(cols) != len(vals):
-            raise CQLError("INSERT column/value count mismatch")
         ts, ttl = _parse_using(m.group("using"))
         ts = default_ts if ts is None else ts
-        pairs = dict(zip(cols, vals))
+        pairs = self._insert_pairs(m)
         pk, ck = self._key_from_pairs(pairs)
         if self.schema.clustering and self.schema.clustering not in pairs:
             raise CQLError(f"missing clustering key {self.schema.clustering}")

@@ -105,19 +105,19 @@ def _sql_lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def _log_values() -> str:
-    return ",\n        ".join(
-        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in EXPECTED_LOG
+def kv_lww_oracle(log: tuple, asof: int) -> str:
+    """DuckDB LWW reconcile over a pinned kv-schema mutation log: window
+    winner per (pk, ck, col) with tombstone-beats-write-then-seq tie order,
+    row/partition tombstone shadowing, TTL horizon, then the wide pivot.
+    Shared by w9 (unconditional DML) and w12 (LWT) — both replay onto the
+    same kv table shape."""
+    values = ",\n        ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in log
     )
-
-
-# Same reconcile, independently expressed in DuckDB SQL: window winner per
-# (pk, ck, col) with tombstone-beats-write-then-seq tie order, row/partition
-# tombstone shadowing, TTL horizon, then the wide pivot.
-_ORACLE = f"""
+    return f"""
 WITH log(pk, ck, col, val, kind, writetime, ttl, seq) AS (
     VALUES
-        {_log_values()}
+        {values}
 ),
 part_tombs AS (
     SELECT pk, max(writetime) AS pt FROM log
@@ -139,7 +139,7 @@ live AS (
     LEFT JOIN part_tombs p ON w.pk = p.pk
     LEFT JOIN row_tombs r ON w.pk = r.pk AND w.ck = r.ck
     WHERE w.rn = 1 AND w.kind <> 'cell_tomb'
-      AND (w.ttl = 0 OR w.writetime + w.ttl > {ASOF})
+      AND (w.ttl = 0 OR w.writetime + w.ttl > {asof})
       AND (p.pt IS NULL OR w.writetime > p.pt)
       AND (r.rt IS NULL OR w.writetime > r.rt)
 )
@@ -148,6 +148,9 @@ SELECT pk, ck,
     max(CASE WHEN col = 's' THEN val END) AS s
 FROM live GROUP BY pk, ck
 """
+
+
+_ORACLE = kv_lww_oracle(EXPECTED_LOG, ASOF)
 
 
 @query("w9_dml_replay", oracle=_ORACLE)

@@ -42,6 +42,7 @@ def load_all() -> None:
         counter_replay,
         cql_queries,
         dml_replay,
+        lwt_replay,
         mv_incremental,
         flagship,
         functions,
