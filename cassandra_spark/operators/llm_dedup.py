@@ -325,35 +325,60 @@ def _simhash_duck() -> str:
     """,
 )
 def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit sign-sum fingerprint per doc; candidate
-    pairs blocked by source with Hamming distance ≤ 2. Blocking bounds the
-    pair space (at 100 TB: block by simhash bytes — split the fingerprint
-    into 4 nibbles-of-4-bits and band like MinHash)."""
+    """SimHash near-dup: 16-bit sign-sum fingerprint per doc; pairs within
+    the same source at Hamming distance ≤ 2.
+
+    Candidate generation is BANDED, exactly like MinHash LSH: the 16-bit
+    fingerprint splits into 3 bands of 5/5/6 bits, and by pigeonhole any
+    pair with Hamming ≤ 2 has its ≤ 2 differing bits in at most 2 bands —
+    so at least ONE band matches exactly. Candidates come from an equi-join
+    on (source, nib_id, nib_val); the fingerprints ride along, so exact
+    Hamming verifies inline in the same join (no second pass), and a final
+    distinct collapses pairs that collide in several bands. Pair cost is
+    Σ bucket² per (source, band, value) instead of Σ source² — d+1 bands
+    detect Hamming ≤ d; at 100 TB widen the fingerprint to 64 bits and
+    band 3×21, same plan shape."""
     cat = Catalog(spark, sf_dir)
-    # persist: fp feeds both sides of the self-join; without it the scan and
-    # the 16-lambda simhash expression run twice (same barrier rationale as
-    # l2_minhash_neardup — at 100 TB fingerprints land in a table first).
+    # persist: fp feeds both sides of the band self-join; without it the
+    # scan and the 16-lambda simhash expression run twice (same barrier
+    # rationale as l2_minhash_neardup — at 100 TB fingerprints land in a
+    # table first).
     fp = (
         word_hash_table(cat.documents, 1, "doc_id", "source")
         .select("doc_id", "source", _simhash_spark().alias("simhash"))
         .persist()
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    # 3 bands: bits 0-4, 5-9, 10-15
+    bandvals = F.array(
+        F.expr("simhash % 32"),
+        F.expr("(simhash div 32) % 32"),
+        F.expr("(simhash div 1024) % 64"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.posexplode(bandvals).alias("nib_id", "nib_val"),
+    )
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
     ).cast("int")
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.nib_id") == F.col("y.nib_id"))
+            & (F.col("x.nib_val") == F.col("y.nib_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
+        .distinct()
     )
 
 
@@ -364,6 +389,7 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l2c_ngram_jaccard",
+    diagnostic=True,
     oracle=f"""
     WITH wh_t AS (
       SELECT doc_id, source, lang, {WORD_HASH_DUCK} AS wh FROM documents
@@ -385,7 +411,10 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direct word-bigram Jaccard within (source, lang) blocks, ≥ 0.15.
     The un-hashed baseline for l2: exact, but pair cost is quadratic per
-    block — which is why MinHash exists. Blocking keys keep it tractable."""
+    block — which is why MinHash exists. Registered ``diagnostic=True``:
+    this is the recall yardstick for l2, NOT a scale path — at 100 TB run
+    l2 (banded MinHash) instead; this one's per-block quadratic verify is
+    only tractable at diagnostic corpus sizes."""
     cat = Catalog(spark, sf_dir)
     # persist: both join sides read sh_t; one scan + one shingle pass.
     sh_t = (

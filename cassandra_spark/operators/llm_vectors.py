@@ -58,11 +58,15 @@ def _plane_dot_spark(p: str) -> str:
     )
 
 
-BUCKET_SPARK = (
-    f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) -> acc + "
-    f"(CASE WHEN ({_plane_dot_spark('p')}) > 0D "
-    f"THEN shiftleft(1L, p) ELSE 0L END))"
-)
+def bucket_spark(n_planes: int) -> str:
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), 0L, (acc, p) -> acc + "
+        f"(CASE WHEN ({_plane_dot_spark('p')}) > 0D "
+        f"THEN shiftleft(1L, p) ELSE 0L END))"
+    )
+
+
+BUCKET_SPARK = bucket_spark(N_PLANES)
 
 
 def _plane_dot_duck(p: str) -> str:
@@ -75,12 +79,16 @@ def _plane_dot_duck(p: str) -> str:
     )
 
 
-BUCKET_DUCK = (
-    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    f"list_transform(range(0, {N_PLANES}), p -> "
-    f"CASE WHEN ({_plane_dot_duck('p')}) > 0 THEN (1::BIGINT << p) "
-    f"ELSE 0::BIGINT END)), (a, b) -> a + b)"
-)
+def bucket_duck(n_planes: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(0, {n_planes}), p -> "
+        f"CASE WHEN ({_plane_dot_duck('p')}) > 0 THEN (1::BIGINT << p) "
+        f"ELSE 0::BIGINT END)), (a, b) -> a + b)"
+    )
+
+
+BUCKET_DUCK = bucket_duck(N_PLANES)
 
 _NORMED_DUCK = f"""
   normed AS (
@@ -370,39 +378,109 @@ def l3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# l2d uses a finer partition than l3b: 10 planes → 1024 buckets, so the
+# all-pairs candidate space stays Σ bucket² with small buckets. Hamming-1
+# multiprobe compensates the recall lost to the extra planes (identical
+# embeddings always share a bucket, so exact dups have recall 1).
+ND_PLANES = 10
+_ND_PROBE_VALUES = ", ".join(f"({k})" for k in range(-1, ND_PLANES))
+
+
 @query(
     "l2d_embedding_neardup",
     oracle=f"""
-    WITH {_NORMED_DUCK}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
-             AS cosine
-    FROM normed a JOIN normed b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+    WITH {_NORMED_DUCK},
+    bucketed AS (
+      SELECT vec_id, embedding, nrm, {bucket_duck(ND_PLANES)} AS bucket
+      FROM normed
+    ),
+    probes AS (
+      SELECT vec_id,
+             CASE WHEN k.k = -1 THEN bucket
+                  ELSE xor(bucket, 1::BIGINT << k.k) END AS probe
+      FROM bucketed
+      CROSS JOIN (VALUES {_ND_PROBE_VALUES}) k(k)
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM probes p JOIN bucketed c
+        ON c.bucket = p.probe AND p.vec_id < c.vec_id
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b,
+             {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+               AS cosine
+      FROM cand
+      JOIN bucketed a ON a.vec_id = vec_a
+      JOIN bucketed b ON b.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
     """,
 )
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs within the same label block with
-    cosine ≥ 0.35. Blocking (label here; LSH bucket at scale, see l3b)
-    keeps the pair space linear-ish — never an unblocked corpus²."""
+    """Embedding-cosine near-dup: pairs whose LSH buckets are within
+    Hamming distance 1 and whose exact cosine is ≥ 0.35.
+
+    The blocking key is the same random-hyperplane LSH bucket family l3b
+    uses for ANN, at 10 planes (1024 buckets — all-pairs needs a finer
+    partition than 5-query ANN), with Hamming-1 multiprobe: every vector
+    probes its own bucket plus the one-bit flips, so pairs split across
+    adjacent buckets are still candidates. Candidates come from a bucket
+    equi-join; exact cosine runs on candidates only. Pair cost is
+    Σ bucket², never corpus² — at 10⁹ vectors add planes and widen
+    multiprobe, same plan shape."""
     cat = Catalog(spark, sf_dir)
-    normed = _normed(cat)
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    # persist: bucketed feeds the probe explode and both verify legs (same
+    # barrier rationale as l3b — fingerprints land in a table at 100 TB).
+    bucketed = (
+        _normed(cat)
+        .withColumn("bucket", F.expr(bucket_spark(ND_PLANES)))
+        .persist()
     )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    probe = F.when(F.col("k") == -1, F.col("abucket")).otherwise(
+        F.expr("abucket ^ shiftleft(1L, k)")
+    )
+    probes = (
+        bucketed.select(
+            F.col("vec_id").alias("vec_a"), F.col("bucket").alias("abucket")
+        )
+        .crossJoin(
+            F.broadcast(
+                cat.embeddings.sparkSession.range(-1, ND_PLANES).select(
+                    F.col("id").cast("int").alias("k")
+                )
+            )
+        )
+        .select("vec_a", probe.alias("probe"))
+    )
+    cand = (
+        probes.join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bbucket")
+            ),
+            (F.col("bbucket") == F.col("probe"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
     )
     return (
-        a.join(b, ["label"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .withColumn(
             "cosine",
             F.expr(dot_spark("ea", "eb")) / (F.col("na") * F.col("nb")),

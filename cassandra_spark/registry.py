@@ -3,7 +3,11 @@
 Each operator module registers its queries with the @query decorator; the
 driver-facing ``queries()`` / ``oracle_sql()`` dicts are assembled from here.
 A registered query is a constructor ``(spark, sf_dir) -> DataFrame`` — purely
-declarative; no collect(), no caching, no side effects (SURVEY.md §3.2).
+declarative; no collect(), no side effects (SURVEY.md §3.2). A handful of
+constructors persist() an intermediate as a deliberate optimizer barrier
+(measured 10-30× plan-blowup fix — see llm_dedup.word_hash_table); those
+blocks are released by ``release_caches()`` below, which callers driving a
+full sweep (bench.py, tools/check_oracle.py) invoke between queries.
 """
 
 from __future__ import annotations
@@ -17,12 +21,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Queries registered as deliberately-naive diagnostic baselines: correct and
+# oracle-checked, but NOT the scale path (a bucketed sibling is). Kept for
+# recall/quality comparison; excluded from any 100 TB sizing claims.
+DIAGNOSTIC: set[str] = set()
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: Optional[str] = None, diagnostic: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query constructor; ``oracle`` is the DuckDB-equivalent ANSI
     SQL (omit only for genuinely non-SQL-expressible ops — the driver then
-    records a weaker rows-only check)."""
+    records a weaker rows-only check). ``diagnostic=True`` marks a
+    deliberately-naive baseline whose scale path is a bucketed sibling."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -30,9 +41,20 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if diagnostic:
+            DIAGNOSTIC.add(name)
         return fn
 
     return deco
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every block persisted by query constructors (the optimizer
+    barriers). Spark's CacheManager dedupes by canonicalized plan, so a
+    sweep over all 100+ queries would otherwise pin tens of blocks for the
+    session lifetime. Call between queries (cheap no-op when nothing is
+    cached) or once after a sweep."""
+    spark.catalog.clearCache()
 
 
 def load_all() -> None:

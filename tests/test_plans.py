@@ -102,12 +102,44 @@ def test_deep_join_trees_broadcast_and_take_ordered(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["l2_minhash_neardup", "l2b_simhash", "l2c_ngram_jaccard", "l3b_lsh_ann"],
+    [
+        "l2_minhash_neardup",
+        "l2b_simhash",
+        "l2c_ngram_jaccard",
+        "l2d_embedding_neardup",
+        "l3b_lsh_ann",
+    ],
 )
 def test_dedup_family_never_cartesian(spark, name):
     # every candidate-pair stage must be an equi-join on its blocking /
     # bucket key — a CartesianProduct here is corpus² at 100 TB
     plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+def _join_key_lines(plan: str) -> str:
+    # formatted-mode plans list equi-join keys on "Left keys"/"Right keys"
+    # lines under each join node
+    return "".join(ln for ln in plan.splitlines() if "keys" in ln)
+
+
+def test_simhash_candidates_are_nibble_banded(spark):
+    # l2b's candidate self-join must carry the banded nibble columns as
+    # equi-keys — joining on source alone would be per-source quadratic.
+    # No AQE toggle: the static formatted plan lists join keys.
+    plan = plan_of(spark, "l2b_simhash")
+    joins = _join_key_lines(plan)
+    assert "nib_id" in joins and "nib_val" in joins, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_candidates_are_lsh_bucketed(spark):
+    # l2d's candidate join must be an equi-join on the LSH probe/bucket —
+    # an unbanded pair join (e.g. on label alone) is corpus² at scale.
+    plan = plan_of(spark, "l2d_embedding_neardup")
+    joins = _join_key_lines(plan)
+    assert "probe" in joins and "bucket" in joins, plan
     assert "CartesianProduct" not in plan
 
 
