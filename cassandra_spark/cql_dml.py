@@ -8,14 +8,34 @@ db/Mutation, db/partitions/PartitionUpdate]`, unverified — SURVEY.md §0),
 and reads see the LWW reconcile of everything written. This module keeps
 exactly that shape:
 
-- a statement parses into **cell mutations** (value cells, a row marker
-  for INSERT, cell/row/partition tombstones for DELETE);
+- a statement parses into **cell mutations** (value cells, collection
+  element cells, a row marker for INSERT, cell / collection / row / range /
+  partition tombstones for DELETE);
 - the table's visible state (``snapshot``) is a pure DataFrame reduction:
   per-cell LWW (compaction.lww_merge order: writetime desc, tombstone
   beats write on ties, then arrival seq), shadowed by the newest
-  applicable row/partition tombstone, TTL-expired cells dropped at the
-  caller's ``asof`` — the same W2/W3/W4/W5 semantics the batch operators
-  implement, driven from real CQL text.
+  applicable row/range/partition tombstone, TTL-expired cells dropped at
+  the caller's ``asof`` — the same W2/W3/W4/W5 semantics the batch
+  operators implement, driven from real CQL text.
+
+Surface (each point tested):
+- **Composite clustering keys**: ``clustering`` is a tuple; the log keys
+  rows by the joined clustering value; ``key_types`` drives typed range
+  comparison and typed output columns.
+- **Range tombstones** (`[C* db/RangeTombstone]`, unverified): a DELETE
+  whose WHERE fixes a clustering *prefix* (optionally bounding the next
+  clustering column with </<=/>/>=) emits a range marker that shadows every
+  covered row, exactly like row tombstones but over a slice.
+- **Collection columns** (``list<T>``, ``set<T>``, ``map<K,V>``): element
+  cells keyed by position / member / key; append/prepend, set add/remove,
+  map put/remove, element deletes; assignment overwrites via a collection
+  tombstone at ``writetime - 1`` so same-timestamp new elements survive
+  (the reference's ``setComplexDeletionTimeForOverwrite`` behavior). List
+  positions are arrival-ordered (pinned simplification of timeuuid
+  positions); set members sort by value; maps sort by key.
+- **Static columns**: partition-scoped cells (ck = NULL in the log), LWW
+  per (pk, col), shadowed only by partition tombstones; a partition whose
+  only live content is static shows one row with NULL clustering.
 
 Fidelity points (each tested):
 - INSERT writes a row *marker*, UPDATE does not — an UPDATE-only row
@@ -44,8 +64,8 @@ from pyspark.sql import functions as F
 
 from cassandra_spark.cql import CQLError
 
-# mutation kinds, in tie-break precedence nowhere — precedence is encoded
-# per-rule below (tombstones beat cells at equal writetime)
+# mutation kinds — precedence is encoded per-rule below (tombstones beat
+# cells at equal writetime)
 CELL, MARKER, CELL_TOMB, ROW_TOMB, PART_TOMB, INCR = (
     "cell",
     "marker",
@@ -54,17 +74,64 @@ CELL, MARKER, CELL_TOMB, ROW_TOMB, PART_TOMB, INCR = (
     "part_tomb",
     "incr",
 )
+RANGE_TOMB = "range_tomb"
+COLL_TOMB = "coll_tomb"
+
+# clustering values join into one log key with an unprintable separator
+SEP = "\x1f"
 
 _MUT_SCHEMA = (
-    "pk string, ck string, col string, val string, kind string, "
-    "writetime long, ttl long, seq long"
+    "pk string, ck string, col string, elem string, val string, kind string, "
+    "writetime long, ttl long, seq long, "
+    "lo string, hi string, lo_incl boolean, hi_incl boolean"
 )
+
+
+def mut_row(
+    pk,
+    ck,
+    col,
+    val,
+    kind,
+    writetime,
+    ttl,
+    seq,
+    elem=None,
+    lo=None,
+    hi=None,
+    lo_incl=None,
+    hi_incl=None,
+) -> tuple:
+    """Build one mutation-log row in the canonical column order (keeps the
+    pinned EXPECTED_LOG literals in the replay modules readable)."""
+    return (pk, ck, col, elem, val, kind, writetime, ttl, seq, lo, hi, lo_incl, hi_incl)
+
+
+_COLL_RE = re.compile(
+    r"^\s*(list|set|map)\s*<\s*(\w+)\s*(?:,\s*(\w+)\s*)?>\s*$", re.IGNORECASE
+)
+
+
+def parse_coll_type(typ: str) -> tuple[str, str, str | None] | None:
+    """'list<int>' → ('list', 'int', None); 'map<string,int>' →
+    ('map', 'string', 'int'); scalar types → None."""
+    m = _COLL_RE.match(typ)
+    if not m:
+        return None
+    kind, t1, t2 = m.group(1).lower(), m.group(2), m.group(3)
+    if kind == "map" and t2 is None:
+        raise CQLError(f"map type needs key and value types: {typ!r}")
+    if kind != "map" and t2 is not None:
+        raise CQLError(f"{kind} type takes one parameter: {typ!r}")
+    return kind, t1, t2
 
 
 @dataclass
 class TableSchema:
-    """Declared table shape: key columns are strings here for simplicity of
-    the mutation log; regular columns carry a Spark cast type.
+    """Declared table shape: key columns are strings in the mutation log
+    (``key_types`` declares their comparison/output types); regular columns
+    carry a Spark cast type, including collection types ``list<T>`` /
+    ``set<T>`` / ``map<K,V>``; ``static`` columns are partition-scoped.
 
     ``counter=True`` declares a counter table (the reference's counter-only
     table rule `[C* db/counters/CounterContext, cql3 counter validation,
@@ -74,15 +141,44 @@ class TableSchema:
 
     name: str
     partition_key: str
-    clustering: str | None
-    regular: dict[str, str]  # column -> spark type ("int", "string", ...)
+    clustering: tuple[str, ...] | str | None
+    regular: dict[str, str]  # column -> spark type ("int", "list<int>", ...)
     counter: bool = False
+    static: dict[str, str] = field(default_factory=dict)
+    key_types: dict[str, str] = field(default_factory=dict)  # key col -> type
+
+    def __post_init__(self) -> None:
+        if self.clustering is None:
+            self.clustering = ()
+        elif isinstance(self.clustering, str):
+            self.clustering = (self.clustering,)
+        else:
+            self.clustering = tuple(self.clustering)
+        for c in self.static:
+            if parse_coll_type(self.static[c]):
+                raise CQLError("static collection columns are not supported")
 
     @property
     def key_cols(self) -> list[str]:
-        return [self.partition_key] + (
-            [self.clustering] if self.clustering else []
-        )
+        return [self.partition_key, *self.clustering]
+
+    def key_type(self, col: str) -> str:
+        return self.key_types.get(col, "string")
+
+    @property
+    def scalar_regular(self) -> dict[str, str]:
+        return {
+            c: t for c, t in self.regular.items() if parse_coll_type(t) is None
+        }
+
+    @property
+    def coll_regular(self) -> dict[str, tuple[str, str, str | None]]:
+        out = {}
+        for c, t in self.regular.items():
+            p = parse_coll_type(t)
+            if p is not None:
+                out[c] = p
+        return out
 
 
 _INSERT_RE = re.compile(
@@ -103,14 +199,13 @@ _DELETE_RE = re.compile(
     r"(?:\s+IF\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_COND_RE = re.compile(
-    r"^(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.DOTALL
-)
+_COND_RE = re.compile(r"^(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.DOTALL)
 _BATCH_RE = re.compile(
     r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\s+(?P<body>.+?)\s*"
     r"APPLY\s+BATCH\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_REL_RE = re.compile(r"^(\w+)\s*(<=|>=|<|>|=)\s*(.+)$", re.DOTALL)
 
 
 def _parse_using(using: str | None) -> tuple[int | None, int | None]:
@@ -132,8 +227,8 @@ def _parse_using(using: str | None) -> tuple[int | None, int | None]:
 
 
 def _parse_literal(tok: str) -> str | None:
-    """CQL literal → canonical string form (cast to the column type at
-    snapshot time). Strings unquote with '' escaping; NULL → None."""
+    """Scalar CQL literal → canonical string form (cast to the column type
+    at snapshot time). Strings unquote with '' escaping; NULL → None."""
     tok = tok.strip()
     if re.fullmatch(r"NULL", tok, re.IGNORECASE):
         return None
@@ -148,18 +243,92 @@ def _parse_literal(tok: str) -> str | None:
 
 
 def _split_csv(text: str) -> list[str]:
-    """Split on commas not inside single quotes."""
-    out, depth, cur = [], False, []
+    """Split on commas not inside single quotes or [ ] / { } brackets."""
+    out: list[str] = []
+    depth = 0
+    quoted = False
+    cur: list[str] = []
     for ch in text:
         if ch == "'":
-            depth = not depth
-        if ch == "," and not depth:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
+            quoted = not quoted
+        elif not quoted:
+            if ch in "[{":
+                depth += 1
+            elif ch in "]}":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
     out.append("".join(cur))
     return [t.strip() for t in out]
+
+
+def _parse_value(tok: str):
+    """Scalar or collection literal.
+
+    Returns ``("scalar", v)``, ``("list", [v, ...])``, ``("set", [v, ...])``
+    or ``("map", [(k, v), ...])`` with scalar parts in canonical string
+    form. ``{}`` is a set/map ambiguity resolved as empty map (both mean
+    "no elements" here)."""
+    tok = tok.strip()
+    if tok.startswith("[") and tok.endswith("]"):
+        body = tok[1:-1].strip()
+        items = _split_csv(body) if body else []
+        return "list", [_parse_literal(i) for i in items]
+    if tok.startswith("{") and tok.endswith("}"):
+        body = tok[1:-1].strip()
+        items = _split_csv(body) if body else []
+        if any(_top_level_colon(i) for i in items):
+            pairs = []
+            for i in items:
+                k, v = _split_colon(i)
+                pairs.append((_parse_literal(k), _parse_literal(v)))
+            return "map", pairs
+        return ("map", []) if not items else ("set", [_parse_literal(i) for i in items])
+    return "scalar", _parse_literal(tok)
+
+
+def _top_level_colon(item: str) -> bool:
+    quoted = False
+    for ch in item:
+        if ch == "'":
+            quoted = not quoted
+        elif ch == ":" and not quoted:
+            return True
+    return False
+
+
+def _split_colon(item: str) -> tuple[str, str]:
+    quoted = False
+    for i, ch in enumerate(item):
+        if ch == "'":
+            quoted = not quoted
+        elif ch == ":" and not quoted:
+            return item[:i], item[i + 1 :]
+    raise CQLError(f"bad map entry: {item!r}")
+
+
+def ck_join(ck: tuple[str, ...] | None) -> str | None:
+    return None if ck is None else SEP.join(ck)
+
+
+# list positions: arrival-ordered sortable strings around a fixed origin
+_POS_ORIGIN = 1_000_000_000
+
+
+def _pos_str(n: int) -> str:
+    return f"{_POS_ORIGIN + n:010d}"
+
+
+_NUMERIC_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+)
+
+
+def _pykey(v: str, typ: str):
+    return float(v) if typ.split("(")[0] in _NUMERIC_TYPES else v
 
 
 class CqlTable:
@@ -172,6 +341,8 @@ class CqlTable:
         self._log: list[tuple] = []
         self._clock = 0  # logical µs clock for statements without USING TIMESTAMP
         self._seq = 0  # arrival order, the final tie-breaker
+        self._pos = 0  # list append position counter (arrival-ordered)
+        self._neg = 0  # list prepend position counter (descending)
 
     # --- statement execution ---------------------------------------------
 
@@ -260,34 +431,64 @@ class CqlTable:
                 "custom timestamps are not allowed with conditional updates"
             )
 
-    def _insert_pairs(self, m: re.Match) -> dict[str, str | None]:
+    def _insert_pairs(self, m: re.Match):
         cols = [c.strip().lower() for c in m.group("cols").split(",")]
-        vals = [_parse_literal(v) for v in _split_csv(m.group("vals"))]
+        vals = [_parse_value(v) for v in _split_csv(m.group("vals"))]
         if len(cols) != len(vals):
             raise CQLError("INSERT column/value count mismatch")
         return dict(zip(cols, vals))
 
-    def _stmt_pairs(self, m: re.Match) -> dict[str, str | None]:
-        # an INSERT match is the one with a "vals" group (bound methods
-        # can't be identity-compared — each attribute access rebinds)
-        if "vals" in m.re.groupindex:
-            return self._insert_pairs(m)
-        return self._where_pairs(m.group("where"))
+    def _stmt_eq_pairs(self, m: re.Match) -> dict[str, str | None]:
+        """Key equalities of a statement (INSERT column list or WHERE)."""
+        if "vals" in m.re.groupindex:  # an INSERT match
+            pairs = self._insert_pairs(m)
+            out = {}
+            for c in self.schema.key_cols:
+                if c in pairs:
+                    k, v = pairs[c]
+                    if k != "scalar":
+                        raise CQLError(f"key column {c!r} must be scalar")
+                    out[c] = v
+            return out
+        eq, ranges = self._where_parse(m.group("where"))
+        if ranges:
+            raise CQLError("range WHERE is only allowed in DELETE")
+        return eq
 
     def _stmt_pk(self, handler, m: re.Match) -> str | None:
-        pairs = self._stmt_pairs(m)
+        pairs = self._stmt_eq_pairs(m)
         if self.schema.partition_key not in pairs:
             raise CQLError(f"missing partition key {self.schema.partition_key}")
         return pairs[self.schema.partition_key]
 
-    def _cond_key(self, handler, m: re.Match) -> tuple[str | None, str | None]:
-        pairs = self._stmt_pairs(m)
-        pk, ck = self._key_from_pairs(pairs)
-        if self.schema.clustering and ck is None:
+    def _cond_key(self, handler, m: re.Match):
+        pairs = self._stmt_eq_pairs(m)
+        pk, ck = self._key_from_pairs(pairs, require_full=False)
+        if ck is None and not self._static_only_stmt(m):
             raise CQLError("conditional DML requires the full primary key")
         return pk, ck
 
-    def _eval_cond(self, cond: str, pk: str | None, ck: str | None) -> bool:
+    def _static_only_stmt(self, m: re.Match) -> bool:
+        """True when every written/deleted column is static (the reference
+        allows pk-only conditional statements on statics)."""
+        s = self.schema
+        if "vals" in m.re.groupindex:
+            pairs = self._insert_pairs(m)
+            cols = [c for c in pairs if c not in s.key_cols]
+        elif "set" in m.re.groupindex and m.group("set"):
+            cols = [
+                re.match(r"\s*(\w+)", a).group(1).lower()
+                for a in _split_csv(m.group("set"))
+            ]
+        else:
+            cols = [
+                re.match(r"\s*(\w+)", c).group(1).lower()
+                for c in m.group("cols").split(",")
+                if c.strip()
+            ]
+        return bool(cols) and all(c in s.static for c in cols)
+
+    def _eval_cond(self, cond: str, pk: str | None, ck) -> bool:
         cond = cond.strip()
         if re.fullmatch(r"NOT\s+EXISTS", cond, re.IGNORECASE):
             return self._row_state(pk, ck) is None
@@ -299,17 +500,18 @@ class CqlTable:
             if not m:
                 raise CQLError(f"unsupported IF condition: {part!r}")
             col = m.group(1).lower()
-            if col not in self.schema.regular:
+            typ = self.schema.scalar_regular.get(col) or self.schema.static.get(col)
+            if typ is None:
+                if col in self.schema.regular:
+                    raise CQLError(
+                        f"IF conditions on collection column {col!r} are not supported"
+                    )
                 raise CQLError(f"IF on unknown column {col!r}")
             cur = None if state is None else state.get(col)
             lit = _parse_literal(m.group(3))
-            if not self._cmp(cur, m.group(2), lit, self.schema.regular[col]):
+            if not self._cmp(cur, m.group(2), lit, typ):
                 return False
         return True
-
-    _NUMERIC_TYPES = frozenset(
-        {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
-    )
 
     @staticmethod
     def _cmp(cur: str | None, op: str, lit: str | None, typ: str) -> bool:
@@ -323,10 +525,7 @@ class CqlTable:
             if op == "!=":
                 return not (cur is None and lit is None)
             return False
-        if typ.split("(")[0] in CqlTable._NUMERIC_TYPES:
-            a, b = float(cur), float(lit)
-        else:
-            a, b = cur, lit
+        a, b = _pykey(cur, typ), _pykey(lit, typ)
         return {
             "=": a == b,
             "!=": a != b,
@@ -336,45 +535,81 @@ class CqlTable:
             ">=": a >= b,
         }[op]
 
-    def _row_state(self, pk: str | None, ck: str | None) -> dict | None:
+    def _range_covers(self, prefix_j, lo, hi, lo_incl, hi_incl, ck) -> bool:
+        """Does a range tombstone (prefix + optional bounds on the next
+        clustering column) cover the clustering tuple ``ck``?"""
+        pref = [] if prefix_j == "" else prefix_j.split(SEP)
+        if list(ck[: len(pref)]) != pref:
+            return False
+        if lo is None and hi is None:
+            return True
+        idx = len(pref)
+        typ = self.schema.key_type(self.schema.clustering[idx])
+        v = _pykey(ck[idx], typ)
+        if lo is not None:
+            b = _pykey(lo, typ)
+            if not (v >= b if lo_incl else v > b):
+                return False
+        if hi is not None:
+            b = _pykey(hi, typ)
+            if not (v <= b if hi_incl else v < b):
+                return False
+        return True
+
+    def _row_state(self, pk: str | None, ck) -> dict | None:
         """Pure-Python reconcile of one (pk, ck) at the current clock — the
         LWT read phase. Driver-side by design: a condition reads exactly one
         row, and the reference serves it from one replica's read path, not a
         scan; mirroring it as a Spark job per statement would be the
         anti-pattern. Same W4/W3/W2 rules as :meth:`snapshot` (writetime
-        desc, tombstone beats write, arrival seq; row/partition shadowing;
-        TTL horizon) — ``tests/test_lwt_replay.py`` holds them together."""
+        desc, tombstone beats write, arrival seq; row/range/partition
+        shadowing; TTL horizon; collection-tombstone horizons) —
+        ``tests/test_lwt_replay.py`` holds them together.
+
+        ``ck`` is the clustering tuple, or None to read the static row."""
         asof = self._clock
-        best: dict = {}
-        pt = rt = None
-        for lpk, lck, col, val, kind, wt, ttl, seq in self._log:
+        ckj = ck_join(tuple(ck)) if ck is not None else None
+        best: dict = {}  # (col, elem) -> (rank, kind, val, ttl)
+        ctomb: dict = {}  # col -> max coll-tomb writetime
+        pt = rt = rg = None
+        for (lpk, lck, col, elem, val, kind, wt, ttl, seq, lo, hi, li, hi_i) in self._log:
             if lpk != pk:
                 continue
             if kind == PART_TOMB:
                 pt = wt if pt is None else max(pt, wt)
                 continue
-            if lck != ck:
+            if kind == RANGE_TOMB:
+                if ck is not None and self._range_covers(lck, lo, hi, li, hi_i, tuple(ck)):
+                    rg = wt if rg is None else max(rg, wt)
+                continue
+            if lck != ckj:
                 continue
             if kind == ROW_TOMB:
                 rt = wt if rt is None else max(rt, wt)
                 continue
+            if kind == COLL_TOMB:
+                ctomb[col] = wt if col not in ctomb else max(ctomb[col], wt)
+                continue
             rank = (wt, 1 if kind == CELL_TOMB else 0, seq)
-            prev = best.get(col)
+            key = (col, elem)
+            prev = best.get(key)
             if prev is None or rank > prev[0]:
-                best[col] = (rank, kind, val, ttl)
-        horizons = [h for h in (pt, rt) if h is not None]
+                best[key] = (rank, kind, val, ttl)
+        horizons = [h for h in (pt, rt, rg) if h is not None]
         horizon = max(horizons) if horizons else None
         live: dict = {}
         exists = False
-        for col, ((wt, _, _), kind, val, ttl) in best.items():
+        for (col, elem), ((wt, _, _), kind, val, ttl) in best.items():
             if kind == CELL_TOMB:
                 continue
             if ttl and wt + ttl <= asof:
                 continue
             if horizon is not None and wt <= horizon:
                 continue
+            if col in ctomb and wt <= ctomb[col]:
+                continue
             exists = True
-            if col is not None:
+            if col is not None and elem is None:
                 live[col] = val
         return live if exists else None
 
@@ -384,67 +619,165 @@ class CqlTable:
                 f"table {name!r} does not match {self.schema.name!r}"
             )
 
-    def _emit(self, pk, ck, col, val, kind, ts, ttl) -> None:
+    def _emit(
+        self, pk, ck, col, val, kind, ts, ttl,
+        elem=None, lo=None, hi=None, lo_incl=None, hi_incl=None,
+    ) -> None:
         self._seq += 1
         self._log.append(
-            (pk, ck, col, val, kind, ts, ttl if ttl is not None else 0, self._seq)
+            mut_row(
+                pk, ck, col, val, kind, ts,
+                ttl if ttl is not None else 0, self._seq,
+                elem=elem, lo=lo, hi=hi, lo_incl=lo_incl, hi_incl=hi_incl,
+            )
         )
 
-    def _key_from_pairs(self, pairs: dict[str, str | None]) -> tuple[str, str | None]:
+    def _key_from_pairs(
+        self, pairs: dict[str, str | None], require_full: bool = True
+    ) -> tuple[str, tuple[str, ...] | None]:
+        """(pk, full clustering tuple). ``require_full=False`` returns
+        ck=None when no clustering value is present (static scope)."""
         s = self.schema
         if s.partition_key not in pairs:
             raise CQLError(f"missing partition key {s.partition_key}")
         pk = pairs[s.partition_key]
-        ck = pairs.get(s.clustering) if s.clustering else None
-        return pk, ck
+        if not s.clustering:
+            return pk, ()  # no clustering cols: the row key is always (pk,)
+        have = [c for c in s.clustering if c in pairs]
+        if not have and not require_full:
+            return pk, None
+        if len(have) != len(s.clustering):
+            missing = [c for c in s.clustering if c not in pairs]
+            raise CQLError(f"missing clustering key(s) {missing}")
+        return pk, tuple(pairs[c] for c in s.clustering)
+
+    # --- collection element emission --------------------------------------
+
+    def _emit_elements(self, pk, ckj, col, ckind, parsed, ts, ttl) -> None:
+        """Element cells for a collection write. ``parsed`` is the
+        ``_parse_value`` result for the right-hand side."""
+        pkind, items = parsed
+        if ckind == "list":
+            if pkind != "list":
+                raise CQLError(f"list column {col!r} needs a [..] literal")
+            for v in items:
+                self._pos += 1
+                self._emit(pk, ckj, col, v, CELL, ts, ttl, elem=_pos_str(self._pos))
+        elif ckind == "set":
+            if pkind not in ("set", "map") or (pkind == "map" and items):
+                raise CQLError(f"set column {col!r} needs a {{..}} literal")
+            for v in (items if pkind == "set" else []):
+                self._emit(pk, ckj, col, v, CELL, ts, ttl, elem=v)
+        else:  # map
+            if pkind != "map":
+                raise CQLError(f"map column {col!r} needs a {{k: v, ..}} literal")
+            for k, v in items:
+                self._emit(pk, ckj, col, v, CELL, ts, ttl, elem=k)
 
     def _insert(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
         if self.schema.counter:
             raise CQLError("INSERT is not allowed on counter tables")
+        s = self.schema
         ts, ttl = _parse_using(m.group("using"))
         ts = default_ts if ts is None else ts
         pairs = self._insert_pairs(m)
-        pk, ck = self._key_from_pairs(pairs)
-        if self.schema.clustering and self.schema.clustering not in pairs:
-            raise CQLError(f"missing clustering key {self.schema.clustering}")
-        # the row marker is what makes INSERT-visibility survive null cells
-        self._emit(pk, ck, None, None, MARKER, ts, ttl)
-        for c, v in pairs.items():
-            if c in self.schema.key_cols:
-                continue
-            if c not in self.schema.regular:
+        for c in pairs:
+            if (
+                c not in s.key_cols
+                and c not in s.regular
+                and c not in s.static
+            ):
                 raise CQLError(f"unknown column {c!r}")
+        eq = {}
+        for c in s.key_cols:
+            if c in pairs:
+                k, v = pairs[c]
+                if k != "scalar":
+                    raise CQLError(f"key column {c!r} must be scalar")
+                eq[c] = v
+        non_static = [
+            c for c in pairs if c not in s.key_cols and c not in s.static
+        ]
+        static_only = not non_static and all(
+            c in s.key_cols or c in s.static for c in pairs
+        )
+        pk, ck = self._key_from_pairs(eq, require_full=not static_only)
+        if ck is not None:
+            ckj = ck_join(ck)
+            # the row marker is what makes INSERT-visibility survive null cells
+            self._emit(pk, ckj, None, None, MARKER, ts, ttl)
+        else:
+            ckj = None
+        for c, parsed in pairs.items():
+            if c in s.key_cols:
+                continue
+            if c in s.static:
+                kind, v = parsed
+                if kind != "scalar":
+                    raise CQLError(f"static column {c!r} must be scalar")
+                if v is not None:
+                    self._emit(pk, None, c, v, CELL, ts, ttl)
+                else:
+                    self._emit(pk, None, c, None, CELL_TOMB, ts, None)
+                continue
+            coll = s.coll_regular.get(c)
+            if coll is not None:
+                pkind, items = parsed
+                if pkind == "scalar" and items is None:
+                    self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
+                    continue
+                # overwrite: tombstone at ts-1 so same-ts elements survive
+                self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
+                self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
+                continue
+            kind, v = parsed
+            if kind != "scalar":
+                raise CQLError(f"column {c!r} is not a collection")
             if v is not None:
-                self._emit(pk, ck, c, v, CELL, ts, ttl)
+                self._emit(pk, ckj, c, v, CELL, ts, ttl)
             else:
-                self._emit(pk, ck, c, None, CELL_TOMB, ts, None)
+                self._emit(pk, ckj, c, None, CELL_TOMB, ts, None)
 
-    def _where_pairs(self, where: str) -> dict[str, str | None]:
-        pairs: dict[str, str | None] = {}
+    def _where_parse(self, where: str):
+        """WHERE → (equality pairs on key cols, range relations). Ranges
+        (<, <=, >, >=) are collected for DELETE's range-tombstone path."""
+        eq: dict[str, str | None] = {}
+        ranges: list[tuple[str, str, str | None]] = []
         for part in re.split(r"\s+AND\s+", where.strip(), flags=re.IGNORECASE):
-            m = re.fullmatch(r"(\w+)\s*=\s*(.+)", part.strip(), re.DOTALL)
+            m = _REL_RE.fullmatch(part.strip())
             if not m:
-                raise CQLError(f"DML WHERE must be key equalities: {part!r}")
+                raise CQLError(f"DML WHERE must be key relations: {part!r}")
             col = m.group(1).lower()
             if col not in self.schema.key_cols:
                 raise CQLError(f"DML WHERE on non-key column {col!r}")
-            pairs[col] = _parse_literal(m.group(2))
-        return pairs
+            if m.group(2) == "=":
+                eq[col] = _parse_literal(m.group(3))
+            else:
+                if col == self.schema.partition_key:
+                    raise CQLError("range WHERE on the partition key")
+                ranges.append((col, m.group(2), _parse_literal(m.group(3))))
+        return eq, ranges
 
     _COUNTER_SET_RE = re.compile(
         r"(\w+)\s*=\s*(\w+)\s*([+-])\s*(\d+)\s*$", re.DOTALL
     )
+    _IDX_SET_RE = re.compile(r"^(\w+)\s*\[\s*(.+?)\s*\]\s*=\s*(.+)$", re.DOTALL)
+    _PREPEND_RE = re.compile(r"^(\w+)\s*=\s*(\[.*\])\s*\+\s*(\w+)\s*$", re.DOTALL)
+    _PM_RE = re.compile(r"^(\w+)\s*=\s*(\w+)\s*([+-])\s*(.+)$", re.DOTALL)
 
     def _update(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
+        s = self.schema
         ts, ttl = _parse_using(m.group("using"))
         ts = default_ts if ts is None else ts
-        pairs = self._where_pairs(m.group("where"))
-        if self.schema.clustering and self.schema.clustering not in pairs:
-            raise CQLError("UPDATE requires the full primary key")
-        pk, ck = self._key_from_pairs(pairs)
-        if self.schema.counter:
+        eq, ranges = self._where_parse(m.group("where"))
+        if ranges:
+            raise CQLError("UPDATE WHERE must be key equalities")
+        static_only = self._static_only_stmt(m)
+        pk, ck = self._key_from_pairs(eq, require_full=not static_only)
+        ckj = ck_join(ck) if ck is not None else None
+        if s.counter:
             if m.group("using"):
                 raise CQLError("USING is not allowed on counter updates")
             for assign in _split_csv(m.group("set")):
@@ -454,52 +787,242 @@ class CqlTable:
                         f"counter update must be 'c = c +/- n': {assign!r}"
                     )
                 c = am.group(1).lower()
-                if c not in self.schema.regular:
+                if c not in s.regular:
                     raise CQLError(f"unknown column {c!r}")
                 delta = int(am.group(3) + am.group(4))
-                self._emit(pk, ck, c, str(delta), INCR, ts, None)
+                self._emit(pk, ckj, c, str(delta), INCR, ts, None)
             return
         for assign in _split_csv(m.group("set")):
-            am = re.fullmatch(r"(\w+)\s*=\s*(.+)", assign, re.DOTALL)
-            if not am:
-                raise CQLError(f"bad SET assignment: {assign!r}")
-            c = am.group(1).lower()
-            if c not in self.schema.regular:
-                raise CQLError(f"unknown column {c!r}")
-            v = _parse_literal(am.group(2))
-            # no row marker: the UPDATE-only row lives and dies with its cells
+            self._apply_assignment(assign, pk, ckj, ts, ttl)
+
+    def _apply_assignment(self, assign: str, pk, ckj, ts, ttl) -> None:
+        s = self.schema
+        assign = assign.strip()
+
+        im = self._IDX_SET_RE.match(assign)
+        if im:  # m[k] = v  (map put / element delete via null)
+            c = im.group(1).lower()
+            coll = s.coll_regular.get(c)
+            if coll is None or coll[0] != "map":
+                raise CQLError(f"indexed assignment needs a map column: {assign!r}")
+            k = _parse_literal(im.group(2))
+            v = _parse_literal(im.group(3))
             if v is not None:
-                self._emit(pk, ck, c, v, CELL, ts, ttl)
+                self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=k)
             else:
-                self._emit(pk, ck, c, None, CELL_TOMB, ts, None)
+                self._emit(pk, ckj, c, None, CELL_TOMB, ts, None, elem=k)
+            return
+
+        pm = self._PREPEND_RE.match(assign)
+        if pm and pm.group(1).lower() == pm.group(3).lower():
+            c = pm.group(1).lower()
+            coll = s.coll_regular.get(c)
+            if coll is None or coll[0] != "list":
+                raise CQLError(f"prepend needs a list column: {assign!r}")
+            _, items = _parse_value(pm.group(2))
+            # [x, y] + l: x sorts before y, both before everything existing
+            n = len(items)
+            for i, v in enumerate(items):
+                self._emit(
+                    pk, ckj, c, v, CELL, ts, ttl,
+                    elem=_pos_str(self._neg - n + 1 + i),
+                )
+            self._neg -= n
+            return
+
+        pm = self._PM_RE.match(assign)
+        if pm and pm.group(1).lower() == pm.group(2).lower():
+            c = pm.group(1).lower()
+            coll = s.coll_regular.get(c)
+            if coll is None:
+                # counter form on a non-counter column
+                raise CQLError(
+                    f"'{c} = {c} ± ..' needs a counter table or collection column"
+                )
+            ckind = coll[0]
+            op = pm.group(3)
+            parsed = _parse_value(pm.group(4))
+            if op == "+":
+                self._emit_elements(pk, ckj, c, ckind, parsed, ts, ttl)
+                return
+            # removal: set members / map keys; list removal needs a read
+            if ckind == "list":
+                raise CQLError("list element removal by value is not supported")
+            pkind, items = parsed
+            members = (
+                items if pkind == "set"
+                else [k for k, _ in items] if pkind == "map"
+                else None
+            )
+            if members is None:
+                raise CQLError(f"bad removal literal: {assign!r}")
+            for k in members:
+                self._emit(pk, ckj, c, None, CELL_TOMB, ts, None, elem=k)
+            return
+
+        am = re.fullmatch(r"(\w+)\s*=\s*(.+)", assign, re.DOTALL)
+        if not am:
+            raise CQLError(f"bad SET assignment: {assign!r}")
+        c = am.group(1).lower()
+        if c in s.static:
+            v = _parse_literal(am.group(2))
+            if v is not None:
+                self._emit(pk, None, c, v, CELL, ts, ttl)
+            else:
+                self._emit(pk, None, c, None, CELL_TOMB, ts, None)
+            return
+        if c not in s.regular:
+            raise CQLError(f"unknown column {c!r}")
+        coll = s.coll_regular.get(c)
+        if coll is not None:
+            parsed = _parse_value(am.group(2))
+            if parsed[0] == "scalar":
+                if parsed[1] is not None:
+                    raise CQLError(f"collection column {c!r} needs a collection literal")
+                self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
+                return
+            self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
+            self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
+            return
+        v = _parse_literal(am.group(2))
+        # no row marker: the UPDATE-only row lives and dies with its cells
+        if v is not None:
+            self._emit(pk, ckj, c, v, CELL, ts, ttl)
+        else:
+            self._emit(pk, ckj, c, None, CELL_TOMB, ts, None)
+
+    _DEL_COL_RE = re.compile(r"^(\w+)(?:\s*\[\s*(.+?)\s*\])?$", re.DOTALL)
 
     def _delete(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
+        s = self.schema
         ts = int(m.group("ts")) if m.group("ts") else default_ts
-        pairs = self._where_pairs(m.group("where"))
-        pk, ck = self._key_from_pairs(pairs)
-        cols = [c.strip().lower() for c in m.group("cols").split(",") if c.strip()]
+        eq, ranges = self._where_parse(m.group("where"))
+        cols = [c.strip() for c in _split_csv(m.group("cols")) if c.strip()]
+        if s.partition_key not in eq:
+            raise CQLError(f"missing partition key {s.partition_key}")
+        pk = eq[s.partition_key]
+
+        # clustering equalities must form a prefix
+        have = [c for c in s.clustering if c in eq]
+        k = len(have)
+        if have != list(s.clustering[:k]):
+            raise CQLError("clustering WHERE must fix a prefix")
+
         if cols:
-            if ck is None and self.schema.clustering:
+            if ranges:
+                raise CQLError("column DELETE cannot have range WHERE")
+            static_cols = all(
+                self._DEL_COL_RE.match(c).group(1).lower() in s.static
+                for c in cols
+            )
+            if k < len(s.clustering) and not static_cols:
                 raise CQLError("cell DELETE requires the full primary key")
-            for c in cols:
-                if c not in self.schema.regular:
+            ckj = ck_join(tuple(eq[c] for c in s.clustering)) if not static_cols else None
+            for item in cols:
+                cm = self._DEL_COL_RE.match(item)
+                if not cm:
+                    raise CQLError(f"bad DELETE column: {item!r}")
+                c = cm.group(1).lower()
+                elem_tok = cm.group(2)
+                if c in s.static:
+                    if elem_tok:
+                        raise CQLError("static columns are scalar")
+                    self._emit(pk, None, c, None, CELL_TOMB, ts, None)
+                    continue
+                if c not in s.regular:
                     raise CQLError(f"unknown column {c!r}")
-                self._emit(pk, ck, c, None, CELL_TOMB, ts, None)
-        elif self.schema.clustering and ck is not None:
-            self._emit(pk, ck, None, None, ROW_TOMB, ts, None)
-        else:
+                coll = s.coll_regular.get(c)
+                if elem_tok is not None:
+                    if coll is None or coll[0] != "map":
+                        raise CQLError(
+                            f"element DELETE needs a map column: {item!r}"
+                        )
+                    self._emit(
+                        pk, ckj, c, None, CELL_TOMB, ts, None,
+                        elem=_parse_literal(elem_tok),
+                    )
+                elif coll is not None:
+                    self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
+                else:
+                    self._emit(pk, ckj, c, None, CELL_TOMB, ts, None)
+            return
+
+        # row / range / partition scope
+        if ranges:
+            bound_col = {c for c, _, _ in ranges}
+            if len(bound_col) != 1:
+                raise CQLError("range DELETE must bound exactly one column")
+            (bc,) = bound_col
+            if k >= len(s.clustering) or bc != s.clustering[k]:
+                raise CQLError(
+                    f"range DELETE must bound the next clustering column "
+                    f"({s.clustering[k] if k < len(s.clustering) else '?'})"
+                )
+            lo = hi = None
+            lo_incl = hi_incl = False
+            for _, op, lit in ranges:
+                if lit is None:
+                    raise CQLError("range bound cannot be NULL")
+                if op in (">", ">="):
+                    if lo is not None:
+                        raise CQLError("duplicate lower bound")
+                    lo, lo_incl = lit, op == ">="
+                else:
+                    if hi is not None:
+                        raise CQLError("duplicate upper bound")
+                    hi, hi_incl = lit, op == "<="
+            self._emit(
+                pk, SEP.join(eq[c] for c in s.clustering[:k]), None, None,
+                RANGE_TOMB, ts, None,
+                lo=lo, hi=hi, lo_incl=lo_incl, hi_incl=hi_incl,
+            )
+            return
+        if k == len(s.clustering) and s.clustering:
+            self._emit(pk, ck_join(tuple(eq[c] for c in s.clustering)), None,
+                       None, ROW_TOMB, ts, None)
+        elif k == 0:
             self._emit(pk, None, None, None, PART_TOMB, ts, None)
+        else:
+            # clustering-prefix DELETE = unbounded range tombstone
+            self._emit(
+                pk, SEP.join(eq[c] for c in s.clustering[:k]), None, None,
+                RANGE_TOMB, ts, None,
+                lo=None, hi=None, lo_incl=False, hi_incl=False,
+            )
 
     # --- snapshot reconciliation -----------------------------------------
 
     def mutation_log(self) -> DataFrame:
         return self.spark.createDataFrame(self._log, _MUT_SCHEMA)
 
+    def _range_cover_cond(self, rt_prefix="pref_arr", row_arr="ck_arr"):
+        """Spark boolean Column: range tombstone (prefix array + typed
+        bounds on the next clustering col) covers the row's ck array."""
+        s = self.schema
+        pref_match = F.expr(f"slice({row_arr}, 1, size({rt_prefix}))") == F.col(rt_prefix)
+        no_bounds = F.col("lo").isNull() & F.col("hi").isNull()
+        per_k = F.lit(False)
+        for k, col in enumerate(s.clustering):
+            t = s.key_type(col)
+            v = F.col(row_arr)[k].cast(t)
+            lo_ok = F.col("lo").isNull() | F.when(
+                F.col("lo_incl"), v >= F.col("lo").cast(t)
+            ).otherwise(v > F.col("lo").cast(t))
+            hi_ok = F.col("hi").isNull() | F.when(
+                F.col("hi_incl"), v <= F.col("hi").cast(t)
+            ).otherwise(v < F.col("hi").cast(t))
+            per_k = per_k | ((F.size(F.col(rt_prefix)) == k) & lo_ok & hi_ok)
+        return pref_match & (no_bounds | per_k)
+
     def snapshot(self, asof_us: int | None = None) -> DataFrame:
         """Visible rows after W2 (TTL at ``asof``) + W3 (tombstone
-        shadowing) + W4 (per-cell LWW): one wide row per live (pk, ck),
-        with ``__writetime_<col>`` shadow columns (f2 convention)."""
+        shadowing, incl. range tombstones) + W4 (per-cell LWW): one wide
+        row per live (pk, ck) with typed key columns, scalar columns with
+        ``__writetime_<col>`` shadows (f2 convention), collection columns
+        assembled from live element cells, and static columns joined per
+        partition (a static-only partition shows one row with NULL
+        clustering)."""
         s = self.schema
         if not self._log:
             return self._empty()
@@ -512,7 +1035,7 @@ class CqlTable:
         asof = (
             asof_us
             if asof_us is not None
-            else max(row[5] for row in self._log) + 1
+            else max(row[6] for row in self._log) + 1
         )
 
         part_tombs = (
@@ -525,16 +1048,47 @@ class CqlTable:
             .groupBy("pk", "ck")
             .agg(F.max("writetime").alias("rt_ts"))
         )
+        clustered = mut.filter(
+            F.col("ck").isNotNull()
+            & F.col("kind").isin(CELL, MARKER, CELL_TOMB)
+        )
+        coll_tombs = (
+            mut.filter(F.col("kind") == COLL_TOMB)
+            .groupBy("pk", "ck", "col")
+            .agg(F.max("writetime").alias("gt_ts"))
+        )
 
-        # per (pk, ck, col) pick the winner among cells/markers and their
-        # tombstones: writetime desc, tombstone beats write, then arrival
-        cells = mut.filter(F.col("kind").isin(CELL, MARKER, CELL_TOMB))
+        # range-tombstone coverage per distinct row key (tiny broadcast join)
+        range_tombs = mut.filter(F.col("kind") == RANGE_TOMB).select(
+            "pk",
+            F.when(F.col("ck") == "", F.array().cast("array<string>"))
+            .otherwise(F.split("ck", SEP))
+            .alias("pref_arr"),
+            "lo", "hi", "lo_incl", "hi_incl", "writetime",
+        )
+        rkeys = (
+            clustered.select("pk", "ck")
+            .distinct()
+            .withColumn("ck_arr", F.split("ck", SEP))
+        )
+        rcov = (
+            rkeys.join(
+                F.broadcast(range_tombs),
+                (rkeys["pk"] == range_tombs["pk"]) & self._range_cover_cond(),
+            )
+            .select(rkeys["pk"], rkeys["ck"], "writetime")
+            .groupBy("pk", "ck")
+            .agg(F.max("writetime").alias("rg_ts"))
+        )
+
+        # per (pk, ck, col, elem) pick the winner among cells/markers and
+        # their tombstones: writetime desc, tombstone beats write, arrival
         is_tomb = (F.col("kind") == CELL_TOMB).cast("int")
-        w = Window.partitionBy("pk", "ck", "col").orderBy(
+        w = Window.partitionBy("pk", "ck", "col", "elem").orderBy(
             F.col("writetime").desc(), is_tomb.desc(), F.col("seq").desc()
         )
         winners = (
-            cells.withColumn("__rn", F.row_number().over(w))
+            clustered.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -546,30 +1100,102 @@ class CqlTable:
                 (F.col("ttl") == 0)
                 | (F.col("writetime") + F.col("ttl") > F.lit(asof))
             )
-            # row/partition tombstone shadowing (W3): survive only if newer
+            # row/range/partition tombstone shadowing (W3): survive if newer
             .join(F.broadcast(part_tombs), "pk", "left")
             .join(F.broadcast(row_tombs), ["pk", "ck"], "left")
+            .join(F.broadcast(rcov), ["pk", "ck"], "left")
             .filter(
                 (F.col("pt_ts").isNull() | (F.col("writetime") > F.col("pt_ts")))
                 & (F.col("rt_ts").isNull() | (F.col("writetime") > F.col("rt_ts")))
+                & (F.col("rg_ts").isNull() | (F.col("writetime") > F.col("rg_ts")))
+            )
+            # collection tombstone horizon per column
+            .join(F.broadcast(coll_tombs), ["pk", "ck", "col"], "left")
+            .filter(
+                F.col("gt_ts").isNull() | (F.col("writetime") > F.col("gt_ts"))
             )
         )
 
         aggs = []
-        for c, typ in s.regular.items():
+        for c, typ in s.scalar_regular.items():
             cell_val = F.when(F.col("col") == c, F.col("val"))
             cell_wt = F.when(F.col("col") == c, F.col("writetime"))
             aggs.append(F.max(cell_val).cast(typ).alias(c))
             aggs.append(F.max(cell_wt).alias(f"__writetime_{c}"))
+        for c, (ckind, t1, t2) in s.coll_regular.items():
+            if ckind == "list":
+                agg = F.expr(
+                    f"transform(array_sort(collect_list(CASE WHEN col = '{c}' "
+                    f"THEN struct(elem, val) END)), x -> cast(x.val AS {t1}))"
+                )
+            elif ckind == "set":
+                agg = F.expr(
+                    f"array_sort(array_distinct(collect_list("
+                    f"CASE WHEN col = '{c}' THEN cast(val AS {t1}) END)))"
+                )
+            else:  # map: entries sorted by key for deterministic rendering
+                agg = F.expr(
+                    f"map_from_entries(array_sort(collect_list("
+                    f"CASE WHEN col = '{c}' THEN struct("
+                    f"cast(elem AS {t1}) AS key, cast(val AS {t2}) AS value) "
+                    f"END)))"
+                )
+            # an empty non-frozen collection IS null (reference semantics)
+            aggs.append(F.when(F.size(agg) > 0, agg).alias(c))
         wide = live.groupBy("pk", "ck").agg(*aggs)
 
-        out = wide.select(
-            F.col("pk").alias(s.partition_key),
-            *([F.col("ck").alias(s.clustering)] if s.clustering else []),
-            *[c for c in s.regular],
-            *[f"__writetime_{c}" for c in s.regular],
+        out_cols = [F.col("pk").alias(s.partition_key)]
+        ck_arr = F.split("ck", SEP)
+        for i, c in enumerate(s.clustering):
+            out_cols.append(ck_arr[i].cast(s.key_type(c)).alias(c))
+        out_cols += [F.col(c) for c in s.regular]
+
+        if s.static:
+            sw = Window.partitionBy("pk", "col").orderBy(
+                F.col("writetime").desc(), is_tomb.desc(), F.col("seq").desc()
+            )
+            statics = mut.filter(
+                F.col("ck").isNull() & F.col("kind").isin(CELL, CELL_TOMB)
+            )
+            s_live = (
+                statics.withColumn("__rn", F.row_number().over(sw))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col("kind") != CELL_TOMB)
+                .filter(
+                    (F.col("ttl") == 0)
+                    | (F.col("writetime") + F.col("ttl") > F.lit(asof))
+                )
+                .join(F.broadcast(part_tombs), "pk", "left")
+                .filter(
+                    F.col("pt_ts").isNull()
+                    | (F.col("writetime") > F.col("pt_ts"))
+                )
+            )
+            s_aggs = []
+            for c, typ in s.static.items():
+                s_aggs.append(
+                    F.max(F.when(F.col("col") == c, F.col("val")))
+                    .cast(typ).alias(c)
+                )
+                s_aggs.append(
+                    F.max(F.when(F.col("col") == c, F.col("writetime")))
+                    .alias(f"__writetime_{c}")
+                )
+            s_wide = s_live.groupBy("pk").agg(*s_aggs)
+            # static cells alone keep the partition visible: one NULL-ck row
+            lonely = s_wide.join(
+                wide.select("pk").distinct(), "pk", "left_anti"
+            ).withColumn("ck", F.lit(None).cast("string"))
+            wide = wide.join(F.broadcast(s_wide), "pk", "left").unionByName(
+                lonely, allowMissingColumns=True
+            )
+            out_cols += [F.col(c) for c in s.static]
+
+        out_cols += [F.col(f"__writetime_{c}") for c in s.scalar_regular]
+        out_cols += [F.col(f"__writetime_{c}") for c in s.static]
+        return wide.select(*out_cols).orderBy(
+            s.partition_key, *s.clustering
         )
-        return out.orderBy(s.partition_key, *( [s.clustering] if s.clustering else []))
 
     def _counter_snapshot(self) -> DataFrame:
         """Counter reconcile (W6 driven from statement text): a counter cell
@@ -618,18 +1244,32 @@ class CqlTable:
             for c in s.regular
         ]
         wide = live.groupBy("pk", "ck").agg(*aggs)
+        ck_arr = F.split("ck", SEP)
         return wide.select(
             F.col("pk").alias(s.partition_key),
-            *([F.col("ck").alias(s.clustering)] if s.clustering else []),
+            *[
+                ck_arr[i].cast(s.key_type(c)).alias(c)
+                for i, c in enumerate(s.clustering)
+            ],
             *[c for c in s.regular],
-        ).orderBy(s.partition_key, *([s.clustering] if s.clustering else []))
+        ).orderBy(s.partition_key, *s.clustering)
 
     def _empty(self) -> DataFrame:
         s = self.schema
-        fields = [f"{s.partition_key} string"]
-        if s.clustering:
-            fields.append(f"{s.clustering} string")
-        fields += [f"{c} {t}" for c, t in s.regular.items()]
+        fields = [f"{s.partition_key} {s.key_type(s.partition_key)}"]
+        for c in s.clustering:
+            fields.append(f"{c} {s.key_type(c)}")
+        for c, t in s.regular.items():
+            p = parse_coll_type(t)
+            if p is None:
+                fields.append(f"{c} {t}")
+            elif p[0] == "map":
+                fields.append(f"{c} map<{p[1]},{p[2]}>")
+            else:
+                fields.append(f"{c} array<{p[1]}>")
+        for c, t in s.static.items():
+            fields.append(f"{c} {t}")
         if not s.counter:
-            fields += [f"__writetime_{c} long" for c in s.regular]
+            fields += [f"__writetime_{c} long" for c in s.scalar_regular]
+            fields += [f"__writetime_{c} long" for c in s.static]
         return self.spark.createDataFrame([], ", ".join(fields))

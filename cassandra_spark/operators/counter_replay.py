@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_spark.cql_dml import CqlTable, TableSchema
+from cassandra_spark.cql_dml import CqlTable, TableSchema, mut_row
+from cassandra_spark.dml_oracle import _values
 from cassandra_spark.registry import query
 
 COUNTER_SCRIPT: tuple[str, ...] = (
@@ -51,39 +52,26 @@ HITS_SCHEMA = TableSchema(
 )
 
 EXPECTED_LOG: tuple[tuple, ...] = (
-    ("a", "1", "views", "5", "incr", 1, 0, 1),
-    ("a", "1", "views", "3", "incr", 2, 0, 2),
-    ("a", "1", "clicks", "1", "incr", 2, 0, 3),
-    ("a", "2", "views", "7", "incr", 3, 0, 4),
-    ("b", "1", "clicks", "-2", "incr", 4, 0, 5),
-    ("a", "1", "views", None, "cell_tomb", 5, 0, 6),
-    ("a", "1", "views", "11", "incr", 6, 0, 7),
-    ("a", "2", None, None, "row_tomb", 7, 0, 8),
-    ("b", None, None, None, "part_tomb", 8, 0, 9),
-    ("b", "1", "clicks", "9", "incr", 9, 0, 10),
-    ("c", "1", "views", "1", "incr", 10, 0, 11),
-    ("c", "1", "views", "1", "incr", 10, 0, 12),
+    mut_row("a", "1", "views", "5", "incr", 1, 0, 1),
+    mut_row("a", "1", "views", "3", "incr", 2, 0, 2),
+    mut_row("a", "1", "clicks", "1", "incr", 2, 0, 3),
+    mut_row("a", "2", "views", "7", "incr", 3, 0, 4),
+    mut_row("b", "1", "clicks", "-2", "incr", 4, 0, 5),
+    mut_row("a", "1", "views", None, "cell_tomb", 5, 0, 6),
+    mut_row("a", "1", "views", "11", "incr", 6, 0, 7),
+    mut_row("a", "2", None, None, "row_tomb", 7, 0, 8),
+    mut_row("b", None, None, None, "part_tomb", 8, 0, 9),
+    mut_row("b", "1", "clicks", "9", "incr", 9, 0, 10),
+    mut_row("c", "1", "views", "1", "incr", 10, 0, 11),
+    mut_row("c", "1", "views", "1", "incr", 10, 0, 12),
 )
 
 
-def _sql_lit(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, int):
-        return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
-
-
-def _log_values() -> str:
-    return ",\n        ".join(
-        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in EXPECTED_LOG
-    )
-
-
 _ORACLE = f"""
-WITH log(pk, ck, col, val, kind, writetime, ttl, seq) AS (
+WITH log(pk, ck, col, elem, val, kind, writetime, ttl, seq,
+         lo, hi, lo_incl, hi_incl) AS (
     VALUES
-        {_log_values()}
+        {_values(EXPECTED_LOG)}
 ),
 cell_tombs AS (
     SELECT pk, ck, col, max(writetime) AS ct FROM log

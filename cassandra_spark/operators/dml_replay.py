@@ -2,18 +2,21 @@
 oracle gate.
 
 A fixed, deterministic CQL statement script (INSERT / UPDATE / DELETE /
-BATCH / USING TIMESTAMP / USING TTL) runs through :mod:`cassandra_spark.
-cql_dml`; the query returns the reconciled visible table. The oracle is NOT
-a hard-coded answer: it re-derives the result in DuckDB by running the SAME
-LWW reconcile (per-cell window winner → tombstone shadowing → TTL expiry →
+BATCH / USING TIMESTAMP / USING TTL / range DELETE / static columns) runs
+through :mod:`cassandra_spark.cql_dml`; the query returns the reconciled
+visible table. The oracle is NOT a hard-coded answer: it re-derives the
+result in DuckDB by running the SAME LWW reconcile (per-cell window winner
+→ tombstone shadowing incl. range tombstones → TTL expiry → static join →
 wide pivot) over the mutation log the parser provably emits for the script
-(``tests/test_dml_replay.py`` pins log ≡ VALUES literal, so the two engines
-reconcile identical inputs).
+(``tests/test_dml_replay.py`` pins log ≡ VALUES literal, so the two
+engines reconcile identical inputs).
 
 This closes the loop on SURVEY.md §2.9: the W-tier semantics are checked
 not just as batch operators over fixtures but as the product of real
 statement text — reference lifecycle `[C* cql3/statements/
 ModificationStatement → db/Mutation → read-path reconcile, unverified]`.
+Range-tombstone scope per `[C* db/RangeTombstone, unverified]`; static
+cells per `[C* schema/ColumnMetadata#isStatic, unverified]`.
 
 Scale posture: the statement log here is tiny by construction (DML arrives
 row-at-a-time; this query pins semantics, not throughput). The 100 TB form
@@ -27,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_spark.cql_dml import CqlTable, TableSchema
+from cassandra_spark.cql_dml import CqlTable, TableSchema, mut_row
+from cassandra_spark.dml_oracle import dml_oracle_sql
 from cassandra_spark.registry import query
 
 # Deterministic script: every statement either carries USING TIMESTAMP or
@@ -55,102 +59,76 @@ DML_SCRIPT: tuple[str, ...] = (
     "DELETE v FROM kv WHERE pk = 'e' AND ck = '1'",
     "DELETE FROM kv WHERE pk = 'a'",
     "INSERT INTO kv (pk, ck, v, s) VALUES ('a', '3', 12, 'eps')",
+    # --- static cells: partition-scoped, LWW per (pk, col) ----------------
+    "UPDATE kv SET st = 'own-a' WHERE pk = 'a'",
+    # static-only INSERT: the partition is visible with NULL clustering
+    "INSERT INTO kv (pk, st) VALUES ('f', 'own-f')",
+    "UPDATE kv SET st = 'own-b' WHERE pk = 'b'",
+    "DELETE st FROM kv WHERE pk = 'b'",
+    # --- range tombstones: clustering slice deletes -----------------------
+    "INSERT INTO kv (pk, ck, v) VALUES ('g', '1', 71)",
+    "INSERT INTO kv (pk, ck, v) VALUES ('g', '2', 72)",
+    "INSERT INTO kv (pk, ck, v) VALUES ('g', '3', 73)",
+    "DELETE FROM kv WHERE pk = 'g' AND ck >= '2'",
+    # newer write into the deleted slice resurrects that row only
+    "INSERT INTO kv (pk, ck, v) VALUES ('g', '3', 74)",
 )
 
 KV_SCHEMA = TableSchema(
     name="kv", partition_key="pk", clustering="ck",
     regular={"v": "int", "s": "string"},
+    static={"st": "string"},
 )
 
 # The mutation log DML_SCRIPT compiles to (pinned by tests/test_dml_replay.py)
 # — the oracle reconciles exactly these rows in SQL.
 EXPECTED_LOG: tuple[tuple, ...] = (
-    ("a", "1", None, None, "marker", 1, 0, 1),
-    ("a", "1", "v", "10", "cell", 1, 0, 2),
-    ("a", "1", "s", "alpha", "cell", 1, 0, 3),
-    ("a", "2", None, None, "marker", 2, 0, 4),
-    ("a", "2", "v", "20", "cell", 2, 0, 5),
-    ("a", "2", "s", "beta", "cell", 2, 0, 6),
-    ("b", "1", None, None, "marker", 3, 0, 7),
-    ("b", "1", "v", "30", "cell", 3, 0, 8),
-    ("a", "1", "v", "11", "cell", 4, 0, 9),
-    ("a", "1", "v", "99", "cell", 2, 0, 10),
-    ("b", "1", "s", "gamma", "cell", 6, 0, 11),
-    ("c", "1", None, None, "marker", 7, 0, 12),
-    ("c", "1", "v", "40", "cell", 7, 0, 13),
-    ("c", "1", "s", "delta", "cell", 7, 0, 14),
-    ("a", "2", "s", None, "cell_tomb", 8, 0, 15),
-    ("b", "1", None, None, "row_tomb", 9, 0, 16),
-    ("b", "1", "v", "31", "cell", 10, 0, 17),
-    ("c", "1", "v", "77", "cell", 11, 2, 18),
-    ("d", "1", "v", "50", "cell", 12, 0, 19),
-    ("d", "1", "v", None, "cell_tomb", 13, 0, 20),
-    ("e", "1", None, None, "marker", 14, 0, 21),
-    ("e", "1", "v", "60", "cell", 14, 0, 22),
-    ("e", "1", "v", None, "cell_tomb", 15, 0, 23),
-    ("a", None, None, None, "part_tomb", 16, 0, 24),
-    ("a", "3", None, None, "marker", 17, 0, 25),
-    ("a", "3", "v", "12", "cell", 17, 0, 26),
-    ("a", "3", "s", "eps", "cell", 17, 0, 27),
+    mut_row("a", "1", None, None, "marker", 1, 0, 1),
+    mut_row("a", "1", "v", "10", "cell", 1, 0, 2),
+    mut_row("a", "1", "s", "alpha", "cell", 1, 0, 3),
+    mut_row("a", "2", None, None, "marker", 2, 0, 4),
+    mut_row("a", "2", "v", "20", "cell", 2, 0, 5),
+    mut_row("a", "2", "s", "beta", "cell", 2, 0, 6),
+    mut_row("b", "1", None, None, "marker", 3, 0, 7),
+    mut_row("b", "1", "v", "30", "cell", 3, 0, 8),
+    mut_row("a", "1", "v", "11", "cell", 4, 0, 9),
+    mut_row("a", "1", "v", "99", "cell", 2, 0, 10),
+    mut_row("b", "1", "s", "gamma", "cell", 6, 0, 11),
+    mut_row("c", "1", None, None, "marker", 7, 0, 12),
+    mut_row("c", "1", "v", "40", "cell", 7, 0, 13),
+    mut_row("c", "1", "s", "delta", "cell", 7, 0, 14),
+    mut_row("a", "2", "s", None, "cell_tomb", 8, 0, 15),
+    mut_row("b", "1", None, None, "row_tomb", 9, 0, 16),
+    mut_row("b", "1", "v", "31", "cell", 10, 0, 17),
+    mut_row("c", "1", "v", "77", "cell", 11, 2, 18),
+    mut_row("d", "1", "v", "50", "cell", 12, 0, 19),
+    mut_row("d", "1", "v", None, "cell_tomb", 13, 0, 20),
+    mut_row("e", "1", None, None, "marker", 14, 0, 21),
+    mut_row("e", "1", "v", "60", "cell", 14, 0, 22),
+    mut_row("e", "1", "v", None, "cell_tomb", 15, 0, 23),
+    mut_row("a", None, None, None, "part_tomb", 16, 0, 24),
+    mut_row("a", "3", None, None, "marker", 17, 0, 25),
+    mut_row("a", "3", "v", "12", "cell", 17, 0, 26),
+    mut_row("a", "3", "s", "eps", "cell", 17, 0, 27),
+    mut_row("a", None, "st", "own-a", "cell", 18, 0, 28),
+    mut_row("f", None, "st", "own-f", "cell", 19, 0, 29),
+    mut_row("b", None, "st", "own-b", "cell", 20, 0, 30),
+    mut_row("b", None, "st", None, "cell_tomb", 21, 0, 31),
+    mut_row("g", "1", None, None, "marker", 22, 0, 32),
+    mut_row("g", "1", "v", "71", "cell", 22, 0, 33),
+    mut_row("g", "2", None, None, "marker", 23, 0, 34),
+    mut_row("g", "2", "v", "72", "cell", 23, 0, 35),
+    mut_row("g", "3", None, None, "marker", 24, 0, 36),
+    mut_row("g", "3", "v", "73", "cell", 24, 0, 37),
+    mut_row("g", "", None, None, "range_tomb", 25, 0, 38,
+            lo="2", hi=None, lo_incl=True, hi_incl=False),
+    mut_row("g", "3", None, None, "marker", 26, 0, 39),
+    mut_row("g", "3", "v", "74", "cell", 26, 0, 40),
 )
 
-ASOF = 18  # default snapshot horizon: max writetime + 1
+ASOF = 27  # default snapshot horizon: max writetime + 1
 
-
-def _sql_lit(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, int):
-        return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
-
-
-def kv_lww_oracle(log: tuple, asof: int) -> str:
-    """DuckDB LWW reconcile over a pinned kv-schema mutation log: window
-    winner per (pk, ck, col) with tombstone-beats-write-then-seq tie order,
-    row/partition tombstone shadowing, TTL horizon, then the wide pivot.
-    Shared by w9 (unconditional DML) and w12 (LWT) — both replay onto the
-    same kv table shape."""
-    values = ",\n        ".join(
-        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in log
-    )
-    return f"""
-WITH log(pk, ck, col, val, kind, writetime, ttl, seq) AS (
-    VALUES
-        {values}
-),
-part_tombs AS (
-    SELECT pk, max(writetime) AS pt FROM log
-    WHERE kind = 'part_tomb' GROUP BY pk
-),
-row_tombs AS (
-    SELECT pk, ck, max(writetime) AS rt FROM log
-    WHERE kind = 'row_tomb' GROUP BY pk, ck
-),
-winners AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY pk, ck, col
-        ORDER BY writetime DESC, (kind = 'cell_tomb') DESC, seq DESC
-    ) AS rn
-    FROM log WHERE kind IN ('cell', 'marker', 'cell_tomb')
-),
-live AS (
-    SELECT w.* FROM winners w
-    LEFT JOIN part_tombs p ON w.pk = p.pk
-    LEFT JOIN row_tombs r ON w.pk = r.pk AND w.ck = r.ck
-    WHERE w.rn = 1 AND w.kind <> 'cell_tomb'
-      AND (w.ttl = 0 OR w.writetime + w.ttl > {asof})
-      AND (p.pt IS NULL OR w.writetime > p.pt)
-      AND (r.rt IS NULL OR w.writetime > r.rt)
-)
-SELECT pk, ck,
-    CAST(max(CASE WHEN col = 'v' THEN val END) AS INTEGER) AS v,
-    max(CASE WHEN col = 's' THEN val END) AS s
-FROM live GROUP BY pk, ck
-"""
-
-
-_ORACLE = kv_lww_oracle(EXPECTED_LOG, ASOF)
+_ORACLE = dml_oracle_sql(KV_SCHEMA, EXPECTED_LOG, ASOF)
 
 
 @query("w9_dml_replay", oracle=_ORACLE)
@@ -160,4 +138,4 @@ def w9_dml_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = CqlTable(spark, KV_SCHEMA)
     for stmt in DML_SCRIPT:
         table.execute(stmt)
-    return table.snapshot().select("pk", "ck", "v", "s")
+    return table.snapshot().select("pk", "ck", "v", "s", "st")

@@ -27,8 +27,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_spark.cql_dml import CqlTable, TableSchema
-from cassandra_spark.operators.dml_replay import KV_SCHEMA, kv_lww_oracle
+from cassandra_spark.cql_dml import CqlTable, TableSchema, mut_row
+from cassandra_spark.dml_oracle import dml_oracle_sql
+from cassandra_spark.operators.dml_replay import KV_SCHEMA
 from cassandra_spark.registry import query
 
 # Each entry: (statement, expected [applied] flag; None = unconditional).
@@ -77,30 +78,30 @@ LWT_SCRIPT: tuple[tuple[str, bool | None], ...] = (
 # The mutation log LWT_SCRIPT compiles to (pinned by tests/test_lwt_replay.py)
 # — only the applied statements appear; rejected ones left no rows.
 EXPECTED_LOG: tuple[tuple, ...] = (
-    ("a", "1", None, None, "marker", 1, 0, 1),
-    ("a", "1", "v", "10", "cell", 1, 0, 2),
-    ("a", "1", "s", "one", "cell", 1, 0, 3),
-    ("a", "1", "v", "11", "cell", 3, 0, 4),
-    ("b", "1", "v", "20", "cell", 6, 0, 5),
-    ("b", "1", "s", "set-on-null", "cell", 7, 0, 6),
-    ("b", "1", None, None, "row_tomb", 8, 0, 7),
-    ("b", "1", None, None, "marker", 9, 0, 8),
-    ("b", "1", "v", "30", "cell", 9, 0, 9),
-    ("c", "1", "s", "fleeting", "cell", 10, 1, 10),
-    ("a", "1", "v", "100", "cell", 12, 0, 11),
-    ("a", "2", "s", "batch", "cell", 12, 0, 12),
-    ("a", "1", "v", "21", "cell", 14, 0, 13),
-    ("a", "1", "s", None, "cell_tomb", 15, 0, 14),
+    mut_row("a", "1", None, None, "marker", 1, 0, 1),
+    mut_row("a", "1", "v", "10", "cell", 1, 0, 2),
+    mut_row("a", "1", "s", "one", "cell", 1, 0, 3),
+    mut_row("a", "1", "v", "11", "cell", 3, 0, 4),
+    mut_row("b", "1", "v", "20", "cell", 6, 0, 5),
+    mut_row("b", "1", "s", "set-on-null", "cell", 7, 0, 6),
+    mut_row("b", "1", None, None, "row_tomb", 8, 0, 7),
+    mut_row("b", "1", None, None, "marker", 9, 0, 8),
+    mut_row("b", "1", "v", "30", "cell", 9, 0, 9),
+    mut_row("c", "1", "s", "fleeting", "cell", 10, 1, 10),
+    mut_row("a", "1", "v", "100", "cell", 12, 0, 11),
+    mut_row("a", "2", "s", "batch", "cell", 12, 0, 12),
+    mut_row("a", "1", "v", "21", "cell", 14, 0, 13),
+    mut_row("a", "1", "s", None, "cell_tomb", 15, 0, 14),
 )
 
 ASOF = 16  # max writetime + 1
 
 
-@query("w12_lwt_replay", oracle=kv_lww_oracle(EXPECTED_LOG, ASOF))
+@query("w12_lwt_replay", oracle=dml_oracle_sql(KV_SCHEMA, EXPECTED_LOG, ASOF))
 def w12_lwt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay LWT_SCRIPT through the conditional DML path; return the
     visible table (fixture-independent)."""
     table = CqlTable(spark, KV_SCHEMA)
     for stmt, _expected in LWT_SCRIPT:
         table.execute(stmt)
-    return table.snapshot().select("pk", "ck", "v", "s")
+    return table.snapshot().select("pk", "ck", "v", "s", "st")

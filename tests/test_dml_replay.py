@@ -18,17 +18,24 @@ def test_script_compiles_to_pinned_log(spark):
     for stmt in DML_SCRIPT:
         table.execute(stmt)
     assert tuple(table._log) == EXPECTED_LOG
-    assert max(r[5] for r in table._log) + 1 == ASOF
+    assert max(r[6] for r in table._log) + 1 == ASOF
 
 
 def test_replay_visible_rows(spark):
     got = {
-        (r.pk, r.ck): (r.v, r.s)
+        (r.pk, r.ck): (r.v, r.s, r.st)
         for r in w9_dml_replay(spark, "unused").collect()
     }
     assert got == {
-        ("a", "3"): (12, "eps"),   # partition tombstone then resurrect
-        ("b", "1"): (31, None),    # row tombstone shadows older cells only
-        ("c", "1"): (None, "delta"),  # TTL'd winner expired — no resurrect
-        ("e", "1"): (None, None),  # INSERT marker outlives its cells
+        # partition tombstone then resurrect; static written after the tomb
+        ("a", "3"): (12, "eps", "own-a"),
+        # row tombstone shadows older cells only; static written then deleted
+        ("b", "1"): (31, None, None),
+        ("c", "1"): (None, "delta", None),  # TTL'd winner expired — no resurrect
+        ("e", "1"): (None, None, None),  # INSERT marker outlives its cells
+        # static-only partition: one NULL-clustering row
+        ("f", None): (None, None, "own-f"),
+        ("g", "1"): (71, None, None),   # below the range tombstone's slice
+        # in the deleted slice, but written after the range tombstone
+        ("g", "3"): (74, None, None),
     }
