@@ -61,6 +61,7 @@ class _Stmt:
     distinct: bool = False
     group_by: list[str] | None = None
     ann: tuple[str, str] | None = None  # (column, "[v1, v2, ...]")
+    json: bool = False  # SELECT JSON: one '[json]' column per row
 
 
 _SELECT_RE = re.compile(
@@ -107,8 +108,10 @@ def _parse(stmt: str) -> _Stmt:
         group_by = [c.strip().lower() for c in m.group("group").split(",")]
         if not all(re.fullmatch(r"\w+", c) for c in group_by):
             raise CQLError(f"bad GROUP BY clause: {m.group('group')!r}")
+    proj = m.group("proj").strip()
+    jm = re.match(r"^JSON\s+(.+)$", proj, re.IGNORECASE | re.DOTALL)
     return _Stmt(
-        projection=m.group("proj").strip(),
+        projection=jm.group(1).strip() if jm else proj,
         table=m.group("table").lower(),
         where=m.group("where"),
         order_by=order,
@@ -120,6 +123,7 @@ def _parse(stmt: str) -> _Stmt:
         distinct=bool(m.group("distinct")),
         group_by=group_by,
         ann=ann,
+        json=bool(jm),
     )
 
 
@@ -177,6 +181,59 @@ def _split_projection(proj: str) -> list[str]:
 
 
 _AGG_RE = re.compile(rf"^({'|'.join(AGG_FNS)})\s*\(", re.IGNORECASE)
+
+_SELECTOR_RE = re.compile(
+    r"^(writetime|ttl)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_selectors(items, df, meta, table):
+    """WRITETIME(col) / TTL(col) selectors (`[C* cql3/selection/
+    WritetimeOrTTLSelector]`, unverified) → projections of the §1.2
+    ``__writetime_<col>`` / ``__ttl_<col>`` shadow columns, which carriers
+    of real cell metadata (a Cassandra connector source, the DML snapshot)
+    produce natively and the events fixture synthesizes (ts → writetime,
+    constant TTL). Default output names: ``writetime_<col>`` / ``ttl_<col>``."""
+    needed = [_SELECTOR_RE.match(i) for i in items]
+    if not any(needed):
+        return items, df
+    key_cols = set(meta.partition_key) | set(meta.clustering_cols)
+    have = {c.lower() for c in df.columns}
+    if not any(c.startswith("__writetime_") for c in have) and table == "events":
+        from cassandra_spark.operators.functions import with_cell_metadata
+
+        df = with_cell_metadata(df)
+        have = {c.lower() for c in df.columns}
+    out = []
+    for item, sm in zip(items, needed):
+        if sm is None:
+            out.append(item)
+            continue
+        fn, col, alias = sm.group(1).lower(), sm.group(2).lower(), sm.group(3)
+        if col in key_cols:
+            raise CQLError(
+                f"Cannot use selection function {fn} on PRIMARY KEY part {col}"
+            )
+        shadow = f"__{'writetime' if fn == 'writetime' else 'ttl'}_{col}"
+        if shadow not in have:
+            raise CQLError(
+                f"{fn}() is not available for column {col!r}: the source "
+                f"carries no cell metadata for it"
+            )
+        out.append(f"{shadow} AS {alias or f'{fn}_{col}'}")
+    return out, df
+
+
+def _to_json_row(df: DataFrame) -> DataFrame:
+    """SELECT JSON (`[C* cql3/Json]`, unverified): one '[json]' column per
+    row — compact rendering, null fields INCLUDED (the reference emits
+    them), field order = selection order."""
+    return df.select(
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "false"}
+        ).alias("[json]")
+    )
 
 
 def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
@@ -307,6 +364,8 @@ def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
                 "columns"
             )
         df = df.select(*items).distinct()
+        if s.json:
+            df = _to_json_row(df)
         return df.limit(s.limit) if s.limit is not None else df
 
     if s.ann:
@@ -317,7 +376,7 @@ def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
         proj = s.projection.strip()
         if proj != "*":
             df = df.selectExpr(*[p.strip() for p in _split_projection(proj)])
-        return df
+        return _to_json_row(df) if s.json else df
 
     if s.group_by is not None:
         df = _compile_group_by(df, meta, s)
@@ -328,6 +387,8 @@ def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
                     for c, desc in s.order_by
                 ]
             )
+        if s.json:
+            df = _to_json_row(df)
         return df.limit(s.limit) if s.limit is not None else df
 
     if s.order_by:
@@ -357,7 +418,11 @@ def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
 
     proj = s.projection.strip()
     if proj != "*":
-        df = df.selectExpr(*[p.strip() for p in proj.split(",")])
+        items = [p.strip() for p in _split_projection(proj)]
+        items, df = _rewrite_selectors(items, df, meta, s.table)
+        df = df.selectExpr(*items)
+    if s.json:
+        df = _to_json_row(df)
 
     if s.limit is not None:
         df = df.limit(s.limit)

@@ -153,3 +153,47 @@ def cql6_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
         f"[{_ANN_V}] LIMIT 10",
     )
+
+
+@query(
+    "cql7_writetime_ttl",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) AS wt,
+           CAST(2592000 AS INTEGER) AS ttl_s
+    FROM events WHERE user_id < 5
+    """,
+)
+def cql7_writetime_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITETIME()/TTL() selectors through the CQL front-end (`[C* cql3/
+    selection/WritetimeOrTTLSelector]`, unverified): the literal statement
+    text projects the SURVEY §1.2 shadow columns the events fixture
+    synthesizes (ts → writetime µs, 30-day TTL = 2592000 s). Same plumbing
+    f2_writetime_ttl proves for the DataFrame form."""
+    return cql_select(
+        spark,
+        sf_dir,
+        "SELECT event_id, user_id, WRITETIME(value) AS wt, "
+        "TTL(value) AS ttl_s FROM events WHERE user_id < 5",
+    )
+
+
+@query(
+    "cql8_select_json",
+    oracle="""
+    SELECT '{"event_id":' || event_id || ',"event_type":"' || event_type
+             || '","user_id":' || user_id || '}' AS "[json]"
+    FROM events WHERE user_id = 7
+    """,
+)
+def cql8_select_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT JSON through the CQL front-end (`[C* cql3/Json]`, unverified):
+    every row renders as one '[json]' column (compact JSON, field order =
+    selection order, null fields included). The oracle concatenates the
+    identical string — integer/string columns only, engine-independent."""
+    return cql_select(
+        spark,
+        sf_dir,
+        "SELECT JSON event_id, event_type, user_id FROM events "
+        "WHERE user_id = 7",
+    )

@@ -201,3 +201,44 @@ def test_ann_matches_exact_cosine(spark):
         if s > best_s:
             best, best_s = r.vec_id, s
     assert top[0].vec_id == best
+
+
+def test_writetime_ttl_selectors(spark):
+    rows = q(
+        spark,
+        "SELECT event_id, WRITETIME(value), TTL(value) FROM events "
+        "WHERE user_id = 3",
+    ).collect()
+    assert rows
+    assert set(rows[0].asDict()) == {"event_id", "writetime_value", "ttl_value"}
+    assert all(r.ttl_value == 30 * 24 * 3600 for r in rows)
+    # writetime is the µs epoch of ts (fixture synthesis)
+    assert all(r.writetime_value > 10**15 for r in rows)
+
+
+def test_writetime_on_key_column_rejected(spark):
+    with pytest.raises(CQLError, match="PRIMARY KEY part"):
+        q(spark, "SELECT WRITETIME(user_id) FROM events WHERE user_id = 3")
+
+
+def test_writetime_without_cell_metadata_rejected(spark):
+    # orders carries no cell metadata and no synthesis exists for it
+    with pytest.raises(CQLError, match="no cell metadata"):
+        q(spark, "SELECT WRITETIME(o_totalprice) FROM orders WHERE o_custkey = 7")
+
+
+def test_select_json_shape_and_nulls(spark):
+    rows = q(
+        spark,
+        "SELECT JSON event_id, user_id FROM events WHERE user_id = 3 LIMIT 2",
+    ).collect()
+    assert rows and list(rows[0].asDict()) == ["[json]"]
+    assert rows[0]["[json]"].startswith('{"event_id":')
+
+
+def test_select_json_star(spark):
+    rows = q(
+        spark, "SELECT JSON * FROM region"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["[json]"].startswith('{"r_regionkey":') for r in rows)
