@@ -84,3 +84,19 @@ def test_percentile_approx_bounds(spark):
         F.percentile("l_quantity", F.lit(0.5)).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 1.0
+
+
+def test_release_caches_unpins_all_blocks(spark):
+    """Persist hygiene: the persist-barrier blocks query constructors pin
+    (llm_dedup/llm_vectors) must all drop on registry.release_caches —
+    after a sweep the session holds zero cached RDD blocks."""
+    from cassandra_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    for name in ("l2b_simhash", "l3b_lsh_ann"):
+        registry.QUERIES[name](spark, SF_SMOKE).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) > 0  # barriers really persisted
+    registry.release_caches(spark)
+    assert len(jsc.getRDDStorageInfo()) == 0

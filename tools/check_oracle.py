@@ -97,6 +97,10 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
+    # drop the persist-barrier blocks the query constructors pinned
+    from cassandra_spark import registry
+
+    registry.release_caches(spark)
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0
 
