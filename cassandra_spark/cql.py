@@ -328,15 +328,25 @@ def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     )
 
 
-def cql_select(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
-    """Compile one CQL SELECT into a DataFrame plan."""
+def cql_select(
+    spark: SparkSession, sf_dir: str, stmt: str, tables=None
+) -> DataFrame:
+    """Compile one CQL SELECT into a DataFrame plan.
+
+    ``tables`` optionally maps table name → (DataFrame, meta) and takes
+    precedence over the parquet catalog — this is how CqlSession points
+    SELECT at the visible snapshot of a DML-written table (whose
+    __writetime_ shadow columns make WRITETIME()/TTL() selectors real)."""
     s = _parse(stmt)
-    cat = Catalog(spark, sf_dir)
-    try:
-        meta = cat.meta(s.table)
-    except KeyError:
-        raise CQLError(f"unconfigured table {s.table}") from None
-    df = cat.table(s.table)
+    if tables and s.table in tables:
+        df, meta = tables[s.table]
+    else:
+        cat = Catalog(spark, sf_dir)
+        try:
+            meta = cat.meta(s.table)
+        except KeyError:
+            raise CQLError(f"unconfigured table {s.table}") from None
+        df = cat.table(s.table)
     columns = {c.lower() for c in df.columns}
     key_cols = set(meta.partition_key) | set(meta.clustering_cols)
 

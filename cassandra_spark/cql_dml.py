@@ -187,6 +187,13 @@ _INSERT_RE = re.compile(
     r"(?:USING\s+(?P<using>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_JSON_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+JSON\s+'(?P<json>(?:[^']|'')*)'"
+    r"\s*(?:DEFAULT\s+(?P<dflt>UNSET|NULL)\s*)?"
+    r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s*)?"
+    r"(?:USING\s+(?P<using>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s*(?:USING\s+(?P<using>.+?)\s+)?"
     r"SET\s+(?P<set>.+?)\s+WHERE\s+(?P<where>.+?)"
@@ -397,6 +404,8 @@ class CqlTable:
     def _match(self, stmt: str):
         for regex, handler in (
             (_INSERT_RE, self._insert),
+            (_INSERT_JSON_RE, self._insert),  # same handler: only the
+            # column/value extraction differs (see _insert_pairs)
             (_UPDATE_RE, self._update),
             (_DELETE_RE, self._delete),
         ):
@@ -432,15 +441,73 @@ class CqlTable:
             )
 
     def _insert_pairs(self, m: re.Match):
+        if "json" in m.re.groupindex:
+            return self._json_pairs(m)
         cols = [c.strip().lower() for c in m.group("cols").split(",")]
         vals = [_parse_value(v) for v in _split_csv(m.group("vals"))]
         if len(cols) != len(vals):
             raise CQLError("INSERT column/value count mismatch")
         return dict(zip(cols, vals))
 
+    def _json_pairs(self, m: re.Match):
+        """INSERT JSON document → the same parsed-pairs shape the VALUES
+        form produces; ``DEFAULT NULL`` adds explicit nulls (→ tombstones)
+        for omitted regular/static columns, ``DEFAULT UNSET`` (the
+        reference's default) leaves them untouched."""
+        import json as _json
+
+        s = self.schema
+        try:
+            doc = _json.loads(m.group("json").replace("''", "'"))
+        except ValueError as ex:
+            raise CQLError(f"bad JSON document: {ex}") from None
+        if not isinstance(doc, dict):
+            raise CQLError("INSERT JSON requires a JSON object")
+        pairs = {}
+        for k, v in doc.items():
+            c = k.lower()
+            pairs[c] = self._json_value(c, v)
+        if (m.group("dflt") or "UNSET").upper() == "NULL":
+            # pinned: DEFAULT NULL tombstones omitted REGULAR columns only;
+            # statics are partition-scoped and not implicitly deleted by a
+            # row insert
+            for c in s.regular:
+                pairs.setdefault(c, ("scalar", None))
+        return pairs
+
+    def _json_value(self, col: str, v):
+        """One JSON value → the ('scalar'|'list'|'set'|'map', payload)
+        shape, canonicalized to the log's string forms."""
+        s = self.schema
+
+        def canon(x):
+            if x is None:
+                return None
+            if isinstance(x, bool):
+                return "true" if x else "false"
+            if isinstance(x, (int, float)):
+                return repr(x) if isinstance(x, float) else str(x)
+            if isinstance(x, str):
+                return x
+            raise CQLError(f"unsupported JSON value for {col!r}: {x!r}")
+
+        coll = s.coll_regular.get(col)
+        if coll is None:
+            return "scalar", canon(v)
+        ckind = coll[0]
+        if v is None:
+            return "scalar", None
+        if ckind in ("list", "set"):
+            if not isinstance(v, list):
+                raise CQLError(f"{ckind} column {col!r} needs a JSON array")
+            return ckind, [canon(x) for x in v]
+        if not isinstance(v, dict):
+            raise CQLError(f"map column {col!r} needs a JSON object")
+        return "map", [(canon(k), canon(x)) for k, x in v.items()]
+
     def _stmt_eq_pairs(self, m: re.Match) -> dict[str, str | None]:
         """Key equalities of a statement (INSERT column list or WHERE)."""
-        if "vals" in m.re.groupindex:  # an INSERT match
+        if "vals" in m.re.groupindex or "json" in m.re.groupindex:
             pairs = self._insert_pairs(m)
             out = {}
             for c in self.schema.key_cols:
@@ -472,7 +539,7 @@ class CqlTable:
         """True when every written/deleted column is static (the reference
         allows pk-only conditional statements on statics)."""
         s = self.schema
-        if "vals" in m.re.groupindex:
+        if "vals" in m.re.groupindex or "json" in m.re.groupindex:
             pairs = self._insert_pairs(m)
             cols = [c for c in pairs if c not in s.key_cols]
         elif "set" in m.re.groupindex and m.group("set"):

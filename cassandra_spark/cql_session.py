@@ -1,0 +1,275 @@
+"""CqlSession: one CQL endpoint over the whole engine.
+
+A user of the reference talks to a session: DDL declares tables, DML
+mutates them, SELECT reads them. This module stitches the engine's three
+front-ends into that single surface:
+
+- ``CREATE TABLE`` (subset: single partition-key column, composite
+  clustering, STATIC columns, collection types, counter tables) compiles
+  to a :class:`cassandra_spark.cql_dml.TableSchema`;
+- INSERT / UPDATE / DELETE / BATCH route to the table's
+  :class:`~cassandra_spark.cql_dml.CqlTable` mutation log (LWT flags
+  returned as in the reference);
+- SELECT compiles through :func:`cassandra_spark.cql.cql_select`, reading
+  EITHER a session-created table's visible snapshot (whose native
+  ``__writetime_*`` shadow columns make ``WRITETIME()``/``TTL()``
+  selectors real data, not synthesis) OR the parquet fixture catalog.
+
+Statement lifecycle mirrors SURVEY.md §3.1 entry points 1+2 with Catalyst
+as the entire back half — parse/validate here, plan/optimize/execute in
+Spark.
+
+Scale posture: the session object holds only schemas and driver-side
+mutation logs (inherently row-at-a-time arrivals); every read plan is
+distributed. A 100 TB deployment swaps the log for a stream + compacted
+table (streaming/jobs.py, operators/compaction.py) behind the same
+surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_spark.catalog import TableMeta
+from cassandra_spark.cql import CQLError, cql_select
+from cassandra_spark.cql_dml import CqlTable, TableSchema, parse_coll_type
+
+# CQL type → engine (Spark-cast) type. Keys/values of collections map the
+# same way. blob arrives as its hex/string form (documented simplification:
+# the mutation log carries canonical strings).
+_CQL_TYPES = {
+    "ascii": "string",
+    "text": "string",
+    "varchar": "string",
+    "uuid": "string",
+    "timeuuid": "string",
+    "inet": "string",
+    "blob": "string",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "int",
+    "bigint": "bigint",
+    "varint": "decimal(38,0)",
+    "counter": "bigint",
+    "float": "float",
+    "double": "double",
+    "decimal": "decimal(38,18)",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _map_type(cql_type: str) -> str:
+    t = cql_type.strip().lower()
+    t = re.sub(r"^frozen\s*<(.+)>$", r"\1", t).strip()  # frozen-ness: none
+    m = re.fullmatch(r"(list|set|map)\s*<(.+)>", t)
+    if m:
+        inner = _split_generics(m.group(2))
+        mapped = ", ".join(_map_type(i) for i in inner)
+        return f"{m.group(1)}<{mapped}>"
+    if t not in _CQL_TYPES:
+        raise CQLError(f"unsupported CQL type {cql_type!r}")
+    return _CQL_TYPES[t]
+
+
+def _split_generics(text: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    out.append("".join(cur))
+    return [t.strip() for t in out if t.strip()]
+
+
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _create_parts(stmt: str):
+    """(name, body) with the column list extracted by balanced-paren scan —
+    a greedy regex would swallow the WITH clause's parentheses."""
+    hm = _CREATE_HEAD_RE.match(stmt)
+    if not hm:
+        return None
+    depth, start = 1, hm.end()
+    for i in range(start, len(stmt)):
+        if stmt[i] == "(":
+            depth += 1
+        elif stmt[i] == ")":
+            depth -= 1
+            if depth == 0:
+                rest = stmt[i + 1 :].strip().rstrip(";").strip()
+                if rest and not re.match(r"^WITH\b", rest, re.IGNORECASE):
+                    return None
+                return hm.group("name").lower(), stmt[start:i]
+    return None
+
+
+def parse_create_table(stmt: str) -> TableSchema:
+    """CREATE TABLE subset → TableSchema. Single partition-key column
+    (composite partition keys are rejected — the mutation-log model keys
+    on one pk string), composite clustering, STATIC columns, collections,
+    counter tables (any counter column makes the table counter-only)."""
+    parts = _create_parts(stmt)
+    if not parts:
+        raise CQLError(f"unsupported or malformed CREATE TABLE: {stmt!r}")
+    name, body = parts
+    cols: dict[str, str] = {}
+    statics: set[str] = set()
+    inline_pk: str | None = None
+    pk_spec: str | None = None
+    for item in _split_generics(body):
+        pk_m = re.fullmatch(
+            r"PRIMARY\s+KEY\s*\((?P<spec>.+)\)", item, re.IGNORECASE | re.DOTALL
+        )
+        if pk_m:
+            if pk_spec is not None:
+                raise CQLError("duplicate PRIMARY KEY specification")
+            pk_spec = pk_m.group("spec")
+            continue
+        cm = re.fullmatch(
+            r"(?P<col>\w+)\s+(?P<type>.+?)"
+            r"(?P<static>\s+STATIC)?(?P<inline>\s+PRIMARY\s+KEY)?",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise CQLError(f"bad column definition: {item!r}")
+        col = cm.group("col").lower()
+        cols[col] = cm.group("type").strip()
+        if cm.group("static"):
+            statics.add(col)
+        if cm.group("inline"):
+            if inline_pk is not None:
+                raise CQLError("duplicate inline PRIMARY KEY")
+            inline_pk = col
+
+    if pk_spec is not None and inline_pk is not None:
+        raise CQLError("PRIMARY KEY declared twice")
+    if pk_spec is None and inline_pk is None:
+        raise CQLError("missing PRIMARY KEY")
+    if pk_spec is not None:
+        parts = _split_generics(pk_spec)
+        first = parts[0]
+        if first.startswith("("):
+            inner = _split_generics(first[1:-1])
+            if len(inner) != 1:
+                raise CQLError(
+                    "composite partition keys are not supported by the "
+                    "DML front-end (single pk column; model composites as "
+                    "one concatenated column)"
+                )
+            pk = inner[0].lower()
+        else:
+            pk = first.lower()
+        clustering = tuple(p.lower() for p in parts[1:])
+    else:
+        pk, clustering = inline_pk, ()
+
+    for c in (pk, *clustering):
+        if c not in cols:
+            raise CQLError(f"PRIMARY KEY column {c!r} is not declared")
+    key_types = {
+        c: _map_type(cols[c]) for c in (pk, *clustering)
+    }
+    for c, t in key_types.items():
+        if parse_coll_type(t):
+            raise CQLError(f"key column {c!r} cannot be a collection")
+    regular = {}
+    static = {}
+    counter_cols = 0
+    for c, t in cols.items():
+        if c == pk or c in clustering:
+            continue
+        mapped = _map_type(t)
+        if t.strip().lower() == "counter":
+            counter_cols += 1
+        if c in statics:
+            static[c] = mapped
+        else:
+            regular[c] = mapped
+    if counter_cols and counter_cols != len(regular):
+        raise CQLError(
+            "counter tables must have only counter regular columns"
+        )
+    return TableSchema(
+        name=name,
+        partition_key=pk,
+        clustering=clustering,
+        regular=regular,
+        counter=bool(counter_cols),
+        static=static,
+        key_types=key_types,
+    )
+
+
+_DML_TABLE_RE = re.compile(
+    r"\b(?:INSERT\s+INTO|UPDATE|DELETE(?:\s+[^;]*?)?\s+FROM)\s+(\w+)",
+    re.IGNORECASE,
+)
+
+
+class CqlSession:
+    """DDL + DML + SELECT behind one ``execute()`` — the engine's session
+    surface. SELECT returns a DataFrame; conditional DML returns the LWT
+    ``[applied]`` flag; everything else returns None."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables: dict[str, CqlTable] = {}
+
+    def create_table(self, schema: TableSchema) -> CqlTable:
+        if schema.name in self.tables:
+            raise CQLError(f"table {schema.name!r} already exists")
+        t = CqlTable(self.spark, schema)
+        self.tables[schema.name] = t
+        return t
+
+    def table(self, name: str) -> CqlTable:
+        try:
+            return self.tables[name.lower()]
+        except KeyError:
+            raise CQLError(f"unknown table {name!r}") from None
+
+    def _meta(self, schema: TableSchema) -> TableMeta:
+        return TableMeta(
+            name=schema.name,
+            partition_key=(schema.partition_key,),
+            clustering=tuple(schema.clustering),
+        )
+
+    def execute(self, stmt: str) -> DataFrame | bool | None:
+        head = stmt.lstrip()[:12].upper()
+        if head.startswith("CREATE"):
+            schema = parse_create_table(stmt)
+            if re.match(
+                r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
+            ) and schema.name in self.tables:
+                return None
+            self.create_table(schema)
+            return None
+        if head.startswith("SELECT"):
+            snapshots = {
+                name: (t.snapshot(), self._meta(t.schema))
+                for name, t in self.tables.items()
+            }
+            return cql_select(
+                self.spark, self.sf_dir, stmt, tables=snapshots
+            )
+        tm = _DML_TABLE_RE.search(stmt)
+        if not tm:
+            raise CQLError(f"unsupported statement: {stmt!r}")
+        return self.table(tm.group(1)).execute(stmt)

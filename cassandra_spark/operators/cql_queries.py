@@ -197,3 +197,75 @@ def cql8_select_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT JSON event_id, event_type, user_id FROM events "
         "WHERE user_id = 7",
     )
+
+
+# --- cql9: the full session lifecycle (DDL → DML → SELECT) ----------------
+
+from cassandra_spark.cql_dml import mut_row  # noqa: E402
+from cassandra_spark.cql_session import CqlSession, parse_create_table  # noqa: E402
+from cassandra_spark.dml_oracle import dml_oracle_sql  # noqa: E402
+
+SESSION_DDL = (
+    "CREATE TABLE msgs (room text, posted int, author text, body text, "
+    "PRIMARY KEY (room, posted))"
+)
+SESSION_DML: tuple[str, ...] = (
+    "INSERT INTO msgs (room, posted, author, body) VALUES "
+    "('dev', 1, 'ana', 'hello')",
+    "INSERT INTO msgs (room, posted, author, body) VALUES "
+    "('dev', 2, 'bo', 'hey')",
+    "INSERT INTO msgs (room, posted, author, body) VALUES "
+    "('ops', 1, 'cy', 'page')",
+    "INSERT INTO msgs (room, posted, author) VALUES ('dev', 3, 'dee')",
+    "UPDATE msgs SET body = 'hello!' WHERE room = 'dev' AND posted = 1",
+    "DELETE body FROM msgs WHERE room = 'dev' AND posted = 2",
+    "DELETE FROM msgs WHERE room = 'dev' AND posted >= 3",
+)
+SESSION_SELECT = (
+    "SELECT posted, author, body FROM msgs WHERE room = 'dev' "
+    "ORDER BY posted ASC"
+)
+
+# pinned log (asserted in tests/test_cql_session.py)
+SESSION_LOG: tuple[tuple, ...] = (
+    mut_row('dev', '1', None, None, 'marker', 1, 0, 1),
+    mut_row('dev', '1', 'author', 'ana', 'cell', 1, 0, 2),
+    mut_row('dev', '1', 'body', 'hello', 'cell', 1, 0, 3),
+    mut_row('dev', '2', None, None, 'marker', 2, 0, 4),
+    mut_row('dev', '2', 'author', 'bo', 'cell', 2, 0, 5),
+    mut_row('dev', '2', 'body', 'hey', 'cell', 2, 0, 6),
+    mut_row('ops', '1', None, None, 'marker', 3, 0, 7),
+    mut_row('ops', '1', 'author', 'cy', 'cell', 3, 0, 8),
+    mut_row('ops', '1', 'body', 'page', 'cell', 3, 0, 9),
+    mut_row('dev', '3', None, None, 'marker', 4, 0, 10),
+    mut_row('dev', '3', 'author', 'dee', 'cell', 4, 0, 11),
+    mut_row('dev', '1', 'body', 'hello!', 'cell', 5, 0, 12),
+    mut_row('dev', '2', 'body', None, 'cell_tomb', 6, 0, 13),
+    mut_row('dev', '', None, None, 'range_tomb', 7, 0, 14,
+            lo='3', hi=None, lo_incl=True, hi_incl=False),
+)
+SESSION_ASOF = 8
+
+_SESSION_SCHEMA = parse_create_table(SESSION_DDL)
+
+
+@query(
+    "cql9_session",
+    oracle=f"""
+    SELECT posted, author, body
+    FROM ({dml_oracle_sql(_SESSION_SCHEMA, SESSION_LOG, SESSION_ASOF)})
+    WHERE room = 'dev'
+    """,
+)
+def cql9_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full session lifecycle through one endpoint: CREATE TABLE →
+    INSERT/UPDATE/DELETE (incl. a range delete) → SELECT with a partition
+    restriction and clustering order, read back from the visible snapshot.
+    The oracle reconciles the pinned mutation log (≡ parser output) and
+    applies the same restriction — DDL, write path, and read path checked
+    as one pipeline (fixture-independent)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(SESSION_DDL)
+    for stmt in SESSION_DML:
+        sess.execute(stmt)
+    return sess.execute(SESSION_SELECT)

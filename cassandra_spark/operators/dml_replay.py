@@ -72,6 +72,12 @@ DML_SCRIPT: tuple[str, ...] = (
     "DELETE FROM kv WHERE pk = 'g' AND ck >= '2'",
     # newer write into the deleted slice resurrects that row only
     "INSERT INTO kv (pk, ck, v) VALUES ('g', '3', 74)",
+    # --- INSERT JSON: document form of the same upsert ---------------------
+    "INSERT INTO kv JSON '{\"pk\": \"h\", \"ck\": \"1\", \"v\": 80, "
+    "\"s\": \"json-row\"}'",
+    # DEFAULT NULL tombstones the omitted regular column (s), not statics
+    "INSERT INTO kv JSON '{\"pk\": \"h\", \"ck\": \"2\", \"v\": 81}' "
+    "DEFAULT NULL",
 )
 
 KV_SCHEMA = TableSchema(
@@ -124,9 +130,15 @@ EXPECTED_LOG: tuple[tuple, ...] = (
             lo="2", hi=None, lo_incl=True, hi_incl=False),
     mut_row("g", "3", None, None, "marker", 26, 0, 39),
     mut_row("g", "3", "v", "74", "cell", 26, 0, 40),
+    mut_row("h", "1", None, None, "marker", 27, 0, 41),
+    mut_row("h", "1", "v", "80", "cell", 27, 0, 42),
+    mut_row("h", "1", "s", "json-row", "cell", 27, 0, 43),
+    mut_row("h", "2", None, None, "marker", 28, 0, 44),
+    mut_row("h", "2", "v", "81", "cell", 28, 0, 45),
+    mut_row("h", "2", "s", None, "cell_tomb", 28, 0, 46),
 )
 
-ASOF = 27  # default snapshot horizon: max writetime + 1
+ASOF = 29  # default snapshot horizon: max writetime + 1
 
 _ORACLE = dml_oracle_sql(KV_SCHEMA, EXPECTED_LOG, ASOF)
 

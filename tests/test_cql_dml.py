@@ -216,3 +216,35 @@ def test_fuzz_against_sequential_model(spark):
 
     got = {(r.pk, r.ck): r.v for r in table.snapshot().collect()}
     assert got == want
+
+
+def test_insert_json(table):
+    table.execute(
+        'INSERT INTO t JSON \'{"pk": "j", "ck": "1", "v": 5, "s": "doc"}\''
+    )
+    assert rows(table.snapshot())[("j", "1")] == (5, "doc")
+    # DEFAULT UNSET (the default): omitted columns untouched
+    table.execute('INSERT INTO t JSON \'{"pk": "j", "ck": "1", "v": 6}\'')
+    assert rows(table.snapshot())[("j", "1")] == (6, "doc")
+    # DEFAULT NULL: omitted regular columns tombstoned
+    table.execute(
+        'INSERT INTO t JSON \'{"pk": "j", "ck": "1", "v": 7}\' DEFAULT NULL'
+    )
+    assert rows(table.snapshot())[("j", "1")] == (7, None)
+
+
+def test_insert_json_lwt_and_rejections(table):
+    assert table.execute(
+        'INSERT INTO t JSON \'{"pk": "k", "ck": "1", "v": 1}\' IF NOT EXISTS'
+    ) is True
+    assert table.execute(
+        'INSERT INTO t JSON \'{"pk": "k", "ck": "1", "v": 2}\' IF NOT EXISTS'
+    ) is False
+    import pytest as _pytest
+    from cassandra_spark.cql import CQLError as _E
+    with _pytest.raises(_E):  # not an object
+        table.execute("INSERT INTO t JSON '[1, 2]'")
+    with _pytest.raises(_E):  # malformed JSON
+        table.execute("INSERT INTO t JSON '{\"pk\": }'")
+    with _pytest.raises(_E):  # unknown column
+        table.execute('INSERT INTO t JSON \'{"pk": "k", "ck": "1", "zz": 1}\'')

@@ -38,4 +38,6 @@ def test_replay_visible_rows(spark):
         ("g", "1"): (71, None, None),   # below the range tombstone's slice
         # in the deleted slice, but written after the range tombstone
         ("g", "3"): (74, None, None),
+        ("h", "1"): (80, "json-row", None),  # INSERT JSON
+        ("h", "2"): (81, None, None),  # DEFAULT NULL tombstoned s
     }
