@@ -361,34 +361,44 @@ class CqlTable:
         batch = _BATCH_RE.match(stmt)
         if batch:
             # all statements in a batch share one default timestamp — the
-            # reference applies the batch atomically at one write time
+            # reference applies the batch atomically at one write time.
+            # Atomicity includes failure: any error mid-application rolls
+            # the whole batch back (mark/restore), so a logged batch never
+            # leaves a partial write. A condition evaluating false is NOT
+            # an error — the clock stays ticked (rejected proposal still
+            # consumed a round).
+            mark = self._mark()
             self._clock += 1
             default_ts = self._clock
-            matched = [
-                self._match(sub)
-                for sub in re.split(r";\s*", batch.group("body"))
-                if sub.strip()
-            ]
-            conds = [self._cond_text(m) for _, m in matched]
-            if any(c is not None for c in conds):
-                # conditional batch: single-partition, all-or-nothing, every
-                # condition reads the pre-batch state (the reference runs
-                # the whole batch through one paxos round)
-                if len({self._stmt_pk(h, m) for h, m in matched}) > 1:
-                    raise CQLError(
-                        "conditional batch must target a single partition"
-                    )
-                for (h, m), c in zip(matched, conds):
-                    if c is not None:
-                        self._lwt_guard(m)
-                        if not self._eval_cond(c, *self._cond_key(h, m)):
-                            return False
+            try:
+                matched = [
+                    self._match(sub)
+                    for sub in re.split(r";\s*", batch.group("body"))
+                    if sub.strip()
+                ]
+                conds = [self._cond_text(m) for _, m in matched]
+                if any(c is not None for c in conds):
+                    # conditional batch: single-partition, all-or-nothing,
+                    # every condition reads the pre-batch state (the
+                    # reference runs the whole batch through one paxos round)
+                    if len({self._stmt_pk(h, m) for h, m in matched}) > 1:
+                        raise CQLError(
+                            "conditional batch must target a single partition"
+                        )
+                    for (h, m), c in zip(matched, conds):
+                        if c is not None:
+                            self._lwt_guard(m)
+                            if not self._eval_cond(c, *self._cond_key(h, m)):
+                                return False
+                    for h, m in matched:
+                        h(m, default_ts)
+                    return True
                 for h, m in matched:
                     h(m, default_ts)
-                return True
-            for h, m in matched:
-                h(m, default_ts)
-            return None
+                return None
+            except Exception:
+                self._restore(mark)
+                raise
         self._clock += 1
         handler, m = self._match(stmt)
         cond = self._cond_text(m)
@@ -400,6 +410,17 @@ class CqlTable:
             return False
         handler(m, self._clock)
         return True
+
+    # --- atomicity support (logged-batch all-or-nothing) -------------------
+
+    def _mark(self) -> tuple:
+        """Snapshot of all mutable state, for batch rollback."""
+        return (len(self._log), self._clock, self._seq, self._pos, self._neg)
+
+    def _restore(self, mark: tuple) -> None:
+        n, clock, seq, pos, neg = mark
+        del self._log[n:]
+        self._clock, self._seq, self._pos, self._neg = clock, seq, pos, neg
 
     def _match(self, stmt: str):
         for regex, handler in (

@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_spark.catalog import TableMeta
 from cassandra_spark.cql import CQLError, cql_select
-from cassandra_spark.cql_dml import CqlTable, TableSchema, parse_coll_type
+from cassandra_spark.cql_dml import (
+    _BATCH_RE,
+    CqlTable,
+    TableSchema,
+    parse_coll_type,
+)
 
 # CQL type → engine (Spark-cast) type. Keys/values of collections map the
 # same way. blob arrives as its hex/string form (documented simplification:
@@ -269,7 +274,67 @@ class CqlSession:
             return cql_select(
                 self.spark, self.sf_dir, stmt, tables=snapshots
             )
+        bm = _BATCH_RE.match(stmt)
+        if bm:
+            return self._execute_batch(stmt, bm)
         tm = _DML_TABLE_RE.search(stmt)
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
         return self.table(tm.group(1)).execute(stmt)
+
+    def _execute_batch(self, stmt: str, bm: re.Match) -> bool | None:
+        """Logged BATCH, possibly spanning tables (Snk2: the reference's
+        atomic multi-mutation — its canonical use is the denormalized
+        double-write). Semantics pinned here:
+
+        - every sub-statement shares ONE write timestamp (the batch's);
+        - application is all-or-nothing across ALL touched tables: each
+          table's state is marked before application and restored if any
+          sub-statement fails (validation and application both);
+        - conditional (LWT) batches stay single-partition, hence
+          single-table — delegated to the table, which runs its own paxos
+          analogue;
+        - counter and non-counter mutations cannot mix (reference rule:
+          counter batches are a distinct batch kind).
+        """
+        subs = [
+            sub for sub in re.split(r";\s*", bm.group("body")) if sub.strip()
+        ]
+        names: list[str] = []
+        for sub in subs:
+            tm = _DML_TABLE_RE.search(sub)
+            if not tm:
+                raise CQLError(f"unsupported statement in batch: {sub!r}")
+            names.append(tm.group(1).lower())
+        if len(set(names)) <= 1:
+            # single-table batch: the table's own execute() already does
+            # shared-timestamp + all-or-nothing + conditional-batch rules
+            return self.table(names[0]).execute(stmt) if names else None
+        tables = [self.table(n) for n in names]
+        involved: dict[str, CqlTable] = {t.schema.name: t for t in tables}
+        if len({t.schema.counter for t in involved.values()}) > 1:
+            raise CQLError(
+                "cannot mix counter and non-counter mutations in a batch"
+            )
+        marks = {n: t._mark() for n, t in involved.items()}
+        # one shared write time, strictly newer than every involved clock;
+        # clocks advance to it so later single-statement writes stay newer
+        ts = max(t._clock for t in involved.values()) + 1
+        try:
+            matched = []
+            for t, sub in zip(tables, subs):
+                handler, m = t._match(sub)
+                if t._cond_text(m) is not None:
+                    raise CQLError(
+                        "conditional batch must target a single partition"
+                    )
+                matched.append((handler, m))
+            for t in involved.values():
+                t._clock = ts
+            for handler, m in matched:
+                handler(m, ts)
+        except Exception:
+            for n, t in involved.items():
+                t._restore(marks[n])
+            raise
+        return None

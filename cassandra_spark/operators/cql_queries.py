@@ -269,3 +269,87 @@ def cql9_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stmt in SESSION_DML:
         sess.execute(stmt)
     return sess.execute(SESSION_SELECT)
+
+
+# --- cql10: multi-table logged batch (Snk2, the denormalized double-write) -
+
+BATCH_DDL_BASE = (
+    "CREATE TABLE inbox (room text, posted int, author text, body text, "
+    "PRIMARY KEY (room, posted))"
+)
+BATCH_DDL_TWIN = (
+    "CREATE TABLE inbox_by_author (author text, posted int, room text, "
+    "body text, PRIMARY KEY (author, posted))"
+)
+BATCH_DML: tuple[str, ...] = (
+    "INSERT INTO inbox (room, posted, author, body) VALUES "
+    "('dev', 1, 'ana', 'pre')",
+    # atomic double-write: base + query-pattern twin at ONE timestamp
+    "BEGIN BATCH "
+    "INSERT INTO inbox (room, posted, author, body) VALUES "
+    "('dev', 2, 'bo', 'both'); "
+    "INSERT INTO inbox_by_author (author, posted, room, body) VALUES "
+    "('bo', 2, 'dev', 'both'); "
+    "APPLY BATCH",
+    # a second batch: coordinated edit + an extra twin-only row
+    "BEGIN BATCH "
+    "UPDATE inbox SET body = 'edit' WHERE room = 'dev' AND posted = 2; "
+    "UPDATE inbox_by_author SET body = 'edit' "
+    "WHERE author = 'bo' AND posted = 2; "
+    "INSERT INTO inbox_by_author (author, posted, room, body) VALUES "
+    "('bo', 3, 'ops', 'page'); "
+    "APPLY BATCH",
+    "DELETE FROM inbox_by_author WHERE author = 'bo' AND posted = 3",
+)
+BATCH_SELECT = (
+    "SELECT posted, room, body FROM inbox_by_author WHERE author = 'bo' "
+    "ORDER BY posted ASC"
+)
+
+# pinned logs, one per table (asserted in tests/test_cql_session.py); the
+# shared batch timestamps (2 and 3) appearing in BOTH logs are the point
+BATCH_LOG_BASE: tuple[tuple, ...] = (
+    mut_row('dev', '1', None, None, 'marker', 1, 0, 1),
+    mut_row('dev', '1', 'author', 'ana', 'cell', 1, 0, 2),
+    mut_row('dev', '1', 'body', 'pre', 'cell', 1, 0, 3),
+    mut_row('dev', '2', None, None, 'marker', 2, 0, 4),
+    mut_row('dev', '2', 'author', 'bo', 'cell', 2, 0, 5),
+    mut_row('dev', '2', 'body', 'both', 'cell', 2, 0, 6),
+    mut_row('dev', '2', 'body', 'edit', 'cell', 3, 0, 7),
+)
+BATCH_LOG_TWIN: tuple[tuple, ...] = (
+    mut_row('bo', '2', None, None, 'marker', 2, 0, 1),
+    mut_row('bo', '2', 'room', 'dev', 'cell', 2, 0, 2),
+    mut_row('bo', '2', 'body', 'both', 'cell', 2, 0, 3),
+    mut_row('bo', '2', 'body', 'edit', 'cell', 3, 0, 4),
+    mut_row('bo', '3', None, None, 'marker', 3, 0, 5),
+    mut_row('bo', '3', 'room', 'ops', 'cell', 3, 0, 6),
+    mut_row('bo', '3', 'body', 'page', 'cell', 3, 0, 7),
+    mut_row('bo', '3', None, None, 'row_tomb', 4, 0, 8),
+)
+BATCH_ASOF = 5
+
+_BATCH_TWIN_SCHEMA = parse_create_table(BATCH_DDL_TWIN)
+
+
+@query(
+    "cql10_batch_twin",
+    oracle=f"""
+    SELECT posted, room, body
+    FROM ({dml_oracle_sql(_BATCH_TWIN_SCHEMA, BATCH_LOG_TWIN, BATCH_ASOF)})
+    WHERE author = 'bo'
+    """,
+)
+def cql10_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snk2 (logged batch) end-to-end: two tables created in a session,
+    written by multi-table BATCHes (atomic, one shared timestamp), the
+    denormalized twin then read back. The oracle reconciles the twin's
+    pinned mutation log — which carries the shared batch timestamps — so
+    the cross-table write path is what's being checked
+    (fixture-independent)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(BATCH_DDL_BASE)
+    sess.execute(BATCH_DDL_TWIN)
+    for stmt in BATCH_DML:
+        sess.execute(stmt)
+    return sess.execute(BATCH_SELECT)

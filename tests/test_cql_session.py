@@ -143,3 +143,161 @@ def test_session_query_pinned_log():
         t.execute(s)
     assert tuple(t._log) == SESSION_LOG
     assert max(r[6] for r in t._log) + 1 == SESSION_ASOF
+
+# --- multi-table logged BATCH (Snk2: atomic multi-mutation) ----------------
+
+DDL_BY_AUTHOR = """
+CREATE TABLE msgs_by_author (
+  author text,
+  posted int,
+  room text,
+  body text,
+  PRIMARY KEY (author, posted)
+)
+"""
+
+
+def _batch(*stmts: str) -> str:
+    return "BEGIN BATCH " + "; ".join(stmts) + "; APPLY BATCH"
+
+
+def test_multi_table_batch_double_write(sess):
+    """The canonical Snk2 use: denormalized double-write into the base
+    table and its query-pattern twin, atomically, at one timestamp."""
+    sess.execute(DDL)
+    sess.execute(DDL_BY_AUTHOR)
+    sess.execute(_batch(
+        "INSERT INTO msgs (room, posted, author, body) VALUES "
+        "('dev', 1, 'ana', 'hello')",
+        "INSERT INTO msgs_by_author (author, posted, room, body) VALUES "
+        "('ana', 1, 'dev', 'hello')",
+    ))
+    base = sess.execute(
+        "SELECT posted, author, body FROM msgs WHERE room = 'dev'"
+    ).collect()
+    twin = sess.execute(
+        "SELECT posted, room, body FROM msgs_by_author WHERE author = 'ana'"
+    ).collect()
+    assert [(r.posted, r.author, r.body) for r in base] == [(1, "ana", "hello")]
+    assert [(r.posted, r.room, r.body) for r in twin] == [(1, "dev", "hello")]
+    # both writes share one timestamp (the batch's)
+    wt_base = sess.execute(
+        "SELECT WRITETIME(body) FROM msgs WHERE room = 'dev'"
+    ).collect()[0][0]
+    wt_twin = sess.execute(
+        "SELECT WRITETIME(body) FROM msgs_by_author WHERE author = 'ana'"
+    ).collect()[0][0]
+    assert wt_base == wt_twin
+
+
+def test_multi_table_batch_lww_and_clock_advance(sess):
+    """The batch timestamp is newer than every involved table's clock, and
+    each table's clock advances to it — later writes stay newer."""
+    sess.execute(DDL)
+    sess.execute(DDL_BY_AUTHOR)
+    # tick msgs' clock well past msgs_by_author's
+    for i in range(5):
+        sess.execute(
+            f"INSERT INTO msgs (room, posted, author) VALUES ('r', {i}, 'x')"
+        )
+    sess.execute(_batch(
+        "UPDATE msgs SET body = 'from-batch' WHERE room = 'r' AND posted = 0",
+        "INSERT INTO msgs_by_author (author, posted, room) VALUES "
+        "('x', 0, 'r')",
+    ))
+    # the batch write beat nothing it shouldn't: body is visible
+    r = sess.execute(
+        "SELECT body FROM msgs WHERE room = 'r' AND posted = 0"
+    ).collect()
+    assert r[0].body == "from-batch"
+    # a write AFTER the batch wins LWW against the batch's cell
+    sess.execute(
+        "UPDATE msgs_by_author SET room = 'r2' WHERE author = 'x' AND posted = 0"
+    )
+    r = sess.execute(
+        "SELECT room FROM msgs_by_author WHERE author = 'x'"
+    ).collect()
+    assert r[0].room == "r2"
+
+
+def test_multi_table_batch_all_or_nothing(sess):
+    """A bad sub-statement (unknown column) rolls back EVERY table's state:
+    the batch either fully applies or leaves no trace."""
+    sess.execute(DDL)
+    sess.execute(DDL_BY_AUTHOR)
+    with pytest.raises(CQLError):
+        sess.execute(_batch(
+            "INSERT INTO msgs (room, posted, author) VALUES ('d', 9, 'z')",
+            "INSERT INTO msgs_by_author (author, posted, nope) VALUES "
+            "('z', 9, 'd')",
+        ))
+    assert sess.execute("SELECT posted FROM msgs WHERE room = 'd'").count() == 0
+    assert (
+        sess.execute(
+            "SELECT posted FROM msgs_by_author WHERE author = 'z'"
+        ).count()
+        == 0
+    )
+    # clocks restored: next statement's writetime is 1 (first tick)
+    sess.execute("INSERT INTO msgs (room, posted, author) VALUES ('d', 1, 'q')")
+    wt = sess.execute(
+        "SELECT WRITETIME(author) FROM msgs WHERE room = 'd'"
+    ).collect()[0][0]
+    assert wt == 1
+
+
+def test_single_table_batch_rollback_on_error(sess):
+    """Table-level batches are atomic too: an error mid-batch leaves the
+    log exactly as before."""
+    sess.execute(DDL)
+    sess.execute("INSERT INTO msgs (room, posted, author) VALUES ('a', 1, 'k')")
+    with pytest.raises(CQLError):
+        sess.execute(_batch(
+            "UPDATE msgs SET author = 'k2' WHERE room = 'a' AND posted = 1",
+            "UPDATE msgs SET nope = 'x' WHERE room = 'a' AND posted = 1",
+        ))
+    r = sess.execute("SELECT author FROM msgs WHERE room = 'a'").collect()
+    assert r[0].author == "k"
+
+
+def test_multi_table_batch_rejections(sess):
+    sess.execute(DDL)
+    sess.execute(DDL_BY_AUTHOR)
+    sess.execute(
+        "CREATE TABLE hits2 (page text, day text, views counter, "
+        "PRIMARY KEY (page, day))"
+    )
+    # conditional multi-table batch: not single-partition, rejected
+    with pytest.raises(CQLError, match="single partition"):
+        sess.execute(_batch(
+            "INSERT INTO msgs (room, posted, author) VALUES ('c', 1, 'm') "
+            "IF NOT EXISTS",
+            "INSERT INTO msgs_by_author (author, posted, room) VALUES "
+            "('m', 1, 'c')",
+        ))
+    # counter + non-counter mix rejected
+    with pytest.raises(CQLError, match="counter"):
+        sess.execute(_batch(
+            "UPDATE hits2 SET views = views + 1 WHERE page = 'p' AND day = 'd'",
+            "INSERT INTO msgs (room, posted, author) VALUES ('c', 1, 'm')",
+        ))
+    # nothing leaked from the rejected batches
+    assert sess.execute("SELECT posted FROM msgs WHERE room = 'c'").count() == 0
+
+
+def test_batch_twin_pinned_logs(spark):
+    """cql10's script reproduces the pinned per-table logs exactly — the
+    shared batch timestamps must appear in both."""
+    from cassandra_spark.operators.cql_queries import (
+        BATCH_ASOF, BATCH_DDL_BASE, BATCH_DDL_TWIN, BATCH_DML,
+        BATCH_LOG_BASE, BATCH_LOG_TWIN)
+
+    sess = CqlSession(spark, None)
+    sess.execute(BATCH_DDL_BASE)
+    sess.execute(BATCH_DDL_TWIN)
+    for s in BATCH_DML:
+        sess.execute(s)
+    assert tuple(sess.table("inbox")._log) == BATCH_LOG_BASE
+    assert tuple(sess.table("inbox_by_author")._log) == BATCH_LOG_TWIN
+    newest = max(r[6] for r in BATCH_LOG_TWIN)
+    assert newest + 1 == BATCH_ASOF
