@@ -3,8 +3,8 @@ scan-heavy and ratio-aggregate classics the fixture's column subset can
 express — Q1 (pricing summary), Q5 (local supplier volume), Q6 (forecast
 revenue), Q8 (market share), Q15 (top supplier).
 
-No partsupp table exists in the fixtures, so Q2/Q9/Q11/Q16/Q20 are out of
-reach; these five complete the Q-shape coverage that IS reachable.
+No partsupp table exists in the fixtures; the five shapes that need it
+(Q2/Q9/Q11/Q16/Q20) live in tpch3.py over a derived supply relation.
 
 Scale posture per query (asserted in tests/test_plans.py):
 - q1/q6 are single-pass scans: filter + project pushed to parquet, one

@@ -81,6 +81,7 @@ def load_all() -> None:
         subqueries,
         tpch,
         tpch2,
+        tpch3,
         udfs,
         windows,
         write_semantics,

@@ -269,3 +269,56 @@ def test_top_supplier_scans_fact_once(spark):
     plan = plan_of(spark, "x32_top_supplier")
     assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+# --- TPC-H batch 3 (derived-supply shapes, operators/tpch3.py) -------------
+
+
+def test_min_cost_supplier_single_fact_pass(spark):
+    """x33 (Q2 shape): lineitem feeds the derived supply ONCE with partial
+    map-side min; every dimension broadcasts; the LIMIT is TakeOrdered."""
+    plan = plan_of(spark, "x33_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_min" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_product_profit_prunes_before_fact_join(spark):
+    """x34 (Q9 shape): the part filter must reach both fact legs BEFORE the
+    (partkey, suppkey) shuffle join — as a broadcast join on the lineitem
+    side and a broadcast semi join pruning supply."""
+    plan = plan_of(spark, "x34_product_profit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_" in plan  # map-side combine on the profit aggregate
+
+
+def test_important_stock_scans_supply_once_per_agg(spark):
+    """x35 (Q11 shape): the scalar-subquery threshold is a broadcast 1-row
+    aggregate (BroadcastNestedLoopJoin of one row is the *correct* plan);
+    no unbroadcast cartesian, partial aggregation on both sums."""
+    plan = plan_of(spark, "x35_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_supplier_counts_anti_join_broadcasts(spark):
+    """x36 (Q16 shape): NOT IN compiles to a broadcast left-anti join, and
+    the distinct count keeps partial aggregation map-side."""
+    plan = plan_of(spark, "x36_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_concentrated_suppliers_semi_joins(spark):
+    """x37 (Q20 shape): both IN clauses are semi joins; the correlated
+    aggregate is a decorrelated grouped join, never a per-row subquery."""
+    plan = plan_of(spark, "x37_concentrated_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
