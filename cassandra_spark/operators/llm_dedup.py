@@ -442,3 +442,123 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.15)
     )
+
+
+# ---------------------------------------------------------------------------
+# L17: near-dup cluster resolution (connected components + canonical pick)
+# ---------------------------------------------------------------------------
+
+_L17_ORACLE = f"""
+WITH RECURSIVE {_minhash_sql_cte()},
+bands AS (
+  SELECT doc_id, b.band_id,
+         CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+  FROM banded CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN banded sa ON sa.doc_id = doc_a
+  JOIN banded sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id,
+       MIN(label) AS cluster_id,
+       MIN(label) = node AS keep
+FROM reach
+GROUP BY node
+"""
+
+
+@query("l17_dedup_clusters", oracle=_L17_ORACLE)
+def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: l2's verified pair set closed into
+    connected components, with the minimum doc_id as each cluster's
+    canonical survivor — (doc_id, cluster_id, keep). This is the step a
+    real pipeline needs after candidate pairs: pairs (a,b) and (b,c) must
+    drop BOTH b and c, which no per-pair rule gets right.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min label among itself and its neighbors, then
+    short-circuits label -> label(label). Jumping makes convergence
+    O(log diameter) rounds instead of O(diameter); near-dup components
+    have tiny diameters, so 2-3 rounds is typical.
+
+    Scale posture (100 TB): the graph is the VERIFIED near-dup pair set —
+    orders of magnitude smaller than the corpus (its size tracks true
+    duplicate density). Each round is one shuffle keyed on node;
+    localCheckpoint() truncates the growing lineage exactly as
+    GraphFrames' iterative algorithms do; loop control reads a 1-row
+    aggregate per round, never result rows. The DuckDB oracle computes
+    the same fixpoint as a recursive min-reachability CTE, so the cluster
+    assignment — not just component counts — is value-checked."""
+    pairs = l2_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        prop = (
+            labels.join(neigh, F.col("node") == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+        )
+        jump = prop.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        nxt = (
+            prop.join(jump, F.col("label") == F.col("jnode"))
+            .select("node", F.col("jlabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("keep"),
+    ).orderBy("doc_id")

@@ -240,3 +240,33 @@ def test_l16_mix_is_subset_and_deterministic(spark):
     assert a == b
     assert all(0 <= kept <= n for n, kept, _ in a.values())
     assert any(kept < n for n, kept, _ in a.values())
+
+
+def test_l17_clusters_close_transitively(spark):
+    """Chained pairs (a,b),(b,c) must land in ONE cluster with min-id
+    canonical — the property no per-pair dedup rule provides. Checked
+    against the actual l2 pair set: every pair's two docs share a
+    cluster, exactly one doc per cluster keeps, and the cluster id is the
+    member minimum."""
+    from cassandra_spark.operators.llm_dedup import (
+        l2_minhash_neardup, l17_dedup_clusters)
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in l2_minhash_neardup(spark, SF_SMOKE).collect()
+    ]
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in l17_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    assert pairs, "fixture should contain near-dups"
+    for a, b in pairs:
+        assert got[a][0] == got[b][0], f"pair ({a},{b}) split across clusters"
+    clusters: dict = {}
+    for doc, (cid, keep) in got.items():
+        clusters.setdefault(cid, []).append((doc, keep))
+    for cid, members in clusters.items():
+        assert cid == min(d for d, _ in members)
+        assert [k for _, k in members].count(True) == 1
+        keeper = next(d for d, k in members if k)
+        assert keeper == cid
