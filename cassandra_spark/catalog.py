@@ -42,6 +42,11 @@ class TableMeta:
     partition_key: tuple[str, ...] = ()
     clustering: tuple[str, ...] = ()  # prefix "-" means DESC
     notes: str = ""
+    # secondary-indexed columns (CREATE INDEX): equality/CONTAINS on these
+    # passes the ALLOW FILTERING gate, mirroring `[C* index/internal/
+    # CassandraIndex, unverified]` — analytically an index changes only
+    # the *restriction* rule; the scan itself is Spark's job (R5/R6).
+    indexed: tuple[str, ...] = ()
     # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
     # read them as long (legacy.parquet.nanosAsLong) and convert to µs
     # TimestampType. Lossless for this corpus (all values µs-aligned —

@@ -354,11 +354,24 @@ def cql_select(
         restricted = _where_columns(s.where, columns)
         non_key = restricted - key_cols
         uses_token = re.search(r"\btoken\s*\(", s.where, re.IGNORECASE)
-        if non_key and not s.allow_filtering and not uses_token:
+        # a secondary index admits equality / CONTAINS restrictions on its
+        # column without ALLOW FILTERING (the reference's 2i rule); range
+        # predicates on an indexed column still need it
+        indexed_ok = {
+            c
+            for c in non_key
+            if c in set(getattr(meta, "indexed", ()))
+            and re.search(
+                rf"\b{re.escape(c)}\s*(=[^=]|CONTAINS\b)",
+                s.where,
+                re.IGNORECASE,
+            )
+        }
+        if (non_key - indexed_ok) and not s.allow_filtering and not uses_token:
             raise CQLError(
                 "Cannot execute this query as it might involve data "
-                f"filtering on {sorted(non_key)}; use ALLOW FILTERING to "
-                "run it anyway"
+                f"filtering on {sorted(non_key - indexed_ok)}; use ALLOW "
+                "FILTERING to run it anyway"
             )
         df = df.filter(F.expr(_rewrite_where(s.where)))
 

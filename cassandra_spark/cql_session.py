@@ -226,6 +226,13 @@ _DML_TABLE_RE = re.compile(
 )
 
 
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:(?P<name>\w+)\s+)?"
+    r"ON\s+(?P<table>\w+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 class CqlSession:
     """DDL + DML + SELECT behind one ``execute()`` — the engine's session
     surface. SELECT returns a DataFrame; conditional DML returns the LWT
@@ -235,6 +242,7 @@ class CqlSession:
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables: dict[str, CqlTable] = {}
+        self.indexes: dict[str, set[str]] = {}  # table → indexed columns
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -254,10 +262,35 @@ class CqlSession:
             name=schema.name,
             partition_key=(schema.partition_key,),
             clustering=tuple(schema.clustering),
+            indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
         )
+
+    def _create_index(self, m: re.Match) -> None:
+        """CREATE INDEX ON t (col): registers ``col`` as secondary-indexed,
+        which relaxes the SELECT restriction gate (equality / CONTAINS on
+        the column no longer needs ALLOW FILTERING). The scan strategy
+        itself stays Spark's — an index here changes semantics, not
+        physical access (SURVEY §2.1 R5/R6: Z-order / bucketing is the
+        perf analogue)."""
+        table = self.table(m.group("table"))
+        col = m.group("col").lower()
+        s = table.schema
+        if col == s.partition_key or col in s.clustering:
+            raise CQLError(f"cannot index primary key column {col!r}")
+        if col not in s.regular and col not in s.static:
+            raise CQLError(f"unknown column {col!r} in {s.name!r}")
+        if s.counter:
+            raise CQLError("secondary indexes are not supported on counters")
+        self.indexes.setdefault(s.name, set()).add(col)
 
     def execute(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
+        if head.startswith("CREATE INDEX"):
+            im = _CREATE_INDEX_RE.match(stmt)
+            if not im:
+                raise CQLError(f"unsupported CREATE INDEX: {stmt!r}")
+            self._create_index(im)
+            return None
         if head.startswith("CREATE"):
             schema = parse_create_table(stmt)
             if re.match(

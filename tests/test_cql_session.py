@@ -301,3 +301,65 @@ def test_batch_twin_pinned_logs(spark):
     assert tuple(sess.table("inbox_by_author")._log) == BATCH_LOG_TWIN
     newest = max(r[6] for r in BATCH_LOG_TWIN)
     assert newest + 1 == BATCH_ASOF
+
+
+# --- CREATE INDEX: the secondary-index restriction gate --------------------
+
+
+def test_create_index_relaxes_filtering_gate(sess):
+    sess.execute(DDL)
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author) VALUES ('dev', 1, 'ana')"
+    )
+    # before the index: non-key equality is rejected
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT posted FROM msgs WHERE author = 'ana'")
+    sess.execute("CREATE INDEX msgs_author_idx ON msgs (author)")
+    # after: indexed equality passes without ALLOW FILTERING
+    assert (
+        sess.execute("SELECT posted FROM msgs WHERE author = 'ana'").count()
+        == 1
+    )
+    # a SECOND, unindexed restriction still needs ALLOW FILTERING
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute(
+            "SELECT posted FROM msgs WHERE author = 'ana' AND body = 'x'"
+        )
+    # range on the indexed column is not an index lookup (2i = equality)
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT posted FROM msgs WHERE author > 'a'")
+
+
+def test_create_index_contains_on_collection(sess):
+    sess.execute(DDL)
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author, tags) VALUES "
+        "('dev', 1, 'ana', {'intro', 'hello'})"
+    )
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT posted FROM msgs WHERE tags CONTAINS 'intro'")
+    sess.execute("CREATE INDEX ON msgs (tags)")  # anonymous index form
+    assert (
+        sess.execute(
+            "SELECT posted FROM msgs WHERE tags CONTAINS 'intro'"
+        ).count()
+        == 1
+    )
+
+
+def test_create_index_rejections(sess):
+    sess.execute(DDL)
+    sess.execute(
+        "CREATE TABLE hits3 (page text, day text, views counter, "
+        "PRIMARY KEY (page, day))"
+    )
+    with pytest.raises(CQLError, match="primary key"):
+        sess.execute("CREATE INDEX ON msgs (room)")
+    with pytest.raises(CQLError, match="primary key"):
+        sess.execute("CREATE INDEX ON msgs (posted)")
+    with pytest.raises(CQLError, match="unknown column"):
+        sess.execute("CREATE INDEX ON msgs (nope)")
+    with pytest.raises(CQLError, match="counter"):
+        sess.execute("CREATE INDEX ON hits3 (views)")
+    with pytest.raises(CQLError, match="unknown table"):
+        sess.execute("CREATE INDEX ON nope (x)")
