@@ -244,3 +244,150 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left"
     ).select("event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment")
+
+
+# --- streaming incremental MV maintenance (W7's streaming form) ------------
+
+VIEW_KEY = "event_type"
+
+
+def _view_of(base: DataFrame) -> DataFrame:
+    """The aggregate view definition: per event_type, row count + exact
+    decimal sum of value (surfaced as decimal so merges stay exact)."""
+    return base.groupBy(VIEW_KEY).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_dec"),
+    )
+
+
+def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
+    """W7 as a stream: foreachBatch maintains the LWW base table AND its
+    aggregate view together, the view by SIGNED-DELTA merge (old image -1,
+    new image +1 — w11_mv_incremental's algebra), never by recompute.
+
+    Per micro-batch: the affected keys are the batch's keys; their old
+    images leave the view (-1), their post-merge images re-enter (+1);
+    untouched groups never appear in the delta, so view maintenance cost
+    tracks |batch|, not |base| — the property that makes per-write view
+    updates viable at 100 TB (the reference pays the same: each mutation
+    generates view deltas, `[C* db/view/ViewUpdateGenerator, unverified]`).
+
+    Commit protocol: base + view are written under one epoch directory,
+    staged to `v=NNNNN.tmp` and atomically renamed to `v=NNNNN` — a
+    retried epoch sees its directory and skips, so the at-least-once
+    foreachBatch contract upgrades to exactly-once table maintenance
+    (same scheme as streaming_upsert; Delta/Iceberg MERGE in production).
+    """
+    import os
+    import shutil
+
+    ev = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("writetime"),
+            "event_id",
+        )
+    )
+
+    def versions(sub: str) -> list[str]:
+        root = os.path.join(table_dir, sub)
+        if not os.path.exists(root):
+            return []
+        return sorted(d for d in os.listdir(root) if d.startswith("v="))
+
+    def step(batch: DataFrame, epoch: int) -> None:
+        final = os.path.join(table_dir, "epochs", f"v={epoch:05d}")
+        if os.path.exists(final):  # retried epoch: already committed
+            return
+        s = batch.sparkSession
+        vs = versions("epochs")
+        batch = batch.localCheckpoint()  # one evaluation, three uses
+        keys = batch.select(*UPSERT_KEYS).distinct()
+        if vs:
+            cur = s.read.parquet(
+                os.path.join(table_dir, "epochs", vs[-1], "base")
+            )
+            old_view = s.read.parquet(
+                os.path.join(table_dir, "epochs", vs[-1], "view")
+            )
+            old_img = cur.join(keys, list(UPSERT_KEYS), "left_semi")
+            new_base = _lww_reduce(cur.unionByName(batch))
+        else:
+            cur = None
+            old_view = None
+            old_img = batch.limit(0)
+            new_base = _lww_reduce(batch)
+        new_base = new_base.localCheckpoint()
+        new_img = new_base.join(keys, list(UPSERT_KEYS), "left_semi")
+
+        signed = old_img.withColumn("m", F.lit(-1)).unionByName(
+            new_img.withColumn("m", F.lit(1))
+        )
+        delta = signed.groupBy(VIEW_KEY).agg(
+            F.sum("m").alias("dcnt"),
+            F.sum(
+                F.col("value").cast("decimal(18,4)")
+                * F.col("m").cast("decimal(2,0)")
+            ).alias("dtotal_dec"),
+        )
+        if old_view is not None:
+            zero = F.lit(0).cast("decimal(38,4)")
+            new_view = (
+                old_view.join(delta, VIEW_KEY, "full")
+                .select(
+                    VIEW_KEY,
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("dcnt"), F.lit(0))
+                    ).alias("cnt"),
+                    (
+                        F.coalesce(
+                            F.col("total_dec").cast("decimal(38,4)"), zero
+                        )
+                        + F.coalesce(
+                            F.col("dtotal_dec").cast("decimal(38,4)"), zero
+                        )
+                    ).alias("total_dec"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+        else:
+            new_view = delta.select(
+                VIEW_KEY,
+                F.col("dcnt").alias("cnt"),
+                F.col("dtotal_dec").cast("decimal(38,4)").alias("total_dec"),
+            ).filter(F.col("cnt") > 0)
+
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        new_base.coalesce(1).write.parquet(os.path.join(tmp, "base"))
+        new_view.coalesce(1).write.parquet(os.path.join(tmp, "view"))
+        os.rename(tmp, final)
+
+    q = (
+        ev.writeStream.foreachBatch(step)
+        .option(
+            "checkpointLocation", os.path.join(table_dir, "_chk_mv")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
+    """Read the newest committed base/view of the streaming MV job."""
+    import os
+
+    root = os.path.join(table_dir, "epochs")
+    vs = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    if not vs:
+        raise FileNotFoundError(f"no committed epochs under {root}")
+    return spark.read.parquet(os.path.join(root, vs[-1], which))

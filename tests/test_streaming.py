@@ -253,3 +253,86 @@ def test_stream_static_join_matches_batch(spark):
         ).select("event_id", "c_name", "c_mktsegment").collect()
     }
     assert got == want
+
+
+def test_streaming_mv_incremental_matches_recompute(spark, tmp_path):
+    """W7 streaming form: stream events in 4 micro-batches while the view
+    is maintained ONLY by signed-delta merges; the final view must equal a
+    from-scratch recompute over the final base, and the final base must
+    equal the one-shot batch LWW merge. Equality across ≥2 epochs proves
+    the delta algebra composes (each epoch's view builds on the last)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    jobs.streaming_mv(spark, src, table)
+
+    epochs = sorted(os.listdir(os.path.join(table, "epochs")))
+    assert len(epochs) >= 2, "everything arrived in one micro-batch"
+
+    base = jobs.read_mv(spark, table, "base")
+    view = jobs.read_mv(spark, table, "view")
+
+    cells = ev.select(
+        "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("writetime"), "event_id",
+    )
+    want_base = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in jobs._lww_reduce(cells).collect()
+    }
+    got_base = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in base.collect()
+    }
+    assert got_base == want_base
+
+    want_view = {
+        (r.event_type): (r.cnt, r.total_dec)
+        for r in jobs._view_of(base).collect()
+    }
+    got_view = {
+        (r.event_type): (r.cnt, r.total_dec) for r in view.collect()
+    }
+    assert got_view == want_view
+
+
+def test_streaming_mv_epoch_retry_is_idempotent(spark, tmp_path):
+    """A replayed epoch must skip its committed directory — no double
+    deltas in the view."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    jobs.streaming_mv(spark, src, table)
+    before = {
+        r.event_type: (r.cnt, float(r.total_dec))
+        for r in jobs.read_mv(spark, table, "view").collect()
+    }
+    shutil.rmtree(os.path.join(table, "_chk_mv"))
+    jobs.streaming_mv(spark, src, table)
+    after = {
+        r.event_type: (r.cnt, float(r.total_dec))
+        for r in jobs.read_mv(spark, table, "view").collect()
+    }
+    assert after == before
