@@ -231,6 +231,23 @@ _CREATE_INDEX_RE = re.compile(
     r"ON\s+(?P<table>\w+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+"
+    r"(?:ADD\s+(?P<addcol>\w+)\s+(?P<addtype>.+?)(?P<static>\s+STATIC)?"
+    r"|DROP\s+(?P<dropcol>\w+))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class CqlSession:
@@ -243,6 +260,7 @@ class CqlSession:
         self.sf_dir = sf_dir
         self.tables: dict[str, CqlTable] = {}
         self.indexes: dict[str, set[str]] = {}  # table → indexed columns
+        self.index_names: dict[str, tuple[str, str]] = {}  # name → (t, col)
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -281,7 +299,52 @@ class CqlSession:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
         if s.counter:
             raise CQLError("secondary indexes are not supported on counters")
+        name = (m.group("name") or f"{s.name}_{col}_idx").lower()
+        if name in self.index_names:
+            raise CQLError(f"index {name!r} already exists")
         self.indexes.setdefault(s.name, set()).add(col)
+        self.index_names[name] = (s.name, col)
+
+    def _alter_table(self, m: re.Match) -> None:
+        """ALTER TABLE ADD/DROP: live schema evolution. ADD declares a new
+        regular or STATIC column (readable immediately, NULL until
+        written); DROP removes the column and eagerly purges its cells
+        from the log — pinned simplification of the reference's
+        dropped-column timestamp machinery, which exists to make a
+        re-added name not resurrect old cells; eager purge gives the same
+        visible behavior."""
+        table = self.table(m.group("table"))
+        s = table.schema
+        if s.counter:
+            raise CQLError("ALTER is not supported on counter tables")
+        if m.group("addcol"):
+            col = m.group("addcol").lower()
+            if col in s.regular or col in s.static or col in s.key_cols:
+                raise CQLError(f"column {col!r} already exists")
+            mapped = _map_type(m.group("addtype"))
+            if m.group("static"):
+                if parse_coll_type(mapped):
+                    raise CQLError("static collection columns are not supported")
+                s.static[col] = mapped
+            else:
+                s.regular[col] = mapped
+            return
+        col = m.group("dropcol").lower()
+        if col in s.key_cols:
+            raise CQLError(f"cannot drop primary key column {col!r}")
+        if col in s.regular:
+            del s.regular[col]
+        elif col in s.static:
+            del s.static[col]
+        else:
+            raise CQLError(f"unknown column {col!r} in {s.name!r}")
+        table._log[:] = [r for r in table._log if r[2] != col]
+        self.indexes.get(s.name, set()).discard(col)
+        self.index_names = {
+            n: (t, c)
+            for n, (t, c) in self.index_names.items()
+            if not (t == s.name and c == col)
+        }
 
     def execute(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
@@ -290,6 +353,47 @@ class CqlSession:
             if not im:
                 raise CQLError(f"unsupported CREATE INDEX: {stmt!r}")
             self._create_index(im)
+            return None
+        if head.startswith("DROP TABLE"):
+            dm = _DROP_TABLE_RE.match(stmt)
+            if not dm:
+                raise CQLError(f"unsupported DROP TABLE: {stmt!r}")
+            name = dm.group("table").lower()
+            if name not in self.tables:
+                if dm.group("ine"):
+                    return None
+                raise CQLError(f"unknown table {name!r}")
+            del self.tables[name]
+            self.indexes.pop(name, None)
+            self.index_names = {
+                n: (t, c) for n, (t, c) in self.index_names.items() if t != name
+            }
+            return None
+        if head.startswith("DROP INDEX"):
+            dm = _DROP_INDEX_RE.match(stmt)
+            if not dm:
+                raise CQLError(f"unsupported DROP INDEX: {stmt!r}")
+            name = dm.group("name").lower()
+            if name not in self.index_names:
+                if dm.group("ine"):
+                    return None
+                raise CQLError(f"unknown index {name!r}")
+            t, c = self.index_names.pop(name)
+            self.indexes.get(t, set()).discard(c)
+            return None
+        if head.startswith("TRUNCATE"):
+            tm = _TRUNCATE_RE.match(stmt)
+            if not tm:
+                raise CQLError(f"unsupported TRUNCATE: {stmt!r}")
+            # discard all data; clocks stay monotonic so post-truncate
+            # writes are strictly newer than anything discarded
+            self.table(tm.group("table"))._log.clear()
+            return None
+        if head.startswith("ALTER"):
+            am = _ALTER_RE.match(stmt)
+            if not am:
+                raise CQLError(f"unsupported ALTER TABLE: {stmt!r}")
+            self._alter_table(am)
             return None
         if head.startswith("CREATE"):
             schema = parse_create_table(stmt)

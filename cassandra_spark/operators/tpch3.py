@@ -230,12 +230,21 @@ def x35_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
         )
     )
-    per_part = nat.groupBy("ps_partkey").agg(
-        F.sum("val").cast("double").alias("value")
+    # the global total re-aggregates the PER-PART decimal sums (exact and
+    # associative, so it equals the oracle's flat SUM); the persist is a
+    # barrier so the supply derivation runs once for both branches — the
+    # stored-partsupp-table analogue at 100 TB (cf. word_hash_table)
+    per_part = (
+        nat.groupBy("ps_partkey").agg(F.sum("val").alias("vdec")).persist()
     )
-    total = nat.agg(F.sum("val").cast("double").alias("total"))
+    total = per_part.agg(F.sum("vdec").cast("double").alias("total"))
     return (
         per_part.crossJoin(F.broadcast(total))
+        .select(
+            "ps_partkey",
+            F.col("vdec").cast("double").alias("value"),
+            "total",
+        )
         .filter(F.col("value") > F.col("total") * 0.001)
         .select("ps_partkey", "value")
         .orderBy(F.desc("value"), "ps_partkey")

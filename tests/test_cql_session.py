@@ -363,3 +363,104 @@ def test_create_index_rejections(sess):
         sess.execute("CREATE INDEX ON hits3 (views)")
     with pytest.raises(CQLError, match="unknown table"):
         sess.execute("CREATE INDEX ON nope (x)")
+
+
+# --- DROP / TRUNCATE / ALTER: the rest of the DDL surface ------------------
+
+
+def test_drop_and_truncate(sess):
+    sess.execute(DDL)
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author) VALUES ('dev', 1, 'ana')"
+    )
+    sess.execute("TRUNCATE msgs")
+    assert sess.execute("SELECT posted FROM msgs WHERE room = 'dev'").count() == 0
+    # post-truncate writes are visible (clock stayed monotonic)
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author) VALUES ('dev', 2, 'bo')"
+    )
+    assert sess.execute("SELECT posted FROM msgs WHERE room = 'dev'").count() == 1
+    sess.execute("DROP TABLE msgs")
+    with pytest.raises(CQLError, match="unknown table"):
+        sess.execute("INSERT INTO msgs (room, posted, author) VALUES ('a', 1, 'x')")
+    sess.execute("DROP TABLE IF EXISTS msgs")  # no error
+    with pytest.raises(CQLError, match="unknown table"):
+        sess.execute("DROP TABLE msgs")
+    # the name is free again
+    sess.execute(DDL)
+    assert sess.execute("SELECT posted FROM msgs WHERE room = 'dev'").count() == 0
+
+
+def test_drop_index(sess):
+    sess.execute(DDL)
+    sess.execute("CREATE INDEX by_author ON msgs (author)")
+    assert sess.execute(
+        "SELECT posted FROM msgs WHERE author = 'x'"
+    ).count() == 0
+    sess.execute("DROP INDEX by_author")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT posted FROM msgs WHERE author = 'x'")
+    with pytest.raises(CQLError, match="unknown index"):
+        sess.execute("DROP INDEX by_author")
+    sess.execute("DROP INDEX IF EXISTS by_author")
+    # duplicate names rejected
+    sess.execute("CREATE INDEX by_author ON msgs (author)")
+    with pytest.raises(CQLError, match="already exists"):
+        sess.execute("CREATE INDEX by_author ON msgs (body)")
+
+
+def test_alter_add_and_drop_column(sess):
+    sess.execute(DDL)
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author) VALUES ('dev', 1, 'ana')"
+    )
+    sess.execute("ALTER TABLE msgs ADD score int")
+    # readable immediately, NULL until written
+    r = sess.execute(
+        "SELECT posted, score FROM msgs WHERE room = 'dev'"
+    ).collect()
+    assert [(x.posted, x.score) for x in r] == [(1, None)]
+    sess.execute(
+        "UPDATE msgs SET score = 9 WHERE room = 'dev' AND posted = 1"
+    )
+    r = sess.execute(
+        "SELECT score FROM msgs WHERE room = 'dev'"
+    ).collect()
+    assert r[0].score == 9
+    # DROP purges cells: re-adding the name does not resurrect
+    sess.execute("ALTER TABLE msgs DROP score")
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):  # column gone from the snapshot
+        sess.execute("SELECT score FROM msgs WHERE room = 'dev'")
+    sess.execute("ALTER TABLE msgs ADD score int")
+    r = sess.execute(
+        "SELECT score FROM msgs WHERE room = 'dev'"
+    ).collect()
+    assert r[0].score is None
+    # guardrails
+    with pytest.raises(CQLError, match="already exists"):
+        sess.execute("ALTER TABLE msgs ADD author text")
+    with pytest.raises(CQLError, match="primary key"):
+        sess.execute("ALTER TABLE msgs DROP room")
+    with pytest.raises(CQLError, match="unknown column"):
+        sess.execute("ALTER TABLE msgs DROP nope")
+
+
+def test_alter_add_static_and_index_cleanup(sess):
+    sess.execute(DDL)
+    sess.execute("ALTER TABLE msgs ADD flair text STATIC")
+    sess.execute("UPDATE msgs SET flair = 'gold' WHERE room = 'dev'")
+    sess.execute(
+        "INSERT INTO msgs (room, posted, author) VALUES ('dev', 1, 'ana')"
+    )
+    r = sess.execute(
+        "SELECT posted, flair FROM msgs WHERE room = 'dev'"
+    ).collect()
+    assert [(x.posted, x.flair) for x in r] == [(1, "gold")]
+    # dropping an indexed column removes its index too
+    sess.execute("CREATE INDEX ON msgs (body)")
+    sess.execute("ALTER TABLE msgs DROP body")
+    sess.execute(DDL.replace("msgs", "msgs2"))
+    sess.execute("CREATE INDEX msgs2_body_idx ON msgs2 (body)")  # name free?
+    # the auto-generated name 'msgs_body_idx' must have been cleaned up
+    sess.execute("CREATE INDEX msgs_body_idx ON msgs2 (author)")
