@@ -1,0 +1,63 @@
+"""Bucketed co-located join: the plan must consume bucket metadata —
+no Exchange on either side of the fact⋈fact join (SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from cassandra_spark.operators.bucketing import (
+    bucketed_join,
+    cobucket_fact_tables,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    cobucket_fact_tables(spark, SF_SMOKE, str(tmp_path), buckets=8)
+    # force the merge-join path: broadcast would mask the bucket layout
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join(spark)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan, plan
+        # co-located: bucket layout replaces BOTH shuffles
+        assert "Exchange" not in plan, plan
+        # sorted buckets: no per-task sort either
+        assert "+- Sort" not in plan.split("SortMergeJoin")[0], plan
+        # and the join result is right (row count = lineitem rows, since
+        # every lineitem has its order)
+        from cassandra_spark.catalog import Catalog
+
+        n_li = Catalog(spark, SF_SMOKE).lineitem.count()
+        assert df.count() == n_li
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_bucketed_agg_skips_shuffle(spark, tmp_path):
+    """A groupBy on the bucket key also reuses the layout: the partial
+    aggregate feeds the final aggregate with no hash exchange."""
+    cobucket_fact_tables(spark, SF_SMOKE, str(tmp_path), buckets=8)
+    try:
+        df = (
+            spark.table("lineitem_b")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "Exchange" not in _plan(df)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
