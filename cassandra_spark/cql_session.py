@@ -242,6 +242,11 @@ _DROP_INDEX_RE = re.compile(
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
 )
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
+    r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+"
     r"(?:ADD\s+(?P<addcol>\w+)\s+(?P<addtype>.+?)(?P<static>\s+STATIC)?"
