@@ -99,8 +99,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in meta.nanos_ts_cols:
-        # integer division (no double round-trip: ns epochs exceed 2^53)
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        df = restore_ts(df, c)
+    return df
+
+
+def restore_ts(df: DataFrame, c: str) -> DataFrame:
+    """Normalize an event-time column to µs TimestampType regardless of how
+    the corpus encoded it (dataset generations differ): TIMESTAMP(NANOS)
+    arrives as long under nanosAsLong, TIMESTAMP(MICROS isAdjustedToUTC=
+    false) as timestamp_ntz; session tz is UTC so the ntz cast is a pure
+    relabel. Integer division for the ns case (no double round-trip: ns
+    epochs exceed 2^53)."""
+    dt = dict(df.dtypes).get(c)
+    if dt == "bigint":
+        return df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -19,20 +19,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cassandra_spark.catalog import restore_ts
 from cassandra_spark.operators.streaming_batch import tumbling_agg
 
-# Raw parquet schema for events (ts arrives as nanos int64 under the
-# nanosAsLong conf; converted to µs timestamp below, same as the catalog).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, path: str, glob: str | None = None):
+    """Declared schema for the file stream = the actual footer schema of the
+    parquet already at `path` (streams require an explicit schema; a batch
+    footer read is metadata-only). Corpus generations encode `ts`
+    differently (int64 ns vs timestamp µs) — `restore_ts` normalizes after."""
+    r = spark.read
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.parquet(path).schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,12 +39,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a directory: stream the sf_dir with a
     # glob filter selecting just the events table
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(
+            _events_raw_schema(spark, sf_dir, "events.parquet")
+        )
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return restore_ts(raw, "ts")
 
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,10 +183,12 @@ def streaming_upsert(
     import os
 
     ev = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        restore_ts(
+            spark.readStream.schema(_events_raw_schema(spark, source_dir))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir),
+            "ts",
+        )
         .select(
             "user_id",
             "event_type",
@@ -282,10 +284,12 @@ def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
     import shutil
 
     ev = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        restore_ts(
+            spark.readStream.schema(_events_raw_schema(spark, source_dir))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir),
+            "ts",
+        )
         .select(
             "user_id",
             "event_type",

@@ -94,18 +94,14 @@ def test_stateful_state_accumulates_across_batches(spark, tmp_path):
 
     src = str(tmp_path / "events_split")
     ev = Catalog(spark, SF_SMOKE).events
-    # re-shard the fixture into 4 files with ts back in raw nanos form so
-    # events_stream's schema (ts: long) still applies
-    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
+    # re-shard the fixture into 4 files, one per micro-batch
+    ev.repartition(4).write.mode("overwrite").parquet(src)
 
-    raw = (
-        spark.readStream.schema(jobs._EVENTS_RAW)
+    stream = (
+        spark.readStream.schema(jobs._events_raw_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
 
     import pandas as pd
