@@ -17,20 +17,48 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from cassandra_spark.catalog import restore_ts
 from cassandra_spark.operators.streaming_batch import tumbling_agg
 
+# Static fallback for empty-at-start source dirs (a stream may legitimately
+# be defined before its first file lands). Matches the driver corpus layout
+# (TESTDATA.md); footer sniffing below overrides it whenever files exist, so
+# nanos-generation corpora (ts as int64 ns) still get their true schema.
+_EVENTS_FALLBACK = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
 def _events_raw_schema(spark: SparkSession, path: str, glob: str | None = None):
     """Declared schema for the file stream = the actual footer schema of the
     parquet already at `path` (streams require an explicit schema; a batch
     footer read is metadata-only). Corpus generations encode `ts`
-    differently (int64 ns vs timestamp µs) — `restore_ts` normalizes after."""
+    differently (int64 ns vs timestamp µs) — `restore_ts` normalizes after.
+    Falls back to the static corpus schema when the dir has no matching
+    files yet (empty-at-start sources)."""
+    # nanos-generation parquet (TIMESTAMP(NANOS)) raises on footer read in
+    # Spark 4 unless this legacy conf maps it to long — set it here so every
+    # caller (events_stream, streaming_upsert, streaming_mv) is covered.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.errors import AnalysisException
+
     r = spark.read
     if glob:
         r = r.option("pathGlobFilter", glob)
-    return r.parquet(path).schema
+    try:
+        return r.parquet(path).schema
+    except AnalysisException:
+        return _EVENTS_FALLBACK
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
