@@ -126,6 +126,169 @@ def parse_coll_type(typ: str) -> tuple[str, str, str | None] | None:
     return kind, t1, t2
 
 
+# --- struct-typed scalars (UDT / tuple / duration) --------------------------
+#
+# UDTs, tuples, and durations map to Spark struct types (SURVEY §1.2). In the
+# mutation log a struct cell is ONE scalar cell whose value is the canonical
+# JSON rendering of the struct (field order = declared order, null fields
+# omitted, no whitespace) — exactly what Spark's to_json() emits for the
+# corresponding StructType, so both engines and the DuckDB oracle compare the
+# same bytes. Frozen semantics only: a struct cell is written/replaced whole
+# (the reference's frozen<udt>; non-frozen per-field UDT updates are the one
+# unpinned corner, documented in operators/typed_replay.py).
+
+# Cassandra duration = (months, days, nanoseconds), `[C* cql3/Duration,
+# unverified]`. y=12mo, w=7d; sub-day units fold into nanos.
+DURATION_STRUCT = "struct<months:int,days:int,nanos:bigint>"
+
+_DUR_UNITS = {
+    "y": ("months", 12),
+    "mo": ("months", 1),
+    "w": ("days", 7),
+    "d": ("days", 1),
+    "h": ("nanos", 3_600_000_000_000),
+    "m": ("nanos", 60_000_000_000),
+    "s": ("nanos", 1_000_000_000),
+    "ms": ("nanos", 1_000_000),
+    "us": ("nanos", 1_000),
+    "ns": ("nanos", 1),
+}
+_DUR_RE = re.compile(r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)")
+
+
+def parse_duration(tok: str) -> tuple[int, int, int]:
+    """CQL duration literal ('1y2mo3d4h5m6s', optionally '-'-prefixed) →
+    (months, days, nanos)."""
+    t = tok.strip().lower()
+    sign = 1
+    if t.startswith("-"):
+        sign, t = -1, t[1:]
+    pos = 0
+    acc = {"months": 0, "days": 0, "nanos": 0}
+    for m in _DUR_RE.finditer(t):
+        if m.start() != pos:
+            raise CQLError(f"bad duration literal: {tok!r}")
+        field, mult = _DUR_UNITS[m.group(2)]
+        acc[field] += int(m.group(1)) * mult
+        pos = m.end()
+    if pos != len(t) or pos == 0:
+        raise CQLError(f"bad duration literal: {tok!r}")
+    return sign * acc["months"], sign * acc["days"], sign * acc["nanos"]
+
+
+def parse_struct_type(typ: str) -> list[tuple[str, str]] | None:
+    """'struct<a:int,b:string>' → [('a', 'int'), ('b', 'string')];
+    non-struct types → None. Splits on top-level commas only (nested
+    structs keep their angle brackets)."""
+    t = typ.strip()
+    if not (t.lower().startswith("struct<") and t.endswith(">")):
+        return None
+    body = t[len("struct<") : -1]
+    fields = []
+    depth, cur = 0, []
+    items: list[str] = []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    items.append("".join(cur))
+    for item in items:
+        name, _, ft = item.partition(":")
+        if not name.strip() or not ft.strip():
+            raise CQLError(f"bad struct type: {typ!r}")
+        fields.append((name.strip().lower(), ft.strip()))
+    return fields
+
+
+_INT_FIELD_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "long"})
+
+
+def _json_field_value(val: str | None, ftype: str):
+    """Canonical-string field value → the Python value json.dumps renders
+    exactly as Spark's to_json() would for the field's Spark type."""
+    if val is None:
+        return None
+    ft = ftype.strip().lower()
+    if parse_struct_type(ftype) is not None:
+        raise CQLError("nested struct fields must arrive pre-parsed")
+    if ft in _INT_FIELD_TYPES or ft.startswith("decimal"):
+        return int(val)
+    if ft in ("float", "double"):
+        return float(val)
+    if ft == "boolean":
+        return val == "true"
+    return val  # string family (text/inet/uuid/...)
+
+
+def struct_json(tok: str, typ: str) -> str | None:
+    """Struct-typed CQL literal → canonical JSON string for the log.
+
+    Accepts the UDT form ``{field: lit, ...}``, the tuple form
+    ``(lit, ...)`` (fields bind positionally to the declared c0..cN), a
+    bare duration literal when ``typ`` is the duration struct, or NULL.
+    Canonical form: declared field order, null fields omitted, compact
+    separators, raw UTF-8 — byte-identical to Spark's ``to_json``.
+    """
+    import json as _json
+
+    fields = parse_struct_type(typ)
+    assert fields is not None
+    tok = tok.strip()
+    if re.fullmatch(r"NULL", tok, re.IGNORECASE):
+        return None
+    out: dict[str, object] = {}
+    if tok.startswith("{") and tok.endswith("}"):
+        declared = dict(fields)
+        seen = {}
+        body = tok[1:-1].strip()
+        for item in _split_csv(body) if body else []:
+            k, v = _split_colon(item)
+            name = k.strip().lower()
+            if name not in declared:
+                raise CQLError(f"unknown struct field {name!r} in {tok!r}")
+            ftype = declared[name]
+            v = v.strip()
+            if parse_struct_type(ftype) is not None:
+                seen[name] = ("__nested__", struct_json(v, ftype))
+            else:
+                seen[name] = (ftype, _parse_literal(v))
+        for name, ftype in fields:
+            if name not in seen:
+                continue
+            ft, v = seen[name]
+            if v is None:
+                continue
+            out[name] = (
+                _json.loads(v) if ft == "__nested__" else _json_field_value(v, ft)
+            )
+    elif tok.startswith("(") and tok.endswith(")"):
+        vals = _split_csv(tok[1:-1])
+        if len(vals) > len(fields):
+            raise CQLError(f"too many tuple fields in {tok!r}")
+        for (name, ftype), v in zip(fields, vals):
+            v = v.strip()
+            if parse_struct_type(ftype) is not None:
+                nested = struct_json(v, ftype)
+                if nested is not None:
+                    out[name] = _json.loads(nested)
+                continue
+            pv = _parse_literal(v)
+            if pv is not None:
+                out[name] = _json_field_value(pv, ftype)
+    elif typ.replace(" ", "") == DURATION_STRUCT.replace(" ", ""):
+        months, days, nanos = parse_duration(tok)
+        out = {"months": months, "days": days, "nanos": nanos}
+    else:
+        raise CQLError(f"bad struct literal for {typ!r}: {tok!r}")
+    return _json.dumps(out, separators=(",", ":"), ensure_ascii=False)
+
+
 @dataclass
 class TableSchema:
     """Declared table shape: key columns are strings in the mutation log
@@ -250,7 +413,8 @@ def _parse_literal(tok: str) -> str | None:
 
 
 def _split_csv(text: str) -> list[str]:
-    """Split on commas not inside single quotes or [ ] / { } brackets."""
+    """Split on commas not inside single quotes or [ ] / { } / ( )
+    brackets (parens nest tuple literals)."""
     out: list[str] = []
     depth = 0
     quoted = False
@@ -259,9 +423,9 @@ def _split_csv(text: str) -> list[str]:
         if ch == "'":
             quoted = not quoted
         elif not quoted:
-            if ch in "[{":
+            if ch in "[{(":
                 depth += 1
-            elif ch in "]}":
+            elif ch in "]})":
                 depth -= 1
             elif ch == "," and depth == 0:
                 out.append("".join(cur))
@@ -465,10 +629,27 @@ class CqlTable:
         if "json" in m.re.groupindex:
             return self._json_pairs(m)
         cols = [c.strip().lower() for c in m.group("cols").split(",")]
-        vals = [_parse_value(v) for v in _split_csv(m.group("vals"))]
-        if len(cols) != len(vals):
+        toks = _split_csv(m.group("vals"))
+        if len(cols) != len(toks):
             raise CQLError("INSERT column/value count mismatch")
-        return dict(zip(cols, vals))
+        return {c: self._parse_rhs(c, t) for c, t in zip(cols, toks)}
+
+    def _struct_type_of(self, col: str) -> str | None:
+        """Declared struct type of a regular/static column, else None."""
+        s = self.schema
+        typ = s.regular.get(col) or s.static.get(col)
+        if typ is not None and parse_struct_type(typ) is not None:
+            return typ
+        return None
+
+    def _parse_rhs(self, col: str, tok: str):
+        """Type-aware right-hand-side parse: struct-typed columns take UDT /
+        tuple / duration literals (→ one canonical-JSON scalar cell);
+        everything else parses type-blind as before."""
+        styp = self._struct_type_of(col)
+        if styp is not None:
+            return "scalar", struct_json(tok, styp)
+        return _parse_value(tok)
 
     def _json_pairs(self, m: re.Match):
         """INSERT JSON document → the same parsed-pairs shape the VALUES
@@ -512,6 +693,24 @@ class CqlTable:
                 return x
             raise CQLError(f"unsupported JSON value for {col!r}: {x!r}")
 
+        styp = self._struct_type_of(col)
+        if styp is not None:
+            if v is None:
+                return "scalar", None
+            if not isinstance(v, dict):
+                raise CQLError(f"struct column {col!r} needs a JSON object")
+            import json as _json
+
+            fields = parse_struct_type(styp)
+            out = {}
+            for name, ftype in fields:
+                fv = v.get(name)
+                if fv is None:
+                    continue
+                out[name] = fv
+            return "scalar", _json.dumps(
+                out, separators=(",", ":"), ensure_ascii=False
+            )
         coll = s.coll_regular.get(col)
         if coll is None:
             return "scalar", canon(v)
@@ -595,6 +794,10 @@ class CqlTable:
                         f"IF conditions on collection column {col!r} are not supported"
                     )
                 raise CQLError(f"IF on unknown column {col!r}")
+            if parse_struct_type(typ) is not None:
+                raise CQLError(
+                    f"IF conditions on struct column {col!r} are not supported"
+                )
             cur = None if state is None else state.get(col)
             lit = _parse_literal(m.group(3))
             if not self._cmp(cur, m.group(2), lit, typ):
@@ -953,7 +1156,12 @@ class CqlTable:
             raise CQLError(f"bad SET assignment: {assign!r}")
         c = am.group(1).lower()
         if c in s.static:
-            v = _parse_literal(am.group(2))
+            styp = self._struct_type_of(c)
+            v = (
+                struct_json(am.group(2), styp)
+                if styp is not None
+                else _parse_literal(am.group(2))
+            )
             if v is not None:
                 self._emit(pk, None, c, v, CELL, ts, ttl)
             else:
@@ -971,6 +1179,14 @@ class CqlTable:
                 return
             self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
             self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
+            return
+        styp = self._struct_type_of(c)
+        if styp is not None:
+            v = struct_json(am.group(2), styp)
+            if v is not None:
+                self._emit(pk, ckj, c, v, CELL, ts, ttl)
+            else:
+                self._emit(pk, ckj, c, None, CELL_TOMB, ts, None)
             return
         v = _parse_literal(am.group(2))
         # no row marker: the UPDATE-only row lives and dies with its cells
@@ -1208,7 +1424,12 @@ class CqlTable:
         for c, typ in s.scalar_regular.items():
             cell_val = F.when(F.col("col") == c, F.col("val"))
             cell_wt = F.when(F.col("col") == c, F.col("writetime"))
-            aggs.append(F.max(cell_val).cast(typ).alias(c))
+            if parse_struct_type(typ) is not None:
+                # struct cells carry canonical JSON; from_json re-types them
+                # (a string cast can't produce a StructType)
+                aggs.append(F.from_json(F.max(cell_val), typ).alias(c))
+            else:
+                aggs.append(F.max(cell_val).cast(typ).alias(c))
             aggs.append(F.max(cell_wt).alias(f"__writetime_{c}"))
         for c, (ckind, t1, t2) in s.coll_regular.items():
             if ckind == "list":
@@ -1261,9 +1482,11 @@ class CqlTable:
             )
             s_aggs = []
             for c, typ in s.static.items():
+                sv = F.max(F.when(F.col("col") == c, F.col("val")))
                 s_aggs.append(
-                    F.max(F.when(F.col("col") == c, F.col("val")))
-                    .cast(typ).alias(c)
+                    F.from_json(sv, typ).alias(c)
+                    if parse_struct_type(typ) is not None
+                    else sv.cast(typ).alias(c)
                 )
                 s_aggs.append(
                     F.max(F.when(F.col("col") == c, F.col("writetime")))

@@ -36,9 +36,11 @@ from cassandra_spark.catalog import TableMeta
 from cassandra_spark.cql import CQLError, cql_select
 from cassandra_spark.cql_dml import (
     _BATCH_RE,
+    DURATION_STRUCT,
     CqlTable,
     TableSchema,
     parse_coll_type,
+    parse_struct_type,
 )
 
 # CQL type → engine (Spark-cast) type. Keys/values of collections map the
@@ -67,14 +69,29 @@ _CQL_TYPES = {
 }
 
 
-def _map_type(cql_type: str) -> str:
+def _map_type(cql_type: str, udts: dict[str, str] | None = None) -> str:
+    """CQL type text → Spark type text. ``udts`` maps CREATE TYPE names to
+    their struct types; tuples map to struct<c0:..,c1:..> (always frozen in
+    the reference) and duration to the (months, days, nanos) struct
+    `[C* cql3/Duration, unverified]`."""
     t = cql_type.strip().lower()
     t = re.sub(r"^frozen\s*<(.+)>$", r"\1", t).strip()  # frozen-ness: none
+    if t == "duration":
+        return DURATION_STRUCT
+    m = re.fullmatch(r"tuple\s*<(.+)>", t)
+    if m:
+        inner = _split_generics(m.group(1))
+        fields = ", ".join(
+            f"c{i}: {_map_type(p, udts)}" for i, p in enumerate(inner)
+        )
+        return f"struct<{fields}>"
     m = re.fullmatch(r"(list|set|map)\s*<(.+)>", t)
     if m:
         inner = _split_generics(m.group(2))
-        mapped = ", ".join(_map_type(i) for i in inner)
+        mapped = ", ".join(_map_type(i, udts) for i in inner)
         return f"{m.group(1)}<{mapped}>"
+    if udts and t in udts:
+        return udts[t]
     if t not in _CQL_TYPES:
         raise CQLError(f"unsupported CQL type {cql_type!r}")
     return _CQL_TYPES[t]
@@ -122,11 +139,14 @@ def _create_parts(stmt: str):
     return None
 
 
-def parse_create_table(stmt: str) -> TableSchema:
+def parse_create_table(
+    stmt: str, udts: dict[str, str] | None = None
+) -> TableSchema:
     """CREATE TABLE subset → TableSchema. Single partition-key column
     (composite partition keys are rejected — the mutation-log model keys
     on one pk string), composite clustering, STATIC columns, collections,
-    counter tables (any counter column makes the table counter-only)."""
+    UDT/tuple/duration columns (``udts``: CREATE TYPE registry), counter
+    tables (any counter column makes the table counter-only)."""
     parts = _create_parts(stmt)
     if not parts:
         raise CQLError(f"unsupported or malformed CREATE TABLE: {stmt!r}")
@@ -187,18 +207,20 @@ def parse_create_table(stmt: str) -> TableSchema:
         if c not in cols:
             raise CQLError(f"PRIMARY KEY column {c!r} is not declared")
     key_types = {
-        c: _map_type(cols[c]) for c in (pk, *clustering)
+        c: _map_type(cols[c], udts) for c in (pk, *clustering)
     }
     for c, t in key_types.items():
         if parse_coll_type(t):
             raise CQLError(f"key column {c!r} cannot be a collection")
+        if parse_struct_type(t) is not None:
+            raise CQLError(f"key column {c!r} cannot be a UDT/tuple/duration")
     regular = {}
     static = {}
     counter_cols = 0
     for c, t in cols.items():
         if c == pk or c in clustering:
             continue
-        mapped = _map_type(t)
+        mapped = _map_type(t, udts)
         if t.strip().lower() == "counter":
             counter_cols += 1
         if c in statics:
@@ -253,6 +275,15 @@ _ALTER_RE = re.compile(
     r"|DROP\s+(?P<dropcol>\w+))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\((?P<body>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class CqlSession:
@@ -266,6 +297,7 @@ class CqlSession:
         self.tables: dict[str, CqlTable] = {}
         self.indexes: dict[str, set[str]] = {}  # table → indexed columns
         self.index_names: dict[str, tuple[str, str]] = {}  # name → (t, col)
+        self.types: dict[str, str] = {}  # UDT name → Spark struct type
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -326,7 +358,7 @@ class CqlSession:
             col = m.group("addcol").lower()
             if col in s.regular or col in s.static or col in s.key_cols:
                 raise CQLError(f"column {col!r} already exists")
-            mapped = _map_type(m.group("addtype"))
+            mapped = _map_type(m.group("addtype"), self.types)
             if m.group("static"):
                 if parse_coll_type(mapped):
                     raise CQLError("static collection columns are not supported")
@@ -351,8 +383,56 @@ class CqlSession:
             if not (t == s.name and c == col)
         }
 
+    def _create_type(self, m: re.Match) -> None:
+        """CREATE TYPE name (f1 t1, ...) → registered struct type; columns
+        may then declare ``name`` / ``frozen<name>``. Frozen semantics only
+        (whole-cell replace) — the pinned simplification documented in
+        operators/typed_replay.py."""
+        name = m.group("name").lower()
+        if name in self.types:
+            if re.match(
+                r"^\s*CREATE\s+TYPE\s+IF\s+NOT\s+EXISTS", m.string, re.IGNORECASE
+            ):
+                return
+            raise CQLError(f"type {name!r} already exists")
+        fields = []
+        for item in _split_generics(m.group("body")):
+            fm = re.fullmatch(r"(?P<f>\w+)\s+(?P<t>.+)", item, re.DOTALL)
+            if not fm:
+                raise CQLError(f"bad field definition in CREATE TYPE: {item!r}")
+            fields.append(
+                f"{fm.group('f').lower()}: {_map_type(fm.group('t'), self.types)}"
+            )
+        if not fields:
+            raise CQLError("CREATE TYPE needs at least one field")
+        self.types[name] = f"struct<{', '.join(fields)}>"
+
     def execute(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
+        if head.startswith("CREATE TYPE"):
+            tm = _CREATE_TYPE_RE.match(stmt)
+            if not tm:
+                raise CQLError(f"unsupported CREATE TYPE: {stmt!r}")
+            self._create_type(tm)
+            return None
+        if head.startswith("DROP TYPE"):
+            tm = _DROP_TYPE_RE.match(stmt)
+            if not tm:
+                raise CQLError(f"unsupported DROP TYPE: {stmt!r}")
+            name = tm.group("name").lower()
+            if name not in self.types:
+                if tm.group("ine"):
+                    return None
+                raise CQLError(f"unknown type {name!r}")
+            struct = self.types[name]
+            in_use = any(
+                struct in (t.schema.regular | t.schema.static).values()
+                for t in self.tables.values()
+            )
+            if in_use:
+                raise CQLError(f"type {name!r} is in use by a table")
+            del self.types[name]
+            return None
         if head.startswith("CREATE INDEX"):
             im = _CREATE_INDEX_RE.match(stmt)
             if not im:
@@ -401,7 +481,7 @@ class CqlSession:
             self._alter_table(am)
             return None
         if head.startswith("CREATE"):
-            schema = parse_create_table(stmt)
+            schema = parse_create_table(stmt, self.types)
             if re.match(
                 r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
             ) and schema.name in self.tables:

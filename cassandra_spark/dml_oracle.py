@@ -17,7 +17,9 @@ check proves both engines reconciled identical inputs identically.
 
 from __future__ import annotations
 
-from cassandra_spark.cql_dml import TableSchema
+import re
+
+from cassandra_spark.cql_dml import TableSchema, parse_struct_type
 
 _DUCK_TYPES = {
     "tinyint": "TINYINT",
@@ -33,6 +35,9 @@ _DUCK_TYPES = {
 
 
 def _dt(typ: str) -> str:
+    dm = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", typ.lower())
+    if dm:
+        return f"DECIMAL({dm.group(1)},{dm.group(2)})"
     try:
         return _DUCK_TYPES[typ.lower()]
     except KeyError:
@@ -91,9 +96,16 @@ def dml_oracle_sql(schema: TableSchema, log, asof: int) -> str:
 
     scalar_pivots = []
     for c, typ in scalars.items():
-        scalar_pivots.append(
-            f"CAST(max(CASE WHEN col = '{c}' THEN val END) AS {_dt(typ)}) AS {c}"
-        )
+        if parse_struct_type(typ) is not None:
+            # struct cells carry canonical JSON; the Spark replay query
+            # projects to_json(col), so both sides compare the same string
+            scalar_pivots.append(
+                f"max(CASE WHEN col = '{c}' THEN val END) AS {c}"
+            )
+        else:
+            scalar_pivots.append(
+                f"CAST(max(CASE WHEN col = '{c}' THEN val END) AS {_dt(typ)}) AS {c}"
+            )
     coll_pivots = []
     for c, (ckind, t1, t2) in colls.items():
         # casts live inside CASE: the aggregate argument is evaluated before
@@ -133,7 +145,12 @@ def dml_oracle_sql(schema: TableSchema, log, asof: int) -> str:
     lonely_sql = ""
     if s.static:
         static_pivots = ", ".join(
-            f"CAST(max(CASE WHEN col = '{c}' THEN val END) AS {_dt(t)}) AS {c}"
+            (
+                f"max(CASE WHEN col = '{c}' THEN val END) AS {c}"
+                if parse_struct_type(t) is not None
+                else f"CAST(max(CASE WHEN col = '{c}' THEN val END) "
+                f"AS {_dt(t)}) AS {c}"
+            )
             for c, t in s.static.items()
         )
         static_sql = f""",
@@ -158,7 +175,12 @@ stat AS (
             f"CAST(NULL AS {_dt(s.key_type(c))}) AS {c}" for c in s.clustering
         )
         null_body = ", ".join(
-            [f"CAST(NULL AS {_dt(t)}) AS {c}" for c, t in scalars.items()]
+            [
+                f"CAST(NULL AS "
+                f"{'VARCHAR' if parse_struct_type(t) is not None else _dt(t)}"
+                f") AS {c}"
+                for c, t in scalars.items()
+            ]
             + [f"CAST(NULL AS VARCHAR) AS {c}" for c in colls]
         )
         pk_alias = (

@@ -79,6 +79,7 @@ def load_all() -> None:
         setops,
         streaming_batch,
         subqueries,
+        typed_replay,
         tpch,
         tpch2,
         tpch3,
