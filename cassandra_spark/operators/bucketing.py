@@ -15,15 +15,24 @@ ingest and amortized over every downstream join/aggregation on that key
 lookups; bucketBy serves JOINS because Spark's planner consumes the
 bucket metadata).
 
-Used as infrastructure (writes tables), so exercised by plan-asserting
-tests rather than a ``queries()`` entry — same treatment as zorder.py.
+Two registered queries consume the layout end-to-end:
+``x17_large_orders_bucketed`` / ``x23_waiting_suppliers_bucketed`` run the
+exact Q18/Q21 plans over the bucketed tables and share the unbucketed
+queries' oracles — same answer, zero exchanges on the fact join key
+(plan-asserted in tests/test_bucketing.py). Their first call per
+(session, sf_dir) builds the layout — idempotent ingest infrastructure,
+the analytical plan itself stays declarative.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_spark.catalog import Catalog
+from cassandra_spark.operators.tpch import x17_core, x23_core
+from cassandra_spark.registry import ORACLE, query
 
 
 def write_bucketed(
@@ -71,6 +80,52 @@ def cobucket_fact_tables(
         buckets,
     )
     return "lineitem_b", "orders_b"
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> tuple[str, str]:
+    """Idempotently materialize the co-bucketed fact layout for ``sf_dir``
+    (skipped when this session already registered it). Tables are tagged
+    per corpus dir so different scale factors coexist in one session; the
+    parquet lands under the session's warehouse dir."""
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    li, o = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not (spark.catalog.tableExists(li) and spark.catalog.tableExists(o)):
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        cat = Catalog(spark, sf_dir)
+        write_bucketed(
+            cat.lineitem, li, f"{wh}/bucketed/{tag}/lineitem", "l_orderkey",
+            buckets,
+        )
+        write_bucketed(
+            cat.orders, o, f"{wh}/bucketed/{tag}/orders", "o_orderkey",
+            buckets,
+        )
+    return li, o
+
+
+@query("x17_large_orders_bucketed", oracle=ORACLE["x17_large_orders"])
+def x17_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the co-bucketed layout: the l_orderkey aggregate and the
+    orders join both consume bucket metadata — NO hash exchange anywhere
+    in the plan (only the final presentation sort's range exchange
+    remains). Same oracle as x17_large_orders: layout must not change the
+    answer."""
+    li, o = ensure_bucketed_layout(spark, sf_dir)
+    cust = Catalog(spark, sf_dir).customer
+    return x17_core(spark.table(li), spark.table(o), cust)
+
+
+@query("x23_waiting_suppliers_bucketed", oracle=ORACLE["x23_waiting_suppliers"])
+def x23_waiting_suppliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over the co-bucketed layout: all three lineitem branches and
+    both orders probes read co-located buckets — no exchange on the fact
+    key; the only hash exchange left is the final tiny s_name aggregate.
+    Same oracle as x23_waiting_suppliers."""
+    li, o = ensure_bucketed_layout(spark, sf_dir)
+    supp = Catalog(spark, sf_dir).supplier
+    return x23_core(spark.table(li), spark.table(o), supp)
 
 
 def bucketed_join(spark: SparkSession) -> DataFrame:

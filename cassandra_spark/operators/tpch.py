@@ -129,19 +129,28 @@ def x17_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the group-filter pattern; the quantity sum is exact
     decimal so the threshold cut is engine-identical."""
     cat = Catalog(spark, sf_dir)
+    return x17_core(cat.lineitem, cat.orders, cat.customer)
+
+
+def x17_core(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Q18 plan over explicit inputs (also consumed by the bucketed-layout
+    variant in operators/bucketing.py)."""
     # aggregate the fact table FIRST (one narrow-key shuffle, map-side
-    # combined), filter to the ~1% tail, THEN join dims — at 100 TB this
-    # shuffles quantities, not customer names
+    # combined — zero-exchange when the input is bucketed on l_orderkey),
+    # filter to the ~1% tail, THEN join dims — at 100 TB this shuffles
+    # quantities, not customer names
     big = (
-        cat.lineitem.groupBy("l_orderkey")
+        lineitem.groupBy("l_orderkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty")
         )
         .filter(F.col("__qty") > 270)
     )
     return (
-        big.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -222,16 +231,24 @@ def x23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey key, so the three lineitem branches co-partition and the
     semi/anti residual (suppkey <>) evaluates without extra exchanges."""
     cat = Catalog(spark, sf_dir)
-    late = cat.lineitem.join(
-        cat.orders.filter(F.col("o_orderstatus") == "F"),
+    return x23_core(cat.lineitem, cat.orders, cat.supplier)
+
+
+def x23_core(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Q21 plan over explicit inputs (also consumed by the bucketed-layout
+    variant in operators/bucketing.py)."""
+    late = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-    l2 = cat.lineitem.select(
+    l2 = lineitem.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
     )
     l3 = (
-        cat.lineitem.join(
-            cat.orders.select(
+        lineitem.join(
+            orders.select(
                 F.col("o_orderkey").alias("k3o"), F.col("o_orderdate").alias("d3")
             ),
             F.col("l_orderkey") == F.col("k3o"),
@@ -250,7 +267,7 @@ def x23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

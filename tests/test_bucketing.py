@@ -61,3 +61,46 @@ def test_bucketed_agg_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_x17_bucketed_plan_and_parity(spark):
+    """Q18 over the bucketed layout: zero hash exchanges end-to-end (the
+    layout replaces both the aggregate shuffle and the join shuffle; only
+    the presentation sort's range exchange remains), same rows as the
+    unbucketed query."""
+    from cassandra_spark.operators.bucketing import x17_large_orders_bucketed
+    from cassandra_spark.operators.tpch import x17_large_orders
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = x17_large_orders_bucketed(spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "hashpartitioning" not in plan, plan
+        assert df.collect() == x17_large_orders(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_x23_bucketed_plan_and_parity(spark):
+    """Q21 over the bucketed layout: no exchange on the fact join key —
+    all three lineitem branches and both orders probes are co-located;
+    the only hash exchange left is the tiny final s_name aggregate."""
+    import re
+
+    from cassandra_spark.operators.bucketing import (
+        x23_waiting_suppliers_bucketed,
+    )
+    from cassandra_spark.operators.tpch import x23_waiting_suppliers
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = x23_waiting_suppliers_bucketed(spark, SF_SMOKE)
+        plan = _plan(df)
+        parts = re.findall(r"hashpartitioning\(([^),]+)", plan)
+        assert parts and all("s_name" in p for p in parts), plan
+        assert df.collect() == x23_waiting_suppliers(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
