@@ -277,6 +277,164 @@ def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- production-shape MinHash-LSH (parameterized banding) ------------------
+#
+# l2 above is the fixture-scale config (8 perms, 4×2 bands, verify ≥ 0.2 —
+# an s-curve centered near 0.5 so the tiny corpus yields pairs to check).
+# Production near-dup dedup runs 100+ permutations with narrow-threshold
+# banding: 16 bands × 8 rows centers the s-curve at (1/16)^(1/8) ≈ 0.71,
+# so only true near-dups (the standard ≥ 0.8 verify) become candidates and
+# Σ bucket² stays tiny at corpus scale. The banding is fully parameterized;
+# both configs share one pipeline shape and one oracle generator.
+
+BAND_FOLD_MOD = 1_000_000_000_039  # band-row fold modulus (fits the fold in i64)
+PROD_PERMS, PROD_BANDS, PROD_ROWS = 128, 16, 8
+PROD_JACCARD = 0.8
+
+
+def perm_constants(n: int, seed: int = 61409) -> list[tuple[int, int]]:
+    """n deterministic affine-permutation constants (a, b) for (a*s+b)%MOD.
+    Fixed seed: both engines bake the same literals into their plans."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MOD), rng.randrange(0, MOD)) for _ in range(n)]
+
+
+def banded_signatures(
+    docs: DataFrame, perms: list[tuple[int, int]], n_bands: int, rows: int
+) -> DataFrame:
+    """doc_id → shingle set + n_bands band buckets from len(perms) MinHash
+    values (rows consecutive minhashes fold into one band value). One
+    narrow pass; persist barriers as in minhash_signatures."""
+    if n_bands * rows != len(perms):
+        raise ValueError("bands × rows must equal the permutation count")
+    wh_t = word_hash_table(docs, 3, "doc_id")
+    sh = (
+        wh_t.withColumn("sh", F.expr(shingle_expr_spark(3)))
+        .select("doc_id", "sh")
+        .persist()
+    )
+    perm_arr = "array(" + ", ".join(
+        f"struct({a}L AS a, {b}L AS b)" for a, b in perms
+    ) + ")"
+    mh = (
+        f"transform({perm_arr}, p -> "
+        f"array_min(transform(sh, s -> (p.a * s + p.b) % {MOD})))"
+    )
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"aggregate(slice(mh, cast(b * {rows} + 1 AS int), {rows}), 0L, "
+        f"(acc, x) -> (acc * {P2} + x) % {BAND_FOLD_MOD}))"
+    )
+    # persist between mh and bands: CollapseProject would otherwise inline
+    # the len(perms)-permutation transform into every band's slice-fold —
+    # n_bands× re-evaluation AND a plan-size blowup (measured ~50s of
+    # scale-independent overhead at 128 perms without the barrier)
+    mh_t = sh.withColumn("mh", F.expr(mh)).persist()
+    return (
+        mh_t.withColumn("bands", F.expr(bands))
+        .select("doc_id", "sh", "bands")
+        .persist()
+    )
+
+
+def _prod_minhash_oracle() -> str:
+    perms = perm_constants(PROD_PERMS)
+    perm_list = "[" + ", ".join(
+        f"{{'a': {a}, 'b': {b}}}" for a, b in perms
+    ) + "]"
+    mh = (
+        f"list_transform({perm_list}, p -> list_aggregate("
+        f"list_transform(sh, s -> (p.a * s + p.b) % {MOD}), 'min'))"
+    )
+    bands = (
+        f"list_transform(range(0, {PROD_BANDS}), b -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"mh[b * {PROD_ROWS} + 1 : b * {PROD_ROWS} + {PROD_ROWS}]), "
+        f"(acc, x) -> (acc * {P2} + x) % {BAND_FOLD_MOD}))"
+    )
+    band_ids = ", ".join(f"({i})" for i in range(PROD_BANDS))
+    return f"""
+    WITH wh_t AS (
+      SELECT doc_id, {WORD_HASH_DUCK} AS wh FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, {shingle_expr_duck(3)} AS sh
+      FROM wh_t WHERE len(wh) >= 3
+    ),
+    sig AS (SELECT doc_id, sh, {mh} AS mh FROM sh_t),
+    banded AS (SELECT doc_id, sh, {bands} AS bands FROM sig),
+    bands_x AS (
+      SELECT doc_id, b.band_id, bands[b.band_id + 1] AS band_val
+      FROM banded CROSS JOIN (VALUES {band_ids}) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands_x x JOIN bands_x y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM cand
+      JOIN banded sa ON sa.doc_id = doc_a
+      JOIN banded sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {PROD_JACCARD}
+    """
+
+
+@query("l2_minhash_neardup_prod", oracle=_prod_minhash_oracle())
+def l2_minhash_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape near-dup: 128 MinHash permutations, 16 bands × 8
+    rows (s-curve threshold ≈ 0.71), exact-Jaccard verify ≥ 0.8 — the
+    parameters a real corpus dedup pass runs. Same plan shape as l2:
+    band equi-join candidates, verify on candidates only."""
+    cat = Catalog(spark, sf_dir)
+    sig = banded_signatures(
+        cat.documents, perm_constants(PROD_PERMS), PROD_BANDS, PROD_ROWS
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PROD_JACCARD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2b: SimHash
 # ---------------------------------------------------------------------------

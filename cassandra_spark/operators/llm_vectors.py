@@ -382,16 +382,23 @@ def l3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs candidate space stays Σ bucket² with small buckets. Hamming-1
 # multiprobe compensates the recall lost to the extra planes (identical
 # embeddings always share a bucket, so exact dups have recall 1).
+#
+# The plane count is the ONE scale knob: with buckets fixed, N vectors into
+# 2^planes buckets means Σ bucket² grows quadratically in N (measured in the
+# scale-stress harness: 10× corpus → ~5.8× runtime at fixed 10 planes).
+# Production sizing holds avg bucket occupancy ~constant: planes ≈
+# log2(N / target_bucket_size). Both configs below are registered and
+# oracle-checked; the _prod variant demonstrates the knob.
 ND_PLANES = 10
-_ND_PROBE_VALUES = ", ".join(f"({k})" for k in range(-1, ND_PLANES))
+ND_PLANES_PROD = 14  # 16384 buckets — sized for the 10× stress corpus
 
 
-@query(
-    "l2d_embedding_neardup",
-    oracle=f"""
+def _embedding_neardup_oracle(planes: int) -> str:
+    probe_values = ", ".join(f"({k})" for k in range(-1, planes))
+    return f"""
     WITH {_NORMED_DUCK},
     bucketed AS (
-      SELECT vec_id, embedding, nrm, {bucket_duck(ND_PLANES)} AS bucket
+      SELECT vec_id, embedding, nrm, {bucket_duck(planes)} AS bucket
       FROM normed
     ),
     probes AS (
@@ -399,7 +406,7 @@ _ND_PROBE_VALUES = ", ".join(f"({k})" for k in range(-1, ND_PLANES))
              CASE WHEN k.k = -1 THEN bucket
                   ELSE xor(bucket, 1::BIGINT << k.k) END AS probe
       FROM bucketed
-      CROSS JOIN (VALUES {_ND_PROBE_VALUES}) k(k)
+      CROSS JOIN (VALUES {probe_values}) k(k)
     ),
     cand AS (
       SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
@@ -415,26 +422,29 @@ _ND_PROBE_VALUES = ", ".join(f"({k})" for k in range(-1, ND_PLANES))
       JOIN bucketed b ON b.vec_id = vec_b
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
-    """,
-)
-def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, planes: int = ND_PLANES
+) -> DataFrame:
     """Embedding-cosine near-dup: pairs whose LSH buckets are within
     Hamming distance 1 and whose exact cosine is ≥ 0.35.
 
     The blocking key is the same random-hyperplane LSH bucket family l3b
-    uses for ANN, at 10 planes (1024 buckets — all-pairs needs a finer
-    partition than 5-query ANN), with Hamming-1 multiprobe: every vector
-    probes its own bucket plus the one-bit flips, so pairs split across
-    adjacent buckets are still candidates. Candidates come from a bucket
-    equi-join; exact cosine runs on candidates only. Pair cost is
-    Σ bucket², never corpus² — at 10⁹ vectors add planes and widen
-    multiprobe, same plan shape."""
+    uses for ANN (``planes`` hyperplanes → 2^planes buckets — all-pairs
+    needs a finer partition than 5-query ANN), with Hamming-1 multiprobe:
+    every vector probes its own bucket plus the one-bit flips, so pairs
+    split across adjacent buckets are still candidates. Candidates come
+    from a bucket equi-join; exact cosine runs on candidates only. Pair
+    cost is Σ bucket², never corpus² — at 10⁹ vectors raise ``planes``
+    (keep N / 2^planes ~constant) and widen multiprobe, same plan shape."""
     cat = Catalog(spark, sf_dir)
     # persist: bucketed feeds the probe explode and both verify legs (same
     # barrier rationale as l3b — fingerprints land in a table at 100 TB).
     bucketed = (
         _normed(cat)
-        .withColumn("bucket", F.expr(bucket_spark(ND_PLANES)))
+        .withColumn("bucket", F.expr(bucket_spark(planes)))
         .persist()
     )
     probe = F.when(F.col("k") == -1, F.col("abucket")).otherwise(
@@ -446,7 +456,7 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                cat.embeddings.sparkSession.range(-1, ND_PLANES).select(
+                cat.embeddings.sparkSession.range(-1, planes).select(
                     F.col("id").cast("int").alias("k")
                 )
             )
@@ -488,6 +498,25 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@query("l2d_embedding_neardup", oracle=_embedding_neardup_oracle(ND_PLANES))
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-scale config: 10 planes (1024 buckets). See
+    :func:`embedding_neardup`."""
+    return embedding_neardup(spark, sf_dir, ND_PLANES)
+
+
+@query(
+    "l2d_embedding_neardup_prod",
+    oracle=_embedding_neardup_oracle(ND_PLANES_PROD),
+)
+def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape config: 14 planes (16384 buckets), occupancy sized
+    for a 10×-larger corpus — the scale-stress harness measures this
+    variant staying near-linear where the fixed 10-plane config goes
+    super-linear. See :func:`embedding_neardup`."""
+    return embedding_neardup(spark, sf_dir, ND_PLANES_PROD)
 
 
 # ---------------------------------------------------------------------------

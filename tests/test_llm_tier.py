@@ -132,7 +132,7 @@ def test_l4_decode_stub_plumbing(spark):
     out = decode_documents(docs, allow_stub=True, n_partitions=8)
     assert out.schema.simpleString() == (
         "struct<doc_id:bigint,mime:string,n_bytes:bigint,width:int,"
-        "height:int,n_channels:int,feat:array<float>>"
+        "height:int,n_channels:int,feat:array<float>,pixels:binary>"
     )
     rows1 = sorted((r.doc_id, tuple(r.feat)) for r in out.collect())
     rows2 = sorted(
@@ -286,3 +286,40 @@ def test_l18_kmeans_partitions_and_refines(spark):
     clusters = {r.cluster for r in out}
     assert 2 <= len(clusters) <= KM_K
     assert clusters <= set(range(KM_K))  # seeds are vec_ids 0..K-1
+
+
+def test_prod_minhash_candidates_cover_true_neardups():
+    """128-perm/16×8 banding (s-curve ≈ 0.71) must still surface every
+    strong near-dup pair (jaccard ≥ 0.9) the 8-perm baseline verifies —
+    the recall containment that justifies calling it the production
+    config. DuckDB-only: both sides run the pinned oracle SQL."""
+    import duckdb
+    import re
+
+    from cassandra_spark.operators.llm_dedup import (
+        _L2_ORACLE,
+        _prod_minhash_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    strong = {
+        (r[0], r[1])
+        for r in con.execute(
+            _L2_ORACLE.replace(">= 0.2", ">= 0.9")
+        ).fetchall()
+    }
+    # candidate set of the prod config = verified output with the final
+    # jaccard filter relaxed to 0 (verify never drops candidates, only
+    # annotates them)
+    prod_cand_sql = re.sub(
+        r">= 0\.8\s*$", ">= 0.0", _prod_minhash_oracle().strip()
+    )
+    prod_cand = {
+        (r[0], r[1]) for r in con.execute(prod_cand_sql).fetchall()
+    }
+    assert strong, "fixture should contain strong near-dup pairs"
+    assert strong <= prod_cand

@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Scale-stress harness: measured growth curves for the scale-sensitive queries.
+
+The 100 TB design claims in the operator docstrings (Sigma bucket^2 candidate
+verify, one-shuffle merges, broadcast-side joins) had only ever been *asserted*
+against plans, never *measured* above sf0.1. This harness turns each claim into
+a growth curve:
+
+1. ``build``: deterministically amplify the sf0.1 corpus by FACTOR (default
+   10x) into ``.scale_stress/x{FACTOR}/`` so the amplified directory is a
+   drop-in ``sf_dir`` for every registered query.
+2. ``run``: time each stress query end-to-end (noop sink, same protocol as
+   bench.py) at 1x and at FACTORx, and report ``ratio = t_amp / t_base``
+   against the ideal ``FACTOR`` (linear work on a fixed 32-thread box; <FACTOR
+   is normal while fixed overheads dominate, >>FACTOR flags super-linearity).
+
+Amplification is workload-shape-preserving, not naive duplication:
+
+- **Keys** are re-keyed ``k * FACTOR + r`` (replica index r) on BOTH sides of
+  every FK edge, so orders<->lineitem, events<->customer etc. keep their 1:N
+  structure inside each replica and replicas never join across.
+- **documents.text** is word-salted per replica (``w -> w~r``): replica 0 is
+  the original corpus; each other replica occupies a disjoint shingle space.
+  Without this, every doc would gain FACTOR-1 exact twins and the near-dup
+  band buckets would grow quadratically for data reasons, not algorithmic
+  ones. With it, bucket count grows ~FACTOR while bucket sizes stay put --
+  exactly the regime the Sigma bucket^2 claim is about.
+- **embeddings.embedding** gets a per-replica deterministic sign flip (an
+  orthogonal transform): within-replica geometry (norms, cosines) is exactly
+  preserved, while replicas become mutually near-orthogonal -- so l2d/l3b/l18
+  see a FACTOR-times-larger corpus with the same internal cluster structure.
+- ``region``/``nation`` stay fixed (as in TPC-H scaling).
+
+Usage:
+    python tools/scale_stress.py [build|run|all] [--factor 10] [--repeat 1]
+        [--queries a,b,c] [--out SCALE_STRESS.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from cassandra_spark import registry  # noqa: E402
+from cassandra_spark.catalog import TABLE_NAMES, load_table  # noqa: E402
+from cassandra_spark.session import get_spark  # noqa: E402
+
+BASE_DIR = "/root/testdata/sf0.1"
+
+# FK-consistent key columns per amplified table (re-keyed k*FACTOR + r).
+REKEY: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+COPY_TABLES = ("region", "nation")
+
+# The scale-sensitive set from VERDICT r2: dedup/ANN family, fact-x-fact
+# joins, the full-scan aggregate, and the LWW merge over the whole log.
+STRESS_QUERIES = (
+    "l1_exact_dedup",
+    "l2_minhash_neardup",
+    "l2_minhash_neardup_prod",
+    "l2b_simhash",
+    "l2d_embedding_neardup",
+    "l2d_embedding_neardup_prod",
+    "l17_dedup_clusters",
+    "l18_kmeans",
+    "l3b_lsh_ann",
+    "x17_large_orders",
+    "x17_large_orders_bucketed",
+    "x23_waiting_suppliers",
+    "x23_waiting_suppliers_bucketed",
+    "x28_pricing_summary",
+    "w4_upsert_merge",
+    "q_flagship_revenue_by_nation",
+)
+
+
+def amp_dir(factor: int) -> Path:
+    return REPO / ".scale_stress" / f"x{factor}"
+
+
+def build(spark: SparkSession, factor: int, force: bool = False) -> Path:
+    out = amp_dir(factor)
+    marker = out / "_BUILT"
+    if marker.exists() and not force:
+        print(f"[build] {out} already built, skipping", file=sys.stderr)
+        return out
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    rep = F.broadcast(
+        spark.range(factor).withColumnRenamed("id", "r")
+    )
+
+    for name in TABLE_NAMES:
+        src = load_table(spark, BASE_DIR, name)
+        dst = str(out / f"{name}.parquet")
+        if name in COPY_TABLES:
+            src.coalesce(1).write.mode("overwrite").parquet(dst)
+            continue
+
+        df = src.crossJoin(rep)
+        for k in REKEY[name]:
+            df = df.withColumn(
+                k, (F.col(k) * factor + F.col("r")).cast("bigint")
+            )
+
+        if name == "documents":
+            # Per-replica word salt: disjoint shingle spaces across replicas.
+            salted = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        w, F.lit("~"), F.col("r").cast("string")
+                    ),
+                ),
+                " ",
+            )
+            df = df.withColumn(
+                "text", F.when(F.col("r") == 0, F.col("text")).otherwise(salted)
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+        if name == "embeddings":
+            # Per-replica sign flip = orthogonal transform: exact within-
+            # replica geometry, near-orthogonal across replicas.
+            dim = len(src.select("embedding").head()[0])
+            rows = []
+            for r in range(factor):
+                rng = random.Random(1000 + r)
+                signs = (
+                    [1.0] * dim
+                    if r == 0
+                    else [rng.choice([-1.0, 1.0]) for _ in range(dim)]
+                )
+                rows.append((r, signs))
+            signs_df = F.broadcast(
+                spark.createDataFrame(rows, "r bigint, signs array<float>")
+            )
+            df = (
+                df.join(signs_df, "r")
+                .withColumn(
+                    "embedding",
+                    F.zip_with("embedding", "signs", lambda x, s: x * s),
+                )
+                .drop("signs")
+            )
+
+        cols = [c for c in src.columns]  # original column order
+        df.select(*cols).repartition(32).write.mode("overwrite").parquet(dst)
+        print(f"[build] wrote {name} x{factor}", file=sys.stderr)
+
+    marker.write_text(str(factor))
+    return out
+
+
+def time_query(spark: SparkSession, name: str, sf_dir: str, repeat: int) -> float:
+    fn = registry.QUERIES[name]
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+        registry.release_caches(spark)
+    return best
+
+
+def run(spark: SparkSession, factor: int, names: list[str], repeat: int) -> dict:
+    adir = str(amp_dir(factor))
+    # Warm JVM + footers on both dirs so neither scale pays first-touch costs.
+    registry.QUERIES["q_flagship_revenue_by_nation"](spark, BASE_DIR).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    registry.QUERIES["q_flagship_revenue_by_nation"](spark, adir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    registry.release_caches(spark)
+
+    results: dict[str, dict] = {}
+    for name in names:
+        base = time_query(spark, name, BASE_DIR, repeat)
+        amp = time_query(spark, name, adir, repeat)
+        results[name] = {
+            "base_sec": round(base, 3),
+            "amp_sec": round(amp, 3),
+            "ratio": round(amp / base, 2),
+        }
+        print(
+            f"[run] {name}: {base:.2f}s -> {amp:.2f}s "
+            f"(x{amp / base:.2f} vs ideal x{factor})",
+            file=sys.stderr,
+        )
+    ratios = sorted(r["ratio"] for r in results.values())
+    median = ratios[len(ratios) // 2]
+    return {
+        "metric": "scale_stress_median_growth",
+        "value": median,
+        "unit": "x",
+        "factor": factor,
+        "base_sf": 0.1,
+        "queries": results,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", nargs="?", default="all", choices=["build", "run", "all"])
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--out", default=str(REPO / "SCALE_STRESS.json"))
+    args = ap.parse_args()
+
+    registry.load_all()
+    spark = get_spark("cassandra-spark-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("build", "all"):
+        build(spark, args.factor, force=args.force)
+    if args.cmd in ("run", "all"):
+        names = args.queries.split(",") if args.queries else list(STRESS_QUERIES)
+        report = run(spark, args.factor, names, args.repeat)
+        line = json.dumps(report)
+        print(line)
+        Path(args.out).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
