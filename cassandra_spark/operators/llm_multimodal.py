@@ -5,11 +5,16 @@ SURVEY.md §2.12.
 Modeling: a multimodal column is `payload: binary` + a metadata struct
 (mime, n_bytes, content hash) — the blob carrier pattern (§1.2: CQL blob →
 BinaryType). The documents fixture stands in: payload = utf-8 bytes of
-text. The Spark-side plumbing (schema, partition-preserving mapInPandas,
-Arrow batch shape) is real and tested; the actual image/audio decode is
-STUBBED deterministically because no media libraries exist in this
-container (decode_image raises NotImplementedError unless the caller opts
-into the fake decoder).
+text.
+
+Decode is REAL for the stdlib-decodable formats: BMP (24-bit) and PPM (P6)
+payloads decode to actual RGB pixels via operators/codecs.py (struct
+module, zero dependencies), flow through the pipeline as a binary pixels
+column, and resize runs a real nearest-neighbor resample —
+``allow_stub=False`` end-to-end. Other formats (JPEG/PNG/video — entropy
+coding needs real libraries) still raise unless the caller opts into the
+deterministic fake decoder; the Spark-side contract (schema, Arrow batch
+shape, partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition
@@ -61,14 +66,19 @@ def l4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECODED_SCHEMA = (
     "doc_id bigint, mime string, n_bytes bigint, "
-    "width int, height int, n_channels int, feat array<float>"
+    "width int, height int, n_channels int, feat array<float>, "
+    "pixels binary"
 )
+_DECODED_COLS = [
+    "doc_id", "mime", "n_bytes", "width", "height", "n_channels", "feat",
+    "pixels",
+]
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Deterministic stand-in for an image decoder: derives a plausible
-    (width, height, channels, 4-dim feature) from the payload bytes alone.
-    Replace with PIL/torchvision in a real deployment."""
+    """Deterministic stand-in for a codec-library decoder: derives a
+    plausible (width, height, channels, 4-dim feature) from the payload
+    bytes alone. Replace with PIL/torchvision in a real deployment."""
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
@@ -81,40 +91,48 @@ def decode_batch(
     pdfs: Iterator[pd.DataFrame], *, allow_stub: bool
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched decode: each incoming batch of (doc_id, payload) rows
-    yields a batch of decoded metadata + features. Real decoders slot in
-    here unchanged — the batch shape is the contract."""
+    yields a batch of decoded pixels + metadata + features.
+
+    BMP/PPM payloads decode for real (codecs.py — pixels column carries
+    top-down RGB). Anything else needs a codec library: raises unless
+    ``allow_stub`` opts into the deterministic fake (pixels NULL)."""
+    from cassandra_spark.operators.codecs import decode_image, rgb_features
+
     for pdf in pdfs:
-        if not allow_stub:
-            raise NotImplementedError(
-                "no media codec libraries in this environment; "
-                "pass allow_stub=True for the deterministic fake decoder"
-            )
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, c, feat = _fake_decode(bytes(payload))
-            rows.append((doc_id, "image/fake", len(payload), w, h, c, feat))
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id",
-                "mime",
-                "n_bytes",
-                "width",
-                "height",
-                "n_channels",
-                "feat",
-            ],
-        )
+            payload = bytes(payload)
+            real = decode_image(payload)
+            if real is not None:
+                mime, w, h, c, rgb = real
+                rows.append(
+                    (doc_id, mime, len(payload), w, h, c,
+                     rgb_features(rgb), rgb)
+                )
+                continue
+            if not allow_stub:
+                raise NotImplementedError(
+                    "no media codec libraries in this environment and the "
+                    "payload is not BMP/PPM; pass allow_stub=True for the "
+                    "deterministic fake decoder"
+                )
+            w, h, c, feat = _fake_decode(payload)
+            rows.append((doc_id, "image/fake", len(payload), w, h, c, feat, None))
+        yield pd.DataFrame(rows, columns=_DECODED_COLS)
 
 
 def decode_documents(
-    docs: DataFrame, *, allow_stub: bool = False, n_partitions: int | None = None
+    docs: DataFrame,
+    *,
+    allow_stub: bool = False,
+    n_partitions: int | None = None,
+    payload_col: str = "text",
 ) -> DataFrame:
     """The decode pipeline: project (key, payload) → repartition for even
     decode parallelism (payloads can be skewed in size) → mapInPandas.
     Returns the decoded-feature DataFrame with a stable schema."""
     src = docs.select(
-        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+        F.col("doc_id"), F.col(payload_col).cast("binary").alias("payload")
     )
     if n_partitions:
         src = src.repartition(n_partitions, "doc_id")
@@ -127,23 +145,25 @@ def decode_documents(
 
 RESIZED_SCHEMA = (
     "doc_id bigint, width int, height int, "
-    "out_width int, out_height int, scale double"
+    "out_width int, out_height int, scale double, pixels binary"
 )
 
 
 def resize_decoded(
     decoded: DataFrame, max_side: int = 32, *, allow_stub: bool = False
 ) -> DataFrame:
-    """Resize stage: aspect-preserving fit into a max_side box. The stub
-    computes only the output geometry (a real resampler slots into the same
-    batch loop); geometry math is the tested contract — it decides bytes
-    shuffled downstream, which at 100 TB matters more than the pixels."""
+    """Resize stage: aspect-preserving fit into a max_side box. Rows that
+    carry real pixels are resampled for real (nearest-neighbor,
+    codecs.py); pixel-less rows (the fake-decoder path) compute output
+    geometry only, which requires ``allow_stub`` — geometry decides bytes
+    shuffled downstream, which at 100 TB matters as much as the pixels."""
+    from cassandra_spark.operators.codecs import resize_nearest
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
-            if not allow_stub:
+            if not allow_stub and pdf["pixels"].isna().any():
                 raise NotImplementedError(
-                    "no image libraries in this environment; "
+                    "rows without decoded pixels need a codec library; "
                     "pass allow_stub=True for the geometry-only resizer"
                 )
             scale = (
@@ -153,27 +173,31 @@ def resize_decoded(
                 .min(axis=1)
                 .clip(upper=1.0)
             )
-            out = pd.DataFrame(
+            # round, don't truncate: width*(max/width) in floats can land
+            # at 31.999…, and the long side must hit the box
+            out_w = (pdf["width"] * scale).round().astype(int).clip(lower=1)
+            out_h = (pdf["height"] * scale).round().astype(int).clip(lower=1)
+            resized = [
+                None
+                if px is None or (px is not None and pd.isna(px) is True)
+                else resize_nearest(bytes(px), int(w), int(h), int(ow), int(oh))
+                for px, w, h, ow, oh in zip(
+                    pdf["pixels"], pdf["width"], pdf["height"], out_w, out_h
+                )
+            ]
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    # round, don't truncate: width*(max/width) in floats can
-                    # land at 31.999…, and the long side must hit the box
-                    "out_width": (pdf["width"] * scale)
-                    .round()
-                    .astype(int)
-                    .clip(lower=1),
-                    "out_height": (pdf["height"] * scale)
-                    .round()
-                    .astype(int)
-                    .clip(lower=1),
+                    "out_width": out_w,
+                    "out_height": out_h,
                     "scale": scale,
+                    "pixels": resized,
                 }
             )
-            yield out
 
-    return decoded.select("doc_id", "width", "height").mapInPandas(
+    return decoded.select("doc_id", "width", "height", "pixels").mapInPandas(
         run, RESIZED_SCHEMA
     )
 

@@ -1,0 +1,130 @@
+"""Pure-stdlib BMP/PPM codecs + the real (allow_stub=False) decode → resize
+pipeline over actual image payloads."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+    rgb_features,
+    sniff_mime,
+)
+
+
+def _gradient(width: int, height: int) -> bytes:
+    """Deterministic RGB test image: r=x, g=y, b=(x+y)%256, top-down."""
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out += bytes((x % 256, y % 256, (x + y) % 256))
+    return bytes(out)
+
+
+def test_bmp_roundtrip():
+    for w, h in [(1, 1), (3, 2), (5, 5), (7, 3)]:  # odd widths hit padding
+        rgb = _gradient(w, h)
+        data = encode_bmp(w, h, rgb)
+        assert sniff_mime(data) == "image/bmp"
+        assert decode_bmp(data) == (w, h, 3, rgb)
+
+
+def test_ppm_roundtrip():
+    rgb = _gradient(4, 3)
+    data = encode_ppm(4, 3, rgb)
+    assert sniff_mime(data) == "image/x-portable-pixmap"
+    assert decode_ppm(data) == (4, 3, 3, rgb)
+    # comments in the header are legal
+    commented = b"P6\n# a comment\n4 3\n255\n" + rgb
+    assert decode_ppm(commented) == (4, 3, 3, rgb)
+
+
+def test_codec_rejections():
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # grayscale PGM, not P6
+    assert decode_image(b"\x89PNG\r\n") is None  # not stdlib-decodable
+    with pytest.raises(ValueError):  # truncated body
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_resize_nearest_semantics():
+    rgb = _gradient(4, 4)
+    # identity
+    assert resize_nearest(rgb, 4, 4, 4, 4) == rgb
+    # 2x downscale samples pixel centers: (1,1),(3,1),(1,3),(3,3)
+    half = resize_nearest(rgb, 4, 4, 2, 2)
+    px = lambda x, y: rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]  # noqa: E731
+    assert half == px(1, 1) + px(3, 1) + px(1, 3) + px(3, 3)
+    # 1x1 collapses to the center pixel
+    assert resize_nearest(rgb, 4, 4, 1, 1) == px(2, 2)
+
+
+def test_rgb_features_match_channel_means():
+    rgb = bytes((10, 20, 30, 50, 60, 70))  # two pixels
+    r, g, b, luma = rgb_features(rgb)
+    assert (r, g, b) == (30.0, 40.0, 50.0)
+    assert luma == pytest.approx(0.299 * 30 + 0.587 * 40 + 0.114 * 50)
+
+
+def test_real_decode_resize_pipeline_no_stub(spark):
+    """End-to-end over REAL image payloads with allow_stub=False: BMP and
+    PPM fixtures decode to actual pixels, features are channel means, and
+    resize produces genuinely resampled bytes."""
+    from cassandra_spark.operators.llm_multimodal import (
+        decode_documents,
+        resize_decoded,
+    )
+
+    images = [
+        (1, bytearray(encode_bmp(48, 24, _gradient(48, 24)))),
+        (2, bytearray(encode_ppm(8, 8, _gradient(8, 8)))),
+        (3, bytearray(encode_bmp(5, 64, _gradient(5, 64)))),
+    ]
+    docs = spark.createDataFrame(images, "doc_id bigint, payload binary")
+    decoded = decode_documents(docs, payload_col="payload")  # no stub!
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert rows[1].mime == "image/bmp" and (rows[1].width, rows[1].height) == (48, 24)
+    assert rows[2].mime == "image/x-portable-pixmap"
+    assert bytes(rows[2].pixels) == _gradient(8, 8)
+    assert rows[1].feat == pytest.approx(rgb_features(_gradient(48, 24)))
+
+    out = {r.doc_id: r for r in resize_decoded(decoded, max_side=16).collect()}
+    # aspect preserved, long side hits the box, pixels really resampled
+    assert (out[1].out_width, out[1].out_height) == (16, 8)
+    assert bytes(out[1].pixels) == resize_nearest(
+        _gradient(48, 24), 48, 24, 16, 8
+    )
+    assert (out[2].out_width, out[2].out_height) == (8, 8)  # no upscale
+    assert bytes(out[2].pixels) == _gradient(8, 8)
+    assert (out[3].out_width, out[3].out_height) == (1, 16)
+    assert len(bytes(out[3].pixels)) == 1 * 16 * 3
+
+
+def test_mixed_real_and_unknown_payloads(spark):
+    """A batch mixing a real BMP with an undecodable payload: refuses
+    without allow_stub, decodes the BMP for real (and fakes the rest)
+    with it."""
+    from cassandra_spark.operators.llm_multimodal import decode_documents
+
+    rows = [
+        (1, bytearray(encode_bmp(4, 4, _gradient(4, 4)))),
+        (2, bytearray(b"not an image")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    with pytest.raises(Exception, match="codec|BMP/PPM"):
+        decode_documents(docs, payload_col="payload").collect()
+    got = {
+        r.doc_id: r
+        for r in decode_documents(
+            docs, payload_col="payload", allow_stub=True
+        ).collect()
+    }
+    assert got[1].mime == "image/bmp" and got[1].pixels is not None
+    assert got[2].mime == "image/fake" and got[2].pixels is None
