@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import TableMeta
 from cassandra_spark.cql import CQLError, cql_select
@@ -286,10 +287,122 @@ _DROP_TYPE_RE = re.compile(
 )
 
 
+def _render_param(v) -> str:
+    """Python bind value → CQL literal text (the inverse of the literal
+    parsers in cql_dml). Strings escape embedded quotes; collections render
+    recursively; None → NULL."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        inner = ", ".join(_render_param(x) for x in v)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    if isinstance(v, (set, frozenset)):
+        return "{" + ", ".join(sorted(_render_param(x) for x in v)) + "}"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{_render_param(k)}: {_render_param(x)}"
+                for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    raise CQLError(f"unsupported bind value type {type(v).__name__}")
+
+
+class PreparedStatement:
+    """A statement with ``?`` bind markers, split once at prepare time
+    (markers inside string literals are text, not markers — the split is
+    quote-aware). ``bind`` renders values as CQL literals into the slots;
+    the session re-plans the bound text, so preparation here buys marker
+    validation + injection-safe binding, not plan caching (planning is
+    Catalyst's job and is O(statement), never O(data))."""
+
+    def __init__(self, session: "CqlSession", text: str):
+        self.session = session
+        self.text = text
+        segs: list[str] = []
+        cur: list[str] = []
+        quoted = False
+        for ch in text:
+            if ch == "'":
+                quoted = not quoted
+            if ch == "?" and not quoted:
+                segs.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        segs.append("".join(cur))
+        self._segments = segs
+
+    @property
+    def n_params(self) -> int:
+        return len(self._segments) - 1
+
+    def bind(self, *params) -> str:
+        if len(params) != self.n_params:
+            raise CQLError(
+                f"expected {self.n_params} bind values, got {len(params)}"
+            )
+        out = [self._segments[0]]
+        for seg, v in zip(self._segments[1:], params):
+            out.append(_render_param(v))
+            out.append(seg)
+        return "".join(out)
+
+    def execute(self, *params):
+        return self.session.execute(self.bind(*params))
+
+
+class PagedResult:
+    """One page of a paged SELECT: ``df`` is the lazy page plan;
+    ``paging_state()`` materializes the page tail (a page-size-bounded
+    driver action — exactly the state a driver holds between pages) and
+    returns the opaque resume token, or None when the walk is done."""
+
+    def __init__(self, df: DataFrame, keys: list[str], page_size: int):
+        self.df = df
+        self._keys = keys
+        self._page_size = page_size
+
+    def paging_state(self) -> str | None:
+        import base64
+        import json
+
+        rows = self.df.select(*self._keys).collect()
+        if len(rows) < self._page_size:
+            return None
+        last = rows[-1]
+        return base64.b64encode(
+            json.dumps([str(last[k]) for k in self._keys]).encode()
+        ).decode()
+
+
+def _decode_state(state: str) -> list[str]:
+    import base64
+    import json
+
+    try:
+        vals = json.loads(base64.b64decode(state.encode()).decode())
+        if not isinstance(vals, list):
+            raise ValueError
+        return [str(v) for v in vals]
+    except Exception:
+        raise CQLError("invalid paging state") from None
+
+
 class CqlSession:
     """DDL + DML + SELECT behind one ``execute()`` — the engine's session
     surface. SELECT returns a DataFrame; conditional DML returns the LWT
-    ``[applied]`` flag; everything else returns None."""
+    ``[applied]`` flag; everything else returns None. ``prepare()`` gives
+    bind-marker statements; ``execute_paged()`` drives keyset paging with
+    an opaque resume token (Snk/R9 through the front door)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
@@ -382,6 +495,90 @@ class CqlSession:
             for n, (t, c) in self.index_names.items()
             if not (t == s.name and c == col)
         }
+
+    def prepare(self, text: str) -> PreparedStatement:
+        """Prepare a statement with ``?`` bind markers (`[C* cql3/
+        QueryProcessor#prepare, unverified]`). Works for every statement
+        kind the session accepts (SELECT / DML / BATCH)."""
+        return PreparedStatement(self, text)
+
+    def execute_paged(
+        self, stmt: str, page_size: int, paging_state: str | None = None
+    ) -> PagedResult:
+        """Keyset-paged SELECT (`[C* service/pager/QueryPagers,
+        unverified]`): returns one page of ``page_size`` rows in primary-key
+        order (honoring DESC clustering), plus an opaque resume token.
+        State lives entirely in the token — each page is an independent
+        pushdown-able range scan + TakeOrderedAndProject, the property that
+        makes paging free at 100 TB.
+
+        Constraints (the reference's too): plain SELECT only — LIMIT /
+        GROUP BY / DISTINCT / ORDER BY / ANN / PER PARTITION LIMIT don't
+        page; the projection must retain the primary-key columns (use *
+        or name them) since they carry the cursor."""
+        from cassandra_spark.cql import _parse
+
+        if page_size < 1:
+            raise CQLError("page_size must be positive")
+        s = _parse(stmt)
+        if (
+            s.limit is not None
+            or s.group_by is not None
+            or s.distinct
+            or s.ann
+            or s.order_by
+            or s.per_partition_limit is not None
+            or s.json
+        ):
+            raise CQLError(
+                "paged execution supports plain SELECT ... [WHERE ...] only"
+            )
+        df = self.execute(stmt)
+        if s.table in self.tables:
+            meta = self._meta(self.tables[s.table].schema)
+        else:
+            from cassandra_spark.catalog import SCHEMA
+
+            meta = SCHEMA[s.table]
+        keys = list(meta.partition_key) + [
+            c.lstrip("-") for c in meta.clustering
+        ]
+        descs = [False] * len(meta.partition_key) + [
+            c.startswith("-") for c in meta.clustering
+        ]
+        have = {c.lower() for c in df.columns}
+        missing = [k for k in keys if k not in have]
+        if missing:
+            raise CQLError(
+                f"paged SELECT must project the primary key; missing {missing}"
+            )
+        dtypes = dict(df.dtypes)
+        if paging_state is not None:
+            vals = _decode_state(paging_state)
+            if len(vals) != len(keys):
+                raise CQLError("paging state does not match the table's key")
+            typed = [
+                F.lit(v).cast(dtypes[k]) for k, v in zip(keys, vals)
+            ]
+            pred = None
+            for i, k in enumerate(keys):
+                eq = None
+                for j in range(i):
+                    term = F.col(keys[j]) == typed[j]
+                    eq = term if eq is None else (eq & term)
+                nxt = (
+                    F.col(k) < typed[i] if descs[i] else F.col(k) > typed[i]
+                )
+                clause = nxt if eq is None else (eq & nxt)
+                pred = clause if pred is None else (pred | clause)
+            df = df.filter(pred)
+        page = df.orderBy(
+            *[
+                F.col(k).desc() if d else F.col(k).asc()
+                for k, d in zip(keys, descs)
+            ]
+        ).limit(page_size)
+        return PagedResult(page, keys, page_size)
 
     def _create_type(self, m: re.Match) -> None:
         """CREATE TYPE name (f1 t1, ...) → registered struct type; columns

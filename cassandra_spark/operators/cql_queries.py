@@ -353,3 +353,44 @@ def cql10_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stmt in BATCH_DML:
         sess.execute(stmt)
     return sess.execute(BATCH_SELECT)
+
+
+# --- cql11: prepared statements + keyset paging through the front door -----
+
+PAGE_USERS = tuple(range(1, 11))
+PAGE_SIZE = 100
+PAGE_INDEX = 2  # return the third page
+
+PREPARED_SELECT = (
+    "SELECT event_id, user_id, ts, event_type, value "
+    "FROM events WHERE user_id IN ?"
+)
+
+
+@query(
+    "cql11_prepared_paging",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE user_id IN {PAGE_USERS}
+    ORDER BY user_id, ts DESC, event_id
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_INDEX * PAGE_SIZE}
+    """,
+)
+def cql11_prepared_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 keyset paging driven entirely through the session surface: a
+    PREPARED statement (`?` bind marker taking the partition-key IN list)
+    is executed paged, the opaque paging-state token round-trips twice,
+    and the third page comes back. Page order is the table's primary-key
+    order (user_id, ts DESC, event_id — the reversed clustering is the
+    point); every page is an independent range-scan + top-k plan, state
+    lives only in the token. The oracle is the same walk as one
+    OFFSET/LIMIT query over the total order."""
+    sess = CqlSession(spark, sf_dir)
+    bound = sess.prepare(PREPARED_SELECT).bind(PAGE_USERS)
+    state = None
+    for _ in range(PAGE_INDEX):
+        state = sess.execute_paged(bound, PAGE_SIZE, state).paging_state()
+        if state is None:  # corpus shrank below PAGE_INDEX pages
+            raise RuntimeError("fixture has too few rows to reach the page")
+    return sess.execute_paged(bound, PAGE_SIZE, state).df
