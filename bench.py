@@ -79,6 +79,20 @@ def main() -> None:
             }
         )
     )
+    # Second, SHORT summary line: the driver tail-captures stdout and the
+    # long per-query line (120+ entries) can lose its head, leaving
+    # "parsed": null. This compact line always survives the tail.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -102,7 +102,13 @@ def decode_batch(
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
-            real = decode_image(payload)
+            try:
+                real = decode_image(payload)
+            except ValueError:
+                # magic-sniff false positive (payload starts 'BM'/'P6' but
+                # is not a valid 24-bit BMP / P6 PPM) or corrupt image:
+                # treat as undecodable rather than failing the whole job
+                real = None
             if real is not None:
                 mime, w, h, c, rgb = real
                 rows.append(

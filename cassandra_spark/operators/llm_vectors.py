@@ -393,6 +393,18 @@ ND_PLANES = 10
 ND_PLANES_PROD = 14  # 16384 buckets — sized for the 10× stress corpus
 
 
+def planes_for_corpus(n_vectors: int, target_occupancy: float = 1.5) -> int:
+    """Occupancy-constant plane sizing: planes ≈ log2(N / target), clamped
+    to [8, 30]. Holding average bucket occupancy constant keeps the
+    Σ bucket² candidate cost linear in N — the knob a real deployment turns
+    as the corpus grows (the fixed-plane config is diagnostic-only)."""
+    import math
+
+    if n_vectors < 1:
+        return 8
+    return max(8, min(30, round(math.log2(max(n_vectors / target_occupancy, 2.0)))))
+
+
 def _embedding_neardup_oracle(planes: int) -> str:
     probe_values = ", ".join(f"({k})" for k in range(-1, planes))
     return f"""
@@ -500,9 +512,17 @@ def embedding_neardup(
     )
 
 
-@query("l2d_embedding_neardup", oracle=_embedding_neardup_oracle(ND_PLANES))
+@query(
+    "l2d_embedding_neardup",
+    oracle=_embedding_neardup_oracle(ND_PLANES),
+    diagnostic=True,
+)
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture-scale config: 10 planes (1024 buckets). See
+    """Fixture-scale config: 10 planes (1024 buckets). Registered
+    ``diagnostic=True`` — with buckets FIXED, Σ bucket² grows quadratically
+    in corpus size (measured 8.1× runtime at 10× data in SCALE_STRESS).
+    The scale path is :func:`l2d_embedding_neardup_prod`, whose plane count
+    follows the occupancy-constant rule (:func:`planes_for_corpus`). See
     :func:`embedding_neardup`."""
     return embedding_neardup(spark, sf_dir, ND_PLANES)
 
@@ -512,10 +532,11 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_embedding_neardup_oracle(ND_PLANES_PROD),
 )
 def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shape config: 14 planes (16384 buckets), occupancy sized
-    for a 10×-larger corpus — the scale-stress harness measures this
-    variant staying near-linear where the fixed 10-plane config goes
-    super-linear. See :func:`embedding_neardup`."""
+    """Production-shape config: 14 planes (16384 buckets) =
+    ``planes_for_corpus(20_000)`` — occupancy-constant sizing for the 10×
+    stress corpus. The scale-stress harness measures this variant staying
+    near-linear where the fixed 10-plane config goes super-linear. See
+    :func:`embedding_neardup` and :func:`planes_for_corpus`."""
     return embedding_neardup(spark, sf_dir, ND_PLANES_PROD)
 
 

@@ -128,3 +128,26 @@ def test_mixed_real_and_unknown_payloads(spark):
     }
     assert got[1].mime == "image/bmp" and got[1].pixels is not None
     assert got[2].mime == "image/fake" and got[2].pixels is None
+
+
+def test_sniff_false_positive_degrades_to_stub(spark):
+    """Payloads that START with a codec magic ('BM', 'P6') but are not valid
+    images must not kill the job: with allow_stub=True they fall through to
+    the fake decoder; without it they raise the honest NotImplementedError."""
+    from cassandra_spark.operators.llm_multimodal import decode_documents
+
+    rows = [
+        (1, bytearray(b"BMW is a car maker, not a bitmap header")),
+        (2, bytearray(b"P6 is also a Pentium badge\n")),
+        (3, bytearray(encode_bmp(2, 2, _gradient(2, 2))[:20])),  # truncated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r.doc_id: r
+        for r in decode_documents(
+            docs, payload_col="payload", allow_stub=True
+        ).collect()
+    }
+    assert all(got[i].mime == "image/fake" for i in (1, 2, 3))
+    with pytest.raises(Exception, match="codec|BMP/PPM"):
+        decode_documents(docs, payload_col="payload").collect()

@@ -323,3 +323,38 @@ def test_prod_minhash_candidates_cover_true_neardups():
     }
     assert strong, "fixture should contain strong near-dup pairs"
     assert strong <= prod_cand
+
+
+def test_scale_killer_configs_flagged_diagnostic():
+    """Fixed-parameter configs whose cost is super-linear in corpus size
+    must carry the diagnostic flag so nothing ever treats them as the
+    scale path (SCALE_STRESS measured l2d@10 planes at 8.1× for 10× data)."""
+    from cassandra_spark import registry
+
+    registry.load_all()
+    assert "l2c_ngram_jaccard" in registry.DIAGNOSTIC
+    assert "l2d_embedding_neardup" in registry.DIAGNOSTIC
+    # the registered scale paths are NOT diagnostic
+    assert "l2d_embedding_neardup_prod" not in registry.DIAGNOSTIC
+    assert "l2_minhash_neardup_prod" not in registry.DIAGNOSTIC
+
+
+def test_planes_for_corpus_sizing_rule():
+    """Occupancy-constant sizing: both registered constants follow the rule,
+    and plane count grows with the corpus (so Σ bucket² stays linear)."""
+    from cassandra_spark.operators.llm_vectors import (
+        ND_PLANES,
+        ND_PLANES_PROD,
+        planes_for_corpus,
+    )
+
+    assert planes_for_corpus(2_000) == ND_PLANES  # sf0.1 corpus
+    assert planes_for_corpus(20_000) == ND_PLANES_PROD  # 10x stress corpus
+    # monotone, clamped
+    sizes = [planes_for_corpus(n) for n in (1, 10**3, 10**6, 10**9, 10**12)]
+    assert sizes == sorted(sizes)
+    assert sizes[0] >= 8 and sizes[-1] <= 30
+    # occupancy stays within 2x of target until the 30-plane clamp binds
+    for n in (10**4, 10**6, 10**8):
+        occ = n / (2 ** planes_for_corpus(n))
+        assert 0.75 <= occ <= 3.0
