@@ -56,6 +56,7 @@ of the same reconcile — and snapshots are the compaction.compact output.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -85,6 +86,17 @@ _MUT_SCHEMA = (
     "writetime long, ttl long, seq long, "
     "lo string, hi string, lo_incl boolean, hi_incl boolean"
 )
+_MUT_COLS = [f.split()[0] for f in _MUT_SCHEMA.split(", ")]
+
+
+def _mut_arrow_types():
+    import pyarrow as pa
+
+    return [
+        pa.string(), pa.string(), pa.string(), pa.string(), pa.string(),
+        pa.string(), pa.int64(), pa.int64(), pa.int64(),
+        pa.string(), pa.string(), pa.bool_(), pa.bool_(),
+    ]
 
 
 def mut_row(
@@ -504,9 +516,33 @@ def _pykey(v: str, typ: str):
 
 class CqlTable:
     """A mutable CQL table: DML statements append to a cell-mutation log;
-    ``snapshot(asof_us)`` reconciles it into the visible rows."""
+    ``snapshot(asof_us)`` reconciles it into the visible rows.
 
-    def __init__(self, spark: SparkSession, schema: TableSchema):
+    Driver-memory bound (measured, see BASELINE.md "DML front-end"): the
+    in-memory log costs ~1 KB/mutation of driver RSS and the log→DataFrame
+    conversion is O(N) driver CPU, so an unbounded session front-end binds
+    at a few million mutations. Two escape hatches keep it bounded:
+
+    - the log→DataFrame conversion is Arrow-batched (pandas, ~2.5× faster
+      than the plain-list path at 1M mutations) and chunked so the
+      conversion copy never exceeds ``_ARROW_CHUNK`` rows;
+    - ``spill_dir`` + ``spill_threshold`` flush the memtable to parquet
+      segments (the memtable→SSTable move): driver RSS stays
+      O(threshold), ``mutation_log()`` unions the segment scan (executor
+      side, scales with the cluster) with the in-memory tail, and the LWT
+      read path consults segments via a partition-key-filtered pyarrow
+      read (one partition's cells, the same bounded read a replica serves).
+    """
+
+    _ARROW_CHUNK = 250_000  # rows per createDataFrame slice (bounds the copy)
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        spill_dir: str | None = None,
+        spill_threshold: int = 50_000,
+    ):
         self.spark = spark
         self.schema = schema
         self._log: list[tuple] = []
@@ -514,6 +550,10 @@ class CqlTable:
         self._seq = 0  # arrival order, the final tie-breaker
         self._pos = 0  # list append position counter (arrival-ordered)
         self._neg = 0  # list prepend position counter (descending)
+        self._max_wt: int | None = None  # max writetime ever logged
+        self.spill_dir = spill_dir
+        self.spill_threshold = spill_threshold
+        self._segments: list[str] = []  # flushed parquet segment paths
 
     # --- statement execution ---------------------------------------------
 
@@ -556,9 +596,11 @@ class CqlTable:
                                 return False
                     for h, m in matched:
                         h(m, default_ts)
+                    self._maybe_flush()
                     return True
                 for h, m in matched:
                     h(m, default_ts)
+                self._maybe_flush()
                 return None
             except Exception:
                 self._restore(mark)
@@ -568,23 +610,31 @@ class CqlTable:
         cond = self._cond_text(m)
         if cond is None:
             handler(m, self._clock)
+            self._maybe_flush()
             return None
         self._lwt_guard(m)
         if not self._eval_cond(cond, *self._cond_key(handler, m)):
             return False
         handler(m, self._clock)
+        self._maybe_flush()
         return True
 
     # --- atomicity support (logged-batch all-or-nothing) -------------------
 
     def _mark(self) -> tuple:
-        """Snapshot of all mutable state, for batch rollback."""
-        return (len(self._log), self._clock, self._seq, self._pos, self._neg)
+        """Snapshot of all mutable state, for batch rollback. Flushes only
+        happen between statements, so truncating the in-memory list is
+        always enough — no segment ever holds an un-committed batch."""
+        return (
+            len(self._log), self._clock, self._seq, self._pos, self._neg,
+            self._max_wt,
+        )
 
     def _restore(self, mark: tuple) -> None:
-        n, clock, seq, pos, neg = mark
+        n, clock, seq, pos, neg, max_wt = mark
         del self._log[n:]
         self._clock, self._seq, self._pos, self._neg = clock, seq, pos, neg
+        self._max_wt = max_wt
 
     def _match(self, stmt: str):
         for regex, handler in (
@@ -863,7 +913,12 @@ class CqlTable:
         best: dict = {}  # (col, elem) -> (rank, kind, val, ttl)
         ctomb: dict = {}  # col -> max coll-tomb writetime
         pt = rt = rg = None
-        for (lpk, lck, col, elem, val, kind, wt, ttl, seq, lo, hi, li, hi_i) in self._log:
+        rows = (
+            self._log
+            if not self._segments
+            else list(self._segment_rows_for_pk(pk)) + self._log
+        )
+        for (lpk, lck, col, elem, val, kind, wt, ttl, seq, lo, hi, li, hi_i) in rows:
             if lpk != pk:
                 continue
             if kind == PART_TOMB:
@@ -915,6 +970,7 @@ class CqlTable:
         elem=None, lo=None, hi=None, lo_incl=None, hi_incl=None,
     ) -> None:
         self._seq += 1
+        self._max_wt = ts if self._max_wt is None else max(self._max_wt, ts)
         self._log.append(
             mut_row(
                 pk, ck, col, val, kind, ts,
@@ -1295,10 +1351,107 @@ class CqlTable:
                 lo=None, hi=None, lo_incl=False, hi_incl=False,
             )
 
+    # --- spill path (memtable → parquet segment) ---------------------------
+
+    def _maybe_flush(self) -> None:
+        if self.spill_dir is not None and len(self._log) >= self.spill_threshold:
+            self.flush()
+
+    def flush(self) -> str | None:
+        """Flush the in-memory log to a parquet segment (the memtable →
+        SSTable move): bounds driver RSS to O(spill_threshold) regardless
+        of session length. Driver-side pyarrow write — no Spark job, and
+        the segment is immediately scannable by executors. Returns the
+        segment path (None if there was nothing to flush)."""
+        if not self._log:
+            return None
+        if self.spill_dir is None:
+            raise CQLError("flush() needs a spill_dir")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir,
+            f"{self.schema.name}-seg{len(self._segments):06d}.parquet",
+        )
+        cols = list(zip(*self._log))
+        arrays = [
+            pa.array(cols[i], type=t)
+            for i, t in enumerate(_mut_arrow_types())
+        ]
+        pq.write_table(pa.table(dict(zip(_MUT_COLS, arrays))), path)
+        self._segments.append(path)
+        self._log.clear()
+        return path
+
+    def _segment_rows_for_pk(self, pk: str | None):
+        """Mutation rows for one partition from all flushed segments, in
+        canonical tuple order — the LWT read phase's segment leg. A
+        pk-filtered parquet read is the same bounded single-partition read
+        a replica serves; cost is O(partition), never O(log)."""
+        import pyarrow.parquet as pq
+
+        for path in self._segments:
+            tbl = pq.read_table(path, filters=[("pk", "=", pk)])
+            yield from zip(*(tbl.column(c).to_pylist() for c in _MUT_COLS))
+
+    def clear_data(self) -> None:
+        """TRUNCATE support: drop the in-memory log and every flushed
+        segment. Clocks keep ticking (post-truncate writes stay newer)."""
+        self._log.clear()
+        for path in self._segments:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        self._segments.clear()
+        self._max_wt = None
+
+    def drop_column_cells(self, col: str) -> None:
+        """ALTER TABLE DROP support: discard the column's cells from the
+        in-memory log and rewrite any flushed segments without them (DDL
+        is rare; a driver-side segment rewrite is the honest cost)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        self._log[:] = [r for r in self._log if r[2] != col]
+        for path in self._segments:
+            tbl = pq.read_table(path)
+            mask = pc.not_equal(tbl.column("col"), col)
+            mask = pc.fill_null(mask, True)  # NULL col (tombstones) kept
+            pq.write_table(tbl.filter(mask), path)
+
     # --- snapshot reconciliation -----------------------------------------
 
     def mutation_log(self) -> DataFrame:
-        return self.spark.createDataFrame(self._log, _MUT_SCHEMA)
+        """The full mutation log as a DataFrame: flushed parquet segments
+        (executor-side scan) unioned with the in-memory tail (Arrow-batched
+        conversion, chunked so the conversion copy stays bounded)."""
+        parts: list[DataFrame] = []
+        if self._segments:
+            parts.append(
+                self.spark.read.schema(_MUT_SCHEMA).parquet(*self._segments)
+            )
+        if self._log or not parts:
+            parts.extend(self._tail_chunks())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _tail_chunks(self) -> list[DataFrame]:
+        if not self._log:
+            return [self.spark.createDataFrame([], _MUT_SCHEMA)]
+        import pandas as pd
+
+        out = []
+        for i in range(0, len(self._log), self._ARROW_CHUNK):
+            pdf = pd.DataFrame(
+                self._log[i : i + self._ARROW_CHUNK], columns=_MUT_COLS
+            )
+            out.append(self.spark.createDataFrame(pdf, schema=_MUT_SCHEMA))
+        return out
 
     def _range_cover_cond(self, rt_prefix="pref_arr", row_arr="ck_arr"):
         """Spark boolean Column: range tombstone (prefix array + typed
@@ -1328,7 +1481,7 @@ class CqlTable:
         partition (a static-only partition shows one row with NULL
         clustering)."""
         s = self.schema
-        if not self._log:
+        if not self._log and not self._segments:
             return self._empty()
         if s.counter:
             return self._counter_snapshot()
@@ -1336,11 +1489,7 @@ class CqlTable:
         # TTL is in writetime units here (the logical clock); the batch W2
         # operator does the real seconds→µs conversion. Default asof sees
         # everything un-expired that has no TTL.
-        asof = (
-            asof_us
-            if asof_us is not None
-            else max(row[6] for row in self._log) + 1
-        )
+        asof = asof_us if asof_us is not None else self._max_wt + 1
 
         part_tombs = (
             mut.filter(F.col("kind") == PART_TOMB)

@@ -28,6 +28,7 @@ surface.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -404,9 +405,19 @@ class CqlSession:
     bind-marker statements; ``execute_paged()`` drives keyset paging with
     an opaque resume token (Snk/R9 through the front door)."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        spill_dir: str | None = None,
+        spill_threshold: int = 50_000,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
+        # bounded driver memory: when set, every table flushes its memtable
+        # to parquet segments past the threshold (see CqlTable docstring)
+        self.spill_dir = spill_dir
+        self.spill_threshold = spill_threshold
         self.tables: dict[str, CqlTable] = {}
         self.indexes: dict[str, set[str]] = {}  # table → indexed columns
         self.index_names: dict[str, tuple[str, str]] = {}  # name → (t, col)
@@ -415,7 +426,15 @@ class CqlSession:
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
             raise CQLError(f"table {schema.name!r} already exists")
-        t = CqlTable(self.spark, schema)
+        spill = (
+            os.path.join(self.spill_dir, schema.name)
+            if self.spill_dir is not None
+            else None
+        )
+        t = CqlTable(
+            self.spark, schema,
+            spill_dir=spill, spill_threshold=self.spill_threshold,
+        )
         self.tables[schema.name] = t
         return t
 
@@ -488,7 +507,7 @@ class CqlSession:
             del s.static[col]
         else:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
-        table._log[:] = [r for r in table._log if r[2] != col]
+        table.drop_column_cells(col)
         self.indexes.get(s.name, set()).discard(col)
         self.index_names = {
             n: (t, c)
@@ -645,6 +664,7 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown table {name!r}")
+            self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
             self.indexes.pop(name, None)
             self.index_names = {
@@ -669,7 +689,7 @@ class CqlSession:
                 raise CQLError(f"unsupported TRUNCATE: {stmt!r}")
             # discard all data; clocks stay monotonic so post-truncate
             # writes are strictly newer than anything discarded
-            self.table(tm.group("table"))._log.clear()
+            self.table(tm.group("table")).clear_data()
             return None
         if head.startswith("ALTER"):
             am = _ALTER_RE.match(stmt)

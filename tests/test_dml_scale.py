@@ -1,0 +1,140 @@
+"""Bounded driver-log behavior of the CQL DML front-end.
+
+The session front-end accumulates mutations in a Python list; measured
+cost is ~1 KB of driver RSS per mutation plus O(N) driver CPU in the
+log→DataFrame conversion (numbers pinned in BASELINE.md "DML front-end").
+These tests hold the two escape hatches:
+
+- Arrow-batched, chunked ``mutation_log()`` conversion;
+- ``spill_dir``: memtable→parquet-segment flush that keeps the in-memory
+  list under ``spill_threshold`` forever, with the LWT read phase and
+  TRUNCATE/DROP consulting segments correctly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from cassandra_spark.cql_dml import CqlTable, TableSchema
+from cassandra_spark.cql_session import CqlSession
+
+
+def _kv_schema() -> TableSchema:
+    return TableSchema(
+        name="kv",
+        partition_key="k",
+        clustering=(),
+        regular={"v": "string", "n": "int"},
+    )
+
+
+def _workload(n: int):
+    """Deterministic INSERT/UPDATE/DELETE mix touching n statements."""
+    for i in range(n):
+        key = f"k{i % (n // 10 or 1)}"
+        if i % 7 == 3:
+            yield f"UPDATE kv SET v = 'u{i}' WHERE k = '{key}'"
+        elif i % 23 == 11:
+            yield f"DELETE FROM kv WHERE k = '{key}'"
+        else:
+            yield f"INSERT INTO kv (k, v, n) VALUES ('{key}', 'v{i}', {i})"
+
+
+def test_spill_bounds_driver_log_and_preserves_results(spark, tmp_path):
+    """20k mutations with an 1k spill threshold: the in-memory list never
+    exceeds the threshold, segments land on disk, and the reconciled
+    snapshot is IDENTICAL to an unspilled twin fed the same statements."""
+    n = 20_000
+    spilled = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
+        spill_threshold=1_000,
+    )
+    plain = CqlTable(spark, _kv_schema())
+    high_water = 0
+    for stmt in _workload(n):
+        spilled.execute(stmt)
+        plain.execute(stmt)
+        high_water = max(high_water, len(spilled._log))
+    assert high_water <= 1_000, "in-memory log must stay under the threshold"
+    assert len(spilled._segments) >= 19, "most of the log should be on disk"
+    assert sum(1 for _ in (tmp_path / "seg").glob("*.parquet")) == len(
+        spilled._segments
+    )
+
+    a = sorted(map(tuple, spilled.snapshot().collect()))
+    b = sorted(map(tuple, plain.snapshot().collect()))
+    assert a == b
+    # the full log row count also survives the segment round-trip
+    assert spilled.mutation_log().count() == plain.mutation_log().count()
+
+
+def test_lwt_reads_flushed_segments(spark, tmp_path):
+    """A condition evaluated AFTER a flush must see pre-flush writes: the
+    LWT read phase consults parquet segments via a pk-filtered read."""
+    t = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
+        spill_threshold=10_000,
+    )
+    t.execute("INSERT INTO kv (k, v, n) VALUES ('a', 'old', 1)")
+    t.execute("INSERT INTO kv (k, v, n) VALUES ('b', 'keep', 2)")
+    assert t.flush() is not None and t._log == []
+
+    # IF reads the flushed cell value
+    assert t.execute("UPDATE kv SET v = 'new' WHERE k = 'a' IF v = 'old'") is True
+    assert t.execute("UPDATE kv SET v = 'x' WHERE k = 'a' IF v = 'old'") is False
+    # IF NOT EXISTS sees flushed rows
+    assert (
+        t.execute("INSERT INTO kv (k, v, n) VALUES ('b', 'no', 9) IF NOT EXISTS")
+        is False
+    )
+    rows = {r.k: r.v for r in t.snapshot().collect()}
+    assert rows == {"a": "new", "b": "keep"}
+
+
+def test_truncate_and_drop_table_remove_segments(spark, tmp_path):
+    sess = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=100)
+    sess.execute(
+        "CREATE TABLE kv (k text PRIMARY KEY, v text, n int)"
+    )
+    for stmt in _workload(500):
+        sess.execute(stmt)
+    table = sess.table("kv")
+    assert table._segments, "threshold 100 must have flushed"
+    seg_paths = list(table._segments)
+    sess.execute("TRUNCATE kv")
+    assert table._segments == [] and table._log == []
+    assert not any(os.path.exists(p) for p in seg_paths)
+    assert table.snapshot().count() == 0
+    # post-truncate writes are visible (clock stayed monotonic)
+    sess.execute("INSERT INTO kv (k, v, n) VALUES ('z', 'back', 1)")
+    assert table.snapshot().count() == 1
+
+
+def test_drop_column_rewrites_segments(spark, tmp_path):
+    sess = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=2)
+    sess.execute("CREATE TABLE kv (k text PRIMARY KEY, v text, n int)")
+    sess.execute("INSERT INTO kv (k, v, n) VALUES ('a', 'va', 1)")
+    sess.execute("INSERT INTO kv (k, v, n) VALUES ('b', 'vb', 2)")
+    table = sess.table("kv")
+    assert table._segments
+    sess.execute("ALTER TABLE kv DROP n")
+    log = table.mutation_log().collect()
+    assert all(r.col != "n" for r in log)
+    rows = {r.k: r.v for r in table.snapshot().collect()}
+    assert rows == {"a": "va", "b": "vb"}
+
+
+def test_mutation_log_chunked_conversion_matches(spark):
+    """The chunked Arrow conversion must reproduce the exact log, chunk
+    boundaries included."""
+    t = CqlTable(spark, _kv_schema())
+    t._ARROW_CHUNK = 7  # force many chunks
+    for stmt in _workload(100):
+        t.execute(stmt)
+    got = t.mutation_log().collect()
+    assert len(got) == len(t._log)
+    assert sorted(r[8] for r in got) == list(range(1, len(got) + 1))
+    # exact row-for-row equality with the in-memory log
+    assert sorted(map(tuple, got), key=lambda r: r[8]) == sorted(
+        t._log, key=lambda r: r[8]
+    )
