@@ -47,6 +47,10 @@ class TableMeta:
     # CassandraIndex, unverified]` — analytically an index changes only
     # the *restriction* rule; the scan itself is Spark's job (R5/R6).
     indexed: tuple[str, ...] = ()
+    # KEYS()-indexed map columns: CONTAINS KEY on these passes the gate
+    # (the reference's map-key 2i); a plain values index does NOT admit
+    # CONTAINS KEY, and vice versa.
+    indexed_keys: tuple[str, ...] = ()
     # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
     # read them as long (legacy.parquet.nanosAsLong) and convert to µs
     # TimestampType. Lossless for this corpus (all values µs-aligned —

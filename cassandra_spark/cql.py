@@ -141,8 +141,11 @@ def _where_columns(where: str, columns: set[str]) -> set[str]:
     }
 
 
-def _rewrite_where(where: str) -> str:
-    """CQL-only surface forms → Spark SQL equivalents."""
+def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
+    """CQL-only surface forms → Spark SQL equivalents. ``map_cols`` names
+    the MAP-typed columns: CQL ``CONTAINS`` on a map is VALUE-side
+    containment (the reference's rule), which Spark spells
+    ``array_contains(map_values(col), v)``."""
     # col CONTAINS KEY v  →  map_contains_key(col, v)
     where = re.sub(
         r"(\w+)\s+CONTAINS\s+KEY\s+('[^']*'|\S+)",
@@ -150,10 +153,17 @@ def _rewrite_where(where: str) -> str:
         where,
         flags=re.IGNORECASE,
     )
-    # col CONTAINS v  →  array_contains(col, v)
+
+    # col CONTAINS v  →  array_contains(col, v); map columns check values
+    def _contains(m: re.Match) -> str:
+        col, v = m.group(1), m.group(2)
+        if col.lower() in map_cols:
+            return f"array_contains(map_values({col}), {v})"
+        return f"array_contains({col}, {v})"
+
     where = re.sub(
         r"(\w+)\s+CONTAINS\s+('[^']*'|\S+)",
-        r"array_contains(\1, \2)",
+        _contains,
         where,
         flags=re.IGNORECASE,
     )
@@ -354,26 +364,51 @@ def cql_select(
         restricted = _where_columns(s.where, columns)
         non_key = restricted - key_cols
         uses_token = re.search(r"\btoken\s*\(", s.where, re.IGNORECASE)
-        # a secondary index admits equality / CONTAINS restrictions on its
-        # column without ALLOW FILTERING (the reference's 2i rule); range
-        # predicates on an indexed column still need it
-        indexed_ok = {
-            c
-            for c in non_key
-            if c in set(getattr(meta, "indexed", ()))
-            and re.search(
-                rf"\b{re.escape(c)}\s*(=[^=]|CONTAINS\b)",
+        # a secondary index admits restrictions on its column without
+        # ALLOW FILTERING (the reference's 2i rule), but the index KIND
+        # must match the predicate: a values index admits equality /
+        # CONTAINS (not CONTAINS KEY), a KEYS() map index admits
+        # CONTAINS KEY only; range predicates always still need it
+        def _restrictions(col: str) -> set[str]:
+            kinds = set()
+            for m_ in re.finditer(
+                rf"\b{re.escape(col)}\s*(=[^=]|CONTAINS(?:\s+KEY)?\b)",
                 s.where,
                 re.IGNORECASE,
-            )
-        }
+            ):
+                tok = m_.group(1).upper()
+                if tok.startswith("CONTAINS"):
+                    kinds.add("keys" if "KEY" in tok else "contains")
+                else:
+                    kinds.add("eq")
+            return kinds
+
+        val_idx = set(getattr(meta, "indexed", ()))
+        key_idx = set(getattr(meta, "indexed_keys", ()))
+        indexed_ok = set()
+        for c in non_key:
+            kinds = _restrictions(c)
+            if not kinds:
+                continue
+            admitted = set()
+            if c in val_idx:
+                admitted |= {"eq", "contains"}
+            if c in key_idx:
+                admitted |= {"keys"}
+            if kinds <= admitted:
+                indexed_ok.add(c)
         if (non_key - indexed_ok) and not s.allow_filtering and not uses_token:
             raise CQLError(
                 "Cannot execute this query as it might involve data "
                 f"filtering on {sorted(non_key - indexed_ok)}; use ALLOW "
                 "FILTERING to run it anyway"
             )
-        df = df.filter(F.expr(_rewrite_where(s.where)))
+        map_cols = frozenset(
+            f.name.lower()
+            for f in df.schema.fields
+            if f.dataType.typeName() == "map"
+        )
+        df = df.filter(F.expr(_rewrite_where(s.where, map_cols)))
 
     if s.distinct:
         if s.group_by or s.order_by or s.ann or s.per_partition_limit is not None:

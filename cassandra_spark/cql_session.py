@@ -252,7 +252,9 @@ _DML_TABLE_RE = re.compile(
 
 _CREATE_INDEX_RE = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:(?P<name>\w+)\s+)?"
-    r"ON\s+(?P<table>\w+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+    r"ON\s+(?P<table>\w+)\s*\(\s*"
+    r"(?:(?P<kind>KEYS|VALUES|ENTRIES|FULL)\s*\(\s*(?P<icol>\w+)\s*\)"
+    r"|(?P<col>\w+))\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
@@ -419,8 +421,10 @@ class CqlSession:
         self.spill_dir = spill_dir
         self.spill_threshold = spill_threshold
         self.tables: dict[str, CqlTable] = {}
-        self.indexes: dict[str, set[str]] = {}  # table → indexed columns
-        self.index_names: dict[str, tuple[str, str]] = {}  # name → (t, col)
+        self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
+        self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
+        # name → (table, col, kind) with kind in {"values", "keys"}
+        self.index_names: dict[str, tuple[str, str, str]] = {}
         self.types: dict[str, str] = {}  # UDT name → Spark struct type
 
     def create_table(self, schema: TableSchema) -> CqlTable:
@@ -450,17 +454,19 @@ class CqlSession:
             partition_key=(schema.partition_key,),
             clustering=tuple(schema.clustering),
             indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
+            indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
         )
 
     def _create_index(self, m: re.Match) -> None:
-        """CREATE INDEX ON t (col): registers ``col`` as secondary-indexed,
-        which relaxes the SELECT restriction gate (equality / CONTAINS on
-        the column no longer needs ALLOW FILTERING). The scan strategy
-        itself stays Spark's — an index here changes semantics, not
-        physical access (SURVEY §2.1 R5/R6: Z-order / bucketing is the
-        perf analogue)."""
+        """CREATE INDEX ON t (col) / (KEYS(col)) / (VALUES(col)): registers
+        ``col`` as secondary-indexed, which relaxes the SELECT restriction
+        gate — equality / CONTAINS for a plain (values) index, CONTAINS KEY
+        for a KEYS index on a map column. The scan strategy itself stays
+        Spark's — an index here changes semantics, not physical access
+        (SURVEY §2.1 R5/R6: Z-order / bucketing is the perf analogue)."""
         table = self.table(m.group("table"))
-        col = m.group("col").lower()
+        kind = (m.group("kind") or "").upper()
+        col = (m.group("icol") or m.group("col")).lower()
         s = table.schema
         if col == s.partition_key or col in s.clustering:
             raise CQLError(f"cannot index primary key column {col!r}")
@@ -468,11 +474,30 @@ class CqlSession:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
         if s.counter:
             raise CQLError("secondary indexes are not supported on counters")
+        coll = parse_coll_type((s.regular | s.static).get(col, ""))
+        if kind in ("ENTRIES", "FULL"):
+            raise CQLError(
+                f"{kind}() indexes are not supported (map-subscript "
+                "restrictions are out of this front-end's WHERE grammar)"
+            )
+        if kind == "KEYS":
+            if coll is None or coll[0] != "map":
+                raise CQLError(
+                    f"KEYS() index needs a map column, {col!r} is not one"
+                )
+        elif kind == "VALUES" and coll is None:
+            raise CQLError(
+                f"VALUES() index needs a collection column, {col!r} is not one"
+            )
         name = (m.group("name") or f"{s.name}_{col}_idx").lower()
         if name in self.index_names:
             raise CQLError(f"index {name!r} already exists")
-        self.indexes.setdefault(s.name, set()).add(col)
-        self.index_names[name] = (s.name, col)
+        if kind == "KEYS":
+            self.key_indexes.setdefault(s.name, set()).add(col)
+            self.index_names[name] = (s.name, col, "keys")
+        else:
+            self.indexes.setdefault(s.name, set()).add(col)
+            self.index_names[name] = (s.name, col, "values")
 
     def _alter_table(self, m: re.Match) -> None:
         """ALTER TABLE ADD/DROP: live schema evolution. ADD declares a new
@@ -509,10 +534,11 @@ class CqlSession:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
         table.drop_column_cells(col)
         self.indexes.get(s.name, set()).discard(col)
+        self.key_indexes.get(s.name, set()).discard(col)
         self.index_names = {
-            n: (t, c)
-            for n, (t, c) in self.index_names.items()
-            if not (t == s.name and c == col)
+            n: v
+            for n, v in self.index_names.items()
+            if not (v[0] == s.name and v[1] == col)
         }
 
     def prepare(self, text: str) -> PreparedStatement:
@@ -667,8 +693,9 @@ class CqlSession:
             self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
             self.indexes.pop(name, None)
+            self.key_indexes.pop(name, None)
             self.index_names = {
-                n: (t, c) for n, (t, c) in self.index_names.items() if t != name
+                n: v for n, v in self.index_names.items() if v[0] != name
             }
             return None
         if head.startswith("DROP INDEX"):
@@ -680,8 +707,9 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown index {name!r}")
-            t, c = self.index_names.pop(name)
-            self.indexes.get(t, set()).discard(c)
+            t, c, kind = self.index_names.pop(name)
+            target = self.key_indexes if kind == "keys" else self.indexes
+            target.get(t, set()).discard(c)
             return None
         if head.startswith("TRUNCATE"):
             tm = _TRUNCATE_RE.match(stmt)

@@ -394,3 +394,70 @@ def cql11_prepared_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state is None:  # corpus shrank below PAGE_INDEX pages
             raise RuntimeError("fixture has too few rows to reach the page")
     return sess.execute_paged(bound, PAGE_SIZE, state).df
+
+
+# --- cql12: KEYS() map index + CONTAINS KEY through the restriction gate ---
+
+KEYS_DDL = (
+    "CREATE TABLE profiles (uid text PRIMARY KEY, name text, "
+    "attrs map<text,text>)"
+)
+KEYS_DML: tuple[str, ...] = (
+    "INSERT INTO profiles (uid, name, attrs) VALUES "
+    "('u1', 'ana', {'tier': 'gold', 'region': 'eu'})",
+    "INSERT INTO profiles (uid, name, attrs) VALUES ('u2', 'bo', {'region': 'us'})",
+    # update-only row: exists through its single map cell, name stays NULL
+    "UPDATE profiles SET attrs['tier'] = 'silver' WHERE uid = 'u3'",
+    "INSERT INTO profiles (uid, name, attrs) VALUES ('u4', 'cy', {'tier': 'free'})",
+    # map-key delete: u1 must drop OUT of the CONTAINS KEY result
+    "DELETE attrs['tier'] FROM profiles WHERE uid = 'u1'",
+)
+KEYS_INDEX_DDL = "CREATE INDEX ON profiles (KEYS(attrs))"
+KEYS_SELECT = "SELECT uid, name FROM profiles WHERE attrs CONTAINS KEY 'tier'"
+
+# pinned log (asserted ≡ parser output in tests/test_cql_session.py)
+KEYS_LOG: tuple[tuple, ...] = (
+    mut_row('u1', '', None, None, 'marker', 1, 0, 1),
+    mut_row('u1', '', 'name', 'ana', 'cell', 1, 0, 2),
+    mut_row('u1', '', 'attrs', None, 'coll_tomb', 0, 0, 3),
+    mut_row('u1', '', 'attrs', 'gold', 'cell', 1, 0, 4, elem='tier'),
+    mut_row('u1', '', 'attrs', 'eu', 'cell', 1, 0, 5, elem='region'),
+    mut_row('u2', '', None, None, 'marker', 2, 0, 6),
+    mut_row('u2', '', 'name', 'bo', 'cell', 2, 0, 7),
+    mut_row('u2', '', 'attrs', None, 'coll_tomb', 1, 0, 8),
+    mut_row('u2', '', 'attrs', 'us', 'cell', 2, 0, 9, elem='region'),
+    mut_row('u3', '', 'attrs', 'silver', 'cell', 3, 0, 10, elem='tier'),
+    mut_row('u4', '', None, None, 'marker', 4, 0, 11),
+    mut_row('u4', '', 'name', 'cy', 'cell', 4, 0, 12),
+    mut_row('u4', '', 'attrs', None, 'coll_tomb', 3, 0, 13),
+    mut_row('u4', '', 'attrs', 'free', 'cell', 4, 0, 14, elem='tier'),
+    mut_row('u1', '', 'attrs', None, 'cell_tomb', 5, 0, 15, elem='tier'),
+)
+KEYS_ASOF = 6
+
+_KEYS_SCHEMA = parse_create_table(KEYS_DDL)
+
+
+@query(
+    "cql12_keys_index",
+    oracle=f"""
+    SELECT uid, name
+    FROM ({dml_oracle_sql(_KEYS_SCHEMA, KEYS_LOG, KEYS_ASOF)})
+    WHERE list_contains(
+        CAST(json_extract_string(attrs, '$[*].key') AS VARCHAR[]), 'tier')
+    """,
+)
+def cql12_keys_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 through the map-key secondary index: ``CREATE INDEX (KEYS(attrs))``
+    admits ``attrs CONTAINS KEY 'tier'`` past the restriction gate with no
+    ALLOW FILTERING (a values index would NOT — kind-matching is the
+    point). The workload exercises the map write path both ways: a
+    subscript put creates an update-only row, and a map-key delete drops a
+    row out of the result. The oracle reconciles the pinned mutation log
+    and applies the same key-membership filter to the JSON-rendered map."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(KEYS_DDL)
+    for stmt in KEYS_DML:
+        sess.execute(stmt)
+    sess.execute(KEYS_INDEX_DDL)
+    return sess.execute(KEYS_SELECT)

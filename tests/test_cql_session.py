@@ -464,3 +464,102 @@ def test_alter_add_static_and_index_cleanup(sess):
     sess.execute("CREATE INDEX msgs2_body_idx ON msgs2 (body)")  # name free?
     # the auto-generated name 'msgs_body_idx' must have been cleaned up
     sess.execute("CREATE INDEX msgs_body_idx ON msgs2 (author)")
+
+
+# --- KEYS() map index: kind-matched restriction gate (cql12) ---------------
+
+KEYS_DDL_T = (
+    "CREATE TABLE profs (uid text PRIMARY KEY, name text, "
+    "attrs map<text,text>)"
+)
+
+
+def test_keys_index_admits_contains_key_only(sess):
+    sess.execute(KEYS_DDL_T)
+    sess.execute(
+        "INSERT INTO profs (uid, name, attrs) VALUES "
+        "('u1', 'ana', {'tier': 'gold'})"
+    )
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT uid FROM profs WHERE attrs CONTAINS KEY 'tier'")
+    sess.execute("CREATE INDEX ON profs (KEYS(attrs))")
+    assert (
+        sess.execute(
+            "SELECT uid FROM profs WHERE attrs CONTAINS KEY 'tier'"
+        ).count()
+        == 1
+    )
+    # kind mismatch: a KEYS index does NOT admit value-side CONTAINS
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT uid FROM profs WHERE attrs CONTAINS 'gold'")
+    # ... and ALLOW FILTERING still runs it
+    assert (
+        sess.execute(
+            "SELECT uid FROM profs WHERE attrs CONTAINS 'gold' ALLOW FILTERING"
+        ).count()
+        == 1
+    )
+
+
+def test_values_index_does_not_admit_contains_key(sess):
+    sess.execute(KEYS_DDL_T)
+    sess.execute(
+        "INSERT INTO profs (uid, name, attrs) VALUES "
+        "('u1', 'ana', {'tier': 'gold'})"
+    )
+    sess.execute("CREATE INDEX ON profs (attrs)")  # plain = values index
+    assert (
+        sess.execute(
+            "SELECT uid FROM profs WHERE attrs CONTAINS 'gold'"
+        ).count()
+        == 1
+    )
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT uid FROM profs WHERE attrs CONTAINS KEY 'tier'")
+    # VALUES(col) is the explicit synonym of the plain form
+    sess.execute("DROP INDEX profs_attrs_idx")
+    sess.execute("CREATE INDEX ON profs (VALUES(attrs))")
+    assert (
+        sess.execute(
+            "SELECT uid FROM profs WHERE attrs CONTAINS 'gold'"
+        ).count()
+        == 1
+    )
+
+
+def test_keys_index_kind_rejections(sess):
+    sess.execute(KEYS_DDL_T)
+    with pytest.raises(CQLError, match="map column"):
+        sess.execute("CREATE INDEX ON profs (KEYS(name))")
+    with pytest.raises(CQLError, match="collection column"):
+        sess.execute("CREATE INDEX ON profs (VALUES(name))")
+    with pytest.raises(CQLError, match="not supported"):
+        sess.execute("CREATE INDEX ON profs (ENTRIES(attrs))")
+    with pytest.raises(CQLError, match="not supported"):
+        sess.execute("CREATE INDEX ON profs (FULL(attrs))")
+
+
+def test_drop_keys_index_restores_gate(sess):
+    sess.execute(KEYS_DDL_T)
+    sess.execute("CREATE INDEX by_key ON profs (KEYS(attrs))")
+    assert (
+        sess.execute(
+            "SELECT uid FROM profs WHERE attrs CONTAINS KEY 't'"
+        ).count()
+        == 0
+    )
+    sess.execute("DROP INDEX by_key")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT uid FROM profs WHERE attrs CONTAINS KEY 't'")
+
+
+def test_cql12_pinned_log():
+    from cassandra_spark.cql_dml import CqlTable
+    from cassandra_spark.operators.cql_queries import (
+        KEYS_ASOF, KEYS_DML, KEYS_LOG, _KEYS_SCHEMA)
+
+    t = CqlTable(None, _KEYS_SCHEMA)
+    for s in KEYS_DML:
+        t.execute(s)
+    assert tuple(t._log) == KEYS_LOG
+    assert max(r[6] for r in t._log) + 1 == KEYS_ASOF
