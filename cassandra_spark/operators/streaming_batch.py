@@ -154,3 +154,91 @@ def s4_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.lit(WATERMARK_HORIZON).cast("timestamp"))
         .dropDuplicates(["event_id"])
     )
+
+
+# --- s7/s9: the REAL streaming jobs, oracle-checked via availableNow -------
+#
+# S7 (LWW upsert sink) and S9 (incremental MV) were previously only
+# parity-tested against their batch twins. These entries run the actual
+# Structured Streaming jobs (foreachBatch, multi-epoch, exactly-once
+# versioned commits) to completion with an availableNow trigger inside the
+# constructor, then return the committed table — so the DuckDB oracle now
+# checks the streaming write path end-to-end, not a stand-in. They are the
+# two deliberate exceptions to the "no side effects" registry rule: each
+# run stages the source and writes its table under a fresh temp dir.
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Stage events as a 4-file raw-nanos parquet dir (the shape the file
+    stream source consumes; 4 files × maxFilesPerTrigger=1 → 4 real
+    micro-batch epochs) plus an empty table dir, both under a fresh
+    temp root."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(tmp, "src")
+    table = os.path.join(tmp, "table")
+    ev = Catalog(spark, sf_dir).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src, table
+
+
+@query(
+    "s7_streaming_upsert",
+    oracle="""
+    SELECT user_id, event_type, value, epoch_us(ts) AS writetime, event_id
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s7_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end: the streaming LWW upsert job (foreachBatch, versioned
+    exactly-once commits) drains the staged source with availableNow, then
+    the newest committed version is returned. The oracle is the one-shot
+    LWW merge over the same events — equal only if every epoch folded
+    correctly into the previous version's state."""
+    from cassandra_spark.streaming import jobs
+
+    src, table = _stage_events_stream(spark, sf_dir, "s7_upsert_")
+    jobs.streaming_upsert(spark, src, table)
+    return jobs.read_upsert_table(spark, table).select(
+        "user_id", "event_type", "value", "writetime", "event_id"
+    )
+
+
+@query(
+    "s9_streaming_mv",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def s9_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end: the streaming incremental-MV job maintains the LWW
+    base AND its aggregate view by signed-delta merge (never recompute)
+    across the availableNow epochs; the committed view is returned. The
+    oracle recomputes the view from scratch over the LWW winners — the
+    exact-decimal algebra makes incremental ≡ recompute, so any drift in
+    the delta merge is a hash mismatch."""
+    from cassandra_spark.streaming import jobs
+
+    src, table = _stage_events_stream(spark, sf_dir, "s9_mv_")
+    jobs.streaming_mv(spark, src, table)
+    return jobs.read_mv(spark, table, "view").select(
+        "event_type", "cnt", F.col("total_dec").cast("double").alias("total")
+    )
