@@ -220,9 +220,100 @@ def run(spark: SparkSession, factor: int, names: list[str], repeat: int) -> dict
     }
 
 
+# --- replay-tier stress: mutation VOLUME, not corpus size -------------------
+#
+# The w9/w13/w14 replay queries execute pinned statement scripts, so corpus
+# amplification does not stress them; their scale axis is DML statement
+# count (the driver-side bound measured in BASELINE.md "DML front-end").
+# This mode feeds a synthetic session N and FACTOR*N statements and times
+# execute (driver CPU, expected ~linear) and snapshot (reconcile) for both
+# the plain in-memory log and the parquet-segment spill path.
+
+REPLAY_BASE_N = 5_000
+
+
+def _replay_workload(n: int, collections: bool):
+    for i in range(n):
+        key = f"k{i % (n // 10 or 1)}"
+        if collections:
+            if i % 5 == 4:
+                yield f"DELETE attrs['a{i % 7}'] FROM kv WHERE k = '{key}'"
+            else:
+                yield (
+                    f"UPDATE kv SET attrs['a{i % 7}'] = 'v{i}' "
+                    f"WHERE k = '{key}'"
+                )
+        elif i % 7 == 3:
+            yield f"UPDATE kv SET v = 'u{i}' WHERE k = '{key}'"
+        elif i % 23 == 11:
+            yield f"DELETE FROM kv WHERE k = '{key}'"
+        else:
+            yield f"INSERT INTO kv (k, v, n) VALUES ('{key}', 'v{i}', {i})"
+
+
+def _time_replay(spark: SparkSession, n: int, collections: bool, spill: bool):
+    import tempfile
+
+    from cassandra_spark.cql_session import CqlSession
+
+    kw = (
+        dict(spill_dir=tempfile.mkdtemp(prefix="replay_stress_"),
+             spill_threshold=10_000)
+        if spill
+        else {}
+    )
+    sess = CqlSession(spark, **kw)
+    ddl = (
+        "CREATE TABLE kv (k text PRIMARY KEY, v text, attrs map<text,text>)"
+        if collections
+        else "CREATE TABLE kv (k text PRIMARY KEY, v text, n int)"
+    )
+    sess.execute(ddl)
+    t0 = time.perf_counter()
+    for stmt in _replay_workload(n, collections):
+        sess.execute(stmt)
+    t_exec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_rows = sess.table("kv").snapshot().count()
+    t_snap = time.perf_counter() - t0
+    return t_exec, t_snap, n_rows
+
+
+def replay_stress(spark: SparkSession, factor: int) -> dict:
+    results: dict[str, dict] = {}
+    for label, collections, spill in (
+        ("w9_scalar_plain", False, False),
+        ("w9_scalar_spill", False, True),
+        ("w13_collection_plain", True, False),
+        ("w13_collection_spill", True, True),
+    ):
+        be, bs, _ = _time_replay(spark, REPLAY_BASE_N, collections, spill)
+        ae, as_, _ = _time_replay(
+            spark, REPLAY_BASE_N * factor, collections, spill
+        )
+        results[label] = {
+            "base_exec_sec": round(be, 3),
+            "base_snapshot_sec": round(bs, 3),
+            "amp_exec_sec": round(ae, 3),
+            "amp_snapshot_sec": round(as_, 3),
+            "exec_ratio": round(ae / be, 2),
+            "snapshot_ratio": round(as_ / bs, 2),
+        }
+        print(
+            f"[replay] {label}: exec {be:.2f}->{ae:.2f}s "
+            f"(x{ae / be:.1f}), snapshot {bs:.2f}->{as_:.2f}s "
+            f"(x{as_ / bs:.1f}) vs ideal x{factor}",
+            file=sys.stderr,
+        )
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", nargs="?", default="all", choices=["build", "run", "all"])
+    ap.add_argument(
+        "cmd", nargs="?", default="all",
+        choices=["build", "run", "replay", "all"],
+    )
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--queries", default=None)
@@ -236,9 +327,21 @@ def main() -> None:
 
     if args.cmd in ("build", "all"):
         build(spark, args.factor, force=args.force)
+    report = None
     if args.cmd in ("run", "all"):
         names = args.queries.split(",") if args.queries else list(STRESS_QUERIES)
         report = run(spark, args.factor, names, args.repeat)
+    if args.cmd in ("replay", "all"):
+        replay = replay_stress(spark, args.factor)
+        if report is None:  # replay-only: merge into the existing report
+            out_path = Path(args.out)
+            report = (
+                json.loads(out_path.read_text())
+                if out_path.exists()
+                else {"factor": args.factor}
+            )
+        report["replay"] = replay
+    if report is not None:
         line = json.dumps(report)
         print(line)
         Path(args.out).write_text(line + "\n")
