@@ -1,13 +1,13 @@
-"""Pure-stdlib image codecs for the L4 multimodal tier: BMP (24-bit
-uncompressed) and PPM (P6 binary) decode/encode plus nearest-neighbor
-resampling — zero dependencies, so the decode → resize pipeline runs REAL
-bytes end-to-end in this container (`allow_stub=False`).
+"""Dependency-free image codecs for the L4 multimodal tier: BMP (24-bit
+uncompressed), PPM (P6 binary), and baseline sequential JPEG (operators/
+jpeg.py — pure Python + numpy) decode, plus nearest-neighbor resampling —
+so the decode → resize pipeline runs REAL bytes end-to-end in this
+container (`allow_stub=False`).
 
-These two formats are the honest stdlib-decodable subset: both are raw
-RGB behind a small header (struct module territory). JPEG/PNG/video stay
-behind the stub gate in llm_multimodal.py — entropy coding is a library
-concern, and the Spark-side contract (batch shape, schema, partitioning)
-is identical either way.
+PNG (zlib+filters) and video stay behind the stub gate in
+llm_multimodal.py; progressive/arithmetic JPEG raises and degrades to the
+stub path. The Spark-side contract (batch shape, schema, partitioning) is
+identical either way.
 
 All functions are worker-safe pure functions over bytes: they run inside
 Arrow-batched mapInPandas with no driver state.
@@ -19,14 +19,17 @@ import struct
 
 BMP_MIME = "image/bmp"
 PPM_MIME = "image/x-portable-pixmap"
+JPEG_MIME = "image/jpeg"
 
 
 def sniff_mime(data: bytes) -> str | None:
-    """Magic-number sniff for the stdlib-decodable formats."""
+    """Magic-number sniff for the locally-decodable formats."""
     if data[:2] == b"BM":
         return BMP_MIME
     if data[:2] == b"P6":
         return PPM_MIME
+    if data[:3] == b"\xff\xd8\xff":
+        return JPEG_MIME
     return None
 
 
@@ -125,12 +128,18 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
-    None when the format isn't stdlib-decodable (caller decides stub/raise)."""
+    None when the format isn't locally decodable (caller decides
+    stub/raise). Raises ValueError for recognized-but-unsupported variants
+    (e.g. progressive JPEG) — decode_batch degrades those to the stub."""
     mime = sniff_mime(data)
     if mime == BMP_MIME:
         return (mime, *decode_bmp(data))
     if mime == PPM_MIME:
         return (mime, *decode_ppm(data))
+    if mime == JPEG_MIME:
+        from cassandra_spark.operators.jpeg import decode_jpeg
+
+        return (mime, *decode_jpeg(data))
     return None
 
 

@@ -7,14 +7,15 @@ Modeling: a multimodal column is `payload: binary` + a metadata struct
 BinaryType). The documents fixture stands in: payload = utf-8 bytes of
 text.
 
-Decode is REAL for the stdlib-decodable formats: BMP (24-bit) and PPM (P6)
-payloads decode to actual RGB pixels via operators/codecs.py (struct
-module, zero dependencies), flow through the pipeline as a binary pixels
-column, and resize runs a real nearest-neighbor resample —
-``allow_stub=False`` end-to-end. Other formats (JPEG/PNG/video — entropy
-coding needs real libraries) still raise unless the caller opts into the
-deterministic fake decoder; the Spark-side contract (schema, Arrow batch
-shape, partitioning) is identical for both paths.
+Decode is REAL for the locally-decodable formats: BMP (24-bit), PPM (P6),
+and baseline sequential JPEG (operators/jpeg.py — pure Python + numpy
+Huffman/DCT, cross-checked against Java ImageIO) decode to actual RGB
+pixels, flow through the pipeline as a binary pixels column, and resize
+runs a real nearest-neighbor resample — ``allow_stub=False`` end-to-end.
+Remaining formats (PNG, video, progressive/arithmetic JPEG) still raise
+unless the caller opts into the deterministic fake decoder; the Spark-side
+contract (schema, Arrow batch shape, partitioning) is identical for both
+paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition
@@ -93,8 +94,8 @@ def decode_batch(
     """Arrow-batched decode: each incoming batch of (doc_id, payload) rows
     yields a batch of decoded pixels + metadata + features.
 
-    BMP/PPM payloads decode for real (codecs.py — pixels column carries
-    top-down RGB). Anything else needs a codec library: raises unless
+    BMP/PPM/baseline-JPEG payloads decode for real (codecs.py + jpeg.py —
+    pixels column carries top-down RGB). Anything else raises unless
     ``allow_stub`` opts into the deterministic fake (pixels NULL)."""
     from cassandra_spark.operators.codecs import decode_image, rgb_features
 
@@ -118,9 +119,9 @@ def decode_batch(
                 continue
             if not allow_stub:
                 raise NotImplementedError(
-                    "no media codec libraries in this environment and the "
-                    "payload is not BMP/PPM; pass allow_stub=True for the "
-                    "deterministic fake decoder"
+                    "payload is not locally decodable (BMP/PPM/baseline "
+                    "JPEG); pass allow_stub=True for the deterministic "
+                    "fake decoder"
                 )
             w, h, c, feat = _fake_decode(payload)
             rows.append((doc_id, "image/fake", len(payload), w, h, c, feat, None))

@@ -151,3 +151,105 @@ def test_sniff_false_positive_degrades_to_stub(spark):
     assert all(got[i].mime == "image/fake" for i in (1, 2, 3))
     with pytest.raises(Exception, match="codec|BMP/PPM"):
         decode_documents(docs, payload_col="payload").collect()
+
+
+# --- baseline JPEG (operators/jpeg.py) -------------------------------------
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """decode(encode(x)) differs from x only by quantization error; the
+    bound tightens with quality."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h in [(8, 8), (20, 12), (7, 5), (33, 17)]:
+        rgb = _gradient(w, h)
+        a = np.frombuffer(rgb, np.uint8).astype(int)
+        for q, bound in ((50, 8), (85, 4), (95, 2)):
+            data = encode_jpeg(w, h, rgb, q)
+            assert sniff_mime(data) == "image/jpeg"
+            w2, h2, c, out = decode_jpeg(data)
+            assert (w2, h2, c) == (w, h, 3)
+            err = np.abs(a - np.frombuffer(out, np.uint8).astype(int))
+            assert err.max() <= bound, (w, h, q, err.max())
+
+
+def test_jpeg_decodes_real_world_files():
+    """Externally-produced baseline JPEGs (Spark's mllib sample images,
+    4:2:0 photographic) decode; progressive ones raise ValueError."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    root = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images"
+    files = sorted(glob.glob(os.path.join(root, "**/*.jpg"), recursive=True))
+    if not files:
+        _pytest.skip("no sample JPEGs in this container")
+    decoded = rejected = 0
+    for f in files:
+        data = open(f, "rb").read()
+        try:
+            w, h, c, rgb = decode_jpeg(data)
+            assert c == 3 and len(rgb) == w * h * 3 and w > 0 and h > 0
+            decoded += 1
+        except ValueError:
+            rejected += 1  # progressive/unsupported — stub path in pipeline
+    assert decoded >= 1, "no baseline JPEG decoded"
+
+
+def test_jpeg_matches_imageio_reference(spark):
+    """Pixel-level cross-check against an independent decoder: Spark's
+    `image` source (Java ImageIO). Differences come only from chroma
+    upsampling choices, so the mean absolute error must stay tiny."""
+    import glob
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg"
+        )
+    )
+    if not files:
+        _pytest.skip("no sample JPEGs in this container")
+    path = files[0]
+    row = spark.read.format("image").load(path).select("image.*").head()
+    ref = (
+        np.frombuffer(bytes(row.data), np.uint8)
+        .reshape(row.height, row.width, row.nChannels)[..., ::-1]
+        .astype(int)
+    )
+    w, h, c, rgb = decode_jpeg(open(path, "rb").read())
+    assert (w, h) == (row.width, row.height)
+    mine = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    err = np.abs(ref - mine)
+    assert err.mean() < 1.0
+    assert (err > 4).mean() < 0.01
+
+
+def test_jpeg_through_decode_pipeline(spark):
+    """A real JPEG payload flows through decode_documents with
+    allow_stub=False: real pixels, real features, resize works."""
+    from cassandra_spark.operators.jpeg import encode_jpeg
+    from cassandra_spark.operators.llm_multimodal import (
+        decode_documents,
+        resize_decoded,
+    )
+
+    rgb = _gradient(32, 16)
+    rows = [(1, bytearray(encode_jpeg(32, 16, rgb, 90)))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    decoded = decode_documents(docs, payload_col="payload")  # no stub
+    got = decoded.collect()[0]
+    assert got.mime == "image/jpeg"
+    assert (got.width, got.height) == (32, 16)
+    assert got.pixels is not None and len(bytes(got.pixels)) == 32 * 16 * 3
+    out = resize_decoded(decoded, max_side=8).collect()[0]
+    assert (out.out_width, out.out_height) == (8, 4)
