@@ -223,6 +223,20 @@ def parse_create_table(
         if c == pk or c in clustering:
             continue
         mapped = _map_type(t, udts)
+        if (
+            re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
+            and parse_coll_type(mapped) is None
+        ):
+            # a collection whose element type is not a plain scalar (UDT/
+            # tuple/duration/nested collection): the snapshot pivot casts
+            # element strings and would fail at query time
+            # (AnalysisException) — mirror the key-column guard and reject
+            # at DDL time instead
+            raise CQLError(
+                f"collection column {c!r} must have scalar element types "
+                "(UDT/tuple/nested collections unsupported by the DML "
+                "front-end)"
+            )
         if t.strip().lower() == "counter":
             counter_cols += 1
         if c in statics:
@@ -369,25 +383,74 @@ class PagedResult:
     driver action — exactly the state a driver holds between pages) and
     returns the opaque resume token, or None when the walk is done."""
 
-    def __init__(self, df: DataFrame, keys: list[str], page_size: int):
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        page_size: int,
+        descs: list[bool] | None = None,
+    ):
         self.df = df
         self._keys = keys
         self._page_size = page_size
+        self._descs = descs or [False] * len(keys)
 
     def paging_state(self) -> str | None:
         import base64
         import json
 
-        rows = self.df.select(*self._keys).collect()
-        if len(rows) < self._page_size:
-            return None
-        last = rows[-1]
+        if not any(self._descs):
+            # all-ascending keys: the page's last row is the max of the
+            # key tuple — one aggregate job, O(1) rows to the driver
+            agg = self.df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct(*self._keys)).alias("last"),
+            ).head()
+            if agg["n"] < self._page_size:
+                return None
+            last = agg["last"]
+        else:
+            # DESC clustering: struct-max is not page order; collect just
+            # the key columns of the page (bounded by page_size)
+            rows = self.df.select(*self._keys).collect()
+            if len(rows) < self._page_size:
+                return None
+            last = rows[-1]
         return base64.b64encode(
-            json.dumps([str(last[k]) for k in self._keys]).encode()
+            json.dumps([_encode_cursor_val(last[k]) for k in self._keys]).encode()
         ).decode()
 
 
-def _decode_state(state: str) -> list[str]:
+def _encode_cursor_val(v):
+    """Typed, lossless cursor serialization: ints/floats/bools ride as
+    native JSON (json round-trips floats via repr, bit-exact);
+    datetime/date go ISO-format; everything else is a plain string. A
+    lossy str() here would make a resumed page skip or duplicate rows on
+    float/timestamp keys."""
+    import datetime
+    import decimal
+
+    if v is None:
+        raise CQLError("NULL in a paging cursor key is not supported")
+    if isinstance(v, (bool, int, float)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return {"t": "iso", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    return str(v)
+
+
+def _cursor_lit(v, dtype: str):
+    """Resume-side twin of _encode_cursor_val: native numerics become
+    typed literals directly (no string parse); ISO datetimes and decimals
+    cast from their exact text form."""
+    if isinstance(v, dict):
+        return F.lit(v.get("v")).cast(dtype)
+    return F.lit(v).cast(dtype)
+
+
+def _decode_state(state: str) -> list:
     import base64
     import json
 
@@ -395,7 +458,7 @@ def _decode_state(state: str) -> list[str]:
         vals = json.loads(base64.b64decode(state.encode()).decode())
         if not isinstance(vals, list):
             raise ValueError
-        return [str(v) for v in vals]
+        return vals
     except Exception:
         raise CQLError("invalid paging state") from None
 
@@ -603,7 +666,7 @@ class CqlSession:
             if len(vals) != len(keys):
                 raise CQLError("paging state does not match the table's key")
             typed = [
-                F.lit(v).cast(dtypes[k]) for k, v in zip(keys, vals)
+                _cursor_lit(v, dtypes[k]) for k, v in zip(keys, vals)
             ]
             pred = None
             for i, k in enumerate(keys):
@@ -623,7 +686,7 @@ class CqlSession:
                 for k, d in zip(keys, descs)
             ]
         ).limit(page_size)
-        return PagedResult(page, keys, page_size)
+        return PagedResult(page, keys, page_size, descs)
 
     def _create_type(self, m: re.Match) -> None:
         """CREATE TYPE name (f1 t1, ...) → registered struct type; columns
@@ -667,12 +730,20 @@ class CqlSession:
                     return None
                 raise CQLError(f"unknown type {name!r}")
             struct = self.types[name]
+            # containment, not equality: the struct text also appears inside
+            # collection types (list<struct<...>>) and inside other
+            # registered UDTs that embed this one
             in_use = any(
-                struct in (t.schema.regular | t.schema.static).values()
+                struct in typ
                 for t in self.tables.values()
+                for typ in (t.schema.regular | t.schema.static).values()
+            ) or any(
+                struct in other
+                for n, other in self.types.items()
+                if n != name
             )
             if in_use:
-                raise CQLError(f"type {name!r} is in use by a table")
+                raise CQLError(f"type {name!r} is in use")
             del self.types[name]
             return None
         if head.startswith("CREATE INDEX"):

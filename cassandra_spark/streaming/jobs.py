@@ -27,6 +27,14 @@ from cassandra_spark.operators.streaming_batch import tumbling_agg
 # be defined before its first file lands). Matches the driver corpus layout
 # (TESTDATA.md); footer sniffing below overrides it whenever files exist, so
 # nanos-generation corpora (ts as int64 ns) still get their true schema.
+#
+# RESTRICTION (documented, not silent): the fallback declares ts as
+# TimestampType (µs). If the source dir is empty at stream START and the
+# first files to land are nanos-generation (ts as int64 ns), the stream
+# holds the wrong declared schema — Spark streams cannot re-sniff after
+# start. Operators of empty-at-start nanos sources must either pass the
+# schema explicitly or restart the stream once the first file exists;
+# _events_raw_schema warns when it falls back so the condition is visible.
 _EVENTS_FALLBACK = StructType(
     [
         StructField("event_id", LongType()),
@@ -49,7 +57,14 @@ def _events_raw_schema(spark: SparkSession, path: str, glob: str | None = None):
     # nanos-generation parquet (TIMESTAMP(NANOS)) raises on footer read in
     # Spark 4 unless this legacy conf maps it to long — set it here so every
     # caller (events_stream, streaming_upsert, streaming_mv) is covered.
+    # Session-wide by necessity (parquet footer decoding has no per-read
+    # knob); idempotent, and restore_ts() makes the long↔timestamp reading
+    # equivalent everywhere this engine touches ts, so the only observable
+    # effect on foreign reads is nanos columns arriving as long instead of
+    # an AnalysisException.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import warnings
+
     from pyspark.errors import AnalysisException
 
     r = spark.read
@@ -58,6 +73,12 @@ def _events_raw_schema(spark: SparkSession, path: str, glob: str | None = None):
     try:
         return r.parquet(path).schema
     except AnalysisException:
+        warnings.warn(
+            f"stream source {path!r} is empty; declaring the static corpus "
+            "schema (ts: timestamp-us). A nanos-generation corpus landing "
+            "later needs a stream restart to pick up its true schema.",
+            stacklevel=2,
+        )
         return _EVENTS_FALLBACK
 
 

@@ -140,3 +140,34 @@ def test_typed_rejections():
     with pytest.raises(CQLError):
         sess.execute("DROP TYPE address")
     sess.execute("DROP TYPE IF EXISTS address")  # no-op
+
+
+def test_drop_type_guards_nested_and_collection_use():
+    """DROP TYPE must see uses INSIDE other registered UDTs (containment,
+    not struct-string equality); collection-of-UDT columns are rejected at
+    CREATE TABLE time (the snapshot pivot cannot cast struct elements)."""
+    sess = CqlSession(None)
+    sess.execute("CREATE TYPE address (street text, city text)")
+    sess.execute("CREATE TYPE contact (addr frozen<address>, email text)")
+    # address is embedded in contact: dropping it must fail even with no
+    # table using it
+    with pytest.raises(CQLError, match="in use"):
+        sess.execute("DROP TYPE address")
+    sess.execute("DROP TYPE contact")
+    sess.execute("DROP TYPE address")  # now free
+
+    sess.execute("CREATE TYPE address (street text, city text)")
+    with pytest.raises(CQLError, match="scalar element"):
+        sess.execute(
+            "CREATE TABLE t (k text PRIMARY KEY, "
+            "addrs list<frozen<address>>)"
+        )
+    with pytest.raises(CQLError, match="scalar element"):
+        sess.execute(
+            "CREATE TABLE t (k text PRIMARY KEY, "
+            "m map<text, frozen<address>>)"
+        )
+    # plain scalar collections still pass
+    sess.execute(
+        "CREATE TABLE t (k text PRIMARY KEY, tags set<text>)"
+    )
