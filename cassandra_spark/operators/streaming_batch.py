@@ -242,3 +242,109 @@ def s9_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.read_mv(spark, table, "view").select(
         "event_type", "cnt", F.col("total_dec").cast("double").alias("total")
     )
+
+
+_SINK_SEQ = [0]  # unique in-memory sink names across invocations
+
+
+def _sink_name(prefix: str) -> str:
+    _SINK_SEQ[0] += 1
+    return f"{prefix}_{_SINK_SEQ[0]}"
+
+
+@query(
+    "s5_streaming_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: at-least-once delivery (the staged source is written
+    TWICE, so every event arrives in two different micro-batches) drained
+    through the real streaming dropDuplicates; the deduplicated stream
+    must equal the original events exactly. Unbounded dedup state (no
+    watermark) keeps the availableNow drain deterministic."""
+    import os
+
+    from cassandra_spark.catalog import restore_ts
+    from cassandra_spark.streaming.jobs import (
+        _events_raw_schema,
+        run_available_now,
+    )
+
+    src, _ = _stage_events_stream(spark, sf_dir, "s5_dedup_")
+    # redelivery: append the same rows again as new files
+    ev = Catalog(spark, sf_dir).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= 8
+
+    stream = restore_ts(
+        spark.readStream.schema(_events_raw_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "ts",
+    ).dropDuplicates(["event_id"])
+    name = _sink_name("s5_dedup")
+    run_available_now(stream, name, output_mode="append")
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "s6_stateful_totals",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY user_id
+    """,
+)
+def s6_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 end-to-end: the real applyInPandasWithState job (running per-user
+    count + exact-quantized sum) drains with availableNow in update mode;
+    update mode re-emits a key every batch it changes in, so the final
+    state per key is the emission with the highest running count. The
+    oracle recomputes the totals one-shot — equal only if per-key state
+    survived correctly across micro-batches."""
+    from cassandra_spark.streaming.jobs import (
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    stream = stateful_user_totals(spark, sf_dir)
+    name = _sink_name("s6_totals")
+    run_available_now(stream, name, output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "s8_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end: the real stream-static broadcast enrichment join
+    drains with availableNow; per micro-batch the static customer dim
+    re-resolves and broadcasts (no stream-side shuffle, no state). The
+    oracle is the equivalent one-shot left join."""
+    from cassandra_spark.streaming.jobs import (
+        run_available_now,
+        streaming_enriched,
+    )
+
+    stream = streaming_enriched(spark, sf_dir)
+    name = _sink_name("s8_join")
+    run_available_now(stream, name, output_mode="append")
+    return spark.table(name)

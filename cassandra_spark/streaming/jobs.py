@@ -137,7 +137,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_q", LongType())]
 )
 STATEFUL_OUT = StructType(
     [
@@ -155,19 +155,32 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     express (per-key model state, custom eviction); state lives in the
     state store, partitioned by key, so it scales with executors not with
     stream length. Arrow-batched: each group's rows arrive as pandas
-    DataFrames, never row-at-a-time."""
+    DataFrames, never row-at-a-time.
+
+    The running sum is held as an exact 1e-4-quantized integer (the
+    exactmath convention: floor(v*1e4 + 0.5) per row, one double division
+    at emit), so the result is batch-order-independent and equals the
+    DuckDB decimal-sum oracle bit-for-bit — float accumulation across
+    micro-batches would drift in the last ulp."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_q = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_q += int(
+                np.floor(pdf["value"].to_numpy() * 1e4 + 0.5).astype(np.int64).sum()
+            )
+        state.update((n, total_q))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total_q / 1e4],
+            }
         )
 
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")

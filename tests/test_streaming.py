@@ -107,13 +107,20 @@ def test_stateful_state_accumulates_across_batches(spark, tmp_path):
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        # same quantized-integer state convention as stateful_user_totals
+        import numpy as np
+
+        n, total_q = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_q += int(
+                np.floor(pdf["value"].to_numpy() * 1e4 + 0.5)
+                .astype(np.int64)
+                .sum()
+            )
+        state.update((n, total_q))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total_q / 1e4]}
         )
 
     out = (
