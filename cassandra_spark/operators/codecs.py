@@ -20,6 +20,9 @@ import struct
 BMP_MIME = "image/bmp"
 PPM_MIME = "image/x-portable-pixmap"
 JPEG_MIME = "image/jpeg"
+PNG_MIME = "image/png"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_mime(data: bytes) -> str | None:
@@ -30,6 +33,8 @@ def sniff_mime(data: bytes) -> str | None:
         return PPM_MIME
     if data[:3] == b"\xff\xd8\xff":
         return JPEG_MIME
+    if data[:8] == _PNG_SIG:
+        return PNG_MIME
     return None
 
 
@@ -126,6 +131,146 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bytes(data[pos : pos + n])
 
 
+# --- PNG (stdlib zlib inflate + per-row filter reversal) -------------------
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB bytes → 8-bit truecolor PNG (filter 0 rows, one IDAT).
+    Used to build real fixtures in tests."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    stride = width * 3
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw += rgb[y * stride : (y + 1) * stride]
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """8-bit non-interlaced PNG → (width, height, 3, top-down RGB bytes).
+    Color types: 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+    (alpha is dropped — the pipeline contract is 3-channel RGB).
+    16-bit depth and Adam7 interlace raise ValueError (→ stub path)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            plte = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype_}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG zlib stream: {e}") from None
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG image data")
+
+    # reverse per-row filters (0 none, 1 sub, 2 up, 3 average, 4 paeth)
+    out = bytearray(stride * height)
+    bpp = channels
+    prev = bytes(stride)
+    p = 0
+    for y in range(height):
+        ftype = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+
+    # expand to 3-channel RGB
+    if ctype_ == 2:
+        return width, height, 3, bytes(out)
+    rgb = bytearray(width * height * 3)
+    if ctype_ == 0:  # grayscale
+        for i in range(width * height):
+            g = out[i]
+            rgb[3 * i : 3 * i + 3] = bytes((g, g, g))
+    elif ctype_ == 4:  # gray + alpha (alpha dropped)
+        for i in range(width * height):
+            g = out[2 * i]
+            rgb[3 * i : 3 * i + 3] = bytes((g, g, g))
+    elif ctype_ == 6:  # RGBA (alpha dropped)
+        for i in range(width * height):
+            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+    else:  # palette
+        if not plte:
+            raise ValueError("palette PNG missing PLTE")
+        for i in range(width * height):
+            idx = out[i] * 3
+            if idx + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = plte[idx : idx + 3]
+    return width, height, 3, bytes(rgb)
+
+
 def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
     None when the format isn't locally decodable (caller decides
@@ -140,6 +285,8 @@ def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
         from cassandra_spark.operators.jpeg import decode_jpeg
 
         return (mime, *decode_jpeg(data))
+    if mime == PNG_MIME:
+        return (mime, *decode_png(data))
     return None
 
 

@@ -8,11 +8,11 @@ BinaryType). The documents fixture stands in: payload = utf-8 bytes of
 text.
 
 Decode is REAL for the locally-decodable formats: BMP (24-bit), PPM (P6),
-and baseline sequential JPEG (operators/jpeg.py — pure Python + numpy
+8-bit PNG (stdlib zlib + filter reversal), and baseline sequential JPEG (operators/jpeg.py — pure Python + numpy
 Huffman/DCT, cross-checked against Java ImageIO) decode to actual RGB
 pixels, flow through the pipeline as a binary pixels column, and resize
 runs a real nearest-neighbor resample — ``allow_stub=False`` end-to-end.
-Remaining formats (PNG, video, progressive/arithmetic JPEG) still raise
+Remaining formats (video, 16-bit/interlaced PNG, progressive JPEG) still raise
 unless the caller opts into the deterministic fake decoder; the Spark-side
 contract (schema, Arrow batch shape, partitioning) is identical for both
 paths.
@@ -94,7 +94,7 @@ def decode_batch(
     """Arrow-batched decode: each incoming batch of (doc_id, payload) rows
     yields a batch of decoded pixels + metadata + features.
 
-    BMP/PPM/baseline-JPEG payloads decode for real (codecs.py + jpeg.py —
+    BMP/PPM/PNG/baseline-JPEG payloads decode for real (codecs.py + jpeg.py —
     pixels column carries top-down RGB). Anything else raises unless
     ``allow_stub`` opts into the deterministic fake (pixels NULL)."""
     from cassandra_spark.operators.codecs import decode_image, rgb_features
@@ -119,7 +119,7 @@ def decode_batch(
                 continue
             if not allow_stub:
                 raise NotImplementedError(
-                    "payload is not locally decodable (BMP/PPM/baseline "
+                    "payload is not locally decodable (BMP/PPM/PNG/baseline "
                     "JPEG); pass allow_stub=True for the deterministic "
                     "fake decoder"
                 )
