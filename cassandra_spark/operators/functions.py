@@ -224,3 +224,94 @@ def f5_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
         F.regexp_replace("c_mktsegment", "E", "*").alias("seg_mangled"),
     )
+
+
+# --- f7: timeuuid function family ------------------------------------------
+#
+# CQL's v1-UUID time functions (`[C* cql3/functions/TimeFcts — now,
+# minTimeuuid, maxTimeuuid, toTimestamp(timeuuid), unverified]`). The
+# engine models timeuuid as its canonical 36-char string (§1.2) and
+# implements the functions with the real v1 bit layout: a 60-bit count of
+# 100 ns intervals since the Gregorian epoch (1582-10-15), split
+# time_low(32) / time_mid(16) / time_hi(12)|version(4). minTimeuuid pins
+# clock-seq/node to fixed bytes, exactly like the reference's min/max
+# sentinel uuids. Range predicates on timeuuids decompose to timestamp
+# range predicates (SURVEY §1.2).
+
+GREGORIAN_OFFSET_100NS = 122_192_928_000_000_000
+
+
+def min_timeuuid(ts_col: F.Column) -> F.Column:
+    """Deterministic v1 timeuuid (min clock-seq/node sentinel) from a
+    timestamp column — CQL minTimeuuid(ts) / the value side of now()."""
+    t = F.unix_micros(ts_col) * 10 + F.lit(GREGORIAN_OFFSET_100NS)
+    hx = lambda c, n: F.lpad(F.lower(F.hex(c)), n, "0")  # noqa: E731
+    time_low = hx(t.bitwiseAND(F.lit(0xFFFFFFFF)), 8)
+    time_mid = hx(F.shiftright(t, 32).bitwiseAND(F.lit(0xFFFF)), 4)
+    time_hi = hx(
+        F.shiftright(t, 48).bitwiseAND(F.lit(0x0FFF)).bitwiseOR(F.lit(0x1000)), 4
+    )
+    return F.concat_ws(
+        "-", time_low, time_mid, time_hi, F.lit("8000"), F.lit("000000000000")
+    )
+
+
+def timeuuid_timestamp(uuid_col: F.Column) -> F.Column:
+    """CQL toTimestamp(timeuuid): parse the v1 bit layout back out of the
+    canonical string — a REAL extraction (hex-parse via conv), not a
+    stashed copy of the source timestamp."""
+    field = lambda a, b: F.conv(F.substring(uuid_col, a, b), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    t = (
+        field(1, 8)  # time_low
+        + F.shiftleft(field(10, 4), 32)  # time_mid
+        + F.shiftleft(field(15, 4).bitwiseAND(F.lit(0x0FFF)), 48)  # time_hi sans version
+    )
+    return F.timestamp_micros(
+        ((t - F.lit(GREGORIAN_OFFSET_100NS)) / 10).cast("bigint")
+    )
+
+
+def _duck_min_timeuuid(ts_expr: str) -> str:
+    t = f"(epoch_us({ts_expr}) * 10 + {GREGORIAN_OFFSET_100NS})"
+    return (
+        f"concat(lower(lpad(to_hex({t} & 4294967295), 8, '0')), '-', "
+        f"lower(lpad(to_hex(({t} >> 32) & 65535), 4, '0')), '-', "
+        f"lower(lpad(to_hex((({t} >> 48) & 4095) | 4096), 4, '0')), "
+        f"'-8000-000000000000')"
+    )
+
+
+@query(
+    "f7_timeuuid",
+    oracle=f"""
+    SELECT event_id,
+           {_duck_min_timeuuid('ts')} AS tu,
+           ts AS ts_back
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def f7_timeuuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeuuid family end-to-end: construct minTimeuuid(ts) with the real
+    v1 bit layout, then recover the timestamp by PARSING the uuid string
+    back (toTimestamp) — the oracle pins tu to an independent DuckDB
+    construction and ts_back to identity, so a bit-layout error on either
+    side is a hash mismatch. The WHERE is the min/maxTimeuuid range
+    predicate decomposed to its timestamp range (SURVEY §1.2)."""
+    cat = Catalog(spark, sf_dir)
+    tu = min_timeuuid(F.col("ts"))
+    return (
+        cat.events
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            tu.alias("tu"),
+            timeuuid_timestamp(tu).alias("ts_back"),
+        )
+    )
