@@ -94,15 +94,41 @@ def ensure_bucketed_layout(
     if not (spark.catalog.tableExists(li) and spark.catalog.tableExists(o)):
         wh = spark.conf.get("spark.sql.warehouse.dir")
         cat = Catalog(spark, sf_dir)
-        write_bucketed(
-            cat.lineitem, li, f"{wh}/bucketed/{tag}/lineitem", "l_orderkey",
-            buckets,
-        )
-        write_bucketed(
-            cat.orders, o, f"{wh}/bucketed/{tag}/orders", "o_orderkey",
-            buckets,
-        )
+        for name, src, path, key in (
+            (li, cat.lineitem, f"{wh}/bucketed/{tag}/lineitem", "l_orderkey"),
+            (o, cat.orders, f"{wh}/bucketed/{tag}/orders", "o_orderkey"),
+        ):
+            if _register_existing_bucketed(spark, name, path, key, buckets):
+                continue  # prior session's layout re-registered, no rewrite
+            write_bucketed(src, name, path, key, buckets)
     return li, o
+
+
+def _register_existing_bucketed(
+    spark: SparkSession, name: str, path: str, key: str, buckets: int
+) -> bool:
+    """Re-attach a bucketed layout a PRIOR session already materialized:
+    Spark's default in-memory catalog forgets table entries on session
+    exit, but the bucket-suffixed parquet (and its _SUCCESS marker)
+    persists under the warehouse — an external CREATE TABLE with the same
+    CLUSTERED BY spec restores exchange elision without rewriting the
+    facts. Fixtures are immutable, so a completed prior write is always
+    current. Returns False when no completed layout exists."""
+    import os
+
+    local = path[5:] if path.startswith("file:") else path
+    if not os.path.exists(os.path.join(local, "_SUCCESS")):
+        return False
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return True
 
 
 @query("x17_large_orders_bucketed", oracle=ORACLE["x17_large_orders"])

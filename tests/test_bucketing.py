@@ -104,3 +104,48 @@ def test_x23_bucketed_plan_and_parity(spark):
         assert df.collect() == x23_waiting_suppliers(spark, SF_SMOKE).collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_reregister_persisted_layout_without_rewrite(spark):
+    """A fresh session forgets catalog entries but the bucket-suffixed
+    parquet persists: ensure_bucketed_layout must re-ATTACH the existing
+    files (external CREATE TABLE with the bucket spec) instead of
+    rewriting the facts, and the re-registered tables must still elide
+    the fact-key exchanges."""
+    import os
+
+    from cassandra_spark.operators.bucketing import ensure_bucketed_layout
+    from cassandra_spark.operators.tpch import x17_core
+    from cassandra_spark.catalog import Catalog
+
+    li, o = ensure_bucketed_layout(spark, SF_SMOKE)  # build or reattach
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[5:]
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", SF_SMOKE.strip("/"))
+    li_path = f"{wh}/bucketed/{tag}/lineitem"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(li_path, f))
+        for f in os.listdir(li_path)
+    }
+
+    # simulate a fresh session: external DROP TABLE keeps the data
+    spark.sql(f"DROP TABLE {li}")
+    spark.sql(f"DROP TABLE {o}")
+    li2, o2 = ensure_bucketed_layout(spark, SF_SMOKE)
+    assert (li2, o2) == (li, o)
+    after = {
+        f: os.path.getmtime(os.path.join(li_path, f))
+        for f in os.listdir(li_path)
+    }
+    assert after == mtimes, "re-registration must not rewrite the layout"
+
+    # the re-attached tables still produce the exchange-free agg+join plan
+    df = x17_core(
+        spark.table(li2), spark.table(o2), Catalog(spark, SF_SMOKE).customer
+    )
+    plan = _plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert df.count() > 0
