@@ -959,6 +959,73 @@ class CqlTable:
                 live[col] = val
         return live if exists else None
 
+    def _list_positions(self, pk, ckj, col: str) -> list[str]:
+        """Live position-elems of list column ``col`` in row (pk, ckj),
+        in list order — the read phase of CQL's list index operations
+        (``SET l[i] = v`` / ``DELETE l[i]``), which the reference also
+        serves with a read-before-write on the row. Mirrors
+        :meth:`_row_state`'s reconcile rules (LWW rank, tombstone
+        horizons, collection-tombstone horizon, TTL at the current clock);
+        ``tests/test_collection_replay.py`` holds the two together."""
+        asof = self._clock
+        best: dict = {}  # elem -> (rank, kind, ttl)
+        ctomb = None
+        pt = rt = rg = None
+        ck = tuple(ckj.split(SEP)) if ckj else ()
+        rows = (
+            self._log
+            if not self._segments
+            else list(self._segment_rows_for_pk(pk)) + self._log
+        )
+        for (lpk, lck, lcol, elem, val, kind, wt, ttl, seq, lo, hi, li, hi_i) in rows:
+            if lpk != pk:
+                continue
+            if kind == PART_TOMB:
+                pt = wt if pt is None else max(pt, wt)
+                continue
+            if kind == RANGE_TOMB:
+                if self._range_covers(lck, lo, hi, li, hi_i, ck):
+                    rg = wt if rg is None else max(rg, wt)
+                continue
+            if lck != ckj:
+                continue
+            if kind == ROW_TOMB:
+                rt = wt if rt is None else max(rt, wt)
+                continue
+            if lcol != col:
+                continue
+            if kind == COLL_TOMB:
+                ctomb = wt if ctomb is None else max(ctomb, wt)
+                continue
+            rank = (wt, 1 if kind == CELL_TOMB else 0, seq)
+            prev = best.get(elem)
+            if prev is None or rank > prev[0]:
+                best[elem] = (rank, kind, ttl)
+        horizons = [h for h in (pt, rt, rg, ctomb) if h is not None]
+        horizon = max(horizons) if horizons else None
+        live = []
+        for elem, ((wt, _, _), kind, ttl) in best.items():
+            if kind == CELL_TOMB:
+                continue
+            if ttl and wt + ttl <= asof:
+                continue
+            if horizon is not None and wt <= horizon:
+                continue
+            live.append(elem)
+        return sorted(live)
+
+    def _list_elem_at(self, pk, ckj, col: str, idx_tok: str) -> str:
+        try:
+            idx = int(idx_tok)
+        except ValueError:
+            raise CQLError(f"list index must be an integer: {idx_tok!r}") from None
+        positions = self._list_positions(pk, ckj, col)
+        if not 0 <= idx < len(positions):
+            raise CQLError(
+                f"list index {idx} out of bounds (size {len(positions)})"
+            )
+        return positions[idx]
+
     def _check_table(self, name: str) -> None:
         if name.lower() != self.schema.name:
             raise CQLError(
@@ -1147,12 +1214,19 @@ class CqlTable:
         assign = assign.strip()
 
         im = self._IDX_SET_RE.match(assign)
-        if im:  # m[k] = v  (map put / element delete via null)
+        if im:  # m[k] = v (map put) / l[i] = v (list index write) / NULL delete
             c = im.group(1).lower()
             coll = s.coll_regular.get(c)
-            if coll is None or coll[0] != "map":
-                raise CQLError(f"indexed assignment needs a map column: {assign!r}")
-            k = _parse_literal(im.group(2))
+            if coll is None or coll[0] == "set":
+                raise CQLError(
+                    f"indexed assignment needs a map or list column: {assign!r}"
+                )
+            if coll[0] == "list":
+                # read-before-write: resolve index -> position elem (the
+                # reference reads the row for the same reason)
+                k = self._list_elem_at(pk, ckj, c, im.group(2).strip())
+            else:
+                k = _parse_literal(im.group(2))
             v = _parse_literal(im.group(3))
             if v is not None:
                 self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=k)
@@ -1294,10 +1368,16 @@ class CqlTable:
                     raise CQLError(f"unknown column {c!r}")
                 coll = s.coll_regular.get(c)
                 if elem_tok is not None:
-                    if coll is None or coll[0] != "map":
+                    if coll is None or coll[0] == "set":
                         raise CQLError(
-                            f"element DELETE needs a map column: {item!r}"
+                            f"element DELETE needs a map or list column: {item!r}"
                         )
+                    if coll[0] == "list":
+                        self._emit(
+                            pk, ckj, c, None, CELL_TOMB, ts, None,
+                            elem=self._list_elem_at(pk, ckj, c, elem_tok),
+                        )
+                        continue
                     self._emit(
                         pk, ckj, c, None, CELL_TOMB, ts, None,
                         elem=_parse_literal(elem_tok),

@@ -194,3 +194,72 @@ def w13_collection_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.map_entries("attrs")).alias("attrs"),
         "owner",
     )
+
+
+# --- w15: list INDEX operations (SET l[i] = v / DELETE l[i]) ----------------
+#
+# CQL's list index writes are read-before-write operations: the statement
+# names a POSITION, the storage layer resolves it to the element's
+# position key by reading the row (`[C* cql3/Lists.SetterByIndex /
+# DiscarderByIndex, unverified]`), then writes an ordinary element cell or
+# tombstone. The front-end mirrors that: _list_elem_at reconciles the live
+# positions at execution time (same LWW/tombstone/TTL rules as the
+# snapshot) and emits against the resolved elem — so a later append can be
+# retargeted by index exactly like upstream.
+
+LIST_INDEX_SCHEMA = TableSchema(
+    name="lidx",
+    partition_key="pk",
+    clustering=(),
+    regular={"steps": "list<int>", "label": "string"},
+)
+
+LIST_INDEX_SCRIPT: tuple[str, ...] = (
+    "INSERT INTO lidx (pk, steps, label) VALUES ('a', [10, 20, 30], 'first')",
+    "UPDATE lidx SET steps[1] = 99 WHERE pk = 'a'",    # [10, 99, 30]
+    "DELETE steps[0] FROM lidx WHERE pk = 'a'",        # [99, 30]
+    "UPDATE lidx SET steps = steps + [40] WHERE pk = 'a'",  # [99, 30, 40]
+    "UPDATE lidx SET steps[2] = 44 WHERE pk = 'a'",    # [99, 30, 44]
+    "UPDATE lidx SET steps[0] = NULL WHERE pk = 'a'",  # [30, 44]
+    "INSERT INTO lidx (pk, steps, label) VALUES ('b', [7], 'second')",
+)
+
+# pinned log ≡ parser output (asserted in tests/test_collection_replay.py):
+# note the index writes landing on RESOLVED position elems — steps[1] hits
+# position 2, and after the head delete steps[2] hits position 4
+LIST_INDEX_LOG: tuple[tuple, ...] = (
+    mut_row('a', '', None, None, 'marker', 1, 0, 1),
+    mut_row('a', '', 'steps', None, 'coll_tomb', 0, 0, 2),
+    mut_row('a', '', 'steps', '10', 'cell', 1, 0, 3, elem='1000000001'),
+    mut_row('a', '', 'steps', '20', 'cell', 1, 0, 4, elem='1000000002'),
+    mut_row('a', '', 'steps', '30', 'cell', 1, 0, 5, elem='1000000003'),
+    mut_row('a', '', 'label', 'first', 'cell', 1, 0, 6),
+    mut_row('a', '', 'steps', '99', 'cell', 2, 0, 7, elem='1000000002'),
+    mut_row('a', '', 'steps', None, 'cell_tomb', 3, 0, 8, elem='1000000001'),
+    mut_row('a', '', 'steps', '40', 'cell', 4, 0, 9, elem='1000000004'),
+    mut_row('a', '', 'steps', '44', 'cell', 5, 0, 10, elem='1000000004'),
+    mut_row('a', '', 'steps', None, 'cell_tomb', 6, 0, 11, elem='1000000002'),
+    mut_row('b', '', None, None, 'marker', 7, 0, 12),
+    mut_row('b', '', 'steps', None, 'coll_tomb', 6, 0, 13),
+    mut_row('b', '', 'steps', '7', 'cell', 7, 0, 14, elem='1000000005'),
+    mut_row('b', '', 'label', 'second', 'cell', 7, 0, 15),
+)
+
+LIST_INDEX_ASOF = 8
+
+
+@query(
+    "w15_list_index_replay",
+    oracle=dml_oracle_sql(LIST_INDEX_SCHEMA, LIST_INDEX_LOG, LIST_INDEX_ASOF),
+)
+def w15_list_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay LIST_INDEX_SCRIPT (index writes, index deletes, a NULL-write
+    element delete, interleaved with appends) through the front-end; the
+    oracle reconciles the pinned log, so a wrong index→position resolution
+    is a hash mismatch (fixture-independent)."""
+    table = CqlTable(spark, LIST_INDEX_SCHEMA)
+    for stmt in LIST_INDEX_SCRIPT:
+        table.execute(stmt)
+    return table.snapshot().select(
+        "pk", F.to_json("steps").alias("steps"), "label"
+    )

@@ -130,3 +130,49 @@ def test_static_lwt_on_pk_only(spark):
     assert table.execute(
         "UPDATE notes SET owner = 'you' WHERE pk = 's' IF owner = 'me'"
     ) is True
+
+
+def test_list_index_script_pinned_log():
+    from cassandra_spark.operators.collection_replay import (
+        LIST_INDEX_ASOF,
+        LIST_INDEX_LOG,
+        LIST_INDEX_SCHEMA,
+        LIST_INDEX_SCRIPT,
+    )
+
+    t = CqlTable(None, LIST_INDEX_SCHEMA)
+    for s in LIST_INDEX_SCRIPT:
+        t.execute(s)
+    assert tuple(t._log) == LIST_INDEX_LOG
+    assert max(r[6] for r in t._log) + 1 == LIST_INDEX_ASOF
+
+
+def test_list_index_bounds_and_kind_rejections():
+    import pytest
+
+    from cassandra_spark.cql import CQLError
+
+    schema = TableSchema(
+        name="t",
+        partition_key="k",
+        clustering=(),
+        regular={"l": "list<string>", "s": "set<string>"},
+    )
+    t = CqlTable(None, schema)
+    t.execute("INSERT INTO t (k, l, s) VALUES ('a', ['x'], {'m'})")
+    with pytest.raises(CQLError, match="out of bounds"):
+        t.execute("UPDATE t SET l[5] = 'q' WHERE k = 'a'")
+    with pytest.raises(CQLError, match="out of bounds"):
+        t.execute("DELETE l[1] FROM t WHERE k = 'a'")
+    with pytest.raises(CQLError, match="integer"):
+        t.execute("UPDATE t SET l['x'] = 'q' WHERE k = 'a'")
+    with pytest.raises(CQLError, match="map or list"):
+        t.execute("UPDATE t SET s[0] = 'q' WHERE k = 'a'")
+    with pytest.raises(CQLError, match="map or list"):
+        t.execute("DELETE s[0] FROM t WHERE k = 'a'")
+    # index resolution sees earlier statements in the same session
+    t.execute("UPDATE t SET l = l + ['y', 'z'] WHERE k = 'a'")
+    t.execute("DELETE l[2] FROM t WHERE k = 'a'")  # drops 'z'
+    assert [r[4] for r in t._log if r[5] == "cell" and r[2] == "l"] == [
+        "x", "y", "z"
+    ]
