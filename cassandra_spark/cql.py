@@ -197,6 +197,39 @@ _SELECTOR_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Cassandra 5 vector similarity selectors (`[C* cql3/functions/VectorFcts,
+# unverified]`): score in (0, 1], 1 = identical — cosine and dot_product
+# map through (1 + x) / 2, euclidean through 1 / (1 + squared distance).
+_SIM_RE = re.compile(
+    r"similarity_(cosine|euclidean|dot_product)"
+    r"\s*\(\s*(\w+)\s*,\s*(\[[^\]]*\])\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_similarity(item: str) -> str:
+    from cassandra_spark.operators.llm_vectors import dot_spark
+
+    def repl(m: re.Match) -> str:
+        kind, col, vec = m.group(1).lower(), m.group(2), m.group(3)
+        q = f"array({vec.strip()[1:-1]})"
+        if kind == "cosine":
+            dot = dot_spark(col, q)
+            return (
+                f"((1.0D + {dot} / (sqrt({dot_spark(col, col)}) * "
+                f"sqrt({dot_spark(q, q)}))) / 2.0D)"
+            )
+        if kind == "dot_product":
+            return f"((1.0D + {dot_spark(col, q)}) / 2.0D)"
+        sq = (
+            f"aggregate(sequence(0, size({col}) - 1), 0D, (acc, i) -> "
+            f"acc + (cast({col}[i] AS double) - cast({q}[i] AS double)) * "
+            f"(cast({col}[i] AS double) - cast({q}[i] AS double)))"
+        )
+        return f"(1.0D / (1.0D + {sq}))"
+
+    return _SIM_RE.sub(repl, item)
+
 
 def _rewrite_selectors(items, df, meta, table):
     """WRITETIME(col) / TTL(col) selectors (`[C* cql3/selection/
@@ -433,7 +466,9 @@ def cql_select(
         df = _compile_ann(df, meta, s)
         proj = s.projection.strip()
         if proj != "*":
-            df = df.selectExpr(*[p.strip() for p in _split_projection(proj)])
+            df = df.selectExpr(
+                *[_rewrite_similarity(p.strip()) for p in _split_projection(proj)]
+            )
         return _to_json_row(df) if s.json else df
 
     if s.group_by is not None:
@@ -478,7 +513,7 @@ def cql_select(
     if proj != "*":
         items = [p.strip() for p in _split_projection(proj)]
         items, df = _rewrite_selectors(items, df, meta, s.table)
-        df = df.selectExpr(*items)
+        df = df.selectExpr(*[_rewrite_similarity(i) for i in items])
     if s.json:
         df = _to_json_row(df)
 

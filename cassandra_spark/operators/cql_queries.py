@@ -461,3 +461,74 @@ def cql12_keys_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.execute(stmt)
     sess.execute(KEYS_INDEX_DDL)
     return sess.execute(KEYS_SELECT)
+
+
+# --- cql13: vector similarity selectors (Cassandra 5 VectorFcts) -----------
+
+from cassandra_spark.operators.llm_vectors import dot_duck  # noqa: E402
+
+_DOT_EQ = dot_duck("embedding", "q")
+_NRM_E = f"sqrt({dot_duck('embedding', 'embedding')})"
+_NRM_Q = f"sqrt({dot_duck('q', 'q')})"
+
+
+@query(
+    "cql13_similarity",
+    oracle=f"""
+    SELECT vec_id, sim FROM (
+      SELECT vec_id,
+             (1.0 + {_DOT_EQ} / ({_NRM_E} * {_NRM_Q})) / 2.0 AS sim
+      FROM (SELECT vec_id, embedding, [{_ANN_V}] AS q FROM embeddings)
+      ORDER BY sim DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql13_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra 5's vector similarity selector through the front door:
+    ``similarity_cosine(col, [..])`` in the projection combined with
+    ``ORDER BY .. ANN OF ..`` — the canonical C*5 idiom for 'return the
+    top-k AND their scores'. The selector compiles to the same JVM-side
+    fold as the ANN scorer ((1+cos)/2 normalization, score 1 = identical);
+    the oracle recomputes it with the DuckDB list fold."""
+    return cql_select(
+        spark,
+        sf_dir,
+        f"SELECT vec_id, similarity_cosine(embedding, [{_ANN_V}]) AS sim "
+        f"FROM embeddings ORDER BY embedding ANN OF [{_ANN_V}] LIMIT 10",
+    )
+
+
+# --- cql14: CQL user-defined functions through the session -----------------
+
+
+@query(
+    "cql14_udf",
+    oracle="""
+    SELECT o_orderkey,
+           (o_totalprice * 1.07) AS taxed,
+           ((o_totalprice * 1.07) - o_totalprice) AS tax_amount
+    FROM orders WHERE o_custkey = 7
+    """,
+)
+def cql14_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL UDF DDL end-to-end: CREATE FUNCTION registers an expression
+    body, a second function composes the first (expansion runs to a
+    fixpoint), and a SELECT projects both — calls are inlined at parse
+    time, so the plan is pure whole-stage-codegen arithmetic (no per-row
+    interpreter, unlike the reference's sandboxed java bodies — the pinned
+    LANGUAGE sql deviation documented in CqlSession._create_function)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE FUNCTION taxed (p double) RETURNS double "
+        "LANGUAGE sql AS 'p * 1.07'"
+    )
+    sess.execute(
+        "CREATE FUNCTION tax_amount (p double) RETURNS double "
+        "LANGUAGE sql AS 'taxed(p) - p'"
+    )
+    return sess.execute(
+        "SELECT o_orderkey, taxed(o_totalprice) AS taxed, "
+        "tax_amount(o_totalprice) AS tax_amount "
+        "FROM orders WHERE o_custkey = 7"
+    )

@@ -563,3 +563,66 @@ def test_cql12_pinned_log():
         t.execute(s)
     assert tuple(t._log) == KEYS_LOG
     assert max(r[6] for r in t._log) + 1 == KEYS_ASOF
+
+
+# --- CQL UDFs (CREATE FUNCTION ... LANGUAGE sql) ---------------------------
+
+
+def test_create_function_lifecycle(sess):
+    sess.execute("CREATE TABLE kv2 (k text PRIMARY KEY, v int)")
+    sess.execute("INSERT INTO kv2 (k, v) VALUES ('a', 10)")
+    sess.execute(
+        "CREATE FUNCTION double_it (x int) RETURNS int LANGUAGE sql AS 'x * 2'"
+    )
+    got = sess.execute("SELECT k, double_it(v) AS d FROM kv2").collect()
+    assert [(r.k, r.d) for r in got] == [("a", 20)]
+    # composition expands to a fixpoint
+    sess.execute(
+        "CREATE FUNCTION quad (x int) RETURNS int LANGUAGE sql "
+        "AS 'double_it(double_it(x))'"
+    )
+    assert sess.execute("SELECT quad(v) AS q FROM kv2").collect()[0].q == 40
+    # OR REPLACE, duplicate, IF NOT EXISTS
+    with pytest.raises(CQLError, match="already exists"):
+        sess.execute(
+            "CREATE FUNCTION double_it (x int) RETURNS int "
+            "LANGUAGE sql AS 'x'"
+        )
+    sess.execute(
+        "CREATE FUNCTION IF NOT EXISTS double_it (x int) RETURNS int "
+        "LANGUAGE sql AS 'x'"
+    )  # no-op
+    assert sess.execute("SELECT double_it(v) AS d FROM kv2").collect()[0].d == 20
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION double_it (x int) RETURNS int "
+        "LANGUAGE sql AS 'x * 3'"
+    )
+    assert sess.execute("SELECT double_it(v) AS d FROM kv2").collect()[0].d == 30
+    # DROP
+    sess.execute("DROP FUNCTION quad")
+    with pytest.raises(CQLError, match="unknown function"):
+        sess.execute("DROP FUNCTION quad")
+    sess.execute("DROP FUNCTION IF EXISTS quad")
+
+
+def test_create_function_rejections(sess):
+    with pytest.raises(CQLError, match="LANGUAGE java"):
+        sess.execute(
+            "CREATE FUNCTION f (x int) RETURNS int LANGUAGE java "
+            "AS 'return x;'"
+        )
+    with pytest.raises(CQLError, match="shadow"):
+        sess.execute(
+            "CREATE FUNCTION count (x int) RETURNS int LANGUAGE sql AS 'x'"
+        )
+    sess.execute("CREATE TABLE kv3 (k text PRIMARY KEY, v int)")
+    sess.execute("INSERT INTO kv3 (k, v) VALUES ('a', 1)")
+    sess.execute(
+        "CREATE FUNCTION addt (x int, y int) RETURNS int LANGUAGE sql "
+        "AS 'x + y'"
+    )
+    with pytest.raises(CQLError, match="argument"):
+        sess.execute("SELECT addt(v) AS s FROM kv3")
+    assert (
+        sess.execute("SELECT addt(v, 5) AS s FROM kv3").collect()[0].s == 6
+    )
