@@ -190,7 +190,11 @@ def _split_projection(proj: str) -> list[str]:
     return [i for i in items if i]
 
 
-_AGG_RE = re.compile(rf"^({'|'.join(AGG_FNS)})\s*\(", re.IGNORECASE)
+# 'aggregate(' additionally admits session-expanded UDA calls (CREATE
+# AGGREGATE compiles to a collect_list + fold — cql_session._create_aggregate)
+_AGG_RE = re.compile(
+    rf"^({'|'.join(AGG_FNS)}|aggregate)\s*\(", re.IGNORECASE
+)
 
 _SELECTOR_RE = re.compile(
     r"^(writetime|ttl)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?\s*$",

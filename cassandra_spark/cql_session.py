@@ -289,6 +289,20 @@ _DROP_FUNCTION_RE = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_AGGREGATE_RE = re.compile(
+    r"^\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?AGGREGATE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\(\s*(?P<argt>\w+(?:\s*<[^>]*>)?)\s*\)\s*"
+    r"SFUNC\s+(?P<sfunc>\w+)\s+"
+    r"STYPE\s+(?P<stype>\w+(?:\s*<[^>]*>)?)\s*"
+    r"(?:FINALFUNC\s+(?P<final>\w+)\s*)?"
+    r"INITCOND\s+(?P<init>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_AGGREGATE_RE = re.compile(
+    r"^\s*DROP\s+AGGREGATE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # names a UDF must not shadow (front-end-recognized function surfaces)
 _RESERVED_FN_NAMES = frozenset(
     "count min max sum avg writetime ttl token similarity_cosine "
@@ -509,6 +523,8 @@ class CqlSession:
         # body — and inlines calls by macro expansion, so UDF evaluation is
         # whole-stage-codegen'd instead of a per-row interpreter.
         self.functions: dict[str, tuple[list[str], str]] = {}
+        # CQL UDAs: name → fully-expanded fold template with {col} hole
+        self.aggregates: dict[str, str] = {}
         self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
         self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
         # name → (table, col, kind) with kind in {"values", "keys"}
@@ -832,16 +848,31 @@ class CqlSession:
                 raise CQLError(f"unknown function {name!r}")
             del self.functions[name]
             return None
+        if head.startswith("DROP AGGREGA"):
+            dm = _DROP_AGGREGATE_RE.match(stmt)
+            if not dm:
+                raise CQLError(f"unsupported DROP AGGREGATE: {stmt!r}")
+            name = dm.group("name").lower()
+            if name not in self.aggregates:
+                if dm.group("ine"):
+                    return None
+                raise CQLError(f"unknown aggregate {name!r}")
+            del self.aggregates[name]
+            return None
         if head.startswith("CREATE"):
             fm = _CREATE_FUNCTION_RE.match(stmt)
             if fm:
                 self._create_function(fm)
                 return None
+            am_ = _CREATE_AGGREGATE_RE.match(stmt)
+            if am_:
+                self._create_aggregate(am_)
+                return None
             if re.match(
-                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION", stmt,
-                re.IGNORECASE,
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FUNCTION|AGGREGATE)",
+                stmt, re.IGNORECASE,
             ):
-                raise CQLError(f"unsupported CREATE FUNCTION: {stmt!r}")
+                raise CQLError(f"unsupported CREATE FUNCTION/AGGREGATE: {stmt!r}")
             schema = parse_create_table(stmt, self.types)
             if re.match(
                 r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
@@ -855,7 +886,8 @@ class CqlSession:
                 for name, t in self.tables.items()
             }
             return cql_select(
-                self.spark, self.sf_dir, self._expand_udfs(stmt),
+                self.spark, self.sf_dir,
+                self._expand_udfs(self._expand_udas(stmt)),
                 tables=snapshots,
             )
         bm = _BATCH_RE.match(stmt)
@@ -897,6 +929,64 @@ class CqlSession:
         if not body:
             raise CQLError("empty function body")
         self.functions[name] = (argnames, body)
+
+    def _create_aggregate(self, m: re.Match) -> None:
+        """CREATE AGGREGATE name(argtype) SFUNC f STYPE t [FINALFUNC g]
+        INITCOND x (`[C* cql3/functions/UDAggregate, unverified]`). SFUNC
+        must be a registered 2-arg LANGUAGE sql function (state, value) and
+        FINALFUNC a 1-arg one; the call compiles to a collect_list + fold
+        (``aggregate(collect_list(col), init, sfunc, finalfunc)``) — the
+        per-GROUP state materializes as an array, so this is the
+        small-group form (the reference's UDAs carry the same
+        per-group-state caveat); a6_uda_weighted_avg is the Arrow-batched
+        large-group path. Fold order follows collect_list and is
+        unspecified across partitions — exactly the reference's
+        unspecified row order — so deterministic results require a
+        commutative-associative SFUNC."""
+        name = m.group("name").lower()
+        if name in _RESERVED_FN_NAMES:
+            raise CQLError(f"cannot shadow built-in function {name!r}")
+        if name in self.aggregates and not m.group("repl"):
+            if m.group("ine"):
+                return
+            raise CQLError(f"aggregate {name!r} already exists")
+        sfunc = m.group("sfunc").lower()
+        if sfunc not in self.functions:
+            raise CQLError(f"SFUNC {sfunc!r} is not a registered function")
+        sargs, sbody = self.functions[sfunc]
+        if len(sargs) != 2:
+            raise CQLError(f"SFUNC {sfunc!r} must take (state, value)")
+        acc_body = re.sub(rf"\b{re.escape(sargs[0])}\b", "acc", sbody,
+                          flags=re.IGNORECASE)
+        acc_body = re.sub(rf"\b{re.escape(sargs[1])}\b", "x", acc_body,
+                          flags=re.IGNORECASE)
+        final = "acc"
+        if m.group("final"):
+            fname = m.group("final").lower()
+            if fname not in self.functions:
+                raise CQLError(f"FINALFUNC {fname!r} is not a registered function")
+            fargs, fbody = self.functions[fname]
+            if len(fargs) != 1:
+                raise CQLError(f"FINALFUNC {fname!r} must take (state)")
+            final = re.sub(rf"\b{re.escape(fargs[0])}\b", "acc", fbody,
+                           flags=re.IGNORECASE)
+        stype = _map_type(m.group("stype"), self.types)
+        init = m.group("init").strip()
+        self.aggregates[name] = (
+            f"aggregate(collect_list({{col}}), "
+            f"CAST({init} AS {stype}), "
+            f"(acc, x) -> ({acc_body}), "
+            f"acc -> ({final}))"
+        )
+
+    def _expand_udas(self, text: str) -> str:
+        """Inline UDA calls: name(col) → the registered fold template."""
+        for name, template in self.aggregates.items():
+            pat = re.compile(
+                rf"\b{re.escape(name)}\s*\(\s*(\w+)\s*\)", re.IGNORECASE
+            )
+            text = pat.sub(lambda mm: template.format(col=mm.group(1)), text)
+        return text
 
     def _expand_udfs(self, text: str) -> str:
         """Inline every registered UDF call by macro expansion (arguments

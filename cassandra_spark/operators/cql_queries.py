@@ -532,3 +532,37 @@ def cql14_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tax_amount(o_totalprice) AS tax_amount "
         "FROM orders WHERE o_custkey = 7"
     )
+
+
+# --- cql15: CQL user-defined aggregates through the session ----------------
+
+
+@query(
+    "cql15_uda",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def cql15_uda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL UDA DDL end-to-end (U2 through the front door): CREATE FUNCTION
+    defines the state step, CREATE AGGREGATE wires SFUNC/STYPE/INITCOND,
+    and a GROUP BY on the partition key invokes it — compiled to a
+    collect_list + fold, order-insensitive because the step is commutative
+    (a conditional counter). The oracle is the equivalent SUM(CASE)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE FUNCTION err_step (s bigint, e text) RETURNS bigint "
+        "LANGUAGE sql AS "
+        "'CASE WHEN e = ''error'' THEN s + 1 ELSE s END'"
+    )
+    sess.execute(
+        "CREATE AGGREGATE count_errors (text) SFUNC err_step STYPE bigint "
+        "INITCOND 0"
+    )
+    return sess.execute(
+        "SELECT user_id, count_errors(event_type) AS n_errors "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    )

@@ -626,3 +626,53 @@ def test_create_function_rejections(sess):
     assert (
         sess.execute("SELECT addt(v, 5) AS s FROM kv3").collect()[0].s == 6
     )
+
+
+def test_create_aggregate_lifecycle(sess):
+    sess.execute("CREATE TABLE m2 (g text, i int, v int, PRIMARY KEY (g, i))")
+    for g, i, v in [("a", 1, 10), ("a", 2, 20), ("a", 3, 5), ("b", 1, 7)]:
+        sess.execute(f"INSERT INTO m2 (g, i, v) VALUES ('{g}', {i}, {v})")
+    sess.execute(
+        "CREATE FUNCTION maxstep (s int, v int) RETURNS int LANGUAGE sql "
+        "AS 'CASE WHEN v > s THEN v ELSE s END'"
+    )
+    sess.execute(
+        "CREATE FUNCTION negate (s int) RETURNS int LANGUAGE sql AS '-s'"
+    )
+    sess.execute(
+        "CREATE AGGREGATE negmax (int) SFUNC maxstep STYPE int "
+        "FINALFUNC negate INITCOND 0"
+    )
+    rows = [
+        (r.g, r.nm)
+        for r in sess.execute(
+            "SELECT g, negmax(v) AS nm FROM m2 GROUP BY g ORDER BY g"
+        ).collect()
+    ]
+    assert rows == [("a", -20), ("b", -7)]
+    with pytest.raises(CQLError, match="already exists"):
+        sess.execute(
+            "CREATE AGGREGATE negmax (int) SFUNC maxstep STYPE int INITCOND 0"
+        )
+    sess.execute("DROP AGGREGATE negmax")
+    with pytest.raises(CQLError, match="unknown aggregate"):
+        sess.execute("DROP AGGREGATE negmax")
+    sess.execute("DROP AGGREGATE IF EXISTS negmax")
+
+
+def test_create_aggregate_rejections(sess):
+    sess.execute(
+        "CREATE FUNCTION one_arg (s int) RETURNS int LANGUAGE sql AS 's'"
+    )
+    with pytest.raises(CQLError, match="not a registered function"):
+        sess.execute(
+            "CREATE AGGREGATE bad (int) SFUNC nope STYPE int INITCOND 0"
+        )
+    with pytest.raises(CQLError, match="must take"):
+        sess.execute(
+            "CREATE AGGREGATE bad (int) SFUNC one_arg STYPE int INITCOND 0"
+        )
+    with pytest.raises(CQLError, match="shadow"):
+        sess.execute(
+            "CREATE AGGREGATE sum (int) SFUNC one_arg STYPE int INITCOND 0"
+        )
