@@ -383,7 +383,8 @@ _DELETE_RE = re.compile(
 )
 _COND_RE = re.compile(r"^(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.DOTALL)
 _BATCH_RE = re.compile(
-    r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\s+(?P<body>.+?)\s*"
+    r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\s+"
+    r"(?:USING\s+TIMESTAMP\s+(?P<bts>\d+)\s+)?(?P<body>.+?)\s*"
     r"APPLY\s+BATCH\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -573,7 +574,11 @@ class CqlTable:
             # consumed a round).
             mark = self._mark()
             self._clock += 1
-            default_ts = self._clock
+            # BATCH USING TIMESTAMP pins the shared write time; the clock
+            # still ticks (a batch consumed a round either way)
+            default_ts = (
+                int(batch.group("bts")) if batch.group("bts") else self._clock
+            )
             try:
                 matched = [
                     self._match(sub)

@@ -1063,9 +1063,14 @@ class CqlSession:
                 "cannot mix counter and non-counter mutations in a batch"
             )
         marks = {n: t._mark() for n, t in involved.items()}
-        # one shared write time, strictly newer than every involved clock;
-        # clocks advance to it so later single-statement writes stay newer
-        ts = max(t._clock for t in involved.values()) + 1
+        # one shared write time — BATCH USING TIMESTAMP pins it, otherwise
+        # strictly newer than every involved clock; clocks advance to it
+        # so later single-statement writes stay newer
+        ts = (
+            int(bm.group("bts"))
+            if bm.group("bts")
+            else max(t._clock for t in involved.values()) + 1
+        )
         try:
             matched = []
             for t, sub in zip(tables, subs):
@@ -1076,7 +1081,9 @@ class CqlSession:
                     )
                 matched.append((handler, m))
             for t in involved.values():
-                t._clock = ts
+                # never rewind: a USING TIMESTAMP in the past must not
+                # make later unpinned writes collide with older ones
+                t._clock = max(t._clock, ts)
             for handler, m in matched:
                 handler(m, ts)
         except Exception:

@@ -676,3 +676,30 @@ def test_create_aggregate_rejections(sess):
         sess.execute(
             "CREATE AGGREGATE sum (int) SFUNC one_arg STYPE int INITCOND 0"
         )
+
+
+def test_batch_using_timestamp(sess):
+    """BEGIN BATCH USING TIMESTAMP n pins the shared write time: a batch
+    pinned in the past loses LWW to an existing newer write; a batch
+    pinned in the future beats later unpinned writes."""
+    sess.execute("CREATE TABLE bt (k text PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO bt (k, v) VALUES ('a', 'now') USING TIMESTAMP 100")
+    sess.execute(
+        "BEGIN BATCH "
+        "USING TIMESTAMP 50 "
+        "INSERT INTO bt (k, v) VALUES ('a', 'past'); "
+        "INSERT INTO bt (k, v) VALUES ('b', 'past'); "
+        "APPLY BATCH"
+    )
+    rows = {r.k: r.v for r in sess.execute("SELECT k, v FROM bt").collect()}
+    # 'a' keeps the newer write; 'b' exists from the batch
+    assert rows == {"a": "now", "b": "past"}
+    # pinned-future batch wins over a later unpinned write
+    sess.execute(
+        "BEGIN BATCH USING TIMESTAMP 1000000 "
+        "INSERT INTO bt (k, v) VALUES ('c', 'future'); "
+        "APPLY BATCH"
+    )
+    sess.execute("INSERT INTO bt (k, v) VALUES ('c', 'later-unpinned')")
+    rows = {r.k: r.v for r in sess.execute("SELECT k, v FROM bt").collect()}
+    assert rows["c"] == "future"
