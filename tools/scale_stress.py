@@ -331,6 +331,14 @@ def main() -> None:
     if args.cmd in ("run", "all"):
         names = args.queries.split(",") if args.queries else list(STRESS_QUERIES)
         report = run(spark, args.factor, names, args.repeat)
+        if args.cmd == "run":
+            # a query-only re-run must not drop previously measured
+            # replay-tier curves from the artifact
+            out_path = Path(args.out)
+            if out_path.exists():
+                prev = json.loads(out_path.read_text())
+                if "replay" in prev:
+                    report["replay"] = prev["replay"]
     if args.cmd in ("replay", "all"):
         replay = replay_stress(spark, args.factor)
         if report is None:  # replay-only: merge into the existing report
