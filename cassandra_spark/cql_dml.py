@@ -543,6 +543,7 @@ class CqlTable:
         schema: TableSchema,
         spill_dir: str | None = None,
         spill_threshold: int = 50_000,
+        compact_threshold: int = 64,
     ):
         self.spark = spark
         self.schema = schema
@@ -554,7 +555,11 @@ class CqlTable:
         self._max_wt: int | None = None  # max writetime ever logged
         self.spill_dir = spill_dir
         self.spill_threshold = spill_threshold
+        # auto-compact once this many segments accumulate, so segment
+        # count (and with it LWT read cost) stays bounded on any session
+        self.compact_threshold = compact_threshold
         self._segments: list[str] = []  # flushed parquet segment paths
+        self._seg_counter = 0  # monotone: segment file names never recycle
 
     # --- statement execution ---------------------------------------------
 
@@ -1441,6 +1446,8 @@ class CqlTable:
     def _maybe_flush(self) -> None:
         if self.spill_dir is not None and len(self._log) >= self.spill_threshold:
             self.flush()
+            if len(self._segments) >= self.compact_threshold:
+                self.compact_segments()
 
     def flush(self) -> str | None:
         """Flush the in-memory log to a parquet segment (the memtable →
@@ -1456,9 +1463,10 @@ class CqlTable:
         import pyarrow.parquet as pq
 
         os.makedirs(self.spill_dir, exist_ok=True)
+        self._seg_counter += 1
         path = os.path.join(
             self.spill_dir,
-            f"{self.schema.name}-seg{len(self._segments):06d}.parquet",
+            f"{self.schema.name}-seg{self._seg_counter:06d}.parquet",
         )
         cols = list(zip(*self._log))
         arrays = [
@@ -1480,6 +1488,39 @@ class CqlTable:
         for path in self._segments:
             tbl = pq.read_table(path, filters=[("pk", "=", pk)])
             yield from zip(*(tbl.column(c).to_pylist() for c in _MUT_COLS))
+
+    def compact_segments(self) -> str | None:
+        """Merge all flushed segments into one (minor compaction's
+        file-count half: N small parquet files → one, so the per-segment
+        listing/footer overhead in mutation_log() and the per-segment
+        pk-filtered LWT reads stay O(1) instead of O(flush count)). The
+        mutation HISTORY is preserved byte-for-byte — unlike the
+        reference's cell-merging compaction, asof snapshots must keep
+        working, and the semantic LWW merge already lives in
+        operators/compaction.py for materialized tables. Returns the new
+        segment path (None if fewer than two segments exist)."""
+        if len(self._segments) < 2:
+            return None
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p) for p in self._segments]
+        import pyarrow as pa
+
+        merged = pa.concat_tables(tables)
+        self._seg_counter += 1
+        path = os.path.join(
+            self.spill_dir,
+            f"{self.schema.name}-compact{self._seg_counter:06d}.parquet",
+        )
+        pq.write_table(merged, path)
+        old = self._segments[:]
+        self._segments = [path]
+        for p in old:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return path
 
     def clear_data(self) -> None:
         """TRUNCATE support: drop the in-memory log and every flushed

@@ -138,3 +138,49 @@ def test_mutation_log_chunked_conversion_matches(spark):
     assert sorted(map(tuple, got), key=lambda r: r[8]) == sorted(
         t._log, key=lambda r: r[8]
     )
+
+
+def test_compact_segments_preserves_history(spark, tmp_path):
+    """Minor compaction of the spill segments: N files merge into one with
+    the mutation history byte-identical (snapshot AND an asof snapshot
+    unchanged), and LWT reads keep working against the compacted file."""
+    t = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
+        spill_threshold=500,
+    )
+    for stmt in _workload(5_000):
+        t.execute(stmt)
+    assert len(t._segments) >= 8
+    before = sorted(map(tuple, t.snapshot().collect()))
+    before_asof = sorted(map(tuple, t.snapshot(asof_us=2_000).collect()))
+    log_before = t.mutation_log().count()
+
+    path = t.compact_segments()
+    assert path is not None and t._segments == [path]
+    assert t.mutation_log().count() == log_before
+    assert sorted(map(tuple, t.snapshot().collect())) == before
+    assert sorted(map(tuple, t.snapshot(asof_us=2_000).collect())) == before_asof
+
+    # LWT read phase consults the compacted segment
+    k = before[0][0]
+    assert (
+        t.execute(f"INSERT INTO kv (k, v, n) VALUES ('{k}', 'x', 1) IF NOT EXISTS")
+        is False
+    )
+    # compacting a single segment is a no-op
+    assert t.compact_segments() is None
+
+
+def test_auto_compaction_bounds_segment_count(spark, tmp_path):
+    t = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
+        spill_threshold=100, compact_threshold=5,
+    )
+    plain = CqlTable(spark, _kv_schema())
+    for stmt in _workload(3_000):
+        t.execute(stmt)
+        plain.execute(stmt)
+    assert len(t._segments) < 5 + 1, "auto-compaction must bound segments"
+    assert sorted(map(tuple, t.snapshot().collect())) == sorted(
+        map(tuple, plain.snapshot().collect())
+    )
