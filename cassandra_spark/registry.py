@@ -80,6 +80,7 @@ def load_all() -> None:
         setops,
         streaming_batch,
         subqueries,
+        thrift_compat,
         typed_replay,
         tpch,
         tpch2,
