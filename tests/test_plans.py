@@ -322,3 +322,39 @@ def test_concentrated_suppliers_semi_joins(spark):
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_thrift_get_slice_pushdown_and_topk(spark):
+    """t1: the row-key filter reaches the scan and the bounded slice is a
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, "t1_get_slice")
+    assert "PushedFilters" in plan
+    assert "user_id" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_thrift_range_slices_broadcasts_keys(spark):
+    """t3: the token-ring key set broadcasts back onto the fact — no
+    shuffle of the events side, no cartesian."""
+    plan = plan_of(spark, "t3_range_slices")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_selector_stays_jvm_side(spark):
+    """cql13: the similarity projection compiles to the JVM fold inside
+    whole-stage codegen — no Python UDF (BatchEvalPython) anywhere."""
+    plan = plan_of(spark, "cql13_similarity")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cql_udf_expansion_stays_jvm_side(spark):
+    """cql14: UDF calls are inlined into expressions — no Python UDF
+    operator in the plan."""
+    plan = plan_of(spark, "cql14_udf")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
