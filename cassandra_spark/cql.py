@@ -66,7 +66,7 @@ class _Stmt:
 
 _SELECT_RE = re.compile(
     r"""^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>.+?)
-        \s+FROM\s+(?P<table>\w+)
+        \s+FROM\s+(?P<table>\w+(?:\.\w+)?)
         (?:\s+WHERE\s+(?P<where>.+?))?
         (?:\s+GROUP\s+BY\s+(?P<group>.+?))?
         (?:\s+ORDER\s+BY\s+(?P<order>.+?))?

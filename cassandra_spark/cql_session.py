@@ -885,6 +885,7 @@ class CqlSession:
                 name: (t.snapshot(), self._meta(t.schema))
                 for name, t in self.tables.items()
             }
+            snapshots.update(self._system_views())
             return cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
@@ -897,6 +898,64 @@ class CqlSession:
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
         return self.table(tm.group(1)).execute(stmt)
+
+    def _system_views(self) -> dict:
+        """The virtual system tables every driver reads at connect time
+        (`[C* db/SystemKeyspace, schema/SchemaKeyspace, unverified]`):
+        ``system.local`` / ``system.peers`` for topology and
+        ``system_schema.tables`` / ``system_schema.columns`` reflecting
+        this session's DDL. Built lazily per SELECT so schema rows always
+        match the live session; full CQL SELECT semantics (restriction
+        gate, projection, LIMIT) apply to them like any table."""
+        from cassandra_spark.catalog import TableMeta
+
+        spark = self.spark
+        local = spark.createDataFrame(
+            [("local", "cassandra_spark", "MultiplicativeHashPartitioner",
+              "4.0-spark", "standalone")],
+            "key string, cluster_name string, partitioner string, "
+            "release_version string, data_center string",
+        )
+        peers = spark.createDataFrame(
+            [], "peer string, data_center string, release_version string"
+        )
+        trows = [("session", name) for name in sorted(self.tables)]
+        tables_df = spark.createDataFrame(
+            trows, "keyspace_name string, table_name string"
+        )
+        crows = []
+        for name in sorted(self.tables):
+            s = self.tables[name].schema
+            crows.append(("session", name, s.partition_key, "partition_key",
+                          s.key_type(s.partition_key)))
+            for c in s.clustering:
+                crows.append(("session", name, c, "clustering", s.key_type(c)))
+            for c, t in sorted(s.regular.items()):
+                crows.append(("session", name, c, "regular", t))
+            for c, t in sorted(s.static.items()):
+                crows.append(("session", name, c, "static", t))
+        cols_schema = (
+            "keyspace_name string, table_name string, column_name string, "
+            "kind string, type string"
+        )
+        columns_df = spark.createDataFrame(crows, cols_schema)
+        return {
+            "system.local": (local, TableMeta("system.local", ("key",))),
+            "system.peers": (peers, TableMeta("system.peers", ("peer",))),
+            "system_schema.tables": (
+                tables_df,
+                TableMeta(
+                    "system_schema.tables", ("keyspace_name",), ("table_name",)
+                ),
+            ),
+            "system_schema.columns": (
+                columns_df,
+                TableMeta(
+                    "system_schema.columns", ("keyspace_name",),
+                    ("table_name", "column_name"),
+                ),
+            ),
+        }
 
     def _create_function(self, m: re.Match) -> None:
         """CREATE [OR REPLACE] FUNCTION name (args) RETURNS t LANGUAGE sql

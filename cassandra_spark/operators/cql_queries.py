@@ -566,3 +566,39 @@ def cql15_uda(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT user_id, count_errors(event_type) AS n_errors "
         "FROM events GROUP BY user_id ORDER BY user_id"
     )
+
+
+# --- cql16: system virtual tables (driver metadata surface) ----------------
+
+
+@query(
+    "cql16_system_views",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('session', 'profiles', 'uid',   'partition_key', 'string'),
+      ('session', 'profiles', 'name',  'regular',       'string'),
+      ('session', 'profiles', 'score', 'regular',       'int'),
+      ('session', 'msgs', 'room',   'partition_key', 'string'),
+      ('session', 'msgs', 'posted', 'clustering',    'int'),
+      ('session', 'msgs', 'author', 'regular',       'string')
+    ) AS t(keyspace_name, table_name, column_name, kind, type)
+    """,
+)
+def cql16_system_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver metadata surface: every real driver refreshes its schema
+    by querying ``system_schema.tables`` / ``system_schema.columns`` at
+    connect time. The session serves them as virtual tables reflecting the
+    live DDL (full CQL SELECT semantics apply); the oracle pins the rows
+    two CREATE TABLEs must produce."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE msgs (room text, posted int, author text, "
+        "PRIMARY KEY (room, posted))"
+    )
+    sess.execute(
+        "CREATE TABLE profiles (uid text PRIMARY KEY, name text, score int)"
+    )
+    return sess.execute(
+        "SELECT keyspace_name, table_name, column_name, kind, type "
+        "FROM system_schema.columns WHERE keyspace_name = 'session'"
+    )

@@ -703,3 +703,45 @@ def test_batch_using_timestamp(sess):
     sess.execute("INSERT INTO bt (k, v) VALUES ('c', 'later-unpinned')")
     rows = {r.k: r.v for r in sess.execute("SELECT k, v FROM bt").collect()}
     assert rows["c"] == "future"
+
+
+def test_system_views_reflect_live_ddl(sess):
+    """system.local / system_schema.* virtual tables: the driver's
+    connect-time metadata queries work and track DDL live."""
+    row = sess.execute("SELECT * FROM system.local").collect()[0]
+    assert row.key == "local" and row.cluster_name == "cassandra_spark"
+    assert sess.execute("SELECT * FROM system.peers").count() == 0
+    assert (
+        sess.execute(
+            "SELECT table_name FROM system_schema.tables "
+            "WHERE keyspace_name = 'session'"
+        ).count()
+        == 0
+    )
+    sess.execute(DDL)
+    names = [
+        r.table_name
+        for r in sess.execute(
+            "SELECT table_name FROM system_schema.tables "
+            "WHERE keyspace_name = 'session'"
+        ).collect()
+    ]
+    assert names == ["msgs"]
+    kinds = {
+        r.column_name: r.kind
+        for r in sess.execute(
+            "SELECT column_name, kind FROM system_schema.columns "
+            "WHERE keyspace_name = 'session' AND table_name = 'msgs'"
+        ).collect()
+    }
+    assert kinds["room"] == "partition_key"
+    assert kinds["posted"] == "clustering"
+    assert kinds["topic"] == "static"
+    sess.execute("DROP TABLE msgs")
+    assert (
+        sess.execute(
+            "SELECT table_name FROM system_schema.tables "
+            "WHERE keyspace_name = 'session'"
+        ).count()
+        == 0
+    )
