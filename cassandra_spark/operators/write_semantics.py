@@ -273,3 +273,86 @@ def w8_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cksum_a") == F.col("cksum_b"))
         ).alias("in_sync"),
     )
+
+
+@query(
+    "w16_read_repair",
+    oracle=f"""
+    WITH a AS (SELECT event_id, user_id, user_id % 16 AS bucket
+               FROM events WHERE {_REPLICA_A}),
+         b AS (SELECT event_id, user_id, user_id % 16 AS bucket
+               FROM events WHERE {_REPLICA_B}),
+         sa AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(bit_xor({_CKSUM}) AS BIGINT) AS ck
+                FROM events WHERE {_REPLICA_A} GROUP BY bucket),
+         sb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(bit_xor({_CKSUM}) AS BIGINT) AS ck
+                FROM events WHERE {_REPLICA_B} GROUP BY bucket),
+         bad AS (SELECT sa.bucket FROM sa JOIN sb ON sa.bucket = sb.bucket
+                 WHERE sa.n <> sb.n OR sa.ck <> sb.ck)
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.bucket, b.bucket) AS bucket,
+           CASE WHEN b.event_id IS NULL THEN 'a_to_b'
+                ELSE 'b_to_a' END AS direction
+    FROM (SELECT * FROM a WHERE bucket IN (SELECT bucket FROM bad)) a
+    FULL OUTER JOIN
+         (SELECT * FROM b WHERE bucket IN (SELECT bucket FROM bad)) b
+      ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+    """,
+)
+def w16_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair phase behind w8's diff (`[C* repair/RepairJob,
+    StreamingRepairTask, unverified]`): only the rows of OUT-OF-SYNC
+    Merkle buckets are compared row-by-row, and the output is the repair
+    stream — which rows each replica must send the other. The bucket
+    restriction is the reason repair scales: the expensive full-outer
+    compare runs over mismatched buckets only, never the whole table; at
+    100 TB the summary pass is a scan-reduce and the compare is bounded by
+    actual drift."""
+    cat = Catalog(spark, sf_dir)
+    bucket = (F.col("user_id") % 16).alias("bucket")
+
+    def replica(pred: str) -> DataFrame:
+        return cat.events.filter(F.expr(pred)).select(
+            "event_id", "user_id", bucket
+        )
+
+    def summary(pred: str) -> DataFrame:
+        return (
+            replica(pred)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor({_CKSUM})").cast("bigint").alias("ck"),
+            )
+        )
+
+    sa, sb = summary(_REPLICA_A), summary(_REPLICA_B)
+    bad = (
+        sa.alias("sa")
+        .join(sb.alias("sb"), "bucket")
+        .filter(
+            (F.col("sa.n") != F.col("sb.n")) | (F.col("sa.ck") != F.col("sb.ck"))
+        )
+        .select("bucket")
+    )
+    a = replica(_REPLICA_A).join(F.broadcast(bad), "bucket")
+    b = replica(_REPLICA_B).join(F.broadcast(bad), "bucket")
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("a.event_id").isNull() | F.col("b.event_id").isNull()
+        )
+        .select(
+            F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+            F.when(F.col("b.event_id").isNull(), F.lit("a_to_b"))
+            .otherwise(F.lit("b_to_a"))
+            .alias("direction"),
+        )
+    )

@@ -457,3 +457,29 @@ def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
     if not vs:
         raise FileNotFoundError(f"no committed epochs under {root}")
     return spark.read.parquet(os.path.join(root, vs[-1], which))
+
+
+# --- CDC: the mutation log as a stream -------------------------------------
+
+
+def cdc_stream(spark: SparkSession, table) -> DataFrame:
+    """Change-data-capture over a spill-enabled CqlTable: the flushed
+    mutation-log segments ARE the CDC feed (`[C* db/commitlog/
+    CommitLogSegmentManagerCDC, unverified]` — upstream CDC likewise
+    exposes flushed commitlog segments to consumers; un-flushed memtable
+    cells are not visible until flush, same as here).
+
+    Each record is one cell mutation in the canonical log schema
+    (pk/ck/col/elem/val/kind/writetime/ttl/seq/...), so a consumer can
+    re-run the engine's own reconcile rules downstream. Consumers that
+    must survive segment auto-compaction should dedup by (pk, seq) —
+    compaction rewrites file names but never mutates history."""
+    from cassandra_spark.cql_dml import _MUT_SCHEMA
+
+    if table.spill_dir is None:
+        raise ValueError("cdc_stream needs a spill-enabled table (spill_dir)")
+    return (
+        spark.readStream.schema(_MUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(table.spill_dir)
+    )
