@@ -51,6 +51,9 @@ class TableMeta:
     # (the reference's map-key 2i); a plain values index does NOT admit
     # CONTAINS KEY, and vice versa.
     indexed_keys: tuple[str, ...] = ()
+    # SAI/SASI (CREATE CUSTOM INDEX) columns: equality, CONTAINS, AND
+    # range restrictions pass the gate (SAI supports numeric/text ranges).
+    indexed_sai: tuple[str, ...] = ()
     # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
     # read them as long (legacy.parquet.nanosAsLong) and convert to µs
     # TimestampType. Lossless for this corpus (all values µs-aligned —

@@ -422,9 +422,15 @@ def cql_select(
 
         val_idx = set(getattr(meta, "indexed", ()))
         key_idx = set(getattr(meta, "indexed_keys", ()))
+        sai_idx = set(getattr(meta, "indexed_sai", ()))
         indexed_ok = set()
         for c in non_key:
             kinds = _restrictions(c)
+            if c in sai_idx:
+                # SAI admits equality, CONTAINS, and RANGE restrictions —
+                # any appearance of the column in WHERE passes the gate
+                indexed_ok.add(c)
+                continue
             if not kinds:
                 continue
             admitted = set()

@@ -265,10 +265,13 @@ _DML_TABLE_RE = re.compile(
 
 
 _CREATE_INDEX_RE = re.compile(
-    r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:(?P<name>\w+)\s+)?"
+    r"^\s*CREATE\s+(?P<custom>CUSTOM\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(?P<name>\w+)\s+)?"
     r"ON\s+(?P<table>\w+)\s*\(\s*"
     r"(?:(?P<kind>KEYS|VALUES|ENTRIES|FULL)\s*\(\s*(?P<icol>\w+)\s*\)"
-    r"|(?P<col>\w+))\s*\)\s*;?\s*$",
+    r"|(?P<col>\w+))\s*\)\s*"
+    r"(?:USING\s+'(?P<using>[^']*)'\s*)?"
+    r"(?:WITH\s+OPTIONS\s*=\s*\{[^}]*\}\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
@@ -527,6 +530,7 @@ class CqlSession:
         self.aggregates: dict[str, str] = {}
         self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
         self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
+        self.sai_indexes: dict[str, set[str]] = {}  # table → SAI-indexed cols
         # name → (table, col, kind) with kind in {"values", "keys"}
         self.index_names: dict[str, tuple[str, str, str]] = {}
         self.types: dict[str, str] = {}  # UDT name → Spark struct type
@@ -559,6 +563,7 @@ class CqlSession:
             clustering=tuple(schema.clustering),
             indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
             indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
+            indexed_sai=tuple(sorted(self.sai_indexes.get(schema.name, ()))),
         )
 
     def _create_index(self, m: re.Match) -> None:
@@ -572,6 +577,30 @@ class CqlSession:
         kind = (m.group("kind") or "").upper()
         col = (m.group("icol") or m.group("col")).lower()
         s = table.schema
+        using = (m.group("using") or "").lower()
+        if m.group("custom"):
+            # CREATE CUSTOM INDEX ... USING 'StorageAttachedIndex'/'...SAI...'
+            # (Cassandra 5 SAI / legacy SASI DDL): admits equality AND
+            # range restrictions through the gate; other custom classes
+            # are rejected honestly
+            if "sai" not in using and "storageattachedindex" not in using \
+                    and "sasi" not in using:
+                raise CQLError(
+                    f"unsupported custom index class {m.group('using')!r} "
+                    "(StorageAttachedIndex/SASI accepted)"
+                )
+            if kind:
+                raise CQLError("custom indexes take a plain column target")
+            if col == s.partition_key or col in s.clustering:
+                raise CQLError(f"cannot index primary key column {col!r}")
+            if col not in s.regular and col not in s.static:
+                raise CQLError(f"unknown column {col!r} in {s.name!r}")
+            name = (m.group("name") or f"{s.name}_{col}_idx").lower()
+            if name in self.index_names:
+                raise CQLError(f"index {name!r} already exists")
+            self.sai_indexes.setdefault(s.name, set()).add(col)
+            self.index_names[name] = (s.name, col, "sai")
+            return
         if col == s.partition_key or col in s.clustering:
             raise CQLError(f"cannot index primary key column {col!r}")
         if col not in s.regular and col not in s.static:
@@ -639,6 +668,7 @@ class CqlSession:
         table.drop_column_cells(col)
         self.indexes.get(s.name, set()).discard(col)
         self.key_indexes.get(s.name, set()).discard(col)
+        self.sai_indexes.get(s.name, set()).discard(col)
         self.index_names = {
             n: v
             for n, v in self.index_names.items()
@@ -787,7 +817,7 @@ class CqlSession:
                 raise CQLError(f"type {name!r} is in use")
             del self.types[name]
             return None
-        if head.startswith("CREATE INDEX"):
+        if head.startswith("CREATE INDEX") or head.startswith("CREATE CUSTO"):
             im = _CREATE_INDEX_RE.match(stmt)
             if not im:
                 raise CQLError(f"unsupported CREATE INDEX: {stmt!r}")
@@ -806,6 +836,7 @@ class CqlSession:
             del self.tables[name]
             self.indexes.pop(name, None)
             self.key_indexes.pop(name, None)
+            self.sai_indexes.pop(name, None)
             self.index_names = {
                 n: v for n, v in self.index_names.items() if v[0] != name
             }
@@ -820,7 +851,10 @@ class CqlSession:
                     return None
                 raise CQLError(f"unknown index {name!r}")
             t, c, kind = self.index_names.pop(name)
-            target = self.key_indexes if kind == "keys" else self.indexes
+            target = {
+                "keys": self.key_indexes,
+                "sai": self.sai_indexes,
+            }.get(kind, self.indexes)
             target.get(t, set()).discard(c)
             return None
         if head.startswith("TRUNCATE"):

@@ -745,3 +745,39 @@ def test_system_views_reflect_live_ddl(sess):
         ).count()
         == 0
     )
+
+
+def test_create_custom_index_sai_admits_ranges(sess):
+    """CREATE CUSTOM INDEX ... USING 'StorageAttachedIndex' (Cassandra 5
+    SAI DDL): equality AND range restrictions pass the gate; unknown
+    custom classes are rejected honestly."""
+    sess.execute("CREATE TABLE sv (k text PRIMARY KEY, score int, note text)")
+    sess.execute("INSERT INTO sv (k, score, note) VALUES ('a', 5, 'x')")
+    sess.execute("INSERT INTO sv (k, score, note) VALUES ('b', 9, 'y')")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT k FROM sv WHERE score > 6")
+    sess.execute(
+        "CREATE CUSTOM INDEX score_sai ON sv (score) "
+        "USING 'StorageAttachedIndex'"
+    )
+    assert sess.execute("SELECT k FROM sv WHERE score > 6").count() == 1
+    assert sess.execute("SELECT k FROM sv WHERE score = 5").count() == 1
+    # other columns still gated
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT k FROM sv WHERE note = 'x'")
+    # DROP restores the gate
+    sess.execute("DROP INDEX score_sai")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT k FROM sv WHERE score > 6")
+    # unknown custom class rejected
+    with pytest.raises(CQLError, match="unsupported custom index"):
+        sess.execute(
+            "CREATE CUSTOM INDEX ON sv (score) USING 'com.example.MyIndex'"
+        )
+    # SASI spelling + WITH OPTIONS accepted
+    sess.execute(
+        "CREATE CUSTOM INDEX ON sv (note) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
+    )
+    assert sess.execute("SELECT k FROM sv WHERE note = 'x'").count() == 1
