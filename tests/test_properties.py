@@ -99,9 +99,12 @@ def test_release_caches_unpins_all_blocks(spark):
     def rdd_ids() -> set[int]:
         return {info.id() for info in jsc.getRDDStorageInfo()}
 
-    # earlier tests in the same session may hold blocks clearCache cannot
-    # drop (localCheckpoint RDDs from l17, streaming state stores) — the
-    # hygiene contract is about the blocks THESE constructors pin
+    # earlier tests in the same session may (a) hold blocks clearCache
+    # cannot drop (localCheckpoint RDDs from l17, streaming state) and
+    # (b) have ALREADY cached these constructors' plans (CacheManager
+    # dedupes by canonicalized plan, so re-persisting yields no new id).
+    # Start from a released state, then measure the delta.
+    registry.release_caches(spark)
     pre = rdd_ids()
     for name in ("l2b_simhash", "l3b_lsh_ann"):
         registry.QUERIES[name](spark, SF_SMOKE).count()
