@@ -559,6 +559,7 @@ class CqlTable:
         # count (and with it LWT read cost) stays bounded on any session
         self.compact_threshold = compact_threshold
         self._segments: list[str] = []  # flushed parquet segment paths
+        self._retired: list[str] = []  # compaction-superseded, not yet GC'd
         self._seg_counter = 0  # monotone: segment file names never recycle
 
     # --- statement execution ---------------------------------------------
@@ -1497,8 +1498,18 @@ class CqlTable:
         mutation HISTORY is preserved byte-for-byte — unlike the
         reference's cell-merging compaction, asof snapshots must keep
         working, and the semantic LWW merge already lives in
-        operators/compaction.py for materialized tables. Returns the new
-        segment path (None if fewer than two segments exist)."""
+        operators/compaction.py for materialized tables.
+
+        Superseded files are RETIRED, not deleted (the reference's
+        nodetool-visible "compacted but not yet GC'd" SSTable state): a
+        snapshot()/mutation_log() DataFrame is lazy, so a file it listed
+        must stay readable until an explicit purge point — eager os.remove
+        here broke any DataFrame obtained before the (implicitly
+        write-triggered) compaction, and crashed cdc_stream consumers.
+        Retired files are reclaimed by purge_retired() / TRUNCATE; until
+        then disk holds the raw flush segments plus superseded compacted
+        generations. Returns the new segment path (None if fewer than two
+        segments exist)."""
         if len(self._segments) < 2:
             return None
         import pyarrow.parquet as pq
@@ -1513,19 +1524,32 @@ class CqlTable:
             f"{self.schema.name}-compact{self._seg_counter:06d}.parquet",
         )
         pq.write_table(merged, path)
-        old = self._segments[:]
+        self._retired.extend(self._segments)
         self._segments = [path]
-        for p in old:
+        return path
+
+    def purge_retired(self) -> int:
+        """Delete segments superseded by compaction (the GC half the
+        reference runs once no reader holds the old SSTables). Call only
+        when every previously-obtained snapshot()/mutation_log() DataFrame
+        has been consumed; live reads via self._segments never touch
+        retired files. Returns the number of files removed."""
+        n = 0
+        for p in self._retired:
             try:
                 os.remove(p)
+                n += 1
             except OSError:
                 pass
-        return path
+        self._retired.clear()
+        return n
 
     def clear_data(self) -> None:
         """TRUNCATE support: drop the in-memory log and every flushed
-        segment. Clocks keep ticking (post-truncate writes stay newer)."""
+        segment (retired generations included — truncate is a purge
+        point). Clocks keep ticking (post-truncate writes stay newer)."""
         self._log.clear()
+        self.purge_retired()
         for path in self._segments:
             try:
                 os.remove(path)

@@ -991,6 +991,29 @@ class CqlSession:
             ),
         }
 
+    @staticmethod
+    def _subst_args(body: str, mapping: dict[str, str]) -> str:
+        """Simultaneous, literal-safe argument substitution. All arg names
+        are replaced in ONE pass via a single alternation (dict lookup), so
+        an argument VALUE that happens to contain another argument's NAME is
+        never re-substituted (sequential re.sub corrupted e.g. body 'a - b'
+        called as f(b, 10)). Single-quoted string literals in the body are
+        matched first and passed through untouched."""
+        if not mapping:
+            return body
+        alt = re.compile(
+            r"'[^']*'|\b("
+            + "|".join(re.escape(a) for a in mapping)
+            + r")\b",
+            re.IGNORECASE,
+        )
+        return alt.sub(
+            lambda mm: mm.group(0)
+            if mm.group(1) is None
+            else mapping[mm.group(1).lower()],
+            body,
+        )
+
     def _create_function(self, m: re.Match) -> None:
         """CREATE [OR REPLACE] FUNCTION name (args) RETURNS t LANGUAGE sql
         AS 'expr' (`[C* cql3/functions/UDFunction, unverified]`). Pinned
@@ -1049,10 +1072,9 @@ class CqlSession:
         sargs, sbody = self.functions[sfunc]
         if len(sargs) != 2:
             raise CQLError(f"SFUNC {sfunc!r} must take (state, value)")
-        acc_body = re.sub(rf"\b{re.escape(sargs[0])}\b", "acc", sbody,
-                          flags=re.IGNORECASE)
-        acc_body = re.sub(rf"\b{re.escape(sargs[1])}\b", "x", acc_body,
-                          flags=re.IGNORECASE)
+        acc_body = self._subst_args(
+            sbody, {sargs[0].lower(): "acc", sargs[1].lower(): "x"}
+        )
         final = "acc"
         if m.group("final"):
             fname = m.group("final").lower()
@@ -1061,8 +1083,7 @@ class CqlSession:
             fargs, fbody = self.functions[fname]
             if len(fargs) != 1:
                 raise CQLError(f"FINALFUNC {fname!r} must take (state)")
-            final = re.sub(rf"\b{re.escape(fargs[0])}\b", "acc", fbody,
-                           flags=re.IGNORECASE)
+            final = self._subst_args(fbody, {fargs[0].lower(): "acc"})
         stype = _map_type(m.group("stype"), self.types)
         init = m.group("init").strip()
         self.aggregates[name] = (
@@ -1108,12 +1129,13 @@ class CqlSession:
                             f"function {name!r} takes {len(argnames)} "
                             f"argument(s), got {len(args)}"
                         )
-                    expansion = body
-                    for an, av in zip(argnames, args):
-                        expansion = re.sub(
-                            rf"\b{re.escape(an)}\b", f"({av.strip()})",
-                            expansion, flags=re.IGNORECASE,
-                        )
+                    expansion = self._subst_args(
+                        body,
+                        {
+                            an.lower(): f"({av.strip()})"
+                            for an, av in zip(argnames, args)
+                        },
+                    )
                     text = text[: m.start()] + f"({expansion})" + text[i:]
                     changed = True
                     m = pat.search(text)
@@ -1156,14 +1178,22 @@ class CqlSession:
                 "cannot mix counter and non-counter mutations in a batch"
             )
         marks = {n: t._mark() for n, t in involved.items()}
-        # one shared write time — BATCH USING TIMESTAMP pins it, otherwise
-        # strictly newer than every involved clock; clocks advance to it
-        # so later single-statement writes stay newer
-        ts = (
-            int(bm.group("bts"))
-            if bm.group("bts")
-            else max(t._clock for t in involved.values()) + 1
-        )
+        # One shared write time. Semantics mirror CqlTable.execute's batch
+        # path exactly (the two paths previously diverged): every involved
+        # clock ticks once (a batch consumed a round), and a USING TIMESTAMP
+        # pin sets only the WRITE time — it never advances server clocks, so
+        # a future-pinned batch beats later unpinned writes regardless of
+        # how many tables it touched. Unpinned batches write at a time
+        # strictly newer than every involved clock and advance all clocks to
+        # it, so later single-statement writes stay newer.
+        for t in involved.values():
+            t._clock += 1
+        if bm.group("bts"):
+            ts = int(bm.group("bts"))
+        else:
+            ts = max(t._clock for t in involved.values())
+            for t in involved.values():
+                t._clock = ts
         try:
             matched = []
             for t, sub in zip(tables, subs):
@@ -1173,14 +1203,14 @@ class CqlSession:
                         "conditional batch must target a single partition"
                     )
                 matched.append((handler, m))
-            for t in involved.values():
-                # never rewind: a USING TIMESTAMP in the past must not
-                # make later unpinned writes collide with older ones
-                t._clock = max(t._clock, ts)
             for handler, m in matched:
                 handler(m, ts)
         except Exception:
             for n, t in involved.items():
                 t._restore(marks[n])
             raise
+        # same O(spill_threshold) driver-memory bound as the single-table
+        # path: flush each involved table's mutation log once committed
+        for t in involved.values():
+            t._maybe_flush()
         return None

@@ -26,6 +26,8 @@ the analytical plan itself stays declarative.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +58,16 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+    # Persist the bucket spec beside the data: a later session re-attaching
+    # this layout must prove the files really carry this (key, buckets,
+    # sort) before writing a CLUSTERED BY catalog entry — a catalog entry
+    # that misdescribes the data makes exchange-elided joins silently wrong.
+    local = path[5:] if path.startswith("file:") else path
+    with open(os.path.join(local, _SPEC_FILE), "w") as f:
+        json.dump({"key": key, "buckets": buckets, "sorted": sort}, f)
+
+
+_SPEC_FILE = "_bucket_spec.json"
 
 
 def cobucket_fact_tables(
@@ -113,11 +125,35 @@ def _register_existing_bucketed(
     persists under the warehouse — an external CREATE TABLE with the same
     CLUSTERED BY spec restores exchange elision without rewriting the
     facts. Fixtures are immutable, so a completed prior write is always
-    current. Returns False when no completed layout exists."""
-    import os
+    current.
 
+    _SUCCESS alone is NOT proof the layout matches: a write with different
+    parameters (or a partial/foreign write that left a marker) would make
+    the CLUSTERED BY entry misdescribe the data and exchange-elided joins
+    silently wrong. So re-attachment requires (a) the spec sidecar written
+    by write_bucketed to match (key, buckets, sorted) exactly, and (b) the
+    physical files to carry Spark's bucket-id suffix (`_BBBBB.c###`) with
+    every id inside [0, buckets). Returns False — caller rewrites — on any
+    mismatch."""
     local = path[5:] if path.startswith("file:") else path
     if not os.path.exists(os.path.join(local, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(local, _SPEC_FILE)) as f:
+            spec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if spec != {"key": key, "buckets": buckets, "sorted": True}:
+        return False
+    ids = set()
+    for fn in os.listdir(local):
+        if not fn.endswith(".parquet"):
+            continue
+        m = re.search(r"_(\d{5})\.c\d+", fn)
+        if not m:
+            return False  # a non-bucketed data file in a bucketed layout
+        ids.add(int(m.group(1)))
+    if not ids or max(ids) >= buckets:
         return False
     schema = spark.read.parquet(path).schema
     cols = ", ".join(

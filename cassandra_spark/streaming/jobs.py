@@ -471,9 +471,14 @@ def cdc_stream(spark: SparkSession, table) -> DataFrame:
 
     Each record is one cell mutation in the canonical log schema
     (pk/ck/col/elem/val/kind/writetime/ttl/seq/...), so a consumer can
-    re-run the engine's own reconcile rules downstream. Consumers that
-    must survive segment auto-compaction should dedup by (pk, seq) —
-    compaction rewrites file names but never mutates history."""
+    re-run the engine's own reconcile rules downstream.
+
+    The feed reads ONLY the immutable flush segments
+    (``{name}-seg*.parquet``) via pathGlobFilter: compaction writes its
+    merged generations under a different prefix (``-compact``) and
+    retires — never deletes — superseded files, so the stream sees each
+    flushed mutation exactly once and a mid-stream compaction can neither
+    re-deliver history nor pull a listed file out from under the reader."""
     from cassandra_spark.cql_dml import _MUT_SCHEMA
 
     if table.spill_dir is None:
@@ -481,5 +486,6 @@ def cdc_stream(spark: SparkSession, table) -> DataFrame:
     return (
         spark.readStream.schema(_MUT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", f"{table.schema.name}-seg*.parquet")
         .parquet(table.spill_dir)
     )

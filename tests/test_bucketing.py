@@ -149,3 +149,51 @@ def test_reregister_persisted_layout_without_rewrite(spark):
     plan = _plan(df)
     assert "hashpartitioning" not in plan, plan
     assert df.count() > 0
+
+
+def test_reattach_rejects_mismatched_layout(spark, tmp_path):
+    """_SUCCESS alone must not be trusted: a directory whose persisted
+    bucket spec disagrees with the requested (key, buckets) — or that has
+    no spec / no bucket-suffixed files at all — is NOT re-registered (a
+    CLUSTERED BY entry over it would make exchange-elided joins silently
+    wrong). The caller falls back to a rewrite."""
+    import json
+    import os
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.bucketing import (
+        _SPEC_FILE,
+        _register_existing_bucketed,
+        write_bucketed,
+    )
+
+    path = str(tmp_path / "li4")
+    write_bucketed(
+        Catalog(spark, SF_SMOKE).lineitem, "li_spec_t", path, "l_orderkey", 4
+    )
+    spark.sql("DROP TABLE li_spec_t")
+
+    # matching spec re-attaches
+    assert _register_existing_bucketed(spark, "li_spec_t", path, "l_orderkey", 4)
+    spark.sql("DROP TABLE li_spec_t")
+    # wrong bucket count / wrong key → refused
+    assert not _register_existing_bucketed(
+        spark, "li_spec_t", path, "l_orderkey", 8
+    )
+    assert not _register_existing_bucketed(
+        spark, "li_spec_t", path, "l_partkey", 4
+    )
+    # spec sidecar missing (foreign write that left _SUCCESS) → refused
+    os.remove(os.path.join(path, _SPEC_FILE))
+    assert not _register_existing_bucketed(
+        spark, "li_spec_t", path, "l_orderkey", 4
+    )
+    # spec present but a non-bucketed data file slipped in → refused
+    with open(os.path.join(path, _SPEC_FILE), "w") as f:
+        json.dump({"key": "l_orderkey", "buckets": 4, "sorted": True}, f)
+    with open(os.path.join(path, "part-00000-foreign.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    assert not _register_existing_bucketed(
+        spark, "li_spec_t", path, "l_orderkey", 4
+    )
+    assert not spark.catalog.tableExists("li_spec_t")

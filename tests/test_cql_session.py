@@ -678,6 +678,57 @@ def test_create_aggregate_rejections(sess):
         )
 
 
+def test_udf_capture_safe_substitution(sess):
+    """Macro expansion must substitute ALL arguments simultaneously: with
+    body 'a - b' called as f(b, 10), sequential re.sub first turns 'a' into
+    '(b)' and then the b-pass corrupts it into '((10)) - (10)'. The
+    simultaneous pass yields (b) - (10)."""
+    sess.execute("CREATE TABLE cap1 (k text PRIMARY KEY, b int)")
+    sess.execute("INSERT INTO cap1 (k, b) VALUES ('r', 3)")
+    sess.execute(
+        "CREATE FUNCTION subx (a int, b int) RETURNS int LANGUAGE sql "
+        "AS 'a - b'"
+    )
+    # f(b, 10) where column b = 3 → 3 - 10 = -7 (sequential subst gave 0)
+    assert (
+        sess.execute("SELECT subx(b, 10) AS d FROM cap1").collect()[0].d == -7
+    )
+    # swapped-name call: f(10, b) → 10 - 3 = 7
+    assert (
+        sess.execute("SELECT subx(10, b) AS d FROM cap1").collect()[0].d == 7
+    )
+    # string literals in the body are not substituted
+    sess.execute(
+        "CREATE FUNCTION lit (v text) RETURNS text LANGUAGE sql "
+        "AS 'concat(v, ''v'')'"
+    )
+    assert (
+        sess.execute("SELECT lit(k) AS s FROM cap1").collect()[0].s == "rv"
+    )
+
+
+def test_uda_capture_safe_state_rename(sess):
+    """UDA SFUNC arg renaming (state→acc, value→x) must also be
+    simultaneous: an SFUNC declared (s, acc) corrupted under sequential
+    rename (s→acc introduced the name the second pass then rewrote)."""
+    sess.execute("CREATE TABLE cap2 (g text, i int, v int, PRIMARY KEY (g, i))")
+    for i, v in [(1, 10), (2, 20), (3, 5)]:
+        sess.execute(f"INSERT INTO cap2 (g, i, v) VALUES ('a', {i}, {v})")
+    sess.execute(
+        "CREATE FUNCTION stepsub (s int, acc int) RETURNS int LANGUAGE sql "
+        "AS 's + acc'"
+    )
+    sess.execute(
+        "CREATE AGGREGATE sumcap (int) SFUNC stepsub STYPE int INITCOND 0"
+    )
+    assert (
+        sess.execute(
+            "SELECT g, sumcap(v) AS s FROM cap2 GROUP BY g"
+        ).collect()[0].s
+        == 35
+    )
+
+
 def test_batch_using_timestamp(sess):
     """BEGIN BATCH USING TIMESTAMP n pins the shared write time: a batch
     pinned in the past loses LWW to an existing newer write; a batch
@@ -703,6 +754,65 @@ def test_batch_using_timestamp(sess):
     sess.execute("INSERT INTO bt (k, v) VALUES ('c', 'later-unpinned')")
     rows = {r.k: r.v for r in sess.execute("SELECT k, v FROM bt").collect()}
     assert rows["c"] == "future"
+
+
+def test_batch_using_timestamp_multi_table(sess):
+    """The multi-table batch path must share the single-table path's
+    USING TIMESTAMP semantics: a pin sets only the write time and never
+    advances the involved tables' clocks, so a future-pinned two-table
+    batch beats later unpinned writes on BOTH tables (it previously lost —
+    the multi-table path jumped every clock to the pin)."""
+    sess.execute("CREATE TABLE mt1 (k text PRIMARY KEY, v text)")
+    sess.execute("CREATE TABLE mt2 (k text PRIMARY KEY, v text)")
+    sess.execute(
+        "BEGIN BATCH USING TIMESTAMP 1000000 "
+        "INSERT INTO mt1 (k, v) VALUES ('a', 'future'); "
+        "INSERT INTO mt2 (k, v) VALUES ('a', 'future'); "
+        "APPLY BATCH"
+    )
+    sess.execute("INSERT INTO mt1 (k, v) VALUES ('a', 'later-unpinned')")
+    sess.execute("INSERT INTO mt2 (k, v) VALUES ('a', 'later-unpinned')")
+    assert sess.execute("SELECT v FROM mt1").collect()[0].v == "future"
+    assert sess.execute("SELECT v FROM mt2").collect()[0].v == "future"
+    # past-pinned multi-table batch loses LWW to an existing newer write
+    sess.execute("INSERT INTO mt1 (k, v) VALUES ('b', 'now') USING TIMESTAMP 100")
+    sess.execute(
+        "BEGIN BATCH USING TIMESTAMP 50 "
+        "INSERT INTO mt1 (k, v) VALUES ('b', 'past'); "
+        "INSERT INTO mt2 (k, v) VALUES ('b', 'past'); "
+        "APPLY BATCH"
+    )
+    assert {
+        r.k: r.v for r in sess.execute("SELECT k, v FROM mt1").collect()
+    }["b"] == "now"
+    assert {
+        r.k: r.v for r in sess.execute("SELECT k, v FROM mt2").collect()
+    }["b"] == "past"
+
+
+def test_multi_table_batch_flushes(spark, tmp_path):
+    """A session dominated by multi-table batches must keep the documented
+    O(spill_threshold) driver-memory bound: the multi-table path flushes
+    every involved table's mutation log after commit (it previously never
+    called _maybe_flush, growing the in-memory lists without bound)."""
+    sess = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=10)
+    sess.execute("CREATE TABLE fa (k int PRIMARY KEY, v int)")
+    sess.execute("CREATE TABLE fb (k int PRIMARY KEY, v int)")
+    for i in range(60):
+        sess.execute(
+            "BEGIN BATCH "
+            f"INSERT INTO fa (k, v) VALUES ({i}, {i}); "
+            f"INSERT INTO fb (k, v) VALUES ({i}, {i * 2}); "
+            "APPLY BATCH"
+        )
+    for name in ("fa", "fb"):
+        t = sess.table(name)
+        assert len(t._log) <= t.spill_threshold, name
+    assert sess.execute("SELECT count(*) AS c FROM fa").collect()[0].c == 60
+    assert (
+        sess.execute("SELECT sum(v) AS s FROM fb").collect()[0].s
+        == sum(i * 2 for i in range(60))
+    )
 
 
 def test_system_views_reflect_live_ddl(sess):

@@ -171,6 +171,58 @@ def test_compact_segments_preserves_history(spark, tmp_path):
     assert t.compact_segments() is None
 
 
+def test_lazy_readers_survive_compaction(spark, tmp_path):
+    """A snapshot()/mutation_log() DataFrame is lazy: the files it listed
+    must stay readable after a later (implicitly write-triggered)
+    compaction. Compaction retires superseded segments instead of deleting
+    them; purge_retired() is the explicit GC point."""
+    t = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
+        spill_threshold=200, compact_threshold=4,
+    )
+    for stmt in _workload(1_000):
+        t.execute(stmt)
+    t.execute("INSERT INTO kv (k, v, n) VALUES ('post', 'p', 1)")
+    t.flush()  # ensure a second live segment beside any auto-compacted one
+    assert len(t._segments) >= 2
+    snap_before = t.snapshot()          # lazy — not collected yet
+    log_before = t.mutation_log()       # lazy
+    expected = sorted(map(tuple, t.snapshot().collect()))
+    expected_log = t.mutation_log().count()
+
+    path = t.compact_segments()
+    assert path is not None and t._retired
+    # the pre-compaction plans still execute (files retired, not removed)
+    assert sorted(map(tuple, snap_before.collect())) == expected
+    assert log_before.count() == expected_log
+
+    # purge is the GC point: retired files disappear, live reads unaffected
+    removed = t.purge_retired()
+    assert removed > 0 and not t._retired
+    assert sorted(map(tuple, t.snapshot().collect())) == expected
+
+
+def test_cdc_glob_excludes_compacted_generations(spark, tmp_path):
+    """The CDC feed reads only the immutable -seg* flush files: after a
+    compaction (which writes a -compact* generation and retires the old
+    files in place), an availableNow drain over the same directory must
+    deliver each flushed mutation exactly once — no re-delivery from the
+    merged file, no FileNotFoundException from a deleted one."""
+    from cassandra_spark.streaming.jobs import cdc_stream, run_available_now
+
+    t = CqlTable(
+        spark, _kv_schema(), spill_dir=str(tmp_path / "cdcseg"),
+        spill_threshold=200,
+    )
+    for stmt in _workload(1_000):
+        t.execute(stmt)
+    t.flush()
+    flushed = t.mutation_log().count()
+    assert t.compact_segments() is not None  # -compact* now on disk too
+    run_available_now(cdc_stream(spark, t), "cdc_compact_t", output_mode="append")
+    assert spark.sql("SELECT count(*) c FROM cdc_compact_t").collect()[0].c == flushed
+
+
 def test_auto_compaction_bounds_segment_count(spark, tmp_path):
     t = CqlTable(
         spark, _kv_schema(), spill_dir=str(tmp_path / "seg"),
