@@ -79,9 +79,26 @@ def main() -> None:
             }
         )
     )
-    # Second, SHORT summary line: the driver tail-captures stdout and the
-    # long per-query line (120+ entries) can lose its head, leaving
-    # "parsed": null. This compact line always survives the tail.
+    # The driver tail-captures stdout, and the single 140+-entry per-query
+    # line above can lose its head. Re-emit the same map CHUNKED into short
+    # lines (≤10 entries each, tagged chunk i/n) so the tail always
+    # reconstructs the full map:  merge `queries` of every
+    # metric=="query_times_chunk" line.
+    items = list(times.items())
+    nchunks = max(1, (len(items) + 9) // 10)
+    for ci in range(nchunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "query_times_chunk",
+                    "chunk": ci + 1,
+                    "of": nchunks,
+                    "sf": sf,
+                    "queries": dict(items[ci * 10 : ci * 10 + 10]),
+                }
+            )
+        )
+    # Final SHORT summary line: always survives the tail, "parsed" non-null.
     print(
         json.dumps(
             {

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
+from cassandra_spark.operators import murmur3
 
 AGG_FNS = ("count", "min", "max", "sum", "avg")
 
@@ -167,9 +168,12 @@ def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
         where,
         flags=re.IGNORECASE,
     )
-    # token(pk) → xxhash64(pk): same semantics class (hash-order scan
-    # bounds), different hash fn — documented in SURVEY.md §2.2 P5
-    where = re.sub(r"\btoken\s*\(", "xxhash64(", where, flags=re.IGNORECASE)
+    # token(pk) → cassandra_token(pk): bit-exact Murmur3Partitioner
+    # tokens (operators/murmur3.py), registered per session by
+    # cql_select, so a driver-supplied token bound matches production
+    where = re.sub(
+        r"\btoken\s*\(", "cassandra_token(", where, flags=re.IGNORECASE
+    )
     return where
 
 
@@ -451,6 +455,8 @@ def cql_select(
             for f in df.schema.fields
             if f.dataType.typeName() == "map"
         )
+        if uses_token:
+            murmur3.ensure_token_registered(spark)
         df = df.filter(F.expr(_rewrite_where(s.where, map_cols)))
 
     if s.distinct:

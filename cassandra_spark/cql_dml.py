@@ -527,8 +527,10 @@ class CqlTable:
     - the log→DataFrame conversion is Arrow-batched (pandas, ~2.5× faster
       than the plain-list path at 1M mutations) and chunked so the
       conversion copy never exceeds ``_ARROW_CHUNK`` rows;
-    - ``spill_dir`` + ``spill_threshold`` flush the memtable to parquet
-      segments (the memtable→SSTable move): driver RSS stays
+    - the memtable flushes to parquet segments past ``spill_threshold``
+      (the memtable→SSTable move) BY DEFAULT — a temp spill dir is
+      auto-provisioned when ``spill_dir`` wasn't given, and
+      ``spill_threshold=None`` is the explicit opt-out: driver RSS stays
       O(threshold), ``mutation_log()`` unions the segment scan (executor
       side, scales with the cluster) with the in-memory tail, and the LWT
       read path consults segments via a partition-key-filtered pyarrow
@@ -542,7 +544,7 @@ class CqlTable:
         spark: SparkSession,
         schema: TableSchema,
         spill_dir: str | None = None,
-        spill_threshold: int = 50_000,
+        spill_threshold: int | None = 50_000,
         compact_threshold: int = 64,
     ):
         self.spark = spark
@@ -1445,7 +1447,25 @@ class CqlTable:
     # --- spill path (memtable → parquet segment) ---------------------------
 
     def _maybe_flush(self) -> None:
-        if self.spill_dir is not None and len(self._log) >= self.spill_threshold:
+        """Spill is DEFAULT-ON: once the in-memory log crosses
+        ``spill_threshold`` (the measured ~1 KB/mutation knee, see
+        BASELINE.md "DML front-end"), the memtable flushes to parquet —
+        auto-provisioning a temp spill dir when none was configured — so
+        every session keeps the O(threshold) driver-memory bound without
+        opting in. ``spill_threshold=None`` opts OUT (unbounded
+        in-memory log, the caller's explicit choice). Auto-provisioned
+        dirs live under tempfile.gettempdir() for the session lifetime
+        (lazy DataFrames reference the segment files; the OS tmp reaper
+        is the GC of last resort)."""
+        if self.spill_threshold is None:
+            return
+        if len(self._log) >= self.spill_threshold:
+            if self.spill_dir is None:
+                import tempfile
+
+                self.spill_dir = tempfile.mkdtemp(
+                    prefix=f"cql-spill-{self.schema.name}-"
+                )
             self.flush()
             if len(self._segments) >= self.compact_threshold:
                 self.compact_segments()

@@ -511,12 +511,14 @@ class CqlSession:
         spark: SparkSession,
         sf_dir: str | None = None,
         spill_dir: str | None = None,
-        spill_threshold: int = 50_000,
+        spill_threshold: int | None = 50_000,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
-        # bounded driver memory: when set, every table flushes its memtable
-        # to parquet segments past the threshold (see CqlTable docstring)
+        # bounded driver memory BY DEFAULT: every table flushes its
+        # memtable to parquet segments past the threshold, into spill_dir
+        # when given, else an auto-provisioned temp dir per table;
+        # spill_threshold=None opts out (see CqlTable._maybe_flush)
         self.spill_dir = spill_dir
         self.spill_threshold = spill_threshold
         self.tables: dict[str, CqlTable] = {}

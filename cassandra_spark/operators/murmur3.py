@@ -1,0 +1,318 @@
+"""Bit-exact Cassandra Murmur3 tokens (`[C* dht/Murmur3Partitioner ::
+getToken; utils/MurmurHash :: hash3_x64_128, unverified]`).
+
+Cassandra's partitioner is MurmurHash3 x64 128-bit with TWO deviations from
+the canonical C++ reference, both replicated here because they are
+bit-visible in every token a real driver computes:
+
+1. **Signed tail bytes.** The Java implementation assembles the <16-byte
+   tail with plain ``(long) byte`` casts — bytes >= 0x80 sign-extend before
+   the shift, corrupting higher lanes exactly as the JVM does. (The 16-byte
+   body blocks ARE masked ``& 0xff``, canonical little-endian.)
+2. **Token normalization.** ``token = h1`` (the first 64-bit half), with
+   ``Long.MIN_VALUE`` mapped to ``Long.MAX_VALUE`` so the ring never
+   contains the one unpairable value.
+
+Partition-key serialization follows the reference's type system: a bigint
+partition key hashes its 8-byte big-endian two's-complement form
+(`[C* db/marshal/LongType, unverified]`), text keys their UTF-8 bytes.
+
+Three independent implementations, differential-tested in
+tests/test_murmur3.py and — via the driver's oracle gate — at every round:
+
+- :func:`murmur3_token` — pure-Python reference over arbitrary ``bytes``;
+- :func:`tokens_of_bigints` — numpy-vectorized fast path for int64 keys
+  (wrapping uint64 arithmetic), wrapped as an Arrow-batched pandas_udf by
+  :func:`bigint_token_udf` — the engine-side ring primitive. A hash over a
+  serialized key is inherently opaque to Catalyst, so the vectorized UDF
+  *is* the idiomatic Spark shape here (same contract as the Spark
+  connector's own partitioner bridge);
+- :func:`duckdb_token_sql` — a generated DuckDB SQL expression chain
+  (HUGEINT modular arithmetic + lateral column aliases) used by the p5/t3
+  oracles, so the driver's value-hash compare proves Spark's numpy path and
+  an independent SQL formulation agree bit-for-bit on every key in the
+  test corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+C1 = 0x87C37B91114253D5
+C2 = 0x4CF5AD432745937F
+_M = (1 << 64) - 1  # uint64 mask
+MIN64 = -(1 << 63)
+MAX64 = (1 << 63) - 1
+
+
+def _rotl(v: int, r: int) -> int:
+    return ((v << r) | (v >> (64 - r))) & _M
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M
+    k ^= k >> 33
+    return k
+
+
+def _signed_byte(b: int) -> int:
+    """Java ``(long) byte``: sign-extended, as a uint64 bit pattern."""
+    return (b - 256) & _M if b >= 0x80 else b
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Cassandra-variant MurmurHash3 x64 128; returns (h1, h2) as uint64."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = h2 = seed & _M
+
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * C1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & _M
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * C2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & _M
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+
+    # Tail: Java semantics — bytes sign-extend before shifting (deviation 1).
+    tail = data[nblocks * 16 :]
+    t = len(tail)
+    k1 = k2 = 0
+    for i in range(min(t, 15) - 1, 7, -1):  # bytes 8..14 -> k2
+        k1_shift = 8 * (i - 8)
+        k2 ^= (_signed_byte(tail[i]) << k1_shift) & _M
+    if t > 8:
+        k2 = (k2 * C2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & _M
+        h2 ^= k2
+    for i in range(min(t, 8) - 1, -1, -1):  # bytes 0..7 -> k1
+        k1 ^= (_signed_byte(tail[i]) << (8 * i)) & _M
+    if t > 0:
+        k1 = (k1 * C1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & _M
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+def _to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def murmur3_token(data: bytes) -> int:
+    """Partition token of a serialized key: signed h1, MIN -> MAX
+    (deviation 2)."""
+    tok = _to_signed(murmur3_x64_128(data)[0])
+    return MAX64 if tok == MIN64 else tok
+
+
+def token_of_bigint(v: int) -> int:
+    """Token of a bigint partition key (8-byte big-endian serialization)."""
+    return murmur3_token(int(v).to_bytes(8, "big", signed=True))
+
+
+def token_of_text(s: str) -> int:
+    """Token of a text partition key (UTF-8 serialization)."""
+    return murmur3_token(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized engine path: numpy wrapping-uint64 arithmetic over int64 keys.
+# ---------------------------------------------------------------------------
+
+_U = np.uint64
+
+
+def _np_rotl(v: np.ndarray, r: int) -> np.ndarray:
+    return (v << _U(r)) | (v >> _U(64 - r))
+
+
+def _np_fmix(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _U(33))
+    k = k * _U(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> _U(33))
+    k = k * _U(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> _U(33))
+    return k
+
+
+def tokens_of_bigints(values: np.ndarray) -> np.ndarray:
+    """Murmur3 tokens of an int64 array, fully vectorized. An 8-byte key
+    has no body blocks — only the signed-byte tail (case 8..1) and the
+    finalizer, ~30 SIMD passes over the batch."""
+    u = values.astype(np.int64).view(np.uint64)
+    k1 = np.zeros_like(u)
+    for i in range(8):
+        b = (u >> _U(8 * (7 - i))) & _U(0xFF)  # big-endian byte i
+        sb = b.view(np.int64)
+        sb = np.where(sb >= 128, sb - 256, sb).view(np.uint64)  # sign-extend
+        k1 = k1 ^ (sb << _U(8 * i))
+    k1 = k1 * _U(C1)
+    k1 = _np_rotl(k1, 31)
+    k1 = k1 * _U(C2)
+    h1 = k1  # h1 was 0
+    h1 = h1 ^ _U(8)
+    h2 = np.full_like(u, _U(8))  # h2 was 0, ^= len
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _np_fmix(h1)
+    h2 = _np_fmix(h2)
+    h1 = h1 + h2
+    tok = h1.view(np.int64)
+    return np.where(tok == np.int64(MIN64), np.int64(MAX64), tok)
+
+
+def bigint_token_udf():
+    """Arrow-batched pandas_udf: bigint partition key -> Murmur3 token."""
+
+    @F.pandas_udf(LongType())
+    def _tok(keys: pd.Series) -> pd.Series:
+        out = tokens_of_bigints(keys.to_numpy(dtype=np.int64))
+        return pd.Series(out)
+
+    return _tok
+
+
+def token_col(col):
+    """``token(bigint_key)`` as a Column — the ring convention used by
+    p5 / the Thrift range-slice tier."""
+    return bigint_token_udf()(col)
+
+
+def ensure_token_registered(spark) -> None:
+    """Register ``cassandra_token(key)`` as a session SQL function (the
+    CQL front-end's ``token()`` target). Dispatches on the Arrow batch
+    dtype: int64 keys take the vectorized path (8-byte big-endian
+    serialization), text keys hash their UTF-8 bytes per the reference's
+    type system. Memoized per session object."""
+    if getattr(spark, "_cassandra_token_registered", False):
+        return
+
+    @F.pandas_udf(LongType())
+    def cassandra_token(keys: pd.Series) -> pd.Series:
+        if pd.api.types.is_integer_dtype(keys.dtype) and not keys.isna().any():
+            return pd.Series(tokens_of_bigints(keys.to_numpy(dtype=np.int64)))
+        out = []
+        for v in keys:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                out.append(None)
+            elif isinstance(v, (int, np.integer)):
+                out.append(token_of_bigint(int(v)))
+            else:
+                out.append(token_of_text(str(v)))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    spark.udf.register("cassandra_token", cassandra_token)
+    spark._cassandra_token_registered = True
+
+
+# ---------------------------------------------------------------------------
+# Oracle path: the same hash generated as DuckDB SQL. All arithmetic is
+# HUGEINT mod 2^64; xor() is native on HUGEINT. Each hash step is its own
+# nested-subquery projection level — DuckDB INLINES lateral column aliases,
+# which would blow the expression tree up exponentially (~3^n for n chained
+# multiply steps; empirically a multi-minute hang), whereas subquery
+# projections evaluate each step once per row. Entirely independent of the
+# numpy path, so the driver's value-hash compare is a true differential test.
+# ---------------------------------------------------------------------------
+
+_P64 = 1 << 64
+_P32 = 1 << 32
+
+
+def _sql_mul64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 without overflowing HUGEINT: split ``a`` into
+    32-bit halves; each partial product stays under 2^97 < 2^127."""
+    lo = f"(({a}) % {_P32}) * {c}"
+    hi = f"(((({a}) // {_P32}) * {c % _P32}) % {_P32}) * {_P32}"
+    return f"(({lo} + {hi}) % {_P64})"
+
+
+def _sql_rotl(a: str, r: int) -> str:
+    """rotl64 — the two shifted halves occupy disjoint bits, so + is |."""
+    return f"(((({a}) * {1 << r}) % {_P64}) + (({a}) // {1 << (64 - r)}))"
+
+
+def duckdb_token_query(base_sql: str, col: str, out: str = "token") -> str:
+    """Wrap ``base_sql`` (any SELECT producing bigint column ``col``) in a
+    nested-subquery chain that appends the Murmur3 token of ``col`` as
+    BIGINT column ``out`` and drops the intermediates.
+
+    CALLER CONTRACT: never filter on ``out`` directly outside this query —
+    DuckDB's filter pushdown substitutes the predicate through every
+    projection level (~3× expression growth per multiply step, observed as
+    a multi-minute hang). Put the result behind a pushdown barrier first:
+
+        WITH toks AS MATERIALIZED ({duckdb_token_query(...)})
+        SELECT * FROM toks WHERE token BETWEEN lo AND hi
+    """
+    steps: list[tuple[str, str]] = []
+    # two's-complement uint64 bit pattern of the key
+    steps.append(
+        ("__u", f"((CAST({col} AS HUGEINT) % {_P64}) + {_P64}) % {_P64}")
+    )
+    # big-endian byte i, sign-extended (Java tail cast), as uint64 lanes
+    for i in range(8):
+        steps.append(("__b%d" % i, f"(__u // {1 << (8 * (7 - i))}) % 256"))
+    for i in range(8):
+        sb = f"(CASE WHEN __b{i} >= 128 THEN __b{i} - 256 ELSE __b{i} END)"
+        steps.append(
+            ("__s%d" % i, f"((({sb}) + {_P64}) % {_P64}) * {1 << (8 * i)} % {_P64}")
+        )
+    k = "xor(xor(xor(__s0, __s1), xor(__s2, __s3)), " \
+        "xor(xor(__s4, __s5), xor(__s6, __s7)))"
+    steps.append(("__k", k))
+    steps.append(("__ka", _sql_mul64("__k", C1)))
+    steps.append(("__kb", _sql_rotl("__ka", 31)))
+    steps.append(("__h1a", _sql_mul64("__kb", C2)))  # h1 = 0 ^ k1
+    steps.append(("__h1b", "xor(__h1a, 8)"))  # h1 ^= len; h2 = 0 ^ len = 8
+    steps.append(("__h1c", f"(__h1b + 8) % {_P64}"))  # h1 += h2
+    steps.append(("__h2c", f"(8 + __h1c) % {_P64}"))  # h2 += h1
+    for tag, src in (("1", "__h1c"), ("2", "__h2c")):
+        steps.append((f"__f{tag}a", f"xor({src}, {src} // {1 << 33})"))
+        steps.append((f"__f{tag}b", _sql_mul64(f"__f{tag}a", 0xFF51AFD7ED558CCD)))
+        steps.append((f"__f{tag}c", f"xor(__f{tag}b, __f{tag}b // {1 << 33})"))
+        steps.append((f"__f{tag}d", _sql_mul64(f"__f{tag}c", 0xC4CEB9FE1A85EC53)))
+        steps.append((f"__f{tag}e", f"xor(__f{tag}d, __f{tag}d // {1 << 33})"))
+    steps.append(("__hf", f"(__f1e + __f2e) % {_P64}"))
+    steps.append(
+        ("__tok",
+         f"CAST(CASE WHEN __hf >= {1 << 63} THEN __hf - {_P64} ELSE __hf END"
+         " AS BIGINT)")
+    )
+    q = base_sql
+    for name, expr in steps:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    # MIN -> MAX normalization + drop intermediates
+    names = ", ".join(n for n, _ in steps)
+    return (
+        f"SELECT * EXCLUDE ({names}), "
+        f"CAST(CASE WHEN __tok = {MIN64} THEN {MAX64} ELSE __tok END"
+        f" AS BIGINT) AS {out} FROM ({q})"
+    )

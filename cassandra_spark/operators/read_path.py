@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
+from cassandra_spark.operators import murmur3
 from cassandra_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -290,34 +291,36 @@ def p4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-# Portable token function: Knuth multiplicative hash on the partition key.
-# The reference's Murmur3Partitioner is a different hash in the same class
-# (uniform 64-bit mix) `[C* dht/Murmur3Partitioner]`; exact fn is engine-
-# internal, the *semantics* (deterministic token-range split of the ring)
-# are what this models — and plain integer arithmetic is oracle-portable.
-_TOKEN_MULT = 2654435761
-_TOKEN_MOD = 4294967296
+# token(): bit-exact Cassandra Murmur3Partitioner tokens
+# (`[C* dht/Murmur3Partitioner :: getToken, unverified]`) — see
+# operators/murmur3.py. The Spark side is a numpy-vectorized pandas_udf;
+# the oracle recomputes the identical hash as generated DuckDB SQL
+# (HUGEINT mod-2^64 arithmetic), so the driver's value-hash compare is a
+# true cross-engine differential test of every token in the corpus.
+_P5_TOKEN_LO = 0
+_P5_TOKEN_HI = 1 << 62
 
 
 @query(
     "p5_token_range",
     oracle=f"""
-    SELECT l_orderkey, l_linenumber,
-           (l_orderkey * {_TOKEN_MULT}) % {_TOKEN_MOD} AS token
-    FROM lineitem
-    WHERE (l_orderkey * {_TOKEN_MULT}) % {_TOKEN_MOD}
-          BETWEEN 100000000 AND 1000000000
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT l_orderkey, l_linenumber FROM lineitem", "l_orderkey")}
+    )
+    SELECT * FROM __toks
+    WHERE token BETWEEN {_P5_TOKEN_LO} AND {_P5_TOKEN_HI}
     """,
 )
 def p5_token_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token()-range scan: how the reference splits the ring for parallel
     bulk reads (the Spark-connector pattern). Each worker takes a token
-    slice; here one slice is materialized."""
+    slice; here one slice is materialized, keyed by REAL Murmur3 tokens —
+    a production driver's token-range round-trip lines up bit-for-bit."""
     cat = Catalog(spark, sf_dir)
-    token = (F.col("l_orderkey") * F.lit(_TOKEN_MULT)) % F.lit(_TOKEN_MOD)
     return (
-        cat.lineitem.withColumn("token", token)
-        .filter(F.col("token").between(100000000, 1000000000))
+        cat.lineitem.withColumn("token", murmur3.token_col(F.col("l_orderkey")))
+        .filter(F.col("token").between(_P5_TOKEN_LO, _P5_TOKEN_HI))
         .select("l_orderkey", "l_linenumber", "token")
     )
 

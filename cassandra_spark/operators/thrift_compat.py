@@ -14,8 +14,8 @@ composite clustering keys). So:
   PER ROW (per partition), exactly the Thrift contract.
 - ``get_range_slices(start_token..end_token, count)`` = a token-ring
   slice: the bulk-read primitive drivers used to parallelize full scans —
-  the p5 token convention (multiplicative hash; documented stand-in for
-  Murmur3, same semantics class) keys the ring.
+  keyed by bit-exact Murmur3Partitioner tokens (operators/murmur3.py), so
+  a real driver's precomputed token ranges line up exactly.
 - ``get_count(key)`` = the row's live column count.
 
 Everything compiles to the same pruned DataFrame plans as the R/O tiers;
@@ -29,10 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
+from cassandra_spark.operators import murmur3
 from cassandra_spark.registry import query
-
-TOKEN_MULT = 2654435761  # p5's ring convention (read_path.py)
-TOKEN_MOD = 4294967296
 
 
 def get_slice(
@@ -88,7 +86,7 @@ def get_range_slices(
     """Token-ring slice: all rows of the partitions whose token falls in
     [start_token, end_token], keys in token order — the Thrift-era bulk
     scan primitive (each worker of a parallel dump takes one slice)."""
-    token = (F.col("user_id") * F.lit(TOKEN_MULT)) % F.lit(TOKEN_MOD)
+    token = murmur3.token_col(F.col("user_id"))
     keys = (
         events.select("user_id").distinct()
         .withColumn("__token", token)
@@ -145,14 +143,20 @@ def t2_multiget_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiget_slice(Catalog(spark, sf_dir).events, [3, 5, 8], count=5)
 
 
+_T3_LO = -(1 << 62)  # one quadrant of the Murmur3 ring
+_T3_HI = 0
+
+
 @query(
     "t3_range_slices",
     oracle=f"""
-    WITH keys AS (
-      SELECT user_id, (user_id * {TOKEN_MULT}) % {TOKEN_MOD} AS token
-      FROM (SELECT DISTINCT user_id FROM events)
-      WHERE (user_id * {TOKEN_MULT}) % {TOKEN_MOD}
-            BETWEEN 100000000 AND 2000000000
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT DISTINCT user_id FROM events", "user_id")}
+    ),
+    keys AS (
+      SELECT user_id, token FROM __toks
+      WHERE token BETWEEN {_T3_LO} AND {_T3_HI}
       ORDER BY token, user_id
       LIMIT 25
     )
@@ -161,12 +165,14 @@ def t2_multiget_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t3_range_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thrift get_range_slices: one token-ring slice of ≤25 row keys with
-    all their columns — the parallel bulk-dump primitive."""
+    """Thrift get_range_slices: one Murmur3 token-ring slice of ≤25 row
+    keys with all their columns — the parallel bulk-dump primitive; the
+    band is one ring quadrant, exactly what a production driver would
+    hand a worker."""
     return get_range_slices(
         Catalog(spark, sf_dir).events,
-        start_token=100000000,
-        end_token=2000000000,
+        start_token=_T3_LO,
+        end_token=_T3_HI,
         row_count=25,
     )
 

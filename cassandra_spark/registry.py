@@ -77,6 +77,7 @@ def load_all() -> None:
         llm_text,
         llm_vectors,
         read_path,
+        repair,
         setops,
         streaming_batch,
         subqueries,

@@ -236,3 +236,46 @@ def test_auto_compaction_bounds_segment_count(spark, tmp_path):
     assert sorted(map(tuple, t.snapshot().collect())) == sorted(
         map(tuple, plain.snapshot().collect())
     )
+
+
+def test_spill_is_default_on_with_auto_dir(spark):
+    """No spill_dir configured: crossing the threshold auto-provisions a
+    temp dir and flushes — the O(threshold) bound holds BY DEFAULT."""
+    t = CqlTable(spark, _kv_schema(), spill_threshold=500)
+    plain = CqlTable(spark, _kv_schema(), spill_threshold=None)
+    high_water = 0
+    for stmt in _workload(5_000):
+        t.execute(stmt)
+        plain.execute(stmt)
+        high_water = max(high_water, len(t._log))
+    assert high_water <= 500
+    assert t.spill_dir is not None and len(t._segments) >= 1
+    assert os.path.isdir(t.spill_dir)
+    assert sorted(map(tuple, t.snapshot().collect())) == sorted(
+        map(tuple, plain.snapshot().collect())
+    )
+
+
+def test_spill_opt_out_keeps_log_in_memory(spark):
+    """spill_threshold=None is the explicit opt-out: the log grows
+    unbounded in memory and nothing lands on disk."""
+    t = CqlTable(spark, _kv_schema(), spill_threshold=None)
+    for stmt in _workload(2_000):
+        t.execute(stmt)
+    assert t.spill_dir is None and not t._segments
+    assert len(t._log) >= 2_000
+
+
+def test_session_auto_spill_threads_through_tables(spark):
+    """CqlSession without spill_dir still bounds every table's log."""
+    sess = CqlSession(spark, spill_threshold=300)
+    sess.execute(
+        "CREATE TABLE s_auto (k text PRIMARY KEY, v text, n int)"
+    )
+    for i in range(1_000):
+        sess.execute(
+            f"INSERT INTO s_auto (k, v, n) VALUES ('k{i % 50}', 'v{i}', {i})"
+        )
+    t = sess.table("s_auto")
+    assert len(t._log) <= 300 and len(t._segments) >= 1
+    assert t.spill_dir is not None

@@ -1,0 +1,131 @@
+"""Bit-exactness tests for the Murmur3Partitioner token implementation.
+
+Three independent sources of truth:
+
+1. **Pinned public vectors** — the python cassandra-driver's unit-test
+   vectors for Cassandra's signed-tail Murmur3 x64-128 (h1), covering the
+   <8-byte tail, the 8-byte bigint-key case with sign-extending bytes,
+   and a 50-byte input exercising body blocks AND signed tail together;
+   plus the classic DataStax consistent-hashing docs example ('jim').
+2. **Guava differential** — for inputs whose tail bytes are all < 0x80,
+   Cassandra's variant is bit-identical to canonical Murmur3 x64-128, so
+   Guava's murmur3_128 (on the Spark JVM classpath) is an independent
+   implementation to diff against on random ASCII inputs.
+3. **Cross-engine differential** — pure-Python vs numpy-vectorized vs the
+   generated DuckDB HUGEINT SQL, on random int64 keys + edge cases. (The
+   driver's oracle gate re-runs the Spark-vs-DuckDB half of this on every
+   key in the corpus, every round.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cassandra_spark.operators.murmur3 import (
+    MAX64,
+    duckdb_token_query,
+    murmur3_token,
+    token_of_bigint,
+    token_of_text,
+    tokens_of_bigints,
+)
+
+# (input bytes, expected Cassandra token) — python cassandra-driver
+# unit-test vectors (public), except 'jim' (DataStax docs example).
+PINNED = [
+    (b"123", -7468325962851647638),
+    (b"\x00\xff\x10\xfa\x99" * 10, 5837342703291459765),  # body + signed tail
+    (b"\xfe" * 8, -8927430733708461935),  # 8-byte key, sign-extension
+    (b"\x10" * 8, 1446172840243228796),
+    (b"jim", 2680261686609811218),
+]
+
+
+def test_pinned_vectors():
+    for data, expect in PINNED:
+        assert murmur3_token(data) == expect, data
+
+
+def test_text_token():
+    assert token_of_text("jim") == 2680261686609811218
+
+
+def test_bigint_serialization_is_big_endian():
+    # 0x10101010_10101010 serializes to b'\x10' * 8
+    assert token_of_bigint(0x1010101010101010) == 1446172840243228796
+    # 0xFEFE..FE is negative as int64; its 8 bytes are all 0xFE
+    assert token_of_bigint(-72340172838076674) == -8927430733708461935
+
+
+def test_numpy_matches_python():
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64),
+            np.array(
+                [0, 1, -1, 2**63 - 1, -(2**63), -(2**63) + 1, 42],
+                dtype=np.int64,
+            ),
+        ]
+    )
+    vec = tokens_of_bigints(vals)
+    py = np.array([token_of_bigint(int(v)) for v in vals], dtype=np.int64)
+    assert (vec == py).all()
+
+
+def test_min_normalization_reachable_form():
+    # No known key maps to MIN64 (that is the point of the normalization),
+    # but the numpy path must apply it branchlessly: feed the raw h1 == MIN
+    # case through the where() by checking the constant is respected.
+    out = tokens_of_bigints(np.array([0, 5, -5], dtype=np.int64))
+    assert out.dtype == np.int64 and (out != -(2**63)).all()
+    assert MAX64 == 2**63 - 1
+
+
+def test_duckdb_sql_matches_numpy():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63) + 1], dtype=np.int64),
+        ]
+    )
+    con.register("t", pd.DataFrame({"k": vals}))
+    out = con.sql(duckdb_token_query("SELECT k FROM t", "k")).df()
+    duck = out["token"].to_numpy(dtype=np.int64)
+    vec = tokens_of_bigints(out["k"].to_numpy(dtype=np.int64))
+    assert (duck == vec).all()
+
+
+def test_guava_differential_ascii(spark):
+    """Canonical Murmur3 x64-128 == Cassandra variant when no tail byte
+    sign-extends; Guava (Spark JVM classpath) is the independent oracle."""
+    try:
+        guava = spark._jvm.org.sparkproject.guava.hash.Hashing.murmur3_128()
+    except Exception:  # pragma: no cover - classpath relocation changed
+        pytest.skip("shaded guava not reachable")
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(0, 64))
+        data = bytes(rng.integers(32, 127, size=n, dtype=np.uint8))
+        expect = guava.hashBytes(bytearray(data)).asLong()
+        assert murmur3_token(data) == (
+            MAX64 if expect == -(2**63) else expect
+        ), data
+
+
+def test_token_udf_on_spark(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.operators.murmur3 import token_col
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), token_col(F.col("id")).alias("token")
+    )
+    rows = {r["id"]: r["token"] for r in df.collect()}
+    for k in (0, 1, 42, 999):
+        assert rows[k] == token_of_bigint(k)
