@@ -348,10 +348,17 @@ def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
 
 def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     """Cassandra 5 `ORDER BY col ANN OF [..] LIMIT k` (`[C* cql3/Ordering.
-    Ann]`, unverified): brute-force cosine top-k — the exact-scoring tail
-    of an ANN index probe. The fold-based dot product stays JVM-side; the
-    final top-k is TakeOrderedAndProject, never a global sort. The l3b/l3c
-    bucketed variants are the 100 TB candidate-generation path."""
+    Ann]`, unverified). Routing mirrors the reference: WITHOUT a vector
+    index the front-end refuses in production — here (analytics engine)
+    it falls back to brute-force cosine top-k, the exact-scoring path.
+    WITH a StorageAttachedIndex on the vector column (`[C* index/sai,
+    unverified]`), the probe is index-shaped: the literal query vector's
+    LSH bucket (plus Hamming-1 multiprobes) is computed at PLAN TIME,
+    the corpus is filtered to those buckets (an IN-list the scan can
+    prune on — at scale, with the bucket materialized in the layout,
+    this is partition pruning), and exact cosine scores only the
+    candidates. Both paths end in TakeOrderedAndProject, never a global
+    sort."""
     col, vec = s.ann  # type: ignore[misc]
     if s.limit is None or s.limit > 1000:
         raise CQLError("ANN ordering requires a LIMIT that is not greater "
@@ -360,7 +367,20 @@ def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     if col not in dtypes or not dtypes[col].startswith("array"):
         raise CQLError(f"ANN OF requires a vector (array) column, got {col!r}")
     inner = vec.strip()[1:-1]
-    from cassandra_spark.operators.llm_vectors import dot_spark
+    from cassandra_spark.operators.llm_vectors import (
+        N_PLANES,
+        bucket_spark,
+        dot_spark,
+        multiprobe,
+        py_bucket,
+    )
+
+    if col in getattr(meta, "indexed_sai", ()):
+        qvec = [float(x) for x in inner.split(",")]
+        probes = multiprobe(py_bucket(qvec, N_PLANES), N_PLANES)
+        df = df.withColumn(
+            "__bucket", F.expr(bucket_spark(N_PLANES, col))
+        ).filter(F.col("__bucket").isin(probes)).drop("__bucket")
 
     df = df.withColumn("__q", F.expr(f"array({inner})"))
     score = (

@@ -575,7 +575,10 @@ class CqlSession:
         for a KEYS index on a map column. The scan strategy itself stays
         Spark's — an index here changes semantics, not physical access
         (SURVEY §2.1 R5/R6: Z-order / bucketing is the perf analogue)."""
-        table = self.table(m.group("table"))
+        tname = m.group("table").lower()
+        if tname not in self.tables:
+            return self._create_catalog_index(m, tname)
+        table = self.tables[tname]
         kind = (m.group("kind") or "").upper()
         col = (m.group("icol") or m.group("col")).lower()
         s = table.schema
@@ -633,6 +636,95 @@ class CqlSession:
         else:
             self.indexes.setdefault(s.name, set()).add(col)
             self.index_names[name] = (s.name, col, "values")
+
+    def _create_catalog_index(self, m: re.Match, tname: str) -> None:
+        """CREATE CUSTOM INDEX on a CATALOG (parquet-corpus) table — the
+        Cassandra-5 SAI-on-analytics-table shape: `CREATE CUSTOM INDEX ON
+        embeddings (embedding) USING 'StorageAttachedIndex'` makes later
+        `ORDER BY .. ANN OF` statements route through the LSH bucket probe
+        instead of brute-force scoring (cql.py:_compile_ann). Only the
+        custom (SAI/SASI) form applies here: plain 2i semantics on
+        immutable corpora are the restriction-gate flags the Catalog
+        already carries."""
+        if self.sf_dir is None:
+            raise CQLError(f"unknown table {tname!r}")
+        from cassandra_spark.catalog import Catalog
+
+        cat = Catalog(self.spark, self.sf_dir)
+        try:
+            df, meta = cat.table(tname), cat.meta(tname)
+        except KeyError:
+            raise CQLError(f"unknown table {tname!r}") from None
+        if not m.group("custom"):
+            raise CQLError(
+                f"{tname!r} is a catalog table: only CREATE CUSTOM INDEX "
+                "(StorageAttachedIndex/SASI) is supported on corpora"
+            )
+        using = (m.group("using") or "").lower()
+        if ("sai" not in using and "storageattachedindex" not in using
+                and "sasi" not in using):
+            raise CQLError(
+                f"unsupported custom index class {m.group('using')!r} "
+                "(StorageAttachedIndex/SASI accepted)"
+            )
+        if m.group("kind"):
+            raise CQLError("custom indexes take a plain column target")
+        col = (m.group("icol") or m.group("col")).lower()
+        cols = {c.lower() for c in df.columns}
+        if col not in cols:
+            raise CQLError(f"unknown column {col!r} in {tname!r}")
+        if col in meta.partition_key or col in meta.clustering:
+            raise CQLError(f"cannot index primary key column {col!r}")
+        name = (m.group("name") or f"{tname}_{col}_idx").lower()
+        if name in self.index_names:
+            raise CQLError(f"index {name!r} already exists")
+        self.sai_indexes.setdefault(tname, set()).add(col)
+        self.index_names[name] = (tname, col, "sai")
+
+    def _catalog_overrides(self) -> dict:
+        """(df, meta) entries for catalog tables this session has indexed:
+        SELECT compilation must see the session's index flags (e.g. SAI →
+        ANN probe routing), which the static Catalog metadata lacks."""
+        out: dict = {}
+        if self.sf_dir is None:
+            return out
+        import dataclasses
+
+        from cassandra_spark.catalog import Catalog
+
+        cat = Catalog(self.spark, self.sf_dir)
+        indexed = (
+            set(self.indexes) | set(self.key_indexes) | set(self.sai_indexes)
+        )
+        for tname in indexed - set(self.tables):
+            try:
+                df, meta = cat.table(tname), cat.meta(tname)
+            except KeyError:
+                continue
+            out[tname] = (
+                df,
+                dataclasses.replace(
+                    meta,
+                    indexed=tuple(
+                        sorted(
+                            set(meta.indexed) | self.indexes.get(tname, set())
+                        )
+                    ),
+                    indexed_keys=tuple(
+                        sorted(
+                            set(meta.indexed_keys)
+                            | self.key_indexes.get(tname, set())
+                        )
+                    ),
+                    indexed_sai=tuple(
+                        sorted(
+                            set(meta.indexed_sai)
+                            | self.sai_indexes.get(tname, set())
+                        )
+                    ),
+                ),
+            )
+        return out
 
     def _alter_table(self, m: re.Match) -> None:
         """ALTER TABLE ADD/DROP: live schema evolution. ADD declares a new
@@ -917,10 +1009,11 @@ class CqlSession:
             self.create_table(schema)
             return None
         if head.startswith("SELECT"):
-            snapshots = {
-                name: (t.snapshot(), self._meta(t.schema))
+            snapshots = self._catalog_overrides()
+            snapshots.update(
+                (name, (t.snapshot(), self._meta(t.schema)))
                 for name, t in self.tables.items()
-            }
+            )
             snapshots.update(self._system_views())
             return cql_select(
                 self.spark, self.sf_dir,

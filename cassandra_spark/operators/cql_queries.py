@@ -602,3 +602,58 @@ def cql16_system_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT keyspace_name, table_name, column_name, kind, type "
         "FROM system_schema.columns WHERE keyspace_name = 'session'"
     )
+
+
+# --- cql17: SAI-routed ANN (vector index → bucket probe, not brute force) --
+
+from cassandra_spark.operators.llm_vectors import (  # noqa: E402
+    BUCKET_DUCK,
+    N_PLANES,
+    multiprobe,
+    py_bucket,
+)
+
+_ANN_QVEC = [round((((7 * d + 3) % 19) - 9) / 10, 1) for d in range(64)]
+_ANN_PROBES = multiprobe(py_bucket(_ANN_QVEC, N_PLANES), N_PLANES)
+
+
+@query(
+    "cql17_sai_ann",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {BUCKET_DUCK} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM bucketed
+      WHERE bucket IN ({", ".join(map(str, _ANN_PROBES))})
+    )
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             {dot_duck('embedding', f'[{_ANN_V}]')}
+             / (sqrt({dot_duck('embedding', 'embedding')})
+                * sqrt({dot_duck(f'[{_ANN_V}]', f'[{_ANN_V}]')})) AS score
+      FROM cand
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql17_sai_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ORDER BY embedding ANN OF ..` with a StorageAttachedIndex ON the
+    vector column (`[C* index/sai/plan/QueryController, unverified]`):
+    the front-end routes through the LSH bucket probe — the literal query
+    vector's bucket (+ Hamming-1 multiprobes) is computed at plan time,
+    the corpus scan is filtered to those buckets, and exact cosine scores
+    candidates only. Contrast cql6_ann (no index → brute force over the
+    corpus): same statement text, index DDL alone flips the physical
+    plan, exactly the reference's ANN-requires-index contract. Recall vs
+    the exact answer is asserted in tests/test_cql_session.py."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_ann_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    return sess.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10"
+    )

@@ -50,20 +50,41 @@ NORM_DUCK = f"sqrt({dot_duck('embedding', 'embedding')})"
 N_PLANES = 4
 
 
-def _plane_dot_spark(p: str) -> str:
+def _plane_dot_spark(p: str, vec: str = "embedding") -> str:
     return (
-        f"aggregate(sequence(0, size(embedding) - 1), 0D, (acc, j) -> acc + "
+        f"aggregate(sequence(0, size({vec}) - 1), 0D, (acc, j) -> acc + "
         f"cast((({p} * 1103515245L + j * 12345L + 12345L) % 2048L) - 1024L "
-        f"AS double) * cast(embedding[j] AS double))"
+        f"AS double) * cast({vec}[j] AS double))"
     )
 
 
-def bucket_spark(n_planes: int) -> str:
+def bucket_spark(n_planes: int, vec: str = "embedding") -> str:
     return (
         f"aggregate(sequence(0, {n_planes - 1}), 0L, (acc, p) -> acc + "
-        f"(CASE WHEN ({_plane_dot_spark('p')}) > 0D "
+        f"(CASE WHEN ({_plane_dot_spark('p', vec)}) > 0D "
         f"THEN shiftleft(1L, p) ELSE 0L END))"
     )
+
+
+def py_bucket(vec: list[float], n_planes: int = N_PLANES) -> int:
+    """The same LSH bucket, computed driver-side for a LITERAL query
+    vector (the SAI-routed ANN path computes the probe set at plan time —
+    no corpus work for the query side). Bit-for-bit the weights of
+    :func:`_plane_dot_spark`."""
+    b = 0
+    for p in range(n_planes):
+        dot = sum(
+            (((p * 1103515245 + j * 12345 + 12345) % 2048) - 1024) * float(v)
+            for j, v in enumerate(vec)
+        )
+        if dot > 0.0:
+            b |= 1 << p
+    return b
+
+
+def multiprobe(bucket: int, n_planes: int = N_PLANES) -> list[int]:
+    """Hamming-1 probe set: the bucket itself plus every one-bit flip."""
+    return [bucket] + [bucket ^ (1 << p) for p in range(n_planes)]
 
 
 BUCKET_SPARK = bucket_spark(N_PLANES)

@@ -891,3 +891,83 @@ def test_create_custom_index_sai_admits_ranges(sess):
         "WITH OPTIONS = {'mode': 'CONTAINS'}"
     )
     assert sess.execute("SELECT k FROM sv WHERE note = 'x'").count() == 1
+
+
+# --- SAI-routed ANN (cql17) -------------------------------------------------
+
+
+def _sai_session(spark):
+    s = CqlSession(spark, "/root/testdata/sf0.01")
+    s.execute(
+        "CREATE CUSTOM INDEX emb_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    return s
+
+
+def test_sai_ann_routes_through_bucket_filter(spark):
+    """With the index, the plan filters the corpus to the probe buckets
+    BEFORE scoring; without it, no bucket filter exists."""
+    from cassandra_spark.operators.cql_queries import _ANN_V
+
+    stmt = (
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10"
+    )
+    from cassandra_spark.operators.cql_queries import _ANN_PROBES
+
+    probes_in = " IN (" + ",".join(map(str, _ANN_PROBES)) + ")"
+    indexed = _sai_session(spark).execute(stmt)
+    iplan = indexed._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst collapses the __bucket alias; the probe IN-list over the
+    # bucket fold survives as the corpus filter
+    assert probes_in in iplan, "SAI route must filter on the LSH probes"
+    plain = CqlSession(spark, "/root/testdata/sf0.01").execute(stmt)
+    pplan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert probes_in not in pplan, "no index -> brute-force path"
+
+
+def test_sai_ann_recall_vs_exact(spark):
+    """The probe path must recover most of the exact top-10 (4-plane
+    Hamming-1 multiprobe; recall floor mirrors test_llm_tier's l3b)."""
+    from cassandra_spark.operators.cql_queries import _ANN_V
+
+    stmt = (
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10"
+    )
+    exact = {
+        r["vec_id"]
+        for r in CqlSession(spark, "/root/testdata/sf0.01")
+        .execute(stmt).collect()
+    }
+    approx = {r["vec_id"] for r in _sai_session(spark).execute(stmt).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 6, (exact, approx)
+
+
+def test_catalog_index_requires_custom_class(spark):
+    s = CqlSession(spark, "/root/testdata/sf0.01")
+    with pytest.raises(CQLError, match="catalog table"):
+        s.execute("CREATE INDEX ON embeddings (label)")
+    with pytest.raises(CQLError, match="unsupported custom index class"):
+        s.execute(
+            "CREATE CUSTOM INDEX ON embeddings (embedding) USING 'Lucene'"
+        )
+    with pytest.raises(CQLError, match="unknown column"):
+        s.execute(
+            "CREATE CUSTOM INDEX ON embeddings (nope) "
+            "USING 'StorageAttachedIndex'"
+        )
+    with pytest.raises(CQLError, match="primary key"):
+        s.execute(
+            "CREATE CUSTOM INDEX ON embeddings (vec_id) "
+            "USING 'StorageAttachedIndex'"
+        )
+
+
+def test_catalog_sai_index_drops_cleanly(spark):
+    s = _sai_session(spark)
+    assert "embeddings" in s.sai_indexes
+    s.execute("DROP INDEX emb_idx")
+    assert not s.sai_indexes.get("embeddings")
