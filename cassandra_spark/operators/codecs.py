@@ -134,9 +134,36 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
 # --- PNG (stdlib zlib inflate + per-row filter reversal) -------------------
 
 
-def encode_png(width: int, height: int, rgb: bytes) -> bytes:
-    """Top-down RGB bytes → 8-bit truecolor PNG (filter 0 rows, one IDAT).
-    Used to build real fixtures in tests."""
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass; zero-size passes are
+    legal (small images) and carry no bytes."""
+    return [
+        (
+            max(0, (width - x0 + dx - 1) // dx),
+            max(0, (height - y0 + dy - 1) // dy),
+        )
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, interlace: bool = False
+) -> bytes:
+    """Top-down RGB bytes → 8-bit truecolor PNG (filter 0 rows, one IDAT);
+    ``interlace=True`` writes the Adam7 pass sequence. Used to build real
+    fixtures in tests."""
     import zlib
 
     if len(rgb) != width * height * 3:
@@ -150,12 +177,27 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     raw = bytearray()
     stride = width * 3
-    for y in range(height):
-        raw.append(0)  # filter type 0 (None)
-        raw += rgb[y * stride : (y + 1) * stride]
+    if interlace:
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            for py in range(ph):
+                raw.append(0)  # filter type 0 (None)
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    raw += rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+    else:
+        for y in range(height):
+            raw.append(0)  # filter type 0 (None)
+            raw += rgb[y * stride : (y + 1) * stride]
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -164,11 +206,57 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
+def _defilter(
+    raw: bytes, p: int, width_px: int, height: int, channels: int
+) -> tuple[bytearray, int]:
+    """Reverse per-row PNG filters (0 none, 1 sub, 2 up, 3 average,
+    4 paeth) for one image (or one Adam7 pass) of ``height`` rows of
+    ``width_px`` pixels starting at stream offset ``p``. Returns the
+    defiltered samples and the offset after the last row."""
+    stride = width_px * channels
+    bpp = channels
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        if p >= len(raw):
+            raise ValueError("truncated PNG image data")
+        ftype = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        if len(row) != stride:
+            raise ValueError("truncated PNG image data")
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return out, p
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """8-bit non-interlaced PNG → (width, height, 3, top-down RGB bytes).
-    Color types: 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
-    (alpha is dropped — the pipeline contract is 3-channel RGB).
-    16-bit depth and Adam7 interlace raise ValueError (→ stub path)."""
+    """8-bit PNG → (width, height, 3, top-down RGB bytes), non-interlaced
+    OR Adam7 interlaced (each pass defiltered independently, pixels
+    scattered per the pass grid — PNG spec §8.2). Color types: 0
+    grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA (alpha is dropped —
+    the pipeline contract is 3-channel RGB). 16-bit depth raises
+    ValueError (→ stub path)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -200,8 +288,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"unsupported PNG bit depth {depth}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype_}")
@@ -210,40 +298,26 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     except zlib.error as e:
         raise ValueError(f"bad PNG zlib stream: {e}") from None
     stride = width * channels
-    if len(raw) < (stride + 1) * height:
-        raise ValueError("truncated PNG image data")
 
-    # reverse per-row filters (0 none, 1 sub, 2 up, 3 average, 4 paeth)
-    out = bytearray(stride * height)
-    bpp = channels
-    prev = bytes(stride)
-    p = 0
-    for y in range(height):
-        ftype = raw[p]
-        row = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pr) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
+    if interlace == 0:
+        out, _ = _defilter(raw, 0, width, height, channels)
+    else:
+        # Adam7: 7 independently-filtered passes, scattered onto the grid
+        out = bytearray(stride * height)
+        p = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            sub, p = _defilter(raw, p, pw, ph, channels)
+            for py in range(ph):
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    src = (py * pw + px) * channels
+                    dst = (y * width + x) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
 
     # expand to 3-channel RGB
     if ctype_ == 2:

@@ -12,7 +12,7 @@ Decode is REAL for the locally-decodable formats: BMP (24-bit), PPM (P6),
 Huffman/DCT, cross-checked against Java ImageIO) decode to actual RGB
 pixels, flow through the pipeline as a binary pixels column, and resize
 runs a real nearest-neighbor resample — ``allow_stub=False`` end-to-end.
-Remaining formats (video, 16-bit/interlaced PNG, progressive JPEG) still raise
+Remaining formats (video, 16-bit PNG, progressive JPEG) still raise
 unless the caller opts into the deterministic fake decoder; the Spark-side
 contract (schema, Arrow batch shape, partitioning) is identical for both
 paths.

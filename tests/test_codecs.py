@@ -359,3 +359,54 @@ def test_png_through_decode_pipeline(spark):
     assert got.mime == "image/png"
     assert (got.width, got.height) == (10, 6)
     assert bytes(got.pixels) == rgb
+
+
+# --- Adam7 interlaced PNG ---------------------------------------------------
+
+
+def _gradient_rgb(w: int, h: int) -> bytes:
+    return bytes(
+        ((x * 7 + y * 13 + c * 29) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def test_adam7_roundtrip_exact():
+    from cassandra_spark.operators.codecs import decode_png, encode_png
+
+    for w, h in ((16, 16), (17, 13), (8, 8), (5, 3)):
+        rgb = _gradient_rgb(w, h)
+        data = encode_png(w, h, rgb, interlace=True)
+        dw, dh, ch, out = decode_png(data)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert out == rgb, f"{w}x{h} interlaced roundtrip mismatch"
+
+
+def test_adam7_matches_noninterlaced_decode():
+    from cassandra_spark.operators.codecs import decode_png, encode_png
+
+    rgb = _gradient_rgb(23, 11)
+    plain = decode_png(encode_png(23, 11, rgb))
+    inter = decode_png(encode_png(23, 11, rgb, interlace=True))
+    assert plain == inter
+
+
+def test_adam7_tiny_images_skip_empty_passes():
+    # 1x1 through 4x4: several Adam7 passes are empty; decode must not
+    # consume bytes for them
+    from cassandra_spark.operators.codecs import decode_png, encode_png
+
+    for w, h in ((1, 1), (2, 2), (3, 1), (1, 5), (4, 4)):
+        rgb = _gradient_rgb(w, h)
+        assert decode_png(encode_png(w, h, rgb, interlace=True))[3] == rgb
+
+
+def test_adam7_flows_through_decode_image():
+    from cassandra_spark.operators.codecs import decode_image, encode_png
+
+    rgb = _gradient_rgb(9, 6)
+    mime, w, h, ch, out = decode_image(encode_png(9, 6, rgb, interlace=True))
+    assert (mime, w, h, ch) == ("image/png", 9, 6, 3)
+    assert out == rgb
