@@ -5,6 +5,27 @@ this module runs the same logical plans incrementally over a file stream
 (`readStream` on the events parquet — the stand-in for a Kafka/connector
 source at 100 TB). Watermarks bound state; availableNow processes the
 backlog and stops, which is what the tests use to prove batch ≡ streaming.
+
+ALWAYS-ON MODE: every job here also runs under a processingTime trigger
+(pass ``trigger_interval``) — the production shape. The rate-limited
+demo source (:func:`rate_events_stream`) plus
+:func:`always_on_upsert_demo` drive a live multi-epoch run and measure
+end-to-end latency (sink-commit wall clock minus max event time per
+epoch); measured numbers are pinned in BASELINE.md "streaming latency".
+
+EXTERNAL-SINK IDEMPOTENCE CONTRACT. foreachBatch delivers each epoch
+AT-LEAST-ONCE; exactly-once table maintenance therefore requires the
+sink to make (epoch -> effect) idempotent. The parquet sinks here do it
+with version directories: stage to ``v=NNNNN.tmp``, atomically rename to
+``v=NNNNN``, and skip any epoch whose directory already exists. Any
+OTHER sink plugged into these jobs must provide one of the equivalents:
+(a) transactional MERGE keyed by epoch id (Delta/Iceberg commit-version,
+a database transaction recording ``epoch`` in the same commit), or
+(b) naturally idempotent writes (keyed PUT where replaying an epoch
+rewrites identical values). Sinks with neither (fire-and-forget
+appends, queues without dedup keys) degrade to at-least-once and MUST
+NOT claim exactly-once — that is the same contract the reference's
+idempotent-writes guidance places on counter vs LWW writes.
 """
 
 from __future__ import annotations
@@ -209,6 +230,135 @@ def run_available_now(
     q.awaitTermination()
 
 
+# --- always-on mode: processingTime triggers over a rate-limited source ----
+
+
+def rate_events_stream(
+    spark: SparkSession, rows_per_second: int = 500
+) -> DataFrame:
+    """Events-shaped stream from Spark's built-in rate source — the
+    rate-limited stand-in for a live Kafka/CDC feed. ``ts`` is the
+    generation wall-clock, so sink-side ``now - max(ts)`` is a true
+    end-to-end latency (source -> trigger -> sink commit)."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("value") % 4).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("value") % 1000) / 10.0).alias("value"),
+    )
+
+
+def run_processing_time(
+    stream_df: DataFrame,
+    query_name: str,
+    interval: str = "500 milliseconds",
+    output_mode: str = "append",
+    min_batches: int = 3,
+    timeout_s: float = 90.0,
+) -> list[dict]:
+    """Run a stream ALWAYS-ON (processingTime trigger) into an in-memory
+    table until at least ``min_batches`` non-empty micro-batches have
+    committed, then stop. Returns the recent progress dicts — per-trigger
+    row counts and duration breakdowns — for latency assertions."""
+    import time
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= min_batches:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"{query_name}: fewer than {min_batches} non-empty batches "
+                f"in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return [p for p in q.recentProgress if p["numInputRows"] > 0]
+
+
+def always_on_upsert_demo(
+    spark: SparkSession,
+    table_dir: str,
+    rows_per_second: int = 500,
+    interval: str = "500 milliseconds",
+    min_epochs: int = 3,
+    timeout_s: float = 90.0,
+) -> list[float]:
+    """s7's production shape end-to-end: rate-limited live source,
+    processingTime trigger, exactly-once versioned LWW sink — run until
+    ``min_epochs`` commits, then stop. Returns per-epoch end-to-end
+    latency seconds (sink-commit wall clock minus the epoch's max event
+    time): the number BASELINE.md pins for the always-on tier."""
+    import os
+    import time
+
+    ev = rate_events_stream(spark, rows_per_second).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("writetime"),
+        "event_id",
+    )
+    latencies: list[float] = []
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        out = os.path.join(table_dir, f"v={epoch:05d}")
+        if os.path.exists(out):  # retried epoch: already committed
+            return
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        batch = batch.localCheckpoint()  # evaluated twice below
+        versions = sorted(
+            d for d in os.listdir(table_dir) if d.startswith("v=")
+        ) if os.path.exists(table_dir) else []
+        cells = batch
+        if versions:
+            cur = s.read.parquet(os.path.join(table_dir, versions[-1]))
+            cells = cur.unionByName(batch)
+        _lww_reduce(cells).coalesce(1).write.parquet(out)
+        max_wt = batch.agg(F.max("writetime")).collect()[0][0]
+        latencies.append(time.time() - max_wt / 1_000_000)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(table_dir, "_chk"))
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and len(latencies) < min_epochs:
+            time.sleep(0.25)
+        if len(latencies) < min_epochs:
+            raise TimeoutError(
+                f"upsert demo: {len(latencies)} epochs in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return latencies
+
+
 # --- streaming upsert sink: the table IS the LWW merge ---------------------
 
 UPSERT_KEYS = ("user_id", "event_type")
@@ -324,7 +474,12 @@ def _view_of(base: DataFrame) -> DataFrame:
     )
 
 
-def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
+def streaming_mv(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    trigger_interval: str | None = None,
+):
     """W7 as a stream: foreachBatch maintains the LWW base table AND its
     aggregate view together, the view by SIGNED-DELTA merge (old image -1,
     new image +1 — w11_mv_incremental's algebra), never by recompute.
@@ -341,6 +496,11 @@ def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
     retried epoch sees its directory and skips, so the at-least-once
     foreachBatch contract upgrades to exactly-once table maintenance
     (same scheme as streaming_upsert; Delta/Iceberg MERGE in production).
+
+    ``trigger_interval=None`` drains the backlog (availableNow) and
+    returns None; an interval string runs ALWAYS-ON — the query keeps
+    polling ``source_dir`` and maintains the view as new files land —
+    and returns the live query handle (caller stops it).
     """
     import os
     import shutil
@@ -365,12 +525,23 @@ def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
         root = os.path.join(table_dir, sub)
         if not os.path.exists(root):
             return []
-        return sorted(d for d in os.listdir(root) if d.startswith("v="))
+        # a crashed epoch can leave v=NNNNN.tmp — staging dirs are never
+        # committed state and must not be read as the latest version
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if d.startswith("v=") and not d.endswith(".tmp")
+        )
 
     def step(batch: DataFrame, epoch: int) -> None:
         final = os.path.join(table_dir, "epochs", f"v={epoch:05d}")
         if os.path.exists(final):  # retried epoch: already committed
             return
+        if batch.isEmpty():  # live triggers fire on idle sources
+            return
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):  # crashed attempt: clear BEFORE lazy reads
+            shutil.rmtree(tmp)
         s = batch.sparkSession
         vs = versions("epochs")
         batch = batch.localCheckpoint()  # one evaluation, three uses
@@ -430,22 +601,18 @@ def streaming_mv(spark: SparkSession, source_dir: str, table_dir: str) -> None:
                 F.col("dtotal_dec").cast("decimal(38,4)").alias("total_dec"),
             ).filter(F.col("cnt") > 0)
 
-        tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         new_base.coalesce(1).write.parquet(os.path.join(tmp, "base"))
         new_view.coalesce(1).write.parquet(os.path.join(tmp, "view"))
         os.rename(tmp, final)
 
-    q = (
-        ev.writeStream.foreachBatch(step)
-        .option(
-            "checkpointLocation", os.path.join(table_dir, "_chk_mv")
-        )
-        .trigger(availableNow=True)
-        .start()
+    writer = ev.writeStream.foreachBatch(step).option(
+        "checkpointLocation", os.path.join(table_dir, "_chk_mv")
     )
+    if trigger_interval is not None:
+        return writer.trigger(processingTime=trigger_interval).start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    return None
 
 
 def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
@@ -453,7 +620,11 @@ def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
     import os
 
     root = os.path.join(table_dir, "epochs")
-    vs = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    vs = sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("v=") and not d.endswith(".tmp")
+    )
     if not vs:
         raise FileNotFoundError(f"no committed epochs under {root}")
     return spark.read.parquet(os.path.join(root, vs[-1], which))
