@@ -549,6 +549,17 @@ def cql_select(
     if proj != "*":
         items = [p.strip() for p in _split_projection(proj)]
         items, df = _rewrite_selectors(items, df, meta, s.table)
+        if any(re.search(r"\btoken\s*\(", i, re.IGNORECASE) for i in items):
+            # token() as a selector (SELECT token(pk) ...): same Murmur3
+            # convention as the WHERE-clause rewrite
+            murmur3.ensure_token_registered(spark)
+            items = [
+                re.sub(
+                    r"\btoken\s*\(", "cassandra_token(", i,
+                    flags=re.IGNORECASE,
+                )
+                for i in items
+            ]
         df = df.selectExpr(*[_rewrite_similarity(i) for i in items])
     if s.json:
         df = _to_json_row(df)

@@ -550,15 +550,21 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l2d_embedding_neardup_prod",
-    oracle=_embedding_neardup_oracle(ND_PLANES_PROD),
+    # the oracle mirrors the sf0.01 instantiation (500 vectors) — the one
+    # scale the driver's correctness gate runs at; at other scales the
+    # Spark side re-derives planes from the actual corpus
+    oracle=_embedding_neardup_oracle(planes_for_corpus(500)),
 )
 def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shape config: 14 planes (16384 buckets) =
-    ``planes_for_corpus(20_000)`` — occupancy-constant sizing for the 10×
-    stress corpus. The scale-stress harness measures this variant staying
-    near-linear where the fixed 10-plane config goes super-linear. See
-    :func:`embedding_neardup` and :func:`planes_for_corpus`."""
-    return embedding_neardup(spark, sf_dir, ND_PLANES_PROD)
+    """Production-shape config: the plane count is DERIVED from the corpus
+    at plan time via the occupancy-constant rule (`planes_for_corpus`,
+    parquet-footer row count — metadata-only). A fixed plane count is the
+    one genuine scale killer in this family: round-5 stress measured the
+    previously-pinned 14 planes at 244× runtime for 100× corpus (bucket
+    occupancy grew 12×), while this adaptive sizing holds occupancy — and
+    Σ bucket² cost — linear. See :func:`embedding_neardup`."""
+    n = Catalog(spark, sf_dir).embeddings.count()
+    return embedding_neardup(spark, sf_dir, planes_for_corpus(n))
 
 
 # ---------------------------------------------------------------------------

@@ -242,3 +242,18 @@ def test_select_json_star(spark):
     ).collect()
     assert len(rows) == 5
     assert all(r["[json]"].startswith('{"r_regionkey":') for r in rows)
+
+
+def test_token_is_bit_exact_murmur3(spark):
+    """CQL token() must produce Cassandra's real Murmur3 tokens for
+    bigint partition keys (8-byte big-endian serialization)."""
+    from cassandra_spark.operators.murmur3 import token_of_bigint
+
+    rows = q(
+        spark,
+        "SELECT o_custkey, token(o_custkey) AS tok FROM orders "
+        "WHERE o_custkey IN (1, 7, 42)",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["tok"] == token_of_bigint(r["o_custkey"])

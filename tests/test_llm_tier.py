@@ -358,3 +358,13 @@ def test_planes_for_corpus_sizing_rule():
     for n in (10**4, 10**6, 10**8):
         occ = n / (2 ** planes_for_corpus(n))
         assert 0.75 <= occ <= 3.0
+
+
+def test_l2d_prod_planes_adapt_to_corpus(spark):
+    """The prod near-dup variant derives its plane count from the corpus
+    (the fixed-count variant is the diagnostic): the oracle pin must equal
+    the sf0.01 instantiation, and larger corpora must get more planes."""
+    from cassandra_spark.operators.llm_vectors import planes_for_corpus
+
+    assert planes_for_corpus(500) == 8  # sf0.01 — the oracle's pin
+    assert planes_for_corpus(200_000) > planes_for_corpus(2_000)

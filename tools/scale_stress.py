@@ -92,6 +92,34 @@ STRESS_QUERIES = (
     "q_flagship_revenue_by_nation",
 )
 
+# The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
+# the PROD dedup/ANN variants only, the iterative algorithms, and the LWW
+# merge. The registry's diagnostic=True configs (fixed-plane l2d, blocked
+# n-gram Jaccard) are EXCLUDED at this factor by design — they are
+# deliberately-naive baselines whose super-linear growth is the documented
+# point; run() logs the exclusion so the cap is never silent.
+STRESS_QUERIES_100 = (
+    "l1_exact_dedup",
+    "l2_minhash_neardup_prod",
+    "l2b_simhash",
+    "l2d_embedding_neardup_prod",
+    "l17_dedup_clusters",
+    "l18_kmeans",
+    "l3b_lsh_ann",
+    "l3c_ivf_ann",
+    "x15_shipping_priority",
+    "x17_large_orders",
+    "x17_large_orders_bucketed",
+    "x23_waiting_suppliers",
+    "x23_waiting_suppliers_bucketed",
+    "x25_nation_volume",
+    "x28_pricing_summary",
+    "x34_product_profit",
+    "x37_concentrated_suppliers",
+    "w4_upsert_merge",
+    "q_flagship_revenue_by_nation",
+)
+
 
 def amp_dir(factor: int) -> Path:
     return REPO / ".scale_stress" / f"x{factor}"
@@ -103,9 +131,9 @@ def build(spark: SparkSession, factor: int, force: bool = False) -> Path:
     if marker.exists() and not force:
         print(f"[build] {out} already built, skipping", file=sys.stderr)
         return out
-    if out.exists():
+    if force and out.exists():
         shutil.rmtree(out)
-    out.mkdir(parents=True)
+    out.mkdir(parents=True, exist_ok=True)
 
     rep = F.broadcast(
         spark.range(factor).withColumnRenamed("id", "r")
@@ -114,6 +142,11 @@ def build(spark: SparkSession, factor: int, force: bool = False) -> Path:
     for name in TABLE_NAMES:
         src = load_table(spark, BASE_DIR, name)
         dst = str(out / f"{name}.parquet")
+        if (out / f"{name}.parquet" / "_SUCCESS").exists():
+            # resumable build: a completed per-table write survives an
+            # interrupted run; only unfinished tables are (re)built
+            print(f"[build] {name} already complete, skipping", file=sys.stderr)
+            continue
         if name in COPY_TABLES:
             src.coalesce(1).write.mode("overwrite").parquet(dst)
             continue
@@ -329,16 +362,39 @@ def main() -> None:
         build(spark, args.factor, force=args.force)
     report = None
     if args.cmd in ("run", "all"):
-        names = args.queries.split(",") if args.queries else list(STRESS_QUERIES)
+        if args.queries:
+            names = args.queries.split(",")
+        elif args.factor >= 100:
+            names = list(STRESS_QUERIES_100)
+            dropped = sorted(set(STRESS_QUERIES) - set(names))
+            print(
+                f"[run] factor {args.factor}: diagnostic configs excluded "
+                f"by design: {dropped}",
+                file=sys.stderr,
+            )
+        else:
+            names = list(STRESS_QUERIES)
         report = run(spark, args.factor, names, args.repeat)
-        if args.cmd == "run":
-            # a query-only re-run must not drop previously measured
-            # replay-tier curves from the artifact
-            out_path = Path(args.out)
-            if out_path.exists():
-                prev = json.loads(out_path.read_text())
-                if "replay" in prev:
-                    report["replay"] = prev["replay"]
+        out_path = Path(args.out)
+        if out_path.exists():
+            prev = json.loads(out_path.read_text())
+            # keep replay curves and other factors' runs across re-runs
+            if "replay" in prev:
+                report["replay"] = prev["replay"]
+            runs = prev.get("runs", {})
+            prev_key = f"x{prev.get('factor')}"
+            if prev_key not in runs and "queries" in prev:
+                runs[prev_key] = {
+                    "value": prev.get("value"),
+                    "queries": prev["queries"],
+                }
+            report["runs"] = {
+                **runs,
+                f"x{args.factor}": {
+                    "value": report["value"],
+                    "queries": report["queries"],
+                },
+            }
     if args.cmd in ("replay", "all"):
         replay = replay_stress(spark, args.factor)
         if report is None:  # replay-only: merge into the existing report
