@@ -1,13 +1,13 @@
 """Dependency-free image codecs for the L4 multimodal tier: BMP (24-bit
-uncompressed), PPM (P6 binary), and baseline sequential JPEG (operators/
+uncompressed), PPM (P6 binary), 8-bit PNG (zlib + per-row filters,
+non-interlaced and Adam7), and baseline + progressive JPEG (operators/
 jpeg.py — pure Python + numpy) decode, plus nearest-neighbor resampling —
 so the decode → resize pipeline runs REAL bytes end-to-end in this
 container (`allow_stub=False`).
 
-PNG (zlib+filters) and video stay behind the stub gate in
-llm_multimodal.py; progressive/arithmetic JPEG raises and degrades to the
-stub path. The Spark-side contract (batch shape, schema, partitioning) is
-identical either way.
+Video and the exotic raster variants (16-bit PNG, arithmetic-coded JPEG)
+stay behind the stub gate in llm_multimodal.py. The Spark-side contract
+(batch shape, schema, partitioning) is identical either way.
 
 All functions are worker-safe pure functions over bytes: they run inside
 Arrow-batched mapInPandas with no driver state.
@@ -349,7 +349,8 @@ def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
     None when the format isn't locally decodable (caller decides
     stub/raise). Raises ValueError for recognized-but-unsupported variants
-    (e.g. progressive JPEG) — decode_batch degrades those to the stub."""
+    (e.g. arithmetic-coded JPEG) — decode_batch degrades those to the
+    stub."""
     mime = sniff_mime(data)
     if mime == BMP_MIME:
         return (mime, *decode_bmp(data))

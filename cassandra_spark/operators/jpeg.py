@@ -183,10 +183,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes:
-    """Top-down RGB bytes → baseline sequential JPEG (YCbCr 4:4:4)."""
-    if len(rgb) != width * height * 3:
-        raise ValueError("rgb length must be width*height*3")
+def _rgb_to_quantized(
+    width: int, height: int, rgb: bytes, quality: int
+) -> tuple[list[np.ndarray], list[np.ndarray], int, int]:
+    """RGB → per-component quantized coefficient blocks in ZIGZAG order:
+    ([Y, Cb, Cr] each shaped (nby, nbx, 64) int64, [qt_luma, qt_chroma],
+    nby, nbx). Shared by the baseline and progressive encoders so both
+    scan scripts serialize identical coefficients (4:4:4)."""
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
         np.float64
     )
@@ -197,6 +200,32 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes
         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
     qts = [_quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)]
+    ph = (height + 7) & ~7
+    pw = (width + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    out = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((ph, pw))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        ti = 0 if ci == 0 else 1
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]  # scan order i holds block idx ZIGZAG[i]
+        out.append(zz)
+    return out, qts, nby, nbx
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes:
+    """Top-down RGB bytes → baseline sequential JPEG (YCbCr 4:4:4)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    blocks, qts, nby, nbx = _rgb_to_quantized(width, height, rgb, quality)
     dc_tabs = [
         _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
         _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
@@ -206,31 +235,16 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes
         _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
     ]
 
-    # pad each plane to multiples of 8 by edge replication
-    ph = (height + 7) & ~7
-    pw = (width + 7) & ~7
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:height, :width] = p
-        pp[height:, :width] = p[-1:, :]
-        pp[:, width:] = pp[:, width - 1 : width]
-        padded.append(pp)
-
     w = _BitWriter()
     pred = [0, 0, 0]
-    inv_zz = ZIGZAG  # scan position i reads block index ZIGZAG[i]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for by in range(nby):
+        for bx in range(nbx):
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
-                block = padded[ci][by : by + 8, bx : bx + 8] - 128.0
-                coef = _DCT @ block @ _DCT.T
-                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
-                zz = [int(q[inv_zz[i]]) for i in range(64)]
+                zz = blocks[ci][by, bx]
                 # DC
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
                 t, bits = _magnitude(diff)
                 code, length = dc_tabs[ti][t]
                 w.write(code, length)
@@ -239,7 +253,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes
                 # AC with run-length + ZRL/EOB
                 run = 0
                 for i in range(1, 64):
-                    v = zz[i]
+                    v = int(zz[i])
                     if v == 0:
                         run += 1
                         continue
@@ -285,6 +299,239 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes
     out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (SOF2 scan scripts, spec Annex G) ------------------
+#
+# Fixture source for the progressive decoder: a libjpeg-style scan script
+# covering every progressive scan kind — DC first with point transform,
+# spectral-selection AC bands, DC refinement, and AC successive-
+# approximation refinement (the jcphuff.c correction-bit algorithm).
+# Coefficients come from the same _rgb_to_quantized pipeline as the
+# baseline encoder, so progressive-decode output must be pixel-identical
+# to baseline-decode output for the same (image, quality).
+
+
+class _ProgACState:
+    """EOB-run + run-attached correction bits for one AC scan (jcphuff's
+    EOBRUN/BE pair; the block-local BR buffer lives in _emit_ac_refine).
+    Bit order is the decoder's consumption order: EOBn symbol + extra
+    bits, THEN the correction bits accumulated across the run's blocks."""
+
+    def __init__(self, w: _BitWriter, ac_tab) -> None:
+        self.w = w
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.be_bits: list[int] = []  # correction bits bound to the run
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun == 0:
+            return  # be_bits is empty by construction when no run pends
+        nbits = self.eobrun.bit_length() - 1
+        code, length = self.ac[nbits << 4]
+        self.w.write(code, length)
+        if nbits:
+            self.w.write(self.eobrun - (1 << nbits), nbits)
+        self.eobrun = 0
+        for bit in self.be_bits:
+            self.w.write(bit, 1)
+        self.be_bits = []
+
+
+def _emit_ac_first(
+    st: _ProgACState, zz: np.ndarray, Ss: int, Se: int, Al: int
+) -> None:
+    """One block of an AC 'first' scan (Ah=0): run-lengths over the
+    shifted band with shared EOB runs."""
+    w, ac = st.w, st.ac
+    run = 0
+    emitted = False
+    for k in range(Ss, Se + 1):
+        v = int(zz[k]) >> Al if int(zz[k]) >= 0 else -((-int(zz[k])) >> Al)
+        if v == 0:
+            run += 1
+            continue
+        st.flush_eobrun()
+        while run > 15:
+            code, length = ac[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, length = ac[(run << 4) | t]
+        w.write(code, length)
+        w.write(bits, t)
+        run = 0
+        emitted = True
+    if run > 0 or not emitted:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _emit_ac_refine(
+    st: _ProgACState, zz: np.ndarray, Ss: int, Se: int, Al: int
+) -> None:
+    """One block of an AC refinement scan (Ah = Al+1): newly-nonzero
+    coefficients carry magnitude 1 at this precision; already-nonzero ones
+    emit one correction bit, buffered across runs exactly as jcphuff's
+    BR_buffer (decoder consumes them in the same order)."""
+    w, ac = st.w, st.ac
+    absv = [0] * 64
+    eob_k = Ss - 1
+    for k in range(Ss, Se + 1):
+        a = abs(int(zz[k])) >> Al
+        absv[k] = a
+        if a == 1:
+            eob_k = k
+    run = 0
+    br_bits: list[int] = []  # block-local correction bits (jcphuff BR)
+    for k in range(Ss, Se + 1):
+        temp = absv[k]
+        if temp == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob_k:
+            st.flush_eobrun()
+            code, length = ac[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+            for bit in br_bits:
+                w.write(bit, 1)
+            br_bits = []
+        if temp > 1:
+            # already nonzero at the previous precision: correction bit
+            br_bits.append(temp & 1)
+            continue
+        st.flush_eobrun()
+        code, length = ac[(run << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(zz[k]) > 0 else 0, 1)
+        run = 0
+        for bit in br_bits:
+            w.write(bit, 1)
+        br_bits = []
+    if run > 0 or br_bits:
+        # block ends inside an EOB run; its leftover correction bits
+        # ride with the run and flush after the EOBn symbol
+        st.eobrun += 1
+        st.be_bits.extend(br_bits)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+# Progressive AC scans emit EOBn symbols ((n<<4)|0, n=1..14) that the
+# standard sequential tables do not contain, so the progressive encoder
+# carries its own generic AC table: every symbol it can emit at a flat
+# 9-bit code (176 symbols < 2^9, all-ones code unused — canonical-valid,
+# deliberately non-optimal; fixtures trade size for coverage).
+_AC_PROG_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)  # all codes at length 9
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 85
+) -> bytes:
+    """Top-down RGB bytes → progressive JPEG (SOF2, YCbCr 4:4:4) with a
+    10-scan script exercising DC first (Al=1), spectral-selection AC
+    bands with point transform, DC refinement, and chained AC
+    refinements down to full precision."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    blocks, qts, nby, nbx = _rgb_to_quantized(width, height, rgb, quality)
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    prog_ac = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    ac_tabs = [prog_ac, prog_ac]
+
+    def sos_header(comps: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci in comps:
+            ti = 0 if ci == 0 else 1
+            hdr += struct.pack("BB", ci + 1, (ti << 4) | ti)
+        return hdr + struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+
+    def dc_first_scan(Al: int) -> bytes:
+        w = _BitWriter()
+        pred = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    ti = 0 if ci == 0 else 1
+                    dc = int(blocks[ci][by, bx][0]) >> Al
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    t, bits = _magnitude(diff)
+                    code, length = dc_tabs[ti][t]
+                    w.write(code, length)
+                    if t:
+                        w.write(bits, t)
+        w.flush()
+        return bytes(w.out)
+
+    def dc_refine_scan(Al: int) -> bytes:
+        w = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    w.write((int(blocks[ci][by, bx][0]) >> Al) & 1, 1)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_scan(ci: int, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        w = _BitWriter()
+        st = _ProgACState(w, ac_tabs[0 if ci == 0 else 1])
+        for by in range(nby):
+            for bx in range(nbx):
+                if Ah == 0:
+                    _emit_ac_first(st, blocks[ci][by, bx], Ss, Se, Al)
+                else:
+                    _emit_ac_refine(st, blocks[ci][by, bx], Ss, Se, Al)
+        st.flush_eobrun()
+        w.flush()
+        return bytes(w.out)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, qt in enumerate(qts):
+        zzq = bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)  # SOF2
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_PROG_BITS, _AC_PROG_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_PROG_BITS, _AC_PROG_VALS),
+    ):
+        payload = bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), (cls << 4) | tid)
+        out += payload
+
+    # libjpeg-style script: coarse DC + banded AC first, then refinements
+    out += sos_header([0, 1, 2], 0, 0, 0, 1) + dc_first_scan(1)
+    out += sos_header([0], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+    out += sos_header([0], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+    out += sos_header([1], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += sos_header([2], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+    out += sos_header([0, 1, 2], 0, 0, 1, 0) + dc_refine_scan(0)
+    out += sos_header([0], 1, 63, 2, 1) + ac_scan(0, 1, 63, 2, 1)
+    out += sos_header([0], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += sos_header([1], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += sos_header([2], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -379,19 +626,40 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _scan_end(data: bytes, pos: int) -> int:
+    """Position of the marker terminating the entropy-coded segment that
+    starts at ``pos`` (skipping stuffed FF00 and RST markers)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline sequential JPEG → (width, height, 3, top-down RGB bytes).
-    Raises ``ValueError`` for progressive/arithmetic/12-bit variants and
-    malformed streams."""
+    """Baseline sequential (SOF0/1) or PROGRESSIVE (SOF2) JPEG →
+    (width, height, 3, top-down RGB bytes). Progressive scans accumulate
+    into per-component coefficient buffers (DC/AC, first/refine with
+    shared EOB runs — spec Annex G / the jdphuff.c algorithms) and are
+    rendered once at EOI. Raises ``ValueError`` for arithmetic-coded,
+    lossless, hierarchical, and 12-bit variants."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps)
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    pred: list[int] = []
     restart_interval = 0
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
@@ -423,7 +691,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -434,9 +702,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w_, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            raise ValueError(
+                "only baseline and progressive DCT JPEG are supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -447,11 +718,224 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff,
+                    restart_interval,
+                )
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            AhAl = seg[3 + 2 * ns]
+            if coefs is None:
+                h, w_, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for _, ch, cv, _ in comps
+                ]
+                pred = [0] * len(comps)
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scan,
+                Ss, Se, AhAl >> 4, AhAl & 0xF,
+                huff, coefs, pred, restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _render_progressive(frame, coefs, qt)
     raise ValueError("no scan data found")
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, Ss, Se, Ah, Al, huff, coefs, pred,
+    restart_interval,
+):
+    """One progressive SOS: route each block of the scan's component(s)
+    through the DC/AC first/refine block decoders; returns the stream
+    position of the terminating marker. DC predictors persist across DC
+    scans of the same progression (reset at restarts), EOB runs are
+    scan-local."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    state = _ProgDecState()
+    if Ss == 0 and Ah == 0:
+        for ci in (cid_to_ci[cs] for cs, _, _ in scan):
+            pred[ci] = 0
+
+    def restart_check(count: int) -> None:
+        if restart_interval and count and count % restart_interval == 0:
+            br.sync_restart()
+            state.eobrun = 0
+            for i in range(len(pred)):
+                pred[i] = 0
+
+    if len(scan) > 1:
+        # interleaved (DC scans only, per spec): MCU order
+        if Ss != 0:
+            raise ValueError("interleaved AC scan is not legal JPEG")
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_check(count)
+                for cs, td, _ in scan:
+                    ci = cid_to_ci[cs]
+                    _, ch, cv, _ = comps[ci]
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            zz = coefs[ci][my * cv + vy, mx * ch + vx]
+                            _dec_dc_block(
+                                br, huff.get((0, td)), zz, Ah, Al, pred, ci
+                            )
+                count += 1
+    else:
+        cs, td, ta = scan[0]
+        ci = cid_to_ci[cs]
+        _, ch, cv, _ = comps[ci]
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                restart_check(count)
+                zz = coefs[ci][by, bx]
+                if Ss == 0:
+                    _dec_dc_block(
+                        br, huff.get((0, td)), zz, Ah, Al, pred, ci
+                    )
+                elif Ah == 0:
+                    _dec_ac_first(br, huff.get((1, ta)), zz, Ss, Se, Al, state)
+                else:
+                    _dec_ac_refine(br, huff.get((1, ta)), zz, Ss, Se, Al, state)
+                count += 1
+    return _scan_end(data, pos)
+
+
+class _ProgDecState:
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _dec_dc_block(br, dct, zz, Ah, Al, pred, ci) -> None:
+    if Ah == 0:  # DC first: diff-coded at reduced precision
+        if dct is None:
+            raise ValueError("missing DC Huffman table")
+        t = _huff_decode(br, dct)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        pred[ci] += diff
+        zz[0] = pred[ci] << Al
+    else:  # DC refine: one bit of added precision
+        if br.read_bit():
+            zz[0] = int(zz[0]) | (1 << Al)
+
+
+def _dec_ac_first(br, act, zz, Ss, Se, Al, state) -> None:
+    if act is None:
+        raise ValueError("missing AC Huffman table")
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                state.eobrun = (1 << r) - 1
+                if r:
+                    state.eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.read_bits(s), s) << Al
+        k += 1
+
+
+def _dec_ac_refine(br, act, zz, Ss, Se, Al, state) -> None:
+    """jdphuff.c decode_mcu_AC_refine: newly-nonzero coefficients arrive
+    as ±1<<Al; every nonzero-history coefficient passed over consumes one
+    correction bit."""
+    if act is None:
+        raise ValueError("missing AC Huffman table")
+    p1 = 1 << Al
+    m1 = -1 << Al
+
+    def correct(k: int) -> None:
+        c = int(zz[k])
+        if br.read_bit() and (c & p1) == 0:
+            zz[k] = c + (p1 if c >= 0 else m1)
+
+    k = Ss
+    if state.eobrun == 0:
+        while k <= Se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state.eobrun = 1 << r
+                    if r:
+                        state.eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= Se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                zz[k] = val
+            k += 1
+    if state.eobrun > 0:
+        while k <= Se:
+            if int(zz[k]) != 0:
+                correct(k)
+            k += 1
+        state.eobrun -= 1
+
+
+def _render_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient buffers and convert
+    to RGB — the one-shot rendering a progressive decoder performs after
+    the final scan."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        qtab = qt.get(tq)
+        if qtab is None:
+            raise ValueError("missing quant table")
+        nby, nbx, _ = coefs[ci].shape
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                coef = np.zeros(64)
+                coef[ZIGZAG] = zz * qtab[ZIGZAG]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -517,7 +1001,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         planes[ci][by : by + 8, bx : bx + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution and convert
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to full resolution and convert YCbCr →
+    RGB (shared by the sequential and progressive renderers)."""
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = planes[ci]

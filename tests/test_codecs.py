@@ -410,3 +410,117 @@ def test_adam7_flows_through_decode_image():
     mime, w, h, ch, out = decode_image(encode_png(9, 6, rgb, interlace=True))
     assert (mime, w, h, ch) == ("image/png", 9, 6, 3)
     assert out == rgb
+
+
+# --- progressive JPEG (SOF2) ------------------------------------------------
+
+
+def test_progressive_jpeg_matches_baseline_pixels():
+    """The 10-scan progressive script (DC first with point transform,
+    spectral bands, DC refine, chained AC refinements) must reconstruct
+    EXACTLY the pixels the baseline scan produces for the same quantized
+    coefficients — scan scripting cannot change the rendered image."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h in ((16, 16), (24, 17), (8, 8), (33, 9)):
+        base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256)
+        img = np.stack([base, 255 - base, (base * 2) % 256], axis=-1)
+        img = np.clip(
+            img + rng.normal(0, 20, img.shape), 0, 255
+        ).astype(np.uint8)
+        rgb = img.tobytes()
+        assert (
+            decode_jpeg(encode_jpeg_progressive(w, h, rgb))[3]
+            == decode_jpeg(encode_jpeg(w, h, rgb))[3]
+        ), f"{w}x{h}"
+
+
+def test_progressive_jpeg_through_decode_image():
+    import numpy as np
+
+    from cassandra_spark.operators.codecs import decode_image
+    from cassandra_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    out = decode_image(encode_jpeg_progressive(20, 12, img.tobytes()))
+    assert out is not None
+    mime, w, h, ch, rgb = out
+    assert (mime, w, h, ch) == ("image/jpeg", 20, 12, 3)
+    assert len(rgb) == 20 * 12 * 3
+
+
+def test_arithmetic_jpeg_still_raises():
+    import struct
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    # SOF9 (arithmetic sequential): recognized, honestly refused
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    try:
+        decode_jpeg(data)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_progressive_jpeg_matches_imageio_reference(spark):
+    """Independent-encoder check: the JDK's ImageIO JPEG writer in
+    progressive mode (its own libjpeg-style scan script, successive
+    approximation, subsampled chroma) produces a real SOF2 file; our
+    decoder's pixels must match ImageIO's own decode up to chroma
+    upsampling noise — the same threshold as the baseline cross-check."""
+    import glob
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg"
+        )
+    )
+    if not files:
+        _pytest.skip("no sample JPEGs in this container")
+    dst = "/tmp/codecs_prog_ref.jpg"
+    jvm = spark._jvm
+    File = jvm.java.io.File
+    ImageIO = jvm.javax.imageio.ImageIO
+    img = ImageIO.read(File(files[0]))
+    writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    ios = ImageIO.createImageOutputStream(File(dst))
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    writer.dispose()
+
+    data = open(dst, "rb").read()
+    assert b"\xff\xc2" in data, "ImageIO did not emit SOF2"
+    w, h, c, rgb = decode_jpeg(data)
+    row = spark.read.format("image").load(dst).select("image.*").head()
+    assert (w, h) == (row.width, row.height)
+    ref = (
+        np.frombuffer(bytes(row.data), np.uint8)
+        .reshape(row.height, row.width, row.nChannels)[..., ::-1]
+        .astype(int)
+    )
+    mine = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    err = np.abs(ref - mine)
+    assert err.mean() < 1.0
+    assert (err > 4).mean() < 0.01
