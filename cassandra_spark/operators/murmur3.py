@@ -162,6 +162,80 @@ def _np_fmix(k: np.ndarray) -> np.ndarray:
     return k
 
 
+def tokens_of_byte_matrix(mat: np.ndarray) -> np.ndarray:
+    """Murmur3 tokens of N same-length keys, fully vectorized: ``mat`` is
+    (n, L) uint8 — body blocks (masked little-endian) and the signed tail,
+    any L. The building block of the length-grouped text-key path."""
+    n, L = mat.shape
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    nblocks = L // 16
+    for i in range(nblocks):
+        blk = mat[:, i * 16 : i * 16 + 16].astype(np.uint64)
+        k1 = np.zeros(n, dtype=np.uint64)
+        k2 = np.zeros(n, dtype=np.uint64)
+        for j in range(8):
+            k1 = k1 | (blk[:, j] << _U(8 * j))
+            k2 = k2 | (blk[:, 8 + j] << _U(8 * j))
+        k1 = _np_rotl(k1 * _U(C1), 31) * _U(C2)
+        h1 = h1 ^ k1
+        h1 = _np_rotl(h1, 27) + h2
+        h1 = h1 * _U(5) + _U(0x52DCE729)
+        k2 = _np_rotl(k2 * _U(C2), 33) * _U(C1)
+        h2 = h2 ^ k2
+        h2 = _np_rotl(h2, 31) + h1
+        h2 = h2 * _U(5) + _U(0x38495AB5)
+    t = L - nblocks * 16
+    if t > 0:
+        tail = mat[:, nblocks * 16 :]
+
+        def signed_lane(col: np.ndarray, shift: int) -> np.ndarray:
+            sb = col.astype(np.int64)
+            sb = np.where(sb >= 128, sb - 256, sb).view(np.uint64)
+            return sb << _U(shift)
+
+        if t > 8:
+            k2 = np.zeros(n, dtype=np.uint64)
+            for j in range(8, t):
+                k2 = k2 ^ signed_lane(tail[:, j], 8 * (j - 8))
+            h2 = h2 ^ (_np_rotl(k2 * _U(C2), 33) * _U(C1))
+        k1 = np.zeros(n, dtype=np.uint64)
+        for j in range(min(t, 8)):
+            k1 = k1 ^ signed_lane(tail[:, j], 8 * j)
+        h1 = h1 ^ (_np_rotl(k1 * _U(C1), 31) * _U(C2))
+    h1 = h1 ^ _U(L)
+    h2 = h2 ^ _U(L)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _np_fmix(h1)
+    h2 = _np_fmix(h2)
+    h1 = h1 + h2
+    tok = h1.view(np.int64)
+    return np.where(tok == np.int64(MIN64), np.int64(MAX64), tok)
+
+
+def tokens_of_texts(values: list) -> np.ndarray:
+    """Murmur3 tokens of text keys (UTF-8 serialization), vectorized by
+    LENGTH GROUP: keys of equal byte length form one (n, L) uint8 matrix
+    hashed in SIMD passes — the production path for text-keyed rings
+    (per-key Python only at group-assembly time, never in the hash)."""
+    encoded = [v.encode("utf-8") for v in values]
+    out = np.empty(len(encoded), dtype=np.int64)
+    by_len: dict[int, list[int]] = {}
+    for i, b in enumerate(encoded):
+        by_len.setdefault(len(b), []).append(i)
+    for L, idxs in by_len.items():
+        if L == 0:
+            for i in idxs:
+                out[i] = murmur3_token(b"")
+            continue
+        mat = np.frombuffer(
+            b"".join(encoded[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), L)
+        out[np.array(idxs)] = tokens_of_byte_matrix(mat)
+    return out
+
+
 def tokens_of_bigints(values: np.ndarray) -> np.ndarray:
     """Murmur3 tokens of an int64 array, fully vectorized. An 8-byte key
     has no body blocks — only the signed-byte tail (case 8..1) and the
@@ -218,15 +292,17 @@ def ensure_token_registered(spark) -> None:
     def cassandra_token(keys: pd.Series) -> pd.Series:
         if pd.api.types.is_integer_dtype(keys.dtype) and not keys.isna().any():
             return pd.Series(tokens_of_bigints(keys.to_numpy(dtype=np.int64)))
-        out = []
-        for v in keys:
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                out.append(None)
-            elif isinstance(v, (int, np.integer)):
-                out.append(token_of_bigint(int(v)))
+        mask = keys.notna().to_numpy()
+        result = pd.array([None] * len(keys), dtype="Int64")
+        if mask.any():
+            vals = keys[mask]
+            if isinstance(vals.iloc[0], (int, np.integer)):
+                toks = tokens_of_bigints(vals.to_numpy(dtype=np.int64))
             else:
-                out.append(token_of_text(str(v)))
-        return pd.Series(out, dtype="object").astype("Int64")
+                # length-grouped SIMD text path (tokens_of_texts)
+                toks = tokens_of_texts([str(v) for v in vals])
+            result[mask] = toks
+        return pd.Series(result, dtype="Int64")
 
     spark.udf.register("cassandra_token", cassandra_token)
     spark._cassandra_token_registered = True
@@ -259,6 +335,89 @@ def _sql_rotl(a: str, r: int) -> str:
     return f"(((({a}) * {1 << r}) % {_P64}) + (({a}) // {1 << (64 - r)}))"
 
 
+def _token_chain_steps(
+    byte_exprs: list[str], len_expr: str
+) -> list[tuple[str, str]]:
+    """The Murmur3 tail+finalize chain over ≤15 byte lanes, as
+    (alias, expr) projection steps. ``byte_exprs[i]`` must yield byte i
+    (0-255) or NULL past the key length; NULL lanes contribute nothing.
+    Handles both tail legs: bytes 0-7 -> k1/h1, bytes 8-14 -> k2/h2
+    (applied only when len > 8), exactly the reference's fallthrough."""
+    steps: list[tuple[str, str]] = [("__len", len_expr)]
+    nb = len(byte_exprs)
+    if nb > 15:
+        raise ValueError("byte-lane chain supports keys up to 15 bytes")
+    for i, be in enumerate(byte_exprs):
+        steps.append((f"__b{i}", be))
+    for i in range(nb):
+        sb = f"(CASE WHEN __b{i} >= 128 THEN __b{i} - 256 ELSE __b{i} END)"
+        lane = i if i < 8 else i - 8  # k2 lanes restart at shift 0
+        steps.append(
+            (
+                f"__s{i}",
+                f"CASE WHEN __b{i} IS NULL THEN 0 ELSE "
+                f"((({sb}) + {_P64}) % {_P64}) * {1 << (8 * lane)} % {_P64} "
+                f"END",
+            )
+        )
+
+    def xor_tree(names: list[str]) -> str:
+        while len(names) > 1:
+            names = [
+                f"xor({names[j]}, {names[j + 1]})"
+                if j + 1 < len(names)
+                else names[j]
+                for j in range(0, len(names), 2)
+            ]
+        return names[0] if names else "0"
+
+    steps.append(("__k1", xor_tree([f"__s{i}" for i in range(min(nb, 8))])))
+    steps.append(("__k1a", _sql_mul64("__k1", C1)))
+    steps.append(("__k1b", _sql_rotl("__k1a", 31)))
+    steps.append(("__h1a", _sql_mul64("__k1b", C2)))  # h1 = 0 ^ mix(k1)
+    if nb > 8:
+        steps.append(("__k2", xor_tree([f"__s{i}" for i in range(8, nb)])))
+        steps.append(("__k2a", _sql_mul64("__k2", C2)))
+        steps.append(("__k2b", _sql_rotl("__k2a", 33)))
+        steps.append(("__k2c", _sql_mul64("__k2b", C1)))
+        steps.append(
+            ("__h2a", f"CASE WHEN __len > 8 THEN __k2c ELSE 0 END")
+        )
+    else:
+        steps.append(("__h2a", "0"))
+    steps.append(("__h1b", "xor(__h1a, __len)"))  # h1 ^= len
+    steps.append(("__h2b", "xor(__h2a, __len)"))  # h2 ^= len
+    steps.append(("__h1c", f"(__h1b + __h2b) % {_P64}"))  # h1 += h2
+    steps.append(("__h2c", f"(__h2b + __h1c) % {_P64}"))  # h2 += h1
+    for tag, src in (("1", "__h1c"), ("2", "__h2c")):
+        steps.append((f"__f{tag}a", f"xor({src}, {src} // {1 << 33})"))
+        steps.append((f"__f{tag}b", _sql_mul64(f"__f{tag}a", 0xFF51AFD7ED558CCD)))
+        steps.append((f"__f{tag}c", f"xor(__f{tag}b, __f{tag}b // {1 << 33})"))
+        steps.append((f"__f{tag}d", _sql_mul64(f"__f{tag}c", 0xC4CEB9FE1A85EC53)))
+        steps.append((f"__f{tag}e", f"xor(__f{tag}d, __f{tag}d // {1 << 33})"))
+    steps.append(("__hf", f"(__f1e + __f2e) % {_P64}"))
+    steps.append(
+        ("__tok",
+         f"CAST(CASE WHEN __hf >= {1 << 63} THEN __hf - {_P64} ELSE __hf END"
+         " AS BIGINT)")
+    )
+    return steps
+
+
+def _wrap_chain(
+    base_sql: str, steps: list[tuple[str, str]], out: str
+) -> str:
+    q = base_sql
+    for name, expr in steps:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    names = ", ".join(n for n, _ in steps)
+    return (
+        f"SELECT * EXCLUDE ({names}), "
+        f"CAST(CASE WHEN __tok = {MIN64} THEN {MAX64} ELSE __tok END"
+        f" AS BIGINT) AS {out} FROM ({q})"
+    )
+
+
 def duckdb_token_query(base_sql: str, col: str, out: str = "token") -> str:
     """Wrap ``base_sql`` (any SELECT producing bigint column ``col``) in a
     nested-subquery chain that appends the Murmur3 token of ``col`` as
@@ -272,47 +431,30 @@ def duckdb_token_query(base_sql: str, col: str, out: str = "token") -> str:
         WITH toks AS MATERIALIZED ({duckdb_token_query(...)})
         SELECT * FROM toks WHERE token BETWEEN lo AND hi
     """
-    steps: list[tuple[str, str]] = []
-    # two's-complement uint64 bit pattern of the key
-    steps.append(
-        ("__u", f"((CAST({col} AS HUGEINT) % {_P64}) + {_P64}) % {_P64}")
+    pre = [("__u", f"((CAST({col} AS HUGEINT) % {_P64}) + {_P64}) % {_P64}")]
+    # 8-byte big-endian serialization of the bigint key
+    bytes_ = [f"(__u // {1 << (8 * (7 - i))}) % 256" for i in range(8)]
+    return _wrap_chain(
+        base_sql, pre + _token_chain_steps(bytes_, "8"), out
     )
-    # big-endian byte i, sign-extended (Java tail cast), as uint64 lanes
-    for i in range(8):
-        steps.append(("__b%d" % i, f"(__u // {1 << (8 * (7 - i))}) % 256"))
-    for i in range(8):
-        sb = f"(CASE WHEN __b{i} >= 128 THEN __b{i} - 256 ELSE __b{i} END)"
-        steps.append(
-            ("__s%d" % i, f"((({sb}) + {_P64}) % {_P64}) * {1 << (8 * i)} % {_P64}")
-        )
-    k = "xor(xor(xor(__s0, __s1), xor(__s2, __s3)), " \
-        "xor(xor(__s4, __s5), xor(__s6, __s7)))"
-    steps.append(("__k", k))
-    steps.append(("__ka", _sql_mul64("__k", C1)))
-    steps.append(("__kb", _sql_rotl("__ka", 31)))
-    steps.append(("__h1a", _sql_mul64("__kb", C2)))  # h1 = 0 ^ k1
-    steps.append(("__h1b", "xor(__h1a, 8)"))  # h1 ^= len; h2 = 0 ^ len = 8
-    steps.append(("__h1c", f"(__h1b + 8) % {_P64}"))  # h1 += h2
-    steps.append(("__h2c", f"(8 + __h1c) % {_P64}"))  # h2 += h1
-    for tag, src in (("1", "__h1c"), ("2", "__h2c")):
-        steps.append((f"__f{tag}a", f"xor({src}, {src} // {1 << 33})"))
-        steps.append((f"__f{tag}b", _sql_mul64(f"__f{tag}a", 0xFF51AFD7ED558CCD)))
-        steps.append((f"__f{tag}c", f"xor(__f{tag}b, __f{tag}b // {1 << 33})"))
-        steps.append((f"__f{tag}d", _sql_mul64(f"__f{tag}c", 0xC4CEB9FE1A85EC53)))
-        steps.append((f"__f{tag}e", f"xor(__f{tag}d, __f{tag}d // {1 << 33})"))
-    steps.append(("__hf", f"(__f1e + __f2e) % {_P64}"))
-    steps.append(
-        ("__tok",
-         f"CAST(CASE WHEN __hf >= {1 << 63} THEN __hf - {_P64} ELSE __hf END"
-         " AS BIGINT)")
-    )
-    q = base_sql
-    for name, expr in steps:
-        q = f"SELECT *, {expr} AS {name} FROM ({q})"
-    # MIN -> MAX normalization + drop intermediates
-    names = ", ".join(n for n, _ in steps)
-    return (
-        f"SELECT * EXCLUDE ({names}), "
-        f"CAST(CASE WHEN __tok = {MIN64} THEN {MAX64} ELSE __tok END"
-        f" AS BIGINT) AS {out} FROM ({q})"
+
+
+def duckdb_token_query_ascii(
+    base_sql: str, col: str, out: str = "token"
+) -> str:
+    """Murmur3 token of an ASCII text key (≤ 15 bytes) as DuckDB SQL —
+    the text serialization is the key's UTF-8 bytes, which equal
+    code points only for ASCII (``ord(substr(..))`` is code-point-based);
+    longer keys would need body blocks, which SQL cannot loop over. The
+    caller pins a column whose values satisfy both bounds (asserted in
+    tests for the fixture columns used)."""
+    bytes_ = [
+        f"CASE WHEN {i} < __len THEN ord(substr({col}, {i + 1}, 1)) "
+        "ELSE NULL END"
+        for i in range(15)
+    ]
+    return _wrap_chain(
+        base_sql,
+        _token_chain_steps(bytes_, f"octet_length(encode({col}))"),
+        out,
     )

@@ -325,6 +325,28 @@ def p5_token_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p6_token_text",
+    oracle=murmur3.duckdb_token_query_ascii(
+        "SELECT DISTINCT c_mktsegment FROM customer", "c_mktsegment"
+    ),
+)
+def p6_token_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring placement of a TEXT-keyed table's partitions: Murmur3 tokens
+    of the UTF-8-serialized key (`[C* db/marshal/UTF8Type, unverified]`).
+    The segment values span 8-10 bytes, so this is the oracle-checked
+    coverage of the k2 tail leg (bytes 8-14) that 8-byte bigint keys
+    never touch; the DuckDB side recomputes the identical hash from
+    per-character byte lanes (ASCII ≤ 15 bytes, asserted in tests)."""
+    murmur3.ensure_token_registered(spark)
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.select("c_mktsegment")
+        .distinct()
+        .withColumn("token", F.expr("cassandra_token(c_mktsegment)"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-tier: ordering / limits
 # ---------------------------------------------------------------------------

@@ -129,3 +129,76 @@ def test_token_udf_on_spark(spark):
     rows = {r["id"]: r["token"] for r in df.collect()}
     for k in (0, 1, 42, 999):
         assert rows[k] == token_of_bigint(k)
+
+
+def test_ascii_sql_chain_matches_python():
+    """The DuckDB byte-lane chain for text keys (both tail legs) agrees
+    with the pure-Python reference on mixed-length ASCII keys."""
+    import random
+
+    duckdb = pytest.importorskip("duckdb")
+    from cassandra_spark.operators.murmur3 import duckdb_token_query_ascii
+
+    random.seed(9)
+    vals = [
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD",
+        "click", "view", "a", "abcdefgh", "abcdefghi", "123456789012345",
+    ] + [
+        "".join(
+            random.choice("ABCdefGH123 #-")
+            for _ in range(random.randint(1, 15))
+        )
+        for _ in range(100)
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": vals}))
+    out = con.sql(duckdb_token_query_ascii("SELECT s FROM t", "s")).df()
+    for s, tok in zip(out["s"], out["token"]):
+        assert tok == token_of_text(s), s
+
+
+def test_p6_fixture_keys_satisfy_ascii_bounds(spark):
+    """The oracle's byte-lane chain requires ASCII keys of <= 15 bytes;
+    pin that the fixture column it is used on qualifies."""
+    from cassandra_spark.catalog import Catalog
+
+    segs = [
+        r["c_mktsegment"]
+        for r in Catalog(spark, "/root/testdata/sf0.01")
+        .customer.select("c_mktsegment").distinct().collect()
+    ]
+    assert segs
+    for s in segs:
+        assert s.isascii() and 1 <= len(s.encode()) <= 15, s
+
+
+def test_vectorized_text_tokens_match_python():
+    """The length-grouped SIMD text path equals the pure-Python reference
+    on mixed lengths (0..80 bytes: empty, tails, body blocks, non-ASCII
+    UTF-8 multibyte)."""
+    import random
+
+    from cassandra_spark.operators.murmur3 import (
+        tokens_of_byte_matrix,
+        tokens_of_texts,
+    )
+
+    random.seed(4)
+    vals = [
+        "", "a", "jim", "AUTOMOBILE", "x" * 15, "y" * 16, "z" * 17,
+        "w" * 33, "Customer#000000001", "héllo wörld ünïcode",
+    ] + [
+        "".join(
+            chr(random.randint(32, 300))
+            for _ in range(random.randint(0, 80))
+        )
+        for _ in range(200)
+    ]
+    got = tokens_of_texts(vals)
+    for v, tok in zip(vals, got):
+        assert tok == token_of_text(v), repr(v)
+    rng = np.random.default_rng(5)
+    for L in (1, 8, 9, 15, 16, 31, 50):
+        mat = rng.integers(0, 256, (30, L), dtype=np.uint8)
+        want = [murmur3_token(bytes(mat[i])) for i in range(30)]
+        assert list(tokens_of_byte_matrix(mat)) == want, L
