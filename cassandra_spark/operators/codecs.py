@@ -5,7 +5,8 @@ jpeg.py — pure Python + numpy) decode, plus nearest-neighbor resampling —
 so the decode → resize pipeline runs REAL bytes end-to-end in this
 container (`allow_stub=False`).
 
-Video and the exotic raster variants (16-bit PNG, arithmetic-coded JPEG)
+Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
+avi.py; the exotic raster variants (16-bit PNG, arithmetic-coded JPEG)
 stay behind the stub gate in llm_multimodal.py. The Spark-side contract
 (batch shape, schema, partitioning) is identical either way.
 
@@ -35,6 +36,8 @@ def sniff_mime(data: bytes) -> str | None:
         return JPEG_MIME
     if data[:8] == _PNG_SIG:
         return PNG_MIME
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "video/x-msvideo"  # demuxed by operators/avi.py, not here
     return None
 
 

@@ -14,10 +14,12 @@ interlaced), and both baseline sequential AND progressive JPEG
 multi-scan coefficient accumulation, cross-checked against Java ImageIO)
 decode to actual RGB pixels, flow through the pipeline as a binary pixels
 column, and resize runs a real nearest-neighbor resample —
-``allow_stub=False`` end-to-end. Remaining formats (video, 16-bit PNG,
-arithmetic-coded JPEG) still raise unless the caller opts into the
-deterministic fake decoder; the Spark-side contract (schema, Arrow batch
-shape, partitioning) is identical for both paths.
+``allow_stub=False`` end-to-end. Video is REAL for AVI containers (MJPG /
+raw-DIB streams, operators/avi.py): sample_frames demuxes the RIFF tree
+and decodes sampled frames to RGB. Remaining formats (non-AVI video,
+16-bit PNG, arithmetic-coded JPEG) still raise unless the caller opts
+into the deterministic fake decoder; the Spark-side contract (schema,
+Arrow batch shape, partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition
@@ -213,7 +215,14 @@ def resize_decoded(
 
 # --- frame sampling (video payload → frame rows) ---------------------------
 
-FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_sha string"
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_sha string, "
+    "src_frame int, width int, height int"
+)
+_FRAMES_COLS = [
+    "doc_id", "frame_idx", "frame_ts_ms", "frame_sha", "src_frame",
+    "width", "height",
+]
 
 
 def sample_frames(
@@ -221,40 +230,63 @@ def sample_frames(
     every_ms: int = 1000,
     *,
     allow_stub: bool = False,
+    payload_col: str = "text",
 ) -> DataFrame:
     """Frame-sampling stage: one output row per sampled frame — the
-    row-expanding (UDTF-shaped) mapInPandas. The stub derives a fake
-    duration from payload size (1 KB ≈ 1 s) and hashes the payload slice
-    each frame would decode from; a real demuxer (pyav/ffmpeg) keeps the
-    same contract: iterate batches, emit (key, frame_idx, ts, content)."""
+    row-expanding (UDTF-shaped) mapInPandas.
+
+    AVI payloads (MJPG or raw-DIB streams, operators/avi.py) demux and
+    decode for REAL: one sample every ``every_ms`` of stream time, each
+    hashing the decoded top-down RGB raster of the frame covering that
+    timestamp (``src_frame``/``width``/``height`` carry provenance).
+    Non-AVI payloads raise unless ``allow_stub`` opts into the
+    deterministic fake (1 byte ≈ 1 ms, hash of the undecoded slice,
+    NULL geometry) — the Spark-side contract is identical either way."""
     import hashlib
+
+    from cassandra_spark.operators.avi import (
+        decode_avi_frame,
+        demux_avi,
+        is_avi,
+    )
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
-            if not allow_stub:
-                raise NotImplementedError(
-                    "no video demuxer in this environment; "
-                    "pass allow_stub=True for the deterministic fake sampler"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
+                if is_avi(payload):
+                    stream = demux_avi(payload)
+                    decoded: dict[int, str] = {}
+                    duration = int(stream.duration_ms)
+                    for i, ts in enumerate(range(0, duration, every_ms)):
+                        src = min(
+                            int(ts // stream.frame_ms), len(stream.frames) - 1
+                        )
+                        if src not in decoded:
+                            rgb = decode_avi_frame(stream, src)
+                            decoded[src] = hashlib.sha1(rgb).hexdigest()
+                        rows.append(
+                            (doc_id, i, ts, decoded[src], src,
+                             stream.width, stream.height)
+                        )
+                    continue
+                if not allow_stub:
+                    raise NotImplementedError(
+                        "payload is not an AVI (the locally-demuxable video "
+                        "container); pass allow_stub=True for the "
+                        "deterministic fake sampler"
+                    )
                 duration_ms = len(payload)  # 1 byte ≈ 1 ms in the stub
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     chunk = payload[ts : ts + every_ms]
                     rows.append(
-                        (
-                            doc_id,
-                            i,
-                            ts,
-                            hashlib.sha1(chunk).hexdigest(),
-                        )
+                        (doc_id, i, ts, hashlib.sha1(chunk).hexdigest(),
+                         None, None, None)
                     )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_sha"]
-            )
+            yield pd.DataFrame(rows, columns=_FRAMES_COLS)
 
     src = docs.select(
-        F.col("doc_id"), F.col("text").cast("binary").alias("payload")
+        F.col("doc_id"), F.col(payload_col).cast("binary").alias("payload")
     )
     return src.mapInPandas(run, FRAMES_SCHEMA)

@@ -524,3 +524,85 @@ def test_progressive_jpeg_matches_imageio_reference(spark):
     err = np.abs(ref - mine)
     assert err.mean() < 1.0
     assert (err > 4).mean() < 0.01
+
+
+# --- AVI video (operators/avi.py) ------------------------------------------
+
+
+def _frames(w, h, n):
+    """n distinct gradient frames (frame index shifts the pattern)."""
+    out = []
+    for k in range(n):
+        rgb = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                rgb[i] = (x * 9 + k * 31) % 256
+                rgb[i + 1] = (y * 13 + k * 7) % 256
+                rgb[i + 2] = (x + y + k * 17) % 256
+        out.append(bytes(rgb))
+    return out
+
+
+def test_avi_dib_roundtrip_exact():
+    """Raw-DIB AVI: mux → demux → decode reproduces every raster exactly,
+    and timing metadata survives the container."""
+    from cassandra_spark.operators.avi import (
+        decode_avi_frame,
+        demux_avi,
+        encode_avi,
+        is_avi,
+    )
+
+    frames = _frames(13, 7, 5)  # odd width exercises DIB row padding
+    data = encode_avi(13, 7, frames, fps=10, codec="DIB ")
+    assert is_avi(data)
+    s = demux_avi(data)
+    assert (s.width, s.height, s.codec) == (13, 7, "DIB ")
+    assert s.usec_per_frame == 100_000 and len(s.frames) == 5
+    for i, f in enumerate(frames):
+        assert decode_avi_frame(s, i) == f
+
+
+def test_avi_mjpg_roundtrip_error_bounds():
+    """MJPG AVI: every 00dc chunk is a standalone baseline JPEG; decoded
+    frames match the encoder input within quantization error."""
+    import numpy as np
+
+    from cassandra_spark.operators.avi import (
+        decode_avi_frame,
+        demux_avi,
+        encode_avi,
+    )
+
+    w, h = 24, 16
+    frames = _frames(w, h, 3)
+    data = encode_avi(w, h, frames, fps=25, codec="MJPG", quality=90)
+    s = demux_avi(data)
+    assert (s.width, s.height, s.codec) == (w, h, "MJPG")
+    assert s.usec_per_frame == 40_000
+    for i, f in enumerate(frames):
+        assert s.frames[i][:3] == b"\xff\xd8\xff"  # real JPEG chunk
+        got = np.frombuffer(decode_avi_frame(s, i), np.uint8).astype(int)
+        ref = np.frombuffer(f, np.uint8).astype(int)
+        assert np.abs(got - ref).mean() < 12.0
+
+
+def test_avi_demux_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from cassandra_spark.operators.avi import demux_avi, encode_avi
+
+    with _pytest.raises(ValueError):
+        demux_avi(b"not a riff file at all")
+    data = encode_avi(8, 8, _frames(8, 8, 2), codec="DIB ")
+    with _pytest.raises(ValueError):
+        demux_avi(data[: len(data) // 2])
+
+
+def test_avi_sniffed_as_video():
+    from cassandra_spark.operators.avi import encode_avi
+    from cassandra_spark.operators.codecs import sniff_mime
+
+    data = encode_avi(4, 4, _frames(4, 4, 1), codec="DIB ")
+    assert sniff_mime(data) == "video/x-msvideo"

@@ -368,3 +368,65 @@ def test_l2d_prod_planes_adapt_to_corpus(spark):
 
     assert planes_for_corpus(500) == 8  # sf0.01 — the oracle's pin
     assert planes_for_corpus(200_000) > planes_for_corpus(2_000)
+
+
+def test_l4_frame_sampling_real_avi(spark):
+    """Real video path: AVI payloads (DIB and MJPG) demux + decode with
+    allow_stub=False; cadence matches stream duration, frame hashes equal
+    the sha1 of the decoded RGB raster, and provenance columns are set."""
+    import hashlib
+
+    from cassandra_spark.operators.avi import encode_avi
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+
+    def frames(w, h, n):
+        return [
+            bytes(
+                ((x * 9 + k * 31) % 256)
+                for k in [i]
+                for p in range(w * h)
+                for x in (p % w, p // w, p)
+            )
+            for i in range(n)
+        ]
+
+    f_dib = frames(6, 4, 8)
+    avi_dib = encode_avi(6, 4, f_dib, fps=4, codec="DIB ")  # 2 s @ 250 ms
+    f_mj = frames(16, 8, 3)
+    avi_mj = encode_avi(16, 8, f_mj, fps=2, codec="MJPG")  # 1.5 s @ 500 ms
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(avi_dib)), (2, bytearray(avi_mj))],
+        "doc_id bigint, payload binary",
+    )
+    out = sample_frames(
+        docs, every_ms=500, allow_stub=False, payload_col="payload"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # DIB stream: 2000 ms / 500 ms = 4 samples, frames 0,2,4,6 (250 ms each)
+    d = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.frame_ts_ms for r in d] == [0, 500, 1000, 1500]
+    assert [r.src_frame for r in d] == [0, 2, 4, 6]
+    assert all((r.width, r.height) == (6, 4) for r in d)
+    for r in d:
+        assert r.frame_sha == hashlib.sha1(f_dib[r.src_frame]).hexdigest()
+
+    # MJPG stream: 1500 ms / 500 ms = 3 samples, one per frame
+    m = sorted(by_doc[2], key=lambda r: r.frame_idx)
+    assert [r.src_frame for r in m] == [0, 1, 2]
+    assert len({r.frame_sha for r in m}) == 3  # distinct decoded content
+
+    # non-AVI payload without the stub opt-in must fail loudly
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"plain text"))], "doc_id bigint, payload binary"
+    )
+    with _pytest.raises(PythonException, match="not an AVI"):
+        sample_frames(
+            bad, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect()
