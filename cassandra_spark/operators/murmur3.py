@@ -458,3 +458,188 @@ def duckdb_token_query_ascii(
         _token_chain_steps(bytes_, f"octet_length(encode({col}))"),
         out,
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite partition keys: multi-column keys serialize with CompositeType
+# framing (`[C* db/marshal/CompositeType :: build, unverified]`) — per
+# component: 2-byte big-endian length, component bytes, one 0x00
+# end-of-component byte — and the ring token is Murmur3 over the
+# concatenation. A (bigint, int) key is therefore a FIXED 18-byte buffer:
+# one 16-byte body block (canonical masked little-endian lanes) plus a
+# 2-byte signed tail — the first shape that exercises the body-block leg
+# of the hash, which single-column bigint/short-text keys never touch.
+# ---------------------------------------------------------------------------
+
+
+def serialize_composite(parts: list[bytes]) -> bytes:
+    """CompositeType serialization of a multi-column partition key."""
+    out = bytearray()
+    for p in parts:
+        if len(p) > 0xFFFF:
+            raise ValueError("composite component exceeds 65535 bytes")
+        out += len(p).to_bytes(2, "big") + p + b"\x00"
+    return bytes(out)
+
+
+def token_of_composite(parts: list[bytes]) -> int:
+    """Pure-Python reference: token of a composite partition key."""
+    return murmur3_token(serialize_composite(parts))
+
+
+def tokens_of_composite_bigint_int(
+    big: np.ndarray, small: np.ndarray
+) -> np.ndarray:
+    """Vectorized tokens of (bigint, int) composite keys: assemble the
+    (n, 18) serialized-byte matrix in numpy (no per-row Python) and run
+    the same SIMD body-block + tail passes as every other key shape."""
+    n = len(big)
+    ub = big.astype(np.int64).view(np.uint64)
+    us = small.astype(np.int32).view(np.uint32).astype(np.uint64)
+    mat = np.zeros((n, 18), dtype=np.uint8)
+    mat[:, 1] = 8  # component-1 length prefix (0x0008)
+    for i in range(8):
+        mat[:, 2 + i] = ((ub >> _U(8 * (7 - i))) & _U(0xFF)).astype(np.uint8)
+    # mat[:, 10] is the 0x00 end-of-component byte
+    mat[:, 12] = 4  # component-2 length prefix (0x0004)
+    for i in range(4):
+        mat[:, 13 + i] = ((us >> _U(8 * (3 - i))) & _U(0xFF)).astype(np.uint8)
+    # mat[:, 17] is the trailing 0x00
+    return tokens_of_byte_matrix(mat)
+
+
+def composite_token_col(big_col, int_col):
+    """``token(bigint_key, int_key)`` as a Column — the composite-ring
+    convention, Arrow-batched."""
+
+    @F.pandas_udf(LongType())
+    def _tok(b: pd.Series, s: pd.Series) -> pd.Series:
+        out = tokens_of_composite_bigint_int(
+            b.to_numpy(dtype=np.int64), s.to_numpy(dtype=np.int64)
+        )
+        return pd.Series(out)
+
+    return _tok(big_col, int_col)
+
+
+def _token_chain_steps_1block(
+    byte_exprs: list[str],
+) -> list[tuple[str, str]]:
+    """The Murmur3 chain for FIXED-length 16..31-byte keys as (alias,
+    expr) projection steps: one canonical body block (lanes 0-15, masked
+    little-endian) followed by the signed tail over the remainder. Every
+    byte expr must be non-NULL 0-255 (fixed-length keys only)."""
+    L = len(byte_exprs)
+    if not 16 <= L <= 31:
+        raise ValueError("1-block chain requires 16..31 byte lanes")
+    steps: list[tuple[str, str]] = [
+        (f"__b{i}", be) for i, be in enumerate(byte_exprs)
+    ]
+    # body lanes are unsigned little-endian; shifted ranges are disjoint
+    # so plain + assembles the word (max sum < 2^64, well inside HUGEINT)
+    steps.append(
+        ("__bk1",
+         "(" + " + ".join(f"__b{j} * {1 << (8 * j)}" for j in range(8)) + ")")
+    )
+    steps.append(
+        ("__bk2",
+         "(" + " + ".join(
+             f"__b{8 + j} * {1 << (8 * j)}" for j in range(8)) + ")")
+    )
+    steps.append(("__bk1a", _sql_mul64("__bk1", C1)))
+    steps.append(("__bk1b", _sql_rotl("__bk1a", 31)))
+    steps.append(("__bk1c", _sql_mul64("__bk1b", C2)))  # h1 = 0 ^ k1
+    steps.append(("__bh1a", _sql_rotl("__bk1c", 27)))  # h1 = rotl(h1,27)+h2(=0)
+    steps.append(
+        ("__bh1b", f"(({_sql_mul64('__bh1a', 5)} + {0x52DCE729}) % {_P64})")
+    )
+    steps.append(("__bk2a", _sql_mul64("__bk2", C2)))
+    steps.append(("__bk2b", _sql_rotl("__bk2a", 33)))
+    steps.append(("__bk2c", _sql_mul64("__bk2b", C1)))  # h2 = 0 ^ k2
+    steps.append(("__bh2a", _sql_rotl("__bk2c", 31)))
+    steps.append(("__bh2b", f"((__bh2a + __bh1b) % {_P64})"))  # h2 += h1
+    steps.append(
+        ("__bh2c", f"(({_sql_mul64('__bh2b', 5)} + {0x38495AB5}) % {_P64})")
+    )
+    # signed tail over lanes 16..L-1 (t <= 15)
+    t = L - 16
+    for i in range(16, L):
+        sb = f"(CASE WHEN __b{i} >= 128 THEN __b{i} - 256 ELSE __b{i} END)"
+        lane = (i - 16) if (i - 16) < 8 else (i - 16) - 8
+        steps.append(
+            (f"__s{i}",
+             f"((({sb}) + {_P64}) % {_P64}) * {1 << (8 * lane)} % {_P64}")
+        )
+
+    def xor_tree(names: list[str]) -> str:
+        while len(names) > 1:
+            names = [
+                f"xor({names[j]}, {names[j + 1]})"
+                if j + 1 < len(names)
+                else names[j]
+                for j in range(0, len(names), 2)
+            ]
+        return names[0] if names else "0"
+
+    h1, h2 = "__bh1b", "__bh2c"
+    if t > 8:
+        steps.append(
+            ("__tk2", xor_tree([f"__s{i}" for i in range(24, L)]))
+        )
+        steps.append(("__tk2a", _sql_mul64("__tk2", C2)))
+        steps.append(("__tk2b", _sql_rotl("__tk2a", 33)))
+        steps.append(("__tk2c", _sql_mul64("__tk2b", C1)))
+        steps.append(("__th2", f"xor({h2}, __tk2c)"))
+        h2 = "__th2"
+    if t > 0:
+        steps.append(
+            ("__tk1",
+             xor_tree([f"__s{i}" for i in range(16, min(L, 24))]))
+        )
+        steps.append(("__tk1a", _sql_mul64("__tk1", C1)))
+        steps.append(("__tk1b", _sql_rotl("__tk1a", 31)))
+        steps.append(("__tk1c", _sql_mul64("__tk1b", C2)))
+        steps.append(("__th1", f"xor({h1}, __tk1c)"))
+        h1 = "__th1"
+    steps.append(("__h1b", f"xor({h1}, {L})"))
+    steps.append(("__h2b", f"xor({h2}, {L})"))
+    steps.append(("__h1c", f"(__h1b + __h2b) % {_P64}"))
+    steps.append(("__h2c", f"(__h2b + __h1c) % {_P64}"))
+    for tag, src in (("1", "__h1c"), ("2", "__h2c")):
+        steps.append((f"__f{tag}a", f"xor({src}, {src} // {1 << 33})"))
+        steps.append(
+            (f"__f{tag}b", _sql_mul64(f"__f{tag}a", 0xFF51AFD7ED558CCD))
+        )
+        steps.append((f"__f{tag}c", f"xor(__f{tag}b, __f{tag}b // {1 << 33})"))
+        steps.append(
+            (f"__f{tag}d", _sql_mul64(f"__f{tag}c", 0xC4CEB9FE1A85EC53))
+        )
+        steps.append((f"__f{tag}e", f"xor(__f{tag}d, __f{tag}d // {1 << 33})"))
+    steps.append(("__hf", f"(__f1e + __f2e) % {_P64}"))
+    steps.append(
+        ("__tok",
+         f"CAST(CASE WHEN __hf >= {1 << 63} THEN __hf - {_P64} ELSE __hf END"
+         " AS BIGINT)")
+    )
+    return steps
+
+
+def duckdb_token_query_composite(
+    base_sql: str, big_col: str, int_col: str, out: str = "token"
+) -> str:
+    """Murmur3 token of a (bigint, int) composite partition key as DuckDB
+    SQL — CompositeType framing assembled as 18 fixed byte lanes, hashed
+    by the 1-block chain. Same caller contract as duckdb_token_query:
+    never filter on ``out`` without a MATERIALIZED barrier."""
+    pre = [
+        ("__ub",
+         f"((CAST({big_col} AS HUGEINT) % {_P64}) + {_P64}) % {_P64}"),
+        ("__ui",
+         f"((CAST({int_col} AS HUGEINT) % {_P32}) + {_P32}) % {_P32}"),
+    ]
+    lanes = ["0", "8"]
+    lanes += [f"(__ub // {1 << (8 * (7 - i))}) % 256" for i in range(8)]
+    lanes += ["0", "0", "4"]
+    lanes += [f"(__ui // {1 << (8 * (3 - i))}) % 256" for i in range(4)]
+    lanes += ["0"]
+    return _wrap_chain(base_sql, pre + _token_chain_steps_1block(lanes), out)

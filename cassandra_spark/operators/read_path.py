@@ -347,6 +347,36 @@ def p6_token_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p7_token_composite",
+    oracle=murmur3.duckdb_token_query_composite(
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_orderkey <= 400",
+        "l_orderkey",
+        "l_linenumber",
+    ),
+)
+def p7_token_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring placement for a COMPOSITE partition key ((l_orderkey,
+    l_linenumber)): CompositeType framing — 2-byte BE length + bytes +
+    0x00 per component — hashed as one 16-byte body block plus a 2-byte
+    tail. This is the oracle-checked coverage of Murmur3's body-block leg
+    (canonical masked lanes), which single-column bigint/short-text keys
+    never exercise; the DuckDB side recomputes the identical 18-lane
+    chain from an independent SQL formulation."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(F.col("l_orderkey") <= 400)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            murmur3.composite_token_col(
+                F.col("l_orderkey"), F.col("l_linenumber")
+            ).alias("token"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-tier: ordering / limits
 # ---------------------------------------------------------------------------
