@@ -1,14 +1,15 @@
 """Dependency-free image codecs for the L4 multimodal tier: BMP (24-bit
-uncompressed), PPM (P6 binary), 8-bit PNG (zlib + per-row filters,
-non-interlaced and Adam7), and baseline + progressive JPEG (operators/
-jpeg.py — pure Python + numpy) decode, plus nearest-neighbor resampling —
-so the decode → resize pipeline runs REAL bytes end-to-end in this
-container (`allow_stub=False`).
+uncompressed), PPM (P6 binary), PNG (zlib + per-row filters; depths
+1/2/4/8/16, non-interlaced and Adam7), and baseline + progressive JPEG
+(operators/jpeg.py — pure Python + numpy) decode, plus nearest-neighbor
+resampling — so the decode → resize pipeline runs REAL bytes end-to-end
+in this container (`allow_stub=False`).
 
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
-avi.py; the exotic raster variants (16-bit PNG, arithmetic-coded JPEG)
-stay behind the stub gate in llm_multimodal.py. The Spark-side contract
-(batch shape, schema, partitioning) is identical either way.
+avi.py; the last exotic variants (arithmetic-coded JPEG, interlaced
+sub-byte PNG) stay behind the stub gate in llm_multimodal.py. The
+Spark-side contract (batch shape, schema, partitioning) is identical
+either way.
 
 All functions are worker-safe pure functions over bytes: they run inside
 Arrow-batched mapInPandas with no driver state.
@@ -162,15 +163,25 @@ def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
 
 
 def encode_png(
-    width: int, height: int, rgb: bytes, interlace: bool = False
+    width: int, height: int, rgb: bytes, interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Top-down RGB bytes → 8-bit truecolor PNG (filter 0 rows, one IDAT);
-    ``interlace=True`` writes the Adam7 pass sequence. Used to build real
-    fixtures in tests."""
+    """Top-down RGB bytes → truecolor PNG (filter 0 rows, one IDAT);
+    ``interlace=True`` writes the Adam7 pass sequence, ``depth=16``
+    widens each 8-bit sample to ``v*257`` (the exact high-byte inverse).
+    Used to build real fixtures in tests."""
     import zlib
 
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
+    if depth not in (8, 16):
+        raise ValueError("encoder supports depth 8 or 16")
+
+    def px(i: int) -> bytes:
+        p = rgb[i : i + 3]
+        if depth == 8:
+            return p
+        return b"".join(struct.pack(">H", v * 257) for v in p)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -181,10 +192,9 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, 2, 0, 0, 1 if interlace else 0
     )
     raw = bytearray()
-    stride = width * 3
     if interlace:
         for (x0, y0, dx, dy), (pw, ph) in zip(
             _ADAM7, _adam7_pass_dims(width, height)
@@ -194,13 +204,14 @@ def encode_png(
             for py in range(ph):
                 raw.append(0)  # filter type 0 (None)
                 y = y0 + py * dy
-                for px in range(pw):
-                    x = x0 + px * dx
-                    raw += rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                for px_ in range(pw):
+                    x = x0 + px_ * dx
+                    raw += px((y * width + x) * 3)
     else:
         for y in range(height):
             raw.append(0)  # filter type 0 (None)
-            raw += rgb[y * stride : (y + 1) * stride]
+            for x in range(width):
+                raw += px((y * width + x) * 3)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -210,14 +221,25 @@ def encode_png(
 
 
 def _defilter(
-    raw: bytes, p: int, width_px: int, height: int, channels: int
+    raw: bytes,
+    p: int,
+    width_px: int,
+    height: int,
+    channels: int,
+    sample_bytes: int = 1,
+    row_bytes: int | None = None,
 ) -> tuple[bytearray, int]:
     """Reverse per-row PNG filters (0 none, 1 sub, 2 up, 3 average,
     4 paeth) for one image (or one Adam7 pass) of ``height`` rows of
     ``width_px`` pixels starting at stream offset ``p``. Returns the
-    defiltered samples and the offset after the last row."""
-    stride = width_px * channels
-    bpp = channels
+    defiltered samples and the offset after the last row. ``sample_bytes``
+    is 2 for 16-bit depth (filters operate bytewise with a 2x-wide pixel
+    unit, PNG spec §9.2); ``row_bytes`` overrides the stride for
+    bit-packed sub-byte depths (where the pixel unit is one byte)."""
+    stride = row_bytes if row_bytes is not None else (
+        width_px * channels * sample_bytes
+    )
+    bpp = max(1, channels * sample_bytes) if row_bytes is None else 1
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
@@ -258,8 +280,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     OR Adam7 interlaced (each pass defiltered independently, pixels
     scattered per the pass grid — PNG spec §8.2). Color types: 0
     grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA (alpha is dropped —
-    the pipeline contract is 3-channel RGB). 16-bit depth raises
-    ValueError (→ stub path)."""
+    the pipeline contract is 3-channel RGB). Depths: 8 and 16 for every
+    color type (16-bit samples reduce to their high byte), 1/2/4 for
+    gray/palette (bit-packed rows, non-interlaced)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -287,8 +310,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8:
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
+    if depth == 16 and ctype_ == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth < 8 and ctype_ not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only legal for gray/palette"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -300,27 +329,52 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"bad PNG zlib stream: {e}") from None
-    stride = width * channels
+    sample_bytes = 2 if depth == 16 else 1
+    stride = width * channels * sample_bytes
 
-    if interlace == 0:
-        out, _ = _defilter(raw, 0, width, height, channels)
+    if depth < 8:
+        # bit-packed rows (MSB-first); filters operate with a 1-byte unit
+        if interlace != 0:
+            raise ValueError("interlaced sub-byte-depth PNG unsupported")
+        row_bytes = (width * depth + 7) // 8
+        packed, _ = _defilter(
+            raw, 0, width, height, 1, 1, row_bytes=row_bytes
+        )
+        out = bytearray(width * height)
+        maxval = (1 << depth) - 1
+        for y in range(height):
+            base = y * row_bytes
+            for x in range(width):
+                bitpos = x * depth
+                byte = packed[base + (bitpos >> 3)]
+                v = (byte >> (8 - depth - (bitpos & 7))) & maxval
+                # gray samples scale to full range; palette indexes don't
+                out[y * width + x] = (
+                    v * 255 // maxval if ctype_ == 0 else v
+                )
+    elif interlace == 0:
+        out, _ = _defilter(raw, 0, width, height, channels, sample_bytes)
     else:
         # Adam7: 7 independently-filtered passes, scattered onto the grid
         out = bytearray(stride * height)
+        px_bytes = channels * sample_bytes
         p = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(
             _ADAM7, _adam7_pass_dims(width, height)
         ):
             if pw == 0 or ph == 0:
                 continue
-            sub, p = _defilter(raw, p, pw, ph, channels)
+            sub, p = _defilter(raw, p, pw, ph, channels, sample_bytes)
             for py in range(ph):
                 y = y0 + py * dy
                 for px in range(pw):
                     x = x0 + px * dx
-                    src = (py * pw + px) * channels
-                    dst = (y * width + x) * channels
-                    out[dst : dst + channels] = sub[src : src + channels]
+                    src = (py * pw + px) * px_bytes
+                    dst = (y * width + x) * px_bytes
+                    out[dst : dst + px_bytes] = sub[src : src + px_bytes]
+    if depth == 16:
+        # 16 -> 8 bit: keep the high byte of each big-endian sample
+        out = out[0::2]
 
     # expand to 3-channel RGB
     if ctype_ == 2:

@@ -8,8 +8,8 @@ BinaryType). The documents fixture stands in: payload = utf-8 bytes of
 text.
 
 Decode is REAL for the locally-decodable formats: BMP (24-bit), PPM (P6),
-8-bit PNG (stdlib zlib + filter reversal, non-interlaced AND Adam7
-interlaced), and both baseline sequential AND progressive JPEG
+PNG (stdlib zlib + filter reversal; depths 1/2/4/8/16, non-interlaced
+AND Adam7 interlaced), and both baseline sequential AND progressive JPEG
 (operators/jpeg.py — pure Python + numpy Huffman/DCT with the Annex-G
 multi-scan coefficient accumulation, cross-checked against Java ImageIO)
 decode to actual RGB pixels, flow through the pipeline as a binary pixels
@@ -17,9 +17,9 @@ column, and resize runs a real nearest-neighbor resample —
 ``allow_stub=False`` end-to-end. Video is REAL for AVI containers (MJPG /
 raw-DIB streams, operators/avi.py): sample_frames demuxes the RIFF tree
 and decodes sampled frames to RGB. Remaining formats (non-AVI video,
-16-bit PNG, arithmetic-coded JPEG) still raise unless the caller opts
-into the deterministic fake decoder; the Spark-side contract (schema,
-Arrow batch shape, partitioning) is identical for both paths.
+arithmetic-coded JPEG, interlaced sub-byte PNG) still raise unless the
+caller opts into the deterministic fake decoder; the Spark-side contract
+(schema, Arrow batch shape, partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition

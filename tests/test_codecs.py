@@ -606,3 +606,174 @@ def test_avi_sniffed_as_video():
 
     data = encode_avi(4, 4, _frames(4, 4, 1), codec="DIB ")
     assert sniff_mime(data) == "video/x-msvideo"
+
+
+# --- PNG depth variants (16-bit and sub-byte) ------------------------------
+
+
+def test_png16_roundtrip_exact():
+    """16-bit truecolor: encoder widens v -> v*257, decoder keeps the
+    high byte — exact round-trip, non-interlaced and Adam7."""
+    from cassandra_spark.operators.codecs import decode_png, encode_png
+
+    rgb = bytes(_gradient(11, 6))
+    for interlace in (False, True):
+        data = encode_png(11, 6, rgb, interlace=interlace, depth=16)
+        w, h, c, out = decode_png(data)
+        assert (w, h, c) == (11, 6, 3)
+        assert out == rgb, f"interlace={interlace}"
+
+
+def test_png16_sub_filter_uses_two_byte_pixel_unit():
+    """Filter type 1 (Sub) at depth 16 references the byte 6 positions
+    back (channels*2), not 3 — a hand-filtered image decodes correctly
+    only if the decoder widens the pixel unit."""
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.codecs import decode_png
+
+    w, h = 5, 3
+    rgb = bytes(_gradient(w, h))
+    raw16 = bytearray()
+    for v in rgb:
+        raw16 += struct.pack(">H", v * 257)
+    stride, bpp = w * 6, 6
+    filtered = bytearray()
+    for y in range(h):
+        row = raw16[y * stride : (y + 1) * stride]
+        filtered.append(1)  # Sub
+        for i in range(stride):
+            prev = row[i - bpp] if i >= bpp else 0
+            filtered.append((row[i] - prev) & 0xFF)
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    assert got == (w, h, 3, rgb)
+
+
+def _png_chunks(*chunks):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for ctype, payload in chunks:
+        out += (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+    return out
+
+
+def test_png_1bit_gray_scales_to_full_range():
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.codecs import decode_png
+
+    # 10x2: alternating vertical stripes, bit-packed MSB-first
+    w, h = 10, 2
+    rows = bytearray()
+    for _y in range(h):
+        rows.append(0)  # filter None
+        rows += bytes([0b10101010, 0b10000000])  # 10 bits + pad
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(bytes(rows))),
+        (b"IEND", b""),
+    )
+    gw, gh, c, rgb = decode_png(data)
+    assert (gw, gh, c) == (w, h, 3)
+    row = [rgb[3 * x] for x in range(w)]
+    assert row == [255, 0] * 5  # 1 -> 255, 0 -> 0
+    assert rgb[: 3] == b"\xff\xff\xff"
+
+
+def test_png_4bit_palette():
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.codecs import decode_png
+
+    # 3x1, palette entries: red, green, blue; indexes 0,1,2 packed 4-bit
+    plte = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    rows = bytes([0, 0x01, 0x20])  # filter 0, nibbles 0,1 then 2,pad
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)),
+        (b"PLTE", plte),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got = decode_png(data)
+    assert got == (3, 1, 3, b"\xff\x00\x00\x00\xff\x00\x00\x00\xff")
+
+
+def test_png_2bit_gray_levels():
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.codecs import decode_png
+
+    # 4x1 at depth 2: levels 0,1,2,3 -> 0,85,170,255
+    rows = bytes([0, 0b00011011])
+    data = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    _w, _h, _c, rgb = decode_png(data)
+    assert [rgb[3 * x] for x in range(4)] == [0, 85, 170, 255]
+
+
+def test_png16_through_decode_image():
+    from cassandra_spark.operators.codecs import decode_image, encode_png
+
+    rgb = bytes(_gradient(7, 5))
+    mime, w, h, c, out = decode_image(encode_png(7, 5, rgb, depth=16))
+    assert (mime, w, h, c) == ("image/png", 7, 5, 3)
+    assert out == rgb
+
+
+def test_png16_matches_imageio_reference(spark):
+    """A 16-bit grayscale PNG written by an independent encoder (Java
+    ImageIO via the Spark JVM — its own filter heuristics, not our
+    filter-0 fixtures) decodes to the exact high bytes of the samples we
+    drew."""
+    import os
+    import tempfile
+
+    from cassandra_spark.operators.codecs import decode_png, sniff_mime
+
+    jvm = spark.sparkContext._jvm
+    w, h = 19, 11
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = img.getRaster()
+    vals = [[(x * 13 + y * 41) % 256 for x in range(w)] for y in range(h)]
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, vals[y][x] * 257)
+    dst = os.path.join(tempfile.mkdtemp(), "gray16.png")
+    jvm.javax.imageio.ImageIO.write(img, "png", jvm.java.io.File(dst))
+
+    data = open(dst, "rb").read()
+    assert sniff_mime(data) == "image/png"
+    assert data[24] == 16, "ImageIO did not write bit depth 16"
+    gw, gh, c, rgb = decode_png(data)
+    assert (gw, gh, c) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            assert rgb[i] == rgb[i + 1] == rgb[i + 2] == vals[y][x], (x, y)
