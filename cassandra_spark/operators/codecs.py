@@ -1,9 +1,10 @@
 """Dependency-free image codecs for the L4 multimodal tier: BMP (24-bit
 uncompressed), PPM (P6 binary), PNG (zlib + per-row filters; depths
-1/2/4/8/16, non-interlaced and Adam7), and baseline + progressive JPEG
-(operators/jpeg.py — pure Python + numpy) decode, plus nearest-neighbor
-resampling — so the decode → resize pipeline runs REAL bytes end-to-end
-in this container (`allow_stub=False`).
+1/2/4/8/16, non-interlaced and Adam7), GIF (87a/89a LZW, interlaced and
+not), and baseline + progressive JPEG (operators/jpeg.py — pure Python +
+numpy) decode, plus nearest-neighbor resampling — so the decode → resize
+pipeline runs REAL bytes end-to-end in this container
+(`allow_stub=False`).
 
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
 avi.py; the last exotic variants (arithmetic-coded JPEG, interlaced
@@ -39,6 +40,8 @@ def sniff_mime(data: bytes) -> str | None:
         return PNG_MIME
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/x-msvideo"  # demuxed by operators/avi.py, not here
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return GIF_MIME
     return None
 
 
@@ -419,6 +422,8 @@ def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
         return (mime, *decode_jpeg(data))
     if mime == PNG_MIME:
         return (mime, *decode_png(data))
+    if mime == GIF_MIME:
+        return (mime, *decode_gif(data))
     return None
 
 
@@ -454,3 +459,253 @@ def rgb_features(rgb: bytes) -> list[float]:
     gs = sum(rgb[1::3]) / n
     bs = sum(rgb[2::3]) / n
     return [rs, gs, bs, 0.299 * rs + 0.587 * gs + 0.114 * bs]
+
+
+# --- GIF (87a/89a, LZW) ----------------------------------------------------
+
+GIF_MIME = "image/gif"
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytearray:
+    """GIF-variant LZW: variable-width codes (little-endian bit packing),
+    clear/end-of-information codes, table rebuilds, 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def fresh_table() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    while bitpos + code_size <= nbits:
+        # little-endian bit order: LSB of the stream first
+        byte0 = bitpos >> 3
+        window = int.from_bytes(
+            data[byte0 : byte0 + 3], "little"
+        ) >> (bitpos & 7)
+        code = window & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = fresh_table()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("LZW stream ended before the raster filled")
+    return out[:n_expected]
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-variant LZW encoder (for test fixtures): emits clear, codes
+    with growing width, end-of-information."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= (1 << 12):
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(end)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """GIF87a/89a → (width, height, 3, top-down RGB) of the FIRST image
+    frame composited at its position on the logical screen (remaining
+    area takes the background color). Handles global/local color tables,
+    interlacing, and 89a extension blocks; transparency renders as the
+    transparent index's table color (the pipeline contract is opaque
+    RGB)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    transparent = -1
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos + 5 <= len(data) and data[pos] == 4:
+                gflags = data[pos + 1]
+                if gflags & 1:
+                    transparent = data[pos + 4]
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:  # image descriptor
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = data[pos : pos + 3 * n]
+            if len(table) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if not table:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1  # sub-block terminator
+        idx = _lzw_decode(min_code_size, bytes(lzw), iw * ih)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows += list(range(start, ih, step))
+            deinter = bytearray(iw * ih)
+            for src_row, y in enumerate(rows):
+                deinter[y * iw : (y + 1) * iw] = idx[
+                    src_row * iw : (src_row + 1) * iw
+                ]
+            idx = deinter
+
+        def color(i: int) -> bytes:
+            off = 3 * i
+            if off + 3 > len(table):
+                raise ValueError("GIF color index out of range")
+            return table[off : off + 3]
+
+        bg_px = (
+            gct[3 * bg : 3 * bg + 3]
+            if gct and 3 * bg + 3 <= len(gct)
+            else b"\x00\x00\x00"
+        )
+        rgb = bytearray(bg_px * (sw * sh))
+        for y in range(ih):
+            if iy + y >= sh:
+                break
+            for x in range(iw):
+                if ix + x >= sw:
+                    break
+                d = ((iy + y) * sw + (ix + x)) * 3
+                rgb[d : d + 3] = color(idx[y * iw + x])
+        _ = transparent  # rendered opaque by contract
+        return sw, sh, 3, bytes(rgb)
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(
+    width: int, height: int, rgb: bytes, interlace: bool = False
+) -> bytes:
+    """Top-down RGB bytes (≤256 distinct colors) → single-frame GIF89a.
+    Used to build real fixtures in tests."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    palette: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, len(rgb), 3):
+        c = rgb[i : i + 3]
+        if c not in palette:
+            if len(palette) == 256:
+                raise ValueError("more than 256 distinct colors")
+            palette[c] = len(palette)
+        indices.append(palette[c])
+    depth = max(1, (len(palette) - 1).bit_length())
+    n = 1 << depth
+    table = b"".join(palette) + b"\x00\x00\x00" * (n - len(palette))
+    if interlace:
+        reordered = bytearray()
+        for start, step in _GIF_INTERLACE_PASSES:
+            for y in range(start, height, step):
+                reordered += indices[y * width : (y + 1) * width]
+        indices = reordered
+    min_code_size = max(2, depth)
+    lzw = _lzw_encode(min_code_size, bytes(indices))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += table
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -9,7 +9,8 @@ text.
 
 Decode is REAL for the locally-decodable formats: BMP (24-bit), PPM (P6),
 PNG (stdlib zlib + filter reversal; depths 1/2/4/8/16, non-interlaced
-AND Adam7 interlaced), and both baseline sequential AND progressive JPEG
+AND Adam7 interlaced), GIF (87a/89a LZW, interlaced and not), and both
+baseline sequential AND progressive JPEG
 (operators/jpeg.py — pure Python + numpy Huffman/DCT with the Annex-G
 multi-scan coefficient accumulation, cross-checked against Java ImageIO)
 decode to actual RGB pixels, flow through the pipeline as a binary pixels

@@ -777,3 +777,106 @@ def test_png16_matches_imageio_reference(spark):
         for x in range(w):
             i = (y * w + x) * 3
             assert rgb[i] == rgb[i + 1] == rgb[i + 2] == vals[y][x], (x, y)
+
+
+# --- GIF (LZW) -------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    """encode → decode reproduces the raster exactly (palette formats are
+    lossless), non-interlaced and interlaced."""
+    from cassandra_spark.operators.codecs import decode_gif, encode_gif
+
+    # ≤256 distinct colors by construction
+    rgb = bytes(
+        v for y in range(9) for x in range(14)
+        for v in ((x * 16) % 256, (y * 24) % 256, ((x + y) * 8) % 256)
+    )
+    for interlace in (False, True):
+        data = encode_gif(14, 9, rgb, interlace=interlace)
+        assert decode_gif(data) == (14, 9, 3, rgb), f"interlace={interlace}"
+
+
+def test_gif_lzw_table_growth_and_clear():
+    """A long low-entropy raster drives the LZW table through multiple
+    width bumps (and exercises clear-code handling on round-trip)."""
+    from cassandra_spark.operators.codecs import decode_gif, encode_gif
+
+    w, h = 101, 67
+    rgb = bytes(
+        v for i in range(w * h)
+        for v in (((i * i) % 7) * 30, (i % 5) * 50, (i % 3) * 80)
+    )
+    data = encode_gif(w, h, rgb)
+    assert decode_gif(data) == (w, h, 3, rgb)
+
+
+def test_gif_two_color_min_code_size():
+    """1-bit palettes still use the spec minimum LZW code size of 2."""
+    from cassandra_spark.operators.codecs import decode_gif, encode_gif
+
+    rgb = (b"\x00\x00\x00" + b"\xff\xff\xff") * 8
+    data = encode_gif(4, 4, rgb)
+    assert data[6 + 7 + 6 + 10] == 2  # min code size byte after descriptor
+    assert decode_gif(data) == (4, 4, 3, rgb)
+
+
+def test_gif_rejects_garbage():
+    import pytest as _pytest
+
+    from cassandra_spark.operators.codecs import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a only a header")
+    data = encode_gif(8, 8, bytes(range(8)) * 24)
+    with _pytest.raises(ValueError):
+        decode_gif(data[: len(data) - len(data) // 3])
+
+
+def test_gif_through_decode_image():
+    from cassandra_spark.operators.codecs import (
+        decode_image,
+        encode_gif,
+        sniff_mime,
+    )
+
+    rgb = bytes(v for i in range(30) for v in (i, 255 - i, i * 2))
+    data = encode_gif(6, 5, rgb)
+    assert sniff_mime(data) == "image/gif"
+    assert decode_image(data) == ("image/gif", 6, 5, 3, rgb)
+
+
+def test_gif_matches_imageio_reference(spark):
+    """A GIF written by an independent encoder (Java ImageIO via the
+    Spark JVM, indexed-color source so quantization is exact) decodes to
+    the same pixels ImageIO itself reads back."""
+    import os
+    import tempfile
+
+    from cassandra_spark.operators.codecs import decode_gif
+
+    jvm = spark.sparkContext._jvm
+    w, h = 23, 17
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+    )
+    for y in range(h):
+        for x in range(w):
+            rgb = ((x * 11) % 256 << 16) | ((y * 13) % 256 << 8) | (
+                (x + y) % 256
+            )
+            img.setRGB(x, y, rgb)
+    dst = os.path.join(tempfile.mkdtemp(), "ref.gif")
+    jvm.javax.imageio.ImageIO.write(img, "gif", jvm.java.io.File(dst))
+
+    data = open(dst, "rb").read()
+    gw, gh, c, mine = decode_gif(data)
+    assert (gw, gh, c) == (w, h, 3)
+    back = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(dst))
+    for y in range(h):
+        for x in range(w):
+            ref = back.getRGB(x, y)
+            i = (y * w + x) * 3
+            assert (mine[i], mine[i + 1], mine[i + 2]) == (
+                (ref >> 16) & 0xFF, (ref >> 8) & 0xFF, ref & 0xFF
+            ), (x, y)
