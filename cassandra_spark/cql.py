@@ -239,6 +239,51 @@ def _rewrite_similarity(item: str) -> str:
     return _SIM_RE.sub(repl, item)
 
 
+# Cassandra 5 dynamic-data-masking selectors (`[C* cql3/functions/masking/*,
+# unverified]`): textual expansion into Spark-SQL string algebra, same
+# strategy as similarity — the expanded text stays whole-stage-codegen.
+_MASK_RE = re.compile(
+    r"\bmask_(null|default|replace|inner|outer|hash)\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+
+_NUMERIC_SPARK_TYPES = frozenset(
+    "int bigint smallint tinyint double float decimal long".split()
+)
+
+
+def _rewrite_masks(item: str, df: DataFrame | None = None) -> str:
+    from cassandra_spark.operators.masking import (
+        mask_inner_sql,
+        mask_outer_sql,
+    )
+
+    dtypes = dict(df.dtypes) if df is not None else {}
+
+    def repl(m: re.Match) -> str:
+        kind = m.group(1).lower()
+        args = [a.strip() for a in _split_projection(m.group(2))]
+        col = args[0]
+        if kind == "null":
+            return f"(CASE WHEN FALSE THEN {col} END)"
+        if kind == "default":
+            base = dtypes.get(col, "string").split("(")[0]
+            return "0" if base in _NUMERIC_SPARK_TYPES else "'****'"
+        if kind == "replace":
+            if len(args) != 2:
+                raise CQLError("mask_replace takes (column, replacement)")
+            return args[1]
+        if kind == "hash":
+            return f"sha2(CAST({col} AS STRING), 256)"
+        if len(args) not in (3, 4):
+            raise CQLError(f"mask_{kind} takes (column, begin, end[, pad])")
+        pad = args[3].strip("'\"") if len(args) == 4 else "*"
+        build = mask_inner_sql if kind == "inner" else mask_outer_sql
+        return build(col, int(args[1]), int(args[2]), pad)
+
+    return _MASK_RE.sub(repl, item)
+
+
 def _rewrite_selectors(items, df, meta, table):
     """WRITETIME(col) / TTL(col) selectors (`[C* cql3/selection/
     WritetimeOrTTLSelector]`, unverified) → projections of the §1.2
@@ -503,7 +548,10 @@ def cql_select(
         proj = s.projection.strip()
         if proj != "*":
             df = df.selectExpr(
-                *[_rewrite_similarity(p.strip()) for p in _split_projection(proj)]
+                *[
+                    _rewrite_masks(_rewrite_similarity(p.strip()), df)
+                    for p in _split_projection(proj)
+                ]
             )
         return _to_json_row(df) if s.json else df
 
@@ -560,7 +608,9 @@ def cql_select(
                 )
                 for i in items
             ]
-        df = df.selectExpr(*[_rewrite_similarity(i) for i in items])
+        df = df.selectExpr(
+            *[_rewrite_masks(_rewrite_similarity(i), df) for i in items]
+        )
     if s.json:
         df = _to_json_row(df)
 

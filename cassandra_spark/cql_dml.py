@@ -1772,7 +1772,13 @@ class CqlTable:
             aggs.append(F.when(F.size(agg) > 0, agg).alias(c))
         wide = live.groupBy("pk", "ck").agg(*aggs)
 
-        out_cols = [F.col("pk").alias(s.partition_key)]
+        # typed like _empty(): a bigint partition key reads back as bigint,
+        # not the memtable's raw key string
+        out_cols = [
+            F.col("pk")
+            .cast(s.key_type(s.partition_key))
+            .alias(s.partition_key)
+        ]
         ck_arr = F.split("ck", SEP)
         for i, c in enumerate(s.clustering):
             out_cols.append(ck_arr[i].cast(s.key_type(c)).alias(c))
@@ -1876,7 +1882,9 @@ class CqlTable:
         wide = live.groupBy("pk", "ck").agg(*aggs)
         ck_arr = F.split("ck", SEP)
         return wide.select(
-            F.col("pk").alias(s.partition_key),
+            F.col("pk")
+            .cast(s.key_type(s.partition_key))
+            .alias(s.partition_key),
             *[
                 ck_arr[i].cast(s.key_type(c)).alias(c)
                 for i, c in enumerate(s.clustering)

@@ -309,7 +309,9 @@ _DROP_AGGREGATE_RE = re.compile(
 # names a UDF must not shadow (front-end-recognized function surfaces)
 _RESERVED_FN_NAMES = frozenset(
     "count min max sum avg writetime ttl token similarity_cosine "
-    "similarity_euclidean similarity_dot_product".split()
+    "similarity_euclidean similarity_dot_product "
+    "mask_null mask_default mask_replace mask_inner mask_outer "
+    "mask_hash".split()
 )
 _DROP_INDEX_RE = re.compile(
     r"^\s*DROP\s+INDEX\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
@@ -326,8 +328,16 @@ _COPY_RE = re.compile(
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+"
     r"(?:ADD\s+(?P<addcol>\w+)\s+(?P<addtype>.+?)(?P<static>\s+STATIC)?"
+    r"|ALTER\s+(?P<unmaskcol>\w+)\s+DROP\s+MASKED"
+    r"|ALTER\s+(?P<maskcol>\w+)\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?"
+    r"(?P<maskfn>\w+)\s*\((?P<maskargs>[^)]*)\)"
     r"|DROP\s+(?P<dropcol>\w+))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_UNMASK_RE = re.compile(
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+UNMASK\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<table>\w+)\s+(?:TO|FROM)\s+\w+\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
@@ -536,6 +546,15 @@ class CqlSession:
         # name → (table, col, kind) with kind in {"values", "keys"}
         self.index_names: dict[str, tuple[str, str, str]] = {}
         self.types: dict[str, str] = {}  # UDT name → Spark struct type
+        # Cassandra 5 dynamic data masking (`[C* cql3/functions/masking/*,
+        # schema/ColumnMetadata masking, unverified]`): table → col →
+        # mask-call text "mask_inner(4, 2)" (column arg implicit, as in
+        # the reference's ALTER ... MASKED WITH syntax). Applied to SELECT
+        # *results* — WHERE filters see clear values, matching the
+        # reference's documented inference caveat.
+        self.masks: dict[str, dict[str, str]] = {}
+        # tables this session holds UNMASK permission on (GRANT UNMASK)
+        self.unmasked: set[str] = set()
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -738,6 +757,28 @@ class CqlSession:
         s = table.schema
         if s.counter:
             raise CQLError("ALTER is not supported on counter tables")
+        if m.group("maskcol") or m.group("unmaskcol"):
+            col = (m.group("maskcol") or m.group("unmaskcol")).lower()
+            if (
+                col not in s.regular
+                and col not in s.static
+                and col not in s.key_cols
+            ):
+                raise CQLError(f"unknown column {col!r} in {s.name!r}")
+            if m.group("unmaskcol"):
+                self.masks.get(s.name, {}).pop(col, None)
+                return
+            fn = m.group("maskfn").lower()
+            if fn not in (
+                "mask_null", "mask_default", "mask_replace",
+                "mask_inner", "mask_outer", "mask_hash",
+            ):
+                raise CQLError(f"unknown masking function {fn!r}")
+            args = m.group("maskargs").strip()
+            self.masks.setdefault(s.name, {})[col] = (
+                f"{fn}({col}, {args})" if args else f"{fn}({col})"
+            )
+            return
         if m.group("addcol"):
             col = m.group("addcol").lower()
             if col in s.regular or col in s.static or col in s.key_cols:
@@ -1015,11 +1056,23 @@ class CqlSession:
                 for name, t in self.tables.items()
             )
             snapshots.update(self._system_views())
-            return cql_select(
+            df = cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
                 tables=snapshots,
             )
+            return self._apply_masks(stmt, df)
+        um = _UNMASK_RE.match(stmt)
+        if um:
+            # no role system offline: UNMASK is a per-session, per-table
+            # grant — the pinned single-user reduction of the reference's
+            # role-based UNMASK permission
+            t = um.group("table").lower()
+            if um.group("verb").upper() == "GRANT":
+                self.unmasked.add(t)
+            else:
+                self.unmasked.discard(t)
+            return None
         bm = _BATCH_RE.match(stmt)
         if bm:
             return self._execute_batch(stmt, bm)
@@ -1027,6 +1080,29 @@ class CqlSession:
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
         return self.table(tm.group(1)).execute(stmt)
+
+    def _apply_masks(self, stmt: str, df):
+        """Rewrite plainly-projected masked columns of the SELECT result
+        with their attached mask (skipped when this session holds UNMASK on
+        the table). Post-compilation application means WHERE ran on clear
+        values — the reference's documented behavior. Pinned simplification:
+        a masked column that only appears aliased or inside an aggregate is
+        returned as computed (the reference masks those selectors too)."""
+        fm = re.search(r"\bFROM\s+(\w+)", stmt, re.IGNORECASE)
+        if not fm:
+            return df
+        t = fm.group(1).lower()
+        masks = self.masks.get(t)
+        if not masks or t in self.unmasked:
+            return df
+        from cassandra_spark.cql import _rewrite_masks
+
+        from pyspark.sql import functions as F
+
+        for col, call in masks.items():
+            if col in df.columns:
+                df = df.withColumn(col, F.expr(_rewrite_masks(call, df)))
+        return df
 
     def _system_views(self) -> dict:
         """The virtual system tables every driver reads at connect time

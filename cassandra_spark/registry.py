@@ -76,6 +76,7 @@ def load_all() -> None:
         llm_pipeline,
         llm_text,
         llm_vectors,
+        masking,
         read_path,
         repair,
         setops,
