@@ -79,6 +79,7 @@ def load_all() -> None:
         masking,
         read_path,
         repair,
+        ring,
         setops,
         streaming_batch,
         subqueries,
