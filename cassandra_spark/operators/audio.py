@@ -1,0 +1,250 @@
+"""L-tier audio modality: real WAV (RIFF PCM) decode + feature extraction
+as Arrow-batched mapInPandas stages. SURVEY.md §2.12 (multimodal columns).
+
+The audio column is the same blob-carrier pattern as images: ``payload:
+binary`` + typed metadata. Decode is REAL — :func:`decode_wav` walks the
+RIFF chunk tree and parses PCM samples (8-bit unsigned, 16/24/32-bit
+signed little-endian, any channel count) with numpy; no codec library
+involved, so nothing is stubbed.
+
+Cross-engine oracle design (l19): the synthesized fixture corpus is a
+two-level SQUARE wave — integer samples, no transcendentals — so every
+feature the decoder computes (peak, zero crossings, RMS via an exact
+integer sum-of-squares) has a CLOSED-FORM integer formula the DuckDB
+oracle evaluates independently. sqrt and int64→double are correctly
+rounded in IEEE-754, which makes even the RMS double bit-exact across
+engines — unlike sin/exp waveforms, where JVM-vs-libm last-ulp drift
+would poison a value-hash compare.
+
+Scale posture: payloads stream through mapInPandas one Arrow batch at a
+time; features project out before any shuffle; the per-doc feature table
+is what aggregates downstream — at 100 TB the raw audio bytes are read
+once and never shuffled.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# WAV codec (pure stdlib/numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Minimal RIFF/WAVE PCM writer. ``samples`` is (n,) mono or
+    (n, channels); 8-bit is written unsigned (offset-128), wider widths
+    signed little-endian."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    bytes_per = bits // 8
+    if bits == 8:
+        raw = (arr.astype(np.int16) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = arr.astype("<i2").tobytes()
+    elif bits == 24:
+        as32 = arr.astype("<i4")
+        b = as32.view(np.uint8).reshape(n * channels, 4)
+        raw = b[:, :3].tobytes()  # little-endian: low 3 bytes
+    elif bits == 32:
+        raw = arr.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    byte_rate = rate * channels * bytes_per
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, byte_rate, channels * bytes_per, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM payload → (rate, channels, bits, samples)
+    with ``samples`` (n, channels) int32 (8-bit re-centered to signed).
+    Walks the chunk tree (fmt may be preceded by LIST/INFO etc.), accepts
+    PCM (format tag 1) at 8/16/24/32 bits."""
+    if not is_wav(payload):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1:
+        raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+        arr = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = (len(arr) // channels) * channels
+    return rate, channels, bits, arr[:n].reshape(-1, channels)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (mapInPandas)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples bigint, duration_ms bigint, peak int, sumsq bigint, "
+    "rms double, zero_crossings bigint"
+)
+_AUDIO_COLS = [
+    "doc_id", "sample_rate", "n_channels", "bits", "n_samples",
+    "duration_ms", "peak", "sumsq", "rms", "zero_crossings",
+]
+
+
+def _features(rate: int, channels: int, bits: int, samples: np.ndarray):
+    mono = samples[:, 0].astype(np.int64)  # features over channel 0
+    n = len(mono)
+    sumsq = int((mono * mono).sum())
+    rms = float(np.sqrt(np.float64(sumsq) / n)) if n else 0.0
+    sign = np.sign(mono)
+    nz = sign != 0
+    s = sign[nz]
+    zc = int((s[1:] != s[:-1]).sum()) if len(s) > 1 else 0
+    return (
+        rate, channels, bits, n, n * 1000 // rate,
+        int(np.abs(mono).max()) if n else 0, sumsq, rms, zc,
+    )
+
+
+def extract_audio(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode + featurize a WAV payload column: duration, peak, exact
+    sum-of-squares, RMS, zero-crossing count. Undecodable payloads raise —
+    audio decode has no stub path (the codec is self-contained)."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, bits, samples = decode_wav(bytes(payload))
+                rows.append((doc_id, *_features(rate, ch, bits, samples)))
+            yield pd.DataFrame(rows, columns=_AUDIO_COLS)
+
+    src = docs.select(
+        F.col("doc_id"), F.col(payload_col).cast("binary").alias("payload")
+    )
+    return src.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixture synthesis + the registered query
+# ---------------------------------------------------------------------------
+
+_RATE = 16000
+_A2_SHIFT = 1  # negative half-wave amplitude = A >> 1
+
+
+def _wave_params(doc_id: int) -> tuple[int, int, int]:
+    """(amplitude, half_period, n_samples) — all integer functions of the
+    key, mirrored literally in the oracle SQL."""
+    a = 1000 + doc_id % 100
+    h = 20 + doc_id % 13
+    n = 2000 + (doc_id % 7) * 400
+    return a, h, n
+
+
+def synth_wav_batch(
+    pdfs: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fixture synthesizer: two-level square wave — segments
+    of ``h`` samples alternating +A and -(A>>1). Integer samples only."""
+    for pdf in pdfs:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            a, h, n = _wave_params(int(doc_id))
+            i = np.arange(n)
+            pos = (i // h) % 2 == 0
+            samples = np.where(pos, a, -(a >> 1)).astype(np.int16)
+            rows.append((int(doc_id), encode_wav(samples, _RATE, 16)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+@query(
+    "l19_audio",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             1000 + doc_id % 100 AS a,
+             20 + doc_id % 13 AS h,
+             2000 + (doc_id % 7) * 400 AS n
+      FROM documents WHERE doc_id % 10 = 4
+    ), derived AS (
+      SELECT doc_id, a, h, n,
+             -- samples in +A segments: full 2h pairs + leading remainder
+             (n // (2*h)) * h +
+               CASE WHEN n % (2*h) < h THEN n % (2*h) ELSE h END AS n_pos
+      FROM params
+    )
+    SELECT doc_id,
+           {_RATE} AS sample_rate,
+           1 AS n_channels,
+           16 AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // {_RATE} AS BIGINT) AS duration_ms,
+           CAST(a AS INTEGER) AS peak,
+           CAST(n_pos * a * a + (n - n_pos) * (a // 2) * (a // 2)
+                AS BIGINT) AS sumsq,
+           sqrt(CAST(n_pos * a * a + (n - n_pos) * (a // 2) * (a // 2)
+                     AS DOUBLE) / n) AS rms,
+           CAST((n - 1) // h AS BIGINT) AS zero_crossings
+    FROM derived
+    """,
+)
+def l19_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + features over a synthesized WAV corpus: Spark
+    round-trips REAL RIFF bytes (synth → encode → decode → featurize, all
+    executor-side); the oracle re-derives every feature from the closed-form
+    integer wave algebra — agreement proves the codec and the features."""
+    cat = Catalog(spark, sf_dir)
+    keys = cat.documents.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    wavs = keys.mapInPandas(synth_wav_batch, "doc_id bigint, payload binary")
+    return extract_audio(wavs)

@@ -61,6 +61,7 @@ def load_all() -> None:
     """Import every operator module (side effect: decorator registration)."""
     from cassandra_spark.operators import (  # noqa: F401
         aggregates,
+        audio,
         bucketing,
         collection_replay,
         counter_replay,

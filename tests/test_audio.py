@@ -1,0 +1,82 @@
+"""WAV codec round-trips + audio feature semantics."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cassandra_spark.operators.audio import (
+    decode_wav,
+    encode_wav,
+    is_wav,
+    _features,
+)
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_roundtrip_mono(bits):
+    rng = np.random.default_rng(7)
+    lim = 120 if bits == 8 else (1 << (bits - 2))
+    samples = rng.integers(-lim, lim, size=500, dtype=np.int64)
+    payload = encode_wav(samples, rate=8000, bits=bits)
+    rate, ch, b, out = decode_wav(payload)
+    assert (rate, ch, b) == (8000, 1, bits)
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_roundtrip_stereo_16():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-30000, 30000, size=(300, 2), dtype=np.int64)
+    payload = encode_wav(samples, rate=44100, bits=16)
+    rate, ch, b, out = decode_wav(payload)
+    assert (rate, ch, b) == (44100, 2, 16)
+    assert np.array_equal(out, samples)
+
+
+def test_decoder_walks_extra_chunks():
+    """fmt/data may be preceded by LIST/INFO chunks; the walker must skip
+    them (and honor word alignment for odd-sized chunks)."""
+    samples = np.array([100, -100, 50], dtype=np.int64)
+    base = encode_wav(samples, rate=8000, bits=16)
+    # splice an odd-sized LIST chunk right after the WAVE tag
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = base[:12] + extra + base[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, ch, bits, out = decode_wav(spliced)
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_decode_rejects_non_wav():
+    assert not is_wav(b"not a wav")
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"JUNKJUNKJUNKJUNK")
+    # RIFF/WAVE but non-PCM format tag
+    samples = np.array([1, 2], dtype=np.int64)
+    payload = bytearray(encode_wav(samples, 8000, 16))
+    fmt_off = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, fmt_off, 3)  # IEEE float tag
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(payload))
+
+
+def test_features_square_wave():
+    # +A for h samples, -A/2 for h samples, repeating
+    a, h, n = 1000, 10, 100
+    i = np.arange(n)
+    samples = np.where((i // h) % 2 == 0, a, -(a >> 1)).astype(np.int64)
+    rate, ch, bits, n_s, dur, peak, sumsq, rms, zc = _features(
+        16000, 1, 16, samples[:, None]
+    )
+    assert (n_s, peak) == (100, 1000)
+    assert zc == (n - 1) // h
+    n_pos = (n // (2 * h)) * h + min(n % (2 * h), h)
+    assert sumsq == n_pos * a * a + (n - n_pos) * (a // 2) * (a // 2)
+    assert rms == float(np.sqrt(sumsq / n))
+
+
+def test_features_empty_and_silence():
+    assert _features(8000, 1, 16, np.zeros((0, 1), dtype=np.int64))[4] == 0
+    r = _features(8000, 1, 16, np.zeros((50, 1), dtype=np.int64))
+    assert r[5] == 0 and r[7] == 0.0 and r[8] == 0  # peak, rms, crossings
