@@ -358,3 +358,42 @@ def test_cql_udf_expansion_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "PushedFilters" in plan
+
+
+def test_masking_is_single_scan_codegen(spark):
+    """cql18: every mask is a projection over one scan — no join, no
+    exchange, no Python UDF; the modulo filter reaches the scan."""
+    plan = plan_of(spark, "cql18_masking")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_replica_map_no_join_no_shuffle(spark):
+    """p8: the ring walk is a codegen CASE — the only non-scan operator
+    allowed besides the token pandas_udf is projection; no join/exchange."""
+    plan = plan_of(spark, "p8_replica_map")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ring_ownership_single_small_shuffle(spark):
+    """p9: exactly one exchange (the n_nodes-group aggregation) with a
+    map-side partial aggregate before it."""
+    plan = plan_of(spark, "p9_ring_ownership")
+    # tree section lists each operator once: agg exchange + orderBy range
+    # partitioning only (each also reappears in the detail section)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 2, tree
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_audio_payloads_never_shuffle(spark):
+    """l19: synth → decode → featurize all pipeline map-side — the binary
+    payload column must not cross an exchange."""
+    plan = plan_of(spark, "l19_audio")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
