@@ -1104,6 +1104,83 @@ class CqlSession:
                 df = df.withColumn(col, F.expr(_rewrite_masks(call, df)))
         return df
 
+    def _size_estimates(self):
+        """``system.size_estimates`` (`[C* db/SystemKeyspace ::
+        updateSizeEstimates, unverified]`): per-local-token-range partition
+        count + mean partition size for every session table — the virtual
+        table the Spark connector reads to size its input splits. Ranges
+        are the demo ring's 64 vnode ranges (operators/ring.py);
+        ``mean_partition_size`` estimates bytes as the UTF-8 length of the
+        partition's regular-column values (pinned stand-in for the
+        reference's on-disk estimate, which is an estimate too). The plan
+        is fully distributed: snapshot → per-partition size agg → token
+        CASE classify → per-range agg; nothing collects to the driver."""
+        from pyspark.sql import functions as F
+
+        from cassandra_spark.operators import murmur3
+        from cassandra_spark.operators import ring as ring_mod
+
+        murmur3.ensure_token_registered(self.spark)
+        ring = ring_mod.build_ring()
+        idx_arms = " ".join(
+            f"WHEN token <= {tok} THEN {i}" for i, (tok, _) in enumerate(ring)
+        )
+        idx_case = f"CASE {idx_arms} ELSE 0 END"
+        start_arms = " ".join(
+            f"WHEN ridx = {i} THEN '{ring[i - 1][0] if i else ring[-1][0]}'"
+            for i in range(len(ring))
+        )
+        end_arms = " ".join(
+            f"WHEN ridx = {i} THEN '{tok}'"
+            for i, (tok, _) in enumerate(ring)
+        )
+        parts = []
+        for name in sorted(self.tables):
+            t = self.tables[name]
+            s = t.schema
+            size_cols = [
+                f"coalesce(octet_length(CAST({c} AS STRING)), 0)"
+                for c in s.regular
+            ] or ["0"]
+            snap = t.snapshot()
+            per_part = (
+                snap.withColumn("__rsize", F.expr(" + ".join(size_cols)))
+                .groupBy(s.partition_key)
+                .agg(F.sum("__rsize").alias("__psize"))
+                .withColumn(
+                    "token", F.expr(f"cassandra_token({s.partition_key})")
+                )
+                .withColumn("ridx", F.expr(idx_case))
+            )
+            parts.append(
+                per_part.groupBy("ridx")
+                .agg(
+                    F.count(F.lit(1)).alias("partitions_count"),
+                    F.avg("__psize").cast("bigint").alias(
+                        "mean_partition_size"
+                    ),
+                )
+                .select(
+                    F.lit("session").alias("keyspace_name"),
+                    F.lit(name).alias("table_name"),
+                    F.expr(f"CASE {start_arms} END").alias("range_start"),
+                    F.expr(f"CASE {end_arms} END").alias("range_end"),
+                    "mean_partition_size",
+                    "partitions_count",
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                "keyspace_name string, table_name string, "
+                "range_start string, range_end string, "
+                "mean_partition_size bigint, partitions_count bigint",
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _system_views(self) -> dict:
         """The virtual system tables every driver reads at connect time
         (`[C* db/SystemKeyspace, schema/SchemaKeyspace, unverified]`):
@@ -1145,6 +1222,14 @@ class CqlSession:
         )
         columns_df = spark.createDataFrame(crows, cols_schema)
         return {
+            "system.size_estimates": (
+                self._size_estimates(),
+                TableMeta(
+                    "system.size_estimates",
+                    ("keyspace_name",),
+                    ("table_name", "range_start", "range_end"),
+                ),
+            ),
             "system.local": (local, TableMeta("system.local", ("key",))),
             "system.peers": (peers, TableMeta("system.peers", ("peer",))),
             "system_schema.tables": (

@@ -146,3 +146,131 @@ def p9_ring_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_partitions"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# NetworkTopologyStrategy (`[C* locator/NetworkTopologyStrategy ::
+# calculateNaturalReplicas, unverified]`)
+# ---------------------------------------------------------------------------
+
+# node → (datacenter, rack): 2 DCs x 2 racks, nodes striped across racks
+TOPOLOGY = {
+    "n0": ("dc1", "r1"),
+    "n1": ("dc1", "r2"),
+    "n2": ("dc2", "r1"),
+    "n3": ("dc2", "r2"),
+}
+NTS_RF = {"dc1": 2, "dc2": 1}
+
+
+def nts_replicas_of_index(
+    ring: list[tuple[int, str]],
+    idx: int,
+    rf_per_dc: dict[str, int] | None = None,
+    topology: dict[str, tuple[str, str]] | None = None,
+) -> list[str]:
+    """The reference's per-DC ring walk: accept a node if its RACK is not
+    yet represented in its DC's replica set, or if every rack of that DC
+    already is (the "skipped" second pass collapses into this rule on one
+    walk), until each DC holds rf_dc replicas. Output order = ring walk
+    order, like the reference's natural-replica list."""
+    rf = rf_per_dc or NTS_RF
+    topo = topology or TOPOLOGY
+    racks_in_dc: dict[str, set[str]] = {}
+    for _, (dc, rack) in topo.items():
+        racks_in_dc.setdefault(dc, set()).add(rack)
+    chosen: list[str] = []
+    seen_racks: dict[str, set[str]] = {dc: set() for dc in rf}
+    per_dc: dict[str, int] = {dc: 0 for dc in rf}
+    i = idx
+    hops = 0
+    while hops < 2 * len(ring) and any(
+        per_dc[dc] < rf[dc] for dc in rf
+    ):
+        node = ring[i % len(ring)][1]
+        dc, rack = topo[node]
+        if node not in chosen and per_dc.get(dc, 99) < rf.get(dc, 0):
+            all_racks_seen = seen_racks[dc] >= racks_in_dc[dc]
+            if rack not in seen_racks[dc] or all_racks_seen:
+                chosen.append(node)
+                seen_racks[dc].add(rack)
+                per_dc[dc] += 1
+        i += 1
+        hops += 1
+    return chosen
+
+
+def nts_case_sql(
+    token_col: str, ring: list[tuple[int, str]] | None = None
+) -> str:
+    """NTS natural replicas as the same portable CASE chain as
+    :func:`replica_case_sql` — the walk runs at plan-build time, the query
+    only classifies tokens."""
+    ring = ring if ring is not None else build_ring()
+    arms = [
+        f"WHEN {token_col} <= {tok} THEN "
+        f"'{','.join(nts_replicas_of_index(ring, i))}'"
+        for i, (tok, _) in enumerate(ring)
+    ]
+    wrap = ",".join(nts_replicas_of_index(ring, 0))
+    return "CASE " + " ".join(arms) + f" ELSE '{wrap}' END"
+
+
+@query(
+    "p10_nts_replicas",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders WHERE o_orderkey % 40 = 9",
+          "o_orderkey")}
+    )
+    SELECT o_orderkey, token,
+           {nts_case_sql("token")} AS replicas
+    FROM __toks
+    """,
+)
+def p10_nts_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetworkTopologyStrategy natural replicas (dc1: RF 2 across racks,
+    dc2: RF 1) for a key sample — rack-aware per-DC placement, still zero
+    joins/shuffles. The oracle replays the identical CASE text over the
+    independently-derived token."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.filter(F.col("o_orderkey") % 40 == 9)
+        .select(
+            "o_orderkey",
+            murmur3.token_col(F.col("o_orderkey")).alias("token"),
+        )
+        .withColumn("replicas", F.expr(nts_case_sql("token")))
+    )
+
+
+def repartition_by_replica(
+    df: DataFrame,
+    key_col: str,
+    parts_per_node: int = 1,
+    ring: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """``repartitionByCassandraReplica`` analogue (the connector's
+    locality primitive): co-locate rows with their primary replica so a
+    follow-up per-node stage (replica-targeted write, per-node bulk load,
+    local repair diff) runs without a second shuffle. One exchange on
+    (node, salt): the salt spreads a node's share over ``parts_per_node``
+    tasks so a hot node doesn't serialize its whole share through one
+    task at 100 TB."""
+    ring = ring if ring is not None else build_ring()
+    case = replica_case_sql("__rtok", ring=ring)
+    out = (
+        df.withColumn("__rtok", murmur3.token_col(F.col(key_col)))
+        .withColumn(
+            "__replica", F.expr(f"split_part({case}, ',', 1)")
+        )
+        .drop("__rtok")
+    )
+    n_nodes = len({n for _, n in ring})
+    if parts_per_node <= 1:
+        return out.repartition(n_nodes, F.col("__replica"))
+    salt = (F.abs(F.hash(F.col(key_col))) % parts_per_node).alias("__salt")
+    return out.withColumn("__salt", salt).repartition(
+        n_nodes * parts_per_node, F.col("__replica"), F.col("__salt")
+    ).drop("__salt")

@@ -971,3 +971,34 @@ def test_catalog_sai_index_drops_cleanly(spark):
     assert "embeddings" in s.sai_indexes
     s.execute("DROP INDEX emb_idx")
     assert not s.sai_indexes.get("embeddings")
+
+
+def test_size_estimates_virtual_table(spark):
+    """system.size_estimates: per-token-range partition counts over the
+    demo ring, totals exact, ranges drawn from the ring's vnode tokens."""
+    from cassandra_spark.cql_session import CqlSession
+    from cassandra_spark.operators.ring import build_ring
+
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE se_kv (id bigint PRIMARY KEY, v text)")
+    for i in range(25):
+        s.execute(f"INSERT INTO se_kv (id, v) VALUES ({i}, '{'y' * (5 + i)}')")
+    rows = s.execute(
+        "SELECT * FROM system.size_estimates WHERE keyspace_name = 'session'"
+    ).collect()
+    assert sum(r.partitions_count for r in rows) == 25
+    ring_toks = {str(t) for t, _ in build_ring()}
+    for r in rows:
+        assert r.table_name == "se_kv"
+        assert r.range_end in ring_toks and r.range_start in ring_toks
+        assert r.mean_partition_size > 0
+    # restriction gate applies to system views like any table
+    import pytest as _pytest
+
+    from cassandra_spark.cql_session import CQLError
+
+    with _pytest.raises(CQLError):
+        s.execute(
+            "SELECT * FROM system.size_estimates "
+            "WHERE mean_partition_size > 10"
+        )

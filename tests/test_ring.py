@@ -59,3 +59,83 @@ def test_ownership_is_roughly_balanced(spark):
     total = sum(dist.values())
     for n, c in dist.items():
         assert 0.10 < c / total < 0.45, (n, dist)
+
+
+def test_nts_rack_aware_placement(spark):
+    """dc1 RF=2 must land on BOTH dc1 racks (n0+n1); dc2 RF=1 on one of
+    n2/n3 — for every sampled key."""
+    from cassandra_spark.operators.ring import (
+        TOPOLOGY,
+        p10_nts_replicas,
+    )
+
+    rows = p10_nts_replicas(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        reps = r.replicas.split(",")
+        assert len(reps) == 3 and len(set(reps)) == 3
+        dc1 = [n for n in reps if TOPOLOGY[n][0] == "dc1"]
+        dc2 = [n for n in reps if TOPOLOGY[n][0] == "dc2"]
+        assert sorted(dc1) == ["n0", "n1"]  # both racks of dc1
+        assert len(dc2) == 1
+
+
+def test_nts_walk_matches_python_reference(spark):
+    """The CASE chain agrees with the pure-Python NTS walk per key."""
+    import bisect
+
+    from cassandra_spark.operators import murmur3
+    from cassandra_spark.operators.ring import (
+        build_ring,
+        nts_replicas_of_index,
+        p10_nts_replicas,
+    )
+
+    ring = build_ring()
+    toks = [t for t, _ in ring]
+    for r in p10_nts_replicas(spark, SF_SMOKE).collect()[:100]:
+        idx = bisect.bisect_left(toks, murmur3.token_of_bigint(r.o_orderkey))
+        idx %= len(ring)
+        assert ",".join(nts_replicas_of_index(ring, idx)) == r.replicas
+
+
+def test_repartition_by_replica_colocates(spark):
+    """After the exchange no node's rows are split across partitions
+    (parts_per_node=1): a per-node follow-up stage needs no second
+    shuffle. (Two small nodes MAY share a partition — hash partitioning.)"""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.ring import repartition_by_replica
+
+    orders = Catalog(spark, SF_SMOKE).orders.select("o_orderkey")
+    out = repartition_by_replica(orders, "o_orderkey")
+    split = (
+        out.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__replica")
+        .agg(F.countDistinct("__pid").alias("n_parts"))
+        .agg(F.max("n_parts"))
+        .collect()[0][0]
+    )
+    assert split == 1
+    assert out.select("__replica").distinct().count() == 4
+
+
+def test_repartition_by_replica_salted_spread(spark):
+    """parts_per_node>1: a node's share spreads over up to that many
+    tasks, and rows keep their replica assignment."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.ring import repartition_by_replica
+
+    orders = Catalog(spark, SF_SMOKE).orders.select("o_orderkey")
+    out = repartition_by_replica(orders, "o_orderkey", parts_per_node=4)
+    per_node = (
+        out.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__replica")
+        .agg(F.countDistinct("__pid").alias("n_parts"))
+        .collect()
+    )
+    assert all(1 <= r.n_parts <= 4 for r in per_node)
+    assert any(r.n_parts > 1 for r in per_node)
