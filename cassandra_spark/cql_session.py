@@ -920,6 +920,8 @@ class CqlSession:
 
     def execute(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
+        if head.startswith("DESC"):
+            return self._describe(stmt)
         if head.startswith("CREATE TYPE"):
             tm = _CREATE_TYPE_RE.match(stmt)
             if not tm:
@@ -1103,6 +1105,133 @@ class CqlSession:
             if col in df.columns:
                 df = df.withColumn(col, F.expr(_rewrite_masks(call, df)))
         return df
+
+    # Spark-cast type text → canonical CQL type text (DESCRIBE output).
+    # Lossy CQL→Spark mappings (ascii/uuid/blob/... all land on string)
+    # reverse to the canonical representative, like the reference prints
+    # the stored type, not the declared alias.
+    _SPARK_TO_CQL = {
+        "string": "text",
+        "tinyint": "tinyint",
+        "smallint": "smallint",
+        "int": "int",
+        "bigint": "bigint",
+        "float": "float",
+        "double": "double",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp",
+        "decimal(38,0)": "varint",
+        "decimal(38,18)": "decimal",
+    }
+
+    def _reverse_type(self, spark_type: str) -> str:
+        t = spark_type.strip()
+        if t == DURATION_STRUCT:
+            return "duration"
+        for udt_name, struct in self.types.items():
+            if t == struct:
+                return udt_name
+        m = re.fullmatch(r"(list|set|map)<(.+)>", t)
+        if m:
+            inner = ", ".join(
+                self._reverse_type(p) for p in _split_generics(m.group(2))
+            )
+            return f"{m.group(1)}<{inner}>"
+        sm = parse_struct_type(t)
+        if sm is not None:
+            fields = re.fullmatch(r"struct<(.+)>", t).group(1)
+            inner = [
+                self._reverse_type(f.split(":", 1)[1].strip())
+                for f in _split_generics(fields)
+            ]
+            return f"tuple<{', '.join(inner)}>"
+        return self._SPARK_TO_CQL.get(t, t)
+
+    def _table_ddl(self, name: str) -> str:
+        """Canonical CREATE TABLE text for DESCRIBE (`[C* 4.0 server-side
+        DESCRIBE, CASSANDRA-14825, unverified]`), including attached
+        masks. CLUSTERING ORDER is not retained by the front-end, so the
+        canonical ASC form is printed."""
+        t = self.tables[name]
+        s = t.schema
+        masks = self.masks.get(name, {})
+        lines = []
+        for col in s.key_cols:
+            line = f"    {col} {self._reverse_type(s.key_type(col))}"
+            if col in masks:
+                line += f" MASKED WITH system.{masks[col].split('(')[0]}(...)"
+            lines.append(line)
+        for col, typ in s.regular.items():
+            cql_t = "counter" if s.counter else self._reverse_type(typ)
+            line = f"    {col} {cql_t}"
+            if col in masks:
+                line += f" MASKED WITH system.{masks[col].split('(')[0]}(...)"
+            lines.append(line)
+        for col, typ in s.static.items():
+            lines.append(f"    {col} {self._reverse_type(typ)} STATIC")
+        ck = ", ".join(s.clustering)
+        pk = (
+            f"    PRIMARY KEY (({s.partition_key}), {ck})"
+            if ck
+            else f"    PRIMARY KEY (({s.partition_key}))"
+        )
+        lines.append(pk)
+        return (
+            f"CREATE TABLE session.{name} (\n" + ",\n".join(lines) + "\n);"
+        )
+
+    def _describe(self, stmt: str):
+        """Server-side DESCRIBE: rows of (keyspace_name, type, name,
+        create_statement), the shape drivers consume since 4.0. Supports
+        DESCRIBE TABLES / DESCRIBE TABLE <t> / DESCRIBE KEYSPACE."""
+        m = re.match(
+            r"^\s*DESC(?:RIBE)?\s+(?P<what>TABLES|TABLE\s+\w+|KEYSPACE"
+            r"(?:\s+\w+)?)\s*;?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise CQLError(f"unsupported DESCRIBE: {stmt!r}")
+        what = m.group("what")
+        rows: list[tuple[str, str, str, str]] = []
+        if what.upper() == "TABLES":
+            rows = [
+                ("session", "table", n, self._table_ddl(n))
+                for n in sorted(self.tables)
+            ]
+        elif what.upper().startswith("TABLE"):
+            name = what.split()[1].lower()
+            if name not in self.tables:
+                raise CQLError(f"unknown table {name!r}")
+            rows = [("session", "table", name, self._table_ddl(name))]
+            for iname, (tbl, col, kind) in sorted(self.index_names.items()):
+                if tbl == name:
+                    target = f"KEYS({col})" if kind == "keys" else col
+                    custom = (
+                        " USING 'StorageAttachedIndex'"
+                        if kind == "sai"
+                        else ""
+                    )
+                    rows.append(
+                        ("session", "index", iname,
+                         f"CREATE {'CUSTOM ' if custom else ''}INDEX {iname} "
+                         f"ON session.{name} ({target}){custom};")
+                    )
+        else:  # KEYSPACE
+            rows = [
+                ("session", "type", n,
+                 f"CREATE TYPE session.{n} ...;  -- struct: {s}")
+                for n, s in sorted(self.types.items())
+            ] + [
+                ("session", "table", n, self._table_ddl(n))
+                for n in sorted(self.tables)
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "keyspace_name string, type string, name string, "
+            "create_statement string",
+        )
 
     def _size_estimates(self):
         """``system.size_estimates`` (`[C* db/SystemKeyspace ::

@@ -1,14 +1,15 @@
 """Dependency-free image codecs for the L4 multimodal tier: BMP (24-bit
-uncompressed), PPM (P6 binary), PNG (zlib + per-row filters; depths
-1/2/4/8/16, non-interlaced and Adam7), GIF (87a/89a LZW, interlaced and
-not), and baseline + progressive JPEG (operators/jpeg.py — pure Python +
-numpy) decode, plus nearest-neighbor resampling — so the decode → resize
+uncompressed), PPM (P6 binary), PNG (zlib + per-row filters; EVERY legal
+depth 1/2/4/8/16, non-interlaced and Adam7 — including interlaced
+sub-byte bit-packing), GIF (87a/89a LZW, interlaced and not), and
+baseline + progressive JPEG (operators/jpeg.py — pure Python + numpy)
+decode, plus nearest-neighbor resampling — so the decode → resize
 pipeline runs REAL bytes end-to-end in this container
 (`allow_stub=False`).
 
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
-avi.py; the last exotic variants (arithmetic-coded JPEG, interlaced
-sub-byte PNG) stay behind the stub gate in llm_multimodal.py. The
+avi.py; the one remaining exotic variant (arithmetic-coded JPEG — rare
+in practice, patent-era) stays behind the stub gate in llm_multimodal.py. The
 Spark-side contract (batch shape, schema, partitioning) is identical
 either way.
 
@@ -285,7 +286,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA (alpha is dropped —
     the pipeline contract is 3-channel RGB). Depths: 8 and 16 for every
     color type (16-bit samples reduce to their high byte), 1/2/4 for
-    gray/palette (bit-packed rows, non-interlaced)."""
+    gray/palette (bit-packed rows, non-interlaced AND Adam7 — each pass
+    packs its reduced rows independently per spec §8.2)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -336,25 +338,35 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     stride = width * channels * sample_bytes
 
     if depth < 8:
-        # bit-packed rows (MSB-first); filters operate with a 1-byte unit
-        if interlace != 0:
-            raise ValueError("interlaced sub-byte-depth PNG unsupported")
-        row_bytes = (width * depth + 7) // 8
-        packed, _ = _defilter(
-            raw, 0, width, height, 1, 1, row_bytes=row_bytes
-        )
+        # bit-packed rows (MSB-first); filters operate with a 1-byte unit.
+        # Interlaced images pack each Adam7 pass's rows INDEPENDENTLY
+        # (PNG spec §8.2: a pass is a reduced image), so the pass loop and
+        # the bit unpacking compose: defilter a pass, unpack its samples,
+        # scatter them onto the full grid.
         out = bytearray(width * height)
         maxval = (1 << depth) - 1
-        for y in range(height):
-            base = y * row_bytes
-            for x in range(width):
-                bitpos = x * depth
-                byte = packed[base + (bitpos >> 3)]
-                v = (byte >> (8 - depth - (bitpos & 7))) & maxval
-                # gray samples scale to full range; palette indexes don't
-                out[y * width + x] = (
-                    v * 255 // maxval if ctype_ == 0 else v
-                )
+        passes = (
+            [((0, 0, 1, 1), (width, height))]
+            if interlace == 0
+            else list(zip(_ADAM7, _adam7_pass_dims(width, height)))
+        )
+        p = 0
+        for (x0, y0, dx, dy), (pw, ph) in passes:
+            if pw == 0 or ph == 0:
+                continue
+            row_bytes = (pw * depth + 7) // 8
+            packed, p = _defilter(raw, p, pw, ph, 1, 1, row_bytes=row_bytes)
+            for py in range(ph):
+                base = py * row_bytes
+                y = y0 + py * dy
+                for px_i in range(pw):
+                    bitpos = px_i * depth
+                    byte = packed[base + (bitpos >> 3)]
+                    v = (byte >> (8 - depth - (bitpos & 7))) & maxval
+                    # gray samples scale to full range; palette indexes don't
+                    out[y * width + x0 + px_i * dx] = (
+                        v * 255 // maxval if ctype_ == 0 else v
+                    )
     elif interlace == 0:
         out, _ = _defilter(raw, 0, width, height, channels, sample_bytes)
     else:

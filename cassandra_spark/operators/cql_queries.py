@@ -657,3 +657,29 @@ def cql17_sai_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
         f"[{_ANN_V}] LIMIT 10"
     )
+
+
+@query(
+    "cql19_masked_select",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN length(c_name) <= 6 THEN c_name
+                ELSE substring(c_name, 1, 4)
+                     || repeat('*', CAST(length(c_name) - 6 AS INT))
+                     || substring(c_name, length(c_name) - 1, 2) END AS m,
+           sha256(CAST(c_acctbal AS VARCHAR)) AS h
+    FROM customer WHERE c_custkey % 100 = 31
+    """,
+)
+def cql19_masked_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra 5 masking functions through the LITERAL CQL text path:
+    the front-end expands mask_* selectors into codegen text algebra
+    (cql.py::_rewrite_masks) — proving a reference user's masked SELECT
+    statement round-trips oracle-identically, not just the Column API."""
+    return cql_select(
+        spark,
+        sf_dir,
+        "SELECT c_custkey, mask_inner(c_name, 4, 2) AS m, "
+        "mask_hash(c_acctbal) AS h "
+        "FROM customer WHERE c_custkey % 100 = 31 ALLOW FILTERING",
+    )

@@ -17,10 +17,11 @@ decode to actual RGB pixels, flow through the pipeline as a binary pixels
 column, and resize runs a real nearest-neighbor resample —
 ``allow_stub=False`` end-to-end. Video is REAL for AVI containers (MJPG /
 raw-DIB streams, operators/avi.py): sample_frames demuxes the RIFF tree
-and decodes sampled frames to RGB. Remaining formats (non-AVI video,
-arithmetic-coded JPEG, interlaced sub-byte PNG) still raise unless the
-caller opts into the deterministic fake decoder; the Spark-side contract
-(schema, Arrow batch shape, partitioning) is identical for both paths.
+and decodes sampled frames to RGB; audio is REAL for RIFF/WAVE PCM
+(operators/audio.py). Remaining formats (non-AVI video, arithmetic-coded
+JPEG) still raise unless the caller opts into the deterministic fake
+decoder; the Spark-side contract (schema, Arrow batch shape,
+partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition

@@ -33,6 +33,8 @@ from cassandra_spark.catalog import Catalog
 from cassandra_spark.operators import murmur3
 from cassandra_spark.registry import query
 
+MIN_TOKEN = -(1 << 63)
+MAX_TOKEN = (1 << 63) - 1
 N_NODES = 4
 VNODES_PER_NODE = 16
 RF = 3
@@ -274,3 +276,43 @@ def repartition_by_replica(
     return out.withColumn("__salt", salt).repartition(
         n_nodes * parts_per_node, F.col("__replica"), F.col("__salt")
     ).drop("__salt")
+
+
+def split_token_ranges(
+    n_splits: int,
+    ring: list[tuple[int, str]] | None = None,
+) -> list[tuple[int, int, str]]:
+    """Input-split planner (the connector's ``splitCount`` path): carve the
+    full signed-64 token space into contiguous half-open ranges
+    ``(start, end]`` aligned to vnode boundaries, each tagged with the
+    owner of its FIRST vnode range — the unit of parallel scan a
+    1000-executor cluster schedules for locality. Produces exactly
+    ``min(n_splits, n_vnode_ranges)`` splits, span-balanced greedily with
+    a count guarantee (a live deployment would weight by the
+    size_estimates partitions_count instead of raw token span)."""
+    ring = ring if ring is not None else build_ring()
+    toks = [t for t, _ in ring]
+    bounds = [MIN_TOKEN] + toks + [MAX_TOKEN]
+    vranges = [
+        (bounds[i], bounds[i + 1],
+         ring[i][1] if i < len(ring) else ring[0][1])
+        for i in range(len(bounds) - 1)
+    ]
+    n_splits = max(1, min(n_splits, len(vranges)))
+    total = float(MAX_TOKEN) - float(MIN_TOKEN)
+    target = total / n_splits
+    out: list[tuple[int, int, str]] = []
+    i = 0
+    for s in range(n_splits):
+        start_tok, owner = vranges[i][0], vranges[i][2]
+        span = 0.0
+        remaining_splits = n_splits - s
+        # must leave at least one vnode range per remaining split
+        while i < len(vranges) - (remaining_splits - 1):
+            span += float(vranges[i][1]) - float(vranges[i][0])
+            i += 1
+            if span >= target and s < n_splits - 1:
+                break
+        out.append((start_tok, vranges[i - 1][1], owner))
+    out[-1] = (out[-1][0], MAX_TOKEN, out[-1][2])
+    return out

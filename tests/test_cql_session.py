@@ -1002,3 +1002,56 @@ def test_size_estimates_virtual_table(spark):
             "SELECT * FROM system.size_estimates "
             "WHERE mean_partition_size > 10"
         )
+
+
+def test_describe_table_and_roundtrip(spark):
+    """Server-side DESCRIBE rows (keyspace, type, name, create_statement);
+    the emitted DDL must be canonical enough to re-create the same schema
+    in a fresh session (mask-free table)."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE dmsg (room text, posted int, author text, "
+        "tags set<text>, score double, topic text STATIC, "
+        "PRIMARY KEY (room, posted))"
+    )
+    s.execute("CREATE INDEX dmsg_auth ON dmsg (author)")
+    rows = s.execute("DESCRIBE TABLE dmsg").collect()
+    kinds = {r.type for r in rows}
+    assert kinds == {"table", "index"}
+    ddl = next(r.create_statement for r in rows if r.type == "table")
+    assert "PRIMARY KEY ((room), posted)" in ddl
+    assert "topic text STATIC" in ddl
+    # round-trip: the canonical DDL parses back to the identical schema
+    s2 = CqlSession(spark)
+    s2.execute(ddl.replace("session.", ""))
+    a, b = s.tables["dmsg"].schema, s2.tables["dmsg"].schema
+    assert (a.partition_key, a.clustering) == (b.partition_key, b.clustering)
+    assert a.regular == b.regular and a.static == b.static
+
+
+def test_describe_shows_masks_and_udts(spark):
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark)
+    s.execute("CREATE TYPE addr (street text, zip int)")
+    s.execute(
+        "CREATE TABLE dppl (id bigint PRIMARY KEY, ssn text, home addr)"
+    )
+    s.execute("ALTER TABLE dppl ALTER ssn MASKED WITH mask_hash()")
+    ddl = s.execute("DESCRIBE TABLE dppl").collect()[0].create_statement
+    assert "ssn text MASKED WITH system.mask_hash(...)" in ddl
+    assert "home addr" in ddl  # UDT struct reverses to its name
+    ks = s.execute("DESCRIBE KEYSPACE").collect()
+    assert [r.type for r in ks] == ["type", "table"]
+
+
+def test_describe_unknown_table_raises(spark):
+    import pytest as _pytest
+
+    from cassandra_spark.cql_session import CQLError, CqlSession
+
+    s = CqlSession(spark)
+    with _pytest.raises(CQLError, match="unknown table"):
+        s.execute("DESCRIBE TABLE nope")

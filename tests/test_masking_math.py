@@ -216,3 +216,61 @@ def test_f8_transcendental_domain_agrees(spark, duck):
     pd.testing.assert_frame_equal(
         jvm.astype(float), libm.astype(float), check_exact=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the SQL text algebra vs a pure-Python model (DuckDB
+# evaluates the shared expression text; Spark↔DuckDB equality is already
+# pinned by the cql18 oracle, so this closes the loop on edge cases)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ALPHABET = st.characters(
+        blacklist_characters="'\\", blacklist_categories=("Cs", "Cc")
+    )
+
+    def _py_inner(v: str, b: int, e: int, pad: str = "*") -> str:
+        if len(v) <= b + e:
+            return v
+        return v[:b] + pad * (len(v) - b - e) + v[len(v) - e:]
+
+    def _py_outer(v: str, b: int, e: int, pad: str = "*") -> str:
+        if len(v) <= b + e:
+            return pad * len(v)
+        return pad * b + v[b:len(v) - e] + pad * e
+
+    @given(
+        st.text(_ALPHABET, max_size=24),
+        st.integers(0, 6),
+        st.integers(0, 6),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_mask_inner_matches_python_model(v, b, e):
+        import duckdb
+
+        from cassandra_spark.operators.masking import mask_inner_sql
+
+        lit = "'" + v + "'"  # alphabet excludes quote/backslash
+        got = duckdb.sql(f"SELECT {mask_inner_sql(lit, b, e)}").fetchone()[0]
+        assert got == _py_inner(v, b, e)
+
+    @given(
+        st.text(_ALPHABET, max_size=24),
+        st.integers(0, 6),
+        st.integers(0, 6),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_mask_outer_matches_python_model(v, b, e):
+        import duckdb
+
+        from cassandra_spark.operators.masking import mask_outer_sql
+
+        lit = "'" + v + "'"
+        got = duckdb.sql(f"SELECT {mask_outer_sql(lit, b, e)}").fetchone()[0]
+        assert got == _py_outer(v, b, e)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the image
+    pass

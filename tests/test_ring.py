@@ -139,3 +139,25 @@ def test_repartition_by_replica_salted_spread(spark):
     )
     assert all(1 <= r.n_parts <= 4 for r in per_node)
     assert any(r.n_parts > 1 for r in per_node)
+
+
+def test_split_token_ranges_cover_and_align():
+    """Splits tile the whole signed-64 space contiguously, align to vnode
+    boundaries, and honor the requested count up to the vnode count."""
+    from cassandra_spark.operators.ring import (
+        MAX_TOKEN,
+        MIN_TOKEN,
+        build_ring,
+        split_token_ranges,
+    )
+
+    ring_toks = {t for t, _ in build_ring()}
+    for n in (1, 4, 16, 64, 999):
+        s = split_token_ranges(n)
+        assert len(s) == min(n, len(ring_toks) + 1)
+        assert s[0][0] == MIN_TOKEN and s[-1][1] == MAX_TOKEN
+        for (a_s, a_e, _), (b_s, _, _) in zip(s, s[1:]):
+            assert a_e == b_s
+            assert a_e in ring_toks  # interior boundaries are vnode tokens
+        nodes = {owner for _, _, owner in s}
+        assert nodes <= {"n0", "n1", "n2", "n3"}
