@@ -1058,6 +1058,18 @@ class CqlSession:
                 for name, t in self.tables.items()
             )
             snapshots.update(self._system_views())
+            if "size_estimates" in stmt:
+                # built only when referenced: the estimate assembles one
+                # snapshot + token-classify plan PER TABLE, which is far
+                # too much plan construction to pay on every SELECT
+                snapshots["system.size_estimates"] = (
+                    self._size_estimates(),
+                    TableMeta(
+                        "system.size_estimates",
+                        ("keyspace_name",),
+                        ("table_name", "range_start", "range_end"),
+                    ),
+                )
             df = cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
@@ -1351,14 +1363,6 @@ class CqlSession:
         )
         columns_df = spark.createDataFrame(crows, cols_schema)
         return {
-            "system.size_estimates": (
-                self._size_estimates(),
-                TableMeta(
-                    "system.size_estimates",
-                    ("keyspace_name",),
-                    ("table_name", "range_start", "range_end"),
-                ),
-            ),
             "system.local": (local, TableMeta("system.local", ("key",))),
             "system.peers": (peers, TableMeta("system.peers", ("peer",))),
             "system_schema.tables": (

@@ -316,3 +316,66 @@ def split_token_ranges(
         out.append((start_tok, vranges[i - 1][1], owner))
     out[-1] = (out[-1][0], MAX_TOKEN, out[-1][2])
     return out
+
+
+@query(
+    "w18_hinted_handoff",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT DISTINCT user_id FROM events", "user_id")}
+    ), placed AS (
+      SELECT e.event_id, e.user_id,
+             (e.event_id % 7) IN (2, 3) AS in_outage,
+             unnest(string_split({replica_case_sql("t.token")}, ','))
+               AS replica
+      FROM events e JOIN __toks t USING (user_id)
+    )
+    SELECT replica,
+           CAST(count(*) AS BIGINT) AS total_writes,
+           CAST(sum(CASE WHEN replica = 'n2' AND in_outage
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hinted,
+           CAST(sum(CASE WHEN replica = 'n2' AND in_outage
+                         THEN 0 ELSE 1 END) AS BIGINT) AS applied_live
+    FROM placed
+    GROUP BY replica ORDER BY replica
+    """,
+)
+def w18_hinted_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hinted handoff accounting (`[C* hints/HintsService,
+    db/HintedHandOffManager, unverified]`): writes destined to a replica
+    that is DOWN during the outage window become hints held by the
+    coordinator; on recovery the hint stream replays and the replica
+    converges (total_writes = applied_live + hinted for the down node —
+    the convergence identity the test asserts).
+
+    Outage model: node n2 down for the deterministic event_id%7∈{{2,3}}
+    slice of the write stream. Spark shape: token (vectorized UDF over the
+    DISTINCT user keys, broadcast back) → replica CASE → explode → one
+    map-side-combined n_nodes-group aggregation. The per-write hint
+    decision pipelines in the scan stage; nothing driver-side."""
+    cat = Catalog(spark, sf_dir)
+    keys = (
+        cat.events.select("user_id")
+        .distinct()
+        .withColumn("token", murmur3.token_col(F.col("user_id")))
+        .withColumn(
+            "replicas", F.expr(replica_case_sql("token"))
+        )
+    )
+    placed = (
+        cat.events.select("event_id", "user_id")
+        .join(F.broadcast(keys), "user_id")
+        .withColumn("in_outage", (F.col("event_id") % 7).isin(2, 3))
+        .withColumn("replica", F.explode(F.split("replicas", ",")))
+    )
+    down = (F.col("replica") == "n2") & F.col("in_outage")
+    return (
+        placed.groupBy("replica")
+        .agg(
+            F.count(F.lit(1)).alias("total_writes"),
+            F.sum(down.cast("long")).alias("hinted"),
+            F.sum((~down).cast("long")).alias("applied_live"),
+        )
+        .orderBy("replica")
+    )

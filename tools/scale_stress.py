@@ -90,6 +90,11 @@ STRESS_QUERIES = (
     "x28_pricing_summary",
     "w4_upsert_merge",
     "q_flagship_revenue_by_nation",
+    # round-5 additions: full-scan token classify + n_nodes-group agg
+    # (flat-plan claim) and the WAV synth→encode→decode pipeline
+    # (per-row map-only claim)
+    "p9_ring_ownership",
+    "l19_audio",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
