@@ -643,3 +643,48 @@ def duckdb_token_query_composite(
     lanes += [f"(__ui // {1 << (8 * (3 - i))}) % 256" for i in range(4)]
     lanes += ["0"]
     return _wrap_chain(base_sql, pre + _token_chain_steps_1block(lanes), out)
+
+
+# ---------------------------------------------------------------------------
+# int (4-byte) partition keys: Int32Type serialization
+# (`[C* db/marshal/Int32Type, unverified]`) — an `int`-typed partition key
+# hashes its 4-byte big-endian form, NOT the 8-byte bigint form, so its
+# tokens differ from the same numeric value in a bigint column.
+# ---------------------------------------------------------------------------
+
+
+def token_of_int32(v: int) -> int:
+    """Token of an int (4-byte) partition key."""
+    return murmur3_token(int(v).to_bytes(4, "big", signed=True))
+
+
+def tokens_of_int32s(values: np.ndarray) -> np.ndarray:
+    """Vectorized tokens of an int32 array (4-byte big-endian keys)."""
+    u = values.astype(np.int32).view(np.uint32).astype(np.uint64)
+    mat = np.empty((len(u), 4), dtype=np.uint8)
+    for i in range(4):
+        mat[:, i] = ((u >> _U(8 * (3 - i))) & _U(0xFF)).astype(np.uint8)
+    return tokens_of_byte_matrix(mat)
+
+
+def int32_token_udf():
+    """Arrow-batched pandas_udf: int (4-byte) partition key -> token."""
+
+    @F.pandas_udf(LongType())
+    def _tok(keys: pd.Series) -> pd.Series:
+        return pd.Series(tokens_of_int32s(keys.to_numpy(dtype=np.int32)))
+
+    return _tok
+
+
+def duckdb_token_query_int32(
+    base_sql: str, col: str, out: str = "token"
+) -> str:
+    """Murmur3 token of an int (4-byte) key as DuckDB SQL — same caller
+    contract as :func:`duckdb_token_query`."""
+    p32 = 1 << 32
+    pre = [("__u", f"((CAST({col} AS HUGEINT) % {p32}) + {p32}) % {p32}")]
+    bytes_ = [f"(__u // {1 << (8 * (3 - i))}) % 256" for i in range(4)]
+    return _wrap_chain(
+        base_sql, pre + _token_chain_steps(bytes_, "4"), out
+    )

@@ -377,6 +377,32 @@ def p7_token_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p11_token_int32",
+    oracle=murmur3.duckdb_token_query_int32(
+        "SELECT c_custkey, c_nationkey FROM customer "
+        "WHERE c_custkey % 50 = 17",
+        "c_nationkey",
+    ),
+)
+def p11_token_int32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring placement for an INT (4-byte) partition key: Int32Type
+    serializes 4 big-endian bytes (`[C* db/marshal/Int32Type,
+    unverified]`), so the same numeric value tokenizes DIFFERENTLY than
+    in a bigint column — the serialization-fidelity case a stand-in hash
+    can't catch. Three-way differential: numpy pandas_udf vs pure-Python
+    vs the DuckDB 4-lane chain (tests/test_murmur3.py)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.filter(F.col("c_custkey") % 50 == 17)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            murmur3.int32_token_udf()(F.col("c_nationkey")).alias("token"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-tier: ordering / limits
 # ---------------------------------------------------------------------------

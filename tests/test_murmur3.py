@@ -292,3 +292,36 @@ def test_composite_body_block_differs_from_concat():
 
     a, b = (42).to_bytes(8, "big"), (7).to_bytes(4, "big")
     assert token_of_composite([a, b]) != murmur3_token(a + b)
+
+
+def test_int32_serialization_differs_from_bigint():
+    """Int32Type keys hash 4 bytes; the same value in a bigint column
+    hashes 8 — tokens must differ (serialization fidelity)."""
+    from cassandra_spark.operators import murmur3 as m
+
+    for v in (0, 1, -1, 42, 2**31 - 1, -(2**31)):
+        assert m.token_of_int32(v) != m.token_of_bigint(v)
+
+
+def test_int32_three_way_differential():
+    import duckdb
+    import numpy as np
+
+    from cassandra_spark.operators import murmur3 as m
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**31), 2**31, size=200),
+            np.array([0, 1, -1, 2**31 - 1, -(2**31)]),
+        ]
+    ).astype(np.int64)
+    py = [m.token_of_int32(int(v)) for v in vals]
+    assert m.tokens_of_int32s(vals).tolist() == py
+    q = m.duckdb_token_query_int32(
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({int(v)})" for v in vals)
+        + ") t(k)",
+        "k",
+    )
+    assert [r[1] for r in duckdb.sql(q).fetchall()] == py
