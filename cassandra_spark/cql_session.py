@@ -87,6 +87,12 @@ def _map_type(cql_type: str, udts: dict[str, str] | None = None) -> str:
             f"c{i}: {_map_type(p, udts)}" for i, p in enumerate(inner)
         )
         return f"struct<{fields}>"
+    m = re.fullmatch(r"vector\s*<\s*(\w+)\s*,\s*\d+\s*>", t)
+    if m:
+        # Cassandra 5 vector<T, n> (`[C* db/marshal/VectorType,
+        # unverified]`): fixed dimension enforced at write time by the
+        # reference; the engine maps to list<T> (dimension is metadata)
+        return f"list<{_map_type(m.group(1), udts)}>"
     m = re.fullmatch(r"(list|set|map)\s*<(.+)>", t)
     if m:
         inner = _split_generics(m.group(2))

@@ -417,3 +417,139 @@ def l12_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- L20: overlapping-window chunking ---------------------------------------
+
+CHUNK_W = 64   # window length (tokens)
+CHUNK_S = 48   # stride (tokens) -> 16-token overlap
+
+
+@query(
+    "l20_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id % 5 = 2
+    )
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(ci * {CHUNK_S} AS INTEGER) AS start_tok,
+           CAST(len(w[ci * {CHUNK_S} + 1 : ci * {CHUNK_S} + {CHUNK_W}])
+                AS INTEGER) AS n_tok,
+           md5(array_to_string(
+               w[ci * {CHUNK_S} + 1 : ci * {CHUNK_S} + {CHUNK_W}], ' '))
+             AS chunk_md5
+    FROM toks,
+         unnest(range(CAST(1 + ceil(greatest(0, n - {CHUNK_W}) / {CHUNK_S}.0)
+                           AS BIGINT))) AS t(ci)
+    """,
+)
+def l20_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (context-window assembly with overlap —
+    the retrieval/pretraining chunker): windows of CHUNK_W tokens every
+    CHUNK_S, last window ragged. Row-expanding explode of a per-doc index
+    sequence — no shuffle at all; chunk identity is the md5 of the joined
+    window (md5 is bit-identical across engines, so the oracle checks the
+    exact chunk CONTENT, not just geometry). At 100 TB chunk text never
+    materializes driver-side and each task expands only its own docs."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.filter(F.col("doc_id") % 5 == 2).select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    n_chunks = F.expr(
+        f"CAST(1 + ceil(greatest(0, n - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT)"
+    )
+    return (
+        toks.withColumn("ci", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("ci").cast("int").alias("chunk_idx"),
+            (F.col("ci") * CHUNK_S).cast("int").alias("start_tok"),
+            F.expr(f"size(slice(w, ci * {CHUNK_S} + 1, {CHUNK_W}))")
+            .cast("int")
+            .alias("n_tok"),
+            F.md5(
+                F.expr(
+                    f"array_join(slice(w, ci * {CHUNK_S} + 1, {CHUNK_W}), ' ')"
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+# --- L21: bigram-LM quality scoring (exact integer math) --------------------
+
+
+@query(
+    "l21_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, unnest(range(1, len(w))) AS t(i)
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12,
+             SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+      FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(1000000 * c12.c12 // c12.c1) AS BIGINT) AS lm_score,
+           CAST(SUM(1000000 * c12.c12 // c12.c1) // COUNT(*) AS BIGINT)
+             AS mean_score
+    FROM bg JOIN c12 USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+)
+def l21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (the perplexity-filter stage of a data
+    pipeline, integer-exact): score(doc) = Σ floor(1e6 · c(w1,w2)/c(w1·))
+    over its bigrams — a monotone stand-in for Σ log p(w2|w1) that stays
+    bit-exact cross-engine (floored integer ratios; no transcendentals).
+
+    Shape: one explode (no shuffle) → bigram-count aggregation with the
+    prefix total derived by a WINDOW over the grouped counts (so the raw
+    bigram stream shuffles ONCE, not twice) → one join back keyed on the
+    bigram, map-side-combined per-doc rollup. At 100 TB the counts table
+    is the natural persist-and-reuse artifact, and stop-word-headed
+    bigrams (the hot keys) are handled by AQE skew splitting on the
+    score join."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.expr("1000000 * c12 DIV c1")
+            ).alias("lm_score"),
+        )
+        .withColumn(
+            "mean_score", F.expr("lm_score DIV n_bigrams")
+        )
+    )

@@ -1055,3 +1055,37 @@ def test_describe_unknown_table_raises(spark):
     s = CqlSession(spark)
     with _pytest.raises(CQLError, match="unknown table"):
         s.execute("DESCRIBE TABLE nope")
+
+
+def test_vector_type_ann_through_session(spark):
+    """Cassandra 5 vector<float, n> columns: DDL parses (dimension is
+    metadata — pinned simplification: not enforced at write), INSERT
+    takes list literals, ANN ordering and similarity selectors work over
+    the session snapshot."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE svecs (id bigint PRIMARY KEY, emb vector<float, 3>)"
+    )
+    s.execute("INSERT INTO svecs (id, emb) VALUES (1, [1.0, 0.0, 0.0])")
+    s.execute("INSERT INTO svecs (id, emb) VALUES (2, [0.0, 1.0, 0.0])")
+    s.execute("INSERT INTO svecs (id, emb) VALUES (3, [0.9, 0.1, 0.0])")
+    got = [
+        r.id
+        for r in s.execute(
+            "SELECT id FROM svecs ORDER BY emb ANN OF [1.0, 0.0, 0.0] LIMIT 2"
+        ).collect()
+    ]
+    assert got == [1, 3]
+    sims = {
+        r.id: r.sim
+        for r in s.execute(
+            "SELECT id, similarity_cosine(emb, [1.0, 0.0, 0.0]) AS sim "
+            "FROM svecs"
+        ).collect()
+    }
+    assert sims[1] == 1.0 and sims[2] == 0.5
+    # DESCRIBE reverses vector storage to its list mapping
+    ddl = s.execute("DESCRIBE TABLE svecs").collect()[0].create_statement
+    assert "emb list<float>" in ddl
