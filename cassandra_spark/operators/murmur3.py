@@ -282,22 +282,44 @@ def token_col(col):
 def ensure_token_registered(spark) -> None:
     """Register ``cassandra_token(key)`` as a session SQL function (the
     CQL front-end's ``token()`` target). Dispatches on the Arrow batch
-    dtype: int64 keys take the vectorized path (8-byte big-endian
-    serialization), text keys hash their UTF-8 bytes per the reference's
-    type system. Memoized per session object."""
+    dtype per the reference's type system: int64 keys hash 8 big-endian
+    bytes (LongType), int32/int16/int8 keys 4/2/1 bytes (Int32Type /
+    ShortType / ByteType serializations — the same numeric value
+    tokenizes differently per declared width), text keys their UTF-8
+    bytes. Memoized per session object."""
     if getattr(spark, "_cassandra_token_registered", False):
         return
+
+    def _int_tokens(arr_dtype, np_vals: np.ndarray) -> np.ndarray:
+        width = arr_dtype.itemsize
+        if width == 8:
+            return tokens_of_bigints(np_vals.astype(np.int64))
+        if width == 4:
+            return tokens_of_int32s(np_vals.astype(np.int64))
+        # 1/2-byte keys: big-endian fixed-width byte matrix
+        w = max(1, width)
+        u = np_vals.astype(np.int64) & ((1 << (8 * w)) - 1)
+        mat = np.empty((len(u), w), dtype=np.uint8)
+        for i in range(w):
+            mat[:, i] = (u >> (8 * (w - 1 - i))) & 0xFF
+        return tokens_of_byte_matrix(mat)
 
     @F.pandas_udf(LongType())
     def cassandra_token(keys: pd.Series) -> pd.Series:
         if pd.api.types.is_integer_dtype(keys.dtype) and not keys.isna().any():
-            return pd.Series(tokens_of_bigints(keys.to_numpy(dtype=np.int64)))
+            npv = keys.to_numpy()
+            return pd.Series(_int_tokens(npv.dtype, npv))
         mask = keys.notna().to_numpy()
         result = pd.array([None] * len(keys), dtype="Int64")
         if mask.any():
             vals = keys[mask]
             if isinstance(vals.iloc[0], (int, np.integer)):
-                toks = tokens_of_bigints(vals.to_numpy(dtype=np.int64))
+                npv = vals.to_numpy()
+                toks = _int_tokens(
+                    npv.dtype if pd.api.types.is_integer_dtype(npv.dtype)
+                    else np.dtype(np.int64),
+                    npv.astype(np.int64),
+                )
             else:
                 # length-grouped SIMD text path (tokens_of_texts)
                 toks = tokens_of_texts([str(v) for v in vals])

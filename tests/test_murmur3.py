@@ -325,3 +325,22 @@ def test_int32_three_way_differential():
         "k",
     )
     assert [r[1] for r in duckdb.sql(q).fetchall()] == py
+
+
+def test_cassandra_token_dispatches_on_declared_width(spark):
+    """token() through the SQL function hashes the DECLARED width: the
+    same numeric value in int vs bigint columns yields different tokens
+    (Int32Type vs LongType serialization), both matching the pure-Python
+    reference."""
+    from cassandra_spark.operators import murmur3 as m
+
+    m.ensure_token_registered(spark)
+    rows = spark.sql(
+        "SELECT cassandra_token(CAST(42 AS INT)) AS t_int, "
+        "cassandra_token(CAST(42 AS BIGINT)) AS t_big, "
+        "cassandra_token(CAST(42 AS SMALLINT)) AS t_small"
+    ).collect()[0]
+    assert rows.t_int == m.token_of_int32(42)
+    assert rows.t_big == m.token_of_bigint(42)
+    assert rows.t_small == m.murmur3_token((42).to_bytes(2, "big", signed=True))
+    assert len({rows.t_int, rows.t_big, rows.t_small}) == 3
