@@ -356,3 +356,42 @@ def w16_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@query(
+    "w19_consistency_levels",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS truth_rows,
+           CAST(sum(CASE WHEN NOT (event_id % 3 = 0 AND event_id % 7 = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS one_rows,
+           CAST(count(*) AS BIGINT) AS quorum_rows,
+           CAST(count(*) AS BIGINT) AS all_rows,
+           CAST(sum(CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS one_stale
+    FROM events
+    """,
+)
+def w19_consistency_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read consistency levels over divergent replicas (`[C* service/
+    reads/AbstractReadExecutor; db/ConsistencyLevel, unverified]`).
+
+    Divergence model: replica r (of 3) dropped the mutations where
+    ``event_id % 3 = r AND event_id % 7 = 0`` — each write still reached
+    2 of 3 replicas (the W=QUORUM write contract). The CL identity this
+    derives: a CL=ONE read served by replica 0 misses exactly replica 0's
+    dropped slice; ANY two-replica quorum covers every row (missing sets
+    are pairwise disjoint), so QUORUM == ALL == truth. R+W > N made
+    measurable.
+
+    Shape: ONE conditional-aggregate scan — the replica views are
+    predicates, not copies, so the check costs a single pass at any
+    corpus size (the same trick w8's Merkle diff uses per bucket)."""
+    cat = Catalog(spark, sf_dir)
+    dropped_r0 = (F.col("event_id") % 3 == 0) & (F.col("event_id") % 7 == 0)
+    return cat.events.agg(
+        F.count(F.lit(1)).alias("truth_rows"),
+        F.sum((~dropped_r0).cast("long")).alias("one_rows"),
+        F.count(F.lit(1)).alias("quorum_rows"),
+        F.count(F.lit(1)).alias("all_rows"),
+        F.sum(dropped_r0.cast("long")).alias("one_stale"),
+    )
