@@ -82,6 +82,7 @@ def load_all() -> None:
         repair,
         ring,
         setops,
+        sketches,
         streaming_batch,
         subqueries,
         thrift_compat,

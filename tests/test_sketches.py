@@ -1,0 +1,94 @@
+"""Sketch aggregates: accuracy bounds + the structural guarantees."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_estimate_within_bound(spark):
+    """HLL standard error is ~1.04/sqrt(m); assert a loose 3-sigma band
+    against the exact distinct count."""
+    from cassandra_spark.operators.sketches import HLL_M, a10_hll_distinct
+
+    r = a10_hll_distinct(spark, SF_SMOKE).collect()[0]
+    assert r.m == HLL_M and r.exact > 0
+    rel_err = abs(r.estimate - r.exact) / r.exact
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), (r.estimate, r.exact)
+
+
+def test_hll_scaled_sum_is_exact_integer(spark):
+    """The accumulator must stay in integer space (the cross-engine
+    exactness argument): scaled_sum <= m * 2^25 and > 0."""
+    from cassandra_spark.operators.sketches import HLL_M, a10_hll_distinct
+
+    r = a10_hll_distinct(spark, SF_SMOKE).collect()[0]
+    assert 0 < r.scaled_sum <= HLL_M * (1 << 25)
+    assert isinstance(r.scaled_sum, int)
+
+
+def test_countmin_never_undercounts(spark):
+    """CM estimates are upper bounds by construction — every probed key
+    must satisfy estimate >= true count."""
+    from cassandra_spark.operators.sketches import a11_countmin_heavy
+
+    rows = a11_countmin_heavy(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.cm_estimate >= r.true_count for r in rows)
+
+
+def test_mix32_dialects_agree():
+    """The Spark and DuckDB spellings of the mixer compute the same
+    values (the premise of every sketch oracle)."""
+    import duckdb
+
+    from cassandra_spark.operators.sketches import mix32_sql
+
+    vals = [0, 1, -1, 42, 999983, -123456789, 2**31, -(2**31)]
+    duck = [
+        duckdb.sql(f"SELECT {mix32_sql(str(v), 'duck')}").fetchone()[0]
+        for v in vals
+    ]
+    # pure-Python replay of the mixer
+    def mix(x: int) -> int:
+        M, K = 1 << 32, 73244475
+        h = ((x % M) + M) % M
+        h = ((h ^ (h // 65536)) * K) % M
+        h = ((h ^ (h // 65536)) * K) % M
+        return h ^ (h // 65536)
+
+    assert duck == [mix(v) for v in vals]
+
+
+def test_mix32_spark_matches_python(spark):
+    from cassandra_spark.operators.sketches import mix32_sql
+
+    rows = spark.sql(
+        f"SELECT id - 5 AS x, {mix32_sql('id - 5', 'spark')} AS h "
+        "FROM range(0, 11)"
+    ).collect()
+
+    def mix(x: int) -> int:
+        M, K = 1 << 32, 73244475
+        h = ((x % M) + M) % M
+        h = ((h ^ (h // 65536)) * K) % M
+        h = ((h ^ (h // 65536)) * K) % M
+        return h ^ (h // 65536)
+
+    for r in rows:
+        assert r.h == mix(r.x)
+
+
+def test_linear_counting_ln_domain_pinned(spark, duck):
+    """The small-range branch computes round(m*ln(m/V), 6) for V in
+    1..m — a finite 256-value domain; pin Spark (JVM Math) against DuckDB
+    (libm) on all of it, the same determinism contract as f8."""
+    jvm = spark.sql(
+        "SELECT id AS v, round(256.0D * ln(256.0D / id), 6) AS e "
+        "FROM range(1, 257)"
+    ).collect()
+    libm = duck.execute(
+        "SELECT r AS v, round(CAST(256 AS DOUBLE) "
+        "* ln(CAST(256 AS DOUBLE) / r), 6) AS e "
+        "FROM range(1, 257) t(r) ORDER BY r"
+    ).fetchall()
+    assert [(r.v, r.e) for r in jvm] == [(v, e) for v, e in libm]
