@@ -321,6 +321,9 @@ class TableSchema:
     counter: bool = False
     static: dict[str, str] = field(default_factory=dict)
     key_types: dict[str, str] = field(default_factory=dict)  # key col -> type
+    # WITH default_time_to_live: applied to data cells written without an
+    # explicit USING TTL (0 = none; explicit `USING TTL 0` still disables)
+    default_ttl: int = 0
 
     def __post_init__(self) -> None:
         if self.clustering is None:
@@ -1051,6 +1054,10 @@ class CqlTable:
     ) -> None:
         self._seq += 1
         self._max_wt = ts if self._max_wt is None else max(self._max_wt, ts)
+        if ttl is None and kind in (CELL, MARKER):
+            # table-level default TTL; tombstones and counter increments
+            # never carry one (the reference's TableParams semantics)
+            ttl = self.schema.default_ttl or None
         self._log.append(
             mut_row(
                 pk, ck, col, val, kind, ts,

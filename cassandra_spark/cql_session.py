@@ -143,7 +143,7 @@ def _create_parts(stmt: str):
                 rest = stmt[i + 1 :].strip().rstrip(";").strip()
                 if rest and not re.match(r"^WITH\b", rest, re.IGNORECASE):
                     return None
-                return hm.group("name").lower(), stmt[start:i]
+                return hm.group("name").lower(), stmt[start:i], rest
     return None
 
 
@@ -158,7 +158,17 @@ def parse_create_table(
     parts = _create_parts(stmt)
     if not parts:
         raise CQLError(f"unsupported or malformed CREATE TABLE: {stmt!r}")
-    name, body = parts
+    name, body, with_rest = parts
+    # table options: default_time_to_live is the one WITH option with
+    # write-path semantics (`[C* schema/TableParams defaultTimeToLive,
+    # unverified]`); everything else (compaction, caching, ...) is
+    # physical-layout advice this engine's parquet/memtable model owns
+    default_ttl = 0
+    dm = re.search(
+        r"default_time_to_live\s*=\s*(\d+)", with_rest or "", re.IGNORECASE
+    )
+    if dm:
+        default_ttl = int(dm.group(1))
     cols: dict[str, str] = {}
     statics: set[str] = set()
     inline_pk: str | None = None
@@ -253,6 +263,10 @@ def parse_create_table(
         raise CQLError(
             "counter tables must have only counter regular columns"
         )
+    if default_ttl and counter_cols:
+        raise CQLError(
+            "default_time_to_live is not supported on counter tables"
+        )
     return TableSchema(
         name=name,
         partition_key=pk,
@@ -261,6 +275,7 @@ def parse_create_table(
         counter=bool(counter_cols),
         static=static,
         key_types=key_types,
+        default_ttl=default_ttl,
     )
 
 
@@ -1195,8 +1210,15 @@ class CqlSession:
             else f"    PRIMARY KEY (({s.partition_key}))"
         )
         lines.append(pk)
+        opts = (
+            f" WITH default_time_to_live = {s.default_ttl}"
+            if s.default_ttl
+            else ""
+        )
         return (
-            f"CREATE TABLE session.{name} (\n" + ",\n".join(lines) + "\n);"
+            f"CREATE TABLE session.{name} (\n"
+            + ",\n".join(lines)
+            + f"\n){opts};"
         )
 
     def _describe(self, stmt: str):

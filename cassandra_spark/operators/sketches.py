@@ -230,3 +230,96 @@ def a11_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cm_estimate").cast("long"),
         )
     )
+
+
+KMV_K = 256
+
+
+@query(
+    "a12_kmv_overlap",
+    oracle=f"""
+    WITH a_keys AS (
+      SELECT DISTINCT {mix32_sql("o_custkey", "duck")} AS h
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), b_keys AS (
+      SELECT DISTINCT {mix32_sql("o_custkey", "duck")} AS h
+      FROM orders WHERE o_orderkey % 3 = 1
+    ), a_kmv AS (
+      SELECT h FROM a_keys ORDER BY h LIMIT {KMV_K}
+    ), b_kmv AS (
+      SELECT h FROM b_keys ORDER BY h LIMIT {KMV_K}
+    ), u_kmv AS (
+      SELECT h FROM (SELECT h FROM a_kmv UNION SELECT h FROM b_kmv)
+      ORDER BY h LIMIT {KMV_K}
+    ), stats AS (
+      SELECT (SELECT MAX(h) FROM a_kmv) AS ka,
+             (SELECT COUNT(*) FROM a_kmv) AS na,
+             (SELECT MAX(h) FROM b_kmv) AS kb,
+             (SELECT COUNT(*) FROM b_kmv) AS nb,
+             (SELECT MAX(h) FROM u_kmv) AS ku,
+             (SELECT COUNT(*) FROM u_kmv) AS nu,
+             (SELECT COUNT(*) FROM u_kmv
+              WHERE h IN (SELECT h FROM a_kmv)
+                AND h IN (SELECT h FROM b_kmv)) AS n_both
+    )
+    SELECT CAST(na AS BIGINT) AS k_a, CAST(nb AS BIGINT) AS k_b,
+           CAST(nu AS BIGINT) AS k_u, CAST(n_both AS BIGINT) AS k_both,
+           round((CAST(nu AS DOUBLE) - 1.0) * {_M32}
+                 / CAST(ku AS DOUBLE), 6) AS union_est,
+           round(CAST(n_both AS DOUBLE) / nu
+                 * ((CAST(nu AS DOUBLE) - 1.0) * {_M32}
+                    / CAST(ku AS DOUBLE)), 6) AS intersection_est
+    FROM stats
+    """,
+)
+def a12_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) theta-sketch set algebra:
+    distinct-union and intersection estimates between two customer sets
+    (orders split by orderkey mod). Unlike HLL, KMV sketches COMPOSE —
+    union = bottom-k of merged minima, intersection via the Jaccard of
+    the union sketch — which is what 100 TB segment-wise dedup planning
+    needs (sketch per shard, combine on the driver-sized k values).
+    Deterministic end-to-end: the sketch IS a top-k over an exact integer
+    hash (TakeOrderedAndProject, no randomness), so both engines build
+    the identical sketch and the estimate doubles match bit-for-bit."""
+    cat = Catalog(spark, sf_dir)
+    h = mix32_sql("o_custkey", "spark")
+
+    def kmv(cond):
+        return (
+            cat.orders.filter(cond)
+            .select(F.expr(f"{h} AS h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    a = kmv(F.col("o_orderkey") % 3 == 0)
+    b = kmv(F.col("o_orderkey") % 3 == 1)
+    u = a.union(b).distinct().orderBy("h").limit(KMV_K)
+    sa = a.agg(F.max("h").alias("ka"), F.count("h").alias("na"))
+    sb = b.agg(F.max("h").alias("kb"), F.count("h").alias("nb"))
+    both = u.join(a, "h", "left_semi").join(b, "h", "left_semi").agg(
+        F.count("h").alias("n_both")
+    )
+    su = u.agg(F.max("h").alias("ku"), F.count("h").alias("nu"))
+    union_raw = (
+        (F.col("nu").cast("double") - 1.0) * float(_M32)
+        / F.col("ku").cast("double")
+    )
+    union_est = F.round(union_raw, 6)
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(both))
+        .select(
+            F.col("na").cast("long").alias("k_a"),
+            F.col("nb").cast("long").alias("k_b"),
+            F.col("nu").cast("long").alias("k_u"),
+            F.col("n_both").cast("long").alias("k_both"),
+            union_est.alias("union_est"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("nu") * union_raw, 6
+            ).alias("intersection_est"),
+        )
+    )

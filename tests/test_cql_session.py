@@ -1089,3 +1089,42 @@ def test_vector_type_ann_through_session(spark):
     # DESCRIBE reverses vector storage to its list mapping
     ddl = s.execute("DESCRIBE TABLE svecs").collect()[0].create_statement
     assert "emb list<float>" in ddl
+
+
+def test_default_time_to_live_option(spark):
+    """WITH default_time_to_live: data cells written without USING TTL
+    inherit the table default (logical-clock units, same strict-> expiry
+    rule as w2); explicit USING TTL 0 disables; tombstones never carry
+    one; counter tables reject the option; DESCRIBE round-trips it."""
+    import pytest as _pytest
+
+    from cassandra_spark.cql_session import CQLError, CqlSession
+
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE tdl (id bigint PRIMARY KEY, v text) "
+        "WITH default_time_to_live = 3 AND comment = 'x'"
+    )
+    assert s.tables["tdl"].schema.default_ttl == 3
+    s.execute("INSERT INTO tdl (id, v) VALUES (1, 'a')")          # wt 1
+    s.execute("INSERT INTO tdl (id, v) VALUES (2, 'b') USING TTL 0")
+    assert sorted(
+        r.id for r in s.execute("SELECT id FROM tdl").collect()
+    ) == [1, 2]
+    s.execute("INSERT INTO tdl (id, v) VALUES (3, 'c')")          # wt 3
+    s.execute("INSERT INTO tdl (id, v) VALUES (4, 'd')")          # wt 4
+    # asof = 5: row 1 (1+3 > 5 false) expired; 2 immortal; 3, 4 alive
+    assert sorted(
+        r.id for r in s.execute("SELECT id FROM tdl").collect()
+    ) == [2, 3, 4]
+    ddl = s.execute("DESCRIBE TABLE tdl").collect()[0].create_statement
+    assert ddl.rstrip().endswith("WITH default_time_to_live = 3;")
+    # round-trip: the emitted DDL re-creates the option
+    s2 = CqlSession(spark)
+    s2.execute(ddl.replace("session.", ""))
+    assert s2.tables["tdl"].schema.default_ttl == 3
+    with _pytest.raises(CQLError, match="counter"):
+        s.execute(
+            "CREATE TABLE cdl (id bigint PRIMARY KEY, c counter) "
+            "WITH default_time_to_live = 5"
+        )

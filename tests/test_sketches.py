@@ -92,3 +92,45 @@ def test_linear_counting_ln_domain_pinned(spark, duck):
         "FROM range(1, 257) t(r) ORDER BY r"
     ).fetchall()
     assert [(r.v, r.e) for r in jvm] == [(v, e) for v, e in libm]
+
+
+def test_kmv_estimates_reasonable(spark):
+    """KMV union/intersection estimates should land near the exact values
+    on the smoke corpus (loose band: KMV rel-err ~ 1/sqrt(k))."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.sketches import a12_kmv_overlap
+
+    r = a12_kmv_overlap(spark, SF_SMOKE).collect()[0]
+    orders = Catalog(spark, SF_SMOKE).orders
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    b = orders.filter(F.col("o_orderkey") % 3 == 1).select("o_custkey")
+    exact_union = a.union(b).distinct().count()
+    exact_inter = a.intersect(b).count()
+    # when the set is smaller than k the sketch is EXHAUSTIVE: counts are
+    # exact and the estimator degrades gracefully
+    if r.k_u < 256:
+        assert r.k_u == exact_union
+        assert r.k_both == exact_inter
+    else:
+        assert abs(r.union_est - exact_union) / exact_union < 0.25
+        assert (
+            exact_inter == 0
+            or abs(r.intersection_est - exact_inter)
+            / max(exact_inter, 1) < 0.5
+        )
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    """The sketch build must compile to TakeOrderedAndProject (bounded
+    k), never a global sort."""
+    import contextlib
+    import io
+
+    from cassandra_spark.operators.sketches import a12_kmv_overlap
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        a12_kmv_overlap(spark, SF_SMOKE).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
