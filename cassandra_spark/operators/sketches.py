@@ -323,3 +323,90 @@ def a12_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_est"),
         )
     )
+
+
+def _hll_rank_sql(h: str, dialect: str) -> str:
+    """bucket rank of hash ``h`` (1..25) — shared text modulo int-div."""
+    d = "div" if dialect == "spark" else "//"
+    rest = f"(({h}) {d} {HLL_M}) % {1 << _HLL_REST_BITS}"
+    return (
+        f"CASE WHEN {rest} = 0 THEN {_HLL_REST_BITS + 1} "
+        f"ELSE {_HLL_REST_BITS + 1} - length(bin({rest})) END"
+    )
+
+
+@query(
+    "a13_hll_partials",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {mix32_sql("user_id", "duck")} AS h
+      FROM events
+    ), per_group AS (
+      SELECT event_type, h % {HLL_M} AS bucket,
+             MAX({_hll_rank_sql("h", "duck")}) AS maxrank
+      FROM hashed GROUP BY 1, 2
+    ), group_est AS (
+      SELECT event_type,
+             CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
+                  + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
+                  AS BIGINT) AS scaled_sum
+      FROM per_group GROUP BY 1
+    ), merged AS (
+      -- sketch MERGE: per-bucket max across group partials == the global
+      -- sketch (max is associative/commutative — the map-side-combine law)
+      SELECT bucket, MAX(maxrank) AS maxrank FROM per_group GROUP BY 1
+    ), merged_est AS (
+      SELECT CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
+                  + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
+                  AS BIGINT) AS scaled_sum
+      FROM merged
+    )
+    SELECT event_type, scaled_sum,
+           (SELECT scaled_sum FROM merged_est) AS merged_scaled_sum
+    FROM group_est ORDER BY event_type
+    """,
+)
+def a13_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL COMPOSABILITY: per-event-type distinct-user sketches plus
+    their merge (per-bucket max across partials) — the partial-aggregate
+    law that lets 1000 executors sketch shards independently and combine
+    m-sized states instead of re-scanning. The merged accumulator is, by
+    associativity, byte-identical to sketching the whole corpus at once
+    (asserted against a10's machinery in tests). Integer accumulators
+    keep every value cross-engine exact."""
+    cat = Catalog(spark, sf_dir)
+    h = mix32_sql("user_id", "spark")
+    per_group = (
+        cat.events.select(
+            "event_type", F.expr(f"{h} AS h")
+        )
+        .select(
+            "event_type",
+            F.expr(f"h % {HLL_M} AS bucket"),
+            F.expr(_hll_rank_sql("h", "spark")).alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+    scaled = (
+        F.expr(
+            f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) AS BIGINT))"
+            " AS BIGINT)"
+        )
+        + (F.lit(HLL_M) - F.count(F.lit(1)))
+        * F.lit(1 << (_HLL_REST_BITS + 1))
+    ).cast("long")
+    group_est = per_group.groupBy("event_type").agg(
+        scaled.alias("scaled_sum")
+    )
+    merged_est = (
+        per_group.groupBy("bucket")
+        .agg(F.max("maxrank").alias("maxrank"))
+        .agg(scaled.alias("merged_scaled_sum"))
+    )
+    return (
+        group_est.crossJoin(F.broadcast(merged_est))
+        .select("event_type", "scaled_sum", "merged_scaled_sum")
+        .orderBy("event_type")
+    )

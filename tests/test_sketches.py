@@ -134,3 +134,46 @@ def test_kmv_plan_is_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         a12_kmv_overlap(spark, SF_SMOKE).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark):
+    """The composability law: merging per-group partials (max per bucket)
+    must give the SAME accumulator as sketching all user_ids at once."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.sketches import (
+        HLL_M,
+        _HLL_REST_BITS,
+        _hll_rank_sql,
+        a13_hll_partials,
+        mix32_sql,
+    )
+
+    merged = a13_hll_partials(spark, SF_SMOKE).collect()[0].merged_scaled_sum
+    h = mix32_sql("user_id", "spark")
+    direct = (
+        Catalog(spark, SF_SMOKE)
+        .events.select(F.expr(f"{h} AS h"))
+        .select(
+            F.expr(f"h % {HLL_M} AS bucket"),
+            F.expr(_hll_rank_sql("h", "spark")).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("maxrank"))
+        .agg(
+            (
+                F.expr(
+                    f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) "
+                    "AS BIGINT)) AS BIGINT)"
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (_HLL_REST_BITS + 1))
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    assert merged == direct
