@@ -1390,7 +1390,76 @@ class CqlSession:
             "kind string, type string"
         )
         columns_df = spark.createDataFrame(crows, cols_schema)
+        ks_df = spark.createDataFrame(
+            [("session", True,
+              "{'class': 'SimpleStrategy', 'replication_factor': '3'}")],
+            "keyspace_name string, durable_writes boolean, "
+            "replication string",
+        )
+        types_df = spark.createDataFrame(
+            [("session", n, struct)
+             for n, struct in sorted(self.types.items())],
+            "keyspace_name string, type_name string, struct_type string",
+        )
+        fns_df = spark.createDataFrame(
+            [
+                ("session", n, list(args), body, "sql")
+                for n, (args, body) in sorted(self.functions.items())
+            ],
+            "keyspace_name string, function_name string, "
+            "argument_names array<string>, body string, language string",
+        )
+        aggs_df = spark.createDataFrame(
+            [
+                ("session", n, tmpl)
+                for n, tmpl in sorted(self.aggregates.items())
+            ],
+            "keyspace_name string, aggregate_name string, "
+            "fold_template string",
+        )
+        irows = [
+            ("session", tbl, iname,
+             "CUSTOM" if kind == "sai" else "COMPOSITES",
+             f"{'KEYS(' + col + ')' if kind == 'keys' else col}")
+            for iname, (tbl, col, kind) in sorted(self.index_names.items())
+        ]
+        idx_df = spark.createDataFrame(
+            irows,
+            "keyspace_name string, table_name string, index_name string, "
+            "kind string, target string",
+        )
         return {
+            "system_schema.keyspaces": (
+                ks_df,
+                TableMeta("system_schema.keyspaces", ("keyspace_name",)),
+            ),
+            "system_schema.types": (
+                types_df,
+                TableMeta(
+                    "system_schema.types", ("keyspace_name",), ("type_name",)
+                ),
+            ),
+            "system_schema.functions": (
+                fns_df,
+                TableMeta(
+                    "system_schema.functions", ("keyspace_name",),
+                    ("function_name",),
+                ),
+            ),
+            "system_schema.aggregates": (
+                aggs_df,
+                TableMeta(
+                    "system_schema.aggregates", ("keyspace_name",),
+                    ("aggregate_name",),
+                ),
+            ),
+            "system_schema.indexes": (
+                idx_df,
+                TableMeta(
+                    "system_schema.indexes", ("keyspace_name",),
+                    ("table_name", "index_name"),
+                ),
+            ),
             "system.local": (local, TableMeta("system.local", ("key",))),
             "system.peers": (peers, TableMeta("system.peers", ("peer",))),
             "system_schema.tables": (

@@ -1128,3 +1128,41 @@ def test_default_time_to_live_option(spark):
             "CREATE TABLE cdl (id bigint PRIMARY KEY, c counter) "
             "WITH default_time_to_live = 5"
         )
+
+
+def test_system_schema_full_surface(spark):
+    """system_schema.{keyspaces,types,functions,aggregates,indexes}: the
+    rest of the connect-time schema tables a driver reads, reflecting
+    live session DDL (drop removes the row)."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark)
+    s.execute("CREATE TYPE sv_addr (street text, zip int)")
+    s.execute("CREATE TABLE sv_t (id bigint PRIMARY KEY, tag text, "
+              "m map<text, int>)")
+    s.execute("CREATE INDEX sv_tag ON sv_t (tag)")
+    s.execute("CREATE INDEX sv_keys ON sv_t (KEYS(m))")
+    s.execute(
+        "CREATE FUNCTION sv_dbl (x int) RETURNS int LANGUAGE sql AS 'x * 2'"
+    )
+    ks = s.execute("SELECT * FROM system_schema.keyspaces").collect()
+    assert len(ks) == 1 and ks[0].keyspace_name == "session"
+    assert "SimpleStrategy" in ks[0].replication
+    assert [r.type_name for r in s.execute(
+        "SELECT type_name FROM system_schema.types").collect()] == ["sv_addr"]
+    fns = s.execute(
+        "SELECT function_name, language FROM system_schema.functions"
+    ).collect()
+    assert [(r.function_name, r.language) for r in fns] == [("sv_dbl", "sql")]
+    idx = {
+        r.index_name: (r.kind, r.target)
+        for r in s.execute("SELECT * FROM system_schema.indexes").collect()
+    }
+    assert idx["sv_tag"] == ("COMPOSITES", "tag")
+    assert idx["sv_keys"] == ("COMPOSITES", "KEYS(m)")
+    s.execute("DROP INDEX sv_tag")
+    assert len(s.execute(
+        "SELECT * FROM system_schema.indexes").collect()) == 1
+    s.execute("DROP FUNCTION sv_dbl")
+    assert s.execute(
+        "SELECT * FROM system_schema.functions").count() == 0
