@@ -1116,6 +1116,127 @@ class CqlSession:
             raise CQLError(f"unsupported statement: {stmt!r}")
         return self.table(tm.group(1)).execute(stmt)
 
+    def snapshot_keyspace(self, out_dir: str) -> dict:
+        """``nodetool snapshot`` analogue built on the segment
+        architecture: flush every memtable, hard-link-copy the parquet
+        mutation segments, and write a manifest (schema parts, logical
+        clocks, masks/indexes/types/functions). The snapshot is a
+        consistent point-in-time image BY CONSTRUCTION — flushes happen
+        between statements, so no segment holds a partial batch. Data
+        never round-trips through the driver: segments are files."""
+        import json as _json
+        import shutil
+
+        os.makedirs(out_dir, exist_ok=True)
+        manifest: dict = {
+            "types": self.types,
+            "functions": {
+                n: [list(a), b] for n, (a, b) in self.functions.items()
+            },
+            "aggregates": self.aggregates,
+            "masks": self.masks,
+            "indexes": {
+                n: list(v) for n, v in self.index_names.items()
+            },
+            "tables": {},
+        }
+        for name, t in self.tables.items():
+            if t._log and t.spill_dir is None:
+                import tempfile
+
+                t.spill_dir = tempfile.mkdtemp(prefix=f"cql-snap-{name}-")
+            t.flush()
+            tdir = os.path.join(out_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            segs = []
+            for p in t._segments:
+                dst = os.path.join(tdir, os.path.basename(p))
+                shutil.copy2(p, dst)
+                segs.append(os.path.basename(p))
+            s = t.schema
+            manifest["tables"][name] = {
+                "schema": {
+                    "name": s.name,
+                    "partition_key": s.partition_key,
+                    "clustering": list(s.clustering),
+                    "regular": s.regular,
+                    "counter": s.counter,
+                    "static": s.static,
+                    "key_types": s.key_types,
+                    "default_ttl": s.default_ttl,
+                },
+                "segments": segs,
+                "state": {
+                    "clock": t._clock,
+                    "seq": t._seq,
+                    "max_wt": t._max_wt,
+                    "seg_counter": t._seg_counter,
+                    "pos": t._pos,
+                    "neg": t._neg,
+                },
+            }
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+        return manifest
+
+    def restore_keyspace(self, in_dir: str) -> None:
+        """Restore a :meth:`snapshot_keyspace` image into THIS (empty)
+        session: recreate types/tables/indexes/masks, re-attach the
+        copied segments as pre-flushed SSTables, and resume the logical
+        clocks — post-restore writes are strictly newer than anything
+        in the image."""
+        import json as _json
+        import shutil
+        import tempfile
+
+        with open(os.path.join(in_dir, "manifest.json")) as f:
+            manifest = _json.load(f)
+        if self.tables:
+            raise CQLError("restore_keyspace needs an empty session")
+        self.types = dict(manifest["types"])
+        self.functions = {
+            n: (list(a), b) for n, (a, b) in manifest["functions"].items()
+        }
+        self.aggregates = dict(manifest["aggregates"])
+        self.masks = {
+            t: dict(cols) for t, cols in manifest["masks"].items()
+        }
+        for name, entry in manifest["tables"].items():
+            sch = entry["schema"]
+            t = self.create_table(
+                TableSchema(
+                    name=sch["name"],
+                    partition_key=sch["partition_key"],
+                    clustering=tuple(sch["clustering"]),
+                    regular=dict(sch["regular"]),
+                    counter=sch["counter"],
+                    static=dict(sch["static"]),
+                    key_types=dict(sch["key_types"]),
+                    default_ttl=sch.get("default_ttl", 0),
+                )
+            )
+            if t.spill_dir is None:
+                t.spill_dir = tempfile.mkdtemp(
+                    prefix=f"cql-restore-{name}-"
+                )
+            os.makedirs(t.spill_dir, exist_ok=True)
+            for seg in entry["segments"]:
+                src = os.path.join(in_dir, name, seg)
+                dst = os.path.join(t.spill_dir, seg)
+                shutil.copy2(src, dst)
+                t._segments.append(dst)
+            st = entry["state"]
+            t._clock, t._seq = st["clock"], st["seq"]
+            t._max_wt, t._seg_counter = st["max_wt"], st["seg_counter"]
+            t._pos, t._neg = st["pos"], st["neg"]
+        for iname, (tbl, col, kind) in manifest["indexes"].items():
+            self.index_names[iname] = (tbl, col, kind)
+            target = {
+                "keys": self.key_indexes,
+                "sai": self.sai_indexes,
+            }.get(kind, self.indexes)
+            target.setdefault(tbl, set()).add(col)
+
     def _apply_masks(self, stmt: str, df):
         """Rewrite plainly-projected masked columns of the SELECT result
         with their attached mask (skipped when this session holds UNMASK on

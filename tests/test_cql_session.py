@@ -1166,3 +1166,44 @@ def test_system_schema_full_surface(spark):
     s.execute("DROP FUNCTION sv_dbl")
     assert s.execute(
         "SELECT * FROM system_schema.functions").count() == 0
+
+
+def test_snapshot_restore_keyspace(spark, tmp_path):
+    """nodetool-snapshot analogue: consistent image (flush + segment
+    copy + manifest), restored into a fresh session with tombstones,
+    masks, indexes, and clocks intact — post-restore writes are strictly
+    newer than anything in the image."""
+    from cassandra_spark.cql_session import CQLError, CqlSession
+
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE sr_kv (id bigint PRIMARY KEY, v text)")
+    for i in range(8):
+        s.execute(f"INSERT INTO sr_kv (id, v) VALUES ({i}, 'v{i}')")
+    s.execute("DELETE FROM sr_kv WHERE id = 3")
+    s.execute("ALTER TABLE sr_kv ALTER v MASKED WITH mask_replace('X')")
+    s.execute("CREATE INDEX sr_v ON sr_kv (v)")
+    s.execute("CREATE TABLE sr_hits (k text PRIMARY KEY, c counter)")
+    s.execute("UPDATE sr_hits SET c = c + 5 WHERE k = 'a'")
+    d = str(tmp_path / "snap")
+    s.snapshot_keyspace(d)
+    s.execute("INSERT INTO sr_kv (id, v) VALUES (99, 'late')")  # post-image
+
+    s2 = CqlSession(spark)
+    s2.restore_keyspace(d)
+    rows = {r.id: r.v for r in s2.execute("SELECT id, v FROM sr_kv").collect()}
+    assert set(rows) == {0, 1, 2, 4, 5, 6, 7}       # tombstone kept, 99 absent
+    assert set(rows.values()) == {"X"}               # mask restored
+    assert s2.index_names["sr_v"] == ("sr_kv", "v", "values")
+    assert s2.execute(
+        "SELECT c FROM sr_hits WHERE k = 'a'").collect()[0].c == 5
+    # clocks resumed: a new write shadows the restored tombstone era
+    s2.execute("INSERT INTO sr_kv (id, v) VALUES (3, 'back')")
+    assert 3 in {
+        r.id for r in s2.execute("SELECT id FROM sr_kv").collect()
+    }
+    # counter increments continue from the image
+    s2.execute("UPDATE sr_hits SET c = c + 2 WHERE k = 'a'")
+    assert s2.execute(
+        "SELECT c FROM sr_hits WHERE k = 'a'").collect()[0].c == 7
+    with pytest.raises(CQLError, match="empty session"):
+        s2.restore_keyspace(d)
