@@ -268,7 +268,15 @@ def _rewrite_masks(item: str, df: DataFrame | None = None) -> str:
             return f"(CASE WHEN FALSE THEN {col} END)"
         if kind == "default":
             base = dtypes.get(col, "string").split("(")[0]
-            return "0" if base in _NUMERIC_SPARK_TYPES else "'****'"
+            if base in _NUMERIC_SPARK_TYPES:
+                return "0"
+            if base == "boolean":
+                return "false"
+            if base in ("date", "timestamp", "timestamp_ntz"):
+                # the reference's temporal masking default: the epoch
+                cast_t = "TIMESTAMP_NTZ" if base == "timestamp_ntz" else base.upper()
+                return f"CAST('1970-01-01' AS {cast_t})"
+            return "'****'"
         if kind == "replace":
             if len(args) != 2:
                 raise CQLError("mask_replace takes (column, replacement)")
@@ -278,6 +286,12 @@ def _rewrite_masks(item: str, df: DataFrame | None = None) -> str:
         if len(args) not in (3, 4):
             raise CQLError(f"mask_{kind} takes (column, begin, end[, pad])")
         pad = args[3].strip("'\"") if len(args) == 4 else "*"
+        if len(pad) != 1 or pad in "'\\":
+            # the padding interpolates into generated SQL text: one
+            # plain character only (the reference requires a single char)
+            raise CQLError(
+                f"mask_{kind} padding must be a single plain character"
+            )
         build = mask_inner_sql if kind == "inner" else mask_outer_sql
         return build(col, int(args[1]), int(args[2]), pad)
 

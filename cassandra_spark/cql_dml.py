@@ -324,6 +324,10 @@ class TableSchema:
     # WITH default_time_to_live: applied to data cells written without an
     # explicit USING TTL (0 = none; explicit `USING TTL 0` still disables)
     default_ttl: int = 0
+    # inline `MASKED WITH fn(...)` column masks from CREATE TABLE: col ->
+    # call text with the implicit column arg made explicit ("fn(col, 4, 2)");
+    # the session owns application (CqlSession.masks)
+    masks: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.clustering is None:

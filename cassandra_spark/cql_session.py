@@ -171,6 +171,7 @@ def parse_create_table(
         default_ttl = int(dm.group(1))
     cols: dict[str, str] = {}
     statics: set[str] = set()
+    masks: dict[str, str] = {}
     inline_pk: str | None = None
     pk_spec: str | None = None
     for item in _split_generics(body):
@@ -184,6 +185,7 @@ def parse_create_table(
             continue
         cm = re.fullmatch(
             r"(?P<col>\w+)\s+(?P<type>.+?)"
+            r"(?P<masked>\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?\w+\s*\([^)]*\))?"
             r"(?P<static>\s+STATIC)?(?P<inline>\s+PRIMARY\s+KEY)?",
             item,
             re.IGNORECASE | re.DOTALL,
@@ -192,6 +194,17 @@ def parse_create_table(
             raise CQLError(f"bad column definition: {item!r}")
         col = cm.group("col").lower()
         cols[col] = cm.group("type").strip()
+        if cm.group("masked"):
+            # Cassandra 5 inline column mask: store the call with the
+            # implicit column argument made explicit, the same shape
+            # ALTER ... MASKED WITH registers
+            mm = re.match(
+                r"\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?(\w+)\s*\(([^)]*)\)",
+                cm.group("masked"),
+                re.IGNORECASE,
+            )
+            fn, fargs = mm.group(1).lower(), mm.group(2).strip()
+            masks[col] = f"{fn}({col}, {fargs})" if fargs else f"{fn}({col})"
         if cm.group("static"):
             statics.add(col)
         if cm.group("inline"):
@@ -276,6 +289,7 @@ def parse_create_table(
         static=static,
         key_types=key_types,
         default_ttl=default_ttl,
+        masks=masks,
     )
 
 
@@ -580,6 +594,8 @@ class CqlSession:
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
             raise CQLError(f"table {schema.name!r} already exists")
+        if schema.masks:
+            self.masks.setdefault(schema.name, {}).update(schema.masks)
         spill = (
             os.path.join(self.spill_dir, schema.name)
             if self.spill_dir is not None
@@ -1311,17 +1327,23 @@ class CqlSession:
         s = t.schema
         masks = self.masks.get(name, {})
         lines = []
+        def mask_clause(col: str) -> str:
+            if col not in masks:
+                return ""
+            call = masks[col]
+            mm = re.match(rf"(\w+)\(\s*{col}\s*(?:,\s*)?(.*)\)", call)
+            fn, rest = mm.group(1), mm.group(2).strip()
+            return f" MASKED WITH {fn}({rest})"
+
         for col in s.key_cols:
-            line = f"    {col} {self._reverse_type(s.key_type(col))}"
-            if col in masks:
-                line += f" MASKED WITH system.{masks[col].split('(')[0]}(...)"
+            line = (
+                f"    {col} {self._reverse_type(s.key_type(col))}"
+                + mask_clause(col)
+            )
             lines.append(line)
         for col, typ in s.regular.items():
             cql_t = "counter" if s.counter else self._reverse_type(typ)
-            line = f"    {col} {cql_t}"
-            if col in masks:
-                line += f" MASKED WITH system.{masks[col].split('(')[0]}(...)"
-            lines.append(line)
+            lines.append(f"    {col} {cql_t}" + mask_clause(col))
         for col, typ in s.static.items():
             lines.append(f"    {col} {self._reverse_type(typ)} STATIC")
         ck = ", ".join(s.clustering)

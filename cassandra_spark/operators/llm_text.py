@@ -525,7 +525,10 @@ def l21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     toks = cat.documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
-    )
+    ).filter(F.size("w") >= 2)
+    # (single-token docs have no bigrams; without the guard Spark's
+    # sequence(1, 0) would DESCEND and fabricate NULL bigrams that
+    # inflate the c1 window — the oracle's range(1, 1) is simply empty)
     bg = toks.select(
         "doc_id",
         F.explode(

@@ -101,20 +101,8 @@ def mask_hash(col: Column, algorithm: str = "SHA-256") -> Column:
     return F.sha2(col.cast("string"), bits[algorithm])
 
 
-# Name -> SQL builder used by the CQL session front-end to expand mask_*
-# calls appearing in SELECT projections (the same text parses in Spark SQL).
-SQL_BUILDERS = {
-    "mask_null": lambda col, *a: f"(CASE WHEN FALSE THEN {col} END)",
-    "mask_default": lambda col, *a: f"'{_TEXT_DEFAULT}'",
-    "mask_replace": lambda col, repl, *a: repl,
-    "mask_inner": lambda col, b, e, *p: mask_inner_sql(
-        col, int(b), int(e), *(x.strip("'\"") for x in p)
-    ),
-    "mask_outer": lambda col, b, e, *p: mask_outer_sql(
-        col, int(b), int(e), *(x.strip("'\"") for x in p)
-    ),
-    "mask_hash": lambda col, *a: f"sha2({col}, 256)",
-}
+# The CQL front-end's textual expansion of mask_* selectors lives in ONE
+# place — cql.py::_rewrite_masks (which builds on the *_sql helpers above).
 
 
 # ---------------------------------------------------------------------------

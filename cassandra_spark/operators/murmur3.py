@@ -313,12 +313,22 @@ def ensure_token_registered(spark) -> None:
         result = pd.array([None] * len(keys), dtype="Int64")
         if mask.any():
             vals = keys[mask]
-            if isinstance(vals.iloc[0], (int, np.integer)):
-                npv = vals.to_numpy()
+            npv = vals.to_numpy()
+            if pd.api.types.is_integer_dtype(npv.dtype):
+                toks = _int_tokens(npv.dtype, npv)
+            elif pd.api.types.is_float_dtype(npv.dtype) and np.all(
+                npv == np.floor(npv)
+            ):
+                # Arrow int-with-NULLs arrives as float64, losing the
+                # declared width — hash the 8-byte bigint form. (A real
+                # partition key is never NULL, so this leg only serves
+                # token() over nullable NON-key integer columns; pinned
+                # widening, never the text path.)
+                toks = _int_tokens(np.dtype(np.int64), npv.astype(np.int64))
+            elif isinstance(vals.iloc[0], (int, np.integer)):
                 toks = _int_tokens(
-                    npv.dtype if pd.api.types.is_integer_dtype(npv.dtype)
-                    else np.dtype(np.int64),
-                    npv.astype(np.int64),
+                    np.dtype(np.int64),
+                    np.array([int(v) for v in vals], dtype=np.int64),
                 )
             else:
                 # length-grouped SIMD text path (tokens_of_texts)

@@ -59,14 +59,21 @@ def replicas_of_index(
     ring: list[tuple[int, str]], idx: int, rf: int = RF
 ) -> list[str]:
     """Walk clockwise from vnode ``idx`` collecting the first ``rf``
-    DISTINCT endpoints — SimpleStrategy's natural-replica rule."""
+    DISTINCT endpoints — SimpleStrategy's natural-replica rule. Raises
+    when the ring has fewer distinct endpoints than ``rf`` (the reference
+    throws UnavailableException at quorum time; here the misconfiguration
+    fails at plan-build)."""
     out: list[str] = []
     i = idx
-    while len(out) < rf:
+    while len(out) < rf and i < idx + len(ring):
         node = ring[i % len(ring)][1]
         if node not in out:
             out.append(node)
         i += 1
+    if len(out) < rf:
+        raise ValueError(
+            f"ring has {len(out)} distinct endpoints < rf={rf}"
+        )
     return out
 
 

@@ -274,3 +274,31 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into the image
     pass
+
+
+def test_mask_padding_validation(spark):
+    """Padding interpolates into generated SQL: single plain char only."""
+    from cassandra_spark.cql import CQLError, cql_select
+
+    with pytest.raises(CQLError, match="single plain character"):
+        cql_select(
+            spark, SF_SMOKE,
+            "SELECT mask_inner(c_name, 1, 1, 'ab') AS m "
+            "FROM customer WHERE c_custkey = 1",
+        )
+
+
+def test_mask_default_typed(spark):
+    """mask_default through the CQL text path is type-aware: numeric -> 0,
+    boolean -> false, temporal -> epoch, text -> '****'."""
+    from cassandra_spark.cql import cql_select
+
+    r = cql_select(
+        spark, SF_SMOKE,
+        "SELECT mask_default(o_totalprice) AS p, "
+        "mask_default(o_orderdate) AS d, "
+        "mask_default(o_orderpriority) AS s "
+        "FROM orders WHERE o_orderkey = 1",
+    ).collect()[0]
+    assert r.p == 0 and r.s == "****"
+    assert str(r.d).startswith("1970-01-01")

@@ -344,3 +344,20 @@ def test_cassandra_token_dispatches_on_declared_width(spark):
     assert rows.t_big == m.token_of_bigint(42)
     assert rows.t_small == m.murmur3_token((42).to_bytes(2, "big", signed=True))
     assert len({rows.t_int, rows.t_big, rows.t_small}) == 3
+
+
+def test_cassandra_token_null_bearing_int_batches(spark):
+    """An integer column with NULLs arrives as float64 (Arrow) — tokens
+    must come from the bigint path, never the text path, and NULL keys
+    map to NULL tokens."""
+    from cassandra_spark.operators import murmur3 as m
+
+    m.ensure_token_registered(spark)
+    rows = spark.sql(
+        "SELECT v, cassandra_token(v) AS t FROM VALUES "
+        "(CAST(42 AS BIGINT)), (NULL), (CAST(-7 AS BIGINT)) AS x(v)"
+    ).collect()
+    got = {r.v: r.t for r in rows}
+    assert got[42] == m.token_of_bigint(42)
+    assert got[-7] == m.token_of_bigint(-7)
+    assert got[None] is None

@@ -161,3 +161,14 @@ def test_split_token_ranges_cover_and_align():
             assert a_e in ring_toks  # interior boundaries are vnode tokens
         nodes = {owner for _, _, owner in s}
         assert nodes <= {"n0", "n1", "n2", "n3"}
+
+
+def test_replica_walk_rejects_underprovisioned_ring():
+    import pytest as _pytest
+
+    from cassandra_spark.operators.ring import build_ring, replicas_of_index
+
+    small = build_ring(n_nodes=2)
+    with _pytest.raises(ValueError, match="distinct endpoints"):
+        replicas_of_index(small, 0, rf=3)
+    assert len(replicas_of_index(small, 0, rf=2)) == 2
