@@ -348,3 +348,67 @@ def s8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink_name("s8_join")
     run_available_now(stream, name, output_mode="append")
     return spark.table(name)
+
+
+def _s11_oracle() -> str:
+    from cassandra_spark.operators.sketches import (
+        HLL_M,
+        _HLL_REST_BITS,
+        _hll_rank_sql,
+        mix32_sql,
+    )
+
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             {mix32_sql("user_id", "duck")} AS h
+      FROM events
+    ), per AS (
+      SELECT day, h % {HLL_M} AS bucket,
+             MAX({_hll_rank_sql("h", "duck")}) AS maxrank
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
+                + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
+                AS BIGINT) AS scaled_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM per GROUP BY day ORDER BY day
+    """
+
+
+@query("s11_streaming_hll", oracle=_s11_oracle())
+def s11_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 end-to-end: the real streaming-sketch job (per-(day, bucket)
+    max-rank state across micro-batches, jobs.streaming_window_hll)
+    drains with availableNow; update-mode re-emissions resolve by max —
+    idempotent, so the per-day accumulator equals the one-shot batch
+    sketch the oracle computes. Distinct-users-per-day at stream time
+    with days x 256 ints of state, any corpus size."""
+    from cassandra_spark.operators.sketches import HLL_M, _HLL_REST_BITS
+    from cassandra_spark.streaming.jobs import (
+        run_available_now,
+        streaming_window_hll,
+    )
+
+    stream = streaming_window_hll(spark, sf_dir)
+    name = _sink_name("s11_hll")
+    run_available_now(stream, name, output_mode="update")
+    per = (
+        spark.table(name)
+        .groupBy("day", "bucket")
+        .agg(F.max("maxrank").alias("maxrank"))
+    )
+    scaled = (
+        F.expr(
+            f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) AS BIGINT))"
+            " AS BIGINT)"
+        )
+        + (F.lit(HLL_M) - F.count(F.lit(1)))
+        * F.lit(1 << (_HLL_REST_BITS + 1))
+    ).cast("long")
+    return (
+        per.groupBy("day")
+        .agg(scaled.alias("scaled_sum"), F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("day")
+    )

@@ -660,3 +660,70 @@ def cdc_stream(spark: SparkSession, table) -> DataFrame:
         .option("pathGlobFilter", f"{table.schema.name}-seg*.parquet")
         .parquet(table.spill_dir)
     )
+
+
+def streaming_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL: per-day distinct-user sketches maintained as
+    per-(day, bucket) max-rank state via applyInPandasWithState — the
+    sketch-partial shape at stream time. State is ONE int per (day,
+    bucket): bounded by days x m regardless of stream length (the whole
+    point of sketching a stream); max is idempotent and
+    batch-order-independent, so the drained result equals the one-shot
+    batch sketch exactly (the s11 oracle proves it cross-engine)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandra_spark.operators.sketches import (
+        HLL_M,
+        _hll_rank_sql,
+        mix32_sql,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("day", StringType()),
+            StructField("bucket", IntegerType()),
+            StructField("maxrank", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("maxrank", IntegerType())])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (best,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            m = int(pdf["rank"].max())
+            if m > best:
+                best = m
+        state.update((best,))
+        yield pd.DataFrame(
+            {"day": [key[0]], "bucket": [key[1]], "maxrank": [best]}
+        )
+
+    h = mix32_sql("user_id", "spark")
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            F.expr(f"{h} AS h"),
+        )
+        .select(
+            "day",
+            F.expr(f"CAST(h % {HLL_M} AS INT) AS bucket"),
+            F.expr(_hll_rank_sql("h", "spark")).cast("int").alias("rank"),
+        )
+    )
+    return ev.groupBy("day", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

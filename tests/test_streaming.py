@@ -497,3 +497,46 @@ def test_always_on_mv_picks_up_files_landing_mid_run(spark, tmp_path):
         for r in recomputed.collect()
     }
     assert got == want
+
+
+def test_streaming_hll_state_bounded_and_exact(spark):
+    """s11: the drained streaming sketch equals the one-shot batch sketch
+    per day (idempotent max across micro-batches), with at most m rows of
+    state per day."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.sketches import (
+        HLL_M,
+        _hll_rank_sql,
+        mix32_sql,
+    )
+    from cassandra_spark.operators.streaming_batch import s11_streaming_hll
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.day: (r.scaled_sum, r.n_buckets)
+        for r in s11_streaming_hll(spark, SF_SMOKE).collect()
+    }
+    assert got
+    assert all(nb <= HLL_M for _, nb in got.values())
+    h = mix32_sql("user_id", "spark")
+    batch = (
+        Catalog(spark, SF_SMOKE)
+        .events.select(
+            F.to_date("ts").cast("string").alias("day"),
+            F.expr(f"{h} AS h"),
+        )
+        .select(
+            "day",
+            F.expr(f"h % {HLL_M} AS bucket"),
+            F.expr(_hll_rank_sql("h", "spark")).alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("maxrank"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .collect()
+    )
+    for r in batch:
+        assert got[r.day][1] == r.n_buckets
