@@ -164,8 +164,10 @@ def parse_create_table(
     # unverified]`); everything else (compaction, caching, ...) is
     # physical-layout advice this engine's parquet/memtable model owns
     default_ttl = 0
+    unquoted = re.sub(r"'[^']*'", "''", with_rest or "")  # strip literals:
+    # a comment = '... default_time_to_live = 9 ...' must not match
     dm = re.search(
-        r"default_time_to_live\s*=\s*(\d+)", with_rest or "", re.IGNORECASE
+        r"default_time_to_live\s*=\s*(\d+)", unquoted, re.IGNORECASE
     )
     if dm:
         default_ttl = int(dm.group(1))
@@ -183,10 +185,15 @@ def parse_create_table(
                 raise CQLError("duplicate PRIMARY KEY specification")
             pk_spec = pk_m.group("spec")
             continue
+        _mask_re = (
+            r"\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?\w+\s*\([^)]*\)"
+        )
         cm = re.fullmatch(
             r"(?P<col>\w+)\s+(?P<type>.+?)"
-            r"(?P<masked>\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?\w+\s*\([^)]*\))?"
-            r"(?P<static>\s+STATIC)?(?P<inline>\s+PRIMARY\s+KEY)?",
+            rf"(?P<m1>{_mask_re})?"
+            r"(?P<static>\s+STATIC)?"
+            rf"(?P<m2>{_mask_re})?"  # the reference grammar puts the mask
+            r"(?P<inline>\s+PRIMARY\s+KEY)?",  # after STATIC; accept both
             item,
             re.IGNORECASE | re.DOTALL,
         )
@@ -194,16 +201,23 @@ def parse_create_table(
             raise CQLError(f"bad column definition: {item!r}")
         col = cm.group("col").lower()
         cols[col] = cm.group("type").strip()
-        if cm.group("masked"):
+        masked = cm.group("m1") or cm.group("m2")
+        if masked:
             # Cassandra 5 inline column mask: store the call with the
             # implicit column argument made explicit, the same shape
-            # ALTER ... MASKED WITH registers
+            # ALTER ... MASKED WITH registers; the function name is
+            # validated HERE, at DDL time, like the ALTER path
             mm = re.match(
                 r"\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?(\w+)\s*\(([^)]*)\)",
-                cm.group("masked"),
+                masked,
                 re.IGNORECASE,
             )
             fn, fargs = mm.group(1).lower(), mm.group(2).strip()
+            if fn not in (
+                "mask_null", "mask_default", "mask_replace",
+                "mask_inner", "mask_outer", "mask_hash",
+            ):
+                raise CQLError(f"unknown masking function {fn!r}")
             masks[col] = f"{fn}({col}, {fargs})" if fargs else f"{fn}({col})"
         if cm.group("static"):
             statics.add(col)
@@ -1008,6 +1022,8 @@ class CqlSession:
                 raise CQLError(f"unknown table {name!r}")
             self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
+            self.masks.pop(name, None)
+            self.unmasked.discard(name)
             self.indexes.pop(name, None)
             self.key_indexes.pop(name, None)
             self.sai_indexes.pop(name, None)
@@ -1207,7 +1223,10 @@ class CqlSession:
 
         with open(os.path.join(in_dir, "manifest.json")) as f:
             manifest = _json.load(f)
-        if self.tables:
+        if (
+            self.tables or self.types or self.functions
+            or self.aggregates or self.masks
+        ):
             raise CQLError("restore_keyspace needs an empty session")
         self.types = dict(manifest["types"])
         self.functions = {
@@ -1345,7 +1364,10 @@ class CqlSession:
             cql_t = "counter" if s.counter else self._reverse_type(typ)
             lines.append(f"    {col} {cql_t}" + mask_clause(col))
         for col, typ in s.static.items():
-            lines.append(f"    {col} {self._reverse_type(typ)} STATIC")
+            lines.append(
+                f"    {col} {self._reverse_type(typ)} STATIC"
+                + mask_clause(col)
+            )
         ck = ", ".join(s.clustering)
         pk = (
             f"    PRIMARY KEY (({s.partition_key}), {ck})"

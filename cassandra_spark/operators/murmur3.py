@@ -316,14 +316,20 @@ def ensure_token_registered(spark) -> None:
             npv = vals.to_numpy()
             if pd.api.types.is_integer_dtype(npv.dtype):
                 toks = _int_tokens(npv.dtype, npv)
-            elif pd.api.types.is_float_dtype(npv.dtype) and np.all(
-                npv == np.floor(npv)
-            ):
+            elif pd.api.types.is_float_dtype(npv.dtype):
                 # Arrow int-with-NULLs arrives as float64, losing the
                 # declared width — hash the 8-byte bigint form. (A real
                 # partition key is never NULL, so this leg only serves
                 # token() over nullable NON-key integer columns; pinned
-                # widening, never the text path.)
+                # widening, never the text path.) Non-integral values
+                # raise LOUDLY: silently choosing a serialization per
+                # batch would make tokens batch-layout-dependent.
+                if not np.all(npv == np.floor(npv)):
+                    raise ValueError(
+                        "token() over non-integral floating values is "
+                        "not supported (no stable serialization); cast "
+                        "the key to a declared integer/text type"
+                    )
                 toks = _int_tokens(np.dtype(np.int64), npv.astype(np.int64))
             elif isinstance(vals.iloc[0], (int, np.integer)):
                 toks = _int_tokens(

@@ -59,6 +59,30 @@ def mix32_sql(x: str, dialect: str) -> str:
     return x1(h2, shr16(h2))
 
 
+
+
+def hll_scaled_sum_sql() -> str:
+    """DuckDB aggregate text for the scaled-integer HLL accumulator over
+    grouped (bucket, maxrank) rows — THE estimator core; keep the three
+    users (a10, a13, s11 oracle) on this one spelling."""
+    return (
+        f"CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank)) "
+        f"+ ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)} AS BIGINT)"
+    )
+
+
+def hll_scaled_sum_col():
+    """The same accumulator as a Spark aggregate Column."""
+    return (
+        F.expr(
+            f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) AS BIGINT))"
+            " AS BIGINT)"
+        )
+        + (F.lit(HLL_M) - F.count(F.lit(1)))
+        * F.lit(1 << (_HLL_REST_BITS + 1))
+    ).cast("long")
+
+
 # alpha_256 * m^2 * 2^25, all as exact literals folded at parse time
 _HLL_NUM = (
     f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
@@ -348,18 +372,14 @@ def _hll_rank_sql(h: str, dialect: str) -> str:
       FROM hashed GROUP BY 1, 2
     ), group_est AS (
       SELECT event_type,
-             CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
-                  + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
-                  AS BIGINT) AS scaled_sum
+             {hll_scaled_sum_sql()} AS scaled_sum
       FROM per_group GROUP BY 1
     ), merged AS (
       -- sketch MERGE: per-bucket max across group partials == the global
       -- sketch (max is associative/commutative — the map-side-combine law)
       SELECT bucket, MAX(maxrank) AS maxrank FROM per_group GROUP BY 1
     ), merged_est AS (
-      SELECT CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
-                  + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
-                  AS BIGINT) AS scaled_sum
+      SELECT {hll_scaled_sum_sql()} AS scaled_sum
       FROM merged
     )
     SELECT event_type, scaled_sum,
@@ -389,21 +409,14 @@ def a13_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rank").alias("maxrank"))
     )
-    scaled = (
-        F.expr(
-            f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) AS BIGINT))"
-            " AS BIGINT)"
-        )
-        + (F.lit(HLL_M) - F.count(F.lit(1)))
-        * F.lit(1 << (_HLL_REST_BITS + 1))
-    ).cast("long")
+    scaled = hll_scaled_sum_col()
     group_est = per_group.groupBy("event_type").agg(
         scaled.alias("scaled_sum")
     )
     merged_est = (
         per_group.groupBy("bucket")
         .agg(F.max("maxrank").alias("maxrank"))
-        .agg(scaled.alias("merged_scaled_sum"))
+        .agg(hll_scaled_sum_col().alias("merged_scaled_sum"))
     )
     return (
         group_est.crossJoin(F.broadcast(merged_est))

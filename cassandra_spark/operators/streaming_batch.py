@@ -353,8 +353,8 @@ def s8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _s11_oracle() -> str:
     from cassandra_spark.operators.sketches import (
         HLL_M,
-        _HLL_REST_BITS,
         _hll_rank_sql,
+        hll_scaled_sum_sql,
         mix32_sql,
     )
 
@@ -369,9 +369,7 @@ def _s11_oracle() -> str:
       FROM hashed GROUP BY 1, 2
     )
     SELECT day,
-           CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_REST_BITS + 1} - maxrank))
-                + ({HLL_M} - COUNT(*)) * {1 << (_HLL_REST_BITS + 1)}
-                AS BIGINT) AS scaled_sum,
+           {hll_scaled_sum_sql()} AS scaled_sum,
            CAST(COUNT(*) AS BIGINT) AS n_buckets
     FROM per GROUP BY day ORDER BY day
     """
@@ -385,7 +383,7 @@ def s11_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent, so the per-day accumulator equals the one-shot batch
     sketch the oracle computes. Distinct-users-per-day at stream time
     with days x 256 ints of state, any corpus size."""
-    from cassandra_spark.operators.sketches import HLL_M, _HLL_REST_BITS
+    from cassandra_spark.operators.sketches import hll_scaled_sum_col
     from cassandra_spark.streaming.jobs import (
         run_available_now,
         streaming_window_hll,
@@ -399,14 +397,7 @@ def s11_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "bucket")
         .agg(F.max("maxrank").alias("maxrank"))
     )
-    scaled = (
-        F.expr(
-            f"CAST(SUM(CAST(pow(2, {_HLL_REST_BITS + 1} - maxrank) AS BIGINT))"
-            " AS BIGINT)"
-        )
-        + (F.lit(HLL_M) - F.count(F.lit(1)))
-        * F.lit(1 << (_HLL_REST_BITS + 1))
-    ).cast("long")
+    scaled = hll_scaled_sum_col()
     return (
         per.groupBy("day")
         .agg(scaled.alias("scaled_sum"), F.count(F.lit(1)).alias("n_buckets"))

@@ -1213,3 +1213,47 @@ def test_snapshot_restore_keyspace(spark, tmp_path):
         "SELECT c FROM sr_hits WHERE k = 'a'").collect()[0].c == 7
     with pytest.raises(CQLError, match="empty session"):
         s2.restore_keyspace(d)
+
+
+def test_review_fix_mask_and_ttl_edges(spark):
+    """Round-5 review regressions: inline mask validates fn name at DDL
+    time; the mask clause parses after STATIC (the reference's order);
+    default_time_to_live inside a comment literal does NOT apply; DROP
+    TABLE clears masks and UNMASK grants; DESCRIBE keeps static-column
+    masks through the round-trip; restore refuses a session holding any
+    DDL state."""
+    from cassandra_spark.cql_session import CQLError, CqlSession
+
+    s = CqlSession(spark)
+    with pytest.raises(CQLError, match="unknown masking function"):
+        s.execute(
+            "CREATE TABLE bad (id bigint PRIMARY KEY, v text "
+            "MASKED WITH maskhash())"
+        )
+    s.execute(
+        "CREATE TABLE rf (id bigint PRIMARY KEY, v text, "
+        "top text STATIC MASKED WITH mask_replace('T')) "
+        "WITH comment = 'default_time_to_live = 9 lives here'"
+    )
+    assert s.tables["rf"].schema.default_ttl == 0  # comment didn't match
+    assert s.masks["rf"] == {"top": "mask_replace(top, 'T')"}
+    ddl = s.execute("DESCRIBE TABLE rf").collect()[0].create_statement
+    assert "top text STATIC MASKED WITH mask_replace('T')" in ddl
+    s2 = CqlSession(spark)
+    s2.execute(ddl.replace("session.", ""))
+    assert s2.masks["rf"] == {"top": "mask_replace(top, 'T')"}
+    # DROP clears mask + grant state; a recreated table starts clean
+    s.execute("GRANT UNMASK ON rf TO me")
+    s.execute("DROP TABLE rf")
+    assert "rf" not in s.masks and "rf" not in s.unmasked
+    # restore guard: any DDL state blocks
+    import tempfile
+
+    s3 = CqlSession(spark)
+    s3.execute("CREATE TABLE g (id bigint PRIMARY KEY)")
+    d = tempfile.mkdtemp()
+    s3.snapshot_keyspace(d)
+    s4 = CqlSession(spark)
+    s4.execute("CREATE TYPE tt (a int)")
+    with pytest.raises(CQLError, match="empty session"):
+        s4.restore_keyspace(d)
