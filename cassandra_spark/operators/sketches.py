@@ -423,3 +423,93 @@ def a13_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "scaled_sum", "merged_scaled_sum")
         .orderBy("event_type")
     )
+
+
+HIST_W = 1000  # histogram buckets
+
+
+@query(
+    "a14_histogram_quantiles",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi,
+             COUNT(*) AS n
+      FROM events
+    ), hist AS (
+      SELECT LEAST(CAST(floor((value - lo) / (hi - lo) * {HIST_W})
+                        AS INTEGER), {HIST_W - 1}) AS bucket,
+             COUNT(*) AS cnt
+      FROM events, stats GROUP BY 1
+    ), cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_cnt
+      FROM hist
+    )
+    SELECT q,
+           MIN(bucket) AS bucket,
+           MIN(lo + bucket * (hi - lo) / {HIST_W}) AS est_value
+    FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q), cum, stats
+    WHERE cum_cnt >= CAST(ceil(q * n) AS BIGINT)
+    GROUP BY q ORDER BY q
+    """,
+)
+def a14_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (the reference's EstimatedHistogram
+    pattern `[C* utils/EstimatedHistogram, unverified]`, the 4th classic
+    sketch): p50/p90/p99 of event values from a {HIST_W}-bucket
+    equi-width histogram. Two passes: a 1-row stats agg broadcast back,
+    then a {HIST_W}-group count — state is W integers at any corpus size.
+    Unlike percentile_approx (whose internal sketch isn't reproducible),
+    every step here is IEEE double arithmetic + integer counts in the
+    SAME op order on both engines, so the estimates are bit-exact
+    cross-engine."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    stats = cat.events.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        cat.events.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * HIST_W
+                ).cast("int"),
+                F.lit(HIST_W - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("cum_cnt") >= F.ceil(F.col("q") * F.col("n")).cast("long")
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min(
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo"))
+                / HIST_W
+            ).alias("est_value"),
+        )
+        .orderBy("q")
+    )

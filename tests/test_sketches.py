@@ -177,3 +177,28 @@ def test_hll_merge_equals_whole_corpus_sketch(spark):
         .s
     )
     assert merged == direct
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """Histogram p50/p90/p99 must bracket the exact percentile_disc
+    within one bucket width."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.sketches import (
+        HIST_W,
+        a14_histogram_quantiles,
+    )
+
+    got = {r.q: r.est_value for r in
+           a14_histogram_quantiles(spark, SF_SMOKE).collect()}
+    assert set(got) == {0.5, 0.9, 0.99}
+    ev = Catalog(spark, SF_SMOKE).events
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / HIST_W
+    for q in got:
+        exact = ev.agg(
+            F.expr(f"percentile(value, {q})").alias("p")
+        ).collect()[0].p
+        assert abs(got[q] - exact) <= 2 * width, (q, got[q], exact)
+    assert got[0.5] <= got[0.9] <= got[0.99]

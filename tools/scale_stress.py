@@ -393,12 +393,24 @@ def main() -> None:
                     "value": prev.get("value"),
                     "queries": prev["queries"],
                 }
+            # MERGE into any existing same-factor section: a --queries
+            # subset run must extend the recorded curve set, not replace
+            # it (losing the earlier queries' measurements)
+            merged_q = dict(
+                runs.get(f"x{args.factor}", {}).get("queries", {})
+            )
+            merged_q.update(report["queries"])
+            med = round(
+                sorted(v["ratio"] for v in merged_q.values())[
+                    len(merged_q) // 2
+                ],
+                2,
+            )
+            report["queries"] = merged_q
+            report["value"] = med
             report["runs"] = {
                 **runs,
-                f"x{args.factor}": {
-                    "value": report["value"],
-                    "queries": report["queries"],
-                },
+                f"x{args.factor}": {"value": med, "queries": merged_q},
             }
     if args.cmd in ("replay", "all"):
         replay = replay_stress(spark, args.factor)
