@@ -302,3 +302,26 @@ def test_mask_default_typed(spark):
     ).collect()[0]
     assert r.p == 0 and r.s == "****"
     assert str(r.d).startswith("1970-01-01")
+
+
+def test_masks_never_change_row_selection(spark):
+    """Metamorphic property: attaching masks changes projected VALUES
+    only — row count and key set of any SELECT are identical with and
+    without masks (WHERE runs on clear data; the reference's contract)."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE mm (id bigint PRIMARY KEY, v text, n int)")
+    for i in range(30):
+        s.execute(f"INSERT INTO mm (id, v, n) VALUES ({i}, 'val{i}', {i % 7})")
+    queries = [
+        "SELECT id, v, n FROM mm",
+        "SELECT id, v FROM mm WHERE id = 11",
+        "SELECT id, n FROM mm WHERE n > 3 ALLOW FILTERING",
+        "SELECT id FROM mm WHERE v = 'val5' ALLOW FILTERING",
+    ]
+    before = [sorted(r.id for r in s.execute(q).collect()) for q in queries]
+    s.execute("ALTER TABLE mm ALTER v MASKED WITH mask_hash()")
+    s.execute("ALTER TABLE mm ALTER n MASKED WITH mask_default()")
+    after = [sorted(r.id for r in s.execute(q).collect()) for q in queries]
+    assert before == after
