@@ -1,0 +1,148 @@
+"""Time-series analytics over the events stream: gap-filled resampling
+and ordered-funnel matching — the wide-analytics shapes a hypertable user
+expects next to windows/sessionization (SURVEY.md §2.5 extension tier).
+
+Both are pure DataFrame algebra (sequence/explode + window functions) —
+no UDFs, no driver loops — and both carry exact cross-engine oracles
+(integer counts, min/max timestamps; no float accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_spark.catalog import Catalog
+from cassandra_spark.registry import query
+
+RESAMPLE_STEP_S = 3600  # 1-hour grid
+
+
+@query(
+    "x38_resample_ffill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 1000000.0 / {RESAMPLE_STEP_S})
+                  AS BIGINT) AS slot,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id % 25 = 3
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT b.user_id, g.slot
+      FROM bounds b, LATERAL (
+        SELECT UNNEST(range(b.lo, b.hi + 1)) AS slot
+      ) g
+    ), joined AS (
+      SELECT g.user_id, g.slot, o.n_events,
+             COUNT(o.n_events) OVER (
+               PARTITION BY g.user_id ORDER BY g.slot
+             ) AS grp
+      FROM grid g LEFT JOIN obs o USING (user_id, slot)
+    )
+    SELECT user_id, slot,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) OVER (PARTITION BY user_id, grp)
+                AS BIGINT) AS n_events_ffill,
+           n_events IS NULL AS was_gap
+    FROM joined
+    """,
+)
+def x38_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling: per-user hourly event counts on a dense
+    time grid (min..max slot per user), empty slots forward-filled from
+    the last observation — the hypertable ``time_bucket_gapfill +
+    locf`` shape. Grid densification is a per-user sequence+explode
+    (rows expand locally, no shuffle beyond the count agg); the
+    forward-fill is the classic two-window trick — a running count of
+    non-null observations forms fill groups, then a group-max propagates
+    the value — all whole-stage codegen."""
+    cat = Catalog(spark, sf_dir)
+    obs = (
+        cat.events.filter(F.col("user_id") % 25 == 3)
+        .groupBy(
+            "user_id",
+            F.floor(
+                F.unix_micros("ts") / 1_000_000.0 / RESAMPLE_STEP_S
+            ).alias("slot"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("slot"),
+    )
+    w = Window.partitionBy("user_id").orderBy("slot")
+    joined = grid.join(obs, ["user_id", "slot"], "left").withColumn(
+        "grp", F.count("n_events").over(w)
+    )
+    wg = Window.partitionBy("user_id", "grp")
+    return joined.select(
+        "user_id",
+        "slot",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.max("n_events").over(wg).cast("long").alias("n_events_ffill"),
+        F.col("n_events").isNull().alias("was_gap"),
+    )
+
+
+_FUNNEL = ("signup", "view", "purchase")
+
+
+@query(
+    "x39_funnel",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = '{_FUNNEL[0]}' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = '{_FUNNEL[1]}' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = '{_FUNNEL[2]}' THEN ts END) AS t2
+      FROM events GROUP BY 1
+    ), staged AS (
+      SELECT user_id,
+             t0 IS NOT NULL AS s0,
+             t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 AS s1,
+             t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+               AND t2 IS NOT NULL AND t2 > t1 AS s2
+      FROM firsts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN s0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_signup,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_purchase
+    FROM staged
+    """,
+)
+def x39_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users progressing signup → view → purchase with
+    strictly increasing FIRST-occurrence times (the simplest correct
+    funnel semantics: stage k counts only if its first event happened
+    after stage k-1's first event). One conditional-min aggregation per
+    user — a single shuffle — then a conditional-count rollup; monotone
+    by construction (asserted in tests)."""
+    cat = Catalog(spark, sf_dir)
+    firsts = cat.events.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.col("ts"))
+            ).alias(f"t{i}")
+            for i, s in enumerate(_FUNNEL)
+        ]
+    )
+    s0 = F.col("t0").isNotNull()
+    s1 = s0 & F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s0.cast("long")).alias("reached_signup"),
+        F.sum(s1.cast("long")).alias("reached_view"),
+        F.sum(s2.cast("long")).alias("reached_purchase"),
+    )

@@ -86,6 +86,7 @@ def load_all() -> None:
         streaming_batch,
         subqueries,
         thrift_compat,
+        timeseries,
         typed_replay,
         tpch,
         tpch2,

@@ -1,0 +1,64 @@
+"""Time-series tier: gap-fill semantics + funnel monotonicity."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_resample_grid_is_dense_and_ffilled(spark):
+    from cassandra_spark.operators.timeseries import x38_resample_ffill
+
+    rows = x38_resample_ffill(spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.slot)
+        slots = [r.slot for r in rs]
+        assert slots == list(range(slots[0], slots[-1] + 1)), user  # dense
+        assert not rs[0].was_gap  # grid starts at an observation
+        last = None
+        for r in rs:
+            if r.was_gap:
+                assert r.n_events == 0
+                assert r.n_events_ffill == last  # locf
+            else:
+                assert r.n_events == r.n_events_ffill > 0
+                last = r.n_events
+
+
+def test_funnel_counts_monotone(spark):
+    from cassandra_spark.operators.timeseries import x39_funnel
+
+    r = x39_funnel(spark, SF_SMOKE).collect()[0]
+    assert (
+        r.n_users
+        >= r.reached_signup
+        >= r.reached_view
+        >= r.reached_purchase
+        >= 0
+    )
+    assert r.reached_signup > 0  # fixture has signups
+
+
+def test_funnel_order_matters(spark):
+    """A user whose purchase precedes their first view must not count as
+    reaching the purchase stage — verify against a hand-built check."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.timeseries import x39_funnel
+
+    ev = Catalog(spark, SF_SMOKE).events
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("a"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("b"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("c"),
+    )
+    manual = firsts.filter(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull() & (F.col("b") > F.col("a"))
+        & F.col("c").isNotNull() & (F.col("c") > F.col("b"))
+    ).count()
+    assert x39_funnel(spark, SF_SMOKE).collect()[0].reached_purchase == manual
