@@ -146,3 +146,55 @@ def x39_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s1.cast("long")).alias("reached_view"),
         F.sum(s2.cast("long")).alias("reached_purchase"),
     )
+
+
+@query(
+    "x40_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(MIN(ts)) / 1000000.0 / 604800.0)
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(epoch_us(e.ts) / 1000000.0 / 604800.0)
+                  AS BIGINT) - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each subsequent week offset — the matrix every
+    product-analytics pipeline derives. Two shuffles total (per-user
+    first agg; the distinct+rollup reuses the user partitioning via the
+    join), integer week arithmetic keeps the oracle exact. At 100 TB the
+    firsts table is the natural incremental artifact (merge-min per user
+    per batch) rather than a recomputation — same plan shape."""
+    cat = Catalog(spark, sf_dir)
+    week = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(c) / 1_000_000.0 / 604_800.0
+    )
+    firsts = cat.events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        cat.events.select("user_id", week(F.col("ts")).alias("w"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

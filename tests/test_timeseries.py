@@ -62,3 +62,20 @@ def test_funnel_order_matters(spark):
         & F.col("c").isNotNull() & (F.col("c") > F.col("b"))
     ).count()
     assert x39_funnel(spark, SF_SMOKE).collect()[0].reached_purchase == manual
+
+
+def test_cohort_retention_shape(spark):
+    """Offsets start at 0, cohort-week-0 active count equals cohort size,
+    and every (cohort, offset>0) count is <= the cohort's size."""
+    from cassandra_spark.operators.timeseries import x40_cohort_retention
+
+    rows = x40_cohort_retention(spark, SF_SMOKE).collect()
+    assert rows
+    size = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        if r.week_offset == 0:
+            size[r.cohort_week] = r.active_users
+    for r in rows:
+        assert r.cohort_week in size  # every cohort has its offset-0 row
+        assert r.active_users <= size[r.cohort_week]
