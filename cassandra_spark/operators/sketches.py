@@ -431,15 +431,17 @@ HIST_W = 1000  # histogram buckets
 @query(
     "a14_histogram_quantiles",
     oracle=f"""
-    WITH stats AS (
+    WITH vals AS (
+      SELECT value FROM events WHERE value IS NOT NULL
+    ), stats AS (
       SELECT MIN(value) AS lo, MAX(value) AS hi,
              COUNT(*) AS n
-      FROM events
+      FROM vals
     ), hist AS (
       SELECT LEAST(CAST(floor((value - lo) / (hi - lo) * {HIST_W})
                         AS INTEGER), {HIST_W - 1}) AS bucket,
              COUNT(*) AS cnt
-      FROM events, stats GROUP BY 1
+      FROM vals, stats GROUP BY 1
     ), cum AS (
       SELECT bucket, cnt,
              SUM(cnt) OVER (ORDER BY bucket
@@ -468,13 +470,17 @@ def a14_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cat = Catalog(spark, sf_dir)
-    stats = cat.events.agg(
+    # NULL values carry no measurement: without the filter both engines
+    # would bucket them at the top (least() skips NULL) AND count them
+    # in n — an agreeing-but-wrong oracle pair
+    vals = cat.events.filter(F.col("value").isNotNull()).select("value")
+    stats = vals.agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
     hist = (
-        cat.events.crossJoin(F.broadcast(stats))
+        vals.crossJoin(F.broadcast(stats))
         .select(
             F.least(
                 F.floor(

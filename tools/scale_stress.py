@@ -90,11 +90,21 @@ STRESS_QUERIES = (
     "x28_pricing_summary",
     "w4_upsert_merge",
     "q_flagship_revenue_by_nation",
-    # round-5 additions: full-scan token classify + n_nodes-group agg
-    # (flat-plan claim) and the WAV synth→encode→decode pipeline
-    # (per-row map-only claim)
+    # round-5 additions — the DEFAULT run must reproduce the full
+    # recorded x10 curve, so every measured query lives here:
     "p9_ring_ownership",
     "l19_audio",
+    "a10_hll_distinct",
+    "a11_countmin_heavy",
+    "a13_hll_partials",
+    "a14_histogram_quantiles",
+    "w18_hinted_handoff",
+    "p10_nts_replicas",
+    "l20_chunking",
+    "l21_bigram_lm",
+    "x38_resample_ffill",
+    "x39_funnel",
+    "x40_cohort_retention",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -399,6 +409,11 @@ def main() -> None:
             merged_q = dict(
                 runs.get(f"x{args.factor}", {}).get("queries", {})
             )
+            # prune entries for queries no longer in the registry, so a
+            # rename/removal can't pin a stale measurement in the median
+            merged_q = {
+                q: v for q, v in merged_q.items() if q in registry.QUERIES
+            }
             merged_q.update(report["queries"])
             med = round(
                 sorted(v["ratio"] for v in merged_q.values())[
