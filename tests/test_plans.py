@@ -397,3 +397,57 @@ def test_audio_payloads_never_shuffle(spark):
     plan = plan_of(spark, "l19_audio")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_hll_sketch_two_small_aggregations(spark):
+    """a10: hash projection pipelines in the scan; the only exchanges
+    feed the m-group and 1-row aggregations — no join of the fact side
+    (the exact-count leg broadcasts), no Python UDF."""
+    plan = plan_of(spark, "a10_hll_distinct")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan  # 1-row joins broadcast
+
+
+def test_countmin_probe_broadcasts_cells(spark):
+    """a11: the d*w cell table must broadcast back onto the candidates,
+    never shuffle-join them."""
+    plan = plan_of(spark, "a11_countmin_heavy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_shuffle_conditional_min(spark):
+    """x39: one per-user aggregation (partial_min map-side), then a 1-row
+    rollup — no join at all."""
+    plan = plan_of(spark, "x39_funnel")
+    assert "Join" not in plan
+    assert "partial_min" in plan
+
+
+def test_resample_explode_no_extra_shuffle(spark):
+    """x38: grid densification (explode) must not introduce a shuffle of
+    its own — the window/join reuse the user_id partitioning."""
+    plan = plan_of(spark, "x38_resample_ffill")
+    assert "Generate" in plan  # the sequence explode
+    assert "CartesianProduct" not in plan
+    tree = plan.split("(1) Scan")[0]
+    # scan-side aggs + ONE keyed exchange chain for join/windows; a plan
+    # regression (e.g. losing partitioning reuse) adds exchanges
+    assert tree.count("Exchange") <= 5, tree
+
+
+def test_hinted_handoff_broadcast_keys(spark):
+    """w18: the distinct-key token table broadcasts back onto the fact;
+    the only non-broadcast exchange feeds the n_nodes-group agg."""
+    plan = plan_of(spark, "w18_hinted_handoff")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_consistency_levels_single_pass(spark):
+    """w19: ONE conditional-aggregate scan — no joins, no extra
+    exchanges beyond the global agg."""
+    plan = plan_of(spark, "w19_consistency_levels")
+    assert "Join" not in plan
+    assert "partial_" in plan
