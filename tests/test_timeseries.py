@@ -79,3 +79,25 @@ def test_cohort_retention_shape(spark):
     for r in rows:
         assert r.cohort_week in size  # every cohort has its offset-0 row
         assert r.active_users <= size[r.cohort_week]
+
+
+def test_transitions_conserve_counts(spark):
+    """Σ transitions = Σ (events_per_user - 1): every non-first event is
+    exactly one transition's target."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.timeseries import x41_event_transitions
+
+    total = sum(
+        r.n_transitions
+        for r in x41_event_transitions(spark, SF_SMOKE).collect()
+    )
+    per_user = (
+        Catalog(spark, SF_SMOKE)
+        .events.groupBy("user_id")
+        .agg((F.count(F.lit(1)) - 1).alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert total == per_user
