@@ -239,3 +239,49 @@ def x41_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "x42_rolling_24h",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t
+      FROM events WHERE user_id % 40 = 11
+    )
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_24h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM s
+    """,
+)
+def x42_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE frames: per event, how many of the user's
+    events fall in the preceding 24h / 1h — the rate-limiting /
+    burst-detection primitive. RANGE frames bound by VALUE (seconds),
+    not row count, so sparse and dense periods window correctly; one
+    keyed shuffle serves both frames. Integer epoch seconds keep the
+    frame boundaries engine-exact (a timestamp RANGE would hinge on
+    interval semantics)."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.events.filter(F.col("user_id") % 40 == 11).select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("t"),
+    )
+    base = Window.partitionBy("user_id").orderBy("t")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1))
+        .over(base.rangeBetween(-86400, 0))
+        .alias("n_24h"),
+        F.count(F.lit(1))
+        .over(base.rangeBetween(-3600, 0))
+        .alias("n_1h"),
+    )

@@ -101,3 +101,37 @@ def test_transitions_conserve_counts(spark):
         .collect()[0][0]
     )
     assert total == per_user
+
+
+def test_rolling_frames_nested_and_bounded(spark):
+    """The 1h frame is a subset of the 24h frame, and every frame
+    includes at least the current row; spot-check one user against a
+    brute-force count."""
+    from cassandra_spark.operators.timeseries import x42_rolling_24h
+
+    rows = x42_rolling_24h(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(1 <= r.n_1h <= r.n_24h for r in rows)
+    from collections import defaultdict
+
+    from cassandra_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    ev = (
+        Catalog(spark, SF_SMOKE)
+        .events.filter(F.col("user_id") % 40 == 11)
+        .select("user_id", "event_id",
+                (F.unix_micros("ts") / 1_000_000).cast("long").alias("t"))
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    uid = sorted(by_user)[0]
+    ts = sorted((r.t, r.event_id) for r in by_user[uid])
+    brute = {}
+    for t, eid in ts:
+        brute[eid] = sum(1 for t2, _ in ts if t - 86400 <= t2 <= t)
+    for r in rows:
+        if r.user_id == uid:
+            assert r.n_24h == brute[r.event_id]
