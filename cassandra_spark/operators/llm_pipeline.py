@@ -307,3 +307,66 @@ def l16_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "l22_corpus_datasheet",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sent_p
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars,
+           CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(1000 * SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS short_permille,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_sent_p) AS BIGINT) AS total_sentences
+    FROM per_doc
+    GROUP BY source ORDER BY source
+    """,
+)
+def l22_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet: the per-source summary card a training-data
+    pipeline publishes with every snapshot — volume, token mass, length
+    spread, short-doc rate (per-mille, integer-exact), language spread,
+    sentence mass. One map-side-combined aggregation over per-doc
+    projections; every statistic is integer algebra so the card is
+    reproducible bit-for-bit anywhere."""
+    cat = Catalog(spark, sf_dir)
+    per_doc = cat.documents.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")).alias(
+            "n_sent_p"
+        ),
+    )
+    short = (F.col("n_tok") < 20).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr("SUM(n_chars) DIV COUNT(*)").alias("mean_chars"),
+            F.sum(short).alias("n_short"),
+            F.expr(
+                "1000 * SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) "
+                "DIV COUNT(*)"
+            ).alias("short_permille"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_sent_p").alias("total_sentences"),
+        )
+        .orderBy("source")
+    )
