@@ -72,6 +72,7 @@ def load_all() -> None:
         flagship,
         functions,
         joins,
+        llm_bpe,
         llm_dedup,
         llm_multimodal,
         llm_pipeline,
