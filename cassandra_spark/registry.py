@@ -77,6 +77,7 @@ def load_all() -> None:
         llm_multimodal,
         llm_pipeline,
         llm_text,
+        llm_train,
         llm_vectors,
         masking,
         read_path,
