@@ -285,3 +285,134 @@ def x42_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(base.rangeBetween(-3600, 0))
         .alias("n_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x43: PageRank over the event-transition graph — the iterative
+# graph-analytics primitive (page importance / behavioral-state centrality)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000  # ranks are parts-per-billion integers
+PR_ITERS = 10
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as exact integer arithmetic
+
+
+def _pr_edges(cat: Catalog) -> DataFrame:
+    """Corpus → weighted transition edges (the ONE corpus-scale stage:
+    x41's keyed window + 25-cell rollup). Everything after runs on the
+    node/edge tables, which are model-sized here; on a web-scale graph
+    the identical loop runs with ranks as a keyed table — the joins below
+    are already keyed, broadcast only because nodes ≪ corpus."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat.events.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    return seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def _pr_oracle(k: int = PR_ITERS) -> str:
+    tele = (
+        f"(CAST({PR_D_DEN - PR_D_NUM} AS BIGINT) * {PR_SCALE}) "
+        f"// ({PR_D_DEN} * nn.n)"
+    )
+    iters = ",".join(
+        f"""
+r{i} AS MATERIALIZED (
+  SELECT n2.node,
+         {tele} + ({PR_D_NUM} * COALESCE(s.c, 0)) // {PR_D_DEN} AS rank
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS c
+    FROM r{i - 1} r
+    JOIN e ON e.src = r.node
+    JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n2.node
+)"""
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    e AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outd AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, {PR_SCALE} // nn.n AS rank FROM nodes CROSS JOIN nn
+    ),
+    {iters}
+    SELECT node, CAST(rank AS BIGINT) AS rank_ppb
+    FROM r{k} ORDER BY node
+    """
+
+
+@query("x43_event_pagerank", oracle=_pr_oracle())
+def x43_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d = 0.85, 10 iterations) over the first-order event
+    transition graph: which behavioral state is most central, weighted by
+    observed transition volume. The iterative-graph-algorithm primitive
+    (same family as l17's connected components).
+
+    Integer-exact: ranks are parts-per-billion ints; each contribution is
+    (rank·w) div out_w and damping is 85/100 — all truncate-toward-zero
+    integer ops, identical on both engines. The truncation's mass loss
+    (≤ a few ppb per edge per round) is part of the pinned semantics, not
+    float noise. Nodes without out-edges leak their mass (the standard
+    non-redistributing variant) — on this graph every node has out-edges.
+
+    Scale posture: one corpus-scale window+rollup builds the edges; each
+    iteration is a keyed join + groupBy on the rank table — node-scale,
+    not event-scale. At web-graph size the same plan shuffles ranks by
+    dst; lineage is checkpoint-truncated per round (l17 discipline)."""
+    cat = Catalog(spark, sf_dir)
+    edges = _pr_edges(cat).localCheckpoint(eager=True)
+    outd = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{PR_SCALE}L div n").alias("rank")
+    )
+    tele = f"({PR_D_DEN - PR_D_NUM}L * {PR_SCALE}L) div ({PR_D_DEN}L * n)"
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(rank * w) div ow")).alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{tele} + ({PR_D_NUM}L * coalesce(c, 0L)) div {PR_D_DEN}L"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_ppb")).orderBy(
+        "node"
+    )
