@@ -403,3 +403,71 @@ def s11_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(scaled.alias("scaled_sum"), F.count(F.lit(1)).alias("n_buckets"))
         .orderBy("day")
     )
+
+
+@query(
+    "s12_streaming_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def s12_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 end-to-end: REAL streaming sessionization — the staged 4-file
+    source arrives in arbitrary ts order across 4 micro-batch epochs, so
+    the session-window state store must MERGE open sessions (a bridging
+    event arriving in a later batch coalesces two previously-separate
+    sessions — the one stateful-window behavior tumbling state never
+    exercises). Complete-mode drain emits the final merged state, which
+    must equal the batch gaps-and-islands oracle exactly.
+
+    Scale posture: session state is per-(user, open-session) and the
+    merge is keyed by user — at 100 TB/day this runs with a watermark to
+    bound state (s4 semantics); the drain here is unwatermarked only so
+    the availableNow result is deterministic and oracle-comparable."""
+    from cassandra_spark.catalog import restore_ts
+    from cassandra_spark.streaming.jobs import (
+        _events_raw_schema,
+        run_available_now,
+    )
+
+    src, _ = _stage_events_stream(spark, sf_dir, "s12_session_")
+    ev = restore_ts(
+        spark.readStream.schema(_events_raw_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "ts",
+    )
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = _sink_name("s12_session")
+    run_available_now(sessions, name, output_mode="complete")
+    return spark.table(name)
