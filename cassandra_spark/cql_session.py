@@ -604,6 +604,8 @@ class CqlSession:
         self.masks: dict[str, dict[str, str]] = {}
         # tables this session holds UNMASK permission on (GRANT UNMASK)
         self.unmasked: set[str] = set()
+        # full-query log (None = disabled; enable_fql() starts recording)
+        self._fql: list[str] | None = None
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -970,6 +972,42 @@ class CqlSession:
         self.types[name] = f"struct<{', '.join(fields)}>"
 
     def execute(self, stmt: str) -> DataFrame | bool | None:
+        """Execute one statement; when full-query logging is enabled
+        (:meth:`enable_fql`), the statement text is recorded AFTER it
+        succeeds (failed statements are not logged — they mutated nothing,
+        so a faithful replay must not re-raise them). Prepared executions
+        arrive here with values already bound, so the log is replayable
+        verbatim — the `fqltool replay` contract
+        (`[C* fql/FullQueryLogger, tools/fqltool, unverified]`)."""
+        result = self._execute_stmt(stmt)
+        if self._fql is not None:
+            self._fql.append(stmt)
+        return result
+
+    def enable_fql(self) -> None:
+        """Start full-query logging on this session (DDL + DML + SELECT,
+        in execution order)."""
+        if self._fql is None:
+            self._fql = []
+
+    def fql_log(self) -> DataFrame:
+        """The recorded log as a queryable DataFrame (seq, stmt)."""
+        log = self._fql or []
+        return self.spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(log)], "seq long, stmt string"
+        )
+
+    def fql_replay(self, target: "CqlSession") -> int:
+        """Re-execute the recorded log, in order, against ``target`` — the
+        upgrade-validation / traffic-mirroring workflow. Logical clocks are
+        per-table and deterministic, so an unpinned-timestamp workload
+        reproduces bit-identical state. Returns the statement count."""
+        log = list(self._fql or [])
+        for stmt in log:
+            target.execute(stmt)
+        return len(log)
+
+    def _execute_stmt(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
         if head.startswith("DESC"):
             return self._describe(stmt)

@@ -67,6 +67,7 @@ def load_all() -> None:
         counter_replay,
         cql_queries,
         dml_replay,
+        fql_replay,
         lwt_replay,
         mv_incremental,
         flagship,
