@@ -411,8 +411,12 @@ def x43_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{tele} + ({PR_D_NUM}L * coalesce(c, 0L)) div {PR_D_DEN}L"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # no per-iteration checkpoint: each round references its
+        # predecessor exactly ONCE (contrib is the only consumer), so
+        # lineage grows linearly — unlike l23's double-referenced vocab.
+        # The corpus-scale subtrees (edges/nodes) ARE checkpointed above,
+        # so the deep plan re-reads only 5-row leaves.
     return ranks.select("node", F.col("rank").alias("rank_ppb")).orderBy(
         "node"
     )

@@ -451,3 +451,83 @@ def test_consistency_levels_single_pass(spark):
     plan = plan_of(spark, "w19_consistency_levels")
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_bpe_vocab_pass_prunes_and_partial_aggs(spark):
+    """l23's single corpus-scale stage: the documents scan must read only
+    `text`, and the word-frequency aggregation must map-side combine."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_bpe import _vocab0
+
+    df = _vocab0(Catalog(spark, SF_SMOKE))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "doc_id" not in read[0] and "lang" not in read[0]
+    assert "partial_" in plan
+
+
+def test_bpe_training_round_broadcasts_model(spark):
+    """Each merge round: 1-row best pair joins the vocab via broadcast —
+    never a shuffle or cartesian on the corpus side."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_bpe import (
+        _apply_merge,
+        _best_pair,
+        _vocab0,
+    )
+
+    vocab = _vocab0(Catalog(spark, SF_SMOKE))
+    merged = _apply_merge(vocab, _best_pair(vocab))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_linreg_step_is_single_scan_broadcast_model(spark):
+    """l24's gradient step: ONE pass over features with the 1-row model
+    broadcast in, partial sums map-side — the full-batch-GD lower bound."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_train import _features, _grad
+
+    feats = _features(Catalog(spark, SF_SMOKE))
+    w = spark.createDataFrame(
+        [(0, 0, 0, 0)], "w_bias long, w_words long, w_stop long, w_long long"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _grad(feats, w).explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one corpus scan feeds the step (count scan-detail Location
+    # lines — the tree summary may repeat the node label)
+    locs = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert len(locs) == 1 and "documents.parquet" in locs[0]
+
+
+def test_pagerank_edges_single_window_shuffle(spark):
+    """x43's corpus stage: one keyed window (user) + one rollup — and the
+    events scan reads only the 4 columns the window needs."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.timeseries import _pr_edges
+
+    df = _pr_edges(Catalog(spark, SF_SMOKE))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "props" not in read[0] and "value" not in read[0]
+    assert "Window" in plan
+    assert "partial_" in plan
+
+
+def test_pagerank_iterations_never_cartesian(spark):
+    plan = plan_of(spark, "x43_event_pagerank")
+    assert "CartesianProduct" not in plan
