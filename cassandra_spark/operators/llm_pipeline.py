@@ -26,6 +26,7 @@ from cassandra_spark.operators.llm_dedup import (
     P3,
     WORD_HASH_DUCK,
     WORD_HASH_SPARK,
+    _minhash_sql_cte,
     word_hash_table,
 )
 from cassandra_spark.registry import query
@@ -369,4 +370,111 @@ def l22_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sent_p").alias("total_sentences"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L25: fuzzy contamination — cross-split MinHash-LSH near-dup leakage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l25_fuzzy_contamination",
+    oracle=f"""
+    WITH {{MINHASH_CTE}},
+    bucketed AS (
+      SELECT *, ({_SPLIT_HASH}) % 1000 AS bucket FROM banded
+    ),
+    bands AS (
+      SELECT doc_id, bucket, b.band_id,
+             CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS band_val
+      FROM bucketed CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+      FROM bands e JOIN bands t
+        ON e.band_id = t.band_id AND e.band_val = t.band_val
+      WHERE e.bucket >= 900 AND t.bucket < 900
+    ),
+    verified AS (
+      SELECT eval_doc, train_doc,
+             CAST(len(list_intersect(se.sh, st.sh)) AS DOUBLE)
+             / (len(se.sh) + len(st.sh) - len(list_intersect(se.sh, st.sh)))
+               AS jaccard
+      FROM cand
+      JOIN banded se ON se.doc_id = eval_doc
+      JOIN banded st ON st.doc_id = train_doc
+    )
+    SELECT eval_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           MAX(jaccard) AS best_jaccard
+    FROM verified WHERE jaccard >= 0.2
+    GROUP BY eval_doc
+    ORDER BY doc_id
+    """.replace("{MINHASH_CTE}", _minhash_sql_cte().strip()),
+)
+def l25_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination — l13's exact-gram check at near-dup level:
+    eval-split documents whose MinHash-LSH bands collide with any
+    TRAIN-split document and whose exact shingle Jaccard clears 0.2. This
+    is how a real pipeline catches paraphrased/benchmark leakage that
+    exact n-gram matching misses (the l2 machinery, pointed across the
+    l12/l13 split instead of at itself).
+
+    Scale posture: identical to l2 — linear signature pass, band
+    equi-join (cost Σ bucket_train × bucket_eval, never |train|×|eval|),
+    exact verify on candidates only. The split predicate is a pure
+    projection of doc_id, so NO second corpus scan: one signature table
+    serves both sides of the join."""
+    from cassandra_spark.operators.llm_dedup import minhash_signatures
+
+    cat = Catalog(spark, sf_dir)
+    sig = (
+        minhash_signatures(cat.documents)
+        .select(
+            "doc_id",
+            "sh",
+            F.array(*[F.col(f"band{b}") for b in range(4)]).alias("bands"),
+            (F.expr(_SPLIT_HASH) % 1000).alias("bucket"),
+        )
+        .persist()  # four consumers (bands x2, verify x2) — see l2's note
+    )
+    bands = sig.select(
+        "doc_id", "bucket", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    cand = (
+        bands.filter(F.col("bucket") >= 900)
+        .alias("e")
+        .join(
+            bands.filter(F.col("bucket") < 900).alias("t"),
+            (F.col("e.band_id") == F.col("t.band_id"))
+            & (F.col("e.band_val") == F.col("t.band_val")),
+        )
+        .select(
+            F.col("e.doc_id").alias("eval_doc"),
+            F.col("t.doc_id").alias("train_doc"),
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("se"), F.col("st")))
+    union = F.size(F.col("se")) + F.size(F.col("st")) - inter
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("eval_doc"), F.col("sh").alias("se")),
+            "eval_doc",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("train_doc"), F.col("sh").alias("st")),
+            "train_doc",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.2)
+        .groupBy(F.col("eval_doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
     )

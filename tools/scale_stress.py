@@ -105,6 +105,12 @@ STRESS_QUERIES = (
     "x38_resample_ffill",
     "x39_funnel",
     "x40_cohort_retention",
+    # trainer/graph tier (this round): corpus-pass + model-sized loops
+    "l23_bpe_train",
+    "l23b_bpe_encode",
+    "l24_linreg_gd",
+    "x43_event_pagerank",
+    "l25_fuzzy_contamination",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -133,6 +139,11 @@ STRESS_QUERIES_100 = (
     "x37_concentrated_suppliers",
     "w4_upsert_merge",
     "q_flagship_revenue_by_nation",
+    "l23_bpe_train",
+    "l23b_bpe_encode",
+    "l24_linreg_gd",
+    "x43_event_pagerank",
+    "l25_fuzzy_contamination",
 )
 
 
