@@ -17,6 +17,8 @@ an IVF coarse quantizer is the same shape with learned centroids.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -548,23 +550,224 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(spark, sf_dir, ND_PLANES)
 
 
+# --- quantized vectorized prod path ----------------------------------------
+#
+# The fold-based plan above is exact but INTERPRETED: Catalyst evaluates
+# higher-order `aggregate` lambdas element-by-element, so the bucket costs
+# planes×dim lambda steps per vector and the verify costs dim steps per
+# candidate pair. Round-5 stress measured the fold-based prod variant at
+# 202 s for the 100× corpus (200k×64-d) — ~70× growth that is pure
+# expression-interpreter overhead, not plan shape. The production variant
+# below moves both hot kernels to Arrow-batched numpy (the same
+# "vectorized pandas_udf when Catalyst can't express it efficiently"
+# contract as the Murmur3 ring primitive, operators/murmur3.py) and makes
+# them INTEGER-exact so the DuckDB oracle still matches bit-for-bit:
+#
+# - embeddings are quantized to the 2^-20 grid: q[j] = floor(v*2^20 + 0.5)
+#   as int64. float32→float64 is exact, ×2^20 scales the exponent (exact),
+#   +0.5/floor are deterministic IEEE — numpy and DuckDB agree on every
+#   bit. |v| < 1 in this corpus ⇒ |q| < 2^20, so 64-dim dot products stay
+#   under 2^46: exact in int64 AND exactly representable in float64.
+# - plane dots / bucket bits are then pure int64 matmul (numpy `Q @ W.T`),
+#   and the verify cosine is int64 dot / (sqrt·sqrt) with one final
+#   correctly-rounded double division — bit-identical cross-engine.
+QSCALE = 1 << 20
+
+
+def _plane_weight_matrix(n_planes: int, dim: int):
+    """The SAME pseudo-random plane family as `_plane_dot_spark`
+    (w[p][j] = ((p*1103515245 + j*12345 + 12345) % 2048) - 1024) as an
+    int64 numpy (planes, dim) matrix."""
+    import numpy as np
+
+    p = np.arange(n_planes, dtype=np.int64)[:, None]
+    j = np.arange(dim, dtype=np.int64)[None, :]
+    return ((p * 1103515245 + j * 12345 + 12345) % 2048) - 1024
+
+
+def _quantize(mat):
+    """float64 (n, dim) → int64 on the 2^-20 grid; floor(x+0.5) is
+    round-half-up, matching the oracle's floor(... + 0.5) exactly."""
+    import numpy as np
+
+    return np.floor(mat * float(QSCALE) + 0.5).astype(np.int64)
+
+
+def _qbucket_udf(planes: int):
+    """Arrow-batched LSH bucket: int64 matmul against the plane matrix,
+    sign bits packed little-endian — one numpy call per ~10k-row batch
+    instead of planes×dim interpreted lambda steps per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qbucket(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        Q = _quantize(np.array(emb.tolist(), dtype=np.float64))
+        W = _plane_weight_matrix(planes, Q.shape[1])
+        bits = (Q @ W.T > 0).astype(np.int64) << np.arange(
+            planes, dtype=np.int64
+        )
+        return pd.Series(bits.sum(axis=1))
+
+    return qbucket
+
+
+def _qcosine_udf():
+    """Arrow-batched quantized cosine: int64 dot products (exact), one
+    final double divide (correctly-rounded IEEE on both engines)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def qcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = _quantize(np.array(a.tolist(), dtype=np.float64))
+        B = _quantize(np.array(b.tolist(), dtype=np.float64))
+        num = (A * B).sum(axis=1).astype(np.float64)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(num / (na * nb))
+
+    return qcos
+
+
+_QGRID_DUCK = (
+    "list_transform(embedding, v -> "
+    f"CAST(floor(CAST(v AS DOUBLE) * {float(QSCALE)!r} + 0.5) AS BIGINT))"
+)
+
+
+def _qdot_duck(a: str, b: str) -> str:
+    """Integer dot over two quantized BIGINT lists — order-free (exact)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _qbucket_duck(planes: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(0, {planes}), p -> "
+        f"CASE WHEN list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, len(qv) + 1), j -> "
+        f"(((p * 1103515245 + (j - 1) * 12345 + 12345) % 2048) - 1024) "
+        f"* qv[j])), (x, y) -> x + y) > 0 "
+        f"THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+    )
+
+
+def _q_neardup_oracle(planes: int) -> str:
+    probe_values = ", ".join(f"({k})" for k in range(-1, planes))
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_QGRID_DUCK} AS qv FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, qv, {_qbucket_duck(planes)} AS bucket FROM q
+    ),
+    probes AS (
+      SELECT vec_id,
+             CASE WHEN k.k = -1 THEN bucket
+                  ELSE xor(bucket, 1::BIGINT << k.k) END AS probe
+      FROM bucketed
+      CROSS JOIN (VALUES {probe_values}) k(k)
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM probes p JOIN bucketed c
+        ON c.bucket = p.probe AND p.vec_id < c.vec_id
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b,
+             CAST({_qdot_duck('a.qv', 'b.qv')} AS DOUBLE)
+               / (sqrt(CAST({_qdot_duck('a.qv', 'a.qv')} AS DOUBLE))
+                  * sqrt(CAST({_qdot_duck('b.qv', 'b.qv')} AS DOUBLE)))
+               AS cosine
+      FROM cand
+      JOIN q a ON a.vec_id = vec_a
+      JOIN q b ON b.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+    """
+
+
 @query(
     "l2d_embedding_neardup_prod",
     # the oracle mirrors the sf0.01 instantiation (500 vectors) — the one
     # scale the driver's correctness gate runs at; at other scales the
     # Spark side re-derives planes from the actual corpus
-    oracle=_embedding_neardup_oracle(planes_for_corpus(500)),
+    oracle=_q_neardup_oracle(planes_for_corpus(500)),
 )
 def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shape config: the plane count is DERIVED from the corpus
-    at plan time via the occupancy-constant rule (`planes_for_corpus`,
-    parquet-footer row count — metadata-only). A fixed plane count is the
-    one genuine scale killer in this family: round-5 stress measured the
-    previously-pinned 14 planes at 244× runtime for 100× corpus (bucket
-    occupancy grew 12×), while this adaptive sizing holds occupancy — and
-    Σ bucket² cost — linear. See :func:`embedding_neardup`."""
-    n = Catalog(spark, sf_dir).embeddings.count()
-    return embedding_neardup(spark, sf_dir, planes_for_corpus(n))
+    """Production-shape embedding near-dup: occupancy-constant plane count
+    DERIVED from the corpus at plan time (`planes_for_corpus` — a fixed
+    plane count is the one genuine scale killer in this family: occupancy
+    grows linearly in N and Σ bucket² quadratically), with both hot
+    kernels — LSH bucket assignment and candidate cosine — as Arrow-
+    batched int64 numpy (see the QSCALE block comment: exact cross-engine
+    by integer arithmetic; round-5 stress measured the interpreted fold
+    kernels at 202 s / ~70× growth on the 100× corpus, pure expression-
+    interpreter overhead). Candidate generation stays a distributed bucket
+    equi-join with Hamming-1 multiprobe — Σ bucket², never corpus².
+    Cosine here is over the 2^-20-quantized grid (|Δ| < 4e-6 vs float —
+    the threshold semantics, 0.35, are this operator's own contract)."""
+    cat = Catalog(spark, sf_dir)
+    planes = planes_for_corpus(cat.embeddings.count())
+    bucketed = (
+        cat.embeddings.select("vec_id", "embedding")
+        .withColumn("bucket", _qbucket_udf(planes)(F.col("embedding")))
+        .persist()
+    )
+    probe = F.when(F.col("k") == -1, F.col("abucket")).otherwise(
+        F.expr("abucket ^ shiftleft(1L, k)")
+    )
+    probes = (
+        bucketed.select(
+            F.col("vec_id").alias("vec_a"), F.col("bucket").alias("abucket")
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(-1, planes).select(
+                    F.col("id").cast("int").alias("k")
+                )
+            )
+        )
+        .select("vec_a", probe.alias("probe"))
+    )
+    cand = (
+        probes.join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bbucket")
+            ),
+            (F.col("bbucket") == F.col("probe"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    qcos = _qcosine_udf()
+    return (
+        cand.join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+            ),
+            "vec_a",
+        )
+        .join(
+            bucketed.select(
+                F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+            ),
+            "vec_b",
+        )
+        .withColumn("cosine", qcos(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +882,7 @@ def _km_oracle() -> str:
 
     return f"""
     WITH qv_t AS (
-      SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings
+      SELECT vec_id, {_QGRID_DUCK} AS qv FROM embeddings
     ),
     cent0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,

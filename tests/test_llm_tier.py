@@ -360,6 +360,106 @@ def test_planes_for_corpus_sizing_rule():
         assert 0.75 <= occ <= 3.0
 
 
+def test_l2d_prod_quantized_kernels_bit_exact(spark):
+    """The vectorized prod kernels (int64 numpy bucket + quantized cosine)
+    must match BOTH an independent pure-python fold AND the DuckDB oracle
+    bit-for-bit — the integer-exactness contract that lets the hot path
+    leave Catalyst (same differential pattern as operators/murmur3.py)."""
+    import duckdb
+    import numpy as np
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_vectors import (
+        QSCALE,
+        _plane_weight_matrix,
+        _q_neardup_oracle,
+        _qbucket_udf,
+        _quantize,
+        l2d_embedding_neardup_prod,
+        planes_for_corpus,
+    )
+
+    cat = Catalog(spark, SF_SMOKE)
+    n = cat.embeddings.count()
+    planes = planes_for_corpus(n)
+
+    # 1) numpy bucket kernel vs an independent pure-python fold
+    sample = cat.embeddings.orderBy("vec_id").limit(8).collect()
+    got = [
+        r.bucket
+        for r in cat.embeddings.orderBy("vec_id")
+        .limit(8)
+        .withColumn("bucket", _qbucket_udf(planes)(F.col("embedding")))
+        .collect()
+    ]
+    for row, b in zip(sample, got):
+        q = [int(np.floor(float(v) * QSCALE + 0.5)) for v in row.embedding]
+        W = _plane_weight_matrix(planes, len(q))
+        expect = 0
+        for p in range(planes):
+            if sum(int(W[p, j]) * q[j] for j in range(len(q))) > 0:
+                expect |= 1 << p
+        assert b == expect
+
+    # 2) full query vs the DuckDB oracle at the corpus-derived plane count
+    sp = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in l2d_embedding_neardup_prod(spark, SF_SMOKE).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    )
+    du = sorted(
+        (a, b, c)
+        for a, b, c in con.execute(_q_neardup_oracle(planes)).fetchall()
+    )
+    assert len(sp) == len(du)
+    for (a1, b1, c1), (a2, b2, c2) in zip(sp, du):
+        assert (a1, b1) == (a2, b2)
+        assert c1 == c2  # bit-exact doubles, not approx
+
+    # every cosine clears the operator's own threshold
+    assert all(c >= 0.35 for _, _, c in sp)
+
+
+def test_l2d_prod_bucket_deterministic_and_selfcos_unit(spark):
+    """The bucket is a pure function of the vector, so identical
+    embeddings always collide (exact-duplicate recall is 1 at ANY plane
+    count), and the quantized self-cosine sits within an ulp of 1.0 —
+    well clear of the 0.35 threshold."""
+    import numpy as np
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_vectors import (
+        _plane_weight_matrix,
+        _quantize,
+    )
+
+    cat = Catalog(spark, SF_SMOKE)
+    embs = np.array(
+        [r.embedding for r in cat.embeddings.orderBy("vec_id").limit(16).collect()],
+        dtype=np.float64,
+    )
+    Q = _quantize(embs)
+    W = _plane_weight_matrix(12, Q.shape[1])
+    B = ((Q @ W.T > 0).astype(np.int64) << np.arange(12, dtype=np.int64)).sum(
+        axis=1
+    )
+    # determinism: recomputing gives the same buckets
+    B2 = ((Q @ W.T > 0).astype(np.int64) << np.arange(12, dtype=np.int64)).sum(
+        axis=1
+    )
+    assert (B == B2).all()
+    # quantized self-cosine: s/(√s·√s) — within one ulp-of-sqrt of 1.0
+    # (not exactly 1.0: √s is rounded; both engines compute the SAME
+    # rounded value, so cross-engine equality still holds bit-for-bit)
+    num = (Q * Q).sum(axis=1).astype(np.float64)
+    nrm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    assert np.abs(num / (nrm * nrm) - 1.0).max() < 1e-12
+
+
 def test_l2d_prod_planes_adapt_to_corpus(spark):
     """The prod near-dup variant derives its plane count from the corpus
     (the fixed-count variant is the diagnostic): the oracle pin must equal
