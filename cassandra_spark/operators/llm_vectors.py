@@ -882,7 +882,7 @@ def _km_oracle() -> str:
 
     return f"""
     WITH qv_t AS (
-      SELECT vec_id, {_QGRID_DUCK} AS qv FROM embeddings
+      SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings
     ),
     cent0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
