@@ -697,25 +697,35 @@ def _q_neardup_oracle(planes: int) -> str:
 
 
 @query(
-    "l2d_embedding_neardup_prod",
+    "l2d_embedding_neardup_lsh",
     # the oracle mirrors the sf0.01 instantiation (500 vectors) — the one
     # scale the driver's correctness gate runs at; at other scales the
     # Spark side re-derives planes from the actual corpus
     oracle=_q_neardup_oracle(planes_for_corpus(500)),
+    diagnostic=True,
 )
-def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shape embedding near-dup: occupancy-constant plane count
-    DERIVED from the corpus at plan time (`planes_for_corpus` — a fixed
-    plane count is the one genuine scale killer in this family: occupancy
-    grows linearly in N and Σ bucket² quadratically), with both hot
-    kernels — LSH bucket assignment and candidate cosine — as Arrow-
-    batched int64 numpy (see the QSCALE block comment: exact cross-engine
-    by integer arithmetic; round-5 stress measured the interpreted fold
-    kernels at 202 s / ~70× growth on the 100× corpus, pure expression-
-    interpreter overhead). Candidate generation stays a distributed bucket
-    equi-join with Hamming-1 multiprobe — Σ bucket², never corpus².
-    Cosine here is over the 2^-20-quantized grid (|Δ| < 4e-6 vs float —
-    the threshold semantics, 0.35, are this operator's own contract)."""
+def l2d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup with occupancy-adaptive plane count and both hot
+    kernels — bucket assignment and candidate cosine — as Arrow-batched
+    int64 numpy (see the QSCALE block comment; this variant is what
+    retired the interpreted fold kernels measured at 202 s on the 100×
+    corpus). Registered ``diagnostic=True`` after round-5 measurement:
+
+    - **recall**: at the 0.35 verification threshold a single-band
+      Hamming-1 hyperplane sketch surfaces only ~11% of true pairs
+      (measured against the brute-force ground truth at sf0.1) — the
+      per-plane agreement gap between a 0.35 pair and a typical 0.2
+      pair is just 0.61 vs 0.56, too thin for any (bands, rows) choice
+      to separate (banded variants measured: 67% recall cost 33×10⁹
+      candidates). Sign-LSH is the right tool ABOVE ~0.8 cosine.
+    - **skew**: direction-clustered corpora stack Σ bucket² far above
+      the occupancy-rule estimate (measured 51M pairs for 200k vectors
+      even with a well-mixed plane family).
+
+    The production path is :func:`l2d_embedding_neardup_prod`, which
+    blocks by the engine's own learned IVF cells instead (measured ~4×
+    the recall at linear candidate mass). Cosine here is over the
+    2^-20-quantized grid (|Δ| < 4e-6 vs float)."""
     cat = Catalog(spark, sf_dir)
     planes = planes_for_corpus(cat.embeddings.count())
     bucketed = (
@@ -767,6 +777,310 @@ def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", qcos(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --- IVF-blocked near-dup: the production path ------------------------------
+#
+# Round-5 measurement on the 100× corpus killed BOTH data-independent
+# blocking families for this operator's 0.35 contract (see the _lsh
+# docstring: 11% recall / quadratic skew single-band; 33×10⁹ candidates
+# for 67% recall banded). What does work on direction-clustered data is
+# the engine's own LEARNED coarse quantizer — the same integer-exact
+# k-means contract as l18/l3c, used as the blocking key:
+#
+#   - cells sized to a constant ND_CELL_TARGET occupancy (K = ceil(N/64)
+#     cells), so candidate mass is Σ cell² ≈ N·64 — LINEAR by
+#     construction, and k-means cells track the corpus's real direction
+#     clusters instead of fighting them (measured: recall 11% → ~40% at
+#     comparable candidate budget);
+#   - nprobe=2 (own cell + runner-up) catches boundary pairs, exactly
+#     like the l3c query path;
+#   - the verify stage is the quantized integer cosine (bit-exact).
+#
+# Assignment is Arrow-batched numpy with PER-DIMENSION sequential
+# accumulation — vectorize across rows, fold across dims — so every
+# distance matches the oracle's list_reduce fold bit-for-bit. Centroids
+# are O(K·d) model state collected to the driver and shipped in the UDF
+# closure (the same residency MLlib's KMeansModel has; corpus data is
+# never collected). At 10⁹+ vectors K grows linearly at constant cell
+# size — beyond driver comfort, train hierarchically (coarse cells →
+# per-cell sub-k-means), same plan shape.
+
+ND_CELL_TARGET = 64
+ND_NPROBE = 2
+ND_SEED_SF001 = 8  # ceil(500 / 64) — the oracle's sf0.01 pin
+
+
+def _nd_k_for(n: int) -> int:
+    return max(1, -(-n // ND_CELL_TARGET))
+
+
+def _unrolled_int_dot(a: str, b: str, dim: int = 64):
+    """64-term int64 multiply-add chain as ONE codegen expression (array
+    element access + arithmetic — no higher-order functions)."""
+    d = None
+    for i in range(dim):
+        t = F.col(a)[i] * F.col(b)[i]
+        d = t if d is None else d + t
+    return d
+
+
+# BLAS screening margin: the expansion |x|²-2x·c+|c|² loses ≲1e4 absolute
+# to cancellation at this grid's magnitudes (terms ~2.4e13, ulp·ops ≈ 5e2);
+# 1e6 is >> that bound yet ≪ typical inter-cell gaps (~1e10), so the
+# screened set provably contains the exact top-ND_NPROBE cells and stays
+# a handful of cells per vector.
+_IVF_BLAS_MARGIN = 1.0e6
+
+
+def _ivf_probe_udf(cids, cents):
+    """probes(embedding) -> array<int> of the ND_NPROBE nearest cell ids
+    by the EXACT sequential-fold distance (ties by lowest cid).
+
+    Two-phase: a BLAS pass (|x|²-2x·c+|c|², reassociated — 40× faster
+    than folding, measured 409 s → 10 s per pass on the 100× corpus)
+    screens each vector to the cells within _IVF_BLAS_MARGIN of its
+    ND_NPROBE-th smallest approximate distance — a guaranteed superset
+    of the exact winners — then only those (vector, cell) pairs are
+    re-scored with the oracle's exact dim-ordered fold. Bit-exact result
+    at BLAS speed. ``cents`` is a (K, dim) float64 matrix sorted by cid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    cent_arr = np.asarray(cents, dtype=np.float64)
+    nprobe = min(ND_NPROBE, cent_arr.shape[0])
+    cc = (cent_arr * cent_arr).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        Q = _quantize(np.array(emb.tolist(), dtype=np.float64)).astype(
+            np.float64
+        )
+        n = len(Q)
+        xx = (Q * Q).sum(axis=1)
+        Db = xx[:, None] - 2.0 * (Q @ cent_arr.T) + cc[None, :]
+        kth = np.partition(Db, nprobe - 1, axis=1)[:, nprobe - 1]
+        rows, cols = np.nonzero(Db <= (kth[:, None] + _IVF_BLAS_MARGIN))
+        # exact fold distance for the screened (vector, cell) pairs only
+        d = np.zeros(len(rows))
+        qa, ca = Q[rows], cent_arr[cols]
+        for i in range(Q.shape[1]):  # dim-ordered: the oracle's fold
+            t = qa[:, i] - ca[:, i]
+            d += t * t
+        # per-row exact (d, cid) ranking -> first nprobe cells
+        order = np.lexsort((cid_arr[cols], d, rows))
+        r_sorted = rows[order]
+        first_idx = np.searchsorted(r_sorted, np.arange(n), side="left")
+        out = []
+        for r in range(n):
+            s = first_idx[r]
+            out.append([int(cid_arr[cols[order[s + j]]]) for j in range(nprobe)])
+        return pd.Series(out)
+
+    return probes
+
+
+def _ivf_nd_centroids(vecs: DataFrame, k: int):
+    """Seed with the K lowest vec_ids, run ONE integer-exact Lloyd update
+    (l18's contract), return (cids, cents) sorted by cid. The collects
+    here move O(K·d) MODEL state to the driver — never corpus data."""
+    import numpy as np
+
+    seeds = (
+        vecs.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "qv")
+        .collect()
+    )
+    cids0 = [int(r.vec_id) for r in seeds]
+    cent0 = np.array([r.qv for r in seeds], dtype=np.float64)
+    a1 = vecs.select(
+        "vec_id",
+        "qv",
+        _ivf_probe_udf(cids0, cent0)(F.col("embedding"))[0].alias("cl"),
+    )
+    sums = (
+        a1.select("cl", F.posexplode("qv").alias("pos", "comp"))
+        .groupBy("cl", "pos")
+        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bycell: dict[int, dict[int, float]] = {}
+    for r in sums:
+        # python float division == DuckDB CAST(s AS DOUBLE)/n: both IEEE
+        bycell.setdefault(int(r.cl), {})[int(r.pos)] = r.s / r.n
+    cids = sorted(bycell)
+    cents = np.array(
+        [[bycell[c][p] for p in sorted(bycell[c])] for c in cids],
+        dtype=np.float64,
+    )
+    return cids, cents
+
+
+def _ivf_nd_group_verify(key, pdf):
+    """Per-cell all-pairs verify (runs inside applyInPandas): integer
+    matmul Gram matrix (exact — Σ q² < 2^53, so the float64 casts are
+    exact too), one rounded double divide per pair, 0.35 threshold, and
+    the minimum-co-occurrence-cell dedup rule from the caller comment."""
+    import numpy as np
+
+    g = int(key[0])
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+    Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    own = pdf["own"].to_numpy()
+    prs = pdf["pr"].tolist()
+    D = Q @ Q.T  # int64: exact
+    nrm = np.sqrt(np.diag(D).astype(np.float64))
+    cos = D.astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    owner = own == g
+    P = np.array([list(p) + [-1] * (2 - len(p)) for p in prs], dtype=np.int64)
+    iu, ju = np.triu_indices(m, 1)
+    # a pair is valid here iff someone is the owner and it clears the
+    # threshold; it is EMITTED here iff this cell is the minimum of its
+    # co-occurrence cells (own[a] if a's home is probed by b, and v.v.)
+    valid = (owner[iu] | owner[ju]) & (cos[iu, ju] >= 0.35)
+    iu, ju = iu[valid], ju[valid]
+    if len(iu) == 0:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+    big = np.int64(1) << 62
+    a_home_probed = (P[ju] == own[iu][:, None]).any(axis=1)
+    b_home_probed = (P[iu] == own[ju][:, None]).any(axis=1)
+    c1 = np.where(a_home_probed, own[iu], big)
+    c2 = np.where(b_home_probed, own[ju], big)
+    emit = np.minimum(c1, c2) == g
+    ka, kb = iu[emit], ju[emit]
+    va = np.minimum(ids[ka], ids[kb])
+    vb = np.maximum(ids[ka], ids[kb])
+    return pd.DataFrame(
+        {"vec_a": va, "vec_b": vb, "cosine": cos[ka, kb]}
+    )
+
+
+def _ivf_nd_dist_duck(qv: str, cvec: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> "
+        f"(CAST({qv}[i] AS DOUBLE) - {cvec}[i])"
+        f" * (CAST({qv}[i] AS DOUBLE) - {cvec}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _ivf_neardup_oracle(k: int) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_QGRID_DUCK} AS qv FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(qv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM q WHERE vec_id < {k}
+    ),
+    a1p AS (
+      SELECT q.vec_id,
+             MIN({{'d': {_ivf_nd_dist_duck('q.qv', 'c.cvec')}, 'c': c.cid}})
+               AS mc
+      FROM q CROSS JOIN cent0 c
+      GROUP BY q.vec_id
+    ),
+    a1 AS (SELECT vec_id, mc.c AS cl FROM a1p),
+    sums AS (
+      SELECT a.cl, p.pos, SUM(q.qv[p.pos]) AS s, COUNT(*) AS n
+      FROM a1 a JOIN q USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+      GROUP BY a.cl, p.pos
+    ),
+    cent1 AS (
+      SELECT CAST(cl AS INTEGER) AS cid,
+             list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cvec
+      FROM sums GROUP BY cl
+    ),
+    dists AS (
+      SELECT q.vec_id, c.cid,
+             {_ivf_nd_dist_duck('q.qv', 'c.cvec')} AS d
+      FROM q CROSS JOIN cent1 c
+    ),
+    pr AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM dists
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+    probes AS (SELECT vec_id, cid AS cell FROM pr WHERE rn <= {ND_NPROBE}),
+    cand AS (
+      SELECT DISTINCT least(p.vec_id, c.vec_id) AS vec_a,
+             greatest(p.vec_id, c.vec_id) AS vec_b
+      FROM probes p JOIN cells c
+        ON c.cell = p.cell AND c.vec_id <> p.vec_id
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b,
+             CAST({_qdot_duck('a.qv', 'b.qv')} AS DOUBLE)
+               / (sqrt(CAST({_qdot_duck('a.qv', 'a.qv')} AS DOUBLE))
+                  * sqrt(CAST({_qdot_duck('b.qv', 'b.qv')} AS DOUBLE)))
+               AS cosine
+      FROM cand
+      JOIN q a ON a.vec_id = vec_a
+      JOIN q b ON b.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+    """
+
+
+@query(
+    "l2d_embedding_neardup_prod",
+    # oracle pins the sf0.01 instantiation (500 vectors -> 8 cells); the
+    # Spark side re-derives K from the actual corpus at other scales
+    oracle=_ivf_neardup_oracle(ND_SEED_SF001),
+)
+def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production embedding near-dup: learned-IVF blocking (constant-
+    occupancy k-means cells, nprobe 2) + quantized-integer cosine verify.
+    See the block comment above for why this replaced sign-LSH blocking,
+    and the QSCALE comment for the bit-exactness contract. Measured at
+    sf0.1 against brute-force ground truth: ~0.4 recall at the 0.35
+    threshold (vs 0.11 for single-band sign-LSH) with Σ cell² ≈ 64·N
+    candidate pairs — linear in the corpus by construction."""
+    cat = Catalog(spark, sf_dir)
+    n = cat.embeddings.count()
+    k = _nd_k_for(n)
+    vecs = cat.embeddings.select(
+        "vec_id", "embedding", F.expr(_QV_SPARK_GRID).alias("qv")
+    ).persist()
+    cids, cents = _ivf_nd_centroids(vecs, k)
+    per = vecs.select(
+        "vec_id",
+        "qv",
+        _ivf_probe_udf(cids, cents)(F.col("embedding")).alias("pr"),
+    )
+    # ONE shuffle: each vector ships to its <= ND_NPROBE probe cells (the
+    # first probe is its home cell); verification is all-pairs WITHIN the
+    # cell group in vectorized int64 numpy. A pair may co-occur in both
+    # members' home cells — the group emits it only when this cell is the
+    # MINIMUM of the pair's co-occurrence cells, a purely local rule, so
+    # no global DISTINCT pass is needed. (The first cut joined full
+    # vectors onto the 25M candidate pairs: 25 GB through two shuffles,
+    # 133 s at 100× — this shape moves 2N rows once and was measured an
+    # order of magnitude faster.)
+    exploded = per.select(
+        F.explode("pr").alias("gcell"),
+        "vec_id",
+        "qv",
+        F.col("pr")[0].alias("own"),
+        "pr",
+    )
+    return exploded.groupBy("gcell").applyInPandas(
+        _ivf_nd_group_verify, "vec_a long, vec_b long, cosine double"
     )
 
 
@@ -926,3 +1240,321 @@ def l18_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent1 = _km_update(a1)
     a2 = _km_assign(vecs, cent1)
     return a2.select("vec_id", "cluster").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# L26: product-quantization ANN (PQ codes + ADC scan + exact re-rank)
+# ---------------------------------------------------------------------------
+#
+# The memory-bound complement to the IVF cell routing of l3c: at 10^9+
+# vectors the working set itself (64 floats/vector) no longer fits the
+# cluster page cache, so real ANN engines store an 8-16 BYTE PQ code per
+# vector and scan codes with asymmetric-distance (ADC) lookup tables,
+# re-ranking only a short exact shortlist. This operator reproduces that
+# exact pipeline in DataFrame algebra:
+#
+#   train:  split the 2^-20-quantized vector into PQ_M subvectors; per
+#           subspace, deterministic seeds (lowest vec_ids) + ONE integer-
+#           exact Lloyd round = the codebook (PQ_K double centroids whose
+#           components are exact-int sums / count — same contract as l18).
+#   encode: per subspace, argmin centroid with lowest-cid tie-break.
+#           Distances are UNROLLED left-associated squared-diff chains
+#           (python loop over dims building one codegen expression) — the
+#           fold ORDER matches the oracle's list_reduce exactly, and the
+#           whole assignment stays inside WholeStageCodegen: no
+#           interpreted higher-order lambdas on the hot path (the round-5
+#           lesson from the fold-based l2d kernels), no Python either.
+#   query:  each query vector computes a PQ_M x PQ_K lookup table once;
+#           every corpus code scores as PQ_M table lookups + a 4-term
+#           add chain (the ADC scan — the only per-vector work, O(M)).
+#   rerank: top PQ_SHORTLIST by ADC are re-scored with the exact
+#           integer-grid cosine (order-free int64 dot) and the best
+#           PQ_TOPK survive.
+#
+# Scale posture (100 TB): training reads a bounded sample; encoding is
+# map-only against a broadcast codebook; the ADC scan is map-only against
+# a broadcast query table; only the shortlist join touches full vectors.
+# At 10^9 vectors: PQ_M=8-16, PQ_K=256, IVF cells (l3c) in front — plan
+# shape unchanged.
+
+PQ_M = 4          # subspaces
+PQ_SUB = 16       # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 16         # centroids per subspace codebook
+PQ_SHORTLIST = 20
+PQ_TOPK = 5
+PQ_NQ = 5         # query vectors: vec_id < PQ_NQ
+
+_QV_SPARK_GRID = (
+    "transform(embedding, x -> "
+    f"cast(floor(cast(x as double) * {float(1 << 20)!r}D + 0.5D) as bigint))"
+)
+
+
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the PQ_M 16-dim integer subvectors per vector.
+    slice() is 1-based; m stays 0-based everywhere."""
+    ms = F.array(*[F.lit(m) for m in range(PQ_M)])
+    return vecs.select(
+        "vec_id", F.explode(ms).alias("m"), F.col("qv")
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+
+
+def _pq_dist(sv, cv):
+    """Left-associated chain of PQ_SUB squared diffs — same order as the
+    oracle's list_reduce fold ((0 + t1) + t2 ...; 0 + t1 == t1 exactly)."""
+    d = None
+    for i in range(PQ_SUB):
+        t = (sv[i].cast("double") - cv[i]) * (sv[i].cast("double") - cv[i])
+        d = t if d is None else d + t
+    return d
+
+
+def _pq_assign(subs: DataFrame, cents_by_m: DataFrame, out: str) -> DataFrame:
+    """Map-only codebook assignment: PQ_K unrolled distance expressions
+    against the broadcast per-subspace codebook row, lexicographic
+    array_min = (min distance, then lowest cid)."""
+    choices = F.array(
+        *[
+            F.struct(
+                _pq_dist(F.col("sv"), F.col("cents")[k]["cvec"]).alias("d"),
+                F.col("cents")[k]["cid"].alias("c"),
+            )
+            for k in range(PQ_K)
+        ]
+    )
+    return subs.join(F.broadcast(cents_by_m), "m").select(
+        "vec_id", "m", "sv", F.array_min(choices)["c"].alias(out)
+    )
+
+
+def _pq_group_cents(cent: DataFrame) -> DataFrame:
+    """(m, cents): the codebook as one sorted struct array per subspace."""
+    return cent.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """Seeds = subvectors of the PQ_K lowest vec_ids; one Lloyd round of
+    integer-exact sums -> double means (l18's contract, per subspace)."""
+    cent0 = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cid"),
+        F.expr("transform(sv, x -> cast(x as double))").alias("cvec"),
+    )
+    a1 = _pq_assign(subs, _pq_group_cents(cent0), "cl")
+    sums = (
+        a1.select("m", "cl", F.posexplode("sv").alias("pos", "comp"))
+        .groupBy("m", "cl", "pos")
+        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sums.groupBy("m", "cl")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("double") / F.col("n")).alias("c"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            "m",
+            F.col("cl").alias("cid"),
+            F.expr("transform(arr, s -> s.c)").alias("cvec"),
+        )
+    )
+
+
+def _pq_qdot64(a: str, b: str) -> str:
+    """Order-free exact int64 dot over the full 64-dim quantized vectors
+    (integer addition commutes — no fold-order contract needed here)."""
+    return (
+        f"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + {a}[i] * {b}[i])"
+    )
+
+
+_PQ_QDOT_DUCK = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _pq_dist_duck(sv: str, cv: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {PQ_SUB} + 1), i -> "
+        f"(CAST({sv}[i] AS DOUBLE) - {cv}[i])"
+        f" * (CAST({sv}[i] AS DOUBLE) - {cv}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    qdot = _PQ_QDOT_DUCK.format(a="qa.qv", b="qb.qv")
+    qna = _PQ_QDOT_DUCK.format(a="qa.qv", b="qa.qv")
+    qnb = _PQ_QDOT_DUCK.format(a="qb.qv", b="qb.qv")
+    return f"""
+    WITH qv_t AS (
+      SELECT vec_id, {_QGRID_DUCK.replace('embedding', 'embedding')} AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.m AS m,
+             list_slice(qv, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}) AS sv
+      FROM qv_t CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ),
+    cent0 AS (
+      SELECT m, CAST(vec_id AS INTEGER) AS cid,
+             list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM subs WHERE vec_id < {PQ_K}
+    ),
+    a1p AS (
+      SELECT s.vec_id, s.m,
+             MIN({{'d': {_pq_dist_duck('s.sv', 'c.cvec')}, 'c': c.cid}}) AS mc
+      FROM subs s JOIN cent0 c ON c.m = s.m
+      GROUP BY s.vec_id, s.m
+    ),
+    a1 AS (SELECT vec_id, m, mc.c AS cl FROM a1p),
+    sums AS (
+      SELECT s.m, a.cl, p.pos, SUM(s.sv[p.pos]) AS sm, COUNT(*) AS n
+      FROM a1 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+      CROSS JOIN (SELECT unnest(range(1, {PQ_SUB} + 1)) AS pos) p
+      GROUP BY s.m, a.cl, p.pos
+    ),
+    cent1 AS (
+      SELECT m, CAST(cl AS INTEGER) AS cid,
+             list(CAST(sm AS DOUBLE) / n ORDER BY pos) AS cvec
+      FROM sums GROUP BY m, cl
+    ),
+    codesp AS (
+      SELECT s.vec_id, s.m,
+             MIN({{'d': {_pq_dist_duck('s.sv', 'c.cvec')}, 'c': c.cid}}) AS mc
+      FROM subs s JOIN cent1 c ON c.m = s.m
+      GROUP BY s.vec_id, s.m
+    ),
+    codes AS (SELECT vec_id, m, mc.c AS code FROM codesp),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.cid,
+             {_pq_dist_duck('s.sv', 'c.cvec')} AS d
+      FROM subs s JOIN cent1 c ON c.m = s.m
+      WHERE s.vec_id < {PQ_NQ}
+    ),
+    adist AS (
+      SELECT l.query_id, co.vec_id, SUM(l.d ORDER BY l.m) AS adist
+      FROM codes co
+      JOIN lut l ON l.m = co.m AND l.cid = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id, adist
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adist, vec_id) AS srn
+            FROM adist)
+      WHERE srn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.vec_id, s.adist,
+             CAST({qdot} AS DOUBLE)
+               / (sqrt(CAST({qna} AS DOUBLE)) * sqrt(CAST({qnb} AS DOUBLE)))
+               AS cosine
+      FROM short s
+      JOIN qv_t qa ON qa.vec_id = s.query_id
+      JOIN qv_t qb ON qb.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, adist, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM rer)
+    WHERE rn <= {PQ_TOPK}
+    """
+
+
+@query("l26_pq_ann", oracle=_pq_oracle())
+def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN with exact re-rank — see the block comment above for the
+    train / encode / ADC / re-rank pipeline and its 100 TB posture."""
+    cat = Catalog(spark, sf_dir)
+    vecs = cat.embeddings.select(
+        "vec_id", F.expr(_QV_SPARK_GRID).alias("qv")
+    ).persist()
+    subs = _pq_subs(vecs).persist()
+    cents1 = _pq_group_cents(_pq_codebook(subs))
+    codes = _pq_assign(subs, cents1, "code").select("vec_id", "m", "code")
+    # per-query ADC lookup tables: (query_id, m, cid, d) — PQ_NQ*PQ_M*PQ_K
+    # rows, broadcast to the code scan
+    lut = (
+        subs.filter(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(cents1), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.explode("cents").alias("ct"),
+            "sv",
+        )
+        .select(
+            "query_id",
+            "m",
+            F.col("ct")["cid"].alias("cid"),
+            _pq_dist(F.col("sv"), F.col("ct")["cvec"]).alias("d"),
+        )
+    )
+    # ADC scan: M lookups + an ordered M-term add chain per (query, vector).
+    # The sum is over m = 0..PQ_M-1 in subspace order on both engines
+    # (oracle: SUM(d ORDER BY m); here: sorted struct array fold).
+    adist = (
+        codes.alias("co")
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("l.m") == F.col("co.m"))
+            & (F.col("l.cid") == F.col("co.code"))
+            & (F.col("l.query_id") != F.col("co.vec_id")),
+        )
+        .groupBy("l.query_id", "co.vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("l.m", "l.d"))).alias("ds")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(ds, 0D, (acc, x) -> acc + x.d)"
+            ).alias("adist"),
+        )
+    )
+    wshort = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    short = (
+        adist.withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id", "adist")
+    )
+    qa = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qva")
+    )
+    qb = vecs.select(
+        F.col("vec_id").alias("vec_id"), F.col("qv").alias("qvb")
+    )
+    rer = (
+        short.join(F.broadcast(qa), "query_id")
+        .join(qb, "vec_id")
+        .withColumn(
+            "cosine",
+            F.expr(_pq_qdot64("qva", "qvb")).cast("double")
+            / (
+                F.sqrt(F.expr(_pq_qdot64("qva", "qva")).cast("double"))
+                * F.sqrt(F.expr(_pq_qdot64("qvb", "qvb")).cast("double"))
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adist", "cosine", "rank")
+    )

@@ -111,6 +111,7 @@ STRESS_QUERIES = (
     "l24_linreg_gd",
     "x43_event_pagerank",
     "l25_fuzzy_contamination",
+    "l26_pq_ann",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -128,6 +129,7 @@ STRESS_QUERIES_100 = (
     "l18_kmeans",
     "l3b_lsh_ann",
     "l3c_ivf_ann",
+    "l26_pq_ann",
     "x15_shipping_priority",
     "x17_large_orders",
     "x17_large_orders_bucketed",
