@@ -1290,88 +1290,6 @@ _QV_SPARK_GRID = (
 )
 
 
-def _pq_subs(vecs: DataFrame) -> DataFrame:
-    """(vec_id, m, sv): the PQ_M 16-dim integer subvectors per vector.
-    slice() is 1-based; m stays 0-based everywhere."""
-    ms = F.array(*[F.lit(m) for m in range(PQ_M)])
-    return vecs.select(
-        "vec_id", F.explode(ms).alias("m"), F.col("qv")
-    ).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
-    )
-
-
-def _pq_dist(sv, cv):
-    """Left-associated chain of PQ_SUB squared diffs — same order as the
-    oracle's list_reduce fold ((0 + t1) + t2 ...; 0 + t1 == t1 exactly)."""
-    d = None
-    for i in range(PQ_SUB):
-        t = (sv[i].cast("double") - cv[i]) * (sv[i].cast("double") - cv[i])
-        d = t if d is None else d + t
-    return d
-
-
-def _pq_assign(subs: DataFrame, cents_by_m: DataFrame, out: str) -> DataFrame:
-    """Map-only codebook assignment: PQ_K unrolled distance expressions
-    against the broadcast per-subspace codebook row, lexicographic
-    array_min = (min distance, then lowest cid)."""
-    choices = F.array(
-        *[
-            F.struct(
-                _pq_dist(F.col("sv"), F.col("cents")[k]["cvec"]).alias("d"),
-                F.col("cents")[k]["cid"].alias("c"),
-            )
-            for k in range(PQ_K)
-        ]
-    )
-    return subs.join(F.broadcast(cents_by_m), "m").select(
-        "vec_id", "m", "sv", F.array_min(choices)["c"].alias(out)
-    )
-
-
-def _pq_group_cents(cent: DataFrame) -> DataFrame:
-    """(m, cents): the codebook as one sorted struct array per subspace."""
-    return cent.groupBy("m").agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
-    )
-
-
-def _pq_codebook(subs: DataFrame) -> DataFrame:
-    """Seeds = subvectors of the PQ_K lowest vec_ids; one Lloyd round of
-    integer-exact sums -> double means (l18's contract, per subspace)."""
-    cent0 = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m",
-        F.col("vec_id").cast("int").alias("cid"),
-        F.expr("transform(sv, x -> cast(x as double))").alias("cvec"),
-    )
-    a1 = _pq_assign(subs, _pq_group_cents(cent0), "cl")
-    sums = (
-        a1.select("m", "cl", F.posexplode("sv").alias("pos", "comp"))
-        .groupBy("m", "cl", "pos")
-        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        sums.groupBy("m", "cl")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        "pos",
-                        (F.col("s").cast("double") / F.col("n")).alias("c"),
-                    )
-                )
-            ).alias("arr")
-        )
-        .select(
-            "m",
-            F.col("cl").alias("cid"),
-            F.expr("transform(arr, s -> s.c)").alias("cvec"),
-        )
-    )
-
-
 def _pq_qdot64(a: str, b: str) -> str:
     """Order-free exact int64 dot over the full 64-dim quantized vectors
     (integer addition commutes — no fold-order contract needed here)."""
@@ -1476,57 +1394,150 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_fold_dist(Q, C):
+    """(n, d) x (K, d) -> (n, K) squared distances accumulated in DIM
+    ORDER (vectorize across rows, fold across dims) — bit-identical to
+    the oracle's list_reduce chain."""
+    import numpy as np
+
+    D = np.zeros((len(Q), len(C)))
+    for i in range(Q.shape[1]):
+        t = Q[:, i : i + 1] - C[None, :, i]
+        D += t * t
+    return D
+
+
+def _pq_code_udf(books):
+    """codes(qv) -> array<int>: per-subspace nearest-centroid cid (ties by
+    lowest cid — argmin first-occurrence over cid-sorted codebooks).
+    ``books`` is [(cids, cent_matrix)] per subspace, shipped in the UDF
+    closure (O(M·K·d) model state — the KMeansModel residency pattern)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def codes(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(qv.tolist(), dtype=np.float64)
+        n = len(Q)
+        out = np.empty((n, PQ_M), dtype=np.int64)
+        for m, (cids, cent) in enumerate(books):
+            sub = Q[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            out[:, m] = np.asarray(cids)[_pq_fold_dist(sub, cent).argmin(1)]
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _pq_train(vecs: DataFrame):
+    """Seeds = subvectors of the PQ_K lowest vec_ids; ONE Lloyd round of
+    integer-exact sums -> double means per subspace (l18's contract).
+    Returns [(cids, cent_matrix float64)] per subspace; only O(M·K·d)
+    model state crosses to the driver."""
+    import numpy as np
+
+    seeds = (
+        vecs.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    )
+    books0 = []
+    for m in range(PQ_M):
+        cids = [int(r.vec_id) for r in seeds]
+        cent = np.array(
+            [r.qv[m * PQ_SUB : (m + 1) * PQ_SUB] for r in seeds],
+            dtype=np.float64,
+        )
+        books0.append((cids, cent))
+    a1 = vecs.select(
+        "vec_id", "qv", _pq_code_udf(books0)(F.col("qv")).alias("cls")
+    )
+    sums = (
+        a1.select(F.posexplode("qv").alias("pos", "comp"), "cls")
+        .select(
+            (F.col("pos") / PQ_SUB).cast("int").alias("m"),
+            (F.col("pos") % PQ_SUB).alias("posin"),
+            F.expr("cls[cast(pos / " + str(PQ_SUB) + " as int)]").alias("cl"),
+            "comp",
+        )
+        .groupBy("m", "cl", "posin")
+        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bymc: dict = {}
+    for r in sums:
+        # python float division == DuckDB CAST(s AS DOUBLE)/n (IEEE)
+        bymc.setdefault((int(r.m), int(r.cl)), {})[int(r.posin)] = r.s / r.n
+    books1 = []
+    for m in range(PQ_M):
+        cids = sorted(c for (mm, c) in bymc if mm == m)
+        cent = np.array(
+            [[bymc[(m, c)][p] for p in range(PQ_SUB)] for c in cids],
+            dtype=np.float64,
+        )
+        books1.append((cids, cent))
+    return books1
+
+
 @query("l26_pq_ann", oracle=_pq_oracle())
 def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC ANN with exact re-rank — see the block comment above for the
-    train / encode / ADC / re-rank pipeline and its 100 TB posture."""
+    train / encode / ADC / re-rank pipeline and its 100 TB posture.
+
+    Execution shape: codebooks are O(M·K·d) model state (driver-trained
+    via one integer-exact distributed Lloyd round, shipped in UDF
+    closures); encoding is an Arrow-batched numpy kernel with
+    dim-ordered folds (the first cut unrolled 256-term codegen
+    expressions instead — Janino's 64 KB method limit made every run pay
+    ~18 s of failed-compile fallback); each query's ADC lookup table is
+    computed driver-side from the broadcast codebook and joins the code
+    scan as plain LITERAL array columns, so the per-vector scan work is
+    PQ_M element_at lookups + an ordered 4-term add chain in one small
+    codegen stage."""
+    import numpy as np
+
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.select(
         "vec_id", F.expr(_QV_SPARK_GRID).alias("qv")
     ).persist()
-    subs = _pq_subs(vecs).persist()
-    cents1 = _pq_group_cents(_pq_codebook(subs))
-    codes = _pq_assign(subs, cents1, "code").select("vec_id", "m", "code")
-    # per-query ADC lookup tables: (query_id, m, cid, d) — PQ_NQ*PQ_M*PQ_K
-    # rows, broadcast to the code scan
-    lut = (
-        subs.filter(F.col("vec_id") < PQ_NQ)
-        .join(F.broadcast(cents1), "m")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            F.explode("cents").alias("ct"),
-            "sv",
-        )
-        .select(
-            "query_id",
-            "m",
-            F.col("ct")["cid"].alias("cid"),
-            _pq_dist(F.col("sv"), F.col("ct")["cvec"]).alias("d"),
+    books = _pq_train(vecs)
+    coded = vecs.select(
+        "vec_id", "qv", _pq_code_udf(books)(F.col("qv")).alias("codes")
+    ).persist()
+    # per-query LUTs: distances from the query's subvectors to every
+    # centroid, computed driver-side from the collected QUERY rows (query
+    # parameters, like the ANN literal vector in cql6) + the codebook
+    qrows = (
+        vecs.filter(F.col("vec_id") < PQ_NQ).orderBy("vec_id").collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        q = np.array(r.qv, dtype=np.float64)
+        luts = []
+        for m, (cids, cent) in enumerate(books):
+            sub = q[None, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = _pq_fold_dist(sub, cent)[0]
+            full = [0.0] * PQ_K
+            for c, dv in zip(cids, d):
+                full[c] = float(dv)
+            luts.append(full)
+        lut_rows.append((int(r.vec_id), *luts))
+    qdf = F.broadcast(
+        vecs.sparkSession.createDataFrame(
+            lut_rows,
+            "query_id long, "
+            + ", ".join(f"lut{m} array<double>" for m in range(PQ_M)),
         )
     )
-    # ADC scan: M lookups + an ordered M-term add chain per (query, vector).
-    # The sum is over m = 0..PQ_M-1 in subspace order on both engines
-    # (oracle: SUM(d ORDER BY m); here: sorted struct array fold).
+    # ADC scan: PQ_M lookups + the ordered add chain (oracle: SUM(d
+    # ORDER BY m) — both left-associated in subspace order)
+    adist_col = None
+    for m in range(PQ_M):
+        term = F.col(f"lut{m}")[F.col("codes")[m]]
+        adist_col = term if adist_col is None else adist_col + term
     adist = (
-        codes.alias("co")
-        .join(
-            F.broadcast(lut).alias("l"),
-            (F.col("l.m") == F.col("co.m"))
-            & (F.col("l.cid") == F.col("co.code"))
-            & (F.col("l.query_id") != F.col("co.vec_id")),
-        )
-        .groupBy("l.query_id", "co.vec_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("l.m", "l.d"))).alias("ds")
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.expr(
-                "aggregate(ds, 0D, (acc, x) -> acc + x.d)"
-            ).alias("adist"),
-        )
+        coded.crossJoin(qdf)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adist_col.alias("adist"))
     )
     wshort = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     short = (
@@ -1534,21 +1545,26 @@ def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srn") <= PQ_SHORTLIST)
         .select("query_id", "vec_id", "adist")
     )
+    qn2 = _unrolled_int_dot("qv", "qv")
     qa = vecs.select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qva")
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qva"),
+        qn2.alias("qna2"),
     )
     qb = vecs.select(
-        F.col("vec_id").alias("vec_id"), F.col("qv").alias("qvb")
+        F.col("vec_id").alias("vec_id"),
+        F.col("qv").alias("qvb"),
+        qn2.alias("qnb2"),
     )
     rer = (
         short.join(F.broadcast(qa), "query_id")
         .join(qb, "vec_id")
         .withColumn(
             "cosine",
-            F.expr(_pq_qdot64("qva", "qvb")).cast("double")
+            _unrolled_int_dot("qva", "qvb").cast("double")
             / (
-                F.sqrt(F.expr(_pq_qdot64("qva", "qva")).cast("double"))
-                * F.sqrt(F.expr(_pq_qdot64("qvb", "qvb")).cast("double"))
+                F.sqrt(F.col("qna2").cast("double"))
+                * F.sqrt(F.col("qnb2").cast("double"))
             ),
         )
     )
