@@ -570,6 +570,11 @@ class CqlTable:
         self._segments: list[str] = []  # flushed parquet segment paths
         self._retired: list[str] = []  # compaction-superseded, not yet GC'd
         self._seg_counter = 0  # monotone: segment file names never recycle
+        # per-segment partition-key Bloom filters (the SSTable Filter.db
+        # analogue, operators/bloom.py) + nodetool-tablestats-style
+        # counters; filters load/rebuild lazily so restored segments work
+        self._blooms: dict[str, object] = {}
+        self.bloom_stats = {"checked": 0, "skipped": 0}
 
     # --- statement execution ---------------------------------------------
 
@@ -1506,18 +1511,44 @@ class CqlTable:
             for i, t in enumerate(_mut_arrow_types())
         ]
         pq.write_table(pa.table(dict(zip(_MUT_COLS, arrays))), path)
+        # Filter.db analogue: bloom over this segment's partition keys,
+        # persisted as a sidecar so snapshots carry it with the segment
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+
+        bf = BloomFilter.for_keys(row[0] for row in self._log)
+        bf.save(sidecar_path(path))
+        self._blooms[path] = bf
         self._segments.append(path)
         self._log.clear()
         return path
 
+    def _bloom_for(self, path: str):
+        """Lazy per-segment filter: memory → sidecar → rebuild-from-keys
+        (restore re-attaches bare segments; a missing sidecar only costs
+        one rebuild, never a wrong answer)."""
+        bf = self._blooms.get(path)
+        if bf is None:
+            from cassandra_spark.operators.bloom import bloom_for_segment
+
+            bf = bloom_for_segment(path)
+            self._blooms[path] = bf
+        return bf
+
     def _segment_rows_for_pk(self, pk: str | None):
         """Mutation rows for one partition from all flushed segments, in
-        canonical tuple order — the LWT read phase's segment leg. A
-        pk-filtered parquet read is the same bounded single-partition read
-        a replica serves; cost is O(partition), never O(log)."""
+        canonical tuple order — the LWT read phase's segment leg. Each
+        segment's Bloom filter is consulted first (the reference's
+        SSTable read path does the same): definitely-absent segments are
+        skipped without touching the file; the pk-filtered parquet read
+        of the rest is the same bounded single-partition read a replica
+        serves — cost is O(partition), never O(log)."""
         import pyarrow.parquet as pq
 
         for path in self._segments:
+            self.bloom_stats["checked"] += 1
+            if not self._bloom_for(path).might_contain(pk):
+                self.bloom_stats["skipped"] += 1
+                continue
             tbl = pq.read_table(path, filters=[("pk", "=", pk)])
             yield from zip(*(tbl.column(c).to_pylist() for c in _MUT_COLS))
 
@@ -1555,8 +1586,13 @@ class CqlTable:
             f"{self.schema.name}-compact{self._seg_counter:06d}.parquet",
         )
         pq.write_table(merged, path)
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+
+        bf = BloomFilter.for_keys(merged.column("pk").to_pylist())
+        bf.save(sidecar_path(path))
         self._retired.extend(self._segments)
         self._segments = [path]
+        self._blooms = {path: bf}
         return path
 
     def purge_retired(self) -> int:
@@ -1565,11 +1601,17 @@ class CqlTable:
         when every previously-obtained snapshot()/mutation_log() DataFrame
         has been consumed; live reads via self._segments never touch
         retired files. Returns the number of files removed."""
+        from cassandra_spark.operators.bloom import sidecar_path
+
         n = 0
         for p in self._retired:
             try:
                 os.remove(p)
                 n += 1
+            except OSError:
+                pass
+            try:
+                os.remove(sidecar_path(p))
             except OSError:
                 pass
         self._retired.clear()
@@ -1579,14 +1621,18 @@ class CqlTable:
         """TRUNCATE support: drop the in-memory log and every flushed
         segment (retired generations included — truncate is a purge
         point). Clocks keep ticking (post-truncate writes stay newer)."""
+        from cassandra_spark.operators.bloom import sidecar_path
+
         self._log.clear()
         self.purge_retired()
         for path in self._segments:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+            for f in (path, sidecar_path(path)):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
         self._segments.clear()
+        self._blooms.clear()
         self._max_wt = None
 
     def drop_column_cells(self, col: str) -> None:

@@ -1222,6 +1222,12 @@ class CqlSession:
             for p in t._segments:
                 dst = os.path.join(tdir, os.path.basename(p))
                 shutil.copy2(p, dst)
+                # Filter.db rides with its SSTable: copy the bloom
+                # sidecar when present (restore rebuilds it lazily if not)
+                from cassandra_spark.operators.bloom import sidecar_path
+
+                if os.path.exists(sidecar_path(p)):
+                    shutil.copy2(sidecar_path(p), sidecar_path(dst))
                 segs.append(os.path.basename(p))
             s = t.schema
             manifest["tables"][name] = {
@@ -1293,10 +1299,14 @@ class CqlSession:
                     prefix=f"cql-restore-{name}-"
                 )
             os.makedirs(t.spill_dir, exist_ok=True)
+            from cassandra_spark.operators.bloom import sidecar_path
+
             for seg in entry["segments"]:
                 src = os.path.join(in_dir, name, seg)
                 dst = os.path.join(t.spill_dir, seg)
                 shutil.copy2(src, dst)
+                if os.path.exists(sidecar_path(src)):
+                    shutil.copy2(sidecar_path(src), sidecar_path(dst))
                 t._segments.append(dst)
             st = entry["state"]
             t._clock, t._seq = st["clock"], st["seq"]
