@@ -388,6 +388,45 @@ _UNMASK_RE = re.compile(
     r"(?P<table>\w+)\s+(?:TO|FROM)\s+\w+\s*;?\s*$",
     re.IGNORECASE,
 )
+# --- auth statements (`[C* auth/CassandraAuthorizer, CassandraRoleManager,
+# cql3/statements/Create/Drop/Grant/Revoke/ListRoles/ListPermissions,
+# unverified]`) --------------------------------------------------------------
+_CREATE_ROLE_RE = re.compile(
+    r"^\s*CREATE\s+ROLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
+    r"(?:\s+WITH\s+(?P<opts>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_ROLE_RE = re.compile(
+    r"^\s*DROP\s+ROLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PERMS = (
+    "ALL", "SELECT", "MODIFY", "CREATE", "ALTER", "DROP",
+    "AUTHORIZE", "DESCRIBE", "EXECUTE", "UNMASK",
+)
+_GRANT_PERM_RE = re.compile(
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>"
+    + "|".join(_PERMS)
+    + r")(?:\s+PERMISSIONS?)?\s+ON\s+(?P<res>ALL\s+KEYSPACES"
+    r"|KEYSPACE\s+\w+|(?:TABLE\s+)?\w+)\s+(?:TO|FROM)\s+(?P<role>\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_GRANT_ROLE_RE = re.compile(
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<granted>\w+)\s+"
+    r"(?:TO|FROM)\s+(?P<role>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LIST_ROLES_RE = re.compile(
+    r"^\s*LIST\s+ROLES(?:\s+OF\s+(?P<role>\w+))?\s*;?\s*$", re.IGNORECASE
+)
+_LIST_PERMS_RE = re.compile(
+    r"^\s*LIST\s+(?:ALL\s+PERMISSIONS|(?P<perm>" + "|".join(_PERMS)
+    + r")(?:\s+PERMISSIONS?)?)"
+    r"(?:\s+ON\s+(?P<res>ALL\s+KEYSPACES|KEYSPACE\s+\w+|(?:TABLE\s+)?\w+))?"
+    r"(?:\s+OF\s+(?P<role>\w+)(?P<norec>\s+NORECURSIVE)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<body>.+)\)\s*;?\s*$",
@@ -606,6 +645,20 @@ class CqlSession:
         self.unmasked: set[str] = set()
         # full-query log (None = disabled; enable_fql() starts recording)
         self._fql: list[str] | None = None
+        # --- role-based auth (`[C* auth/*, unverified]`): the default
+        # superuser role exists and is logged in, so an un-configured
+        # session behaves exactly like the reference's fresh cluster
+        # (cassandra/cassandra) — enforcement only bites after login()
+        # as a non-superuser role
+        self.roles: dict[str, dict] = {
+            "cassandra": {"can_login": True, "is_superuser": True}
+        }
+        # role → roles granted TO it (member_of; transitive for perms)
+        self.role_grants: dict[str, set[str]] = {}
+        # role → {(canonical resource, permission)}; resources use the
+        # reference's internal form: data, data/session, data/session/<t>
+        self.role_perms: dict[str, set[tuple[str, str]]] = {}
+        self.current_role: str = "cassandra"
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -1007,10 +1060,199 @@ class CqlSession:
             target.execute(stmt)
         return len(log)
 
+    # --- auth ---------------------------------------------------------------
+
+    def login(self, role: str) -> None:
+        """Switch the session's active role (the driver's auth handshake
+        reduced to its authorization effect). LOGIN=false roles are
+        rejected, as the reference's role manager does."""
+        r = role.lower()
+        if r not in self.roles:
+            raise CQLError(f"unknown role {role!r}")
+        if not self.roles[r]["can_login"]:
+            raise CQLError(f"role {role!r} is not permitted to log in")
+        self.current_role = r
+
+    def _role_closure(self, role: str) -> set[str]:
+        """role + everything reachable through GRANT role TO role."""
+        seen: set[str] = set()
+        todo = [role]
+        while todo:
+            r = todo.pop()
+            if r in seen:
+                continue
+            seen.add(r)
+            todo.extend(self.role_grants.get(r, ()))
+        return seen
+
+    def _check_perm(self, perm: str, table: str | None = None) -> None:
+        """Authorization gate: the active role (or any role it holds,
+        transitively) must hold ``perm`` (or ALL) on the table, its
+        keyspace, or ALL KEYSPACES; superusers bypass. Mirrors the
+        resource hierarchy of the reference's CassandraAuthorizer."""
+        roles = self._role_closure(self.current_role)
+        if any(self.roles.get(r, {}).get("is_superuser") for r in roles):
+            return
+        resources = {"data", "data/session"}
+        if table is not None:
+            resources.add(f"data/session/{table.lower()}")
+        for r in roles:
+            for res, p in self.role_perms.get(r, ()):
+                if p in (perm, "ALL") and res in resources:
+                    return
+        target = f"table {table}" if table else "this resource"
+        raise CQLError(
+            f"role {self.current_role!r} has no {perm} permission on {target}"
+        )
+
+    def _canon_resource(self, res: str) -> str:
+        r = re.sub(r"\s+", " ", res.strip())
+        up = r.upper()
+        if up == "ALL KEYSPACES":
+            return "data"
+        if up.startswith("KEYSPACE "):
+            return f"data/{r.split()[1].lower()}"
+        t = r.split()[-1].lower()
+        if t not in self.tables:
+            raise CQLError(f"unknown table {t!r}")
+        return f"data/session/{t}"
+
+    def _auth_stmt(self, stmt: str) -> DataFrame | None:
+        cm = _CREATE_ROLE_RE.match(stmt)
+        if cm:
+            name = cm.group("name").lower()
+            if name in self.roles:
+                if cm.group("ine"):
+                    return None
+                raise CQLError(f"role {name!r} already exists")
+            opts = {"can_login": False, "is_superuser": False}
+            for part in re.split(
+                r"\s+AND\s+", cm.group("opts") or "", flags=re.IGNORECASE
+            ):
+                om = re.match(
+                    r"\s*(LOGIN|SUPERUSER)\s*=\s*(true|false)\s*$",
+                    part, re.IGNORECASE,
+                )
+                if om:
+                    key = (
+                        "can_login"
+                        if om.group(1).upper() == "LOGIN"
+                        else "is_superuser"
+                    )
+                    opts[key] = om.group(2).lower() == "true"
+                elif part and not re.match(
+                    r"\s*PASSWORD\s*=", part, re.IGNORECASE
+                ):
+                    raise CQLError(f"unsupported role option: {part!r}")
+            self._check_perm("CREATE")
+            self.roles[name] = opts
+            return None
+        dm = _DROP_ROLE_RE.match(stmt)
+        if dm:
+            name = dm.group("name").lower()
+            if name not in self.roles:
+                if dm.group("ie"):
+                    return None
+                raise CQLError(f"unknown role {name!r}")
+            if name == self.current_role:
+                raise CQLError("cannot drop the role you are logged in as")
+            self._check_perm("DROP")
+            del self.roles[name]
+            self.role_perms.pop(name, None)
+            self.role_grants.pop(name, None)
+            for g in self.role_grants.values():
+                g.discard(name)
+            return None
+        lm = _LIST_ROLES_RE.match(stmt)
+        if lm:
+            names = (
+                sorted(self._role_closure(lm.group("role").lower()))
+                if lm.group("role")
+                else sorted(self.roles)
+            )
+            for n in names:
+                if n not in self.roles:
+                    raise CQLError(f"unknown role {n!r}")
+            return self.spark.createDataFrame(
+                [
+                    (n, self.roles[n]["is_superuser"],
+                     self.roles[n]["can_login"], "{}")
+                    for n in names
+                ],
+                "role string, super boolean, login boolean, options string",
+            )
+        pm = _LIST_PERMS_RE.match(stmt)
+        if pm:
+            roles = (
+                sorted(self.roles)
+                if not pm.group("role")
+                else (
+                    [pm.group("role").lower()]
+                    if pm.group("norec")
+                    else sorted(self._role_closure(pm.group("role").lower()))
+                )
+            )
+            want_perm = pm.group("perm") and pm.group("perm").upper()
+            want_res = pm.group("res") and self._canon_resource(
+                pm.group("res")
+            )
+            rows = []
+            for r in roles:
+                if r not in self.roles:
+                    raise CQLError(f"unknown role {r!r}")
+                for res, p in sorted(self.role_perms.get(r, ())):
+                    if want_perm and p != want_perm:
+                        continue
+                    if want_res and res != want_res:
+                        continue
+                    rows.append((r, r, f"<{res}>", p))
+            return self.spark.createDataFrame(
+                rows,
+                "role string, username string, resource string, "
+                "permission string",
+            )
+        gm = _GRANT_PERM_RE.match(stmt)
+        if gm:
+            role = gm.group("role").lower()
+            if role not in self.roles:
+                raise CQLError(f"unknown role {role!r}")
+            self._check_perm("AUTHORIZE")
+            entry = (
+                self._canon_resource(gm.group("res")),
+                gm.group("perm").upper(),
+            )
+            if gm.group("verb").upper() == "GRANT":
+                self.role_perms.setdefault(role, set()).add(entry)
+            else:
+                self.role_perms.get(role, set()).discard(entry)
+            return None
+        rm = _GRANT_ROLE_RE.match(stmt)
+        if rm:
+            granted = rm.group("granted").lower()
+            role = rm.group("role").lower()
+            for n in (granted, role):
+                if n not in self.roles:
+                    raise CQLError(f"unknown role {n!r}")
+            self._check_perm("AUTHORIZE")
+            if rm.group("verb").upper() == "GRANT":
+                if granted == role or role in self._role_closure(granted):
+                    raise CQLError("circular role grant")
+                self.role_grants.setdefault(role, set()).add(granted)
+            else:
+                self.role_grants.get(role, set()).discard(granted)
+            return None
+        raise CQLError(f"unsupported auth statement: {stmt!r}")
+
     def _execute_stmt(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
         if head.startswith("DESC"):
             return self._describe(stmt)
+        if (
+            head.startswith("CREATE ROLE")
+            or head.startswith("DROP ROLE")
+            or head.startswith("LIST ")
+        ):
+            return self._auth_stmt(stmt)
         if head.startswith("CREATE TYPE"):
             tm = _CREATE_TYPE_RE.match(stmt)
             if not tm:
@@ -1058,6 +1300,7 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown table {name!r}")
+            self._check_perm("DROP", name)
             self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
             self.masks.pop(name, None)
@@ -1091,12 +1334,14 @@ class CqlSession:
                 raise CQLError(f"unsupported TRUNCATE: {stmt!r}")
             # discard all data; clocks stay monotonic so post-truncate
             # writes are strictly newer than anything discarded
+            self._check_perm("MODIFY", tm.group("table"))
             self.table(tm.group("table")).clear_data()
             return None
         if head.startswith("ALTER"):
             am = _ALTER_RE.match(stmt)
             if not am:
                 raise CQLError(f"unsupported ALTER TABLE: {stmt!r}")
+            self._check_perm("ALTER", am.group("table"))
             self._alter_table(am)
             return None
         if head.startswith("DROP FUNCTIO"):
@@ -1140,6 +1385,7 @@ class CqlSession:
                 r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
             ) and schema.name in self.tables:
                 return None
+            self._check_perm("CREATE")
             self.create_table(schema)
             return None
         if head.startswith("SELECT"):
@@ -1161,6 +1407,9 @@ class CqlSession:
                         ("table_name", "range_start", "range_end"),
                     ),
                 )
+            fm_ = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
+            if fm_ and fm_.group(1).lower() in self.tables:
+                self._check_perm("SELECT", fm_.group(1))
             df = cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
@@ -1178,12 +1427,15 @@ class CqlSession:
             else:
                 self.unmasked.discard(t)
             return None
+        if head.startswith("GRANT") or head.startswith("REVOKE"):
+            return self._auth_stmt(stmt)
         bm = _BATCH_RE.match(stmt)
         if bm:
             return self._execute_batch(stmt, bm)
         tm = _DML_TABLE_RE.search(stmt)
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
+        self._check_perm("MODIFY", tm.group(1))
         return self.table(tm.group(1)).execute(stmt)
 
     def snapshot_keyspace(self, out_dir: str) -> dict:
@@ -1687,6 +1939,49 @@ class CqlSession:
                     "system_schema.columns", ("keyspace_name",),
                     ("table_name", "column_name"),
                 ),
+            ),
+            # the auth keyspace drivers and `nodetool` read
+            # (`[C* auth/AuthKeyspace, unverified]`)
+            "system_auth.roles": (
+                spark.createDataFrame(
+                    [
+                        (
+                            n,
+                            o["can_login"],
+                            o["is_superuser"],
+                            sorted(self.role_grants.get(n, ())),
+                        )
+                        for n, o in sorted(self.roles.items())
+                    ],
+                    "role string, can_login boolean, is_superuser boolean, "
+                    "member_of array<string>",
+                ),
+                TableMeta("system_auth.roles", ("role",)),
+            ),
+            "system_auth.role_permissions": (
+                spark.createDataFrame(
+                    [
+                        (r, f"<{res}>", p)
+                        for r in sorted(self.role_perms)
+                        for res, p in sorted(self.role_perms[r])
+                    ],
+                    "role string, resource string, permission string",
+                ),
+                TableMeta(
+                    "system_auth.role_permissions", ("role",),
+                    ("resource", "permission"),
+                ),
+            ),
+            "system_auth.role_members": (
+                spark.createDataFrame(
+                    [
+                        (granted, member)
+                        for member in sorted(self.role_grants)
+                        for granted in sorted(self.role_grants[member])
+                    ],
+                    "role string, member string",
+                ),
+                TableMeta("system_auth.role_members", ("role",), ("member",)),
             ),
         }
 

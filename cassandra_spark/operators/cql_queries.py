@@ -683,3 +683,37 @@ def cql19_masked_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mask_hash(c_acctbal) AS h "
         "FROM customer WHERE c_custkey % 100 = 31 ALLOW FILTERING",
     )
+
+
+@query(
+    "cql20_auth",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('analyst', '<data/session/events>', 'SELECT'),
+      ('analyst', '<data/session/metrics>', 'SELECT'),
+      ('pipeline', '<data/session>', 'MODIFY'),
+      ('pipeline', '<data/session/events>', 'ALTER')
+    ) AS t(role, resource, permission)
+    """,
+)
+def cql20_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auth surface end-to-end (`[C* auth/CassandraAuthorizer,
+    unverified]`): roles created, permissions granted/revoked on the
+    table/keyspace resource hierarchy, read back through the
+    ``system_auth.role_permissions`` virtual table exactly as a driver
+    or `nodetool` would; the oracle pins the expected grant rows."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TABLE events (id int PRIMARY KEY, kind text)")
+    sess.execute("CREATE TABLE metrics (id int PRIMARY KEY, val int)")
+    sess.execute("CREATE ROLE analyst WITH LOGIN = true")
+    sess.execute("CREATE ROLE pipeline")
+    sess.execute("GRANT SELECT ON TABLE events TO analyst")
+    sess.execute("GRANT SELECT ON TABLE metrics TO analyst")
+    sess.execute("GRANT MODIFY ON KEYSPACE session TO pipeline")
+    sess.execute("GRANT ALTER ON events TO pipeline")
+    sess.execute("GRANT DROP ON TABLE metrics TO pipeline")
+    sess.execute("REVOKE DROP ON TABLE metrics FROM pipeline")
+    return sess.execute(
+        "SELECT role, resource, permission "
+        "FROM system_auth.role_permissions"
+    )

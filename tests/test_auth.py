@@ -1,0 +1,174 @@
+"""Role-based auth surface: CREATE/DROP ROLE, GRANT/REVOKE permissions
+and role membership, LIST ROLES / LIST PERMISSIONS, system_auth virtual
+tables, and enforcement on SELECT/DML/DDL (SURVEY.md §2.13).
+
+The default state matches a fresh reference cluster: one superuser role
+(`cassandra`) logged in, so sessions that never touch auth see no gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import CQLError
+from cassandra_spark.cql_session import CqlSession
+
+
+def _sess(spark):
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE kv (k text PRIMARY KEY, v text)")
+    s.execute("INSERT INTO kv (k, v) VALUES ('a', '1')")
+    return s
+
+
+def test_create_list_drop_roles(spark):
+    s = _sess(spark)
+    s.execute("CREATE ROLE analyst WITH LOGIN = true")
+    s.execute("CREATE ROLE admin WITH LOGIN = true AND SUPERUSER = true")
+    s.execute("CREATE ROLE IF NOT EXISTS analyst")  # no error
+    with pytest.raises(CQLError, match="already exists"):
+        s.execute("CREATE ROLE analyst")
+    rows = {r.role: (r.super, r.login) for r in s.execute("LIST ROLES").collect()}
+    assert rows["cassandra"] == (True, True)
+    assert rows["analyst"] == (False, True)
+    assert rows["admin"] == (True, True)
+    s.execute("DROP ROLE admin")
+    s.execute("DROP ROLE IF EXISTS admin")  # no error
+    with pytest.raises(CQLError, match="unknown role"):
+        s.execute("DROP ROLE admin")
+    with pytest.raises(CQLError, match="logged in as"):
+        s.execute("DROP ROLE cassandra")
+
+
+def test_grant_revoke_and_enforcement(spark):
+    s = _sess(spark)
+    s.execute("CREATE ROLE reader WITH LOGIN = true")
+    s.execute("GRANT SELECT ON TABLE kv TO reader")
+    s.login("reader")
+    # SELECT allowed, MODIFY denied
+    assert [r.v for r in s.execute("SELECT v FROM kv WHERE k = 'a'").collect()] == ["1"]
+    with pytest.raises(CQLError, match="no MODIFY permission"):
+        s.execute("INSERT INTO kv (k, v) VALUES ('b', '2')")
+    with pytest.raises(CQLError, match="no MODIFY permission"):
+        s.execute("TRUNCATE kv")
+    with pytest.raises(CQLError, match="no CREATE permission"):
+        s.execute("CREATE TABLE t2 (k text PRIMARY KEY)")
+    with pytest.raises(CQLError, match="no AUTHORIZE permission"):
+        s.execute("GRANT MODIFY ON TABLE kv TO reader")
+    # back as superuser: grant MODIFY, reader can now write
+    s.login("cassandra")
+    s.execute("GRANT MODIFY ON TABLE kv TO reader")
+    s.login("reader")
+    s.execute("INSERT INTO kv (k, v) VALUES ('b', '2')")
+    # revoke turns it back off
+    s.login("cassandra")
+    s.execute("REVOKE MODIFY ON TABLE kv FROM reader")
+    s.login("reader")
+    with pytest.raises(CQLError, match="no MODIFY permission"):
+        s.execute("DELETE FROM kv WHERE k = 'b'")
+
+
+def test_keyspace_and_all_keyspaces_resources(spark):
+    s = _sess(spark)
+    s.execute("CREATE TABLE other (k text PRIMARY KEY, v text)")
+    s.execute("CREATE ROLE ks_reader WITH LOGIN = true")
+    s.execute("GRANT SELECT ON KEYSPACE session TO ks_reader")
+    s.login("ks_reader")
+    s.execute("SELECT * FROM kv")      # keyspace-level covers both tables
+    s.execute("SELECT * FROM other")
+    s.login("cassandra")
+    s.execute("CREATE ROLE god WITH LOGIN = true")
+    s.execute("GRANT ALL ON ALL KEYSPACES TO god")
+    s.login("god")
+    s.execute("INSERT INTO kv (k, v) VALUES ('g', 'x')")  # ALL ⊇ MODIFY
+    s.execute("SELECT * FROM other")
+
+
+def test_role_inheritance_transitive(spark):
+    s = _sess(spark)
+    s.execute("CREATE ROLE base")
+    s.execute("CREATE ROLE mid")
+    s.execute("CREATE ROLE leaf WITH LOGIN = true")
+    s.execute("GRANT SELECT ON TABLE kv TO base")
+    s.execute("GRANT base TO mid")
+    s.execute("GRANT mid TO leaf")
+    s.login("leaf")
+    s.execute("SELECT * FROM kv")  # via leaf -> mid -> base
+    with pytest.raises(CQLError, match="no MODIFY"):
+        s.execute("INSERT INTO kv (k, v) VALUES ('x', 'y')")
+    s.login("cassandra")
+    # circularity rejected; LOGIN=false roles cannot log in
+    with pytest.raises(CQLError, match="circular"):
+        s.execute("GRANT leaf TO base")
+    with pytest.raises(CQLError, match="not permitted to log in"):
+        s.login("base")
+    s.execute("REVOKE base FROM mid")
+    s.login("leaf")
+    with pytest.raises(CQLError, match="no SELECT"):
+        s.execute("SELECT * FROM kv")
+
+
+def test_list_permissions_and_system_auth_views(spark):
+    s = _sess(spark)
+    s.execute("CREATE ROLE a WITH LOGIN = true")
+    s.execute("CREATE ROLE b")
+    s.execute("GRANT SELECT ON TABLE kv TO a")
+    s.execute("GRANT MODIFY ON KEYSPACE session TO b")
+    s.execute("GRANT b TO a")
+    perms = {
+        (r.role, r.resource, r.permission)
+        for r in s.execute("LIST ALL PERMISSIONS OF a").collect()
+    }
+    assert ("a", "<data/session/kv>", "SELECT") in perms
+    assert ("b", "<data/session>", "MODIFY") in perms  # inherited listing
+    norec = {
+        (r.role, r.permission)
+        for r in s.execute("LIST ALL PERMISSIONS OF a NORECURSIVE").collect()
+    }
+    assert norec == {("a", "SELECT")}
+    only_sel = {
+        r.permission
+        for r in s.execute("LIST SELECT PERMISSIONS OF a").collect()
+    }
+    assert only_sel == {"SELECT"}
+    # the system_auth surface a driver/nodetool reads
+    roles = {
+        r.role: (r.can_login, r.is_superuser, list(r.member_of))
+        for r in s.execute("SELECT * FROM system_auth.roles").collect()
+    }
+    assert roles["a"] == (True, False, ["b"])
+    assert roles["cassandra"][1] is True
+    rp = {
+        (r.role, r.resource, r.permission)
+        for r in s.execute(
+            "SELECT * FROM system_auth.role_permissions"
+        ).collect()
+    }
+    assert ("a", "<data/session/kv>", "SELECT") in rp
+    members = {
+        (r.role, r.member)
+        for r in s.execute("SELECT * FROM system_auth.role_members").collect()
+    }
+    assert members == {("b", "a")}
+
+
+def test_superuser_bypasses_everything(spark):
+    s = _sess(spark)
+    s.execute("CREATE ROLE root WITH LOGIN = true AND SUPERUSER = true")
+    s.login("root")
+    s.execute("SELECT * FROM kv")
+    s.execute("INSERT INTO kv (k, v) VALUES ('s', 'u')")
+    s.execute("CREATE TABLE t3 (k text PRIMARY KEY)")
+    s.execute("DROP TABLE t3")
+    s.execute("CREATE ROLE made_by_root")
+
+
+def test_unknown_targets_rejected(spark):
+    s = _sess(spark)
+    with pytest.raises(CQLError, match="unknown role"):
+        s.execute("GRANT SELECT ON TABLE kv TO ghost")
+    s.execute("CREATE ROLE r1")
+    with pytest.raises(CQLError, match="unknown table"):
+        s.execute("GRANT SELECT ON TABLE missing TO r1")
+    with pytest.raises(CQLError, match="unknown role"):
+        s.login("ghost")
