@@ -659,6 +659,11 @@ class CqlSession:
         # reference's internal form: data, data/session, data/session/<t>
         self.role_perms: dict[str, set[tuple[str, str]]] = {}
         self.current_role: str = "cassandra"
+        # --- query tracing (`[C* tracing/Tracing, TraceKeyspace,
+        # unverified]`): recorded (session_row, [event_rows]) pairs
+        # persist after TRACING OFF, as system_traces rows do
+        self._traces: list[tuple] = []
+        self._tracing_on = False
 
     def create_table(self, schema: TableSchema) -> CqlTable:
         if schema.name in self.tables:
@@ -1032,7 +1037,35 @@ class CqlSession:
         arrive here with values already bound, so the log is replayable
         verbatim — the `fqltool replay` contract
         (`[C* fql/FullQueryLogger, tools/fqltool, unverified]`)."""
+        tm = re.match(r"^\s*TRACING\s+(ON|OFF)\s*;?\s*$", stmt, re.IGNORECASE)
+        if tm:
+            self._tracing_on = tm.group(1).upper() == "ON"
+            return None
+        if not self._tracing_on:
+            result = self._execute_stmt(stmt)
+            if self._fql is not None:
+                self._fql.append(stmt)
+            return result
+        # traced execution: one sessions row + phase events per statement,
+        # the system_traces shape every driver's trace() call reads.
+        # elapsed is wall micros (real), event ordering/activities are
+        # deterministic — oracle checks pin the latter only
+        import time as _time
+
+        sid = len(self._traces) + 1
+        t0 = _time.perf_counter()
+        events = [(sid, 1, "Parsing " + stmt.strip().split()[0].upper(), 0)]
         result = self._execute_stmt(stmt)
+        events.append(
+            (sid, 2, "Executing statement",
+             int((_time.perf_counter() - t0) * 1e6))
+        )
+        kind = stmt.strip().split()[0].upper()
+        command = "QUERY" if kind in ("SELECT", "LIST") else kind
+        self._traces.append(
+            ((sid, command, stmt.strip(),
+              int((_time.perf_counter() - t0) * 1e6)), events)
+        )
         if self._fql is not None:
             self._fql.append(stmt)
         return result
@@ -1042,6 +1075,53 @@ class CqlSession:
         in execution order)."""
         if self._fql is None:
             self._fql = []
+
+    def trace_sessions(self) -> DataFrame:
+        """``system_traces.sessions`` analogue: one row per traced
+        statement (session_id, command, request, duration_micros)."""
+        rows = [t[0] for t in self._traces]
+        return self.spark.createDataFrame(
+            rows,
+            "session_id long, command string, request string, "
+            "duration_micros long",
+        ) if rows else self.spark.createDataFrame(
+            [],
+            "session_id long, command string, request string, "
+            "duration_micros long",
+        )
+
+    def trace_events(self) -> DataFrame:
+        """``system_traces.events`` analogue: the per-phase activity rows
+        (session_id, event_id, activity, source_elapsed_micros)."""
+        rows = [e for t in self._traces for e in t[1]]
+        schema = (
+            "session_id long, event_id long, activity string, "
+            "source_elapsed_micros long"
+        )
+        return (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
+
+    def tablestats(self) -> DataFrame:
+        """``nodetool tablestats`` analogue: per-table physical stats —
+        memtable rows, flushed segment count, Bloom-filter effectiveness
+        (checked/skipped point-read probes)."""
+        rows = [
+            ("session", name, len(t._log), len(t._segments),
+             t.bloom_stats["checked"], t.bloom_stats["skipped"])
+            for name, t in sorted(self.tables.items())
+        ]
+        schema = (
+            "keyspace_name string, table_name string, memtable_rows long, "
+            "sstable_count long, bloom_checked long, bloom_skipped long"
+        )
+        return (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
 
     def fql_log(self) -> DataFrame:
         """The recorded log as a queryable DataFrame (seq, stmt)."""
@@ -1970,6 +2050,16 @@ class CqlSession:
                 TableMeta(
                     "system_auth.role_permissions", ("role",),
                     ("resource", "permission"),
+                ),
+            ),
+            "system_traces.sessions": (
+                self.trace_sessions(),
+                TableMeta("system_traces.sessions", ("session_id",)),
+            ),
+            "system_traces.events": (
+                self.trace_events(),
+                TableMeta(
+                    "system_traces.events", ("session_id",), ("event_id",)
                 ),
             ),
             "system_auth.role_members": (

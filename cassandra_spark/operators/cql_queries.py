@@ -717,3 +717,35 @@ def cql20_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT role, resource, permission "
         "FROM system_auth.role_permissions"
     )
+
+
+@query(
+    "cql21_tracing",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'Parsing INSERT'),
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'Executing statement'),
+      (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'Parsing UPDATE'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'Executing statement'),
+      (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'Parsing SELECT'),
+      (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'Executing statement')
+    ) AS t(session_id, event_id, activity)
+    """,
+)
+def cql21_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query tracing (`[C* tracing/Tracing, TraceKeyspace, unverified]`):
+    TRACING ON records a sessions row + ordered phase events per
+    statement into the ``system_traces`` virtual tables; the oracle pins
+    the deterministic columns (ids + activities — durations are real
+    wall micros and excluded by projection)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TABLE kv (k text PRIMARY KEY, n int)")
+    sess.execute("TRACING ON")
+    sess.execute("INSERT INTO kv (k, n) VALUES ('a', 1)")
+    sess.execute("UPDATE kv SET n = 2 WHERE k = 'a'")
+    sess.execute("SELECT * FROM kv WHERE k = 'a'")
+    sess.execute("TRACING OFF")
+    sess.execute("INSERT INTO kv (k, n) VALUES ('b', 9)")  # not traced
+    return sess.execute(
+        "SELECT session_id, event_id, activity FROM system_traces.events"
+    )

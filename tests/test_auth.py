@@ -172,3 +172,35 @@ def test_unknown_targets_rejected(spark):
         s.execute("GRANT SELECT ON TABLE missing TO r1")
     with pytest.raises(CQLError, match="unknown role"):
         s.login("ghost")
+
+
+def test_tracing_and_tablestats(spark):
+    """TRACING ON records a sessions row + phase events per statement
+    (the system_traces shape), readable both via accessors and the
+    virtual tables; tablestats exposes segment/bloom counters."""
+    s = _sess(spark)
+    s.execute("TRACING ON")
+    s.execute("INSERT INTO kv (k, v) VALUES ('t', '9')")
+    s.execute("SELECT * FROM kv WHERE k = 't'")
+    s.execute("TRACING OFF")
+    s.execute("INSERT INTO kv (k, v) VALUES ('u', '8')")  # not traced
+    sess_rows = s.trace_sessions().collect()
+    assert [(r.session_id, r.command) for r in sess_rows] == [
+        (1, "INSERT"), (2, "QUERY"),
+    ]
+    assert all(r.duration_micros >= 0 for r in sess_rows)
+    ev = s.trace_events().collect()
+    assert [(r.session_id, r.event_id, r.activity) for r in ev] == [
+        (1, 1, "Parsing INSERT"), (1, 2, "Executing statement"),
+        (2, 1, "Parsing SELECT"), (2, 2, "Executing statement"),
+    ]
+    # virtual-table form (what cqlsh reads back)
+    via_select = s.execute(
+        "SELECT session_id, command FROM system_traces.sessions"
+    ).collect()
+    assert {(r.session_id, r.command) for r in via_select} == {
+        (1, "INSERT"), (2, "QUERY"),
+    }
+    stats = {r.table_name: r for r in s.tablestats().collect()}
+    assert stats["kv"].memtable_rows > 0
+    assert stats["kv"].sstable_count == 0  # below spill threshold
