@@ -2251,6 +2251,10 @@ class CqlSession:
             if not tm:
                 raise CQLError(f"unsupported statement in batch: {sub!r}")
             names.append(tm.group(1).lower())
+        # authorization covers every touched table BEFORE any mutation is
+        # applied (a denied batch must be a no-op, like any failed batch)
+        for n in sorted(set(names)):
+            self._check_perm("MODIFY", n)
         if len(set(names)) <= 1:
             # single-table batch: the table's own execute() already does
             # shared-timestamp + all-or-nothing + conditional-batch rules

@@ -204,3 +204,36 @@ def test_tracing_and_tablestats(spark):
     stats = {r.table_name: r for r in s.tablestats().collect()}
     assert stats["kv"].memtable_rows > 0
     assert stats["kv"].sstable_count == 0  # below spill threshold
+
+
+def test_batch_enforcement_is_all_or_nothing(spark):
+    """A batch touching ANY unauthorized table is rejected BEFORE any
+    mutation applies — a denied batch is a no-op, like any failed batch.
+    Prepared statements route through the same gate."""
+    s = _sess(spark)
+    s.execute("CREATE TABLE audit (k text PRIMARY KEY, v text)")
+    s.execute("CREATE ROLE writer WITH LOGIN = true")
+    s.execute("GRANT MODIFY ON TABLE kv TO writer")
+    s.execute("GRANT SELECT ON TABLE kv TO writer")
+    s.login("writer")
+    with pytest.raises(CQLError, match="no MODIFY permission"):
+        s.execute(
+            "BEGIN BATCH "
+            "INSERT INTO kv (k, v) VALUES ('m', '1'); "
+            "INSERT INTO audit (k, v) VALUES ('m', '1'); "
+            "APPLY BATCH"
+        )
+    # the authorized half was NOT applied
+    assert s.execute("SELECT v FROM kv WHERE k = 'm'").collect() == []
+    # single-table batch on the granted table works
+    s.execute(
+        "BEGIN BATCH "
+        "INSERT INTO kv (k, v) VALUES ('m', '1'); "
+        "INSERT INTO kv (k, v) VALUES ('n', '2'); "
+        "APPLY BATCH"
+    )
+    assert len(s.execute("SELECT * FROM kv").collect()) == 3
+    # prepared statements hit the same gate
+    p = s.prepare("INSERT INTO audit (k, v) VALUES (?, ?)")
+    with pytest.raises(CQLError, match="no MODIFY permission"):
+        p.execute("x", "y")
