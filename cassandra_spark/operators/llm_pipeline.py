@@ -16,7 +16,7 @@ shuffle. L14/L15 are pure projections; L16 is projection + one rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -477,4 +477,94 @@ def l25_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("best_jaccard"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L27: repeated-span scrub (C4-style intra-corpus duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10  # words per span (C4 used three-sentence spans; this corpus
+             # is unpunctuated single-line text, so fixed word windows)
+
+
+@query(
+    "l27_span_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i.i AS idx,
+             array_to_string(
+               list_slice(w, i.i * {SPAN_W} + 1, (i.i + 1) * {SPAN_W}), ' '
+             ) AS span,
+             CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT) AS n_chunks
+      FROM words
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i
+      WHERE i.i * {SPAN_W} < len(w)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY span ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           MAX(n_chunks) AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                          ORDER BY idx), '')) AS clean_fp
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def l27_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus repeated-span removal — the C4/RefinedWeb scrub that
+    drops every LATER occurrence of an exact text span corpus-wide
+    (boilerplate, mirrored passages), keeping the first by (doc_id,
+    position). Shape: explode fixed {SPAN_W}-word spans (shuffle-free),
+    ONE shuffle keyed by span content for global first-occurrence
+    ranking, one groupBy to reassemble documents. Output per doc: span
+    counts + an md5 fingerprint of the scrubbed text (so the oracle
+    checks exact reassembled content without hauling full text).
+
+    At 100 TB: span ranking shuffles on content (uniform by hashing);
+    hot spans (the boilerplate being removed!) are bounded per-reducer
+    by count aggregation semantics — rn=1 selection needs only the
+    minimum, so AQE skew-split applies cleanly."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks = words.select(
+        "doc_id",
+        F.ceil(F.size("w") / float(SPAN_W)).cast("long").alias("n_chunks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) "
+                f"as int) - 1), i -> "
+                f"array_join(slice(w, i * {SPAN_W} + 1, {SPAN_W}), ' '))"
+            )
+        ).alias("idx", "span"),
+    )
+    w_first = Window.partitionBy("span").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w_first))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN rn = 1 "
+                        "THEN struct(idx, span) END)), s -> s.span)"
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_fp"),
+        )
     )

@@ -613,3 +613,29 @@ def test_l25_fuzzy_contamination_split_discipline(spark):
         assert (r.doc_id * 2654435761) % 4294967296 % 1000 >= 900
         assert 0.2 <= r.best_jaccard <= 1.0
         assert r.n_train_matches >= 1
+
+
+def test_l27_span_dedup_properties(spark):
+    """First-occurrence-wins invariants: kept-span counts are bounded by
+    span counts, every DISTINCT span in the corpus is kept exactly once
+    across all docs, and a doc whose spans are all first-occurrences
+    keeps everything."""
+    from cassandra_spark.operators.llm_pipeline import SPAN_W, l27_span_dedup
+
+    out = {r.doc_id: r for r in l27_span_dedup(spark, SF_SMOKE).collect()}
+    from cassandra_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents.collect()
+    spans = {}
+    for d in docs:
+        w = d.text.split(" ")
+        for i in range(0, len(w), SPAN_W):
+            spans.setdefault(" ".join(w[i : i + SPAN_W]), 0)
+            spans[" ".join(w[i : i + SPAN_W])] += 1
+    total_kept = sum(r.n_kept for r in out.values())
+    assert total_kept == len(spans)  # one survivor per distinct span
+    for d in docs:
+        r = out[d.doc_id]
+        n = -(-len(d.text.split(" ")) // SPAN_W)
+        assert r.n_spans == n
+        assert 0 <= r.n_kept <= n
