@@ -1054,14 +1054,27 @@ class CqlSession:
 
         sid = len(self._traces) + 1
         t0 = _time.perf_counter()
-        events = [(sid, 1, "Parsing " + stmt.strip().split()[0].upper(), 0)]
-        result = self._execute_stmt(stmt)
+        kind = stmt.strip().split()[0].upper()
+        command = "QUERY" if kind in ("SELECT", "LIST") else kind
+        events = [(sid, 1, "Parsing " + kind, 0)]
+        try:
+            result = self._execute_stmt(stmt)
+        except Exception:
+            # the reference records traces for failed requests too, and a
+            # dropped trace would let the next statement reuse this id
+            events.append(
+                (sid, 2, "Request failed",
+                 int((_time.perf_counter() - t0) * 1e6))
+            )
+            self._traces.append(
+                ((sid, command, stmt.strip(),
+                  int((_time.perf_counter() - t0) * 1e6)), events)
+            )
+            raise
         events.append(
             (sid, 2, "Executing statement",
              int((_time.perf_counter() - t0) * 1e6))
         )
-        kind = stmt.strip().split()[0].upper()
-        command = "QUERY" if kind in ("SELECT", "LIST") else kind
         self._traces.append(
             ((sid, command, stmt.strip(),
               int((_time.perf_counter() - t0) * 1e6)), events)
@@ -1191,7 +1204,12 @@ class CqlSession:
         if up == "ALL KEYSPACES":
             return "data"
         if up.startswith("KEYSPACE "):
-            return f"data/{r.split()[1].lower()}"
+            ks = r.split()[1].lower()
+            if ks != "session":
+                # the one live keyspace; a typo'd grant would otherwise be
+                # recorded but never match in _check_perm — dead and silent
+                raise CQLError(f"unknown keyspace {ks!r}")
+            return f"data/{ks}"
         t = r.split()[-1].lower()
         if t not in self.tables:
             raise CQLError(f"unknown table {t!r}")
@@ -1200,6 +1218,9 @@ class CqlSession:
     def _auth_stmt(self, stmt: str) -> DataFrame | None:
         cm = _CREATE_ROLE_RE.match(stmt)
         if cm:
+            # authorize FIRST: an unprivileged role must not be able to
+            # probe the role namespace through existence errors
+            self._check_perm("CREATE")
             name = cm.group("name").lower()
             if name in self.roles:
                 if cm.group("ine"):
@@ -1224,11 +1245,11 @@ class CqlSession:
                     r"\s*PASSWORD\s*=", part, re.IGNORECASE
                 ):
                     raise CQLError(f"unsupported role option: {part!r}")
-            self._check_perm("CREATE")
             self.roles[name] = opts
             return None
         dm = _DROP_ROLE_RE.match(stmt)
         if dm:
+            self._check_perm("DROP")
             name = dm.group("name").lower()
             if name not in self.roles:
                 if dm.group("ie"):
@@ -1236,7 +1257,6 @@ class CqlSession:
                 raise CQLError(f"unknown role {name!r}")
             if name == self.current_role:
                 raise CQLError("cannot drop the role you are logged in as")
-            self._check_perm("DROP")
             del self.roles[name]
             self.role_perms.pop(name, None)
             self.role_grants.pop(name, None)
@@ -1502,6 +1522,9 @@ class CqlSession:
             # grant — the pinned single-user reduction of the reference's
             # role-based UNMASK permission
             t = um.group("table").lower()
+            if t not in self.tables:
+                raise CQLError(f"unknown table {t!r}")
+            self._check_perm("AUTHORIZE")
             if um.group("verb").upper() == "GRANT":
                 self.unmasked.add(t)
             else:
@@ -1516,6 +1539,13 @@ class CqlSession:
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
         self._check_perm("MODIFY", tm.group(1))
+        # conditional (LWT) statements read row state back to the client
+        # ([applied] + current values), so the reference also demands
+        # SELECT; probe with string literals stripped to avoid ' IF ' text
+        if re.search(
+            r"\bIF\b", re.sub(r"'[^']*'", "''", stmt), re.IGNORECASE
+        ):
+            self._check_perm("SELECT", tm.group(1))
         return self.table(tm.group(1)).execute(stmt)
 
     def snapshot_keyspace(self, out_dir: str) -> dict:

@@ -125,7 +125,10 @@ def bloom_for_segment(segment_path: str, fp: float = 0.01) -> BloomFilter:
     key column (and persist the sidecar) when missing — restore-safe."""
     sc = sidecar_path(segment_path)
     if os.path.exists(sc):
-        return BloomFilter.load(sc)
+        try:
+            return BloomFilter.load(sc)
+        except Exception:
+            pass  # corrupt/truncated sidecar: rebuild below, never fail
     import pyarrow.parquet as pq
 
     pks = pq.read_table(segment_path, columns=["pk"]).column("pk").to_pylist()

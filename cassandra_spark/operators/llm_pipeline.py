@@ -494,15 +494,19 @@ SPAN_W = 10  # words per span (C4 used three-sentence spans; this corpus
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
-    chunks AS (
-      SELECT doc_id, i.i AS idx,
-             array_to_string(
-               list_slice(w, i.i * {SPAN_W} + 1, (i.i + 1) * {SPAN_W}), ' '
-             ) AS span,
-             CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT) AS n_chunks
+    idxs AS (
+      SELECT doc_id, w,
+             CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT) AS n_chunks,
+             unnest(range(0, CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT)))
+               AS idx
       FROM words
-      CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i
-      WHERE i.i * {SPAN_W} < len(w)
+    ),
+    chunks AS (
+      SELECT doc_id, idx, n_chunks,
+             array_to_string(
+               list_slice(w, idx * {SPAN_W} + 1, (idx + 1) * {SPAN_W}), ' '
+             ) AS span
+      FROM idxs
     ),
     ranked AS (
       SELECT *, row_number() OVER (

@@ -1290,14 +1290,6 @@ _QV_SPARK_GRID = (
 )
 
 
-def _pq_qdot64(a: str, b: str) -> str:
-    """Order-free exact int64 dot over the full 64-dim quantized vectors
-    (integer addition commutes — no fold-order contract needed here)."""
-    return (
-        f"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + {a}[i] * {b}[i])"
-    )
-
-
 _PQ_QDOT_DUCK = (
     "list_reduce(list_prepend(0::BIGINT, "
     "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
@@ -1319,7 +1311,7 @@ def _pq_oracle() -> str:
     qnb = _PQ_QDOT_DUCK.format(a="qb.qv", b="qb.qv")
     return f"""
     WITH qv_t AS (
-      SELECT vec_id, {_QGRID_DUCK.replace('embedding', 'embedding')} AS qv
+      SELECT vec_id, {_QGRID_DUCK} AS qv
       FROM embeddings
     ),
     subs AS (
@@ -1546,7 +1538,7 @@ def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "adist")
     )
     qn2 = _unrolled_int_dot("qv", "qv")
-    qa = vecs.select(
+    qa = vecs.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qva"),
         qn2.alias("qna2"),

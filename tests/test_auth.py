@@ -237,3 +237,41 @@ def test_batch_enforcement_is_all_or_nothing(spark):
     p = s.prepare("INSERT INTO audit (k, v) VALUES (?, ?)")
     with pytest.raises(CQLError, match="no MODIFY permission"):
         p.execute("x", "y")
+
+
+def test_review_fixes_lwt_unmask_and_probing(spark):
+    """Round-5 review pins: (1) conditional DML needs SELECT too (it
+    reads row state back); (2) GRANT UNMASK requires AUTHORIZE; (3)
+    CREATE/DROP ROLE deny BEFORE existence-revealing errors; (4) grants
+    on unknown keyspaces are rejected, not silently dead; (5) failed
+    traced statements still leave a trace row and ids are not reused."""
+    s = _sess(spark)
+    s.execute("CREATE ROLE w WITH LOGIN = true")
+    s.execute("GRANT MODIFY ON TABLE kv TO w")
+    s.login("w")
+    s.execute("INSERT INTO kv (k, v) VALUES ('z', '0')")  # plain: fine
+    with pytest.raises(CQLError, match="no SELECT permission"):
+        s.execute("UPDATE kv SET v = '1' WHERE k = 'z' IF v = '0'")
+    with pytest.raises(CQLError, match="no AUTHORIZE permission"):
+        s.execute("GRANT UNMASK ON kv TO w")
+    # existence is not leaked to unauthorized roles
+    with pytest.raises(CQLError, match="no CREATE permission"):
+        s.execute("CREATE ROLE w")  # exists, but CREATE denied first
+    with pytest.raises(CQLError, match="no DROP permission"):
+        s.execute("DROP ROLE ghost")  # absent, but DROP denied first
+    s.login("cassandra")
+    with pytest.raises(CQLError, match="unknown keyspace"):
+        s.execute("GRANT SELECT ON KEYSPACE sesion TO w")
+    # failed traced statements keep their session id
+    s.execute("TRACING ON")
+    s.execute("SELECT * FROM kv WHERE k = 'z'")
+    with pytest.raises(CQLError):
+        s.execute("SELECT * FROM nope_missing")
+    s.execute("SELECT * FROM kv WHERE k = 'z'")
+    s.execute("TRACING OFF")
+    rows = s.trace_sessions().collect()
+    assert [r.session_id for r in rows] == [1, 2, 3]
+    acts = [
+        (e.session_id, e.activity) for e in s.trace_events().collect()
+    ]
+    assert (2, "Request failed") in acts
