@@ -328,6 +328,15 @@ class TableSchema:
     # call text with the implicit column arg made explicit ("fn(col, 4, 2)");
     # the session owns application (CqlSession.masks)
     masks: dict[str, str] = field(default_factory=dict)
+    # WITH compression = {'class': '<X>Compressor'}: the SSTable block
+    # compressor choice (`[C* schema/CompressionParams, unverified]`)
+    # mapped onto the parquet codec of flushed segments ("" = default)
+    compression: str = ""
+    # WITH compaction = {'class': 'SizeTieredCompactionStrategy',
+    # 'min_threshold': N}: "" = this engine's default major compaction
+    # at compact_threshold segments; STCS = tiered minor compactions
+    compaction: str = ""
+    compaction_min_threshold: int = 4
 
     def __post_init__(self) -> None:
         if self.clustering is None:
@@ -1483,8 +1492,90 @@ class CqlTable:
                     prefix=f"cql-spill-{self.schema.name}-"
                 )
             self.flush()
-            if len(self._segments) >= self.compact_threshold:
+            if self.schema.compaction == "SizeTieredCompactionStrategy":
+                self.stcs_compact()
+            elif len(self._segments) >= self.compact_threshold:
                 self.compact_segments()
+
+    def _codec(self) -> str:
+        """Parquet codec from WITH compression (the SSTable block
+        compressor choice); snappy = the engine default."""
+        from cassandra_spark.cql_session import _COMPRESSORS
+
+        return _COMPRESSORS.get(self.schema.compression, "snappy")
+
+    def stcs_compact(self) -> list[str]:
+        """SizeTieredCompactionStrategy minor compaction (`[C* db/
+        compaction/SizeTieredCompactionStrategy, unverified]`): segments
+        bucket by size tier (log4 of file bytes, the reference's default
+        bucket ratio); any tier holding >= min_threshold segments merges
+        into ONE new segment in the next tier up. Unlike
+        :meth:`compact_segments` (major), untiered segments are left
+        alone, so write amplification stays logarithmic in data volume.
+        Returns the new segment paths (possibly empty)."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+
+        tiers: dict[int, list[str]] = {}
+        for seg in self._segments:
+            size = max(1024, os.path.getsize(seg))
+            tiers.setdefault(int(math.log(size, 4)), []).append(seg)
+        created: list[str] = []
+        for tier in sorted(tiers):
+            members = tiers[tier]
+            if len(members) < self.schema.compaction_min_threshold:
+                continue
+            import pyarrow as pa
+
+            merged = pa.concat_tables([pq.read_table(p) for p in members])
+            self._seg_counter += 1
+            path = os.path.join(
+                self.spill_dir,
+                f"{self.schema.name}-stcs{self._seg_counter:06d}.parquet",
+            )
+            pq.write_table(merged, path, compression=self._codec())
+            bf = BloomFilter.for_keys(merged.column("pk").to_pylist())
+            bf.save(sidecar_path(path))
+            self._blooms[path] = bf
+            for m in members:
+                self._blooms.pop(m, None)
+            self._retired.extend(members)
+            self._segments = [
+                p for p in self._segments if p not in set(members)
+            ]
+            self._segments.append(path)
+            created.append(path)
+        return created
+
+    def sstable_metadata(self):
+        """``sstablemetadata`` analogue: per-segment physical facts read
+        from parquet FOOTERS only (no data pages) — row count, bytes,
+        min/max writetime from row-group statistics, codec."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for seg in self._segments:
+            md = pq.ParquetFile(seg).metadata
+            wt_idx = _MUT_COLS.index("writetime")
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(wt_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            codec = md.row_group(0).column(0).compression if md.num_row_groups else "NONE"
+            rows.append(
+                (os.path.basename(seg), md.num_rows,
+                 os.path.getsize(seg), mn, mx, codec)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "generation string, rows long, bytes long, "
+            "min_writetime long, max_writetime long, compression string",
+        )
 
     def flush(self) -> str | None:
         """Flush the in-memory log to a parquet segment (the memtable →
@@ -1510,7 +1601,10 @@ class CqlTable:
             pa.array(cols[i], type=t)
             for i, t in enumerate(_mut_arrow_types())
         ]
-        pq.write_table(pa.table(dict(zip(_MUT_COLS, arrays))), path)
+        pq.write_table(
+            pa.table(dict(zip(_MUT_COLS, arrays))), path,
+            compression=self._codec(),
+        )
         # Filter.db analogue: bloom over this segment's partition keys,
         # persisted as a sidecar so snapshots carry it with the segment
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
@@ -1585,7 +1679,7 @@ class CqlTable:
             self.spill_dir,
             f"{self.schema.name}-compact{self._seg_counter:06d}.parquet",
         )
-        pq.write_table(merged, path)
+        pq.write_table(merged, path, compression=self._codec())
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
 
         bf = BloomFilter.for_keys(merged.column("pk").to_pylist())

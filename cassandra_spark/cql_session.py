@@ -122,7 +122,8 @@ def _split_generics(text: str) -> list[str]:
 
 
 _CREATE_HEAD_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*\(",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:\w+\.)?(?P<name>\w+)\s*\(",
     re.IGNORECASE,
 )
 
@@ -171,6 +172,41 @@ def parse_create_table(
     )
     if dm:
         default_ttl = int(dm.group(1))
+    # WITH compression / compaction maps (class names live INSIDE quotes,
+    # so these match against the raw WITH clause)
+    compression = ""
+    cm_ = re.search(
+        r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
+        with_rest or "", re.IGNORECASE,
+    )
+    if cm_:
+        compression = cm_.group(1)
+        if compression not in _COMPRESSORS:
+            raise CQLError(f"unsupported compressor {compression!r}")
+    compaction = ""
+    min_threshold = 4
+    km_ = re.search(
+        r"compaction\s*=\s*\{(?P<body>[^}]*)\}", with_rest or "",
+        re.IGNORECASE,
+    )
+    if km_:
+        kcls = re.search(
+            r"'class'\s*:\s*'(\w+)'", km_.group("body"), re.IGNORECASE
+        )
+        if not kcls or kcls.group(1) != "SizeTieredCompactionStrategy":
+            raise CQLError(
+                "only SizeTieredCompactionStrategy is supported "
+                f"(got {kcls.group(1) if kcls else None!r})"
+            )
+        compaction = kcls.group(1)
+        mt = re.search(
+            r"'min_threshold'\s*:\s*'?(\d+)'?", km_.group("body"),
+            re.IGNORECASE,
+        )
+        if mt:
+            min_threshold = int(mt.group(1))
+            if min_threshold < 2:
+                raise CQLError("min_threshold must be >= 2")
     cols: dict[str, str] = {}
     statics: set[str] = set()
     masks: dict[str, str] = {}
@@ -304,6 +340,9 @@ def parse_create_table(
         key_types=key_types,
         default_ttl=default_ttl,
         masks=masks,
+        compression=compression,
+        compaction=compaction,
+        compaction_min_threshold=min_threshold,
     )
 
 
@@ -427,6 +466,14 @@ _LIST_PERMS_RE = re.compile(
     r"(?:\s+OF\s+(?P<role>\w+)(?P<norec>\s+NORECURSIVE)?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# CQL compressor class -> parquet codec (`[C* io/compress/*, unverified]`)
+_COMPRESSORS = {
+    "LZ4Compressor": "lz4",
+    "SnappyCompressor": "snappy",
+    "ZstdCompressor": "zstd",
+    "DeflateCompressor": "gzip",
+}
+
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<body>.+)\)\s*;?\s*$",
@@ -1785,11 +1832,21 @@ class CqlSession:
             else f"    PRIMARY KEY (({s.partition_key}))"
         )
         lines.append(pk)
-        opts = (
-            f" WITH default_time_to_live = {s.default_ttl}"
-            if s.default_ttl
-            else ""
-        )
+        clauses = []
+        if s.default_ttl:
+            clauses.append(f"default_time_to_live = {s.default_ttl}")
+        if s.compression:
+            clauses.append(
+                "compression = {'class': '" + s.compression + "'}"
+            )
+        if s.compaction:
+            clauses.append(
+                "compaction = {'class': '" + s.compaction + "', "
+                "'min_threshold': '"
+                + str(s.compaction_min_threshold)
+                + "'}"
+            )
+        opts = " WITH " + " AND ".join(clauses) if clauses else ""
         return (
             f"CREATE TABLE session.{name} (\n"
             + ",\n".join(lines)

@@ -112,6 +112,7 @@ STRESS_QUERIES = (
     "x43_event_pagerank",
     "l25_fuzzy_contamination",
     "l26_pq_ann",
+    "l27_span_dedup",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -130,6 +131,7 @@ STRESS_QUERIES_100 = (
     "l3b_lsh_ann",
     "l3c_ivf_ann",
     "l26_pq_ann",
+    "l27_span_dedup",
     "x15_shipping_priority",
     "x17_large_orders",
     "x17_large_orders_bucketed",
