@@ -474,6 +474,19 @@ _COMPRESSORS = {
     "DeflateCompressor": "gzip",
 }
 
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s+AS\s+SELECT\s+(?P<cols>[\w\s,*]+?)\s+FROM\s+"
+    r"(?P<base>\w+)\s+WHERE\s+(?P<where>.+?)\s+"
+    r"PRIMARY\s+KEY\s*\((?P<pk>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<body>.+)\)\s*;?\s*$",
@@ -706,6 +719,10 @@ class CqlSession:
         # reference's internal form: data, data/session, data/session/<t>
         self.role_perms: dict[str, set[tuple[str, str]]] = {}
         self.current_role: str = "cassandra"
+        # materialized views (`[C* db/view/View, cql3/statements/
+        # CreateViewStatement, unverified]`): name -> (base table, view
+        # partition key, clustering tuple, selected cols or None for *)
+        self.mat_views: dict[str, tuple] = {}
         # --- query tracing (`[C* tracing/Tracing, TraceKeyspace,
         # unverified]`): recorded (session_row, [event_rows]) pairs
         # persist after TRACING OFF, as system_traces rows do
@@ -1390,6 +1407,99 @@ class CqlSession:
             return None
         raise CQLError(f"unsupported auth statement: {stmt!r}")
 
+    def _create_mat_view(self, stmt: str) -> None:
+        """CREATE MATERIALIZED VIEW with the reference's validation rules
+        (`[C* cql3/statements/CreateViewStatement, unverified]`): the view
+        primary key must contain every base primary-key column plus AT
+        MOST ONE other column, every view key column needs an
+        ``IS NOT NULL`` restriction, and the view is read-only — it
+        re-keys the base table so queries can filter on the new partition
+        key with full restriction semantics. Maintenance is by
+        construction: view reads snapshot the base at query time (the
+        same LWW state a synchronously-maintained view would serve)."""
+        m = _CREATE_MV_RE.match(stmt)
+        if not m:
+            raise CQLError(f"unsupported CREATE MATERIALIZED VIEW: {stmt!r}")
+        name = m.group("name").lower()
+        if name in self.mat_views:
+            if re.search(r"IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE):
+                return None
+            raise CQLError(f"materialized view {name!r} already exists")
+        if name in self.tables:
+            raise CQLError(f"{name!r} is a table")
+        base = m.group("base").lower()
+        bt = self.table(base)  # raises on unknown table
+        self._check_perm("ALTER", base)
+        bs = bt.schema
+        base_keys = [bs.partition_key, *bs.clustering]
+        all_cols = set(base_keys) | set(bs.regular) | set(bs.static)
+        # view key: first component = partition key (composites rejected,
+        # like base tables), rest clustering
+        pk_parts = [p.strip().lower() for p in m.group("pk").split(",")]
+        first = pk_parts[0]
+        if first.startswith("(") or pk_parts and ")" in first[1:]:
+            first = first.strip("()").strip()
+        vpk = first.strip("()").strip()
+        vck = tuple(p.strip("()").strip() for p in pk_parts[1:])
+        vkeys = [vpk, *vck]
+        for c in vkeys:
+            if c not in all_cols:
+                raise CQLError(f"unknown column {c!r} in view key")
+        missing = [c for c in base_keys if c not in vkeys]
+        if missing:
+            raise CQLError(
+                f"view key must include every base key column: {missing}"
+            )
+        extra = [c for c in vkeys if c not in base_keys]
+        if len(extra) > 1:
+            raise CQLError(
+                "view key may include at most ONE non-key base column "
+                f"(got {extra})"
+            )
+        # IS NOT NULL on every view key column (the reference's rule)
+        where = m.group("where")
+        for c in vkeys:
+            if not re.search(
+                rf"\b{c}\s+IS\s+NOT\s+NULL", where, re.IGNORECASE
+            ):
+                raise CQLError(
+                    f"view key column {c!r} needs an IS NOT NULL restriction"
+                )
+        cols_txt = m.group("cols").strip()
+        if cols_txt == "*":
+            sel = None
+        else:
+            sel = [c.strip().lower() for c in cols_txt.split(",")]
+            for c in sel:
+                if c not in all_cols:
+                    raise CQLError(f"unknown column {c!r} in view select")
+            for c in vkeys:
+                if c not in sel:
+                    raise CQLError(
+                        f"view select must include key column {c!r}"
+                    )
+        self.mat_views[name] = (base, vpk, vck, sel)
+        return None
+
+    def _mv_snapshots(self) -> dict:
+        """(df, meta) per materialized view: the base snapshot re-keyed to
+        the view's primary key, IS NOT NULL filters applied, projection
+        restricted to the selected columns."""
+        from cassandra_spark.catalog import TableMeta
+
+        out = {}
+        for name, (base, vpk, vck, sel) in self.mat_views.items():
+            df = self.tables[base].snapshot()
+            for c in (vpk, *vck):
+                df = df.filter(F.col(c).isNotNull())
+            if sel is not None:
+                df = df.select(*sel)
+            out[name] = (
+                df,
+                TableMeta(name, (vpk,), tuple(vck)),
+            )
+        return out
+
     def _execute_stmt(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
         if head.startswith("DESC"):
@@ -1400,6 +1510,20 @@ class CqlSession:
             or head.startswith("LIST ")
         ):
             return self._auth_stmt(stmt)
+        if head.startswith("CREATE MATER"):
+            return self._create_mat_view(stmt)
+        if head.startswith("DROP MATERIA"):
+            dm = _DROP_MV_RE.match(stmt)
+            if not dm:
+                raise CQLError(f"unsupported DROP MATERIALIZED VIEW: {stmt!r}")
+            name = dm.group("name").lower()
+            if name not in self.mat_views:
+                if dm.group("ie"):
+                    return None
+                raise CQLError(f"unknown materialized view {name!r}")
+            self._check_perm("ALTER", self.mat_views[name][0])
+            del self.mat_views[name]
+            return None
         if head.startswith("CREATE TYPE"):
             tm = _CREATE_TYPE_RE.match(stmt)
             if not tm:
@@ -1541,6 +1665,7 @@ class CqlSession:
                 (name, (t.snapshot(), self._meta(t.schema)))
                 for name, t in self.tables.items()
             )
+            snapshots.update(self._mv_snapshots())
             snapshots.update(self._system_views())
             if "size_estimates" in stmt:
                 # built only when referenced: the estimate assembles one
@@ -1557,6 +1682,9 @@ class CqlSession:
             fm_ = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
             if fm_ and fm_.group(1).lower() in self.tables:
                 self._check_perm("SELECT", fm_.group(1))
+            elif fm_ and fm_.group(1).lower() in self.mat_views:
+                # view reads are reads of the base table's data
+                self._check_perm("SELECT", self.mat_views[fm_.group(1).lower()][0])
             df = cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
@@ -1585,6 +1713,10 @@ class CqlSession:
         tm = _DML_TABLE_RE.search(stmt)
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
+        if tm.group(1).lower() in self.mat_views:
+            raise CQLError(
+                "cannot directly modify a materialized view"
+            )
         self._check_perm("MODIFY", tm.group(1))
         # conditional (LWT) statements read row state back to the client
         # ([applied] + current values), so the reference also demands
@@ -2109,6 +2241,21 @@ class CqlSession:
             ),
             # the auth keyspace drivers and `nodetool` read
             # (`[C* auth/AuthKeyspace, unverified]`)
+            "system_schema.views": (
+                spark.createDataFrame(
+                    [
+                        ("session", name, base)
+                        for name, (base, _, _, _) in sorted(
+                            self.mat_views.items()
+                        )
+                    ],
+                    "keyspace_name string, view_name string, "
+                    "base_table_name string",
+                ),
+                TableMeta(
+                    "system_schema.views", ("keyspace_name",), ("view_name",)
+                ),
+            ),
             "system_auth.roles": (
                 spark.createDataFrame(
                     [

@@ -749,3 +749,44 @@ def cql21_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT session_id, event_id, activity FROM system_traces.events"
     )
+
+
+@query(
+    "cql22_mat_view",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('a@x', 'u1', 'sec'),
+      ('c@x', 'u3', 'eng')
+    ) AS t(email, uid, org)
+    """,
+)
+def cql22_mat_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view DDL through the front door (`[C* db/view/View,
+    unverified]`): the view re-keys the base table, reads filter on the
+    VIEW partition key (rejected on the base without ALLOW FILTERING),
+    NULL view-key rows are excluded, and the view serves the base's LWW
+    state after overwrites and deletes. The oracle pins the post-mutation
+    view rows."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE users (uid text PRIMARY KEY, email text, org text)"
+    )
+    sess.execute(
+        "CREATE MATERIALIZED VIEW users_by_email AS "
+        "SELECT uid, email, org FROM users "
+        "WHERE email IS NOT NULL AND uid IS NOT NULL "
+        "PRIMARY KEY (email, uid)"
+    )
+    for uid, email, org in (
+        ("u1", "'a@x'", "eng"), ("u2", "'b@x'", "ops"),
+        ("u3", "'c@x'", "eng"), ("u4", "NULL", "sec"),
+    ):
+        sess.execute(
+            f"INSERT INTO users (uid, email, org) "
+            f"VALUES ('{uid}', {email}, '{org}')"
+        )
+    sess.execute("UPDATE users SET org = 'sec' WHERE uid = 'u1'")
+    sess.execute("DELETE FROM users WHERE uid = 'u2'")
+    return sess.execute(
+        "SELECT email, uid, org FROM users_by_email"
+    )

@@ -1257,3 +1257,73 @@ def test_review_fix_mask_and_ttl_edges(spark):
     s4.execute("CREATE TYPE tt (a int)")
     with pytest.raises(CQLError, match="empty session"):
         s4.restore_keyspace(d)
+
+
+def test_materialized_view_ddl_and_reads(spark):
+    """CREATE MATERIALIZED VIEW re-keys the base table: validation per
+    the reference (all base key columns + at most one extra in the view
+    key, IS NOT NULL required), reads filter on the VIEW's partition key
+    without ALLOW FILTERING, the view tracks base LWW state, and direct
+    writes are rejected."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError
+
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE users (uid text PRIMARY KEY, email text, org text)"
+    )
+    s.execute("INSERT INTO users (uid, email, org) VALUES ('u1', 'a@x', 'eng')")
+    s.execute("INSERT INTO users (uid, email, org) VALUES ('u2', 'b@x', 'ops')")
+    s.execute("INSERT INTO users (uid, email, org) VALUES ('u3', NULL, 'eng')")
+    s.execute(
+        "CREATE MATERIALIZED VIEW users_by_email AS "
+        "SELECT uid, email, org FROM users "
+        "WHERE email IS NOT NULL AND uid IS NOT NULL "
+        "PRIMARY KEY (email, uid)"
+    )
+    # query by the VIEW key — a restriction the base table would reject
+    got = s.execute(
+        "SELECT uid, org FROM users_by_email WHERE email = 'a@x'"
+    ).collect()
+    assert [(r.uid, r.org) for r in got] == [("u1", "eng")]
+    # NULL view-key rows are excluded (the IS NOT NULL contract)
+    assert (
+        s.execute("SELECT * FROM users_by_email").count() == 2
+    )
+    # the view tracks base-table LWW state
+    s.execute("UPDATE users SET org = 'sec' WHERE uid = 'u1'")
+    s.execute("DELETE FROM users WHERE uid = 'u2'")
+    rows = {
+        r.uid: r.org for r in s.execute("SELECT * FROM users_by_email").collect()
+    }
+    assert rows == {"u1": "sec"}
+    # writes to the view are rejected
+    with pytest.raises(CQLError, match="materialized view"):
+        s.execute("INSERT INTO users_by_email (email, uid) VALUES ('x', 'y')")
+    # validation: missing base key / two extra cols / missing IS NOT NULL
+    with pytest.raises(CQLError, match="IS NOT NULL"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW bad1 AS SELECT uid, email FROM users "
+            "WHERE email IS NOT NULL PRIMARY KEY (email, uid)"
+        )
+    with pytest.raises(CQLError, match="every base key"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT email, org FROM users "
+            "WHERE email IS NOT NULL AND org IS NOT NULL "
+            "PRIMARY KEY (email, org)"
+        )
+    with pytest.raises(CQLError, match="at most ONE"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW bad3 AS SELECT uid, email, org "
+            "FROM users WHERE email IS NOT NULL AND org IS NOT NULL "
+            "AND uid IS NOT NULL PRIMARY KEY (email, org, uid)"
+        )
+    # schema surface + drop
+    views = s.execute("SELECT * FROM system_schema.views").collect()
+    assert [(v.view_name, v.base_table_name) for v in views] == [
+        ("users_by_email", "users")
+    ]
+    s.execute("DROP MATERIALIZED VIEW users_by_email")
+    with pytest.raises(CQLError, match="unconfigured table"):
+        s.execute("SELECT * FROM users_by_email")
