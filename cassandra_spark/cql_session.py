@@ -347,7 +347,7 @@ def parse_create_table(
 
 
 _DML_TABLE_RE = re.compile(
-    r"\b(?:INSERT\s+INTO|UPDATE|DELETE(?:\s+[^;]*?)?\s+FROM)\s+(\w+)",
+    r"\b(?:INSERT\s+INTO|UPDATE|DELETE(?:\s+[^;]*?)?\s+FROM)\s+([\w.]+)",
     re.IGNORECASE,
 )
 
@@ -473,6 +473,19 @@ _COMPRESSORS = {
     "ZstdCompressor": "zstd",
     "DeflateCompressor": "gzip",
 }
+
+_CREATE_KS_RE = re.compile(
+    r"^\s*CREATE\s+KEYSPACE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s+WITH\s+replication\s*=\s*\{(?P<rep>[^}]*)\}"
+    r"(?:\s+AND\s+durable_writes\s*=\s*(?:true|false))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_KS_RE = re.compile(
+    r"^\s*DROP\s+KEYSPACE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
@@ -657,6 +670,41 @@ def _decode_state(state: str) -> list:
         raise CQLError("invalid paging state") from None
 
 
+def _replication_text(params: dict) -> str:
+    items = [("class", params["class"])] + sorted(
+        (k, str(v)) for k, v in params.items() if k != "class"
+    )
+    return "{" + ", ".join(f"'{k}': '{v}'" for k, v in items) + "}"
+
+
+def _parse_replication(body: str) -> dict:
+    """The replication map of CREATE KEYSPACE: SimpleStrategy needs
+    replication_factor; NetworkTopologyStrategy takes per-DC factors."""
+    pairs = dict(
+        re.findall(r"'([\w]+)'\s*:\s*'?([\w]+)'?", body)
+    )
+    cls = pairs.pop("class", None)
+    if cls == "SimpleStrategy":
+        rf = pairs.get("replication_factor")
+        if rf is None or not rf.isdigit() or int(rf) < 1:
+            raise CQLError(
+                "SimpleStrategy needs a positive replication_factor"
+            )
+        return {"class": cls, "replication_factor": int(rf)}
+    if cls == "NetworkTopologyStrategy":
+        dcs = {}
+        for dc, v in pairs.items():
+            if not v.isdigit() or int(v) < 0:
+                raise CQLError(f"bad replication factor for DC {dc!r}")
+            dcs[dc] = int(v)
+        if not dcs:
+            raise CQLError(
+                "NetworkTopologyStrategy needs at least one DC factor"
+            )
+        return {"class": cls, **dcs}
+    raise CQLError(f"unsupported replication class {cls!r}")
+
+
 class CqlSession:
     """DDL + DML + SELECT behind one ``execute()`` — the engine's session
     surface. SELECT returns a DataFrame; conditional DML returns the LWT
@@ -723,6 +771,17 @@ class CqlSession:
         # CreateViewStatement, unverified]`): name -> (base table, view
         # partition key, clustering tuple, selected cols or None for *)
         self.mat_views: dict[str, tuple] = {}
+        # keyspaces (`[C* schema/KeyspaceParams, locator/
+        # AbstractReplicationStrategy, unverified]`): name -> parsed
+        # replication params. PINNED REDUCTION, documented: table names
+        # stay unique ACROSS keyspaces (one flat registry tagged by
+        # keyspace), so cross-keyspace name reuse is rejected at CREATE
+        # rather than silently shadowed.
+        self.keyspaces: dict[str, dict] = {
+            "session": {"class": "SimpleStrategy", "replication_factor": 1}
+        }
+        self.table_keyspace: dict[str, str] = {}
+        self.current_ks: str | None = "session"
         # --- query tracing (`[C* tracing/Tracing, TraceKeyspace,
         # unverified]`): recorded (session_row, [event_rows]) pairs
         # persist after TRACING OFF, as system_traces rows do
@@ -730,8 +789,16 @@ class CqlSession:
         self._tracing_on = False
 
     def create_table(self, schema: TableSchema) -> CqlTable:
+        if self.current_ks is None:
+            raise CQLError("no keyspace selected (USE <keyspace> first)")
         if schema.name in self.tables:
-            raise CQLError(f"table {schema.name!r} already exists")
+            owner = self.table_keyspace.get(schema.name, "session")
+            raise CQLError(
+                f"table {schema.name!r} already exists"
+                + (f" in keyspace {owner!r}" if owner != self.current_ks
+                   else "")
+            )
+        self.table_keyspace[schema.name] = self.current_ks
         if schema.masks:
             self.masks.setdefault(schema.name, {}).update(schema.masks)
         spill = (
@@ -746,9 +813,30 @@ class CqlSession:
         self.tables[schema.name] = t
         return t
 
+    def _resolve(self, name: str) -> str:
+        """Bare or ``ks.table`` qualified name -> registry key, validating
+        the keyspace tag. Bare names need a selected keyspace (USE)."""
+        n = name.lower()
+        if "." in n:
+            ks, _, t = n.partition(".")
+            if ks in ("system", "system_schema", "system_auth",
+                      "system_traces"):
+                return n  # virtual keyspaces pass through
+            if ks not in self.keyspaces:
+                raise CQLError(f"unknown keyspace {ks!r}")
+            if self.table_keyspace.get(t, "session") != ks:
+                raise CQLError(f"unknown table {name!r}")
+            return t
+        if self.current_ks is None:
+            raise CQLError(
+                "no keyspace selected (USE <keyspace> first)"
+            )
+        return n
+
     def table(self, name: str) -> CqlTable:
+        key = self._resolve(name)
         try:
-            return self.tables[name.lower()]
+            return self.tables[key]
         except KeyError:
             raise CQLError(f"unknown table {name!r}") from None
 
@@ -1510,6 +1598,50 @@ class CqlSession:
             or head.startswith("LIST ")
         ):
             return self._auth_stmt(stmt)
+        um_ = _USE_RE.match(stmt)
+        if um_ and head.startswith("USE"):
+            name = um_.group("name").lower()
+            if name not in self.keyspaces:
+                raise CQLError(f"unknown keyspace {name!r}")
+            self.current_ks = name
+            return None
+        if head.startswith("CREATE KEYSP"):
+            km = _CREATE_KS_RE.match(stmt)
+            if not km:
+                raise CQLError(f"unsupported CREATE KEYSPACE: {stmt!r}")
+            self._check_perm("CREATE")
+            name = km.group("name").lower()
+            if name in self.keyspaces:
+                if km.group("ine"):
+                    return None
+                raise CQLError(f"keyspace {name!r} already exists")
+            self.keyspaces[name] = _parse_replication(km.group("rep"))
+            return None
+        if head.startswith("DROP KEYSPAC"):
+            km = _DROP_KS_RE.match(stmt)
+            if not km:
+                raise CQLError(f"unsupported DROP KEYSPACE: {stmt!r}")
+            self._check_perm("DROP")
+            name = km.group("name").lower()
+            if name not in self.keyspaces:
+                if km.group("ie"):
+                    return None
+                raise CQLError(f"unknown keyspace {name!r}")
+            owned = [
+                t for t, ks in self.table_keyspace.items() if ks == name
+            ]
+            for t in owned:
+                self._execute_stmt(f"DROP TABLE {t}")
+                self.table_keyspace.pop(t, None)
+            self.mat_views = {
+                v: spec
+                for v, spec in self.mat_views.items()
+                if spec[0] not in owned
+            }
+            del self.keyspaces[name]
+            if self.current_ks == name:
+                self.current_ks = None
+            return None
         if head.startswith("CREATE MATER"):
             return self._create_mat_view(stmt)
         if head.startswith("DROP MATERIA"):
@@ -1679,9 +1811,16 @@ class CqlSession:
                         ("table_name", "range_start", "range_end"),
                     ),
                 )
+            # qualified ks.table aliases for every session table, so
+            # SELECT ... FROM ks.t resolves (tag validated by _resolve)
+            for tname, t in self.tables.items():
+                ks = self.table_keyspace.get(tname, "session")
+                snapshots[f"{ks}.{tname}"] = snapshots[tname]
             fm_ = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
-            if fm_ and fm_.group(1).lower() in self.tables:
-                self._check_perm("SELECT", fm_.group(1))
+            if fm_:
+                key = self._resolve(fm_.group(1))
+                if key in self.tables:
+                    self._check_perm("SELECT", key)
             elif fm_ and fm_.group(1).lower() in self.mat_views:
                 # view reads are reads of the base table's data
                 self._check_perm("SELECT", self.mat_views[fm_.group(1).lower()][0])
@@ -1713,19 +1852,28 @@ class CqlSession:
         tm = _DML_TABLE_RE.search(stmt)
         if not tm:
             raise CQLError(f"unsupported statement: {stmt!r}")
-        if tm.group(1).lower() in self.mat_views:
+        tkey = self._resolve(tm.group(1))
+        if tkey in self.mat_views:
             raise CQLError(
                 "cannot directly modify a materialized view"
             )
-        self._check_perm("MODIFY", tm.group(1))
+        self._check_perm("MODIFY", tkey)
         # conditional (LWT) statements read row state back to the client
         # ([applied] + current values), so the reference also demands
         # SELECT; probe with string literals stripped to avoid ' IF ' text
         if re.search(
             r"\bIF\b", re.sub(r"'[^']*'", "''", stmt), re.IGNORECASE
         ):
-            self._check_perm("SELECT", tm.group(1))
-        return self.table(tm.group(1)).execute(stmt)
+            self._check_perm("SELECT", tkey)
+        if tm.group(1).lower() != tkey:
+            # strip the keyspace qualifier for the table's own DML parser
+            stmt = (
+                stmt[: tm.start(1)] + tkey + stmt[tm.end(1):]
+            )
+        t_ = self.tables.get(tkey)
+        if t_ is None:
+            raise CQLError(f"unknown table {tm.group(1)!r}")
+        return t_.execute(stmt)
 
     def snapshot_keyspace(self, out_dir: str) -> dict:
         """``nodetool snapshot`` analogue built on the segment
@@ -2155,8 +2303,10 @@ class CqlSession:
         )
         columns_df = spark.createDataFrame(crows, cols_schema)
         ks_df = spark.createDataFrame(
-            [("session", True,
-              "{'class': 'SimpleStrategy', 'replication_factor': '3'}")],
+            [
+                (name, True, _replication_text(params))
+                for name, params in sorted(self.keyspaces.items())
+            ],
             "keyspace_name string, durable_writes boolean, "
             "replication string",
         )

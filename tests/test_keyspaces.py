@@ -1,0 +1,103 @@
+"""CREATE KEYSPACE / USE / DROP KEYSPACE and qualified table names
+(SURVEY.md §2.13). Pinned reduction (documented in CqlSession): table
+names stay unique across keyspaces — cross-keyspace reuse is rejected
+at CREATE instead of shadowed."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import CQLError
+from cassandra_spark.cql_session import CqlSession
+
+
+def test_create_use_and_qualified_names(spark):
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE KEYSPACE app WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '3'}"
+    )
+    s.execute("CREATE KEYSPACE IF NOT EXISTS app WITH replication = "
+              "{'class': 'SimpleStrategy', 'replication_factor': '3'}")
+    with pytest.raises(CQLError, match="already exists"):
+        s.execute(
+            "CREATE KEYSPACE app WITH replication = "
+            "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+        )
+    s.execute("USE app")
+    s.execute("CREATE TABLE ev (k text PRIMARY KEY, n int)")
+    s.execute("INSERT INTO ev (k, n) VALUES ('a', 1)")
+    # qualified names resolve from anywhere; wrong keyspace rejected
+    s.execute("USE session")
+    s.execute("INSERT INTO app.ev (k, n) VALUES ('b', 2)")
+    rows = {r.k: r.n for r in s.execute("SELECT * FROM app.ev").collect()}
+    assert rows == {"a": 1, "b": 2}
+    with pytest.raises(CQLError, match="unknown table"):
+        s.execute("SELECT * FROM session.ev")
+    with pytest.raises(CQLError, match="unknown keyspace"):
+        s.execute("SELECT * FROM nope.ev")
+    # the keyspaces view reflects replication params
+    ks = {
+        r.keyspace_name: r.replication
+        for r in s.execute("SELECT * FROM system_schema.keyspaces").collect()
+    }
+    assert "'replication_factor': '3'" in ks["app"]
+    assert "session" in ks
+
+
+def test_replication_validation_and_nts(spark):
+    s = CqlSession(spark)
+    with pytest.raises(CQLError, match="replication_factor"):
+        s.execute(
+            "CREATE KEYSPACE bad WITH replication = "
+            "{'class': 'SimpleStrategy'}"
+        )
+    with pytest.raises(CQLError, match="unsupported replication class"):
+        s.execute(
+            "CREATE KEYSPACE bad WITH replication = "
+            "{'class': 'OldNetworkTopologyStrategy', 'replication_factor': '1'}"
+        )
+    s.execute(
+        "CREATE KEYSPACE geo WITH replication = "
+        "{'class': 'NetworkTopologyStrategy', 'dc1': '3', 'dc2': '2'} "
+        "AND durable_writes = true"
+    )
+    ks = {
+        r.keyspace_name: r.replication
+        for r in s.execute("SELECT * FROM system_schema.keyspaces").collect()
+    }
+    assert "'dc1': '3'" in ks["geo"] and "'dc2': '2'" in ks["geo"]
+
+
+def test_flat_namespace_reduction_is_explicit(spark):
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE t1 (k text PRIMARY KEY)")
+    s.execute(
+        "CREATE KEYSPACE other WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    s.execute("USE other")
+    with pytest.raises(CQLError, match="already exists in keyspace"):
+        s.execute("CREATE TABLE t1 (k text PRIMARY KEY)")
+
+
+def test_drop_keyspace_drops_tables_and_unselects(spark):
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE KEYSPACE tmp WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    s.execute("USE tmp")
+    s.execute("CREATE TABLE gone (k text PRIMARY KEY)")
+    s.execute("INSERT INTO gone (k) VALUES ('x')")
+    s.execute("DROP KEYSPACE tmp")
+    with pytest.raises(CQLError, match="no keyspace selected"):
+        s.execute("CREATE TABLE orphan (k text PRIMARY KEY)")
+    with pytest.raises(CQLError, match="no keyspace selected"):
+        s.execute("SELECT * FROM gone")
+    s.execute("USE session")
+    with pytest.raises(CQLError, match="unconfigured table"):
+        s.execute("SELECT * FROM gone")
+    s.execute("DROP KEYSPACE IF EXISTS tmp")  # no error
+    with pytest.raises(CQLError, match="unknown keyspace"):
+        s.execute("DROP KEYSPACE tmp")
