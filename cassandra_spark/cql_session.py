@@ -1897,6 +1897,8 @@ class CqlSession:
             "indexes": {
                 n: list(v) for n, v in self.index_names.items()
             },
+            "keyspaces": self.keyspaces,
+            "table_keyspace": self.table_keyspace,
             "tables": {},
         }
         for name, t in self.tables.items():
@@ -1969,6 +1971,9 @@ class CqlSession:
         self.masks = {
             t: dict(cols) for t, cols in manifest["masks"].items()
         }
+        # keyspace registry + table tags (older snapshots omit them)
+        self.keyspaces.update(manifest.get("keyspaces", {}))
+        restored_tags = manifest.get("table_keyspace", {})
         for name, entry in manifest["tables"].items():
             sch = entry["schema"]
             t = self.create_table(
@@ -2001,6 +2006,8 @@ class CqlSession:
             t._clock, t._seq = st["clock"], st["seq"]
             t._max_wt, t._seg_counter = st["max_wt"], st["seg_counter"]
             t._pos, t._neg = st["pos"], st["neg"]
+            if name in restored_tags:
+                self.table_keyspace[name] = restored_tags[name]
         for iname, (tbl, col, kind) in manifest["indexes"].items():
             self.index_names[iname] = (tbl, col, kind)
             target = {
@@ -2138,8 +2145,8 @@ class CqlSession:
         create_statement), the shape drivers consume since 4.0. Supports
         DESCRIBE TABLES / DESCRIBE TABLE <t> / DESCRIBE KEYSPACE."""
         m = re.match(
-            r"^\s*DESC(?:RIBE)?\s+(?P<what>TABLES|TABLE\s+\w+|KEYSPACE"
-            r"(?:\s+\w+)?)\s*;?\s*$",
+            r"^\s*DESC(?:RIBE)?\s+(?P<what>TABLES|KEYSPACES|TABLE\s+\w+"
+            r"|KEYSPACE(?:\s+\w+)?)\s*;?\s*$",
             stmt,
             re.IGNORECASE,
         )
@@ -2147,9 +2154,18 @@ class CqlSession:
             raise CQLError(f"unsupported DESCRIBE: {stmt!r}")
         what = m.group("what")
         rows: list[tuple[str, str, str, str]] = []
-        if what.upper() == "TABLES":
+        if what.upper() == "KEYSPACES":
             rows = [
-                ("session", "table", n, self._table_ddl(n))
+                (name, "keyspace", name,
+                 f"CREATE KEYSPACE {name} WITH replication = "
+                 + _replication_text(params)
+                 + " AND durable_writes = true;")
+                for name, params in sorted(self.keyspaces.items())
+            ]
+        elif what.upper() == "TABLES":
+            rows = [
+                (self.table_keyspace.get(n, "session"), "table", n,
+                 self._table_ddl(n))
                 for n in sorted(self.tables)
             ]
         elif what.upper().startswith("TABLE"):

@@ -790,3 +790,40 @@ def cql22_mat_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT email, uid, org FROM users_by_email"
     )
+
+
+@query(
+    "cql23_keyspaces",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('analytics',
+       '{''class'': ''NetworkTopologyStrategy'', ''east'': ''3'', ''west'': ''2''}'),
+      ('app',
+       '{''class'': ''SimpleStrategy'', ''replication_factor'': ''3''}'),
+      ('session',
+       '{''class'': ''SimpleStrategy'', ''replication_factor'': ''1''}')
+    ) AS t(keyspace_name, replication)
+    """,
+)
+def cql23_keyspaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspace DDL surface: CREATE KEYSPACE with both replication
+    strategies, read back through ``system_schema.keyspaces`` exactly as
+    a driver does at connect time; DROP removes the row. The oracle pins
+    the canonical replication-map text per keyspace."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE KEYSPACE app WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '3'}"
+    )
+    sess.execute(
+        "CREATE KEYSPACE analytics WITH replication = "
+        "{'class': 'NetworkTopologyStrategy', 'east': '3', 'west': '2'}"
+    )
+    sess.execute(
+        "CREATE KEYSPACE dropped WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    sess.execute("DROP KEYSPACE dropped")
+    return sess.execute(
+        "SELECT keyspace_name, replication FROM system_schema.keyspaces"
+    )

@@ -101,3 +101,29 @@ def test_drop_keyspace_drops_tables_and_unselects(spark):
     s.execute("DROP KEYSPACE IF EXISTS tmp")  # no error
     with pytest.raises(CQLError, match="unknown keyspace"):
         s.execute("DROP KEYSPACE tmp")
+
+
+def test_describe_keyspaces_and_snapshot_roundtrip(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    s.execute(
+        "CREATE KEYSPACE app WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '2'}"
+    )
+    s.execute("USE app")
+    s.execute("CREATE TABLE t (k text PRIMARY KEY, n int)")
+    s.execute("INSERT INTO t (k, n) VALUES ('a', 1)")
+    desc = {r.name: r.create_statement for r in s.execute("DESCRIBE KEYSPACES").collect()}
+    assert "'replication_factor': '2'" in desc["app"]
+    assert "session" in desc
+    snap = str(tmp_path / "snap")
+    s.snapshot_keyspace(snap)
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
+    s2.restore_keyspace(snap)
+    # keyspace registry + tags survive: qualified reads work, tag enforced
+    assert {r.k: r.n for r in s2.execute("SELECT * FROM app.t").collect()} == {"a": 1}
+    import pytest as _pytest
+
+    from cassandra_spark.cql import CQLError as _E
+
+    with _pytest.raises(_E, match="unknown table"):
+        s2.execute("SELECT * FROM session.t")
