@@ -1588,6 +1588,73 @@ class CqlSession:
             )
         return out
 
+    def _copy(self, m: re.Match) -> int:
+        """cqlsh-style COPY (`[C* tools cqlsh copyutil, unverified]`):
+        TO streams the table's reconciled snapshot to one CSV file
+        (header row, cqlsh's format) via toLocalIterator — driver memory
+        stays O(row), like cqlsh itself, which also funnels every row
+        through the client. FROM streams CSV rows back through the
+        session's normal INSERT path so LWW/clock semantics apply
+        (cqlsh COPY FROM issues batched INSERTs the same way). Empty
+        cells are skipped columns (unset), not empty strings. Returns
+        the row count moved."""
+        import csv
+
+        name = m.group("table").lower()
+        t = self.table(name)
+        sch = t.schema
+        cols = (
+            [c.strip().lower() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else [sch.partition_key, *sch.clustering]
+            + sorted(sch.static) + sorted(sch.regular)
+        )
+        path = m.group("path")
+        if m.group("dir").upper() == "TO":
+            self._check_perm("SELECT", name)
+            df = t.snapshot().select(*cols)
+            n = 0
+            with open(path, "w", newline="") as fh:
+                wr = csv.writer(fh)
+                wr.writerow(cols)
+                for row in df.toLocalIterator():
+                    wr.writerow(
+                        ["" if v is None else v for v in row]
+                    )
+                    n += 1
+            return n
+        self._check_perm("MODIFY", name)
+        text_like = {"string", "text", "date", "timestamp"}
+
+        def render(col: str, v: str) -> str:
+            typ = (
+                sch.key_types.get(col)
+                or sch.regular.get(col)
+                or sch.static.get(col)
+                or "string"
+            )
+            if typ in text_like or typ.startswith("varchar"):
+                return "'" + v.replace("'", "''") + "'"
+            return v
+
+        n = 0
+        with open(path, newline="") as fh:
+            rd = csv.reader(fh)
+            header = [c.strip().lower() for c in next(rd)]
+            for row in rd:
+                pairs = [
+                    (c, render(c, v))
+                    for c, v in zip(header, row)
+                    if v != ""
+                ]
+                self.execute(
+                    f"INSERT INTO {name} "
+                    f"({', '.join(c for c, _ in pairs)}) "
+                    f"VALUES ({', '.join(v for _, v in pairs)})"
+                )
+                n += 1
+        return n
+
     def _execute_stmt(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
         if head.startswith("DESC"):
@@ -1846,6 +1913,11 @@ class CqlSession:
             return None
         if head.startswith("GRANT") or head.startswith("REVOKE"):
             return self._auth_stmt(stmt)
+        if head.startswith("COPY"):
+            cm_ = _COPY_RE.match(stmt)
+            if not cm_:
+                raise CQLError(f"unsupported COPY: {stmt!r}")
+            return self._copy(cm_)
         bm = _BATCH_RE.match(stmt)
         if bm:
             return self._execute_batch(stmt, bm)

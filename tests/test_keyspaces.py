@@ -127,3 +127,27 @@ def test_describe_keyspaces_and_snapshot_roundtrip(spark, tmp_path):
 
     with _pytest.raises(_E, match="unknown table"):
         s2.execute("SELECT * FROM session.t")
+
+
+def test_copy_to_from_roundtrip(spark, tmp_path):
+    """cqlsh COPY: export the reconciled snapshot to one CSV, import it
+    through the normal INSERT path (quotes/commas escaped, empty cells
+    unset), and the copy reconciles identically."""
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE src (k text PRIMARY KEY, v text, n int)")
+    s.execute("INSERT INTO src (k, v, n) VALUES ('a', 'x,y', 1)")
+    s.execute("INSERT INTO src (k, v, n) VALUES ('b', 'it''s', 2)")
+    s.execute("INSERT INTO src (k, n) VALUES ('c', 3)")  # v unset
+    s.execute("UPDATE src SET n = 9 WHERE k = 'a'")      # LWW applies
+    path = str(tmp_path / "out.csv")
+    assert s.execute(f"COPY src TO '{path}'") == 3
+    s.execute("CREATE TABLE dst (k text PRIMARY KEY, v text, n int)")
+    assert s.execute(f"COPY dst FROM '{path}'") == 3
+    a = sorted(tuple(r) for r in s.execute("SELECT k, v, n FROM src").collect())
+    b = sorted(tuple(r) for r in s.execute("SELECT k, v, n FROM dst").collect())
+    assert a == b == [("a", "x,y", 9), ("b", "it's", 2), ("c", None, 3)]
+    # column-subset export
+    p2 = str(tmp_path / "kn.csv")
+    s.execute(f"COPY src (k, n) TO '{p2}'")
+    with open(p2) as fh:
+        assert fh.readline().strip() == "k,n"
