@@ -337,6 +337,10 @@ class TableSchema:
     # at compact_threshold segments; STCS = tiered minor compactions
     compaction: str = ""
     compaction_min_threshold: int = 4
+    # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
+    # on-disk sort the reference serves unordered reads in, and the
+    # reference's ORDER BY validation baseline)
+    clustering_desc: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.clustering is None:

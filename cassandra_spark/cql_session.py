@@ -207,6 +207,23 @@ def parse_create_table(
             min_threshold = int(mt.group(1))
             if min_threshold < 2:
                 raise CQLError("min_threshold must be >= 2")
+    # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
+    clustering_desc: tuple[str, ...] = ()
+    co_ = re.search(
+        r"CLUSTERING\s+ORDER\s+BY\s*\((?P<body>[^)]*)\)",
+        with_rest or "", re.IGNORECASE,
+    )
+    if co_:
+        desc_cols = []
+        for item in co_.group("body").split(","):
+            im = re.fullmatch(
+                r"\s*(\w+)\s+(ASC|DESC)\s*", item, re.IGNORECASE
+            )
+            if not im:
+                raise CQLError(f"bad CLUSTERING ORDER item: {item!r}")
+            if im.group(2).upper() == "DESC":
+                desc_cols.append(im.group(1).lower())
+        clustering_desc = tuple(desc_cols)
     cols: dict[str, str] = {}
     statics: set[str] = set()
     masks: dict[str, str] = {}
@@ -330,6 +347,11 @@ def parse_create_table(
         raise CQLError(
             "default_time_to_live is not supported on counter tables"
         )
+    bad_desc = [c for c in clustering_desc if c not in (clustering or ())]
+    if bad_desc:
+        raise CQLError(
+            f"CLUSTERING ORDER BY names non-clustering columns: {bad_desc}"
+        )
     return TableSchema(
         name=name,
         partition_key=pk,
@@ -340,6 +362,7 @@ def parse_create_table(
         key_types=key_types,
         default_ttl=default_ttl,
         masks=masks,
+        clustering_desc=clustering_desc,
         compression=compression,
         compaction=compaction,
         compaction_min_threshold=min_threshold,
@@ -844,7 +867,10 @@ class CqlSession:
         return TableMeta(
             name=schema.name,
             partition_key=(schema.partition_key,),
-            clustering=tuple(schema.clustering),
+            clustering=tuple(
+                ("-" + c) if c in schema.clustering_desc else c
+                for c in schema.clustering
+            ),
             indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
             indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
             indexed_sai=tuple(sorted(self.sai_indexes.get(schema.name, ()))),
@@ -2156,8 +2182,8 @@ class CqlSession:
     def _table_ddl(self, name: str) -> str:
         """Canonical CREATE TABLE text for DESCRIBE (`[C* 4.0 server-side
         DESCRIBE, CASSANDRA-14825, unverified]`), including attached
-        masks. CLUSTERING ORDER is not retained by the front-end, so the
-        canonical ASC form is printed."""
+        masks, WITH options, and CLUSTERING ORDER BY when any clustering
+        column is declared DESC."""
         t = self.tables[name]
         s = t.schema
         masks = self.masks.get(name, {})
@@ -2192,6 +2218,12 @@ class CqlSession:
         )
         lines.append(pk)
         clauses = []
+        if s.clustering_desc:
+            order = ", ".join(
+                f"{c} {'DESC' if c in s.clustering_desc else 'ASC'}"
+                for c in s.clustering
+            )
+            clauses.append(f"CLUSTERING ORDER BY ({order})")
         if s.default_ttl:
             clauses.append(f"default_time_to_live = {s.default_ttl}")
         if s.compression:

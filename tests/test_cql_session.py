@@ -1327,3 +1327,36 @@ def test_materialized_view_ddl_and_reads(spark):
     s.execute("DROP MATERIALIZED VIEW users_by_email")
     with pytest.raises(CQLError, match="unconfigured table"):
         s.execute("SELECT * FROM users_by_email")
+
+
+def test_clustering_order_desc_retained(spark):
+    """WITH CLUSTERING ORDER BY (c DESC) is retained: paged reads walk
+    the declared order, DESCRIBE round-trips the clause, and naming a
+    non-clustering column is rejected."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError
+
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE tl (room text, posted int, body text, "
+        "PRIMARY KEY (room, posted)) "
+        "WITH CLUSTERING ORDER BY (posted DESC)"
+    )
+    for i in (1, 3, 2, 5, 4):
+        s.execute(
+            f"INSERT INTO tl (room, posted, body) VALUES ('r', {i}, 'b{i}')"
+        )
+    page = s.execute_paged("SELECT * FROM tl WHERE room = 'r'", page_size=3)
+    got = [r.posted for r in page.df.collect()]
+    assert got == [5, 4, 3]  # DESC clustering order, newest first
+    ddl = s.execute("DESCRIBE TABLE tl").collect()[0].create_statement
+    assert "CLUSTERING ORDER BY (posted DESC)" in ddl
+    s2 = CqlSession(spark)
+    s2.execute(ddl.replace("session.", ""))
+    assert s2.table("tl").schema.clustering_desc == ("posted",)
+    with pytest.raises(CQLError, match="non-clustering"):
+        s.execute(
+            "CREATE TABLE bad (k text, c int, v text, PRIMARY KEY (k, c)) "
+            "WITH CLUSTERING ORDER BY (v DESC)"
+        )
