@@ -1710,6 +1710,22 @@ class CqlSession:
                 raise CQLError(f"keyspace {name!r} already exists")
             self.keyspaces[name] = _parse_replication(km.group("rep"))
             return None
+        if head.startswith("ALTER KEYSPA"):
+            am_ = re.match(
+                r"^\s*ALTER\s+KEYSPACE\s+(?P<name>\w+)\s+WITH\s+"
+                r"replication\s*=\s*\{(?P<rep>[^}]*)\}"
+                r"(?:\s+AND\s+durable_writes\s*=\s*(?:true|false))?"
+                r"\s*;?\s*$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if not am_:
+                raise CQLError(f"unsupported ALTER KEYSPACE: {stmt!r}")
+            self._check_perm("ALTER")
+            name = am_.group("name").lower()
+            if name not in self.keyspaces:
+                raise CQLError(f"unknown keyspace {name!r}")
+            self.keyspaces[name] = _parse_replication(am_.group("rep"))
+            return None
         if head.startswith("DROP KEYSPAC"):
             km = _DROP_KS_RE.match(stmt)
             if not km:

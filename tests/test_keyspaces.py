@@ -151,3 +151,25 @@ def test_copy_to_from_roundtrip(spark, tmp_path):
     s.execute(f"COPY src (k, n) TO '{p2}'")
     with open(p2) as fh:
         assert fh.readline().strip() == "k,n"
+
+
+def test_alter_keyspace_replication(spark):
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE KEYSPACE m WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    s.execute(
+        "ALTER KEYSPACE m WITH replication = "
+        "{'class': 'NetworkTopologyStrategy', 'dc1': '3'}"
+    )
+    ks = {
+        r.keyspace_name: r.replication
+        for r in s.execute("SELECT * FROM system_schema.keyspaces").collect()
+    }
+    assert "'dc1': '3'" in ks["m"]
+    with pytest.raises(CQLError, match="unknown keyspace"):
+        s.execute(
+            "ALTER KEYSPACE nope WITH replication = "
+            "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+        )
