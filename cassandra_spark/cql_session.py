@@ -811,17 +811,23 @@ class CqlSession:
         self._traces: list[tuple] = []
         self._tracing_on = False
 
-    def create_table(self, schema: TableSchema) -> CqlTable:
-        if self.current_ks is None:
+    def create_table(
+        self, schema: TableSchema, keyspace: str | None = None
+    ) -> CqlTable:
+        ks = keyspace or self.current_ks
+        if ks is None:
             raise CQLError("no keyspace selected (USE <keyspace> first)")
+        if schema.name in self.mat_views:
+            raise CQLError(
+                f"{schema.name!r} is a materialized view"
+            )
         if schema.name in self.tables:
             owner = self.table_keyspace.get(schema.name, "session")
             raise CQLError(
                 f"table {schema.name!r} already exists"
-                + (f" in keyspace {owner!r}" if owner != self.current_ks
-                   else "")
+                + (f" in keyspace {owner!r}" if owner != ks else "")
             )
-        self.table_keyspace[schema.name] = self.current_ks
+        self.table_keyspace[schema.name] = ks
         if schema.masks:
             self.masks.setdefault(schema.name, {}).update(schema.masks)
         spill = (
@@ -1359,14 +1365,18 @@ class CqlSession:
     def _check_perm(self, perm: str, table: str | None = None) -> None:
         """Authorization gate: the active role (or any role it holds,
         transitively) must hold ``perm`` (or ALL) on the table, its
-        keyspace, or ALL KEYSPACES; superusers bypass. Mirrors the
+        OWNING keyspace, or ALL KEYSPACES; superusers bypass. Mirrors the
         resource hierarchy of the reference's CassandraAuthorizer."""
         roles = self._role_closure(self.current_role)
         if any(self.roles.get(r, {}).get("is_superuser") for r in roles):
             return
-        resources = {"data", "data/session"}
+        resources = {"data"}
         if table is not None:
-            resources.add(f"data/session/{table.lower()}")
+            tks = self.table_keyspace.get(table.lower(), "session")
+            resources.add(f"data/{tks}")
+            resources.add(f"data/{tks}/{table.lower()}")
+        elif self.current_ks is not None:
+            resources.add(f"data/{self.current_ks}")
         for r in roles:
             for res, p in self.role_perms.get(r, ()):
                 if p in (perm, "ALL") and res in resources:
@@ -1383,15 +1393,16 @@ class CqlSession:
             return "data"
         if up.startswith("KEYSPACE "):
             ks = r.split()[1].lower()
-            if ks != "session":
-                # the one live keyspace; a typo'd grant would otherwise be
-                # recorded but never match in _check_perm — dead and silent
+            if ks not in self.keyspaces:
+                # a typo'd grant would otherwise be recorded but never
+                # match in _check_perm — dead and silent
                 raise CQLError(f"unknown keyspace {ks!r}")
             return f"data/{ks}"
         t = r.split()[-1].lower()
+        t = self._resolve(t) if "." in t else t
         if t not in self.tables:
             raise CQLError(f"unknown table {t!r}")
-        return f"data/session/{t}"
+        return f"data/{self.table_keyspace.get(t, 'session')}/{t}"
 
     def _auth_stmt(self, stmt: str) -> DataFrame | None:
         cm = _CREATE_ROLE_RE.match(stmt)
@@ -1549,12 +1560,24 @@ class CqlSession:
         all_cols = set(base_keys) | set(bs.regular) | set(bs.static)
         # view key: first component = partition key (composites rejected,
         # like base tables), rest clustering
-        pk_parts = [p.strip().lower() for p in m.group("pk").split(",")]
-        first = pk_parts[0]
-        if first.startswith("(") or pk_parts and ")" in first[1:]:
-            first = first.strip("()").strip()
-        vpk = first.strip("()").strip()
-        vck = tuple(p.strip("()").strip() for p in pk_parts[1:])
+        pk_body = m.group("pk").strip()
+        gm_ = re.match(r"^\(([^)]*)\)\s*(?:,(.*))?$", pk_body, re.DOTALL)
+        if gm_:
+            inner = gm_.group(1)
+            if "," in inner:
+                raise CQLError(
+                    "composite view partition keys are not supported "
+                    "(single-column partition keys only, like base tables)"
+                )
+            vpk = inner.strip().lower()
+            rest = gm_.group(2) or ""
+        else:
+            parts0 = pk_body.split(",", 1)
+            vpk = parts0[0].strip().lower()
+            rest = parts0[1] if len(parts0) > 1 else ""
+        vck = tuple(
+            p.strip().lower() for p in rest.split(",") if p.strip()
+        )
         vkeys = [vpk, *vck]
         for c in vkeys:
             if c not in all_cols:
@@ -1622,8 +1645,10 @@ class CqlSession:
         through the client. FROM streams CSV rows back through the
         session's normal INSERT path so LWW/clock semantics apply
         (cqlsh COPY FROM issues batched INSERTs the same way). Empty
-        cells are skipped columns (unset), not empty strings. Returns
-        the row count moved."""
+        cells are skipped columns (unset), not empty strings — the same
+        NULL-representation ambiguity cqlsh's default NULL='' has.
+        Scalar columns only (collections/UDTs rejected up front).
+        Returns the row count moved."""
         import csv
 
         name = m.group("table").lower()
@@ -1635,6 +1660,16 @@ class CqlSession:
             else [sch.partition_key, *sch.clustering]
             + sorted(sch.static) + sorted(sch.regular)
         )
+        # scalar columns only: collection/UDT literals don't round-trip
+        # through CSV in this engine (name the scalar columns explicitly
+        # to copy a table that has complex columns)
+        for c in cols:
+            typ = sch.regular.get(c) or sch.static.get(c) or ""
+            if any(typ.startswith(k) for k in
+                   ("list<", "set<", "map<", "struct<", "array<")):
+                raise CQLError(
+                    f"COPY supports scalar columns only ({c!r} is {typ})"
+                )
         path = m.group("path")
         if m.group("dir").upper() == "TO":
             self._check_perm("SELECT", name)
@@ -1813,6 +1848,14 @@ class CqlSession:
                     return None
                 raise CQLError(f"unknown table {name!r}")
             self._check_perm("DROP", name)
+            dependents = [
+                v for v, spec in self.mat_views.items() if spec[0] == name
+            ]
+            if dependents:
+                raise CQLError(
+                    f"cannot drop table {name!r}: materialized views "
+                    f"depend on it: {sorted(dependents)}"
+                )
             self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
             self.masks.pop(name, None)
@@ -1892,13 +1935,20 @@ class CqlSession:
                 stmt, re.IGNORECASE,
             ):
                 raise CQLError(f"unsupported CREATE FUNCTION/AGGREGATE: {stmt!r}")
+            qm_ = re.match(
+                r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(\w+)\s*\.", stmt, re.IGNORECASE,
+            )
+            target_ks = qm_.group(1).lower() if qm_ else None
+            if target_ks is not None and target_ks not in self.keyspaces:
+                raise CQLError(f"unknown keyspace {target_ks!r}")
             schema = parse_create_table(stmt, self.types)
             if re.match(
                 r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
             ) and schema.name in self.tables:
                 return None
             self._check_perm("CREATE")
-            self.create_table(schema)
+            self.create_table(schema, keyspace=target_ks)
             return None
         if head.startswith("SELECT"):
             snapshots = self._catalog_overrides()
@@ -1930,9 +1980,9 @@ class CqlSession:
                 key = self._resolve(fm_.group(1))
                 if key in self.tables:
                     self._check_perm("SELECT", key)
-            elif fm_ and fm_.group(1).lower() in self.mat_views:
-                # view reads are reads of the base table's data
-                self._check_perm("SELECT", self.mat_views[fm_.group(1).lower()][0])
+                elif key in self.mat_views:
+                    # view reads are reads of the base table's data
+                    self._check_perm("SELECT", self.mat_views[key][0])
             df = cql_select(
                 self.spark, self.sf_dir,
                 self._expand_udfs(self._expand_udas(stmt)),
@@ -2013,6 +2063,10 @@ class CqlSession:
             },
             "keyspaces": self.keyspaces,
             "table_keyspace": self.table_keyspace,
+            "mat_views": {
+                v: [spec[0], spec[1], list(spec[2]), spec[3]]
+                for v, spec in self.mat_views.items()
+            },
             "tables": {},
         }
         for name, t in self.tables.items():
@@ -2045,6 +2099,10 @@ class CqlSession:
                     "static": s.static,
                     "key_types": s.key_types,
                     "default_ttl": s.default_ttl,
+                    "clustering_desc": list(s.clustering_desc),
+                    "compression": s.compression,
+                    "compaction": s.compaction,
+                    "compaction_min_threshold": s.compaction_min_threshold,
                 },
                 "segments": segs,
                 "state": {
@@ -2085,9 +2143,13 @@ class CqlSession:
         self.masks = {
             t: dict(cols) for t, cols in manifest["masks"].items()
         }
-        # keyspace registry + table tags (older snapshots omit them)
+        # keyspace registry + table tags + views (older snapshots omit)
         self.keyspaces.update(manifest.get("keyspaces", {}))
         restored_tags = manifest.get("table_keyspace", {})
+        for v, spec in manifest.get("mat_views", {}).items():
+            self.mat_views[v] = (
+                spec[0], spec[1], tuple(spec[2]), spec[3]
+            )
         for name, entry in manifest["tables"].items():
             sch = entry["schema"]
             t = self.create_table(
@@ -2100,6 +2162,12 @@ class CqlSession:
                     static=dict(sch["static"]),
                     key_types=dict(sch["key_types"]),
                     default_ttl=sch.get("default_ttl", 0),
+                    clustering_desc=tuple(sch.get("clustering_desc", ())),
+                    compression=sch.get("compression", ""),
+                    compaction=sch.get("compaction", ""),
+                    compaction_min_threshold=sch.get(
+                        "compaction_min_threshold", 4
+                    ),
                 )
             )
             if t.spill_dir is None:
@@ -2201,6 +2269,7 @@ class CqlSession:
         masks, WITH options, and CLUSTERING ORDER BY when any clustering
         column is declared DESC."""
         t = self.tables[name]
+        ksname = self.table_keyspace.get(name, "session")
         s = t.schema
         masks = self.masks.get(name, {})
         lines = []
@@ -2255,7 +2324,7 @@ class CqlSession:
             )
         opts = " WITH " + " AND ".join(clauses) if clauses else ""
         return (
-            f"CREATE TABLE session.{name} (\n"
+            f"CREATE TABLE {ksname}.{name} (\n"
             + ",\n".join(lines)
             + f"\n){opts};"
         )
@@ -2292,7 +2361,8 @@ class CqlSession:
             name = what.split()[1].lower()
             if name not in self.tables:
                 raise CQLError(f"unknown table {name!r}")
-            rows = [("session", "table", name, self._table_ddl(name))]
+            tks = self.table_keyspace.get(name, "session")
+            rows = [(tks, "table", name, self._table_ddl(name))]
             for iname, (tbl, col, kind) in sorted(self.index_names.items()):
                 if tbl == name:
                     target = f"KEYS({col})" if kind == "keys" else col
@@ -2302,9 +2372,9 @@ class CqlSession:
                         else ""
                     )
                     rows.append(
-                        ("session", "index", iname,
+                        (tks, "index", iname,
                          f"CREATE {'CUSTOM ' if custom else ''}INDEX {iname} "
-                         f"ON session.{name} ({target}){custom};")
+                         f"ON {tks}.{name} ({target}){custom};")
                     )
         else:  # KEYSPACE
             rows = [
@@ -2762,6 +2832,18 @@ class CqlSession:
         - counter and non-counter mutations cannot mix (reference rule:
           counter batches are a distinct batch kind).
         """
+        # strip ks.table qualifiers FIRST (validating tags) so both the
+        # single-table delegation and the per-sub parsers see the bare
+        # names the tables' own DML parsers accept; re-match afterwards
+        for raw in {
+            m.group(1) for m in _DML_TABLE_RE.finditer(stmt)
+        }:
+            key = self._resolve(raw)
+            if raw.lower() != key:
+                stmt = re.sub(
+                    rf"(?<=\s){re.escape(raw)}(?=[\s(])", key, stmt
+                )
+        bm = _BATCH_RE.match(stmt) or bm
         subs = [
             sub for sub in re.split(r";\s*", bm.group("body")) if sub.strip()
         ]
@@ -2770,7 +2852,7 @@ class CqlSession:
             tm = _DML_TABLE_RE.search(sub)
             if not tm:
                 raise CQLError(f"unsupported statement in batch: {sub!r}")
-            names.append(tm.group(1).lower())
+            names.append(self._resolve(tm.group(1)))
         # authorization covers every touched table BEFORE any mutation is
         # applied (a denied batch must be a no-op, like any failed batch)
         for n in sorted(set(names)):

@@ -173,3 +173,88 @@ def test_alter_keyspace_replication(spark):
             "ALTER KEYSPACE nope WITH replication = "
             "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
         )
+
+
+def test_second_review_fixes(spark, tmp_path):
+    """Round-5 second-review pins: (1) view reads enforce base-table
+    SELECT; (2) DROP TABLE with dependent views is rejected; (3) snapshot
+    carries new schema fields + views; (4) CREATE TABLE ks.t honors the
+    qualifier; (5) composite view partition keys rejected; (6) grants on
+    NEW keyspaces work and keyspace grants don't leak across keyspaces;
+    (7) qualified DML inside BATCH works; (8) DESCRIBE emits the owning
+    keyspace; (9) table/view name collisions rejected; (10) COPY rejects
+    collection columns."""
+    s = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    s.execute(
+        "CREATE KEYSPACE app WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    # (4) qualified CREATE honors the keyspace while session is current
+    s.execute("CREATE TABLE app.ev (k text PRIMARY KEY, n int)")
+    s.execute("INSERT INTO app.ev (k, n) VALUES ('a', 1)")
+    assert [r.n for r in s.execute("SELECT n FROM app.ev").collect()] == [1]
+    with pytest.raises(CQLError, match="unknown table"):
+        s.execute("SELECT * FROM session.ev")
+    # (8) DESCRIBE names the owning keyspace
+    ddl = s.execute("DESCRIBE TABLE ev").collect()[0].create_statement
+    assert "CREATE TABLE app.ev" in ddl
+    # (7) qualified DML inside a batch
+    s.execute(
+        "BEGIN BATCH INSERT INTO app.ev (k, n) VALUES ('b', 2); "
+        "INSERT INTO app.ev (k, n) VALUES ('c', 3); APPLY BATCH"
+    )
+    assert s.execute("SELECT * FROM app.ev").count() == 3
+    # (6) grants on the new keyspace work; session grants don't leak
+    s.execute("CREATE TABLE base (k text PRIMARY KEY, v text)")
+    s.execute("INSERT INTO base (k, v) VALUES ('x', 'y')")
+    s.execute("CREATE ROLE r1 WITH LOGIN = true")
+    s.execute("GRANT SELECT ON KEYSPACE session TO r1")
+    s.login("r1")
+    s.execute("SELECT * FROM base")
+    with pytest.raises(CQLError, match="no SELECT"):
+        s.execute("SELECT * FROM app.ev")  # session grant must not leak
+    s.login("cassandra")
+    s.execute("GRANT SELECT ON KEYSPACE app TO r1")
+    s.login("r1")
+    s.execute("SELECT * FROM app.ev")
+    s.login("cassandra")
+    # (1) view reads enforce base SELECT; (9) name collision; (2) DROP gate
+    s.execute(
+        "CREATE MATERIALIZED VIEW by_v AS SELECT k, v FROM base "
+        "WHERE v IS NOT NULL AND k IS NOT NULL PRIMARY KEY (v, k)"
+    )
+    with pytest.raises(CQLError, match="is a materialized view"):
+        s.execute("CREATE TABLE by_v (k text PRIMARY KEY)")
+    s.execute("CREATE ROLE novis WITH LOGIN = true")
+    s.execute("GRANT MODIFY ON TABLE base TO novis")
+    s.login("novis")
+    with pytest.raises(CQLError, match="no SELECT"):
+        s.execute("SELECT * FROM by_v")
+    s.login("cassandra")
+    with pytest.raises(CQLError, match="depend on it"):
+        s.execute("DROP TABLE base")
+    # (5) composite view partition key rejected
+    with pytest.raises(CQLError, match="composite view partition"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, v FROM base "
+            "WHERE v IS NOT NULL AND k IS NOT NULL PRIMARY KEY ((v, k))"
+        )
+    # (10) COPY rejects collections
+    s.execute("CREATE TABLE coll (k text PRIMARY KEY, tags set<text>)")
+    with pytest.raises(CQLError, match="scalar columns only"):
+        s.execute(f"COPY coll TO '{tmp_path}/x.csv'")
+    # (3) snapshot carries options + views + DESC order
+    s.execute(
+        "CREATE TABLE opts2 (k text, c int, v int, PRIMARY KEY (k, c)) "
+        "WITH CLUSTERING ORDER BY (c DESC) AND "
+        "compression = {'class': 'ZstdCompressor'}"
+    )
+    snap = str(tmp_path / "snap")
+    s.snapshot_keyspace(snap)
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
+    s2.restore_keyspace(snap)
+    sch = s2.table("opts2").schema
+    assert sch.clustering_desc == ("c",)
+    assert sch.compression == "ZstdCompressor"
+    assert "by_v" in s2.mat_views
+    assert {r.k for r in s2.execute("SELECT * FROM by_v").collect()} == {"x"}
