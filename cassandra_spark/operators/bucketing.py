@@ -94,14 +94,32 @@ def cobucket_fact_tables(
     return "lineitem_b", "orders_b"
 
 
+def buckets_for(n_rows: int, target: int = 2_000_000) -> int:
+    """Bucket-count sizing: hold rows-per-bucket ~constant (power of two,
+    >= 8). A FIXED bucket count is a scale killer in disguise: the
+    zero-exchange SortMergeJoin runs ONE task per bucket, so 8 buckets
+    that saturate local[32] at sf0.1 cap the 100x corpus's join at 8-way
+    parallelism — measured 15.4 s vs 8.9 s for the plain shuffle join
+    before this rule. At a real 1000-executor cluster the same sizing
+    rule applies with a larger target per bucket."""
+    b = 8
+    while n_rows > target * b and b < 4096:
+        b *= 2
+    return b
+
+
 def ensure_bucketed_layout(
-    spark: SparkSession, sf_dir: str, buckets: int = 8
+    spark: SparkSession, sf_dir: str, buckets: int | None = None
 ) -> tuple[str, str]:
     """Idempotently materialize the co-bucketed fact layout for ``sf_dir``
     (skipped when this session already registered it). Tables are tagged
-    per corpus dir so different scale factors coexist in one session; the
-    parquet lands under the session's warehouse dir."""
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    per corpus dir AND bucket count so different scale factors coexist in
+    one session; the parquet lands under the session's warehouse dir.
+    The bucket count derives from the fact-table row count
+    (:func:`buckets_for`) unless pinned by the caller."""
+    if buckets is None:
+        buckets = buckets_for(Catalog(spark, sf_dir).lineitem.count())
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/")) + f"_b{buckets}"
     li, o = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     if not (spark.catalog.tableExists(li) and spark.catalog.tableExists(o)):
         wh = spark.conf.get("spark.sql.warehouse.dir")
