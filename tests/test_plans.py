@@ -531,3 +531,35 @@ def test_pagerank_edges_single_window_shuffle(spark):
 def test_pagerank_iterations_never_cartesian(spark):
     plan = plan_of(spark, "x43_event_pagerank")
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_single_content_shuffle(spark):
+    """l27: the span explode is shuffle-free (generator in the scan
+    stage); exactly one content-keyed exchange ranks global first
+    occurrences, one more reassembles docs — and never a cartesian."""
+    plan = plan_of(spark, "l27_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Generate" in plan  # posexplode stays in the scan-side stage
+
+
+def test_pq_ann_broadcasts_model_never_corpus(spark):
+    """l26: the ADC scan joins the corpus codes against BROADCAST query
+    LUT rows; the re-rank query side is the PQ_NQ vectors, never the
+    corpus (the second-review fix); no cartesian products."""
+    plan = plan_of(spark, "l26_pq_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # shortlist/rerank sorts are windowed topk-per-query, tiny rows
+
+
+def test_ivf_neardup_one_shuffle_to_cells(spark):
+    """l2d prod: one hash exchange ships each vector to its probe cells;
+    verification runs INSIDE the cell groups (FlatMapGroupsInPandas) —
+    no pair-wise join of full vectors, no cartesian."""
+    plan = plan_of(spark, "l2d_embedding_neardup_prod")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the only wide exchange is the groupBy(gcell) shuffle (plus the
+    # explode's narrow stages); no join operator touches full vectors
+    assert "SortMergeJoin" not in plan
