@@ -471,3 +471,60 @@ def s12_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink_name("s12_session")
     run_available_now(sessions, name, output_mode="complete")
     return spark.table(name)
+
+
+_S13_AGREE = " + ".join(
+    f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(8)
+)
+
+
+@query(
+    "s13_streaming_neardup",
+    oracle=f"""
+    WITH {{mh_cte}},
+    bands AS (
+      SELECT doc_id, b.band_id,
+             CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS band_val
+      FROM banded CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, n_agree FROM (
+      SELECT doc_a, doc_b, {_S13_AGREE} AS n_agree
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+    ) WHERE n_agree >= 6
+    """.format(mh_cte=__import__(
+        "cassandra_spark.operators.llm_dedup", fromlist=["_minhash_sql_cte"]
+    )._minhash_sql_cte()),
+)
+def s13_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end: documents staged as 4 parquet files drain through
+    the REAL stateful streaming near-dup job (maxFilesPerTrigger=1 → 4
+    micro-batch epochs, per-bucket signature state in the state store),
+    and the emitted pair set must equal the one-shot batch rule exactly —
+    possible only if bucket state survived across epochs, since most
+    pairs' members arrive in different batches. Pairs found through
+    multiple shared bands collapse by DISTINCT (same n_agree each time,
+    a pure signature function). See jobs.streaming_neardup."""
+    import os
+    import tempfile
+
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s13_neardup_")
+    src = os.path.join(tmp, "src")
+    Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = jobs.streaming_neardup(spark, src)
+    name = _sink_name("s13_pairs")
+    jobs.run_available_now(stream, name, output_mode="append")
+    return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()

@@ -727,3 +727,111 @@ def streaming_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- S13: streaming MinHash near-dup detection ------------------------------
+
+
+def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
+    """S13: near-duplicate detection AGAINST GROWING STATE — the streaming
+    form of l2's shingle→MinHash→band pipeline, the shape an ingestion
+    path needs (is this incoming document a near-dup of ANYTHING already
+    ingested?).
+
+    Per micro-batch: documents project to their 8-perm MinHash signature
+    and 4 band buckets with the SAME integer expressions as the batch
+    operator (bit-identical signatures); each document then routes to its
+    4 (band_id, band_val) keys, and a per-bucket applyInPandasWithState
+    holds the signatures of every document previously seen in that
+    bucket. An arriving document emits one pair row per stored neighbor
+    whose signature agrees on >= 6 of 8 components — pairs are emitted
+    canonically (low id, high id), so the output SET is independent of
+    arrival order: whichever of the pair arrives second finds the first
+    in state. State is O(bucket occupancy) signatures, partitioned by
+    bucket key across executors — the streaming dual of the batch
+    Σ bucket² candidate bound.
+
+    The 6/8 agreement threshold is this operator's own verification
+    contract (signature agreement, NOT re-computed Jaccard: streaming
+    state holds 8 longs per doc, never shingle sets) — deterministic and
+    SQL-expressible, so the oracle replays the same rule one-shot."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    from cassandra_spark.operators.llm_dedup import (
+        BAND_MIX,
+        MH_A,
+        MH_B,
+        MOD,
+        WORD_HASH_SPARK,
+        shingle_expr_spark,
+    )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # 4 staged files -> 4 epochs
+        .parquet(src)
+    )
+    sig = docs.select(
+        "doc_id", F.expr(WORD_HASH_SPARK).alias("wh")
+    ).filter(F.size("wh") >= 3).withColumn(
+        "sh", F.expr(shingle_expr_spark(3))
+    )
+    for j, (a, b) in enumerate(zip(MH_A, MH_B)):
+        sig = sig.withColumn(
+            f"mh{j}",
+            F.expr(f"array_min(transform(sh, s -> ({a} * s + {b}) % {MOD}))"),
+        )
+    sig = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{j}") for j in range(8)]).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"mh{2 * b}") * BAND_MIX + F.col(f"mh{2 * b + 1}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+    out_schema = StructType.fromDDL(
+        "doc_a long, doc_b long, n_agree int"
+    )
+    state_schema = StructType.fromDDL(
+        "ids array<long>, sigs array<long>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        ids, flat = state.get if state.exists else ([], [])
+        ids = list(ids)
+        mat = np.array(flat, dtype=np.int64).reshape(-1, 8)
+        out_a, out_b, out_n = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sig_arr in zip(pdf["doc_id"], pdf["sig"]):
+                s = np.asarray(sig_arr, dtype=np.int64)
+                if len(ids):
+                    agree = (mat == s[None, :]).sum(axis=1)
+                    for other, n in zip(ids, agree):
+                        if n >= 6 and other != doc_id:
+                            out_a.append(min(other, int(doc_id)))
+                            out_b.append(max(other, int(doc_id)))
+                            out_n.append(int(n))
+                ids.append(int(doc_id))
+                mat = np.vstack([mat, s[None, :]])
+        state.update((ids, [int(x) for x in mat.reshape(-1)]))
+        yield pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "n_agree": out_n}
+        )
+
+    return sig.groupBy("band_id", "band_val").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

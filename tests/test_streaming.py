@@ -540,3 +540,54 @@ def test_streaming_hll_state_bounded_and_exact(spark):
     )
     for r in batch:
         assert got[r.day][1] == r.n_buckets
+
+
+def test_s13_neardup_pairs_cross_microbatches(spark):
+    """The streaming near-dup's point is state ACROSS epochs: stage docs
+    so each near-dup pair's members land in DIFFERENT source files (odd /
+    even doc_id), drain with maxFilesPerTrigger=1, and the emitted pair
+    set must still equal the one-shot batch rule."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.streaming_batch import _sink_name
+    from cassandra_spark.streaming import jobs
+    from tests.conftest import SF_SMOKE
+
+    tmp = tempfile.mkdtemp(prefix="s13_split_")
+    src = os.path.join(tmp, "src")
+    docs = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(src)
+    )
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    stream = jobs.streaming_neardup(spark, src)
+    name = _sink_name("s13_split")
+    jobs.run_available_now(stream, name, output_mode="append")
+    got = {
+        (r.doc_a, r.doc_b, r.n_agree)
+        for r in spark.table(name).distinct().collect()
+    }
+    # one-shot truth from the registered oracle
+    from cassandra_spark import registry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    truth = {
+        tuple(r)
+        for r in con.execute(
+            registry.ORACLE["s13_streaming_neardup"]
+        ).fetchall()
+    }
+    assert got == truth
+    assert truth, "fixture should contain near-dup pairs"
+    # at least one pair genuinely crossed the odd/even file split
+    assert any((a % 2) != (b % 2) for a, b, _ in truth)
