@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
-from cassandra_spark.exactmath import dec, sql_double
+from cassandra_spark.exactmath import dec, dsum, sql_double
 from cassandra_spark.registry import query
 
 _ORACLE = f"""
@@ -123,4 +123,81 @@ def w11_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_dec").cast("double").alias("total"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w21: incremental JOIN-view maintenance (the denormalized double-write)
+# ---------------------------------------------------------------------------
+#
+# The reference's canonical data-modeling pattern is the denormalized
+# double-write: an ENRICHMENT view (fact joined with its dimension) kept
+# in lockstep with the base table. w11 covers the aggregate-view delta
+# algebra; this covers the join view:
+#
+#   view1 = (view0 ANTI-JOIN deleted keys) UNION (delta JOIN dim)
+#
+# The incremental path never re-joins OLD fact rows with the dimension —
+# only the delta batch touches the join — and the dimension side is
+# broadcast (model-sized). The oracle recomputes the final enriched view
+# from scratch; equality proves the maintenance algebra exact, including
+# delete retraction.
+#
+# Change set (deterministic, standing in for a CDC batch):
+#   - orders with o_orderkey % 97 = 3 are NEW (arrive after view0 built)
+#   - orders with o_orderkey % 97 = 11 are DELETED
+
+_W21_ORACLE = f"""
+WITH final_orders AS (
+    SELECT * FROM orders WHERE NOT (o_orderkey % 97 = 11)
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {sql_double("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+FROM final_orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("w21_join_mv_incremental", oracle=_W21_ORACLE)
+def w21_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an enrichment (join) view — see the
+    block comment. view0 is persisted as the stand-in for the stored
+    view table (at 100 TB it IS a table); the maintenance step anti-joins
+    the delete keys (broadcast — a CDC batch's key set is small) and
+    unions the delta batch joined against the BROADCAST dimension. The
+    returned aggregate over the maintained view equals the
+    from-scratch recompute bit-for-bit (decimal sums)."""
+    cat = Catalog(spark, sf_dir)
+    orders, cust = cat.orders, cat.customer
+    is_new = F.col("o_orderkey") % 97 == 3
+    is_del = F.col("o_orderkey") % 97 == 11
+    enrich_cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment",
+    ]
+    # the stored view: everything that existed before the CDC batch
+    view0 = (
+        orders.filter(~is_new)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(*enrich_cols)
+        .persist()
+    )
+    # maintenance: retract deletes, append the enriched delta
+    del_keys = orders.filter(is_del).select("o_orderkey")
+    delta = (
+        orders.filter(is_new)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(*enrich_cols)
+    )
+    view1 = view0.join(
+        F.broadcast(del_keys), "o_orderkey", "left_anti"
+    ).unionByName(delta)
+    return (
+        view1.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -563,3 +563,13 @@ def test_ivf_neardup_one_shuffle_to_cells(spark):
     # the only wide exchange is the groupBy(gcell) shuffle (plus the
     # explode's narrow stages); no join operator touches full vectors
     assert "SortMergeJoin" not in plan
+
+
+def test_join_mv_maintenance_broadcasts_delta_side(spark):
+    """w21: the maintenance step's joins (delta x dim, view0 anti delete
+    keys) are both broadcast — only the stored view scans at size; no
+    shuffle join and no cartesian anywhere."""
+    plan = plan_of(spark, "w21_join_mv_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dim + delete-key set
