@@ -164,49 +164,12 @@ def parse_create_table(
     # write-path semantics (`[C* schema/TableParams defaultTimeToLive,
     # unverified]`); everything else (compaction, caching, ...) is
     # physical-layout advice this engine's parquet/memtable model owns
-    default_ttl = 0
-    unquoted = re.sub(r"'[^']*'", "''", with_rest or "")  # strip literals:
-    # a comment = '... default_time_to_live = 9 ...' must not match
-    dm = re.search(
-        r"default_time_to_live\s*=\s*(\d+)", unquoted, re.IGNORECASE
-    )
-    if dm:
-        default_ttl = int(dm.group(1))
-    # WITH compression / compaction maps (class names live INSIDE quotes,
-    # so these match against the raw WITH clause)
-    compression = ""
-    cm_ = re.search(
-        r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
-        with_rest or "", re.IGNORECASE,
-    )
-    if cm_:
-        compression = cm_.group(1)
-        if compression not in _COMPRESSORS:
-            raise CQLError(f"unsupported compressor {compression!r}")
-    compaction = ""
-    min_threshold = 4
-    km_ = re.search(
-        r"compaction\s*=\s*\{(?P<body>[^}]*)\}", with_rest or "",
-        re.IGNORECASE,
-    )
-    if km_:
-        kcls = re.search(
-            r"'class'\s*:\s*'(\w+)'", km_.group("body"), re.IGNORECASE
-        )
-        if not kcls or kcls.group(1) != "SizeTieredCompactionStrategy":
-            raise CQLError(
-                "only SizeTieredCompactionStrategy is supported "
-                f"(got {kcls.group(1) if kcls else None!r})"
-            )
-        compaction = kcls.group(1)
-        mt = re.search(
-            r"'min_threshold'\s*:\s*'?(\d+)'?", km_.group("body"),
-            re.IGNORECASE,
-        )
-        if mt:
-            min_threshold = int(mt.group(1))
-            if min_threshold < 2:
-                raise CQLError("min_threshold must be >= 2")
+    # shared WITH-option families (also the ALTER TABLE ... WITH parser)
+    topts = _parse_table_options(with_rest or "")
+    default_ttl = topts.get("default_ttl", 0)
+    compression = topts.get("compression", "")
+    compaction = topts.get("compaction", "")
+    min_threshold = topts.get("compaction_min_threshold", 4)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -442,7 +405,8 @@ _ALTER_RE = re.compile(
     r"|ALTER\s+(?P<unmaskcol>\w+)\s+DROP\s+MASKED"
     r"|ALTER\s+(?P<maskcol>\w+)\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?"
     r"(?P<maskfn>\w+)\s*\((?P<maskargs>[^)]*)\)"
-    r"|DROP\s+(?P<dropcol>\w+))\s*;?\s*$",
+    r"|DROP\s+(?P<dropcol>\w+)"
+    r"|WITH\s+(?P<withopts>.+?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UNMASK_RE = re.compile(
@@ -691,6 +655,49 @@ def _decode_state(state: str) -> list:
         return vals
     except Exception:
         raise CQLError("invalid paging state") from None
+
+
+def _parse_table_options(with_text: str) -> dict:
+    """The WITH option families with retained semantics (shared by
+    CREATE TABLE and ALTER TABLE ... WITH): default_time_to_live,
+    compression, compaction. Returns only the options present."""
+    out: dict = {}
+    unquoted = re.sub(r"'[^']*'", "''", with_text)
+    dm = re.search(
+        r"default_time_to_live\s*=\s*(\d+)", unquoted, re.IGNORECASE
+    )
+    if dm:
+        out["default_ttl"] = int(dm.group(1))
+    cm_ = re.search(
+        r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
+        with_text, re.IGNORECASE,
+    )
+    if cm_:
+        if cm_.group(1) not in _COMPRESSORS:
+            raise CQLError(f"unsupported compressor {cm_.group(1)!r}")
+        out["compression"] = cm_.group(1)
+    km_ = re.search(
+        r"compaction\s*=\s*\{(?P<body>[^}]*)\}", with_text, re.IGNORECASE
+    )
+    if km_:
+        kcls = re.search(
+            r"'class'\s*:\s*'(\w+)'", km_.group("body"), re.IGNORECASE
+        )
+        if not kcls or kcls.group(1) != "SizeTieredCompactionStrategy":
+            raise CQLError(
+                "only SizeTieredCompactionStrategy is supported "
+                f"(got {kcls.group(1) if kcls else None!r})"
+            )
+        out["compaction"] = kcls.group(1)
+        mt = re.search(
+            r"'min_threshold'\s*:\s*'?(\d+)'?", km_.group("body"),
+            re.IGNORECASE,
+        )
+        if mt:
+            if int(mt.group(1)) < 2:
+                raise CQLError("min_threshold must be >= 2")
+            out["compaction_min_threshold"] = int(mt.group(1))
+    return out
 
 
 def _replication_text(params: dict) -> str:
@@ -1052,6 +1059,25 @@ class CqlSession:
         s = table.schema
         if s.counter:
             raise CQLError("ALTER is not supported on counter tables")
+        if m.group("withopts"):
+            # ALTER TABLE ... WITH: the reference's live table-option
+            # change. New settings govern FUTURE activity (new segments
+            # use the new codec, the new strategy picks the next
+            # compaction, the new TTL applies to subsequent writes);
+            # existing segments are untouched, as on a real cluster.
+            opts = _parse_table_options(m.group("withopts"))
+            if not opts:
+                raise CQLError(
+                    f"unsupported ALTER TABLE options: "
+                    f"{m.group('withopts')!r}"
+                )
+            if opts.get("default_ttl") and s.counter:
+                raise CQLError(
+                    "default_time_to_live is not supported on counter tables"
+                )
+            for k, v in opts.items():
+                setattr(s, k, v)
+            return
         if m.group("maskcol") or m.group("unmaskcol"):
             col = (m.group("maskcol") or m.group("unmaskcol")).lower()
             if (

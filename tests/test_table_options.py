@@ -101,3 +101,37 @@ def test_describe_round_trips_options(spark):
     assert sch.compaction == "SizeTieredCompactionStrategy"
     assert sch.compaction_min_threshold == 6
     assert sch.default_ttl == 60
+
+
+def test_alter_table_with_options(spark, tmp_path):
+    """ALTER TABLE ... WITH changes future behavior: new segments take
+    the new codec, the new default TTL applies to subsequent writes, and
+    DESCRIBE reflects the change; bad options rejected."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=20)
+    s.execute("CREATE TABLE aw (k text PRIMARY KEY, v text)")
+    for i in range(25):
+        s.execute(f"INSERT INTO aw (k, v) VALUES ('a{i}', 'x')")
+    t = s.table("aw")
+    import pyarrow.parquet as pq
+
+    old_codec = pq.ParquetFile(t._segments[0]).metadata.row_group(0).column(0).compression
+    assert old_codec == "SNAPPY"
+    s.execute(
+        "ALTER TABLE aw WITH compression = {'class': 'ZstdCompressor'} "
+        "AND default_time_to_live = 7"
+    )
+    for i in range(25):
+        s.execute(f"INSERT INTO aw (k, v) VALUES ('b{i}', 'y')")
+    # old segment untouched, new segment on the new codec
+    codecs = {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression
+        for p in t._segments
+    }
+    assert codecs == {"SNAPPY", "ZSTD"}
+    assert t.schema.default_ttl == 7
+    ddl = s.execute("DESCRIBE TABLE aw").collect()[0].create_statement
+    assert "ZstdCompressor" in ddl and "default_time_to_live = 7" in ddl
+    with pytest.raises(CQLError, match="unsupported compressor"):
+        s.execute("ALTER TABLE aw WITH compression = {'class': 'Nope'}")
+    with pytest.raises(CQLError, match="unsupported ALTER TABLE options"):
+        s.execute("ALTER TABLE aw WITH read_repair_chance = 0.1")
