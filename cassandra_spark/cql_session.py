@@ -867,6 +867,16 @@ class CqlSession:
             raise CQLError(
                 "no keyspace selected (USE <keyspace> first)"
             )
+        if (
+            n in self.tables
+            and self.table_keyspace.get(n, "session") != self.current_ks
+        ):
+            # a bare name only sees the CURRENT keyspace (the fuzz
+            # harness caught the session resolving session-owned tables
+            # while USE'd into another keyspace)
+            raise CQLError(
+                f"unknown table {name!r} in keyspace {self.current_ks!r}"
+            )
         return n
 
     def table(self, name: str) -> CqlTable:
@@ -2858,27 +2868,27 @@ class CqlSession:
         - counter and non-counter mutations cannot mix (reference rule:
           counter batches are a distinct batch kind).
         """
-        # strip ks.table qualifiers FIRST (validating tags) so both the
-        # single-table delegation and the per-sub parsers see the bare
-        # names the tables' own DML parsers accept; re-match afterwards
-        for raw in {
-            m.group(1) for m in _DML_TABLE_RE.finditer(stmt)
-        }:
-            key = self._resolve(raw)
-            if raw.lower() != key:
-                stmt = re.sub(
-                    rf"(?<=\s){re.escape(raw)}(?=[\s(])", key, stmt
-                )
-        bm = _BATCH_RE.match(stmt) or bm
+        # resolve every touched name ONCE (validating keyspace tags),
+        # then strip the qualifiers so the tables' own DML parsers (bare
+        # names) accept the sub-statements the single-DML path accepts
         subs = [
             sub for sub in re.split(r";\s*", bm.group("body")) if sub.strip()
         ]
         names: list[str] = []
-        for sub in subs:
+        for i, sub in enumerate(subs):
             tm = _DML_TABLE_RE.search(sub)
             if not tm:
                 raise CQLError(f"unsupported statement in batch: {sub!r}")
-            names.append(self._resolve(tm.group(1)))
+            key = self._resolve(tm.group(1))
+            names.append(key)
+            if tm.group(1).lower() != key:
+                subs[i] = sub[: tm.start(1)] + key + sub[tm.end(1):]
+        stmt = (
+            stmt[: bm.start("body")]
+            + "; ".join(subs) + "; "
+            + stmt[bm.end("body"):]
+        )
+        bm = _BATCH_RE.match(stmt) or bm
         # authorization covers every touched table BEFORE any mutation is
         # applied (a denied batch must be a no-op, like any failed batch)
         for n in sorted(set(names)):
@@ -2886,8 +2896,11 @@ class CqlSession:
         if len(set(names)) <= 1:
             # single-table batch: the table's own execute() already does
             # shared-timestamp + all-or-nothing + conditional-batch rules
-            return self.table(names[0]).execute(stmt) if names else None
-        tables = [self.table(n) for n in names]
+            # (names are already RESOLVED keys — index the registry
+            # directly, a bare re-resolve would re-apply current-keyspace
+            # scoping to a table the qualifier already selected)
+            return self.tables[names[0]].execute(stmt) if names else None
+        tables = [self.tables[n] for n in names]
         involved: dict[str, CqlTable] = {t.schema.name: t for t in tables}
         if len({t.schema.counter for t in involved.values()}) > 1:
             raise CQLError(

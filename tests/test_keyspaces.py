@@ -258,3 +258,102 @@ def test_second_review_fixes(spark, tmp_path):
     assert sch.compression == "ZstdCompressor"
     assert "by_v" in s2.mat_views
     assert {r.k for r in s2.execute("SELECT * FROM by_v").collect()} == {"x"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# mini-fuzz over the keyspace/DDL surface: random interleavings of
+# CREATE KEYSPACE / USE / CREATE TABLE / DROP KEYSPACE / INSERT against
+# a 20-line python model of the namespace rules — the session must agree
+# on which statements succeed AND on the final namespace state.
+_op_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("cks"), st.sampled_from("ab")),
+        st.tuples(st.just("use"), st.sampled_from("ab")),
+        st.tuples(st.just("ct"), st.sampled_from(["t1", "t2"])),
+        st.tuples(st.just("dks"), st.sampled_from("ab")),
+        st.tuples(st.just("ins"), st.sampled_from(["t1", "t2"])),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_op_st)
+def test_keyspace_namespace_fuzz(spark, ops):
+    s = CqlSession(spark)
+    # model state
+    m_ks = {"session"}
+    m_cur = "session"
+    m_tab: dict[str, str] = {}  # table -> keyspace
+    m_rows: dict[str, int] = {}
+    for kind, arg in ops:
+        if kind == "cks":
+            ok = arg not in m_ks
+            try:
+                s.execute(
+                    f"CREATE KEYSPACE {arg} WITH replication = "
+                    "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+                )
+                assert ok, f"CREATE KEYSPACE {arg} should have failed"
+                m_ks.add(arg)
+            except CQLError:
+                assert not ok
+        elif kind == "use":
+            ok = arg in m_ks
+            try:
+                s.execute(f"USE {arg}")
+                assert ok
+                m_cur = arg
+            except CQLError:
+                assert not ok
+        elif kind == "ct":
+            ok = m_cur is not None and arg not in m_tab
+            try:
+                s.execute(f"CREATE TABLE {arg} (k text PRIMARY KEY, n int)")
+                assert ok, f"CREATE TABLE {arg} should have failed"
+                m_tab[arg] = m_cur
+                m_rows[arg] = 0
+            except CQLError:
+                assert not ok
+        elif kind == "dks":
+            ok = arg in m_ks
+            try:
+                s.execute(f"DROP KEYSPACE {arg}")
+                assert ok
+                m_ks.discard(arg)
+                dropped = [t for t, ks in m_tab.items() if ks == arg]
+                for t in dropped:
+                    del m_tab[t]
+                    del m_rows[t]
+                if m_cur == arg:
+                    m_cur = None
+            except CQLError:
+                assert not ok
+        elif kind == "ins":
+            ok = m_cur is not None and m_tab.get(arg) == m_cur
+            try:
+                s.execute(
+                    f"INSERT INTO {arg} (k, n) "
+                    f"VALUES ('k{m_rows.get(arg, 0)}', 1)"
+                )
+                assert ok, f"INSERT INTO {arg} should have failed"
+                m_rows[arg] += 1
+            except CQLError:
+                assert not ok
+    # final state agrees: keyspaces, table ownership, row counts
+    got_ks = {
+        r.keyspace_name
+        for r in s.execute("SELECT * FROM system_schema.keyspaces").collect()
+    }
+    assert got_ks == m_ks
+    assert {t: s.table_keyspace[t] for t in m_tab} == m_tab
+    for t, n in m_rows.items():
+        got_n = s.table(f"{m_tab[t]}.{t}").snapshot().count()
+        assert got_n == len({f"k{i}" for i in range(n)})
