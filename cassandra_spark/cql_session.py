@@ -487,6 +487,12 @@ _DROP_MV_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?P<name>\w+)\s+ADD\s+(?P<field>\w+)\s+"
+    r"(?P<type>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<body>.+)\)\s*;?\s*$",
@@ -1927,6 +1933,46 @@ class CqlSession:
             # writes are strictly newer than anything discarded
             self._check_perm("MODIFY", tm.group("table"))
             self.table(tm.group("table")).clear_data()
+            return None
+        if head.startswith("ALTER TYPE"):
+            tm = _ALTER_TYPE_RE.match(stmt)
+            if not tm:
+                raise CQLError(f"unsupported ALTER TYPE: {stmt!r}")
+            name = tm.group("name").lower()
+            if name not in self.types:
+                raise CQLError(f"unknown type {name!r}")
+            self._check_perm("ALTER")
+            field = tm.group("field").lower()
+            old_struct = self.types[name]
+            if re.search(rf"[<,]\s*{field}:", old_struct):
+                raise CQLError(
+                    f"field {field!r} already exists in type {name!r}"
+                )
+            mapped = _map_type(tm.group("type"), self.types)
+            new_struct = (
+                old_struct[:-1] + f", {field}: {mapped}>"
+            )
+            # UDT evolution is append-only (`[C* cql3/statements/
+            # AlterTypeStatement, unverified]`): widen the registered
+            # struct and every embedding of it — other UDTs, table
+            # column types (incl. inside collections). Existing cells
+            # carry canonical JSON; from_json on the widened struct
+            # reads the new field as NULL for old rows, exactly the
+            # reference's visible behavior.
+            self.types[name] = new_struct
+            for tn, other in list(self.types.items()):
+                if tn != name and old_struct in other:
+                    self.types[tn] = other.replace(old_struct, new_struct)
+            for t in self.tables.values():
+                sch = t.schema
+                sch.regular = {
+                    c: typ.replace(old_struct, new_struct)
+                    for c, typ in sch.regular.items()
+                }
+                sch.static = {
+                    c: typ.replace(old_struct, new_struct)
+                    for c, typ in sch.static.items()
+                }
             return None
         if head.startswith("ALTER"):
             am = _ALTER_RE.match(stmt)

@@ -1360,3 +1360,40 @@ def test_clustering_order_desc_retained(spark):
             "CREATE TABLE bad (k text, c int, v text, PRIMARY KEY (k, c)) "
             "WITH CLUSTERING ORDER BY (v DESC)"
         )
+
+
+def test_alter_type_add_field(spark):
+    """ALTER TYPE ADD widens the UDT everywhere it is embedded — bare
+    columns, collections of the type, other UDTs — and OLD rows read the
+    new field as NULL (the JSON cells simply lack it), exactly the
+    reference's visible evolution behavior."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError
+
+    s = CqlSession(spark)
+    s.execute("CREATE TYPE addr (street text, zip int)")
+    s.execute("CREATE TYPE contact (home addr, phone text)")
+    s.execute(
+        "CREATE TABLE ppl (id bigint PRIMARY KEY, home addr, c contact)"
+    )
+    s.execute(
+        "INSERT INTO ppl (id, home) VALUES (1, {street: 'a st', zip: 7})"
+    )
+    s.execute("ALTER TYPE addr ADD country text")
+    s.execute(
+        "INSERT INTO ppl (id, home) VALUES "
+        "(2, {street: 'b st', zip: 9, country: 'fr'})"
+    )
+    rows = {r.id: r.home for r in s.execute("SELECT id, home FROM ppl").collect()}
+    assert rows[1].street == "a st" and rows[1].country is None
+    assert rows[2].country == "fr"
+    # the registered struct and embeddings widened
+    assert "country" in s.types["addr"]
+    # embeddings widened too: the other UDT and the table column using it
+    assert "country" in s.types["contact"]
+    assert "country" in s.table("ppl").schema.regular["c"]
+    with pytest.raises(CQLError, match="already exists"):
+        s.execute("ALTER TYPE addr ADD zip int")
+    with pytest.raises(CQLError, match="unknown type"):
+        s.execute("ALTER TYPE nope ADD x int")
