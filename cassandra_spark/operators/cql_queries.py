@@ -827,3 +827,62 @@ def cql23_keyspaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT keyspace_name, replication FROM system_schema.keyspaces"
     )
+
+
+@query(
+    "cql24_copy_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('a', 'x,y', 9), ('b', 'it''s', 2), ('c', NULL, 3)
+    ) AS t(k, v, n)
+    """,
+)
+def cql24_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cqlsh COPY through the front door: export the reconciled snapshot
+    (LWW applied) to one CSV, re-import it into a second table through
+    the normal INSERT path, and read the COPY back. Quotes and commas
+    round-trip; empty cells come back as unset columns. The oracle pins
+    the copied rows."""
+    import tempfile
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TABLE src (k text PRIMARY KEY, v text, n int)")
+    sess.execute("INSERT INTO src (k, v, n) VALUES ('a', 'x,y', 1)")
+    sess.execute("INSERT INTO src (k, v, n) VALUES ('b', 'it''s', 2)")
+    sess.execute("INSERT INTO src (k, n) VALUES ('c', 3)")
+    sess.execute("UPDATE src SET n = 9 WHERE k = 'a'")
+    path = tempfile.mktemp(prefix="cql24_", suffix=".csv")
+    sess.execute(f"COPY src TO '{path}'")
+    sess.execute("CREATE TABLE dst (k text PRIMARY KEY, v text, n int)")
+    sess.execute(f"COPY dst FROM '{path}'")
+    return sess.execute("SELECT k, v, n FROM dst")
+
+
+@query(
+    "cql25_type_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a st', CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'b st', 'fr')
+    ) AS t(id, street, country)
+    """,
+)
+def cql25_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TYPE ADD end-to-end: rows written before the evolution read
+    the new field as NULL (their JSON cells lack it), rows written after
+    carry it — the reference's visible UDT-evolution behavior, pinned by
+    a literal oracle."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TYPE addr (street text, zip int)")
+    sess.execute("CREATE TABLE ppl (id bigint PRIMARY KEY, home addr)")
+    sess.execute(
+        "INSERT INTO ppl (id, home) VALUES (1, {street: 'a st', zip: 7})"
+    )
+    sess.execute("ALTER TYPE addr ADD country text")
+    sess.execute(
+        "INSERT INTO ppl (id, home) VALUES "
+        "(2, {street: 'b st', zip: 9, country: 'fr'})"
+    )
+    return sess.execute(
+        "SELECT id, home.street AS street, home.country AS country FROM ppl"
+    )
