@@ -913,6 +913,10 @@ class CqlSession:
         Spark's — an index here changes semantics, not physical access
         (SURVEY §2.1 R5/R6: Z-order / bucketing is the perf analogue)."""
         tname = m.group("table").lower()
+        if tname in self.tables:
+            # keyspace scoping applies to session tables (bare names see
+            # only the current keyspace; qualified names validate tags)
+            tname = self._resolve(m.group("table"))
         if tname not in self.tables:
             return self._create_catalog_index(m, tname)
         table = self.tables[tname]
@@ -1086,10 +1090,6 @@ class CqlSession:
                 raise CQLError(
                     f"unsupported ALTER TABLE options: "
                     f"{m.group('withopts')!r}"
-                )
-            if opts.get("default_ttl") and s.counter:
-                raise CQLError(
-                    "default_time_to_live is not supported on counter tables"
                 )
             for k, v in opts.items():
                 setattr(s, k, v)
@@ -1884,7 +1884,12 @@ class CqlSession:
             dm = _DROP_TABLE_RE.match(stmt)
             if not dm:
                 raise CQLError(f"unsupported DROP TABLE: {stmt!r}")
-            name = dm.group("table").lower()
+            try:
+                name = self._resolve(dm.group("table"))
+            except CQLError:
+                if dm.group("ine"):
+                    return None
+                raise
             if name not in self.tables:
                 if dm.group("ine"):
                     return None
@@ -1944,9 +1949,28 @@ class CqlSession:
             self._check_perm("ALTER")
             field = tm.group("field").lower()
             old_struct = self.types[name]
-            if re.search(rf"[<,]\s*{field}:", old_struct):
+            # TOP-LEVEL fields only (a nested embedded struct may well
+            # share a field name)
+            top_fields = [
+                item.split(":", 1)[0].strip()
+                for item in _split_generics(old_struct[len("struct<"):-1])
+            ]
+            if field in top_fields:
                 raise CQLError(
                     f"field {field!r} already exists in type {name!r}"
+                )
+            # struct text is the identity of an expanded UDT; if another
+            # registered type has the IDENTICAL shape, text substitution
+            # could not tell their embeddings apart — pinned reduction:
+            # reject the ambiguous evolution instead of guessing
+            twins = [
+                tn for tn, other in self.types.items()
+                if tn != name and other == old_struct
+            ]
+            if twins:
+                raise CQLError(
+                    f"cannot evolve type {name!r}: type(s) {twins} have an "
+                    "identical shape and embeddings are tracked by shape"
                 )
             mapped = _map_type(tm.group("type"), self.types)
             new_struct = (
@@ -2076,7 +2100,7 @@ class CqlSession:
             # no role system offline: UNMASK is a per-session, per-table
             # grant — the pinned single-user reduction of the reference's
             # role-based UNMASK permission
-            t = um.group("table").lower()
+            t = self._resolve(um.group("table"))
             if t not in self.tables:
                 raise CQLError(f"unknown table {t!r}")
             self._check_perm("AUTHORIZE")
@@ -2939,6 +2963,11 @@ class CqlSession:
         # applied (a denied batch must be a no-op, like any failed batch)
         for n in sorted(set(names)):
             self._check_perm("MODIFY", n)
+        for n in names:
+            if n in self.mat_views:
+                raise CQLError("cannot directly modify a materialized view")
+            if n not in self.tables:
+                raise CQLError(f"unknown table {n!r}")
         if len(set(names)) <= 1:
             # single-table batch: the table's own execute() already does
             # shared-timestamp + all-or-nothing + conditional-batch rules

@@ -108,6 +108,9 @@ def buckets_for(n_rows: int, target: int = 2_000_000) -> int:
     return b
 
 
+_ROWS_CACHE: dict[str, int] = {}  # sf_dir -> lineitem row count (per process)
+
+
 def ensure_bucketed_layout(
     spark: SparkSession, sf_dir: str, buckets: int | None = None
 ) -> tuple[str, str]:
@@ -118,7 +121,11 @@ def ensure_bucketed_layout(
     The bucket count derives from the fact-table row count
     (:func:`buckets_for`) unless pinned by the caller."""
     if buckets is None:
-        buckets = buckets_for(Catalog(spark, sf_dir).lineitem.count())
+        if sf_dir not in _ROWS_CACHE:
+            # one metadata-cheap count per corpus dir per process — the
+            # idempotency fast path below must not pay a per-query scan
+            _ROWS_CACHE[sf_dir] = Catalog(spark, sf_dir).lineitem.count()
+        buckets = buckets_for(_ROWS_CACHE[sf_dir])
     tag = re.sub(r"\W+", "_", sf_dir.strip("/")) + f"_b{buckets}"
     li, o = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     if not (spark.catalog.tableExists(li) and spark.catalog.tableExists(o)):

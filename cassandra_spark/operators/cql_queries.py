@@ -843,6 +843,8 @@ def cql24_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normal INSERT path, and read the COPY back. Quotes and commas
     round-trip; empty cells come back as unset columns. The oracle pins
     the copied rows."""
+    import os
+    import shutil
     import tempfile
 
     sess = CqlSession(spark, sf_dir)
@@ -851,10 +853,16 @@ def cql24_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.execute("INSERT INTO src (k, v, n) VALUES ('b', 'it''s', 2)")
     sess.execute("INSERT INTO src (k, n) VALUES ('c', 3)")
     sess.execute("UPDATE src SET n = 9 WHERE k = 'a'")
-    path = tempfile.mktemp(prefix="cql24_", suffix=".csv")
-    sess.execute(f"COPY src TO '{path}'")
-    sess.execute("CREATE TABLE dst (k text PRIMARY KEY, v text, n int)")
-    sess.execute(f"COPY dst FROM '{path}'")
+    tmp = tempfile.mkdtemp(prefix="cql24_")
+    path = os.path.join(tmp, "out.csv")
+    try:
+        sess.execute(f"COPY src TO '{path}'")
+        sess.execute("CREATE TABLE dst (k text PRIMARY KEY, v text, n int)")
+        # COPY FROM replays through eager INSERTs, so the CSV is fully
+        # consumed here and the temp dir can go before the lazy SELECT
+        sess.execute(f"COPY dst FROM '{path}'")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return sess.execute("SELECT k, v, n FROM dst")
 
 

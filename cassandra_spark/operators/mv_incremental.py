@@ -164,7 +164,9 @@ ORDER BY c_mktsegment
 def w21_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of an enrichment (join) view — see the
     block comment. view0 is persisted as the stand-in for the stored
-    view table (at 100 TB it IS a table); the maintenance step anti-joins
+    view table (at 100 TB it IS a table; the block is released by the
+    sweep-level registry.release_caches contract, like every other
+    constructor persist); the maintenance step anti-joins
     the delete keys (broadcast — a CDC batch's key set is small) and
     unions the delta batch joined against the BROADCAST dimension. The
     returned aggregate over the maintained view equals the

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from cassandra_spark.catalog import Catalog
 from cassandra_spark.exactmath import dsum, sql_dsum
 from cassandra_spark.registry import query
+from cassandra_spark.operators.llm_dedup import _minhash_sql_cte
 
 WATERMARK_HORIZON = "2024-01-28 00:00:00"  # batch stand-in for the watermark
 
@@ -500,9 +501,7 @@ _S13_AGREE = " + ".join(
       JOIN sig sa ON sa.doc_id = doc_a
       JOIN sig sb ON sb.doc_id = doc_b
     ) WHERE n_agree >= 6
-    """.format(mh_cte=__import__(
-        "cassandra_spark.operators.llm_dedup", fromlist=["_minhash_sql_cte"]
-    )._minhash_sql_cte()),
+    """.format(mh_cte=_minhash_sql_cte()),
 )
 def s13_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 end-to-end: documents staged as 4 parquet files drain through
