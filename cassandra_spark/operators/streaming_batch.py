@@ -527,3 +527,69 @@ def s13_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink_name("s13_pairs")
     jobs.run_available_now(stream, name, output_mode="append")
     return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
+
+
+@query(
+    "s14_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+           p.value AS amount
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 end-to-end: events staged as 4 TIME-ORDERED single-file slices
+    — per half-month, the half's VIEWS file then its PURCHASES file
+    (strictly increasing mtime -> the file source drains oldest-first,
+    maxFilesPerTrigger=1 -> 4 micro-batch epochs) — drained through the
+    REAL watermarked stream-stream interval join
+    (jobs.streaming_purchase_attribution). Every (view, purchase) pair
+    crosses epochs (a half's views always land one epoch before its
+    purchases), so equality with the one-shot batch join proves view-side
+    state survived across epochs; and because the global watermark
+    advances at the half-month cut, state for views older than
+    horizon+delay is genuinely EVICTED mid-stream without ever dropping a
+    live row (slice boundaries respect event time: a half's rows are
+    never behind the prior half's watermark; the weekly-slice pytest
+    pins the multi-advance form). The oracle is the equivalent batch
+    interval self-join."""
+    import os
+    import tempfile
+
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s14_join_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, sf_dir).events
+    # half-month slices over the Jan-2024 corpus: time-ordered arrival
+    cuts = ["2024-01-15"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    for a, b in zip(lo, hi):
+        sl = ev
+        if a is not None:
+            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
+        for kind in ("view", "purchase"):
+            sl.where(F.col("event_type") == kind).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    stream = jobs.streaming_purchase_attribution(spark, src)
+    name = _sink_name("s14_pairs")
+    # state-partition count is fixed at query start from shuffle.partitions;
+    # the two-sided join commits per-partition state files every epoch, so
+    # a 10k-row drain wants few fat state partitions (a 100 TB deployment
+    # sets this high BEFORE first start — it cannot change across restarts)
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        jobs.run_available_now(stream, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    return spark.table(name)

@@ -835,3 +835,74 @@ def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stream-stream event-time interval join (S14) --------------------------
+
+
+def streaming_purchase_attribution(
+    spark: SparkSession,
+    src: str,
+    delay: str = "30 minutes",
+    horizon: str = "1 HOUR",
+) -> DataFrame:
+    """S14: STREAM-STREAM inner join — attribute each purchase to every
+    view by the same user in the preceding ``horizon`` of event time.
+    Both sides are independent file streams over the same staged
+    directory, each watermarked by ``delay``; the event-time range
+    condition (purchase within [view_ts, view_ts + horizon]) lets Spark
+    derive a state-retention bound per side, so join state is evicted as
+    the watermark passes — state size is O(events within horizon+delay),
+    NOT O(stream length). State is hash-partitioned by the join key
+    (user_id) across executors, the scale axis at 100 TB.
+
+    Correct-by-watermark contract: the stager writes time-ordered slices
+    (strictly increasing mtime, so the file source drains oldest-first);
+    any cross-slice disorder must stay under ``delay`` or late rows drop
+    (S4 semantics) and the batch oracle no longer matches."""
+    schema = _events_raw_schema(spark, src)
+
+    def side(kind: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return restore_ts(raw, "ts").where(F.col("event_type") == kind)
+
+    views = (
+        side("view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", delay)
+    )
+    purchases = (
+        side("purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "amount",
+    )

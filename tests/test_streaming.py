@@ -591,3 +591,109 @@ def test_s13_neardup_pairs_cross_microbatches(spark):
     assert truth, "fixture should contain near-dup pairs"
     # at least one pair genuinely crossed the odd/even file split
     assert any((a % 2) != (b % 2) for a, b, _ in truth)
+
+
+def test_s14_stream_stream_join_pairs_cross_epochs(spark):
+    """Stream-stream interval join: stage ALL views as file 1 and ALL
+    purchases as file 2 (maxFilesPerTrigger=1 -> every pair's members
+    arrive in different epochs), drain, and the emitted pair set must
+    equal the one-shot batch interval join — possible only if view-side
+    join state survived into the purchase epoch."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.streaming_batch import _sink_name
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s14_split_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, SF_SMOKE).events
+    for kind in ("view", "purchase"):
+        ev.filter(f"event_type = '{kind}'").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = jobs.streaming_purchase_attribution(spark, src)
+    name = _sink_name("s14_split")
+    jobs.run_available_now(stream, name, output_mode="append")
+    got = {
+        (r.view_id, r.purchase_id, r.user_id)
+        for r in spark.table(name).collect()
+    }
+    con = duckdb.connect()
+    truth = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT v.event_id, p.event_id, v.user_id
+            FROM '{SF_SMOKE}/events.parquet' v
+            JOIN '{SF_SMOKE}/events.parquet' p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+            """
+        ).fetchall()
+    }
+    assert got == truth
+    assert truth, "fixture should contain attributable purchases"
+
+
+def test_s14_watermark_evicts_join_state(spark):
+    """With time-ordered weekly slices the global watermark advances
+    between epochs, so view/purchase state beyond horizon+delay must be
+    REMOVED from the state store (numRowsRemoved > 0) — and eviction must
+    never cost a live pair (result still equals the batch join)."""
+    import os
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="s14_evict_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, SF_SMOKE).events
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    for a, b in zip(lo, hi):
+        sl = ev
+        if a is not None:
+            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
+        sl.where(
+            F.col("event_type").isin("view", "purchase")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.streaming_purchase_attribution(spark, src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s14_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted any join state"
+    n_batch = (
+        ev.alias("v")
+        .join(
+            ev.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.event_type") == "view")
+            & (F.col("p.event_type") == "purchase")
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .count()
+    )
+    assert spark.table("s14_evict").count() == n_batch
