@@ -557,12 +557,28 @@ def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never behind the prior half's watermark; the weekly-slice pytest
     pins the multi-advance form). The oracle is the equivalent batch
     interval self-join."""
+    stream = jobs_mod().streaming_purchase_attribution(
+        spark, _stage_typed_slices(spark, sf_dir, "s14")
+    )
+    return _drain_join(spark, stream, _sink_name("s14_pairs"))
+
+
+def jobs_mod():
+    from cassandra_spark.streaming import jobs
+
+    return jobs
+
+
+def _stage_typed_slices(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> str:
+    """Stage events as TIME-ORDERED single-file slices — per half-month,
+    the half's VIEWS file then its PURCHASES file (strictly increasing
+    mtime -> the file source drains oldest-first)."""
     import os
     import tempfile
 
-    from cassandra_spark.streaming import jobs
-
-    tmp = tempfile.mkdtemp(prefix="s14_join_")
+    tmp = tempfile.mkdtemp(prefix=f"{prefix}_join_")
     src = os.path.join(tmp, "src")
     ev = Catalog(spark, sf_dir).events
     # half-month slices over the Jan-2024 corpus: time-ordered arrival
@@ -579,17 +595,62 @@ def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sl.where(F.col("event_type") == kind).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+    return src
 
-    stream = jobs.streaming_purchase_attribution(spark, src)
-    name = _sink_name("s14_pairs")
-    # state-partition count is fixed at query start from shuffle.partitions;
-    # the two-sided join commits per-partition state files every epoch, so
-    # a 10k-row drain wants few fat state partitions (a 100 TB deployment
-    # sets this high BEFORE first start — it cannot change across restarts)
+
+def _drain_join(spark: SparkSession, stream, name: str):
+    """availableNow drain with few fat state partitions: the count is
+    fixed at query start from shuffle.partitions, and the two-sided join
+    commits per-partition state files every epoch, so a 10k-row drain
+    wants 4 (a 100 TB deployment sets this high BEFORE first start — it
+    cannot change across restarts)."""
     cur = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        jobs.run_available_now(stream, name, output_mode="append")
+        jobs_mod().run_available_now(stream, name, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
     return spark.table(name)
+
+
+@query(
+    "s15_stream_stream_outer",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM v),
+                             (SELECT max(ts) FROM p))
+                       - INTERVAL 30 MINUTE AS w)
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS amount
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id,
+           v.ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM v, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = v.user_id
+                        AND p.ts >= v.ts
+                        AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      AND v.ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def s15_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: LEFT-OUTER stream-stream join — s14's staging and interval
+    condition, but never-matched views must also emit, with NULL purchase
+    columns. The subtle half of the semantics is WHEN: a NULL row may
+    only emit once the global watermark (min over both sides of max event
+    time seen minus the 30-minute delay) has passed ``view_ts + 1h`` —
+    before that, a future purchase could still match. Views still inside
+    that horizon at end-of-drain remain in state, deliberately unemitted.
+    The oracle encodes exactly this: the inner matches UNION ALL the
+    unmatched views older than the final watermark minus the horizon.
+    (Boundary note: Spark compares in watermark milliseconds; with
+    microsecond event times an exact tie is measure-zero, so the oracle
+    uses the untruncated form.)"""
+    stream = jobs_mod().streaming_purchase_attribution(
+        spark, _stage_typed_slices(spark, sf_dir, "s15"), how="left_outer"
+    )
+    return _drain_join(spark, stream, _sink_name("s15_pairs"))

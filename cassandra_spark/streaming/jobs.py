@@ -845,8 +845,9 @@ def streaming_purchase_attribution(
     src: str,
     delay: str = "30 minutes",
     horizon: str = "1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
-    """S14: STREAM-STREAM inner join — attribute each purchase to every
+    """S14/S15: STREAM-STREAM join — attribute each purchase to every
     view by the same user in the preceding ``horizon`` of event time.
     Both sides are independent file streams over the same staged
     directory, each watermarked by ``delay``; the event-time range
@@ -855,6 +856,14 @@ def streaming_purchase_attribution(
     the watermark passes — state size is O(events within horizon+delay),
     NOT O(stream length). State is hash-partitioned by the join key
     (user_id) across executors, the scale axis at 100 TB.
+
+    ``how='left_outer'`` (S15) additionally emits each never-matched view
+    with NULL purchase columns — but only once the global watermark has
+    passed ``view_ts + horizon``, i.e. once no future purchase could
+    still match it. Views younger than that at end-of-drain stay in
+    state, deliberately unemitted: the stream cannot know they are
+    unmatched yet. The batch equivalent is a left join whose NULL rows
+    are filtered to ``view_ts + horizon < final watermark``.
 
     Correct-by-watermark contract: the stager writes time-ordered slices
     (strictly increasing mtime, so the file source drains oldest-first);
@@ -897,7 +906,7 @@ def streaming_purchase_attribution(
             F.col("purchase_ts")
             <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
         ),
-        "inner",
+        how,
     ).select(
         "view_id",
         "purchase_id",

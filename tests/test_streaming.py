@@ -697,3 +697,55 @@ def test_s14_watermark_evicts_join_state(spark):
         .count()
     )
     assert spark.table("s14_evict").count() == n_batch
+
+
+def test_s15_outer_nulls_gated_by_watermark(spark):
+    """Left-outer stream-stream join: unmatched views must emit NULL
+    rows ONLY once the final watermark passed view_ts + horizon — views
+    younger than that must be WITHHELD (still possibly matchable), so
+    the null set is strictly smaller than the batch anti-join."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.streaming_batch import (
+        s15_stream_stream_outer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = s15_stream_stream_outer(spark, SF_SMOKE)
+    nulls = out.where(F.col("purchase_id").isNull())
+    n_nulls = nulls.count()
+
+    ev = Catalog(spark, SF_SMOKE).events
+    v = ev.where("event_type = 'view'").alias("v")
+    p = ev.where("event_type = 'purchase'").alias("p")
+    unmatched = v.join(
+        p,
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    )
+    n_unmatched = unmatched.count()
+    assert 0 < n_nulls < n_unmatched, (
+        "every unmatched view emitted — the watermark gate is not "
+        f"withholding in-horizon views ({n_nulls} vs {n_unmatched})"
+    )
+    # the withheld views are exactly the ones the watermark has not
+    # finalized: ts + 1h >= min(side maxima) - 30min
+    wm = (
+        v.agg(F.max("ts")).collect()[0][0],
+        p.agg(F.max("ts")).collect()[0][0],
+    )
+    import datetime
+
+    final_wm = min(wm) - datetime.timedelta(minutes=30)
+    horizon = datetime.timedelta(hours=1)
+    withheld = {
+        r.event_id
+        for r in unmatched.collect()
+        if r.ts + horizon >= final_wm
+    }
+    emitted = {r.view_id for r in nulls.collect()}
+    assert emitted.isdisjoint(withheld)
+    assert emitted | withheld == {r.event_id for r in unmatched.collect()}
