@@ -89,6 +89,19 @@ _MUT_SCHEMA = (
 _MUT_COLS = [f.split()[0] for f in _MUT_SCHEMA.split(", ")]
 
 
+def _max_deletion_us(kinds, writetimes, ttls) -> int:
+    """Max (writetime + ttl) over the given mutation rows, or -1 when
+    any row can never expire (a no-TTL cell, any tombstone, a counter
+    increment) — the reference's per-SSTable maxLocalDeletionTime.
+    -1 marks a segment that may NEVER be whole-dropped."""
+    mx = 0
+    for k, w, t in zip(kinds, writetimes, ttls):
+        if k not in (CELL, MARKER) or not t:
+            return -1
+        mx = max(mx, w + t)
+    return mx
+
+
 def _mut_arrow_types():
     import pyarrow as pa
 
@@ -337,6 +350,11 @@ class TableSchema:
     # at compact_threshold segments; STCS = tiered minor compactions
     compaction: str = ""
     compaction_min_threshold: int = 4
+    # TWCS (`[C* db/compaction/TimeWindowCompactionStrategy, unverified]`):
+    # segments group into non-overlapping writetime windows; every CLOSED
+    # window compacts to one segment, and a fully-expired oldest window is
+    # DROPPED whole (footer-stats only, overlap-guarded — see twcs_compact)
+    compaction_window_us: int = 86_400_000_000
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
@@ -1498,6 +1516,8 @@ class CqlTable:
             self.flush()
             if self.schema.compaction == "SizeTieredCompactionStrategy":
                 self.stcs_compact()
+            elif self.schema.compaction == "TimeWindowCompactionStrategy":
+                self.twcs_compact()
             elif len(self._segments) >= self.compact_threshold:
                 self.compact_segments()
 
@@ -1532,27 +1552,129 @@ class CqlTable:
             members = tiers[tier]
             if len(members) < self.schema.compaction_min_threshold:
                 continue
-            import pyarrow as pa
-
-            merged = pa.concat_tables([pq.read_table(p) for p in members])
-            self._seg_counter += 1
-            path = os.path.join(
-                self.spill_dir,
-                f"{self.schema.name}-stcs{self._seg_counter:06d}.parquet",
-            )
-            pq.write_table(merged, path, compression=self._codec())
-            bf = BloomFilter.for_keys(merged.column("pk").to_pylist())
-            bf.save(sidecar_path(path))
-            self._blooms[path] = bf
-            for m in members:
-                self._blooms.pop(m, None)
-            self._retired.extend(members)
-            self._segments = [
-                p for p in self._segments if p not in set(members)
-            ]
-            self._segments.append(path)
-            created.append(path)
+            created.append(self._merge_segments(members, "stcs"))
         return created
+
+    def _merge_segments(self, members: list[str], tag: str) -> str:
+        """Merge the given flushed segments into one new segment (shared
+        by the STCS tier merge and the TWCS closed-window merge): history
+        preserved byte-for-byte, bloom sidecar rebuilt, max-deletion
+        stamp recomputed, members retired (not deleted — readers may
+        still hold them; GC is purge_retired's job)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+
+        merged = pa.concat_tables([pq.read_table(p) for p in members])
+        self._seg_counter += 1
+        path = os.path.join(
+            self.spill_dir,
+            f"{self.schema.name}-{tag}{self._seg_counter:06d}.parquet",
+        )
+        mdl = _max_deletion_us(
+            merged.column("kind").to_pylist(),
+            merged.column("writetime").to_pylist(),
+            merged.column("ttl").to_pylist(),
+        )
+        merged = merged.replace_schema_metadata(
+            {
+                **(merged.schema.metadata or {}),
+                b"max_deletion_us": str(mdl).encode(),
+            }
+        )
+        pq.write_table(merged, path, compression=self._codec())
+        bf = BloomFilter.for_keys(merged.column("pk").to_pylist())
+        bf.save(sidecar_path(path))
+        self._blooms[path] = bf
+        for m in members:
+            self._blooms.pop(m, None)
+        self._retired.extend(members)
+        self._segments = [
+            p for p in self._segments if p not in set(members)
+        ]
+        self._segments.append(path)
+        return path
+
+    def _seg_stats(self, path: str) -> tuple:
+        """(min_writetime, max_writetime, max_deletion_us) for a segment
+        from FOOTER data only — row-group statistics plus the flush-time
+        key-value stamp. Unstamped segments (pre-TWCS generations) read
+        as -1 = never droppable, the safe default."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        wt_idx = _MUT_COLS.index("writetime")
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(wt_idx).statistics
+            if st is not None and st.has_min_max:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        meta = pf.schema_arrow.metadata or {}
+        raw = meta.get(b"max_deletion_us")
+        return mn, mx, (int(raw) if raw is not None else -1)
+
+    def twcs_compact(self) -> list[str]:
+        """TimeWindowCompactionStrategy minor compaction (`[C* db/
+        compaction/TimeWindowCompactionStrategy, unverified]`): segments
+        bucket by the writetime window of their max writetime; every
+        CLOSED window (every window except the one holding the global
+        max) with >= 2 segments merges into one — so steady-state is one
+        segment per window and expiring a retention period is a
+        whole-segment DROP, not a rewrite.
+
+        The drop is footer-stats-only and resurrection-guarded, the
+        reference's fully-expired-SSTable rule: a segment may drop only
+        when (a) every row in it is an expired TTL cell
+        (max_deletion_us <= the session clock) and (b) NO other segment
+        — nor the memtable — holds writes OLDER than its max writetime,
+        because an expired cell still shadows older live cells until
+        purged; dropping it would resurrect them. Out-of-order writes
+        therefore pin expired segments alive, exactly the documented
+        TWCS caveat."""
+        win = self.schema.compaction_window_us
+        created: list[str] = []
+        stats = {s: self._seg_stats(s) for s in self._segments}
+        maxima = [mx for _, mx, _ in stats.values() if mx is not None]
+        if maxima:
+            open_w = max(maxima) // win
+            windows: dict[int, list[str]] = {}
+            for s, (_, mx, _) in stats.items():
+                windows.setdefault(
+                    (mx if mx is not None else 0) // win, []
+                ).append(s)
+            for w, members in sorted(windows.items()):
+                if w == open_w or len(members) < 2:
+                    continue
+                created.append(self._merge_segments(members, "twcs"))
+        # whole-segment expiry: drop fully-expired, strictly-oldest
+        # segments (loop: dropping the oldest may unblock the next)
+        asof = self._clock
+        while True:
+            stats = {s: self._seg_stats(s) for s in self._segments}
+            mem_min = min((r[6] for r in self._log), default=None)
+            victim = None
+            for s, (_, mx, mdl) in stats.items():
+                if mdl < 0 or mdl > asof:
+                    continue
+                older = [
+                    stats[t][0]
+                    for t in self._segments
+                    if t != s and stats[t][0] is not None
+                ]
+                if mem_min is not None:
+                    older.append(mem_min)
+                if any(o < (mx if mx is not None else 0) for o in older):
+                    continue
+                victim = s
+                break
+            if victim is None:
+                return created
+            self._retired.append(victim)
+            self._blooms.pop(victim, None)
+            self._segments.remove(victim)
 
     def sstable_metadata(self):
         """``sstablemetadata`` analogue: per-segment physical facts read
@@ -1590,7 +1712,13 @@ class CqlTable:
         if not self._log:
             return None
         if self.spill_dir is None:
-            raise CQLError("flush() needs a spill_dir")
+            # auto-provision like _maybe_flush: an explicit nodetool-style
+            # flush should never fail for lack of configuration
+            import tempfile
+
+            self.spill_dir = tempfile.mkdtemp(
+                prefix=f"cql-spill-{self.schema.name}-"
+            )
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1605,10 +1733,17 @@ class CqlTable:
             pa.array(cols[i], type=t)
             for i, t in enumerate(_mut_arrow_types())
         ]
-        pq.write_table(
-            pa.table(dict(zip(_MUT_COLS, arrays))), path,
-            compression=self._codec(),
+        # TWCS whole-segment expiry stamp (footer key-value metadata):
+        # kind/writetime/ttl are log columns 5/6/7 (mut_row order)
+        mdl = _max_deletion_us(cols[5], cols[6], cols[7])
+        tbl = pa.table(dict(zip(_MUT_COLS, arrays)))
+        tbl = tbl.replace_schema_metadata(
+            {
+                **(tbl.schema.metadata or {}),
+                b"max_deletion_us": str(mdl).encode(),
+            }
         )
+        pq.write_table(tbl, path, compression=self._codec())
         # Filter.db analogue: bloom over this segment's partition keys,
         # persisted as a sidecar so snapshots carry it with the segment
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path

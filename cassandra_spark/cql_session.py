@@ -170,6 +170,7 @@ def parse_create_table(
     compression = topts.get("compression", "")
     compaction = topts.get("compaction", "")
     min_threshold = topts.get("compaction_min_threshold", 4)
+    window_us = topts.get("compaction_window_us", 86_400_000_000)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -329,6 +330,7 @@ def parse_create_table(
         compression=compression,
         compaction=compaction,
         compaction_min_threshold=min_threshold,
+        compaction_window_us=window_us,
     )
 
 
@@ -689,12 +691,17 @@ def _parse_table_options(with_text: str) -> dict:
         kcls = re.search(
             r"'class'\s*:\s*'(\w+)'", km_.group("body"), re.IGNORECASE
         )
-        if not kcls or kcls.group(1) != "SizeTieredCompactionStrategy":
+        cls_name = kcls.group(1) if kcls else None
+        if cls_name not in (
+            "SizeTieredCompactionStrategy",
+            "TimeWindowCompactionStrategy",
+        ):
             raise CQLError(
-                "only SizeTieredCompactionStrategy is supported "
-                f"(got {kcls.group(1) if kcls else None!r})"
+                "only SizeTieredCompactionStrategy and "
+                "TimeWindowCompactionStrategy are supported "
+                f"(got {cls_name!r})"
             )
-        out["compaction"] = kcls.group(1)
+        out["compaction"] = cls_name
         mt = re.search(
             r"'min_threshold'\s*:\s*'?(\d+)'?", km_.group("body"),
             re.IGNORECASE,
@@ -703,6 +710,30 @@ def _parse_table_options(with_text: str) -> dict:
             if int(mt.group(1)) < 2:
                 raise CQLError("min_threshold must be >= 2")
             out["compaction_min_threshold"] = int(mt.group(1))
+        if cls_name == "TimeWindowCompactionStrategy":
+            unit_us = {
+                "MINUTES": 60_000_000,
+                "HOURS": 3_600_000_000,
+                "DAYS": 86_400_000_000,
+            }
+            um = re.search(
+                r"'compaction_window_unit'\s*:\s*'(\w+)'",
+                km_.group("body"), re.IGNORECASE,
+            )
+            unit = (um.group(1).upper() if um else "DAYS")
+            if unit not in unit_us:
+                raise CQLError(
+                    f"bad compaction_window_unit {unit!r} "
+                    "(MINUTES | HOURS | DAYS)"
+                )
+            sm = re.search(
+                r"'compaction_window_size'\s*:\s*'?(\d+)'?",
+                km_.group("body"), re.IGNORECASE,
+            )
+            size = int(sm.group(1)) if sm else 1
+            if size < 1:
+                raise CQLError("compaction_window_size must be >= 1")
+            out["compaction_window_us"] = size * unit_us[unit]
     return out
 
 
@@ -2421,7 +2452,15 @@ class CqlSession:
             clauses.append(
                 "compression = {'class': '" + s.compression + "'}"
             )
-        if s.compaction:
+        if s.compaction == "TimeWindowCompactionStrategy":
+            # render in MINUTES: every supported unit is a whole multiple
+            minutes = s.compaction_window_us // 60_000_000
+            clauses.append(
+                "compaction = {'class': '" + s.compaction + "', "
+                "'compaction_window_unit': 'MINUTES', "
+                "'compaction_window_size': '" + str(minutes) + "'}"
+            )
+        elif s.compaction:
             clauses.append(
                 "compaction = {'class': '" + s.compaction + "', "
                 "'min_threshold': '"

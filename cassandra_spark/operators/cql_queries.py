@@ -894,3 +894,50 @@ def cql25_type_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT id, home.street AS street, home.country AS country FROM ppl"
     )
+
+
+@query(
+    "cql26_twcs_expiry",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('c0', CAST(0 AS INTEGER)), ('c1', 1), ('c2', 2), ('c3', 3),
+      ('c4', 4), ('c5', 5), ('c6', 6), ('c7', 7)
+    ) AS t(k, n)
+    """,
+)
+def cql26_twcs_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeWindowCompactionStrategy end-to-end through the session: a
+    1-minute-windowed table takes a generation of short-TTL writes
+    (window 0) and a later generation (window 1); ``flush()`` /
+    ``twcs_compact()`` are the nodetool flush/compact analogues. By
+    compaction time the logical clock (one tick per statement) has
+    passed window-0's max deletion time, so its segment DROPS WHOLE —
+    a footer-stats decision, no data read or rewrite — while the open
+    window survives. The oracle pins the surviving rows; the dropped
+    cells were already TTL-invisible, so the answer is unchanged by the
+    drop (asserted structurally in tests/test_table_options.py)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE twt (k text PRIMARY KEY, n int) WITH compaction = "
+        "{'class': 'TimeWindowCompactionStrategy', "
+        "'compaction_window_unit': 'MINUTES', "
+        "'compaction_window_size': '1'}"
+    )
+    t = sess.table("twt")
+    minute = 60_000_000
+    for i in range(3):
+        sess.execute(
+            f"INSERT INTO twt (k, n) VALUES ('a{i}', {i}) "
+            f"USING TIMESTAMP {i + 1} AND TTL 5"
+        )
+    t.flush()
+    for i in range(8):
+        sess.execute(
+            f"INSERT INTO twt (k, n) VALUES ('c{i}', {i}) "
+            f"USING TIMESTAMP {2 * minute + i} AND TTL {20 * minute}"
+        )
+    t.flush()
+    assert len(t._segments) == 2
+    t.twcs_compact()
+    assert len(t._segments) == 1, "expired window-0 segment should drop"
+    return sess.execute("SELECT k, n FROM twt")

@@ -135,3 +135,145 @@ def test_alter_table_with_options(spark, tmp_path):
         s.execute("ALTER TABLE aw WITH compression = {'class': 'Nope'}")
     with pytest.raises(CQLError, match="unsupported ALTER TABLE options"):
         s.execute("ALTER TABLE aw WITH read_repair_chance = 0.1")
+
+
+def _twcs_session(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=10_000)
+    s.execute(
+        "CREATE TABLE tw (k text PRIMARY KEY, n int) WITH compaction = "
+        "{'class': 'TimeWindowCompactionStrategy', "
+        "'compaction_window_unit': 'MINUTES', "
+        "'compaction_window_size': '1'}"
+    )
+    return s, s.table("tw")
+
+
+MIN = 60_000_000  # one MINUTES window in the logical-us clock domain
+
+
+def test_twcs_merges_closed_windows(spark, tmp_path):
+    """TWCS: segments bucket by the writetime window of their max
+    writetime; a CLOSED window's segments merge into one, the open
+    (newest) window is left alone."""
+    s, t = _twcs_session(spark, tmp_path)
+    assert t.schema.compaction_window_us == MIN
+    # two segments pinned inside window 0
+    for i in range(5):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('a{i}', {i}) "
+            f"USING TIMESTAMP {i + 1} AND TTL {2 * MIN}"
+        )
+    t.flush()
+    for i in range(5):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('b{i}', {i}) "
+            f"USING TIMESTAMP {100 + i} AND TTL {2 * MIN}"
+        )
+    t.flush()
+    # one segment in window 1 -> window 0 is CLOSED
+    for i in range(5):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('c{i}', {i}) "
+            f"USING TIMESTAMP {MIN + i} AND TTL {3 * MIN}"
+        )
+    t.flush()
+    assert len(t._segments) == 3
+    t.twcs_compact()
+    # window 0's two segments merged; the open window-1 segment is alone
+    assert len(t._segments) == 2
+    assert sum("twcs" in os.path.basename(p) for p in t._segments) == 1
+    w0 = [p for p in t._segments if t._seg_stats(p)[1] < MIN]
+    assert len(w0) == 1 and "twcs" in os.path.basename(w0[0])
+    # nothing expired yet: all 15 rows visible at their writetimes
+    assert t.snapshot(asof_us=MIN + 10).count() == 15
+    # the flush-path hook runs the same compaction (no error, idempotent)
+    t._maybe_flush()
+
+
+def test_twcs_drops_fully_expired_oldest_segment(spark, tmp_path):
+    """Whole-segment expiry: once every cell in the strictly-oldest
+    segment is past TTL, the segment drops without a read or rewrite —
+    and the query answer is unchanged (those cells were already
+    invisible)."""
+    s, t = _twcs_session(spark, tmp_path)
+    for i in range(5):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('a{i}', {i}) "
+            f"USING TIMESTAMP {i + 1} AND TTL {MIN}"
+        )
+    t.flush()
+    for i in range(5):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('c{i}', {i}) "
+            f"USING TIMESTAMP {2 * MIN + i} AND TTL {10 * MIN}"
+        )
+    t.flush()
+    assert len(t._segments) == 2
+    # simulate time passing: the logical clock moves past window-0's
+    # max deletion time (wt <= 5, ttl = 1 min)
+    t._clock = 2 * MIN + 100
+    before = {r.k for r in t.snapshot().collect()}
+    assert before == {f"c{i}" for i in range(5)}  # a* already invisible
+    t.twcs_compact()
+    # the expired window-0 segment dropped whole; the open one survives
+    assert len(t._segments) == 1
+    assert {r.k for r in t.snapshot().collect()} == before
+    # dropped segment is retired for GC, not deleted under readers
+    assert t._retired
+
+
+def test_twcs_expired_segment_pinned_by_older_overlap(spark, tmp_path):
+    """The resurrection guard: an expired TTL cell still SHADOWS older
+    live cells, so a fully-expired segment must NOT drop while any other
+    segment holds older writes — dropping it would resurrect them."""
+    s, t = _twcs_session(spark, tmp_path)
+    # segment A: live no-TTL rows, including 'x' = 1 (mdl = -1, never
+    # droppable itself)
+    s.execute("INSERT INTO tw (k, n) VALUES ('x', 1) USING TIMESTAMP 10")
+    for i in range(4):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('y{i}', {i}) "
+            f"USING TIMESTAMP {11 + i}"
+        )
+    t.flush()
+    # segment B (window 1): all-TTL rows, 'x' = 99 shadows A's x
+    s.execute(
+        f"INSERT INTO tw (k, n) VALUES ('x', 99) "
+        f"USING TIMESTAMP {MIN} AND TTL 10"
+    )
+    for i in range(4):
+        s.execute(
+            f"INSERT INTO tw (k, n) VALUES ('z{i}', {i}) "
+            f"USING TIMESTAMP {MIN + 1 + i} AND TTL 10"
+        )
+    t.flush()
+    assert len(t._segments) == 2
+    t._clock = 5 * MIN  # B is fully expired now
+    t.twcs_compact()
+    # B may NOT drop: A holds writes older than B's max writetime
+    assert len(t._segments) == 2
+    # and the shadowing holds AT an asof past the TTL: B's expired
+    # insert (marker + cell) still shadows A's older x entirely — the
+    # row must NOT resurrect to x = 1 (which a drop of B would cause)
+    got = {r.k: r.n for r in t.snapshot(asof_us=5 * MIN).collect()}
+    assert got.get("x") != 1
+
+
+def test_twcs_describe_round_trips(spark):
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE TABLE tw (k text PRIMARY KEY, v int) WITH compaction = "
+        "{'class': 'TimeWindowCompactionStrategy', "
+        "'compaction_window_unit': 'HOURS', 'compaction_window_size': '2'}"
+    )
+    out = s.execute("DESCRIBE TABLE tw").collect()[0].create_statement
+    assert "TimeWindowCompactionStrategy" in out
+    s2 = CqlSession(spark)
+    s2.execute(out)
+    assert s2.table("tw").schema.compaction_window_us == 2 * 3_600_000_000
+    with pytest.raises(CQLError, match="compaction_window_unit"):
+        s.execute(
+            "CREATE TABLE tw2 (k text PRIMARY KEY) WITH compaction = "
+            "{'class': 'TimeWindowCompactionStrategy', "
+            "'compaction_window_unit': 'WEEKS'}"
+        )
