@@ -1807,26 +1807,7 @@ class CqlTable:
         segments exist)."""
         if len(self._segments) < 2:
             return None
-        import pyarrow.parquet as pq
-
-        tables = [pq.read_table(p) for p in self._segments]
-        import pyarrow as pa
-
-        merged = pa.concat_tables(tables)
-        self._seg_counter += 1
-        path = os.path.join(
-            self.spill_dir,
-            f"{self.schema.name}-compact{self._seg_counter:06d}.parquet",
-        )
-        pq.write_table(merged, path, compression=self._codec())
-        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
-
-        bf = BloomFilter.for_keys(merged.column("pk").to_pylist())
-        bf.save(sidecar_path(path))
-        self._retired.extend(self._segments)
-        self._segments = [path]
-        self._blooms = {path: bf}
-        return path
+        return self._merge_segments(list(self._segments), "compact")
 
     def purge_retired(self) -> int:
         """Delete segments superseded by compaction (the GC half the
