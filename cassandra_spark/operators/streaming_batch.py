@@ -654,3 +654,54 @@ def s15_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _stage_typed_slices(spark, sf_dir, "s15"), how="left_outer"
     )
     return _drain_join(spark, stream, _sink_name("s15_pairs"))
+
+
+@query(
+    "s16_streaming_dedup_bounded",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def s16_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 end-to-end: BOUNDED-state streaming dedup
+    (``dropDuplicatesWithinWatermark`` — jobs.streaming_dedup_bounded).
+    Events are staged as 4 time-ordered weekly slices, each written with
+    every event DUPLICATED inside the slice file, so every duplicate
+    arrives within the watermark window of its original (here: the same
+    epoch) and the output equals the distinct corpus exactly — while,
+    unlike s5's global dedup, the key state is EVICTED as the watermark
+    advances week over week (state = O(watermark window), asserted via
+    numRowsRemoved in tests), which is the production contract for an
+    at-least-once source at 100 TB. A re-delivery arriving after its
+    state was evicted is necessarily late and is DROPPED by the
+    watermark (never re-emitted as a duplicate); the trade is losing
+    very-late first arrivals — pinned by a dedicated test."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="s16_dedup_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, sf_dir).events
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    for a, b in zip(lo, hi):
+        sl = ev
+        if a is not None:
+            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
+        # at-least-once delivery: the slice file carries every row twice
+        sl.unionAll(sl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs_mod().streaming_dedup_bounded(spark, src)
+    name = _sink_name("s16_dedup")
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        jobs_mod().run_available_now(stream, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

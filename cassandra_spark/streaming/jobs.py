@@ -151,8 +151,13 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5: streaming dropDuplicates on the event key with watermark-bounded
-    dedup state."""
+    """S5: streaming dropDuplicates on the event key. NOTE the state
+    contract: because the event-time column is not part of the dedup
+    keys, the watermark does NOT evict this state — it grows with the
+    distinct keys ever seen (exactly-once-global dedup, O(stream)
+    state). The bounded-state production form is
+    :func:`streaming_dedup_bounded` (S16,
+    ``dropDuplicatesWithinWatermark``)."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return ev.dropDuplicates(["event_id"])
 
@@ -915,3 +920,33 @@ def streaming_purchase_attribution(
         "purchase_ts",
         "amount",
     )
+
+
+# --- bounded-state streaming dedup (S16) -----------------------------------
+
+
+def streaming_dedup_bounded(
+    spark: SparkSession, src: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """S16: ``dropDuplicatesWithinWatermark`` — the BOUNDED-state
+    streaming dedup. Plain ``dropDuplicates`` on a non-event-time key
+    (s5) never evicts its state even under a watermark, so dedup state
+    grows with the stream — O(distinct keys ever seen), a scale-killer
+    on an infinite feed. WithinWatermark keeps a key's state only until
+    the watermark passes its event time plus the delay: state is
+    O(events within the watermark window). The guarantee composes
+    neatly: state for an event is evicted only once the watermark
+    passed ``ts + delay`` — at which point any re-delivery of it is
+    necessarily LATE (``ts < watermark``) and is dropped by the
+    watermark rule, not re-emitted. So the sink still never sees a
+    duplicate; what is given up versus s5 is delivery of very-late
+    FIRST arrivals (S4 semantics), the documented at-least-once-source
+    trade at 100 TB."""
+    schema = _events_raw_schema(spark, src)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = restore_ts(raw, "ts").withWatermark("ts", delay)
+    return ev.dropDuplicatesWithinWatermark(["event_id"])

@@ -749,3 +749,106 @@ def test_s15_outer_nulls_gated_by_watermark(spark):
     emitted = {r.view_id for r in nulls.collect()}
     assert emitted.isdisjoint(withheld)
     assert emitted | withheld == {r.event_id for r in unmatched.collect()}
+
+
+def test_s16_bounded_dedup_evicts_state_and_stays_exact(spark):
+    """dropDuplicatesWithinWatermark: same-window duplicates drop, the
+    result equals the batch distinct — AND, unlike s5's global dedup,
+    key state is evicted as the watermark advances (numRowsRemoved > 0,
+    final state far below the distinct-key count)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s16_evict_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, SF_SMOKE).events
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    for a, b in zip(lo, hi):
+        sl = ev
+        if a is not None:
+            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
+        sl.unionAll(sl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.streaming_dedup_bounded(spark, src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s16_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_distinct = ev.count()
+    assert spark.table("s16_evict").count() == n_distinct
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted dedup state"
+    final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state < n_distinct, (
+        f"state held {final_state} of {n_distinct} keys — not bounded"
+    )
+
+
+def test_s16_late_redelivery_dropped_not_duplicated(spark):
+    """The composition that makes WithinWatermark safe: state for an
+    event is evicted only once the watermark passed ts + delay, at which
+    point any re-delivery is necessarily LATE and is dropped by the
+    watermark rule — so the sink still never sees a duplicate. What is
+    lost vs s5 is delivery of very-late FIRST arrivals."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s16_late_")
+    src = os.path.join(tmp, "src")
+    ev = Catalog(spark, SF_SMOKE).events
+    w1 = ev.where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    w2 = ev.where(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    # epoch 0: week 1; epoch 1: week 2 (advances the watermark past all
+    # of week 1 + delay, evicting its state); epoch 2: week 1 AGAIN
+    w1.coalesce(1).write.mode("append").parquet(src)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.streaming_dedup_bounded(spark, src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s16_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # no duplicates in the sink: the late re-delivery was dropped whole
+    assert spark.table("s16_late").count() == w1.count() + w2.count()
+    assert (
+        spark.table("s16_late").groupBy("event_id").count()
+        .where("count > 1").count() == 0
+    )
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    # all but (at most) a boundary row drop as late; any remainder was
+    # deduped against still-live state — either way, never duplicated
+    assert dropped >= w1.count() - 1, "late re-delivery should drop"
