@@ -1493,6 +1493,18 @@ class CqlTable:
 
     # --- spill path (memtable → parquet segment) ---------------------------
 
+    def _ensure_spill_dir(self) -> str:
+        """One home for the spill-dir provisioning policy (prefix scheme,
+        temp location) — shared by the implicit threshold flush and the
+        explicit nodetool-style flush()."""
+        if self.spill_dir is None:
+            import tempfile
+
+            self.spill_dir = tempfile.mkdtemp(
+                prefix=f"cql-spill-{self.schema.name}-"
+            )
+        return self.spill_dir
+
     def _maybe_flush(self) -> None:
         """Spill is DEFAULT-ON: once the in-memory log crosses
         ``spill_threshold`` (the measured ~1 KB/mutation knee, see
@@ -1507,12 +1519,7 @@ class CqlTable:
         if self.spill_threshold is None:
             return
         if len(self._log) >= self.spill_threshold:
-            if self.spill_dir is None:
-                import tempfile
-
-                self.spill_dir = tempfile.mkdtemp(
-                    prefix=f"cql-spill-{self.schema.name}-"
-                )
+            self._ensure_spill_dir()
             self.flush()
             if self.schema.compaction == "SizeTieredCompactionStrategy":
                 self.stcs_compact()
@@ -1627,11 +1634,16 @@ class CqlTable:
 
         The drop is footer-stats-only and resurrection-guarded, the
         reference's fully-expired-SSTable rule: a segment may drop only
-        when (a) every row in it is an expired TTL cell
-        (max_deletion_us <= the session clock) and (b) NO other segment
-        — nor the memtable — holds writes OLDER than its max writetime,
-        because an expired cell still shadows older live cells until
-        purged; dropping it would resurrect them. Out-of-order writes
+        when (a) every row in it is a TTL cell expired at EVERY time any
+        read could still use — min(session clock, default snapshot asof
+        = max_wt + 1); the clock can run ahead of max_wt when statements
+        tick without writing (failed LWT rounds), and judging by the
+        clock alone would whole-drop cells a default SELECT still shows
+        — and (b) NO other segment — nor the memtable — holds writes
+        older than OR EQUAL TO its max writetime, because an expired
+        cell still shadows older-or-equal-writetime cells (equal
+        writetimes resolve by the seq tie-break, which later arrivals
+        win); dropping it would resurrect them. Out-of-order writes
         therefore pin expired segments alive, exactly the documented
         TWCS caveat."""
         win = self.schema.compaction_window_us
@@ -1650,23 +1662,26 @@ class CqlTable:
                     continue
                 created.append(self._merge_segments(members, "twcs"))
         # whole-segment expiry: drop fully-expired, strictly-oldest
-        # segments (loop: dropping the oldest may unblock the next)
+        # segments (loop: dropping the oldest may unblock the next).
+        # Stats and the memtable minimum are loop-invariant — dropping a
+        # victim changes neither — so compute once and shrink the dict.
         asof = self._clock
+        if self._max_wt is not None:
+            asof = min(asof, self._max_wt + 1)
+        stats = {s: self._seg_stats(s) for s in self._segments}
+        mem_min = min((r[6] for r in self._log), default=None)
         while True:
-            stats = {s: self._seg_stats(s) for s in self._segments}
-            mem_min = min((r[6] for r in self._log), default=None)
             victim = None
             for s, (_, mx, mdl) in stats.items():
                 if mdl < 0 or mdl > asof:
                     continue
                 older = [
-                    stats[t][0]
-                    for t in self._segments
-                    if t != s and stats[t][0] is not None
+                    mn for t, (mn, _, _) in stats.items()
+                    if t != s and mn is not None
                 ]
                 if mem_min is not None:
                     older.append(mem_min)
-                if any(o < (mx if mx is not None else 0) for o in older):
+                if any(o <= (mx if mx is not None else 0) for o in older):
                     continue
                 victim = s
                 break
@@ -1675,6 +1690,7 @@ class CqlTable:
             self._retired.append(victim)
             self._blooms.pop(victim, None)
             self._segments.remove(victim)
+            del stats[victim]
 
     def sstable_metadata(self):
         """``sstablemetadata`` analogue: per-segment physical facts read
@@ -1711,14 +1727,9 @@ class CqlTable:
         segment path (None if there was nothing to flush)."""
         if not self._log:
             return None
-        if self.spill_dir is None:
-            # auto-provision like _maybe_flush: an explicit nodetool-style
-            # flush should never fail for lack of configuration
-            import tempfile
-
-            self.spill_dir = tempfile.mkdtemp(
-                prefix=f"cql-spill-{self.schema.name}-"
-            )
+        # auto-provision the spill dir: an explicit nodetool-style flush
+        # must never fail for lack of configuration
+        self._ensure_spill_dir()
         import pyarrow as pa
         import pyarrow.parquet as pq
 

@@ -2240,6 +2240,7 @@ class CqlSession:
                     "compression": s.compression,
                     "compaction": s.compaction,
                     "compaction_min_threshold": s.compaction_min_threshold,
+                    "compaction_window_us": s.compaction_window_us,
                 },
                 "segments": segs,
                 "state": {
@@ -2304,6 +2305,9 @@ class CqlSession:
                     compaction=sch.get("compaction", ""),
                     compaction_min_threshold=sch.get(
                         "compaction_min_threshold", 4
+                    ),
+                    compaction_window_us=sch.get(
+                        "compaction_window_us", 86_400_000_000
                     ),
                 )
             )

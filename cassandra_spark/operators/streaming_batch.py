@@ -557,16 +557,12 @@ def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never behind the prior half's watermark; the weekly-slice pytest
     pins the multi-advance form). The oracle is the equivalent batch
     interval self-join."""
-    stream = jobs_mod().streaming_purchase_attribution(
+    from cassandra_spark.streaming import jobs
+
+    stream = jobs.streaming_purchase_attribution(
         spark, _stage_typed_slices(spark, sf_dir, "s14")
     )
     return _drain_join(spark, stream, _sink_name("s14_pairs"))
-
-
-def jobs_mod():
-    from cassandra_spark.streaming import jobs
-
-    return jobs
 
 
 def _stage_typed_slices(
@@ -604,10 +600,12 @@ def _drain_join(spark: SparkSession, stream, name: str):
     commits per-partition state files every epoch, so a 10k-row drain
     wants 4 (a 100 TB deployment sets this high BEFORE first start — it
     cannot change across restarts)."""
+    from cassandra_spark.streaming import jobs
+
     cur = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        jobs_mod().run_available_now(stream, name, output_mode="append")
+        jobs.run_available_now(stream, name, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
     return spark.table(name)
@@ -650,7 +648,9 @@ def s15_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Boundary note: Spark compares in watermark milliseconds; with
     microsecond event times an exact tie is measure-zero, so the oracle
     uses the untruncated form.)"""
-    stream = jobs_mod().streaming_purchase_attribution(
+    from cassandra_spark.streaming import jobs
+
+    stream = jobs.streaming_purchase_attribution(
         spark, _stage_typed_slices(spark, sf_dir, "s15"), how="left_outer"
     )
     return _drain_join(spark, stream, _sink_name("s15_pairs"))
@@ -694,14 +694,9 @@ def s16_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at-least-once delivery: the slice file carries every row twice
         sl.unionAll(sl).coalesce(1).write.mode("append").parquet(src)
 
-    stream = jobs_mod().streaming_dedup_bounded(spark, src)
-    name = _sink_name("s16_dedup")
-    cur = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        jobs_mod().run_available_now(stream, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", cur)
-    return spark.table(name).select(
+    from cassandra_spark.streaming import jobs
+
+    stream = jobs.streaming_dedup_bounded(spark, src)
+    return _drain_join(spark, stream, _sink_name("s16_dedup")).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )

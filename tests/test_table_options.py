@@ -277,3 +277,77 @@ def test_twcs_describe_round_trips(spark):
             "{'class': 'TimeWindowCompactionStrategy', "
             "'compaction_window_unit': 'WEEKS'}"
         )
+
+
+def test_twcs_clock_ahead_of_writes_does_not_drop_visible_rows(spark, tmp_path):
+    """The clock can run ahead of max writetime without any write (failed
+    LWT rounds still tick it). Whole-segment expiry must judge against
+    the most conservative time a read could use — min(clock, default
+    snapshot asof) — or a row the default SELECT still shows would
+    vanish with its segment."""
+    s, t = _twcs_session(spark, tmp_path)
+    s.execute(
+        "INSERT INTO tw (k, n) VALUES ('a', 1) USING TIMESTAMP 100 "
+        "AND TTL 50"
+    )
+    t.flush()
+    # tick the clock far past the deletion time (150) with no writes
+    for _ in range(200):
+        assert s.execute("UPDATE tw SET n = 5 WHERE k = 'a' IF n = 999") is False
+    assert t._clock > 150 and t._max_wt == 100
+    assert {r.k for r in t.snapshot().collect()} == {"a"}  # still visible
+    t.twcs_compact()
+    assert len(t._segments) == 1, "visible row's segment must not drop"
+    assert {r.k for r in t.snapshot().collect()} == {"a"}
+
+
+def test_twcs_equal_writetime_shadow_pins_expired_segment(spark, tmp_path):
+    """Equal writetimes resolve by the seq tie-break (later arrival
+    wins), so an expired cell at writetime W still shadows a live cell
+    at the SAME W — the guard must treat equality as overlap."""
+    s, t = _twcs_session(spark, tmp_path)
+    # segment A: live no-TTL x = 1 at writetime 100 (earlier seq)
+    s.execute("INSERT INTO tw (k, n) VALUES ('x', 1) USING TIMESTAMP 100")
+    t.flush()
+    # segment B: TTL'd x = 99 at the SAME writetime (later seq -> wins)
+    s.execute(
+        "INSERT INTO tw (k, n) VALUES ('x', 99) USING TIMESTAMP 100 "
+        "AND TTL 5"
+    )
+    t.flush()
+    # segment C: a later live write so max_wt (and the clock floor) pass
+    # B's deletion time 105
+    s.execute("INSERT INTO tw (k, n) VALUES ('z', 7) USING TIMESTAMP 500")
+    t.flush()
+    for _ in range(10):
+        s.execute("UPDATE tw SET n = 5 WHERE k = 'q' IF n = 999")
+    assert t._clock > 105 or True  # clock irrelevant: asof floors at 501
+    t.twcs_compact()
+    # B is fully expired and strictly older than C, but A shares its
+    # writetime -> equality pins it
+    assert len(t._segments) == 3
+    got = {r.k: r.n for r in t.snapshot(asof_us=501).collect()}
+    assert got.get("x") != 1, "expired same-writetime shadow must hold"
+
+
+def test_twcs_window_survives_keyspace_snapshot(spark, tmp_path):
+    """compaction_window_us round-trips through snapshot/restore — a
+    restored TWCS table must keep its window size, not revert to the
+    1-day default."""
+    s = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    s.execute("CREATE KEYSPACE ks WITH replication = "
+              "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s.execute("USE ks")
+    s.execute(
+        "CREATE TABLE tw (k text PRIMARY KEY, n int) WITH compaction = "
+        "{'class': 'TimeWindowCompactionStrategy', "
+        "'compaction_window_unit': 'MINUTES', "
+        "'compaction_window_size': '1'}"
+    )
+    s.execute("INSERT INTO tw (k, n) VALUES ('a', 1)")
+    img = str(tmp_path / "img")
+    s.snapshot_keyspace(img)
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
+    s2.restore_keyspace(img)
+    t2 = next(iter(s2.tables.values()))
+    assert t2.schema.compaction_window_us == 60_000_000
