@@ -1692,6 +1692,113 @@ class CqlTable:
             self._segments.remove(victim)
             del stats[victim]
 
+    def bulk_load(
+        self,
+        df: "DataFrame",
+        timestamp: int | None = None,
+        n_segments: int | None = None,
+        validate: bool = True,
+    ) -> int:
+        """``sstableloader`` analogue: ingest a DataFrame as pre-flushed
+        parquet segments written BY EXECUTORS — the scale path around the
+        driver-side DML front-end (statement parse is single-threaded at
+        ~31k stmt/s, BASELINE.md; this path moves data at Spark write
+        bandwidth and never materializes a row on the driver). The input
+        must carry the primary-key columns plus any subset of SCALAR
+        regular columns; collections/UDTs/static/counter columns are
+        rejected (load those through the statement path). Semantics match
+        one INSERT per row at a single shared writetime: a row MARKER
+        plus one cell per non-null scalar (NULL = unset, like INSERT
+        omitting the column — not a tombstone). ``validate`` asserts
+        primary-key uniqueness (duplicate keys at one shared writetime
+        would resolve by the seq tie-break, which is one value for the
+        whole load — reject instead of guessing). Returns the number of
+        rows loaded.
+
+        Segments written here carry no max-deletion stamp, so TWCS
+        whole-drop treats them as never-droppable until a merge restamps
+        them — the safe default."""
+        from pyspark.sql import functions as F
+
+        s = self.schema
+        if s.counter:
+            raise CQLError("bulk_load does not support counter tables")
+        key_cols = [s.partition_key, *s.clustering]
+        cols = set(df.columns)
+        missing = [c for c in key_cols if c not in cols]
+        if missing:
+            raise CQLError(f"bulk_load input missing key column(s) {missing}")
+        payload = [c for c in df.columns if c not in key_cols]
+        bad = [c for c in payload if c not in s.scalar_regular]
+        if bad:
+            raise CQLError(
+                f"bulk_load supports scalar regular columns only; bad: {bad}"
+            )
+        if validate:
+            dups = (
+                df.groupBy(*key_cols).count().filter("count > 1").limit(1)
+            )
+            if dups.count():
+                raise CQLError(
+                    "bulk_load input has duplicate primary keys (pass "
+                    "validate=False only if upstream guarantees uniqueness)"
+                )
+
+        ts = self._clock + 1 if timestamp is None else timestamp
+        self._clock = max(self._clock, ts)
+        self._max_wt = ts if self._max_wt is None else max(self._max_wt, ts)
+        self._seq += 1
+        seq = self._seq
+        ttl = s.default_ttl or 0
+
+        pk = F.col(s.partition_key).cast("string").alias("pk")
+        ck = (
+            F.concat_ws(SEP, *[F.col(c).cast("string") for c in s.clustering])
+            if s.clustering
+            else F.lit("")
+        ).alias("ck")
+
+        def mut(colname, val, kind):
+            return df.select(
+                pk,
+                ck,
+                F.lit(colname).cast("string").alias("col"),
+                F.lit(None).cast("string").alias("elem"),
+                val.cast("string").alias("val"),
+                F.lit(kind).alias("kind"),
+                F.lit(ts).cast("long").alias("writetime"),
+                F.lit(ttl).cast("long").alias("ttl"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit(None).cast("string").alias("lo"),
+                F.lit(None).cast("string").alias("hi"),
+                F.lit(None).cast("boolean").alias("lo_incl"),
+                F.lit(None).cast("boolean").alias("hi_incl"),
+            )
+
+        parts = [mut(None, F.lit(None), MARKER)]
+        for c in payload:
+            parts.append(
+                mut(c, F.col(c), CELL).filter(F.col("val").isNotNull())
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        if n_segments:
+            out = out.repartition(n_segments, "pk")
+
+        import glob
+        import uuid
+
+        self._ensure_spill_dir()
+        sub = os.path.join(
+            self.spill_dir, f"{s.name}-bulk-{uuid.uuid4().hex[:8]}"
+        )
+        out.write.parquet(sub, compression=self._codec())
+        files = sorted(glob.glob(os.path.join(sub, "part-*.parquet")))
+        # blooms rebuild lazily per segment on first point read
+        self._segments.extend(files)
+        return df.count()
+
     def sstable_metadata(self):
         """``sstablemetadata`` analogue: per-segment physical facts read
         from parquet FOOTERS only (no data pages) — row count, bytes,

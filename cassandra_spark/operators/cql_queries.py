@@ -941,3 +941,43 @@ def cql26_twcs_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.twcs_compact()
     assert len(t._segments) == 1, "expired window-0 segment should drop"
     return sess.execute("SELECT k, n FROM twt")
+
+
+@query(
+    "w22_bulk_load",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+           MAX(o_orderpriority) AS max_prio
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def w22_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ingest (``sstableloader`` analogue): the full orders table
+    loads into a session table as executor-written parquet segments —
+    no driver-side statement parsing (the measured DML front-end bound
+    is ~31k stmt/s single-threaded; this path is Spark write bandwidth)
+    — then a CQL GROUP BY over the partition key aggregates it. The
+    oracle is the same aggregate over the source table, so the result
+    proves the loaded segments reconcile identically to the statement
+    path's log shape."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE bulk_orders (custkey bigint, okey bigint, "
+        "priority text, PRIMARY KEY (custkey, okey))"
+    )
+    src = Catalog(spark, sf_dir).orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    sess.table("bulk_orders").bulk_load(src, n_segments=8)
+    return sess.execute(
+        "SELECT custkey, count(*) AS n_orders, sum(okey) AS sum_okey, "
+        "max(priority) AS max_prio FROM bulk_orders GROUP BY custkey"
+    )

@@ -248,3 +248,82 @@ def test_insert_json_lwt_and_rejections(table):
         table.execute("INSERT INTO t JSON '{\"pk\": }'")
     with _pytest.raises(_E):  # unknown column
         table.execute('INSERT INTO t JSON \'{"pk": "k", "ck": "1", "zz": 1}\'')
+
+
+def test_bulk_load_matches_statement_path(spark, tmp_path):
+    """bulk_load(df) must be indistinguishable from one INSERT per row at
+    a shared writetime: same snapshot, and later statement-path writes
+    win LWW over bulk cells exactly as over inserted cells."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.cql_session import CqlSession
+
+    rows = [(1, 10, "a"), (1, 11, "b"), (2, 20, None)]
+    df = spark.createDataFrame(rows, "custkey long, okey long, v string")
+
+    s1 = CqlSession(spark, spill_dir=str(tmp_path / "bulk"))
+    s1.execute(
+        "CREATE TABLE t (custkey bigint, okey bigint, v text, "
+        "PRIMARY KEY (custkey, okey))"
+    )
+    t1 = s1.table("t")
+    assert t1.bulk_load(df, timestamp=1000, n_segments=2) == 3
+    assert t1._segments and not t1._log  # data lives in segments only
+
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "stmt"))
+    s2.execute(
+        "CREATE TABLE t (custkey bigint, okey bigint, v text, "
+        "PRIMARY KEY (custkey, okey))"
+    )
+    for ck, ok, v in rows:
+        cols, vals = "custkey, okey", f"{ck}, {ok}"
+        if v is not None:
+            cols, vals = cols + ", v", vals + f", '{v}'"
+        s2.execute(
+            f"INSERT INTO t ({cols}) VALUES ({vals}) USING TIMESTAMP 1000"
+        )
+    a = {tuple(r) for r in s1.execute("SELECT * FROM t").collect()}
+    b = {tuple(r) for r in s2.execute("SELECT * FROM t").collect()}
+    assert a == b
+    # NULL payload = unset: the row exists via its marker, v reads NULL
+    assert (None,) in {
+        (r.v,)
+        for r in s1.execute(
+            "SELECT v FROM t WHERE custkey = 2 AND okey = 20"
+        ).collect()
+    }
+    # LWW interop both directions
+    s1.execute("UPDATE t USING TIMESTAMP 2000 SET v = 'new' "
+               "WHERE custkey = 1 AND okey = 10")
+    s1.execute("UPDATE t USING TIMESTAMP 1 SET v = 'old' "
+               "WHERE custkey = 1 AND okey = 11")
+    got = {
+        (r.okey, r.v)
+        for r in s1.execute("SELECT okey, v FROM t WHERE custkey = 1").collect()
+    }
+    assert got == {(10, "new"), (11, "b")}
+
+
+def test_bulk_load_rejections(spark, tmp_path):
+    import pytest as _pytest
+
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE t (k bigint PRIMARY KEY, v text, tags set<text>)"
+    )
+    t = s.table("t")
+    with _pytest.raises(CQLError, match="missing key"):
+        t.bulk_load(spark.createDataFrame([( "a",)], "v string"))
+    with _pytest.raises(CQLError, match="scalar regular"):
+        t.bulk_load(
+            spark.createDataFrame([(1, ["x"])], "k long, tags array<string>")
+        )
+    with _pytest.raises(CQLError, match="duplicate primary keys"):
+        t.bulk_load(
+            spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+        )
+    s.execute("CREATE TABLE c (k bigint PRIMARY KEY, n counter)")
+    with _pytest.raises(CQLError, match="counter"):
+        s.table("c").bulk_load(spark.createDataFrame([(1,)], "k long"))
