@@ -398,7 +398,8 @@ _TRUNCATE_RE = re.compile(
 )
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
-    r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*;?\s*$",
+    r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
+    r"(?:\s+WITH\s+FORMAT\s*=\s*'(?P<fmt>\w+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
@@ -1721,12 +1722,36 @@ class CqlSession:
         cells are skipped columns (unset), not empty strings — the same
         NULL-representation ambiguity cqlsh's default NULL='' has.
         Scalar columns only (collections/UDTs rejected up front).
-        Returns the row count moved."""
+        Returns the row count moved.
+
+        ``WITH FORMAT = 'PARQUET'`` is this engine's scale extension
+        (cqlsh has no parquet path): TO writes the reconciled snapshot
+        executor-side; FROM routes through :meth:`CqlTable.bulk_load`
+        (the sstableloader path) — neither funnels rows through the
+        driver, which is the only sane shape at 100 TB."""
         import csv
 
         name = m.group("table").lower()
         t = self.table(name)
         sch = t.schema
+        fmt = (m.group("fmt") or "CSV").upper()
+        if fmt not in ("CSV", "PARQUET"):
+            raise CQLError(f"COPY FORMAT must be CSV or PARQUET, got {fmt!r}")
+        if fmt == "PARQUET":
+            if m.group("cols"):
+                raise CQLError(
+                    "COPY ... WITH FORMAT='PARQUET' copies full rows; "
+                    "project columns in the parquet instead"
+                )
+            path = m.group("path")
+            if m.group("dir").upper() == "TO":
+                self._check_perm("SELECT", name)
+                df = t.snapshot()
+                drop = [c for c in df.columns if c.startswith("__writetime_")]
+                df.drop(*drop).write.parquet(path)
+                return df.count()
+            self._check_perm("MODIFY", name)
+            return t.bulk_load(self.spark.read.parquet(path))
         cols = (
             [c.strip().lower() for c in m.group("cols").split(",")]
             if m.group("cols")

@@ -327,3 +327,27 @@ def test_bulk_load_rejections(spark, tmp_path):
     s.execute("CREATE TABLE c (k bigint PRIMARY KEY, n counter)")
     with _pytest.raises(CQLError, match="counter"):
         s.table("c").bulk_load(spark.createDataFrame([(1,)], "k long"))
+
+
+def test_copy_parquet_round_trip(spark, tmp_path):
+    """COPY ... WITH FORMAT='PARQUET': TO writes the reconciled snapshot
+    executor-side; FROM bulk-loads it back — no driver row funnel in
+    either direction, and the round-trip is exact."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    s.execute(
+        "CREATE TABLE src (k bigint PRIMARY KEY, v text, n int)"
+    )
+    s.execute("INSERT INTO src (k, v, n) VALUES (1, 'x,y', 10)")
+    s.execute("INSERT INTO src (k, n) VALUES (2, 20)")
+    s.execute("UPDATE src SET n = 99 WHERE k = 1")
+    out = str(tmp_path / "dump")
+    assert s.execute(f"COPY src TO '{out}' WITH FORMAT = 'PARQUET'") == 2
+    s.execute("CREATE TABLE dst (k bigint PRIMARY KEY, v text, n int)")
+    assert s.execute(f"COPY dst FROM '{out}' WITH FORMAT = 'PARQUET'") == 2
+    a = {tuple(r) for r in s.execute("SELECT k, v, n FROM src").collect()}
+    b = {tuple(r) for r in s.execute("SELECT k, v, n FROM dst").collect()}
+    assert a == b == {(1, "x,y", 99), (2, None, 20)}
+    with pytest.raises(CQLError, match="FORMAT"):
+        s.execute(f"COPY dst FROM '{out}' WITH FORMAT = 'ORC'")
