@@ -556,3 +556,63 @@ def l21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score", F.expr("lm_score DIV n_bigrams")
         )
     )
+
+
+# Seeded two-round multiplicative mix, pure int64 arithmetic so it is
+# bit-identical on Spark and DuckDB (constants sized so no intermediate
+# exceeds int64: (2^32)*1566083941 < 2^63). Distinct seeds give
+# decorrelated orders over the same corpus.
+_SHUF_H1 = "((doc_id * 2654435761 + {seed} * 40503) % 4294967296)"
+_SHUF_H = f"(({_SHUF_H1} * 1566083941) % 4294967296)"
+_SHUF_BUCKETS = 64
+_SHUF_WIDTH = 4294967296 // _SHUF_BUCKETS
+
+
+def shuffle_key(seed: int):
+    """Spark Column: the deterministic shuffle key H(seed, doc_id)."""
+    return F.expr(_SHUF_H.format(seed=seed))
+
+
+@query(
+    "l28_epoch_shuffle",
+    oracle=f"""
+    SELECT seed, ({_SHUF_H.format(seed='seed')}) // {_SHUF_WIDTH} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN({_SHUF_H.format(seed='seed')}) AS BIGINT) AS min_h,
+           CAST(MAX({_SHUF_H.format(seed='seed')}) AS BIGINT) AS max_h,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents CROSS JOIN (VALUES (0), (1)) s(seed)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def l28_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28: deterministic seeded EPOCH SHUFFLE — the training-order
+    primitive (each epoch reads the corpus in a different, reproducible
+    pseudo-random order). Order is defined positionally-free, the only
+    shape that scales: shuffle key H = seeded two-round multiplicative
+    mix of doc_id; file bucket = H's top bits (FIXED-width ranges — no
+    repartitionByRange sampling, so the assignment is deterministic and
+    oracle-checkable); within-bucket order = sort by H. Writing epoch
+    files is then `.repartition(N, bucket).sortWithinPartitions(H)` —
+    ONE exchange, partition-local sorts, no global sort barrier and no
+    driver-side position counter. Changing the seed permutes both
+    bucket assignment and within-bucket order (decorrelation pinned in
+    tests). The entry aggregates per-(seed, bucket) count / H range /
+    id checksum for two epochs — exactly the file-level artifact a
+    trainer's data loader consumes."""
+    cat = Catalog(spark, sf_dir)
+    seeds = spark.range(2).select(F.col("id").cast("int").alias("seed"))
+    docs = cat.documents.select("doc_id").crossJoin(F.broadcast(seeds))
+    h = F.expr(_SHUF_H.format(seed="seed"))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("bucket", (F.col("h") / F.lit(_SHUF_WIDTH)).cast("long"))
+        .groupBy("seed", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("seed", "bucket")
+    )

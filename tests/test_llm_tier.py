@@ -639,3 +639,47 @@ def test_l27_span_dedup_properties(spark):
         n = -(-len(d.text.split(" ")) // SPAN_W)
         assert r.n_spans == n
         assert 0 <= r.n_kept <= n
+
+
+def test_epoch_shuffle_decorrelates_and_ranges_disjoint(spark):
+    """l28: distinct seeds must materially permute the order (most docs
+    change bucket between epochs), bucket H-ranges are disjoint fixed
+    widths (so bucketing IS range partitioning, no sampling), and the
+    shuffle is a permutation — every doc appears exactly once per
+    epoch."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_text import (
+        _SHUF_WIDTH,
+        shuffle_key,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents.select("doc_id")
+    n = docs.count()
+    per_seed = {}
+    for seed in (0, 1):
+        d = docs.withColumn("h", shuffle_key(seed)).withColumn(
+            "bucket", (F.col("h") / F.lit(_SHUF_WIDTH)).cast("long")
+        )
+        rows = d.collect()
+        assert len(rows) == n and len({r.doc_id for r in rows}) == n
+        per_seed[seed] = {r.doc_id: (r.bucket, r.h) for r in rows}
+        # fixed-width ranges: bucket is exactly h // width, 0..63
+        assert all(
+            b == h // _SHUF_WIDTH and 0 <= b < 64
+            for b, h in per_seed[seed].values()
+        )
+    moved = sum(
+        per_seed[0][d][0] != per_seed[1][d][0] for d in per_seed[0]
+    )
+    # independent uniform buckets: ~63/64 of docs change bucket
+    assert moved / n > 0.9
+    # and within a bucket the order key is the full-resolution H, not
+    # the bucket id: some bucket holds >1 doc with distinct keys
+    from collections import Counter
+
+    counts = Counter(b for b, _ in per_seed[0].values())
+    big = [b for b, c in counts.items() if c > 1]
+    assert big, "smoke corpus should fill some bucket twice"
