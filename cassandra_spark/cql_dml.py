@@ -1706,14 +1706,21 @@ class CqlTable:
         bandwidth and never materializes a row on the driver). The input
         must carry the primary-key columns plus any subset of SCALAR
         regular columns; collections/UDTs/static/counter columns are
-        rejected (load those through the statement path). Semantics match
-        one INSERT per row at a single shared writetime: a row MARKER
-        plus one cell per non-null scalar (NULL = unset, like INSERT
-        omitting the column — not a tombstone). ``validate`` asserts
-        primary-key uniqueness (duplicate keys at one shared writetime
-        would resolve by the seq tie-break, which is one value for the
-        whole load — reject instead of guessing). Returns the number of
-        rows loaded.
+        rejected (load those through the statement path). Key columns
+        must be of exact-text key types (integer widths / text): a
+        double/boolean key's literal text could differ from Spark's
+        cast-to-string form and the same logical key would never merge
+        across paths. Semantics match one INSERT per row at a single
+        shared writetime: a row MARKER plus one cell per non-null scalar
+        (NULL = unset, like INSERT omitting the column — not a
+        tombstone). Passing ``timestamp`` mirrors ``USING TIMESTAMP``
+        (the clock does NOT advance); the default takes the next clock
+        tick like an unpinned statement. ``validate`` asserts key
+        non-nullness and primary-key uniqueness ON THE WRITTEN SEGMENTS
+        (so a nondeterministic input plan cannot pass validation yet
+        write something else); on failure the files are removed and
+        nothing is registered. Returns the number of rows loaded,
+        counted from the written marker cells.
 
         Segments written here carry no max-deletion stamp, so TWCS
         whole-drop treats them as never-droppable until a merge restamps
@@ -1724,6 +1731,15 @@ class CqlTable:
         if s.counter:
             raise CQLError("bulk_load does not support counter tables")
         key_cols = [s.partition_key, *s.clustering]
+        exact_key_types = {"string", "bigint", "int", "smallint", "tinyint"}
+        bad_keys = [
+            c for c in key_cols if s.key_type(c) not in exact_key_types
+        ]
+        if bad_keys:
+            raise CQLError(
+                f"bulk_load requires exact-text key types "
+                f"(int widths / text); bad: {bad_keys}"
+            )
         cols = set(df.columns)
         missing = [c for c in key_cols if c not in cols]
         if missing:
@@ -1734,28 +1750,31 @@ class CqlTable:
             raise CQLError(
                 f"bulk_load supports scalar regular columns only; bad: {bad}"
             )
-        if validate:
-            dups = (
-                df.groupBy(*key_cols).count().filter("count > 1").limit(1)
-            )
-            if dups.count():
-                raise CQLError(
-                    "bulk_load input has duplicate primary keys (pass "
-                    "validate=False only if upstream guarantees uniqueness)"
-                )
 
-        ts = self._clock + 1 if timestamp is None else timestamp
-        self._clock = max(self._clock, ts)
+        if timestamp is None:
+            # an unpinned load consumes a clock round, like any statement
+            self._clock += 1
+            ts = self._clock
+        else:
+            # USING TIMESTAMP semantics: pinned writes never advance the
+            # clock (cql26/BATCH pin the same rule on the statement path)
+            ts = timestamp
         self._max_wt = ts if self._max_wt is None else max(self._max_wt, ts)
         self._seq += 1
         seq = self._seq
         ttl = s.default_ttl or 0
 
         pk = F.col(s.partition_key).cast("string").alias("pk")
+        # null-PROPAGATING concat (not concat_ws, which silently drops
+        # null components and would collapse distinct keys): a null
+        # clustering value yields ck NULL, which validation rejects below
+        ck_parts: list = []
+        for i, c in enumerate(s.clustering):
+            if i:
+                ck_parts.append(F.lit(SEP))
+            ck_parts.append(F.col(c).cast("string"))
         ck = (
-            F.concat_ws(SEP, *[F.col(c).cast("string") for c in s.clustering])
-            if s.clustering
-            else F.lit("")
+            F.concat(*ck_parts) if s.clustering else F.lit("")
         ).alias("ck")
 
         def mut(colname, val, kind):
@@ -1783,10 +1802,15 @@ class CqlTable:
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
-        if n_segments:
-            out = out.repartition(n_segments, "pk")
+        # bound the file count: the narrow per-column union multiplies the
+        # input partitioning, and nothing downstream compacts bulk
+        # segments — cluster by pk so point-read blooms stay selective
+        from cassandra_spark.operators.compaction import DEFAULT_BUCKETS
+
+        out = out.repartition(n_segments or DEFAULT_BUCKETS, "pk")
 
         import glob
+        import shutil
         import uuid
 
         self._ensure_spill_dir()
@@ -1795,9 +1819,35 @@ class CqlTable:
         )
         out.write.parquet(sub, compression=self._codec())
         files = sorted(glob.glob(os.path.join(sub, "part-*.parquet")))
+        # the input plan ran exactly once (the write above); validate and
+        # count against the WRITTEN segments, executor-side
+        written = self.spark.read.schema(_MUT_SCHEMA).parquet(*files)
+        markers = written.filter(F.col("kind") == MARKER)
+        if validate:
+            # ck NULL here = a null clustering component (the builder is
+            # null-propagating); pk NULL = null partition key — both are
+            # keys the statement path can never produce
+            null_keys = F.col("pk").isNull() | F.col("ck").isNull()
+            problem = (
+                markers.groupBy("pk", "ck")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(null_keys.cast("int")).alias("badkey"),
+                )
+                .filter("n > 1 OR badkey = 1")
+                .limit(1)
+            )
+            if problem.count():
+                shutil.rmtree(sub, ignore_errors=True)
+                raise CQLError(
+                    "bulk_load input has duplicate or NULL primary keys "
+                    "(pass validate=False only if upstream guarantees "
+                    "non-null unique keys)"
+                )
+        n = markers.count()
         # blooms rebuild lazily per segment on first point read
         self._segments.extend(files)
-        return df.count()
+        return n
 
     def sstable_metadata(self):
         """``sstablemetadata`` analogue: per-segment physical facts read

@@ -1743,13 +1743,27 @@ class CqlSession:
                     "COPY ... WITH FORMAT='PARQUET' copies full rows; "
                     "project columns in the parquet instead"
                 )
+            # symmetric up-front rejection (like the CSV branch): TO must
+            # never emit an artifact FROM cannot load — bulk_load takes
+            # scalar regular columns only, no statics
+            complex_cols = sorted(
+                set(sch.regular) - set(sch.scalar_regular)
+            ) + sorted(sch.static)
+            if complex_cols:
+                raise CQLError(
+                    "COPY WITH FORMAT='PARQUET' supports scalar-only "
+                    f"tables (complex/static columns: {complex_cols})"
+                )
             path = m.group("path")
             if m.group("dir").upper() == "TO":
                 self._check_perm("SELECT", name)
                 df = t.snapshot()
                 drop = [c for c in df.columns if c.startswith("__writetime_")]
-                df.drop(*drop).write.parquet(path)
-                return df.count()
+                # overwrite like the CSV branch's open(path, 'w') — a
+                # re-export must not raise path-exists
+                df.drop(*drop).write.mode("overwrite").parquet(path)
+                # count from the written files, not a second reconcile
+                return self.spark.read.parquet(path).count()
             self._check_perm("MODIFY", name)
             return t.bulk_load(self.spark.read.parquet(path))
         cols = (

@@ -559,11 +559,17 @@ def l21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Seeded two-round multiplicative mix, pure int64 arithmetic so it is
-# bit-identical on Spark and DuckDB (constants sized so no intermediate
-# exceeds int64: (2^32)*1566083941 < 2^63). Distinct seeds give
+# bit-identical on Spark and DuckDB. Same family as _SPLIT_HASH above /
+# llm_pipeline._MIX_HASH (each formula is frozen by its query's oracle,
+# so they stay separate definitions); the seeded form differs in that
+# BOTH multipliers are < 2^31 and doc_id is pre-reduced mod 2^32
+# (non-negative via the double-mod), so no intermediate exceeds int64
+# for ANY int64 doc_id — (2^32) * 1812433253 < 2^63 — where the
+# unseeded forms assume doc_id < ~3.4e9. Distinct seeds give
 # decorrelated orders over the same corpus.
-_SHUF_H1 = "((doc_id * 2654435761 + {seed} * 40503) % 4294967296)"
-_SHUF_H = f"(({_SHUF_H1} * 1566083941) % 4294967296)"
+_SHUF_D = "(((doc_id % 4294967296) + 4294967296) % 4294967296)"
+_SHUF_H1 = f"(({_SHUF_D} * 1566083941 + {{seed}} * 40503) % 4294967296)"
+_SHUF_H = f"(({_SHUF_H1} * 1812433253) % 4294967296)"
 _SHUF_BUCKETS = 64
 _SHUF_WIDTH = 4294967296 // _SHUF_BUCKETS
 

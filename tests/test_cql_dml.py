@@ -320,7 +320,7 @@ def test_bulk_load_rejections(spark, tmp_path):
         t.bulk_load(
             spark.createDataFrame([(1, ["x"])], "k long, tags array<string>")
         )
-    with _pytest.raises(CQLError, match="duplicate primary keys"):
+    with _pytest.raises(CQLError, match="duplicate or NULL primary keys"):
         t.bulk_load(
             spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
         )
@@ -351,3 +351,77 @@ def test_copy_parquet_round_trip(spark, tmp_path):
     assert a == b == {(1, "x,y", 99), (2, None, 20)}
     with pytest.raises(CQLError, match="FORMAT"):
         s.execute(f"COPY dst FROM '{out}' WITH FORMAT = 'ORC'")
+
+
+def test_bulk_load_null_keys_and_float_keys_rejected(spark, tmp_path):
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE t (custkey bigint, okey bigint, v text, "
+        "PRIMARY KEY (custkey, okey))"
+    )
+    t = s.table("t")
+    # null clustering key: statement path could never produce it
+    with pytest.raises(CQLError, match="NULL primary keys"):
+        t.bulk_load(
+            spark.createDataFrame(
+                [(1, None, "a")], "custkey long, okey long, v string"
+            )
+        )
+    # failed load registers nothing
+    assert not t._segments
+    # double keys: Spark's cast text differs from CQL literal text
+    s.execute("CREATE TABLE d (k double PRIMARY KEY, v text)")
+    with pytest.raises(CQLError, match="exact-text key types"):
+        s.table("d").bulk_load(
+            spark.createDataFrame([(1.0, "a")], "k double, v string")
+        )
+
+
+def test_bulk_load_clock_semantics_match_statements(spark, tmp_path):
+    """A default-timestamp load takes the next clock tick (a later plain
+    UPDATE wins); a pinned load mirrors USING TIMESTAMP and does NOT
+    advance the clock (a later plain UPDATE still wins, exactly as after
+    a pinned INSERT)."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    t = s.table("t")
+    t.bulk_load(spark.createDataFrame([(1, "bulk")], "k long, v string"))
+    s.execute("UPDATE t SET v = 'after' WHERE k = 1")
+    assert s.execute("SELECT v FROM t WHERE k = 1").collect()[0].v == "after"
+
+    s.execute("CREATE TABLE p (k bigint PRIMARY KEY, v text)")
+    tp = s.table("p")
+    clock0 = tp._clock
+    tp.bulk_load(
+        spark.createDataFrame([(1, "bulk")], "k long, v string"),
+        timestamp=1_000_000,
+    )
+    assert tp._clock == clock0, "pinned load must not advance the clock"
+    s.execute("UPDATE p SET v = 'after' WHERE k = 1")
+    # same outcome as: INSERT ... USING TIMESTAMP 1000000; UPDATE (unpinned)
+    # -> the pinned write wins because the clock never caught up
+    assert s.execute("SELECT v FROM p WHERE k = 1").collect()[0].v == "bulk"
+
+
+def test_copy_parquet_rejects_complex_tables_and_overwrites(spark, tmp_path):
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    s.execute(
+        "CREATE TABLE cx (k bigint PRIMARY KEY, tags set<text>)"
+    )
+    with pytest.raises(CQLError, match="scalar-only"):
+        s.execute(
+            f"COPY cx TO '{tmp_path / 'x'}' WITH FORMAT = 'PARQUET'"
+        )
+    s.execute("CREATE TABLE ok (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO ok (k, v) VALUES (1, 'a')")
+    out = str(tmp_path / "dump")
+    assert s.execute(f"COPY ok TO '{out}' WITH FORMAT = 'PARQUET'") == 1
+    # re-export must overwrite, like the CSV branch
+    s.execute("INSERT INTO ok (k, v) VALUES (2, 'b')")
+    assert s.execute(f"COPY ok TO '{out}' WITH FORMAT = 'PARQUET'") == 2
