@@ -113,6 +113,9 @@ STRESS_QUERIES = (
     "l25_fuzzy_contamination",
     "l26_pq_ann",
     "l27_span_dedup",
+    # round-5 second block: bulk ingest + epoch shuffle
+    "w22_bulk_load",
+    "l28_epoch_shuffle",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -148,6 +151,8 @@ STRESS_QUERIES_100 = (
     "l24_linreg_gd",
     "x43_event_pagerank",
     "l25_fuzzy_contamination",
+    "w22_bulk_load",
+    "l28_epoch_shuffle",
 )
 
 
