@@ -2215,17 +2215,32 @@ class CqlSession:
             raise CQLError(f"unknown table {tm.group(1)!r}")
         return t_.execute(stmt)
 
-    def snapshot_keyspace(self, out_dir: str) -> dict:
+    def snapshot_keyspace(self, out_dir: str, base_dir: str | None = None) -> dict:
         """``nodetool snapshot`` analogue built on the segment
         architecture: flush every memtable, hard-link-copy the parquet
         mutation segments, and write a manifest (schema parts, logical
         clocks, masks/indexes/types/functions). The snapshot is a
         consistent point-in-time image BY CONSTRUCTION — flushes happen
         between statements, so no segment holds a partial batch. Data
-        never round-trips through the driver: segments are files."""
+        never round-trips through the driver: segments are files.
+
+        ``base_dir`` makes the snapshot INCREMENTAL (the reference's
+        ``incremental_backups``: only SSTables flushed since the last
+        backup are linked): segments whose file name already exists in
+        the base image's logical state are NOT copied — the manifest
+        still records the FULL logical state plus a ``base`` pointer,
+        and restore resolves missing files down the base chain. Cost is
+        O(new data) per backup instead of O(table)."""
         import json as _json
         import shutil
 
+        base_segs: dict[str, set[str]] = {}
+        if base_dir is not None:
+            with open(os.path.join(base_dir, "manifest.json")) as f:
+                bm = _json.load(f)
+            base_segs = {
+                n: set(e["segments"]) for n, e in bm["tables"].items()
+            }
         os.makedirs(out_dir, exist_ok=True)
         manifest: dict = {
             "types": self.types,
@@ -2244,6 +2259,7 @@ class CqlSession:
                 for v, spec in self.mat_views.items()
             },
             "tables": {},
+            "base": os.path.abspath(base_dir) if base_dir else None,
         }
         for name, t in self.tables.items():
             if t._log and t.spill_dir is None:
@@ -2254,8 +2270,13 @@ class CqlSession:
             tdir = os.path.join(out_dir, name)
             os.makedirs(tdir, exist_ok=True)
             segs = []
+            copied = []
             for p in t._segments:
-                dst = os.path.join(tdir, os.path.basename(p))
+                base = os.path.basename(p)
+                segs.append(base)
+                if base in base_segs.get(name, ()):
+                    continue  # incremental: reachable via the base chain
+                dst = os.path.join(tdir, base)
                 shutil.copy2(p, dst)
                 # Filter.db rides with its SSTable: copy the bloom
                 # sidecar when present (restore rebuilds it lazily if not)
@@ -2263,7 +2284,7 @@ class CqlSession:
 
                 if os.path.exists(sidecar_path(p)):
                     shutil.copy2(sidecar_path(p), sidecar_path(dst))
-                segs.append(os.path.basename(p))
+                copied.append(base)
             s = t.schema
             manifest["tables"][name] = {
                 "schema": {
@@ -2282,6 +2303,7 @@ class CqlSession:
                     "compaction_window_us": s.compaction_window_us,
                 },
                 "segments": segs,
+                "copied": copied,
                 "state": {
                     "clock": t._clock,
                     "seq": t._seq,
@@ -2294,6 +2316,31 @@ class CqlSession:
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
             _json.dump(manifest, f)
         return manifest
+
+    @staticmethod
+    def _resolve_snapshot_file(in_dir: str, table: str, seg: str) -> str:
+        """Find a segment file in an incremental-snapshot chain: the
+        image itself first, then each ``base`` ancestor (bounded walk —
+        a cycle or a break raises instead of looping/guessing)."""
+        import json as _json
+
+        cur = in_dir
+        for _ in range(64):
+            cand = os.path.join(cur, table, seg)
+            if os.path.exists(cand):
+                return cand
+            try:
+                with open(os.path.join(cur, "manifest.json")) as f:
+                    nxt = _json.load(f).get("base")
+            except OSError:
+                break  # ancestor deleted: the chain is broken
+            if not nxt or os.path.abspath(nxt) == os.path.abspath(cur):
+                break
+            cur = nxt
+        raise CQLError(
+            f"segment {seg!r} of table {table!r} not found in snapshot "
+            f"chain starting at {in_dir!r}"
+        )
 
     def restore_keyspace(self, in_dir: str) -> None:
         """Restore a :meth:`snapshot_keyspace` image into THIS (empty)
@@ -2358,7 +2405,7 @@ class CqlSession:
             from cassandra_spark.operators.bloom import sidecar_path
 
             for seg in entry["segments"]:
-                src = os.path.join(in_dir, name, seg)
+                src = self._resolve_snapshot_file(in_dir, name, seg)
                 dst = os.path.join(t.spill_dir, seg)
                 shutil.copy2(src, dst)
                 if os.path.exists(sidecar_path(src)):

@@ -1397,3 +1397,61 @@ def test_alter_type_add_field(spark):
         s.execute("ALTER TYPE addr ADD zip int")
     with pytest.raises(CQLError, match="unknown type"):
         s.execute("ALTER TYPE nope ADD x int")
+
+
+def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
+    """snapshot_keyspace(base_dir=...) is the incremental_backups
+    analogue: a second snapshot copies only segments flushed since the
+    base, its manifest records the full logical state plus the base
+    pointer, and restore resolves files down the chain to an identical
+    session."""
+    import json
+    import os
+
+    s = CqlSession(spark, spill_dir=str(tmp_path / "live"))
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    t = s.table("t")
+    s.execute("INSERT INTO t (k, v) VALUES (1, 'a')")
+    s.execute("INSERT INTO t (k, v) VALUES (2, 'b')")
+    full = str(tmp_path / "full")
+    s.snapshot_keyspace(full)
+    n_full = len(os.listdir(os.path.join(full, "t")))
+    assert n_full >= 1
+
+    # more writes -> a NEW segment; also overwrite an old key
+    s.execute("INSERT INTO t (k, v) VALUES (3, 'c')")
+    s.execute("UPDATE t SET v = 'a2' WHERE k = 1")
+    inc = str(tmp_path / "inc")
+    man = s.snapshot_keyspace(inc, base_dir=full)
+    # only the post-base segment was physically copied
+    assert len(man["tables"]["t"]["copied"]) == 1
+    inc_parquet = [
+        f for f in os.listdir(os.path.join(inc, "t"))
+        if f.endswith(".parquet")
+    ]
+    assert len(inc_parquet) == 1
+    assert len(man["tables"]["t"]["segments"]) == 2
+    assert json.load(open(os.path.join(inc, "manifest.json")))["base"]
+
+    # restore from the INCREMENTAL image alone: chain resolution
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
+    s2.restore_keyspace(inc)
+    got = {(r.k, r.v) for r in s2.execute("SELECT k, v FROM t").collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+
+    # a third-level increment chains through the second
+    s.execute("INSERT INTO t (k, v) VALUES (4, 'd')")
+    inc2 = str(tmp_path / "inc2")
+    man2 = s.snapshot_keyspace(inc2, base_dir=inc)
+    assert len(man2["tables"]["t"]["copied"]) == 1
+    s3 = CqlSession(spark, spill_dir=str(tmp_path / "r2"))
+    s3.restore_keyspace(inc2)
+    assert s3.execute("SELECT count(*) AS n FROM t").collect()[0].n == 4
+
+    # a broken chain raises instead of restoring partially
+    import shutil
+
+    shutil.rmtree(full)
+    s4 = CqlSession(spark, spill_dir=str(tmp_path / "r3"))
+    with pytest.raises(CQLError, match="not found in snapshot chain"):
+        s4.restore_keyspace(inc2)
