@@ -573,3 +573,68 @@ def test_join_mv_maintenance_broadcasts_delta_side(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastExchange") >= 2  # dim + delete-key set
+
+
+def test_stream_stream_join_plan_is_symmetric_hash(spark, tmp_path):
+    """s14/s15: the stream-stream interval join must compile to the
+    stateful StreamingSymmetricHashJoin keyed on user_id — never a
+    cartesian or a broadcast (state must partition by join key across
+    executors)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    Catalog(spark, SF_SMOKE).events.coalesce(1).write.parquet(src)
+    for how in ("inner", "left_outer"):
+        stream = jobs.streaming_purchase_attribution(spark, src, how=how)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            stream.explain(True)
+        plan = buf.getvalue()
+        assert "StreamingSymmetricHashJoin" in plan.replace("-", ""), plan
+        assert "CartesianProduct" not in plan
+        assert "v_user" in plan and "p_user" in plan
+
+
+def test_bounded_dedup_plan_uses_within_watermark_operator(spark, tmp_path):
+    """s16 must plan the dropDuplicatesWithinWatermark state operator
+    (bounded state), not the unbounded streaming Deduplicate."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src16")
+    Catalog(spark, SF_SMOKE).events.coalesce(1).write.parquet(src)
+    stream = jobs.streaming_dedup_bounded(spark, src)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stream.explain(True)
+    plan = buf.getvalue()
+    assert "WithinWatermark" in plan, plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark):
+    """l28: one hash exchange for the aggregate, and no global Sort
+    barrier anywhere (order is defined by key, not by position)."""
+    plan = plan_of(spark, "l28_epoch_shuffle")
+    body = plan.split("== Physical Plan ==")[-1]
+    tree = body.split("(1) ")[0]  # root-first tree section
+    # exactly one Sort, and it sits ABOVE the aggregates in the tree —
+    # i.e. it orders the 128-row aggregate OUTPUT (display orderBy), not
+    # the corpus; the corpus-sized path is projects -> partial aggregate
+    assert tree.count("Sort (") == 1, plan
+    assert tree.index("Sort (") < tree.index("HashAggregate"), plan
+    assert "partial_" in body
+    assert "CartesianProduct" not in body
+
+
+def test_bulk_load_groupby_partial_aggregates(spark, tmp_path):
+    """w22's CQL GROUP BY over bulk segments: map-side partial
+    aggregation present, no cartesian, and the segment scan carries the
+    mutation schema only."""
+    plan = plan_of(spark, "w22_bulk_load")
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
