@@ -68,6 +68,11 @@ _CQL_TYPES = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamp",
+    # time-of-day: stored as its canonical 'HH:MM:SS.fffffffff' text —
+    # fixed-width, so lexicographic order IS chronological order and
+    # equality/range predicates behave like the reference's int64-nanos
+    # encoding without a custom type
+    "time": "string",
 }
 
 

@@ -1455,3 +1455,24 @@ def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
     s4 = CqlSession(spark, spill_dir=str(tmp_path / "r3"))
     with pytest.raises(CQLError, match="not found in snapshot chain"):
         s4.restore_keyspace(inc2)
+
+
+def test_time_type_orders_chronologically(spark):
+    """CQL `time` maps to canonical fixed-width text: lexicographic
+    comparison IS chronological, so range predicates behave like the
+    reference's int64-nanos encoding."""
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE sched (k bigint PRIMARY KEY, at time)")
+    s.execute("INSERT INTO sched (k, at) VALUES (1, '08:12:54.123')")
+    s.execute("INSERT INTO sched (k, at) VALUES (2, '23:00:00')")
+    s.execute("INSERT INTO sched (k, at) VALUES (3, '09:00:00')")
+    got = [
+        r.k
+        for r in s.execute(
+            "SELECT k FROM sched WHERE at > '09:00:00' ALLOW FILTERING"
+        ).collect()
+    ]
+    assert got == [2]
+    desc = s.execute("DESCRIBE TABLE sched").collect()[0].create_statement
+    s2 = CqlSession(spark)
+    s2.execute(desc)  # emitted DDL re-parses
