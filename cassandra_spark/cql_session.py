@@ -68,11 +68,13 @@ _CQL_TYPES = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamp",
-    # time-of-day: stored as its canonical 'HH:MM:SS.fffffffff' text —
-    # fixed-width, so lexicographic order IS chronological order and
-    # equality/range predicates behave like the reference's int64-nanos
-    # encoding without a custom type
-    "time": "string",
+    # deliberately ABSENT: `time`. A text mapping looks right until
+    # mixed-precision literals ('09:00:00' vs '09:00:00.000' — equal
+    # instants in the reference's int64-nanos encoding) mis-compare;
+    # faithful support needs literal canonicalization at every parse
+    # site (INSERT/UPDATE, DML WHERE, LWT IF, SELECT WHERE). Until that
+    # lands, the type errors out clearly instead of behaving subtly
+    # differently from the reference.
 }
 
 
@@ -2239,12 +2241,20 @@ class CqlSession:
         import json as _json
         import shutil
 
-        base_segs: dict[str, set[str]] = {}
+        base_segs: dict[str, dict] = {}
         if base_dir is not None:
             with open(os.path.join(base_dir, "manifest.json")) as f:
                 bm = _json.load(f)
+            # identity = name + (size, mtime_ns): segment NAMES recycle
+            # after DROP TABLE + re-CREATE (the counter restarts) and
+            # ALTER TABLE DROP rewrites files in place under the same
+            # name — name-only matching would skip changed data and a
+            # restore would silently resolve to the stale base copy.
+            # Older manifests without the meta map never match, so they
+            # degrade to full copies, never to a wrong skip.
             base_segs = {
-                n: set(e["segments"]) for n, e in bm["tables"].items()
+                n: e.get("segment_meta", {})
+                for n, e in bm["tables"].items()
             }
         os.makedirs(out_dir, exist_ok=True)
         manifest: dict = {
@@ -2276,11 +2286,15 @@ class CqlSession:
             os.makedirs(tdir, exist_ok=True)
             segs = []
             copied = []
+            seg_meta = {}
             for p in t._segments:
                 base = os.path.basename(p)
                 segs.append(base)
-                if base in base_segs.get(name, ()):
-                    continue  # incremental: reachable via the base chain
+                st = os.stat(p)
+                meta = [st.st_size, st.st_mtime_ns]
+                seg_meta[base] = meta
+                if base_segs.get(name, {}).get(base) == meta:
+                    continue  # incremental: unchanged, reachable via base
                 dst = os.path.join(tdir, base)
                 shutil.copy2(p, dst)
                 # Filter.db rides with its SSTable: copy the bloom
@@ -2308,6 +2322,7 @@ class CqlSession:
                     "compaction_window_us": s.compaction_window_us,
                 },
                 "segments": segs,
+                "segment_meta": seg_meta,
                 "copied": copied,
                 "state": {
                     "clock": t._clock,
@@ -2323,28 +2338,50 @@ class CqlSession:
         return manifest
 
     @staticmethod
-    def _resolve_snapshot_file(in_dir: str, table: str, seg: str) -> str:
-        """Find a segment file in an incremental-snapshot chain: the
-        image itself first, then each ``base`` ancestor (bounded walk —
-        a cycle or a break raises instead of looping/guessing)."""
+    def _snapshot_chain(in_dir: str) -> list[str]:
+        """The incremental-backup ancestor list, computed ONCE per
+        restore (each manifest is parsed once, not once per segment).
+        A moved/archived chain resolves by the sibling-name fallback:
+        if the recorded absolute base path is gone, a directory of the
+        same name next to the current image is tried — the shape a
+        tar/rsync of the backup root produces. Cycles are detected by
+        a visited set (no arbitrary depth cap on legitimate chains)."""
         import json as _json
 
+        chain, seen = [], set()
         cur = in_dir
-        for _ in range(64):
-            cand = os.path.join(cur, table, seg)
-            if os.path.exists(cand):
-                return cand
+        while cur and os.path.abspath(cur) not in seen:
+            seen.add(os.path.abspath(cur))
+            chain.append(cur)
             try:
                 with open(os.path.join(cur, "manifest.json")) as f:
                     nxt = _json.load(f).get("base")
             except OSError:
-                break  # ancestor deleted: the chain is broken
-            if not nxt or os.path.abspath(nxt) == os.path.abspath(cur):
+                break  # ancestor manifest gone: chain ends here
+            if not nxt:
                 break
+            if not os.path.isdir(nxt):
+                sib = os.path.join(
+                    os.path.dirname(os.path.abspath(cur)),
+                    os.path.basename(os.path.normpath(nxt)),
+                )
+                nxt = sib
             cur = nxt
+        return chain
+
+    @staticmethod
+    def _resolve_snapshot_file(
+        chain: list[str], table: str, seg: str
+    ) -> str:
+        """Find a segment file in a precomputed snapshot chain: the
+        image itself first, then each ``base`` ancestor."""
+        for d in chain:
+            cand = os.path.join(d, table, seg)
+            if os.path.exists(cand):
+                return cand
         raise CQLError(
             f"segment {seg!r} of table {table!r} not found in snapshot "
-            f"chain starting at {in_dir!r}"
+            f"chain starting at {chain[0]!r}"
         )
 
     def restore_keyspace(self, in_dir: str) -> None:
@@ -2359,6 +2396,7 @@ class CqlSession:
 
         with open(os.path.join(in_dir, "manifest.json")) as f:
             manifest = _json.load(f)
+        chain = self._snapshot_chain(in_dir)
         if (
             self.tables or self.types or self.functions
             or self.aggregates or self.masks
@@ -2410,7 +2448,7 @@ class CqlSession:
             from cassandra_spark.operators.bloom import sidecar_path
 
             for seg in entry["segments"]:
-                src = self._resolve_snapshot_file(in_dir, name, seg)
+                src = self._resolve_snapshot_file(chain, name, seg)
                 dst = os.path.join(t.spill_dir, seg)
                 shutil.copy2(src, dst)
                 if os.path.exists(sidecar_path(src)):

@@ -1457,22 +1457,69 @@ def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
         s4.restore_keyspace(inc2)
 
 
-def test_time_type_orders_chronologically(spark):
-    """CQL `time` maps to canonical fixed-width text: lexicographic
-    comparison IS chronological, so range predicates behave like the
-    reference's int64-nanos encoding."""
+def test_time_type_rejected_with_clear_error(spark):
+    """`time` is deliberately unsupported (see _CQL_TYPES): a text
+    mapping mis-compares mixed-precision literals, so the engine
+    refuses the type up front instead of diverging subtly."""
     s = CqlSession(spark)
-    s.execute("CREATE TABLE sched (k bigint PRIMARY KEY, at time)")
-    s.execute("INSERT INTO sched (k, at) VALUES (1, '08:12:54.123')")
-    s.execute("INSERT INTO sched (k, at) VALUES (2, '23:00:00')")
-    s.execute("INSERT INTO sched (k, at) VALUES (3, '09:00:00')")
-    got = [
-        r.k
-        for r in s.execute(
-            "SELECT k FROM sched WHERE at > '09:00:00' ALLOW FILTERING"
-        ).collect()
-    ]
-    assert got == [2]
-    desc = s.execute("DESCRIBE TABLE sched").collect()[0].create_statement
-    s2 = CqlSession(spark)
-    s2.execute(desc)  # emitted DDL re-parses
+    with pytest.raises(CQLError, match="unsupported CQL type"):
+        s.execute("CREATE TABLE sched (k bigint PRIMARY KEY, at time)")
+
+
+def test_incremental_snapshot_detects_recycled_and_rewritten_segments(
+    spark, tmp_path
+):
+    """Segment identity is name + (size, mtime), not name alone: a
+    DROP + re-CREATE recycles segment file names, and ALTER TABLE DROP
+    rewrites segments in place — both must be re-copied by an
+    incremental snapshot or restore would resolve to stale base data."""
+    s = CqlSession(spark, spill_dir=str(tmp_path / "live"))
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text, c text)")
+    s.execute("INSERT INTO t (k, v, c) VALUES (1, 'old', 'secret')")
+    s.table("t").flush()
+    full = str(tmp_path / "full")
+    s.snapshot_keyspace(full)
+
+    # in-place rewrite: ALTER TABLE DROP rewrites the flushed segment
+    # under the SAME file name
+    s.execute("ALTER TABLE t DROP c")
+    # name recycling: drop + recreate restarts the segment counter
+    s.execute("DROP TABLE t")
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO t (k, v) VALUES (9, 'new')")
+    s.table("t").flush()
+
+    inc = str(tmp_path / "inc")
+    man = s.snapshot_keyspace(inc, base_dir=full)
+    # the recycled-name segment MUST be copied (meta mismatch)
+    assert man["tables"]["t"]["copied"] == man["tables"]["t"]["segments"]
+
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
+    s2.restore_keyspace(inc)
+    got = {(r.k, r.v) for r in s2.execute("SELECT k, v FROM t").collect()}
+    assert got == {(9, "new")}, "restore must not resurrect pre-drop data"
+
+
+def test_incremental_snapshot_chain_survives_relocation(spark, tmp_path):
+    """A tar/rsync'd backup chain (absolute base path gone, directories
+    side by side under a new root) restores via the sibling-name
+    fallback."""
+    import shutil
+
+    s = CqlSession(spark, spill_dir=str(tmp_path / "live"))
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO t (k, v) VALUES (1, 'a')")
+    s.table("t").flush()
+    root = tmp_path / "backups"
+    root.mkdir()
+    s.snapshot_keyspace(str(root / "full"))
+    s.execute("INSERT INTO t (k, v) VALUES (2, 'b')")
+    s.table("t").flush()
+    s.snapshot_keyspace(str(root / "inc"), base_dir=str(root / "full"))
+
+    moved = tmp_path / "moved"
+    shutil.move(str(root), str(moved))
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
+    s2.restore_keyspace(str(moved / "inc"))
+    got = {(r.k, r.v) for r in s2.execute("SELECT k, v FROM t").collect()}
+    assert got == {(1, "a"), (2, "b")}

@@ -580,10 +580,6 @@ def test_stream_stream_join_plan_is_symmetric_hash(spark, tmp_path):
     stateful StreamingSymmetricHashJoin keyed on user_id — never a
     cartesian or a broadcast (state must partition by join key across
     executors)."""
-    import os
-
-    from pyspark.sql import functions as F
-
     from cassandra_spark.catalog import Catalog
     from cassandra_spark.streaming import jobs
 
@@ -636,5 +632,5 @@ def test_bulk_load_groupby_partial_aggregates(spark, tmp_path):
     aggregation present, no cartesian, and the segment scan carries the
     mutation schema only."""
     plan = plan_of(spark, "w22_bulk_load")
-    assert "partial_" in plan or "HashAggregate" in plan
+    assert "partial_" in plan
     assert "CartesianProduct" not in plan
