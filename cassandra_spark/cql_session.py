@@ -2233,10 +2233,13 @@ class CqlSession:
 
         ``base_dir`` makes the snapshot INCREMENTAL (the reference's
         ``incremental_backups``: only SSTables flushed since the last
-        backup are linked): segments whose file name already exists in
-        the base image's logical state are NOT copied — the manifest
-        still records the FULL logical state plus a ``base`` pointer,
-        and restore resolves missing files down the base chain. Cost is
+        backup are linked): a segment is skipped when its file name AND
+        its (size, mtime_ns) both match the base image's record —
+        name alone is not identity, since DROP/re-CREATE recycles names
+        and ALTER TABLE DROP rewrites files in place. The manifest
+        still records the FULL logical state (names + meta) plus a
+        ``base`` pointer, and restore resolves missing files down the
+        base chain, size-validating each resolved file. Cost is
         O(new data) per backup instead of O(table)."""
         import json as _json
         import shutil
@@ -2338,7 +2341,7 @@ class CqlSession:
         return manifest
 
     @staticmethod
-    def _snapshot_chain(in_dir: str) -> list[str]:
+    def _snapshot_chain(in_dir: str, head_base: str | None = None) -> list[str]:
         """The incremental-backup ancestor list, computed ONCE per
         restore (each manifest is parsed once, not once per segment).
         A moved/archived chain resolves by the sibling-name fallback:
@@ -2350,14 +2353,20 @@ class CqlSession:
 
         chain, seen = [], set()
         cur = in_dir
+        first = True
         while cur and os.path.abspath(cur) not in seen:
             seen.add(os.path.abspath(cur))
             chain.append(cur)
-            try:
-                with open(os.path.join(cur, "manifest.json")) as f:
-                    nxt = _json.load(f).get("base")
-            except OSError:
-                break  # ancestor manifest gone: chain ends here
+            if first:
+                # the caller already parsed the head manifest
+                nxt = head_base
+                first = False
+            else:
+                try:
+                    with open(os.path.join(cur, "manifest.json")) as f:
+                        nxt = _json.load(f).get("base")
+                except OSError:
+                    break  # ancestor manifest gone: chain ends here
             if not nxt:
                 break
             if not os.path.isdir(nxt):
@@ -2396,7 +2405,7 @@ class CqlSession:
 
         with open(os.path.join(in_dir, "manifest.json")) as f:
             manifest = _json.load(f)
-        chain = self._snapshot_chain(in_dir)
+        chain = self._snapshot_chain(in_dir, manifest.get("base"))
         if (
             self.tables or self.types or self.functions
             or self.aggregates or self.masks
@@ -2447,8 +2456,21 @@ class CqlSession:
             os.makedirs(t.spill_dir, exist_ok=True)
             from cassandra_spark.operators.bloom import sidecar_path
 
+            seg_meta = entry.get("segment_meta", {})
             for seg in entry["segments"]:
                 src = self._resolve_snapshot_file(chain, name, seg)
+                # the sibling-name chain fallback could adopt an
+                # UNRELATED same-named backup; segment names are
+                # deterministic per table, so validate each resolved
+                # file against the head manifest's recorded size
+                # (mtime is skipped: archive tools may truncate it)
+                meta = seg_meta.get(seg)
+                if meta and os.path.getsize(src) != meta[0]:
+                    raise CQLError(
+                        f"segment {seg!r} of table {name!r} resolved to "
+                        f"{src!r} whose size {os.path.getsize(src)} != "
+                        f"recorded {meta[0]} — wrong snapshot in chain"
+                    )
                 dst = os.path.join(t.spill_dir, seg)
                 shutil.copy2(src, dst)
                 if os.path.exists(sidecar_path(src)):

@@ -1523,3 +1523,41 @@ def test_incremental_snapshot_chain_survives_relocation(spark, tmp_path):
     s2.restore_keyspace(str(moved / "inc"))
     got = {(r.k, r.v) for r in s2.execute("SELECT k, v FROM t").collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_restore_rejects_wrong_sibling_in_chain(spark, tmp_path):
+    """The relocation fallback must not silently adopt an UNRELATED
+    same-named backup: restore size-validates every resolved segment
+    against the head manifest's record and raises on mismatch."""
+    import shutil
+
+    # backup A (the real chain base)
+    sa = CqlSession(spark, spill_dir=str(tmp_path / "la"))
+    sa.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    sa.execute("INSERT INTO t (k, v) VALUES (1, 'mine')")
+    sa.table("t").flush()
+    roota = tmp_path / "a"
+    roota.mkdir()
+    sa.snapshot_keyspace(str(roota / "full"))
+    sa.execute("INSERT INTO t (k, v) VALUES (2, 'more')")
+    sa.table("t").flush()
+    sa.snapshot_keyspace(str(roota / "inc"), base_dir=str(roota / "full"))
+
+    # an UNRELATED backup, same table name, same segment names, but
+    # different content size
+    sb = CqlSession(spark, spill_dir=str(tmp_path / "lb"))
+    sb.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+    sb.execute(
+        "INSERT INTO t (k, v) VALUES (7, 'someone elses much longer row')"
+    )
+    sb.table("t").flush()
+    rootb = tmp_path / "b"
+    rootb.mkdir()
+    sb.snapshot_keyspace(str(rootb / "full"))
+
+    # relocate ONLY the increment next to the foreign 'full'
+    shutil.move(str(roota / "inc"), str(rootb / "inc"))
+    shutil.rmtree(roota)
+    s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
+    with pytest.raises(CQLError, match="wrong snapshot in chain"):
+        s2.restore_keyspace(str(rootb / "inc"))
