@@ -1852,28 +1852,26 @@ class CqlTable:
     def sstable_metadata(self):
         """``sstablemetadata`` analogue: per-segment physical facts read
         from parquet FOOTERS only (no data pages) — row count, bytes,
-        min/max writetime from row-group statistics, codec."""
-        import pyarrow.parquet as pq
-
+        min/max writetime from row-group statistics, codec, and the
+        TWCS whole-drop stamp (max_deletion: the reference's
+        maxLocalDeletionTime; -1 = some row can never expire, so the
+        segment is never whole-droppable)."""
         rows = []
         for seg in self._segments:
+            import pyarrow.parquet as pq
+
             md = pq.ParquetFile(seg).metadata
-            wt_idx = _MUT_COLS.index("writetime")
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(wt_idx).statistics
-                if st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
+            mn, mx, mdl = self._seg_stats(seg)
             codec = md.row_group(0).column(0).compression if md.num_row_groups else "NONE"
             rows.append(
                 (os.path.basename(seg), md.num_rows,
-                 os.path.getsize(seg), mn, mx, codec)
+                 os.path.getsize(seg), mn, mx, codec, mdl)
             )
         return self.spark.createDataFrame(
             rows,
             "generation string, rows long, bytes long, "
-            "min_writetime long, max_writetime long, compression string",
+            "min_writetime long, max_writetime long, compression string, "
+            "max_deletion long",
         )
 
     def flush(self) -> str | None:

@@ -351,3 +351,18 @@ def test_twcs_window_survives_keyspace_snapshot(spark, tmp_path):
     s2.restore_keyspace(img)
     t2 = next(iter(s2.tables.values()))
     assert t2.schema.compaction_window_us == 60_000_000
+
+
+def test_sstable_metadata_reports_max_deletion(spark, tmp_path):
+    """sstablemetadata surface includes the TWCS whole-drop stamp:
+    max(wt+ttl) for all-TTL segments, -1 when any row never expires."""
+    s, t = _twcs_session(spark, tmp_path)
+    s.execute(
+        "INSERT INTO tw (k, n) VALUES ('a', 1) USING TIMESTAMP 10 AND TTL 5"
+    )
+    t.flush()
+    s.execute("INSERT INTO tw (k, n) VALUES ('b', 2) USING TIMESTAMP 20")
+    t.flush()
+    meta = {r.generation: r for r in t.sstable_metadata().collect()}
+    vals = sorted(r.max_deletion for r in meta.values())
+    assert vals == [-1, 15]  # live row pins -1; TTL'd segment = wt+ttl
