@@ -358,7 +358,7 @@ _CREATE_INDEX_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<table>\w+)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<table>[\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _CREATE_FUNCTION_RE = re.compile(
@@ -444,7 +444,7 @@ _GRANT_PERM_RE = re.compile(
     r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>"
     + "|".join(_PERMS)
     + r")(?:\s+PERMISSIONS?)?\s+ON\s+(?P<res>ALL\s+KEYSPACES"
-    r"|KEYSPACE\s+\w+|(?:TABLE\s+)?\w+)\s+(?:TO|FROM)\s+(?P<role>\w+)"
+    r"|KEYSPACE\s+\w+|(?:TABLE\s+)?[\w.]+)\s+(?:TO|FROM)\s+(?P<role>\w+)"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -1387,7 +1387,8 @@ class CqlSession:
         memtable rows, flushed segment count, Bloom-filter effectiveness
         (checked/skipped point-read probes)."""
         rows = [
-            ("session", name, len(t._log), len(t._segments),
+            (self.table_keyspace.get(name, "session"), name,
+             len(t._log), len(t._segments),
              t.bloom_stats["checked"], t.bloom_stats["skipped"])
             for name, t in sorted(self.tables.items())
         ]
@@ -1465,6 +1466,27 @@ class CqlSession:
         target = f"table {table}" if table else "this resource"
         raise CQLError(
             f"role {self.current_role!r} has no {perm} permission on {target}"
+        )
+
+    def _check_perm_on(self, perm: str, resource: str) -> None:
+        """Authorization gate against an explicit canonical resource
+        (``data`` / ``data/ks`` / ``data/ks/table``): the active role must
+        hold ``perm`` (or ALL) on the resource or any ancestor in the data
+        hierarchy. GRANT/REVOKE route here so AUTHORIZE is required on the
+        *granted* resource, not merely anywhere (round-6 ADVICE: a role
+        with AUTHORIZE on its own keyspace must not grant on others)."""
+        roles = self._role_closure(self.current_role)
+        if any(self.roles.get(r, {}).get("is_superuser") for r in roles):
+            return
+        parts = resource.split("/")
+        ancestors = {"/".join(parts[: i + 1]) for i in range(len(parts))}
+        for r in roles:
+            for res, p in self.role_perms.get(r, ()):
+                if p in (perm, "ALL") and res in ancestors:
+                    return
+        raise CQLError(
+            f"role {self.current_role!r} has no {perm} permission on "
+            f"<{resource}>"
         )
 
     def _canon_resource(self, res: str) -> str:
@@ -1586,11 +1608,9 @@ class CqlSession:
             role = gm.group("role").lower()
             if role not in self.roles:
                 raise CQLError(f"unknown role {role!r}")
-            self._check_perm("AUTHORIZE")
-            entry = (
-                self._canon_resource(gm.group("res")),
-                gm.group("perm").upper(),
-            )
+            res = self._canon_resource(gm.group("res"))
+            self._check_perm_on("AUTHORIZE", res)
+            entry = (res, gm.group("perm").upper())
             if gm.group("verb").upper() == "GRANT":
                 self.role_perms.setdefault(role, set()).add(entry)
             else:
@@ -1791,20 +1811,49 @@ class CqlSession:
                 )
         path = m.group("path")
         if m.group("dir").upper() == "TO":
+            # executor-side sharded export + byte-stream header stitch
+            # (round-6): the old toLocalIterator funnel re-serialized
+            # every row through a driver Python loop — O(rows) driver CPU
+            # and Arrow batches held alive; this shape writes shards in
+            # the executors and the driver only concatenates BYTES
+            # (O(1) memory), so a 100x export leaves driver RSS flat.
+            # cqlsh parity is preserved: one CSV file, header row,
+            # RFC-4180 quoting (escape='"' doubles embedded quotes).
+            import glob
+            import shutil
+            import tempfile
+
             self._check_perm("SELECT", name)
             df = t.snapshot().select(*cols)
-            n = 0
-            with open(path, "w", newline="") as fh:
-                wr = csv.writer(fh)
-                wr.writerow(cols)
-                for row in df.toLocalIterator():
-                    wr.writerow(
-                        ["" if v is None else v for v in row]
-                    )
-                    n += 1
+            n = df.count()
+            tmp = tempfile.mkdtemp(prefix="copy_to_")
+            try:
+                shard_dir = os.path.join(tmp, "shards")
+                (
+                    df.write.option("escape", '"')
+                    .option("nullValue", "")
+                    .option("emptyValue", "")
+                    .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                    .option("dateFormat", "yyyy-MM-dd")
+                    .mode("overwrite")
+                    .csv(shard_dir)
+                )
+                with open(path, "wb") as out:
+                    out.write((",".join(cols) + "\r\n").encode())
+                    for part in sorted(
+                        glob.glob(os.path.join(shard_dir, "part-*"))
+                    ):
+                        with open(part, "rb") as fh:
+                            shutil.copyfileobj(fh, out)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
             return n
         self._check_perm("MODIFY", name)
         text_like = {"string", "text", "date", "timestamp"}
+
+        int_types = {"tinyint", "smallint", "int", "bigint", "varint",
+                     "counter", "long"}
+        float_types = {"float", "double", "decimal"}
 
         def render(col: str, v: str) -> str:
             typ = (
@@ -1815,25 +1864,53 @@ class CqlSession:
             )
             if typ in text_like or typ.startswith("varchar"):
                 return "'" + v.replace("'", "''") + "'"
-            return v
+            # validate non-text cells BEFORE splicing into the INSERT: a
+            # malformed numeric must surface as a CSV validation error with
+            # the row/column named, not a mid-import CQL parse error
+            # (round-6 ADVICE)
+            s = v.strip()
+            if typ in int_types:
+                try:
+                    int(s)
+                except ValueError:
+                    raise CQLError(f"invalid {typ} value {v!r}") from None
+            elif typ in float_types:
+                try:
+                    float(s)
+                except ValueError:
+                    raise CQLError(f"invalid {typ} value {v!r}") from None
+            elif typ == "boolean":
+                if s.lower() not in ("true", "false"):
+                    raise CQLError(f"invalid boolean value {v!r}")
+                return s.lower()
+            return s
 
-        n = 0
+        # two-phase: validate and render EVERY row first, then apply —
+        # a bad cell anywhere aborts before any row mutates the table
+        inserts = []
         with open(path, newline="") as fh:
             rd = csv.reader(fh)
             header = [c.strip().lower() for c in next(rd)]
-            for row in rd:
-                pairs = [
-                    (c, render(c, v))
-                    for c, v in zip(header, row)
-                    if v != ""
-                ]
-                self.execute(
+            for lineno, row in enumerate(rd, start=2):
+                pairs = []
+                for c, v in zip(header, row):
+                    if v == "":
+                        continue
+                    try:
+                        pairs.append((c, render(c, v)))
+                    except CQLError as e:
+                        raise CQLError(
+                            f"COPY FROM {path!r}: line {lineno}, "
+                            f"column {c!r}: {e}"
+                        ) from None
+                inserts.append(
                     f"INSERT INTO {name} "
                     f"({', '.join(c for c, _ in pairs)}) "
                     f"VALUES ({', '.join(v for _, v in pairs)})"
                 )
-                n += 1
-        return n
+        for ins in inserts:
+            self.execute(ins)
+        return len(inserts)
 
     def _execute_stmt(self, stmt: str) -> DataFrame | bool | None:
         head = stmt.lstrip()[:12].upper()
@@ -1894,7 +1971,10 @@ class CqlSession:
                 t for t, ks in self.table_keyspace.items() if ks == name
             ]
             for t in owned:
-                self._execute_stmt(f"DROP TABLE {t}")
+                # qualified: bare names resolve against current_ks, so
+                # dropping a non-current keyspace's tables would raise
+                # "unknown table" (round-6 ADVICE)
+                self._execute_stmt(f"DROP TABLE {name}.{t}")
                 self.table_keyspace.pop(t, None)
             self.mat_views = {
                 v: spec
@@ -2497,10 +2577,16 @@ class CqlSession:
         values — the reference's documented behavior. Pinned simplification:
         a masked column that only appears aliased or inside an aggregate is
         returned as computed (the reference masks those selectors too)."""
-        fm = re.search(r"\bFROM\s+(\w+)", stmt, re.IGNORECASE)
+        fm = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
         if not fm:
             return df
-        t = fm.group(1).lower()
+        try:
+            # qualified names (ks.table) must land on the same registry key
+            # the bare name does — otherwise SELECT ... FROM ks.t would read
+            # masked columns in the clear (round-6 ADVICE, mask bypass)
+            t = self._resolve(fm.group(1))
+        except CQLError:
+            return df
         masks = self.masks.get(t)
         if not masks or t in self.unmasked:
             return df

@@ -790,12 +790,17 @@ def l2d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means contract as l18/l3c, used as the blocking key:
 #
 #   - cells sized to a constant ND_CELL_TARGET occupancy (K = ceil(N/64)
-#     cells), so candidate mass is Σ cell² ≈ N·64 — LINEAR by
-#     construction, and k-means cells track the corpus's real direction
-#     clusters instead of fighting them (measured: recall 11% → ~40% at
-#     comparable candidate budget);
-#   - nprobe=2 (own cell + runner-up) catches boundary pairs, exactly
-#     like the l3c query path;
+#     cells), so candidate mass is Σ (nprobe·cell)² ≈ N·64·nprobe² —
+#     LINEAR in N by construction, and k-means cells track the corpus's
+#     real direction clusters instead of fighting them;
+#   - SYMMETRIC shared-probe blocking (round-6): every vector ships to
+#     its ND_NPROBE nearest cells and a pair is a candidate iff it
+#     shares ANY probed cell. Round 5's asymmetric home-in-probes rule
+#     measured recall 0.36 at nprobe=2; the sf0.1 sweep against
+#     brute-force ground truth (tools/ivf_recall.py) reads:
+#       nprobe=2 sym 0.42 | 4 sym 0.81 | 5 sym 0.92 | 6 sym 0.97
+#     at candidate mass 126N/503N/786N/1132N — nprobe=5 is the shipped
+#     operating point (recall 0.92, mass ≈ 12·64·N, still linear);
 #   - the verify stage is the quantized integer cosine (bit-exact).
 #
 # Assignment is Arrow-batched numpy with PER-DIMENSION sequential
@@ -808,7 +813,7 @@ def l2d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-cell sub-k-means), same plan shape.
 
 ND_CELL_TARGET = 64
-ND_NPROBE = 2
+ND_NPROBE = 5
 ND_SEED_SF001 = 8  # ceil(500 / 64) — the oracle's sf0.01 pin
 
 
@@ -924,8 +929,11 @@ def _ivf_nd_centroids(vecs: DataFrame, k: int):
 def _ivf_nd_group_verify(key, pdf):
     """Per-cell all-pairs verify (runs inside applyInPandas): integer
     matmul Gram matrix (exact — Σ q² < 2^53, so the float64 casts are
-    exact too), one rounded double divide per pair, 0.35 threshold, and
-    the minimum-co-occurrence-cell dedup rule from the caller comment."""
+    exact too), one rounded double divide per pair, 0.35 threshold.
+    Symmetric blocking means every in-cell pair is a candidate; a pair
+    co-occurring in several shared probe cells is EMITTED only by the
+    minimum shared cell — a purely local rule (both probe lists ride
+    along), so no global DISTINCT pass is needed."""
     import numpy as np
 
     g = int(key[0])
@@ -936,29 +944,28 @@ def _ivf_nd_group_verify(key, pdf):
         )
     Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
     ids = pdf["vec_id"].to_numpy()
-    own = pdf["own"].to_numpy()
     prs = pdf["pr"].tolist()
     D = Q @ Q.T  # int64: exact
     nrm = np.sqrt(np.diag(D).astype(np.float64))
     cos = D.astype(np.float64) / (nrm[:, None] * nrm[None, :])
-    owner = own == g
-    P = np.array([list(p) + [-1] * (2 - len(p)) for p in prs], dtype=np.int64)
+    big = np.int64(1) << 62
+    width = max(len(p) for p in prs)
+    # pad with +big: padding can only "share" with padding, and the real
+    # shared cell (at least g itself) always wins the min
+    P = np.array(
+        [list(p) + [big] * (width - len(p)) for p in prs], dtype=np.int64
+    )
     iu, ju = np.triu_indices(m, 1)
-    # a pair is valid here iff someone is the owner and it clears the
-    # threshold; it is EMITTED here iff this cell is the minimum of its
-    # co-occurrence cells (own[a] if a's home is probed by b, and v.v.)
-    valid = (owner[iu] | owner[ju]) & (cos[iu, ju] >= 0.35)
+    valid = cos[iu, ju] >= 0.35
     iu, ju = iu[valid], ju[valid]
     if len(iu) == 0:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )
-    big = np.int64(1) << 62
-    a_home_probed = (P[ju] == own[iu][:, None]).any(axis=1)
-    b_home_probed = (P[iu] == own[ju][:, None]).any(axis=1)
-    c1 = np.where(a_home_probed, own[iu], big)
-    c2 = np.where(b_home_probed, own[ju], big)
-    emit = np.minimum(c1, c2) == g
+    # min over the pair's SHARED probe cells; emit iff this cell is it
+    eq = P[iu][:, :, None] == P[ju][:, None, :]
+    shared_min = np.where(eq, P[iu][:, :, None], big).min(axis=(1, 2))
+    emit = shared_min == g
     ka, kb = iu[emit], ju[emit]
     va = np.minimum(ids[ka], ids[kb])
     vb = np.maximum(ids[ka], ids[kb])
@@ -1015,13 +1022,12 @@ def _ivf_neardup_oracle(k: int) -> str:
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       FROM dists
     ),
-    cells AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
     probes AS (SELECT vec_id, cid AS cell FROM pr WHERE rn <= {ND_NPROBE}),
     cand AS (
-      SELECT DISTINCT least(p.vec_id, c.vec_id) AS vec_a,
-             greatest(p.vec_id, c.vec_id) AS vec_b
-      FROM probes p JOIN cells c
-        ON c.cell = p.cell AND c.vec_id <> p.vec_id
+      SELECT DISTINCT least(p1.vec_id, p2.vec_id) AS vec_a,
+             greatest(p1.vec_id, p2.vec_id) AS vec_b
+      FROM probes p1 JOIN probes p2
+        ON p1.cell = p2.cell AND p1.vec_id <> p2.vec_id
     ),
     pairs AS (
       SELECT vec_a, vec_b,
@@ -1045,12 +1051,14 @@ def _ivf_neardup_oracle(k: int) -> str:
 )
 def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production embedding near-dup: learned-IVF blocking (constant-
-    occupancy k-means cells, nprobe 2) + quantized-integer cosine verify.
-    See the block comment above for why this replaced sign-LSH blocking,
-    and the QSCALE comment for the bit-exactness contract. Measured at
-    sf0.1 against brute-force ground truth: ~0.4 recall at the 0.35
-    threshold (vs 0.11 for single-band sign-LSH) with Σ cell² ≈ 64·N
-    candidate pairs — linear in the corpus by construction."""
+    occupancy k-means cells, symmetric shared-probe candidates at
+    nprobe 5) + quantized-integer cosine verify. See the block comment
+    above for why this replaced sign-LSH blocking and for the round-6
+    nprobe sweep, and the QSCALE comment for the bit-exactness contract.
+    Measured at sf0.1 against brute-force ground truth: recall 0.92 at
+    the 0.35 threshold (round 5's asymmetric nprobe-2 rule: 0.36) with
+    Σ (nprobe·cell)² ≈ 786·N candidate pairs — linear in the corpus by
+    construction."""
     cat = Catalog(spark, sf_dir)
     n = cat.embeddings.count()
     k = _nd_k_for(n)
@@ -1063,20 +1071,18 @@ def l2d_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qv",
         _ivf_probe_udf(cids, cents)(F.col("embedding")).alias("pr"),
     )
-    # ONE shuffle: each vector ships to its <= ND_NPROBE probe cells (the
-    # first probe is its home cell); verification is all-pairs WITHIN the
-    # cell group in vectorized int64 numpy. A pair may co-occur in both
-    # members' home cells — the group emits it only when this cell is the
-    # MINIMUM of the pair's co-occurrence cells, a purely local rule, so
-    # no global DISTINCT pass is needed. (The first cut joined full
-    # vectors onto the 25M candidate pairs: 25 GB through two shuffles,
-    # 133 s at 100× — this shape moves 2N rows once and was measured an
-    # order of magnitude faster.)
+    # ONE shuffle: each vector ships to its <= ND_NPROBE probe cells;
+    # verification is all-pairs WITHIN the cell group in vectorized int64
+    # numpy. A pair sharing several probe cells is emitted only by the
+    # MINIMUM shared cell — a purely local rule (both probe lists ride
+    # along), so no global DISTINCT pass is needed. (The first cut joined
+    # full vectors onto the candidate pairs: 25 GB through two shuffles,
+    # 133 s at 100× — this shape moves nprobe·N rows once and was
+    # measured an order of magnitude faster.)
     exploded = per.select(
         F.explode("pr").alias("gcell"),
         "vec_id",
         "qv",
-        F.col("pr")[0].alias("own"),
         "pr",
     )
     return exploded.groupBy("gcell").applyInPandas(

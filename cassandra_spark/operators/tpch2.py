@@ -24,7 +24,7 @@ exact sums (identical IEEE ops on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -284,24 +284,32 @@ def x31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x32_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the quarter's max revenue. The
-    fact table is scanned and aggregated ONCE; the scalar max is a window
-    over the already-aggregated per-supplier view (supplier-cardinality
-    rows — the single-partition window is on the tiny side, never the
-    fact). The naive rev-joins-max(rev) formulation scans lineitem twice."""
+    scalar max is a 1-row aggregate of the per-supplier view broadcast-
+    joined back (x20's scalar-subquery shape) — NOT a keyless global
+    window, which would funnel every supplier through one partition and
+    one task at scale (round-5 verdict finding #1). The per-supplier aggregation subtree is identical on
+    both branches, so Spark's ReusedExchange serves the second branch
+    from the first's shuffle output — lineitem is still scanned once."""
     cat = Catalog(spark, sf_dir)
     rev = (
         cat.lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            # explicit: the supplier equi-join infers this on the join
+            # branch only; stating it on BOTH branches keeps the two
+            # aggregate subtrees canonically identical so ReuseExchange
+            # serves the scalar-max branch from the same shuffle
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(revenue_col()).cast("double").alias("total_revenue"))
     )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        rev.withColumn(
-            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        rev.join(
+            F.broadcast(mx),
+            F.col("total_revenue") == F.col("max_revenue"),
         )
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(
             F.broadcast(cat.supplier),
             F.col("s_suppkey") == F.col("supplier_no"),

@@ -488,7 +488,9 @@ def test_l2d_prod_ivf_blocking_bit_exact_and_recall(spark):
     recall_lsh = len(lsh & truth) / len(truth)
     assert got <= truth.union(got)  # sanity
     assert recall_ivf >= recall_lsh  # the redesign's claim
-    assert recall_ivf >= 0.25  # measured ~0.36-0.4; generous floor
+    # round-6 symmetric shared-probe blocking at nprobe=5: measured 0.92
+    # at sf0.1, 1.0 at this corpus — the verdict's >=0.7 bar with margin
+    assert recall_ivf >= 0.7
 
 
 def test_l2d_prod_bucket_deterministic_and_selfcos_unit(spark):
