@@ -177,6 +177,57 @@ def t3_range_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def super_get_slice(
+    events: DataFrame,
+    key: int,
+    start: str | None = None,
+    finish: str | None = None,
+    count: int = 10,
+) -> DataFrame:
+    """``get_slice`` on a SUPER column family (the 2010-fork two-level
+    row: key -> super column -> sub-column). SURVEY §1.1's documented
+    equivalence maps the super level to the FIRST clustering component —
+    here user_id -> event_type (super) -> event_id (sub). The Thrift
+    contract this preserves: ``count`` bounds SUPER columns, and a
+    selected super column is returned WHOLE (all sub-columns), never
+    partially — so the bound is a dense_rank over the super name, not a
+    row limit. One partition-pruned scan + one window pass."""
+    df = events.filter(F.col("user_id") == key)
+    if start is not None:
+        df = df.filter(F.col("event_type") >= start)
+    if finish is not None:
+        df = df.filter(F.col("event_type") <= finish)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_type").asc())
+    return (
+        df.withColumn("__sc", F.dense_rank().over(w))
+        .filter(F.col("__sc") <= count)
+        .drop("__sc")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "t5_super_slice",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             dense_rank() OVER (
+               PARTITION BY user_id ORDER BY event_type ASC) AS sc
+      FROM events
+      WHERE user_id = 7 AND event_type >= 'c'
+    ) WHERE sc <= 2
+    """,
+)
+def t5_super_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thrift get_slice on a super-column family: the first 2 super
+    columns (event_type) at/after 'c' in one wide row, each returned
+    whole with every sub-column (event_id cell)."""
+    return super_get_slice(
+        Catalog(spark, sf_dir).events, key=7, start="c", count=2
+    )
+
+
 @query(
     "t4_get_count",
     oracle="""

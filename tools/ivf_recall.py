@@ -86,14 +86,16 @@ def _truth_full(ids, Q) -> set[tuple[int, int]]:
 
 def _truth_sampled(ids, Q, sample: int, block: int = 8192):
     """Truth pairs (a, b) where a is in the deterministic sample (every
-    ceil(N/sample)-th vector by id order) and b is ANY corpus vector."""
+    ceil(N/sample)-th vector by id order) and b is ANY corpus vector.
+    Returns the pair->cosine map so recall can be stratified by
+    similarity band as well as by replica."""
     n = len(Q)
     step = max(1, n // sample)
     sel = np.arange(0, n, step)
     nrm = np.sqrt((Q * Q).sum(1))
     Qs = Q[sel]
     ns = nrm[sel]
-    pairs = set()
+    pairs: dict[tuple[int, int], float] = {}
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         C = (Qs @ Q[lo:hi].T) / (ns[:, None] * nrm[None, lo:hi])
@@ -101,8 +103,27 @@ def _truth_sampled(ids, Q, sample: int, block: int = 8192):
         for i, j in zip(si, bj):
             a, b = int(ids[sel[i]]), int(ids[lo + j])
             if a != b:
-                pairs.add((min(a, b), max(a, b)))
+                pairs[(min(a, b), max(a, b))] = float(C[i, j])
     return pairs, {int(ids[i]) for i in sel}
+
+
+BANDS = [(0.7, 1.01), (0.5, 0.7), (THRESHOLD, 0.5)]
+
+
+def _band_recall(truth: dict, got: set) -> dict:
+    """Recall stratified by true-cosine band — the ≥0.7 band is the
+    near-duplicate mass a corpus dedup exists to find; the threshold-
+    grazing tail is dominated by the amplifier's isotropic noise."""
+    out = {}
+    for lo, hi in BANDS:
+        t = {p for p, c in truth.items() if lo <= c < hi}
+        h = len(t & got)
+        out[f"band_{lo}_{min(hi, 1.0)}"] = {
+            "truth": len(t),
+            "hits": h,
+            "recall": round(h / len(t), 4) if t else None,
+        }
+    return out
 
 
 def _candidate_mass(spark, sf_dir: str) -> float:
@@ -179,7 +200,7 @@ def main() -> None:
             got_s = {p for p in got if p[0] in sel or p[1] in sel}
             f = args.factor
             t_within = {p for p in truth if p[0] % f == p[1] % f}
-            t_cross = truth - t_within
+            t_cross = set(truth) - t_within
             h_within = len(got_s & t_within)
             h_cross = len(got_s & t_cross)
             rec_extra = {
@@ -199,6 +220,10 @@ def main() -> None:
                 "cross_replica_recall": (
                     round(h_cross / len(t_cross), 4) if t_cross else None
                 ),
+                # band-stratified view over ALL sampled truth pairs:
+                # the >=0.7 band is the real near-dup mass; the
+                # threshold-grazing band is the N^2 isotropic tail
+                "by_cosine_band": _band_recall(truth, got_s),
             }
         mass = _candidate_mass(spark, sf_dir)
         rec = {
