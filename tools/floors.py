@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Canonical per-query floor table: parse + mechanical bench diffing.
+
+BASELINE.md holds ONE binding floor table (section "## Canonical floor
+table") with rows ``| query | floor_sec | recorded | notes |``. This tool
+
+- ``--check BENCH.json [...]``: compares a bench sweep (the driver's
+  ``BENCH_r{N}.json`` / ``bench.py`` output: ``{"queries": {name: sec}}``)
+  against the floors. Prints per-query ratio, the median/max summary, and
+  every query over the gate; exits 1 if any ratio exceeds --gate (2.0,
+  the driver's bound).
+- ``--list``: dumps the parsed floor map as JSON (for other tooling).
+- ``--migrate``: one-off parser for the pre-round-6 scattered layout —
+  reads every 2-column ``| name | sec |`` row in document order with
+  later rows overriding earlier (document order is chronological, so a
+  re-base later in the file wins). Kept for provenance; the canonical
+  table is now the source of truth.
+
+The binding rule, stated once: a query's floor is its row in the
+canonical table; >2x that floor in a comparable sweep is a regression.
+Single-JVM 190-query sweeps show rotating position/GC spikes — re-measure
+an outlier isolated (BENCH_QUERIES=name BENCH_REPEAT=2) before calling
+it a regression; only a reproducible isolated exceedance counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import statistics
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+BASELINE = REPO / "BASELINE.md"
+
+_ROW4 = re.compile(
+    r"^\|\s*([a-zA-Z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*([^|]*)\|\s*([^|]*)\|\s*$"
+)
+_ROW2 = re.compile(r"^\|\s*([a-zA-Z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$")
+
+
+def load_floors(path: Path = BASELINE) -> dict[str, dict]:
+    """Parse the canonical floor table. Returns name -> {floor, recorded,
+    notes}."""
+    out: dict[str, dict] = {}
+    in_section = False
+    for line in path.read_text().splitlines():
+        if line.startswith("## "):
+            in_section = line.lower().startswith("## canonical floor table")
+            continue
+        if not in_section:
+            continue
+        m = _ROW4.match(line)
+        if m and m.group(1) not in ("query",):
+            out[m.group(1)] = {
+                "floor": float(m.group(2)),
+                "recorded": m.group(3).strip(),
+                "notes": m.group(4).strip(),
+            }
+    return out
+
+
+def migrate(path: Path = BASELINE) -> dict[str, float]:
+    """Pre-consolidation layout: every 2-col numeric row anywhere in the
+    doc, later occurrences override earlier (chronological re-base)."""
+    floors: dict[str, float] = {}
+    for line in path.read_text().splitlines():
+        m = _ROW2.match(line)
+        if m and m.group(1) not in ("query",):
+            floors[m.group(1)] = float(m.group(2))
+    return floors
+
+
+def check(bench_paths: list[str], gate: float) -> int:
+    floors = load_floors()
+    if not floors:
+        print("no canonical floor table found in BASELINE.md", file=sys.stderr)
+        return 2
+    rc = 0
+    for bp in bench_paths:
+        text = Path(bp).read_text()
+        try:
+            doc = json.loads(text)
+        except ValueError:  # raw bench.py stdout: JSONL
+            doc = {"raw": text}
+        times = dict(doc.get("queries") or {})
+        # driver BENCH_r{N}.json wrapper: bench stdout in "tail"/"raw"
+        for blob_key in ("raw", "tail"):
+            blob = doc.get(blob_key)
+            if times or not blob:
+                continue
+            for line in blob.splitlines():
+                try:
+                    j = json.loads(line)
+                except ValueError:
+                    continue
+                if j.get("metric") == "query_times_chunk":
+                    times.update(j["queries"])
+                elif j.get("metric") == "total_query_wall_clock" and j.get(
+                    "queries"
+                ):
+                    times.update(j["queries"])
+        ratios = {}
+        unknown = []
+        for name, sec in times.items():
+            if name in floors:
+                ratios[name] = sec / floors[name]["floor"]
+            else:
+                unknown.append(name)
+        over = {n: r for n, r in sorted(ratios.items()) if r > gate}
+        med = statistics.median(ratios.values()) if ratios else None
+        mx = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
+        print(
+            json.dumps(
+                {
+                    "bench": bp,
+                    "compared": len(ratios),
+                    "no_floor": sorted(unknown),
+                    "median_ratio": round(med, 3) if med else None,
+                    "max_ratio": (
+                        {"query": mx[0], "ratio": round(mx[1], 3)}
+                        if mx
+                        else None
+                    ),
+                    "over_gate": {
+                        n: round(r, 3) for n, r in over.items()
+                    },
+                    "gate": gate,
+                }
+            )
+        )
+        if over:
+            rc = 1
+    return rc
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", nargs="+", metavar="BENCH_JSON")
+    ap.add_argument("--gate", type=float, default=2.0)
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--migrate", action="store_true")
+    args = ap.parse_args()
+    if args.migrate:
+        print(json.dumps(migrate(), indent=1, sort_keys=True))
+    elif args.list:
+        print(json.dumps(load_floors(), indent=1, sort_keys=True))
+    elif args.check:
+        sys.exit(check(args.check, args.gate))
+    else:
+        ap.print_help()
+
+
+if __name__ == "__main__":
+    main()
