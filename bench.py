@@ -9,6 +9,13 @@ Env:
     SPARK_GRAFT_CPUS     local[] threads (default 32)
     BENCH_QUERIES        comma-separated subset (default: all)
     BENCH_REPEAT         timed repetitions per query, best-of (default 1)
+    BENCH_SF1_DIR        sf1-equivalent corpus dir (default
+                         .scale_stress/x10 when it exists; "" disables).
+                         When present, a second sweep of the scale-
+                         sensitive tier (BENCH_SF1_QUERIES) runs there
+                         and is emitted with sf=1.0 — so the 2x gate
+                         also binds where fixed overheads stop
+                         dominating (BASELINE.md sf1 floor table).
 
 Each query is executed END-TO-END on the JVM via the noop sink — the full
 physical plan runs (scan → shuffle → agg/join), nothing is collected to
@@ -32,6 +39,83 @@ from cassandra_spark import registry  # noqa: E402
 
 registry.load_all()
 
+# The scale-sensitive tier benched at the sf1-equivalent corpus: every
+# query whose 10x/100x growth curve SCALE_STRESS.json tracks (diagnostic
+# deliberately-naive configs excluded by design).
+SF1_QUERIES = (
+    "a10_hll_distinct a11_countmin_heavy a13_hll_partials "
+    "a14_histogram_quantiles l17_dedup_clusters l18_kmeans l19_audio "
+    "l1_exact_dedup l20_chunking l21_bigram_lm l23_bpe_train "
+    "l23b_bpe_encode l24_linreg_gd l25_fuzzy_contamination l26_pq_ann "
+    "l27_span_dedup l2_minhash_neardup l2_minhash_neardup_prod "
+    "l2b_simhash l2d_embedding_neardup_prod l3b_lsh_ann p10_nts_replicas "
+    "p9_ring_ownership q_flagship_revenue_by_nation w18_hinted_handoff "
+    "w4_upsert_merge x17_large_orders x17_large_orders_bucketed "
+    "x23_waiting_suppliers x23_waiting_suppliers_bucketed "
+    "x28_pricing_summary x38_resample_ffill x39_funnel "
+    "x40_cohort_retention x43_event_pagerank"
+).split()
+
+
+def _sweep(spark, sf_dir: str, names: list[str], repeat: int) -> dict:
+    times: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+    return times
+
+
+def _emit(times: dict, sf: float, suffix: str = "") -> None:
+    total = round(sum(times.values()), 3)
+    metric = "total_query_wall_clock" + suffix
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    # The driver tail-captures stdout, and a 140+-entry per-query line
+    # can lose its head. Re-emit the map CHUNKED into short lines (<=10
+    # entries each): merge `queries` of every query_times_chunk line
+    # with the matching sf.
+    items = list(times.items())
+    nchunks = max(1, (len(items) + 9) // 10)
+    for ci in range(nchunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "query_times_chunk",
+                    "chunk": ci + 1,
+                    "of": nchunks,
+                    "sf": sf,
+                    "queries": dict(items[ci * 10 : ci * 10 + 10]),
+                }
+            )
+        )
+    # Final SHORT summary line: always survives the tail.
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+            }
+        )
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,16 +134,7 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    times: dict[str, float] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+    times = _sweep(spark, sf_dir, names, repeat)
 
     # Persist-barrier blocks are shared across the sweep (CacheManager
     # dedupes by canonicalized plan — that sharing is part of the measured
@@ -67,49 +142,26 @@ def main() -> None:
     # the sweep is done so the session pins nothing afterwards.
     registry.release_caches(spark)
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
-    # The driver tail-captures stdout, and the single 140+-entry per-query
-    # line above can lose its head. Re-emit the same map CHUNKED into short
-    # lines (≤10 entries each, tagged chunk i/n) so the tail always
-    # reconstructs the full map:  merge `queries` of every
-    # metric=="query_times_chunk" line.
-    items = list(times.items())
-    nchunks = max(1, (len(items) + 9) // 10)
-    for ci in range(nchunks):
-        print(
-            json.dumps(
-                {
-                    "metric": "query_times_chunk",
-                    "chunk": ci + 1,
-                    "of": nchunks,
-                    "sf": sf,
-                    "queries": dict(items[ci * 10 : ci * 10 + 10]),
-                }
-            )
-        )
-    # Final SHORT summary line: always survives the tail, "parsed" non-null.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-            }
-        )
-    )
+    _emit(times, sf)
+
+    # Second sweep at the sf1-equivalent corpus (scale-sensitive tier
+    # only) so the gate also binds past the fixed-overhead regime.
+    sf1_dir = os.environ.get("BENCH_SF1_DIR")
+    explicit = sf1_dir is not None
+    if sf1_dir is None:
+        cand = REPO / ".scale_stress" / "x10"
+        sf1_dir = str(cand) if cand.is_dir() else ""
+    # default-on only for full runs; an explicit BENCH_SF1_DIR also
+    # benches subset runs (iteration tool)
+    if sf1_dir and (explicit or not subset):
+        sf1_names = os.environ.get("BENCH_SF1_QUERIES")
+        names1 = sf1_names.split(",") if sf1_names else SF1_QUERIES
+        if subset:
+            names1 = [n for n in names1 if n in names]
+        if names1:
+            times1 = _sweep(spark, sf1_dir, names1, repeat)
+            registry.release_caches(spark)
+            _emit(times1, 1.0, suffix="_sf1")
 
 
 if __name__ == "__main__":

@@ -41,14 +41,17 @@ _ROW4 = re.compile(
 _ROW2 = re.compile(r"^\|\s*([a-zA-Z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$")
 
 
-def load_floors(path: Path = BASELINE) -> dict[str, dict]:
-    """Parse the canonical floor table. Returns name -> {floor, recorded,
-    notes}."""
+def load_floors(path: Path = BASELINE, sf1: bool = False) -> dict[str, dict]:
+    """Parse a canonical floor table — the sf0.1 one by default, the
+    "@ sf1" one with sf1=True. Returns name -> {floor, recorded, notes}."""
     out: dict[str, dict] = {}
     in_section = False
     for line in path.read_text().splitlines():
         if line.startswith("## "):
-            in_section = line.lower().startswith("## canonical floor table")
+            low = line.lower()
+            in_section = low.startswith("## canonical floor table") and (
+                ("@ sf1" in low) == sf1
+            )
             continue
         if not in_section:
             continue
@@ -73,9 +76,37 @@ def migrate(path: Path = BASELINE) -> dict[str, float]:
     return floors
 
 
+def _extract_times(doc: dict) -> dict[str, dict[str, float]]:
+    """Bench output -> {"sf0.1": {name: sec}, "sf1": {name: sec}} (sf >=
+    0.5 routes to the sf1 bucket — the amplified-corpus sweep)."""
+    buckets: dict[str, dict[str, float]] = {"sf0.1": {}, "sf1": {}}
+
+    def route(sf, times) -> None:
+        key = "sf1" if (sf or 0.1) >= 0.5 else "sf0.1"
+        buckets[key].update(times)
+
+    if doc.get("queries"):
+        route(doc.get("sf"), doc["queries"])
+    # driver BENCH_r{N}.json wrapper: bench stdout in "tail"/"raw"
+    for blob_key in ("raw", "tail"):
+        blob = doc.get(blob_key)
+        if not blob:
+            continue
+        for line in blob.splitlines():
+            try:
+                j = json.loads(line)
+            except ValueError:
+                continue
+            if j.get("queries") and j.get("metric", "").startswith(
+                ("query_times_chunk", "total_query_wall_clock")
+            ):
+                route(j.get("sf"), j["queries"])
+    return buckets
+
+
 def check(bench_paths: list[str], gate: float) -> int:
-    floors = load_floors()
-    if not floors:
+    tables = {"sf0.1": load_floors(), "sf1": load_floors(sf1=True)}
+    if not tables["sf0.1"]:
         print("no canonical floor table found in BASELINE.md", file=sys.stderr)
         return 2
     rc = 0
@@ -85,54 +116,42 @@ def check(bench_paths: list[str], gate: float) -> int:
             doc = json.loads(text)
         except ValueError:  # raw bench.py stdout: JSONL
             doc = {"raw": text}
-        times = dict(doc.get("queries") or {})
-        # driver BENCH_r{N}.json wrapper: bench stdout in "tail"/"raw"
-        for blob_key in ("raw", "tail"):
-            blob = doc.get(blob_key)
-            if times or not blob:
+        for sf_key, times in _extract_times(doc).items():
+            if not times:
                 continue
-            for line in blob.splitlines():
-                try:
-                    j = json.loads(line)
-                except ValueError:
-                    continue
-                if j.get("metric") == "query_times_chunk":
-                    times.update(j["queries"])
-                elif j.get("metric") == "total_query_wall_clock" and j.get(
-                    "queries"
-                ):
-                    times.update(j["queries"])
-        ratios = {}
-        unknown = []
-        for name, sec in times.items():
-            if name in floors:
-                ratios[name] = sec / floors[name]["floor"]
-            else:
-                unknown.append(name)
-        over = {n: r for n, r in sorted(ratios.items()) if r > gate}
-        med = statistics.median(ratios.values()) if ratios else None
-        mx = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
-        print(
-            json.dumps(
-                {
-                    "bench": bp,
-                    "compared": len(ratios),
-                    "no_floor": sorted(unknown),
-                    "median_ratio": round(med, 3) if med else None,
-                    "max_ratio": (
-                        {"query": mx[0], "ratio": round(mx[1], 3)}
-                        if mx
-                        else None
-                    ),
-                    "over_gate": {
-                        n: round(r, 3) for n, r in over.items()
-                    },
-                    "gate": gate,
-                }
+            floors = tables[sf_key]
+            ratios = {}
+            unknown = []
+            for name, sec in times.items():
+                if name in floors:
+                    ratios[name] = sec / floors[name]["floor"]
+                else:
+                    unknown.append(name)
+            over = {n: r for n, r in sorted(ratios.items()) if r > gate}
+            med = statistics.median(ratios.values()) if ratios else None
+            mx = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
+            print(
+                json.dumps(
+                    {
+                        "bench": bp,
+                        "floors": sf_key,
+                        "compared": len(ratios),
+                        "no_floor": sorted(unknown),
+                        "median_ratio": round(med, 3) if med else None,
+                        "max_ratio": (
+                            {"query": mx[0], "ratio": round(mx[1], 3)}
+                            if mx
+                            else None
+                        ),
+                        "over_gate": {
+                            n: round(r, 3) for n, r in over.items()
+                        },
+                        "gate": gate,
+                    }
+                )
             )
-        )
-        if over:
-            rc = 1
+            if over:
+                rc = 1
     return rc
 
 
@@ -141,12 +160,13 @@ def main() -> None:
     ap.add_argument("--check", nargs="+", metavar="BENCH_JSON")
     ap.add_argument("--gate", type=float, default=2.0)
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--sf1", action="store_true", help="with --list: sf1 table")
     ap.add_argument("--migrate", action="store_true")
     args = ap.parse_args()
     if args.migrate:
         print(json.dumps(migrate(), indent=1, sort_keys=True))
     elif args.list:
-        print(json.dumps(load_floors(), indent=1, sort_keys=True))
+        print(json.dumps(load_floors(sf1=args.sf1), indent=1, sort_keys=True))
     elif args.check:
         sys.exit(check(args.check, args.gate))
     else:
