@@ -355,6 +355,10 @@ class TableSchema:
     # window compacts to one segment, and a fully-expired oldest window is
     # DROPPED whole (footer-stats only, overlap-guarded — see twcs_compact)
     compaction_window_us: int = 86_400_000_000
+    # LCS (`[C* db/compaction/LeveledCompactionStrategy, unverified]`):
+    # 'sstable_size_in_mb' — the target size of one leveled segment; level
+    # n's byte budget is fanout^n of it (fanout 10, the reference default)
+    compaction_sstable_size_mb: int = 160
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
@@ -606,6 +610,14 @@ class CqlTable:
         # counters; filters load/rebuild lazily so restored segments work
         self._blooms: dict[str, object] = {}
         self.bloom_stats = {"checked": 0, "skipped": 0}
+        # LCS bookkeeping: segment -> level (absent = L0, where every
+        # flush/bulk-load lands), cached [min,max] pk-token ranges, and
+        # read-path range-skip counters (the leveled manifest analogue)
+        self._seg_level: dict[str, int] = {}
+        self._seg_tokens: dict[str, tuple[int, int]] = {}
+        self.lcs_stats = {"checked": 0, "range_skipped": 0}
+        self.lcs_fanout = 10  # level n byte budget = fanout^n * target
+        self.lcs_target_bytes: int | None = None  # None -> schema mb
 
     # --- statement execution ---------------------------------------------
 
@@ -1525,6 +1537,8 @@ class CqlTable:
                 self.stcs_compact()
             elif self.schema.compaction == "TimeWindowCompactionStrategy":
                 self.twcs_compact()
+            elif self.schema.compaction == "LeveledCompactionStrategy":
+                self.lcs_compact()
             elif len(self._segments) >= self.compact_threshold:
                 self.compact_segments()
 
@@ -1596,6 +1610,8 @@ class CqlTable:
         self._blooms[path] = bf
         for m in members:
             self._blooms.pop(m, None)
+            self._seg_level.pop(m, None)
+            self._seg_tokens.pop(m, None)
         self._retired.extend(members)
         self._segments = [
             p for p in self._segments if p not in set(members)
@@ -1689,8 +1705,184 @@ class CqlTable:
                 return created
             self._retired.append(victim)
             self._blooms.pop(victim, None)
+            self._seg_level.pop(victim, None)
+            self._seg_tokens.pop(victim, None)
             self._segments.remove(victim)
             del stats[victim]
+
+    def _seg_token_range(self, path: str) -> tuple[int, int]:
+        """[min, max] Murmur3 token of a segment's partition keys —
+        footer metadata when stamped (leveled outputs), else computed
+        once from the pk column and cached. Tokens are of the pk's
+        canonical text serialization: bit-exact for text keys, a
+        consistent total order for the rest — all LCS needs is that
+        every reader and the compactor agree on ONE order."""
+        cached = self._seg_tokens.get(path)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.murmur3 import token_of_text
+
+        pf = pq.ParquetFile(path)
+        meta = pf.schema_arrow.metadata or {}
+        if b"min_token" in meta and b"max_token" in meta:
+            rng = (int(meta[b"min_token"]), int(meta[b"max_token"]))
+        else:
+            pks = set(
+                pq.read_table(path, columns=["pk"]).column("pk").to_pylist()
+            )
+            toks = [token_of_text(p) for p in pks]
+            rng = (min(toks), max(toks))
+        self._seg_tokens[path] = rng
+        return rng
+
+    def _seg_footer_level(self, path: str) -> int:
+        """LCS level stamped in a segment's footer (0 = unstamped/L0) —
+        the leveled-manifest entry a snapshot restore rehydrates from."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+        return int(meta.get(b"lcs_level", b"0"))
+
+    def _lcs_target(self) -> int:
+        return self.lcs_target_bytes or (
+            self.schema.compaction_sstable_size_mb << 20
+        )
+
+    def lcs_compact(self) -> list[str]:
+        """LeveledCompactionStrategy minor compaction (`[C* db/
+        compaction/LeveledCompactionStrategy, unverified]`). The model:
+
+        - L0 holds whatever flush/bulk_load produced (ranges overlap
+          freely). Once it reaches ``min_threshold`` segments, ALL of L0
+          merges with every overlapping L1 segment; the merged run is
+          re-split into target-size segments with pairwise-DISJOINT
+          token ranges and becomes L1.
+        - Level n (>= 1) has a byte budget of ``fanout^n * sstable_size``.
+          While over budget, its lowest-min-token segment promotes:
+          merge with the overlapping L(n+1) segments, re-split, place in
+          L(n+1). Promotions cascade upward until every level fits.
+        - Invariants this buys (asserted in tests/test_lcs.py): levels
+          >= 1 are sorted runs of disjoint ranges, so a point lookup
+          touches at most ONE segment per leveled level (plus L0 and
+          the memtable) — bounded read amplification, the reason LCS
+          exists. A partition (one token) never splits across segments.
+
+        History rows are preserved byte-for-byte through merges (LWW
+        stays a read-time reconcile, same as STCS/TWCS); inputs retire
+        to ``_retired`` for deferred GC. Returns new segment paths."""
+        created: list[str] = []
+        l0 = [s for s in self._segments if self._seg_level.get(s, 0) == 0]
+        if len(l0) >= self.schema.compaction_min_threshold:
+            created += self._lcs_promote(l0, 1)
+        n = 1
+        while True:
+            level = [
+                s for s in self._segments if self._seg_level.get(s, 0) == n
+            ]
+            if not level:
+                break
+            budget = self._lcs_target() * (self.lcs_fanout ** n)
+            if sum(os.path.getsize(s) for s in level) <= budget:
+                n += 1
+                continue
+            victim = min(level, key=lambda s: self._seg_token_range(s)[0])
+            created += self._lcs_promote([victim], n + 1)
+        return created
+
+    def _lcs_promote(self, members: list[str], target: int) -> list[str]:
+        """Merge ``members`` with every overlapping ``target``-level
+        segment, sort by (token, pk), re-split into target-size segments
+        (whole partitions only) and register them at ``target``. Output
+        ranges stay disjoint from the rest of the level: any segment
+        intersecting the members' hull is pulled into the merge, and
+        every pulled range touches that hull, so the merged span is one
+        interval no remaining segment intersects."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+        from cassandra_spark.operators.murmur3 import token_of_text
+
+        lo = min(self._seg_token_range(s)[0] for s in members)
+        hi = max(self._seg_token_range(s)[1] for s in members)
+        overlap = [
+            s
+            for s in self._segments
+            if self._seg_level.get(s, 0) == target
+            and not (
+                self._seg_token_range(s)[1] < lo
+                or self._seg_token_range(s)[0] > hi
+            )
+        ]
+        inputs = members + overlap
+        merged = pa.concat_tables([pq.read_table(p) for p in inputs])
+        pks = merged.column("pk").to_pylist()
+        tok = {p: token_of_text(p) for p in set(pks)}
+        order = sorted(
+            range(len(pks)), key=lambda i: (tok[pks[i]], pks[i], i)
+        )
+        merged = merged.take(order)
+        pks = [pks[i] for i in order]
+        # split points only between partitions: group rows by pk run,
+        # pack greedily by estimated bytes (same-token pks stay together
+        # so inclusive ranges can never touch across segments)
+        row_bytes = max(1, merged.nbytes // max(1, len(pks)))
+        groups: list[tuple[int, int]] = []  # (start_row, n_rows)
+        start = 0
+        for i in range(1, len(pks) + 1):
+            if i == len(pks) or tok[pks[i]] != tok[pks[start]]:
+                groups.append((start, i - start))
+                start = i
+        chunks: list[tuple[int, int]] = []
+        c_start, c_rows = 0, 0
+        for g_start, g_rows in groups:
+            if c_rows and (c_rows + g_rows) * row_bytes > self._lcs_target():
+                chunks.append((c_start, c_rows))
+                c_start, c_rows = g_start, 0
+            c_rows += g_rows
+        if c_rows:
+            chunks.append((c_start, c_rows))
+        created: list[str] = []
+        for c_start, c_rows in chunks:
+            part = merged.slice(c_start, c_rows)
+            self._seg_counter += 1
+            path = os.path.join(
+                self.spill_dir,
+                f"{self.schema.name}-lcs{self._seg_counter:06d}.parquet",
+            )
+            mdl = _max_deletion_us(
+                part.column("kind").to_pylist(),
+                part.column("writetime").to_pylist(),
+                part.column("ttl").to_pylist(),
+            )
+            rng = (tok[pks[c_start]], tok[pks[c_start + c_rows - 1]])
+            part = part.replace_schema_metadata(
+                {
+                    **(part.schema.metadata or {}),
+                    b"max_deletion_us": str(mdl).encode(),
+                    b"min_token": str(rng[0]).encode(),
+                    b"max_token": str(rng[1]).encode(),
+                    b"lcs_level": str(target).encode(),
+                }
+            )
+            pq.write_table(part, path, compression=self._codec())
+            bf = BloomFilter.for_keys(part.column("pk").to_pylist())
+            bf.save(sidecar_path(path))
+            self._blooms[path] = bf
+            self._seg_level[path] = target
+            self._seg_tokens[path] = rng
+            created.append(path)
+        for m in inputs:
+            self._blooms.pop(m, None)
+            self._seg_level.pop(m, None)
+            self._seg_tokens.pop(m, None)
+        self._retired.extend(inputs)
+        drop = set(inputs)
+        self._segments = [p for p in self._segments if p not in drop]
+        self._segments.extend(created)
+        return created
 
     def bulk_load(
         self,
@@ -1943,7 +2135,18 @@ class CqlTable:
         serves — cost is O(partition), never O(log)."""
         import pyarrow.parquet as pq
 
+        pk_token = None
+        if self._seg_level:  # leveled layout: range-prune before bloom
+            from cassandra_spark.operators.murmur3 import token_of_text
+
+            pk_token = token_of_text(pk) if pk is not None else None
         for path in self._segments:
+            if pk_token is not None and self._seg_level.get(path, 0) > 0:
+                self.lcs_stats["checked"] += 1
+                lo, hi = self._seg_token_range(path)
+                if not (lo <= pk_token <= hi):
+                    self.lcs_stats["range_skipped"] += 1
+                    continue
             self.bloom_stats["checked"] += 1
             if not self._bloom_for(path).might_contain(pk):
                 self.bloom_stats["skipped"] += 1

@@ -178,6 +178,7 @@ def parse_create_table(
     compaction = topts.get("compaction", "")
     min_threshold = topts.get("compaction_min_threshold", 4)
     window_us = topts.get("compaction_window_us", 86_400_000_000)
+    sstable_mb = topts.get("compaction_sstable_size_mb", 160)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -338,6 +339,7 @@ def parse_create_table(
         compaction=compaction,
         compaction_min_threshold=min_threshold,
         compaction_window_us=window_us,
+        compaction_sstable_size_mb=sstable_mb,
     )
 
 
@@ -703,13 +705,24 @@ def _parse_table_options(with_text: str) -> dict:
         if cls_name not in (
             "SizeTieredCompactionStrategy",
             "TimeWindowCompactionStrategy",
+            "LeveledCompactionStrategy",
         ):
             raise CQLError(
-                "only SizeTieredCompactionStrategy and "
-                "TimeWindowCompactionStrategy are supported "
+                "only SizeTieredCompactionStrategy, "
+                "TimeWindowCompactionStrategy and "
+                "LeveledCompactionStrategy are supported "
                 f"(got {cls_name!r})"
             )
         out["compaction"] = cls_name
+        if cls_name == "LeveledCompactionStrategy":
+            sz = re.search(
+                r"'sstable_size_in_mb'\s*:\s*'?(\d+)'?", km_.group("body"),
+                re.IGNORECASE,
+            )
+            if sz:
+                if int(sz.group(1)) < 1:
+                    raise CQLError("sstable_size_in_mb must be >= 1")
+                out["compaction_sstable_size_mb"] = int(sz.group(1))
         mt = re.search(
             r"'min_threshold'\s*:\s*'?(\d+)'?", km_.group("body"),
             re.IGNORECASE,
@@ -2403,6 +2416,9 @@ class CqlSession:
                     "compaction": s.compaction,
                     "compaction_min_threshold": s.compaction_min_threshold,
                     "compaction_window_us": s.compaction_window_us,
+                    "compaction_sstable_size_mb": (
+                        s.compaction_sstable_size_mb
+                    ),
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -2527,6 +2543,9 @@ class CqlSession:
                     compaction_window_us=sch.get(
                         "compaction_window_us", 86_400_000_000
                     ),
+                    compaction_sstable_size_mb=sch.get(
+                        "compaction_sstable_size_mb", 160
+                    ),
                 )
             )
             if t.spill_dir is None:
@@ -2556,6 +2575,12 @@ class CqlSession:
                 if os.path.exists(sidecar_path(src)):
                     shutil.copy2(sidecar_path(src), sidecar_path(dst))
                 t._segments.append(dst)
+                # LCS manifest travels in the segment footer: rehydrate
+                # the level so a restored leveled layout keeps its
+                # bounded read amplification (absent stamp = L0)
+                lvl = t._seg_footer_level(dst)
+                if lvl:
+                    t._seg_level[dst] = lvl
             st = entry["state"]
             t._clock, t._seq = st["clock"], st["seq"]
             t._max_wt, t._seg_counter = st["max_wt"], st["seg_counter"]
@@ -2700,6 +2725,13 @@ class CqlSession:
                 "compaction = {'class': '" + s.compaction + "', "
                 "'compaction_window_unit': 'MINUTES', "
                 "'compaction_window_size': '" + str(minutes) + "'}"
+            )
+        elif s.compaction == "LeveledCompactionStrategy":
+            clauses.append(
+                "compaction = {'class': '" + s.compaction + "', "
+                "'sstable_size_in_mb': '"
+                + str(s.compaction_sstable_size_mb)
+                + "'}"
             )
         elif s.compaction:
             clauses.append(

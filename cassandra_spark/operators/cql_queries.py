@@ -981,3 +981,69 @@ def w22_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT custkey, count(*) AS n_orders, sum(okey) AS sum_okey, "
         "max(priority) AS max_prio FROM bulk_orders GROUP BY custkey"
     )
+
+
+@query(
+    "cql27_lcs_leveling",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS BIGINT) AS u,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 60)
+    )
+    SELECT k,
+           CASE WHEN rn % 3 = 1 THEN u + 1000 ELSE u END AS u
+    FROM src
+    """,
+)
+def cql27_lcs_leveling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeveledCompactionStrategy end-to-end through the session: 60
+    events-derived INSERTs land in several flushed L0 generations, a
+    second generation overwrites every third key, and ``lcs_compact()``
+    (the nodetool-compact analogue for an LCS table) promotes everything
+    into level 1 — target-size segments with pairwise-disjoint Murmur3
+    token ranges, whole partitions only, so a point read touches at most
+    one leveled segment (asserted structurally in tests/test_lcs.py; the
+    leveling itself is asserted inline below). History rows survive the
+    re-split byte-for-byte, so the oracle is plain LWW over the inserts:
+    overwritten keys read the second generation, the rest the first."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(60)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 60 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="cql27_lcs_")
+    )
+    sess.execute(
+        "CREATE TABLE lev (k text PRIMARY KEY, u bigint) WITH compaction "
+        "= {'class': 'LeveledCompactionStrategy', 'sstable_size_in_mb': "
+        "'1'}"
+    )
+    t = sess.table("lev")
+    t.lcs_target_bytes = 4096  # test-scale segment target
+    for i, r in enumerate(rows):
+        sess.execute(
+            f"INSERT INTO lev (k, u) VALUES ('{r.event_id}', {r.user_id})"
+        )
+        if i % 15 == 14:
+            t.flush()
+    for i, r in enumerate(rows):
+        if i % 3 == 0:
+            sess.execute(
+                f"INSERT INTO lev (k, u) VALUES "
+                f"('{r.event_id}', {r.user_id + 1000})"
+            )
+    t.flush()
+    t.lcs_compact()
+    levels = {t._seg_level.get(s, 0) for s in t._segments}
+    assert levels == {1}, f"L0 should fully promote, got {levels}"
+    assert len(t._segments) > 1, "re-split should emit multiple segments"
+    return sess.execute("SELECT k, u FROM lev")

@@ -47,7 +47,7 @@ def test_unknown_compressor_rejected(spark):
     with pytest.raises(CQLError, match="SizeTieredCompactionStrategy"):
         s.execute(
             "CREATE TABLE z (k text PRIMARY KEY) "
-            "WITH compaction = {'class': 'LeveledCompactionStrategy'}"
+            "WITH compaction = {'class': 'DateTieredCompactionStrategy'}"
         )
 
 
