@@ -402,6 +402,16 @@ _DROP_INDEX_RE = re.compile(
     r"^\s*DROP\s+INDEX\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_TRIGGER_RE = re.compile(
+    r"^\s*CREATE\s+TRIGGER\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"ON\s+(?P<table>[\w.]+)\s+USING\s+'(?P<cls>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TRIGGER_RE = re.compile(
+    r"^\s*DROP\s+TRIGGER\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"ON\s+(?P<table>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -841,6 +851,15 @@ class CqlSession:
         self.unmasked: set[str] = set()
         # full-query log (None = disabled; enable_fql() starts recording)
         self._fql: list[str] | None = None
+        # triggers (`[C* triggers/ITrigger, CreateTriggerStatement,
+        # unverified]`): table -> {trigger name -> class name}. The
+        # "class" resolves in trigger_classes — the ITrigger registry:
+        # fn(session, table, cells) -> list of CQL statements applied
+        # with the triggering statement (the augment() contract). A
+        # rejected LWT appends no cells, so its triggers see no work.
+        self.triggers: dict[str, dict[str, str]] = {}
+        self.trigger_classes: dict[str, object] = {}
+        self._trigger_depth = 0  # cascade guard (augments may augment)
         # --- role-based auth (`[C* auth/*, unverified]`): the default
         # superuser role exists and is logged in, so an un-configured
         # session behaves exactly like the reference's fresh cluster
@@ -956,6 +975,57 @@ class CqlSession:
             indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
             indexed_sai=tuple(sorted(self.sai_indexes.get(schema.name, ()))),
         )
+
+    def register_trigger_class(self, name: str, fn) -> None:
+        """Install an ITrigger implementation under ``name`` (the
+        reference loads trigger JARs into a class registry; here the
+        registry holds Python callables). ``fn(session, table, cells)``
+        receives the canonical mutation-log cells the triggering
+        statement appended and returns extra CQL statements to apply
+        with it — the ``augment()`` contract."""
+        if not callable(fn):
+            raise CQLError("trigger class must be callable")
+        self.trigger_classes[name] = fn
+
+    def _create_trigger(self, m: re.Match) -> None:
+        """CREATE TRIGGER name ON table USING 'Class' (`[C* cql3/
+        statements/CreateTriggerStatement, unverified]`). Reference
+        rule: only superusers may create triggers (a trigger is
+        arbitrary server-side code)."""
+        roles = self._role_closure(self.current_role)
+        if not any(
+            self.roles.get(r, {}).get("is_superuser") for r in roles
+        ):
+            raise CQLError("only superusers are allowed to CREATE TRIGGER")
+        table = self._resolve(m.group("table"))
+        if table not in self.tables:
+            raise CQLError(f"unknown table {m.group('table')!r}")
+        cls = m.group("cls")
+        if cls not in self.trigger_classes:
+            raise CQLError(
+                f"trigger class {cls!r} is not registered "
+                "(register_trigger_class)"
+            )
+        name = m.group("name").lower()
+        existing = self.triggers.setdefault(table, {})
+        if name in existing:
+            if m.group("ine"):
+                return None
+            raise CQLError(f"trigger {name!r} already exists on {table!r}")
+        existing[name] = cls
+        return None
+
+    def _drop_trigger(self, m: re.Match) -> None:
+        table = self._resolve(m.group("table"))
+        name = m.group("name").lower()
+        if name not in self.triggers.get(table, {}):
+            if m.group("ie"):
+                return None
+            raise CQLError(f"unknown trigger {name!r} on {table!r}")
+        del self.triggers[table][name]
+        if not self.triggers[table]:
+            del self.triggers[table]
+        return None
 
     def _create_index(self, m: re.Match) -> None:
         """CREATE INDEX ON t (col) / (KEYS(col)) / (VALUES(col)): registers
@@ -1462,6 +1532,11 @@ class CqlSession:
         transitively) must hold ``perm`` (or ALL) on the table, its
         OWNING keyspace, or ALL KEYSPACES; superusers bypass. Mirrors the
         resource hierarchy of the reference's CassandraAuthorizer."""
+        if self._trigger_depth:
+            # trigger augments apply server-side with the triggering
+            # mutation (the reference's ITrigger path), not as the
+            # client role — they bypass client authorization
+            return
         roles = self._role_closure(self.current_role)
         if any(self.roles.get(r, {}).get("is_superuser") for r in roles):
             return
@@ -2050,6 +2125,16 @@ class CqlSession:
                 raise CQLError(f"unsupported CREATE INDEX: {stmt!r}")
             self._create_index(im)
             return None
+        if head.startswith("CREATE TRIGG"):
+            tg = _CREATE_TRIGGER_RE.match(stmt)
+            if not tg:
+                raise CQLError(f"unsupported CREATE TRIGGER: {stmt!r}")
+            return self._create_trigger(tg)
+        if head.startswith("DROP TRIGGER"):
+            tg = _DROP_TRIGGER_RE.match(stmt)
+            if not tg:
+                raise CQLError(f"unsupported DROP TRIGGER: {stmt!r}")
+            return self._drop_trigger(tg)
         if head.startswith("DROP TABLE"):
             dm = _DROP_TABLE_RE.match(stmt)
             if not dm:
@@ -2075,6 +2160,7 @@ class CqlSession:
                 )
             self.tables[name].clear_data()  # drops flushed segments too
             del self.tables[name]
+            self.triggers.pop(name, None)
             self.masks.pop(name, None)
             self.unmasked.discard(name)
             self.indexes.pop(name, None)
@@ -2313,7 +2399,33 @@ class CqlSession:
         t_ = self.tables.get(tkey)
         if t_ is None:
             raise CQLError(f"unknown table {tm.group(1)!r}")
-        return t_.execute(stmt)
+        trigs = self.triggers.get(tkey)
+        if not trigs:
+            return t_.execute(stmt)
+        # ITrigger.augment: the trigger sees the cells this statement
+        # appended to the memtable and returns extra statements applied
+        # with it. Cells are captured by log-growth, so they reflect
+        # exactly the triggering mutation (a rejected LWT appends none
+        # and fires nothing). Cascades are allowed — a trigger's own
+        # statements fire their tables' triggers — bounded by depth.
+        if self._trigger_depth >= 8:
+            raise CQLError("trigger cascade exceeds depth 8 (loop?)")
+        before = len(t_._log)
+        result = t_.execute(stmt)
+        cells = list(t_._log[before:]) if len(t_._log) > before else []
+        if cells:
+            self._trigger_depth += 1
+            try:
+                for tname in sorted(trigs):
+                    fn = self.trigger_classes[trigs[tname]]
+                    for aug in fn(self, tkey, cells) or []:
+                        # NOT self.execute: augments must stay out of the
+                        # FQL (replaying the triggering statement re-fires
+                        # the trigger — logging both would double-apply)
+                        self._execute_stmt(aug)
+            finally:
+                self._trigger_depth -= 1
+        return result
 
     def snapshot_keyspace(self, out_dir: str, base_dir: str | None = None) -> dict:
         """``nodetool snapshot`` analogue built on the segment
@@ -2996,6 +3108,22 @@ class CqlSession:
                 TableMeta(
                     "system_schema.indexes", ("keyspace_name",),
                     ("table_name", "index_name"),
+                ),
+            ),
+            "system_schema.triggers": (
+                spark.createDataFrame(
+                    [
+                        (self.table_keyspace.get(tbl, "session"), tbl,
+                         name, cls)
+                        for tbl, trigs in sorted(self.triggers.items())
+                        for name, cls in sorted(trigs.items())
+                    ],
+                    "keyspace_name string, table_name string, "
+                    "trigger_name string, options string",
+                ),
+                TableMeta(
+                    "system_schema.triggers", ("keyspace_name",),
+                    ("table_name", "trigger_name"),
                 ),
             ),
             "system.local": (local, TableMeta("system.local", ("key",))),

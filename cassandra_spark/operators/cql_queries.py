@@ -1047,3 +1047,61 @@ def cql27_lcs_leveling(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert levels == {1}, f"L0 should fully promote, got {levels}"
     assert len(t._segments) > 1, "re-split should emit multiple segments"
     return sess.execute("SELECT k, u FROM lev")
+
+
+@query(
+    "cql28_trigger_audit",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS VARCHAR) AS u,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 40)
+    )
+    SELECT k, 'u' AS src_col, u AS v, CAST(100 + rn AS BIGINT) AS wt
+    FROM src
+    """,
+)
+def cql28_trigger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TRIGGER end-to-end: an ITrigger-style audit class (the
+    reference's canonical trigger example) registered on ``acct``
+    mirrors every data cell a write appends — with the triggering
+    statement's own writetime — into an ``audit`` table, applied
+    server-side with the mutation (augment() semantics: bypasses client
+    permissions, stays out of the FQL so replays never double-apply,
+    never fires for rejected LWTs). 40 pinned-timestamp INSERTs fire 40
+    augments; the oracle states the ENTIRE audit table including
+    writetimes, proving exactly-once augment application."""
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(40)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 40 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(spark)
+    sess.execute("CREATE TABLE acct (k text PRIMARY KEY, u text)")
+    sess.execute(
+        "CREATE TABLE audit (k text, src_col text, v text, wt bigint, "
+        "PRIMARY KEY (k, src_col))"
+    )
+
+    def audit_fn(s, table, cells):
+        return [
+            f"INSERT INTO audit (k, src_col, v, wt) VALUES "
+            f"('{c[0]}', '{c[2]}', '{c[4]}', {c[6]}) "
+            f"USING TIMESTAMP {c[6]}"
+            for c in cells
+            if c[5] == "cell"
+        ]
+
+    sess.register_trigger_class("AuditTrigger", audit_fn)
+    sess.execute("CREATE TRIGGER aud ON acct USING 'AuditTrigger'")
+    for i, r in enumerate(rows, start=1):
+        sess.execute(
+            f"INSERT INTO acct (k, u) VALUES "
+            f"('{r.event_id}', '{r.user_id}') USING TIMESTAMP {100 + i}"
+        )
+    return sess.execute("SELECT k, src_col, v, wt FROM audit")
