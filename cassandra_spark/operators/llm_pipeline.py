@@ -310,6 +310,86 @@ def l16_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L29: temperature-weighted source sampling ------------------------------
+#
+# The multilingual-pretraining recipe (mBERT/XLM-R-style "temperature
+# sampling"): per-source keep probability p_i = (n_min / n_i)^(1-alpha),
+# so alpha=1 keeps the natural distribution and alpha->0 flattens it.
+# Unlike l16's FIXED rates, the rates here derive from the MEASURED
+# source counts — the operator is a tiny count aggregate broadcast back
+# over the corpus, membership stays a pure hash projection.
+#
+# alpha is pinned at 0.5 so p_i = sqrt(n_min / n_i): IEEE-754 sqrt and
+# division are correctly rounded (pow is NOT), so Spark and DuckDB
+# compute the keep threshold floor(1e6 * p_i) bit-identically and the
+# hash-boundary docs never flip between engines.
+
+_TEMP_MIX_HASH = "((doc_id * 2654435761 + 71993) % 4294967296)"
+
+
+@query(
+    "l29_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n,
+             CAST(FLOOR(1000000 * SQRT(
+               CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+               / CAST(n AS DOUBLE))) AS BIGINT) AS thresh
+      FROM counts
+    )
+    SELECT d.source,
+           CAST(MIN(r.n) AS BIGINT) AS n_docs,
+           MIN(r.thresh) AS rate_ppm,
+           CAST(SUM(CASE WHEN ({_TEMP_MIX_HASH}) % 1000000 < r.thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN ({_TEMP_MIX_HASH}) % 1000000 < r.thresh
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def l29_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling (alpha = 0.5): keep rates
+    derive from the measured per-source counts — p_i = sqrt(n_min/n_i)
+    upweights rare sources toward a flatter mix — and membership is a
+    pure hash of the doc key (stable under re-runs/appends, no stored
+    sample column). Plan shape at 100 TB: ONE tiny count aggregate
+    (|sources| rows) broadcast-joined back over the corpus; the corpus
+    pass itself is a map-side projection + partial agg."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n",
+        F.floor(
+            1_000_000
+            * F.sqrt(
+                F.col("n_min").cast("double") / F.col("n").cast("double")
+            )
+        ).alias("thresh"),
+    )
+    keep = (F.expr(_TEMP_MIX_HASH) % 1_000_000) < F.col("thresh")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n").alias("n_docs"),
+            F.min("thresh").alias("rate_ppm"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "l22_corpus_datasheet",
     oracle="""

@@ -242,6 +242,30 @@ def test_l16_mix_is_subset_and_deterministic(spark):
     assert any(kept < n for n, kept, _ in a.values())
 
 
+def test_l29_temperature_mix_flattens_toward_rare_sources(spark):
+    """alpha=0.5 temperature sampling: the per-source keep RATE is
+    monotonically non-increasing in source size (rare sources upweighted),
+    the minimum-count source keeps everything (rate_ppm = 1e6), kept
+    counts are subsets, and re-runs are identical (hash membership)."""
+    from cassandra_spark.operators.llm_pipeline import l29_temperature_mix
+
+    rows = l29_temperature_mix(spark, SF_SMOKE).collect()
+    a = {r.source: (r.n_docs, r.rate_ppm, r.n_kept) for r in rows}
+    b = {
+        r.source: (r.n_docs, r.rate_ppm, r.n_kept)
+        for r in l29_temperature_mix(spark, SF_SMOKE).collect()
+    }
+    assert a == b
+    assert all(0 <= kept <= n for n, _, kept in a.values())
+    by_size = sorted(a.values())
+    assert all(
+        earlier[1] >= later[1]
+        for earlier, later in zip(by_size, by_size[1:])
+    )
+    n_min_rate = min(a.values())[1]
+    assert n_min_rate == 1_000_000
+
+
 def test_l17_clusters_close_transitively(spark):
     """Chained pairs (a,b),(b,c) must land in ONE cluster with min-id
     canonical — the property no per-pair dedup rule provides. Checked
