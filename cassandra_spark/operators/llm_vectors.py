@@ -1583,3 +1583,140 @@ def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOPK)
         .select("query_id", "vec_id", "adist", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L30: SQ8 scalar-quantized ANN — per-vector int8 compression + integer scan
+# ---------------------------------------------------------------------------
+#
+# The standard vector-DB compression tier (jvector/faiss "SQ8"): each
+# vector stores ONE float scale (its max-abs component) plus 64 int8
+# codes q_j = round(127 * x_j / scale), 4x smaller than float32 and the
+# scan becomes an integer multiply-add chain. Distinct from the PQ tier
+# (l26: shared codebooks, lossy subspace centroids) and from the internal
+# fixed-point grid (_QV_SPARK_GRID: corpus-wide 2^20 grid for exact-math
+# oracles) — SQ8's scale is PER VECTOR, so quantization error is bounded
+# relative to each vector's own magnitude.
+#
+# Determinism contract: scale = max(|x_j|) (max is order-free);
+# q_j = floor((x * 127.0) / s + 0.5) — multiply THEN divide, each IEEE
+# correctly rounded, identical op sequence on both engines; the int dot
+# is exact BIGINT arithmetic; the final cosine is one division by a
+# product of two correctly-rounded sqrts. Bit-identical by construction.
+#
+# Scale posture (100 TB): quantization is a map-only projection (in a
+# real deployment it is written once as an int8 column + scale, 4x byte
+# reduction on the scan); the query side is SQ_NQ rows broadcast; the
+# corpus-side work per vector is one 64-term integer chain in a single
+# codegen stage. In front of this at 10^9 vectors sits the IVF router
+# (l3c) — plan shape unchanged, the SQ8 scan just replaces the float
+# fold inside each probed cell.
+
+SQ_NQ = 5
+SQ_TOPK = 10
+
+
+_SQ8_SCALE_SPARK = (
+    "array_max(transform(embedding, x -> abs(cast(x as double))))"
+)
+_SQ8_Q_SPARK = (
+    "transform(embedding, x -> CASE WHEN sq_s = 0D THEN 0L ELSE "
+    "cast(floor(cast(x as double) * 127.0D / sq_s + 0.5D) as bigint) END)"
+)
+
+_SQ8_SCALE_DUCK = (
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+)
+_SQ8_Q_DUCK = (
+    "list_transform(embedding, x -> CASE WHEN sq_s = 0 THEN 0::BIGINT ELSE "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0 / sq_s + 0.5) AS BIGINT) END)"
+)
+
+
+@query(
+    "l30_sq8_ann",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding, {_SQ8_SCALE_DUCK} AS sq_s FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding,
+             {_SQ8_Q_DUCK} AS q8,
+             {NORM_DUCK} AS nrm
+      FROM scaled
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             CAST({_qdot_duck('a.q8', 'b.q8')} AS DOUBLE)
+               / (sqrt(CAST({_qdot_duck('a.q8', 'a.q8')} AS DOUBLE))
+                  * sqrt(CAST({_qdot_duck('b.q8', 'b.q8')} AS DOUBLE)))
+               AS qcosine,
+             {dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+               AS cosine
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {SQ_NQ}
+    )
+    SELECT query_id, vec_id, qcosine, cosine,
+           abs(qcosine - cosine) AS abs_err, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY qcosine DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= {SQ_TOPK}
+    """,
+)
+def l30_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: per-vector max-abs scale + int8 codes,
+    integer-dot scan, quantized-cosine top-{SQ_TOPK} per query with the
+    exact cosine and |error| carried for quality audit. See the block
+    comment above for the determinism contract and 100 TB posture."""
+    cat = Catalog(spark, sf_dir)
+    q = (
+        cat.embeddings.withColumn("sq_s", F.expr(_SQ8_SCALE_SPARK))
+        .withColumn("q8", F.expr(_SQ8_Q_SPARK))
+        .withColumn("nrm", F.expr(NORM_SPARK))
+        .select("vec_id", "embedding", "q8", "nrm")
+    )
+    qa = q.filter(F.col("vec_id") < SQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("ea"),
+        F.col("q8").alias("qa8"),
+        F.col("nrm").alias("na"),
+        _unrolled_int_dot("q8", "q8").alias("na2"),
+    )
+    qb = q.select(
+        "vec_id",
+        F.col("embedding").alias("eb"),
+        F.col("q8").alias("qb8"),
+        F.col("nrm").alias("nb"),
+        _unrolled_int_dot("q8", "q8").alias("nb2"),
+    )
+    qcos = _unrolled_int_dot("qa8", "qb8").cast("double") / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
+    pairs = (
+        qb.crossJoin(F.broadcast(qa))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            qcos.alias("qcosine"),
+            (
+                F.expr(dot_spark("ea", "eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SQ_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "qcosine",
+            "cosine",
+            (F.abs(F.col("qcosine") - F.col("cosine"))).alias("abs_err"),
+            "rank",
+        )
+    )

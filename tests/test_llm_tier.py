@@ -709,3 +709,41 @@ def test_epoch_shuffle_decorrelates_and_ranges_disjoint(spark):
     counts = Counter(b for b, _ in per_seed[0].values())
     big = [b for b, c in counts.items() if c > 1]
     assert big, "smoke corpus should fill some bucket twice"
+
+
+def test_l30_sq8_codes_bounded_and_faithful(spark):
+    """SQ8 contract: every int8 code is in [-127, 127], the quantized
+    top-10 recovers >=9/10 of the exact cosine top-10 per query, and the
+    carried |qcosine - cosine| error stays under 1e-2 (64-dim SQ8's
+    typical error is ~2e-3 on this corpus)."""
+    from collections import defaultdict
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_vectors import (
+        _SQ8_Q_SPARK,
+        _SQ8_SCALE_SPARK,
+        l3_cosine_topk,
+        l30_sq8_ann,
+    )
+
+    codes = (
+        Catalog(spark, SF_SMOKE)
+        .embeddings.withColumn("sq_s", F.expr(_SQ8_SCALE_SPARK))
+        .selectExpr(f"array_max({_SQ8_Q_SPARK}) AS hi",
+                    f"array_min({_SQ8_Q_SPARK}) AS lo")
+        .agg(F.max("hi").alias("hi"), F.min("lo").alias("lo"))
+        .collect()[0]
+    )
+    assert -127 <= codes.lo and codes.hi <= 127
+
+    sq = l30_sq8_ann(spark, SF_SMOKE).collect()
+    ex = l3_cosine_topk(spark, SF_SMOKE).collect()
+    s, e = defaultdict(set), defaultdict(set)
+    for r in sq:
+        s[r.query_id].add(r.vec_id)
+        assert r.abs_err < 1e-2
+    for r in ex:
+        e[r.query_id].add(r.vec_id)
+    assert set(s) == set(e)
+    for qid, exact in e.items():
+        assert len(s[qid] & exact) >= 9
