@@ -581,13 +581,17 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """GIF87a/89a → (width, height, 3, top-down RGB) of the FIRST image
-    frame composited at its position on the logical screen (remaining
-    area takes the background color). Handles global/local color tables,
-    interlacing, and 89a extension blocks; transparency renders as the
-    transparent index's table color (the pipeline contract is opaque
-    RGB)."""
+def decode_gif_frames(
+    data: bytes,
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """GIF87a/89a animation → (screen_w, screen_h, [(delay_ms, rgb)])
+    where each rgb is the top-down RGB raster of the COMPOSITED logical
+    screen after rendering that frame. Full 89a animation semantics:
+    graphic-control delays (centiseconds → ms), transparency (pixels of
+    the transparent index leave the canvas unchanged — how animations
+    ship delta frames), and disposal methods 1 (leave), 2 (restore the
+    frame rect to background), 3 (restore the frame rect to the previous
+    canvas). Global/local color tables and interlacing per frame."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -599,7 +603,17 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         if len(gct) < 3 * n:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
+    bg_px = (
+        gct[3 * bg : 3 * bg + 3]
+        if gct and 3 * bg + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_px * (sw * sh))
+    frames: list[tuple[int, bytes]] = []
+    # graphic-control state: applies to the NEXT image only (89a spec)
     transparent = -1
+    delay_ms = 0
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -612,8 +626,9 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
             if label == 0xF9 and pos + 5 <= len(data) and data[pos] == 4:
                 gflags = data[pos + 1]
-                if gflags & 1:
-                    transparent = data[pos + 4]
+                delay_ms = struct.unpack_from("<H", data, pos + 2)[0] * 10
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 4] if gflags & 1 else -1
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1  # block terminator
@@ -654,30 +669,46 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                     src_row * iw : (src_row + 1) * iw
                 ]
             idx = deinter
-
-        def color(i: int) -> bytes:
-            off = 3 * i
-            if off + 3 > len(table):
-                raise ValueError("GIF color index out of range")
-            return table[off : off + 3]
-
-        bg_px = (
-            gct[3 * bg : 3 * bg + 3]
-            if gct and 3 * bg + 3 <= len(gct)
-            else b"\x00\x00\x00"
-        )
-        rgb = bytearray(bg_px * (sw * sh))
+        prev = bytes(canvas) if disposal == 3 else b""
         for y in range(ih):
             if iy + y >= sh:
                 break
             for x in range(iw):
                 if ix + x >= sw:
                     break
+                ci = idx[y * iw + x]
+                if ci == transparent:
+                    continue  # delta frame: underlying canvas shows through
+                off = 3 * ci
+                if off + 3 > len(table):
+                    raise ValueError("GIF color index out of range")
                 d = ((iy + y) * sw + (ix + x)) * 3
-                rgb[d : d + 3] = color(idx[y * iw + x])
-        _ = transparent  # rendered opaque by contract
-        return sw, sh, 3, bytes(rgb)
-    raise ValueError("GIF contains no image frame")
+                canvas[d : d + 3] = table[off : off + 3]
+        frames.append((delay_ms, bytes(canvas)))
+        if disposal == 2:  # restore the frame rect to background
+            for y in range(ih):
+                if iy + y >= sh:
+                    break
+                for x in range(iw):
+                    if ix + x >= sw:
+                        break
+                    d = ((iy + y) * sw + (ix + x)) * 3
+                    canvas[d : d + 3] = bg_px
+        elif disposal == 3 and prev:  # restore to the pre-frame canvas
+            canvas = bytearray(prev)
+        transparent, delay_ms, disposal = -1, 0, 0
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return sw, sh, frames
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """GIF87a/89a → (width, height, 3, top-down RGB) of the FIRST frame
+    composited on the logical screen (uncovered area takes the background
+    color); transparency in a first frame renders as background — the
+    pipeline contract is opaque RGB. Full animations: decode_gif_frames."""
+    sw, sh, frames = decode_gif_frames(data)
+    return sw, sh, 3, frames[0][1]
 
 
 def encode_gif(
@@ -720,4 +751,65 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames: list[tuple[int, int, int, int, bytes, int, int, bytes | None]],
+    *,
+    loop: bool = True,
+) -> bytes:
+    """Animated GIF89a from composable delta frames. Each frame is
+    ``(x, y, w, h, rgb, delay_ms, disposal, transparent_rgb)`` — ``rgb``
+    is the top-down w*h*3 subrect painted at (x, y); pixels equal to
+    ``transparent_rgb`` (when not None) are written as the transparent
+    index so the underlying canvas shows through. ``disposal`` is the
+    GIF disposal method (0/1 leave, 2 restore-background, 3
+    restore-previous). No global color table (background renders black,
+    matching the decoder's fallback); one local table per frame. Used to
+    build real animation fixtures in tests."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0, 0, 0)
+    if loop:  # Netscape 2.0 looping extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for x, y, w, h, rgb, delay_ms, disposal, transparent in frames:
+        if len(rgb) != w * h * 3:
+            raise ValueError("frame rgb length must be w*h*3")
+        palette: dict[bytes, int] = {}
+        trans_idx = -1
+        if transparent is not None:
+            palette[bytes(transparent)] = 0
+            trans_idx = 0
+        indices = bytearray()
+        for i in range(0, len(rgb), 3):
+            c = rgb[i : i + 3]
+            if c not in palette:
+                if len(palette) == 256:
+                    raise ValueError("more than 256 distinct colors")
+                palette[c] = len(palette)
+            indices.append(palette[c])
+        depth = max(1, (len(palette) - 1).bit_length())
+        n = 1 << depth
+        table = (
+            b"".join(sorted(palette, key=palette.get))
+            + b"\x00\x00\x00" * (n - len(palette))
+        )
+        gflags = (disposal & 7) << 2 | (1 if trans_idx >= 0 else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gflags, max(0, delay_ms) // 10, max(0, trans_idx)
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0x80 | (depth - 1))
+        out += table
+        min_code_size = max(2, depth)
+        out.append(min_code_size)
+        lzw = _lzw_encode(min_code_size, bytes(indices))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

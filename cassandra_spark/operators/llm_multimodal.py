@@ -16,9 +16,11 @@ multi-scan coefficient accumulation, cross-checked against Java ImageIO)
 decode to actual RGB pixels, flow through the pipeline as a binary pixels
 column, and resize runs a real nearest-neighbor resample —
 ``allow_stub=False`` end-to-end. Video is REAL for AVI containers (MJPG /
-raw-DIB streams, operators/avi.py): sample_frames demuxes the RIFF tree
-and decodes sampled frames to RGB; audio is REAL for RIFF/WAVE PCM
-(operators/audio.py). Remaining formats (non-AVI video, arithmetic-coded
+raw-DIB streams, operators/avi.py) AND animated GIF (delta-frame
+compositing with disposal/transparency semantics, codecs.py):
+sample_frames demuxes/composites and decodes sampled frames to RGB;
+audio is REAL for RIFF/WAVE PCM (operators/audio.py). Remaining formats
+(other video containers, arithmetic-coded
 JPEG) still raise unless the caller opts into the deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.
@@ -241,9 +243,14 @@ def sample_frames(
     decode for REAL: one sample every ``every_ms`` of stream time, each
     hashing the decoded top-down RGB raster of the frame covering that
     timestamp (``src_frame``/``width``/``height`` carry provenance).
-    Non-AVI payloads raise unless ``allow_stub`` opts into the
-    deterministic fake (1 byte ≈ 1 ms, hash of the undecoded slice,
-    NULL geometry) — the Spark-side contract is identical either way."""
+    Animated GIF payloads also decode for REAL (codecs.decode_gif_frames:
+    delta-frame compositing, disposal methods, transparency), with the
+    timeline built from the per-frame graphic-control delays (a 0 delay
+    counts as 100 ms, the de-facto player default — documented, so the
+    sample cadence is deterministic). Other payloads raise unless
+    ``allow_stub`` opts into the deterministic fake (1 byte ≈ 1 ms, hash
+    of the undecoded slice, NULL geometry) — the Spark-side contract is
+    identical either way."""
     import hashlib
 
     from cassandra_spark.operators.avi import (
@@ -251,12 +258,33 @@ def sample_frames(
         demux_avi,
         is_avi,
     )
+    from cassandra_spark.operators.codecs import decode_gif_frames
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    gw, gh, gframes = decode_gif_frames(payload)
+                    delays = [d if d > 0 else 100 for d, _ in gframes]
+                    starts = [0]
+                    for d in delays[:-1]:
+                        starts.append(starts[-1] + d)
+                    duration = starts[-1] + delays[-1]
+                    hashes: dict[int, str] = {}
+                    for i, ts in enumerate(range(0, duration, every_ms)):
+                        src = max(
+                            j for j, s in enumerate(starts) if s <= ts
+                        )
+                        if src not in hashes:
+                            hashes[src] = hashlib.sha1(
+                                gframes[src][1]
+                            ).hexdigest()
+                        rows.append(
+                            (doc_id, i, ts, hashes[src], src, gw, gh)
+                        )
+                    continue
                 if is_avi(payload):
                     stream = demux_avi(payload)
                     decoded: dict[int, str] = {}

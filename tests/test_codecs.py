@@ -973,3 +973,89 @@ def test_interlaced_subbyte_palette_uses_plte():
     # spot-check a pixel maps through the palette
     rgb = plain[3]
     assert rgb[:3] == bytes([255, 0, 0])  # sample 0 → palette entry 0
+
+
+# --- animated GIF (decode_gif_frames) ---------------------------------------
+
+
+def _solid(w, h, c):
+    return bytes(c) * (w * h)
+
+
+def test_gif_animation_disposal_semantics():
+    """Four-frame animation exercising every disposal method: 1 (leave),
+    2 (restore-background over the frame rect), 3 (restore-previous), and
+    transparency (delta pixels show the underlying canvas)."""
+    from cassandra_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    red, grn, blu, blk = (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0)
+    frames = [
+        # full-screen red, leave it
+        (0, 0, 4, 4, _solid(4, 4, red), 100, 1, None),
+        # green 2x2 patch at (1,1), restore-previous afterwards
+        (1, 1, 2, 2, _solid(2, 2, grn), 200, 3, None),
+        # blue 2x2 patch at (2,2), restore-background afterwards
+        (2, 2, 2, 2, _solid(2, 2, blu), 0, 2, None),
+        # full-screen green with a transparent hole at (0,0): the hole
+        # shows whatever the canvas holds after frame 3's disposal
+        (0, 0, 4, 4, bytes(red) + _solid(4, 4, grn)[3:], 50, 1, red),
+    ]
+    data = encode_gif_animated(4, 4, frames)
+    sw, sh, out = decode_gif_frames(data)
+    assert (sw, sh) == (4, 4)
+    assert [d for d, _ in out] == [100, 200, 0, 50]
+
+    def px(rgb, x, y):
+        return tuple(rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
+
+    f1, f2, f3, f4 = (rgb for _, rgb in out)
+    assert f1 == _solid(4, 4, red)
+    assert px(f2, 1, 1) == grn and px(f2, 0, 0) == red
+    # frame 2's disposal restored red before frame 3 painted blue
+    assert px(f3, 1, 1) == red and px(f3, 2, 2) == blu
+    # frame 3's disposal restored its rect to BACKGROUND (black, no GCT);
+    # frame 4 painted green everywhere except the transparent (0,0) hole,
+    # which shows the post-disposal canvas: red
+    assert px(f4, 0, 0) == red
+    assert px(f4, 2, 2) == grn and px(f4, 1, 1) == grn
+
+
+def test_gif_first_frame_delegate_matches_single_frame_decoder():
+    """decode_gif == first composited frame of decode_gif_frames, and the
+    single-frame encoder round-trips through both."""
+    from cassandra_spark.operators.codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rgb = b"".join(
+        bytes(((x * 37) % 200, (y * 11) % 200, 50))
+        for y in range(5)
+        for x in range(6)
+    )
+    data = encode_gif(6, 5, rgb)
+    w, h, frames = decode_gif_frames(data)
+    assert (w, h) == (6, 5) and len(frames) == 1
+    assert decode_gif(data) == (6, 5, 3, frames[0][1])
+
+
+def test_gif_animation_survives_sniff_and_interlace_mix():
+    """Animated payloads still sniff as image/gif; a frame with >255
+    colors raises; delay of 0 is preserved as 0 (the sampler applies the
+    100 ms default, not the codec)."""
+    from cassandra_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+        sniff_mime,
+    )
+
+    data = encode_gif_animated(
+        2, 2, [(0, 0, 2, 2, _solid(2, 2, (9, 9, 9)), 0, 0, None)]
+    )
+    assert sniff_mime(data) == "image/gif"
+    _, _, frames = decode_gif_frames(data)
+    assert frames[0][0] == 0

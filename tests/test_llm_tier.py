@@ -747,3 +747,48 @@ def test_l30_sq8_codes_bounded_and_faithful(spark):
     assert set(s) == set(e)
     for qid, exact in e.items():
         assert len(s[qid] & exact) >= 9
+
+
+def test_l4_frame_sampling_real_animated_gif(spark):
+    """Real animated-GIF video path, allow_stub=False: the timeline comes
+    from the per-frame graphic-control delays (0 → 100 ms default), frame
+    hashes equal the sha1 of the COMPOSITED logical-screen raster, and
+    the screen geometry rides the provenance columns."""
+    import hashlib
+
+    from cassandra_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+
+    red, grn = (200, 0, 0), (0, 200, 0)
+    gif = encode_gif_animated(
+        5,
+        3,
+        [
+            (0, 0, 5, 3, bytes(red) * 15, 600, 1, None),   # 0-600 ms
+            (1, 1, 2, 1, bytes(grn) * 2, 400, 1, None),    # 600-1000 ms
+        ],
+    )
+    _, _, composited = decode_gif_frames(gif)
+    docs = spark.createDataFrame(
+        [(7, bytearray(gif))], "doc_id bigint, payload binary"
+    )
+    out = sorted(
+        sample_frames(
+            docs, every_ms=250, allow_stub=False, payload_col="payload"
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # duration 1000 ms / 250 ms = 4 samples: ts 0,250,500 → frame 0;
+    # ts 750 → frame 1
+    assert [r.frame_ts_ms for r in out] == [0, 250, 500, 750]
+    assert [r.src_frame for r in out] == [0, 0, 0, 1]
+    assert all((r.width, r.height) == (5, 3) for r in out)
+    for r in out:
+        assert r.frame_sha == hashlib.sha1(
+            composited[r.src_frame][1]
+        ).hexdigest()
+    # frame 1 composites ON TOP of frame 0 (delta semantics): rasters differ
+    assert out[0].frame_sha != out[3].frame_sha
