@@ -8,10 +8,12 @@ pipeline runs REAL bytes end-to-end in this container
 (`allow_stub=False`).
 
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
-avi.py; the one remaining exotic variant (arithmetic-coded JPEG — rare
-in practice, patent-era) stays behind the stub gate in llm_multimodal.py. The
-Spark-side contract (batch shape, schema, partitioning) is identical
-either way.
+avi.py and animated GIF decodes here (decode_gif_frames); arithmetic-
+coded sequential JPEG (SOF9, QM-coder) decodes in operators/
+jpeg_arith.py. The remaining gated variants (12-bit / lossless /
+hierarchical / progressive-arithmetic JPEG, non-AVI video containers)
+degrade to the stub path in llm_multimodal.py. The Spark-side contract
+(batch shape, schema, partitioning) is identical either way.
 
 All functions are worker-safe pure functions over bytes: they run inside
 Arrow-batched mapInPandas with no driver state.
@@ -421,7 +423,7 @@ def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
     None when the format isn't locally decodable (caller decides
     stub/raise). Raises ValueError for recognized-but-unsupported variants
-    (e.g. arithmetic-coded JPEG) — decode_batch degrades those to the
+    (e.g. 12-bit or lossless JPEG) — decode_batch degrades those to the
     stub."""
     mime = sniff_mime(data)
     if mime == BMP_MIME:

@@ -6,9 +6,12 @@ Scope (documented honestly):
 - **decode**: baseline DCT sequential (SOF0), 8-bit samples, Huffman
   entropy coding, 1 or 3 components, subsampling factors up to 2×2
   (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers (DRI/RSTn),
-  APPn/COM skipped. Progressive (SOF2), arithmetic coding, and 12-bit
-  precision raise ``ValueError`` — the multimodal pipeline degrades those
-  payloads to the stub path instead of failing the job.
+  APPn/COM skipped. Progressive Huffman (SOF2) decodes here too, and
+  arithmetic-coded sequential (SOF9, QM-coder) decodes via
+  operators/jpeg_arith.py. 12-bit precision, lossless, hierarchical,
+  and progressive-arithmetic (SOF10) raise ``ValueError`` — the
+  multimodal pipeline degrades those payloads to the stub path instead
+  of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
   scaled by an IJG-style quality knob, standard Huffman tables written
   into DHT segments (the decoder always reads tables from the stream, so
@@ -646,8 +649,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     (width, height, 3, top-down RGB bytes). Progressive scans accumulate
     into per-component coefficient buffers (DC/AC, first/refine with
     shared EOB runs — spec Annex G / the jdphuff.c algorithms) and are
-    rendered once at EOI. Raises ``ValueError`` for arithmetic-coded,
-    lossless, hierarchical, and 12-bit variants."""
+    rendered once at EOI. Arithmetic-coded sequential (SOF9) routes to
+    operators/jpeg_arith.py. Raises ``ValueError`` for lossless,
+    hierarchical, progressive-arithmetic, and 12-bit variants."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -655,6 +659,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps)
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_kx: dict[int, int] = {}
     coefs: list[np.ndarray] | None = None
     pred: list[int] = []
     restart_interval = 0
@@ -691,7 +698,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2/9
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -703,11 +710,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w_, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            arith = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline and progressive DCT JPEG are supported"
+                "only baseline/progressive-Huffman and sequential-"
+                "arithmetic (SOF9) DCT JPEG are supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                val = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    ac_kx[tb] = val  # Kx
+                p += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -718,6 +737,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
+            if arith:
+                from cassandra_spark.operators.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                return decode_scan_arith(
+                    data, pos + seglen, frame, scan, qt,
+                    dc_cond, ac_kx, restart_interval,
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, frame, scan, qt, huff,

@@ -1,0 +1,657 @@
+"""Arithmetic-coded JPEG (SOF9, extended sequential DCT) — pure Python,
+zero external codec libraries, for the L4 multimodal tier.
+
+This closes the last entropy-coding variant in the JPEG matrix: the
+QM-coder (ITU T.81 Annex D) with the sequential-DCT statistical models
+(Annex F) — DC difference conditioning categories, per-index AC
+end-of-block/zero decision trees, magnitude category + bit-pattern bins,
+and the fixed (non-adapting) sign estimate for AC coefficients.
+
+Scope and validation (documented honestly):
+
+- **decode**: SOF9 (8-bit, 1 or 3 components, subsampling ≤ 2×2 via the
+  shared plane pipeline in operators/jpeg.py), DAC conditioning markers
+  (DC L/U, AC Kx), restart markers (statistics + coder reinit per
+  F.1.4.1). Progressive-arithmetic (SOF10) and lossless variants still
+  raise ValueError.
+- **encode**: SOF9, YCbCr 4:4:4, default conditioning (L=0, U=1, Kx=5),
+  optional restart interval — shares the exact DCT/quantization pipeline
+  with the baseline encoder so the entropy stage is the ONLY difference.
+- **validation**: the QM-coder is exercised by an isolated
+  encode→decode bit-stream round-trip over adversarial bit patterns,
+  and the full codec by pixel-identity against the Huffman decode of
+  the SAME quantized coefficients (entropy coding is lossless, so any
+  divergence is a codec bug). No external arithmetic-JPEG sample exists
+  in this offline container, so cross-implementation interop rests on
+  the state table and bin layout being transcribed from the public
+  spec (T.81 Table D.3 / Annex F) — the same caveat as any clean-room
+  implementation tested against itself.
+
+Worker-safe pure functions over bytes (the codecs.py contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- T.81 Table D.3: Qe values and probability estimation state machine ----
+#
+# Rows are (Qe, NMPS, NLPS, SWITCH); index 113 is the conventional
+# "fixed" bin (Qe ≈ 0.5, transitions to itself, never switches) used for
+# AC coefficient signs (F.1.4.3.1).
+
+QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+FIXED_BIN_INDEX = 113  # non-adapting ~0.5 estimate (AC sign coding)
+
+# Statistics areas per table id (libjpeg-compatible bin layout, which is
+# Table F.4/F.5 flattened): DC = 49 bins used of 64; AC = 3*(k-1) decision
+# triples for k=1..63 plus two shared magnitude regions at 189 (k ≤ Kx)
+# and 217 (k > Kx), 245 bins used of 256.
+DC_STAT_BINS = 64
+AC_STAT_BINS = 256
+
+
+def _new_stats(n: int) -> list[list[int]]:
+    """Fresh statistics area: each bin is a mutable [state_index, mps]."""
+    return [[0, 0] for _ in range(n)]
+
+
+# --- QM encoder (T.81 D.1: encoder conventions with byte stuffing) ---------
+
+
+class ArithEncoder:
+    """QM arithmetic encoder. ``encode(st, bit)`` codes one binary
+    decision against the adaptive bin ``st`` (a mutable [index, mps]
+    pair). C-register layout and byte-stuffing follow the software
+    conventions of T.81 D.1.6: output bytes are C bits 19-26, a carry
+    propagates into the pending byte, 0xFF output bytes are followed by
+    a stuffed 0x00, and trailing zero bytes are withheld until proven
+    non-trailing (the decoder synthesizes zeros past the marker)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending output byte; -1 = none yet
+        self.sc = 0  # count of stacked 0xFF bytes (may carry)
+        self.zc = 0  # count of withheld 0x00 bytes (may be trailing)
+        self.out = bytearray()
+
+    def _flush_zeros(self) -> None:
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _byteout(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:  # carry: bump pending byte, FFs become 00s
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # stack: a later carry may still bump it
+        else:
+            if self.buffer == 0:
+                self.zc += 1  # zero byte: withhold (may be trailing)
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                for _ in range(self.sc):
+                    self.out += b"\xff\x00"  # settled 0xFF + stuffed zero
+                self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def encode(self, st: list[int], bit: int) -> None:
+        qe, nmps, nlps, sw = QM_TABLE[st[0]]
+        if bit == st[1]:  # MPS path
+            self.a -= qe
+            if self.a >= 0x8000:
+                return  # no renorm → no estimation update
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            st[0] = nmps
+            self._renorm()
+        else:  # LPS path (always renormalizes)
+            self.a -= qe
+            if self.a >= qe:  # no exchange: LPS is the top subinterval
+                self.c += self.a
+                self.a = qe
+            if sw:
+                st[1] ^= 1
+            st[0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        """Terminate (D.1.8): pick the in-interval value with the most
+        trailing zero bits, emit the last two value bytes, and drop
+        withheld trailing zeros (the decoder synthesizes zeros past the
+        marker)."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:  # final carry into the pending byte
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                for _ in range(self.sc):
+                    self.out += b"\xff\x00"
+                self.sc = 0
+        if self.c & 0x7FFF800:  # final bytes, unless trailing zeros
+            self._flush_zeros()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        self.buffer, self.sc, self.zc = -1, 0, 0
+        return bytes(self.out)
+
+
+# --- QM decoder (T.81 D.2, lazy-renormalization software conventions) ------
+
+
+class ArithDecoder:
+    """QM arithmetic decoder over a JPEG entropy-coded segment. Feeds
+    zero bytes once a marker (or end of data) is reached — the legal
+    arithmetic-coding convention for scan termination. ``marker_pos``
+    then points at the 0xFF of the terminating marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the two initial byte loads
+        self.marker_pos: int | None = None
+
+    def _next_byte(self) -> int:
+        if self.marker_pos is not None:
+            return 0
+        if self.pos >= len(self.data):
+            self.marker_pos = len(self.data)
+            return 0
+        d = self.data[self.pos]
+        self.pos += 1
+        if d != 0xFF:
+            return d
+        # 0xFF: either a stuffed zero (data byte 0xFF) or a marker
+        while self.pos < len(self.data) and self.data[self.pos] == 0xFF:
+            self.pos += 1
+        if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+            self.pos += 1
+            return 0xFF
+        self.marker_pos = self.pos - 1
+        return 0
+
+    def decode(self, st: list[int]) -> int:
+        # lazy renormalization + byte feed
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = (self.c << 8) | self._next_byte()
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # both initial bytes are in
+            self.a <<= 1
+        qe, nmps, nlps, sw = QM_TABLE[st[0]]
+        mps = st[1]
+        self.a -= qe
+        temp = self.a << self.ct
+        if self.c >= temp:  # top subinterval
+            self.c -= temp
+            if self.a < qe:  # exchange: top is the MPS
+                self.a = qe
+                st[0] = nmps
+                return mps
+            self.a = qe
+            if sw:
+                st[1] ^= 1
+            st[0] = nlps
+            return mps ^ 1
+        if self.a >= 0x8000:
+            return mps  # no renorm pending → no estimation update
+        if self.a < qe:  # exchange: bottom is the LPS
+            if sw:
+                st[1] ^= 1
+            st[0] = nlps
+            return mps ^ 1
+        st[0] = nmps
+        return mps
+
+
+# --- Annex F sequential statistical models ----------------------------------
+
+
+class _SeqArithModel:
+    """DC/AC statistics areas + conditioning state for one scan.
+    ``dc_cond``/``ac_kx`` come from DAC markers (defaults L=0/U=1,
+    Kx=5)."""
+
+    def __init__(self, n_comps: int, dc_cond, ac_kx) -> None:
+        self.dc_stats: dict[int, list[list[int]]] = {}
+        self.ac_stats: dict[int, list[list[int]]] = {}
+        self.fixed = [FIXED_BIN_INDEX, 0]
+        self.dc_context = [0] * n_comps
+        self.last_dc = [0] * n_comps
+        self.dc_cond = dc_cond  # tbl -> (L, U)
+        self.ac_kx = ac_kx  # tbl -> Kx
+
+    def reset(self) -> None:
+        """Restart-marker semantics (F.1.4.1): statistics, conditioning
+        contexts, and DC predictors all reset."""
+        for area in self.dc_stats.values():
+            for b in area:
+                b[0] = b[1] = 0
+        for area in self.ac_stats.values():
+            for b in area:
+                b[0] = b[1] = 0
+        self.fixed = [FIXED_BIN_INDEX, 0]
+        self.dc_context = [0] * len(self.dc_context)
+        self.last_dc = [0] * len(self.last_dc)
+
+    def dc_area(self, tbl: int) -> list[list[int]]:
+        if tbl not in self.dc_stats:
+            self.dc_stats[tbl] = _new_stats(DC_STAT_BINS)
+        return self.dc_stats[tbl]
+
+    def ac_area(self, tbl: int) -> list[list[int]]:
+        if tbl not in self.ac_stats:
+            self.ac_stats[tbl] = _new_stats(AC_STAT_BINS)
+        return self.ac_stats[tbl]
+
+
+def _dc_classify(m: int, sign: int, L: int, U: int) -> int:
+    """F.1.4.4.1.2: conditioning category of a just-coded DC difference,
+    from its magnitude-category msb ``m`` and sign."""
+    if m < ((1 << L) >> 1):
+        return 0  # zero diff category
+    if m > ((1 << U) >> 1):
+        return 12 + 4 * sign  # large diff
+    return 4 + 4 * sign  # small diff
+
+
+def _encode_dc(enc, model, tbl, ci, dc: int) -> None:
+    area = model.dc_area(tbl)
+    base = model.dc_context[ci]
+    v = dc - model.last_dc[ci]
+    if v == 0:
+        enc.encode(area[base], 0)
+        model.dc_context[ci] = 0
+        return
+    model.last_dc[ci] = dc
+    enc.encode(area[base], 1)
+    if v > 0:
+        enc.encode(area[base + 1], 0)
+        sign = 0
+        st = base + 2  # SP
+    else:
+        v = -v
+        enc.encode(area[base + 1], 1)
+        sign = 1
+        st = base + 3  # SN
+    # magnitude category (F.8): X1 at SP/SN, X2.. at bins 20..
+    m = 0
+    sz = v - 1
+    if sz:
+        enc.encode(area[st], 1)
+        m = 1
+        v2 = sz
+        st = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(area[st], 1)
+            m <<= 1
+            st += 1
+    enc.encode(area[st], 0)
+    L, U = model.dc_cond.get(tbl, (0, 1))
+    model.dc_context[ci] = _dc_classify(m, sign, L, U)
+    # magnitude bit pattern (F.9): M bins at last-X + 14
+    st += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(area[st], 1 if (mm & sz) else 0)
+
+
+def _decode_dc(dec, model, tbl, ci) -> int:
+    area = model.dc_area(tbl)
+    base = model.dc_context[ci]
+    if dec.decode(area[base]) == 0:
+        model.dc_context[ci] = 0
+        return model.last_dc[ci]
+    sign = dec.decode(area[base + 1])
+    st = base + 2 + sign
+    m = dec.decode(area[st])
+    if m:
+        st = 20
+        while dec.decode(area[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith DC magnitude overflow")
+            st += 1
+    L, U = model.dc_cond.get(tbl, (0, 1))
+    model.dc_context[ci] = _dc_classify(m, sign, L, U)
+    v = m
+    st += 14
+    while m := m >> 1:
+        if dec.decode(area[st]):
+            v |= m
+    v += 1
+    if sign:
+        v = -v
+    model.last_dc[ci] += v
+    return model.last_dc[ci]
+
+
+def _encode_ac(enc, model, tbl, zz) -> None:
+    """zz: the 63 AC coefficients in scan order (indices 1..63)."""
+    area = model.ac_area(tbl)
+    kx = model.ac_kx.get(tbl, 5)
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(area[st], 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(area[st + 1], 0)
+            st += 3
+            k += 1
+        enc.encode(area[st + 1], 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(model.fixed, 0)
+            sign = 0
+        else:
+            v = -v
+            enc.encode(model.fixed, 1)
+            sign = 1
+        _ = sign
+        st += 2
+        m = 0
+        sz = v - 1
+        if sz:
+            enc.encode(area[st], 1)  # X1
+            m = 1
+            v2 = sz
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(area[st], 1)  # X2 (same bin)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(area[st], 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(area[st], 0)
+        st += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(area[st], 1 if (mm & sz) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(area[3 * (k - 1)], 1)  # EOB
+
+
+def _decode_ac(dec, model, tbl, zz) -> None:
+    area = model.ac_area(tbl)
+    kx = model.ac_kx.get(tbl, 5)
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(area[st]):
+            return  # EOB
+        while dec.decode(area[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arith AC index overflow")
+        sign = dec.decode(model.fixed)
+        st += 2
+        m = dec.decode(area[st])
+        if m:
+            if dec.decode(area[st]):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(area[st]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(area[st]):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        zz[k] = v
+        k += 1
+
+
+# --- scan-level encode / decode ---------------------------------------------
+
+
+def decode_scan_arith(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    qt,
+    dc_cond,
+    ac_kx,
+    restart_interval: int,
+):
+    """Arithmetic-coded sequential scan → RGB, mirroring jpeg._decode_scan's
+    MCU walk (interleaved components, subsampling, restart handling)."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _DCT, _planes_to_rgb
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("subsampling factors above 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = [
+        np.zeros((mcuy * 8 * cv, mcux * 8 * ch))
+        for _, ch, cv, _ in comps
+    ]
+    tabmap = {cs: (td, ta) for cs, td, ta in scan}
+
+    dec = ArithDecoder(data, pos)
+    model = _SeqArithModel(len(comps), dc_cond, ac_kx)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # skip to the RSTn marker, then restart clean
+                while dec.marker_pos is None:
+                    # drain: the encoder terminated this chunk; the next
+                    # marker must be RSTn. Feed until the byte layer
+                    # reports it.
+                    dec._next_byte()
+                mpos = dec.marker_pos
+                if not (0xD0 <= data[mpos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                dec = ArithDecoder(data, mpos + 2)
+                model.reset()
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = tabmap[cid]
+                qtab = qt.get(tq)
+                if qtab is None:
+                    raise ValueError("missing quant table")
+                for vy in range(cv):
+                    for vx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = _decode_dc(dec, model, td, ci)
+                        _decode_ac(dec, model, ta, zz)
+                        coef = np.zeros(64)
+                        for kk in range(64):
+                            coef[ZIGZAG[kk]] = zz[kk] * qtab[ZIGZAG[kk]]
+                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                        by = (my * cv + vy) * 8
+                        bx = (mx * ch + vx) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
+            mcu_count += 1
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def encode_jpeg_arith(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 85,
+    restart_interval: int = 0,
+) -> bytes:
+    """Top-down RGB bytes → arithmetic-coded sequential JPEG (SOF9,
+    YCbCr 4:4:4, default DAC conditioning). Shares the DCT/quantization
+    pipeline with the baseline encoder, so for any image
+    ``decode(encode_jpeg_arith(x)) == decode(encode_jpeg(x))``
+    pixel-for-pixel — entropy coding is lossless."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _rgb_to_quantized
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    blocks, qts, nby, nbx = _rgb_to_quantized(width, height, rgb, quality)
+
+    dc_cond = {0: (0, 1), 1: (0, 1)}
+    ac_kx = {0: 5, 1: 5}
+    enc = ArithEncoder()
+    model = _SeqArithModel(3, dc_cond, ac_kx)
+    chunks: list[bytes] = []
+    mcu_count = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                chunks.append(enc.flush())
+                chunks.append(
+                    bytes((0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)))
+                )
+                enc = ArithEncoder()
+                model.reset()
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                zz = blocks[ci][by, bx]
+                _encode_dc(enc, model, ti, ci, int(zz[0]))
+                _encode_ac(enc, model, ti, zz)
+            mcu_count += 1
+    chunks.append(enc.flush())
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    for tid, qtab in enumerate(qts):
+        zzq = bytes(int(qtab[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq
+    # DAC: default conditioning, stated explicitly
+    dac = b""
+    for tbl in (0, 1):
+        L, U = dc_cond[tbl]
+        dac += struct.pack("BB", 0x00 | tbl, (U << 4) | L)
+        dac += struct.pack("BB", 0x10 | tbl, ac_kx[tbl])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        # Td/Ta select the STATISTICS areas (conditioning tables)
+        out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    for ch in chunks:
+        out += ch
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -19,9 +19,11 @@ column, and resize runs a real nearest-neighbor resample —
 raw-DIB streams, operators/avi.py) AND animated GIF (delta-frame
 compositing with disposal/transparency semantics, codecs.py):
 sample_frames demuxes/composites and decodes sampled frames to RGB;
-audio is REAL for RIFF/WAVE PCM (operators/audio.py). Remaining formats
-(other video containers, arithmetic-coded
-JPEG) still raise unless the caller opts into the deterministic fake
+audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
+sequential JPEG (SOF9) decodes via operators/jpeg_arith.py. Remaining
+formats (other video containers, 12-bit/lossless/hierarchical/
+progressive-arithmetic JPEG) still raise unless the caller opts into
+the deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.
 
@@ -102,7 +104,8 @@ def decode_batch(
     """Arrow-batched decode: each incoming batch of (doc_id, payload) rows
     yields a batch of decoded pixels + metadata + features.
 
-    BMP/PPM/PNG/baseline-JPEG payloads decode for real (codecs.py + jpeg.py —
+    BMP/PPM/PNG/GIF and JPEG (baseline, progressive, SOF9 arithmetic)
+    payloads decode for real (codecs.py + jpeg.py + jpeg_arith.py —
     pixels column carries top-down RGB). Anything else raises unless
     ``allow_stub`` opts into the deterministic fake (pixels NULL)."""
     from cassandra_spark.operators.codecs import decode_image, rgb_features

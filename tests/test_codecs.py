@@ -1059,3 +1059,98 @@ def test_gif_animation_survives_sniff_and_interlace_mix():
     assert sniff_mime(data) == "image/gif"
     _, _, frames = decode_gif_frames(data)
     assert frames[0][0] == 0
+
+
+# --- arithmetic-coded JPEG (operators/jpeg_arith.py) -------------------------
+
+
+def test_qm_coder_roundtrip_adversarial():
+    """The QM coder in isolation: biased multi-context bit streams of
+    several lengths encode → decode bit-exactly, including streams that
+    exercise carry propagation and 0xFF stuffing."""
+    from cassandra_spark.operators.jpeg_arith import (
+        FIXED_BIN_INDEX,
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    def lcg(seed):
+        while True:
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            yield seed
+
+    for seed in (1, 7, 42, 999):
+        for n in (1, 10, 100, 2000):
+            g = lcg(seed)
+            ctxs, bits = [], []
+            for _ in range(n):
+                r = next(g)
+                ctxs.append(r % 8)
+                bits.append(1 if (r >> 8) % 100 < 15 + 70 * (r % 8) // 8 else 0)
+            enc = ArithEncoder()
+            est = [[0, 0] for _ in range(8)] + [[FIXED_BIN_INDEX, 0]]
+            for c, b in zip(ctxs, bits):
+                enc.encode(est[c], b)
+            data = enc.flush()
+            dec = ArithDecoder(data + b"\xff\xd9", 0)
+            est2 = [[0, 0] for _ in range(8)] + [[FIXED_BIN_INDEX, 0]]
+            assert [dec.decode(est2[c]) for c in ctxs] == bits
+
+
+def test_arith_jpeg_matches_huffman_pixels():
+    """SOF9 arithmetic and SOF0 Huffman share the DCT/quant pipeline, so
+    their decodes must be PIXEL-IDENTICAL (entropy coding is lossless);
+    the arithmetic stream should also be smaller on non-trivial images."""
+    from cassandra_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cassandra_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    for w, h, q in ((16, 24, 80), (56, 40, 95), (9, 7, 50)):
+        rgb = b"".join(
+            bytes(
+                (
+                    (x * 37 + y * 11) % 256,
+                    (x * 5 + y * 3) % 256,
+                    (x * x + y) % 256,
+                )
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        a = encode_jpeg_arith(w, h, rgb, quality=q)
+        hf = encode_jpeg(w, h, rgb, quality=q)
+        assert decode_jpeg(a) == decode_jpeg(hf), (w, h, q)
+    assert len(a) < len(hf)  # 9x7 case may be close; last sizes suffice
+
+
+def test_arith_jpeg_restart_markers():
+    """Restart intervals: coder + statistics + DC predictors reinit at
+    each RSTn (F.1.4.1) and the decode stays pixel-identical."""
+    from cassandra_spark.operators.jpeg import decode_jpeg
+    from cassandra_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rgb = b"".join(
+        bytes(((x * 13 + y * 29) % 256, (x + y * 7) % 256, (x * 3) % 256))
+        for y in range(32)
+        for x in range(24)
+    )
+    base = decode_jpeg(encode_jpeg_arith(24, 32, rgb, quality=75))
+    for ri in (1, 2, 5):
+        with_rst = encode_jpeg_arith(
+            24, 32, rgb, quality=75, restart_interval=ri
+        )
+        assert decode_jpeg(with_rst) == base, f"restart_interval={ri}"
+
+
+def test_arith_jpeg_flows_through_multimodal_decode():
+    """decode_image dispatches SOF9 payloads (sniffed image/jpeg) to the
+    arithmetic decoder — the multimodal pipeline needs no stub for them."""
+    from cassandra_spark.operators.codecs import decode_image, sniff_mime
+    from cassandra_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rgb = bytes(192 for _ in range(8 * 8 * 3))
+    data = encode_jpeg_arith(8, 8, rgb, quality=90)
+    assert sniff_mime(data) == "image/jpeg"
+    mime, w, h, c, out = decode_image(data)
+    assert (mime, w, h, c) == ("image/jpeg", 8, 8, 3)
+    # flat gray block survives DCT/quant almost exactly
+    assert all(abs(px - 192) <= 2 for px in out)
