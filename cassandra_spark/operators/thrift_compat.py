@@ -241,3 +241,133 @@ def t4_get_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") == 7)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- t6: Thrift WRITE path — batch_mutate reconcile --------------------------
+#
+# `batch_mutate(key -> cf -> [Mutation])` is the Thrift-era write API
+# (`[C* (0.6) service/StorageProxy#mutate, thrift/CassandraServer,
+# unverified]`): a Mutation is either a column put (name, value, client
+# timestamp) or a Deletion (timestamp, optionally a SlicePredicate of
+# column names). Reconciliation is pure LWW against the deletion
+# timestamps: a put is live iff its timestamp is strictly newer than
+# every deletion covering it (row-level or name-level).
+#
+# The tested mutation stream is derived deterministically from the
+# events table (the w-tier replay convention):
+#   puts gen-0: every event            (name=event_id, wt=epoch_us(ts))
+#   puts gen-1: every 4th event, +1h   (the upsert overwrite)
+#   row Deletion per user: timestamp = that user's newest 'error' event
+#   name Deletion: names with event_id%7==3, timestamp = gen-0 wt + 1
+#     (shadows the gen-0 put but NOT a gen-1 rewrite — timestamp order,
+#     not arrival order, decides)
+
+_T6_PUTS_SQL = """
+  SELECT user_id, event_id AS name, value, epoch_us(ts) AS wt, 0 AS src
+  FROM events
+  UNION ALL
+  SELECT user_id, event_id, value + 50.0,
+         epoch_us(ts + INTERVAL 1 HOUR), 1
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+@query(
+    "t6_batch_mutate",
+    oracle=f"""
+    WITH puts AS ({_T6_PUTS_SQL}),
+    row_dels AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS del_wt
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    name_dels AS (
+      SELECT user_id, event_id AS name, epoch_us(ts) + 1 AS del_wt
+      FROM events WHERE event_id % 7 = 3
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, name ORDER BY wt DESC, src DESC) AS rn
+        FROM puts
+      ) WHERE rn = 1
+    ),
+    live AS (
+      SELECT l.user_id, l.name, l.wt FROM latest l
+      LEFT JOIN row_dels r ON r.user_id = l.user_id
+      LEFT JOIN name_dels n
+        ON n.user_id = l.user_id AND n.name = l.name
+      WHERE (r.del_wt IS NULL OR l.wt > r.del_wt)
+        AND (n.del_wt IS NULL OR l.wt > n.del_wt)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_live,
+           MAX(name) AS max_name, MAX(wt) AS max_writetime
+    FROM live GROUP BY user_id ORDER BY user_id
+    """,
+)
+def t6_batch_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thrift batch_mutate applied + read back: per-column LWW over the
+    put generations, then row-level and name-level Deletion shadowing by
+    client timestamp. Plan shape: one shuffle keyed (user_id, name) for
+    the LWW window, a per-user aggregate join for row deletions, an
+    equi-join for name deletions, one final per-user aggregate — no
+    driver-side mutation loop, the whole batch reconciles as a plan."""
+    ev = Catalog(spark, sf_dir).events
+    wt = F.unix_micros(F.col("ts"))
+    puts = (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("name"),
+            "value",
+            wt.alias("wt"),
+            F.lit(0).alias("src"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 4 == 0).select(
+                "user_id",
+                F.col("event_id").alias("name"),
+                (F.col("value") + 50.0).alias("value"),
+                F.unix_micros(
+                    F.col("ts") + F.expr("INTERVAL 1 HOUR")
+                ).alias("wt"),
+                F.lit(1).alias("src"),
+            )
+        )
+    )
+    row_dels = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max(wt).alias("row_del_wt"))
+    )
+    name_dels = ev.filter(F.col("event_id") % 7 == 3).select(
+        "user_id",
+        F.col("event_id").alias("name"),
+        (wt + 1).alias("name_del_wt"),
+    )
+    w = Window.partitionBy("user_id", "name").orderBy(
+        F.col("wt").desc(), F.col("src").desc()
+    )
+    latest = (
+        puts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    live = (
+        latest.join(row_dels, "user_id", "left")
+        .join(name_dels, ["user_id", "name"], "left")
+        .filter(
+            (F.col("row_del_wt").isNull() | (F.col("wt") > F.col("row_del_wt")))
+            & (
+                F.col("name_del_wt").isNull()
+                | (F.col("wt") > F.col("name_del_wt"))
+            )
+        )
+    )
+    return (
+        live.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.max("name").alias("max_name"),
+            F.max("wt").alias("max_writetime"),
+        )
+        .orderBy("user_id")
+    )
