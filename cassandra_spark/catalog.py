@@ -54,6 +54,11 @@ class TableMeta:
     # SAI/SASI (CREATE CUSTOM INDEX) columns: equality, CONTAINS, AND
     # range restrictions pass the gate (SAI supports numeric/text ranges).
     indexed_sai: tuple[str, ...] = ()
+    # ENTRIES()-indexed map columns: map-subscript equality
+    # (col['k'] = v) passes the gate — the reference's entry 2i kind.
+    indexed_entries: tuple[str, ...] = ()
+    # FULL()-indexed frozen collections: whole-value equality passes.
+    indexed_full: tuple[str, ...] = ()
     # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
     # read them as long (legacy.parquet.nanosAsLong) and convert to µs
     # TimestampType. Lossless for this corpus (all values µs-aligned —

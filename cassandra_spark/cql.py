@@ -168,6 +168,9 @@ def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
         where,
         flags=re.IGNORECASE,
     )
+    # [..] literal (NOT a subscript — no identifier/bracket right before)
+    # → array(..): CQL frozen-list equality for FULL-indexed columns
+    where = re.sub(r"(?<![\w\]\)])\[([^\][]*)\]", r"array(\1)", where)
     # token(pk) → cassandra_token(pk): bit-exact Murmur3Partitioner
     # tokens (operators/murmur3.py), registered per session by
     # cql_select, so a driver-supplied token bound matches production
@@ -488,16 +491,21 @@ def cql_select(
         # ALLOW FILTERING (the reference's 2i rule), but the index KIND
         # must match the predicate: a values index admits equality /
         # CONTAINS (not CONTAINS KEY), a KEYS() map index admits
-        # CONTAINS KEY only; range predicates always still need it
+        # CONTAINS KEY only, an ENTRIES() map index admits subscript
+        # equality (col['k'] = v) only, a FULL() index admits whole-value
+        # equality; range predicates always still need ALLOW FILTERING
         def _restrictions(col: str) -> set[str]:
             kinds = set()
             for m_ in re.finditer(
-                rf"\b{re.escape(col)}\s*(=[^=]|CONTAINS(?:\s+KEY)?\b)",
+                rf"\b{re.escape(col)}\s*"
+                rf"(\[[^\]]+\]\s*=|=[^=]|CONTAINS(?:\s+KEY)?\b)",
                 s.where,
                 re.IGNORECASE,
             ):
                 tok = m_.group(1).upper()
-                if tok.startswith("CONTAINS"):
+                if tok.startswith("["):
+                    kinds.add("entries")
+                elif tok.startswith("CONTAINS"):
                     kinds.add("keys" if "KEY" in tok else "contains")
                 else:
                     kinds.add("eq")
@@ -506,6 +514,8 @@ def cql_select(
         val_idx = set(getattr(meta, "indexed", ()))
         key_idx = set(getattr(meta, "indexed_keys", ()))
         sai_idx = set(getattr(meta, "indexed_sai", ()))
+        ent_idx = set(getattr(meta, "indexed_entries", ()))
+        full_idx = set(getattr(meta, "indexed_full", ()))
         indexed_ok = set()
         for c in non_key:
             kinds = _restrictions(c)
@@ -521,6 +531,10 @@ def cql_select(
                 admitted |= {"eq", "contains"}
             if c in key_idx:
                 admitted |= {"keys"}
+            if c in ent_idx:
+                admitted |= {"entries"}
+            if c in full_idx:
+                admitted |= {"eq"}
             if kinds <= admitted:
                 indexed_ok.add(c)
         if (non_key - indexed_ok) and not s.allow_filtering and not uses_token:

@@ -837,7 +837,10 @@ class CqlSession:
         self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
         self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
         self.sai_indexes: dict[str, set[str]] = {}  # table → SAI-indexed cols
-        # name → (table, col, kind) with kind in {"values", "keys"}
+        self.entry_indexes: dict[str, set[str]] = {}  # table → ENTRIES maps
+        self.full_indexes: dict[str, set[str]] = {}  # table → FULL frozen
+        # name → (table, col, kind), kind in {"values","keys","entries",
+        # "full","sai"}
         self.index_names: dict[str, tuple[str, str, str]] = {}
         self.types: dict[str, str] = {}  # UDT name → Spark struct type
         # Cassandra 5 dynamic data masking (`[C* cql3/functions/masking/*,
@@ -974,6 +977,10 @@ class CqlSession:
             indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
             indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
             indexed_sai=tuple(sorted(self.sai_indexes.get(schema.name, ()))),
+            indexed_entries=tuple(
+                sorted(self.entry_indexes.get(schema.name, ()))
+            ),
+            indexed_full=tuple(sorted(self.full_indexes.get(schema.name, ()))),
         )
 
     def register_trigger_class(self, name: str, fn) -> None:
@@ -1028,10 +1035,13 @@ class CqlSession:
         return None
 
     def _create_index(self, m: re.Match) -> None:
-        """CREATE INDEX ON t (col) / (KEYS(col)) / (VALUES(col)): registers
-        ``col`` as secondary-indexed, which relaxes the SELECT restriction
-        gate — equality / CONTAINS for a plain (values) index, CONTAINS KEY
-        for a KEYS index on a map column. The scan strategy itself stays
+        """CREATE INDEX ON t (col) / (KEYS|VALUES|ENTRIES|FULL(col)):
+        registers ``col`` as secondary-indexed, which relaxes the SELECT
+        restriction gate — equality / CONTAINS for a plain (values) index,
+        CONTAINS KEY for a KEYS index, map-subscript equality
+        (col['k'] = v) for an ENTRIES index, whole-value equality for a
+        FULL index on a (frozen — the DDL normalizer strips the wrapper)
+        collection. The scan strategy itself stays
         Spark's — an index here changes semantics, not physical access
         (SURVEY §2.1 R5/R6: Z-order / bucketing is the perf analogue)."""
         tname = m.group("table").lower()
@@ -1076,15 +1086,21 @@ class CqlSession:
         if s.counter:
             raise CQLError("secondary indexes are not supported on counters")
         coll = parse_coll_type((s.regular | s.static).get(col, ""))
-        if kind in ("ENTRIES", "FULL"):
-            raise CQLError(
-                f"{kind}() indexes are not supported (map-subscript "
-                "restrictions are out of this front-end's WHERE grammar)"
-            )
         if kind == "KEYS":
             if coll is None or coll[0] != "map":
                 raise CQLError(
                     f"KEYS() index needs a map column, {col!r} is not one"
+                )
+        elif kind == "ENTRIES":
+            if coll is None or coll[0] != "map":
+                raise CQLError(
+                    f"ENTRIES() index needs a map column, {col!r} is not one"
+                )
+        elif kind == "FULL":
+            if coll is None:
+                raise CQLError(
+                    f"FULL() index needs a frozen collection, {col!r} "
+                    "is not one"
                 )
         elif kind == "VALUES" and coll is None:
             raise CQLError(
@@ -1096,6 +1112,12 @@ class CqlSession:
         if kind == "KEYS":
             self.key_indexes.setdefault(s.name, set()).add(col)
             self.index_names[name] = (s.name, col, "keys")
+        elif kind == "ENTRIES":
+            self.entry_indexes.setdefault(s.name, set()).add(col)
+            self.index_names[name] = (s.name, col, "entries")
+        elif kind == "FULL":
+            self.full_indexes.setdefault(s.name, set()).add(col)
+            self.index_names[name] = (s.name, col, "full")
         else:
             self.indexes.setdefault(s.name, set()).add(col)
             self.index_names[name] = (s.name, col, "values")
@@ -2183,6 +2205,8 @@ class CqlSession:
             target = {
                 "keys": self.key_indexes,
                 "sai": self.sai_indexes,
+                "entries": self.entry_indexes,
+                "full": self.full_indexes,
             }.get(kind, self.indexes)
             target.get(t, set()).discard(c)
             return None
@@ -2704,6 +2728,8 @@ class CqlSession:
             target = {
                 "keys": self.key_indexes,
                 "sai": self.sai_indexes,
+                "entries": self.entry_indexes,
+                "full": self.full_indexes,
             }.get(kind, self.indexes)
             target.setdefault(tbl, set()).add(col)
 
@@ -2895,7 +2921,11 @@ class CqlSession:
             rows = [(tks, "table", name, self._table_ddl(name))]
             for iname, (tbl, col, kind) in sorted(self.index_names.items()):
                 if tbl == name:
-                    target = f"KEYS({col})" if kind == "keys" else col
+                    target = (
+                        f"{kind.upper()}({col})"
+                        if kind in ("keys", "entries", "full")
+                        else col
+                    )
                     custom = (
                         " USING 'StorageAttachedIndex'"
                         if kind == "sai"
@@ -3070,7 +3100,8 @@ class CqlSession:
         irows = [
             ("session", tbl, iname,
              "CUSTOM" if kind == "sai" else "COMPOSITES",
-             f"{'KEYS(' + col + ')' if kind == 'keys' else col}")
+             (f"{kind.upper()}({col})"
+              if kind in ("keys", "entries", "full") else col))
             for iname, (tbl, col, kind) in sorted(self.index_names.items())
         ]
         idx_df = spark.createDataFrame(

@@ -1105,3 +1105,109 @@ def cql28_trigger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"('{r.event_id}', '{r.user_id}') USING TIMESTAMP {100 + i}"
         )
     return sess.execute("SELECT k, src_col, v, wt FROM audit")
+
+
+# --- cql28/cql29: ENTRIES() and FULL() collection index kinds ---------------
+#
+# The remaining two CREATE INDEX target kinds (`[C* cql3/statements/
+# IndexTarget, index/internal/composites/*, unverified]`): ENTRIES on a
+# map admits map-subscript equality (attrs['k'] = v) through the
+# restriction gate; FULL on a frozen collection admits whole-value
+# equality. Kind-matching is still the point: neither admits the other's
+# predicate, and a values/KEYS index admits neither.
+
+ENTRIES_INDEX_DDL = "CREATE INDEX ON profiles (ENTRIES(attrs))"
+ENTRIES_SELECT = (
+    "SELECT uid, name FROM profiles WHERE attrs['tier'] = 'silver'"
+)
+
+
+@query(
+    "cql28_entries_index",
+    oracle=f"""
+    SELECT uid, name
+    FROM ({dml_oracle_sql(_KEYS_SCHEMA, KEYS_LOG, KEYS_ASOF)})
+    WHERE COALESCE(
+      (CAST(json_extract_string(attrs, '$[*].value') AS VARCHAR[]))[
+        list_position(
+          CAST(json_extract_string(attrs, '$[*].key') AS VARCHAR[]),
+          'tier')
+      ] = 'silver', FALSE)
+    """,
+)
+def cql28_entries_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-entry secondary index: ``CREATE INDEX (ENTRIES(attrs))`` admits
+    ``attrs['tier'] = 'silver'`` past the restriction gate with no ALLOW
+    FILTERING. Same fixture/mutation-log as cql12 (incl. the map-key
+    delete and the update-only row), so the entry predicate reconciles
+    against subscripted writes; only u3 (subscript-written tier=silver)
+    qualifies — u1's gold tier is deleted, u4's is 'free'. The oracle
+    pairs the JSON-rendered map's key/value arrays positionally."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(KEYS_DDL)
+    for stmt in KEYS_DML:
+        sess.execute(stmt)
+    sess.execute(ENTRIES_INDEX_DDL)
+    return sess.execute(ENTRIES_SELECT)
+
+
+FULL_DDL = (
+    "CREATE TABLE tagged (id text PRIMARY KEY, name text, "
+    "tags frozen<list<text>>)"
+)
+FULL_DML: tuple[str, ...] = (
+    "INSERT INTO tagged (id, name, tags) VALUES ('a', 'ana', ['x', 'y'])",
+    "INSERT INTO tagged (id, name, tags) VALUES ('b', 'bo', ['x'])",
+    "INSERT INTO tagged (id, name, tags) VALUES ('c', 'cy', ['x', 'y'])",
+    # whole-value overwrite: b must NOT match ['x'] afterwards
+    "UPDATE tagged SET tags = ['z'] WHERE id = 'b'",
+)
+FULL_INDEX_DDL = "CREATE INDEX ON tagged (FULL(tags))"
+FULL_SELECT = "SELECT id, name FROM tagged WHERE tags = ['x', 'y']"
+
+# pinned log (asserted ≡ parser output in tests/test_cql_session.py);
+# list positions are the session's arrival-ordered 10^9-origin keys
+FULL_LOG: tuple[tuple, ...] = (
+    mut_row('a', '', None, None, 'marker', 1, 0, 1),
+    mut_row('a', '', 'name', 'ana', 'cell', 1, 0, 2),
+    mut_row('a', '', 'tags', None, 'coll_tomb', 0, 0, 3),
+    mut_row('a', '', 'tags', 'x', 'cell', 1, 0, 4, elem='1000000001'),
+    mut_row('a', '', 'tags', 'y', 'cell', 1, 0, 5, elem='1000000002'),
+    mut_row('b', '', None, None, 'marker', 2, 0, 6),
+    mut_row('b', '', 'name', 'bo', 'cell', 2, 0, 7),
+    mut_row('b', '', 'tags', None, 'coll_tomb', 1, 0, 8),
+    mut_row('b', '', 'tags', 'x', 'cell', 2, 0, 9, elem='1000000003'),
+    mut_row('c', '', None, None, 'marker', 3, 0, 10),
+    mut_row('c', '', 'name', 'cy', 'cell', 3, 0, 11),
+    mut_row('c', '', 'tags', None, 'coll_tomb', 2, 0, 12),
+    mut_row('c', '', 'tags', 'x', 'cell', 3, 0, 13, elem='1000000004'),
+    mut_row('c', '', 'tags', 'y', 'cell', 3, 0, 14, elem='1000000005'),
+    mut_row('b', '', 'tags', None, 'coll_tomb', 3, 0, 15),
+    mut_row('b', '', 'tags', 'z', 'cell', 4, 0, 16, elem='1000000006'),
+)
+FULL_ASOF = 5
+
+_FULL_SCHEMA = parse_create_table(FULL_DDL)
+
+
+@query(
+    "cql29_full_index",
+    oracle=f"""
+    SELECT id, name
+    FROM ({dml_oracle_sql(_FULL_SCHEMA, FULL_LOG, FULL_ASOF)})
+    WHERE tags = '["x","y"]'
+    """,
+)
+def cql29_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-collection FULL index: ``CREATE INDEX (FULL(tags))`` admits
+    whole-value equality ``tags = ['x', 'y']`` through the gate (the CQL
+    list literal compiles to an array literal). b is overwritten whole
+    (frozen semantics: the coll_tomb + fresh cells in the pinned log)
+    so only a and c match. The oracle compares the canonical JSON
+    rendering of the position-ordered list."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(FULL_DDL)
+    for stmt in FULL_DML:
+        sess.execute(stmt)
+    sess.execute(FULL_INDEX_DDL)
+    return sess.execute(FULL_SELECT)

@@ -533,10 +533,15 @@ def test_keys_index_kind_rejections(sess):
         sess.execute("CREATE INDEX ON profs (KEYS(name))")
     with pytest.raises(CQLError, match="collection column"):
         sess.execute("CREATE INDEX ON profs (VALUES(name))")
-    with pytest.raises(CQLError, match="not supported"):
-        sess.execute("CREATE INDEX ON profs (ENTRIES(attrs))")
-    with pytest.raises(CQLError, match="not supported"):
-        sess.execute("CREATE INDEX ON profs (FULL(attrs))")
+    # ENTRIES/FULL are index kinds since round 6 — on a map both are
+    # legal DDL (frozen-ness is normalized away; divergence documented
+    # in _create_index); on a scalar both reject
+    sess.execute("CREATE INDEX pe ON profs (ENTRIES(attrs))")
+    sess.execute("CREATE INDEX pf ON profs (FULL(attrs))")
+    with pytest.raises(CQLError, match="map column"):
+        sess.execute("CREATE INDEX ON profs (ENTRIES(name))")
+    with pytest.raises(CQLError, match="frozen collection"):
+        sess.execute("CREATE INDEX ON profs (FULL(name))")
 
 
 def test_drop_keys_index_restores_gate(sess):
@@ -1561,3 +1566,69 @@ def test_restore_rejects_wrong_sibling_in_chain(spark, tmp_path):
     s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
     with pytest.raises(CQLError, match="wrong snapshot in chain"):
         s2.restore_keyspace(str(rootb / "inc"))
+
+
+# --- ENTRIES() / FULL() index kinds (cql28/cql29) ---------------------------
+
+
+def test_cql29_pinned_log():
+    from cassandra_spark.cql_dml import CqlTable
+    from cassandra_spark.operators.cql_queries import (
+        FULL_ASOF, FULL_DML, FULL_LOG, _FULL_SCHEMA)
+
+    t = CqlTable(None, _FULL_SCHEMA)
+    for s in FULL_DML:
+        t.execute(s)
+    assert tuple(t._log) == FULL_LOG
+    assert max(r[6] for r in t._log) + 1 == FULL_ASOF
+
+
+def test_index_kind_matching_entries_full(sess):
+    """Kind-matching is the point of collection index kinds: each kind
+    admits exactly its own predicate shape and nothing else."""
+    sess.execute(
+        "CREATE TABLE kinds (id text PRIMARY KEY, "
+        "attrs map<text,text>, tags frozen<list<text>>)"
+    )
+    sess.execute(
+        "INSERT INTO kinds (id, attrs, tags) "
+        "VALUES ('r1', {'k': 'v'}, ['x'])"
+    )
+    sess.execute("CREATE INDEX ON kinds (ENTRIES(attrs))")
+    sess.execute("CREATE INDEX ON kinds (FULL(tags))")
+    # admitted: subscript equality via ENTRIES, whole-value eq via FULL
+    assert [r.id for r in sess.execute(
+        "SELECT id FROM kinds WHERE attrs['k'] = 'v'").collect()] == ["r1"]
+    assert [r.id for r in sess.execute(
+        "SELECT id FROM kinds WHERE tags = ['x']").collect()] == ["r1"]
+    # NOT admitted: ENTRIES does not admit CONTAINS KEY, FULL does not
+    # admit CONTAINS — the gate must still demand ALLOW FILTERING
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT id FROM kinds WHERE attrs CONTAINS KEY 'k'")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT id FROM kinds WHERE tags CONTAINS 'x'")
+
+
+def test_entries_full_ddl_validation(sess):
+    sess.execute(
+        "CREATE TABLE kv9 (id text PRIMARY KEY, v int, "
+        "tags frozen<list<text>>)"
+    )
+    with pytest.raises(CQLError, match="map column"):
+        sess.execute("CREATE INDEX ON kv9 (ENTRIES(tags))")
+    with pytest.raises(CQLError, match="frozen collection"):
+        sess.execute("CREATE INDEX ON kv9 (FULL(v))")
+
+
+def test_entries_full_survive_describe_and_drop(sess):
+    sess.execute(
+        "CREATE TABLE kv10 (id text PRIMARY KEY, attrs map<text,text>)"
+    )
+    sess.execute("CREATE INDEX e10 ON kv10 (ENTRIES(attrs))")
+    ddl = "\n".join(r.create_statement for r in
+                    sess.execute("DESCRIBE TABLE kv10").collect())
+    assert "ENTRIES(attrs)" in ddl
+    sess.execute("DROP INDEX e10")
+    sess.execute("INSERT INTO kv10 (id, attrs) VALUES ('a', {'k':'v'})")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT id FROM kv10 WHERE attrs['k'] = 'v'")
