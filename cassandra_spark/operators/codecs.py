@@ -9,10 +9,10 @@ pipeline runs REAL bytes end-to-end in this container
 
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
 avi.py and animated GIF decodes here (decode_gif_frames); arithmetic-
-coded sequential JPEG (SOF9, QM-coder) decodes in operators/
-jpeg_arith.py. The remaining gated variants (12-bit / lossless /
-hierarchical / progressive-arithmetic JPEG, non-AVI video containers)
-degrade to the stub path in llm_multimodal.py. The Spark-side contract
+coded JPEG (SOF9 sequential + SOF10 progressive, QM-coder) decodes in
+operators/jpeg_arith.py. The remaining gated variants (12-bit /
+lossless / hierarchical JPEG, non-AVI video containers) degrade to the
+stub path in llm_multimodal.py. The Spark-side contract
 (batch shape, schema, partitioning) is identical either way.
 
 All functions are worker-safe pure functions over bytes: they run inside

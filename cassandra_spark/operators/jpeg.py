@@ -7,9 +7,9 @@ Scope (documented honestly):
   entropy coding, 1 or 3 components, subsampling factors up to 2×2
   (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers (DRI/RSTn),
   APPn/COM skipped. Progressive Huffman (SOF2) decodes here too, and
-  arithmetic-coded sequential (SOF9, QM-coder) decodes via
-  operators/jpeg_arith.py. 12-bit precision, lossless, hierarchical,
-  and progressive-arithmetic (SOF10) raise ``ValueError`` — the
+  arithmetic-coded sequential/progressive (SOF9/SOF10, QM-coder)
+  decode via operators/jpeg_arith.py. 12-bit precision, lossless, and
+  hierarchical variants raise ``ValueError`` — the
   multimodal pipeline degrades those payloads to the stub path instead
   of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
@@ -649,9 +649,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     (width, height, 3, top-down RGB bytes). Progressive scans accumulate
     into per-component coefficient buffers (DC/AC, first/refine with
     shared EOB runs — spec Annex G / the jdphuff.c algorithms) and are
-    rendered once at EOI. Arithmetic-coded sequential (SOF9) routes to
-    operators/jpeg_arith.py. Raises ``ValueError`` for lossless,
-    hierarchical, progressive-arithmetic, and 12-bit variants."""
+    rendered once at EOI. Arithmetic-coded variants (SOF9 sequential,
+    SOF10 progressive) route to operators/jpeg_arith.py. Raises
+    ``ValueError`` for lossless, hierarchical, and 12-bit variants."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -698,7 +698,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2/9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -709,13 +709,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w_, comps)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/progressive-Huffman and sequential-"
-                "arithmetic (SOF9) DCT JPEG are supported"
+                "only DCT JPEG (baseline/progressive, Huffman or "
+                "arithmetic) is supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -737,7 +737,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            if arith:
+            if arith and not progressive:
                 from cassandra_spark.operators.jpeg_arith import (
                     decode_scan_arith,
                 )
@@ -764,11 +764,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     for _, ch, cv, _ in comps
                 ]
                 pred = [0] * len(comps)
-            pos = _decode_prog_scan(
-                data, pos + seglen, frame, scan,
-                Ss, Se, AhAl >> 4, AhAl & 0xF,
-                huff, coefs, pred, restart_interval,
-            )
+            if arith:
+                from cassandra_spark.operators.jpeg_arith import (
+                    decode_prog_scan_arith,
+                )
+
+                pos = decode_prog_scan_arith(
+                    data, pos + seglen, frame, scan,
+                    Ss, Se, AhAl >> 4, AhAl & 0xF,
+                    coefs, dc_cond, ac_kx, restart_interval,
+                )
+            else:
+                pos = _decode_prog_scan(
+                    data, pos + seglen, frame, scan,
+                    Ss, Se, AhAl >> 4, AhAl & 0xF,
+                    huff, coefs, pred, restart_interval,
+                )
             continue
         pos += seglen
     if progressive and coefs is not None:

@@ -1,5 +1,5 @@
-"""Arithmetic-coded JPEG (SOF9, extended sequential DCT) — pure Python,
-zero external codec libraries, for the L4 multimodal tier.
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive) — pure
+Python, zero external codec libraries, for the L4 multimodal tier.
 
 This closes the last entropy-coding variant in the JPEG matrix: the
 QM-coder (ITU T.81 Annex D) with the sequential-DCT statistical models
@@ -9,14 +9,18 @@ and the fixed (non-adapting) sign estimate for AC coefficients.
 
 Scope and validation (documented honestly):
 
-- **decode**: SOF9 (8-bit, 1 or 3 components, subsampling ≤ 2×2 via the
-  shared plane pipeline in operators/jpeg.py), DAC conditioning markers
-  (DC L/U, AC Kx), restart markers (statistics + coder reinit per
-  F.1.4.1). Progressive-arithmetic (SOF10) and lossless variants still
-  raise ValueError.
-- **encode**: SOF9, YCbCr 4:4:4, default conditioning (L=0, U=1, Kx=5),
-  optional restart interval — shares the exact DCT/quantization pipeline
-  with the baseline encoder so the entropy stage is the ONLY difference.
+- **decode**: SOF9 and SOF10 (8-bit, 1 or 3 components, subsampling
+  ≤ 2×2 via the shared plane pipeline in operators/jpeg.py), DAC
+  conditioning markers (DC L/U, AC Kx), restart markers (statistics +
+  coder reinit per F.1.4.1), full Annex G progressive models (DC
+  first/refine, AC spectral-selection first + successive-approximation
+  refine with EOBx). Lossless/hierarchical/12-bit variants still raise
+  ValueError.
+- **encode**: SOF9 (optional restart interval) and SOF10 (the Huffman
+  progressive encoder's 10-scan script), YCbCr 4:4:4, default
+  conditioning (L=0, U=1, Kx=5) — all four (sequential|progressive) ×
+  (Huffman|arithmetic) encoders share the exact DCT/quantization
+  pipeline, so the entropy stage is the ONLY difference.
 - **validation**: the QM-coder is exercised by an isolated
   encode→decode bit-stream round-trip over adversarial bit patterns,
   and the full codec by pixel-identity against the Huffman decode of
@@ -654,4 +658,320 @@ def encode_jpeg_arith(
     for ch in chunks:
         out += ch
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive arithmetic (SOF10): Annex G models over the QM coder -------
+#
+# Statistics, DC predictors, and the coder itself are PER SCAN (the
+# reference's start_pass resets them); successive-approximation DC
+# refinement bits and newly-significant AC signs use the fixed bin.
+
+
+def _dec_dc_first_arith(dec, model, tbl, ci, zz, Al) -> None:
+    zz[0] = _decode_dc(dec, model, tbl, ci) << Al
+
+
+def _enc_dc_first_arith(enc, model, tbl, ci, dc, Al) -> None:
+    _encode_dc(enc, model, tbl, ci, int(dc) >> Al)
+
+
+def _dec_ac_first_arith(dec, model, tbl, zz, Ss, Se, Al) -> None:
+    area = model.ac_area(tbl)
+    kx = model.ac_kx.get(tbl, 5)
+    k = Ss
+    while k <= Se:
+        st = 3 * (k - 1)
+        if dec.decode(area[st]):
+            return  # EOB
+        while dec.decode(area[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > Se:
+                raise ValueError("arith AC-first index overflow")
+        sign = dec.decode(model.fixed)
+        st += 2
+        m = dec.decode(area[st])
+        if m:
+            if dec.decode(area[st]):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(area[st]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(area[st]):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        zz[k] = v << Al
+        k += 1
+
+
+def _enc_ac_first_arith(enc, model, tbl, zz, Ss, Se, Al) -> None:
+    area = model.ac_area(tbl)
+    kx = model.ac_kx.get(tbl, 5)
+    ke = Se
+    while ke >= Ss and (abs(int(zz[ke])) >> Al) == 0:
+        ke -= 1
+    k = Ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(area[st], 0)  # not EOB
+        while True:
+            t = int(zz[k])
+            neg = t < 0
+            t = (-t if neg else t) >> Al
+            if t:
+                break
+            enc.encode(area[st + 1], 0)
+            st += 3
+            k += 1
+        enc.encode(area[st + 1], 1)
+        enc.encode(model.fixed, 1 if neg else 0)
+        st += 2
+        sz = t - 1
+        m = 0
+        if sz:
+            enc.encode(area[st], 1)
+            m = 1
+            v2 = sz
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(area[st], 1)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(area[st], 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(area[st], 0)
+        st += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(area[st], 1 if (mm & sz) else 0)
+        k += 1
+    if k <= Se:
+        enc.encode(area[3 * (k - 1)], 1)  # EOB
+
+
+def _dec_ac_refine_arith(dec, model, tbl, zz, Ss, Se, Al) -> None:
+    area = model.ac_area(tbl)
+    p1, m1 = 1 << Al, -1 << Al
+    kex = Se
+    while kex > 0 and zz[kex] == 0:
+        kex -= 1
+    k = Ss
+    while k <= Se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(area[st]):
+                return  # EOB
+        while True:
+            if zz[k] != 0:  # previously-significant: correction bit
+                if dec.decode(area[st + 2]):
+                    zz[k] = int(zz[k]) + (m1 if zz[k] < 0 else p1)
+                break
+            if dec.decode(area[st + 1]):  # newly significant
+                zz[k] = m1 if dec.decode(model.fixed) else p1
+                break
+            st += 3
+            k += 1
+            if k > Se:
+                raise ValueError("arith AC-refine index overflow")
+        k += 1
+
+
+def _enc_ac_refine_arith(enc, model, tbl, zz, Ss, Se, Ah, Al) -> None:
+    area = model.ac_area(tbl)
+    ke = Se
+    while ke >= Ss and (abs(int(zz[ke])) >> Al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= Ss and (abs(int(zz[kex])) >> Ah) == 0:
+        kex -= 1
+    k = Ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(area[st], 0)  # not EOB
+        while True:
+            t = int(zz[k])
+            neg = t < 0
+            ta = (-t if neg else t) >> Al
+            if ta:
+                if ta >> 1:  # significant before this pass
+                    enc.encode(area[st + 2], ta & 1)
+                else:  # newly significant at this Al
+                    enc.encode(area[st + 1], 1)
+                    enc.encode(model.fixed, 1 if neg else 0)
+                break
+            enc.encode(area[st + 1], 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= Se:
+        enc.encode(area[3 * (k - 1)], 1)  # EOB
+
+
+def decode_prog_scan_arith(
+    data, pos, frame, scan, Ss, Se, Ah, Al, coefs, dc_cond, ac_kx,
+    restart_interval,
+):
+    """One SOF10 progressive SOS: arithmetic-decode the scan's blocks
+    into the shared coefficient buffers (the same accumulation contract
+    as jpeg._decode_prog_scan); returns the stream position of the
+    terminating marker. Statistics, DC state, and the QM decoder are
+    scan-local; restarts reinit all three."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+
+    dec = ArithDecoder(data, pos)
+    model = _SeqArithModel(len(comps), dc_cond, ac_kx)
+
+    def restart(count: int):
+        nonlocal dec
+        if restart_interval and count and count % restart_interval == 0:
+            while dec.marker_pos is None:
+                dec._next_byte()
+            mpos = dec.marker_pos
+            if not (0xD0 <= data[mpos + 1] <= 0xD7):
+                raise ValueError("expected restart marker")
+            dec = ArithDecoder(data, mpos + 2)
+            model.reset()
+
+    if len(scan) > 1:  # interleaved DC scan
+        if Ss != 0:
+            raise ValueError("interleaved AC scan is not legal JPEG")
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(count)
+                for cs, td, _ in scan:
+                    ci = cid_to_ci[cs]
+                    _, ch, cv, _ = comps[ci]
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            zz = coefs[ci][my * cv + vy, mx * ch + vx]
+                            if Ah == 0:
+                                _dec_dc_first_arith(
+                                    dec, model, td, ci, zz, Al
+                                )
+                            elif dec.decode(model.fixed):
+                                zz[0] = int(zz[0]) | (1 << Al)
+                count += 1
+    else:
+        cs, td, ta = scan[0]
+        ci = cid_to_ci[cs]
+        _, ch, cv, _ = comps[ci]
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                restart(count)
+                zz = coefs[ci][by, bx]
+                if Ss == 0:
+                    if Ah == 0:
+                        _dec_dc_first_arith(dec, model, td, ci, zz, Al)
+                    elif dec.decode(model.fixed):
+                        zz[0] = int(zz[0]) | (1 << Al)
+                elif Ah == 0:
+                    _dec_ac_first_arith(dec, model, ta, zz, Ss, Se, Al)
+                else:
+                    _dec_ac_refine_arith(dec, model, ta, zz, Ss, Se, Al)
+                count += 1
+    while dec.marker_pos is None:
+        dec._next_byte()
+    return dec.marker_pos
+
+
+def encode_jpeg_arith_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 85
+) -> bytes:
+    """Top-down RGB bytes → progressive ARITHMETIC JPEG (SOF10, YCbCr
+    4:4:4) with the same 10-scan script as the Huffman progressive
+    encoder (DC first Al=1, banded AC first with point transform, DC
+    refine, chained AC refinements to full precision) — so all four
+    (sequential|progressive) × (Huffman|arithmetic) encodings of an
+    image decode pixel-identically."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _rgb_to_quantized
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    blocks, qts, nby, nbx = _rgb_to_quantized(width, height, rgb, quality)
+    dc_cond = {0: (0, 1), 1: (0, 1)}
+    ac_kx = {0: 5, 1: 5}
+
+    def sos_header(comps, Ss, Se, Ah, Al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci in comps:
+            ti = 0 if ci == 0 else 1
+            hdr += struct.pack("BB", ci + 1, (ti << 4) | ti)
+        return hdr + struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+
+    def dc_scan(Ah, Al):
+        enc = ArithEncoder()
+        model = _SeqArithModel(3, dc_cond, ac_kx)
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    ti = 0 if ci == 0 else 1
+                    dc = int(blocks[ci][by, bx][0])
+                    if Ah == 0:
+                        _enc_dc_first_arith(enc, model, ti, ci, dc, Al)
+                    else:
+                        enc.encode(model.fixed, (dc >> Al) & 1)
+        return enc.flush()
+
+    def ac_scan(ci, Ss, Se, Ah, Al):
+        enc = ArithEncoder()
+        model = _SeqArithModel(3, dc_cond, ac_kx)
+        ti = 0 if ci == 0 else 1
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = blocks[ci][by, bx]
+                if Ah == 0:
+                    _enc_ac_first_arith(enc, model, ti, zz, Ss, Se, Al)
+                else:
+                    _enc_ac_refine_arith(enc, model, ti, zz, Ss, Se, Ah, Al)
+        return enc.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qtab in enumerate(qts):
+        zzq = bytes(int(qtab[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq
+    dac = b""
+    for tbl in (0, 1):
+        L, U = dc_cond[tbl]
+        dac += struct.pack("BB", 0x00 | tbl, (U << 4) | L)
+        dac += struct.pack("BB", 0x10 | tbl, ac_kx[tbl])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    out += b"\xff\xca" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    out += sos_header([0, 1, 2], 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos_header([0], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+    out += sos_header([0], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+    out += sos_header([1], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += sos_header([2], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+    out += sos_header([0, 1, 2], 0, 0, 1, 0) + dc_scan(1, 0)
+    out += sos_header([0], 1, 63, 2, 1) + ac_scan(0, 1, 63, 2, 1)
+    out += sos_header([0], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += sos_header([1], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += sos_header([2], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+    out += b"\xff\xd9"
     return bytes(out)

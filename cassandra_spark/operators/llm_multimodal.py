@@ -20,10 +20,10 @@ raw-DIB streams, operators/avi.py) AND animated GIF (delta-frame
 compositing with disposal/transparency semantics, codecs.py):
 sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
-sequential JPEG (SOF9) decodes via operators/jpeg_arith.py. Remaining
-formats (other video containers, 12-bit/lossless/hierarchical/
-progressive-arithmetic JPEG) still raise unless the caller opts into
-the deterministic fake
+JPEG (SOF9 sequential AND SOF10 progressive) decodes via
+operators/jpeg_arith.py. Remaining formats (other video containers,
+12-bit/lossless/hierarchical JPEG) still raise unless the caller opts
+into the deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.
 

@@ -1154,3 +1154,38 @@ def test_arith_jpeg_flows_through_multimodal_decode():
     assert (mime, w, h, c) == ("image/jpeg", 8, 8, 3)
     # flat gray block survives DCT/quant almost exactly
     assert all(abs(px - 192) <= 2 for px in out)
+
+
+def test_arith_progressive_jpeg_matches_all_other_modes():
+    """SOF10: the four (sequential|progressive) x (Huffman|arithmetic)
+    encoders share one DCT/quant pipeline, so all four decodes of the
+    same image are pixel-identical; both arithmetic streams are smaller
+    than their Huffman counterparts on this image."""
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from cassandra_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    for w, h, q in ((16, 24, 80), (40, 28, 92)):
+        rgb = b"".join(
+            bytes(
+                ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256,
+                 (x * x + y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        hseq = encode_jpeg(w, h, rgb, q)
+        hprog = encode_jpeg_progressive(w, h, rgb, q)
+        aseq = encode_jpeg_arith(w, h, rgb, q)
+        aprog = encode_jpeg_arith_progressive(w, h, rgb, q)
+        ref = decode_jpeg(hseq)
+        assert decode_jpeg(hprog) == ref
+        assert decode_jpeg(aseq) == ref
+        assert decode_jpeg(aprog) == ref
+        assert len(aseq) < len(hseq) and len(aprog) < len(hprog)
