@@ -10,9 +10,10 @@ pipeline runs REAL bytes end-to-end in this container
 Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
 avi.py and animated GIF decodes here (decode_gif_frames); arithmetic-
 coded JPEG (SOF9 sequential + SOF10 progressive, QM-coder) decodes in
-operators/jpeg_arith.py. The remaining gated variants (12-bit /
-lossless / hierarchical JPEG, non-AVI video containers) degrade to the
-stub path in llm_multimodal.py. The Spark-side contract
+operators/jpeg_arith.py; 12-bit precision decodes with output scaled to the
+8-bit RGB contract. The remaining gated variants (lossless /
+hierarchical JPEG, non-AVI video containers) degrade to the stub path
+in llm_multimodal.py. The Spark-side contract
 (batch shape, schema, partitioning) is identical either way.
 
 All functions are worker-safe pure functions over bytes: they run inside
@@ -423,8 +424,8 @@ def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
     None when the format isn't locally decodable (caller decides
     stub/raise). Raises ValueError for recognized-but-unsupported variants
-    (e.g. 12-bit or lossless JPEG) — decode_batch degrades those to the
-    stub."""
+    (e.g. lossless or hierarchical JPEG) — decode_batch degrades those
+    to the stub."""
     mime = sniff_mime(data)
     if mime == BMP_MIME:
         return (mime, *decode_bmp(data))

@@ -3,15 +3,16 @@ codec libraries, for the L4 multimodal tier.
 
 Scope (documented honestly):
 
-- **decode**: baseline DCT sequential (SOF0), 8-bit samples, Huffman
-  entropy coding, 1 or 3 components, subsampling factors up to 2×2
-  (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers (DRI/RSTn),
-  APPn/COM skipped. Progressive Huffman (SOF2) decodes here too, and
-  arithmetic-coded sequential/progressive (SOF9/SOF10, QM-coder)
-  decode via operators/jpeg_arith.py. 12-bit precision, lossless, and
-  hierarchical variants raise ``ValueError`` — the
-  multimodal pipeline degrades those payloads to the stub path instead
-  of failing the job.
+- **decode**: DCT sequential (SOF0/1), 8- AND 12-bit samples (16-bit
+  DQT entries parsed; 12-bit output scales to the 8-bit RGB contract),
+  Huffman entropy coding, 1 or 3 components, subsampling factors up to
+  2×2 (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers
+  (DRI/RSTn), APPn/COM skipped. Progressive Huffman (SOF2) decodes here
+  too, and arithmetic-coded sequential/progressive (SOF9/SOF10,
+  QM-coder) decode via operators/jpeg_arith.py. Lossless and
+  hierarchical variants raise ``ValueError`` — the multimodal pipeline
+  degrades those payloads to the stub path instead of failing the
+  job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
   scaled by an IJG-style quality knob, standard Huffman tables written
   into DHT segments (the decoder always reads tables from the stream, so
@@ -650,14 +651,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     into per-component coefficient buffers (DC/AC, first/refine with
     shared EOB runs — spec Annex G / the jdphuff.c algorithms) and are
     rendered once at EOI. Arithmetic-coded variants (SOF9 sequential,
-    SOF10 progressive) route to operators/jpeg_arith.py. Raises
-    ``ValueError`` for lossless, hierarchical, and 12-bit variants."""
+    SOF10 progressive) route to operators/jpeg_arith.py; 12-bit
+    precision decodes with output scaled to the 8-bit RGB contract.
+    Raises ``ValueError`` for lossless and hierarchical variants."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps)
+    prec = 8
     progressive = False
     arith = False
     dc_cond: dict[int, tuple[int, int]] = {}
@@ -682,13 +685,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
                 tab = np.zeros(64, dtype=np.int32)
-                for i in range(64):
-                    tab[ZIGZAG[i]] = seg[p + i]
+                if pq == 0:
+                    for i in range(64):
+                        tab[ZIGZAG[i]] = seg[p + i]
+                    p += 64
+                else:  # pq=1: 16-bit entries (12-bit-precision streams)
+                    for i in range(64):
+                        tab[ZIGZAG[i]] = struct.unpack_from(
+                            ">H", seg, p + 2 * i
+                        )[0]
+                    p += 128
                 qt[tq] = tab
-                p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -700,8 +708,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            if prec not in (8, 12):
+                raise ValueError("only 8- and 12-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
             comps = []
@@ -744,12 +752,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
                 return decode_scan_arith(
                     data, pos + seglen, frame, scan, qt,
-                    dc_cond, ac_kx, restart_interval,
+                    dc_cond, ac_kx, restart_interval, prec=prec,
                 )
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, frame, scan, qt, huff,
-                    restart_interval,
+                    restart_interval, prec=prec,
                 )
             Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             AhAl = seg[3 + 2 * ns]
@@ -783,7 +791,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         pos += seglen
     if progressive and coefs is not None:
-        return _render_progressive(frame, coefs, qt)
+        return _render_progressive(frame, coefs, qt, prec=prec)
     raise ValueError("no scan data found")
 
 
@@ -951,11 +959,13 @@ def _dec_ac_refine(br, act, zz, Ss, Se, Al, state) -> None:
         state.eobrun -= 1
 
 
-def _render_progressive(frame, coefs, qt):
+def _render_progressive(frame, coefs, qt, prec=8):
     """Dequantize + IDCT the accumulated coefficient buffers and convert
     to RGB — the one-shot rendering a progressive decoder performs after
     the final scan."""
     h, w, comps = frame
+    shift = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
@@ -971,14 +981,17 @@ def _render_progressive(frame, coefs, qt):
                 coef = np.zeros(64)
                 coef[ZIGZAG] = zz * qtab[ZIGZAG]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
-                )
+                    _DCT.T @ coef.reshape(8, 8) @ _DCT + shift
+                ) / scale
         planes.append(plane)
     return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
+                 prec=8):
     h, w, comps = frame
+    shift = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -1034,7 +1047,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         coef = np.zeros(64)
                         for k in range(64):
                             coef[ZIGZAG[k]] = zz[k] * qtab[ZIGZAG[k]]
-                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                        block = (
+                            _DCT.T @ coef.reshape(8, 8) @ _DCT + shift
+                        ) / scale
                         by = (my * cv + vy) * 8
                         bx = (mx * ch + vx) * 8
                         planes[ci][by : by + 8, bx : bx + 8] = block
@@ -1068,3 +1083,115 @@ def _planes_to_rgb(planes, comps, h, w, hmax, vmax):
         axis=-1,
     )
     return w, h, 3, rgb.tobytes()
+
+
+def encode_jpeg_12bit(
+    width: int, height: int, rgb: bytes, quality: int = 85
+) -> bytes:
+    """Top-down 8-bit RGB bytes → 12-bit-precision sequential JPEG
+    (samples widened ×16, level shift 2048, 16-bit DQT entries scaled
+    ×16 so quantized coefficients — and therefore the Huffman category
+    range — match the 8-bit encoding of the same image). Used to build
+    real 12-bit fixtures in tests; decode scales back to the 8-bit RGB
+    contract."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    planes = [
+        (0.299 * r + 0.587 * g + 0.114 * b) * 16.0,
+        (128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b) * 16.0,
+        (128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b) * 16.0,
+    ]
+    qts = [
+        _quality_scale(_QT_LUMA, quality) * 16,
+        _quality_scale(_QT_CHROMA, quality) * 16,
+    ]
+    ph, pw = (height + 7) & ~7, (width + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    blocks = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((ph, pw))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        ti = 0 if ci == 0 else 1
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+        blocks.append(zz)
+
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                zz = blocks[ci][by, bx]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, bits = _magnitude(diff)
+                code, length = dc_tabs[ti][t]
+                w.write(code, length)
+                if t:
+                    w.write(bits, t)
+                run = 0
+                for i in range(1, 64):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[ti][0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    t, bits = _magnitude(v)
+                    code, length = ac_tabs[ti][(run << 4) | t]
+                    w.write(code, length)
+                    w.write(bits, t)
+                    run = 0
+                if run:
+                    code, length = ac_tabs[ti][0x00]
+                    w.write(code, length)
+    w.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qtab in enumerate(qts):
+        payload = b"".join(
+            struct.pack(">H", int(qtab[ZIGZAG[i]])) for i in range(64)
+        )
+        out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10 | tid) + payload
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 17, 12, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        payload = bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), (cls << 4) | tid)
+        out += payload
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
+    out += b"\x00\x3f\x00"
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

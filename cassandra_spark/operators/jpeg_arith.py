@@ -527,12 +527,15 @@ def decode_scan_arith(
     dc_cond,
     ac_kx,
     restart_interval: int,
+    prec: int = 8,
 ):
     """Arithmetic-coded sequential scan → RGB, mirroring jpeg._decode_scan's
     MCU walk (interleaved components, subsampling, restart handling)."""
     from cassandra_spark.operators.jpeg import ZIGZAG, _DCT, _planes_to_rgb
 
     h, w, comps = frame
+    shift = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -580,7 +583,9 @@ def decode_scan_arith(
                         coef = np.zeros(64)
                         for kk in range(64):
                             coef[ZIGZAG[kk]] = zz[kk] * qtab[ZIGZAG[kk]]
-                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                        block = (
+                            _DCT.T @ coef.reshape(8, 8) @ _DCT + shift
+                        ) / scale
                         by = (my * cv + vy) * 8
                         bx = (mx * ch + vx) * 8
                         planes[ci][by : by + 8, bx : bx + 8] = block

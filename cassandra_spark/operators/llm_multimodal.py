@@ -21,9 +21,10 @@ compositing with disposal/transparency semantics, codecs.py):
 sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
 JPEG (SOF9 sequential AND SOF10 progressive) decodes via
-operators/jpeg_arith.py. Remaining formats (other video containers,
-12-bit/lossless/hierarchical JPEG) still raise unless the caller opts
-into the deterministic fake
+operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
+contract. Remaining formats (other video containers, lossless/
+hierarchical JPEG) still raise unless the caller opts into the
+deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.
 

@@ -1189,3 +1189,39 @@ def test_arith_progressive_jpeg_matches_all_other_modes():
         assert decode_jpeg(aseq) == ref
         assert decode_jpeg(aprog) == ref
         assert len(aseq) < len(hseq) and len(aprog) < len(hprog)
+
+
+def test_jpeg_12bit_precision_decodes_to_8bit_contract():
+    """12-bit sequential JPEG (SOF1, 16-bit DQT): with samples and quant
+    tables both widened x16 the quantized coefficients match the 8-bit
+    encoding, so the decode (scaled back to 8-bit RGB) is IDENTICAL to
+    the 8-bit decode of the same image."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    for w, h, q in ((16, 24, 85), (9, 7, 60)):
+        rgb = b"".join(
+            bytes(
+                ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256,
+                 (x * x + y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        data12 = encode_jpeg_12bit(w, h, rgb, q)
+        assert data12[data12.index(b"\xff\xc1") + 4] == 12  # SOF precision
+        d12 = decode_jpeg(data12)
+        d8 = decode_jpeg(encode_jpeg(w, h, rgb, q))
+        assert d12 == d8
+        err = np.abs(
+            np.frombuffer(d12[3], np.uint8).astype(int)
+            - np.frombuffer(rgb, np.uint8).astype(int)
+        )
+        # quantization error only (quality-dependent; the hard contract
+        # is the d12 == d8 identity above)
+        assert err.max() <= 120
