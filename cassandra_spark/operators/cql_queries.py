@@ -1107,7 +1107,7 @@ def cql28_trigger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute("SELECT k, src_col, v, wt FROM audit")
 
 
-# --- cql28/cql29: ENTRIES() and FULL() collection index kinds ---------------
+# --- cql29/cql30: ENTRIES() and FULL() collection index kinds ---------------
 #
 # The remaining two CREATE INDEX target kinds (`[C* cql3/statements/
 # IndexTarget, index/internal/composites/*, unverified]`): ENTRIES on a
@@ -1123,7 +1123,7 @@ ENTRIES_SELECT = (
 
 
 @query(
-    "cql28_entries_index",
+    "cql29_entries_index",
     oracle=f"""
     SELECT uid, name
     FROM ({dml_oracle_sql(_KEYS_SCHEMA, KEYS_LOG, KEYS_ASOF)})
@@ -1135,7 +1135,7 @@ ENTRIES_SELECT = (
       ] = 'silver', FALSE)
     """,
 )
-def cql28_entries_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cql29_entries_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-entry secondary index: ``CREATE INDEX (ENTRIES(attrs))`` admits
     ``attrs['tier'] = 'silver'`` past the restriction gate with no ALLOW
     FILTERING. Same fixture/mutation-log as cql12 (incl. the map-key
@@ -1191,14 +1191,14 @@ _FULL_SCHEMA = parse_create_table(FULL_DDL)
 
 
 @query(
-    "cql29_full_index",
+    "cql30_full_index",
     oracle=f"""
     SELECT id, name
     FROM ({dml_oracle_sql(_FULL_SCHEMA, FULL_LOG, FULL_ASOF)})
     WHERE tags = '["x","y"]'
     """,
 )
-def cql29_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cql30_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-collection FULL index: ``CREATE INDEX (FULL(tags))`` admits
     whole-value equality ``tags = ['x', 'y']`` through the gate (the CQL
     list literal compiles to an array literal). b is overwritten whole

@@ -1571,7 +1571,7 @@ def test_restore_rejects_wrong_sibling_in_chain(spark, tmp_path):
 # --- ENTRIES() / FULL() index kinds (cql28/cql29) ---------------------------
 
 
-def test_cql29_pinned_log():
+def test_cql30_pinned_log():
     from cassandra_spark.cql_dml import CqlTable
     from cassandra_spark.operators.cql_queries import (
         FULL_ASOF, FULL_DML, FULL_LOG, _FULL_SCHEMA)
