@@ -116,6 +116,10 @@ STRESS_QUERIES = (
     # round-5 second block: bulk ingest + epoch shuffle
     "w22_bulk_load",
     "l28_epoch_shuffle",
+    # round-6: temperature mix, SQ8 ANN, Thrift batch_mutate reconcile
+    "l29_temperature_mix",
+    "l30_sq8_ann",
+    "t6_batch_mutate",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -153,6 +157,9 @@ STRESS_QUERIES_100 = (
     "l25_fuzzy_contamination",
     "w22_bulk_load",
     "l28_epoch_shuffle",
+    "l29_temperature_mix",
+    "l30_sq8_ann",
+    "t6_batch_mutate",
 )
 
 
