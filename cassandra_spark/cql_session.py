@@ -854,6 +854,7 @@ class CqlSession:
         self.unmasked: set[str] = set()
         # full-query log (None = disabled; enable_fql() starts recording)
         self._fql: list[str] | None = None
+        self._audit: dict | None = None  # enabled config + record list
         # triggers (`[C* triggers/ITrigger, CreateTriggerStatement,
         # unverified]`): table -> {trigger name -> class name}. The
         # "class" resolves in trigger_classes — the ITrigger registry:
@@ -1412,7 +1413,12 @@ class CqlSession:
             self._tracing_on = tm.group(1).upper() == "ON"
             return None
         if not self._tracing_on:
-            result = self._execute_stmt(stmt)
+            try:
+                result = self._execute_stmt(stmt)
+            except Exception as exc:
+                self._audit_record_stmt(stmt, error=str(exc))
+                raise
+            self._audit_record_stmt(stmt)
             if self._fql is not None:
                 self._fql.append(stmt)
             return result
@@ -1429,7 +1435,7 @@ class CqlSession:
         events = [(sid, 1, "Parsing " + kind, 0)]
         try:
             result = self._execute_stmt(stmt)
-        except Exception:
+        except Exception as exc:
             # the reference records traces for failed requests too, and a
             # dropped trace would let the next statement reuse this id
             events.append(
@@ -1440,6 +1446,7 @@ class CqlSession:
                 ((sid, command, stmt.strip(),
                   int((_time.perf_counter() - t0) * 1e6)), events)
             )
+            self._audit_record_stmt(stmt, error=str(exc))
             raise
         events.append(
             (sid, 2, "Executing statement",
@@ -1449,9 +1456,146 @@ class CqlSession:
             ((sid, command, stmt.strip(),
               int((_time.perf_counter() - t0) * 1e6)), events)
         )
+        self._audit_record_stmt(stmt)
         if self._fql is not None:
             self._fql.append(stmt)
         return result
+
+    # --- audit logging (the reference's 4.0 audit log, `[C* audit/
+    # AuditLogManager, AuditLogEntryType, unverified]`) -------------------
+    #
+    # Distinct from FQL: FQL records replayable successful statements;
+    # the audit log records WHO did WHAT (including failures and auth
+    # events) with category/keyspace filtering. Records are in-memory
+    # rows (the binlog analogue) served as a DataFrame; entries carry
+    # the session's deterministic sequence number, not wall time.
+
+    _AUDIT_TYPES = {
+        "SELECT": ("QUERY", "SELECT"),
+        "INSERT": ("DML", "UPDATE"),  # the reference logs INSERT as UPDATE
+        "UPDATE": ("DML", "UPDATE"),
+        "DELETE": ("DML", "DELETE"),
+        "BEGIN": ("DML", "BATCH"),
+        "TRUNCATE": ("DDL", "TRUNCATE"),
+        "CREATE": ("DDL", "CREATE"),
+        "ALTER": ("DDL", "ALTER"),
+        "DROP": ("DDL", "DROP"),
+        "USE": ("OTHER", "USE_KEYSPACE"),
+        "GRANT": ("DCL", "GRANT"),
+        "REVOKE": ("DCL", "REVOKE"),
+        "LIST": ("DCL", "LIST"),
+        "DESCRIBE": ("OTHER", "DESCRIBE"),
+        "COPY": ("DML", "COPY"),
+    }
+
+    _AUDIT_DCL_TARGETS = frozenset({"ROLE", "ROLES", "PERMISSIONS"})
+
+    def enable_audit_log(
+        self,
+        included_categories=None,
+        excluded_categories=None,
+        included_keyspaces=None,
+        excluded_keyspaces=None,
+    ) -> None:
+        """`nodetool enableauditlog` analogue with the reference's four
+        filter knobs (category and keyspace allow/deny lists)."""
+        norm = lambda xs: (  # noqa: E731
+            None if xs is None else {x.upper() for x in xs}
+        )
+        ks = lambda xs: (  # noqa: E731
+            None if xs is None else {x.lower() for x in xs}
+        )
+        self._audit = {
+            "inc_cat": norm(included_categories),
+            "exc_cat": norm(excluded_categories),
+            "inc_ks": ks(included_keyspaces),
+            "exc_ks": ks(excluded_keyspaces),
+            "log": [],
+        }
+
+    def disable_audit_log(self) -> None:
+        self._audit = None
+
+    def _audit_classify(self, stmt: str):
+        """(category, type, keyspace, scope) of a statement — best-effort
+        target extraction (table after FROM/INTO/UPDATE/TRUNCATE/ON, or
+        the DDL object name)."""
+        words = stmt.strip().split()
+        head = words[0].upper() if words else ""
+        cat, typ = self._AUDIT_TYPES.get(head, ("OTHER", head or "EMPTY"))
+        if head in ("CREATE", "ALTER", "DROP") and len(words) > 1:
+            obj = words[1].upper()
+            if obj in self._AUDIT_DCL_TARGETS:
+                cat = "DCL"
+            typ = f"{head}_{obj}"
+        m = re.search(
+            r"\b(?:FROM|INTO|UPDATE|TRUNCATE|TABLE|ON)\s+([\w.]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        keyspace = scope = None
+        if m:
+            name = m.group(1).lower()
+            if "." in name:
+                keyspace, scope = name.split(".", 1)
+            else:
+                scope = name
+                if name in self.tables:
+                    keyspace = self.table_keyspace.get(name, "session")
+        return cat, typ, keyspace, scope
+
+    def _audit_passes(self, category: str, keyspace) -> bool:
+        a = self._audit
+        if a is None:
+            return False
+        if a["inc_cat"] is not None and category not in a["inc_cat"]:
+            return False
+        if a["exc_cat"] is not None and category in a["exc_cat"]:
+            return False
+        if keyspace is not None:
+            if a["inc_ks"] is not None and keyspace not in a["inc_ks"]:
+                return False
+            if a["exc_ks"] is not None and keyspace in a["exc_ks"]:
+                return False
+        return True
+
+    def _audit_append(
+        self, category, typ, keyspace, scope, operation, error
+    ) -> None:
+        if self._audit is None:
+            return
+        if error is not None:
+            category = "ERROR"  # failed requests log under ERROR
+        if not self._audit_passes(category, keyspace):
+            return
+        log = self._audit["log"]
+        log.append(
+            (
+                len(log) + 1,
+                self.current_role,
+                category,
+                typ,
+                keyspace,
+                scope,
+                operation.strip(),
+                error,
+            )
+        )
+
+    def _audit_record_stmt(self, stmt: str, error: str | None = None) -> None:
+        if self._audit is None:
+            return
+        cat, typ, keyspace, scope = self._audit_classify(stmt)
+        self._audit_append(cat, typ, keyspace, scope, stmt, error)
+
+    def audit_log(self) -> DataFrame:
+        """The audit log as a queryable DataFrame."""
+        rows = list(self._audit["log"]) if self._audit else []
+        return self.spark.createDataFrame(
+            rows,
+            "seq long, user string, category string, type string, "
+            "keyspace string, scope string, operation string, error string",
+        )
 
     def enable_fql(self) -> None:
         """Start full-query logging on this session (DDL + DML + SELECT,
@@ -1531,11 +1675,20 @@ class CqlSession:
         reduced to its authorization effect). LOGIN=false roles are
         rejected, as the reference's role manager does."""
         r = role.lower()
-        if r not in self.roles:
-            raise CQLError(f"unknown role {role!r}")
-        if not self.roles[r]["can_login"]:
-            raise CQLError(f"role {role!r} is not permitted to log in")
+        try:
+            if r not in self.roles:
+                raise CQLError(f"unknown role {role!r}")
+            if not self.roles[r]["can_login"]:
+                raise CQLError(f"role {role!r} is not permitted to log in")
+        except CQLError as exc:
+            self._audit_append(
+                "AUTH", "LOGIN_ERROR", None, None, f"login {role}", str(exc)
+            )
+            raise
         self.current_role = r
+        self._audit_append(
+            "AUTH", "LOGIN_SUCCESS", None, None, f"login {role}", None
+        )
 
     def _role_closure(self, role: str) -> set[str]:
         """role + everything reachable through GRANT role TO role."""

@@ -1211,3 +1211,57 @@ def cql30_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.execute(stmt)
     sess.execute(FULL_INDEX_DDL)
     return sess.execute(FULL_SELECT)
+
+
+# --- cql31: audit logging (4.0 audit log, distinct from FQL) ----------------
+
+_AUDIT_SCRIPT: tuple[str, ...] = (
+    "CREATE TABLE audlog (k text PRIMARY KEY, v int)",
+    "INSERT INTO audlog (k, v) VALUES ('a', 1)",
+    "SELECT k, v FROM audlog",  # QUERY category: excluded by the filter
+    "CREATE ROLE analyst WITH LOGIN = true",
+    "GRANT SELECT ON audlog TO analyst",
+)
+
+
+@query(
+    "cql31_audit_log",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'cassandra', 'DDL', 'CREATE_TABLE', 'session', 'audlog',
+       'CREATE TABLE audlog (k text PRIMARY KEY, v int)', NULL),
+      (2, 'cassandra', 'DML', 'UPDATE', 'session', 'audlog',
+       'INSERT INTO audlog (k, v) VALUES (''a'', 1)', NULL),
+      (3, 'cassandra', 'DCL', 'CREATE_ROLE', NULL, NULL,
+       'CREATE ROLE analyst WITH LOGIN = true', NULL),
+      (4, 'cassandra', 'DCL', 'GRANT', 'session', 'audlog',
+       'GRANT SELECT ON audlog TO analyst', NULL),
+      (5, 'analyst', 'AUTH', 'LOGIN_SUCCESS', NULL, NULL,
+       'login analyst', NULL),
+      (6, 'analyst', 'ERROR', 'UPDATE', 'session', 'audlog',
+       'INSERT INTO audlog (k, v) VALUES (''b'', 2)',
+       'role ''analyst'' has no MODIFY permission on table audlog'),
+      (7, 'cassandra', 'AUTH', 'LOGIN_SUCCESS', NULL, NULL,
+       'login cassandra', NULL)
+    ) AS t(seq, "user", category, type, keyspace, scope, operation, error)
+    """,
+)
+def cql31_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4.0 audit log (`[C* audit/AuditLogManager, unverified]`),
+    distinct from FQL: WHO did WHAT, including auth events and FAILED
+    statements (ERROR category with the message), with category/keyspace
+    filter knobs — here QUERY is excluded, so the SELECT between seq 2
+    and 3 leaves no row. The oracle states the expected log literally:
+    entries are keyed by the session's deterministic sequence, not wall
+    time."""
+    sess = CqlSession(spark, sf_dir)
+    sess.enable_audit_log(excluded_categories=["QUERY"])
+    for stmt in _AUDIT_SCRIPT:
+        sess.execute(stmt)
+    sess.login("analyst")
+    try:
+        sess.execute("INSERT INTO audlog (k, v) VALUES ('b', 2)")
+    except Exception:
+        pass  # the denial itself is the audited event
+    sess.login("cassandra")
+    return sess.audit_log()

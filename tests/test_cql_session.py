@@ -1632,3 +1632,53 @@ def test_entries_full_survive_describe_and_drop(sess):
     sess.execute("INSERT INTO kv10 (id, attrs) VALUES ('a', {'k':'v'})")
     with pytest.raises(CQLError, match="ALLOW FILTERING"):
         sess.execute("SELECT id FROM kv10 WHERE attrs['k'] = 'v'")
+
+
+# --- audit logging (cql31) ---------------------------------------------------
+
+
+def test_audit_log_filters(sess):
+    """Category and keyspace filters: included_categories whitelists,
+    excluded_keyspaces blacklists; keyspace-less events (AUTH) pass
+    keyspace filters; disabled sessions record nothing."""
+    sess.execute("CREATE KEYSPACE ks_a WITH replication = "
+                 "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    sess.enable_audit_log(
+        included_categories=["DML", "AUTH"], excluded_keyspaces=["ks_a"]
+    )
+    sess.execute("CREATE TABLE ks_a.t1 (k text PRIMARY KEY, v int)")  # DDL: out
+    sess.execute("CREATE TABLE t2 (k text PRIMARY KEY, v int)")       # DDL: out
+    sess.execute("INSERT INTO ks_a.t1 (k, v) VALUES ('a', 1)")  # ks_a: out
+    sess.execute("INSERT INTO t2 (k, v) VALUES ('b', 2)")       # in
+    sess.login("cassandra")                                     # AUTH: in
+    rows = [(r.category, r.type, r.keyspace, r.scope)
+            for r in sess.audit_log().collect()]
+    assert rows == [
+        ("DML", "UPDATE", "session", "t2"),
+        ("AUTH", "LOGIN_SUCCESS", None, None),
+    ]
+    sess.disable_audit_log()
+    sess.execute("INSERT INTO t2 (k, v) VALUES ('c', 3)")
+    assert sess.audit_log().count() == 0
+
+
+def test_audit_login_error_recorded(sess):
+    import pytest as _pytest
+
+    sess.enable_audit_log()
+    with _pytest.raises(CQLError):
+        sess.login("nobody")
+    r = sess.audit_log().collect()[-1]
+    assert (r.category, r.type) == ("ERROR", "LOGIN_ERROR")
+    assert "unknown role" in r.error
+
+
+def test_audit_traced_statements_still_audited(sess):
+    """TRACING ON must not bypass the audit hook."""
+    sess.enable_audit_log()
+    sess.execute("CREATE TABLE t3 (k text PRIMARY KEY)")
+    sess.execute("TRACING ON")
+    sess.execute("INSERT INTO t3 (k) VALUES ('x')")
+    sess.execute("TRACING OFF")
+    cats = [r.type for r in sess.audit_log().collect()]
+    assert cats == ["CREATE_TABLE", "UPDATE"]
