@@ -9,10 +9,11 @@ Scope (documented honestly):
   2×2 (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers
   (DRI/RSTn), APPn/COM skipped. Progressive Huffman (SOF2) decodes here
   too, and arithmetic-coded sequential/progressive (SOF9/SOF10,
-  QM-coder) decode via operators/jpeg_arith.py. Lossless and
-  hierarchical variants raise ``ValueError`` — the multimodal pipeline
-  degrades those payloads to the stub path instead of failing the
-  job.
+  QM-coder) decode via operators/jpeg_arith.py, and lossless-Huffman
+  (SOF3, all 7 Annex-H predictors, byte-exact) decodes here. Only
+  hierarchical and lossless-arithmetic variants raise ``ValueError`` —
+  the multimodal pipeline degrades those payloads to the stub path
+  instead of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
   scaled by an IJG-style quality knob, standard Huffman tables written
   into DHT segments (the decoder always reads tables from the stream, so
@@ -663,6 +664,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     prec = 8
     progressive = False
     arith = False
+    lossless = False
     dc_cond: dict[int, tuple[int, int]] = {}
     ac_kx: dict[int, int] = {}
     coefs: list[np.ndarray] | None = None
@@ -706,7 +708,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0-3/9/10
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit precision supported")
@@ -719,11 +721,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (h, w_, comps)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only DCT JPEG (baseline/progressive, Huffman or "
-                "arithmetic) is supported"
+                "only DCT (baseline/progressive, Huffman or arithmetic) "
+                "and lossless-Huffman (SOF3) JPEG are supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -745,6 +748,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
+            if lossless:
+                return _decode_scan_lossless(
+                    data, pos + seglen, frame, scan,
+                    huff, seg[1 + 2 * ns], seg[3 + 2 * ns] & 0xF, prec,
+                    restart_interval,
+                )
             if arith and not progressive:
                 from cassandra_spark.operators.jpeg_arith import (
                     decode_scan_arith,
@@ -1195,3 +1204,142 @@ def encode_jpeg_12bit(
     out += w.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- lossless JPEG (SOF3, spec Annex H) -------------------------------------
+#
+# Predictive, not DCT: each sample is Huffman-coded as the difference
+# from one of the seven Annex-H predictors (Px = Ra, Rb, Rc, Ra+Rb-Rc,
+# Ra+(Rb-Rc)/2, Rb+(Ra-Rc)/2, (Ra+Rb)/2). decode(encode(x)) == x
+# EXACTLY — the round-trip test asserts byte identity, the strongest
+# check in the codec suite. Scope: 8-bit, 1 or 3 components (RGB coded
+# directly, no color transform — the common lossless convention),
+# no subsampling, point transform 0, restart markers.
+
+
+def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    width: int, height: int, rgb: bytes, predictor: int = 4
+) -> bytes:
+    """Top-down 8-bit RGB bytes → lossless JPEG (SOF3): exact, no
+    quantization. RGB components code directly (no YCbCr)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    tab = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    w = _BitWriter()
+    for y in range(height):
+        for x in range(width):
+            for c in range(3):
+                cur = rgb[(y * width + x) * 3 + c]
+                if x == 0 and y == 0:
+                    pred = 128  # 2^(P-1)
+                elif y == 0:
+                    pred = rgb[(y * width + x - 1) * 3 + c]  # Ra
+                elif x == 0:
+                    pred = rgb[((y - 1) * width + x) * 3 + c]  # Rb
+                else:
+                    ra = rgb[(y * width + x - 1) * 3 + c]
+                    rb = rgb[((y - 1) * width + x) * 3 + c]
+                    rc = rgb[((y - 1) * width + x - 1) * 3 + c]
+                    pred = _predict(ra, rb, rc, predictor)
+                diff = (cur - pred) & 0xFFFF  # modulo-65536 arithmetic (H.1.2.1)
+                if diff > 32767:
+                    diff -= 65536
+                t, bits = _magnitude(diff)
+                code, length = tab[t]
+                w.write(code, length)
+                if t:
+                    w.write(bits, t)
+    w.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    payload = bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), 0x00)
+    out += payload
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BB", cid, 0x00)
+    out += struct.pack("BBB", predictor, 0, 0)  # Ss=predictor, Se=0, Ah/Al
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_lossless(data, pos, frame, scan, huff, sel, pt, prec,
+                          restart_interval):
+    """SOF3 scan: interleaved raster walk reconstructing each component
+    from its predicted difference. Returns the full RGB tuple."""
+    h, w, comps = frame
+    if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+        raise ValueError("subsampled lossless JPEG not supported")
+    nc = len(comps)
+    tabs = []
+    for cs, td, _ in scan:
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("missing lossless Huffman table")
+        tabs.append(t)
+    br = _BitReader(data, pos)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(nc)]
+    default = 1 << (prec - 1 - pt)
+    count = 0
+    restart_row_reset = False
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                br.sync_restart()
+                restart_row_reset = True
+            for ci in range(nc):
+                p = planes[ci]
+                if restart_row_reset or (x == 0 and y == 0):
+                    pred = default
+                elif y == 0:
+                    pred = int(p[y, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, x])
+                else:
+                    pred = _predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), sel,
+                    )
+                t = _huff_decode(br, tabs[ci])
+                if t == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                p[y, x] = (pred + diff) & 0xFFFF
+            restart_row_reset = False
+            count += 1
+    scale = 1 << (prec - 8)
+    out = np.stack(
+        [np.clip(p // scale, 0, 255).astype(np.uint8) for p in planes],
+        axis=-1,
+    )
+    if nc == 1:
+        out = np.repeat(out, 3, axis=-1)
+    return w, h, 3, out.tobytes()

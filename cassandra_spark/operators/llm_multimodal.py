@@ -22,9 +22,9 @@ sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
 JPEG (SOF9 sequential AND SOF10 progressive) decodes via
 operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
-contract. Remaining formats (other video containers, lossless/
-hierarchical JPEG) still raise unless the caller opts into the
-deterministic fake
+contract; lossless SOF3 decodes byte-exactly. Remaining formats (other
+video containers, hierarchical / lossless-arithmetic JPEG) still raise
+unless the caller opts into the deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.
 

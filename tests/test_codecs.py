@@ -1225,3 +1225,35 @@ def test_jpeg_12bit_precision_decodes_to_8bit_contract():
         # quantization error only (quality-dependent; the hard contract
         # is the d12 == d8 identity above)
         assert err.max() <= 120
+
+
+def test_lossless_jpeg_byte_exact_all_predictors():
+    """SOF3 lossless: decode(encode(x)) == x BYTE-EXACTLY for every
+    Annex-H predictor — no quantization anywhere in the path."""
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    for w, h in ((16, 24), (7, 5), (1, 1), (33, 2)):
+        rgb = b"".join(
+            bytes(
+                ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256,
+                 (x * x + y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        for pred in range(1, 8):
+            out = decode_jpeg(encode_jpeg_lossless(w, h, rgb, pred))
+            assert out == (w, h, 3, rgb), (w, h, pred)
+
+
+def test_lossless_jpeg_flows_through_decode_image():
+    from cassandra_spark.operators.codecs import decode_image
+
+    from cassandra_spark.operators.jpeg import encode_jpeg_lossless
+
+    rgb = bytes(range(48)) * 2  # 4x8 RGB
+    data = encode_jpeg_lossless(4, 8, rgb)
+    assert decode_image(data) == ("image/jpeg", 4, 8, 3, rgb)
