@@ -659,3 +659,32 @@ def test_bulk_load_groupby_partial_aggregates(spark, tmp_path):
     plan = plan_of(spark, "w22_bulk_load")
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_broadcasts_rate_table(spark):
+    """l29: the per-source rate table (|sources| rows) must broadcast
+    back over the corpus — the corpus never shuffles on source for the
+    membership pass, and membership itself is a pure projection."""
+    plan = plan_of(spark, "l29_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_query_side_broadcasts(spark):
+    """l30: the 5-row quantized query side broadcasts (BroadcastNestedLoop
+    over the residual-filtered cross product is the expected shape for a
+    literal-size side); the corpus side never shuffles to pair up."""
+    plan = plan_of(spark, "l30_sq8_ann")
+    assert "Broadcast" in plan
+    assert "Exchange hashpartitioning" not in plan.split("Window")[0].split(
+        "BroadcastExchange"
+    )[0], plan  # no pre-join corpus shuffle before the pairing
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_mutate_single_content_shuffle(spark):
+    """t6: the LWW window shuffles once on (user_id, name); the deletion
+    joins reuse broadcast/AQE sides, with no cartesian anywhere."""
+    plan = plan_of(spark, "t6_batch_mutate")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # final per-user aggregate is map-side first
