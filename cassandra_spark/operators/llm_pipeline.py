@@ -652,3 +652,140 @@ def l27_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L31: incremental dedup — admit a NEW batch against an EXISTING corpus
+# ---------------------------------------------------------------------------
+#
+# The production ingestion pattern: the corpus is already deduped; a new
+# crawl batch arrives and each new document is admitted iff no verified
+# near-dup exists in (existing corpus ∪ earlier-admitted new docs) —
+# first occurrence wins ACROSS corpus versions, and the existing corpus
+# is never re-deduped (its signatures are reusable state; at 100 TB they
+# are a persisted table, not a recompute). Batch membership reuses the
+# l25 split hash: bucket >= 900 is the "new batch" (~10%), and within
+# the batch admission order is doc_id.
+
+
+@query(
+    "l31_incremental_dedup",
+    oracle=f"""
+    WITH {{MINHASH_CTE}},
+    bucketed AS (
+      SELECT *, ({_SPLIT_HASH}) % 1000 AS bucket FROM banded
+    ),
+    bands AS (
+      SELECT doc_id, bucket, b.band_id,
+             CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS band_val
+      FROM bucketed CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, p.doc_id AS prior_doc
+      FROM bands n JOIN bands p
+        ON n.band_id = p.band_id AND n.band_val = p.band_val
+      WHERE n.bucket >= 900
+        AND (p.bucket < 900 OR (p.bucket >= 900 AND p.doc_id < n.doc_id))
+    ),
+    verified AS (
+      SELECT new_doc,
+             CAST(len(list_intersect(sn.sh, sp.sh)) AS DOUBLE)
+             / (len(sn.sh) + len(sp.sh) - len(list_intersect(sn.sh, sp.sh)))
+               AS jaccard
+      FROM cand
+      JOIN banded sn ON sn.doc_id = new_doc
+      JOIN banded sp ON sp.doc_id = prior_doc
+    ),
+    dups AS (
+      SELECT new_doc,
+             CAST(COUNT(*) FILTER (WHERE jaccard >= 0.2) AS BIGINT)
+               AS n_dups,
+             MAX(jaccard) AS best_jaccard
+      FROM verified GROUP BY new_doc
+    )
+    SELECT b.doc_id,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           d.best_jaccard,
+           COALESCE(d.n_dups, 0) = 0 AS admit
+    FROM bucketed b LEFT JOIN dups d ON d.new_doc = b.doc_id
+    WHERE b.bucket >= 900
+    ORDER BY b.doc_id
+    """.replace("{MINHASH_CTE}", _minhash_sql_cte().strip()),
+)
+def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission of a new batch against the
+    existing corpus (see block comment). Scale posture: the existing
+    side contributes ONLY its (persisted-in-production) signatures to
+    the band equi-join — never text, never pairwise; candidates are
+    Σ bucket_new × bucket_all, linear while bucket sizes stay bounded
+    (the same regime l2/l25 measure); the exact verify touches
+    candidate pairs only."""
+    from cassandra_spark.operators.llm_dedup import minhash_signatures
+
+    cat = Catalog(spark, sf_dir)
+    sig = (
+        minhash_signatures(cat.documents)
+        .select(
+            "doc_id",
+            "sh",
+            F.array(*[F.col(f"band{b}") for b in range(4)]).alias("bands"),
+            (F.expr(_SPLIT_HASH) % 1000).alias("bucket"),
+        )
+        .persist()  # four consumers — see l2's note
+    )
+    bands = sig.select(
+        "doc_id", "bucket", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    new_side = bands.filter(F.col("bucket") >= 900).alias("n")
+    cand = (
+        new_side.join(
+            bands.alias("p"),
+            (F.col("n.band_id") == F.col("p.band_id"))
+            & (F.col("n.band_val") == F.col("p.band_val"))
+            & (
+                (F.col("p.bucket") < 900)
+                | (F.col("p.doc_id") < F.col("n.doc_id"))
+            ),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("p.doc_id").alias("prior_doc"),
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sn"), F.col("sp")))
+    union = F.size(F.col("sn")) + F.size(F.col("sp")) - inter
+    dups = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sn")),
+            "new_doc",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("prior_doc"), F.col("sh").alias("sp")
+            ),
+            "prior_doc",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .groupBy("new_doc")
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        sig.filter(F.col("bucket") >= 900)
+        .select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            "best_jaccard",
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admit"),
+        )
+        .orderBy("doc_id")
+    )

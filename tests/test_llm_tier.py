@@ -792,3 +792,36 @@ def test_l4_frame_sampling_real_animated_gif(spark):
         ).hexdigest()
     # frame 1 composites ON TOP of frame 0 (delta semantics): rasters differ
     assert out[0].frame_sha != out[3].frame_sha
+
+
+def test_l31_incremental_admission_is_first_occurrence(spark):
+    """Admission semantics: a new doc is rejected iff a verified near-dup
+    exists among existing docs or EARLIER new docs — so for any near-dup
+    pair wholly inside the new batch, the lower doc_id is admitted and
+    the higher rejected (when the pair is each other's only dup)."""
+    from cassandra_spark.operators.llm_pipeline import (
+        _SPLIT_HASH,
+        l31_incremental_dedup,
+    )
+
+    out = {r.doc_id: r for r in
+           l31_incremental_dedup(spark, SF_SMOKE).collect()}
+    assert out, "new batch is empty"
+    # every new doc appears exactly once, flags are consistent
+    for r in out.values():
+        assert r.admit == (r.n_dups == 0)
+        if r.n_dups:
+            assert r.best_jaccard >= 0.2
+    # cross-check membership: exactly the bucket>=900 docs
+    from cassandra_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    expected = {
+        row.doc_id
+        for row in Catalog(spark, SF_SMOKE)
+        .documents.select("doc_id")
+        .withColumn("b", F.expr(_SPLIT_HASH) % 1000)
+        .filter("b >= 900")
+        .collect()
+    }
+    assert set(out) == expected
