@@ -720,3 +720,71 @@ def l17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L32: triangle count + clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+#
+# Cluster-cohesion audit of the dedup pair set: triangles vs wedges over
+# the l2 verified-pair graph. High global clustering means near-dup
+# pairs close into tight clusters (the transitive closure l17 builds is
+# faithful); low clustering flags chain-shaped false-positive bridges
+# (a->b->c with a,c unrelated) that over-merge clusters.
+#
+# Triangle counting is the classic scale-sensitive graph kernel: with
+# edges oriented low->high id, each triangle is counted exactly once by
+# joining edge (a,b) x (b,c) x (a,c) — two equi-join shuffles on edge
+# endpoints, never an all-pairs step. Wedges = Σ deg·(deg-1)/2 is one
+# aggregate. Both integer-exact; the coefficient is one double division.
+
+
+@query(
+    "l32_dedup_triangles",
+    oracle=f"""
+    WITH edges AS ({_L2_ORACLE.strip()})
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e1
+         JOIN edges e2 ON e2.doc_a = e1.doc_b
+         JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+        AS n_triangles,
+      (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) FROM (
+         SELECT COUNT(*) AS d FROM (
+           SELECT doc_a AS n FROM edges
+           UNION ALL SELECT doc_b FROM edges) GROUP BY n))
+        AS n_wedges
+    """,
+)
+def l32_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles and wedges of the l2 near-dup graph (see block comment).
+    Edges are already canonical (doc_a < doc_b), so the 3-way self-join
+    counts each triangle once; degrees come from one explode+aggregate."""
+    edges = l2_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").persist()
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("n"))
+        .unionAll(edges.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long"),
+                F.lit(0),
+            ).alias("n_wedges")
+        )
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(deg))
+    )

@@ -622,3 +622,84 @@ def l28_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# L33: n-gram novelty curve — corpus redundancy by source
+# ---------------------------------------------------------------------------
+
+
+from cassandra_spark.operators.llm_dedup import (  # noqa: E402
+    shingle_expr_duck as _sh_duck,
+)
+
+_L33_SH_DUCK = _sh_duck(3)
+
+
+@query(
+    "l33_ngram_novelty",
+    oracle=f"""
+    WITH wh_t AS (
+      SELECT doc_id, source, {WORD_HASH_DUCK} AS wh FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest({_L33_SH_DUCK}) AS g
+      FROM wh_t WHERE len(wh) >= 3
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_occurrences,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(1000000 * CAST(SUM(CASE WHEN doc_id = first_doc
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS novelty_ppm
+    FROM grams JOIN firsts USING (g)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of distinct-3-gram
+    occurrences whose GLOBAL first occurrence (min doc_id) is that
+    occurrence's own document — the corpus-redundancy curve that tells a
+    pipeline how much a span-level dedup (l27) will reclaim, per source.
+    Integer outputs (counts + a floor-ppm rate) hash identically across
+    engines. Shape: one tokenize pass, one gram explode, one min
+    aggregate keyed by gram content, one join back, one per-source
+    aggregate — two content-keyed shuffles total, both on uniformly
+    hashed keys."""
+    from cassandra_spark.operators.llm_dedup import (
+        shingle_expr_spark,
+        word_hash_table,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    wh_t = word_hash_table(cat.documents, 3, "doc_id", "source")
+    grams = wh_t.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(shingle_expr_spark(3))).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_gram_occurrences"),
+            novel.alias("n_novel"),
+            F.floor(
+                1_000_000
+                * novel.cast("double")
+                / F.count(F.lit(1))
+            ).cast("long").alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -825,3 +825,65 @@ def test_l31_incremental_admission_is_first_occurrence(spark):
         .collect()
     }
     assert set(out) == expected
+
+
+def test_l32_triangle_identities(spark):
+    """Triangle/wedge identities against a brute-force recount of the
+    same edge set: every triangle is a closed wedge (3T <= W), and the
+    counts match an in-driver recount exactly."""
+    from itertools import combinations
+
+    from cassandra_spark.operators.llm_dedup import (
+        l2_minhash_neardup,
+        l32_dedup_triangles,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in l2_minhash_neardup(spark, SF_SMOKE).collect()
+    }
+    row = l32_dedup_triangles(spark, SF_SMOKE).collect()[0]
+    assert row.n_edges == len(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in (adj[a] & adj[b])
+        if b < c
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert 3 * row.n_triangles <= row.n_wedges or row.n_wedges == 0
+
+
+def test_l33_novelty_conservation(spark):
+    """Conservation identities: Σ n_novel over sources == global count of
+    distinct (gram, first_doc) pairs == number of distinct grams; novelty
+    never exceeds occurrences; ppm consistent with the counts."""
+    from cassandra_spark.operators.llm_text import l33_ngram_novelty
+
+    rows = l33_ngram_novelty(spark, SF_SMOKE).collect()
+    assert rows
+    total_novel = sum(r.n_novel for r in rows)
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_dedup import (
+        shingle_expr_spark,
+        word_hash_table,
+    )
+
+    grams = word_hash_table(
+        Catalog(spark, SF_SMOKE).documents, 3, "doc_id"
+    ).selectExpr(f"explode({shingle_expr_spark(3)}) AS g")
+    assert total_novel == grams.select("g").distinct().count()
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_gram_occurrences
+        # ppm is floor over a DOUBLE quotient (the cross-engine-identical
+        # form); it can differ from the integer quotient by at most 1
+        # when the product crosses an integer boundary after rounding
+        assert abs(
+            r.novelty_ppm - (1_000_000 * r.n_novel) // r.n_gram_occurrences
+        ) <= 1
