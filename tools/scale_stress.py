@@ -116,10 +116,14 @@ STRESS_QUERIES = (
     # round-5 second block: bulk ingest + epoch shuffle
     "w22_bulk_load",
     "l28_epoch_shuffle",
-    # round-6: temperature mix, SQ8 ANN, Thrift batch_mutate reconcile
+    # round-6: temperature mix, SQ8 ANN, Thrift batch_mutate reconcile,
+    # incremental dedup, dedup-graph triangles, n-gram novelty
     "l29_temperature_mix",
     "l30_sq8_ann",
     "t6_batch_mutate",
+    "l31_incremental_dedup",
+    "l32_dedup_triangles",
+    "l33_ngram_novelty",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -160,6 +164,9 @@ STRESS_QUERIES_100 = (
     "l29_temperature_mix",
     "l30_sq8_ann",
     "t6_batch_mutate",
+    "l31_incremental_dedup",
+    "l32_dedup_triangles",
+    "l33_ngram_novelty",
 )
 
 
