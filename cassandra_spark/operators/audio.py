@@ -81,11 +81,46 @@ def is_wav(payload: bytes) -> bool:
     )
 
 
+def _g711_ulaw_table() -> "np.ndarray":
+    """G.711 mu-law byte -> 16-bit linear (the classic +-32124 expansion:
+    complement, 3-bit exponent, 4-bit mantissa, 0x84 bias)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """G.711 A-law byte -> 16-bit linear (+-32256: XOR 0x55, segmented
+    expansion)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse a RIFF/WAVE PCM payload → (rate, channels, bits, samples)
-    with ``samples`` (n, channels) int32 (8-bit re-centered to signed).
+    """Parse a RIFF/WAVE payload → (rate, channels, bits, samples) with
+    ``samples`` (n, channels) int32 (8-bit PCM re-centered to signed).
     Walks the chunk tree (fmt may be preceded by LIST/INFO etc.), accepts
-    PCM (format tag 1) at 8/16/24/32 bits."""
+    linear PCM (format tag 1) at 8/16/24/32 bits plus the G.711
+    companded telephony formats — mu-law (tag 7) and A-law (tag 6) —
+    expanded to 16-bit linear via the standard tables."""
     if not is_wav(payload):
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, len(payload)
@@ -103,8 +138,22 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, _, _, bits = fmt
+    if tag == 7:  # G.711 mu-law: 8-bit companded -> 16-bit linear
+        arr = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int32
+        )
+        n = (len(arr) // channels) * channels
+        return rate, channels, bits, arr[:n].reshape(-1, channels)
+    if tag == 6:  # G.711 A-law
+        arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int32
+        )
+        n = (len(arr) // channels) * channels
+        return rate, channels, bits, arr[:n].reshape(-1, channels)
     if tag != 1:
-        raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+        raise ValueError(
+            f"unsupported WAV format tag {tag} (PCM/mu-law/A-law only)"
+        )
     if bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:

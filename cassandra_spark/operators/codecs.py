@@ -45,6 +45,8 @@ def sniff_mime(data: bytes) -> str | None:
         return PNG_MIME
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/x-msvideo"  # demuxed by operators/avi.py, not here
+    if data[:10] == b"YUV4MPEG2 ":
+        return "video/x-yuv4mpeg"  # demuxed by operators/y4m.py
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return GIF_MIME
     return None

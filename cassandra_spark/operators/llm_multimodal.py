@@ -16,7 +16,8 @@ multi-scan coefficient accumulation, cross-checked against Java ImageIO)
 decode to actual RGB pixels, flow through the pipeline as a binary pixels
 column, and resize runs a real nearest-neighbor resample —
 ``allow_stub=False`` end-to-end. Video is REAL for AVI containers (MJPG /
-raw-DIB streams, operators/avi.py) AND animated GIF (delta-frame
+raw-DIB streams, operators/avi.py), Y4M/YUV4MPEG2 (C420/C422/C444/mono,
+operators/y4m.py) AND animated GIF (delta-frame
 compositing with disposal/transparency semantics, codecs.py):
 sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
@@ -263,6 +264,11 @@ def sample_frames(
         is_avi,
     )
     from cassandra_spark.operators.codecs import decode_gif_frames
+    from cassandra_spark.operators.y4m import (
+        decode_y4m_frame,
+        demux_y4m,
+        is_y4m,
+    )
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -289,6 +295,24 @@ def sample_frames(
                             (doc_id, i, ts, hashes[src], src, gw, gh)
                         )
                     continue
+                if is_y4m(payload):
+                    stream = demux_y4m(payload)
+                    decoded: dict[int, str] = {}
+                    duration = int(stream.duration_ms)
+                    for i, ts in enumerate(range(0, duration, every_ms)):
+                        src = min(
+                            int(ts // stream.frame_ms),
+                            len(stream.frames) - 1,
+                        )
+                        if src not in decoded:
+                            decoded[src] = hashlib.sha1(
+                                decode_y4m_frame(stream, src)
+                            ).hexdigest()
+                        rows.append(
+                            (doc_id, i, ts, decoded[src], src,
+                             stream.width, stream.height)
+                        )
+                    continue
                 if is_avi(payload):
                     stream = demux_avi(payload)
                     decoded: dict[int, str] = {}
@@ -307,9 +331,9 @@ def sample_frames(
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
-                        "payload is not an AVI (the locally-demuxable video "
-                        "container); pass allow_stub=True for the "
-                        "deterministic fake sampler"
+                        "payload is not an AVI/Y4M/animated-GIF (the "
+                        "locally-demuxable video containers); pass "
+                        "allow_stub=True for the deterministic fake sampler"
                     )
                 duration_ms = len(payload)  # 1 byte ≈ 1 ms in the stub
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):

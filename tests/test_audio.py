@@ -80,3 +80,56 @@ def test_features_empty_and_silence():
     assert _features(8000, 1, 16, np.zeros((0, 1), dtype=np.int64))[4] == 0
     r = _features(8000, 1, 16, np.zeros((50, 1), dtype=np.int64))
     assert r[5] == 0 and r[7] == 0.0 and r[8] == 0  # peak, rms, crossings
+
+
+def test_g711_expansion_properties():
+    """mu-law/A-law decode tables: correct extremes, odd symmetry, and
+    monotone magnitude growth within each sign half."""
+    import numpy as np
+
+    from cassandra_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    # mu-law: 0xFF is +0, 0x7F is -0, 0x80 is the negative extreme
+    # (-32124), 0x00 decodes to -32124's positive twin at byte 0x80^0x80
+    assert _ULAW_TABLE[0xFF] == 0
+    assert _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0x80] == 32124
+    # odd symmetry: byte b and b^0x80 are negatives of each other
+    b = np.arange(256)
+    assert (_ULAW_TABLE[b] == -_ULAW_TABLE[b ^ 0x80]).all()
+    assert (_ALAW_TABLE[b] == -_ALAW_TABLE[b ^ 0x80]).all()
+    # A-law extremes (+-32256 convention)
+    assert int(np.abs(_ALAW_TABLE).max()) == 32256
+    # magnitudes grow monotonically along each chord
+    mags = _ULAW_TABLE[np.arange(0x7F, -1, -1)]  # negative half reversed
+    assert (np.diff(-mags) >= 0).all()
+
+
+def test_wav_g711_roundtrip_through_decoder():
+    """A hand-built mu-law/A-law WAV decodes through the normal RIFF walk
+    with the table-expanded samples."""
+    import struct
+
+    import numpy as np
+
+    from cassandra_spark.operators.audio import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+    )
+
+    def wav(tag: int, payload: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    raw = bytes(range(0, 256, 8))
+    for tag, table in ((7, _ULAW_TABLE), (6, _ALAW_TABLE)):
+        rate, ch, bits, samples = decode_wav(wav(tag, raw))
+        assert (rate, ch, bits) == (8000, 1, 8)
+        assert (samples[:, 0] == table[np.frombuffer(raw, np.uint8)]).all()

@@ -1257,3 +1257,100 @@ def test_lossless_jpeg_flows_through_decode_image():
     rgb = bytes(range(48)) * 2  # 4x8 RGB
     data = encode_jpeg_lossless(4, 8, rgb)
     assert decode_image(data) == ("image/jpeg", 4, 8, 3, rgb)
+
+
+# --- Y4M video (operators/y4m.py) --------------------------------------------
+
+
+def test_y4m_roundtrip_c444_exact():
+    """C444 Y4M: YUV is full-range BT.601 like the JPEG path, so a
+    round-trip differs from the source by at most rounding (|err| <= 2),
+    and geometry/fps parse exactly."""
+    import numpy as np
+
+    from cassandra_spark.operators.y4m import (
+        decode_y4m_frame,
+        demux_y4m,
+        encode_y4m,
+    )
+
+    frames = [
+        bytes(
+            ((x * 31 + y * 7 + k * 41) % 256)
+            for y in range(6)
+            for x in range(10)
+            for k in range(3)
+        )
+        for _ in range(3)
+    ]
+    data = encode_y4m(10, 6, frames, fps_num=30, fps_den=1)
+    s = demux_y4m(data)
+    assert (s.width, s.height, s.fps_num, s.fps_den) == (10, 6, 30, 1)
+    assert len(s.frames) == 3
+    for i, f in enumerate(frames):
+        got = np.frombuffer(decode_y4m_frame(s, i), np.uint8).astype(int)
+        err = np.abs(got - np.frombuffer(f, np.uint8).astype(int))
+        assert err.max() <= 2, err.max()
+
+
+def test_y4m_c420_subsample_and_mono():
+    import numpy as np
+
+    from cassandra_spark.operators.y4m import (
+        decode_y4m_frame,
+        demux_y4m,
+        encode_y4m,
+    )
+
+    frame = bytes(
+        ((x * 13 + y * 29) % 256) for y in range(8) for x in range(12)
+        for _ in range(3)
+    )  # gray content: chroma planes are flat 128, so 420 is lossless-ish
+    data = encode_y4m(12, 8, [frame], colorspace="420jpeg")
+    s = demux_y4m(data)
+    assert s.colorspace == "420jpeg"
+    got = np.frombuffer(decode_y4m_frame(s, 0), np.uint8).astype(int)
+    err = np.abs(got - np.frombuffer(frame, np.uint8).astype(int))
+    assert err.max() <= 2
+    # mono: hand-build a Cmono stream
+    y = bytes((i * 3) % 256 for i in range(12 * 8))
+    mono = b"YUV4MPEG2 W12 H8 F25:1 Cmono\n" + b"FRAME\n" + y
+    sm = demux_y4m(mono)
+    rgb = decode_y4m_frame(sm, 0)
+    assert rgb[0::3] == y and rgb[1::3] == y and rgb[2::3] == y
+
+
+def test_y4m_sniffs_and_flows_through_sampler(spark):
+    """sample_frames treats Y4M as a REAL video container: cadence from
+    the F tag, hashes of decoded RGB, geometry as provenance."""
+    import hashlib
+
+    from cassandra_spark.operators.codecs import sniff_mime
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.y4m import (
+        decode_y4m_frame,
+        demux_y4m,
+        encode_y4m,
+    )
+
+    frames = [bytes((k * 50 + 10,)) * (8 * 4 * 3) for k in range(4)]
+    data = encode_y4m(8, 4, frames, fps_num=4, fps_den=1)  # 250 ms/frame
+    assert sniff_mime(data) == "video/x-yuv4mpeg"
+    docs = spark.createDataFrame(
+        [(9, bytearray(data))], "doc_id bigint, payload binary"
+    )
+    out = sorted(
+        sample_frames(
+            docs, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # 1000 ms / 500 ms = 2 samples at frames 0 and 2
+    assert [r.frame_ts_ms for r in out] == [0, 500]
+    assert [r.src_frame for r in out] == [0, 2]
+    s = demux_y4m(data)
+    for r in out:
+        assert r.frame_sha == hashlib.sha1(
+            decode_y4m_frame(s, r.src_frame)
+        ).hexdigest()
+    assert all((r.width, r.height) == (8, 4) for r in out)
