@@ -1354,3 +1354,69 @@ def test_y4m_sniffs_and_flows_through_sampler(spark):
             decode_y4m_frame(s, r.src_frame)
         ).hexdigest()
     assert all((r.width, r.height) == (8, 4) for r in out)
+
+
+# --- hypothesis property tests: entropy coders never corrupt ----------------
+
+
+def test_qm_coder_hypothesis_roundtrip():
+    """Property: ANY bit sequence over ANY context assignment round-trips
+    through the QM coder exactly (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.jpeg_arith import (
+        FIXED_BIN_INDEX,
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 1)),
+            min_size=0,
+            max_size=400,
+        )
+    )
+    def run(seq):
+        enc = ArithEncoder()
+        est = [[0, 0] for _ in range(6)] + [[FIXED_BIN_INDEX, 0]]
+        for ctx, bit in seq:
+            enc.encode(est[ctx], bit)
+        data = enc.flush()
+        dec = ArithDecoder(data + b"\xff\xd9", 0)
+        est2 = [[0, 0] for _ in range(6)] + [[FIXED_BIN_INDEX, 0]]
+        assert [dec.decode(est2[c]) for c, _ in seq] == [b for _, b in seq]
+
+    run()
+
+
+def test_lossless_jpeg_hypothesis_roundtrip():
+    """Property: random images round-trip byte-exactly through SOF3 for a
+    random predictor (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.integers(1, 7),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(w, h, pred, seed):
+        rgb = bytes(
+            (seed * 1103515245 + i * 12345 + 17) % 256
+            for i in range(w * h * 3)
+        )
+        assert decode_jpeg(encode_jpeg_lossless(w, h, rgb, pred)) == (
+            w, h, 3, rgb,
+        )
+
+    run()
