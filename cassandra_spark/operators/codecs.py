@@ -11,9 +11,10 @@ Video decode for AVI containers (MJPG / raw-DIB) lives in operators/
 avi.py and animated GIF decodes here (decode_gif_frames); arithmetic-
 coded JPEG (SOF9 sequential + SOF10 progressive, QM-coder) decodes in
 operators/jpeg_arith.py; 12-bit precision decodes with output scaled to the
-8-bit RGB contract; lossless SOF3 decodes byte-exactly in jpeg.py. The
-remaining gated variants (hierarchical / lossless-arithmetic JPEG,
-non-AVI video containers) degrade to the stub path in
+8-bit RGB contract; lossless SOF3 decodes byte-exactly and hierarchical
+progressions (DHP/EXP/SOF5) decode in jpeg.py. The remaining gated
+variants (arithmetic differential/lossless JPEG, compressed non-AVI/
+non-Y4M video containers) degrade to the stub path in
 llm_multimodal.py. The Spark-side contract
 (batch shape, schema, partitioning) is identical either way.
 

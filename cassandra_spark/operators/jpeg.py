@@ -9,11 +9,13 @@ Scope (documented honestly):
   2×2 (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers
   (DRI/RSTn), APPn/COM skipped. Progressive Huffman (SOF2) decodes here
   too, and arithmetic-coded sequential/progressive (SOF9/SOF10,
-  QM-coder) decode via operators/jpeg_arith.py, and lossless-Huffman
-  (SOF3, all 7 Annex-H predictors, byte-exact) decodes here. Only
-  hierarchical and lossless-arithmetic variants raise ``ValueError`` —
-  the multimodal pipeline degrades those payloads to the stub path
-  instead of failing the job.
+  QM-coder) decode via operators/jpeg_arith.py, lossless-Huffman
+  (SOF3, all 7 Annex-H predictors, byte-exact) decodes here, and
+  HIERARCHICAL progressions (Annex J: DHP + EXP reference expansion +
+  SOF5 differential sequential stages) decode here too. Only the
+  arithmetic differential/lossless variants (SOF11/13-15) raise
+  ``ValueError`` — the multimodal pipeline degrades those payloads to
+  the stub path instead of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
   scaled by an IJG-style quality knob, standard Huffman tables written
   into DHT segments (the decoder always reads tables from the stream, so
@@ -670,6 +672,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     coefs: list[np.ndarray] | None = None
     pred: list[int] = []
     restart_interval = 0
+    hier: dict | None = None  # hierarchical progression state (Annex J)
+    differential = False
     n = len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -708,7 +712,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0-3/9/10
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xDE):
+            # SOF0-3/9/10, SOF5 (differential sequential), DHP
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit precision supported")
@@ -718,16 +723,36 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if marker == 0xDE:  # DHP: hierarchical progression header
+                hier = {"h": h, "w": w_, "comps": comps, "refs": None}
+                pos += seglen
+                continue
             frame = (h, w_, comps)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
+            differential = marker == 0xC5
+            if differential and hier is None:
+                raise ValueError("differential frame outside DHP")
+            if hier is not None and (progressive or arith or lossless):
+                raise ValueError(
+                    "hierarchical stages support sequential Huffman only"
+                )
+        elif marker in (0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only DCT (baseline/progressive, Huffman or arithmetic) "
-                "and lossless-Huffman (SOF3) JPEG are supported"
+                "only DCT (baseline/progressive, Huffman or arithmetic), "
+                "lossless-Huffman (SOF3), and hierarchical sequential-"
+                "Huffman (DHP/SOF5) JPEG are supported"
             )
+        elif marker == 0xDF:  # EXP: expand the hierarchical reference
+            if hier is None or hier["refs"] is None:
+                raise ValueError("EXP outside a hierarchical progression")
+            eh, ev = seg[0] >> 4, seg[0] & 0xF
+            hier["refs"] = [
+                _exp_expand(r, eh, ev).astype(np.float64)
+                for r in hier["refs"]
+            ]
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 1 < len(seg):
@@ -748,6 +773,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
+            if hier is not None:
+                planes, endpos = _decode_scan_planes(
+                    data, pos + seglen, frame, scan, qt, huff,
+                    restart_interval,
+                    shift=0.0 if differential else float(1 << (prec - 1)),
+                    scale=float(1 << (prec - 8)),
+                )
+                fh, fw, _ = frame
+                planes = [pl[:fh, :fw] for pl in planes]
+                if differential:
+                    refs = hier["refs"]
+                    if refs is None:
+                        raise ValueError("differential stage before any "
+                                         "non-differential frame")
+                    hier["refs"] = [
+                        r[:fh, :fw] + pl for r, pl in zip(refs, planes)
+                    ]
+                else:
+                    hier["refs"] = [
+                        np.clip(np.rint(pl), 0, 255) for pl in planes
+                    ]
+                pos = endpos
+                continue
             if lossless:
                 return _decode_scan_lossless(
                     data, pos + seglen, frame, scan,
@@ -799,6 +847,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             continue
         pos += seglen
+    if hier is not None and hier["refs"] is not None:
+        fh, fw = hier["h"], hier["w"]
+        planes = [
+            np.asarray(r, dtype=np.float64)[:fh, :fw] for r in hier["refs"]
+        ]
+        return _planes_to_rgb(planes, hier["comps"], fh, fw, 1, 1)
     if progressive and coefs is not None:
         return _render_progressive(frame, coefs, qt, prec=prec)
     raise ValueError("no scan data found")
@@ -999,8 +1053,21 @@ def _render_progressive(frame, coefs, qt, prec=8):
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
                  prec=8):
     h, w, comps = frame
-    shift = float(1 << (prec - 1))
-    scale = float(1 << (prec - 8))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes, _ = _decode_scan_planes(
+        data, pos, frame, scan, qt, huff, restart_interval,
+        shift=float(1 << (prec - 1)), scale=float(1 << (prec - 8)),
+    )
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _decode_scan_planes(data, pos, frame, scan, qt, huff, restart_interval,
+                        shift=128.0, scale=1.0):
+    """Sequential-Huffman scan → (component planes, end-of-scan pos).
+    ``shift`` is the inverse level shift (0 for hierarchical differential
+    frames); planes stay float at MCU-padded size."""
+    h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -1064,7 +1131,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
                         planes[ci][by : by + 8, bx : bx + 8] = block
             mcu_count += 1
 
-    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+    return planes, _scan_end(data, pos)
 
 
 def _planes_to_rgb(planes, comps, h, w, hmax, vmax):
@@ -1343,3 +1410,202 @@ def _decode_scan_lossless(data, pos, frame, scan, huff, sel, pt, prec,
     if nc == 1:
         out = np.repeat(out, 3, axis=-1)
     return w, h, 3, out.tobytes()
+
+
+# --- hierarchical JPEG (SOF5 differential stages, spec Annex J) -------------
+#
+# The pyramid mode: DHP declares the full-size progression, a reduced-
+# resolution NON-differential frame decodes normally, EXP doubles the
+# reference with the spec's (a+b+1)/2 interpolation filter, and each
+# DIFFERENTIAL frame (SOF5: sequential Huffman, no level shift) adds its
+# decoded difference to the reference. Scope: 8-bit, 4:4:4 stages, one
+# expansion per axis between stages (what encode_jpeg_hierarchical
+# emits); lossless final stages (SOF7) and arithmetic differential
+# variants stay out (documented).
+
+
+def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.3 reference expansion: out[2i] = in[i], out[2i+1] =
+    (in[i] + in[i+1] + 1) >> 1, last output replicates the edge."""
+    p = plane.astype(np.int64)
+    if eh:
+        hh, ww = p.shape
+        out = np.empty((hh, 2 * ww), dtype=np.int64)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        hh, ww = p.shape
+        out = np.empty((2 * hh, ww), dtype=np.int64)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _box_down2(plane: np.ndarray) -> np.ndarray:
+    """Edge-padded 2x2 box mean (the encoder's pyramid filter — any
+    downsampler is legal; the decoder never sees it)."""
+    h, w = plane.shape
+    ph, pw = (h + 1) & ~1, (w + 1) & ~1
+    p = np.empty((ph, pw))
+    p[:h, :w] = plane
+    if ph > h:
+        p[h:, :w] = plane[-1:, :]
+    if pw > w:
+        p[:, w:] = p[:, w - 1 : w]
+    return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+
+def _encode_seq_frame(
+    planes: list[np.ndarray], qts, marker: int, shift: float
+) -> tuple[bytes, list[np.ndarray]]:
+    """Encode float planes as one sequential-Huffman frame (SOF ``marker``,
+    4:4:4) and return (frame bytes incl. SOF/DHT/SOS, the decoder's
+    reconstruction of each plane — needed to build the next differential
+    stage)."""
+    h, w = planes[0].shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    blocks = []
+    recon = []
+    for ci, plane in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = plane
+        if ph > h:
+            pp[h:, :w] = plane[-1:, :]
+        if pw > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        rec = np.empty((ph, pw))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+                deq = (q * qts[ti]).reshape(8, 8)
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ deq @ _DCT + shift
+                )
+        blocks.append(zz)
+        recon.append(rec[:h, :w])
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(planes)):
+                ti = 0 if ci == 0 else 1
+                zz = blocks[ci][by, bx]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, bits = _magnitude(diff)
+                code, length = dc_tabs[ti][t]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits, t)
+                run = 0
+                for i in range(1, 64):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[ti][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    t, bits = _magnitude(v)
+                    code, length = ac_tabs[ti][(run << 4) | t]
+                    bw.write(code, length)
+                    bw.write(bits, t)
+                    run = 0
+                if run:
+                    code, length = ac_tabs[ti][0x00]
+                    bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += bytes((0xFF, marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
+    )
+    for ci in range(len(planes)):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for cls, tid, bits_, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        payload = bytes(bits_) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + len(payload), (cls << 4) | tid
+        )
+        out += payload
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+    for ci in range(len(planes)):
+        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    return bytes(out), recon
+
+
+def encode_jpeg_hierarchical(
+    width: int, height: int, rgb: bytes, quality: int = 85
+) -> bytes:
+    """Top-down RGB bytes → hierarchical JPEG (Annex J): DHP, a half-
+    resolution SOF0 stage, EXP(1,1), one full-resolution SOF5
+    differential stage. The differential stage encodes original minus
+    the decoder's own expanded stage-1 reconstruction, so fidelity at
+    full size is bounded by the stage-2 quantizer alone."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    qts = [
+        _quality_scale(_QT_LUMA, quality),
+        _quality_scale(_QT_CHROMA, quality),
+    ]
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qtab in enumerate(qts):
+        zzq = bytes(int(qtab[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq
+    # DHP: the full-size progression frame header (no quant selectors used)
+    out += b"\xff\xde" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    # stage 1: half resolution, non-differential
+    small = [_box_down2(p) for p in planes]
+    frame1, recon1 = _encode_seq_frame(small, qts, 0xC0, 128.0)
+    out += frame1
+    # EXP both axes, then the full-size differential stage
+    out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)
+    refs = [
+        _exp_expand(
+            np.clip(np.rint(rc), 0, 255), 1, 1
+        ).astype(np.float64)[:height, :width]
+        for rc in recon1
+    ]
+    diffs = [p - rf for p, rf in zip(planes, refs)]
+    frame2, _ = _encode_seq_frame(diffs, qts, 0xC5, 0.0)
+    out += frame2
+    out += b"\xff\xd9"
+    return bytes(out)

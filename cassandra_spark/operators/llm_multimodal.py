@@ -23,8 +23,9 @@ sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
 JPEG (SOF9 sequential AND SOF10 progressive) decodes via
 operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
-contract; lossless SOF3 decodes byte-exactly. Remaining formats (other
-video containers, hierarchical / lossless-arithmetic JPEG) still raise
+contract; lossless SOF3 decodes byte-exactly; hierarchical progressions
+(DHP/EXP/SOF5) decode. Remaining formats (compressed non-AVI/non-Y4M
+video containers, arithmetic differential/lossless JPEG) still raise
 unless the caller opts into the deterministic fake
 decoder; the Spark-side contract (schema, Arrow batch shape,
 partitioning) is identical for both paths.

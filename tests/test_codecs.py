@@ -1420,3 +1420,66 @@ def test_lossless_jpeg_hypothesis_roundtrip():
         )
 
     run()
+
+
+def test_hierarchical_jpeg_pyramid_roundtrip():
+    """Annex-J hierarchical: DHP + half-res SOF0 stage + EXP + full-res
+    SOF5 differential stage. Fidelity at full size is bounded by the
+    stage-2 quantizer (comparable to plain sequential at the same
+    quality), and the error tightens as quality rises."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    from cassandra_spark.operators.jpeg import encode_jpeg
+
+    for w, h in ((16, 24), (9, 7), (33, 17)):
+        rgb = b"".join(
+            bytes(
+                ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256,
+                 (x * x + y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        src = np.frombuffer(rgb, np.uint8).astype(int)
+        prev_err = None
+        for q in (60, 85, 95):
+            data = encode_jpeg_hierarchical(w, h, rgb, q)
+            assert b"\xff\xde" in data and b"\xff\xdf" in data  # DHP, EXP
+            assert b"\xff\xc5" in data  # differential frame
+            w2, h2, c, out = decode_jpeg(data)
+            assert (w2, h2, c) == (w, h, 3)
+            err = int(np.abs(
+                np.frombuffer(out, np.uint8).astype(int) - src
+            ).max())
+            seq_err = int(np.abs(
+                np.frombuffer(
+                    decode_jpeg(encode_jpeg(w, h, rgb, q))[3], np.uint8
+                ).astype(int) - src
+            ).max())
+            # the pyramid's full-size fidelity tracks plain sequential at
+            # the same quality (stage-2 residual quantization dominates)
+            assert err <= seq_err + 20, (w, h, q, err, seq_err)
+            if prev_err is not None:
+                assert err <= prev_err + 2, (w, h, q)  # quality monotone
+            prev_err = err
+
+
+def test_hierarchical_jpeg_rejects_illegal_structure():
+    import pytest as _pytest
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    # differential frame with no DHP
+    import struct
+
+    bad = bytearray(b"\xff\xd8")
+    bad += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, 4, 4, 1)
+    bad += struct.pack("BBB", 1, 0x11, 0)
+    bad += b"\xff\xd9"
+    with _pytest.raises(ValueError, match="differential frame outside"):
+        decode_jpeg(bytes(bad))
