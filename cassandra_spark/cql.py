@@ -142,6 +142,64 @@ def _where_columns(where: str, columns: set[str]) -> set[str]:
     }
 
 
+def _rewrite_list_literals(where: str) -> str:
+    """``[a, b]`` → ``array(a, b)`` outside single-quoted string literals,
+    skipping subscripts (bracket groups attached to an identifier/']'/')'
+    — with or without intervening whitespace, both legal CQL)."""
+    out: list[str] = []
+    i, n = 0, len(where)
+    while i < n:
+        ch = where[i]
+        if ch == "'":  # string literal: copy verbatim ('' = escaped quote)
+            j = i + 1
+            while j < n:
+                if where[j] == "'":
+                    if j + 1 < n and where[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(where[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "[":
+            k = len(out) - 1
+            prev = ""
+            while k >= 0:
+                seg = out[k].rstrip()
+                if seg:
+                    prev = seg[-1]
+                    break
+                k -= 1
+            if prev and (prev.isalnum() or prev in "_])'"):
+                out.append(ch)  # subscript (or follows a literal): keep
+                i += 1
+                continue
+            # find the matching ']' with quoted spans opaque
+            j = i + 1
+            while j < n and where[j] != "]":
+                if where[j] == "'":
+                    j += 1
+                    while j < n:
+                        if where[j] == "'":
+                            if j + 1 < n and where[j + 1] == "'":
+                                j += 2
+                                continue
+                            break
+                        j += 1
+                j += 1
+            if j >= n:
+                out.append(ch)  # unterminated: leave untouched
+                i += 1
+                continue
+            out.append("array(" + where[i + 1 : j] + ")")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
     """CQL-only surface forms → Spark SQL equivalents. ``map_cols`` names
     the MAP-typed columns: CQL ``CONTAINS`` on a map is VALUE-side
@@ -168,9 +226,11 @@ def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
         where,
         flags=re.IGNORECASE,
     )
-    # [..] literal (NOT a subscript — no identifier/bracket right before)
-    # → array(..): CQL frozen-list equality for FULL-indexed columns
-    where = re.sub(r"(?<![\w\]\)])\[([^\][]*)\]", r"array(\1)", where)
+    # [..] literal → array(..): CQL frozen-list equality for FULL-indexed
+    # columns. Applied OUTSIDE string literals only, and never to a
+    # subscript — a bracket group whose nearest preceding non-space char
+    # is an identifier char / ']' / ')' (``attrs['k']``, ``attrs ['k']``).
+    where = _rewrite_list_literals(where)
     # token(pk) → cassandra_token(pk): bit-exact Murmur3Partitioner
     # tokens (operators/murmur3.py), registered per session by
     # cql_select, so a driver-supplied token bound matches production

@@ -138,18 +138,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, _, _, bits = fmt
-    if tag == 7:  # G.711 mu-law: 8-bit companded -> 16-bit linear
-        arr = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
-            np.int32
-        )
+    if tag in (6, 7):  # G.711 A-law / mu-law: 8-bit companded storage
+        table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+        arr = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
         n = (len(arr) // channels) * channels
-        return rate, channels, bits, arr[:n].reshape(-1, channels)
-    if tag == 6:  # G.711 A-law
-        arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
-            np.int32
-        )
-        n = (len(arr) // channels) * channels
-        return rate, channels, bits, arr[:n].reshape(-1, channels)
+        # bits reports the DECODED amplitude width (16), not the stored
+        # byte width: consumers scale peak/RMS by 2^(bits-1), and the
+        # expanded samples span +-32k — reporting 8 would mis-scale 256x
+        return rate, channels, 16, arr[:n].reshape(-1, channels)
     if tag != 1:
         raise ValueError(
             f"unsupported WAV format tag {tag} (PCM/mu-law/A-law only)"

@@ -427,9 +427,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 def decode_image(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     """Dispatch on magic number: (mime, w, h, channels, top-down RGB), or
     None when the format isn't locally decodable (caller decides
-    stub/raise). Raises ValueError for recognized-but-unsupported variants
-    (e.g. lossless or hierarchical JPEG) — decode_batch degrades those
-    to the stub."""
+    stub/raise). Raises ValueError for recognized-but-unsupported
+    variants (e.g. arithmetic-lossless JPEG) or corrupt payloads —
+    decode_batch degrades those to the stub."""
     mime = sniff_mime(data)
     if mime == BMP_MIME:
         return (mime, *decode_bmp(data))

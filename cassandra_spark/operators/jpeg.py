@@ -228,6 +228,38 @@ def _rgb_to_quantized(
     return out, qts, nby, nbx
 
 
+
+def _emit_block_huffman(bw, zz, dc_tab, ac_tab, pred, ci) -> None:
+    """Emit one quantized block (scan order) through the sequential
+    Huffman model: DC diff + run-length AC with ZRL/EOB. Shared by every
+    sequential encoder (baseline, 12-bit, hierarchical stages)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t, bits = _magnitude(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(bits, t)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+
+
 def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes:
     """Top-down RGB bytes → baseline sequential JPEG (YCbCr 4:4:4)."""
     if len(rgb) != width * height * 3:
@@ -248,34 +280,10 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 85) -> bytes
         for bx in range(nbx):
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
-                zz = blocks[ci][by, bx]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                t, bits = _magnitude(diff)
-                code, length = dc_tabs[ti][t]
-                w.write(code, length)
-                if t:
-                    w.write(bits, t)
-                # AC with run-length + ZRL/EOB
-                run = 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tabs[ti][0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    t, bits = _magnitude(v)
-                    code, length = ac_tabs[ti][(run << 4) | t]
-                    w.write(code, length)
-                    w.write(bits, t)
-                    run = 0
-                if run:
-                    code, length = ac_tabs[ti][0x00]  # EOB
-                    w.write(code, length)
+                _emit_block_huffman(
+                    w, blocks[ci][by, bx], dc_tabs[ti], ac_tabs[ti],
+                    pred, ci,
+                )
     w.flush()
 
     out = bytearray()
@@ -655,8 +663,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     shared EOB runs — spec Annex G / the jdphuff.c algorithms) and are
     rendered once at EOI. Arithmetic-coded variants (SOF9 sequential,
     SOF10 progressive) route to operators/jpeg_arith.py; 12-bit
-    precision decodes with output scaled to the 8-bit RGB contract.
-    Raises ``ValueError`` for lossless and hierarchical variants."""
+    precision decodes with output scaled to the 8-bit RGB contract;
+    lossless SOF3 decodes byte-exactly; hierarchical progressions
+    (DHP/EXP/SOF5) render their reference pyramid at EOI. Raises
+    ``ValueError`` only for the arithmetic differential/lossless
+    variants (SOF11/13-15)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1217,32 +1228,10 @@ def encode_jpeg_12bit(
         for bx in range(nbx):
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
-                zz = blocks[ci][by, bx]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                t, bits = _magnitude(diff)
-                code, length = dc_tabs[ti][t]
-                w.write(code, length)
-                if t:
-                    w.write(bits, t)
-                run = 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tabs[ti][0xF0]
-                        w.write(code, length)
-                        run -= 16
-                    t, bits = _magnitude(v)
-                    code, length = ac_tabs[ti][(run << 4) | t]
-                    w.write(code, length)
-                    w.write(bits, t)
-                    run = 0
-                if run:
-                    code, length = ac_tabs[ti][0x00]
-                    w.write(code, length)
+                _emit_block_huffman(
+                    w, blocks[ci][by, bx], dc_tabs[ti], ac_tabs[ti],
+                    pred, ci,
+                )
     w.flush()
 
     out = bytearray()
@@ -1507,32 +1496,10 @@ def _encode_seq_frame(
         for bx in range(nbx):
             for ci in range(len(planes)):
                 ti = 0 if ci == 0 else 1
-                zz = blocks[ci][by, bx]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                t, bits = _magnitude(diff)
-                code, length = dc_tabs[ti][t]
-                bw.write(code, length)
-                if t:
-                    bw.write(bits, t)
-                run = 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tabs[ti][0xF0]
-                        bw.write(code, length)
-                        run -= 16
-                    t, bits = _magnitude(v)
-                    code, length = ac_tabs[ti][(run << 4) | t]
-                    bw.write(code, length)
-                    bw.write(bits, t)
-                    run = 0
-                if run:
-                    code, length = ac_tabs[ti][0x00]
-                    bw.write(code, length)
+                _emit_block_huffman(
+                    bw, blocks[ci][by, bx], dc_tabs[ti], ac_tabs[ti],
+                    pred, ci,
+                )
     bw.flush()
 
     out = bytearray()

@@ -271,64 +271,64 @@ def sample_frames(
         is_y4m,
     )
 
+    def video_rows(doc_id, payload):
+        """Rows for a recognized video container, None for non-video.
+        Corrupt recognized payloads raise ValueError (handled by run)."""
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            gw, gh, gframes = decode_gif_frames(payload)
+            delays = [d if d > 0 else 100 for d, _ in gframes]
+            starts = [0]
+            for d in delays[:-1]:
+                starts.append(starts[-1] + d)
+            duration = starts[-1] + delays[-1]
+            hashes: dict[int, str] = {}
+            rows = []
+            for i, ts in enumerate(range(0, duration, every_ms)):
+                src_f = max(j for j, st in enumerate(starts) if st <= ts)
+                if src_f not in hashes:
+                    hashes[src_f] = hashlib.sha1(
+                        gframes[src_f][1]
+                    ).hexdigest()
+                rows.append((doc_id, i, ts, hashes[src_f], src_f, gw, gh))
+            return rows
+        if is_y4m(payload):
+            stream, decode = demux_y4m(payload), decode_y4m_frame
+        elif is_avi(payload):
+            stream, decode = demux_avi(payload), decode_avi_frame
+        else:
+            return None
+        decoded: dict[int, str] = {}
+        rows = []
+        for i, ts in enumerate(range(0, int(stream.duration_ms), every_ms)):
+            src_f = min(int(ts // stream.frame_ms), len(stream.frames) - 1)
+            if src_f not in decoded:
+                decoded[src_f] = hashlib.sha1(
+                    decode(stream, src_f)
+                ).hexdigest()
+            rows.append(
+                (doc_id, i, ts, decoded[src_f], src_f,
+                 stream.width, stream.height)
+            )
+        return rows
+
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:6] in (b"GIF87a", b"GIF89a"):
-                    gw, gh, gframes = decode_gif_frames(payload)
-                    delays = [d if d > 0 else 100 for d, _ in gframes]
-                    starts = [0]
-                    for d in delays[:-1]:
-                        starts.append(starts[-1] + d)
-                    duration = starts[-1] + delays[-1]
-                    hashes: dict[int, str] = {}
-                    for i, ts in enumerate(range(0, duration, every_ms)):
-                        src = max(
-                            j for j, s in enumerate(starts) if s <= ts
-                        )
-                        if src not in hashes:
-                            hashes[src] = hashlib.sha1(
-                                gframes[src][1]
-                            ).hexdigest()
-                        rows.append(
-                            (doc_id, i, ts, hashes[src], src, gw, gh)
-                        )
-                    continue
-                if is_y4m(payload):
-                    stream = demux_y4m(payload)
-                    decoded: dict[int, str] = {}
-                    duration = int(stream.duration_ms)
-                    for i, ts in enumerate(range(0, duration, every_ms)):
-                        src = min(
-                            int(ts // stream.frame_ms),
-                            len(stream.frames) - 1,
-                        )
-                        if src not in decoded:
-                            decoded[src] = hashlib.sha1(
-                                decode_y4m_frame(stream, src)
-                            ).hexdigest()
-                        rows.append(
-                            (doc_id, i, ts, decoded[src], src,
-                             stream.width, stream.height)
-                        )
-                    continue
-                if is_avi(payload):
-                    stream = demux_avi(payload)
-                    decoded: dict[int, str] = {}
-                    duration = int(stream.duration_ms)
-                    for i, ts in enumerate(range(0, duration, every_ms)):
-                        src = min(
-                            int(ts // stream.frame_ms), len(stream.frames) - 1
-                        )
-                        if src not in decoded:
-                            rgb = decode_avi_frame(stream, src)
-                            decoded[src] = hashlib.sha1(rgb).hexdigest()
-                        rows.append(
-                            (doc_id, i, ts, decoded[src], src,
-                             stream.width, stream.height)
-                        )
+                try:
+                    vid = video_rows(doc_id, payload)
+                except ValueError as exc:
+                    # recognized container, corrupt body: degrade to the
+                    # stub when opted in (decode_batch's convention),
+                    # else surface the codec error
+                    if not allow_stub:
+                        raise ValueError(
+                            f"corrupt video payload (doc {doc_id}): {exc}"
+                        ) from exc
+                    vid = None
+                if vid is not None:
+                    rows.extend(vid)
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
@@ -336,7 +336,7 @@ def sample_frames(
                         "locally-demuxable video containers); pass "
                         "allow_stub=True for the deterministic fake sampler"
                     )
-                duration_ms = len(payload)  # 1 byte ≈ 1 ms in the stub
+                duration_ms = len(payload)  # 1 byte ~= 1 ms in the stub
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     chunk = payload[ts : ts + every_ms]
                     rows.append(

@@ -660,12 +660,15 @@ def l27_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The production ingestion pattern: the corpus is already deduped; a new
 # crawl batch arrives and each new document is admitted iff no verified
-# near-dup exists in (existing corpus ∪ earlier-admitted new docs) —
-# first occurrence wins ACROSS corpus versions, and the existing corpus
-# is never re-deduped (its signatures are reusable state; at 100 TB they
-# are a persisted table, not a recompute). Batch membership reuses the
-# l25 split hash: bucket >= 900 is the "new batch" (~10%), and within
-# the batch admission order is doc_id.
+# near-dup exists in (existing corpus ∪ earlier-ARRIVED batch docs, by
+# doc_id) — the parallel-friendly arrival-order policy: a doc that
+# duplicates a REJECTED earlier doc is also rejected, because that
+# content is transitively represented by whatever the earlier doc itself
+# duplicated (true sequential admitted-only candidacy would serialize
+# the batch; the arrival policy is what batch pipelines ship). The
+# existing corpus is never re-deduped — its signatures are reusable
+# state (at 100 TB a persisted table, not a recompute). Batch membership
+# reuses the l25 split hash: bucket >= 900 is the "new batch" (~10%).
 
 
 @query(
@@ -715,7 +718,8 @@ def l27_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup admission of a new batch against the
-    existing corpus (see block comment). Scale posture: the existing
+    existing corpus — arrival-order candidacy, see the block comment
+    for the policy choice. Scale posture: the existing
     side contributes ONLY its (persisted-in-production) signatures to
     the band equi-join — never text, never pairwise; candidates are
     Σ bucket_new × bucket_all, linear while bucket sizes stay bounded

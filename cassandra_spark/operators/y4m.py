@@ -91,6 +91,8 @@ def demux_y4m(data: bytes) -> Y4MStream:
         # I (interlacing), A (aspect), X (comment): parsed and ignored
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError("Y4M frame rate must be positive")
     fsize = _frame_size(width, height, colorspace)
     frames = []
     pos = nl + 1

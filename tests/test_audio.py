@@ -131,5 +131,6 @@ def test_wav_g711_roundtrip_through_decoder():
     raw = bytes(range(0, 256, 8))
     for tag, table in ((7, _ULAW_TABLE), (6, _ALAW_TABLE)):
         rate, ch, bits, samples = decode_wav(wav(tag, raw))
-        assert (rate, ch, bits) == (8000, 1, 8)
+        # bits = decoded amplitude width (16), not the 8-bit storage
+        assert (rate, ch, bits) == (8000, 1, 16)
         assert (samples[:, 0] == table[np.frombuffer(raw, np.uint8)]).all()

@@ -1682,3 +1682,22 @@ def test_audit_traced_statements_still_audited(sess):
     sess.execute("TRACING OFF")
     cats = [r.type for r in sess.audit_log().collect()]
     assert cats == ["CREATE_TABLE", "UPDATE"]
+
+
+def test_list_literal_rewrite_is_string_safe(sess):
+    """Review regression (r6): the [..] -> array(..) rewrite must not fire
+    inside string literals or on whitespace-separated subscripts."""
+    sess.execute("CREATE TABLE strsafe (k text PRIMARY KEY, name text, "
+                 "tags frozen<list<text>>)")
+    sess.execute("INSERT INTO strsafe (k, name, tags) "
+                 "VALUES ('a', '[admin] bot', ['x'])")
+    sess.execute("CREATE INDEX ss_n ON strsafe (name)")
+    sess.execute("CREATE INDEX ss_t ON strsafe (FULL(tags))")
+    got = sess.execute(
+        "SELECT k FROM strsafe WHERE name = '[admin] bot'"
+    ).collect()
+    assert [r.k for r in got] == ["a"]
+    got = sess.execute(
+        "SELECT k FROM strsafe WHERE tags = ['x']"
+    ).collect()
+    assert [r.k for r in got] == ["a"]

@@ -887,3 +887,26 @@ def test_l33_novelty_conservation(spark):
         assert abs(
             r.novelty_ppm - (1_000_000 * r.n_novel) // r.n_gram_occurrences
         ) <= 1
+
+
+def test_l4_corrupt_video_degrades_with_stub(spark):
+    """Review regression (r6): a recognized-but-corrupt video payload
+    (valid GIF magic, truncated body) degrades to the stub sampler when
+    allow_stub=True — and fails loudly with the codec error when not."""
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a only a header, no frames"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = sample_frames(
+        bad, every_ms=10, allow_stub=True, payload_col="payload"
+    ).collect()
+    assert rows and all(r.src_frame is None for r in rows)  # stub shape
+    with _pytest.raises(PythonException, match="corrupt video payload"):
+        sample_frames(
+            bad, every_ms=10, allow_stub=False, payload_col="payload"
+        ).collect()
