@@ -19,7 +19,7 @@ cheaper mixing) — the hash fn is a parameter of the builders below.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -787,4 +787,99 @@ def l32_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(deg))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L34: quality-based cluster representatives
+# ---------------------------------------------------------------------------
+#
+# Production pipelines keep the BEST document of each near-dup cluster,
+# not the lowest id: l17's components re-scored so each cluster's
+# representative maximizes (stopword-density ppm, word count) — an
+# integer-exact stand-in for a quality-classifier score — with min
+# doc_id as the final tie-break. One broadcast-join of the (small)
+# cluster table onto the quality projection, one per-cluster argmax
+# window over cluster-sized groups.
+
+_L34_QUALITY_SQL = """
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(FLOOR(1000000.0 * len(list_filter(string_split(text, ' '),
+                w -> w IN ({stops})))
+              / len(string_split(text, ' '))) AS BIGINT) AS stop_ppm
+  FROM documents
+"""
+
+
+def _l34_oracle() -> str:
+    from cassandra_spark.operators.llm_text import _STOP_SQL
+
+    # reuse l17's recursive-component body up to its final SELECT
+    body = _L17_ORACLE[: _L17_ORACLE.index("SELECT node AS doc_id")]
+    body = body.rstrip().rstrip(",")
+    return f"""
+    {body},
+    members AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT m.cluster_id, m.doc_id, q.stop_ppm, q.n_words,
+             row_number() OVER (
+               PARTITION BY m.cluster_id
+               ORDER BY q.stop_ppm DESC, q.n_words DESC, m.doc_id)
+               AS rn
+      FROM members m
+      JOIN ({_L34_QUALITY_SQL.format(stops=_STOP_SQL)}) q
+        ON q.doc_id = m.doc_id
+    )
+    SELECT s.cluster_id, s.doc_id AS rep_doc,
+           s.stop_ppm AS rep_stop_ppm, s.n_words AS rep_words,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM members m2
+             WHERE m2.cluster_id = s.cluster_id) AS n_members
+    FROM scored s WHERE s.rn = 1
+    ORDER BY s.cluster_id
+    """
+
+
+@query("l34_cluster_representatives", oracle=_l34_oracle())
+def l34_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection per near-dup cluster (see block
+    comment): l17's components joined to an integer-exact quality score,
+    per-cluster argmax by (stop_ppm, n_words, min doc_id)."""
+    from cassandra_spark.operators.llm_text import STOPWORDS
+
+    cat = Catalog(spark, sf_dir)
+    members = l17_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = F.split(F.col("text"), " ")
+    quality = cat.documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.floor(
+            1_000_000.0
+            * F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({stops}))"))
+            / F.size(words)
+        ).cast("long").alias("stop_ppm"),
+    )
+    scored = members.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("stop_ppm"), F.desc("n_words"), "doc_id"
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc"),
+            F.col("stop_ppm").alias("rep_stop_ppm"),
+            F.col("n_words").alias("rep_words"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
     )

@@ -910,3 +910,45 @@ def test_l4_corrupt_video_degrades_with_stub(spark):
         sample_frames(
             bad, every_ms=10, allow_stub=False, payload_col="payload"
         ).collect()
+
+
+def test_l34_representative_is_cluster_argmax(spark):
+    """The representative of every cluster is a member, maximizes
+    (stop_ppm, n_words) with min-doc_id tie-break, and n_members matches
+    l17's cluster sizes (one rep per cluster, clusters partition the
+    paired docs)."""
+    from collections import defaultdict
+
+    from cassandra_spark.operators.llm_dedup import (
+        l17_dedup_clusters,
+        l34_cluster_representatives,
+    )
+
+    clusters = defaultdict(set)
+    for r in l17_dedup_clusters(spark, SF_SMOKE).collect():
+        clusters[r.cluster_id].add(r.doc_id)
+    reps = {r.cluster_id: r for r in
+            l34_cluster_representatives(spark, SF_SMOKE).collect()}
+    assert set(reps) == set(clusters)
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_text import STOPWORDS
+
+    docs = {
+        r.doc_id: r.text
+        for r in Catalog(spark, SF_SMOKE).documents.collect()
+    }
+
+    def score(d):
+        ws = docs[d].split(" ")
+        return (
+            (1_000_000 * sum(w in STOPWORDS for w in ws)) // len(ws),
+            len(ws),
+            -d,
+        )
+
+    for cid, members in clusters.items():
+        r = reps[cid]
+        assert r.rep_doc in members
+        assert r.n_members == len(members)
+        best = max(members, key=score)
+        assert r.rep_doc == best, (cid, r.rep_doc, best)

@@ -124,6 +124,7 @@ STRESS_QUERIES = (
     "l31_incremental_dedup",
     "l32_dedup_triangles",
     "l33_ngram_novelty",
+    "l34_cluster_representatives",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -167,6 +168,7 @@ STRESS_QUERIES_100 = (
     "l31_incremental_dedup",
     "l32_dedup_triangles",
     "l33_ngram_novelty",
+    "l34_cluster_representatives",
 )
 
 
