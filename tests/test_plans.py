@@ -688,3 +688,11 @@ def test_batch_mutate_single_content_shuffle(spark):
     plan = plan_of(spark, "t6_batch_mutate")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan  # final per-user aggregate is map-side first
+
+
+def test_cluster_representatives_no_cartesian(spark):
+    """l34: the quality join and per-cluster argmax never produce a
+    cartesian; the final aggregate has a map-side partial phase."""
+    plan = plan_of(spark, "l34_cluster_representatives")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
