@@ -175,10 +175,14 @@ def _rewrite_list_literals(where: str) -> str:
                 out.append(ch)  # subscript (or follows a literal): keep
                 i += 1
                 continue
-            # find the matching ']' with quoted spans opaque
+            # find the MATCHING ']' — depth-counted so nested list
+            # literals ([[1,2],[3,4]]) close at the right bracket —
+            # with quoted spans opaque
             j = i + 1
-            while j < n and where[j] != "]":
-                if where[j] == "'":
+            depth = 1
+            while j < n:
+                cj = where[j]
+                if cj == "'":
                     j += 1
                     while j < n:
                         if where[j] == "'":
@@ -187,12 +191,21 @@ def _rewrite_list_literals(where: str) -> str:
                                 continue
                             break
                         j += 1
+                elif cj == "[":
+                    depth += 1
+                elif cj == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
                 j += 1
-            if j >= n:
+            if j >= n or depth != 0:
                 out.append(ch)  # unterminated: leave untouched
                 i += 1
                 continue
-            out.append("array(" + where[i + 1 : j] + ")")
+            # recurse so inner list literals rewrite too
+            out.append(
+                "array(" + _rewrite_list_literals(where[i + 1 : j]) + ")"
+            )
             i = j + 1
             continue
         out.append(ch)

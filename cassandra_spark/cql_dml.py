@@ -599,6 +599,9 @@ class CqlTable:
         self._max_wt: int | None = None  # max writetime ever logged
         self.spill_dir = spill_dir
         self.spill_threshold = spill_threshold
+        # set by the session while a triggered statement runs: spill
+        # clears _log, which would lose the cells the trigger must see
+        self._defer_flush = False
         # auto-compact once this many segments accumulate, so segment
         # count (and with it LWT read cost) stays bounded on any session
         self.compact_threshold = compact_threshold
@@ -1528,7 +1531,10 @@ class CqlTable:
         dirs live under tempfile.gettempdir() for the session lifetime
         (lazy DataFrames reference the segment files; the OS tmp reaper
         is the GC of last resort)."""
-        if self.spill_threshold is None:
+        if self.spill_threshold is None or self._defer_flush:
+            # _defer_flush: a triggered statement is executing — the
+            # session must read this statement's cells from _log before
+            # flush() clears it; it re-invokes _maybe_flush afterwards.
             return
         if len(self._log) >= self.spill_threshold:
             self._ensure_spill_dir()
@@ -1778,11 +1784,23 @@ class CqlTable:
             created += self._lcs_promote(l0, 1)
         n = 1
         while True:
+            # Walk up to the highest OCCUPIED level (recomputed per pass:
+            # promotions push segments upward), not "first empty level" —
+            # promoting victims can empty level n while n+1 just went
+            # over budget, and breaking early would leave it over budget
+            # indefinitely.
+            max_level = max(
+                (self._seg_level.get(s, 0) for s in self._segments),
+                default=0,
+            )
+            if n > max_level:
+                break
             level = [
                 s for s in self._segments if self._seg_level.get(s, 0) == n
             ]
             if not level:
-                break
+                n += 1
+                continue
             budget = self._lcs_target() * (self.lcs_fanout ** n)
             if sum(os.path.getsize(s) for s in level) <= budget:
                 n += 1

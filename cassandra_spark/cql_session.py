@@ -632,12 +632,23 @@ class PagedResult:
                 return None
             last = agg["last"]
         else:
-            # DESC clustering: struct-max is not page order; collect just
-            # the key columns of the page (bounded by page_size)
-            rows = self.df.select(*self._keys).collect()
-            if len(rows) < self._page_size:
+            # DESC clustering: struct-max is not page order, but the
+            # page's LAST row is the FIRST row under every direction
+            # flipped — one TakeOrderedAndProject job, 1 row to the
+            # driver (plus a 1-row count), mirroring the ASC branch's
+            # O(1)-row contract instead of collecting the whole page.
+            n = self.df.select(
+                F.count(F.lit(1)).alias("n")
+            ).head()["n"]
+            if n < self._page_size:
                 return None
-            last = rows[-1]
+            flipped = [
+                F.col(k).asc() if d else F.col(k).desc()
+                for k, d in zip(self._keys, self._descs)
+            ]
+            last = (
+                self.df.select(*self._keys).orderBy(*flipped).limit(1)
+            ).head()
         return base64.b64encode(
             json.dumps([_encode_cursor_val(last[k]) for k in self._keys]).encode()
         ).decode()
@@ -1024,6 +1035,14 @@ class CqlSession:
         return None
 
     def _drop_trigger(self, m: re.Match) -> None:
+        # same superuser gate as CREATE TRIGGER: the reference requires
+        # superuser for DROP TRIGGER too — without it any logged-in role
+        # could drop another role's trigger
+        roles = self._role_closure(self.current_role)
+        if not any(
+            self.roles.get(r, {}).get("is_superuser") for r in roles
+        ):
+            raise CQLError("only superusers are allowed to DROP TRIGGER")
         table = self._resolve(m.group("table"))
         name = m.group("name").lower()
         if name not in self.triggers.get(table, {}):
@@ -2096,13 +2115,20 @@ class CqlSession:
                     df.write.option("escape", '"')
                     .option("nullValue", "")
                     .option("emptyValue", "")
-                    .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                    # µs precision: the previous str(datetime) path kept
+                    # microseconds; truncating to seconds silently loses
+                    # data on a COPY TO → COPY FROM round trip
+                    .option(
+                        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                    )
                     .option("dateFormat", "yyyy-MM-dd")
                     .mode("overwrite")
                     .csv(shard_dir)
                 )
                 with open(path, "wb") as out:
-                    out.write((",".join(cols) + "\r\n").encode())
+                    # header uses the same LF terminator as the Spark
+                    # data shards (no mixed line endings)
+                    out.write((",".join(cols) + "\n").encode())
                     for part in sorted(
                         glob.glob(os.path.join(shard_dir, "part-*"))
                     ):
@@ -2536,7 +2562,12 @@ class CqlSession:
             t = self._resolve(um.group("table"))
             if t not in self.tables:
                 raise CQLError(f"unknown table {t!r}")
-            self._check_perm("AUTHORIZE")
+            # resource-scoped, same as GRANT/REVOKE <perm>: AUTHORIZE on
+            # keyspace A must not let a role grant UNMASK on keyspace B
+            self._check_perm_on(
+                "AUTHORIZE",
+                f"data/{self.table_keyspace.get(t, 'session')}/{t}",
+            )
             if um.group("verb").upper() == "GRANT":
                 self.unmasked.add(t)
             else:
@@ -2587,9 +2618,20 @@ class CqlSession:
         # statements fire their tables' triggers — bounded by depth.
         if self._trigger_depth >= 8:
             raise CQLError("trigger cascade exceeds depth 8 (loop?)")
+        # Defer spill while the statement runs: flush() clears _log, so
+        # a statement that crosses spill_threshold mid-execute would
+        # otherwise truncate the log below `before` and the trigger
+        # would silently see zero cells (dropped augments under any
+        # sustained ingest). Capture the cells first, then let the
+        # deferred flush proceed.
         before = len(t_._log)
-        result = t_.execute(stmt)
-        cells = list(t_._log[before:]) if len(t_._log) > before else []
+        t_._defer_flush = True
+        try:
+            result = t_.execute(stmt)
+            cells = list(t_._log[before:]) if len(t_._log) > before else []
+        finally:
+            t_._defer_flush = False
+        t_._maybe_flush()
         if cells:
             self._trigger_depth += 1
             try:

@@ -1,0 +1,199 @@
+"""Round-7 ADVICE regressions: trigger augments surviving a mid-statement
+spill, lcs_compact cascading past an empty level, nested list literals,
+COPY TO microsecond round-trip + uniform line endings, DROP TRIGGER
+superuser gate, and UNMASK grants checked against the granted resource."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import _rewrite_list_literals
+from cassandra_spark.cql_session import CqlSession, CQLError
+
+
+# --- high: trigger augments must survive a mid-statement spill ---------
+
+
+def _audit_fn(sess, table, cells):
+    return [
+        f"INSERT INTO audit (k, src_col, v) VALUES "
+        f"('{c[0]}', '{c[2]}', '{c[4]}')"
+        for c in cells
+        if c[5] == "cell"
+    ]
+
+
+def test_trigger_fires_across_spill_threshold(spark, tmp_path):
+    # spill_threshold=4: statements 4..6 cross flush() inside execute,
+    # which clears _log — before the fix the trigger saw zero cells for
+    # those statements and the augment silently vanished.
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE acct (k text PRIMARY KEY, v int)")
+    s.execute(
+        "CREATE TABLE audit (k text, src_col text, v text, "
+        "PRIMARY KEY (k, src_col))"
+    )
+    s.register_trigger_class("AuditTrigger", _audit_fn)
+    s.execute("CREATE TRIGGER aud ON acct USING 'AuditTrigger'")
+    for i in range(6):
+        s.execute(f"INSERT INTO acct (k, v) VALUES ('r{i}', {i})")
+    rows = {
+        (r.k, r.v)
+        for r in s.execute("SELECT k, v FROM audit").collect()
+    }
+    assert rows == {(f"r{i}", str(i)) for i in range(6)}, (
+        "every INSERT must fire exactly one augment, including the ones "
+        "whose execution crossed the spill threshold"
+    )
+    # the spill itself really happened (the bug needs a flush mid-run)
+    assert s.table("acct")._segments, "expected at least one spill segment"
+
+
+# --- medium: lcs_compact must cascade past an empty level --------------
+
+
+def test_lcs_cascade_checks_levels_past_empty(spark, tmp_path):
+    import os
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE lt (k text PRIMARY KEY, v int) WITH compaction = "
+        "{'class': 'LeveledCompactionStrategy', 'sstable_size_in_mb': '1'}"
+    )
+    t = s.table("lt")
+    t.lcs_target_bytes = 2048
+    t.lcs_fanout = 2
+    i = 0
+    for _ in range(6):
+        for _ in range(12):
+            s.execute(f"INSERT INTO lt (k, v) VALUES ('k{i}', {i})")
+            i += 1
+        t.flush()
+    # pathological state the old loop never reached: L1 EMPTY while L2
+    # is far over its byte budget — "break on first empty level" left
+    # L2 over budget forever.
+    for seg in t._segments:
+        t._seg_level[seg] = 2
+    t.lcs_compact()
+    levels: dict[int, list[str]] = {}
+    for seg in t._segments:
+        levels.setdefault(t._seg_level.get(seg, 0), []).append(seg)
+    top = max(levels)
+    assert top >= 3, "over-budget L2 should have promoted past empty L1"
+    for lvl, segs in levels.items():
+        if lvl in (0, top):
+            continue
+        budget = t._lcs_target() * (t.lcs_fanout ** lvl)
+        assert sum(os.path.getsize(p) for p in segs) <= budget
+    # data intact through the forced cascade
+    n = s.execute("SELECT count(*) AS n FROM lt").collect()[0].n
+    assert n == i
+
+
+# --- low: nested list literals rewrite cleanly --------------------------
+
+
+def test_nested_list_literal_rewrites_recursively():
+    assert (
+        _rewrite_list_literals("tags = [[1,2],[3,4]]")
+        == "tags = array(array(1,2),array(3,4))"
+    )
+    # subscripts inside a literal stay subscripts
+    assert (
+        _rewrite_list_literals("x = [m['a'], n[0]]")
+        == "x = array(m['a'], n[0])"
+    )
+    # quoted brackets stay opaque at every depth
+    assert (
+        _rewrite_list_literals("v = [['a]b', 'c'], ['d']]")
+        == "v = array(array('a]b', 'c'), array('d'))"
+    )
+    # unterminated OUTER bracket stays put; the complete inner literal
+    # still rewrites (no truncation/garbage, unlike the old scanner)
+    assert _rewrite_list_literals("v = [[1,2]") == "v = [array(1,2)"
+
+
+def test_nested_list_select_roundtrip(spark):
+    # the session DDL rejects nested collections by design; the nested
+    # literal reaches real SQL through the cql_select front-end over a
+    # parquet-backed table with an array<array<int>> column
+    from cassandra_spark.catalog import TableMeta
+    from cassandra_spark.cql import cql_select
+
+    df = spark.createDataFrame(
+        [("a", [[1, 2], [3, 4]]), ("b", [[5]])],
+        "k string, grid array<array<int>>",
+    )
+    meta = TableMeta(name="nl", partition_key=("k",))
+    out = cql_select(
+        spark, "",
+        "SELECT k FROM nl WHERE grid = [[1,2],[3,4]] ALLOW FILTERING",
+        tables={"nl": (df, meta)},
+    )
+    assert [r.k for r in out.collect()] == ["a"]
+
+
+# --- low: COPY TO keeps µs precision and uniform line endings ----------
+
+
+def test_copy_to_roundtrips_microseconds(spark, tmp_path):
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE ts_t (k text PRIMARY KEY, at timestamp)")
+    s.execute(
+        "INSERT INTO ts_t (k, at) VALUES "
+        "('a', '2024-03-01 12:34:56.789123')"
+    )
+    out = str(tmp_path / "ts.csv")
+    assert s.execute(f"COPY ts_t TO '{out}'") == 1
+    raw = open(out, "rb").read()
+    assert b"\r\n" not in raw, "header and data must share one terminator"
+    assert b".789123" in raw, "sub-second precision must survive export"
+    # full round trip: COPY FROM the export reproduces the µs value
+    s.execute("CREATE TABLE ts_t2 (k text PRIMARY KEY, at timestamp)")
+    assert s.execute(f"COPY ts_t2 FROM '{out}'") == 1
+    a = s.execute("SELECT at FROM ts_t").collect()[0].at
+    b = s.execute("SELECT at FROM ts_t2").collect()[0].at
+    assert a == b and a.microsecond == 789123
+
+
+# --- low: DROP TRIGGER requires superuser -------------------------------
+
+
+def test_drop_trigger_superuser_only(spark):
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE tt (k text PRIMARY KEY, v int)")
+    s.register_trigger_class("Noop", lambda se, t, c: [])
+    s.execute("CREATE TRIGGER trg ON tt USING 'Noop'")
+    s.execute("CREATE ROLE pleb WITH LOGIN = true")
+    s.login("pleb")
+    with pytest.raises(CQLError, match="superuser"):
+        s.execute("DROP TRIGGER trg ON tt")
+    s.login("cassandra")
+    s.execute("DROP TRIGGER trg ON tt")
+    assert "tt" not in s.triggers
+
+
+# --- UNMASK grant is AUTHORIZE-scoped to the granted table --------------
+
+
+def test_unmask_grant_respects_resource_scope(spark):
+    s = CqlSession(spark)
+    for ks in ("ksa", "ksb"):
+        s.execute(
+            f"CREATE KEYSPACE {ks} WITH replication = "
+            "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+        )
+    s.execute("USE ksa")
+    s.execute("CREATE TABLE ta (k text PRIMARY KEY, v text)")
+    s.execute("USE ksb")
+    s.execute("CREATE TABLE tb (k text PRIMARY KEY, v text)")
+    s.execute("USE session")
+    s.execute("CREATE ROLE scoped WITH LOGIN = true")
+    s.execute("GRANT AUTHORIZE ON KEYSPACE ksa TO scoped")
+    s.login("scoped")
+    # in-scope grant succeeds
+    s.execute("GRANT UNMASK ON TABLE ksa.ta TO scoped")
+    # out-of-scope keyspace must be rejected
+    with pytest.raises(CQLError, match="AUTHORIZE"):
+        s.execute("GRANT UNMASK ON TABLE ksb.tb TO scoped")
+    s.login("cassandra")
