@@ -30,6 +30,8 @@ idempotent-writes guidance places on counter vs LWW writes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -325,22 +327,17 @@ def always_on_upsert_demo(
     )
     latencies: list[float] = []
 
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    log = SegmentLog(table_dir)
+
     def merge(batch: DataFrame, epoch: int) -> None:
-        out = os.path.join(table_dir, f"v={epoch:05d}")
-        if os.path.exists(out):  # retried epoch: already committed
+        if log.committed(epoch):  # retried epoch: already committed
             return
         if batch.isEmpty():
             return
-        s = batch.sparkSession
         batch = batch.localCheckpoint()  # evaluated twice below
-        versions = sorted(
-            d for d in os.listdir(table_dir) if d.startswith("v=")
-        ) if os.path.exists(table_dir) else []
-        cells = batch
-        if versions:
-            cur = s.read.parquet(os.path.join(table_dir, versions[-1]))
-            cells = cur.unionByName(batch)
-        _lww_reduce(cells).coalesce(1).write.parquet(out)
+        _upsert_append_epoch(log, epoch, batch)
         max_wt = batch.agg(F.max("writetime")).collect()[0][0]
         latencies.append(time.time() - max_wt / 1_000_000)
 
@@ -385,19 +382,45 @@ def _lww_reduce(cells: DataFrame) -> DataFrame:
     )
 
 
+def _upsert_append_epoch(log, epoch: int, batch: DataFrame) -> None:
+    """One epoch of the LWW upsert sink, O(batch) written bytes: the
+    batch's LWW-reduced cells land as ONE new segment; the accumulated
+    table is never rewritten per epoch. Size-tiered folds (stcs_compact's
+    shape, via SegmentLog.fold_candidates) amortize the merge work to
+    logarithmic write amplification, and the atomic manifest rename makes
+    the commit exactly-once. The visible table is the read-time LWW merge
+    of the live segments — the Cassandra read path (SSTables + reconcile)
+    applied to a streaming sink."""
+    s = batch.sparkSession
+    seg = log.seg_path(f"base-seg-{epoch:010d}")
+    _lww_reduce(batch).write.mode("overwrite").parquet(seg)
+    live = log.live().get("base", []) + [seg]
+    for i, tier in enumerate(log.fold_candidates(live)):
+        out = log.seg_path(f"base-fold-{epoch:010d}-{i}")
+        _lww_reduce(s.read.parquet(*tier)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        live = [p for p in live if p not in tier] + [out]
+    log.commit(epoch, {"base": live})
+    log.gc()
+
+
 def streaming_upsert(
     spark: SparkSession, source_dir: str, table_dir: str
 ) -> None:
-    """Continuous upsert maintenance: each micro-batch of events folds into
-    a versioned LWW table via foreachBatch — the streaming form of the
-    reference's write path (every INSERT is an upsert; the visible table is
-    the compacted merge). Version directories ``v=NNNNN`` make each epoch's
-    commit atomic-by-rename and the sink idempotent: a retried epoch sees
-    its version already present and skips (exactly-once upserts on top of
-    foreachBatch's at-least-once contract). A real deployment swaps the
-    version-dir scheme for Delta/Iceberg MERGE; the merge plan is the same
-    one shuffle on the table key."""
-    import os
+    """Continuous upsert maintenance: each micro-batch of events APPENDS
+    one LWW-reduced segment via foreachBatch — the streaming form of the
+    reference's write path (every INSERT is an upsert; the visible table
+    is the read-time compacted merge of the live segments). Per-epoch
+    write cost is O(batch), NOT O(accumulated table): folding is deferred
+    to size-tiered merges exactly like the batch engine's stcs_compact,
+    so sustained ingest pays logarithmic write amplification instead of
+    compaction-on-every-commit. The manifest commit (SegmentLog) is an
+    atomic rename, so a retried epoch sees its manifest and skips
+    (exactly-once upserts on top of foreachBatch's at-least-once
+    contract). A real deployment swaps the manifest scheme for
+    Delta/Iceberg MERGE; the plans are the same."""
+    from cassandra_spark.streaming.segment_log import SegmentLog
 
     ev = (
         restore_ts(
@@ -415,19 +438,14 @@ def streaming_upsert(
         )
     )
 
+    log = SegmentLog(table_dir)
+
     def merge(batch: DataFrame, epoch: int) -> None:
-        out = os.path.join(table_dir, f"v={epoch:05d}")
-        if os.path.exists(out):  # retried epoch: already committed
+        if log.committed(epoch):  # retried epoch: already committed
             return
-        s = batch.sparkSession
-        versions = sorted(
-            d for d in os.listdir(table_dir) if d.startswith("v=")
-        ) if os.path.exists(table_dir) else []
-        cells = batch
-        if versions:
-            cur = s.read.parquet(os.path.join(table_dir, versions[-1]))
-            cells = cur.unionByName(batch)
-        _lww_reduce(cells).coalesce(1).write.parquet(out)
+        if batch.isEmpty():
+            return
+        _upsert_append_epoch(log, epoch, batch)
 
     q = (
         ev.writeStream.foreachBatch(merge)
@@ -439,13 +457,16 @@ def streaming_upsert(
 
 
 def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the newest committed version of the streaming upsert table."""
-    import os
+    """The visible upsert table: read-time LWW merge of the live
+    segments in the newest committed manifest (one shuffle on the table
+    key — the same reconcile a Cassandra read performs over its
+    SSTables)."""
+    from cassandra_spark.streaming.segment_log import SegmentLog
 
-    versions = sorted(d for d in os.listdir(table_dir) if d.startswith("v="))
-    if not versions:
-        raise FileNotFoundError(f"no committed versions under {table_dir}")
-    return spark.read.parquet(os.path.join(table_dir, versions[-1]))
+    segs = SegmentLog(table_dir).live().get("base", [])
+    if not segs:
+        raise FileNotFoundError(f"no committed manifest under {table_dir}")
+    return _lww_reduce(spark.read.parquet(*segs))
 
 
 def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,26 +510,29 @@ def streaming_mv(
     aggregate view together, the view by SIGNED-DELTA merge (old image -1,
     new image +1 — w11_mv_incremental's algebra), never by recompute.
 
-    Per micro-batch: the affected keys are the batch's keys; their old
-    images leave the view (-1), their post-merge images re-enter (+1);
-    untouched groups never appear in the delta, so view maintenance cost
-    tracks |batch|, not |base| — the property that makes per-write view
-    updates viable at 100 TB (the reference pays the same: each mutation
-    generates view deltas, `[C* db/view/ViewUpdateGenerator, unverified]`).
+    Per micro-batch the WRITTEN bytes track |batch|, not |base|, for
+    BOTH tables: the base gains one LWW-reduced batch segment, the view
+    gains one signed-delta segment holding only the touched groups (the
+    reference pays the same: each mutation generates view deltas,
+    `[C* db/view/ViewUpdateGenerator, unverified]`). The accumulated
+    tables are never rewritten per epoch — size-tiered folds (the batch
+    engine's stcs_compact shape via SegmentLog) amortize merging to
+    logarithmic write amplification. Readers merge at read time:
+    LWW-reduce for the base, delta-sum for the view.
 
-    Commit protocol: base + view are written under one epoch directory,
-    staged to `v=NNNNN.tmp` and atomically renamed to `v=NNNNN` — a
-    retried epoch sees its directory and skips, so the at-least-once
-    foreachBatch contract upgrades to exactly-once table maintenance
-    (same scheme as streaming_upsert; Delta/Iceberg MERGE in production).
+    Commit protocol: ONE manifest rename publishes the base and view
+    segment sets together (they can never be observed at different
+    epochs); a retried epoch sees its manifest and skips, so the
+    at-least-once foreachBatch contract upgrades to exactly-once table
+    maintenance (same scheme as streaming_upsert; Delta/Iceberg MERGE
+    in production).
 
     ``trigger_interval=None`` drains the backlog (availableNow) and
     returns None; an interval string runs ALWAYS-ON — the query keeps
     polling ``source_dir`` and maintains the view as new files land —
     and returns the live query handle (caller stops it).
     """
-    import os
-    import shutil
+    from cassandra_spark.streaming.segment_log import SegmentLog
 
     ev = (
         restore_ts(
@@ -526,89 +550,78 @@ def streaming_mv(
         )
     )
 
-    def versions(sub: str) -> list[str]:
-        root = os.path.join(table_dir, sub)
-        if not os.path.exists(root):
-            return []
-        # a crashed epoch can leave v=NNNNN.tmp — staging dirs are never
-        # committed state and must not be read as the latest version
-        return sorted(
-            d
-            for d in os.listdir(root)
-            if d.startswith("v=") and not d.endswith(".tmp")
-        )
+    log = SegmentLog(table_dir)
 
     def step(batch: DataFrame, epoch: int) -> None:
-        final = os.path.join(table_dir, "epochs", f"v={epoch:05d}")
-        if os.path.exists(final):  # retried epoch: already committed
+        if log.committed(epoch):  # retried epoch: already committed
             return
         if batch.isEmpty():  # live triggers fire on idle sources
             return
-        tmp = final + ".tmp"
-        if os.path.exists(tmp):  # crashed attempt: clear BEFORE lazy reads
-            shutil.rmtree(tmp)
         s = batch.sparkSession
-        vs = versions("epochs")
         batch = batch.localCheckpoint()  # one evaluation, three uses
         keys = batch.select(*UPSERT_KEYS).distinct()
-        if vs:
-            cur = s.read.parquet(
-                os.path.join(table_dir, "epochs", vs[-1], "base")
-            )
-            old_view = s.read.parquet(
-                os.path.join(table_dir, "epochs", vs[-1], "view")
-            )
-            old_img = cur.join(keys, list(UPSERT_KEYS), "left_semi")
-            new_base = _lww_reduce(cur.unionByName(batch))
+        live = log.live()
+        base_live = live.get("base", [])
+        view_live = live.get("view", [])
+
+        # the OLD image of exactly the touched keys: semi-join the live
+        # base segments down to the batch's keys FIRST (the key set is
+        # batch-sized, so Spark broadcasts it), then LWW-reduce — the
+        # only per-epoch read of the base, and it is key-restricted.
+        if base_live:
+            old_img = _lww_reduce(
+                s.read.parquet(*base_live).join(
+                    keys, list(UPSERT_KEYS), "left_semi"
+                )
+            ).localCheckpoint()  # used twice: signed union + new image
         else:
-            cur = None
-            old_view = None
             old_img = batch.limit(0)
-            new_base = _lww_reduce(batch)
-        new_base = new_base.localCheckpoint()
-        new_img = new_base.join(keys, list(UPSERT_KEYS), "left_semi")
+        # LWW associativity: reduce(reduce(old cells) ∪ batch) ==
+        # reduce(old cells ∪ batch) — the new image derives from the
+        # already-reduced old image, no second base scan.
+        new_img = _lww_reduce(old_img.unionByName(batch))
 
         signed = old_img.withColumn("m", F.lit(-1)).unionByName(
             new_img.withColumn("m", F.lit(1))
         )
+        # the epoch's view contribution: touched groups only. NO
+        # cnt>0 filter here — a group's count can legitimately sum to
+        # zero across delta segments; the read path filters after the
+        # full delta-sum (and so do folds over the COMPLETE live set
+        # only, which fold_candidates does not guarantee — so never).
         delta = signed.groupBy(VIEW_KEY).agg(
-            F.sum("m").alias("dcnt"),
+            F.sum("m").cast("long").alias("cnt"),
             F.sum(
                 F.col("value").cast("decimal(18,4)")
                 * F.col("m").cast("decimal(2,0)")
-            ).alias("dtotal_dec"),
+            ).cast("decimal(38,4)").alias("total_dec"),
         )
-        if old_view is not None:
-            zero = F.lit(0).cast("decimal(38,4)")
-            new_view = (
-                old_view.join(delta, VIEW_KEY, "full")
-                .select(
-                    VIEW_KEY,
-                    (
-                        F.coalesce(F.col("cnt"), F.lit(0))
-                        + F.coalesce(F.col("dcnt"), F.lit(0))
-                    ).alias("cnt"),
-                    (
-                        F.coalesce(
-                            F.col("total_dec").cast("decimal(38,4)"), zero
-                        )
-                        + F.coalesce(
-                            F.col("dtotal_dec").cast("decimal(38,4)"), zero
-                        )
-                    ).alias("total_dec"),
-                )
-                .filter(F.col("cnt") > 0)
-            )
-        else:
-            new_view = delta.select(
-                VIEW_KEY,
-                F.col("dcnt").alias("cnt"),
-                F.col("dtotal_dec").cast("decimal(38,4)").alias("total_dec"),
-            ).filter(F.col("cnt") > 0)
 
-        new_base.coalesce(1).write.parquet(os.path.join(tmp, "base"))
-        new_view.coalesce(1).write.parquet(os.path.join(tmp, "view"))
-        os.rename(tmp, final)
+        # O(batch) appends for both families
+        base_seg = log.seg_path(f"base-seg-{epoch:010d}")
+        _lww_reduce(batch).write.mode("overwrite").parquet(base_seg)
+        view_seg = log.seg_path(f"view-seg-{epoch:010d}")
+        delta.write.mode("overwrite").parquet(view_seg)
+        base_live = base_live + [base_seg]
+        view_live = view_live + [view_seg]
+
+        # size-tiered folds: base folds by LWW, view folds by delta-sum
+        for i, tier in enumerate(log.fold_candidates(base_live)):
+            out = log.seg_path(f"base-fold-{epoch:010d}-{i}")
+            _lww_reduce(s.read.parquet(*tier)).write.mode(
+                "overwrite"
+            ).parquet(out)
+            base_live = [p for p in base_live if p not in tier] + [out]
+        for i, tier in enumerate(log.fold_candidates(view_live)):
+            out = log.seg_path(f"view-fold-{epoch:010d}-{i}")
+            _view_delta_sum(s.read.parquet(*tier)).write.mode(
+                "overwrite"
+            ).parquet(out)
+            view_live = [p for p in view_live if p not in tier] + [out]
+
+        # one rename publishes base + view together
+        log.commit(epoch, {"base": base_live, "view": view_live})
+        log.gc()
 
     writer = ev.writeStream.foreachBatch(step).option(
         "checkpointLocation", os.path.join(table_dir, "_chk_mv")
@@ -620,19 +633,32 @@ def streaming_mv(
     return None
 
 
-def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
-    """Read the newest committed base/view of the streaming MV job."""
-    import os
-
-    root = os.path.join(table_dir, "epochs")
-    vs = sorted(
-        d
-        for d in os.listdir(root)
-        if d.startswith("v=") and not d.endswith(".tmp")
+def _view_delta_sum(deltas: DataFrame) -> DataFrame:
+    """Fold signed view-delta segments: per group, counts and exact
+    decimal totals ADD (the w11 algebra is a group homomorphism, so any
+    subset of deltas folds independently). Keeps cnt<=0 rows — only the
+    sum over ALL live segments may filter them (read path's job)."""
+    return deltas.groupBy(VIEW_KEY).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("total_dec").cast("decimal(38,4)").alias("total_dec"),
     )
-    if not vs:
-        raise FileNotFoundError(f"no committed epochs under {root}")
-    return spark.read.parquet(os.path.join(root, vs[-1], which))
+
+
+def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
+    """The visible base/view of the streaming MV job, merged at read
+    time from the newest manifest's live segments: LWW-reduce for the
+    base, delta-sum (then the cnt>0 visibility filter) for the view."""
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    segs = SegmentLog(table_dir).live().get(which, [])
+    if not segs:
+        raise FileNotFoundError(
+            f"no committed {which!r} segments under {table_dir}"
+        )
+    df = spark.read.parquet(*segs)
+    if which == "base":
+        return _lww_reduce(df)
+    return _view_delta_sum(df).filter(F.col("cnt") > 0)
 
 
 # --- CDC: the mutation log as a stream -------------------------------------

@@ -184,8 +184,12 @@ def test_streaming_upsert_lww_across_batches(spark, tmp_path):
 
     jobs.streaming_upsert(spark, src, table)
 
-    versions = sorted(d for d in os.listdir(table) if d.startswith("v="))
-    assert len(versions) >= 2, "everything arrived in one micro-batch"
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    last = SegmentLog(table).latest_epoch()
+    assert last is not None and last >= 1, (
+        "everything arrived in one micro-batch"
+    )
 
     got = {
         (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
@@ -280,8 +284,12 @@ def test_streaming_mv_incremental_matches_recompute(spark, tmp_path):
 
     jobs.streaming_mv(spark, src, table)
 
-    epochs = sorted(os.listdir(os.path.join(table, "epochs")))
-    assert len(epochs) >= 2, "everything arrived in one micro-batch"
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    last = SegmentLog(table).latest_epoch()
+    assert last is not None and last >= 1, (
+        "everything arrived in one micro-batch"
+    )
 
     base = jobs.read_mv(spark, table, "base")
     view = jobs.read_mv(spark, table, "view")
@@ -456,30 +464,27 @@ def test_always_on_mv_picks_up_files_landing_mid_run(spark, tmp_path):
             if f.endswith(".parquet"):
                 os.rename(f"{src}/{d}/{f}", f"{src}/part-{i:03d}.parquet")
         shutil.rmtree(src + "/" + d)
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
     q = jobs.streaming_mv(spark, src, table, trigger_interval="300 milliseconds")
     try:
         deadline = time.time() + 60
-        epochs = lambda: (  # noqa: E731
-            sorted(
-                d
-                for d in os.listdir(os.path.join(table, "epochs"))
-                if not d.endswith(".tmp")  # in-flight staging != committed
-            )
-            if os.path.exists(os.path.join(table, "epochs")) else []
-        )
-        while time.time() < deadline and not epochs():
+        # latest committed epoch, monotone across gc (manifest COUNT is
+        # capped at SegmentLog.keep — the epoch number is the progress)
+        latest = lambda: SegmentLog(table).latest_epoch()  # noqa: E731
+        while time.time() < deadline and latest() is None:
             time.sleep(0.3)
-        assert epochs(), "first file never committed"
-        n0 = len(epochs())
+        assert latest() is not None, "first file never committed"
+        n0 = latest()
         base0 = jobs.read_mv(spark, table, "base").count()
         # land a second file mid-run
         second.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
         for f in os.listdir(src + "/b2"):
             if f.endswith(".parquet"):
                 os.rename(f"{src}/b2/{f}", f"{src}/part-100.parquet")
-        while time.time() < deadline and len(epochs()) <= n0:
+        while time.time() < deadline and latest() <= n0:
             time.sleep(0.3)
-        assert len(epochs()) > n0, "mid-run file never picked up"
+        assert latest() > n0, "mid-run file never picked up"
     finally:
         q.stop()
         q.awaitTermination()
@@ -852,3 +857,110 @@ def test_s16_late_redelivery_dropped_not_duplicated(spark):
     # all but (at most) a boundary row drop as late; any remainder was
     # deduped against still-live state — either way, never duplicated
     assert dropped >= w1.count() - 1, "late re-delivery should drop"
+
+
+def _epoch_bytes(table: str, epoch: int) -> int:
+    """Bytes the sink wrote FOR epoch e: every segment/fold dir name
+    encodes its creating epoch (base-seg-EEE, base-fold-EEE-i, view-*)."""
+    import os
+
+    from cassandra_spark.streaming.segment_log import _dir_bytes
+
+    tag = f"-{epoch:010d}"
+    return sum(
+        _dir_bytes(os.path.join(table, d))
+        for d in os.listdir(table)
+        if os.path.isdir(os.path.join(table, d))
+        and (d.endswith(tag) or f"{tag}-" in d)
+    )
+
+
+def test_upsert_epoch_write_cost_tracks_batch_not_base(
+    spark, tmp_path, monkeypatch
+):
+    """The round-7 scale contract: a 6-epoch drain of equal-size batches
+    writes ~constant bytes per non-fold epoch — NOT bytes proportional to
+    the accumulated table (the round-6 sink rewrote the whole base every
+    epoch, so epoch 5 cost 6x epoch 0). gc is disabled so every epoch's
+    dirs survive for measurement."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    monkeypatch.setattr(SegmentLog, "gc", lambda self: [])
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    jobs.streaming_upsert(spark, src, table)
+    last = SegmentLog(table).latest_epoch()
+    assert last is not None and last >= 4, "need a >=5-epoch drain"
+    # a size-tiered fold actually happened (threshold 4)
+    assert any(
+        "-fold-" in d for d in os.listdir(table)
+    ), "expected at least one size-tiered fold across the drain"
+    per_epoch = [_epoch_bytes(table, e) for e in range(last + 1)]
+    assert all(b > 0 for b in per_epoch)
+    # the LAST epoch (no fold lands there with threshold 4 and 6 equal
+    # batches) must cost ~one batch, not ~the accumulated table: the old
+    # sink's ratio was (last+1)x, this one stays within noise of 1x.
+    assert per_epoch[last] < 2.5 * per_epoch[0], per_epoch
+    # final visible table still equals the one-shot batch LWW merge
+    got = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in jobs.read_upsert_table(spark, table).collect()
+    }
+    cells = ev.select(
+        "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("writetime"), "event_id",
+    )
+    want = {
+        (r.user_id, r.event_type): (r.value, r.writetime, r.event_id)
+        for r in jobs._lww_reduce(cells).collect()
+    }
+    assert got == want
+
+
+def test_mv_epoch_write_cost_tracks_batch_not_base(
+    spark, tmp_path, monkeypatch
+):
+    """s9's base maintenance honors the same O(batch)-per-epoch claim as
+    its view deltas: 6 equal micro-batches, last epoch's written bytes
+    (base segment + view delta) within noise of the first's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+    from cassandra_spark.streaming.segment_log import SegmentLog
+
+    monkeypatch.setattr(SegmentLog, "gc", lambda self: [])
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    jobs.streaming_mv(spark, src, table)
+    last = SegmentLog(table).latest_epoch()
+    assert last is not None and last >= 4
+    per_epoch = [_epoch_bytes(table, e) for e in range(last + 1)]
+    assert per_epoch[last] < 2.5 * per_epoch[0], per_epoch
+    # view still equals a from-scratch recompute over the final base
+    base = jobs.read_mv(spark, table, "base")
+    want = {
+        r.event_type: (r.cnt, r.total_dec)
+        for r in jobs._view_of(base).collect()
+    }
+    got = {
+        r.event_type: (r.cnt, r.total_dec)
+        for r in jobs.read_mv(spark, table, "view").collect()
+    }
+    assert got == want
