@@ -65,6 +65,11 @@ class TableMeta:
     # verified: epoch_ns % 1000 == 0 for every row) and matches DuckDB,
     # which surfaces the same column as µs TIMESTAMP.
     nanos_ts_cols: tuple[str, ...] = ()
+    # persisted SAI vector-index artifacts: (column, artifact dir) pairs.
+    # When an ANN-ordered column appears here, _compile_ann scans the
+    # bucket-partitioned artifact (static partition pruning on the
+    # multiprobe set) instead of recomputing LSH buckets per row.
+    vector_index: tuple[tuple[str, str], ...] = ()
 
     @property
     def clustering_cols(self) -> tuple[str, ...]:

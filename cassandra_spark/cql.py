@@ -513,9 +513,27 @@ def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     if col in getattr(meta, "indexed_sai", ()):
         qvec = [float(x) for x in inner.split(",")]
         probes = multiprobe(py_bucket(qvec, N_PLANES), N_PLANES)
-        df = df.withColumn(
-            "__bucket", F.expr(bucket_spark(N_PLANES, col))
-        ).filter(F.col("__bucket").isin(probes)).drop("__bucket")
+        vidx = dict(getattr(meta, "vector_index", ()))
+        if col in vidx:
+            # persisted SAI artifact (vector_index.build_lsh_bucket_index):
+            # the probe set is plan-time literal, so filtering the
+            # bucket-PARTITIONED layout is static partition pruning — the
+            # scan lists only the probed buckets' directories, never the
+            # corpus (the Filter.db narrowing, Spark-shaped)
+            import os as _os
+
+            df = (
+                df.sparkSession.read.parquet(
+                    _os.path.join(vidx[col], "buckets")
+                )
+                .filter(F.col("__bucket").isin(probes))
+                .drop("__bucket")
+            )
+        else:
+            # no artifact (in-session table): compute the hash per row
+            df = df.withColumn(
+                "__bucket", F.expr(bucket_spark(N_PLANES, col))
+            ).filter(F.col("__bucket").isin(probes)).drop("__bucket")
 
     df = df.withColumn("__q", F.expr(f"array({inner})"))
     score = (

@@ -848,6 +848,8 @@ class CqlSession:
         self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
         self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
         self.sai_indexes: dict[str, set[str]] = {}  # table → SAI-indexed cols
+        # table → {vector col → persisted bucket-layout artifact dir}
+        self.sai_vector_index: dict[str, dict[str, str]] = {}
         self.entry_indexes: dict[str, set[str]] = {}  # table → ENTRIES maps
         self.full_indexes: dict[str, set[str]] = {}  # table → FULL frozen
         # name → (table, col, kind), kind in {"values","keys","entries",
@@ -1185,6 +1187,19 @@ class CqlSession:
             raise CQLError(f"index {name!r} already exists")
         self.sai_indexes.setdefault(tname, set()).add(col)
         self.index_names[name] = (tname, col, "sai")
+        dtypes = {c.lower(): t for c, t in df.dtypes}
+        if dtypes.get(col, "").startswith("array"):
+            # vector column: build the persisted SAI artifact NOW (the
+            # reference builds SAI at index DDL time) — later ANN probes
+            # scan only their buckets' partitions instead of recomputing
+            # the LSH hash over the whole corpus per query
+            from cassandra_spark.operators.vector_index import (
+                build_lsh_bucket_index,
+            )
+
+            self.sai_vector_index.setdefault(tname, {})[col] = (
+                build_lsh_bucket_index(self.spark, self.sf_dir, tname, col)
+            )
 
     def _catalog_overrides(self) -> dict:
         """(df, meta) entries for catalog tables this session has indexed:
@@ -1226,6 +1241,9 @@ class CqlSession:
                             set(meta.indexed_sai)
                             | self.sai_indexes.get(tname, set())
                         )
+                    ),
+                    vector_index=tuple(
+                        sorted(self.sai_vector_index.get(tname, {}).items())
                     ),
                 ),
             )

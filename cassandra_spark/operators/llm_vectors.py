@@ -356,7 +356,10 @@ def l3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic pseudo-random stand-ins so the DuckDB oracle can
     verify assignment + probing + scoring exactly; swap in k-means
     centroids (broadcast) and nothing else changes. At 10⁹ vectors:
-    √N centroids, nprobe 8-32, same three joins."""
+    √N centroids, nprobe 8-32, same three joins. This entry documents
+    the INLINE pipeline cost; the build-once/query-many form (persisted
+    centroid table + bucket-partitioned inverted file) is
+    operators/vector_index.py (l35_ivf_index_build/_query)."""
     cat = Catalog(spark, sf_dir)
     assigned = (
         _normed(cat)
@@ -1501,7 +1504,10 @@ def l26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed driver-side from the broadcast codebook and joins the code
     scan as plain LITERAL array columns, so the per-vector scan work is
     PQ_M element_at lookups + an ordered 4-term add chain in one small
-    codegen stage."""
+    codegen stage. This entry documents the INLINE train+query cost; the
+    build-once/query-many form (persisted codebook + codes tables, no
+    training on the query path) is operators/vector_index.py
+    (l36_pq_index_build/_query)."""
     import numpy as np
 
     cat = Catalog(spark, sf_dir)

@@ -91,6 +91,7 @@ def load_all() -> None:
         thrift_compat,
         timeseries,
         typed_replay,
+        vector_index,
         tpch,
         tpch2,
         tpch3,

@@ -1,0 +1,123 @@
+"""Persisted vector-index artifacts (round-7): build-once/query-many —
+the query path provably performs no training/assignment, results equal
+the inline entries, and the SAI ANN scan is partition-pruned to the
+probed buckets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _boom(*a, **k):
+    raise AssertionError("training/assignment invoked on the query path")
+
+
+def test_ivf_query_never_assigns(spark, monkeypatch):
+    from cassandra_spark.operators import vector_index as vi
+
+    # ensure the artifact exists, then make assignment impossible
+    vi.build_ivf_index(spark, SF_SMOKE)
+    monkeypatch.setattr(vi, "_assign_bucket_col", _boom)
+    out = vi.l35_ivf_index_query(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "query returned nothing"
+    # recall unchanged: identical to the inline l3c results
+    from cassandra_spark.operators.llm_vectors import l3c_ivf_ann
+
+    want = {
+        (r.query_id, r.vec_id): (r.cosine, r.rank)
+        for r in l3c_ivf_ann(spark, SF_SMOKE).collect()
+    }
+    got = {(r.query_id, r.vec_id): (r.cosine, r.rank) for r in rows}
+    assert got == want
+
+
+def test_pq_query_never_trains(spark, monkeypatch):
+    from cassandra_spark.operators import vector_index as vi
+
+    vi.build_pq_index(spark, SF_SMOKE)
+    monkeypatch.setattr(vi, "_pq_train", _boom)
+    out = vi.l36_pq_index_query(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    from cassandra_spark.operators.llm_vectors import l26_pq_ann
+
+    want = {
+        (r.query_id, r.vec_id): (r.adist, r.cosine, r.rank)
+        for r in l26_pq_ann(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): (r.adist, r.cosine, r.rank) for r in rows
+    }
+    assert got == want
+
+
+def test_build_is_idempotent_and_committed(spark, monkeypatch, tmp_path):
+    from cassandra_spark.operators import vector_index as vi
+
+    idx = str(tmp_path / "pq_idx")
+    vi.build_pq_index(spark, SF_SMOKE, idx)
+    assert os.path.exists(os.path.join(idx, "_MANIFEST.json"))
+    # second build must short-circuit on the manifest — no retrain
+    monkeypatch.setattr(vi, "_pq_train", _boom)
+    assert vi.build_pq_index(spark, SF_SMOKE, idx) == idx
+
+
+def test_sai_ann_scans_only_probed_buckets(spark):
+    """cql17's persisted route: the ANN plan's input files live under the
+    artifact and cover ONLY the multiprobe bucket partitions — static
+    partition pruning, not a full-corpus hash recompute."""
+    from cassandra_spark.cql_session import CqlSession
+    from cassandra_spark.operators.cql_queries import _ANN_QVEC
+    from cassandra_spark.operators.llm_vectors import (
+        N_PLANES,
+        multiprobe,
+        py_bucket,
+    )
+
+    sess = CqlSession(spark, SF_SMOKE)
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    vec = ", ".join(str(v) for v in _ANN_QVEC)
+    df = sess.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{vec}] LIMIT 10"
+    )
+    # inputFiles() lists pre-pruning; the executed plan is the truth:
+    # the scan must read the ARTIFACT with a PartitionFilters IN-list of
+    # exactly the multiprobe buckets and no per-row bucket recompute
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    assert "casspark_vecidx_lsh_" in scan, scan[:200]
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__bucket" in pf and " IN " in pf, pf
+    probes = set(multiprobe(py_bucket(list(_ANN_QVEC), N_PLANES), N_PLANES))
+    import re as _re
+
+    seen = {
+        int(x) for x in _re.search(r"IN \(([-\d,]+)\)", pf).group(1).split(",")
+    }
+    assert seen == probes, (seen, probes)
+    # and the result still matches the per-row-hash route bit-for-bit
+    sess2 = CqlSession(spark, SF_SMOKE)
+    sess2.execute(
+        "CREATE CUSTOM INDEX emb_idx2 ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    # strip the artifact so the fallback per-row path compiles
+    sess2.sai_vector_index.clear()
+    df2 = sess2.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{vec}] LIMIT 10"
+    )
+    assert [r.vec_id for r in df.collect()] == [
+        r.vec_id for r in df2.collect()
+    ]
