@@ -49,8 +49,18 @@ def write_bucketed(
     table registered in the session catalog. ``path`` makes it external —
     no warehouse/metastore dependency; the bucket spec lives in the
     catalog entry, which is what lets the planner elide exchanges."""
+    # Align the WRITE partitioning with the bucket hash (both are
+    # HashPartitioning(key, buckets)), so every bucket lands as ONE file.
+    # With multiple files per bucket Spark cannot trust the per-file sort
+    # order and re-sorts both SMJ inputs per task — measured at 10x data
+    # as the bucketed layout's growth inversion; one pre-sorted file per
+    # bucket lets the join consume the layout with NO sort and NO
+    # exchange (asserted in tests/test_bucketing.py).
+    from pyspark.sql import functions as F
+
     w = (
-        df.write.mode("overwrite")
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(buckets, key)
@@ -64,7 +74,12 @@ def write_bucketed(
     # that misdescribes the data makes exchange-elided joins silently wrong.
     local = path[5:] if path.startswith("file:") else path
     with open(os.path.join(local, _SPEC_FILE), "w") as f:
-        json.dump({"key": key, "buckets": buckets, "sorted": sort}, f)
+        # v2: one-file-per-bucket layouts (write repartitioned by the
+        # bucket hash); v-less spec files predate this and re-attach
+        # would resurrect a multi-file layout whose sort Spark ignores
+        json.dump(
+            {"key": key, "buckets": buckets, "sorted": sort, "v": 2}, f
+        )
 
 
 _SPEC_FILE = "_bucket_spec.json"
@@ -94,14 +109,22 @@ def cobucket_fact_tables(
     return "lineitem_b", "orders_b"
 
 
-def buckets_for(n_rows: int, target: int = 2_000_000) -> int:
+def buckets_for(n_rows: int, target: int = 250_000) -> int:
     """Bucket-count sizing: hold rows-per-bucket ~constant (power of two,
     >= 8). A FIXED bucket count is a scale killer in disguise: the
     zero-exchange SortMergeJoin runs ONE task per bucket, so 8 buckets
-    that saturate local[32] at sf0.1 cap the 100x corpus's join at 8-way
-    parallelism — measured 15.4 s vs 8.9 s for the plain shuffle join
-    before this rule. At a real 1000-executor cluster the same sizing
-    rule applies with a larger target per bucket."""
+    that saturate local[32] at sf0.1 cap a 10x corpus's join at 8-way
+    parallelism and its per-task sort grows super-linearly — the round-6
+    growth table measured the inversion (bucketed 6.0x vs plain 2.5x at
+    10x data under the old 2M-row target, which left the 10x corpus at
+    8 buckets). target=250k rows/bucket keeps per-bucket sorts
+    memory-bounded and scales task count with volume: sf0.1 -> 8,
+    10x -> 32, 100x -> 256 buckets. On a real cluster the same rule
+    applies with target sized to executor memory (~128 MB-1 GB of rows
+    per bucket); re-bucketing policy: a layout is rewritten when its
+    recorded bucket count no longer matches buckets_for(current rows) —
+    ensure_bucketed_layout's tag makes that automatic, since the count
+    is part of the table identity."""
     b = 8
     while n_rows > target * b and b < 4096:
         b *= 2
@@ -168,7 +191,7 @@ def _register_existing_bucketed(
             spec = json.load(f)
     except (OSError, ValueError):
         return False
-    if spec != {"key": key, "buckets": buckets, "sorted": True}:
+    if spec != {"key": key, "buckets": buckets, "sorted": True, "v": 2}:
         return False
     ids = set()
     for fn in os.listdir(local):

@@ -122,9 +122,9 @@ def test_reregister_persisted_layout_without_rewrite(spark):
     wh = spark.conf.get("spark.sql.warehouse.dir")
     if wh.startswith("file:"):
         wh = wh[5:]
-    import re as _re
-
-    tag = _re.sub(r"\W+", "_", SF_SMOKE.strip("/"))
+    # the layout tag (corpus dir + bucket count) is part of the table
+    # name — derive the path from it rather than re-computing the tag
+    tag = li[len("lineitem_bkt_"):]
     li_path = f"{wh}/bucketed/{tag}/lineitem"
     mtimes = {
         f: os.path.getmtime(os.path.join(li_path, f))
