@@ -9,11 +9,12 @@ Scope (documented honestly):
   2×2 (4:4:4 / 4:2:2 / 4:2:0 via box upsample), restart markers
   (DRI/RSTn), APPn/COM skipped. Progressive Huffman (SOF2) decodes here
   too, and arithmetic-coded sequential/progressive (SOF9/SOF10,
-  QM-coder) decode via operators/jpeg_arith.py, lossless-Huffman
-  (SOF3, all 7 Annex-H predictors, byte-exact) decodes here, and
-  HIERARCHICAL progressions (Annex J: DHP + EXP reference expansion +
-  SOF5 differential sequential stages) decode here too. Only the
-  arithmetic differential/lossless variants (SOF11/13-15) raise
+  QM-coder) decode via operators/jpeg_arith.py, lossless (SOF3
+  Huffman AND — round 7 — SOF11 arithmetic; all 7 Annex-H predictors,
+  byte-exact) decodes here, and HIERARCHICAL progressions (Annex J:
+  DHP + EXP reference expansion + SOF5 differential sequential
+  stages) decode here too. Only the differential variants
+  (SOF6/7/13-15) raise
   ``ValueError`` — the multimodal pipeline degrades those payloads to
   the stub path instead of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
@@ -664,10 +665,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     rendered once at EOI. Arithmetic-coded variants (SOF9 sequential,
     SOF10 progressive) route to operators/jpeg_arith.py; 12-bit
     precision decodes with output scaled to the 8-bit RGB contract;
-    lossless SOF3 decodes byte-exactly; hierarchical progressions
-    (DHP/EXP/SOF5) render their reference pyramid at EOI. Raises
-    ``ValueError`` only for the arithmetic differential/lossless
-    variants (SOF11/13-15)."""
+    lossless SOF3 (Huffman) and SOF11 (arithmetic, round 7) decode
+    byte-exactly; hierarchical progressions (DHP/EXP/SOF5) render their
+    reference pyramid at EOI. Raises ``ValueError`` only for the
+    differential variants (SOF6/7/13-15)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -723,8 +724,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xDE):
-            # SOF0-3/9/10, SOF5 (differential sequential), DHP
+        elif marker in (
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCB, 0xDE
+        ):
+            # SOF0-3/9/10/11, SOF5 (differential sequential), DHP
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit precision supported")
@@ -740,8 +743,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 continue
             frame = (h, w_, comps)
             progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
             differential = marker == 0xC5
             if differential and hier is None:
                 raise ValueError("differential frame outside DHP")
@@ -749,12 +752,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     "hierarchical stages support sequential Huffman only"
                 )
-        elif marker in (0xC6, 0xC7, 0xCB,
+        elif marker in (0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only DCT (baseline/progressive, Huffman or arithmetic), "
-                "lossless-Huffman (SOF3), and hierarchical sequential-"
-                "Huffman (DHP/SOF5) JPEG are supported"
+                "lossless (SOF3 Huffman / SOF11 arithmetic), and "
+                "hierarchical sequential-Huffman (DHP/SOF5) JPEG are "
+                "supported (differential variants SOF6/7/13-15 are not)"
             )
         elif marker == 0xDF:  # EXP: expand the hierarchical reference
             if hier is None or hier["refs"] is None:
@@ -807,6 +811,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     ]
                 pos = endpos
                 continue
+            if lossless and arith:  # SOF11
+                from cassandra_spark.operators.jpeg_arith import (
+                    decode_scan_lossless_arith,
+                )
+
+                return decode_scan_lossless_arith(
+                    data, pos + seglen, frame, scan, dc_cond,
+                    seg[1 + 2 * ns], seg[3 + 2 * ns] & 0xF, prec,
+                    restart_interval,
+                )
             if lossless:
                 return _decode_scan_lossless(
                     data, pos + seglen, frame, scan,

@@ -980,3 +980,292 @@ def encode_jpeg_arith_progressive(
     out += sos_header([2], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- lossless arithmetic JPEG (SOF11, spec Annex H + the QM-coder) -----------
+#
+# The prediction walk is SOF3's (jpeg.py Annex-H predictors, modulo-65536
+# difference arithmetic, byte-exact round trip); only the entropy stage
+# differs: each difference is coded with the DC-difference decision tree
+# (S0 zero/nonzero, SS sign, magnitude category + bit pattern) under a
+# TWO-dimensional conditioning context — the 5-way classifications of the
+# differences already coded at the LEFT neighbor (Da) and the ABOVE
+# neighbor (Db) of the current sample, 25 contexts of 4 decision bins
+# each (H.1.2.3). Magnitude-category/bit bins live in two shared areas
+# selected by whether Db classified large (H.1.2.3's second bin set for
+# high-activity neighborhoods). Classification reuses the DC rule
+# (F.1.4.4.1.2 via _dc_classify) with the DAC (L, U) conditioning.
+#
+# X/M areas are 16 wide (not the DC coder's 14): modulo-65536 lossless
+# differences reach |v| = 32768, i.e. magnitude msb 2^15.
+#
+# Validation mirrors the module's honesty note: byte-exact
+# encode->decode round trip over adversarial images + pixel identity
+# with the SOF3 Huffman path on the same predictor (entropy coding is
+# lossless, so any divergence is a codec bug); no external SOF11 sample
+# exists offline, so cross-implementation interop rests on the
+# clean-room transcription, same caveat as SOF9/10 above.
+
+LL_CTX_BINS = 100        # 25 contexts x (S0, SS, SP, SN)
+LL_X_A = 100             # X1..X16 area A (Db not large)
+LL_M_A = LL_X_A + 16
+LL_X_B = LL_M_A + 16     # area B (Db classified large)
+LL_M_B = LL_X_B + 16
+LL_STAT_BINS = LL_M_B + 16
+
+
+class _LosslessArithModel:
+    """Statistics per arithmetic table id + per-component class planes."""
+
+    def __init__(self, n_comps: int, dc_cond) -> None:
+        self.stats: dict[int, list[list[int]]] = {}
+        self.dc_cond = dc_cond  # tbl -> (L, U)
+
+    def area(self, tbl: int) -> list[list[int]]:
+        if tbl not in self.stats:
+            self.stats[tbl] = _new_stats(LL_STAT_BINS)
+        return self.stats[tbl]
+
+    def reset(self) -> None:
+        for area in self.stats.values():
+            for b in area:
+                b[0] = b[1] = 0
+
+
+def _ll_class(v: int, L: int, U: int) -> int:
+    """5-way conditioning class (0 zero, 1 +small, 2 -small, 3 +large,
+    4 -large) of an already-coded difference, via the DC rule."""
+    if v == 0:
+        return 0
+    sign = 1 if v < 0 else 0
+    sz = abs(v) - 1
+    m = 1
+    while m <= sz:
+        m <<= 1
+    m >>= 1  # msb of sz (0 when sz == 0)
+    return _dc_classify(m, sign, L, U) // 4
+
+
+def _ll_code_diff(enc, area, base: int, xa: int, v: int) -> None:
+    """Encode one prediction difference with the DC decision tree under
+    context ``base``; magnitude bins at ``xa`` (area A or B)."""
+    if v == 0:
+        enc.encode(area[base], 0)
+        return
+    enc.encode(area[base], 1)
+    if v > 0:
+        enc.encode(area[base + 1], 0)
+        st = base + 2
+    else:
+        v = -v
+        enc.encode(area[base + 1], 1)
+        st = base + 3
+    m = 0
+    sz = v - 1
+    if sz:
+        enc.encode(area[st], 1)  # X1 rides the SP/SN bin (DC convention)
+        m = 1
+        v2 = sz
+        st = xa
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(area[st], 1)
+            m <<= 1
+            st += 1
+    enc.encode(area[st], 0)
+    st += 16  # M bins parallel the X bins at +16 (see area note above)
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(area[st], 1 if (mm & sz) else 0)
+
+
+def _ll_decode_diff(dec, area, base: int, xa: int) -> int:
+    if dec.decode(area[base]) == 0:
+        return 0
+    sign = dec.decode(area[base + 1])
+    st = base + 2 + sign
+    m = dec.decode(area[st])
+    if m:
+        st = xa
+        while dec.decode(area[st]):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("arith lossless magnitude overflow")
+            st += 1
+    v = m
+    st += 16
+    while m := m >> 1:
+        if dec.decode(area[st]):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def encode_jpeg_lossless_arith(
+    width: int,
+    height: int,
+    rgb: bytes,
+    predictor: int = 4,
+    restart_interval: int = 0,
+) -> bytes:
+    """Top-down 8-bit RGB bytes → lossless arithmetic JPEG (SOF11):
+    exact, no quantization, no Huffman tables — the QM-coder replaces
+    the entropy stage of encode_jpeg_lossless."""
+    from cassandra_spark.operators.jpeg import _predict
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    L, U = 0, 1
+    model = _LosslessArithModel(3, {0: (L, U)})
+    enc = ArithEncoder()
+    body = bytearray()
+    # class planes: classification of the diff coded at each position
+    above = [[0] * width for _ in range(3)]
+    left = [0, 0, 0]
+    count = 0
+    restart_reset = False
+    for y in range(height):
+        for x in range(width):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                body += enc.flush()
+                body += bytes(
+                    (0xFF, 0xD0 + ((count // restart_interval - 1) % 8))
+                )
+                enc = ArithEncoder()
+                model.reset()
+                above = [[0] * width for _ in range(3)]
+                left = [0, 0, 0]
+                restart_reset = True
+            area = model.area(0)
+            for c in range(3):
+                cur = rgb[(y * width + x) * 3 + c]
+                if restart_reset or (x == 0 and y == 0):
+                    pred = 128
+                elif y == 0:
+                    pred = rgb[(y * width + x - 1) * 3 + c]
+                elif x == 0:
+                    pred = rgb[((y - 1) * width + x) * 3 + c]
+                else:
+                    pred = _predict(
+                        rgb[(y * width + x - 1) * 3 + c],
+                        rgb[((y - 1) * width + x) * 3 + c],
+                        rgb[((y - 1) * width + x - 1) * 3 + c],
+                        predictor,
+                    )
+                diff = (cur - pred) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                ca = left[c] if x > 0 else 0
+                cb = above[c][x] if y > 0 else 0
+                base = 4 * (5 * cb + ca)
+                xa = LL_X_B if cb >= 3 else LL_X_A
+                _ll_code_diff(enc, area, base, xa, diff)
+                cls = _ll_class(diff, L, U)
+                left[c] = cls
+                above[c][x] = cls
+            restart_reset = False
+            count += 1
+    body += enc.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xcb" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    out += b"\xff\xcc" + struct.pack(">HBB", 4, 0x00, (U << 4) | L)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BB", cid, 0x00)
+    out += struct.pack("BBB", predictor, 0, 0)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_scan_lossless_arith(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    dc_cond,
+    sel: int,
+    pt: int,
+    prec: int,
+    restart_interval: int,
+):
+    """SOF11 scan: SOF3's interleaved raster walk with QM-decoded
+    differences under the 2-D neighbor-class conditioning."""
+    h, w, comps = frame
+    if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+        raise ValueError("subsampled lossless JPEG not supported")
+    nc = len(comps)
+    tbls = [td for _, td, _ in scan]
+    dec = ArithDecoder(data, pos)
+    model = _LosslessArithModel(nc, dc_cond)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(nc)]
+    default = 1 << (prec - 1 - pt)
+    above = [[0] * w for _ in range(nc)]
+    left = [0] * nc
+    count = 0
+    restart_reset = False
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                while dec.marker_pos is None:
+                    dec._next_byte()
+                mpos = dec.marker_pos
+                if not (0xD0 <= data[mpos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                dec = ArithDecoder(data, mpos + 2)
+                model.reset()
+                above = [[0] * w for _ in range(nc)]
+                left = [0] * nc
+                restart_reset = True
+            for ci in range(nc):
+                p = planes[ci]
+                if restart_reset or (x == 0 and y == 0):
+                    pred = default
+                elif y == 0:
+                    pred = int(p[y, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, x])
+                else:
+                    from cassandra_spark.operators.jpeg import _predict
+
+                    pred = _predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), sel,
+                    )
+                L, U = dc_cond.get(tbls[ci], (0, 1))
+                area = model.area(tbls[ci])
+                ca = left[ci] if x > 0 else 0
+                cb = above[ci][x] if y > 0 else 0
+                base = 4 * (5 * cb + ca)
+                xa = LL_X_B if cb >= 3 else LL_X_A
+                diff = _ll_decode_diff(dec, area, base, xa)
+                p[y, x] = (pred + diff) & 0xFFFF
+                cls = _ll_class(diff, L, U)
+                left[ci] = cls
+                above[ci][x] = cls
+            restart_reset = False
+            count += 1
+    scale = 1 << (prec - 8)
+    out = np.stack(
+        [np.clip(p // scale, 0, 255).astype(np.uint8) for p in planes],
+        axis=-1,
+    )
+    if nc == 1:
+        out = np.repeat(out, 3, axis=-1)
+    return w, h, 3, out.tobytes()

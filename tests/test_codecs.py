@@ -1259,6 +1259,72 @@ def test_lossless_jpeg_flows_through_decode_image():
     assert decode_image(data) == ("image/jpeg", 4, 8, 3, rgb)
 
 
+def test_lossless_arith_jpeg_byte_exact_all_predictors():
+    """SOF11 (round 7): the QM-coder replaces SOF3's Huffman stage —
+    decode(encode(x)) == x BYTE-EXACTLY for every Annex-H predictor,
+    and pixel-identical to the SOF3 decode of the same input (entropy
+    coding is lossless, so any divergence is a codec bug)."""
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from cassandra_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    for w, h in ((16, 24), (7, 5), (1, 1), (33, 2)):
+        rgb = b"".join(
+            bytes(
+                ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256,
+                 (x * x + y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        for pred in range(1, 8):
+            out = decode_jpeg(encode_jpeg_lossless_arith(w, h, rgb, pred))
+            assert out == (w, h, 3, rgb), (w, h, pred)
+            huff = decode_jpeg(encode_jpeg_lossless(w, h, rgb, pred))
+            assert out == huff, (w, h, pred)
+
+
+def test_lossless_arith_jpeg_adversarial_and_restarts():
+    """SOF11 edge payloads: flat, saturated, alternating-extreme
+    (exercises the modulo-65536 +/-32768 magnitude chain and both
+    conditioning areas), plus restart-marker statistic resets."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+    from cassandra_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    for img in (
+        bytes(48),
+        bytes([255] * 48),
+        bytes([0, 255] * 24),
+        bytes(range(48)),
+    ):
+        assert decode_jpeg(encode_jpeg_lossless_arith(4, 4, img))[3] == img
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=20 * 10 * 3, dtype=np.uint8).tobytes()
+    enc = encode_jpeg_lossless_arith(
+        20, 10, rgb, predictor=4, restart_interval=37
+    )
+    assert decode_jpeg(enc)[3] == rgb
+
+
+def test_lossless_arith_jpeg_flows_through_decode_image():
+    from cassandra_spark.operators.codecs import decode_image
+    from cassandra_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rgb = bytes(range(48)) * 2  # 4x8 RGB
+    data = encode_jpeg_lossless_arith(4, 8, rgb)
+    assert decode_image(data) == ("image/jpeg", 4, 8, 3, rgb)
+
+
 # --- Y4M video (operators/y4m.py) --------------------------------------------
 
 
