@@ -39,21 +39,44 @@ from cassandra_spark import registry  # noqa: E402
 
 registry.load_all()
 
-# The scale-sensitive tier benched at the sf1-equivalent corpus: every
-# query whose 10x/100x growth curve SCALE_STRESS.json tracks (diagnostic
-# deliberately-naive configs excluded by design).
+# The scale-sensitive tier benched at the sf1-equivalent corpus
+# (round-7 expansion: the whole non-diagnostic L tier, every TPC-H
+# shape x15+, the heavier streaming sinks, w4/w22, sketches, ring —
+# 96 queries; diagnostic deliberately-naive configs excluded by
+# design). At sf0.1 fixed costs dominate (median 0.64-0.75x of
+# floors); this tier is where the 2x gate binds on real per-row work.
 SF1_QUERIES = (
     "a10_hll_distinct a11_countmin_heavy a13_hll_partials "
-    "a14_histogram_quantiles l17_dedup_clusters l18_kmeans l19_audio "
-    "l1_exact_dedup l20_chunking l21_bigram_lm l23_bpe_train "
-    "l23b_bpe_encode l24_linreg_gd l25_fuzzy_contamination l26_pq_ann "
-    "l27_span_dedup l2_minhash_neardup l2_minhash_neardup_prod "
-    "l2b_simhash l2d_embedding_neardup_prod l3b_lsh_ann p10_nts_replicas "
-    "p9_ring_ownership q_flagship_revenue_by_nation w18_hinted_handoff "
-    "w4_upsert_merge x17_large_orders x17_large_orders_bucketed "
+    "a14_histogram_quantiles "
+    "l10_tfidf l11_token_pack l12_hash_split l13_contamination "
+    "l14_pii_scrub l15_repetition l16_source_mix l17_dedup_clusters "
+    "l18_kmeans l19_audio l1_exact_dedup l20_chunking l21_bigram_lm "
+    "l22_corpus_datasheet l23_bpe_train l23b_bpe_encode l24_linreg_gd "
+    "l25_fuzzy_contamination l26_pq_ann l27_span_dedup l28_epoch_shuffle "
+    "l29_temperature_mix l2_minhash_neardup l2_minhash_neardup_prod "
+    "l2b_simhash l2d_embedding_neardup_prod l30_sq8_ann "
+    "l31_incremental_dedup l32_dedup_triangles l33_ngram_novelty "
+    "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query "
+    "l36_pq_index_build l36_pq_index_query l3_cosine_topk l3b_lsh_ann "
+    "l3c_ivf_ann l4_multimodal_meta l5_text_stats l6_langid "
+    "l7_token_count l8_fingerprint l9_quality_score "
+    "p10_nts_replicas p9_ring_ownership q_flagship_revenue_by_nation "
+    "s10_cdc_stream s11_streaming_hll s12_streaming_session "
+    "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
+    "s16_streaming_dedup_bounded s5_streaming_dedup s6_stateful_totals "
+    "s7_streaming_upsert s9_streaming_mv "
+    "w18_hinted_handoff w22_bulk_load w4_upsert_merge "
+    "x15_shipping_priority x16_returned_items x17_large_orders "
+    "x17_large_orders_bucketed x18_exists_late x19_rich_no_big_order "
+    "x20_small_qty_revenue x21_window_frames x22_disjunctive_revenue "
     "x23_waiting_suppliers x23_waiting_suppliers_bucketed "
-    "x28_pricing_summary x38_resample_ffill x39_funnel "
-    "x40_cohort_retention x43_event_pagerank"
+    "x24_customer_distribution x25_nation_volume x26_priority_by_status "
+    "x27_promo_revenue x28_pricing_summary x29_local_supplier_volume "
+    "x30_forecast_revenue x31_market_share x32_top_supplier "
+    "x33_min_cost_supplier x34_product_profit x35_important_stock "
+    "x36_supplier_counts x37_concentrated_suppliers x38_resample_ffill "
+    "x39_funnel x40_cohort_retention x41_event_transitions "
+    "x42_rolling_24h x43_event_pagerank"
 ).split()
 
 
@@ -123,7 +146,25 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
     subset = os.environ.get("BENCH_QUERIES")
-    names = subset.split(",") if subset else list(registry.QUERIES)
+    if subset:
+        names = subset.split(",")
+    else:
+        # DIAGNOSTIC entries are deliberately-naive baselines kept for
+        # recall/quality comparison (e.g. the fixed-plane sign-LSH
+        # near-dup, measured 8.1x growth at 10x data); their scored
+        # sibling is the _prod path. They stay in queries() (oracle-
+        # checked) but the default sweep does not TIME a plan nobody
+        # should run at scale — name them explicitly via BENCH_QUERIES
+        # to measure one.
+        names = [
+            n for n in registry.QUERIES if n not in registry.DIAGNOSTIC
+        ]
+        if registry.DIAGNOSTIC:
+            print(
+                "# diagnostic tier excluded from sweep: "
+                + ", ".join(sorted(registry.DIAGNOSTIC)),
+                file=sys.stderr,
+            )
 
     spark = get_spark("cassandra-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -155,9 +196,15 @@ def main() -> None:
     # benches subset runs (iteration tool)
     if sf1_dir and (explicit or not subset):
         sf1_names = os.environ.get("BENCH_SF1_QUERIES")
-        names1 = sf1_names.split(",") if sf1_names else SF1_QUERIES
-        if subset:
-            names1 = [n for n in names1 if n in names]
+        if sf1_names:
+            # explicit sf1 list wins outright — it is the iteration tool
+            # for floor (re)measurement and must not be clipped by a
+            # BENCH_QUERIES subset meant for the sf0.1 sweep
+            names1 = sf1_names.split(",")
+        else:
+            names1 = list(SF1_QUERIES)
+            if subset:
+                names1 = [n for n in names1 if n in names]
         if names1:
             times1 = _sweep(spark, sf1_dir, names1, repeat)
             registry.release_caches(spark)
