@@ -12,9 +12,11 @@ Scope (documented honestly):
   QM-coder) decode via operators/jpeg_arith.py, lossless (SOF3
   Huffman AND — round 7 — SOF11 arithmetic; all 7 Annex-H predictors,
   byte-exact) decodes here, and HIERARCHICAL progressions (Annex J:
-  DHP + EXP reference expansion + SOF5 differential sequential
-  stages) decode here too. Only the differential variants
-  (SOF6/7/13-15) raise
+  DHP + EXP reference expansion + differential stages — SOF5
+  sequential Huffman, and round 7's arithmetic SOF13 sequential /
+  SOF14 progressive / SOF15 lossless, the last making the pyramid
+  byte-exact) decode here too. Only the differential Huffman variants
+  (SOF6/7) raise
   ``ValueError`` — the multimodal pipeline degrades those payloads to
   the stub path instead of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
@@ -666,9 +668,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     SOF10 progressive) route to operators/jpeg_arith.py; 12-bit
     precision decodes with output scaled to the 8-bit RGB contract;
     lossless SOF3 (Huffman) and SOF11 (arithmetic, round 7) decode
-    byte-exactly; hierarchical progressions (DHP/EXP/SOF5) render their
-    reference pyramid at EOI. Raises ``ValueError`` only for the
-    differential variants (SOF6/7/13-15)."""
+    byte-exactly; hierarchical progressions render their reference
+    pyramid at EOI — stages may be sequential Huffman (SOF0/SOF5) or,
+    round 7, any ARITHMETIC frame type: SOF9/SOF13 sequential,
+    SOF10-script SOF14 progressive (scans accumulate per stage, render
+    at the next frame boundary), SOF15 differential-lossless (makes the
+    whole pyramid byte-exact). Raises ``ValueError`` only for the
+    differential HUFFMAN variants (SOF6/SOF7)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -686,6 +692,36 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     hier: dict | None = None  # hierarchical progression state (Annex J)
     differential = False
+    # pending PROGRESSIVE hierarchical stage (SOF14): scans accumulate
+    # into per-stage coefficient buffers; the stage renders into the
+    # reference pyramid at the next frame boundary (SOF/EXP/EOI)
+    hier_prog: list | None = None  # [frame, coefs, differential]
+
+    def _flush_hier_stage() -> None:
+        nonlocal hier_prog
+        if hier_prog is None:
+            return
+        st_frame, st_coefs, st_diff = hier_prog
+        hier_prog = None
+        planes = _render_prog_planes(
+            st_frame, st_coefs, qt,
+            0.0 if st_diff else float(1 << (prec - 1)),
+            float(1 << (prec - 8)),
+        )
+        sfh, sfw, _ = st_frame
+        planes = [pl[:sfh, :sfw] for pl in planes]
+        if st_diff:
+            refs = hier["refs"]
+            if refs is None:
+                raise ValueError(
+                    "differential stage before any non-differential frame"
+                )
+            hier["refs"] = [
+                r[:sfh, :sfw] + pl for r, pl in zip(refs, planes)
+            ]
+        else:
+            hier["refs"] = [np.clip(np.rint(pl), 0, 255) for pl in planes]
+
     n = len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -693,6 +729,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            _flush_hier_stage()
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -725,9 +762,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker in (
-            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCB, 0xDE
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCB, 0xCD,
+            0xCE, 0xCF, 0xDE,
         ):
-            # SOF0-3/9/10/11, SOF5 (differential sequential), DHP
+            # SOF0-3/9/10/11, differential SOF5 (seq Huffman) / SOF13
+            # (seq arith) / SOF14 (prog arith) / SOF15 (lossless
+            # arith), DHP
+            _flush_hier_stage()  # a new frame closes a pending stage
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise ValueError("only 8- and 12-bit precision supported")
@@ -742,25 +783,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 pos += seglen
                 continue
             frame = (h, w_, comps)
-            progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA, 0xCB)
-            lossless = marker in (0xC3, 0xCB)
-            differential = marker == 0xC5
+            progressive = marker in (0xC2, 0xCA, 0xCE)
+            arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+            lossless = marker in (0xC3, 0xCB, 0xCF)
+            differential = marker in (0xC5, 0xCD, 0xCE, 0xCF)
             if differential and hier is None:
                 raise ValueError("differential frame outside DHP")
-            if hier is not None and (progressive or arith or lossless):
+            if hier is not None and progressive and not arith:
                 raise ValueError(
-                    "hierarchical stages support sequential Huffman only"
+                    "hierarchical progressive stages are arithmetic-"
+                    "only (SOF14); SOF2/SOF6 stages not supported"
                 )
-        elif marker in (0xC6, 0xC7,
-                        0xCD, 0xCE, 0xCF):
+            if hier is not None and lossless and not differential:
+                raise ValueError(
+                    "hierarchical lossless stages must be differential"
+                )
+        elif marker in (0xC6, 0xC7):
             raise ValueError(
-                "only DCT (baseline/progressive, Huffman or arithmetic), "
-                "lossless (SOF3 Huffman / SOF11 arithmetic), and "
-                "hierarchical sequential-Huffman (DHP/SOF5) JPEG are "
-                "supported (differential variants SOF6/7/13-15 are not)"
+                "differential progressive/lossless HUFFMAN frames "
+                "(SOF6/SOF7) are not supported — the arithmetic "
+                "hierarchical matrix (SOF13/14/15) is"
             )
         elif marker == 0xDF:  # EXP: expand the hierarchical reference
+            _flush_hier_stage()  # EXP closes a pending stage too
             if hier is None or hier["refs"] is None:
                 raise ValueError("EXP outside a hierarchical progression")
             eh, ev = seg[0] >> 4, seg[0] & 0xF
@@ -788,14 +833,76 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            if hier is not None:
-                planes, endpos = _decode_scan_planes(
-                    data, pos + seglen, frame, scan, qt, huff,
-                    restart_interval,
-                    shift=0.0 if differential else float(1 << (prec - 1)),
-                    scale=float(1 << (prec - 8)),
+            if hier is not None and progressive:  # SOF14 stage scans
+                from cassandra_spark.operators.jpeg_arith import (
+                    decode_prog_scan_arith,
                 )
+
+                if hier_prog is None:
+                    h2, w2, comps2 = frame
+                    if any(c[1] != 1 or c[2] != 1 for c in comps2):
+                        raise ValueError(
+                            "subsampled hierarchical stages not supported"
+                        )
+                    hier_prog = [
+                        frame,
+                        [
+                            np.zeros(
+                                ((h2 + 7) // 8, (w2 + 7) // 8, 64),
+                                dtype=np.int64,
+                            )
+                            for _ in comps2
+                        ],
+                        differential,
+                    ]
+                Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                AhAl = seg[3 + 2 * ns]
+                pos = decode_prog_scan_arith(
+                    data, pos + seglen, frame, scan,
+                    Ss, Se, AhAl >> 4, AhAl & 0xF,
+                    hier_prog[1], dc_cond, ac_kx, restart_interval,
+                )
+                continue
+            if hier is not None:
                 fh, fw, _ = frame
+                if lossless:  # SOF15: exact differential final stage
+                    from cassandra_spark.operators.jpeg_arith import (
+                        decode_scan_lossless_diff_arith,
+                    )
+
+                    planes, endpos = decode_scan_lossless_diff_arith(
+                        data, pos + seglen, frame, scan, dc_cond,
+                        restart_interval,
+                    )
+                    planes = [pl.astype(np.float64) for pl in planes]
+                    # component values are now exact: interpret them as
+                    # RGB at EOI (the lossless-JPEG convention — no
+                    # color transform), not YCbCr
+                    hier["exact_rgb"] = True
+                elif arith:  # SOF9 first stage / SOF13 differential
+                    from cassandra_spark.operators.jpeg_arith import (
+                        decode_scan_arith_planes,
+                    )
+
+                    planes, endpos = decode_scan_arith_planes(
+                        data, pos + seglen, frame, scan, qt,
+                        dc_cond, ac_kx, restart_interval,
+                        shift=(
+                            0.0 if differential
+                            else float(1 << (prec - 1))
+                        ),
+                        scale=float(1 << (prec - 8)),
+                    )
+                else:
+                    planes, endpos = _decode_scan_planes(
+                        data, pos + seglen, frame, scan, qt, huff,
+                        restart_interval,
+                        shift=(
+                            0.0 if differential
+                            else float(1 << (prec - 1))
+                        ),
+                        scale=float(1 << (prec - 8)),
+                    )
                 planes = [pl[:fh, :fw] for pl in planes]
                 if differential:
                     refs = hier["refs"]
@@ -877,6 +984,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         planes = [
             np.asarray(r, dtype=np.float64)[:fh, :fw] for r in hier["refs"]
         ]
+        if hier.get("exact_rgb"):
+            # a lossless differential stage fixed the component values
+            # exactly — lossless-JPEG convention: components ARE RGB
+            out = np.stack(
+                [
+                    np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                    for p in planes
+                ],
+                axis=-1,
+            )
+            if len(planes) == 1:
+                out = np.repeat(out, 3, axis=-1)
+            return fw, fh, 3, out.tobytes()
         return _planes_to_rgb(planes, hier["comps"], fh, fw, 1, 1)
     if progressive and coefs is not None:
         return _render_progressive(frame, coefs, qt, prec=prec)
@@ -1047,17 +1167,12 @@ def _dec_ac_refine(br, act, zz, Ss, Se, Al, state) -> None:
         state.eobrun -= 1
 
 
-def _render_progressive(frame, coefs, qt, prec=8):
-    """Dequantize + IDCT the accumulated coefficient buffers and convert
-    to RGB — the one-shot rendering a progressive decoder performs after
-    the final scan."""
-    h, w, comps = frame
-    shift = float(1 << (prec - 1))
-    scale = float(1 << (prec - 8))
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+def _render_prog_planes(frame, coefs, qt, shift, scale):
+    """Dequantize + IDCT the accumulated coefficient buffers into
+    per-component planes (``shift=0`` renders a DIFFERENTIAL frame's
+    signed difference planes — the SOF14 hierarchical stage)."""
     planes = []
-    for ci, (cid, ch, cv, tq) in enumerate(comps):
+    for ci, (cid, ch, cv, tq) in enumerate(frame[2]):
         qtab = qt.get(tq)
         if qtab is None:
             raise ValueError("missing quant table")
@@ -1072,6 +1187,19 @@ def _render_progressive(frame, coefs, qt, prec=8):
                     _DCT.T @ coef.reshape(8, 8) @ _DCT + shift
                 ) / scale
         planes.append(plane)
+    return planes
+
+
+def _render_progressive(frame, coefs, qt, prec=8):
+    """Dequantize + IDCT the accumulated coefficient buffers and convert
+    to RGB — the one-shot rendering a progressive decoder performs after
+    the final scan."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = _render_prog_planes(
+        frame, coefs, qt, float(1 << (prec - 1)), float(1 << (prec - 8))
+    )
     return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
@@ -1542,28 +1670,64 @@ def _encode_seq_frame(
 
 
 def encode_jpeg_hierarchical(
-    width: int, height: int, rgb: bytes, quality: int = 85
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 85,
+    arithmetic: bool = False,
+    lossless_final: bool = False,
+    progressive_final: bool = False,
 ) -> bytes:
     """Top-down RGB bytes → hierarchical JPEG (Annex J): DHP, a half-
-    resolution SOF0 stage, EXP(1,1), one full-resolution SOF5
+    resolution non-differential stage, EXP(1,1), one full-resolution
     differential stage. The differential stage encodes original minus
     the decoder's own expanded stage-1 reconstruction, so fidelity at
-    full size is bounded by the stage-2 quantizer alone."""
+    full size is bounded by the stage-2 coder alone.
+
+    ``arithmetic=True`` swaps the entropy stage: SOF9 + SOF13 (QM
+    coder) instead of SOF0 + SOF5 — the DCT/quantization pipeline is
+    shared, so both reconstruct pixel-identically. ``lossless_final=
+    True`` (round 7, implies arithmetic) makes the final stage a SOF15
+    differential-LOSSLESS pass over the EXACT integer residual: the
+    decoded image equals the input byte-for-byte regardless of
+    ``quality``. Components are then coded as RGB directly (the
+    lossless-JPEG convention — an integer-exact YCbCr round trip does
+    not exist). ``progressive_final=True`` (also implies arithmetic)
+    codes the differential stage as SOF14 — progressive arithmetic,
+    the last cell of the T.81 frame matrix — with the standard
+    successive-approximation scan script; it decodes pixel-identically
+    to the SOF13 sequential stage of the same quantized residual."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
         np.float64
     )
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-    ]
+    if progressive_final:
+        arithmetic = True  # SOF14 is the only progressive-diff coder
+    if lossless_final:
+        arithmetic = True  # SOF15 is the only lossless-differential coder
+        planes = [img[..., 0], img[..., 1], img[..., 2]]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
     qts = [
         _quality_scale(_QT_LUMA, quality),
         _quality_scale(_QT_CHROMA, quality),
     ]
+    if arithmetic:
+        from cassandra_spark.operators.jpeg_arith import (
+            encode_seq_frame_arith,
+        )
+
+        seq_frame = encode_seq_frame_arith
+        m1, m2 = 0xC9, 0xCD
+    else:
+        seq_frame = _encode_seq_frame
+        m1, m2 = 0xC0, 0xC5
     out = bytearray()
     out += b"\xff\xd8"
     for tid, qtab in enumerate(qts):
@@ -1575,7 +1739,7 @@ def encode_jpeg_hierarchical(
         out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
     # stage 1: half resolution, non-differential
     small = [_box_down2(p) for p in planes]
-    frame1, recon1 = _encode_seq_frame(small, qts, 0xC0, 128.0)
+    frame1, recon1 = seq_frame(small, qts, m1, 128.0)
     out += frame1
     # EXP both axes, then the full-size differential stage
     out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)
@@ -1585,8 +1749,26 @@ def encode_jpeg_hierarchical(
         ).astype(np.float64)[:height, :width]
         for rc in recon1
     ]
-    diffs = [p - rf for p, rf in zip(planes, refs)]
-    frame2, _ = _encode_seq_frame(diffs, qts, 0xC5, 0.0)
-    out += frame2
+    if lossless_final:
+        from cassandra_spark.operators.jpeg_arith import (
+            encode_lossless_diff_frame_arith,
+        )
+
+        diffs = [
+            (p - rf).astype(np.int64) for p, rf in zip(planes, refs)
+        ]
+        out += encode_lossless_diff_frame_arith(diffs)
+    elif progressive_final:
+        from cassandra_spark.operators.jpeg_arith import (
+            encode_prog_frame_arith,
+        )
+
+        diffs = [p - rf for p, rf in zip(planes, refs)]
+        frame2, _ = encode_prog_frame_arith(diffs, qts, 0xCE, 0.0)
+        out += frame2
+    else:
+        diffs = [p - rf for p, rf in zip(planes, refs)]
+        frame2, _ = seq_frame(diffs, qts, m2, 0.0)
+        out += frame2
     out += b"\xff\xd9"
     return bytes(out)

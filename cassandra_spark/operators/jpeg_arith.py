@@ -1269,3 +1269,362 @@ def decode_scan_lossless_arith(
     if nc == 1:
         out = np.repeat(out, 3, axis=-1)
     return w, h, 3, out.tobytes()
+
+
+# --- hierarchical support: planes-mode scan decode + stage encoder ----------
+#
+# Round 7 closes the differential-arithmetic variants: SOF13
+# (differential sequential DCT, QM entropy) decodes through the same
+# Annex-J pyramid walk as SOF5, and hierarchical stage ENCODING can use
+# the arithmetic entropy stage (encode_seq_frame_arith mirrors
+# jpeg._encode_seq_frame; the DCT/quantization pipeline is shared, so
+# Huffman and arithmetic progressions reconstruct pixel-identically).
+
+
+def decode_scan_arith_planes(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    qt,
+    dc_cond,
+    ac_kx,
+    restart_interval: int,
+    shift: float,
+    scale: float,
+):
+    """Arithmetic sequential scan → (padded per-component planes, endpos)
+    — the planes-mode twin of decode_scan_arith, for hierarchical
+    progressions (``shift=0`` decodes a DIFFERENTIAL frame's signed
+    difference planes)."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _DCT
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("subsampling factors above 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * cv, mcux * 8 * ch))
+        for _, ch, cv, _ in comps
+    ]
+    tabmap = {cs: (td, ta) for cs, td, ta in scan}
+    dec = ArithDecoder(data, pos)
+    model = _SeqArithModel(len(comps), dc_cond, ac_kx)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                while dec.marker_pos is None:
+                    dec._next_byte()
+                mpos = dec.marker_pos
+                if not (0xD0 <= data[mpos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                dec = ArithDecoder(data, mpos + 2)
+                model.reset()
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = tabmap[cid]
+                qtab = qt.get(tq)
+                if qtab is None:
+                    raise ValueError("missing quant table")
+                for vy in range(cv):
+                    for vx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = _decode_dc(dec, model, td, ci)
+                        _decode_ac(dec, model, ta, zz)
+                        coef = np.zeros(64)
+                        for kk in range(64):
+                            coef[ZIGZAG[kk]] = zz[kk] * qtab[ZIGZAG[kk]]
+                        block = (
+                            _DCT.T @ coef.reshape(8, 8) @ _DCT + shift
+                        ) / scale
+                        by = (my * cv + vy) * 8
+                        bx = (mx * ch + vx) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
+            mcu_count += 1
+    while dec.marker_pos is None:
+        dec._next_byte()
+    return planes, dec.marker_pos
+
+
+def encode_seq_frame_arith(
+    planes, qts, marker: int, shift: float
+) -> tuple[bytes, list]:
+    """Encode float planes as one arithmetic sequential frame (SOF
+    ``marker``: 0xC9 non-differential / 0xCD differential, 4:4:4) and
+    return (frame bytes incl. DAC/SOF/SOS, the decoder's reconstruction
+    of each plane) — jpeg._encode_seq_frame with the QM entropy stage."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _DCT
+
+    h, w = planes[0].shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    blocks = []
+    recon = []
+    for ci, plane in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = plane
+        if ph > h:
+            pp[h:, :w] = plane[-1:, :]
+        if pw > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        rec = np.empty((ph, pw))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+                deq = (q * qts[ti]).reshape(8, 8)
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ deq @ _DCT + shift
+                )
+        blocks.append(zz)
+        recon.append(rec[:h, :w])
+
+    dc_cond = {0: (0, 1), 1: (0, 1)}
+    ac_kx = {0: 5, 1: 5}
+    enc = ArithEncoder()
+    model = _SeqArithModel(len(planes), dc_cond, ac_kx)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(planes)):
+                ti = 0 if ci == 0 else 1
+                zz = blocks[ci][by, bx]
+                _encode_dc(enc, model, ti, ci, int(zz[0]))
+                _encode_ac(enc, model, ti, zz)
+    body = enc.flush()
+
+    out = bytearray()
+    dac = b""
+    for tbl in (0, 1):
+        L, U = dc_cond[tbl]
+        dac += struct.pack("BB", 0x00 | tbl, (U << 4) | L)
+        dac += struct.pack("BB", 0x10 | tbl, ac_kx[tbl])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    out += bytes((0xFF, marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
+    )
+    for ci in range(len(planes)):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+    for ci in range(len(planes)):
+        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+    out += body
+    return bytes(out), recon
+
+
+# --- differential LOSSLESS stage (SOF15): exact hierarchical final pass -----
+#
+# In a differential lossless frame the prediction is ZERO (the samples
+# ARE the stage differences), so each signed difference codes directly
+# through the lossless decision tree; modulo-65536 arithmetic makes the
+# stage exact, which makes the WHOLE pyramid exact — the decoder's
+# stage-1 reconstruction plus the coded difference reproduces the
+# original sample bit-for-bit.
+
+
+def encode_lossless_diff_frame_arith(diff_planes) -> bytes:
+    """Signed int difference planes → one SOF15 frame (DAC + SOF + SOS +
+    entropy bytes), 4:4:4, zero prediction."""
+    h, w = diff_planes[0].shape
+    nc = len(diff_planes)
+    L, U = 0, 1
+    model = _LosslessArithModel(nc, {0: (L, U)})
+    enc = ArithEncoder()
+    above = [[0] * w for _ in range(nc)]
+    left = [0] * nc
+    area_getter = model.area
+    for y in range(h):
+        for x in range(w):
+            area = area_getter(0)
+            for c in range(nc):
+                v = int(diff_planes[c][y, x])
+                diff = v & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                ca = left[c] if x > 0 else 0
+                cb = above[c][x] if y > 0 else 0
+                base = 4 * (5 * cb + ca)
+                xa = LL_X_B if cb >= 3 else LL_X_A
+                _ll_code_diff(enc, area, base, xa, diff)
+                cls = _ll_class(diff, L, U)
+                left[c] = cls
+                above[c][x] = cls
+    body = enc.flush()
+
+    out = bytearray()
+    out += b"\xff\xcc" + struct.pack(">HBB", 4, 0x00, (U << 4) | L)
+    out += b"\xff\xcf" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BB", cid, 0x00)
+    out += struct.pack("BBB", 0, 0, 0)  # Ss=0 (differential: no predictor)
+    out += body
+    return bytes(out)
+
+
+def decode_scan_lossless_diff_arith(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    dc_cond,
+    restart_interval: int,
+):
+    """SOF15 scan → (signed int difference planes, endpos). Zero
+    prediction, same 2-D neighbor-class conditioning as SOF11."""
+    h, w, comps = frame
+    if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+        raise ValueError("subsampled lossless JPEG not supported")
+    nc = len(comps)
+    tbls = [td for _, td, _ in scan]
+    dec = ArithDecoder(data, pos)
+    model = _LosslessArithModel(nc, dc_cond)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(nc)]
+    above = [[0] * w for _ in range(nc)]
+    left = [0] * nc
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                while dec.marker_pos is None:
+                    dec._next_byte()
+                mpos = dec.marker_pos
+                if not (0xD0 <= data[mpos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                dec = ArithDecoder(data, mpos + 2)
+                model.reset()
+                above = [[0] * w for _ in range(nc)]
+                left = [0] * nc
+            for ci in range(nc):
+                L, U = dc_cond.get(tbls[ci], (0, 1))
+                area = model.area(tbls[ci])
+                ca = left[ci] if x > 0 else 0
+                cb = above[ci][x] if y > 0 else 0
+                base = 4 * (5 * cb + ca)
+                xa = LL_X_B if cb >= 3 else LL_X_A
+                diff = _ll_decode_diff(dec, area, base, xa)
+                planes[ci][y, x] = diff
+                cls = _ll_class(diff, L, U)
+                left[ci] = cls
+                above[ci][x] = cls
+            count += 1
+    while dec.marker_pos is None:
+        dec._next_byte()
+    return planes, dec.marker_pos
+
+
+def encode_prog_frame_arith(
+    planes, qts, marker: int, shift: float
+) -> tuple[bytes, list]:
+    """Encode float planes as one PROGRESSIVE arithmetic frame (SOF
+    ``marker``: 0xCA non-differential / 0xCE differential, 4:4:4) using
+    the same 10-scan successive-approximation script as the standalone
+    progressive encoders — for hierarchical stages (SOF14 closes the
+    arithmetic differential matrix). Returns (frame bytes incl.
+    DAC/SOF/scans, the decoder's reconstruction of each plane)."""
+    from cassandra_spark.operators.jpeg import ZIGZAG, _DCT
+
+    h, w = planes[0].shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    blocks = []
+    recon = []
+    for ci, plane in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = plane
+        if ph > h:
+            pp[h:, :w] = plane[-1:, :]
+        if pw > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        rec = np.empty((ph, pw))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+                deq = (q * qts[ti]).reshape(8, 8)
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ deq @ _DCT + shift
+                )
+        blocks.append(zz)
+        recon.append(rec[:h, :w])
+
+    dc_cond = {0: (0, 1), 1: (0, 1)}
+    ac_kx = {0: 5, 1: 5}
+    nc = len(planes)
+
+    def sos_header(comps, Ss, Se, Ah, Al):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps), len(comps)
+        )
+        for ci in comps:
+            ti = 0 if ci == 0 else 1
+            hdr += struct.pack("BB", ci + 1, (ti << 4) | ti)
+        return hdr + struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+
+    def dc_scan(Ah, Al):
+        enc = ArithEncoder()
+        model = _SeqArithModel(nc, dc_cond, ac_kx)
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    ti = 0 if ci == 0 else 1
+                    dc = int(blocks[ci][by, bx][0])
+                    if Ah == 0:
+                        _enc_dc_first_arith(enc, model, ti, ci, dc, Al)
+                    else:
+                        enc.encode(model.fixed, (dc >> Al) & 1)
+        return enc.flush()
+
+    def ac_scan(ci, Ss, Se, Ah, Al):
+        enc = ArithEncoder()
+        model = _SeqArithModel(nc, dc_cond, ac_kx)
+        ti = 0 if ci == 0 else 1
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = blocks[ci][by, bx]
+                if Ah == 0:
+                    _enc_ac_first_arith(enc, model, ti, zz, Ss, Se, Al)
+                else:
+                    _enc_ac_refine_arith(enc, model, ti, zz, Ss, Se, Ah, Al)
+        return enc.flush()
+
+    out = bytearray()
+    dac = b""
+    for tbl in (0, 1):
+        L, U = dc_cond[tbl]
+        dac += struct.pack("BB", 0x00 | tbl, (U << 4) | L)
+        dac += struct.pack("BB", 0x10 | tbl, ac_kx[tbl])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    out += bytes((0xFF, marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += sos_header(list(range(nc)), 0, 0, 0, 1) + dc_scan(0, 1)
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 0, 1) + ac_scan(ci, 1, 63, 0, 1)
+    out += sos_header(list(range(nc)), 0, 0, 1, 0) + dc_scan(1, 0)
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 1, 0) + ac_scan(ci, 1, 63, 1, 0)
+    return bytes(out), recon

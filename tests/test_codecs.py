@@ -1325,6 +1325,91 @@ def test_lossless_arith_jpeg_flows_through_decode_image():
     assert decode_image(data) == ("image/jpeg", 4, 8, 3, rgb)
 
 
+def test_hierarchical_arithmetic_stages_match_huffman():
+    """SOF13 (round 7): the arithmetic hierarchical progression decodes
+    pixel-identically to the Huffman progression of the same image —
+    shared DCT/quantization pipeline, only the entropy stage differs."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h in ((24, 16), (7, 5), (1, 1), (9, 2)):
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        a = decode_jpeg(encode_jpeg_hierarchical(w, h, rgb, arithmetic=True))
+        b = decode_jpeg(encode_jpeg_hierarchical(w, h, rgb, arithmetic=False))
+        assert a == b, (w, h)
+
+
+def test_hierarchical_progressive_stage_sof14():
+    """SOF14 (round 7): a progressive-arithmetic differential stage —
+    scans accumulate per stage and render at the frame boundary —
+    decodes pixel-identically to the SOF13 sequential stage of the same
+    quantized residual."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(6)
+    for w, h in ((24, 16), (7, 5), (16, 16)):
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        seq = decode_jpeg(
+            encode_jpeg_hierarchical(w, h, rgb, arithmetic=True)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_hierarchical(w, h, rgb, progressive_final=True)
+        )
+        assert seq == prog, (w, h)
+
+
+def test_hierarchical_lossless_final_stage_exact():
+    """SOF15 (round 7): a differential-LOSSLESS final stage makes the
+    whole pyramid byte-exact at ANY stage-1 quality — the strongest
+    property in the hierarchical matrix."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in ((24, 16), (7, 5), (1, 1), (9, 2)):
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for q in (20, 85):
+            out = decode_jpeg(
+                encode_jpeg_hierarchical(
+                    w, h, rgb, quality=q, lossless_final=True
+                )
+            )
+            assert out == (w, h, 3, rgb), (w, h, q)
+
+
+def test_differential_huffman_variants_still_raise():
+    import struct
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    for marker in (0xC6, 0xC7):
+        data = (
+            b"\xff\xd8"
+            + bytes((0xFF, marker)) + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes([1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+        try:
+            decode_jpeg(data)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
 # --- Y4M video (operators/y4m.py) --------------------------------------------
 
 
