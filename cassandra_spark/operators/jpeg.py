@@ -12,11 +12,10 @@ Scope (documented honestly):
   QM-coder) decode via operators/jpeg_arith.py, lossless (SOF3
   Huffman AND — round 7 — SOF11 arithmetic; all 7 Annex-H predictors,
   byte-exact) decodes here, and HIERARCHICAL progressions (Annex J:
-  DHP + EXP reference expansion + differential stages — SOF5
-  sequential Huffman, and round 7's arithmetic SOF13 sequential /
-  SOF14 progressive / SOF15 lossless, the last making the pyramid
-  byte-exact) decode here too. Only the differential Huffman variants
-  (SOF6/7) raise
+  DHP + EXP reference expansion) accept EVERY differential frame
+  type as a stage — SOF5/6/7 Huffman and SOF13/14/15 arithmetic
+  (the lossless stages make the pyramid byte-exact): the COMPLETE
+  T.81 frame matrix, encode and decode. Truly malformed streams raise
   ``ValueError`` — the multimodal pipeline degrades those payloads to
   the stub path instead of failing the job.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K-style quant tables
@@ -669,12 +668,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     precision decodes with output scaled to the 8-bit RGB contract;
     lossless SOF3 (Huffman) and SOF11 (arithmetic, round 7) decode
     byte-exactly; hierarchical progressions render their reference
-    pyramid at EOI — stages may be sequential Huffman (SOF0/SOF5) or,
-    round 7, any ARITHMETIC frame type: SOF9/SOF13 sequential,
-    SOF10-script SOF14 progressive (scans accumulate per stage, render
-    at the next frame boundary), SOF15 differential-lossless (makes the
-    whole pyramid byte-exact). Raises ``ValueError`` only for the
-    differential HUFFMAN variants (SOF6/SOF7)."""
+    pyramid at EOI with EVERY T.81 differential frame type as a stage
+    (round 7): SOF5/SOF13 sequential, SOF6/SOF14 progressive (scans
+    accumulate per stage, render at the next frame boundary),
+    SOF7/SOF15 differential-lossless (makes the whole pyramid
+    byte-exact) — the full frame matrix, Huffman and arithmetic."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -701,7 +699,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         nonlocal hier_prog
         if hier_prog is None:
             return
-        st_frame, st_coefs, st_diff = hier_prog
+        st_frame, st_coefs, st_diff = hier_prog[:3]
         hier_prog = None
         planes = _render_prog_planes(
             st_frame, st_coefs, qt,
@@ -762,12 +760,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker in (
-            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCB, 0xCD,
-            0xCE, 0xCF, 0xDE,
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            0xCB, 0xCD, 0xCE, 0xCF, 0xDE,
         ):
-            # SOF0-3/9/10/11, differential SOF5 (seq Huffman) / SOF13
-            # (seq arith) / SOF14 (prog arith) / SOF15 (lossless
-            # arith), DHP
+            # SOF0-3/9/10/11 + the full differential matrix — SOF5/6/7
+            # (seq/prog/lossless Huffman), SOF13/14/15 (seq/prog/
+            # lossless arithmetic) — and DHP
             _flush_hier_stage()  # a new frame closes a pending stage
             prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
@@ -783,27 +781,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 pos += seglen
                 continue
             frame = (h, w_, comps)
-            progressive = marker in (0xC2, 0xCA, 0xCE)
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
             arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
-            lossless = marker in (0xC3, 0xCB, 0xCF)
-            differential = marker in (0xC5, 0xCD, 0xCE, 0xCF)
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             if differential and hier is None:
                 raise ValueError("differential frame outside DHP")
-            if hier is not None and progressive and not arith:
-                raise ValueError(
-                    "hierarchical progressive stages are arithmetic-"
-                    "only (SOF14); SOF2/SOF6 stages not supported"
-                )
             if hier is not None and lossless and not differential:
                 raise ValueError(
                     "hierarchical lossless stages must be differential"
                 )
-        elif marker in (0xC6, 0xC7):
-            raise ValueError(
-                "differential progressive/lossless HUFFMAN frames "
-                "(SOF6/SOF7) are not supported — the arithmetic "
-                "hierarchical matrix (SOF13/14/15) is"
-            )
         elif marker == 0xDF:  # EXP: expand the hierarchical reference
             _flush_hier_stage()  # EXP closes a pending stage too
             if hier is None or hier["refs"] is None:
@@ -833,11 +820,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            if hier is not None and progressive:  # SOF14 stage scans
-                from cassandra_spark.operators.jpeg_arith import (
-                    decode_prog_scan_arith,
-                )
-
+            if hier is not None and progressive:  # SOF6/SOF14 scans
                 if hier_prog is None:
                     h2, w2, comps2 = frame
                     if any(c[1] != 1 or c[2] != 1 for c in comps2):
@@ -854,26 +837,45 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                             for _ in comps2
                         ],
                         differential,
+                        [0] * len(comps2),  # Huffman DC predictors
                     ]
                 Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 AhAl = seg[3 + 2 * ns]
-                pos = decode_prog_scan_arith(
-                    data, pos + seglen, frame, scan,
-                    Ss, Se, AhAl >> 4, AhAl & 0xF,
-                    hier_prog[1], dc_cond, ac_kx, restart_interval,
-                )
+                if arith:
+                    from cassandra_spark.operators.jpeg_arith import (
+                        decode_prog_scan_arith,
+                    )
+
+                    pos = decode_prog_scan_arith(
+                        data, pos + seglen, frame, scan,
+                        Ss, Se, AhAl >> 4, AhAl & 0xF,
+                        hier_prog[1], dc_cond, ac_kx, restart_interval,
+                    )
+                else:
+                    pos = _decode_prog_scan(
+                        data, pos + seglen, frame, scan,
+                        Ss, Se, AhAl >> 4, AhAl & 0xF,
+                        huff, hier_prog[1], hier_prog[3],
+                        restart_interval,
+                    )
                 continue
             if hier is not None:
                 fh, fw, _ = frame
-                if lossless:  # SOF15: exact differential final stage
-                    from cassandra_spark.operators.jpeg_arith import (
-                        decode_scan_lossless_diff_arith,
-                    )
+                if lossless:  # SOF7/SOF15: exact differential final stage
+                    if arith:
+                        from cassandra_spark.operators.jpeg_arith import (
+                            decode_scan_lossless_diff_arith,
+                        )
 
-                    planes, endpos = decode_scan_lossless_diff_arith(
-                        data, pos + seglen, frame, scan, dc_cond,
-                        restart_interval,
-                    )
+                        planes, endpos = decode_scan_lossless_diff_arith(
+                            data, pos + seglen, frame, scan, dc_cond,
+                            restart_interval,
+                        )
+                    else:
+                        planes, endpos = _decode_scan_lossless_diff_huff(
+                            data, pos + seglen, frame, scan, huff,
+                            restart_interval,
+                        )
                     planes = [pl.astype(np.float64) for pl in planes]
                     # component values are now exact: interpret them as
                     # RGB at EOI (the lossless-JPEG convention — no
@@ -1687,25 +1689,25 @@ def encode_jpeg_hierarchical(
     ``arithmetic=True`` swaps the entropy stage: SOF9 + SOF13 (QM
     coder) instead of SOF0 + SOF5 — the DCT/quantization pipeline is
     shared, so both reconstruct pixel-identically. ``lossless_final=
-    True`` (round 7, implies arithmetic) makes the final stage a SOF15
-    differential-LOSSLESS pass over the EXACT integer residual: the
-    decoded image equals the input byte-for-byte regardless of
-    ``quality``. Components are then coded as RGB directly (the
-    lossless-JPEG convention — an integer-exact YCbCr round trip does
-    not exist). ``progressive_final=True`` (also implies arithmetic)
-    codes the differential stage as SOF14 — progressive arithmetic,
-    the last cell of the T.81 frame matrix — with the standard
-    successive-approximation scan script; it decodes pixel-identically
-    to the SOF13 sequential stage of the same quantized residual."""
+    True`` (round 7) makes the final stage a differential-LOSSLESS
+    pass over the EXACT integer residual (SOF15 arithmetic / SOF7
+    Huffman): the decoded image equals the input byte-for-byte
+    regardless of ``quality``; components are then coded as RGB
+    directly (the lossless-JPEG convention — an integer-exact YCbCr
+    round trip does not exist). ``progressive_final=True`` codes the
+    differential stage progressively (SOF14 arithmetic / SOF6
+    Huffman) with the standard successive-approximation scan script;
+    it decodes pixel-identically to the sequential stage of the same
+    quantized residual. Together these cover EVERY cell of the T.81
+    frame matrix."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
         np.float64
     )
-    if progressive_final:
-        arithmetic = True  # SOF14 is the only progressive-diff coder
     if lossless_final:
-        arithmetic = True  # SOF15 is the only lossless-differential coder
+        # exact residual stage (SOF15 arithmetic / SOF7 Huffman):
+        # components code as RGB (lossless convention, see docstring)
         planes = [img[..., 0], img[..., 1], img[..., 2]]
     else:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
@@ -1750,21 +1752,27 @@ def encode_jpeg_hierarchical(
         for rc in recon1
     ]
     if lossless_final:
-        from cassandra_spark.operators.jpeg_arith import (
-            encode_lossless_diff_frame_arith,
-        )
-
         diffs = [
             (p - rf).astype(np.int64) for p, rf in zip(planes, refs)
         ]
-        out += encode_lossless_diff_frame_arith(diffs)
-    elif progressive_final:
-        from cassandra_spark.operators.jpeg_arith import (
-            encode_prog_frame_arith,
-        )
+        if arithmetic:
+            from cassandra_spark.operators.jpeg_arith import (
+                encode_lossless_diff_frame_arith,
+            )
 
+            out += encode_lossless_diff_frame_arith(diffs)
+        else:
+            out += encode_lossless_diff_frame_huff(diffs)
+    elif progressive_final:
         diffs = [p - rf for p, rf in zip(planes, refs)]
-        frame2, _ = encode_prog_frame_arith(diffs, qts, 0xCE, 0.0)
+        if arithmetic:
+            from cassandra_spark.operators.jpeg_arith import (
+                encode_prog_frame_arith,
+            )
+
+            frame2, _ = encode_prog_frame_arith(diffs, qts, 0xCE, 0.0)
+        else:
+            frame2, _ = encode_prog_frame_huff(diffs, qts, 0xC6, 0.0)
         out += frame2
     else:
         diffs = [p - rf for p, rf in zip(planes, refs)]
@@ -1772,3 +1780,209 @@ def encode_jpeg_hierarchical(
         out += frame2
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- differential HUFFMAN stages (SOF6 progressive / SOF7 lossless) ---------
+#
+# Round 7 closes the last two cells of the T.81 frame matrix: the
+# differential Huffman variants. SOF6 reuses the progressive scan
+# machinery (spectral selection + successive approximation) over a
+# differential frame's coefficients; SOF7 is the Annex-H lossless walk
+# with ZERO prediction over the stage residual, which — like SOF15 —
+# makes the whole hierarchical pyramid byte-exact.
+
+
+def encode_prog_frame_huff(
+    planes, qts, marker: int, shift: float
+) -> tuple[bytes, list]:
+    """Encode float planes as one PROGRESSIVE Huffman frame (SOF
+    ``marker``: 0xC2 non-differential / 0xC6 differential, 4:4:4) using
+    the successive-approximation scan script shared with the arithmetic
+    stage encoder. Returns (frame bytes, decoder's reconstruction)."""
+    h, w = planes[0].shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    blocks = []
+    recon = []
+    for ci, plane in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = plane
+        if ph > h:
+            pp[h:, :w] = plane[-1:, :]
+        if pw > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        rec = np.empty((ph, pw))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift
+                coef = _DCT @ block @ _DCT.T
+                q = np.rint(coef.reshape(64) / qts[ti]).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+                deq = (q * qts[ti]).reshape(8, 8)
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ deq @ _DCT + shift
+                )
+        blocks.append(zz)
+        recon.append(rec[:h, :w])
+    nc = len(planes)
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    prog_ac = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def sos_header(comps, Ss, Se, Ah, Al):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps), len(comps)
+        )
+        for ci in comps:
+            ti = 0 if ci == 0 else 1
+            hdr += struct.pack("BB", ci + 1, (ti << 4) | ti)
+        return hdr + struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+
+    def dc_scan(Ah, Al):
+        bw = _BitWriter()
+        pred = [0] * nc
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    ti = 0 if ci == 0 else 1
+                    dc = int(blocks[ci][by, bx][0])
+                    if Ah == 0:
+                        v = dc >> Al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t, bits = _magnitude(diff)
+                        code, length = dc_tabs[ti][t]
+                        bw.write(code, length)
+                        if t:
+                            bw.write(bits, t)
+                    else:
+                        bw.write((dc >> Al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci, Ss, Se, Ah, Al):
+        bw = _BitWriter()
+        st = _ProgACState(bw, prog_ac)
+        for by in range(nby):
+            for bx in range(nbx):
+                if Ah == 0:
+                    _emit_ac_first(st, blocks[ci][by, bx], Ss, Se, Al)
+                else:
+                    _emit_ac_refine(st, blocks[ci][by, bx], Ss, Se, Al)
+        st.flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray()
+    out += bytes((0xFF, marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for cls, tid, bits_, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_PROG_BITS, _AC_PROG_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_PROG_BITS, _AC_PROG_VALS),
+    ):
+        payload = bytes(bits_) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + len(payload), (cls << 4) | tid
+        )
+        out += payload
+    out += sos_header(list(range(nc)), 0, 0, 0, 1) + dc_scan(0, 1)
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 0, 1) + ac_scan(ci, 1, 63, 0, 1)
+    out += sos_header(list(range(nc)), 0, 0, 1, 0) + dc_scan(1, 0)
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 1, 0) + ac_scan(ci, 1, 63, 1, 0)
+    return bytes(out), recon
+
+
+def encode_lossless_diff_frame_huff(diff_planes) -> bytes:
+    """Signed int difference planes → one SOF7 frame (DHT + SOF + SOS +
+    entropy bytes), 4:4:4, ZERO prediction — the Huffman twin of
+    jpeg_arith.encode_lossless_diff_frame_arith."""
+    h, w = diff_planes[0].shape
+    nc = len(diff_planes)
+    tab = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                diff = int(diff_planes[c][y, x]) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                t, bits = _magnitude(diff)
+                code, length = tab[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits, t)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xc7" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    payload = bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), 0x00)
+    out += payload
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BB", cid, 0x00)
+    out += struct.pack("BBB", 0, 0, 0)  # Ss=0: differential, no predictor
+    out += bytes(bw.out)
+    return bytes(out)
+
+
+def _decode_scan_lossless_diff_huff(
+    data, pos, frame, scan, huff, restart_interval
+):
+    """SOF7 scan → (signed int difference planes, endpos): the Annex-H
+    walk with zero prediction; modulo-65536 values re-signed."""
+    h, w, comps = frame
+    if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+        raise ValueError("subsampled lossless JPEG not supported")
+    nc = len(comps)
+    tabs = []
+    for cs, td, _ in scan:
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("missing lossless Huffman table")
+        tabs.append(t)
+    br = _BitReader(data, pos)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(nc)]
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                br.sync_restart()
+            for ci in range(nc):
+                t = _huff_decode(br, tabs[ci])
+                if t == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                v = diff & 0xFFFF
+                if v > 32767:
+                    v -= 65536
+                planes[ci][y, x] = v
+            count += 1
+    # endpos: the next real marker at/after the reader's byte position
+    # (0xFF00 stuffing and RSTn are entropy bytes, skip them)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return planes, p

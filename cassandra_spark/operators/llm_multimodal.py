@@ -23,12 +23,13 @@ sample_frames demuxes/composites and decodes sampled frames to RGB;
 audio is REAL for RIFF/WAVE PCM (operators/audio.py); arithmetic-coded
 JPEG (SOF9 sequential AND SOF10 progressive) decodes via
 operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
-contract; lossless SOF3 decodes byte-exactly; hierarchical progressions
-(DHP/EXP/SOF5) decode. Remaining formats (compressed non-AVI/non-Y4M
-video containers, arithmetic differential/lossless JPEG) still raise
-unless the caller opts into the deterministic fake
-decoder; the Spark-side contract (schema, Arrow batch shape,
-partitioning) is identical for both paths.
+contract; lossless SOF3/SOF11 decode byte-exactly; hierarchical
+progressions (DHP/EXP) accept every T.81 differential stage type
+(SOF5/6/7 Huffman, SOF13/14/15 arithmetic — the COMPLETE frame
+matrix, round 7). The one remaining format family (compressed
+non-AVI/non-Y4M video containers) still raises unless the caller opts
+into the deterministic fake decoder; the Spark-side contract (schema,
+Arrow batch shape, partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition

@@ -1391,22 +1391,47 @@ def test_hierarchical_lossless_final_stage_exact():
             assert out == (w, h, 3, rgb), (w, h, q)
 
 
-def test_differential_huffman_variants_still_raise():
+def test_differential_huffman_stages_sof6_sof7():
+    """SOF6/SOF7 (round 7): the differential HUFFMAN variants — SOF6
+    progressive stage decodes pixel-identically to SOF5, SOF7 lossless
+    final stage makes the pyramid byte-exact; with them the ENTIRE
+    T.81 frame matrix (SOF0-3, 5-7, 9-11, 13-15) round-trips."""
     import struct
 
-    from cassandra_spark.operators.jpeg import decode_jpeg
+    import numpy as np
 
-    for marker in (0xC6, 0xC7):
-        data = (
-            b"\xff\xd8"
-            + bytes((0xFF, marker)) + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
-            + bytes([1, 0x11, 0])
-            + b"\xff\xd9"
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(9)
+    for w, h in ((24, 16), (7, 5), (1, 1), (9, 2)):
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg_hierarchical(w, h, rgb))
+        p6 = decode_jpeg(
+            encode_jpeg_hierarchical(
+                w, h, rgb, progressive_final=True, arithmetic=False
+            )
         )
-        try:
-            decode_jpeg(data)
-            raise AssertionError("expected ValueError")
-        except ValueError:
+        assert p6 == base, (w, h, "SOF6")
+        l7 = decode_jpeg(
+            encode_jpeg_hierarchical(
+                w, h, rgb, lossless_final=True, arithmetic=False
+            )
+        )
+        assert l7 == (w, h, 3, rgb), (w, h, "SOF7")
+    # a differential frame OUTSIDE a hierarchical progression is invalid
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc6" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    try:
+        decode_jpeg(data)
+        raise AssertionError("expected ValueError")
+    except ValueError:
             pass
 
 

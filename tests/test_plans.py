@@ -696,3 +696,59 @@ def test_cluster_representatives_no_cartesian(spark):
     plan = plan_of(spark, "l34_cluster_representatives")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_ivf_index_query_plan_broadcasts_and_scans_artifact(spark):
+    """l35 query half: the centroid ranking and the probe both broadcast
+    the tiny side; the candidate scan reads the PERSISTED postings (the
+    inverted file), never recomputes assignment; no cartesian."""
+    plan = plan_of(spark, "l35_ivf_index_query")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "casspark_vecidx_ivf_" in plan, "scan must read the artifact"
+
+
+def test_pq_index_query_plan_is_map_only_adc(spark):
+    """l36 query half: the ADC scan is the codes table joined to
+    broadcast LUT literals (no shuffle before the per-query top-k), and
+    the shortlist runs through a window, never a global sort of the
+    corpus."""
+    plan = plan_of(spark, "l36_pq_index_query")
+    assert "casspark_vecidx_pq_" in plan, "scan must read the artifact"
+    assert "CartesianProduct" not in plan
+    # the codes-side work before the shortlist window is exchange-free
+    # except the window's own partitioning on query_id
+    assert "BroadcastExchange" in plan
+
+
+def test_upsert_read_path_single_shuffle(spark, tmp_path):
+    """The streaming upsert table's read-time LWW merge is ONE hash
+    exchange on the table key over the live segments — the Cassandra
+    read-path reconcile, not a rewrite."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ev = Catalog(spark, SF_SMOKE).events
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    jobs.streaming_upsert(spark, src, table)
+    df = jobs.read_upsert_table(spark, table)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    n_exchange = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and "user_id" in parts[0] and "event_type" in parts[0], plan
