@@ -1598,6 +1598,72 @@ def test_lossless_jpeg_hypothesis_roundtrip():
     run()
 
 
+def test_lossless_arith_jpeg_hypothesis_roundtrip():
+    """Property: random images round-trip byte-exactly through SOF11 for
+    a random predictor (hypothesis-driven) — the QM-coder twin of the
+    SOF3 property above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.jpeg import decode_jpeg
+    from cassandra_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.integers(1, 7),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(w, h, pred, seed):
+        rgb = bytes(
+            (seed * 1103515245 + i * 12345 + 17) % 256
+            for i in range(w * h * 3)
+        )
+        assert decode_jpeg(
+            encode_jpeg_lossless_arith(w, h, rgb, pred)
+        ) == (w, h, 3, rgb)
+
+    run()
+
+
+def test_hierarchical_lossless_final_hypothesis_roundtrip():
+    """Property: random images survive the FULL hierarchical pyramid
+    byte-exactly when the final stage is differential-lossless — both
+    the SOF15 arithmetic and SOF7 Huffman coders (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(w, h, arith, seed):
+        rgb = bytes(
+            (seed * 2654435761 + i * 40503 + 29) % 256
+            for i in range(w * h * 3)
+        )
+        out = decode_jpeg(
+            encode_jpeg_hierarchical(
+                w, h, rgb, quality=35, lossless_final=True,
+                arithmetic=arith,
+            )
+        )
+        assert out == (w, h, 3, rgb)
+
+    run()
+
+
 def test_hierarchical_jpeg_pyramid_roundtrip():
     """Annex-J hierarchical: DHP + half-res SOF0 stage + EXP + full-res
     SOF5 differential stage. Fidelity at full size is bounded by the
