@@ -26,10 +26,13 @@ operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
 contract; lossless SOF3/SOF11 decode byte-exactly; hierarchical
 progressions (DHP/EXP) accept every T.81 differential stage type
 (SOF5/6/7 Huffman, SOF13/14/15 arithmetic — the COMPLETE frame
-matrix, round 7). The one remaining format family (compressed
-non-AVI/non-Y4M video containers) still raises unless the caller opts
-into the deterministic fake decoder; the Spark-side contract (schema,
-Arrow batch shape, partitioning) is identical for both paths.
+matrix, round 7). ISO-BMFF (MP4/MOV) containers DEMUX for real
+(operators/mp4.py: box tree + full sample tables, so geometry/timing/
+codec/sample ranges come from the actual file) and MJPEG tracks decode
+to RGB; only INTER-CODED bitstreams (avc1/H.264, hev1, …) remain
+undecodable — those payloads raise unless the caller opts into the
+deterministic fake decoder; the Spark-side contract (schema, Arrow
+batch shape, partitioning) is identical for both paths.
 
 Scale posture: payload bytes never shuffle through an aggregate — metadata
 projects out first; mapInPandas streams Arrow batches so one partition
@@ -266,6 +269,12 @@ def sample_frames(
         is_avi,
     )
     from cassandra_spark.operators.codecs import decode_gif_frames
+    from cassandra_spark.operators.mp4 import (
+        MJPEG_CODECS,
+        decode_mp4_frame,
+        demux_mp4,
+        is_mp4,
+    )
     from cassandra_spark.operators.y4m import (
         decode_y4m_frame,
         demux_y4m,
@@ -296,6 +305,23 @@ def sample_frames(
             stream, decode = demux_y4m(payload), decode_y4m_frame
         elif is_avi(payload):
             stream, decode = demux_avi(payload), decode_avi_frame
+        elif is_mp4(payload):
+            # ISO-BMFF: container metadata + sample ranges are REAL for
+            # any codec; frames decode only for MJPEG tracks. An
+            # inter-coded track (avc1/hev1/...) is a RECOGNIZED payload
+            # whose bitstream this engine cannot decode — the honest
+            # codec gate, not a corrupt-container error.
+            stream = demux_mp4(payload)
+            if stream.codec not in MJPEG_CODECS:
+                if not allow_stub:
+                    raise NotImplementedError(
+                        f"MP4 video codec {stream.codec!r} is not "
+                        "locally decodable (MJPEG tracks are); pass "
+                        "allow_stub=True for the deterministic fake "
+                        "sampler"
+                    )
+                return None  # degrade to the stub sampler
+            decode = decode_mp4_frame
         else:
             return None
         decoded: dict[int, str] = {}
@@ -333,7 +359,7 @@ def sample_frames(
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
-                        "payload is not an AVI/Y4M/animated-GIF (the "
+                        "payload is not an AVI/Y4M/MP4/animated-GIF (the "
                         "locally-demuxable video containers); pass "
                         "allow_stub=True for the deterministic fake sampler"
                     )

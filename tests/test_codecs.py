@@ -1532,6 +1532,122 @@ def test_y4m_sniffs_and_flows_through_sampler(spark):
     assert all((r.width, r.height) == (8, 4) for r in out)
 
 
+# --- ISO-BMFF / MP4 (operators/mp4.py) ---------------------------------------
+
+
+def test_mp4_mjpeg_roundtrip():
+    """MP4 demux (round 7): the writer's single-track MJPEG container
+    demuxes to the exact geometry/timing/sample set, and each sample
+    decodes through the repo's JPEG codec to the expected pixels."""
+    import numpy as np
+
+    from cassandra_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cassandra_spark.operators.mp4 import (
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_mjpeg,
+        is_mp4,
+    )
+
+    w, h = 16, 8
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = [
+        np.stack(
+            [(xx * 3 + yy * 2 + k * 11) % 256, (xx + yy * 5 + k * 7) % 256,
+             np.full_like(xx, (k * 40) % 256)],
+            axis=-1,
+        ).astype(np.uint8).tobytes()
+        for k in range(5)
+    ]
+    data = encode_mp4_mjpeg(w, h, frames, fps=5)
+    assert is_mp4(data)
+    s = demux_mp4(data)
+    assert (s.codec, s.width, s.height, len(s.frames)) == ("jpeg", w, h, 5)
+    assert abs(s.duration_ms - 1000.0) < 1
+    for i in range(5):
+        want = decode_jpeg(encode_jpeg(w, h, frames[i], quality=85))[3]
+        assert decode_mp4_frame(s, i) == want, i
+
+
+def test_mp4_rejects_malformed_containers():
+    import pytest
+
+    from cassandra_spark.operators.mp4 import demux_mp4, encode_mp4_mjpeg
+
+    good = encode_mp4_mjpeg(4, 4, [bytes(48)], fps=1)
+    for bad in (b"not an mp4", b"\x00\x00\x00\x08ftypaaaa", good[:40]):
+        with pytest.raises(ValueError):
+            demux_mp4(bad)
+
+
+def test_mp4_sniffs_and_flows_through_sampler(spark):
+    """sample_frames treats MJPEG MP4 as a REAL video container: cadence
+    from the sample tables, hashes of decoded RGB, geometry provenance."""
+    import hashlib
+
+    import numpy as np
+
+    from cassandra_spark.operators.codecs import sniff_mime
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mp4 import (
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_mjpeg,
+    )
+
+    w, h = 8, 4
+    frames = [bytes((k * 50 + 10,)) * (w * h * 3) for k in range(4)]
+    data = encode_mp4_mjpeg(w, h, frames, fps=4)  # 250 ms/frame
+    assert sniff_mime(data) == "video/mp4"
+    docs = spark.createDataFrame(
+        [(11, bytearray(data))], "doc_id bigint, payload binary"
+    )
+    out = sorted(
+        sample_frames(
+            docs, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_ts_ms for r in out] == [0, 500]
+    assert [r.src_frame for r in out] == [0, 2]
+    s = demux_mp4(data)
+    for r in out:
+        assert r.frame_sha == hashlib.sha1(
+            decode_mp4_frame(s, r.src_frame)
+        ).hexdigest()
+    assert all((r.width, r.height) == (w, h) for r in out)
+
+
+def test_mp4_intercoded_track_gates_honestly(spark):
+    """An avc1 (H.264) track DEMUXES with real metadata but its bitstream
+    is not locally decodable: sample_frames raises without allow_stub
+    and degrades to the byte-stub sampler with it."""
+    import pytest
+
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mp4 import demux_mp4, encode_mp4_mjpeg
+
+    data = encode_mp4_mjpeg(8, 4, [bytes(96)], fps=1)
+    # patch the stsd SAMPLE-ENTRY fourcc specifically (the hdlr box's
+    # "mjpeg" name string also contains the substring)
+    at = data.index(b"jpeg", data.index(b"stsd"))
+    patched = data[:at] + b"avc1" + data[at + 4:]
+    s = demux_mp4(patched)
+    assert s.codec == "avc1" and (s.width, s.height) == (8, 4)
+    assert len(s.frames) == 1  # sample ranges still real
+    docs = spark.createDataFrame(
+        [(12, bytearray(patched))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="avc1"):
+        sample_frames(
+            docs, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect()
+    out = sample_frames(
+        docs, every_ms=500, allow_stub=True, payload_col="payload"
+    ).collect()
+    assert out and all(r.width is None for r in out)  # stub provenance
+
+
 # --- hypothesis property tests: entropy coders never corrupt ----------------
 
 
