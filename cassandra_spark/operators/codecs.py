@@ -50,6 +50,8 @@ def sniff_mime(data: bytes) -> str | None:
         return "video/x-yuv4mpeg"  # demuxed by operators/y4m.py
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "video/mp4"  # ISO-BMFF, demuxed by operators/mp4.py
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "video/x-matroska"  # EBML, demuxed by operators/mkv.py
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return GIF_MIME
     return None

@@ -26,10 +26,11 @@ operators/jpeg_arith.py; 12-bit precision decodes to the 8-bit RGB
 contract; lossless SOF3/SOF11 decode byte-exactly; hierarchical
 progressions (DHP/EXP) accept every T.81 differential stage type
 (SOF5/6/7 Huffman, SOF13/14/15 arithmetic — the COMPLETE frame
-matrix, round 7). ISO-BMFF (MP4/MOV) containers DEMUX for real
-(operators/mp4.py: box tree + full sample tables, so geometry/timing/
-codec/sample ranges come from the actual file) and MJPEG tracks decode
-to RGB; only INTER-CODED bitstreams (avc1/H.264, hev1, …) remain
+matrix, round 7). ISO-BMFF (MP4/MOV, operators/mp4.py) AND Matroska
+(MKV/WebM, operators/mkv.py) containers DEMUX for real — box/EBML
+tree + sample tables/clusters, so geometry/timing/codec/frame ranges
+come from the actual file — and MJPEG tracks decode to RGB; only
+INTER-CODED bitstreams (avc1/H.264, hev1, V_VP9, …) remain
 undecodable — those payloads raise unless the caller opts into the
 deterministic fake decoder; the Spark-side contract (schema, Arrow
 batch shape, partitioning) is identical for both paths.
@@ -269,6 +270,12 @@ def sample_frames(
         is_avi,
     )
     from cassandra_spark.operators.codecs import decode_gif_frames
+    from cassandra_spark.operators.mkv import (
+        MJPEG_CODEC_IDS,
+        decode_mkv_frame,
+        demux_mkv,
+        is_mkv,
+    )
     from cassandra_spark.operators.mp4 import (
         MJPEG_CODECS,
         decode_mp4_frame,
@@ -305,23 +312,30 @@ def sample_frames(
             stream, decode = demux_y4m(payload), decode_y4m_frame
         elif is_avi(payload):
             stream, decode = demux_avi(payload), decode_avi_frame
-        elif is_mp4(payload):
-            # ISO-BMFF: container metadata + sample ranges are REAL for
-            # any codec; frames decode only for MJPEG tracks. An
-            # inter-coded track (avc1/hev1/...) is a RECOGNIZED payload
-            # whose bitstream this engine cannot decode — the honest
-            # codec gate, not a corrupt-container error.
-            stream = demux_mp4(payload)
-            if stream.codec not in MJPEG_CODECS:
+        elif is_mp4(payload) or is_mkv(payload):
+            # ISO-BMFF / Matroska: container metadata + frame ranges
+            # are REAL for any codec; frames decode only for MJPEG
+            # tracks. An inter-coded track (avc1/hev1/V_VP9/...) is a
+            # RECOGNIZED payload whose bitstream this engine cannot
+            # decode — the honest codec gate, not a corrupt-container
+            # error.
+            if is_mp4(payload):
+                stream = demux_mp4(payload)
+                ok = stream.codec in MJPEG_CODECS
+                decode = decode_mp4_frame
+            else:
+                stream = demux_mkv(payload)
+                ok = stream.codec in MJPEG_CODEC_IDS
+                decode = decode_mkv_frame
+            if not ok:
                 if not allow_stub:
                     raise NotImplementedError(
-                        f"MP4 video codec {stream.codec!r} is not "
-                        "locally decodable (MJPEG tracks are); pass "
+                        f"video codec {stream.codec!r} is not locally "
+                        "decodable (MJPEG tracks are); pass "
                         "allow_stub=True for the deterministic fake "
                         "sampler"
                     )
                 return None  # degrade to the stub sampler
-            decode = decode_mp4_frame
         else:
             return None
         decoded: dict[int, str] = {}

@@ -1,0 +1,264 @@
+"""Matroska (MKV/WebM) EBML demux for the L4 multimodal tier.
+
+The container half of the round-7 "compressed video" gate closure,
+beside operators/mp4.py: the EBML element tree is parsed for real —
+Segment > Info (TimestampScale), Tracks (TrackEntry: number, type,
+CodecID, PixelWidth/PixelHeight), Clusters (Timestamp + SimpleBlock
+frames) — so geometry, timing, codec identity, and frame payloads come
+from the actual file. ``V_MJPEG`` tracks decode to RGB through the
+repo's complete T.81 JPEG codec; inter-coded codecs (V_MPEG4/ISO/AVC,
+V_VP9, …) demux with REAL metadata but stay undecodable here (the same
+honest gate as MP4's avc1). Lacing is out of scope (rejected, not
+mis-parsed): the writer never emits it and real MJPEG-in-MKV rarely
+does.
+
+A writer (`encode_mkv_mjpeg`) produces a minimal valid single-track
+V_MJPEG Matroska file, so the demuxer round-trips without external
+samples. Element IDs per the public Matroska/EBML specs [transcribed
+clean-room].
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def is_mkv(data: bytes) -> bool:
+    return data[:4] == EBML_MAGIC
+
+
+@dataclass
+class MkvStream:
+    width: int
+    height: int
+    codec: str            # Matroska CodecID, e.g. 'V_MJPEG'
+    timestamps_ms: list[float]  # per-frame absolute timestamps
+    frames: list[bytes]
+
+    @property
+    def duration_ms(self) -> float:
+        if not self.timestamps_ms:
+            return 0.0
+        if len(self.timestamps_ms) == 1:
+            return max(1.0, self.timestamps_ms[0] + 1)
+        # last delta extrapolated from the previous one
+        last = self.timestamps_ms[-1] - self.timestamps_ms[-2]
+        return self.timestamps_ms[-1] + max(1.0, last)
+
+    @property
+    def frame_ms(self) -> float:
+        n = max(1, len(self.frames))
+        return max(1.0, self.duration_ms / n)
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` → (value, next_pos).
+    ``keep_marker`` keeps the length-marker bit (element IDs); sizes
+    strip it."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        raise ValueError("truncated EBML vint body")
+    v = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def _elements(data: bytes, pos: int, end: int):
+    """Yield (element id, body_start, body_end)."""
+    while pos < end:
+        eid, p = _read_vint(data, pos, keep_marker=True)
+        size, body = _read_vint(data, p, keep_marker=False)
+        unknown = size == (1 << (7 * (body - p))) - 1  # all-ones: unknown
+        body_end = end if unknown else body + size
+        if body_end > end:
+            raise ValueError("EBML element overruns container")
+        yield eid, body, body_end
+        pos = body_end
+
+
+def _uint(data: bytes, b: int, e: int) -> int:
+    v = 0
+    for i in range(b, e):
+        v = (v << 8) | data[i]
+    return v
+
+
+def demux_mkv(data: bytes) -> MkvStream:
+    """Parse the EBML tree; return the FIRST video track's geometry,
+    codec, timeline and raw frames. Raises ValueError on malformed
+    containers, absent video tracks, or laced blocks."""
+    if not is_mkv(data):
+        raise ValueError("not an EBML/Matroska payload")
+    segment = None
+    for eid, b, e in _elements(data, 0, len(data)):
+        if eid == 0x18538067:  # Segment
+            segment = (b, e)
+            break
+    if segment is None:
+        raise ValueError("no Matroska Segment")
+    ts_scale = 1_000_000  # ns per tick (spec default)
+    video_track = None
+    info: dict = {}
+    clusters: list[tuple[int, int]] = []
+    for eid, b, e in _elements(data, *segment):
+        if eid == 0x1549A966:  # Info
+            for eid2, b2, e2 in _elements(data, b, e):
+                if eid2 == 0x2AD7B1:  # TimestampScale
+                    ts_scale = _uint(data, b2, e2)
+        elif eid == 0x1654AE6B:  # Tracks
+            for eid2, b2, e2 in _elements(data, b, e):
+                if eid2 != 0xAE:  # TrackEntry
+                    continue
+                tr: dict = {}
+                for eid3, b3, e3 in _elements(data, b2, e2):
+                    if eid3 == 0xD7:
+                        tr["number"] = _uint(data, b3, e3)
+                    elif eid3 == 0x83:
+                        tr["type"] = _uint(data, b3, e3)
+                    elif eid3 == 0x86:
+                        tr["codec"] = data[b3:e3].rstrip(b"\x00").decode(
+                            "ascii", "replace"
+                        )
+                    elif eid3 == 0xE0:  # Video
+                        for eid4, b4, e4 in _elements(data, b3, e3):
+                            if eid4 == 0xB0:
+                                tr["width"] = _uint(data, b4, e4)
+                            elif eid4 == 0xBA:
+                                tr["height"] = _uint(data, b4, e4)
+                if tr.get("type") == 1 and video_track is None:
+                    video_track = tr
+        elif eid == 0x1F43B675:  # Cluster
+            clusters.append((b, e))
+    if video_track is None:
+        raise ValueError("no video track in container")
+    missing = [k for k in ("number", "codec") if k not in video_track]
+    if missing:
+        raise ValueError(f"video TrackEntry missing: {missing}")
+    frames: list[bytes] = []
+    stamps: list[float] = []
+    for b, e in clusters:
+        cluster_ts = 0
+        for eid2, b2, e2 in _elements(data, b, e):
+            if eid2 == 0xE7:  # cluster Timestamp
+                cluster_ts = _uint(data, b2, e2)
+            elif eid2 == 0xA3:  # SimpleBlock
+                tnum, p = _read_vint(data, b2, keep_marker=False)
+                if tnum != video_track["number"]:
+                    continue
+                if p + 3 > e2:
+                    raise ValueError("truncated SimpleBlock header")
+                rel = struct.unpack_from(">h", data, p)[0]
+                flags = data[p + 2]
+                if flags & 0x06:
+                    raise ValueError(
+                        "laced SimpleBlocks are not supported"
+                    )
+                frames.append(data[p + 3 : e2])
+                stamps.append(
+                    (cluster_ts + rel) * ts_scale / 1_000_000.0
+                )
+    if not frames:
+        raise ValueError("video track has no frames")
+    order = sorted(range(len(frames)), key=lambda i: stamps[i])
+    return MkvStream(
+        width=video_track.get("width", 0),
+        height=video_track.get("height", 0),
+        codec=video_track["codec"],
+        timestamps_ms=[stamps[i] for i in order],
+        frames=[frames[i] for i in order],
+    )
+
+
+MJPEG_CODEC_IDS = ("V_MJPEG",)
+
+
+def decode_mkv_frame(stream: MkvStream, idx: int) -> bytes:
+    """Frame bytes → top-down RGB, for V_MJPEG tracks."""
+    if stream.codec not in MJPEG_CODEC_IDS:
+        raise ValueError(
+            f"MKV codec {stream.codec!r} is not locally decodable "
+            "(V_MJPEG is)"
+        )
+    from cassandra_spark.operators.jpeg import decode_jpeg
+
+    _, _, _, rgb = decode_jpeg(stream.frames[idx])
+    return rgb
+
+
+# --- writer (round-trip fixture) ---------------------------------------------
+
+
+def _vint_size(v: int) -> bytes:
+    """Encode an element SIZE as a minimal EBML vint."""
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            out = v | (1 << (7 * length))
+            return out.to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _elem(eid: bytes, payload: bytes) -> bytes:
+    return eid + _vint_size(len(payload)) + payload
+
+
+def _uint_payload(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+def encode_mkv_mjpeg(
+    width: int, height: int, frames_rgb: list[bytes], fps: int = 10,
+    quality: int = 85,
+) -> bytes:
+    """RGB frames → minimal valid single-track V_MJPEG Matroska file."""
+    from cassandra_spark.operators.jpeg import encode_jpeg
+
+    if not frames_rgb:
+        raise ValueError("at least one frame required")
+    header = _elem(
+        EBML_MAGIC,
+        _elem(b"\x42\x82", b"matroska")      # DocType
+        + _elem(b"\x42\x87", b"\x04")         # DocTypeVersion
+        + _elem(b"\x42\x85", b"\x02"),        # DocTypeReadVersion
+    )
+    info = _elem(
+        b"\x15\x49\xa9\x66",
+        _elem(b"\x2a\xd7\xb1", _uint_payload(1_000_000)),  # 1 ms ticks
+    )
+    video = _elem(
+        b"\xe0",
+        _elem(b"\xb0", _uint_payload(width))
+        + _elem(b"\xba", _uint_payload(height)),
+    )
+    track = _elem(
+        b"\xae",
+        _elem(b"\xd7", b"\x01")               # TrackNumber 1
+        + _elem(b"\x73\xc5", b"\x01")          # TrackUID
+        + _elem(b"\x83", b"\x01")              # TrackType video
+        + _elem(b"\x86", b"V_MJPEG")           # CodecID
+        + video,
+    )
+    tracks = _elem(b"\x16\x54\xae\x6b", track)
+    frame_ms = max(1, 1000 // fps)
+    blocks = b""
+    for i, rgb in enumerate(frames_rgb):
+        jpg = encode_jpeg(width, height, rgb, quality=quality)
+        # one Cluster per frame: Timestamp + SimpleBlock (track vint 1,
+        # relative ts 0, keyframe flag)
+        cluster = _elem(
+            b"\x1f\x43\xb6\x75",
+            _elem(b"\xe7", _uint_payload(i * frame_ms))
+            + _elem(b"\xa3", b"\x81" + struct.pack(">h", 0) + b"\x80" + jpg),
+        )
+        blocks += cluster
+    segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)
+    return header + segment

@@ -1648,6 +1648,96 @@ def test_mp4_intercoded_track_gates_honestly(spark):
     assert out and all(r.width is None for r in out)  # stub provenance
 
 
+# --- Matroska / MKV (operators/mkv.py) ----------------------------------------
+
+
+def test_mkv_mjpeg_roundtrip():
+    """MKV demux (round 7): the writer's single-track V_MJPEG file
+    demuxes to the exact geometry/codec/timeline/frame set, each frame
+    decoding through the in-repo JPEG codec."""
+    from cassandra_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_mjpeg,
+        is_mkv,
+    )
+
+    w, h = 16, 8
+    frames = [
+        bytes(((k * 37 + i) % 256) for i in range(w * h * 3))
+        for k in range(4)
+    ]
+    data = encode_mkv_mjpeg(w, h, frames, fps=5)
+    assert is_mkv(data)
+    s = demux_mkv(data)
+    assert (s.codec, s.width, s.height) == ("V_MJPEG", w, h)
+    assert s.timestamps_ms == [0.0, 200.0, 400.0, 600.0]
+    for i in range(4):
+        want = decode_jpeg(encode_jpeg(w, h, frames[i], quality=85))[3]
+        assert decode_mkv_frame(s, i) == want, i
+
+
+def test_mkv_rejects_malformed_and_gates_intercoded(spark):
+    import pytest
+
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mkv import demux_mkv, encode_mkv_mjpeg
+
+    good = encode_mkv_mjpeg(8, 4, [bytes(96)], fps=1)
+    for bad in (b"junk", good[:30], b"\x1a\x45\xdf\xa3\x84abcd"):
+        with pytest.raises(ValueError):
+            demux_mkv(bad)
+    # V_VP9 track: metadata demuxes, frames gate honestly
+    patched = good.replace(b"V_MJPEG", b"V_VP9\x00\x00")
+    s = demux_mkv(patched)
+    assert s.codec == "V_VP9" and len(s.frames) == 1
+    docs = spark.createDataFrame(
+        [(13, bytearray(patched))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="V_VP9"):
+        sample_frames(
+            docs, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect()
+    out = sample_frames(
+        docs, every_ms=500, allow_stub=True, payload_col="payload"
+    ).collect()
+    assert out and all(r.width is None for r in out)
+
+
+def test_mkv_sniffs_and_flows_through_sampler(spark):
+    import hashlib
+
+    from cassandra_spark.operators.codecs import sniff_mime
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_mjpeg,
+    )
+
+    w, h = 8, 4
+    frames = [bytes((k * 50 + 10,)) * (w * h * 3) for k in range(4)]
+    data = encode_mkv_mjpeg(w, h, frames, fps=4)  # 250 ms/frame
+    assert sniff_mime(data) == "video/x-matroska"
+    docs = spark.createDataFrame(
+        [(14, bytearray(data))], "doc_id bigint, payload binary"
+    )
+    out = sorted(
+        sample_frames(
+            docs, every_ms=500, allow_stub=False, payload_col="payload"
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_ts_ms for r in out] == [0, 500]
+    assert [r.src_frame for r in out] == [0, 2]
+    s = demux_mkv(data)
+    for r in out:
+        assert r.frame_sha == hashlib.sha1(
+            decode_mkv_frame(s, r.src_frame)
+        ).hexdigest()
+
+
 # --- hypothesis property tests: entropy coders never corrupt ----------------
 
 
