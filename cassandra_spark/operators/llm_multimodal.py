@@ -390,3 +390,83 @@ def sample_frames(
         F.col("doc_id"), F.col(payload_col).cast("binary").alias("payload")
     )
     return src.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def _synth_video_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → a deterministic REAL video container (round-robin
+    AVI raw-DIB / MJPEG MP4 / V_MJPEG MKV; 2 + doc_id%4 frames at 4
+    fps, 8x4 solid frames) — l19_audio's synth-in-executor pattern
+    applied to the round-7 container demuxers."""
+    from cassandra_spark.operators.avi import encode_avi
+    from cassandra_spark.operators.mkv import encode_mkv_mjpeg
+    from cassandra_spark.operators.mp4 import encode_mp4_mjpeg
+
+    for pdf in pdfs:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 2 + d % 4
+            frames = [
+                bytes(((k * 50 + 10) % 256,)) * (8 * 4 * 3)
+                for k in range(n)
+            ]
+            kind = d % 3
+            if kind == 0:
+                payload = encode_avi(8, 4, frames, fps=4, codec="DIB ")
+            elif kind == 1:
+                payload = encode_mp4_mjpeg(8, 4, frames, fps=4)
+            else:
+                payload = encode_mkv_mjpeg(8, 4, frames, fps=4)
+            rows.append((d, payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+@query(
+    "l37_video_sampling",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 3 AS INTEGER) AS container,
+           CAST(((2 + doc_id % 4) * 250 - 1) // 500 + 1 AS BIGINT)
+             AS n_samples,
+           CAST(LEAST(2 * (((2 + doc_id % 4) * 250 - 1) // 500),
+                      (2 + doc_id % 4) - 1) AS INTEGER) AS max_src_frame,
+           CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 10 = 6
+    """,
+)
+def l37_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over REAL containers end-to-end (round 7):
+    each selected doc synthesizes an actual AVI / MJPEG-MP4 / V_MJPEG-MKV
+    payload in the executors, sample_frames demuxes + DECODES it
+    (``allow_stub=False`` — any container/codec bug fails the query),
+    and the per-doc sample counts / last-source-frame / geometry must
+    equal the oracle's closed-form timeline algebra (duration = n·250 ms,
+    cadence 500 ms, src = min(2i, n-1)). At 100 TB this is the shape of
+    a frame-extraction stage over a crawl: payload bytes stay in
+    executors, one Arrow-batched row-expanding stage, then a keyed
+    aggregate."""
+    cat = Catalog(spark, sf_dir)
+    keys = cat.documents.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    vids = keys.mapInPandas(
+        _synth_video_batch, "doc_id bigint, payload binary"
+    )
+    sampled = sample_frames(
+        vids, every_ms=500, allow_stub=False, payload_col="payload"
+    )
+    return (
+        sampled.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("src_frame").alias("max_src_frame"),
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("container"),
+            "n_samples",
+            "max_src_frame",
+            "width",
+            "height",
+        )
+    )
