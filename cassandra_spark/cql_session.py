@@ -2540,7 +2540,13 @@ class CqlSession:
                 for name, t in self.tables.items()
             )
             snapshots.update(self._mv_snapshots())
-            snapshots.update(self._system_views())
+            # system.* / system_schema.* virtual tables: built only when
+            # the statement actually names a system keyspace — assembling
+            # the 8 reflection DataFrames costs ~0.4 s of createDataFrame
+            # round-trips, far too much plan construction to pay on every
+            # ordinary SELECT (same rule as size_estimates below)
+            if re.search(r"\bsystem\w*\s*\.", stmt, re.IGNORECASE):
+                snapshots.update(self._system_views())
             if "size_estimates" in stmt:
                 # built only when referenced: the estimate assembles one
                 # snapshot + token-classify plan PER TABLE, which is far
