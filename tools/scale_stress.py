@@ -125,6 +125,13 @@ STRESS_QUERIES = (
     "l32_dedup_triangles",
     "l33_ngram_novelty",
     "l34_cluster_representatives",
+    # round-7: segment-log streaming sinks, persisted vector-index
+    # query halves (build-once/query-many), container frame sampling
+    "s7_streaming_upsert",
+    "s9_streaming_mv",
+    "l35_ivf_index_query",
+    "l36_pq_index_query",
+    "l37_video_sampling",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -169,6 +176,12 @@ STRESS_QUERIES_100 = (
     "l32_dedup_triangles",
     "l33_ngram_novelty",
     "l34_cluster_representatives",
+    # round-7 (all sub-linear by design at this factor too)
+    "s7_streaming_upsert",
+    "s9_streaming_mv",
+    "l35_ivf_index_query",
+    "l36_pq_index_query",
+    "l37_video_sampling",
 )
 
 
