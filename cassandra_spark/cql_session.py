@@ -456,6 +456,7 @@ _GRANT_PERM_RE = re.compile(
     r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>"
     + "|".join(_PERMS)
     + r")(?:\s+PERMISSIONS?)?\s+ON\s+(?P<res>ALL\s+KEYSPACES"
+    r"|ALL\s+ROLES|ROLE\s+\w+"
     r"|KEYSPACE\s+\w+|(?:TABLE\s+)?[\w.]+)\s+(?:TO|FROM)\s+(?P<role>\w+)"
     r"\s*;?\s*$",
     re.IGNORECASE,
@@ -1794,6 +1795,13 @@ class CqlSession:
         up = r.upper()
         if up == "ALL KEYSPACES":
             return "data"
+        if up == "ALL ROLES":
+            return "roles"
+        if up.startswith("ROLE "):
+            name = r.split()[1].lower()
+            if name not in self.roles:
+                raise CQLError(f"unknown role {name!r}")
+            return f"roles/{name}"
         if up.startswith("KEYSPACE "):
             ks = r.split()[1].lower()
             if ks not in self.keyspaces:
@@ -1923,7 +1931,10 @@ class CqlSession:
             for n in (granted, role):
                 if n not in self.roles:
                     raise CQLError(f"unknown role {n!r}")
-            self._check_perm("AUTHORIZE")
+            # the reference requires AUTHORIZE on the GRANTED role
+            # (`GRANT AUTHORIZE ON ROLE r`), not merely anywhere — the
+            # same resource-scoping rule as data-permission grants
+            self._check_perm_on("AUTHORIZE", f"roles/{granted}")
             if rm.group("verb").upper() == "GRANT":
                 if granted == role or role in self._role_closure(granted):
                     raise CQLError("circular role grant")

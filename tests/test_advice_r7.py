@@ -197,3 +197,24 @@ def test_unmask_grant_respects_resource_scope(spark):
     with pytest.raises(CQLError, match="AUTHORIZE"):
         s.execute("GRANT UNMASK ON TABLE ksb.tb TO scoped")
     s.login("cassandra")
+
+
+# --- role grants are AUTHORIZE-scoped to the granted role ----------------
+
+
+def test_grant_role_requires_authorize_on_that_role(spark):
+    s = CqlSession(spark)
+    for r in ("alpha", "beta", "grantee", "steward"):
+        s.execute(f"CREATE ROLE {r} WITH LOGIN = true")
+    s.execute("GRANT AUTHORIZE ON ROLE alpha TO steward")
+    s.login("steward")
+    s.execute("GRANT alpha TO grantee")  # in-scope: allowed
+    with pytest.raises(CQLError, match="AUTHORIZE"):
+        s.execute("GRANT beta TO grantee")  # out-of-scope: rejected
+    s.login("cassandra")
+    # ALL ROLES covers every role
+    s.execute("GRANT AUTHORIZE ON ALL ROLES TO steward")
+    s.login("steward")
+    s.execute("GRANT beta TO grantee")
+    s.login("cassandra")
+    assert {"alpha", "beta"} <= s.role_grants.get("grantee", set())
