@@ -352,7 +352,7 @@ _DML_TABLE_RE = re.compile(
 _CREATE_INDEX_RE = re.compile(
     r"^\s*CREATE\s+(?P<custom>CUSTOM\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?:(?P<name>\w+)\s+)?"
-    r"ON\s+(?P<table>\w+)\s*\(\s*"
+    r"ON\s+(?P<table>[\w.]+)\s*\(\s*"
     r"(?:(?P<kind>KEYS|VALUES|ENTRIES|FULL)\s*\(\s*(?P<icol>\w+)\s*\)"
     r"|(?P<col>\w+))\s*\)\s*"
     r"(?:USING\s+'(?P<using>[^']*)'\s*)?"
@@ -413,16 +413,16 @@ _DROP_TRIGGER_RE = re.compile(
     re.IGNORECASE,
 )
 _TRUNCATE_RE = re.compile(
-    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>[\w.]+)\s*;?\s*$", re.IGNORECASE
 )
 _COPY_RE = re.compile(
-    r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
+    r"^\s*COPY\s+(?P<table>[\w.]+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
     r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
     r"(?:\s+WITH\s+FORMAT\s*=\s*'(?P<fmt>\w+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+"
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+"
     r"(?:ADD\s+(?P<addcol>\w+)\s+(?P<addtype>.+?)(?P<static>\s+STATIC)?"
     r"|ALTER\s+(?P<unmaskcol>\w+)\s+DROP\s+MASKED"
     r"|ALTER\s+(?P<maskcol>\w+)\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?"
@@ -432,8 +432,12 @@ _ALTER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UNMASK_RE = re.compile(
-    r"^\s*(?P<verb>GRANT|REVOKE)\s+UNMASK\s+ON\s+(?:TABLE\s+)?"
-    r"(?P<table>\w+)\s+(?:TO|FROM)\s+\w+\s*;?\s*$",
+    # every UNMASK spelling routes HERE (incl. qualified tables and the
+    # PERMISSION keyword) so the grant always lands in the session's
+    # unmasked set — the generic role_perms path records entries
+    # _apply_masks never consults
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+UNMASK(?:\s+PERMISSIONS?)?\s+ON\s+"
+    r"(?:TABLE\s+)?(?P<table>[\w.]+)\s+(?:TO|FROM)\s+\w+\s*;?\s*$",
     re.IGNORECASE,
 )
 # --- auth statements (`[C* auth/CassandraAuthorizer, CassandraRoleManager,
@@ -1072,6 +1076,14 @@ class CqlSession:
             # keyspace scoping applies to session tables (bare names see
             # only the current keyspace; qualified names validate tags)
             tname = self._resolve(m.group("table"))
+        elif "." in tname:
+            # qualified session-table name: resolve to the registry key;
+            # anything unresolvable falls to the catalog handler, which
+            # rejects unknown names with its own message
+            try:
+                tname = self._resolve(m.group("table"))
+            except CQLError:
+                pass
         if tname not in self.tables:
             return self._create_catalog_index(m, tname)
         table = self.tables[tname]
@@ -2069,8 +2081,12 @@ class CqlSession:
         driver, which is the only sane shape at 100 TB."""
         import csv
 
-        name = m.group("table").lower()
-        t = self.table(name)
+        # resolve once: qualified names must permission-check and insert
+        # against the same registry key the bare name does
+        name = self._resolve(m.group("table"))
+        t = self.tables.get(name)
+        if t is None:
+            raise CQLError(f"unknown table {m.group('table')!r}")
         sch = t.schema
         fmt = (m.group("fmt") or "CSV").upper()
         if fmt not in ("CSV", "PARQUET"):
@@ -2221,8 +2237,11 @@ class CqlSession:
                             f"COPY FROM {path!r}: line {lineno}, "
                             f"column {c!r}: {e}"
                         ) from None
+                # fully qualify: the generated INSERT must resolve to the
+                # SAME table regardless of the session's current keyspace
+                qname = f"{self.table_keyspace.get(name, 'session')}.{name}"
                 inserts.append(
-                    f"INSERT INTO {name} "
+                    f"INSERT INTO {qname} "
                     f"({', '.join(c for c, _ in pairs)}) "
                     f"VALUES ({', '.join(v for _, v in pairs)})"
                 )
@@ -2423,9 +2442,16 @@ class CqlSession:
             if not tm:
                 raise CQLError(f"unsupported TRUNCATE: {stmt!r}")
             # discard all data; clocks stay monotonic so post-truncate
-            # writes are strictly newer than anything discarded
-            self._check_perm("MODIFY", tm.group("table"))
-            self.table(tm.group("table")).clear_data()
+            # writes are strictly newer than anything discarded.
+            # Resolve FIRST: qualified names must truncate (and be
+            # permission-checked against) the same registry key the
+            # bare name does.
+            tkey = self._resolve(tm.group("table"))
+            t_ = self.tables.get(tkey)
+            if t_ is None:
+                raise CQLError(f"unknown table {tm.group('table')!r}")
+            self._check_perm("MODIFY", tkey)
+            t_.clear_data()
             return None
         if head.startswith("ALTER TYPE"):
             tm = _ALTER_TYPE_RE.match(stmt)
@@ -2490,7 +2516,10 @@ class CqlSession:
             am = _ALTER_RE.match(stmt)
             if not am:
                 raise CQLError(f"unsupported ALTER TABLE: {stmt!r}")
-            self._check_perm("ALTER", am.group("table"))
+            # resolve before the permission check: a qualified name must
+            # authorize against its OWNING keyspace's resource, not a
+            # never-matching 'ks.t' literal (the r6 tablestats shape)
+            self._check_perm("ALTER", self._resolve(am.group("table")))
             self._alter_table(am)
             return None
         if head.startswith("DROP FUNCTIO"):

@@ -218,3 +218,52 @@ def test_grant_role_requires_authorize_on_that_role(spark):
     s.execute("GRANT beta TO grantee")
     s.login("cassandra")
     assert {"alpha", "beta"} <= s.role_grants.get("grantee", set())
+
+
+# --- qualified names across the remaining DDL/COPY statements ------------
+
+
+def test_qualified_names_truncate_alter_index_copy(spark, tmp_path):
+    """TRUNCATE / ALTER TABLE / CREATE INDEX / COPY accept ks.table and
+    operate on the same registry key the bare name does (the r6
+    qualified-name family, closed for the remaining statements)."""
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE KEYSPACE q7 WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    s.execute("USE q7")
+    s.execute("CREATE TABLE qt (k text PRIMARY KEY, v int)")
+    s.execute("INSERT INTO qt (k, v) VALUES ('x', 1)")
+    s.execute("USE session")  # q7 is NOT current for everything below
+    s.execute("ALTER TABLE q7.qt ADD extra int")
+    assert "extra" in s.tables["qt"].schema.regular
+    s.execute("CREATE INDEX ON q7.qt (v)")
+    assert "v" in s.indexes.get("qt", set())
+    out = str(tmp_path / "q.csv")
+    assert s.execute(f"COPY q7.qt TO '{out}'") == 1
+    s.execute("TRUNCATE q7.qt")
+    assert s.execute("SELECT count(*) AS n FROM q7.qt").collect()[0].n == 0
+    # COPY FROM while USE'd elsewhere: generated INSERTs must hit q7.qt
+    assert s.execute(f"COPY q7.qt FROM '{out}'") == 1
+    assert s.execute("SELECT count(*) AS n FROM q7.qt").collect()[0].n == 1
+    # wrong keyspace tag still rejected
+    with pytest.raises(CQLError, match="unknown table"):
+        s.execute("TRUNCATE session.qt")
+
+
+def test_unmask_spellings_all_lift_masks(spark):
+    """Every UNMASK spelling (bare, qualified, PERMISSION keyword) lands
+    in the session's unmasked set — none can silently record an entry
+    the mask check never consults."""
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE mm (k text PRIMARY KEY, "
+              "ssn text MASKED WITH mask_replace('xxx'))")
+    s.execute("INSERT INTO mm (k, ssn) VALUES ('a', 'secret')")
+    assert [r.ssn for r in s.execute("SELECT ssn FROM mm").collect()] == ["xxx"]
+    s.execute("GRANT UNMASK PERMISSION ON TABLE session.mm TO cassandra")
+    assert [r.ssn for r in s.execute("SELECT ssn FROM mm").collect()] == [
+        "secret"
+    ]
+    s.execute("REVOKE UNMASK ON session.mm FROM cassandra")
+    assert [r.ssn for r in s.execute("SELECT ssn FROM mm").collect()] == ["xxx"]
