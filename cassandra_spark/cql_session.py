@@ -504,7 +504,7 @@ _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\w+)\s+AS\s+SELECT\s+(?P<cols>[\w\s,*]+?)\s+FROM\s+"
-    r"(?P<base>\w+)\s+WHERE\s+(?P<where>.+?)\s+"
+    r"(?P<base>[\w.]+)\s+WHERE\s+(?P<where>.+?)\s+"
     r"PRIMARY\s+KEY\s*\((?P<pk>.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1976,8 +1976,12 @@ class CqlSession:
             raise CQLError(f"materialized view {name!r} already exists")
         if name in self.tables:
             raise CQLError(f"{name!r} is a table")
-        base = m.group("base").lower()
-        bt = self.table(base)  # raises on unknown table
+        # resolve: a qualified base must key (and permission-check) the
+        # same registry entry the bare name does
+        base = self._resolve(m.group("base"))
+        bt = self.tables.get(base)
+        if bt is None:
+            raise CQLError(f"unknown table {m.group('base')!r}")
         self._check_perm("ALTER", base)
         bs = bt.schema
         base_keys = [bs.partition_key, *bs.clustering]
@@ -3149,7 +3153,7 @@ class CqlSession:
         create_statement), the shape drivers consume since 4.0. Supports
         DESCRIBE TABLES / DESCRIBE TABLE <t> / DESCRIBE KEYSPACE."""
         m = re.match(
-            r"^\s*DESC(?:RIBE)?\s+(?P<what>TABLES|KEYSPACES|TABLE\s+\w+"
+            r"^\s*DESC(?:RIBE)?\s+(?P<what>TABLES|KEYSPACES|TABLE\s+[\w.]+"
             r"|KEYSPACE(?:\s+\w+)?)\s*;?\s*$",
             stmt,
             re.IGNORECASE,
@@ -3173,9 +3177,13 @@ class CqlSession:
                 for n in sorted(self.tables)
             ]
         elif what.upper().startswith("TABLE"):
-            name = what.split()[1].lower()
+            raw = what.split()[1]
+            # qualified targets resolve through the registry like every
+            # other statement; bare names keep their historical behavior
+            # (DESCRIBE is a whole-registry reflection surface)
+            name = self._resolve(raw) if "." in raw else raw.lower()
             if name not in self.tables:
-                raise CQLError(f"unknown table {name!r}")
+                raise CQLError(f"unknown table {raw!r}")
             tks = self.table_keyspace.get(name, "session")
             rows = [(tks, "table", name, self._table_ddl(name))]
             for iname, (tbl, col, kind) in sorted(self.index_names.items()):

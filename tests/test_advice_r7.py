@@ -267,3 +267,26 @@ def test_unmask_spellings_all_lift_masks(spark):
     ]
     s.execute("REVOKE UNMASK ON session.mm FROM cassandra")
     assert [r.ssn for r in s.execute("SELECT ssn FROM mm").collect()] == ["xxx"]
+
+
+def test_qualified_names_describe_and_mv(spark):
+    """DESCRIBE TABLE ks.t and CREATE MATERIALIZED VIEW ... FROM ks.t
+    resolve through the registry like every other statement."""
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE KEYSPACE q8 WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    s.execute("USE q8")
+    s.execute("CREATE TABLE qt (k text PRIMARY KEY, c int, v int)")
+    s.execute("INSERT INTO qt (k, c, v) VALUES ('a', 1, 2)")
+    s.execute("USE session")
+    d = s.execute("DESCRIBE TABLE q8.qt").collect()
+    assert d and d[0].keyspace_name == "q8"
+    s.execute(
+        "CREATE MATERIALIZED VIEW mv1 AS SELECT * FROM q8.qt "
+        "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)"
+    )
+    assert len(s.execute("SELECT * FROM mv1 WHERE v = 2").collect()) == 1
+    with pytest.raises(CQLError, match="unknown table"):
+        s.execute("DESCRIBE TABLE session.qt")
