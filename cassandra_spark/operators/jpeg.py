@@ -700,9 +700,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if hier_prog is None:
             return
         st_frame, st_coefs, st_diff = hier_prog[:3]
+        st_qt = hier_prog[4]  # qt snapshot from the stage's first SOS —
+        # a DQT between this stage's scans and the next frame header
+        # must not retroactively requantize the stage
         hier_prog = None
         planes = _render_prog_planes(
-            st_frame, st_coefs, qt,
+            st_frame, st_coefs, st_qt,
             0.0 if st_diff else float(1 << (prec - 1)),
             float(1 << (prec - 8)),
         )
@@ -838,6 +841,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         ],
                         differential,
                         [0] * len(comps2),  # Huffman DC predictors
+                        dict(qt),  # quant tables in effect for THIS stage
                     ]
                 Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 AhAl = seg[3 + 2 * ns]
@@ -981,6 +985,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             continue
         pos += seglen
+    # a truncated stream (no EOI) still renders what committed: a
+    # pending progressive stage folds into the refs first
+    _flush_hier_stage()
     if hier is not None and hier["refs"] is not None:
         fh, fw = hier["h"], hier["w"]
         planes = [
