@@ -1086,6 +1086,8 @@ class CqlSession:
                 pass
         if tname not in self.tables:
             return self._create_catalog_index(m, tname)
+        # the reference requires ALTER on the table to manage its indexes
+        self._check_perm("ALTER", tname)
         table = self.tables[tname]
         kind = (m.group("kind") or "").upper()
         col = (m.group("icol") or m.group("col")).lower()
@@ -2432,6 +2434,8 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown index {name!r}")
+            # the reference requires ALTER on the indexed table
+            self._check_perm("ALTER", self.index_names[name][0])
             t, c, kind = self.index_names.pop(name)
             target = {
                 "keys": self.key_indexes,

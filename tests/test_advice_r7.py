@@ -290,3 +290,23 @@ def test_qualified_names_describe_and_mv(spark):
     assert len(s.execute("SELECT * FROM mv1 WHERE v = 2").collect()) == 1
     with pytest.raises(CQLError, match="unknown table"):
         s.execute("DESCRIBE TABLE session.qt")
+
+
+def test_index_ddl_requires_alter_permission(spark):
+    """CREATE/DROP INDEX are ALTER-gated on the table (the reference's
+    rule) — previously any logged-in role could add or drop indexes."""
+    s = CqlSession(spark)
+    s.execute("CREATE TABLE it (k text PRIMARY KEY, v int)")
+    s.execute("CREATE INDEX iv ON it (v)")
+    s.execute("CREATE ROLE nobody WITH LOGIN = true")
+    s.login("nobody")
+    with pytest.raises(CQLError, match="ALTER"):
+        s.execute("CREATE INDEX iv2 ON it (v)")
+    with pytest.raises(CQLError, match="ALTER"):
+        s.execute("DROP INDEX iv")
+    s.login("cassandra")
+    s.execute("GRANT ALTER ON TABLE it TO nobody")
+    s.login("nobody")
+    s.execute("DROP INDEX iv")
+    s.login("cassandra")
+    assert "iv" not in s.index_names
