@@ -2346,6 +2346,7 @@ class CqlSession:
             tm = _CREATE_TYPE_RE.match(stmt)
             if not tm:
                 raise CQLError(f"unsupported CREATE TYPE: {stmt!r}")
+            self._check_perm("CREATE")
             self._create_type(tm)
             return None
         if head.startswith("DROP TYPE"):
@@ -2357,6 +2358,7 @@ class CqlSession:
                 if tm.group("ine"):
                     return None
                 raise CQLError(f"unknown type {name!r}")
+            self._check_perm("DROP")
             struct = self.types[name]
             # containment, not equality: the struct text also appears inside
             # collection types (list<struct<...>>) and inside other
@@ -2539,6 +2541,7 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown function {name!r}")
+            self._check_perm("DROP")
             del self.functions[name]
             return None
         if head.startswith("DROP AGGREGA"):
@@ -2550,15 +2553,21 @@ class CqlSession:
                 if dm.group("ine"):
                     return None
                 raise CQLError(f"unknown aggregate {name!r}")
+            self._check_perm("DROP")
             del self.aggregates[name]
             return None
         if head.startswith("CREATE"):
             fm = _CREATE_FUNCTION_RE.match(stmt)
             if fm:
+                # the reference gates function DDL on the functions
+                # resource; the pinned single-keyspace reduction maps it
+                # to the CREATE permission (same gate as CREATE TABLE)
+                self._check_perm("CREATE")
                 self._create_function(fm)
                 return None
             am_ = _CREATE_AGGREGATE_RE.match(stmt)
             if am_:
+                self._check_perm("CREATE")
                 self._create_aggregate(am_)
                 return None
             if re.match(

@@ -310,3 +310,30 @@ def test_index_ddl_requires_alter_permission(spark):
     s.execute("DROP INDEX iv")
     s.login("cassandra")
     assert "iv" not in s.index_names
+
+
+def test_function_aggregate_type_ddl_permission_gated(spark):
+    """CREATE/DROP FUNCTION, AGGREGATE, and TYPE are permission-gated
+    (CREATE/DROP, the reference's functions-resource rule reduced to the
+    session keyspace) — previously any logged-in role could define or
+    remove them."""
+    s = CqlSession(spark)
+    s.execute(
+        "CREATE FUNCTION basef (p double) RETURNS double "
+        "LANGUAGE sql AS 'p + 1'"
+    )
+    s.execute("CREATE TYPE baset (a int)")
+    s.execute("CREATE ROLE lowly WITH LOGIN = true")
+    s.login("lowly")
+    for stmt in (
+        "CREATE FUNCTION f2 (p double) RETURNS double LANGUAGE sql AS 'p'",
+        "CREATE AGGREGATE a2 (double) SFUNC f RETURNS double",
+        "DROP FUNCTION basef",
+        "CREATE TYPE t2 (a int)",
+        "DROP TYPE baset",
+    ):
+        with pytest.raises(CQLError, match="CREATE|DROP|unsupported"):
+            s.execute(stmt)
+    s.login("cassandra")
+    s.execute("DROP FUNCTION basef")
+    assert "basef" not in s.functions
