@@ -1931,3 +1931,50 @@ def test_hierarchical_jpeg_rejects_illegal_structure():
     bad += b"\xff\xd9"
     with _pytest.raises(ValueError, match="differential frame outside"):
         decode_jpeg(bytes(bad))
+
+
+def test_container_demux_hypothesis_roundtrip():
+    """Property: random frame sets round-trip through BOTH round-7
+    containers (MJPEG MP4 and V_MJPEG MKV) — geometry, frame count,
+    timeline, and per-frame decoded pixels all survive (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_mjpeg,
+    )
+    from cassandra_spark.operators.mp4 import (
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_mjpeg,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(1, 5),
+        st.integers(1, 30),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(w, h, n, fps, seed):
+        frames = [
+            bytes((seed * 48271 + k * 193 + i * 7) % 256
+                  for i in range(w * h * 3))
+            for k in range(n)
+        ]
+        want = [
+            decode_jpeg(encode_jpeg(w, h, f, quality=85))[3] for f in frames
+        ]
+        m4 = demux_mp4(encode_mp4_mjpeg(w, h, frames, fps=fps))
+        assert (m4.width, m4.height, len(m4.frames)) == (w, h, n)
+        mk = demux_mkv(encode_mkv_mjpeg(w, h, frames, fps=fps))
+        assert (mk.width, mk.height, len(mk.frames)) == (w, h, n)
+        for i in range(n):
+            assert decode_mp4_frame(m4, i) == want[i]
+            assert decode_mkv_frame(mk, i) == want[i]
+
+    run()
