@@ -481,7 +481,9 @@ def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     return out
 
 
-def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
+def _compile_ann(
+    df: DataFrame, meta, s: "_Stmt", where_expr: str | None = None
+) -> DataFrame:
     """Cassandra 5 `ORDER BY col ANN OF [..] LIMIT k` (`[C* cql3/Ordering.
     Ann]`, unverified). Routing mirrors the reference: WITHOUT a vector
     index the front-end refuses in production — here (analytics engine)
@@ -529,6 +531,13 @@ def _compile_ann(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
                 .filter(F.col("__bucket").isin(probes))
                 .drop("__bucket")
             )
+            if where_expr is not None:
+                # C* 5 allows WHERE alongside ANN (post-filtered by SAI);
+                # the artifact is a re-layout of the SAME table, so the
+                # statement's rewritten predicate applies verbatim — and
+                # stays a pushed-down filter inside the bucket-pruned
+                # scan, cheaper than semi-joining back to the base scan
+                df = df.filter(F.expr(where_expr))
         else:
             # no artifact (in-session table): compute the hash per row
             df = df.withColumn(
@@ -641,7 +650,8 @@ def cql_select(
         )
         if uses_token:
             murmur3.ensure_token_registered(spark)
-        df = df.filter(F.expr(_rewrite_where(s.where, map_cols)))
+        where_expr = _rewrite_where(s.where, map_cols)
+        df = df.filter(F.expr(where_expr))
 
     if s.distinct:
         if s.group_by or s.order_by or s.ann or s.per_partition_limit is not None:
@@ -663,7 +673,9 @@ def cql_select(
         if s.order_by or s.group_by or s.per_partition_limit is not None:
             raise CQLError("ANN ordering cannot be combined with other "
                            "ORDER BY / GROUP BY / PER PARTITION LIMIT")
-        df = _compile_ann(df, meta, s)
+        df = _compile_ann(
+            df, meta, s, where_expr=(where_expr if s.where else None)
+        )
         proj = s.projection.strip()
         if proj != "*":
             df = df.selectExpr(

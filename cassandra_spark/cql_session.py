@@ -1170,6 +1170,11 @@ class CqlSession:
         already carries."""
         if self.sf_dir is None:
             raise CQLError(f"unknown table {tname!r}")
+        # the reference requires ALTER on the table for ALL index DDL —
+        # catalog tables included (DROP INDEX on the same index already
+        # gates on ALTER; CREATE must be symmetric, and an SAI build here
+        # writes a persisted artifact, hardly a read-only act)
+        self._check_perm("ALTER", tname)
         from cassandra_spark.catalog import Catalog
 
         cat = Catalog(self.spark, self.sf_dir)
@@ -1826,6 +1831,17 @@ class CqlSession:
         t = r.split()[-1].lower()
         t = self._resolve(t) if "." in t else t
         if t not in self.tables:
+            # catalog (parquet-corpus) tables are grantable resources too
+            # — index DDL on them is ALTER-gated, so ALTER must be
+            # grantable on them (symmetry with the check)
+            if self.sf_dir is not None:
+                from cassandra_spark.catalog import Catalog
+
+                try:
+                    Catalog(self.spark, self.sf_dir).meta(t)
+                except KeyError:
+                    raise CQLError(f"unknown table {t!r}") from None
+                return f"data/{self.table_keyspace.get(t, 'session')}/{t}"
             raise CQLError(f"unknown table {t!r}")
         return f"data/{self.table_keyspace.get(t, 'session')}/{t}"
 

@@ -660,6 +660,49 @@ def cql17_sai_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql33_sai_ann_filtered",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {BUCKET_DUCK} AS bucket
+      FROM embeddings WHERE label = 5
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM bucketed
+      WHERE bucket IN ({", ".join(map(str, _ANN_PROBES))})
+    )
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             {dot_duck('embedding', f'[{_ANN_V}]')}
+             / (sqrt({dot_duck('embedding', 'embedding')})
+                * sqrt({dot_duck(f'[{_ANN_V}]', f'[{_ANN_V}]')})) AS score
+      FROM cand
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql33_sai_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE + ANN through the PERSISTED SAI artifact (`[C* index/sai/plan/
+    QueryController post-filtering, unverified]` — Cassandra 5 allows
+    restrictions alongside `ORDER BY .. ANN OF`). The statement's WHERE
+    predicate must survive the routing to the bucket-partitioned index
+    layout: the artifact scan is pruned to the multiprobe buckets AND
+    filtered by the rewritten predicate (a pushed-down filter inside the
+    pruned scan), then exact cosine ranks the survivors. Pins the round-8
+    ADVICE fix: previously the artifact branch replaced the filtered plan
+    wholesale and the WHERE was silently dropped."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_ann_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    return sess.execute(
+        f"SELECT vec_id FROM embeddings WHERE label = 5 "
+        f"ORDER BY embedding ANN OF [{_ANN_V}] LIMIT 10 ALLOW FILTERING"
+    )
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

@@ -42,7 +42,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        # no hint on customer: it grows with the corpus (150k rows x SF) --
+        # AQE picks BHJ at bench scale and falls back to SMJ at 100 TB
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))

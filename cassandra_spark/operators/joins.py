@@ -160,7 +160,7 @@ def x5_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = cat.part.filter(F.col("p_size") >= 40)
     return (
         cat.lineitem.join(
-            F.broadcast(part),
+            part,
             (F.col("l_partkey") == F.col("p_partkey"))
             & (F.col("l_quantity") > F.col("p_size")),
         )

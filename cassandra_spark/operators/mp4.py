@@ -159,8 +159,10 @@ def demux_mp4(data: bytes) -> Mp4Stream:
         tk = _find(data, b, e, b"tkhd")
         if tk:
             ver, p = _fullbox(data, tk[0])
-            # width/height: fixed 16.16 at the tail of tkhd
-            off = p + (32 if ver == 0 else 44) + 48
+            # width/height: fixed 16.16 at the tail of tkhd — after the
+            # time/id/duration block (20 bytes v0, 32 v1), 8 reserved,
+            # layer/group/volume/pad (8), and the 36-byte matrix
+            off = p + (32 if ver == 0 else 44) + 40
             if tk[1] - off >= 8:
                 tw, th = struct.unpack_from(">II", data, off)
                 info["width"], info["height"] = tw >> 16, th >> 16

@@ -152,11 +152,11 @@ def x20_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cat.lineitem.join(
-            F.broadcast(thresholds), F.col("l_partkey") == F.col("tk")
-        )
+        # thresholds has one row per partkey -- |part|-sized, i.e. linear
+        # growth; no hint (AQE broadcasts it at bench scale only)
+        cat.lineitem.join(thresholds, F.col("l_partkey") == F.col("tk"))
         .filter(F.col("l_quantity") < F.col("thr"))
-        .join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(

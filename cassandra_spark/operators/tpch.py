@@ -50,9 +50,7 @@ def x15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
-            ),
+            cat.customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -92,7 +90,7 @@ def x16_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
@@ -150,7 +148,7 @@ def x17_core(
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -194,7 +192,7 @@ def x22_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat.lineitem.join(
-            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+            cat.part, F.col("p_partkey") == F.col("l_partkey")
         )
         .filter(blocks)
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
@@ -352,7 +350,7 @@ def x25_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         cat.lineitem.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("nk1") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("nk2") == F.col("c_nationkey"))
@@ -431,7 +429,7 @@ def x27_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
         )
-        .join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.sum(promo).cast("double")

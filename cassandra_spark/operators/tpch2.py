@@ -133,7 +133,7 @@ def x29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(cat.supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -236,11 +236,11 @@ def x31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cat.part.filter(F.col("p_type") == "PROMO")),
+            cat.part.filter(F.col("p_type") == "PROMO"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
         .join(
             F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA")),

@@ -460,7 +460,14 @@ def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The visible upsert table: read-time LWW merge of the live
     segments in the newest committed manifest (one shuffle on the table
     key — the same reconcile a Cassandra read performs over its
-    SSTables)."""
+    SSTables).
+
+    READ WINDOW: the returned DataFrame is lazy and pinned to the
+    manifest resolved *now*. While a live stream keeps committing,
+    ``SegmentLog.gc(keep=K)`` frees this manifest's segments after K-1
+    further generations — evaluate (or ``localCheckpoint()``) the plan
+    within that window, or raise ``CASSANDRA_SPARK_SEGMENT_KEEP`` for
+    always-on deployments."""
     from cassandra_spark.streaming.segment_log import SegmentLog
 
     segs = SegmentLog(table_dir).live().get("base", [])
@@ -647,7 +654,13 @@ def _view_delta_sum(deltas: DataFrame) -> DataFrame:
 def read_mv(spark: SparkSession, table_dir: str, which: str) -> DataFrame:
     """The visible base/view of the streaming MV job, merged at read
     time from the newest manifest's live segments: LWW-reduce for the
-    base, delta-sum (then the cnt>0 visibility filter) for the view."""
+    base, delta-sum (then the cnt>0 visibility filter) for the view.
+
+    READ WINDOW: same contract as ``read_upsert_table`` — the lazy plan
+    is pinned to the manifest resolved now and its files survive only
+    ``keep - 1`` further commit generations once a live stream keeps
+    committing (see ``SegmentLog.__init__`` /
+    ``CASSANDRA_SPARK_SEGMENT_KEEP``)."""
     from cassandra_spark.streaming.segment_log import SegmentLog
 
     segs = SegmentLog(table_dir).live().get(which, [])

@@ -42,10 +42,21 @@ class SegmentLog:
     [dir names]}}``. Everything lives flat under ``root``.
     """
 
-    def __init__(self, root: str, min_threshold: int = 4, keep: int = 2):
+    def __init__(
+        self, root: str, min_threshold: int = 4, keep: int | None = None
+    ):
         self.root = root
         self.min_threshold = min_threshold
-        self.keep = keep
+        # READ WINDOW: gc() deletes segment dirs referenced by none of the
+        # newest ``keep`` manifests, so a lazy reader pinned to an older
+        # manifest (read_upsert_table/read_mv return unlazified plans) has
+        # ``keep - 1`` further commit generations before its files can
+        # vanish under it. Always-on deployments that hold reader plans
+        # across many epochs should raise this (env knob below) or
+        # localCheckpoint()/collect the read eagerly.
+        if keep is None:
+            keep = int(os.environ.get("CASSANDRA_SPARK_SEGMENT_KEEP", "2"))
+        self.keep = max(2, keep)
         os.makedirs(root, exist_ok=True)
 
     # --- manifest plumbing -------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -752,3 +753,43 @@ def test_upsert_read_path_single_shuffle(spark, tmp_path):
     assert n_exchange == 1, plan
     parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and "user_id" in parts[0] and "event_type" in parts[0], plan
+
+
+def test_no_broadcast_hints_on_fact_growth_tables():
+    """Policy gate (round-8): no registered query may broadcast-hint a
+    table that grows linearly with the corpus — customer, part, orders,
+    lineitem, partsupp, or aggregates derived from them. At bench scale
+    the hint and AQE agree (BHJ either way, see the plan asserts above);
+    at 100 TB a forced broadcast of a 150k-rows-x-SF table OOMs the
+    executors. O(constant) dims (region/nation) and filtered sub-linear
+    sides may keep their hints."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "cassandra_spark"
+    forbidden = re.compile(
+        r"\b(customer|orders|lineitem|partsupp|part|thresholds)\b"
+    )
+    offenders: list[str] = []
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        if "broadcast" not in src:
+            continue
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = fn.attr if isinstance(fn, ast.Attribute) else getattr(
+                fn, "id", ""
+            )
+            if name != "broadcast":
+                continue
+            for arg in node.args:
+                seg = ast.get_source_segment(src, arg) or ""
+                if forbidden.search(seg):
+                    offenders.append(f"{py.name}:{node.lineno}: {seg}")
+    assert not offenders, (
+        "broadcast hints on fact-growth tables (drop the hint, let AQE "
+        "decide):\n" + "\n".join(offenders)
+    )
