@@ -467,6 +467,33 @@ def _parse_literal(tok: str) -> str | None:
     raise CQLError(f"unsupported CQL literal: {tok!r}")
 
 
+# column types whose canonical-string values normalize losslessly for
+# index-equality probes; float/decimal/timestamp families are excluded
+# (their literal spellings are not canonical — '5' vs '5.0'), so reads on
+# them fall back to the full-scan filter, correct just unaccelerated
+INDEX_EQ_TYPES = frozenset(
+    # Spark-normalized names (schema.regular stores mapped types):
+    # text/ascii/varchar → string, CQL int family keeps its names
+    "string int bigint smallint tinyint boolean".split()
+)
+
+
+def _index_norm(val: str, typ: str) -> str:
+    """Normalize a canonical-string cell value for value-Bloom/index
+    probes so differently-spelled equal literals collide ('05' = '5' for
+    an int column). Mirrors the snapshot-time cast for the INDEX_EQ_TYPES
+    families only."""
+    t = typ.split("<")[0].strip().lower()
+    if t in ("int", "bigint", "smallint", "tinyint", "varint"):
+        try:
+            return str(int(val))
+        except (ValueError, TypeError):
+            return val
+    if t == "boolean":
+        return val.lower()
+    return val
+
+
 def _split_csv(text: str) -> list[str]:
     """Split on commas not inside single quotes or [ ] / { } / ( )
     brackets (parens nest tuple literals)."""
@@ -613,6 +640,12 @@ class CqlTable:
         # counters; filters load/rebuild lazily so restored segments work
         self._blooms: dict[str, object] = {}
         self.bloom_stats = {"checked": 0, "skipped": 0}
+        # per-(segment, indexed column) Bloom filters over the column's
+        # cell VALUES — the 2i read path's segment-pruning leg (lazy,
+        # sidecar-persisted; entries for compacted-away paths are never
+        # queried again since probes iterate self._segments)
+        self._value_blooms: dict[tuple[str, str], object] = {}
+        self.index_stats = {"checked": 0, "skipped": 0}
         # LCS bookkeeping: segment -> level (absent = L0, where every
         # flush/bulk-load lands), cached [min,max] pk-token ranges, and
         # read-path range-skip counters (the leveled manifest analogue)
@@ -2143,6 +2176,101 @@ class CqlTable:
             self._blooms[path] = bf
         return bf
 
+    def _value_bloom_for(self, path: str, col: str):
+        """Per-(segment, indexed column) Bloom over the column's cell
+        values — the Filter.db construction extended from partition keys
+        to an indexed column (`[C* index/internal/composites, unverified]`
+        keeps value→pk index tables per SSTable; the pruning effect is
+        the same). Sidecar ``<segment>.<col>.vbloom``; rebuilt from the
+        segment itself when missing, so a restored segment never reads
+        wrong, only slower."""
+        key = (path, col)
+        bf = self._value_blooms.get(key)
+        if bf is not None:
+            return bf
+        from cassandra_spark.operators.bloom import BloomFilter
+
+        sc = f"{path}.{col}.vbloom"
+        if os.path.exists(sc):
+            try:
+                bf = BloomFilter.load(sc)
+            except Exception:
+                bf = None  # corrupt sidecar: rebuild, never fail
+        if bf is None:
+            import pyarrow.parquet as pq
+
+            typ = (self.schema.regular.get(col)
+                   or self.schema.static.get(col) or "")
+            vals = (
+                pq.read_table(
+                    path,
+                    columns=["val"],
+                    filters=[("col", "=", col), ("kind", "=", CELL)],
+                )
+                .column("val")
+                .to_pylist()
+            )
+            bf = BloomFilter.for_keys(
+                _index_norm(v, typ) for v in vals if v is not None
+            )
+            try:
+                bf.save(sc)
+            except OSError:
+                pass  # read-only segment dir: in-memory filter still works
+        self._value_blooms[key] = bf
+        return bf
+
+    def index_candidate_pks(self, col: str, lit: str) -> set[str]:
+        """2i read, phase 1 (`[C* index/internal CassandraIndexSearcher,
+        unverified]`): the partition keys whose CURRENT row could satisfy
+        ``col = lit`` — every winning cell with that value was written by
+        SOME mutation, so scanning cell mutations for the value yields a
+        superset of the true partitions (extra candidates fall to the
+        phase-2 recheck, exactly the reference's post-index filtering).
+        Each segment's value Bloom is consulted first; definitely-absent
+        segments are skipped without touching the file (tablestats-style
+        ``index_stats`` counters record it). At cluster scale phase 1 is
+        a Spark job over the segment set; driver-side pyarrow keeps the
+        local path allocation-free."""
+        import pyarrow.parquet as pq
+
+        typ = (self.schema.regular.get(col)
+               or self.schema.static.get(col) or "")
+        probe = _index_norm(lit, typ)
+        cand: set[str] = set()
+        for path in self._segments:
+            self.index_stats["checked"] += 1
+            if not self._value_bloom_for(path, col).might_contain(probe):
+                self.index_stats["skipped"] += 1
+                continue
+            tbl = pq.read_table(
+                path,
+                columns=["pk", "val"],
+                filters=[("col", "=", col), ("kind", "=", CELL)],
+            )
+            cand.update(
+                p
+                for p, v in zip(
+                    tbl.column("pk").to_pylist(), tbl.column("val").to_pylist()
+                )
+                if v is not None and _index_norm(v, typ) == probe
+            )
+        pi, ci, vi, ki = (
+            _MUT_COLS.index("pk"),
+            _MUT_COLS.index("col"),
+            _MUT_COLS.index("val"),
+            _MUT_COLS.index("kind"),
+        )
+        for row in self._log:
+            if (
+                row[ki] == CELL
+                and row[ci] == col
+                and row[vi] is not None
+                and _index_norm(row[vi], typ) == probe
+            ):
+                cand.add(row[pi])
+        return cand
+
     def _segment_rows_for_pk(self, pk: str | None):
         """Mutation rows for one partition from all flushed segments, in
         canonical tuple order — the LWT read phase's segment leg. Each
@@ -2300,20 +2428,31 @@ class CqlTable:
             per_k = per_k | ((F.size(F.col(rt_prefix)) == k) & lo_ok & hi_ok)
         return pref_match & (no_bounds | per_k)
 
-    def snapshot(self, asof_us: int | None = None) -> DataFrame:
+    def snapshot(
+        self, asof_us: int | None = None, pk_in=None
+    ) -> DataFrame:
         """Visible rows after W2 (TTL at ``asof``) + W3 (tombstone
         shadowing, incl. range tombstones) + W4 (per-cell LWW): one wide
         row per live (pk, ck) with typed key columns, scalar columns with
         ``__writetime_<col>`` shadows (f2 convention), collection columns
         assembled from live element cells, and static columns joined per
         partition (a static-only partition shows one row with NULL
-        clustering)."""
+        clustering).
+
+        ``pk_in`` (2i read, phase 2): restrict the reconcile to these
+        partition keys. Semantically safe for ANY key subset — every
+        reconcile window partitions by pk, so the restricted result
+        equals the global result filtered to those partitions."""
         s = self.schema
         if not self._log and not self._segments:
+            return self._empty()
+        if pk_in is not None and not pk_in:
             return self._empty()
         if s.counter:
             return self._counter_snapshot()
         mut = self.mutation_log()
+        if pk_in is not None:
+            mut = mut.filter(F.col("pk").isin(list(pk_in)))
         # TTL is in writetime units here (the logical clock); the batch W2
         # operator does the real seconds→µs conversion. Default asof sees
         # everything un-expired that has no TTL.

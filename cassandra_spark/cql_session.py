@@ -1221,6 +1221,52 @@ class CqlSession:
                 build_lsh_bucket_index(self.spark, self.sf_dir, tname, col)
             )
 
+    def _indexed_eq_prune(self, tname: str, stmt: str):
+        """(col, canonical literal) when the statement's WHERE carries an
+        equality conjunct on a values-indexed scalar column whose type
+        normalizes losslessly (INDEX_EQ_TYPES) — the shape the 2i read
+        path accelerates. None otherwise (full-scan filter, still
+        correct). Only pure conjunctions qualify: under OR/NOT/IN an
+        equality conjunct is not a safe partition pruner."""
+        idx_cols = self.indexes.get(tname)
+        if not idx_cols:
+            return None
+        wm = re.search(
+            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
+            r"\bPER\s+PARTITION\s+LIMIT\b|\bLIMIT\b|"
+            r"\bALLOW\s+FILTERING\b|$)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return None
+        where = wm.group(1)
+        if re.search(r"\b(OR|NOT|IN)\b", where, re.IGNORECASE):
+            return None
+        from cassandra_spark.cql_dml import INDEX_EQ_TYPES, _parse_literal
+
+        schema = self.tables[tname].schema
+        for col in sorted(idx_cols):
+            typ = (schema.regular.get(col) or schema.static.get(col) or "")
+            # collection types fail this check too: a values index on a
+            # collection admits CONTAINS, not =
+            if typ.strip().lower() not in INDEX_EQ_TYPES:
+                continue
+            m = re.search(
+                rf"\b{re.escape(col)}\s*(?<![!<>=\]])=(?!=)\s*"
+                rf"('(?:[^']|'')*'|-?\d+|[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])",
+                where,
+            )
+            if not m:
+                continue
+            try:
+                lit = _parse_literal(m.group(1))
+            except CQLError:
+                continue
+            if lit is not None:
+                return col, lit
+        return None
+
     def _catalog_overrides(self) -> dict:
         """(df, meta) entries for catalog tables this session has indexed:
         SELECT compilation must see the session's index flags (e.g. SAI →
@@ -2642,6 +2688,27 @@ class CqlSession:
                 key = self._resolve(fm_.group(1))
                 if key in self.tables:
                     self._check_perm("SELECT", key)
+                    hit = self._indexed_eq_prune(key, stmt)
+                    if hit is not None:
+                        # 2i-accelerated read: index probe → candidate
+                        # partitions → reconcile only those (the
+                        # reference's CassandraIndexSearcher shape); the
+                        # statement's full WHERE still re-applies in
+                        # cql_select (phase-2 recheck)
+                        col, lit = hit
+                        t = self.tables[key]
+                        pks = t.index_candidate_pks(col, lit)
+                        if len(pks) <= 20_000:
+                            # an unselective predicate would inflate the
+                            # isin list past what a plan should carry —
+                            # fall back to the full scan above that size
+                            pruned = (
+                                t.snapshot(pk_in=pks),
+                                self._meta(t.schema),
+                            )
+                            snapshots[key] = pruned
+                            ks_ = self.table_keyspace.get(key, "session")
+                            snapshots[f"{ks_}.{key}"] = pruned
                 elif key in self.mat_views:
                     # view reads are reads of the base table's data
                     self._check_perm("SELECT", self.mat_views[key][0])

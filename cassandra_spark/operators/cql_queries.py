@@ -1308,3 +1308,51 @@ def cql31_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass  # the denial itself is the audited event
     sess.login("cassandra")
     return sess.audit_log()
+
+
+@query(
+    "cql32_indexed_read",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('r01', 'n1', 11), ('r04', 'n1', 14), ('r07', 'n1', 17),
+      ('r10', 'n1', 20), ('r13', 'n1', 23)
+    ) AS t(k, site, v)
+    """,
+)
+def cql32_indexed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2i-ACCELERATED equality read (`[C* index/internal
+    CassandraIndexSearcher, unverified]`): CREATE INDEX on a session
+    table, spill across several segments, then SELECT with an equality
+    restriction on the indexed column. The read probes per-segment value
+    Blooms, reconciles only the candidate partitions, and re-applies the
+    predicate — tests/test_indexed_read.py pins that segments are
+    actually skipped and that LWW overwrites/tombstones survive the
+    pruning. The oracle states the surviving rows literally: r04 keeps
+    site n1 (a later non-site UPDATE must not eject it), r16 moved OFF n1
+    and r13's delete-then-reinsert stays, while r19 is gone."""
+    import tempfile
+
+    sess = CqlSession(
+        spark, sf_dir, spill_dir=tempfile.mkdtemp(), spill_threshold=5
+    )
+    sess.execute(
+        "CREATE TABLE readings (k text PRIMARY KEY, site text, v int)"
+    )
+    sess.execute("CREATE INDEX site_idx ON readings (site)")
+    sites = ["n0", "n1", "n2"]
+    for i in range(20):
+        sess.execute(
+            f"INSERT INTO readings (k, site, v) VALUES "
+            f"('r{i:02d}', '{sites[i % 3]}', {10 + i})"
+        )
+    # churn that the index path must survive:
+    sess.execute("UPDATE readings SET v = 14 WHERE k = 'r04'")
+    sess.execute("UPDATE readings SET site = 'n2' WHERE k = 'r16'")
+    sess.execute("DELETE FROM readings WHERE k = 'r19'")
+    sess.execute("DELETE FROM readings WHERE k = 'r13'")
+    sess.execute(
+        "INSERT INTO readings (k, site, v) VALUES ('r13', 'n1', 23)"
+    )
+    return sess.execute(
+        "SELECT k, site, v FROM readings WHERE site = 'n1'"
+    )

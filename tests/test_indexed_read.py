@@ -1,0 +1,116 @@
+"""Session-table secondary indexes ACCELERATE equality reads (round-8):
+the 2i read path probes per-segment value Blooms, reconciles only the
+candidate partitions, and re-applies the full predicate. Results must be
+identical to the full-scan route; the value Blooms must demonstrably skip
+segments."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql_session import CqlSession, CQLError
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build(spark, tmp_path, with_index: bool) -> CqlSession:
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=6)
+    s.execute(
+        "CREATE TABLE users (k text PRIMARY KEY, city text, age int)"
+    )
+    if with_index:
+        s.execute("CREATE INDEX city_idx ON users (city)")
+    cities = ["oslo", "lima", "kyiv", "pune", "baku"]
+    for i in range(30):
+        s.execute(
+            f"INSERT INTO users (k, city, age) VALUES "
+            f"('u{i:02d}', '{cities[i % 5]}', {20 + i})"
+        )
+    return s
+
+
+def test_indexed_eq_matches_full_scan(spark, tmp_path):
+    a = _build(spark, tmp_path / "idx", True)
+    b = _build(spark, tmp_path / "noidx", False)
+    q = "SELECT k, city, age FROM users WHERE city = 'lima'"
+    got = _rows(a.execute(q))
+    want = _rows(b.execute(q + " ALLOW FILTERING"))
+    assert got == want and len(got) == 6
+
+
+def test_indexed_eq_skips_segments(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE seg (k text PRIMARY KEY, tag text)")
+    s.execute("CREATE INDEX tag_idx ON seg (tag)")
+    # segment 1: only 'a' tags; later segments: only 'b' tags
+    for i in range(4):
+        s.execute(f"INSERT INTO seg (k, tag) VALUES ('a{i}', 'alpha')")
+    for i in range(8):
+        s.execute(f"INSERT INTO seg (k, tag) VALUES ('b{i}', 'beta')")
+    t = s.table("seg")
+    assert len(t._segments) >= 2, "need multiple segments to prune"
+    before = dict(t.index_stats)
+    rows = s.execute("SELECT k FROM seg WHERE tag = 'alpha'").collect()
+    assert {r.k for r in rows} == {f"a{i}" for i in range(4)}
+    checked = t.index_stats["checked"] - before["checked"]
+    skipped = t.index_stats["skipped"] - before["skipped"]
+    assert checked >= 2
+    assert skipped >= 1, (
+        "the beta-only segment(s) must be Bloom-skipped without a read"
+    )
+
+
+def test_indexed_read_sees_lww_overwrite_and_tombstone(spark, tmp_path):
+    """A pk whose indexed value CHANGED must surface under the new value
+    and not the old one — the old cell still matches the probe (candidate
+    superset) and the phase-2 recheck must drop it."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=3)
+    s.execute("CREATE TABLE mv (k text PRIMARY KEY, st text)")
+    s.execute("CREATE INDEX st_idx ON mv (st)")
+    s.execute("INSERT INTO mv (k, st) VALUES ('x', 'old')")
+    s.execute("INSERT INTO mv (k, st) VALUES ('y', 'old')")
+    s.execute("INSERT INTO mv (k, st) VALUES ('z', 'keep')")  # forces flush
+    s.execute("UPDATE mv SET st = 'new' WHERE k = 'x'")
+    s.execute("DELETE FROM mv WHERE k = 'y'")
+    assert {r.k for r in s.execute(
+        "SELECT k FROM mv WHERE st = 'old'").collect()} == set()
+    assert {r.k for r in s.execute(
+        "SELECT k FROM mv WHERE st = 'new'").collect()} == {"x"}
+    assert {r.k for r in s.execute(
+        "SELECT k FROM mv WHERE st = 'keep'").collect()} == {"z"}
+
+
+def test_indexed_int_column_normalizes(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=2)
+    s.execute("CREATE TABLE nums (k text PRIMARY KEY, n int)")
+    s.execute("CREATE INDEX n_idx ON nums (n)")
+    s.execute("INSERT INTO nums (k, n) VALUES ('a', 05)")
+    s.execute("INSERT INTO nums (k, n) VALUES ('b', 7)")
+    s.execute("INSERT INTO nums (k, n) VALUES ('c', 5)")
+    assert {r.k for r in s.execute(
+        "SELECT k FROM nums WHERE n = 5").collect()} == {"a", "c"}
+
+
+def test_disjunction_never_prunes(spark, tmp_path):
+    """An equality under OR is NOT a safe pruner — those statements must
+    take the full-scan route (and still be gated by ALLOW FILTERING)."""
+    s = _build(spark, tmp_path, True)
+    rows = s.execute(
+        "SELECT k FROM users WHERE city = 'lima' OR age = 22 "
+        "ALLOW FILTERING"
+    ).collect()
+    # 6 lima rows plus u02 (age 22, kyiv) — pruning on city would lose it
+    assert {r.k for r in rows} == {
+        "u01", "u06", "u11", "u16", "u21", "u26", "u02"
+    }
+
+
+def test_index_probe_counts_only_when_indexed(spark, tmp_path):
+    s = _build(spark, tmp_path, False)
+    t = s.table("users")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT k FROM users WHERE city = 'lima'")
+    s.execute("SELECT k FROM users WHERE city = 'lima' ALLOW FILTERING")
+    assert t.index_stats == {"checked": 0, "skipped": 0}
