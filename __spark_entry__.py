@@ -4,6 +4,11 @@ Thin shim over :mod:`cassandra_spark` — the engine proper. The driver's
 verify runs ``entry(spark)`` as a smoke check, runs each ``queries()[name]``
 at sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash).
+
+NOTE for anyone TIMING these queries: entries named in
+``cassandra_spark.registry.DIAGNOSTIC`` are deliberately-naive quality
+baselines (correct, oracle-checked, not scale paths) — exclude them from
+timing sweeps the way bench.py does.
 """
 
 from __future__ import annotations

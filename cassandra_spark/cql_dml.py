@@ -478,6 +478,22 @@ INDEX_EQ_TYPES = frozenset(
 )
 
 
+def index_probe_type(schema: "TableSchema", col: str) -> str | None:
+    """The scalar type an index probe on ``col`` normalizes against: the
+    column's own type for scalars, the ELEMENT type for collections
+    (list/set elements and map VALUES log as individual cells, so the
+    value Bloom covers them directly — CQL ``CONTAINS`` is value-side
+    containment for maps). None when the type family doesn't normalize
+    losslessly (floats, timestamps, ...) — those reads stay full-scan."""
+    typ = schema.regular.get(col) or schema.static.get(col) or ""
+    coll = parse_coll_type(typ)
+    if coll is not None:
+        kind, t1, t2 = coll
+        typ = t2 if kind == "map" else t1
+    t = typ.strip().lower()
+    return t if t in INDEX_EQ_TYPES else None
+
+
 def _index_norm(val: str, typ: str) -> str:
     """Normalize a canonical-string cell value for value-Bloom/index
     probes so differently-spelled equal literals collide ('05' = '5' for
@@ -2199,8 +2215,7 @@ class CqlTable:
         if bf is None:
             import pyarrow.parquet as pq
 
-            typ = (self.schema.regular.get(col)
-                   or self.schema.static.get(col) or "")
+            typ = index_probe_type(self.schema, col) or ""
             vals = (
                 pq.read_table(
                     path,
@@ -2234,8 +2249,7 @@ class CqlTable:
         local path allocation-free."""
         import pyarrow.parquet as pq
 
-        typ = (self.schema.regular.get(col)
-               or self.schema.static.get(col) or "")
+        typ = index_probe_type(self.schema, col) or ""
         probe = _index_norm(lit, typ)
         cand: set[str] = set()
         for path in self._segments:

@@ -1222,14 +1222,25 @@ class CqlSession:
             )
 
     def _indexed_eq_prune(self, tname: str, stmt: str):
-        """(col, canonical literal) when the statement's WHERE carries an
-        equality conjunct on a values-indexed scalar column whose type
-        normalizes losslessly (INDEX_EQ_TYPES) — the shape the 2i read
-        path accelerates. None otherwise (full-scan filter, still
-        correct). Only pure conjunctions qualify: under OR/NOT/IN an
-        equality conjunct is not a safe partition pruner."""
-        idx_cols = self.indexes.get(tname)
-        if not idx_cols:
+        """(col, canonical literal) when the statement's WHERE carries a
+        conjunct an index can serve as a partition pruner: ``col = lit``
+        on a values- or SAI-indexed scalar, or ``col CONTAINS lit`` on a
+        values-indexed collection (elements and map values log as
+        individual cells, so the same value Bloom covers them). Only
+        types that normalize losslessly qualify (INDEX_EQ_TYPES via
+        index_probe_type); None otherwise — full-scan filter, still
+        correct. Only pure conjunctions qualify: under OR/NOT/IN an
+        indexed conjunct is not a safe partition pruner."""
+        from cassandra_spark.cql_dml import (
+            _parse_literal,
+            index_probe_type,
+            parse_coll_type,
+        )
+
+        eq_cols = set(self.indexes.get(tname, ())) | set(
+            self.sai_indexes.get(tname, ())
+        )
+        if not eq_cols:
             return None
         wm = re.search(
             r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
@@ -1243,20 +1254,28 @@ class CqlSession:
         where = wm.group(1)
         if re.search(r"\b(OR|NOT|IN)\b", where, re.IGNORECASE):
             return None
-        from cassandra_spark.cql_dml import INDEX_EQ_TYPES, _parse_literal
-
         schema = self.tables[tname].schema
-        for col in sorted(idx_cols):
-            typ = (schema.regular.get(col) or schema.static.get(col) or "")
-            # collection types fail this check too: a values index on a
-            # collection admits CONTAINS, not =
-            if typ.strip().lower() not in INDEX_EQ_TYPES:
+        lit_re = (
+            r"('(?:[^']|'')*'|-?\d+|[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])"
+        )
+        for col in sorted(eq_cols):
+            if index_probe_type(schema, col) is None:
                 continue
-            m = re.search(
-                rf"\b{re.escape(col)}\s*(?<![!<>=\]])=(?!=)\s*"
-                rf"('(?:[^']|'')*'|-?\d+|[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])",
-                where,
-            )
+            typ = schema.regular.get(col) or schema.static.get(col) or ""
+            is_coll = parse_coll_type(typ) is not None
+            if is_coll:
+                # values index on a collection admits CONTAINS (value-side
+                # for maps) — element cells make it the same probe
+                m = re.search(
+                    rf"\b{re.escape(col)}\s+CONTAINS\s+(?!KEY\b){lit_re}",
+                    where,
+                    re.IGNORECASE,
+                )
+            else:
+                m = re.search(
+                    rf"\b{re.escape(col)}\s*(?<![!<>=\]])=(?!=)\s*{lit_re}",
+                    where,
+                )
             if not m:
                 continue
             try:

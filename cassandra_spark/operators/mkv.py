@@ -8,9 +8,9 @@ frames) — so geometry, timing, codec identity, and frame payloads come
 from the actual file. ``V_MJPEG`` tracks decode to RGB through the
 repo's complete T.81 JPEG codec; inter-coded codecs (V_MPEG4/ISO/AVC,
 V_VP9, …) demux with REAL metadata but stay undecodable here (the same
-honest gate as MP4's avc1). Lacing is out of scope (rejected, not
-mis-parsed): the writer never emits it and real MJPEG-in-MKV rarely
-does.
+honest gate as MP4's avc1). All three lacing modes (Xiph, EBML,
+fixed-size) parse for real since round 8 — pure container math on the
+public spec, round-trip-verified against this module's own writer.
 
 A writer (`encode_mkv_mjpeg`) produces a minimal valid single-track
 V_MJPEG Matroska file, so the demuxer round-trips without external
@@ -92,10 +92,83 @@ def _uint(data: bytes, b: int, e: int) -> int:
     return v
 
 
+def _read_svint(data: bytes, pos: int) -> tuple[int, int]:
+    """EBML-lacing SIGNED vint (size delta): the unsigned vint value
+    minus the length's bias ``2^(7·len−1) − 1`` (Matroska §lacing,
+    public spec)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML svint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML svint")
+    length = 9 - first.bit_length()
+    v, nxt = _read_vint(data, pos, keep_marker=False)
+    return v - ((1 << (7 * length - 1)) - 1), nxt
+
+
+def _block_frames(data: bytes, pos: int, end: int, flags: int):
+    """Split a (Simple)Block payload into frames per its lacing mode
+    (flags bits 0x06): 00 none, 01 Xiph (255-run sizes), 10 fixed-size,
+    11 EBML (first size plain vint, rest signed-vint deltas). Pure
+    container math on the public Matroska spec; every path validates
+    that the declared sizes tile the payload exactly."""
+    lace = (flags >> 1) & 0x03
+    if lace == 0:
+        yield data[pos:end]
+        return
+    if pos >= end:
+        raise ValueError("laced block missing frame count")
+    n = data[pos] + 1
+    q = pos + 1
+    sizes: list[int] = []
+    if lace == 0b01:  # Xiph
+        for _ in range(n - 1):
+            s = 0
+            while True:
+                if q >= end:
+                    raise ValueError("truncated Xiph lace sizes")
+                byte = data[q]
+                q += 1
+                s += byte
+                if byte != 255:
+                    break
+            sizes.append(s)
+    elif lace == 0b11:  # EBML
+        if n > 1:
+            first, q = _read_vint(data, q, keep_marker=False)
+            if q > end:
+                raise ValueError("truncated EBML lace sizes")
+            sizes.append(first)
+            for _ in range(n - 2):
+                delta, q = _read_svint(data, q)
+                if q > end:
+                    raise ValueError("truncated EBML lace sizes")
+                sizes.append(sizes[-1] + delta)
+    else:  # 0b10 fixed-size: no size table, payload divides evenly
+        total = end - q
+        if n == 0 or total % n:
+            raise ValueError(
+                f"fixed lacing: {total} payload bytes not divisible "
+                f"into {n} frames"
+            )
+        each = total // n
+        sizes = [each] * (n - 1)
+    if any(s < 0 for s in sizes):
+        raise ValueError("negative laced frame size")
+    declared = sum(sizes)
+    if q + declared > end:
+        raise ValueError("laced frame sizes overrun the block")
+    for s in sizes:
+        yield data[q : q + s]
+        q += s
+    yield data[q:end]  # last frame: the remainder
+
+
 def demux_mkv(data: bytes) -> MkvStream:
     """Parse the EBML tree; return the FIRST video track's geometry,
-    codec, timeline and raw frames. Raises ValueError on malformed
-    containers, absent video tracks, or laced blocks."""
+    codec, timeline and raw frames (laced SimpleBlocks split per their
+    Xiph/EBML/fixed size tables). Raises ValueError on malformed
+    containers or absent video tracks."""
     if not is_mkv(data):
         raise ValueError("not an EBML/Matroska payload")
     segment = None
@@ -158,14 +231,12 @@ def demux_mkv(data: bytes) -> MkvStream:
                     raise ValueError("truncated SimpleBlock header")
                 rel = struct.unpack_from(">h", data, p)[0]
                 flags = data[p + 2]
-                if flags & 0x06:
-                    raise ValueError(
-                        "laced SimpleBlocks are not supported"
-                    )
-                frames.append(data[p + 3 : e2])
-                stamps.append(
-                    (cluster_ts + rel) * ts_scale / 1_000_000.0
-                )
+                ts = (cluster_ts + rel) * ts_scale / 1_000_000.0
+                for fr in _block_frames(data, p + 3, e2, flags):
+                    frames.append(fr)
+                    # laced frames share the block timestamp; sorted() is
+                    # stable, so intra-lace order survives the timeline sort
+                    stamps.append(ts)
     if not frames:
         raise ValueError("video track has no frames")
     order = sorted(range(len(frames)), key=lambda i: stamps[i])
@@ -215,11 +286,49 @@ def _uint_payload(v: int) -> bytes:
     return v.to_bytes(n, "big")
 
 
+def _svint_encode(v: int) -> bytes:
+    """Signed vint for EBML lace-size deltas (inverse of _read_svint)."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= v <= bias:
+            enc = (v + bias) | (1 << (7 * length))
+            return enc.to_bytes(length, "big")
+    raise ValueError("delta too large for svint")
+
+
+def _lace_payload(jpgs: list[bytes], lacing: str) -> bytes:
+    """Frame-count byte + lace-size table + concatenated frames, per the
+    requested mode — the writer half of _block_frames' round trip."""
+    n = len(jpgs)
+    head = bytes([n - 1])
+    if lacing == "xiph":
+        table = b""
+        for jpg in jpgs[:-1]:
+            s = len(jpg)
+            table += b"\xff" * (s // 255) + bytes([s % 255])
+    elif lacing == "ebml":
+        table = b""
+        if n > 1:
+            table = _vint_size(len(jpgs[0]))
+            for prev, cur in zip(jpgs, jpgs[1:-1]):
+                table += _svint_encode(len(cur) - len(prev))
+    elif lacing == "fixed":
+        if len({len(j) for j in jpgs}) != 1:
+            raise ValueError("fixed lacing requires equal-size frames")
+        table = b""
+    else:
+        raise ValueError(f"unknown lacing mode {lacing!r}")
+    return head + table + b"".join(jpgs)
+
+
 def encode_mkv_mjpeg(
     width: int, height: int, frames_rgb: list[bytes], fps: int = 10,
-    quality: int = 85,
+    quality: int = 85, lacing: str | None = None,
 ) -> bytes:
-    """RGB frames → minimal valid single-track V_MJPEG Matroska file."""
+    """RGB frames → minimal valid single-track V_MJPEG Matroska file.
+    ``lacing`` packs ALL frames into one laced SimpleBlock ('xiph',
+    'ebml', or 'fixed' — fixed requires equal-size frames); None keeps
+    the one-cluster-per-frame layout."""
     from cassandra_spark.operators.jpeg import encode_jpeg
 
     if not frames_rgb:
@@ -249,16 +358,36 @@ def encode_mkv_mjpeg(
     )
     tracks = _elem(b"\x16\x54\xae\x6b", track)
     frame_ms = max(1, 1000 // fps)
-    blocks = b""
-    for i, rgb in enumerate(frames_rgb):
-        jpg = encode_jpeg(width, height, rgb, quality=quality)
-        # one Cluster per frame: Timestamp + SimpleBlock (track vint 1,
-        # relative ts 0, keyframe flag)
-        cluster = _elem(
+    jpgs = [
+        encode_jpeg(width, height, rgb, quality=quality)
+        for rgb in frames_rgb
+    ]
+    if lacing is not None:
+        # one Cluster, one laced SimpleBlock holding every frame
+        # (keyframe flag | lacing bits: xiph 0x02, fixed 0x04, ebml 0x06)
+        lace_bits = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[lacing]
+        blocks = _elem(
             b"\x1f\x43\xb6\x75",
-            _elem(b"\xe7", _uint_payload(i * frame_ms))
-            + _elem(b"\xa3", b"\x81" + struct.pack(">h", 0) + b"\x80" + jpg),
+            _elem(b"\xe7", _uint_payload(0))
+            + _elem(
+                b"\xa3",
+                b"\x81" + struct.pack(">h", 0)
+                + bytes([0x80 | lace_bits])
+                + _lace_payload(jpgs, lacing),
+            ),
         )
-        blocks += cluster
+    else:
+        blocks = b""
+        for i, jpg in enumerate(jpgs):
+            # one Cluster per frame: Timestamp + SimpleBlock (track vint 1,
+            # relative ts 0, keyframe flag)
+            cluster = _elem(
+                b"\x1f\x43\xb6\x75",
+                _elem(b"\xe7", _uint_payload(i * frame_ms))
+                + _elem(
+                    b"\xa3", b"\x81" + struct.pack(">h", 0) + b"\x80" + jpg
+                ),
+            )
+            blocks += cluster
     segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)
     return header + segment

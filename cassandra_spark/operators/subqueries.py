@@ -18,7 +18,7 @@ plan the threshold join locally after the map-side combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -137,24 +137,23 @@ def x19_rich_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x20_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue (per brand, /7 weekly-ized) of lines whose
     quantity is below 20% of that part's average. The correlated scalar
-    aggregate decorrelates into a per-part pre-aggregate joined back on
-    the fact's own key — the pre-agg is tiny (one row per part) so it
-    broadcasts; 0.2*avg and the final /7 are single double ops on exact
-    sums, engine-identical."""
+    aggregate decorrelates into a WINDOW over the fact's own key — one
+    lineitem scan and ONE hash exchange on l_partkey compute the per-part
+    threshold in place (the pre-aggregate-then-self-join form scans and
+    shuffles lineitem twice, and its |part|-sized pre-agg must never be
+    broadcast-hinted at 100 TB); 0.2*avg and the final /7 are single
+    double ops on exact sums, engine-identical."""
     cat = Catalog(spark, sf_dir)
-    thresholds = (
-        cat.lineitem.groupBy(F.col("l_partkey").alias("tk"))
-        .agg(
-            (
-                F.lit(0.2)
-                * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-            ).alias("thr")
-        )
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        # thresholds has one row per partkey -- |part|-sized, i.e. linear
-        # growth; no hint (AQE broadcasts it at bench scale only)
-        cat.lineitem.join(thresholds, F.col("l_partkey") == F.col("tk"))
+        cat.lineitem.withColumn(
+            "thr",
+            F.lit(0.2)
+            * (
+                F.sum(dec("l_quantity")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ),
+        )
         .filter(F.col("l_quantity") < F.col("thr"))
         .join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")

@@ -8,6 +8,16 @@ constructors persist() an intermediate as a deliberate optimizer barrier
 (measured 10-30× plan-blowup fix — see llm_dedup.word_hash_table); those
 blocks are released by ``release_caches()`` below, which callers driving a
 full sweep (bench.py, tools/check_oracle.py) invoke between queries.
+
+DIAGNOSTIC entries — currently ``l2c_ngram_jaccard``,
+``l2d_embedding_neardup``, ``l2d_embedding_neardup_lsh`` — are
+deliberately-naive baselines kept ONLY for recall/quality comparison
+against their production siblings (``l2_minhash_prod``,
+``l2d_embedding_neardup_prod``). They are correct and oracle-checked, but
+they are NOT scale paths and MUST NOT enter timing sweeps or 100 TB
+sizing claims: anything that benches from this registry must exclude
+``DIAGNOSTIC`` (bench.py does; a driver that ignores it is measuring the
+strawman, not the engine).
 """
 
 from __future__ import annotations

@@ -64,10 +64,13 @@ def test_bucketed_agg_skips_shuffle(spark, tmp_path):
 
 
 def test_x17_bucketed_plan_and_parity(spark):
-    """Q18 over the bucketed layout: zero hash exchanges end-to-end (the
-    layout replaces both the aggregate shuffle and the join shuffle; only
-    the presentation sort's range exchange remains), same rows as the
-    unbucketed query."""
+    """Q18 over the bucketed layout: no hash exchange on the FACT key
+    (the layout replaces both the l_orderkey aggregate shuffle and the
+    o_orderkey join shuffle), same rows as the unbucketed query. The
+    customer dim leg may exchange here because this test force-disables
+    broadcast to expose the bucketing — in real plans AQE broadcasts it
+    (round 8 dropped the explicit customer hint: fact-growth tables are
+    never broadcast-hinted)."""
     from cassandra_spark.operators.bucketing import x17_large_orders_bucketed
     from cassandra_spark.operators.tpch import x17_large_orders
 
@@ -77,7 +80,14 @@ def test_x17_bucketed_plan_and_parity(spark):
         df = x17_large_orders_bucketed(spark, SF_SMOKE)
         plan = _plan(df)
         assert "SortMergeJoin" in plan, plan
-        assert "hashpartitioning" not in plan, plan
+        import re
+
+        fact_exchanges = [
+            m.group(0)
+            for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
+            if "orderkey" in m.group(1)
+        ]
+        assert not fact_exchanges, plan
         assert df.collect() == x17_large_orders(spark, SF_SMOKE).collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

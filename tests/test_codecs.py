@@ -1978,3 +1978,113 @@ def test_container_demux_hypothesis_roundtrip():
             assert decode_mkv_frame(mk, i) == want[i]
 
     run()
+
+
+# --- MKV lacing (round 8: Xiph / EBML / fixed-size) --------------------------
+
+
+def test_mkv_laced_roundtrip_all_modes():
+    """Each lacing mode round-trips through the writer: one SimpleBlock
+    holding every frame, split back per its size table, frames decoding
+    to the original RGB."""
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_mjpeg,
+    )
+
+    w, h = 8, 6
+    # xiph/ebml: different content per frame → different JPEG sizes,
+    # exercising the size tables; fixed: identical frames (equal sizes)
+    varied = [
+        bytes((i * 37 + j) % 256 for j in range(w * h * 3)) for i in range(4)
+    ]
+    same = [bytes((j * 11) % 256 for j in range(w * h * 3))] * 3
+    for mode, frames in (
+        ("xiph", varied), ("ebml", varied), ("fixed", same),
+    ):
+        data = encode_mkv_mjpeg(w, h, frames, fps=10, lacing=mode)
+        s = demux_mkv(data)
+        assert s.codec == "V_MJPEG" and (s.width, s.height) == (w, h)
+        assert len(s.frames) == len(frames), mode
+        # laced frames must byte-equal the per-cluster layout's frames
+        # (JPEG is lossy, so decoded-RGB equality is vs the plain layout)
+        plain = demux_mkv(encode_mkv_mjpeg(w, h, frames, fps=10))
+        assert s.frames == plain.frames, mode
+        for i in range(len(frames)):
+            assert decode_mkv_frame(s, i) == decode_mkv_frame(plain, i), (
+                mode, i,
+            )
+
+
+def test_mkv_single_frame_lace_degenerates():
+    from cassandra_spark.operators.mkv import demux_mkv, encode_mkv_mjpeg
+
+    rgb = [bytes(8 * 4 * 3)]
+    for mode in ("xiph", "ebml", "fixed"):
+        s = demux_mkv(encode_mkv_mjpeg(8, 4, rgb, lacing=mode))
+        assert len(s.frames) == 1
+
+
+def test_mkv_fixed_lacing_requires_equal_sizes():
+    from cassandra_spark.operators.mkv import encode_mkv_mjpeg
+
+    w, h = 8, 6
+    varied = [
+        bytes((i * 37 + j) % 256 for j in range(w * h * 3)) for i in range(2)
+    ]
+    with pytest.raises(ValueError, match="equal-size"):
+        encode_mkv_mjpeg(w, h, varied, lacing="fixed")
+
+
+def test_mkv_lace_payload_blockframes_hypothesis_roundtrip():
+    """Property: arbitrary frame byte-strings (sizes spanning the Xiph
+    255-run and EBML multi-byte-vint regimes) tile exactly through
+    _lace_payload → _block_frames for every mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_spark.operators.mkv import _block_frames, _lace_payload
+
+    lace_bits = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.sampled_from(["xiph", "ebml"]),
+        st.lists(st.binary(min_size=0, max_size=700), min_size=1,
+                 max_size=6),
+    )
+    def run(mode, frames):
+        payload = _lace_payload(frames, mode)
+        got = list(_block_frames(
+            b"\x00" + payload, 1, 1 + len(payload), 0x80 | lace_bits[mode]
+        ))
+        assert got == frames
+
+    run()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.binary(min_size=0, max_size=300), st.integers(1, 6))
+    def run_fixed(frame, n):
+        frames = [frame] * n
+        payload = _lace_payload(frames, "fixed")
+        got = list(_block_frames(
+            b"\x00" + payload, 1, 1 + len(payload), 0x80 | lace_bits["fixed"]
+        ))
+        assert got == frames
+
+    run_fixed()
+
+
+def test_mkv_malformed_laces_raise_not_misparse():
+    from cassandra_spark.operators.mkv import _block_frames
+
+    # xiph sizes overrun the payload
+    with pytest.raises(ValueError):
+        list(_block_frames(b"\x01\xff\xff\x0aAB", 0, 6, 0x82))
+    # fixed lacing with indivisible payload
+    with pytest.raises(ValueError):
+        list(_block_frames(b"\x02ABCDE", 0, 6, 0x84))
+    # truncated EBML size table
+    with pytest.raises(ValueError):
+        list(_block_frames(b"\x02", 0, 1, 0x86))

@@ -114,3 +114,92 @@ def test_index_probe_counts_only_when_indexed(spark, tmp_path):
         s.execute("SELECT k FROM users WHERE city = 'lima'")
     s.execute("SELECT k FROM users WHERE city = 'lima' ALLOW FILTERING")
     assert t.index_stats == {"checked": 0, "skipped": 0}
+
+
+# --- round-8 extensions: SAI equality + collection CONTAINS --------------
+
+
+def test_sai_equality_prunes_segments(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE saieq (k text PRIMARY KEY, lvl text)")
+    s.execute(
+        "CREATE CUSTOM INDEX lvl_sai ON saieq (lvl) "
+        "USING 'StorageAttachedIndex'"
+    )
+    for i in range(4):
+        s.execute(f"INSERT INTO saieq (k, lvl) VALUES ('a{i}', 'hot')")
+    for i in range(8):
+        s.execute(f"INSERT INTO saieq (k, lvl) VALUES ('b{i}', 'cold')")
+    t = s.table("saieq")
+    assert len(t._segments) >= 2
+    before = dict(t.index_stats)
+    rows = s.execute("SELECT k FROM saieq WHERE lvl = 'hot'").collect()
+    assert {r.k for r in rows} == {f"a{i}" for i in range(4)}
+    assert t.index_stats["skipped"] > before["skipped"]
+    # SAI also admits ranges — those must NOT prune (full scan, correct)
+    rows = s.execute("SELECT k FROM saieq WHERE lvl > 'g'").collect()
+    assert {r.k for r in rows} == {f"a{i}" for i in range(4)}
+
+
+def test_contains_prunes_set_column(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE tagged (k text PRIMARY KEY, tags set<text>)")
+    s.execute("CREATE INDEX tags_idx ON tagged (tags)")
+    for i in range(4):
+        s.execute(
+            f"INSERT INTO tagged (k, tags) VALUES ('a{i}', {{'x', 'rare'}})"
+        )
+    for i in range(8):
+        s.execute(
+            f"INSERT INTO tagged (k, tags) VALUES ('b{i}', {{'x', 'common'}})"
+        )
+    t = s.table("tagged")
+    assert len(t._segments) >= 2
+    before = dict(t.index_stats)
+    rows = s.execute(
+        "SELECT k FROM tagged WHERE tags CONTAINS 'rare'"
+    ).collect()
+    assert {r.k for r in rows} == {f"a{i}" for i in range(4)}
+    assert t.index_stats["skipped"] > before["skipped"], (
+        "common-only segments must be Bloom-skipped"
+    )
+    # the shared element must still return everything (no over-pruning)
+    rows = s.execute(
+        "SELECT k FROM tagged WHERE tags CONTAINS 'x'"
+    ).collect()
+    assert len(rows) == 12
+
+
+def test_contains_map_values_prunes_and_contains_key_does_not(
+    spark, tmp_path
+):
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute(
+        "CREATE TABLE props (k text PRIMARY KEY, m map<text,text>)"
+    )
+    s.execute("CREATE INDEX m_vals ON props (m)")
+    s.execute("CREATE INDEX m_keys ON props (KEYS(m))")
+    for i in range(4):
+        s.execute(
+            f"INSERT INTO props (k, m) VALUES ('a{i}', {{'t': 'gold'}})"
+        )
+    for i in range(8):
+        s.execute(
+            f"INSERT INTO props (k, m) VALUES ('b{i}', {{'t': 'lead'}})"
+        )
+    t = s.table("props")
+    before = dict(t.index_stats)
+    # CQL CONTAINS on a map is VALUE-side: prunes via the value Bloom
+    rows = s.execute(
+        "SELECT k FROM props WHERE m CONTAINS 'gold'"
+    ).collect()
+    assert {r.k for r in rows} == {f"a{i}" for i in range(4)}
+    assert t.index_stats["checked"] > before["checked"]
+    # CONTAINS KEY probes KEYS — value Blooms don't cover keys, so the
+    # probe must not engage (and the answer must still be right)
+    mid = dict(t.index_stats)
+    rows = s.execute(
+        "SELECT k FROM props WHERE m CONTAINS KEY 't'"
+    ).collect()
+    assert len(rows) == 12
+    assert t.index_stats == mid, "CONTAINS KEY must not consult value Blooms"

@@ -160,12 +160,20 @@ def test_not_exists_plans_as_anti_join_with_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_decorrelated_threshold_broadcasts(spark):
-    # the per-part threshold pre-aggregate (≤ |part| rows) must broadcast
-    # back onto lineitem, not shuffle the fact twice
+def test_decorrelated_threshold_is_windowed_single_scan(spark):
+    # round-8 rewrite: the per-part threshold computes as a WINDOW over
+    # the fact's own key — ONE lineitem scan, one hash exchange on
+    # l_partkey; the old pre-aggregate-then-self-join shape scanned and
+    # shuffled lineitem twice (and tempted a |part|-sized broadcast hint)
     plan = plan_of(spark, "x20_small_qty_revenue")
-    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
+    # exactly one lineitem scan feeds the plan
+    lineitem_scans = [
+        ln for ln in plan.splitlines()
+        if "Location:" in ln and "lineitem" in ln
+    ]
+    assert len(lineitem_scans) == 1, plan
 
 
 def test_cube_single_expand_single_shuffle(spark):

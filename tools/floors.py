@@ -122,12 +122,30 @@ def check(bench_paths: list[str], gate: float) -> int:
             floors = tables[sf_key]
             ratios = {}
             unknown = []
+            iso_only = set()
             for name, sec in times.items():
                 if name in floors:
                     ratios[name] = sec / floors[name]["floor"]
+                    # floors tagged isolated-only belong to queries whose
+                    # in-sweep time depends on shared-persist cache order
+                    # (e.g. the x33-x37 _SUPPLY cluster): their binding
+                    # measurement is BENCH_SF1_QUERIES=<one> BENCH_REPEAT=2
+                    # in a fresh process, so sweep exceedances are
+                    # informational, never gate failures
+                    if "isolated-only" in floors[name]["notes"]:
+                        iso_only.add(name)
                 else:
                     unknown.append(name)
-            over = {n: r for n, r in sorted(ratios.items()) if r > gate}
+            over = {
+                n: r
+                for n, r in sorted(ratios.items())
+                if r > gate and n not in iso_only
+            }
+            iso_over = {
+                n: round(r, 3)
+                for n, r in sorted(ratios.items())
+                if r > gate and n in iso_only
+            }
             med = statistics.median(ratios.values()) if ratios else None
             mx = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
             print(
@@ -146,6 +164,7 @@ def check(bench_paths: list[str], gate: float) -> int:
                         "over_gate": {
                             n: round(r, 3) for n, r in over.items()
                         },
+                        "isolated_only_informational": iso_over,
                         "gate": gate,
                     }
                 )
