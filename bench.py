@@ -57,7 +57,8 @@ SF1_QUERIES = (
     "l2b_simhash l2d_embedding_neardup_prod l30_sq8_ann "
     "l31_incremental_dedup l32_dedup_triangles l33_ngram_novelty "
     "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query "
-    "l37_video_sampling "
+    "l37_video_sampling l38_minhash_index_build l38_minhash_index_query "
+    "l39_stratified_sample "
     "l36_pq_index_build l36_pq_index_query l3_cosine_topk l3b_lsh_ann "
     "l3c_ivf_ann l4_multimodal_meta l5_text_stats l6_langid "
     "l7_token_count l8_fingerprint l9_quality_score "

@@ -793,3 +793,77 @@ def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- L39: deterministic stratified downsample --------------------------------
+#
+# Corpus curation's "make the mixture" step, the exact-count complement of
+# l29's temperature weighting: within each (lang, length-band) stratum keep
+# a fixed-rate quota of documents, chosen by a salted multiplicative hash
+# so the sample is (a) uniform within the stratum, (b) reproducible across
+# runs/engines with zero RNG state, and (c) STABLE under corpus growth —
+# a doc's keep-rank can only move if docs hash ahead of it in its own
+# stratum. One window shuffle on the stratum key; at 100 TB a hot stratum
+# is the skew knob (salt the stratum key or pre-aggregate counts and
+# hash-filter by rank range instead of ranking).
+
+_SAMPLE_HASH = "(doc_id * 2654435761 + 40507) % 4294967296"
+_LEN_BAND = (
+    "CASE WHEN n_chars < 200 THEN 'xs' WHEN n_chars < 400 THEN 's' "
+    "WHEN n_chars < 800 THEN 'm' ELSE 'l' END"
+)
+_KEEP_DIV = 5  # keep floor(n/5) per stratum, min 1 (20% downsample)
+
+
+@query(
+    "l39_stratified_sample",
+    oracle=f"""
+    WITH strata AS (
+      SELECT doc_id, lang, {_LEN_BAND} AS len_band,
+             ({_SAMPLE_HASH}) AS h,
+             COUNT(*) OVER (PARTITION BY lang, {_LEN_BAND}) AS n_stratum
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang, len_band ORDER BY h, doc_id) AS rnk
+      FROM strata
+    )
+    SELECT doc_id, lang, len_band,
+           CAST(rnk AS INTEGER) AS rnk,
+           CAST(n_stratum AS BIGINT) AS n_stratum,
+           CAST(GREATEST(1, n_stratum // {_KEEP_DIV}) AS BIGINT) AS quota
+    FROM ranked
+    WHERE rnk <= GREATEST(1, n_stratum // {_KEEP_DIV})
+    ORDER BY lang, len_band, rnk
+    """,
+)
+def l39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified downsample (see block comment): every
+    (lang, length-band) stratum keeps its floor(n/5) lowest-salted-hash
+    documents (min 1, so rare strata survive). Integer-exact throughout —
+    the hash, the band edges, and the quota are all engine-identical, so
+    the oracle pins the SAMPLE MEMBERSHIP, not just its size."""
+    cat = Catalog(spark, sf_dir)
+    strata = cat.documents.select(
+        "doc_id",
+        "lang",
+        F.expr(_LEN_BAND).alias("len_band"),
+        F.expr(_SAMPLE_HASH).alias("h"),
+    )
+    w_n = Window.partitionBy("lang", "len_band")
+    w_r = Window.partitionBy("lang", "len_band").orderBy("h", "doc_id")
+    quota = F.greatest(
+        F.lit(1).cast("long"),
+        (F.col("n_stratum") / _KEEP_DIV).cast("long"),
+    )
+    return (
+        strata.withColumn("n_stratum", F.count(F.lit(1)).over(w_n))
+        .withColumn("rnk", F.row_number().over(w_r))
+        .withColumn("quota", quota)
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select(
+            "doc_id", "lang", "len_band", "rnk", "n_stratum", "quota"
+        )
+        .orderBy("lang", "len_band", "rnk")
+    )

@@ -91,6 +91,7 @@ def load_all() -> None:
         llm_train,
         llm_vectors,
         masking,
+        minhash_index,
         read_path,
         repair,
         ring,

@@ -1,0 +1,77 @@
+"""Persisted MinHash dedup index (l38): the query path never
+re-signatures the existing corpus, the artifact layout is genuinely
+band-partitioned, and admission equals the inline l31 path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_spark.operators import minhash_index as mi
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark):
+    return mi.build_minhash_index(spark, SF_SMOKE)
+
+
+def test_artifact_layout_band_partitioned(index_dir):
+    bands = os.path.join(index_dir, "bands")
+    band_dirs = [d for d in os.listdir(bands) if d.startswith("band_id=")]
+    assert len(band_dirs) == mi.N_BANDS
+    pdirs = [
+        d
+        for d in os.listdir(os.path.join(bands, band_dirs[0]))
+        if d.startswith("pband=")
+    ]
+    assert pdirs, "bands must be sub-partitioned by pband"
+    assert os.path.exists(os.path.join(index_dir, "signatures"))
+    assert os.path.exists(os.path.join(index_dir, "_MANIFEST.json"))
+
+
+def test_artifact_holds_existing_corpus_only(spark, index_dir):
+    sig = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    n_new = sig.filter(F.expr(mi.SPLIT_HASH) % 1000 >= 900).count()
+    assert n_new == 0, "the index must cover only the existing corpus"
+
+
+def test_query_never_resignatures_existing_corpus(
+    spark, index_dir, monkeypatch
+):
+    """With the artifact committed, the ONLY signature work at query time
+    is the new batch — a probe wrapper fails the test if any existing-
+    corpus doc reaches the signature pass (which is also what a build
+    re-run would do)."""
+    real = mi.minhash_signatures
+    calls = []
+
+    def probe(docs):
+        n_existing = docs.filter(
+            F.expr(mi.SPLIT_HASH) % 1000 < 900
+        ).count()
+        assert n_existing == 0, (
+            "query path re-signatured the existing corpus"
+        )
+        calls.append(docs.count())
+        return real(docs)
+
+    monkeypatch.setattr(mi, "minhash_signatures", probe)
+    out = mi.l38_minhash_index_query(spark, SF_SMOKE).collect()
+    assert out, "new batch must produce admission rows"
+    assert len(calls) == 1, "exactly one signature pass (the new batch)"
+    assert calls[0] == len(out), "every new-batch doc is scored"
+
+
+def test_admission_matches_inline_l31(spark, index_dir):
+    from cassandra_spark.operators.llm_pipeline import l31_incremental_dedup
+
+    via_index = [
+        tuple(r) for r in mi.l38_minhash_index_query(spark, SF_SMOKE).collect()
+    ]
+    inline = [
+        tuple(r) for r in l31_incremental_dedup(spark, SF_SMOKE).collect()
+    ]
+    assert via_index == inline
