@@ -132,6 +132,10 @@ STRESS_QUERIES = (
     "l35_ivf_index_query",
     "l36_pq_index_query",
     "l37_video_sampling",
+    # round-8: persisted MinHash dedup index (query half — the build is
+    # one-time by construction) and the stratified downsample
+    "l38_minhash_index_query",
+    "l39_stratified_sample",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -182,6 +186,10 @@ STRESS_QUERIES_100 = (
     "l35_ivf_index_query",
     "l36_pq_index_query",
     "l37_video_sampling",
+    # round-8: persisted MinHash dedup index (query half — the build is
+    # one-time by construction) and the stratified downsample
+    "l38_minhash_index_query",
+    "l39_stratified_sample",
 )
 
 
