@@ -203,3 +203,62 @@ def test_contains_map_values_prunes_and_contains_key_does_not(
     ).collect()
     assert len(rows) == 12
     assert t.index_stats == mid, "CONTAINS KEY must not consult value Blooms"
+
+
+# --- differential fuzz: indexed route vs full-scan route ------------------
+
+
+def test_indexed_read_fuzz_matches_full_scan(spark, tmp_path):
+    """Hypothesis mini-Harry for the 2i read path: a random interleaved
+    insert/overwrite/delete history, random spill threshold (so segment
+    boundaries land anywhere), then every indexed-equality SELECT must
+    return exactly what the identical UNINDEXED session's ALLOW FILTERING
+    full scan returns."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_st = st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 7), st.integers(0, 3)),
+        st.tuples(st.just("del"), st.integers(0, 7), st.just(0)),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op_st, min_size=1, max_size=14), st.integers(2, 6))
+    def run(history, threshold):
+        counter[0] += 1
+        base = tmp_path / f"f{counter[0]}"
+        sessions = []
+        for with_index, sub in ((True, "i"), (False, "n")):
+            s = CqlSession(
+                spark,
+                spill_dir=str(base / sub),
+                spill_threshold=threshold,
+            )
+            s.execute("CREATE TABLE fz (k text PRIMARY KEY, v text)")
+            if with_index:
+                s.execute("CREATE INDEX fz_v ON fz (v)")
+            for kind, pk, val in history:
+                if kind == "ins":
+                    s.execute(
+                        f"INSERT INTO fz (k, v) VALUES ('k{pk}', 'v{val}')"
+                    )
+                else:
+                    s.execute(f"DELETE FROM fz WHERE k = 'k{pk}'")
+            sessions.append(s)
+        idx, plain = sessions
+        for val in range(4):
+            q = f"SELECT k, v FROM fz WHERE v = 'v{val}'"
+            got = sorted(tuple(r) for r in idx.execute(q).collect())
+            want = sorted(
+                tuple(r)
+                for r in plain.execute(q + " ALLOW FILTERING").collect()
+            )
+            assert got == want, (history, threshold, val)
+
+    run()
