@@ -1756,16 +1756,20 @@ class CqlSession:
     def tablestats(self) -> DataFrame:
         """``nodetool tablestats`` analogue: per-table physical stats —
         memtable rows, flushed segment count, Bloom-filter effectiveness
-        (checked/skipped point-read probes)."""
+        (checked/skipped point-read probes), and since round 8 the 2i
+        read path's value-Bloom probe counters (segments consulted /
+        skipped by indexed-equality reads)."""
         rows = [
             (self.table_keyspace.get(name, "session"), name,
              len(t._log), len(t._segments),
-             t.bloom_stats["checked"], t.bloom_stats["skipped"])
+             t.bloom_stats["checked"], t.bloom_stats["skipped"],
+             t.index_stats["checked"], t.index_stats["skipped"])
             for name, t in sorted(self.tables.items())
         ]
         schema = (
             "keyspace_name string, table_name string, memtable_rows long, "
-            "sstable_count long, bloom_checked long, bloom_skipped long"
+            "sstable_count long, bloom_checked long, bloom_skipped long, "
+            "index_checked long, index_skipped long"
         )
         return (
             self.spark.createDataFrame(rows, schema)

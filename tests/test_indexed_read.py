@@ -262,3 +262,11 @@ def test_indexed_read_fuzz_matches_full_scan(spark, tmp_path):
             assert got == want, (history, threshold, val)
 
     run()
+
+
+def test_tablestats_surfaces_index_counters(spark, tmp_path):
+    s = _build(spark, tmp_path, True)
+    s.execute("SELECT k FROM users WHERE city = 'lima'")
+    stats = {r.table_name: r for r in s.tablestats().collect()}
+    assert stats["users"].index_checked > 0
+    assert stats["users"].index_skipped >= 0
