@@ -65,7 +65,8 @@ SF1_QUERIES = (
     "p10_nts_replicas p9_ring_ownership q_flagship_revenue_by_nation "
     "s10_cdc_stream s11_streaming_hll s12_streaming_session "
     "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
-    "s16_streaming_dedup_bounded s5_streaming_dedup s6_stateful_totals "
+    "s16_streaming_dedup_bounded s17_streaming_admission "
+    "s5_streaming_dedup s6_stateful_totals "
     "s7_streaming_upsert s9_streaming_mv "
     "w18_hinted_handoff w22_bulk_load w4_upsert_merge "
     "x15_shipping_priority x16_returned_items x17_large_orders "

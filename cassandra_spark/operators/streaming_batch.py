@@ -765,3 +765,79 @@ def s10_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT pk, col, val, kind, writetime, seq FROM {sink}"
     )
+
+
+@query(
+    "s17_streaming_admission",
+    oracle=f"""
+    WITH {{MINHASH_CTE}},
+    bucketed AS (
+      SELECT *, ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+      FROM banded
+    ),
+    bands AS (
+      SELECT doc_id, bucket, b.band_id,
+             CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS band_val
+      FROM bucketed CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, p.doc_id AS prior_doc
+      FROM bands n JOIN bands p
+        ON n.band_id = p.band_id AND n.band_val = p.band_val
+      WHERE n.bucket >= 900 AND p.bucket < 900
+    ),
+    verified AS (
+      SELECT new_doc,
+             CAST(len(list_intersect(sn.sh, sp.sh)) AS DOUBLE)
+             / (len(sn.sh) + len(sp.sh) - len(list_intersect(sn.sh, sp.sh)))
+               AS jaccard
+      FROM cand
+      JOIN banded sn ON sn.doc_id = new_doc
+      JOIN banded sp ON sp.doc_id = prior_doc
+    ),
+    dups AS (
+      SELECT new_doc,
+             CAST(COUNT(*) FILTER (WHERE jaccard >= 0.2) AS BIGINT)
+               AS n_dups,
+             MAX(jaccard) AS best_jaccard
+      FROM verified GROUP BY new_doc
+    )
+    SELECT b.doc_id,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           d.best_jaccard,
+           COALESCE(d.n_dups, 0) = 0 AS admit
+    FROM bucketed b LEFT JOIN dups d ON d.new_doc = b.doc_id
+    WHERE b.bucket >= 900
+    ORDER BY b.doc_id
+    """.replace("{MINHASH_CTE}", _minhash_sql_cte().strip()),
+)
+def s17_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 end-to-end: the new batch staged as 4 parquet files drains
+    through the REAL foreachBatch gatekeeper (jobs.streaming_admission) —
+    every micro-batch is admitted against the PERSISTED l38 corpus index
+    (stream-static, zero state-store bytes), and the union of epoch
+    outputs must equal the one-shot corpus-only admission the oracle
+    computes. Per-document decisions against frozen state are batching-
+    independent by construction — THAT independence is what this query
+    proves (plus artifact reuse: the corpus is never re-signatured, see
+    tests/test_minhash_index.py)."""
+    import os
+    import tempfile
+
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s17_admission_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    split = "(doc_id * 2654435761) % 4294967296"
+    (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.expr(split) % 1000 >= 900)
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    jobs.streaming_admission(spark, src, sf_dir, out)
+    return spark.read.parquet(out).orderBy("doc_id")

@@ -989,3 +989,118 @@ def streaming_dedup_bounded(
     )
     ev = restore_ts(raw, "ts").withWatermark("ts", delay)
     return ev.dropDuplicatesWithinWatermark(["event_id"])
+
+
+# --- streaming batch admission against the persisted dedup index (S17) ------
+
+
+def streaming_admission(
+    spark: SparkSession, src: str, sf_dir: str, out_dir: str
+) -> None:
+    """S17: the ingestion GATEKEEPER — each arriving document admits iff
+    no verified near-dup exists in the PERSISTED corpus index
+    (operators/minhash_index.py, the l38 artifact). The production shape
+    for "is this crawl page already in my training set?": the corpus is
+    frozen state on disk; the stream only ever pays for itself.
+
+    foreachBatch + stream-static: every micro-batch signatures ITS OWN
+    documents (one narrow pass), probes the band-partitioned posting
+    lists (static side re-resolves per epoch, so an index rebuild is
+    picked up between batches), exact-verifies candidates against the
+    artifact's shingle sets, and appends per-doc admission rows to the
+    sink. Decisions are per-document against frozen state, so the result
+    set is independent of how the stream is batched — the batch l38
+    query is the one-shot oracle (minus its intra-batch candidacy, which
+    an arrival gatekeeper by definition defers to the next index
+    rebuild). State is ZERO: unlike s13's growing per-bucket store, the
+    corpus lives in the artifact, not the state store."""
+    from cassandra_spark.operators.llm_dedup import minhash_signatures
+    from cassandra_spark.operators.minhash_index import (
+        N_BANDS,
+        PMOD,
+        build_minhash_index,
+    )
+
+    index_dir = build_minhash_index(spark, sf_dir)
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def admit(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        sig = minhash_signatures(batch).select(
+            "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
+        )
+        nbands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+            ).alias("band_id", "band_val"),
+        ).withColumn("pband", (F.col("band_val") % PMOD).cast("int"))
+        art_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+        cand = (
+            nbands.alias("n")
+            .join(
+                art_bands.alias("p"),
+                (F.col("n.band_id") == F.col("p.band_id"))
+                & (F.col("n.pband") == F.col("p.pband"))
+                & (F.col("n.band_val") == F.col("p.band_val")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_doc"),
+                F.col("p.doc_id").alias("prior_doc"),
+            )
+            .distinct()
+        )
+        art_sh = spark.read.parquet(os.path.join(index_dir, "signatures"))
+        inter = F.size(F.array_intersect(F.col("sn"), F.col("sp")))
+        union = F.size(F.col("sn")) + F.size(F.col("sp")) - inter
+        dups = (
+            cand.join(
+                sig.select(
+                    F.col("doc_id").alias("new_doc"), F.col("sh").alias("sn")
+                ),
+                "new_doc",
+            )
+            .join(
+                art_sh.select(
+                    F.col("doc_id").alias("prior_doc"),
+                    F.col("sh").alias("sp"),
+                ),
+                "prior_doc",
+            )
+            .withColumn("jaccard", inter.cast("double") / union)
+            .groupBy("new_doc")
+            .agg(
+                F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dups"),
+                F.max("jaccard").alias("best_jaccard"),
+            )
+        )
+        (
+            sig.select("doc_id")
+            .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+                "best_jaccard",
+                (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admit"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        docs.writeStream.foreachBatch(admit)
+        .option(
+            "checkpointLocation", os.path.join(out_dir + "_ckpt", "cp")
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

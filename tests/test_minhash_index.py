@@ -75,3 +75,66 @@ def test_admission_matches_inline_l31(spark, index_dir):
         tuple(r) for r in l31_incremental_dedup(spark, SF_SMOKE).collect()
     ]
     assert via_index == inline
+
+
+# --- s17: the streaming gatekeeper over the same artifact -----------------
+
+
+def test_streaming_admission_batching_independent(spark, index_dir, tmp_path):
+    """The gatekeeper's output must not depend on micro-batch boundaries:
+    1-file (one epoch) and 4-file (four epochs) stagings agree row-for-
+    row, and both equal the corpus-only slice of the batch decision."""
+    import os
+
+    from cassandra_spark.streaming import jobs
+
+    split = "(doc_id * 2654435761) % 4294967296"
+    new = (
+        __import__("cassandra_spark.catalog", fromlist=["Catalog"])
+        .Catalog(spark, SF_SMOKE)
+        .documents.filter(F.expr(split) % 1000 >= 900)
+        .select("doc_id", "text")
+    )
+    outs = []
+    for nfiles in (1, 4):
+        src = str(tmp_path / f"src{nfiles}")
+        out = str(tmp_path / f"out{nfiles}")
+        new.repartition(nfiles).write.mode("overwrite").parquet(src)
+        jobs.streaming_admission(spark, src, SF_SMOKE, out)
+        outs.append(
+            sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        )
+    assert outs[0] == outs[1]
+    assert outs[0], "new batch must produce admissions"
+
+
+def test_streaming_admission_never_resignatures_corpus(
+    spark, index_dir, tmp_path, monkeypatch
+):
+    from cassandra_spark.streaming import jobs
+
+    real = mi.minhash_signatures
+
+    def probe(docs):
+        assert (
+            docs.filter(F.expr(mi.SPLIT_HASH) % 1000 < 900).count() == 0
+        ), "gatekeeper re-signatured the frozen corpus"
+        return real(docs)
+
+    import cassandra_spark.operators.llm_dedup as ld
+
+    monkeypatch.setattr(ld, "minhash_signatures", probe)
+    split = "(doc_id * 2654435761) % 4294967296"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    (
+        __import__("cassandra_spark.catalog", fromlist=["Catalog"])
+        .Catalog(spark, SF_SMOKE)
+        .documents.filter(F.expr(split) % 1000 >= 900)
+        .select("doc_id", "text")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    jobs.streaming_admission(spark, src, SF_SMOKE, out)
+    assert spark.read.parquet(out).count() > 0
