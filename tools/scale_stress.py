@@ -136,6 +136,7 @@ STRESS_QUERIES = (
     # one-time by construction) and the stratified downsample
     "l38_minhash_index_query",
     "l39_stratified_sample",
+    "s17_streaming_admission",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -190,6 +191,7 @@ STRESS_QUERIES_100 = (
     # one-time by construction) and the stratified downsample
     "l38_minhash_index_query",
     "l39_stratified_sample",
+    "s17_streaming_admission",
 )
 
 
