@@ -1106,6 +1106,12 @@ class CqlSession:
                 )
             if kind:
                 raise CQLError("custom indexes take a plain column target")
+            if s.counter:
+                # the reference rejects ALL index DDL on counter tables —
+                # the plain-2i branch below already does; SAI/SASI must too
+                raise CQLError(
+                    "secondary indexes are not supported on counters"
+                )
             if col == s.partition_key or col in s.clustering:
                 raise CQLError(f"cannot index primary key column {col!r}")
             if col not in s.regular and col not in s.static:

@@ -270,3 +270,13 @@ def test_tablestats_surfaces_index_counters(spark, tmp_path):
     stats = {r.table_name: r for r in s.tablestats().collect()}
     assert stats["users"].index_checked > 0
     assert stats["users"].index_skipped >= 0
+
+
+def test_custom_index_rejected_on_counter_table(spark, tmp_path):
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute("CREATE TABLE cnt (k text PRIMARY KEY, c counter)")
+    with pytest.raises(CQLError, match="counter"):
+        s.execute(
+            "CREATE CUSTOM INDEX c_sai ON cnt (c) "
+            "USING 'StorageAttachedIndex'"
+        )
