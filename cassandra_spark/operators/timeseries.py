@@ -384,6 +384,9 @@ def x43_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     edges = _pr_edges(cat).localCheckpoint(eager=True)
     outd = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # out-degree is loop-invariant: join it onto the edge table ONCE
+    # (round 8 — saves one keyed join, i.e. one exchange, per iteration)
+    edges_w = edges.join(outd, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -397,8 +400,7 @@ def x43_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tele = f"({PR_D_DEN - PR_D_NUM}L * {PR_SCALE}L) div ({PR_D_DEN}L * n)"
     for _ in range(PR_ITERS):
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(outd, "src")
+            ranks.join(edges_w, ranks.node == edges_w.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("(rank * w) div ow")).alias("c"))
         )
