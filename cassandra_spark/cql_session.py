@@ -2741,12 +2741,33 @@ class CqlSession:
                 elif key in self.mat_views:
                     # view reads are reads of the base table's data
                     self._check_perm("SELECT", self.mat_views[key][0])
-            df = cql_select(
-                self.spark, self.sf_dir,
-                self._expand_udfs(self._expand_udas(stmt)),
-                tables=snapshots,
-            )
-            return self._apply_masks(stmt, df)
+            try:
+                df = cql_select(
+                    self.spark, self.sf_dir,
+                    self._expand_udfs(self._expand_udas(stmt)),
+                    tables=snapshots,
+                )
+                return self._apply_masks(stmt, df)
+            except CQLError:
+                raise
+            except Exception as exc:
+                # expression parsing is delegated to Catalyst (SURVEY
+                # §2.13); its ParseException/AnalysisException for a bad
+                # selector/predicate is this engine's InvalidRequest —
+                # the driver contract is "execute() raises CQLError on
+                # any invalid statement", never an internal exception
+                # (fuzz-pinned in tests/test_cql_fuzz.py). Engine errors
+                # stay diagnosable through the chained cause.
+                from pyspark.errors import (
+                    AnalysisException,
+                    ParseException,
+                )
+
+                if isinstance(exc, (AnalysisException, ParseException)):
+                    raise CQLError(
+                        f"invalid statement: {str(exc).splitlines()[0]}"
+                    ) from exc
+                raise
         um = _UNMASK_RE.match(stmt)
         if um:
             # no role system offline: UNMASK is a per-session, per-table

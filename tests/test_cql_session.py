@@ -429,8 +429,9 @@ def test_alter_add_and_drop_column(sess):
     assert r[0].score == 9
     # DROP purges cells: re-adding the name does not resurrect
     sess.execute("ALTER TABLE msgs DROP score")
-    from pyspark.errors import AnalysisException
-    with pytest.raises(AnalysisException):  # column gone from the snapshot
+    # column gone from the snapshot: Catalyst's unresolved-column error
+    # surfaces as CQLError (the InvalidRequest contract, round 8)
+    with pytest.raises(CQLError, match="invalid statement"):
         sess.execute("SELECT score FROM msgs WHERE room = 'dev'")
     sess.execute("ALTER TABLE msgs ADD score int")
     r = sess.execute(
