@@ -73,6 +73,26 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, rate: int = 16000, block_align: int = 512
+) -> bytes:
+    """Mono samples -> RIFF/WAVE with IMA ADPCM (format tag 0x11) data —
+    the decoder's round-trip fixture, fmt chunk per the public spec
+    (cbSize=2 extension carrying samples-per-block)."""
+    arr = np.asarray(samples).reshape(-1)
+    raw = encode_ima_adpcm(arr, block_align)
+    spb = 1 + (block_align - 4) * 2
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def is_wav(payload: bytes) -> bool:
     return (
         len(payload) >= 12
@@ -114,6 +134,109 @@ _ULAW_TABLE = _g711_ulaw_table()
 _ALAW_TABLE = _g711_alaw_table()
 
 
+# --- IMA/DVI ADPCM (WAV format tag 0x11) -------------------------------------
+#
+# 4-bit adaptive differential PCM per the public IMA ADPCM spec (the
+# 'DVI4'/WAV-0x11 profile): per block, a 4-byte state header (int16
+# predictor + step index) then two samples per byte, each nibble decoded
+# against an 89-entry step table with exact integer arithmetic — so
+# decode is bit-deterministic and the repo's own encoder round-trips it.
+# Pure-Python per-block loop (the codec is a sequential state machine);
+# ADPCM payloads appear only in dedicated tests/probe paths, never in
+# l19's Arrow-batched PCM hot path.
+
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA decode step: (predictor, index) -> next state."""
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+    return pred, index
+
+
+def decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM block stream -> int32 sample vector."""
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step_nibble(pred, index, nib)
+                out.append(pred)
+    return np.asarray(out, dtype=np.int32)
+
+
+def encode_ima_adpcm(
+    samples: "np.ndarray", block_align: int = 512
+) -> bytes:
+    """Mono int samples -> IMA ADPCM block stream (this decoder's exact
+    inverse quantizer, so decode(encode(x)) is deterministic)."""
+    s = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    per_block = 1 + (block_align - 4) * 2
+    blocks: list[bytes] = []
+    index = 0
+    for b0 in range(0, len(s), per_block):
+        chunk = s[b0 : b0 + per_block]
+        pred = int(chunk[0])
+        hdr = struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for sample in chunk[1:]:
+            step = _IMA_STEP[index]
+            delta = int(sample) - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step_nibble(pred, index, nib)
+            nibbles.append(nib)
+        # pad the final partial block with repeats of the last state's
+        # zero-delta nibble so the byte grid fills exactly
+        want = (block_align - 4) * 2
+        while len(nibbles) < want:
+            pred, index = _ima_step_nibble(pred, index, 0)
+            nibbles.append(0)
+        body = bytes(
+            (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4)
+            for i in range(0, want, 2)
+        )
+        blocks.append(hdr + body)
+    return b"".join(blocks)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse a RIFF/WAVE payload → (rate, channels, bits, samples) with
     ``samples`` (n, channels) int32 (8-bit PCM re-centered to signed).
@@ -137,7 +260,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    tag, channels, rate, _, _, bits = fmt
+    tag, channels, rate, _, block_align, bits = fmt
+    if tag == 0x11:  # IMA/DVI ADPCM: 4-bit adaptive differential
+        if channels != 1:
+            raise ValueError(
+                "IMA ADPCM: mono only (multichannel nibble interleave "
+                "not implemented)"
+            )
+        arr = decode_ima_adpcm(data, block_align)
+        # decoded amplitude is 16-bit linear (the 4 is storage width)
+        return rate, 1, 16, arr.reshape(-1, 1)
     if tag in (6, 7):  # G.711 A-law / mu-law: 8-bit companded storage
         table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
         arr = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
@@ -148,7 +280,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return rate, channels, 16, arr[:n].reshape(-1, channels)
     if tag != 1:
         raise ValueError(
-            f"unsupported WAV format tag {tag} (PCM/mu-law/A-law only)"
+            f"unsupported WAV format tag {tag} "
+            "(PCM/mu-law/A-law/IMA-ADPCM only)"
         )
     if bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128

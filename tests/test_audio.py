@@ -134,3 +134,90 @@ def test_wav_g711_roundtrip_through_decoder():
         # bits = decoded amplitude width (16), not the 8-bit storage
         assert (rate, ch, bits) == (8000, 1, 16)
         assert (samples[:, 0] == table[np.frombuffer(raw, np.uint8)]).all()
+
+
+# --- IMA ADPCM (round 8) ----------------------------------------------------
+
+
+def test_ima_adpcm_roundtrip_tracks_signal():
+    import numpy as np
+
+    from cassandra_spark.operators.audio import (
+        decode_ima_adpcm,
+        encode_ima_adpcm,
+    )
+
+    n = 2400
+    t = np.arange(n)
+    # slow ramp + square: the adaptive quantizer must track both
+    sig = (t * 13 % 2000 - 1000) + np.where(t % 50 < 25, 800, -800)
+    raw = encode_ima_adpcm(sig, block_align=256)
+    dec = decode_ima_adpcm(raw, 256)
+    assert dec[0] == sig[0], "block header carries the exact first sample"
+    assert len(dec) >= n
+    err = np.abs(dec[:n].astype(np.int64) - sig)
+    # lossy: transient slope-overload at the square flips is expected;
+    # the quantizer must stay LOCKED on average
+    assert int(err.max()) < 4000 and float(err.mean()) < 300
+    # bit-deterministic
+    assert decode_ima_adpcm(raw, 256).tolist() == dec.tolist()
+
+
+def test_ima_adpcm_wav_container_roundtrip():
+    import numpy as np
+
+    from cassandra_spark.operators.audio import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    sig = (np.arange(1500) * 7 % 1024) - 512
+    wav = encode_wav_ima_adpcm(sig, rate=8000, block_align=256)
+    rate, channels, bits, samples = decode_wav(wav)
+    assert (rate, channels, bits) == (8000, 1, 16)
+    assert samples.shape[1] == 1
+    err = np.abs(samples[: len(sig), 0].astype(np.int64) - sig)
+    assert int(err.max()) < 1200
+
+
+def test_ima_adpcm_multichannel_and_bad_index_rejected():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra_spark.operators.audio import (
+        decode_ima_adpcm,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    wav = bytearray(encode_wav_ima_adpcm(np.zeros(10, dtype=int)))
+    # fmt channels field -> 2: decode must refuse, not mis-interleave
+    i = wav.find(b"fmt ")
+    struct.pack_into("<H", wav, i + 8 + 2, 2)
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(wav))
+    with _pytest.raises(ValueError, match="step index"):
+        decode_ima_adpcm(b"\x00\x00\x59\x00" + b"\x00" * 4, 8)
+
+
+def test_ima_adpcm_flows_through_extract_audio(spark):
+    import numpy as np
+
+    from cassandra_spark.operators.audio import (
+        encode_wav_ima_adpcm,
+        extract_audio,
+    )
+
+    sig = np.where(np.arange(800) % 8 < 4, 900, -900)
+    payload = encode_wav_ima_adpcm(sig, rate=4000, block_align=132)
+    docs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = extract_audio(docs).collect()[0]
+    assert row.sample_rate == 4000 and row.n_channels == 1
+    assert row.bits == 16
+    assert row.n_samples >= 800
+    # ±900 square: ADPCM overshoots transiently at flips, never wildly
+    assert 0 < row.peak <= 2500
