@@ -76,15 +76,18 @@ def encode_wav(
 def encode_wav_ima_adpcm(
     samples: np.ndarray, rate: int = 16000, block_align: int = 512
 ) -> bytes:
-    """Mono samples -> RIFF/WAVE with IMA ADPCM (format tag 0x11) data —
-    the decoder's round-trip fixture, fmt chunk per the public spec
-    (cbSize=2 extension carrying samples-per-block)."""
-    arr = np.asarray(samples).reshape(-1)
+    """(n,) mono or (n, channels) samples -> RIFF/WAVE with IMA ADPCM
+    (format tag 0x11) data — the decoder's round-trip fixture, fmt chunk
+    per the public spec (cbSize=2 extension carrying samples-per-block)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
     raw = encode_ima_adpcm(arr, block_align)
-    spb = 1 + (block_align - 4) * 2
+    spb = 1 + (block_align - 4 * channels) // (4 * channels) * 8
     byte_rate = (rate * block_align + spb - 1) // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+        "<HHIIHHHH", 0x11, channels, rate, byte_rate, block_align, 4, 2, spb
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(raw)) + raw
@@ -173,67 +176,119 @@ def _ima_step_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
     return pred, index
 
 
-def decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
-    """Mono IMA ADPCM block stream -> int32 sample vector."""
-    out: list[int] = []
+def decode_ima_adpcm(
+    data: bytes, block_align: int, channels: int = 1
+) -> np.ndarray:
+    """IMA ADPCM block stream -> (n, channels) int32 samples. Per block:
+    one 4-byte state header per channel, then data in channel-interleaved
+    4-byte groups (8 nibbles of one channel per group) — the WAV-0x11
+    multichannel layout."""
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
+    chans: list[list[int]] = [[] for _ in range(channels)]
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             break
-        pred = struct.unpack_from("<h", block, 0)[0]
-        index = block[2]
-        if index > 88:
-            raise ValueError(f"IMA ADPCM step index {index} out of range")
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                pred, index = _ima_step_nibble(pred, index, nib)
-                out.append(pred)
-    return np.asarray(out, dtype=np.int32)
+        preds: list[int] = []
+        idxs: list[int] = []
+        for c in range(channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            index = block[4 * c + 2]
+            if index > 88:
+                raise ValueError(
+                    f"IMA ADPCM step index {index} out of range"
+                )
+            preds.append(pred)
+            idxs.append(index)
+            chans[c].append(pred)
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                for byte in block[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step_nibble(
+                            preds[c], idxs[c], nib
+                        )
+                        chans[c].append(preds[c])
+            pos += 4 * channels
+    n = min(len(ch) for ch in chans)
+    return np.stack(
+        [np.asarray(ch[:n], dtype=np.int32) for ch in chans], axis=1
+    )
+
+
+def _ima_quantize(pred: int, index: int, sample: int) -> tuple[int, int, int]:
+    """Encoder side: choose the nibble for ``sample`` and advance state
+    with the decoder's own step (so decode(encode(x)) is deterministic)."""
+    step = _IMA_STEP[index]
+    delta = sample - pred
+    nib = 0
+    if delta < 0:
+        nib = 8
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+    pred, index = _ima_step_nibble(pred, index, nib)
+    return nib, pred, index
 
 
 def encode_ima_adpcm(
     samples: "np.ndarray", block_align: int = 512
 ) -> bytes:
-    """Mono int samples -> IMA ADPCM block stream (this decoder's exact
-    inverse quantizer, so decode(encode(x)) is deterministic)."""
-    s = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
-    per_block = 1 + (block_align - 4) * 2
-    blocks: list[bytes] = []
-    index = 0
-    for b0 in range(0, len(s), per_block):
-        chunk = s[b0 : b0 + per_block]
-        pred = int(chunk[0])
-        hdr = struct.pack("<hBB", pred, index, 0)
-        nibbles: list[int] = []
-        for sample in chunk[1:]:
-            step = _IMA_STEP[index]
-            delta = int(sample) - pred
-            nib = 0
-            if delta < 0:
-                nib = 8
-                delta = -delta
-            if delta >= step:
-                nib |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nib |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nib |= 1
-            pred, index = _ima_step_nibble(pred, index, nib)
-            nibbles.append(nib)
-        # pad the final partial block with repeats of the last state's
-        # zero-delta nibble so the byte grid fills exactly
-        want = (block_align - 4) * 2
-        while len(nibbles) < want:
-            pred, index = _ima_step_nibble(pred, index, 0)
-            nibbles.append(0)
-        body = bytes(
-            (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4)
-            for i in range(0, want, 2)
+    """(n,) mono or (n, channels) int samples -> IMA ADPCM block stream
+    (per-channel headers + channel-interleaved 4-byte groups)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    s = np.clip(s, -32768, 32767)
+    n, channels = s.shape
+    if (block_align - 4 * channels) % (4 * channels):
+        raise ValueError(
+            "block_align must leave a multiple of 4 bytes per channel"
         )
-        blocks.append(hdr + body)
+    groups = (block_align - 4 * channels) // (4 * channels)
+    per_block = 1 + groups * 8  # samples per channel per block
+    blocks: list[bytes] = []
+    idxs = [0] * channels
+    for b0 in range(0, n, per_block):
+        chunk = s[b0 : b0 + per_block]
+        preds = [int(chunk[0, c]) for c in range(channels)]
+        hdr = b"".join(
+            struct.pack("<hBB", preds[c], idxs[c], 0)
+            for c in range(channels)
+        )
+        # per channel: quantize its samples (zero-delta padding fills
+        # the final partial block so the byte grid stays exact)
+        nibs: list[list[int]] = []
+        for c in range(channels):
+            col: list[int] = []
+            for r in range(1, len(chunk)):
+                nib, preds[c], idxs[c] = _ima_quantize(
+                    preds[c], idxs[c], int(chunk[r, c])
+                )
+                col.append(nib)
+            while len(col) < groups * 8:
+                nib, preds[c], idxs[c] = _ima_quantize(
+                    preds[c], idxs[c], preds[c]
+                )
+                col.append(nib)
+            nibs.append(col)
+        body = bytearray()
+        for g in range(groups):
+            for c in range(channels):
+                seg = nibs[c][g * 8 : g * 8 + 8]
+                body += bytes(
+                    (seg[i] & 0x0F) | (seg[i + 1] << 4)
+                    for i in range(0, 8, 2)
+                )
+        blocks.append(hdr + bytes(body))
     return b"".join(blocks)
 
 
@@ -262,14 +317,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, _, block_align, bits = fmt
     if tag == 0x11:  # IMA/DVI ADPCM: 4-bit adaptive differential
-        if channels != 1:
-            raise ValueError(
-                "IMA ADPCM: mono only (multichannel nibble interleave "
-                "not implemented)"
-            )
-        arr = decode_ima_adpcm(data, block_align)
+        arr = decode_ima_adpcm(data, block_align, channels)
         # decoded amplitude is 16-bit linear (the 4 is storage width)
-        return rate, 1, 16, arr.reshape(-1, 1)
+        return rate, channels, 16, arr
     if tag in (6, 7):  # G.711 A-law / mu-law: 8-bit companded storage
         table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
         arr = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)

@@ -1356,3 +1356,42 @@ def cql32_indexed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT k, site, v FROM readings WHERE site = 'n1'"
     )
+
+
+@query(
+    "cql34_contains_indexed",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('m02', 2), ('m07', 7), ('m12', 12), ('m17', 17)
+    ) AS t(k, n)
+    """,
+)
+def cql34_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2i-ACCELERATED collection CONTAINS (`[C* index/internal/composites
+    CollectionValueIndex, unverified]`): a values index on a set column
+    admits CONTAINS without ALLOW FILTERING AND routes through the
+    per-segment value Blooms — element cells log individually, so the
+    same probe that serves scalar equality serves containment
+    (tests/test_indexed_read.py pins the segment skips). Churn included:
+    m12's tags are overwritten to keep 'rare' (survives), m03's 'rare'
+    is overwritten away (must not surface)."""
+    import tempfile
+
+    sess = CqlSession(
+        spark, sf_dir, spill_dir=tempfile.mkdtemp(), spill_threshold=5
+    )
+    sess.execute(
+        "CREATE TABLE marked (k text PRIMARY KEY, n int, tags set<text>)"
+    )
+    sess.execute("CREATE INDEX marked_tags ON marked (tags)")
+    for i in range(20):
+        tag = "'rare', " if i in (2, 3, 7, 17) else ""
+        sess.execute(
+            f"INSERT INTO marked (k, n, tags) VALUES "
+            f"('m{i:02d}', {i}, {{{tag}'base'}})"
+        )
+    sess.execute("UPDATE marked SET tags = {'rare', 'late'} WHERE k = 'm12'")
+    sess.execute("UPDATE marked SET tags = {'base'} WHERE k = 'm03'")
+    return sess.execute(
+        "SELECT k, n FROM marked WHERE tags CONTAINS 'rare'"
+    )

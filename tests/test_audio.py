@@ -152,7 +152,7 @@ def test_ima_adpcm_roundtrip_tracks_signal():
     # slow ramp + square: the adaptive quantizer must track both
     sig = (t * 13 % 2000 - 1000) + np.where(t % 50 < 25, 800, -800)
     raw = encode_ima_adpcm(sig, block_align=256)
-    dec = decode_ima_adpcm(raw, 256)
+    dec = decode_ima_adpcm(raw, 256)[:, 0]
     assert dec[0] == sig[0], "block header carries the exact first sample"
     assert len(dec) >= n
     err = np.abs(dec[:n].astype(np.int64) - sig)
@@ -160,7 +160,7 @@ def test_ima_adpcm_roundtrip_tracks_signal():
     # the quantizer must stay LOCKED on average
     assert int(err.max()) < 4000 and float(err.mean()) < 300
     # bit-deterministic
-    assert decode_ima_adpcm(raw, 256).tolist() == dec.tolist()
+    assert decode_ima_adpcm(raw, 256)[:, 0].tolist() == dec.tolist()
 
 
 def test_ima_adpcm_wav_container_roundtrip():
@@ -180,9 +180,7 @@ def test_ima_adpcm_wav_container_roundtrip():
     assert int(err.max()) < 1200
 
 
-def test_ima_adpcm_multichannel_and_bad_index_rejected():
-    import struct
-
+def test_ima_adpcm_stereo_roundtrip_and_bad_index_rejected():
     import numpy as np
     import pytest as _pytest
 
@@ -192,12 +190,19 @@ def test_ima_adpcm_multichannel_and_bad_index_rejected():
         encode_wav_ima_adpcm,
     )
 
-    wav = bytearray(encode_wav_ima_adpcm(np.zeros(10, dtype=int)))
-    # fmt channels field -> 2: decode must refuse, not mis-interleave
-    i = wav.find(b"fmt ")
-    struct.pack_into("<H", wav, i + 8 + 2, 2)
-    with _pytest.raises(ValueError, match="mono"):
-        decode_wav(bytes(wav))
+    n = 1200
+    t = np.arange(n)
+    left = (t * 11 % 1600) - 800
+    right = np.where(t % 40 < 20, 500, -500)
+    sig = np.stack([left, right], axis=1)
+    wav = encode_wav_ima_adpcm(sig, rate=8000, block_align=256)
+    rate, channels, bits, samples = decode_wav(wav)
+    assert (rate, channels, bits) == (8000, 2, 16)
+    # channels must not cross-contaminate: each tracks ITS OWN signal
+    for c in range(2):
+        err = np.abs(samples[:n, c].astype(np.int64) - sig[:, c])
+        assert int(err.max()) < 2500 and float(err.mean()) < 300, c
+    assert samples[0, 0] == left[0] and samples[0, 1] == right[0]
     with _pytest.raises(ValueError, match="step index"):
         decode_ima_adpcm(b"\x00\x00\x59\x00" + b"\x00" * 4, 8)
 
