@@ -290,7 +290,9 @@ def _defilter(
     return out, p
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(
+    data: bytes, keep_alpha: bool = False
+) -> tuple[int, int, int, bytes]:
     """8-bit PNG → (width, height, 3, top-down RGB bytes), non-interlaced
     OR Adam7 interlaced (each pass defiltered independently, pixels
     scattered per the pass grid — PNG spec §8.2). Color types: 0
@@ -298,7 +300,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     the pipeline contract is 3-channel RGB). Depths: 8 and 16 for every
     color type (16-bit samples reduce to their high byte), 1/2/4 for
     gray/palette (bit-packed rows, non-interlaced AND Adam7 — each pass
-    packs its reduced rows independently per spec §8.2)."""
+    packs its reduced rows independently per spec §8.2).
+
+    ``keep_alpha`` returns (w, h, 4, RGBA) instead — real alpha for color
+    types 4/6, opaque 255 elsewhere (APNG compositing needs it; tRNS is
+    not consulted)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -401,6 +407,33 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if depth == 16:
         # 16 -> 8 bit: keep the high byte of each big-endian sample
         out = out[0::2]
+
+    if keep_alpha:
+        rgba = bytearray(width * height * 4)
+        if ctype_ == 6:
+            rgba[:] = out[: width * height * 4]
+        elif ctype_ == 4:
+            for i in range(width * height):
+                g, a = out[2 * i], out[2 * i + 1]
+                rgba[4 * i : 4 * i + 4] = bytes((g, g, g, a))
+        elif ctype_ == 2:
+            for i in range(width * height):
+                rgba[4 * i : 4 * i + 3] = out[3 * i : 3 * i + 3]
+                rgba[4 * i + 3] = 255
+        elif ctype_ == 0:
+            for i in range(width * height):
+                g = out[i]
+                rgba[4 * i : 4 * i + 4] = bytes((g, g, g, 255))
+        else:  # palette
+            if not plte:
+                raise ValueError("palette PNG missing PLTE")
+            for i in range(width * height):
+                idx = out[i] * 3
+                if idx + 3 > len(plte):
+                    raise ValueError("palette index out of range")
+                rgba[4 * i : 4 * i + 3] = plte[idx : idx + 3]
+                rgba[4 * i + 3] = 255
+        return width, height, 4, bytes(rgba)
 
     # expand to 3-channel RGB
     if ctype_ == 2:

@@ -288,11 +288,18 @@ def sample_frames(
         is_y4m,
     )
 
+    from cassandra_spark.operators.apng import decode_apng_frames, is_apng
+
     def video_rows(doc_id, payload):
         """Rows for a recognized video container, None for non-video.
         Corrupt recognized payloads raise ValueError (handled by run)."""
-        if payload[:6] in (b"GIF87a", b"GIF89a"):
-            gw, gh, gframes = decode_gif_frames(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a") or is_apng(payload):
+            # composited-animation family: GIF and — round 8 — APNG
+            # share the delay-timeline contract (operators/apng.py)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                gw, gh, gframes = decode_gif_frames(payload)
+            else:
+                gw, gh, gframes = decode_apng_frames(payload)
             delays = [d if d > 0 else 100 for d, _ in gframes]
             starts = [0]
             for d in delays[:-1]:

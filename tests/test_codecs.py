@@ -2088,3 +2088,137 @@ def test_mkv_malformed_laces_raise_not_misparse():
     # truncated EBML size table
     with pytest.raises(ValueError):
         list(_block_frames(b"\x02", 0, 1, 0x86))
+
+
+# --- APNG (round 8) -----------------------------------------------------------
+
+
+def test_apng_writer_roundtrip_exact():
+    from cassandra_spark.operators.apng import (
+        decode_apng_frames,
+        encode_apng,
+        is_apng,
+    )
+
+    w, h = 6, 4
+    f1 = bytes((i * 7) % 256 for i in range(w * h * 3))
+    f2 = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+    blob = encode_apng(w, h, [f1, f2], delays_ms=[40, 80])
+    assert is_apng(blob)
+    gw, gh, frames = decode_apng_frames(blob)
+    assert (gw, gh) == (w, h)
+    assert [d for d, _ in frames] == [40, 80]
+    assert [r for _, r in frames] == [f1, f2]
+
+
+def test_apng_static_png_is_not_apng():
+    from cassandra_spark.operators.apng import decode_apng_frames, is_apng
+    from cassandra_spark.operators.codecs import encode_png
+
+    plain = encode_png(4, 4, bytes(48))
+    assert not is_apng(plain)
+    with pytest.raises(ValueError, match="acTL"):
+        decode_apng_frames(plain)
+
+
+def _apng_rgba(frames):
+    """Hand-build an RGBA APNG from (fctl_fields, rgba_bytes) specs."""
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.apng import _chunk
+
+    w, h = frames[0][0][1], frames[0][0][2]  # first frame is full canvas
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (fctl, rgba) in enumerate(frames):
+        fw, fh = fctl[1], fctl[2]
+        rows = b"".join(
+            b"\x00" + rgba[y * fw * 4 : (y + 1) * fw * 4] for y in range(fh)
+        )
+        idat = zlib.compress(rows)
+        out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", seq, *fctl[1:]))
+        seq += 1
+        if i == 0:
+            out += _chunk(b"IDAT", idat)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + idat)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_region_blend_over_and_dispose():
+    """Region frames: OVER blends with source alpha; dispose BACKGROUND
+    clears the region to transparent for the NEXT frame; dispose
+    PREVIOUS restores the pre-frame canvas."""
+    from cassandra_spark.operators.apng import decode_apng_frames
+
+    w, h = 4, 2
+    red = bytes([255, 0, 0, 255]) * (w * h)
+    # frame 2: 2x1 region at (1, 0), half-alpha green, blend OVER,
+    # dispose BACKGROUND
+    green = bytes([0, 255, 0, 128]) * 2
+    # frame 3: 1x1 region at (0, 1), opaque blue, blend SOURCE, dispose 0
+    blue = bytes([0, 0, 255, 255])
+    blob = _apng_rgba([
+        ((0, w, h, 0, 0, 10, 1000, 0, 0), red),
+        ((0, 2, 1, 1, 0, 10, 1000, 1, 1), green),
+        ((0, 1, 1, 0, 1, 10, 1000, 0, 0), blue),
+    ])
+    gw, gh, frames = decode_apng_frames(blob)
+    assert (gw, gh) == (w, h)
+    f1, f2, f3 = (r for _, r in frames)
+    assert f1 == bytes([255, 0, 0]) * (w * h)
+    # OVER math: a=128 over opaque red -> (127, 128, 0)
+    px = f2[3 * 1 : 3 * 1 + 3], f2[3 * 2 : 3 * 2 + 3]
+    assert px == (bytes([127, 128, 0]), bytes([127, 128, 0])), f2.hex()
+    assert f2[:3] == bytes([255, 0, 0])  # outside the region untouched
+    # frame 2 disposed to BACKGROUND: its region is transparent in f3
+    assert f3[3 * 1 : 3 * 1 + 3] == bytes(3)
+    assert f3[3 * 2 : 3 * 2 + 3] == bytes(3)
+    # frame 3's own blue pixel landed at row 1, col 0
+    assert f3[3 * w : 3 * w + 3] == bytes([0, 0, 255])
+    # untouched red persists elsewhere
+    assert f3[:3] == bytes([255, 0, 0])
+
+
+def test_apng_sequence_validation():
+    import struct
+
+    from cassandra_spark.operators.apng import (
+        decode_apng_frames,
+        encode_apng,
+    )
+
+    blob = bytearray(encode_apng(4, 2, [bytes(24), bytes(24)]))
+    # corrupt the fdAT sequence number
+    i = blob.find(b"fdAT")
+    struct.pack_into(">I", blob, i + 4, 9)
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(blob))
+
+
+def test_apng_flows_through_sample_frames(spark):
+    from cassandra_spark.operators.apng import encode_apng
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+
+    w, h = 5, 3
+    frames = [
+        bytes((i * k + 3) % 256 for i in range(w * h * 3))
+        for k in (7, 11, 13)
+    ]
+    payload = encode_apng(w, h, frames, delays_ms=[500, 500, 500])
+    docs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, text binary"
+    )
+    rows = sample_frames(docs, every_ms=500).collect()
+    assert len(rows) == 3
+    assert [r.src_frame for r in rows] == [0, 1, 2]
+    assert all((r.width, r.height) == (w, h) for r in rows)
+    import hashlib
+
+    assert rows[1].frame_sha == hashlib.sha1(frames[1]).hexdigest()
