@@ -76,6 +76,7 @@ def decode_apng_frames(
         raise ValueError("not a PNG payload")
     ihdr = None
     plte = b""
+    trns = b""
     actl = None
     default_idat = bytearray()
     frames: list[dict] = []  # {"fctl": tuple, "data": bytearray}
@@ -87,6 +88,8 @@ def decode_apng_frames(
             ihdr = payload
         elif ctype == b"PLTE":
             plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"acTL":
             actl = struct.unpack(">II", payload[:8])
         elif ctype == b"fcTL":
@@ -135,6 +138,7 @@ def decode_apng_frames(
             _PNG_SIG
             + _chunk(b"IHDR", sub_ihdr)
             + (_chunk(b"PLTE", plte) if plte else b"")
+            + (_chunk(b"tRNS", trns) if trns else b"")
             + _chunk(b"IDAT", bytes(f["data"]))
             + _chunk(b"IEND", b"")
         )

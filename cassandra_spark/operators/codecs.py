@@ -303,8 +303,9 @@ def decode_png(
     packs its reduced rows independently per spec §8.2).
 
     ``keep_alpha`` returns (w, h, 4, RGBA) instead — real alpha for color
-    types 4/6, opaque 255 elsewhere (APNG compositing needs it; tRNS is
-    not consulted)."""
+    types 4/6; for 0/2/3 the ``tRNS`` chunk applies (per-index alpha for
+    palettes, the single transparent sample/colour otherwise), opaque 255
+    elsewhere (APNG compositing needs all of this)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -312,6 +313,7 @@ def decode_png(
     pos = 8
     ihdr = None
     plte = b""
+    trns = b""
     idat = bytearray()
     n = len(data)
     while pos + 8 <= n:
@@ -325,6 +327,8 @@ def decode_png(
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif ctype == b"PLTE":
             plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
@@ -417,22 +421,43 @@ def decode_png(
                 g, a = out[2 * i], out[2 * i + 1]
                 rgba[4 * i : 4 * i + 4] = bytes((g, g, g, a))
         elif ctype_ == 2:
+            # tRNS for truecolour: one 2-byte field per channel — the
+            # sample lives in the LOW byte for depth < 16; our 16-bit
+            # reduction keeps high bytes, so match the byte accordingly
+            _b = 0 if depth == 16 else 1
+            tr = (
+                (trns[_b], trns[2 + _b], trns[4 + _b])
+                if len(trns) >= 6
+                else None
+            )
             for i in range(width * height):
-                rgba[4 * i : 4 * i + 3] = out[3 * i : 3 * i + 3]
-                rgba[4 * i + 3] = 255
+                px = out[3 * i : 3 * i + 3]
+                rgba[4 * i : 4 * i + 3] = px
+                rgba[4 * i + 3] = (
+                    0 if tr is not None and tuple(px) == tr else 255
+                )
         elif ctype_ == 0:
+            # 2-byte field: low byte for depth < 16, high for 16
+            tr = (
+                trns[0 if depth == 16 else 1]
+                if len(trns) >= 2
+                else None
+            )
             for i in range(width * height):
                 g = out[i]
-                rgba[4 * i : 4 * i + 4] = bytes((g, g, g, 255))
-        else:  # palette
+                rgba[4 * i : 4 * i + 4] = bytes(
+                    (g, g, g, 0 if tr is not None and g == tr else 255)
+                )
+        else:  # palette: tRNS carries per-index alpha (short = opaque)
             if not plte:
                 raise ValueError("palette PNG missing PLTE")
             for i in range(width * height):
-                idx = out[i] * 3
+                pi = out[i]
+                idx = pi * 3
                 if idx + 3 > len(plte):
                     raise ValueError("palette index out of range")
                 rgba[4 * i : 4 * i + 3] = plte[idx : idx + 3]
-                rgba[4 * i + 3] = 255
+                rgba[4 * i + 3] = trns[pi] if pi < len(trns) else 255
         return width, height, 4, bytes(rgba)
 
     # expand to 3-channel RGB

@@ -2222,3 +2222,81 @@ def test_apng_flows_through_sample_frames(spark):
     import hashlib
 
     assert rows[1].frame_sha == hashlib.sha1(frames[1]).hexdigest()
+
+
+def test_png_trns_alpha_in_keep_alpha_mode():
+    """tRNS transparency surfaces through keep_alpha: per-index alpha for
+    palettes, the single transparent colour for truecolour/grayscale —
+    and an APNG palette frame with tRNS composites as a DELTA frame."""
+    import struct
+    import zlib
+
+    from cassandra_spark.operators.apng import _chunk, decode_apng_frames
+    from cassandra_spark.operators.codecs import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # palette: index 0 red opaque, index 1 green alpha 0
+    def pal_png(w, h, indexes, trns):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        rows = b"".join(
+            b"\x00" + bytes(indexes[y * w : (y + 1) * w]) for y in range(h)
+        )
+        return (
+            sig
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+            + _chunk(b"tRNS", trns)
+            + _chunk(b"IDAT", zlib.compress(rows))
+            + _chunk(b"IEND", b"")
+        )
+
+    w, h = 2, 1
+    png = pal_png(w, h, [0, 1], bytes([255, 0]))
+    _, _, ch, rgba = decode_png(png, keep_alpha=True)
+    assert ch == 4
+    assert rgba[3] == 255 and rgba[7] == 0, "per-index tRNS alpha"
+    # plain RGB mode is unchanged (alpha dropped, palette colours kept)
+    assert decode_png(png)[3] == bytes([255, 0, 0, 0, 255, 0])
+
+    # truecolour single transparent colour (depth 8: value in LOW byte)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    rows = b"\x00" + bytes([10, 20, 30, 40, 50, 60])
+    tc = (
+        sig
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30))
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+    _, _, _, rgba = decode_png(tc, keep_alpha=True)
+    assert rgba[3] == 0, "matching pixel transparent"
+    assert rgba[7] == 255, "non-matching pixel opaque"
+
+    # APNG delta frame: full red base, then a palette frame whose
+    # transparent index must leave the base pixel visible under OVER
+    base_ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    base_rows = b"\x00" + bytes([0, 0])  # both red
+    f2_rows = b"\x00" + bytes([1, 0])  # transparent, then red again
+    blob = (
+        sig
+        + _chunk(b"IHDR", base_ihdr)
+        + _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+        + _chunk(b"tRNS", bytes([255, 0]))
+        + _chunk(b"acTL", struct.pack(">II", 2, 0))
+        + _chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", 0, 2, 1, 0, 0, 10, 1000, 0, 0),
+        )
+        + _chunk(b"IDAT", zlib.compress(base_rows))
+        + _chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", 1, 2, 1, 0, 0, 10, 1000, 0, 1),
+        )
+        + _chunk(b"fdAT", struct.pack(">I", 2) + zlib.compress(f2_rows))
+        + _chunk(b"IEND", b"")
+    )
+    _, _, frames = decode_apng_frames(blob)
+    assert frames[0][1] == bytes([255, 0, 0, 255, 0, 0])
+    # OVER with a fully-transparent source pixel keeps the base red
+    assert frames[1][1] == bytes([255, 0, 0, 255, 0, 0])
