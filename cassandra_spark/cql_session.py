@@ -1236,7 +1236,17 @@ class CqlSession:
         types that normalize losslessly qualify (INDEX_EQ_TYPES via
         index_probe_type); None otherwise — full-scan filter, still
         correct. Only pure conjunctions qualify: under OR/NOT/IN an
-        indexed conjunct is not a safe partition pruner."""
+        indexed conjunct is not a safe partition pruner.
+
+        The statement text is examined with string-literal contents
+        masked out (same-length placeholders), so keywords INSIDE a
+        quoted string ('no LIMIT here') can neither truncate the WHERE
+        extent nor hide an OR; and the literal must be a COMPLETE
+        conjunct RHS — followed by AND / end of clause — so expression
+        RHS like ``v = 5 + 1`` or ``v = 5e2`` never prunes on the
+        leading '5' while Catalyst evaluates the real expression.
+        Pruning is an optimization: whenever in doubt, return None and
+        the full-scan filter stays correct."""
         from cassandra_spark.cql_dml import (
             _parse_literal,
             index_probe_type,
@@ -1248,22 +1258,37 @@ class CqlSession:
         )
         if not eq_cols:
             return None
+        # mask string-literal CONTENT (length-preserving, quotes kept) so
+        # every structural regex below is quote-aware; literal text is
+        # recovered from the original stmt by offset
+        masked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
+            stmt,
+        )
         wm = re.search(
             r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
             r"\bPER\s+PARTITION\s+LIMIT\b|\bLIMIT\b|"
             r"\bALLOW\s+FILTERING\b|$)",
-            stmt,
+            masked,
             re.IGNORECASE | re.DOTALL,
         )
         if not wm:
             return None
         where = wm.group(1)
+        w_off = wm.start(1)
         if re.search(r"\b(OR|NOT|IN)\b", where, re.IGNORECASE):
             return None
         schema = self.tables[tname].schema
         lit_re = (
             r"('(?:[^']|'')*'|-?\d+|[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])"
         )
+        # a prunable conjunct starts at the WHERE clause or after AND,
+        # and its literal RHS runs to AND / ';' / end of the clause —
+        # anything else (arithmetic, float tail, function call) means the
+        # '=' RHS is an expression, which only Catalyst may evaluate
+        head_re = r"(?:^\s*|[Aa][Nn][Dd]\s+)"
+        tail_re = r"(?=\s*(?:[Aa][Nn][Dd]\b|;|$))"
         for col in sorted(eq_cols):
             if index_probe_type(schema, col) is None:
                 continue
@@ -1273,19 +1298,25 @@ class CqlSession:
                 # values index on a collection admits CONTAINS (value-side
                 # for maps) — element cells make it the same probe
                 m = re.search(
-                    rf"\b{re.escape(col)}\s+CONTAINS\s+(?!KEY\b){lit_re}",
+                    rf"{head_re}{re.escape(col)}\s+CONTAINS\s+(?!KEY\b)"
+                    rf"{lit_re}{tail_re}",
                     where,
                     re.IGNORECASE,
                 )
             else:
                 m = re.search(
-                    rf"\b{re.escape(col)}\s*(?<![!<>=\]])=(?!=)\s*{lit_re}",
+                    rf"{head_re}{re.escape(col)}\s*(?<![!<>=\]])=(?!=)\s*"
+                    rf"{lit_re}{tail_re}",
                     where,
                 )
             if not m:
                 continue
             try:
-                lit = _parse_literal(m.group(1))
+                # group offsets are positions in the MASKED text; lengths
+                # are preserved, so the same span in stmt is the literal
+                lit = _parse_literal(
+                    stmt[w_off + m.start(1) : w_off + m.end(1)]
+                )
             except CQLError:
                 continue
             if lit is not None:

@@ -203,6 +203,11 @@ def encode_apng(
     blend SOURCE, dispose NONE) — the demuxer's round-trip fixture."""
     if not frames_rgb:
         raise ValueError("at least one frame required")
+    if delays_ms is not None and len(delays_ms) != len(frames_rgb):
+        raise ValueError(
+            f"delays_ms has {len(delays_ms)} entries for "
+            f"{len(frames_rgb)} frames"
+        )
     delays = delays_ms or [100] * len(frames_rgb)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     out = bytearray(_PNG_SIG)

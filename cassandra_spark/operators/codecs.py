@@ -443,6 +443,11 @@ def decode_png(
                 if len(trns) >= 2
                 else None
             )
+            if tr is not None and depth < 8:
+                # sub-byte samples were scaled to 0-255 at unpack
+                # (v*255//maxval); the tRNS value is raw 0..maxval —
+                # scale it identically or transparency never matches
+                tr = (tr * 255) // ((1 << depth) - 1)
             for i in range(width * height):
                 g = out[i]
                 rgba[4 * i : 4 * i + 4] = bytes(
