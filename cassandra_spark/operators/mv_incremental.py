@@ -168,7 +168,8 @@ def w21_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep-level registry.release_caches contract, like every other
     constructor persist); the maintenance step anti-joins
     the delete keys (broadcast — a CDC batch's key set is small) and
-    unions the delta batch joined against the BROADCAST dimension. The
+    unions the delta batch joined against the customer dimension
+    (hint-free: customer is SF-linear, AQE picks the strategy). The
     returned aggregate over the maintained view equals the
     from-scratch recompute bit-for-bit (decimal sums)."""
     cat = Catalog(spark, sf_dir)
@@ -181,7 +182,8 @@ def w21_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stored view: everything that existed before the CDC batch
     view0 = (
         orders.filter(~is_new)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-linear: no broadcast hint (AQE decides)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(*enrich_cols)
         .persist()
     )
@@ -189,7 +191,7 @@ def w21_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_keys = orders.filter(is_del).select("o_orderkey")
     delta = (
         orders.filter(is_new)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(*enrich_cols)
     )
     view1 = view0.join(

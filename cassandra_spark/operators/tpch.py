@@ -6,8 +6,11 @@ prove the engine's Catalyst-side join planning end-to-end on 3- and 4-way
 trees with semi-join-like HAVING shapes. Adapted to the fixture's column
 subset (no partsupp table); exact-decimal aggregates per exactmath.
 
-Scale posture: dimension sides (customer, nation) broadcast; fact⋈fact
-joins (lineitem⋈orders) shuffle on the join key once and AQE splits skew;
+Scale posture: only O(constant) dims (nation/region) and provably
+sub-linear filtered sets carry broadcast hints; SF-linear tables
+(customer, supplier, part, orders, lineitem) never do — AQE picks BHJ at
+bench scale and degrades to shuffle join at 100 TB. Fact⋈fact joins
+(lineitem⋈orders) shuffle on the join key once and AQE splits skew;
 top-k finals are TakeOrderedAndProject, never global sorts.
 """
 
@@ -264,8 +267,10 @@ def x23_core(
         "left_anti",
     )
     return (
+        # supplier is SF-linear (10k x SF): no broadcast hint — AQE picks
+        # BHJ at bench scale and falls back to shuffle join at 100 TB
         sole_late.join(
-            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+            supplier, F.col("s_suppkey") == F.col("l_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -333,11 +338,11 @@ def x24_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x25_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year between two nations.
-    A 6-way tree where only lineitem⋈orders is fact⋈fact; customer,
-    supplier, and both nation legs broadcast, and the nation-pair
-    disjunction filters before the aggregate. The nation filter applies
-    at the broadcast build side, so the big probe rows that survive are
-    already pair-restricted."""
+    A 6-way tree where only lineitem⋈orders is fact⋈fact; both nation
+    legs broadcast (customer/supplier are SF-linear, so AQE picks their
+    strategy), and the nation-pair disjunction filters before the
+    aggregate. The nation filter applies at the broadcast build side, so
+    the big probe rows that survive are already pair-restricted."""
     cat = Catalog(spark, sf_dir)
     n1 = cat.nation.select(
         F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
@@ -351,7 +356,7 @@ def x25_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("nk1") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("nk2") == F.col("c_nationkey"))
         .filter(pair)

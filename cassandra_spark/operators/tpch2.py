@@ -11,8 +11,9 @@ Scale posture per query (asserted in tests/test_plans.py):
   partial→final aggregate, no shuffle beyond the 2-group (q1) / global (q6)
   exchange — the shape that saturates I/O at 100 TB.
 - q5/q8 are star joins: the one fact⋈fact shuffle (lineitem⋈orders) on the
-  shared key; every dimension leg (customer, supplier, nation, region,
-  part) broadcasts — zero dimension shuffles.
+  shared key; O(constant) dimension legs (nation, region) broadcast-hint,
+  while SF-linear legs (customer, supplier, part) carry no hint — AQE
+  broadcasts them at bench scale and shuffle-joins them at 100 TB.
 - q15 computes the per-supplier revenue ONCE and finds the max with a
   single-row broadcast join of the aggregated (tiny) side — not a window
   over the fact table and not a recompute of the revenue view.
@@ -124,8 +125,9 @@ def x28_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by supplier nation where customer and
     supplier share the nation, one region, one year. 6-way star: the only
-    shuffle is lineitem⋈orders; supplier/customer/nation/region broadcast,
-    and the c_nationkey = s_nationkey residual rides the supplier join."""
+    fact⋈fact shuffle is lineitem⋈orders; nation/region broadcast
+    (supplier/customer are SF-linear — AQE picks their strategy), and the
+    c_nationkey = s_nationkey residual rides the supplier join."""
     cat = Catalog(spark, sf_dir)
     orders = cat.orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -135,7 +137,8 @@ def x29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(cat.supplier),
+            # supplier is SF-linear: no broadcast hint (AQE decides)
+            cat.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -215,8 +218,9 @@ def x30_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's promo-part volume
-    per year. 8-way tree — lineitem⋈orders is the sole shuffle; part,
-    supplier, customer and both nation legs broadcast. The share is a
+    per year. 8-way tree — lineitem⋈orders is the sole fact⋈fact
+    shuffle; region and both nation legs broadcast (part/supplier/
+    customer are SF-linear — AQE picks their strategy). The share is a
     conditional-sum / total-sum ratio computed as one double division of
     two exact sums."""
     cat = Catalog(spark, sf_dir)
@@ -239,7 +243,7 @@ def x31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.part.filter(F.col("p_type") == "PROMO"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
         .join(
@@ -311,7 +315,8 @@ def x32_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue") == F.col("max_revenue"),
         )
         .join(
-            F.broadcast(cat.supplier),
+            # supplier is SF-linear: no broadcast hint (AQE decides)
+            cat.supplier,
             F.col("s_suppkey") == F.col("supplier_no"),
         )
         .select("s_suppkey", "s_name", "total_revenue")

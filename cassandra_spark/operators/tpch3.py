@@ -20,7 +20,9 @@ Scale posture (asserted in tests/test_plans.py):
   partsupp scan would replace, and it is shared verbatim by all five
   queries (a production deployment would materialize it once);
 - q2/q11/q16/q20 then touch only supply (|pairs| ≪ |lineitem|) joined to
-  broadcast dimensions — no second fact shuffle;
+  its dimensions — no second fact shuffle; O(constant) dims and filtered
+  sub-linear part sets broadcast-hint, SF-linear supplier slices do not
+  (AQE picks BHJ at bench scale, shuffle join at 100 TB);
 - q9 is the one genuine fact⋈fact query: lineitem⋈supply on the composite
   (partkey, suppkey) key, both sides pre-pruned by the broadcast part
   filter before the shuffle;
@@ -98,8 +100,8 @@ def x33_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the European supplier(s)
     offering it at minimum cost. The correlated MIN subquery decorrelates
     to a per-part window min over the already part-filtered regional
-    supply — the part and supplier⋈nation⋈region legs broadcast BEFORE
-    the window, so the one shuffle partitions only qualifying rows."""
+    supply — the part and supplier⋈nation⋈region legs join BEFORE the
+    window, so the one shuffle partitions only qualifying rows."""
     cat = Catalog(spark, sf_dir)
     sup_nat = (
         cat.supplier.join(
@@ -117,7 +119,9 @@ def x33_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand")
     cand = (
         _supply(cat)
-        .join(F.broadcast(sup_nat), F.col("ps_suppkey") == F.col("s_suppkey"))
+        # sup_nat is a region slice of SF-linear supplier — no broadcast
+        # hint (AQE picks BHJ at bench scale, shuffle join at 100 TB)
+        .join(sup_nat, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(part_sel), F.col("p_partkey") == F.col("ps_partkey"))
     )
     w = Window.partitionBy("ps_partkey")
@@ -157,7 +161,8 @@ def x34_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact⋈fact query of the batch: lineitem⋈supply shuffles on the
     composite (partkey, suppkey) key — BOTH sides are pre-pruned by the
     broadcast part filter so the shuffle moves only the product family's
-    rows; supplier/nation broadcast, orders joins on its own key."""
+    rows; nation broadcasts (supplier is SF-linear — AQE picks its
+    strategy), orders joins on its own key."""
     cat = Catalog(spark, sf_dir)
     part_sel = cat.part.filter(F.col("p_name").like("%gear%")).select(
         "p_partkey"
@@ -177,7 +182,7 @@ def x34_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -224,7 +229,9 @@ def x35_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = (
         _supply(cat)
-        .join(F.broadcast(sup_nat), F.col("ps_suppkey") == F.col("s_suppkey"))
+        # sup_nat is a nation slice of SF-linear supplier — no broadcast
+        # hint (AQE picks BHJ at bench scale, shuffle join at 100 TB)
+        .join(sup_nat, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select(
             "ps_partkey",
             (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),

@@ -477,11 +477,13 @@ def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static broadcast join: each events micro-batch enriches
-    against the static customer dimension (user_id → c_custkey). The
-    static side re-resolves per micro-batch and broadcasts — no state, no
-    stream-side shuffle; at 100 TB this is the dimension-enrichment stage
-    before any stateful op."""
+    """Stream-static join: each events micro-batch enriches against the
+    static customer dimension (user_id → c_custkey). The static side
+    re-resolves per micro-batch — no state, and no stream-side shuffle
+    when the planner picks BHJ (it does at bench scale from the parquet
+    size stats; customer is SF-linear, so the hint is deliberately
+    absent — at 100 TB the planner degrades to a shuffled join instead
+    of OOMing every executor on a forced broadcast)."""
     from cassandra_spark.catalog import Catalog
 
     dim = Catalog(spark, sf_dir).customer.select(
@@ -489,7 +491,7 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = events_stream(spark, sf_dir)
     return ev.join(
-        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left"
+        dim, ev["user_id"] == dim["c_custkey"], "left"
     ).select("event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment")
 
 

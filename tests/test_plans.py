@@ -764,19 +764,22 @@ def test_upsert_read_path_single_shuffle(spark, tmp_path):
 
 
 def test_no_broadcast_hints_on_fact_growth_tables():
-    """Policy gate (round-8): no registered query may broadcast-hint a
-    table that grows linearly with the corpus — customer, part, orders,
-    lineitem, partsupp, or aggregates derived from them. At bench scale
-    the hint and AQE agree (BHJ either way, see the plan asserts above);
-    at 100 TB a forced broadcast of a 150k-rows-x-SF table OOMs the
-    executors. O(constant) dims (region/nation) and filtered sub-linear
-    sides may keep their hints."""
+    """Policy gate (round-8, supplier added round-9): no registered query
+    may broadcast-hint a table that grows linearly with the corpus —
+    customer, supplier, part, orders, lineitem, partsupp, or slices/
+    aggregates derived from them (sup_nat is a nation/region slice of
+    supplier — a constant fraction of SF-linear is SF-linear). At bench
+    scale the hint and AQE agree (BHJ either way, see the plan asserts
+    above); at 100 TB a forced broadcast of a 10k-150k-rows-x-SF table
+    OOMs the executors. O(constant) dims (region/nation) and filtered
+    sub-linear sides may keep their hints."""
     import ast
     from pathlib import Path
 
     pkg = Path(__file__).resolve().parent.parent / "cassandra_spark"
     forbidden = re.compile(
-        r"\b(customer|orders|lineitem|partsupp|part|thresholds)\b"
+        r"\b(customer|orders|lineitem|partsupp|part|supplier|sup_nat"
+        r"|cust|dim|thresholds)\b"
     )
     offenders: list[str] = []
     for py in sorted(pkg.rglob("*.py")):
