@@ -478,6 +478,25 @@ INDEX_EQ_TYPES = frozenset(
 )
 
 
+# column types whose canonical-string values ORDER correctly under exact
+# decimal parsing — the families SAI serves range predicates for. Strings
+# order lexicographically ≠ CQL semantics for numerics, so the range probe
+# parses Decimal (exact for every int/decimal spelling, no float rounding)
+INDEX_RANGE_TYPES = frozenset(
+    "int bigint smallint tinyint varint float double decimal".split()
+)
+
+
+def index_range_type(schema: "TableSchema", col: str) -> str | None:
+    """The scalar type a RANGE probe on ``col`` orders against, or None
+    when the column's family doesn't support index-served ranges
+    (collections, text, booleans, timestamps — those reads stay
+    full-scan, correct just unaccelerated)."""
+    typ = schema.regular.get(col) or schema.static.get(col) or ""
+    t = typ.strip().lower()
+    return t if t in INDEX_RANGE_TYPES else None
+
+
 def index_probe_type(schema: "TableSchema", col: str) -> str | None:
     """The scalar type an index probe on ``col`` normalizes against: the
     column's own type for scalars, the ELEMENT type for collections
@@ -661,7 +680,21 @@ class CqlTable:
         # sidecar-persisted; entries for compacted-away paths are never
         # queried again since probes iterate self._segments)
         self._value_blooms: dict[tuple[str, str], object] = {}
-        self.index_stats = {"checked": 0, "skipped": 0}
+        # per-(segment, indexed column) [min, max] value ranges — the SAI
+        # per-SSTable min/max term metadata analogue; serves RANGE
+        # predicates the way the Blooms serve equality (lazy, sidecar)
+        self._value_ranges: dict[tuple[str, str], tuple] = {}
+        self.index_stats = {
+            "checked": 0,
+            "skipped": 0,
+            "range_skipped": 0,
+            "distributed_jobs": 0,
+        }
+        # past this many Bloom/stats-surviving segments, phase 1 of the
+        # 2i probe runs as ONE Spark job over the survivor list instead
+        # of a driver-side pyarrow loop (N sequential reads); below it
+        # the pyarrow path is faster (no job-scheduling overhead)
+        self.index_probe_distribute_threshold = 8
         # LCS bookkeeping: segment -> level (absent = L0, where every
         # flush/bulk-load lands), cached [min,max] pk-token ranges, and
         # read-path range-skip counters (the leveled manifest analogue)
@@ -2235,6 +2268,49 @@ class CqlTable:
         self._value_blooms[key] = bf
         return bf
 
+    def _probe_pairs(self, survivors: list[str], col: str):
+        """Phase-1 cell fetch: (pk, val) pairs of ``col``'s cell mutations
+        across the Bloom/stats-surviving segments. Below the distribute
+        threshold this is a driver-side pyarrow loop (no job-scheduling
+        overhead for a handful of files); past it — an STCS backlog, a
+        heavy LCS L0 — it is ONE Spark job over the whole survivor list,
+        so the reads parallelize across executors the way the reference
+        probes per-node, instead of serializing on the driver."""
+        if (
+            len(survivors) > self.index_probe_distribute_threshold
+            and self.spark is not None
+        ):
+            self.index_stats["distributed_jobs"] += 1
+            rows = (
+                self.spark.read.schema(_MUT_SCHEMA)
+                .parquet(*survivors)
+                .filter(
+                    (F.col("col") == col)
+                    & (F.col("kind") == CELL)
+                    & F.col("val").isNotNull()
+                )
+                .select("pk", "val")
+                .distinct()
+                .collect()
+            )
+            return [(r.pk, r.val) for r in rows]
+        import pyarrow.parquet as pq
+
+        pairs: list[tuple] = []
+        for path in survivors:
+            tbl = pq.read_table(
+                path,
+                columns=["pk", "val"],
+                filters=[("col", "=", col), ("kind", "=", CELL)],
+            )
+            pairs.extend(
+                zip(
+                    tbl.column("pk").to_pylist(),
+                    tbl.column("val").to_pylist(),
+                )
+            )
+        return pairs
+
     def index_candidate_pks(self, col: str, lit: str) -> set[str]:
         """2i read, phase 1 (`[C* index/internal CassandraIndexSearcher,
         unverified]`): the partition keys whose CURRENT row could satisfy
@@ -2244,31 +2320,23 @@ class CqlTable:
         phase-2 recheck, exactly the reference's post-index filtering).
         Each segment's value Bloom is consulted first; definitely-absent
         segments are skipped without touching the file (tablestats-style
-        ``index_stats`` counters record it). At cluster scale phase 1 is
-        a Spark job over the segment set; driver-side pyarrow keeps the
-        local path allocation-free."""
-        import pyarrow.parquet as pq
-
+        ``index_stats`` counters record it). The surviving segments are
+        read via ``_probe_pairs`` — one distributed Spark job past the
+        segment-count threshold, pyarrow below it."""
         typ = index_probe_type(self.schema, col) or ""
         probe = _index_norm(lit, typ)
-        cand: set[str] = set()
+        survivors: list[str] = []
         for path in self._segments:
             self.index_stats["checked"] += 1
             if not self._value_bloom_for(path, col).might_contain(probe):
                 self.index_stats["skipped"] += 1
                 continue
-            tbl = pq.read_table(
-                path,
-                columns=["pk", "val"],
-                filters=[("col", "=", col), ("kind", "=", CELL)],
-            )
-            cand.update(
-                p
-                for p, v in zip(
-                    tbl.column("pk").to_pylist(), tbl.column("val").to_pylist()
-                )
-                if v is not None and _index_norm(v, typ) == probe
-            )
+            survivors.append(path)
+        cand = {
+            p
+            for p, v in self._probe_pairs(survivors, col)
+            if v is not None and _index_norm(v, typ) == probe
+        }
         pi, ci, vi, ki = (
             _MUT_COLS.index("pk"),
             _MUT_COLS.index("col"),
@@ -2283,6 +2351,141 @@ class CqlTable:
                 and _index_norm(row[vi], typ) == probe
             ):
                 cand.add(row[pi])
+        return cand
+
+    def _value_range_for(self, path: str, col: str) -> tuple:
+        """Exact [min, max] over ``col``'s non-null cell values in one
+        segment — the SAI per-SSTable min/max term metadata analogue
+        (`[C* index/sai/disk SegmentMetadata, unverified]`). Values parse
+        as Decimal (canonical strings order lexicographically, which is
+        WRONG for numerics — parquet's own string stats can't serve
+        this). Returns ("empty",) when the segment has no cells of the
+        column (always skippable), ("all",) when any value failed to
+        parse (never skip — the safe default), or ("range", lo, hi).
+        Sidecar ``<segment>.<col>.vrange``; rebuilt when missing, so a
+        restored segment never reads wrong, only slower."""
+        import json
+        from decimal import Decimal, InvalidOperation
+
+        key = (path, col)
+        vr = self._value_ranges.get(key)
+        if vr is not None:
+            return vr
+        sc = f"{path}.{col}.vrange"
+        if os.path.exists(sc):
+            try:
+                d = json.loads(open(sc).read())
+                if d["state"] == "range":
+                    vr = ("range", Decimal(d["min"]), Decimal(d["max"]))
+                else:
+                    vr = (d["state"],)
+            except Exception:
+                vr = None  # corrupt sidecar: rebuild, never fail
+        if vr is None:
+            import pyarrow.parquet as pq
+
+            vals = (
+                pq.read_table(
+                    path,
+                    columns=["val"],
+                    filters=[("col", "=", col), ("kind", "=", CELL)],
+                )
+                .column("val")
+                .to_pylist()
+            )
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                vr = ("empty",)
+            else:
+                try:
+                    ds = [Decimal(v) for v in vals]
+                    vr = ("range", min(ds), max(ds))
+                except InvalidOperation:
+                    vr = ("all",)
+            d = {"state": vr[0]}
+            if vr[0] == "range":
+                d["min"], d["max"] = str(vr[1]), str(vr[2])
+            try:
+                with open(sc, "w") as fh:
+                    fh.write(json.dumps(d))
+            except OSError:
+                pass  # read-only segment dir: in-memory range still works
+        self._value_ranges[key] = vr
+        return vr
+
+    def index_candidate_pks_range(
+        self,
+        col: str,
+        lo: str | None = None,
+        hi: str | None = None,
+        lo_incl: bool = True,
+        hi_incl: bool = True,
+    ) -> set[str]:
+        """2i read, phase 1, RANGE form (`[C* index/sai, unverified]`:
+        SAI serves range restrictions from its per-SSTable index). The
+        partition keys whose CURRENT row could satisfy
+        ``lo (<|<=) col (<|<=) hi`` (either bound may be None = open).
+        Segments whose [min, max] value range (``_value_range_for``)
+        cannot intersect the probe interval are skipped without reading
+        data — ``index_stats['range_skipped']`` records it; survivors
+        read via ``_probe_pairs`` (one Spark job past the threshold).
+        Candidates are a superset: the phase-2 recheck re-applies the
+        statement's full WHERE, so a stale cell value never leaks."""
+        from decimal import Decimal, InvalidOperation
+
+        dlo = Decimal(lo) if lo is not None else None
+        dhi = Decimal(hi) if hi is not None else None
+
+        def _in_range(d: "Decimal") -> bool:
+            if dlo is not None and (d < dlo or (d == dlo and not lo_incl)):
+                return False
+            if dhi is not None and (d > dhi or (d == dhi and not hi_incl)):
+                return False
+            return True
+
+        survivors: list[str] = []
+        for path in self._segments:
+            self.index_stats["checked"] += 1
+            vr = self._value_range_for(path, col)
+            if vr[0] == "empty":
+                self.index_stats["range_skipped"] += 1
+                continue
+            if vr[0] == "range":
+                mn, mx = vr[1], vr[2]
+                below = dlo is not None and (
+                    mx < dlo or (mx == dlo and not lo_incl)
+                )
+                above = dhi is not None and (
+                    mn > dhi or (mn == dhi and not hi_incl)
+                )
+                if below or above:
+                    self.index_stats["range_skipped"] += 1
+                    continue
+            survivors.append(path)
+        cand: set[str] = set()
+        for p, v in self._probe_pairs(survivors, col):
+            if v is None:
+                continue
+            try:
+                d = Decimal(v)
+            except InvalidOperation:
+                continue  # non-numeric cell can't satisfy a numeric range
+            if _in_range(d):
+                cand.add(p)
+        pi, ci, vi, ki = (
+            _MUT_COLS.index("pk"),
+            _MUT_COLS.index("col"),
+            _MUT_COLS.index("val"),
+            _MUT_COLS.index("kind"),
+        )
+        for row in self._log:
+            if row[ki] == CELL and row[ci] == col and row[vi] is not None:
+                try:
+                    d = Decimal(row[vi])
+                except InvalidOperation:
+                    continue
+                if _in_range(d):
+                    cand.add(row[pi])
         return cand
 
     def _segment_rows_for_pk(self, pk: str | None):

@@ -1227,6 +1227,34 @@ class CqlSession:
                 build_lsh_bucket_index(self.spark, self.sf_dir, tname, col)
             )
 
+    def _masked_conjunctive_where(self, stmt: str):
+        """(where_text, offset_into_stmt) for a statement whose WHERE is
+        a pure conjunction, with string-literal CONTENT masked out
+        (length-preserving '_' runs, quotes kept) so structural regexes
+        are quote-aware — keywords INSIDE a quoted string can neither
+        truncate the WHERE extent nor hide an OR. None when there is no
+        WHERE or the clause carries OR/NOT/IN (an indexed conjunct is
+        not a safe partition pruner under those). Literal text must be
+        recovered from the ORIGINAL stmt by offset (lengths match)."""
+        masked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
+            stmt,
+        )
+        wm = re.search(
+            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
+            r"\bPER\s+PARTITION\s+LIMIT\b|\bLIMIT\b|"
+            r"\bALLOW\s+FILTERING\b|$)",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return None
+        where = wm.group(1)
+        if re.search(r"\b(OR|NOT|IN)\b", where, re.IGNORECASE):
+            return None
+        return where, wm.start(1)
+
     def _indexed_eq_prune(self, tname: str, stmt: str):
         """(col, canonical literal) when the statement's WHERE carries a
         conjunct an index can serve as a partition pruner: ``col = lit``
@@ -1258,27 +1286,10 @@ class CqlSession:
         )
         if not eq_cols:
             return None
-        # mask string-literal CONTENT (length-preserving, quotes kept) so
-        # every structural regex below is quote-aware; literal text is
-        # recovered from the original stmt by offset
-        masked = re.sub(
-            r"'(?:[^']|'')*'",
-            lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
-            stmt,
-        )
-        wm = re.search(
-            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
-            r"\bPER\s+PARTITION\s+LIMIT\b|\bLIMIT\b|"
-            r"\bALLOW\s+FILTERING\b|$)",
-            masked,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not wm:
+        mw = self._masked_conjunctive_where(stmt)
+        if mw is None:
             return None
-        where = wm.group(1)
-        w_off = wm.start(1)
-        if re.search(r"\b(OR|NOT|IN)\b", where, re.IGNORECASE):
-            return None
+        where, w_off = mw
         schema = self.tables[tname].schema
         lit_re = (
             r"('(?:[^']|'')*'|-?\d+|[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])"
@@ -1321,6 +1332,70 @@ class CqlSession:
                 continue
             if lit is not None:
                 return col, lit
+        return None
+
+    def _indexed_range_prune(self, tname: str, stmt: str):
+        """(col, lo, hi, lo_incl, hi_incl) when the statement's WHERE
+        carries numeric RANGE conjuncts (``col > lit``, ``>=``, ``<``,
+        ``<=``) on an SAI-indexed column of a range-orderable type —
+        SAI serves ranges from its index (`[C* index/sai, unverified]`),
+        a plain values index does not. Multiple conjuncts on the column
+        intersect into one [lo, hi] interval (literals compared as exact
+        Decimal). Same soundness rules as the equality prune: quote-
+        aware masking, pure conjunctions only, literal must be a
+        complete conjunct RHS. None → full-scan filter, still correct."""
+        from decimal import Decimal
+
+        from cassandra_spark.cql_dml import index_range_type
+
+        sai_cols = set(self.sai_indexes.get(tname, ()))
+        if not sai_cols:
+            return None
+        mw = self._masked_conjunctive_where(stmt)
+        if mw is None:
+            return None
+        where, _w_off = mw
+        schema = self.tables[tname].schema
+        num_re = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+        head_re = r"(?:^\s*|[Aa][Nn][Dd]\s+)"
+        tail_re = r"(?=\s*(?:[Aa][Nn][Dd]\b|;|$))"
+        for col in sorted(sai_cols):
+            if index_range_type(schema, col) is None:
+                continue
+            lo = hi = None  # (Decimal, literal str, inclusive)
+            found = False
+            for m in re.finditer(
+                rf"{head_re}{re.escape(col)}\s*(<=|>=|<|>)\s*"
+                rf"{num_re}{tail_re}",
+                where,
+            ):
+                op, lit = m.group(1), m.group(2)
+                d = Decimal(lit)
+                found = True
+                if op in (">", ">="):
+                    incl = op == ">="
+                    if (
+                        lo is None
+                        or d > lo[0]
+                        or (d == lo[0] and lo[2] and not incl)
+                    ):
+                        lo = (d, lit, incl)
+                else:
+                    incl = op == "<="
+                    if (
+                        hi is None
+                        or d < hi[0]
+                        or (d == hi[0] and hi[2] and not incl)
+                    ):
+                        hi = (d, lit, incl)
+            if found:
+                return (
+                    col,
+                    lo[1] if lo else None,
+                    hi[1] if hi else None,
+                    lo[2] if lo else True,
+                    hi[2] if hi else True,
+                )
         return None
 
     def _catalog_overrides(self) -> dict:
@@ -2748,27 +2823,34 @@ class CqlSession:
                 key = self._resolve(fm_.group(1))
                 if key in self.tables:
                     self._check_perm("SELECT", key)
+                    # 2i-accelerated read: index probe → candidate
+                    # partitions → reconcile only those (the reference's
+                    # CassandraIndexSearcher shape); the statement's full
+                    # WHERE still re-applies in cql_select (phase-2
+                    # recheck). Equality/CONTAINS probes value Blooms;
+                    # numeric ranges on SAI columns probe per-segment
+                    # [min, max] value stats instead (SAI serves ranges
+                    # from its index)
+                    t = self.tables[key]
+                    pks = None
                     hit = self._indexed_eq_prune(key, stmt)
                     if hit is not None:
-                        # 2i-accelerated read: index probe → candidate
-                        # partitions → reconcile only those (the
-                        # reference's CassandraIndexSearcher shape); the
-                        # statement's full WHERE still re-applies in
-                        # cql_select (phase-2 recheck)
-                        col, lit = hit
-                        t = self.tables[key]
-                        pks = t.index_candidate_pks(col, lit)
-                        if len(pks) <= 20_000:
-                            # an unselective predicate would inflate the
-                            # isin list past what a plan should carry —
-                            # fall back to the full scan above that size
-                            pruned = (
-                                t.snapshot(pk_in=pks),
-                                self._meta(t.schema),
-                            )
-                            snapshots[key] = pruned
-                            ks_ = self.table_keyspace.get(key, "session")
-                            snapshots[f"{ks_}.{key}"] = pruned
+                        pks = t.index_candidate_pks(*hit)
+                    else:
+                        rhit = self._indexed_range_prune(key, stmt)
+                        if rhit is not None:
+                            pks = t.index_candidate_pks_range(*rhit)
+                    if pks is not None and len(pks) <= 20_000:
+                        # an unselective predicate would inflate the
+                        # isin list past what a plan should carry —
+                        # fall back to the full scan above that size
+                        pruned = (
+                            t.snapshot(pk_in=pks),
+                            self._meta(t.schema),
+                        )
+                        snapshots[key] = pruned
+                        ks_ = self.table_keyspace.get(key, "session")
+                        snapshots[f"{ks_}.{key}"] = pruned
                 elif key in self.mat_views:
                     # view reads are reads of the base table's data
                     self._check_perm("SELECT", self.mat_views[key][0])

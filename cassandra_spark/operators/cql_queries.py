@@ -1395,3 +1395,47 @@ def cql34_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT k, n FROM marked WHERE tags CONTAINS 'rare'"
     )
+
+
+@query(
+    "cql35_indexed_range",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g01', 21), ('g06', 18), ('g09', 27), ('g10', 30),
+      ('g11', 33), ('g12', 36), ('g13', 19)
+    ) AS t(k, v)
+    """,
+)
+def cql35_indexed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2i-ACCELERATED numeric RANGE read (`[C* index/sai, unverified]`:
+    SAI serves range restrictions from its per-SSTable index). A SAI
+    index on an int column admits ``v >= lo AND v < hi`` without ALLOW
+    FILTERING AND routes through per-segment [min, max] value stats (the
+    SAI SegmentMetadata min/max term analogue) — segments whose range
+    cannot intersect the probe interval are skipped without a data read
+    (tests/test_indexed_read.py pins the skips and the differential
+    equality with the full-scan route under churn). Churn included: g01
+    moves INTO the range (3→21), g08 moves OUT (24→100), g07 is deleted,
+    g13 is deleted then reinserted at v=19 (stays)."""
+    import tempfile
+
+    sess = CqlSession(
+        spark, sf_dir, spill_dir=tempfile.mkdtemp(), spill_threshold=5
+    )
+    sess.execute("CREATE TABLE gauges (k text PRIMARY KEY, v int)")
+    sess.execute(
+        "CREATE CUSTOM INDEX gauges_v ON gauges (v) "
+        "USING 'StorageAttachedIndex'"
+    )
+    for i in range(20):
+        sess.execute(
+            f"INSERT INTO gauges (k, v) VALUES ('g{i:02d}', {3 * i})"
+        )
+    sess.execute("UPDATE gauges SET v = 21 WHERE k = 'g01'")
+    sess.execute("UPDATE gauges SET v = 100 WHERE k = 'g08'")
+    sess.execute("DELETE FROM gauges WHERE k = 'g07'")
+    sess.execute("DELETE FROM gauges WHERE k = 'g13'")
+    sess.execute("INSERT INTO gauges (k, v) VALUES ('g13', 19)")
+    return sess.execute(
+        "SELECT k, v FROM gauges WHERE v >= 18 AND v < 40"
+    )

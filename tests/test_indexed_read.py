@@ -113,7 +113,9 @@ def test_index_probe_counts_only_when_indexed(spark, tmp_path):
     with pytest.raises(CQLError, match="ALLOW FILTERING"):
         s.execute("SELECT k FROM users WHERE city = 'lima'")
     s.execute("SELECT k FROM users WHERE city = 'lima' ALLOW FILTERING")
-    assert t.index_stats == {"checked": 0, "skipped": 0}
+    assert t.index_stats["checked"] == 0
+    assert t.index_stats["skipped"] == 0
+    assert t.index_stats["range_skipped"] == 0
 
 
 # --- round-8 extensions: SAI equality + collection CONTAINS --------------
@@ -280,3 +282,177 @@ def test_custom_index_rejected_on_counter_table(spark, tmp_path):
             "CREATE CUSTOM INDEX c_sai ON cnt (c) "
             "USING 'StorageAttachedIndex'"
         )
+
+
+# --- round-9 extensions: SAI range pruning + distributed probe ------------
+
+
+def _build_range(spark, tmp_path, with_index: bool) -> CqlSession:
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE rng (k text PRIMARY KEY, v int, t text)")
+    if with_index:
+        s.execute(
+            "CREATE CUSTOM INDEX rng_v ON rng (v) "
+            "USING 'StorageAttachedIndex'"
+        )
+    for i in range(24):
+        s.execute(
+            f"INSERT INTO rng (k, v, t) VALUES ('k{i:02d}', {i}, 'x{i}')"
+        )
+    return s
+
+
+def test_sai_range_matches_full_scan(spark, tmp_path):
+    a = _build_range(spark, tmp_path / "idx", True)
+    b = _build_range(spark, tmp_path / "noidx", False)
+    for q in (
+        "SELECT k, v FROM rng WHERE v > 5 AND v <= 9",
+        "SELECT k, v FROM rng WHERE v >= 20",
+        "SELECT k, v FROM rng WHERE v < 3",
+        "SELECT k, v FROM rng WHERE v > 100",
+    ):
+        got = sorted(tuple(r) for r in a.execute(q).collect())
+        want = sorted(
+            tuple(r) for r in b.execute(q + " ALLOW FILTERING").collect()
+        )
+        assert got == want, q
+
+
+def test_sai_range_skips_segments(spark, tmp_path):
+    s = _build_range(spark, tmp_path, True)
+    t = s.table("rng")
+    assert len(t._segments) >= 3, "need several segments to prune"
+    before = dict(t.index_stats)
+    rows = s.execute("SELECT k FROM rng WHERE v >= 20").collect()
+    assert {r.k for r in rows} == {f"k{i}" for i in range(20, 24)}
+    checked = t.index_stats["checked"] - before["checked"]
+    skipped = t.index_stats["range_skipped"] - before["range_skipped"]
+    assert checked == len(t._segments)
+    assert skipped >= 1, (
+        "segments whose [min,max] lies below 20 must be stat-skipped"
+    )
+
+
+def test_sai_range_survives_overwrite_and_delete(spark, tmp_path):
+    """A pk whose indexed value moved INTO / OUT of the range must
+    surface correctly — candidates are a superset and phase-2 rechecks."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=3)
+    s.execute("CREATE TABLE mrng (k text PRIMARY KEY, v int)")
+    s.execute(
+        "CREATE CUSTOM INDEX mrng_v ON mrng (v) "
+        "USING 'StorageAttachedIndex'"
+    )
+    for i in range(9):
+        s.execute(f"INSERT INTO mrng (k, v) VALUES ('p{i}', {i})")
+    s.execute("UPDATE mrng SET v = 100 WHERE k = 'p2'")  # out of range
+    s.execute("UPDATE mrng SET v = 4 WHERE k = 'p8'")    # into range
+    s.execute("DELETE FROM mrng WHERE k = 'p3'")
+    rows = s.execute("SELECT k FROM mrng WHERE v >= 2 AND v <= 6").collect()
+    assert {r.k for r in rows} == {"p4", "p5", "p6", "p8"}
+
+
+def test_plain_index_does_not_serve_ranges(spark, tmp_path):
+    """A non-SAI values index admits equality only — a range predicate
+    still needs ALLOW FILTERING and must NOT route through the pruner."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE pr (k text PRIMARY KEY, v int)")
+    s.execute("CREATE INDEX pr_v ON pr (v)")
+    for i in range(12):
+        s.execute(f"INSERT INTO pr (k, v) VALUES ('k{i}', {i})")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT k FROM pr WHERE v > 5")
+    t = s.table("pr")
+    before = dict(t.index_stats)
+    rows = s.execute("SELECT k FROM pr WHERE v > 5 ALLOW FILTERING").collect()
+    assert len(rows) == 6
+    assert t.index_stats["range_skipped"] == before["range_skipped"]
+
+
+def test_distributed_probe_matches_driver_loop(spark, tmp_path):
+    """Past the segment-count threshold, phase 1 runs as ONE Spark job
+    over the survivor list — answers identical to the pyarrow loop."""
+    s = _build_range(spark, tmp_path, True)
+    t = s.table("rng")
+    q_eq = "SELECT k, v FROM rng WHERE v = 7"
+    q_rng = "SELECT k, v FROM rng WHERE v > 2 AND v < 22"
+    # force the driver loop for the baseline, whatever the survivor count
+    t.index_probe_distribute_threshold = 10_000
+    via_loop = {
+        q: sorted(tuple(r) for r in s.execute(q).collect())
+        for q in (q_eq, q_rng)
+    }
+    assert t.index_stats["distributed_jobs"] == 0, (
+        "below the threshold the driver loop must be used"
+    )
+    t.index_probe_distribute_threshold = 0
+    before = t.index_stats["distributed_jobs"]
+    for q, want in via_loop.items():
+        got = sorted(tuple(r) for r in s.execute(q).collect())
+        assert got == want, q
+    assert t.index_stats["distributed_jobs"] >= before + 1, (
+        "past the threshold the probe must issue a Spark job"
+    )
+
+
+def test_range_fuzz_matches_full_scan(spark, tmp_path):
+    """Differential fuzz for the RANGE probe: random insert/overwrite/
+    delete history on an SAI-indexed int column, then every range SELECT
+    equals the unindexed session's ALLOW FILTERING full scan."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_st = st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 7), st.integers(-3, 9)),
+        st.tuples(st.just("del"), st.integers(0, 7), st.just(0)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(op_st, min_size=1, max_size=14),
+        st.integers(2, 6),
+        st.integers(-2, 8),
+        st.integers(-2, 8),
+    )
+    def run(history, threshold, lo, hi):
+        counter[0] += 1
+        base = tmp_path / f"r{counter[0]}"
+        sessions = []
+        for with_index, sub in ((True, "i"), (False, "n")):
+            s = CqlSession(
+                spark,
+                spill_dir=str(base / sub),
+                spill_threshold=threshold,
+            )
+            s.execute("CREATE TABLE fz (k text PRIMARY KEY, v int)")
+            if with_index:
+                s.execute(
+                    "CREATE CUSTOM INDEX fz_v ON fz (v) "
+                    "USING 'StorageAttachedIndex'"
+                )
+            for kind, pk, val in history:
+                if kind == "ins":
+                    s.execute(
+                        f"INSERT INTO fz (k, v) VALUES ('k{pk}', {val})"
+                    )
+                else:
+                    s.execute(f"DELETE FROM fz WHERE k = 'k{pk}'")
+            sessions.append(s)
+        idx, plain = sessions
+        for q in (
+            f"SELECT k, v FROM fz WHERE v > {lo}",
+            f"SELECT k, v FROM fz WHERE v <= {hi}",
+            f"SELECT k, v FROM fz WHERE v >= {lo} AND v < {hi}",
+        ):
+            got = sorted(tuple(r) for r in idx.execute(q).collect())
+            want = sorted(
+                tuple(r)
+                for r in plain.execute(q + " ALLOW FILTERING").collect()
+            )
+            assert got == want, (history, threshold, q)
+
+    run()
