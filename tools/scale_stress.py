@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import shutil
 import sys
@@ -290,7 +291,32 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, repeat: int) -> floa
     return best
 
 
-def run(spark: SparkSession, factor: int, names: list[str], repeat: int) -> dict:
+def provenance(round_tag: str | None) -> str:
+    """Single-string measurement stamp: round + tree + date. Every block
+    and every per-query entry written from now on carries one, so a
+    merged file can never silently mix rounds again (the r7-era
+    l2d_prod 37x sat untagged next to the r8 15x and misled twice)."""
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    date = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d")
+    return f"r{round_tag or '?'}@{commit} {date}"
+
+
+def run(
+    spark: SparkSession,
+    factor: int,
+    names: list[str],
+    repeat: int,
+    prov: str = "",
+) -> dict:
     adir = str(amp_dir(factor))
     # Warm JVM + footers on both dirs so neither scale pays first-touch costs.
     registry.QUERIES["q_flagship_revenue_by_nation"](spark, BASE_DIR).write.mode(
@@ -309,6 +335,7 @@ def run(spark: SparkSession, factor: int, names: list[str], repeat: int) -> dict
             "base_sec": round(base, 3),
             "amp_sec": round(amp, 3),
             "ratio": round(amp / base, 2),
+            "prov": prov,
         }
         print(
             f"[run] {name}: {base:.2f}s -> {amp:.2f}s "
@@ -323,6 +350,7 @@ def run(spark: SparkSession, factor: int, names: list[str], repeat: int) -> dict
         "unit": "x",
         "factor": factor,
         "base_sf": 0.1,
+        "prov": prov,
         "queries": results,
     }
 
@@ -426,7 +454,13 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--out", default=str(REPO / "SCALE_STRESS.json"))
+    ap.add_argument(
+        "--round",
+        default=os.environ.get("SPARK_GRAFT_ROUND"),
+        help="round tag stamped into every measurement (provenance)",
+    )
     args = ap.parse_args()
+    prov = provenance(args.round)
 
     registry.load_all()
     spark = get_spark("cassandra-spark-scale-stress")
@@ -448,7 +482,7 @@ def main() -> None:
             )
         else:
             names = list(STRESS_QUERIES)
-        report = run(spark, args.factor, names, args.repeat)
+        report = run(spark, args.factor, names, args.repeat, prov)
         out_path = Path(args.out)
         if out_path.exists():
             prev = json.loads(out_path.read_text())
@@ -484,7 +518,13 @@ def main() -> None:
             report["value"] = med
             report["runs"] = {
                 **runs,
-                f"x{args.factor}": {"value": med, "queries": merged_q},
+                f"x{args.factor}": {
+                    "value": med,
+                    # per-entry "prov" stamps say which round measured
+                    # each number; the block stamp = last extension
+                    "prov_last": prov,
+                    "queries": merged_q,
+                },
             }
     if args.cmd in ("replay", "all"):
         replay = replay_stress(spark, args.factor)
@@ -496,6 +536,7 @@ def main() -> None:
                 else {"factor": args.factor}
             )
         report["replay"] = replay
+        report["replay_prov"] = prov
     if report is not None:
         line = json.dumps(report)
         print(line)
