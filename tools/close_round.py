@@ -7,7 +7,12 @@ Runs, in order, with nothing else on the box:
    entry at sf0.01);
 2. full pytest;
 3. full bench sweep (sf0.1 + sf1 tiers, clean JVM);
-4. `tools/floors.py --check` on the sweep.
+4. `tools/floors.py --check` on the sweep — and for every binding
+   over-gate entry, an AUTOMATIC isolated re-measure (fresh process,
+   BENCH_REPEAT=2, the binding protocol): the record carries both the
+   in-sweep and the isolated number, and only a REPRODUCED isolated
+   exceedance fails the stage (r6-r8 each saw one in-sweep trip that
+   evaporated isolated).
 
 Prints a markdown closing record to paste into BASELINE.md and exits
 non-zero if any stage fails. Expect ~35 minutes total.
@@ -100,6 +105,7 @@ def main() -> int:
             timeout=300,
         )
         gates = []
+        trips: list[tuple[str, str, float]] = []  # (sf_key, name, ratio)
         for ln in out.splitlines():
             try:
                 d = json.loads(ln)
@@ -110,8 +116,67 @@ def main() -> int:
                 f"{d['over_gate'] or 'none'}, isolated-only info "
                 f"{d.get('isolated_only_informational') or 'none'}"
             )
+            for n, r in (d.get("over_gate") or {}).items():
+                trips.append((d["floors"], n, r))
         record["floors"] = "; ".join(gates) or "PARSE FAILURE"
-        failed |= rc != 0
+        floors_failed = rc != 0
+
+        if trips:
+            # auto-adjudicate: four rounds running, the sweep's over-gate
+            # entry evaporated when re-measured isolated (x35/x29 in
+            # r6/r7, x22 in r8 refuted at 0.98x) — re-run every binding
+            # trip with the binding protocol (fresh process,
+            # BENCH_REPEAT=2) and record BOTH numbers, so the closing
+            # record is self-contained and only a REPRODUCED exceedance
+            # fails the stage.
+            import os
+
+            sys.path.insert(0, str(REPO / "tools"))
+            import floors as floors_mod
+
+            verdicts = []
+            confirmed = False
+            for sf_key, name, sweep_r in trips:
+                print(
+                    f"[4b] isolated re-measure of {name} ({sf_key}, "
+                    f"in-sweep {sweep_r}x) ...",
+                    file=sys.stderr,
+                )
+                floor = floors_mod.load_floors(sf1=(sf_key == "sf1"))[
+                    name
+                ]["floor"]
+                env = dict(
+                    os.environ, BENCH_QUERIES=name, BENCH_REPEAT="2"
+                )
+                if sf_key == "sf1":
+                    env["BENCH_SF1_QUERIES"] = name
+                    env["BENCH_SF1_DIR"] = str(
+                        REPO / ".scale_stress" / "x10"
+                    )
+                p = subprocess.run(
+                    [sys.executable, "bench.py"],
+                    cwd=REPO, capture_output=True, text=True,
+                    timeout=1800, env=env,
+                )
+                iso_times = floors_mod._extract_times(
+                    {"raw": p.stdout}
+                ).get(sf_key, {})
+                iso = iso_times.get(name)
+                if iso is None:
+                    verdicts.append(f"{name}: ISOLATED RUN FAILED")
+                    confirmed = True
+                    continue
+                ratio = iso / floor
+                word = "REFUTED" if ratio <= 2.0 else "CONFIRMED"
+                confirmed |= ratio > 2.0
+                verdicts.append(
+                    f"{name} ({sf_key}): in-sweep {sweep_r}x, isolated "
+                    f"{iso:.2f}s = {ratio:.2f}x floor {floor} -> {word}"
+                )
+            record["isolated_verdicts"] = "; ".join(verdicts)
+            # binding rule: only a reproducible isolated exceedance counts
+            floors_failed = confirmed
+        failed |= floors_failed
 
     rn = f" (round {args.round})" if args.round else ""
     print(f"\n### Closing record{rn}\n")
