@@ -63,16 +63,21 @@ def _banded(sig: DataFrame) -> DataFrame:
 
 
 def build_minhash_index(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    split: int = 900,
 ) -> str:
     """Write the dedup-index artifact for the EXISTING corpus (split
-    bucket < 900): ``signatures`` + band-partitioned ``bands``. Runs the
-    signature pass exactly once per corpus fingerprint."""
-    index_dir = index_dir or index_root(sf_dir, "minhash", table="documents")
+    bucket < ``split``): ``signatures`` + band-partitioned ``bands``.
+    Runs the signature pass exactly once per corpus fingerprint."""
+    index_dir = index_dir or index_root(
+        sf_dir, f"minhash{split if split != 900 else ''}", table="documents"
+    )
     if _committed(index_dir):
         return index_dir
     cat = Catalog(spark, sf_dir)
-    existing = cat.documents.filter(F.expr(SPLIT_HASH) % 1000 < 900)
+    existing = cat.documents.filter(F.expr(SPLIT_HASH) % 1000 < split)
     sig = minhash_signatures(existing)
     sig.select("doc_id", "sh").write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures")
@@ -85,9 +90,189 @@ def build_minhash_index(
     )
     _commit(
         index_dir,
-        {"kind": "minhash", "bands": N_BANDS, "pmod": PMOD, "split": 900},
+        {
+            "kind": "minhash",
+            "bands": N_BANDS,
+            "pmod": PMOD,
+            "split": split,
+            "generations": [],
+        },
     )
     return index_dir
+
+
+# --- incremental append: the SSTable pattern for the dedup index ------------
+
+
+def _manifest(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def index_generations(index_dir: str) -> list[str]:
+    """Committed append-generation ids, in append order (empty for a
+    freshly built index; pre-append manifests read as no generations)."""
+    return list(_manifest(index_dir).get("generations", []))
+
+
+def index_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The posting-list table: base build unioned with every committed
+    append generation (all share the (band_id, pband) partitioning, so
+    partition pruning applies to every segment family alike)."""
+    paths = [os.path.join(index_dir, "bands")] + [
+        os.path.join(index_dir, f"bands_g_{g}")
+        for g in index_generations(index_dir)
+    ]
+    return (
+        spark.read.parquet(paths[0])
+        if len(paths) == 1
+        else _union_parquet(spark, paths)
+    )
+
+
+def index_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The shingle-set table across base + append generations."""
+    paths = [os.path.join(index_dir, "signatures")] + [
+        os.path.join(index_dir, f"signatures_g_{g}")
+        for g in index_generations(index_dir)
+    ]
+    return (
+        spark.read.parquet(paths[0])
+        if len(paths) == 1
+        else _union_parquet(spark, paths)
+    )
+
+
+def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def append_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: str,
+) -> bool:
+    """Append one admitted/ingested batch to a committed index as a NEW
+    segment family — the SSTable pattern the session tables use: the
+    batch's signatures and band-partitioned postings are written to
+    ``signatures_g_<id>`` / ``bands_g_<id>`` first, and only then does
+    the manifest update (atomic ``os.replace``) make them visible, so a
+    crash mid-append leaves orphan files, never a manifest pointing at
+    missing data. ONLY the batch is signatured — the existing corpus and
+    earlier generations are untouched (monkeypatch-asserted in
+    tests/test_minhash_index.py). Idempotent on ``batch_id``: a replayed
+    append (foreachBatch retry semantics) is a no-op, so the artifact
+    never double-counts a batch. Returns True when a generation was
+    written, False for the no-op replay."""
+    if not _committed(index_dir):
+        raise ValueError(f"no committed index at {index_dir}")
+    man = _manifest(index_dir)
+    gens = list(man.get("generations", []))
+    if batch_id in gens:
+        return False
+    sig = minhash_signatures(batch)
+    sig.select("doc_id", "sh").write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"signatures_g_{batch_id}")
+    )
+    (
+        _banded(sig)
+        .write.mode("overwrite")
+        .partitionBy("band_id", "pband")
+        .parquet(os.path.join(index_dir, f"bands_g_{batch_id}"))
+    )
+    man["generations"] = gens + [batch_id]
+    _commit(index_dir, man)
+    return True
+
+
+def clone_index(index_dir: str, dst: str) -> str:
+    """File-level copy of a committed artifact (base + generations) —
+    the cheap way for a scenario run to get a PRIVATE appendable index
+    without re-signaturing the corpus (bench re-runs must not see the
+    previous run's generations)."""
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(index_dir, dst)
+    return dst
+
+
+def admit_against_index(
+    spark: SparkSession, index_dir: str, nsig: DataFrame
+) -> DataFrame:
+    """Per-doc admission decisions for a signatured batch against the
+    persisted index (base + all generations): banded candidate probe on
+    the partition-pruned posting lists, PLUS arrival-order candidacy
+    among the batch docs themselves (q.doc_id < n.doc_id), then exact
+    Jaccard verify against the artifact's shingle sets. Output schema =
+    l31's: (doc_id, n_dups, best_jaccard, admit)."""
+    nbands = _banded(nsig)
+    art_bands = index_bands(spark, index_dir)
+    n = nbands.alias("n")
+    cand_prior = n.join(
+        art_bands.alias("p"),
+        (F.col("n.band_id") == F.col("p.band_id"))
+        & (F.col("n.pband") == F.col("p.pband"))
+        & (F.col("n.band_val") == F.col("p.band_val")),
+    ).select(
+        F.col("n.doc_id").alias("new_doc"),
+        F.col("p.doc_id").alias("prior_doc"),
+    )
+    cand_new = n.join(
+        nbands.alias("q"),
+        (F.col("n.band_id") == F.col("q.band_id"))
+        & (F.col("n.band_val") == F.col("q.band_val"))
+        & (F.col("q.doc_id") < F.col("n.doc_id")),
+    ).select(
+        F.col("n.doc_id").alias("new_doc"),
+        F.col("q.doc_id").alias("prior_doc"),
+    )
+    cand = cand_prior.unionByName(cand_new).distinct()
+    art_sh = index_signatures(spark, index_dir)
+    prior_sh = art_sh.unionByName(nsig.select("doc_id", "sh"))
+    inter = F.size(F.array_intersect(F.col("sn"), F.col("sp")))
+    union = F.size(F.col("sn")) + F.size(F.col("sp")) - inter
+    dups = (
+        cand.join(
+            nsig.select(
+                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sn")
+            ),
+            "new_doc",
+        )
+        .join(
+            prior_sh.select(
+                F.col("doc_id").alias("prior_doc"), F.col("sh").alias("sp")
+            ),
+            "prior_doc",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .groupBy("new_doc")
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        nsig.select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            "best_jaccard",
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admit"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -128,13 +313,14 @@ def l38_minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "l38_minhash_index_query",
-    # identical contract to l31: the oracle recomputes the WHOLE corpus
-    # inline; the Spark side signatures only the new batch and reads the
-    # existing corpus from the artifact
-    oracle=f"""
-    WITH {_minhash_sql_cte()},
+# The admission oracle (l31's contract): new batch = bucket >= 900,
+# priors = the whole earlier corpus (bucket < 900) plus smaller-id batch
+# docs (arrival-order candidacy). l38_query proves the build+query split
+# equals this; l40 proves build(<800) + APPEND(800-899) + query equals
+# the SAME thing — i.e. an appended generation serves exactly like a
+# rebuilt index; s18 proves the streaming append loop does too.
+ADMIT_ORACLE_SQL = f"""
+    WITH {{MINHASH_CTE}},
     bucketed AS (
       SELECT *, ({SPLIT_HASH}) % 1000 AS bucket FROM banded
     ),
@@ -174,7 +360,17 @@ def l38_minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bucketed b LEFT JOIN dups d ON d.new_doc = b.doc_id
     WHERE b.bucket >= 900
     ORDER BY b.doc_id
-    """,
+    """
+
+
+@query(
+    "l38_minhash_index_query",
+    # identical contract to l31: the oracle recomputes the WHOLE corpus
+    # inline; the Spark side signatures only the new batch and reads the
+    # existing corpus from the artifact
+    oracle=ADMIT_ORACLE_SQL.replace(
+        "{MINHASH_CTE}", _minhash_sql_cte().strip()
+    ),
 )
 def l38_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-many half: admit the new batch against the PERSISTED corpus
@@ -188,64 +384,43 @@ def l38_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     nsig = minhash_signatures(new_docs).select(
         "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
     ).persist()  # three consumers: probe bands, verify sh, output keys
-    nbands = _banded(nsig)
+    return admit_against_index(spark, index_dir, nsig)
 
-    art_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
-    n = nbands.alias("n")
-    cand_prior = n.join(
-        art_bands.alias("p"),
-        (F.col("n.band_id") == F.col("p.band_id"))
-        & (F.col("n.pband") == F.col("p.pband"))
-        & (F.col("n.band_val") == F.col("p.band_val")),
-    ).select(
-        F.col("n.doc_id").alias("new_doc"),
-        F.col("p.doc_id").alias("prior_doc"),
-    )
-    cand_new = n.join(
-        nbands.alias("q"),
-        (F.col("n.band_id") == F.col("q.band_id"))
-        & (F.col("n.band_val") == F.col("q.band_val"))
-        & (F.col("q.doc_id") < F.col("n.doc_id")),
-    ).select(
-        F.col("n.doc_id").alias("new_doc"),
-        F.col("q.doc_id").alias("prior_doc"),
-    )
-    cand = cand_prior.unionByName(cand_new).distinct()
 
-    art_sh = spark.read.parquet(os.path.join(index_dir, "signatures"))
-    prior_sh = art_sh.unionByName(nsig.select("doc_id", "sh"))
-    inter = F.size(F.array_intersect(F.col("sn"), F.col("sp")))
-    union = F.size(F.col("sn")) + F.size(F.col("sp")) - inter
-    dups = (
-        cand.join(
-            nsig.select(
-                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sn")
-            ),
-            "new_doc",
-        )
-        .join(
-            prior_sh.select(
-                F.col("doc_id").alias("prior_doc"), F.col("sh").alias("sp")
-            ),
-            "prior_doc",
-        )
-        .withColumn("jaccard", inter.cast("double") / union)
-        .groupBy("new_doc")
-        .agg(
-            F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dups"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
+@query(
+    "l40_minhash_index_append",
+    # SAME oracle as l38_query: priors = everything below bucket 900.
+    # The Spark side gets there differently — base build over <800,
+    # APPEND of 800-899 as a generation — so equality proves an appended
+    # generation serves exactly like a rebuilt index.
+    oracle=ADMIT_ORACLE_SQL.replace(
+        "{MINHASH_CTE}", _minhash_sql_cte().strip()
+    ),
+)
+def l40_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append half of the persisted dedup index (the SSTable
+    pattern, round-9): build the base artifact over bucket < 800, APPEND
+    the 800-899 slice as a committed generation (only that slice is
+    signatured — the base corpus is untouched, monkeypatch-asserted in
+    tests/test_minhash_index.py), then admit the >= 900 batch against
+    base + generation. The scenario runs against a CLONE of the cached
+    base artifact so bench re-runs never see a previous run's
+    generations (append idempotence is separately pinned by batch_id)."""
+    import tempfile
+
+    base = build_minhash_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "minhash800", table="documents"),
+        split=800,
     )
-    return (
-        nsig.select("doc_id")
-        .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
-            "best_jaccard",
-            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admit"),
-        )
-        .orderBy("doc_id")
-    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l40_idx_"))
+    cat = Catalog(spark, sf_dir)
+    bucket = F.expr(SPLIT_HASH) % 1000
+    batch1 = cat.documents.filter((bucket >= 800) & (bucket < 900))
+    append_minhash_index(spark, work, batch1, "b1")
+    new_docs = cat.documents.filter(bucket >= 900)
+    nsig = minhash_signatures(new_docs).select(
+        "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
+    ).persist()
+    return admit_against_index(spark, work, nsig)

@@ -841,3 +841,124 @@ def s17_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.streaming_admission(spark, src, sf_dir, out)
     return spark.read.parquet(out).orderBy("doc_id")
+
+
+@query(
+    "s18_streaming_admission_append",
+    # the l38/l40 admission oracle VERBATIM: with id-ordered arrival,
+    # "every earlier batch appended + smaller-id same-batch docs" is
+    # exactly "all smaller-id stream docs + the corpus" — the one-shot
+    # result. Equality proves the append loop is batching-independent.
+    oracle="""
+    WITH {MINHASH_CTE},
+    bucketed AS (
+      SELECT *, ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+      FROM banded
+    ),
+    bands AS (
+      SELECT doc_id, bucket, b.band_id,
+             CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS band_val
+      FROM bucketed CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, p.doc_id AS prior_doc
+      FROM bands n JOIN bands p
+        ON n.band_id = p.band_id AND n.band_val = p.band_val
+      WHERE n.bucket >= 900
+        AND (p.bucket < 900 OR (p.bucket >= 900 AND p.doc_id < n.doc_id))
+    ),
+    verified AS (
+      SELECT new_doc,
+             CAST(len(list_intersect(sn.sh, sp.sh)) AS DOUBLE)
+             / (len(sn.sh) + len(sp.sh) - len(list_intersect(sn.sh, sp.sh)))
+               AS jaccard
+      FROM cand
+      JOIN banded sn ON sn.doc_id = new_doc
+      JOIN banded sp ON sp.doc_id = prior_doc
+    ),
+    dups AS (
+      SELECT new_doc,
+             CAST(COUNT(*) FILTER (WHERE jaccard >= 0.2) AS BIGINT)
+               AS n_dups,
+             MAX(jaccard) AS best_jaccard
+      FROM verified GROUP BY new_doc
+    )
+    SELECT b.doc_id,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           d.best_jaccard,
+           COALESCE(d.n_dups, 0) = 0 AS admit
+    FROM bucketed b LEFT JOIN dups d ON d.new_doc = b.doc_id
+    WHERE b.bucket >= 900
+    ORDER BY b.doc_id
+    """.replace("{MINHASH_CTE}", _minhash_sql_cte().strip()),
+)
+def s18_streaming_admission_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S18 end-to-end: the full ingestion loop — the new batch staged as
+    4 id-ordered parquet files drains through the foreachBatch
+    admit-then-APPEND gatekeeper (jobs.streaming_admission_append): each
+    micro-batch is admitted against the persisted index AND committed
+    into it as a generation, so later batches' probes see earlier
+    batches' documents (what s17's frozen-index gatekeeper defers to a
+    rebuild). Runs against a CLONE of the cached l38 artifact, so
+    neither l38/s17 nor a bench re-run ever sees this run's generations.
+    The decision union equals the ONE-SHOT id-order admission (l38's
+    oracle verbatim) — batching independence (1 file ≡ 4 files) is
+    pinned in tests/test_minhash_index.py."""
+    import os
+    import tempfile
+
+    from cassandra_spark.operators.minhash_index import (
+        build_minhash_index,
+        clone_index,
+    )
+    from cassandra_spark.streaming import jobs
+
+    base = build_minhash_index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="s18_admission_")
+    work = clone_index(base, os.path.join(tmp, "idx"))
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    stage_id_ordered_files(spark, sf_dir, src, n_files=4)
+    jobs.streaming_admission_append(spark, src, out, work)
+    return spark.read.parquet(out).orderBy("doc_id")
+
+
+def stage_id_ordered_files(
+    spark: SparkSession, sf_dir: str, src: str, n_files: int
+) -> None:
+    """Stage the >= 900 split of documents as ``n_files`` parquet files
+    whose id ranges AND modification times both follow doc_id order, so
+    the file stream's arrival order (FileStreamSource sorts candidates
+    by mod time) is the id order the closed-form oracle assumes."""
+    import glob as globmod
+    import os
+    import shutil
+
+    split = "(doc_id * 2654435761) % 4294967296"
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.expr(split) % 1000 >= 900)
+        .select("doc_id", "text")
+    )
+    if n_files == 1:
+        cuts = []
+    else:
+        qs = [k / n_files for k in range(1, n_files)]
+        cuts = docs.stat.approxQuantile("doc_id", qs, 0.0)
+    os.makedirs(src, exist_ok=True)
+    bounds = [float("-inf")] + cuts + [float("inf")]
+    stamp = 1_000_000_000  # fixed base; only the ORDER matters
+    for k in range(n_files):
+        part = docs.filter(
+            (F.col("doc_id") > F.lit(bounds[k]))
+            & (F.col("doc_id") <= F.lit(bounds[k + 1]))
+        )
+        tdir = os.path.join(src + "_stage", f"p{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(tdir)
+        (pf,) = globmod.glob(os.path.join(tdir, "part-*.parquet"))
+        dst = os.path.join(src, f"f{k}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (stamp + 60 * k, stamp + 60 * k))

@@ -138,3 +138,134 @@ def test_streaming_admission_never_resignatures_corpus(
     )
     jobs.streaming_admission(spark, src, SF_SMOKE, out)
     assert spark.read.parquet(out).count() > 0
+
+
+# --- round-9: incremental append (the SSTable pattern) --------------------
+
+
+def _clone(spark, index_dir, tmp_path, name="w"):
+    return mi.clone_index(index_dir, str(tmp_path / name))
+
+
+def test_append_only_signatures_the_batch(spark, index_dir, tmp_path,
+                                          monkeypatch):
+    """append_minhash_index must signature ONLY the appended batch —
+    neither the base corpus nor earlier generations."""
+    from cassandra_spark.catalog import Catalog
+
+    work = _clone(spark, index_dir, tmp_path)
+    batch = (
+        Catalog(spark, SF_SMOKE)
+        .documents.filter(F.expr(mi.SPLIT_HASH) % 1000 >= 950)
+        .select("doc_id", "text")
+    )
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    real = mi.minhash_signatures
+    seen = []
+
+    def probe(docs):
+        ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        seen.append(ids)
+        return real(docs)
+
+    monkeypatch.setattr(mi, "minhash_signatures", probe)
+    assert mi.append_minhash_index(spark, work, batch, "b950")
+    assert len(seen) == 1 and seen[0] == batch_ids
+
+
+def test_append_is_idempotent_on_batch_id(spark, index_dir, tmp_path):
+    from cassandra_spark.catalog import Catalog
+
+    work = _clone(spark, index_dir, tmp_path)
+    batch = (
+        Catalog(spark, SF_SMOKE)
+        .documents.filter(F.expr(mi.SPLIT_HASH) % 1000 >= 950)
+        .select("doc_id", "text")
+    )
+    assert mi.append_minhash_index(spark, work, batch, "e0") is True
+    n_after_first = mi.index_signatures(spark, work).count()
+    assert mi.append_minhash_index(spark, work, batch, "e0") is False
+    assert mi.index_generations(work) == ["e0"]
+    assert mi.index_signatures(spark, work).count() == n_after_first
+
+
+def test_uncommitted_generation_is_invisible(spark, index_dir, tmp_path):
+    """Crash-safety: generation data written but not manifest-committed
+    must not be read (the manifest update is the commit point)."""
+    import shutil
+
+    work = _clone(spark, index_dir, tmp_path)
+    base_n = mi.index_signatures(spark, work).count()
+    # simulate a crash between the data write and the manifest update
+    shutil.copytree(
+        os.path.join(work, "signatures"),
+        os.path.join(work, "signatures_g_orphan"),
+    )
+    shutil.copytree(
+        os.path.join(work, "bands"), os.path.join(work, "bands_g_orphan")
+    )
+    assert mi.index_generations(work) == []
+    assert mi.index_signatures(spark, work).count() == base_n
+
+
+def test_append_then_admit_equals_full_rebuild(spark, tmp_path):
+    """admit -> append -> admit == the one-shot result: admitting the
+    >=900 batch against (base<800 + appended 800-899 generation) equals
+    admitting it against the index BUILT over <900 in one shot."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_dedup import minhash_signatures
+
+    cat = Catalog(spark, SF_SMOKE)
+    bucket = F.expr(mi.SPLIT_HASH) % 1000
+    base800 = mi.build_minhash_index(
+        spark, SF_SMOKE, str(tmp_path / "base800"), split=800
+    )
+    work = _clone(spark, base800, tmp_path, "work")
+    mi.append_minhash_index(
+        spark,
+        work,
+        cat.documents.filter((bucket >= 800) & (bucket < 900)),
+        "b1",
+    )
+    full = mi.build_minhash_index(
+        spark, SF_SMOKE, str(tmp_path / "full900"), split=900
+    )
+    nsig = minhash_signatures(
+        cat.documents.filter(bucket >= 900)
+    ).select("doc_id", "sh", *[f"band{b}" for b in range(mi.N_BANDS)])
+    via_append = [
+        tuple(r)
+        for r in mi.admit_against_index(spark, work, nsig).collect()
+    ]
+    via_rebuild = [
+        tuple(r)
+        for r in mi.admit_against_index(spark, full, nsig).collect()
+    ]
+    assert via_append == via_rebuild
+    assert via_append, "batch must produce admission rows"
+
+
+def test_append_loop_batching_independent(spark, index_dir, tmp_path):
+    """s18's property at the jobs level: with id-ordered arrival, the
+    admit-then-append loop's decisions are identical for 1-file and
+    4-file stagings (and the s18 registry query pins both against the
+    one-shot oracle)."""
+    from cassandra_spark.operators.streaming_batch import (
+        stage_id_ordered_files,
+    )
+    from cassandra_spark.streaming import jobs
+
+    outs = []
+    for nfiles in (1, 4):
+        work = _clone(spark, index_dir, tmp_path, f"idx{nfiles}")
+        src = str(tmp_path / f"src{nfiles}")
+        out = str(tmp_path / f"out{nfiles}")
+        stage_id_ordered_files(spark, SF_SMOKE, src, n_files=nfiles)
+        jobs.streaming_admission_append(spark, src, out, work)
+        outs.append(
+            sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        )
+        # every epoch committed a generation
+        assert len(mi.index_generations(work)) == nfiles
+    assert outs[0] == outs[1]
+    assert outs[0], "batch must produce admissions"
