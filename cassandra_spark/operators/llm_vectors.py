@@ -1325,7 +1325,12 @@ def _pq_dist_duck(sv: str, cv: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(train_where: str = "TRUE") -> str:
+    """The full PQ pipeline in DuckDB. ``train_where`` (SQL over
+    vec_id) restricts the TRAINING set — seeds and the Lloyd round —
+    while codes/ADC/re-rank still cover every vector: the frozen-
+    codebook contract of an index APPEND (l42), default = train on
+    everything (l26/l36)."""
     qdot = _PQ_QDOT_DUCK.format(a="qa.qv", b="qb.qv")
     qna = _PQ_QDOT_DUCK.format(a="qa.qv", b="qa.qv")
     qnb = _PQ_QDOT_DUCK.format(a="qb.qv", b="qb.qv")
@@ -1342,12 +1347,13 @@ def _pq_oracle() -> str:
     cent0 AS (
       SELECT m, CAST(vec_id AS INTEGER) AS cid,
              list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
-      FROM subs WHERE vec_id < {PQ_K}
+      FROM subs WHERE vec_id < {PQ_K} AND ({train_where})
     ),
     a1p AS (
       SELECT s.vec_id, s.m,
              MIN({{'d': {_pq_dist_duck('s.sv', 'c.cvec')}, 'c': c.cid}}) AS mc
       FROM subs s JOIN cent0 c ON c.m = s.m
+      WHERE ({train_where.replace('vec_id', 's.vec_id')})
       GROUP BY s.vec_id, s.m
     ),
     a1 AS (SELECT vec_id, m, mc.c AS cl FROM a1p),

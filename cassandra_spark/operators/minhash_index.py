@@ -41,8 +41,13 @@ from cassandra_spark.operators.llm_dedup import (
 )
 from cassandra_spark.operators.vector_index import (
     _commit,
+    _commit_generation,
     _committed,
+    _has_generation,
+    clone_index,
+    index_generations,
     index_root,
+    read_family,
 )
 from cassandra_spark.registry import query
 
@@ -102,55 +107,20 @@ def build_minhash_index(
 
 
 # --- incremental append: the SSTable pattern for the dedup index ------------
-
-
-def _manifest(index_dir: str) -> dict:
-    import json
-
-    with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
-        return json.load(f)
-
-
-def index_generations(index_dir: str) -> list[str]:
-    """Committed append-generation ids, in append order (empty for a
-    freshly built index; pre-append manifests read as no generations)."""
-    return list(_manifest(index_dir).get("generations", []))
+# (manifest/generation/clone plumbing is shared with the ANN indexes —
+# see vector_index.py "incremental append plumbing")
 
 
 def index_bands(spark: SparkSession, index_dir: str) -> DataFrame:
     """The posting-list table: base build unioned with every committed
     append generation (all share the (band_id, pband) partitioning, so
     partition pruning applies to every segment family alike)."""
-    paths = [os.path.join(index_dir, "bands")] + [
-        os.path.join(index_dir, f"bands_g_{g}")
-        for g in index_generations(index_dir)
-    ]
-    return (
-        spark.read.parquet(paths[0])
-        if len(paths) == 1
-        else _union_parquet(spark, paths)
-    )
+    return read_family(spark, index_dir, "bands")
 
 
 def index_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
     """The shingle-set table across base + append generations."""
-    paths = [os.path.join(index_dir, "signatures")] + [
-        os.path.join(index_dir, f"signatures_g_{g}")
-        for g in index_generations(index_dir)
-    ]
-    return (
-        spark.read.parquet(paths[0])
-        if len(paths) == 1
-        else _union_parquet(spark, paths)
-    )
-
-
-def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
-    out = None
-    for p in paths:
-        df = spark.read.parquet(p)
-        out = df if out is None else out.unionByName(df)
-    return out
+    return read_family(spark, index_dir, "signatures")
 
 
 def append_minhash_index(
@@ -173,9 +143,7 @@ def append_minhash_index(
     written, False for the no-op replay."""
     if not _committed(index_dir):
         raise ValueError(f"no committed index at {index_dir}")
-    man = _manifest(index_dir)
-    gens = list(man.get("generations", []))
-    if batch_id in gens:
+    if _has_generation(index_dir, batch_id):
         return False
     sig = minhash_signatures(batch)
     sig.select("doc_id", "sh").write.mode("overwrite").parquet(
@@ -187,22 +155,8 @@ def append_minhash_index(
         .partitionBy("band_id", "pband")
         .parquet(os.path.join(index_dir, f"bands_g_{batch_id}"))
     )
-    man["generations"] = gens + [batch_id]
-    _commit(index_dir, man)
+    _commit_generation(index_dir, batch_id)
     return True
-
-
-def clone_index(index_dir: str, dst: str) -> str:
-    """File-level copy of a committed artifact (base + generations) —
-    the cheap way for a scenario run to get a PRIVATE appendable index
-    without re-signaturing the corpus (bench re-runs must not see the
-    previous run's generations)."""
-    import shutil
-
-    if os.path.exists(dst):
-        shutil.rmtree(dst)
-    shutil.copytree(index_dir, dst)
-    return dst
 
 
 def admit_against_index(

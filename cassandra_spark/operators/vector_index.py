@@ -88,17 +88,91 @@ def _commit(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "_MANIFEST.json"))
 
 
+# --- incremental append plumbing (round-9): the SSTable pattern -------------
+#
+# Shared by every persisted index (IVF/PQ here, MinHash in
+# minhash_index.py): an append writes the batch's derived rows as a NEW
+# segment family ``<family>_g_<batch_id>`` and only then commits the
+# manifest update (atomic os.replace) — a crash mid-append leaves orphan
+# files, never a manifest pointing at missing data; appends are
+# idempotent on batch_id so at-least-once retries cannot double-count.
+
+
+def _manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def index_generations(index_dir: str) -> list[str]:
+    """Committed append-generation ids in append order (pre-append
+    manifests read as none)."""
+    return list(_manifest(index_dir).get("generations", []))
+
+
+def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def read_family(
+    spark: SparkSession, index_dir: str, family: str
+) -> DataFrame:
+    """One logical index table = base build + every committed append
+    generation (each keeps the family's partitioning, so partition
+    pruning applies to every segment alike)."""
+    paths = [os.path.join(index_dir, family)] + [
+        os.path.join(index_dir, f"{family}_g_{g}")
+        for g in index_generations(index_dir)
+    ]
+    return (
+        spark.read.parquet(paths[0])
+        if len(paths) == 1
+        else _union_parquet(spark, paths)
+    )
+
+
+def _commit_generation(index_dir: str, batch_id: str) -> None:
+    man = _manifest(index_dir)
+    man["generations"] = list(man.get("generations", [])) + [batch_id]
+    _commit(index_dir, man)
+
+
+def _has_generation(index_dir: str, batch_id: str) -> bool:
+    return batch_id in _manifest(index_dir).get("generations", [])
+
+
+def clone_index(index_dir: str, dst: str) -> str:
+    """File-level copy of a committed artifact (base + generations) — a
+    scenario run's PRIVATE appendable index, without re-deriving the
+    corpus (bench re-runs must not see a previous run's generations)."""
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(index_dir, dst)
+    return dst
+
+
 # --- IVF: centroid table + bucket-partitioned inverted file -----------------
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    where: str | None = None,
 ) -> str:
     """Write the IVF artifact: ``centroids`` (cj, cvec — the VALUES of
     l3c's deterministic stand-in centroids, so query results stay
     bit-identical to the inline path) and ``postings`` — (vec_id,
     embedding, nrm) partitioned by assigned bucket. Assignment runs ONCE
-    here; queries never recompute it."""
+    here; queries never recompute it. ``where`` (SQL over vec_id)
+    restricts the indexed vectors — the base half of an append scenario
+    (l41); the centroid table is data-independent, so base + appended
+    generations is bit-identical to a one-shot full build."""
     index_dir = index_dir or index_root(sf_dir, "ivf")
     if _committed(index_dir):
         return index_dir
@@ -115,15 +189,47 @@ def build_ivf_index(
         os.path.join(index_dir, "centroids")
     )
     normed = _normed(cat)
+    indexed = normed.filter(F.expr(where)) if where else normed
     (
-        normed.withColumn("bucket", _assign_bucket_col())
+        indexed.withColumn("bucket", _assign_bucket_col())
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "postings"))
     )
     normed.unpersist()
-    _commit(index_dir, {"kind": "ivf", "n_centroids": N_CENTROIDS})
+    _commit(
+        index_dir,
+        {"kind": "ivf", "n_centroids": N_CENTROIDS, "generations": []},
+    )
     return index_dir
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    where: str,
+    batch_id: str,
+) -> bool:
+    """Append new vectors to a committed IVF index: assign ONLY the
+    batch to the EXISTING centroids (no re-assignment of the indexed
+    corpus — monkeypatch-asserted in tests/test_vector_index.py), write
+    the bucket-partitioned ``postings_g_<id>`` family, then commit the
+    manifest. Idempotent on batch_id; returns False for a replay."""
+    if not _committed(index_dir):
+        raise ValueError(f"no committed index at {index_dir}")
+    if _has_generation(index_dir, batch_id):
+        return False
+    cat = Catalog(spark, sf_dir)
+    batch = _normed(cat).filter(F.expr(where))
+    (
+        batch.withColumn("bucket", _assign_bucket_col())
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, f"postings_g_{batch_id}"))
+    )
+    _commit_generation(index_dir, batch_id)
+    return True
 
 
 # dot of a stored centroid vector against ``vec``, accumulated in the
@@ -147,7 +253,7 @@ def ivf_query_topk(
     training: broadcast the centroid table, rank cells per query, scan
     just the probed postings partitions, exact-score candidates."""
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = read_family(spark, index_dir, "postings")
     queries = postings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -204,11 +310,10 @@ def l35_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "l35_ivf_index_query",
-    # identical contract to l3c_ivf_ann: the oracle recomputes the whole
-    # IVF pipeline inline; the Spark side reads ONLY the artifact
-    oracle=f"""
+# the full-corpus IVF query oracle — shared by l35_query (one-shot
+# build) and l41 (base build + appended generation): the centroid table
+# is data-independent, so both artifact layouts must answer identically
+_IVF_QUERY_ORACLE = f"""
     WITH {_NORMED_DUCK},
     assigned AS (
       SELECT vec_id, embedding, nrm, {ASSIGN_DUCK} AS bucket FROM normed
@@ -244,7 +349,14 @@ def l35_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
           FROM pairs)
     WHERE rn <= 5
-    """,
+    """
+
+
+@query(
+    "l35_ivf_index_query",
+    # identical contract to l3c_ivf_ann: the oracle recomputes the whole
+    # IVF pipeline inline; the Spark side reads ONLY the artifact
+    oracle=_IVF_QUERY_ORACLE,
 )
 def l35_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-many half: ensure the artifact exists, then answer STRICTLY
@@ -292,19 +404,29 @@ def build_lsh_bucket_index(
 
 
 def build_pq_index(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    where: str | None = None,
 ) -> str:
     """Write the PQ artifact: ``codebook`` (m, cid, cvec) from l26's
     integer-exact one-round Lloyd training (the training collects happen
     here, once) and ``codes`` (vec_id, codes) from the Arrow-batched
-    encoder. Queries read both tables and never train."""
+    encoder. Queries read both tables and never train. ``where`` (SQL
+    over vec_id) restricts BOTH the training set and the coded vectors —
+    the base half of an append scenario (l42): appends encode with this
+    frozen codebook, exactly the production contract (an append must
+    never retrain — retraining is a rebuild)."""
     index_dir = index_dir or index_root(sf_dir, "pq")
     if _committed(index_dir):
         return index_dir
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.select(
         "vec_id", F.expr(_QV_SPARK_GRID).alias("qv")
-    ).persist()
+    )
+    if where:
+        vecs = vecs.filter(F.expr(where))
+    vecs = vecs.persist()
     books = _pq_train(vecs)
     rows = [
         (m, int(cid), [float(x) for x in cent[i]])
@@ -320,8 +442,38 @@ def build_pq_index(
         "vec_id", _pq_code_udf(books)(F.col("qv")).alias("codes")
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
     vecs.unpersist()
-    _commit(index_dir, {"kind": "pq", "m": PQ_M})
+    _commit(index_dir, {"kind": "pq", "m": PQ_M, "generations": []})
     return index_dir
+
+
+def append_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    where: str,
+    batch_id: str,
+) -> bool:
+    """Append new vectors to a committed PQ index: rehydrate the FROZEN
+    codebook from the artifact (a bounded model-state read, never a
+    training pass — monkeypatch-asserted in tests/test_vector_index.py),
+    encode ONLY the batch, write ``codes_g_<id>``, commit the manifest.
+    Idempotent on batch_id; returns False for a replay."""
+    if not _committed(index_dir):
+        raise ValueError(f"no committed index at {index_dir}")
+    if _has_generation(index_dir, batch_id):
+        return False
+    books = _books_from_index(spark, index_dir)
+    cat = Catalog(spark, sf_dir)
+    batch = cat.embeddings.select(
+        "vec_id", F.expr(_QV_SPARK_GRID).alias("qv")
+    ).filter(F.expr(where))
+    batch.select(
+        "vec_id", _pq_code_udf(books)(F.col("qv")).alias("codes")
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"codes_g_{batch_id}")
+    )
+    _commit_generation(index_dir, batch_id)
+    return True
 
 
 def _books_from_index(spark: SparkSession, index_dir: str):
@@ -356,7 +508,7 @@ def pq_query_topk(
     from cassandra_spark.operators.llm_vectors import _pq_fold_dist
 
     books = _books_from_index(spark, index_dir)
-    coded = spark.read.parquet(os.path.join(index_dir, "codes"))
+    coded = read_family(spark, index_dir, "codes")
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.select(
         "vec_id", F.expr(_QV_SPARK_GRID).alias("qv")
@@ -499,3 +651,70 @@ def l36_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     l26_pq_ann: recall and exact values unchanged."""
     index_dir = build_pq_index(spark, sf_dir)
     return pq_query_topk(spark, sf_dir, index_dir)
+
+
+# --- round-9: incremental append for the ANN indexes -------------------------
+
+# ~1/7th of vectors arrive "later" in the append scenarios; everything
+# else is the base build. vec_id-hash keeps the split deterministic.
+_APPEND_SPLIT_NEW = "vec_id % 7 = 3"
+_APPEND_SPLIT_BASE = "vec_id % 7 <> 3"
+
+
+@query(
+    "l41_ivf_index_append",
+    # SAME oracle as l35_ivf_index_query: base build (6/7 of vectors) +
+    # appended generation (1/7) must answer exactly like the one-shot
+    # full build — assignment is against the same data-independent
+    # centroid table either way.
+    oracle=_IVF_QUERY_ORACLE,
+)
+def l41_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append half of the persisted IVF pair (the SSTable
+    pattern, round-9): build the base inverted file over vec_id % 7 <> 3,
+    APPEND the remaining vectors as a committed bucket-partitioned
+    generation (only the batch is assigned — the indexed corpus is never
+    re-assigned, monkeypatch-asserted in tests/test_vector_index.py),
+    then answer the standard top-k probe from base + generation. Runs
+    against a CLONE of the cached base artifact so bench re-runs never
+    see a previous run's generations."""
+    import tempfile
+
+    base = build_ivf_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "ivf_base7"),
+        where=_APPEND_SPLIT_BASE,
+    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l41_idx_"))
+    append_ivf_index(spark, sf_dir, work, _APPEND_SPLIT_NEW, "b1")
+    return ivf_query_topk(spark, work)
+
+
+@query(
+    "l42_pq_index_append",
+    # the PQ oracle with training RESTRICTED to the base split — the
+    # frozen-codebook contract: an append encodes with the committed
+    # codebook and never retrains (retraining is a rebuild). Codes, ADC
+    # and the exact re-rank still cover every vector.
+    oracle=_pq_oracle(train_where=_APPEND_SPLIT_BASE),
+)
+def l42_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append half of the persisted PQ pair: build codebook
+    + codes over vec_id % 7 <> 3, APPEND the remaining vectors encoded
+    with the FROZEN codebook (a bounded model-state read — training is
+    provably never invoked on the append path), then ADC + re-rank over
+    base + generation codes. The oracle trains on the base split only
+    and codes everything, so equality pins both halves of the frozen-
+    codebook contract."""
+    import tempfile
+
+    base = build_pq_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "pq_base7"),
+        where=_APPEND_SPLIT_BASE,
+    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l42_idx_"))
+    append_pq_index(spark, sf_dir, work, _APPEND_SPLIT_NEW, "b1")
+    return pq_query_topk(spark, sf_dir, work)

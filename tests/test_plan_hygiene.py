@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "l32_dedup_triangles": "1-row edge-count aggregate",
     "l35_ivf_index_query": "O(K) centroid table + fixed query set",
     "l36_pq_index_query": "O(M*K) codebook + fixed query set",
+    "l41_ivf_index_append": "O(K) centroid table + fixed query set",
+    "l42_pq_index_append": "O(M*K) codebook + fixed query set",
     "l3_cosine_topk": "fixed query-vector set",
     "l3b_lsh_ann": "fixed query-vector set",
     "l3c_ivf_ann": "O(K) centroids + fixed query set",

@@ -121,3 +121,91 @@ def test_sai_ann_scans_only_probed_buckets(spark):
     assert [r.vec_id for r in df.collect()] == [
         r.vec_id for r in df2.collect()
     ]
+
+
+# --- round-9: incremental append (the SSTable pattern) --------------------
+
+
+def test_ivf_append_equals_one_shot_build(spark, tmp_path):
+    """Base build (6/7) + appended generation (1/7) answers the probe
+    bit-identically to the one-shot full build."""
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_ivf_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    assert vi.append_ivf_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    )
+    full = vi.build_ivf_index(spark, SF_SMOKE)  # cached one-shot artifact
+    got = sorted(
+        tuple(r) for r in vi.ivf_query_topk(spark, work).collect()
+    )
+    want = sorted(
+        tuple(r) for r in vi.ivf_query_topk(spark, full).collect()
+    )
+    assert got == want and got
+
+
+def test_ivf_append_assigns_only_the_batch(spark, tmp_path):
+    """The appended generation holds exactly the batch; base postings
+    are byte-untouched (no re-assignment of the indexed corpus)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_ivf_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    before = {
+        (p, os.path.getmtime(os.path.join(work, "postings", p)))
+        for p in os.listdir(os.path.join(work, "postings"))
+    }
+    vi.append_ivf_index(spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1")
+    after = {
+        (p, os.path.getmtime(os.path.join(work, "postings", p)))
+        for p in os.listdir(os.path.join(work, "postings"))
+    }
+    assert before == after, "base postings must not be rewritten"
+    gen = spark.read.parquet(os.path.join(work, "postings_g_b1"))
+    assert gen.filter(~F.expr(vi._APPEND_SPLIT_NEW)).count() == 0
+    assert gen.count() > 0
+
+
+def test_pq_append_never_trains(spark, tmp_path, monkeypatch):
+    """The append path encodes with the FROZEN codebook — training is
+    monkeypatched to raise, and the appended codes still land."""
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_pq_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    monkeypatch.setattr(vi, "_pq_train", _boom)
+    assert vi.append_pq_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    )
+    n_new = spark.read.parquet(os.path.join(work, "codes_g_b1")).count()
+    assert n_new > 0
+    rows = vi.pq_query_topk(spark, SF_SMOKE, work).collect()
+    assert rows, "query over base + generation returned nothing"
+
+
+def test_ann_append_idempotent_on_batch_id(spark, tmp_path):
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_ivf_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    assert vi.append_ivf_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    ) is True
+    n1 = vi.read_family(spark, work, "postings").count()
+    assert vi.append_ivf_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    ) is False
+    assert vi.index_generations(work) == ["b1"]
+    assert vi.read_family(spark, work, "postings").count() == n1
