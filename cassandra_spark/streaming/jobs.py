@@ -1013,9 +1013,11 @@ def streaming_admission(
     sink. Decisions are per-document against frozen state, so the result
     set is independent of how the stream is batched — the batch l38
     query is the one-shot oracle (minus its intra-batch candidacy, which
-    an arrival gatekeeper by definition defers to the next index
-    rebuild). State is ZERO: unlike s13's growing per-bucket store, the
-    corpus lives in the artifact, not the state store."""
+    this frozen-index gatekeeper defers; the FULL loop that appends each
+    batch into the index so the next batch sees it is
+    :func:`streaming_admission_append`, s18). State is ZERO: unlike
+    s13's growing per-bucket store, the corpus lives in the artifact,
+    not the state store."""
     from cassandra_spark.operators.llm_dedup import minhash_signatures
     from cassandra_spark.operators.minhash_index import (
         N_BANDS,

@@ -138,6 +138,13 @@ STRESS_QUERIES = (
     "l38_minhash_index_query",
     "l39_stratified_sample",
     "s17_streaming_admission",
+    # round-9: incremental index append (the clone+append scenario IS
+    # the measured unit — batch signature/assign/encode + generation
+    # write + probe over base+generation)
+    "l40_minhash_index_append",
+    "l41_ivf_index_append",
+    "l42_pq_index_append",
+    "s18_streaming_admission_append",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -193,6 +200,13 @@ STRESS_QUERIES_100 = (
     "l38_minhash_index_query",
     "l39_stratified_sample",
     "s17_streaming_admission",
+    # round-9: incremental index append (the clone+append scenario IS
+    # the measured unit — batch signature/assign/encode + generation
+    # write + probe over base+generation)
+    "l40_minhash_index_append",
+    "l41_ivf_index_append",
+    "l42_pq_index_append",
+    "s18_streaming_admission_append",
 )
 
 
