@@ -1298,7 +1298,7 @@ class CqlSession:
         # and its literal RHS runs to AND / ';' / end of the clause —
         # anything else (arithmetic, float tail, function call) means the
         # '=' RHS is an expression, which only Catalyst may evaluate
-        head_re = r"(?:^\s*|[Aa][Nn][Dd]\s+)"
+        head_re = r"(?:^\s*|\b[Aa][Nn][Dd]\s+)"
         tail_re = r"(?=\s*(?:[Aa][Nn][Dd]\b|;|$))"
         for col in sorted(eq_cols):
             if index_probe_type(schema, col) is None:
@@ -1357,7 +1357,7 @@ class CqlSession:
         where, _w_off = mw
         schema = self.tables[tname].schema
         num_re = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
-        head_re = r"(?:^\s*|[Aa][Nn][Dd]\s+)"
+        head_re = r"(?:^\s*|\b[Aa][Nn][Dd]\s+)"
         tail_re = r"(?=\s*(?:[Aa][Nn][Dd]\b|;|$))"
         for col in sorted(sai_cols):
             if index_range_type(schema, col) is None:

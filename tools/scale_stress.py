@@ -294,8 +294,33 @@ def build(spark: SparkSession, factor: int, force: bool = False) -> Path:
     return out
 
 
+# Build-once/query-many entries: their first execution against a fresh
+# corpus constructs the persisted artifact (signature pass / assignment /
+# codebook training), which is one-time BY CONSTRUCTION — the growth
+# claim these curves check is the QUERY path. One untimed warmup run
+# commits the artifact so the timed run measures steady state; without
+# it the measured "ratio" silently flips between build+query (fresh
+# /tmp) and query-only (artifact left by an earlier sweep) — exactly the
+# mixed-warmth ambiguity the provenance stamps exist to kill.
+WARM_FIRST = frozenset(
+    (
+        "l35_ivf_index_query",
+        "l36_pq_index_query",
+        "l38_minhash_index_query",
+        "l40_minhash_index_append",
+        "l41_ivf_index_append",
+        "l42_pq_index_append",
+        "s17_streaming_admission",
+        "s18_streaming_admission_append",
+    )
+)
+
+
 def time_query(spark: SparkSession, name: str, sf_dir: str, repeat: int) -> float:
     fn = registry.QUERIES[name]
+    if name in WARM_FIRST:
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        registry.release_caches(spark)
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
