@@ -16,6 +16,13 @@ Env:
                          and is emitted with sf=1.0 — so the 2x gate
                          also binds where fixed overheads stop
                          dominating (BASELINE.md sf1 floor table).
+    BENCH_SF1_FRESH_JVM  "0" runs the sf1 tier inside the parent JVM
+                         (pre-round-9 behavior). Default: the tier runs
+                         in a fresh child process, so its numbers match
+                         the binding fresh-process protocol instead of
+                         inheriting the sf0.1 sweep's JVM aging (r9:
+                         18 in-sweep trips, all refuted fresh).
+    BENCH_SF1_ONLY       internal child-mode flag (set by the parent).
 
 Each query is executed END-TO-END on the JVM via the noop sink — the full
 physical plan runs (scan → shuffle → agg/join), nothing is collected to
@@ -143,12 +150,59 @@ def _emit(times: dict, sf: float, suffix: str = "") -> None:
     )
 
 
+def _sf1_tier_in_fresh_jvm(sf1_dir: str, names1: list[str]) -> None:
+    """Run the sf1 tier as a CHILD bench process and relay its stdout.
+
+    Round-9 finding: after a 220+-query sf0.1 sweep the shared JVM is
+    aged (codegen caches, GC state) and the sf1 tier's in-sweep numbers
+    inflate — the r9 closing sweep tripped 18 floors, every one refuted
+    at 0.79-1.75x in a fresh process. A fresh JVM keeps the tier's
+    intra-tier persist sharing (part of the measured pipeline) while
+    isolating it from the sf0.1 pass, so the recorded numbers match the
+    binding protocol instead of needing post-hoc adjudication."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        BENCH_SF1_ONLY="1",
+        BENCH_SF1_DIR=sf1_dir,
+        BENCH_SF1_QUERIES=",".join(names1),
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    sys.stderr.write(p.stderr)
+    for ln in p.stdout.splitlines():
+        if ln.startswith("{") or ln.startswith("#"):
+            print(ln)
+    if p.returncode != 0:
+        raise RuntimeError(f"sf1 child bench failed rc={p.returncode}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
     subset = os.environ.get("BENCH_QUERIES")
+    if os.environ.get("BENCH_SF1_ONLY"):
+        # child mode: ONLY the sf1 tier (see _sf1_tier_in_fresh_jvm)
+        sf1_dir = os.environ["BENCH_SF1_DIR"]
+        names1 = os.environ["BENCH_SF1_QUERIES"].split(",")
+        spark = get_spark("cassandra-spark-bench-sf1")
+        spark.sparkContext.setLogLevel("ERROR")
+        registry.QUERIES["q_flagship_revenue_by_nation"](
+            spark, sf1_dir
+        ).write.mode("overwrite").format("noop").save()
+        registry.release_caches(spark)
+        times1 = _sweep(spark, sf1_dir, names1, repeat)
+        registry.release_caches(spark)
+        _emit(times1, 1.0, suffix="_sf1")
+        return
     if subset:
         names = subset.split(",")
     else:
@@ -209,9 +263,13 @@ def main() -> None:
             if subset:
                 names1 = [n for n in names1 if n in names]
         if names1:
-            times1 = _sweep(spark, sf1_dir, names1, repeat)
-            registry.release_caches(spark)
-            _emit(times1, 1.0, suffix="_sf1")
+            if os.environ.get("BENCH_SF1_FRESH_JVM", "1") != "0":
+                spark.stop()  # free the aged JVM's 32 threads first
+                _sf1_tier_in_fresh_jvm(sf1_dir, names1)
+            else:
+                times1 = _sweep(spark, sf1_dir, names1, repeat)
+                registry.release_caches(spark)
+                _emit(times1, 1.0, suffix="_sf1")
 
 
 if __name__ == "__main__":
