@@ -378,3 +378,46 @@ def l40_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
     ).persist()
     return admit_against_index(spark, work, nsig)
+
+
+@query(
+    "l43_minhash_index_compact",
+    # SAME oracle again: base(<800) + appended generation(800-899)
+    # FOLDED by compaction must admit the >=900 batch exactly like the
+    # un-compacted and the one-shot layouts do.
+    oracle=ADMIT_ORACLE_SQL.replace(
+        "{MINHASH_CTE}", _minhash_sql_cte().strip()
+    ),
+)
+def l43_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation compaction (round-9; the artifact's minor compaction,
+    completing the SSTable lifecycle: build → append → FOLD): after
+    appending the 800-899 slice as a generation, compact_index folds
+    base + generations into one segment per family (probe cost back to
+    a single read while appends stayed O(batch)), and the >= 900 batch
+    then admits against the folded artifact — same oracle as
+    l38/l40, so equality proves compaction changed the layout and
+    nothing else. Folded batch ids keep replay protection
+    (tests/test_minhash_index.py pins no-op re-appends and
+    append-after-compact)."""
+    import tempfile
+
+    from cassandra_spark.operators.vector_index import compact_index
+
+    base = build_minhash_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "minhash800", table="documents"),
+        split=800,
+    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l43_idx_"))
+    cat = Catalog(spark, sf_dir)
+    bucket = F.expr(SPLIT_HASH) % 1000
+    batch1 = cat.documents.filter((bucket >= 800) & (bucket < 900))
+    append_minhash_index(spark, work, batch1, "b1")
+    assert compact_index(spark, work)
+    new_docs = cat.documents.filter(bucket >= 900)
+    nsig = minhash_signatures(new_docs).select(
+        "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
+    ).persist()
+    return admit_against_index(spark, work, nsig)

@@ -117,16 +117,25 @@ def _union_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
     return out
 
 
+def _family_dirs(index_dir: str, family: str) -> list[str]:
+    """The directory names that make up one logical family: the base
+    (or, post-compaction, whatever the manifest's ``families`` entry
+    points at) plus every committed append generation."""
+    man = _manifest(index_dir)
+    base = man.get("families", {}).get(family, [family])
+    return [os.path.join(index_dir, d) for d in base] + [
+        os.path.join(index_dir, f"{family}_g_{g}")
+        for g in man.get("generations", [])
+    ]
+
+
 def read_family(
     spark: SparkSession, index_dir: str, family: str
 ) -> DataFrame:
     """One logical index table = base build + every committed append
     generation (each keeps the family's partitioning, so partition
     pruning applies to every segment alike)."""
-    paths = [os.path.join(index_dir, family)] + [
-        os.path.join(index_dir, f"{family}_g_{g}")
-        for g in index_generations(index_dir)
-    ]
+    paths = _family_dirs(index_dir, family)
     return (
         spark.read.parquet(paths[0])
         if len(paths) == 1
@@ -141,7 +150,65 @@ def _commit_generation(index_dir: str, batch_id: str) -> None:
 
 
 def _has_generation(index_dir: str, batch_id: str) -> bool:
-    return batch_id in _manifest(index_dir).get("generations", [])
+    man = _manifest(index_dir)
+    return batch_id in man.get("generations", []) or batch_id in man.get(
+        "folded", []
+    )
+
+
+# per-kind family layout: family name -> partitioning columns (the
+# layout every segment of the family keeps, base and generations alike)
+FAMILY_LAYOUT: dict[str, dict[str, list[str]]] = {
+    "minhash": {"signatures": [], "bands": ["band_id", "pband"]},
+    "ivf": {"postings": ["bucket"]},
+    "pq": {"codes": []},
+}
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> bool:
+    """Fold every committed append generation back into one base segment
+    per family — the index artifact's minor compaction (the same
+    SSTable-fold the session tables run): each probe currently unions
+    base + N generation reads; past some N the per-segment
+    listing/footer overhead dominates, so a periodic fold keeps probe
+    cost flat while appends stay O(batch).
+
+    Commit protocol mirrors append: the folded family is written to a
+    NEW directory (``<family>_c<epoch>``) first; the manifest update
+    (atomic os.replace) then points the family at it and clears the
+    generation list — a crash before the manifest commit leaves the old
+    view fully intact, a crash after leaves only orphan directories
+    (cleaned best-effort on the next compaction). Returns False (no-op)
+    when there are no generations to fold."""
+    import shutil
+
+    man = _manifest(index_dir)
+    gens = list(man.get("generations", []))
+    if not gens:
+        return False
+    layout = FAMILY_LAYOUT[man["kind"]]
+    epoch = int(man.get("compactions", 0)) + 1
+    old_dirs: list[str] = []
+    new_names: dict[str, list[str]] = {}
+    for family, parts in layout.items():
+        old_dirs.extend(_family_dirs(index_dir, family))
+        new_name = f"{family}_c{epoch}"
+        w = read_family(spark, index_dir, family).write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(os.path.join(index_dir, new_name))
+        new_names[family] = [new_name]
+    man["families"] = {**man.get("families", {}), **new_names}
+    man["generations"] = []
+    # folded batch ids keep their replay protection: an at-least-once
+    # re-append of a batch the compaction already absorbed must still
+    # be a no-op, or the artifact double-counts it
+    man["folded"] = list(man.get("folded", [])) + gens
+    man["compactions"] = epoch
+    _commit(index_dir, man)
+    for d in old_dirs:  # superseded segments: best-effort GC
+        shutil.rmtree(d, ignore_errors=True)
+    return True
 
 
 def clone_index(index_dir: str, dst: str) -> str:

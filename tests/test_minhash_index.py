@@ -269,3 +269,40 @@ def test_append_loop_batching_independent(spark, index_dir, tmp_path):
         assert len(mi.index_generations(work)) == nfiles
     assert outs[0] == outs[1]
     assert outs[0], "batch must produce admissions"
+
+
+def test_compact_folds_generations_same_answers(spark, index_dir, tmp_path):
+    """compact_index folds base + generations into one segment per
+    family: same admission answers, empty generation list, fewer dirs,
+    folded batch ids keep replay protection, appends still work."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.llm_dedup import minhash_signatures
+    from cassandra_spark.operators.vector_index import compact_index
+
+    cat = Catalog(spark, SF_SMOKE)
+    bucket = F.expr(mi.SPLIT_HASH) % 1000
+    work = _clone(spark, index_dir, tmp_path)
+    b1 = cat.documents.filter((bucket >= 900) & (bucket < 950))
+    b2 = cat.documents.filter(bucket >= 950)
+    assert mi.append_minhash_index(spark, work, b1, "e0")
+    assert mi.append_minhash_index(spark, work, b2, "e1")
+    probe = minhash_signatures(
+        cat.documents.filter(bucket >= 990)
+    ).select("doc_id", "sh", *[f"band{b}" for b in range(mi.N_BANDS)])
+    before = sorted(
+        tuple(r) for r in mi.admit_against_index(spark, work, probe).collect()
+    )
+    n_dirs_before = len(os.listdir(work))
+    assert compact_index(spark, work) is True
+    assert mi.index_generations(work) == []
+    assert len(os.listdir(work)) < n_dirs_before
+    after = sorted(
+        tuple(r) for r in mi.admit_against_index(spark, work, probe).collect()
+    )
+    assert before == after and after
+    # folded ids stay replay-protected; fresh appends still land
+    assert mi.append_minhash_index(spark, work, b1, "e0") is False
+    assert mi.append_minhash_index(spark, work, b1, "e2") is True
+    # a second compaction folds the new generation too
+    assert compact_index(spark, work) is True
+    assert compact_index(spark, work) is False  # nothing left to fold

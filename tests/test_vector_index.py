@@ -209,3 +209,28 @@ def test_ann_append_idempotent_on_batch_id(spark, tmp_path):
     ) is False
     assert vi.index_generations(work) == ["b1"]
     assert vi.read_family(spark, work, "postings").count() == n1
+
+
+def test_ivf_compact_equals_uncompacted(spark, tmp_path):
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_ivf_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    vi.append_ivf_index(spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1")
+    before = sorted(
+        tuple(r) for r in vi.ivf_query_topk(spark, work).collect()
+    )
+    assert vi.compact_index(spark, work) is True
+    assert vi.index_generations(work) == []
+    # the folded postings keep the bucket partitioning (probe pruning)
+    (newdir,) = vi._manifest(work)["families"]["postings"]
+    assert any(
+        d.startswith("bucket=")
+        for d in os.listdir(os.path.join(work, newdir))
+    )
+    after = sorted(
+        tuple(r) for r in vi.ivf_query_topk(spark, work).collect()
+    )
+    assert before == after and after

@@ -144,6 +144,7 @@ STRESS_QUERIES = (
     "l40_minhash_index_append",
     "l41_ivf_index_append",
     "l42_pq_index_append",
+    "l43_minhash_index_compact",
     "s18_streaming_admission_append",
 )
 
@@ -206,6 +207,7 @@ STRESS_QUERIES_100 = (
     "l40_minhash_index_append",
     "l41_ivf_index_append",
     "l42_pq_index_append",
+    "l43_minhash_index_compact",
     "s18_streaming_admission_append",
 )
 
