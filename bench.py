@@ -65,7 +65,8 @@ SF1_QUERIES = (
     "l31_incremental_dedup l32_dedup_triangles l33_ngram_novelty "
     "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query "
     "l37_video_sampling l38_minhash_index_build l38_minhash_index_query "
-    "l39_stratified_sample "
+    "l39_stratified_sample l40_minhash_index_append l41_ivf_index_append "
+    "l42_pq_index_append l43_minhash_index_compact "
     "l36_pq_index_build l36_pq_index_query l3_cosine_topk l3b_lsh_ann "
     "l3c_ivf_ann l4_multimodal_meta l5_text_stats l6_langid "
     "l7_token_count l8_fingerprint l9_quality_score "
@@ -73,6 +74,7 @@ SF1_QUERIES = (
     "s10_cdc_stream s11_streaming_hll s12_streaming_session "
     "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
     "s16_streaming_dedup_bounded s17_streaming_admission "
+    "s18_streaming_admission_append "
     "s5_streaming_dedup s6_stateful_totals "
     "s7_streaming_upsert s9_streaming_mv "
     "w18_hinted_handoff w22_bulk_load w4_upsert_merge "
