@@ -1115,6 +1115,7 @@ def streaming_admission_append(
     src: str,
     out_dir: str,
     index_dir: str,
+    compact_every: int | None = None,
 ) -> None:
     """S18: the FULL production ingestion loop — admit each micro-batch
     against the persisted dedup index, then APPEND the batch to the
@@ -1146,6 +1147,10 @@ def streaming_admission_append(
         admit_against_index,
         append_minhash_index,
     )
+    from cassandra_spark.operators.vector_index import (
+        compact_index,
+        index_generations,
+    )
 
     docs = (
         spark.readStream.schema("doc_id long, text string")
@@ -1166,6 +1171,15 @@ def streaming_admission_append(
         )
         append_minhash_index(spark, index_dir, batch, f"e{epoch}")
         sig.unpersist()
+        if (
+            compact_every
+            and len(index_generations(index_dir)) >= compact_every
+        ):
+            # fold the accumulated generations so probe cost stays flat
+            # over a long-running stream (l43's operation, in the loop);
+            # decisions are unaffected — compaction changes layout only
+            # (pinned in tests/test_minhash_index.py)
+            compact_index(spark, index_dir)
 
     (
         docs.writeStream.foreachBatch(admit_and_append)

@@ -306,3 +306,33 @@ def test_compact_folds_generations_same_answers(spark, index_dir, tmp_path):
     # a second compaction folds the new generation too
     assert compact_index(spark, work) is True
     assert compact_index(spark, work) is False  # nothing left to fold
+
+
+def test_append_loop_with_auto_compaction_same_decisions(
+    spark, index_dir, tmp_path
+):
+    """compact_every folds generations mid-stream; decisions must be
+    identical to the uncompacted loop (compaction changes layout only)
+    and the artifact must end with fewer generation dirs."""
+    from cassandra_spark.operators.streaming_batch import (
+        stage_id_ordered_files,
+    )
+    from cassandra_spark.streaming import jobs
+
+    outs = []
+    for tag, every in (("plain", None), ("compact", 2)):
+        work = _clone(spark, index_dir, tmp_path, f"idx_{tag}")
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        stage_id_ordered_files(spark, SF_SMOKE, src, n_files=4)
+        jobs.streaming_admission_append(
+            spark, src, out, work, compact_every=every
+        )
+        outs.append(
+            sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        )
+        if every:
+            assert len(mi.index_generations(work)) < 4, (
+                "generations must have been folded mid-stream"
+            )
+    assert outs[0] == outs[1] and outs[0]
