@@ -785,3 +785,62 @@ def l42_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = clone_index(base, tempfile.mkdtemp(prefix="l42_idx_"))
     append_pq_index(spark, sf_dir, work, _APPEND_SPLIT_NEW, "b1")
     return pq_query_topk(spark, sf_dir, work)
+
+
+@query(
+    "l44_ivf_index_compact",
+    # SAME oracle a third time (l35_query ≡ l41 ≡ this): the folded
+    # artifact must answer exactly like the one-shot build — equality
+    # proves compaction changed the postings LAYOUT and nothing else.
+    oracle=_IVF_QUERY_ORACLE,
+)
+def l44_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation compaction for the persisted IVF index (completing the
+    SSTable lifecycle on the vector side, mirroring l43's minhash fold):
+    base (6/7 of vectors) + appended generation (1/7) are FOLDED by
+    compact_index into one bucket-partitioned postings segment — probe
+    cost back to a single partition-pruned read while appends stayed
+    O(batch) — and the standard top-k probe then answers from the folded
+    artifact. Folded batch ids keep replay protection (re-appending an
+    absorbed batch is a no-op, pinned in tests/test_vector_index.py)."""
+    import tempfile
+
+    base = build_ivf_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "ivf_base7"),
+        where=_APPEND_SPLIT_BASE,
+    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l44_idx_"))
+    append_ivf_index(spark, sf_dir, work, _APPEND_SPLIT_NEW, "b1")
+    assert compact_index(spark, work)
+    return ivf_query_topk(spark, work)
+
+
+@query(
+    "l45_pq_index_compact",
+    # l42's frozen-codebook oracle verbatim: the fold rewrites the codes
+    # table only — the committed codebook is untouched (it is model
+    # state, not a generation family), so ADC + re-rank answers are
+    # bit-identical to the uncompacted append layout.
+    oracle=_pq_oracle(train_where=_APPEND_SPLIT_BASE),
+)
+def l45_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation compaction for the persisted PQ index: after the
+    frozen-codebook append (l42), compact_index folds base + generation
+    code segments into one codes table; the codebook family is NOT part
+    of the fold (FAMILY_LAYOUT lists only ``codes``) because it is
+    committed model state shared by every segment. Same oracle as l42
+    pins both: answers unchanged, training never re-invoked."""
+    import tempfile
+
+    base = build_pq_index(
+        spark,
+        sf_dir,
+        index_root(sf_dir, "pq_base7"),
+        where=_APPEND_SPLIT_BASE,
+    )
+    work = clone_index(base, tempfile.mkdtemp(prefix="l45_idx_"))
+    append_pq_index(spark, sf_dir, work, _APPEND_SPLIT_NEW, "b1")
+    assert compact_index(spark, work)
+    return pq_query_topk(spark, sf_dir, work)

@@ -234,3 +234,70 @@ def test_ivf_compact_equals_uncompacted(spark, tmp_path):
         tuple(r) for r in vi.ivf_query_topk(spark, work).collect()
     )
     assert before == after and after
+
+def test_pq_compact_folds_codes_not_codebook(spark, tmp_path):
+    """PQ fold: answers bit-identical, codes generations folded into one
+    segment, and the committed codebook is byte-untouched (it is model
+    state shared by every segment, not a generation family)."""
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_pq_index(
+        spark, SF_SMOKE, str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    vi.append_pq_index(spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1")
+    before = sorted(
+        tuple(r) for r in vi.pq_query_topk(spark, SF_SMOKE, work).collect()
+    )
+    book_before = {
+        (p, os.path.getmtime(os.path.join(work, "codebook", p)))
+        for p in os.listdir(os.path.join(work, "codebook"))
+    }
+    assert vi.compact_index(spark, work) is True
+    assert vi.index_generations(work) == []
+    assert not os.path.exists(os.path.join(work, "codes_g_b1"))
+    book_after = {
+        (p, os.path.getmtime(os.path.join(work, "codebook", p)))
+        for p in os.listdir(os.path.join(work, "codebook"))
+    }
+    assert book_before == book_after, "codebook must not be rewritten"
+    after = sorted(
+        tuple(r) for r in vi.pq_query_topk(spark, SF_SMOKE, work).collect()
+    )
+    assert before == after and after
+
+
+def test_vector_append_after_compact_replay_and_new_batch(spark, tmp_path):
+    """Folded batch ids keep replay protection (an at-least-once
+    re-append of an absorbed batch is a no-op), while a genuinely new
+    batch id still appends and is visible to the probe."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_ivf_index(
+        spark,
+        SF_SMOKE,
+        str(tmp_path / "base"),
+        where="vec_id % 7 NOT IN (3, 5)",
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    assert vi.append_ivf_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    )
+    assert vi.compact_index(spark, work) is True
+    # replay of the absorbed batch: no-op, no new generation
+    assert vi.append_ivf_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    ) is False
+    assert vi.index_generations(work) == []
+    n_folded = vi.read_family(spark, work, "postings").count()
+    # a new batch id appends on top of the folded base
+    assert vi.append_ivf_index(spark, SF_SMOKE, work, "vec_id % 7 = 5", "b2")
+    assert vi.index_generations(work) == ["b2"]
+    fam = vi.read_family(spark, work, "postings")
+    assert fam.count() > n_folded
+    full = vi.build_ivf_index(spark, SF_SMOKE)  # cached one-shot artifact
+    got = sorted(tuple(r) for r in vi.ivf_query_topk(spark, work).collect())
+    want = sorted(tuple(r) for r in vi.ivf_query_topk(spark, full).collect())
+    assert got == want and got
