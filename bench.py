@@ -67,6 +67,7 @@ SF1_QUERIES = (
     "l37_video_sampling l38_minhash_index_build l38_minhash_index_query "
     "l39_stratified_sample l40_minhash_index_append l41_ivf_index_append "
     "l42_pq_index_append l43_minhash_index_compact "
+    "l44_ivf_index_compact l45_pq_index_compact "
     "l36_pq_index_build l36_pq_index_query l3_cosine_topk l3b_lsh_ann "
     "l3c_ivf_ann l4_multimodal_meta l5_text_stats l6_langid "
     "l7_token_count l8_fingerprint l9_quality_score "

@@ -145,6 +145,8 @@ STRESS_QUERIES = (
     "l41_ivf_index_append",
     "l42_pq_index_append",
     "l43_minhash_index_compact",
+    "l44_ivf_index_compact",
+    "l45_pq_index_compact",
     "s18_streaming_admission_append",
 )
 
@@ -208,6 +210,8 @@ STRESS_QUERIES_100 = (
     "l41_ivf_index_append",
     "l42_pq_index_append",
     "l43_minhash_index_compact",
+    "l44_ivf_index_compact",
+    "l45_pq_index_compact",
     "s18_streaming_admission_append",
 )
 
