@@ -359,6 +359,18 @@ class TableSchema:
     # 'sstable_size_in_mb' — the target size of one leveled segment; level
     # n's byte budget is fanout^n of it (fanout 10, the reference default)
     compaction_sstable_size_mb: int = 160
+    # UCS (`[C* db/compaction/unified/UnifiedCompactionStrategy — CEP-26,
+    # unverified]`): 'scaling_parameters' — per-level w encoded as T{t}
+    # (tiered: w=t-2, merge t at a time), L{f} (leveled: w=2-f, merge at
+    # 2) or N (w=0, where T2 ≡ L2); a comma list gives levels 0..n-1
+    # their own parameter, the last repeating upward. 'target_sstable_size'
+    # bounds a merged output shard (reference default 1GiB);
+    # 'base_shard_count' is the minimum shard fan-out of a merged output
+    # (reference default 4; this engine defaults to 1 so a small table
+    # stays one file — the single-node-friendly choice, DDL overrides it)
+    compaction_scaling: str = "T4"
+    ucs_target_bytes: int = 1 << 30
+    ucs_base_shards: int = 1
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
@@ -396,6 +408,31 @@ class TableSchema:
             if p is not None:
                 out[c] = p
         return out
+
+
+def parse_ucs_scaling(text: str) -> list[tuple[str, int]]:
+    """Parse a UCS 'scaling_parameters' string (`[C* db/compaction/
+    unified — CEP-26, unverified]`) into [(mode, arg), ...] where mode
+    is "T" (tiered: merge ``arg`` segments at a time) or "L" (leveled:
+    merge as soon as 2 share a level; ``arg`` is the fanout). "N" is
+    the w=0 middle ground where T2 and L2 coincide. Entry i governs
+    level i; the last entry repeats for all higher levels."""
+    out: list[tuple[str, int]] = []
+    for part in text.split(","):
+        p = part.strip().upper()
+        if p == "N":
+            out.append(("T", 2))
+            continue
+        m = re.fullmatch(r"([TL])(\d+)", p)
+        if not m or int(m.group(2)) < 2:
+            raise CQLError(
+                f"bad UCS scaling parameter {part.strip()!r} "
+                "(T<n>/L<n> with n >= 2, or N)"
+            )
+        out.append((m.group(1), int(m.group(2))))
+    if not out:
+        raise CQLError("empty UCS scaling_parameters")
+    return out
 
 
 _INSERT_RE = re.compile(
@@ -1627,6 +1664,8 @@ class CqlTable:
                 self.twcs_compact()
             elif self.schema.compaction == "LeveledCompactionStrategy":
                 self.lcs_compact()
+            elif self.schema.compaction == "UnifiedCompactionStrategy":
+                self.ucs_compact()
             elif len(self._segments) >= self.compact_threshold:
                 self.compact_segments()
 
@@ -1899,12 +1938,6 @@ class CqlTable:
         intersecting the members' hull is pulled into the merge, and
         every pulled range touches that hull, so the merged span is one
         interval no remaining segment intersects."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
-        from cassandra_spark.operators.murmur3 import token_of_text
-
         lo = min(self._seg_token_range(s)[0] for s in members)
         hi = max(self._seg_token_range(s)[1] for s in members)
         overlap = [
@@ -1917,6 +1950,27 @@ class CqlTable:
             )
         ]
         inputs = members + overlap
+        return self._merge_sorted_sharded(
+            inputs, target, self._lcs_target(), "lcs"
+        )
+
+    def _merge_sorted_sharded(
+        self, inputs: list[str], target: int, budget: int, tag: str
+    ) -> list[str]:
+        """Merge ``inputs``, sort by (token, pk), re-split into segments
+        of at most ``budget`` estimated bytes on whole-partition
+        boundaries only (same-token pks stay together so inclusive token
+        ranges can never touch across outputs), stamp min/max token +
+        level ``target`` in the footer, register the outputs and retire
+        the inputs. Shared by LCS promotion and UCS sharded merges —
+        both need the same disjoint-range invariant the point-read path
+        prunes on."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+        from cassandra_spark.operators.murmur3 import token_of_text
+
         merged = pa.concat_tables([pq.read_table(p) for p in inputs])
         pks = merged.column("pk").to_pylist()
         tok = {p: token_of_text(p) for p in set(pks)}
@@ -1926,8 +1980,7 @@ class CqlTable:
         merged = merged.take(order)
         pks = [pks[i] for i in order]
         # split points only between partitions: group rows by pk run,
-        # pack greedily by estimated bytes (same-token pks stay together
-        # so inclusive ranges can never touch across segments)
+        # pack greedily by estimated bytes
         row_bytes = max(1, merged.nbytes // max(1, len(pks)))
         groups: list[tuple[int, int]] = []  # (start_row, n_rows)
         start = 0
@@ -1938,7 +1991,7 @@ class CqlTable:
         chunks: list[tuple[int, int]] = []
         c_start, c_rows = 0, 0
         for g_start, g_rows in groups:
-            if c_rows and (c_rows + g_rows) * row_bytes > self._lcs_target():
+            if c_rows and (c_rows + g_rows) * row_bytes > budget:
                 chunks.append((c_start, c_rows))
                 c_start, c_rows = g_start, 0
             c_rows += g_rows
@@ -1950,7 +2003,7 @@ class CqlTable:
             self._seg_counter += 1
             path = os.path.join(
                 self.spill_dir,
-                f"{self.schema.name}-lcs{self._seg_counter:06d}.parquet",
+                f"{self.schema.name}-{tag}{self._seg_counter:06d}.parquet",
             )
             mdl = _max_deletion_us(
                 part.column("kind").to_pylist(),
@@ -1983,6 +2036,89 @@ class CqlTable:
         self._segments = [p for p in self._segments if p not in drop]
         self._segments.extend(created)
         return created
+
+    def ucs_compact(self) -> list[str]:
+        """UnifiedCompactionStrategy minor compaction (`[C* db/
+        compaction/unified/UnifiedCompactionStrategy — CEP-26,
+        unverified]`). The reference unifies tiered and leveled under
+        one per-level scaling parameter w and buckets SSTables into
+        levels by DENSITY (size / token-range fraction); this engine's
+        analog keeps an explicit level per segment (flush = 0; a merge
+        of level-l inputs lands its shards at l+1 — the same bucket
+        jump the reference gets from fanout-times-denser outputs):
+
+        - ``T t`` (w = t-2 >= 0, tiered): level l merges when it holds
+          >= t segments; ALL of them merge (STCS-shaped, fanout t).
+        - ``L f`` (w = 2-f <= 0, leveled): level l merges as soon as it
+          holds 2 segments (LCS-shaped read amplification — at most one
+          un-merged run per level; f is the density fanout).
+        - ``N`` = w 0, where T2 and L2 coincide.
+
+        A comma list in ``scaling_parameters`` gives each level its own
+        w (the reference's headline feature: tiered at the write-hot
+        low levels, leveled at the read-hot high ones); the last entry
+        repeats upward. The trigger counts segments per maximal token-
+        OVERLAPPING run within a level, as the reference's bucket logic
+        does — NOT raw level population: shards emitted by one merge
+        are pairwise disjoint, form singleton runs, and can never
+        re-trigger a merge by themselves (raw counting would cascade a
+        sharded output up the levels forever). Merged output is
+        SHARDED: token-sorted and split on whole-partition boundaries
+        into the smallest base_shard_count * 2^k shard count whose
+        per-shard bytes fit ``target_sstable_size`` — disjoint stamped
+        token ranges, so the point-read path range-prunes UCS shards
+        exactly like leveled segments (the reference shards on token
+        split points for the same reason: parallel compaction +
+        bounded reads). Runs to a fixpoint: a merged run can overlap
+        level l+1's residents and cascade one more merge there.
+        History rows survive byte-for-byte (LWW stays a read-time
+        reconcile); inputs retire for deferred GC. Returns new paths."""
+        params = parse_ucs_scaling(self.schema.compaction_scaling)
+        created_all: list[str] = []
+        while True:
+            by_level: dict[int, list[str]] = {}
+            for s in self._segments:
+                by_level.setdefault(self._seg_level.get(s, 0), []).append(s)
+            merged_any = False
+            for lvl in sorted(by_level):
+                mode, arg = params[min(lvl, len(params) - 1)]
+                threshold = arg if mode == "T" else 2
+                # maximal overlapping runs, swept in token order
+                members = sorted(
+                    by_level[lvl], key=lambda s: self._seg_token_range(s)[0]
+                )
+                run: list[str] = []
+                run_hi = None
+                group = None
+                for s in members + [None]:
+                    if (
+                        s is not None
+                        and run
+                        and self._seg_token_range(s)[0] <= run_hi
+                    ):
+                        run.append(s)
+                        run_hi = max(run_hi, self._seg_token_range(s)[1])
+                        continue
+                    if len(run) >= threshold:
+                        group = run
+                        break
+                    if s is not None:
+                        run = [s]
+                        run_hi = self._seg_token_range(s)[1]
+                if group is None:
+                    continue
+                total = sum(os.path.getsize(s) for s in group)
+                shards = max(1, self.schema.ucs_base_shards)
+                while total / shards > self.schema.ucs_target_bytes:
+                    shards *= 2
+                budget = max(1, -(-total // shards))
+                created_all += self._merge_sorted_sharded(
+                    group, lvl + 1, budget, "ucs"
+                )
+                merged_any = True
+                break  # levels changed: recompute the buckets
+            if not merged_any:
+                return created_all
 
     def bulk_load(
         self,
@@ -2645,8 +2781,26 @@ class CqlTable:
             per_k = per_k | ((F.size(F.col(rt_prefix)) == k) & lo_ok & hi_ok)
         return pref_match & (no_bounds | per_k)
 
+    def snapshot_pitr(self, ts_us: int) -> DataFrame:
+        """Point-in-time view: the table's visible rows AS OF writetime
+        ``ts_us`` — the reference's commitlog-archive PITR
+        (``restore_point_in_time``, `[C* db/commitlog/
+        CommitLogArchiver, unverified]`: restore a snapshot, then replay
+        archived mutations whose commit time <= the target). This
+        engine preserves the full mutation history byte-for-byte
+        through flushes AND compactions (LWW is a read-time reconcile),
+        so PITR needs no archive: reconcile only mutations with
+        ``writetime <= ts_us`` and evaluate TTL expiry at ``ts_us``.
+        Works identically on a live table and on one rehydrated by
+        ``restore_keyspace`` — w23 drives the snapshot → restore →
+        PITR loop under the oracle gate."""
+        return self.snapshot(asof_us=ts_us, max_wt_us=ts_us)
+
     def snapshot(
-        self, asof_us: int | None = None, pk_in=None
+        self,
+        asof_us: int | None = None,
+        pk_in=None,
+        max_wt_us: int | None = None,
     ) -> DataFrame:
         """Visible rows after W2 (TTL at ``asof``) + W3 (tombstone
         shadowing, incl. range tombstones) + W4 (per-cell LWW): one wide
@@ -2659,15 +2813,23 @@ class CqlTable:
         ``pk_in`` (2i read, phase 2): restrict the reconcile to these
         partition keys. Semantically safe for ANY key subset — every
         reconcile window partitions by pk, so the restricted result
-        equals the global result filtered to those partitions."""
+        equals the global result filtered to those partitions.
+
+        ``max_wt_us`` (PITR, see :meth:`snapshot_pitr`): drop every
+        mutation with a newer writetime BEFORE reconciling — later
+        writes, deletes and range tombstones simply do not exist in the
+        as-of view (they do not shadow older data the way asof-only TTL
+        evaluation would leave them to)."""
         s = self.schema
         if not self._log and not self._segments:
             return self._empty()
         if pk_in is not None and not pk_in:
             return self._empty()
         if s.counter:
-            return self._counter_snapshot()
+            return self._counter_snapshot(max_wt_us=max_wt_us)
         mut = self.mutation_log()
+        if max_wt_us is not None:
+            mut = mut.filter(F.col("writetime") <= F.lit(max_wt_us))
         if pk_in is not None:
             mut = mut.filter(F.col("pk").isin(list(pk_in)))
         # TTL is in writetime units here (the logical clock); the batch W2
@@ -2847,7 +3009,7 @@ class CqlTable:
             s.partition_key, *s.clustering
         )
 
-    def _counter_snapshot(self) -> DataFrame:
+    def _counter_snapshot(self, max_wt_us: int | None = None) -> DataFrame:
         """Counter reconcile (W6 driven from statement text): a counter cell
         is the SUM of its increments newer than the newest tombstone that
         covers it (cell, row, or partition level — delete wins writetime
@@ -2858,9 +3020,14 @@ class CqlTable:
         ("counters cannot be reliably re-incremented after deletion"); this
         engine pins the deterministic reading above — increments strictly
         newer than the tombstone count, older ones are dropped.
-        """
+
+        ``max_wt_us``: PITR cutoff (see :meth:`snapshot_pitr`) — counter
+        increments are commutative, so the as-of sum is simply the sum
+        of the increments that existed by then."""
         s = self.schema
         mut = self.mutation_log()
+        if max_wt_us is not None:
+            mut = mut.filter(F.col("writetime") <= F.lit(max_wt_us))
         cell_tombs = (
             mut.filter(F.col("kind") == CELL_TOMB)
             .groupBy("pk", "ck", "col")

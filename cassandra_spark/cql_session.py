@@ -179,6 +179,9 @@ def parse_create_table(
     min_threshold = topts.get("compaction_min_threshold", 4)
     window_us = topts.get("compaction_window_us", 86_400_000_000)
     sstable_mb = topts.get("compaction_sstable_size_mb", 160)
+    ucs_scaling = topts.get("compaction_scaling", "T4")
+    ucs_target = topts.get("ucs_target_bytes", 1 << 30)
+    ucs_shards = topts.get("ucs_base_shards", 1)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -340,6 +343,9 @@ def parse_create_table(
         compaction_min_threshold=min_threshold,
         compaction_window_us=window_us,
         compaction_sstable_size_mb=sstable_mb,
+        compaction_scaling=ucs_scaling,
+        ucs_target_bytes=ucs_target,
+        ucs_base_shards=ucs_shards,
     )
 
 
@@ -732,14 +738,44 @@ def _parse_table_options(with_text: str) -> dict:
             "SizeTieredCompactionStrategy",
             "TimeWindowCompactionStrategy",
             "LeveledCompactionStrategy",
+            "UnifiedCompactionStrategy",
         ):
             raise CQLError(
                 "only SizeTieredCompactionStrategy, "
-                "TimeWindowCompactionStrategy and "
-                "LeveledCompactionStrategy are supported "
+                "TimeWindowCompactionStrategy, "
+                "LeveledCompactionStrategy and "
+                "UnifiedCompactionStrategy are supported "
                 f"(got {cls_name!r})"
             )
         out["compaction"] = cls_name
+        if cls_name == "UnifiedCompactionStrategy":
+            from cassandra_spark.cql_dml import parse_ucs_scaling
+
+            sp = re.search(
+                r"'scaling_parameters'\s*:\s*'([^']*)'", km_.group("body"),
+                re.IGNORECASE,
+            )
+            if sp:
+                parse_ucs_scaling(sp.group(1))  # validate; raises CQLError
+                out["compaction_scaling"] = sp.group(1)
+            ts = re.search(
+                r"'target_sstable_size'\s*:\s*'(\d+)\s*([KMG]i?B)'",
+                km_.group("body"), re.IGNORECASE,
+            )
+            if ts:
+                shift = {"KB": 10, "KIB": 10, "MB": 20, "MIB": 20,
+                         "GB": 30, "GIB": 30}[ts.group(2).upper()]
+                out["ucs_target_bytes"] = int(ts.group(1)) << shift
+                if out["ucs_target_bytes"] < 1024:
+                    raise CQLError("target_sstable_size must be >= 1KiB")
+            bs = re.search(
+                r"'base_shard_count'\s*:\s*'?(\d+)'?", km_.group("body"),
+                re.IGNORECASE,
+            )
+            if bs:
+                if int(bs.group(1)) < 1:
+                    raise CQLError("base_shard_count must be >= 1")
+                out["ucs_base_shards"] = int(bs.group(1))
         if cls_name == "LeveledCompactionStrategy":
             sz = re.search(
                 r"'sstable_size_in_mb'\s*:\s*'?(\d+)'?", km_.group("body"),
@@ -3077,6 +3113,9 @@ class CqlSession:
                     "compaction_sstable_size_mb": (
                         s.compaction_sstable_size_mb
                     ),
+                    "compaction_scaling": s.compaction_scaling,
+                    "ucs_target_bytes": s.ucs_target_bytes,
+                    "ucs_base_shards": s.ucs_base_shards,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3204,6 +3243,9 @@ class CqlSession:
                     compaction_sstable_size_mb=sch.get(
                         "compaction_sstable_size_mb", 160
                     ),
+                    compaction_scaling=sch.get("compaction_scaling", "T4"),
+                    ucs_target_bytes=sch.get("ucs_target_bytes", 1 << 30),
+                    ucs_base_shards=sch.get("ucs_base_shards", 1),
                 )
             )
             if t.spill_dir is None:
