@@ -1439,3 +1439,156 @@ def cql35_indexed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT k, v FROM gauges WHERE v >= 18 AND v < 40"
     )
+
+
+@query(
+    "cql36_ucs_compaction",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS BIGINT) AS u,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 60)
+    )
+    SELECT k,
+           CASE WHEN rn % 3 = 1 THEN u + 2000 ELSE u END AS u
+    FROM src
+    """,
+)
+def cql36_ucs_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedCompactionStrategy end-to-end through the session (`[C*
+    db/compaction/unified — CEP-26, unverified]`, the Cassandra-5
+    default-recommended strategy): 60 events-derived INSERTs land in 3
+    flushed L0 generations; 'scaling_parameters': 'T3' merges them, and
+    the 2KiB 'target_sstable_size' with 'base_shard_count': 2 SHARDS
+    the merged output into token-disjoint level-1 segments (asserted
+    inline; the full trigger/shard/cascade matrix is
+    tests/test_ucs.py). A second generation overwrites every third key
+    and a second compaction cascades it into the sharded level. History
+    survives byte-for-byte, so the oracle is plain LWW over the
+    inserts."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(60)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 60 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="cql36_ucs_")
+    )
+    sess.execute(
+        "CREATE TABLE uni (k text PRIMARY KEY, u bigint) WITH compaction "
+        "= {'class': 'UnifiedCompactionStrategy', 'scaling_parameters': "
+        "'T3', 'target_sstable_size': '2KiB', 'base_shard_count': 2}"
+    )
+    t = sess.table("uni")
+    for i, r in enumerate(rows):
+        sess.execute(
+            f"INSERT INTO uni (k, u) VALUES ('{r.event_id}', {r.user_id})"
+        )
+        if i % 20 == 19:
+            t.flush()
+    created = t.ucs_compact()
+    assert len(created) >= 2, "2KiB target must shard the merged output"
+    levels = {t._seg_level.get(s, 0) for s in t._segments}
+    assert levels == {1}, f"L0 should fully merge to level 1, got {levels}"
+    rngs = sorted(t._seg_token_range(s) for s in t._segments)
+    assert all(
+        rngs[i][1] < rngs[i + 1][0] for i in range(len(rngs) - 1)
+    ), "UCS shards must hold disjoint token ranges"
+    for i, r in enumerate(rows):
+        if i % 3 == 0:
+            sess.execute(
+                f"INSERT INTO uni (k, u) VALUES "
+                f"('{r.event_id}', {r.user_id + 2000})"
+            )
+    t.flush()
+    t.ucs_compact()
+    return sess.execute("SELECT k, u FROM uni")
+
+
+@query(
+    "w23_pitr_restore",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS BIGINT) AS u,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 40)
+    )
+    SELECT k,
+           CASE WHEN rn % 2 = 1 THEN u + 1000 ELSE u END AS u
+    FROM src
+    """,
+)
+def w23_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore (`[C* db/commitlog/CommitLogArchiver
+    restore_point_in_time, unverified]`): three write generations at
+    pinned timestamps (inserts @100, updates of every other key @200,
+    deletes of every fifth + a late insert @300) pass through flushes
+    AND a major compaction, the keyspace is snapshotted and restored
+    into a FRESH session, and ``snapshot_pitr(250)`` reads the restored
+    table AS OF t=250 — updates applied, deletes and the late key not
+    yet in existence. The reference needs snapshot + archived-commitlog
+    replay for this; here history survives byte-for-byte in the
+    segments, so the as-of view is one reconcile with a writetime
+    cutoff. The current view is inline-asserted to differ (deletes
+    applied), so the oracle match proves the cutoff, not a no-op."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(40)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 40 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="w23_pitr_")
+    )
+    sess.execute("CREATE TABLE pt (k text PRIMARY KEY, u bigint)")
+    t = sess.table("pt")
+    for r in rows:
+        sess.execute(
+            f"INSERT INTO pt (k, u) VALUES ('{r.event_id}', {r.user_id}) "
+            f"USING TIMESTAMP 100"
+        )
+    t.flush()
+    for i, r in enumerate(rows):
+        if i % 2 == 0:
+            sess.execute(
+                f"UPDATE pt USING TIMESTAMP 200 SET u = {r.user_id + 1000} "
+                f"WHERE k = '{r.event_id}'"
+            )
+    t.flush()
+    t.compact_segments()  # history must survive a major compaction
+    for i, r in enumerate(rows):
+        if i % 5 == 0:
+            sess.execute(
+                f"DELETE FROM pt USING TIMESTAMP 300 "
+                f"WHERE k = '{r.event_id}'"
+            )
+    sess.execute(
+        "INSERT INTO pt (k, u) VALUES ('zz_late', 1) USING TIMESTAMP 300"
+    )
+    t.flush()
+
+    snap = tempfile.mkdtemp(prefix="w23_snap_")
+    sess.snapshot_keyspace(snap)
+    restored = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="w23_restored_")
+    )
+    restored.restore_keyspace(snap)
+    rt = restored.tables["pt"]
+    n_now = rt.snapshot().count()
+    assert n_now == len(rows) - 8 + 1, (
+        f"current view must show the deletes + late key, got {n_now}"
+    )
+    return rt.snapshot_pitr(250).select("k", "u")

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "l36_pq_index_query": "O(M*K) codebook + fixed query set",
     "l41_ivf_index_append": "O(K) centroid table + fixed query set",
     "l42_pq_index_append": "O(M*K) codebook + fixed query set",
+    "l44_ivf_index_compact": "O(K) centroid table + fixed query set",
+    "l45_pq_index_compact": "O(M*K) codebook + fixed query set",
     "l3_cosine_topk": "fixed query-vector set",
     "l3b_lsh_ann": "fixed query-vector set",
     "l3c_ivf_ann": "O(K) centroids + fixed query set",
