@@ -70,6 +70,12 @@ class TableMeta:
     # bucket-partitioned artifact (static partition pruning on the
     # multiprobe set) instead of recomputing LSH buckets per row.
     vector_index: tuple[tuple[str, str], ...] = ()
+    # per-column ANN ranking function from the SAI index's
+    # WITH OPTIONS = {'similarity_function': ...} (`[C* index/sai/
+    # VectorSimilarityFunction, unverified]`): (column, fn) pairs with
+    # fn in {cosine, euclidean, dot_product}; absent = cosine (the
+    # reference default).
+    sai_similarity: tuple[tuple[str, str], ...] = ()
 
     @property
     def clustering_cols(self) -> tuple[str, ...]:

@@ -545,17 +545,32 @@ def _compile_ann(
             ).filter(F.col("__bucket").isin(probes)).drop("__bucket")
 
     df = df.withColumn("__q", F.expr(f"array({inner})"))
-    score = (
-        F.expr(dot_spark(col, "__q"))
-        / (
+    # ANN ranking function from the index's WITH OPTIONS
+    # (`[C* index/sai — similarity_function, unverified]`): cosine is
+    # the reference default; euclidean ranks by squared L2 ascending
+    # (the reference's 1/(1+d^2) similarity is order-equivalent);
+    # dot_product by the raw inner product descending.
+    sim = dict(getattr(meta, "sai_similarity", ())).get(col, "cosine")
+    cq = F.expr(dot_spark(col, "__q"))
+    if sim == "dot_product":
+        score, direction = cq, F.desc
+    elif sim == "euclidean":
+        score = (
+            F.expr(dot_spark(col, col))
+            - 2 * cq
+            + F.expr(dot_spark("__q", "__q"))
+        )
+        direction = F.asc
+    else:
+        score = cq / (
             F.sqrt(F.expr(dot_spark(col, col)))
             * F.sqrt(F.expr(dot_spark("__q", "__q")))
         )
-    )
+        direction = F.desc
     tie = [F.col(c) for c in meta.partition_key]
     return (
         df.withColumn("__score", score)
-        .orderBy(F.desc("__score"), *tie)
+        .orderBy(direction("__score"), *tie)
         .limit(s.limit)
         .drop("__q", "__score")
     )

@@ -362,7 +362,7 @@ _CREATE_INDEX_RE = re.compile(
     r"(?:(?P<kind>KEYS|VALUES|ENTRIES|FULL)\s*\(\s*(?P<icol>\w+)\s*\)"
     r"|(?P<col>\w+))\s*\)\s*"
     r"(?:USING\s+'(?P<using>[^']*)'\s*)?"
-    r"(?:WITH\s+OPTIONS\s*=\s*\{[^}]*\}\s*)?;?\s*$",
+    r"(?:WITH\s+OPTIONS\s*=\s*\{(?P<opts>[^}]*)\}\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
@@ -707,6 +707,39 @@ def _decode_state(state: str) -> list:
         raise CQLError("invalid paging state") from None
 
 
+_SIM_FNS = ("cosine", "euclidean", "dot_product")
+
+
+def _parse_sai_options(
+    opts: str | None, col: str, is_vector: bool
+) -> str | None:
+    """``similarity_function`` from CREATE CUSTOM INDEX ... WITH OPTIONS
+    (`[C* index/sai/disk/vector — VectorSimilarityFunction, unverified]`).
+    Only vector columns accept it (the reference validates the option
+    set per column type); value set is the reference's three. Other
+    OPTIONS keys (SASI mode/analyzer etc.) are layout advice this
+    engine's model owns — accepted and ignored, like table options."""
+    if not opts:
+        return None
+    sm = re.search(
+        r"'similarity_function'\s*:\s*'(\w+)'", opts, re.IGNORECASE
+    )
+    if not sm:
+        return None
+    fn = sm.group(1).lower()
+    if fn not in _SIM_FNS:
+        raise CQLError(
+            f"unknown similarity_function {sm.group(1)!r} "
+            "(COSINE | EUCLIDEAN | DOT_PRODUCT)"
+        )
+    if not is_vector:
+        raise CQLError(
+            f"similarity_function applies only to vector columns "
+            f"({col!r} is not one)"
+        )
+    return fn
+
+
 def _parse_table_options(with_text: str) -> dict:
     """The WITH option families with retained semantics (shared by
     CREATE TABLE and ALTER TABLE ... WITH): default_time_to_live,
@@ -891,6 +924,9 @@ class CqlSession:
         self.sai_indexes: dict[str, set[str]] = {}  # table → SAI-indexed cols
         # table → {vector col → persisted bucket-layout artifact dir}
         self.sai_vector_index: dict[str, dict[str, str]] = {}
+        # table → {vector col → ANN similarity function} from the SAI
+        # index's WITH OPTIONS (cosine when absent, the reference default)
+        self.sai_similarity: dict[str, dict[str, str]] = {}
         self.entry_indexes: dict[str, set[str]] = {}  # table → ENTRIES maps
         self.full_indexes: dict[str, set[str]] = {}  # table → FULL frozen
         # name → (table, col, kind), kind in {"values","keys","entries",
@@ -1036,6 +1072,9 @@ class CqlSession:
                 sorted(self.entry_indexes.get(schema.name, ()))
             ),
             indexed_full=tuple(sorted(self.full_indexes.get(schema.name, ()))),
+            sai_similarity=tuple(
+                sorted(self.sai_similarity.get(schema.name, {}).items())
+            ),
         )
 
     def register_trigger_class(self, name: str, fn) -> None:
@@ -1157,6 +1196,16 @@ class CqlSession:
                 raise CQLError(f"index {name!r} already exists")
             self.sai_indexes.setdefault(s.name, set()).add(col)
             self.index_names[name] = (s.name, col, "sai")
+            # vector<T, n> maps to list<T> in the session schema; the
+            # float/double element bound is the vector-typed subset
+            typ = (s.regular | s.static).get(col, "")
+            fn = _parse_sai_options(
+                m.group("opts"),
+                col,
+                bool(re.match(r"(list|array)<(float|double)", typ)),
+            )
+            if fn:
+                self.sai_similarity.setdefault(s.name, {})[col] = fn
             return
         if col == s.partition_key or col in s.clustering:
             raise CQLError(f"cannot index primary key column {col!r}")
@@ -1250,6 +1299,11 @@ class CqlSession:
         self.sai_indexes.setdefault(tname, set()).add(col)
         self.index_names[name] = (tname, col, "sai")
         dtypes = {c.lower(): t for c, t in df.dtypes}
+        fn = _parse_sai_options(
+            m.group("opts"), col, dtypes.get(col, "").startswith("array")
+        )
+        if fn:
+            self.sai_similarity.setdefault(tname, {})[col] = fn
         if dtypes.get(col, "").startswith("array"):
             # vector column: build the persisted SAI artifact NOW (the
             # reference builds SAI at index DDL time) — later ANN probes
@@ -1477,6 +1531,9 @@ class CqlSession:
                     ),
                     vector_index=tuple(
                         sorted(self.sai_vector_index.get(tname, {}).items())
+                    ),
+                    sai_similarity=tuple(
+                        sorted(self.sai_similarity.get(tname, {}).items())
                     ),
                 ),
             )
@@ -2679,6 +2736,8 @@ class CqlSession:
                 "full": self.full_indexes,
             }.get(kind, self.indexes)
             target.get(t, set()).discard(c)
+            if kind == "sai":
+                self.sai_similarity.get(t, {}).pop(c, None)
             return None
         if head.startswith("TRUNCATE"):
             tm = _TRUNCATE_RE.match(stmt)

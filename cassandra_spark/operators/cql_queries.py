@@ -1592,3 +1592,47 @@ def w23_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"current view must show the deletes + late key, got {n_now}"
     )
     return rt.snapshot_pitr(250).select("k", "u")
+
+
+@query(
+    "cql37_sai_ann_euclidean",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {BUCKET_DUCK} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM bucketed
+      WHERE bucket IN ({", ".join(map(str, _ANN_PROBES))})
+    )
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             {dot_duck('embedding', 'embedding')}
+             - 2 * {dot_duck('embedding', f'[{_ANN_V}]')}
+             + {dot_duck(f'[{_ANN_V}]', f'[{_ANN_V}]')} AS d2
+      FROM cand
+      ORDER BY d2 ASC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql37_sai_ann_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAI ANN with a non-default ranking function (`[C* index/sai —
+    CREATE CUSTOM INDEX ... WITH OPTIONS = {{'similarity_function':
+    'euclidean'}}, unverified]`): the same statement text as cql17, but
+    the index DDL's option flips the ORDER BY semantics from cosine
+    (descending similarity) to squared-L2 (ascending distance —
+    order-equivalent to the reference's 1/(1+d^2) similarity). The
+    candidate route is unchanged: the literal query vector's LSH bucket
+    multiprobe set prunes the persisted artifact's partitions at plan
+    time; only the ranking of survivors differs, which the oracle
+    states exactly."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_l2_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex' "
+        "WITH OPTIONS = {'similarity_function': 'EUCLIDEAN'}"
+    )
+    return sess.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10"
+    )
