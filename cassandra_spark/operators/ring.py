@@ -386,3 +386,98 @@ def w18_hinted_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+def _node_flags_sql(csv_col: str, node: str) -> str:
+    """Membership of ``node`` in a 'a,b,c' replica CSV — comma-delimited
+    LIKE, portable to Spark SQL and DuckDB alike (node names are one
+    letter + digits, so the delimiters make the match exact)."""
+    return f"(',' || {csv_col} || ',') LIKE '%,{node},%'"
+
+
+def _bootstrap_union_sql(nodes: list[str]) -> str:
+    arms = [
+        f"SELECT '{n}' AS node, {_node_flags_sql('ra', n)} AS before_, "
+        f"{_node_flags_sql('rb', n)} AS after_ FROM r"
+        for n in nodes
+    ]
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "w24_bootstrap_cleanup",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders", "o_orderkey")}
+    ),
+    r AS MATERIALIZED (
+      SELECT {replica_case_sql("token")} AS ra,
+             {replica_case_sql("token", ring=build_ring(N_NODES + 1))} AS rb
+      FROM __toks
+    )
+    SELECT node,
+           CAST(SUM(CASE WHEN before_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_before,
+           CAST(SUM(CASE WHEN after_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(CASE WHEN after_ AND NOT before_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_streamed_in,
+           CAST(SUM(CASE WHEN before_ AND NOT after_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cleaned_up
+    FROM ({_bootstrap_union_sql([f"n{i}" for i in range(N_NODES + 1)])})
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def w24_bootstrap_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node bootstrap + ``nodetool cleanup`` (`[C* dht/BootStrapper;
+    service/StorageService :: forceKeyspaceCleanup, unverified]`): a 5th
+    node joins the 4-node ring with its own 16 vnodes, and every
+    partition's natural-replica set is recomputed under BOTH rings. Per
+    node: replica ownership before/after, the rows the joiner must
+    STREAM IN (replica under B, not under A — bootstrap's transfer set),
+    and the rows each old node CLEANS UP (replica under A, not under B —
+    exactly what cleanup deletes after a topology change; until it runs,
+    those rows are dead weight the node still scans).
+
+    Spark-first shape, same as p8-p10: both ring walks are plan-time
+    CASE chains inside whole-stage codegen over ONE orders scan, the
+    per-node flags unpivot via ``stack`` (projection, no shuffle), and
+    the only exchange is the final 5-group aggregate. The oracle
+    re-derives the Murmur3 token in SQL and applies the identical CASE
+    text for both rings — a cross-engine differential of the hash and
+    both ring walks on every key."""
+    cat = Catalog(spark, sf_dir)
+    nodes = [f"n{i}" for i in range(N_NODES + 1)]
+    case_a = replica_case_sql("token")
+    case_b = replica_case_sql("token", ring=build_ring(N_NODES + 1))
+    stack_items = ", ".join(
+        f"'{n}', {_node_flags_sql('ra', n)}, {_node_flags_sql('rb', n)}"
+        for n in nodes
+    )
+    return (
+        cat.orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("ra", F.expr(case_a))
+        .withColumn("rb", F.expr(case_b))
+        .select(
+            F.expr(
+                f"stack({len(nodes)}, {stack_items}) "
+                f"AS (node, before_, after_)"
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("before_").cast("long")).alias("n_before"),
+            F.sum(F.col("after_").cast("long")).alias("n_after"),
+            F.sum((F.col("after_") & ~F.col("before_")).cast("long")).alias(
+                "n_streamed_in"
+            ),
+            F.sum((F.col("before_") & ~F.col("after_")).cast("long")).alias(
+                "n_cleaned_up"
+            ),
+        )
+        .orderBy("node")
+    )
