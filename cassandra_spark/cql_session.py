@@ -3494,6 +3494,20 @@ class CqlSession:
                 + str(s.compaction_sstable_size_mb)
                 + "'}"
             )
+        elif s.compaction == "UnifiedCompactionStrategy":
+            # render target_sstable_size in the coarsest exact unit so
+            # the statement re-parses to the same byte count
+            tb = s.ucs_target_bytes
+            for unit, shift in (("GiB", 30), ("MiB", 20), ("KiB", 10)):
+                if tb % (1 << shift) == 0:
+                    size = f"{tb >> shift}{unit}"
+                    break
+            clauses.append(
+                "compaction = {'class': '" + s.compaction + "', "
+                "'scaling_parameters': '" + s.compaction_scaling + "', "
+                "'target_sstable_size': '" + size + "', "
+                "'base_shard_count': '" + str(s.ucs_base_shards) + "'}"
+            )
         elif s.compaction:
             clauses.append(
                 "compaction = {'class': '" + s.compaction + "', "

@@ -246,3 +246,25 @@ def test_point_read_prunes_ucs_shards(spark, tmp_path):
     )
     # the shards are globally disjoint: at most one survives the range check
     assert t.lcs_stats["checked"] - t.lcs_stats["range_skipped"] <= 1
+
+
+def test_describe_roundtrips_ucs_options(spark, tmp_path):
+    sess = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    sess.execute(
+        "CREATE TABLE u (k text PRIMARY KEY, v bigint) WITH compaction = "
+        "{'class': 'UnifiedCompactionStrategy', 'scaling_parameters': "
+        "'T3, L8', 'target_sstable_size': '2KiB', 'base_shard_count': 2}"
+    )
+    ddl = sess.execute("DESCRIBE TABLE u").collect()[0].create_statement
+    assert "'scaling_parameters': 'T3, L8'" in ddl
+    assert "'target_sstable_size': '2KiB'" in ddl
+    assert "'base_shard_count': '2'" in ddl
+    assert "min_threshold" not in ddl  # an STCS/LCS knob, not a UCS one
+    # the canonical DDL re-parses to the same schema
+    sess2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
+    sess2.execute(ddl.replace("session.u", "u2"))
+    s2 = sess2.table("u2").schema
+    assert s2.compaction == "UnifiedCompactionStrategy"
+    assert s2.compaction_scaling == "T3, L8"
+    assert s2.ucs_target_bytes == 2048
+    assert s2.ucs_base_shards == 2
