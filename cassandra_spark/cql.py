@@ -601,6 +601,15 @@ def cql_select(
     if s.where:
         restricted = _where_columns(s.where, columns)
         non_key = restricted - key_cols
+        # clustering restrictions are free only under a restricted
+        # partition key (the reference's slice rule: without the
+        # partition, "restricted clustering" = a full-ring scan with a
+        # filter — exactly what ALLOW FILTERING exists to make explicit).
+        # With a 2i on the clustering column the index admits it instead,
+        # same as any other indexed column. Pinned simplification kept:
+        # clustering-prefix CONTIGUITY is not enforced.
+        if not set(meta.partition_key) <= restricted:
+            non_key = non_key | (restricted & set(meta.clustering_cols))
         uses_token = re.search(r"\btoken\s*\(", s.where, re.IGNORECASE)
         # a secondary index admits restrictions on its column without
         # ALLOW FILTERING (the reference's 2i rule), but the index KIND

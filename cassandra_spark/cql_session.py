@@ -1187,9 +1187,17 @@ class CqlSession:
                 raise CQLError(
                     "secondary indexes are not supported on counters"
                 )
-            if col == s.partition_key or col in s.clustering:
-                raise CQLError(f"cannot index primary key column {col!r}")
-            if col not in s.regular and col not in s.static:
+            # clustering columns ARE indexable (`[C* cql3/statements/
+            # CreateIndexStatement, unverified]` — only the sole
+            # partition-key component is rejected); the index admits a
+            # partition-free restriction through the gate
+            if col == s.partition_key:
+                raise CQLError(f"cannot index partition key column {col!r}")
+            if (
+                col not in s.regular
+                and col not in s.static
+                and col not in s.clustering
+            ):
                 raise CQLError(f"unknown column {col!r} in {s.name!r}")
             name = (m.group("name") or f"{s.name}_{col}_idx").lower()
             if name in self.index_names:
@@ -1207,9 +1215,13 @@ class CqlSession:
             if fn:
                 self.sai_similarity.setdefault(s.name, {})[col] = fn
             return
-        if col == s.partition_key or col in s.clustering:
-            raise CQLError(f"cannot index primary key column {col!r}")
-        if col not in s.regular and col not in s.static:
+        if col == s.partition_key:
+            raise CQLError(f"cannot index partition key column {col!r}")
+        if (
+            col not in s.regular
+            and col not in s.static
+            and col not in s.clustering
+        ):
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
         if s.counter:
             raise CQLError("secondary indexes are not supported on counters")
@@ -1291,8 +1303,8 @@ class CqlSession:
         cols = {c.lower() for c in df.columns}
         if col not in cols:
             raise CQLError(f"unknown column {col!r} in {tname!r}")
-        if col in meta.partition_key or col in meta.clustering:
-            raise CQLError(f"cannot index primary key column {col!r}")
+        if col in meta.partition_key:
+            raise CQLError(f"cannot index partition key column {col!r}")
         name = (m.group("name") or f"{tname}_{col}_idx").lower()
         if name in self.index_names:
             raise CQLError(f"index {name!r} already exists")

@@ -1636,3 +1636,40 @@ def cql37_sai_ann_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
         f"[{_ANN_V}] LIMIT 10"
     )
+
+
+@query(
+    "cql38_clustering_index",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id
+    FROM events WHERE event_id % 5000 = 7
+    """,
+)
+def cql38_clustering_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index ON A CLUSTERING COLUMN (`[C* cql3/statements/
+    CreateIndexStatement, unverified]` — legal in the reference; only
+    the partition key is rejected): ``event_id`` is events' clustering
+    column, so a partition-free restriction on it is a full-ring scan
+    the gate refuses without ALLOW FILTERING (asserted inline — the
+    round-9 gate faithfulness fix). The SAI index admits it, and the
+    scan stays one Catalyst-pushed filter over the corpus — the
+    analytics-engine shape of the reference's index lookup."""
+    from cassandra_spark.cql import CQLError
+
+    sess = CqlSession(spark, sf_dir)
+    try:
+        sess.execute(
+            "SELECT user_id, event_id FROM events WHERE event_id % 5000 = 7"
+        )
+        raise AssertionError("partition-free clustering restriction must "
+                             "need ALLOW FILTERING before the index exists")
+    except CQLError:
+        pass
+    sess.execute(
+        "CREATE CUSTOM INDEX ev_eid_idx ON events (event_id) "
+        "USING 'StorageAttachedIndex'"
+    )
+    return sess.execute(
+        "SELECT user_id, event_id FROM events WHERE event_id % 5000 = 7"
+    )

@@ -353,10 +353,12 @@ def test_create_index_rejections(sess):
         "CREATE TABLE hits3 (page text, day text, views counter, "
         "PRIMARY KEY (page, day))"
     )
-    with pytest.raises(CQLError, match="primary key"):
+    with pytest.raises(CQLError, match="partition key"):
         sess.execute("CREATE INDEX ON msgs (room)")
-    with pytest.raises(CQLError, match="primary key"):
-        sess.execute("CREATE INDEX ON msgs (posted)")
+    # clustering columns ARE indexable (reference-faithful since r9);
+    # the index admits a partition-free equality through the gate
+    sess.execute("CREATE INDEX ON msgs (posted)")
+    assert "posted" in sess.indexes.get("msgs", set())
     with pytest.raises(CQLError, match="unknown column"):
         sess.execute("CREATE INDEX ON msgs (nope)")
     with pytest.raises(CQLError, match="counter"):
@@ -965,7 +967,7 @@ def test_catalog_index_requires_custom_class(spark):
             "CREATE CUSTOM INDEX ON embeddings (nope) "
             "USING 'StorageAttachedIndex'"
         )
-    with pytest.raises(CQLError, match="primary key"):
+    with pytest.raises(CQLError, match="partition key"):
         s.execute(
             "CREATE CUSTOM INDEX ON embeddings (vec_id) "
             "USING 'StorageAttachedIndex'"
@@ -1702,3 +1704,26 @@ def test_list_literal_rewrite_is_string_safe(sess):
         "SELECT k FROM strsafe WHERE tags = ['x']"
     ).collect()
     assert [r.k for r in got] == ["a"]
+
+
+def test_clustering_restriction_gate(sess):
+    sess.execute(DDL)
+    sess.execute("INSERT INTO msgs (room, posted, author) VALUES ('dev', 1, 'a')")
+    sess.execute("INSERT INTO msgs (room, posted, author) VALUES ('ops', 2, 'b')")
+    # clustering-only restriction: a full-ring scan with a filter — the
+    # reference demands ALLOW FILTERING (or a 2i) without the partition
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        sess.execute("SELECT room FROM msgs WHERE posted = 2")
+    r = sess.execute(
+        "SELECT room FROM msgs WHERE posted = 2 ALLOW FILTERING"
+    ).collect()
+    assert [x.room for x in r] == ["ops"]
+    # partition-restricted slices stay free
+    r = sess.execute(
+        "SELECT author FROM msgs WHERE room = 'dev' AND posted >= 1"
+    ).collect()
+    assert [x.author for x in r] == ["a"]
+    # a 2i on the clustering column admits the restriction without AF
+    sess.execute("CREATE INDEX ON msgs (posted)")
+    r = sess.execute("SELECT room FROM msgs WHERE posted = 2").collect()
+    assert [x.room for x in r] == ["ops"]
