@@ -410,6 +410,13 @@ class TableSchema:
         return out
 
 
+def _pq_num_rows(path: str) -> int:
+    """Row count from the parquet footer only (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def parse_ucs_scaling(text: str) -> list[tuple[str, int]]:
     """Parse a UCS 'scaling_parameters' string (`[C* db/compaction/
     unified — CEP-26, unverified]`) into [(mode, arg), ...] where mode
@@ -706,6 +713,12 @@ class CqlTable:
         self.compact_threshold = compact_threshold
         self._segments: list[str] = []  # flushed parquet segment paths
         self._retired: list[str] = []  # compaction-superseded, not yet GC'd
+        # system.compaction_history rows (`[C* db/SystemKeyspace ::
+        # updateCompactionHistory, unverified]`), one per merge/drop:
+        # (id, tag, compacted_at_us wall clock, n_inputs, n_outputs,
+        # bytes_in, bytes_out, rows_in, rows_out). The session surfaces
+        # them as the virtual table; bounded O(compactions).
+        self.compaction_history: list[tuple] = []
         self._seg_counter = 0  # monotone: segment file names never recycle
         # per-segment partition-key Bloom filters (the SSTable Filter.db
         # analogue, operators/bloom.py) + nodetool-tablestats-style
@@ -1714,6 +1727,7 @@ class CqlTable:
 
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
 
+        bytes_in = sum(os.path.getsize(p) for p in members)
         merged = pa.concat_tables([pq.read_table(p) for p in members])
         self._seg_counter += 1
         path = os.path.join(
@@ -1744,7 +1758,30 @@ class CqlTable:
             p for p in self._segments if p not in set(members)
         ]
         self._segments.append(path)
+        self._record_compaction(
+            tag, len(members), 1, bytes_in, os.path.getsize(path),
+            merged.num_rows, merged.num_rows,
+        )
         return path
+
+    def _record_compaction(
+        self, tag, n_in, n_out, bytes_in, bytes_out, rows_in, rows_out
+    ) -> None:
+        import time as _time
+
+        self.compaction_history.append(
+            (
+                len(self.compaction_history),
+                tag,
+                int(_time.time() * 1_000_000),
+                n_in,
+                n_out,
+                bytes_in,
+                bytes_out,
+                rows_in,
+                rows_out,
+            )
+        )
 
     def _seg_stats(self, path: str) -> tuple:
         """(min_writetime, max_writetime, max_deletion_us) for a segment
@@ -1830,6 +1867,10 @@ class CqlTable:
                 break
             if victim is None:
                 return created
+            self._record_compaction(
+                "twcs-drop", 1, 0, os.path.getsize(victim), 0,
+                _pq_num_rows(victim), 0,
+            )
             self._retired.append(victim)
             self._blooms.pop(victim, None)
             self._seg_level.pop(victim, None)
@@ -1971,6 +2012,7 @@ class CqlTable:
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
         from cassandra_spark.operators.murmur3 import token_of_text
 
+        bytes_in = sum(os.path.getsize(p) for p in inputs)
         merged = pa.concat_tables([pq.read_table(p) for p in inputs])
         pks = merged.column("pk").to_pylist()
         tok = {p: token_of_text(p) for p in set(pks)}
@@ -2035,6 +2077,11 @@ class CqlTable:
         drop = set(inputs)
         self._segments = [p for p in self._segments if p not in drop]
         self._segments.extend(created)
+        self._record_compaction(
+            tag, len(inputs), len(created), bytes_in,
+            sum(os.path.getsize(p) for p in created),
+            merged.num_rows, merged.num_rows,
+        )
         return created
 
     def ucs_compact(self) -> list[str]:

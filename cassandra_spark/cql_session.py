@@ -3812,6 +3812,38 @@ class CqlSession:
             ),
             "system.local": (local, TableMeta("system.local", ("key",))),
             "system.peers": (peers, TableMeta("system.peers", ("peer",))),
+            # `[C* db/SystemKeyspace :: updateCompactionHistory,
+            # unverified]` — one row per merge/drop across every table.
+            # Pinned divergences from the reference shape: id is the
+            # per-table sequence (timeuuid in the reference), the
+            # rows_merged map is flattened to rows_in/rows_out +
+            # n_inputs/n_outputs, and the strategy tag is surfaced as
+            # compaction_type (nodetool shows it; the table does not).
+            "system.compaction_history": (
+                spark.createDataFrame(
+                    [
+                        (
+                            seq,
+                            self.table_keyspace.get(tbl, "session"),
+                            tbl, tag, at, n_in, n_out,
+                            b_in, b_out, r_in, r_out,
+                        )
+                        for tbl, t_ in sorted(self.tables.items())
+                        for (seq, tag, at, n_in, n_out,
+                             b_in, b_out, r_in, r_out)
+                        in t_.compaction_history
+                    ],
+                    "id bigint, keyspace_name string, "
+                    "columnfamily_name string, compaction_type string, "
+                    "compacted_at bigint, n_inputs int, n_outputs int, "
+                    "bytes_in bigint, bytes_out bigint, rows_in bigint, "
+                    "rows_out bigint",
+                ),
+                TableMeta(
+                    "system.compaction_history",
+                    ("columnfamily_name",), ("id",),
+                ),
+            ),
             "system_schema.tables": (
                 tables_df,
                 TableMeta(

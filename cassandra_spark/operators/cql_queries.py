@@ -1673,3 +1673,60 @@ def cql38_clustering_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT user_id, event_id FROM events WHERE event_id % 5000 = 7"
     )
+
+
+@query(
+    "cql39_compaction_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'a', 'stcs',    2, 1, CAST(20 AS BIGINT),
+       CAST(20 AS BIGINT)),
+      (CAST(0 AS BIGINT), 'b', 'compact', 2, 1, CAST(12 AS BIGINT),
+       CAST(12 AS BIGINT)),
+      (CAST(0 AS BIGINT), 'c', 'ucs',     2, 1, CAST(8 AS BIGINT),
+       CAST(8 AS BIGINT))
+    ) AS t(id, columnfamily_name, compaction_type, n_inputs, n_outputs,
+           rows_in, rows_out)
+    """,
+)
+def cql39_compaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.compaction_history`` (`[C* db/SystemKeyspace ::
+    updateCompactionHistory; nodetool compactionhistory, unverified]`):
+    every merge/drop across every table records one row in the virtual
+    table. Three tables exercise three strategies — STCS tier merge,
+    default major compaction, UCS overlap merge — and the oracle states
+    the full deterministic projection (ids, strategy tags, input/output
+    segment counts, mutation-row counts; wall-clock ``compacted_at`` and
+    codec-dependent byte sizes are projected out). Rows are counted in
+    mutation-log cells: one INSERT of (k, v) is a row MARKER plus one
+    cell."""
+    import tempfile
+
+    sess = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="cql39_hist_")
+    )
+    sess.execute(
+        "CREATE TABLE a (k text PRIMARY KEY, v int) WITH compaction = "
+        "{'class': 'SizeTieredCompactionStrategy', 'min_threshold': '2'}"
+    )
+    sess.execute("CREATE TABLE b (k text PRIMARY KEY, v int)")
+    sess.execute(
+        "CREATE TABLE c (k text PRIMARY KEY, v int) WITH compaction = "
+        "{'class': 'UnifiedCompactionStrategy', 'scaling_parameters': 'T2'}"
+    )
+    for tbl, per_flush in (("a", 5), ("b", 3), ("c", 2)):
+        t = sess.table(tbl)
+        for g in range(2):
+            for i in range(per_flush):
+                sess.execute(
+                    f"INSERT INTO {tbl} (k, v) VALUES "
+                    f"('{tbl}{g}{i}', {i})"
+                )
+            t.flush()
+    sess.table("a").stcs_compact()
+    sess.table("b").compact_segments()
+    sess.table("c").ucs_compact()
+    return sess.execute(
+        "SELECT id, columnfamily_name, compaction_type, n_inputs, "
+        "n_outputs, rows_in, rows_out FROM system.compaction_history"
+    )
