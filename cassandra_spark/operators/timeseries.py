@@ -171,27 +171,30 @@ def x39_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, counted
     distinct in each subsequent week offset — the matrix every
-    product-analytics pipeline derives. Two shuffles total (per-user
-    first agg; the distinct+rollup reuses the user partitioning via the
-    join), integer week arithmetic keeps the oracle exact. At 100 TB the
-    firsts table is the natural incremental artifact (merge-min per user
-    per batch) rather than a recomputation — same plan shape."""
+    product-analytics pipeline derives. ONE events scan and ONE
+    user-keyed shuffle: min(week) and the distinct-week set come out of
+    the same groupBy (collect_set dedups map-side, bounded by the
+    calendar — #weeks per user, not #events), offsets explode from the
+    set, and the final (cohort, offset) rollup is a tiny second
+    exchange. The round-8 shape scanned events twice, joined firsts
+    back, and paid a third exchange for distinct — 11.2x wall growth at
+    100x data; this shape removes the join and the distinct outright.
+    At 100 TB the per-user (min, week-set) table is the natural
+    incremental artifact (merge-min / set-union per batch)."""
     cat = Catalog(spark, sf_dir)
-    week = lambda c: F.floor(  # noqa: E731
-        F.unix_micros(c) / 1_000_000.0 / 604_800.0
-    )
-    firsts = cat.events.groupBy("user_id").agg(
-        week(F.min("ts")).alias("cohort_week")
-    )
-    activity = (
-        cat.events.select("user_id", week(F.col("ts")).alias("w"))
-        .join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+    week = F.floor(F.unix_micros(F.col("ts")) / 1_000_000.0 / 604_800.0)
+    per_user = (
+        cat.events.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.min("w").alias("cohort_week"),
+            F.collect_set("w").alias("weeks"),
         )
-        .distinct()
+    )
+    activity = per_user.select(
+        "cohort_week", F.explode("weeks").alias("w")
+    ).select(
+        "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset")
     )
     return (
         activity.groupBy("cohort_week", "week_offset")
