@@ -711,6 +711,13 @@ class CqlTable:
         # auto-compact once this many segments accumulate, so segment
         # count (and with it LWT read cost) stays bounded on any session
         self.compact_threshold = compact_threshold
+        # compaction merges whose input bytes reach this threshold run
+        # as ONE Spark job (executor read/decode/shuffle/write) instead
+        # of the driver-side pyarrow concat — the same
+        # distribute-past-a-threshold rule as the 2i candidate probe.
+        # Below it the driver path IS faster (no job overhead). None
+        # disables the Spark path outright.
+        self.distributed_merge_bytes: int | None = 256 << 20
         self._segments: list[str] = []  # flushed parquet segment paths
         self._retired: list[str] = []  # compaction-superseded, not yet GC'd
         # system.compaction_history rows (`[C* db/SystemKeyspace ::
@@ -1728,6 +1735,11 @@ class CqlTable:
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
 
         bytes_in = sum(os.path.getsize(p) for p in members)
+        if (
+            self.distributed_merge_bytes is not None
+            and bytes_in >= self.distributed_merge_bytes
+        ):
+            return self._merge_segments_spark(members, tag, bytes_in)
         merged = pa.concat_tables([pq.read_table(p) for p in members])
         self._seg_counter += 1
         path = os.path.join(
@@ -1782,6 +1794,118 @@ class CqlTable:
                 rows_out,
             )
         )
+
+    def _spark_write_merge(self, df, tag: str) -> list[str]:
+        """Write a merge plan's output via Spark into canonical segment
+        file names: executors read/decode/encode; the driver only
+        renames. Empty part files (range partitioner slack) are
+        dropped. Outputs carry parquet column statistics (so TWCS
+        window bucketing by max writetime keeps working) but no
+        max-deletion footer stamp — like bulk_load segments they read
+        as never-whole-droppable until a later driver-side merge
+        restamps them, the safe default."""
+        import glob
+        import uuid
+
+        sub = os.path.join(
+            self.spill_dir,
+            f"{self.schema.name}-{tag}-dist-{uuid.uuid4().hex[:8]}",
+        )
+        df.write.parquet(sub, compression=self._codec())
+        out: list[str] = []
+        for f in sorted(glob.glob(os.path.join(sub, "part-*.parquet"))):
+            if _pq_num_rows(f) == 0:
+                os.remove(f)
+                continue
+            self._seg_counter += 1
+            path = os.path.join(
+                self.spill_dir,
+                f"{self.schema.name}-{tag}{self._seg_counter:06d}.parquet",
+            )
+            os.replace(f, path)
+            out.append(path)
+        try:
+            os.rmdir(sub) if not os.listdir(sub) else None
+        except OSError:
+            pass
+        return out
+
+    def _retire_into(self, inputs: list[str], created: list[str]) -> None:
+        for m in inputs:
+            self._blooms.pop(m, None)
+            self._seg_level.pop(m, None)
+            self._seg_tokens.pop(m, None)
+        self._retired.extend(inputs)
+        drop = set(inputs)
+        self._segments = [p for p in self._segments if p not in drop]
+        self._segments.extend(created)
+
+    def _merge_segments_spark(
+        self, members: list[str], tag: str, bytes_in: int
+    ) -> str:
+        """Distributed form of :meth:`_merge_segments` (input bytes >=
+        ``distributed_merge_bytes``): ONE Spark job — parallel read and
+        decode of every input segment, a single-partition shuffle, one
+        executor-side encode — instead of materializing the whole merge
+        on the driver. History rows are a SET (reconcile orders by
+        writetime/seq, never file position), so the shuffle's row order
+        is immaterial. N→1 stays the contract (STCS tier / TWCS window
+        steady state); blooms rebuild lazily on first point read, the
+        bulk_load precedent."""
+        plan = (
+            self.spark.read.schema(_MUT_SCHEMA)
+            .parquet(*members)
+            .repartition(1)
+        )
+        created = self._spark_write_merge(plan, tag)
+        assert len(created) == 1, "repartition(1) must yield one segment"
+        self._retire_into(members, created)
+        rows_in = sum(_pq_num_rows(p) for p in members)
+        self._record_compaction(
+            tag, len(members), 1, bytes_in,
+            os.path.getsize(created[0]), rows_in, _pq_num_rows(created[0]),
+        )
+        return created[0]
+
+    def _merge_sharded_spark(
+        self, inputs: list[str], target: int, budget: int, tag: str,
+        bytes_in: int,
+    ) -> list[str]:
+        """Distributed form of :meth:`_merge_sorted_sharded` (LCS
+        promotion / UCS sharded merge past the byte threshold): range-
+        partition by the bit-exact Murmur3 token of pk (the Arrow-
+        batched ``cassandra_token`` UDF) into ~bytes/budget shards and
+        write executor-side. Same token → same shard, so the whole-
+        partition rule and pairwise-disjoint token ranges hold by
+        construction; ranges and blooms derive lazily from the pk
+        column. The level travels in ``_seg_level`` (in-session) only —
+        a keyspace restore rehydrates these shards at L0 and the next
+        compaction re-levels them, a documented degradation that never
+        affects answers."""
+        from cassandra_spark.operators.murmur3 import (
+            ensure_token_registered,
+        )
+
+        ensure_token_registered(self.spark)
+        n_shards = max(1, -(-bytes_in // budget))
+        plan = (
+            self.spark.read.schema(_MUT_SCHEMA)
+            .parquet(*inputs)
+            .withColumn("__tok", F.expr("cassandra_token(pk)"))
+            .repartitionByRange(n_shards, "__tok")
+            .drop("__tok")
+        )
+        created = self._spark_write_merge(plan, tag)
+        self._retire_into(inputs, created)
+        for p in created:
+            self._seg_level[p] = target
+        rows_in = sum(_pq_num_rows(p) for p in inputs)
+        self._record_compaction(
+            tag, len(inputs), len(created), bytes_in,
+            sum(os.path.getsize(p) for p in created),
+            rows_in, sum(_pq_num_rows(p) for p in created),
+        )
+        return created
 
     def _seg_stats(self, path: str) -> tuple:
         """(min_writetime, max_writetime, max_deletion_us) for a segment
@@ -2013,6 +2137,13 @@ class CqlTable:
         from cassandra_spark.operators.murmur3 import token_of_text
 
         bytes_in = sum(os.path.getsize(p) for p in inputs)
+        if (
+            self.distributed_merge_bytes is not None
+            and bytes_in >= self.distributed_merge_bytes
+        ):
+            return self._merge_sharded_spark(
+                inputs, target, budget, tag, bytes_in
+            )
         merged = pa.concat_tables([pq.read_table(p) for p in inputs])
         pks = merged.column("pk").to_pylist()
         tok = {p: token_of_text(p) for p in set(pks)}
@@ -2069,14 +2200,7 @@ class CqlTable:
             self._seg_level[path] = target
             self._seg_tokens[path] = rng
             created.append(path)
-        for m in inputs:
-            self._blooms.pop(m, None)
-            self._seg_level.pop(m, None)
-            self._seg_tokens.pop(m, None)
-        self._retired.extend(inputs)
-        drop = set(inputs)
-        self._segments = [p for p in self._segments if p not in drop]
-        self._segments.extend(created)
+        self._retire_into(inputs, created)
         self._record_compaction(
             tag, len(inputs), len(created), bytes_in,
             sum(os.path.getsize(p) for p in created),

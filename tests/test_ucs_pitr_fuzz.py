@@ -54,13 +54,16 @@ def _rows(df):
 @given(
     history=history_st,
     scaling=st.sampled_from(["T2", "T3", "L4", "N", "T2, L4"]),
+    distributed=st.booleans(),
 )
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_ucs_layout_invisible_to_lww(spark, tmp_path_factory, history, scaling):
+def test_ucs_layout_invisible_to_lww(
+    spark, tmp_path_factory, history, scaling, distributed
+):
     base = tmp_path_factory.mktemp("ucs_fuzz")
     ucs = CqlSession(spark, spill_dir=str(base / "ucs"))
     ucs.execute(
@@ -70,6 +73,8 @@ def test_ucs_layout_invisible_to_lww(spark, tmp_path_factory, history, scaling):
     )
     _run(ucs, history)
     ucs.table("t").flush()
+    if distributed:  # force the Spark merge path
+        ucs.table("t").distributed_merge_bytes = 1
     ucs.table("t").ucs_compact()
 
     plain = CqlSession(spark, spill_dir=str(base / "plain"))
