@@ -371,6 +371,11 @@ class TableSchema:
     compaction_scaling: str = "T4"
     ucs_target_bytes: int = 1 << 30
     ucs_base_shards: int = 1
+    # WITH cdc = true (`[C* schema/TableParams cdc;
+    # db/commitlog/CommitLogSegmentManagerCDC, unverified]`): gates the
+    # change-data-capture feed. The reference exposes commitlog segments
+    # to CDC consumers only for flagged tables; false is its default.
+    cdc: bool = False
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)

@@ -182,6 +182,7 @@ def parse_create_table(
     ucs_scaling = topts.get("compaction_scaling", "T4")
     ucs_target = topts.get("ucs_target_bytes", 1 << 30)
     ucs_shards = topts.get("ucs_base_shards", 1)
+    cdc = topts.get("cdc", False)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -346,6 +347,7 @@ def parse_create_table(
         compaction_scaling=ucs_scaling,
         ucs_target_bytes=ucs_target,
         ucs_base_shards=ucs_shards,
+        cdc=cdc,
     )
 
 
@@ -751,6 +753,9 @@ def _parse_table_options(with_text: str) -> dict:
     )
     if dm:
         out["default_ttl"] = int(dm.group(1))
+    cdcm = re.search(r"\bcdc\s*=\s*(true|false)\b", unquoted, re.IGNORECASE)
+    if cdcm:
+        out["cdc"] = cdcm.group(1).lower() == "true"
     cm_ = re.search(
         r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
         with_text, re.IGNORECASE,
@@ -3187,6 +3192,7 @@ class CqlSession:
                     "compaction_scaling": s.compaction_scaling,
                     "ucs_target_bytes": s.ucs_target_bytes,
                     "ucs_base_shards": s.ucs_base_shards,
+                    "cdc": s.cdc,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3317,6 +3323,7 @@ class CqlSession:
                     compaction_scaling=sch.get("compaction_scaling", "T4"),
                     ucs_target_bytes=sch.get("ucs_target_bytes", 1 << 30),
                     ucs_base_shards=sch.get("ucs_base_shards", 1),
+                    cdc=sch.get("cdc", False),
                 )
             )
             if t.spill_dir is None:
@@ -3491,6 +3498,8 @@ class CqlSession:
             clauses.append(
                 "compression = {'class': '" + s.compression + "'}"
             )
+        if s.cdc:
+            clauses.append("cdc = true")
         if s.compaction == "TimeWindowCompactionStrategy":
             # render in MINUTES: every supported unit is a whole multiple
             minutes = s.compaction_window_us // 60_000_000

@@ -752,7 +752,9 @@ def s10_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spill_dir=tempfile.mkdtemp(prefix="s10_cdc_"),
         spill_threshold=16,  # forces several mid-ingest segment flushes
     )
-    sess.execute("CREATE TABLE cdc_src (k text PRIMARY KEY, u text)")
+    sess.execute(
+        "CREATE TABLE cdc_src (k text PRIMARY KEY, u text) WITH cdc = true"
+    )
     for i, r in enumerate(rows, start=1):
         sess.execute(
             f"INSERT INTO cdc_src (k, u) VALUES "

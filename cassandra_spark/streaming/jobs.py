@@ -698,6 +698,14 @@ def cdc_stream(spark: SparkSession, table) -> DataFrame:
     re-deliver history nor pull a listed file out from under the reader."""
     from cassandra_spark.cql_dml import _MUT_SCHEMA
 
+    if not getattr(table.schema, "cdc", False):
+        from cassandra_spark.cql import CQLError
+
+        raise CQLError(
+            f"CDC is not enabled on table {table.schema.name!r} — "
+            "CREATE/ALTER TABLE ... WITH cdc = true (the reference gates "
+            "commitlog CDC exposure the same way, default false)"
+        )
     if table.spill_dir is None:
         raise ValueError("cdc_stream needs a spill-enabled table (spill_dir)")
     return (

@@ -214,6 +214,7 @@ def test_cdc_glob_excludes_compacted_generations(spark, tmp_path):
         spark, _kv_schema(), spill_dir=str(tmp_path / "cdcseg"),
         spill_threshold=200,
     )
+    t.schema.cdc = True  # the feed is gated on WITH cdc = true
     for stmt in _workload(1_000):
         t.execute(stmt)
     t.flush()

@@ -360,7 +360,7 @@ def test_cdc_stream_delivers_flushed_mutations(spark, tmp_path):
         spark,
         TableSchema(
             name="kv", partition_key="k", clustering=(),
-            regular={"v": "string"},
+            regular={"v": "string"}, cdc=True,
         ),
         spill_dir=str(tmp_path / "cdc"),
         spill_threshold=10,

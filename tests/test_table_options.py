@@ -366,3 +366,30 @@ def test_sstable_metadata_reports_max_deletion(spark, tmp_path):
     meta = {r.generation: r for r in t.sstable_metadata().collect()}
     vals = sorted(r.max_deletion for r in meta.values())
     assert vals == [-1, 15]  # live row pins -1; TTL'd segment = wt+ttl
+
+
+def test_cdc_option_gates_the_feed(spark, tmp_path):
+    """WITH cdc = true is required before cdc_stream serves a table
+    (reference default false); ALTER flips it live; DESCRIBE renders it
+    and the flag survives snapshot/restore."""
+    import pytest
+
+    from cassandra_spark.cql_session import CqlSession, CQLError
+    from cassandra_spark.streaming.jobs import cdc_stream
+
+    sess = CqlSession(spark, spill_dir=str(tmp_path / "a"))
+    sess.execute("CREATE TABLE nc (k text PRIMARY KEY, v int)")
+    sess.execute("INSERT INTO nc (k, v) VALUES ('a', 1)")
+    t = sess.table("nc")
+    t.flush()
+    with pytest.raises(CQLError, match="CDC is not enabled"):
+        cdc_stream(spark, t)
+    sess.execute("ALTER TABLE nc WITH cdc = true")
+    assert cdc_stream(spark, t) is not None
+    ddl = sess.execute("DESCRIBE TABLE nc").collect()[0].create_statement
+    assert "cdc = true" in ddl
+    snap = str(tmp_path / "snap")
+    sess.snapshot_keyspace(snap)
+    sess2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
+    sess2.restore_keyspace(snap)
+    assert sess2.table("nc").schema.cdc is True
