@@ -298,7 +298,9 @@ def test_mask_default_typed(spark):
         "SELECT mask_default(o_totalprice) AS p, "
         "mask_default(o_orderdate) AS d, "
         "mask_default(o_orderpriority) AS s "
-        "FROM orders WHERE o_orderkey = 1",
+        # o_orderkey is a clustering column; restricting it without the
+        # partition key needs ALLOW FILTERING (r9 gate-faithfulness fix)
+        "FROM orders WHERE o_orderkey = 1 ALLOW FILTERING",
     ).collect()[0]
     assert r.p == 0 and r.s == "****"
     assert str(r.d).startswith("1970-01-01")
