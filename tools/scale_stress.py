@@ -148,6 +148,7 @@ STRESS_QUERIES = (
     "l44_ivf_index_compact",
     "l45_pq_index_compact",
     "s18_streaming_admission_append",
+    "w24_bootstrap_cleanup",
 )
 
 # The 100x heavy tier (VERDICT r4 ask #2): the full x-tier join/agg family,
@@ -213,6 +214,7 @@ STRESS_QUERIES_100 = (
     "l44_ivf_index_compact",
     "l45_pq_index_compact",
     "s18_streaming_admission_append",
+    "w24_bootstrap_cleanup",
 )
 
 
