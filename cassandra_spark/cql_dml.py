@@ -415,6 +415,29 @@ class TableSchema:
         return out
 
 
+def check_guardrail(
+    guardrails: dict, warnings: list, name: str, actual: int, what: str
+) -> None:
+    """Warn/fail threshold check (`[C* db/guardrails/Guardrails — the
+    4.1 framework, unverified]`): above fail the operation ABORTS with a
+    CQLError; above warn a client warning is recorded (the reference's
+    client-warning frame, drained by ``CqlSession.pop_warnings``)."""
+    g = guardrails.get(name)
+    if not g:
+        return
+    warn, fail = g
+    if fail is not None and actual > fail:
+        raise CQLError(
+            f"guardrail {name} violated: {what} = {actual} exceeds "
+            f"failure threshold {fail}"
+        )
+    if warn is not None and actual > warn:
+        warnings.append(
+            f"guardrail {name}: {what} = {actual} exceeds warn "
+            f"threshold {warn}"
+        )
+
+
 def _pq_num_rows(path: str) -> int:
     """Row count from the parquet footer only (no data read)."""
     import pyarrow.parquet as pq
@@ -725,6 +748,13 @@ class CqlTable:
         self.distributed_merge_bytes: int | None = 256 << 20
         self._segments: list[str] = []  # flushed parquet segment paths
         self._retired: list[str] = []  # compaction-superseded, not yet GC'd
+        # guardrails (`[C* db/guardrails/Guardrails — 4.1, unverified]`):
+        # name -> (warn, fail) thresholds, shared BY REFERENCE with the
+        # owning session (set_guardrail mutates one dict); warnings
+        # append to the shared client_warnings list (the reference sends
+        # them in the client-warning frame)
+        self.guardrails: dict[str, tuple] = {}
+        self.client_warnings: list[str] = []
         # system.compaction_history rows (`[C* db/SystemKeyspace ::
         # updateCompactionHistory, unverified]`), one per merge/drop:
         # (id, tag, compacted_at_us wall clock, n_inputs, n_outputs,
@@ -820,19 +850,30 @@ class CqlTable:
             except Exception:
                 self._restore(mark)
                 raise
+        # single statements are atomic like batches: an error ANYWHERE in
+        # application (bad collection literal after the row marker, a
+        # guardrail failure mid-emission) rolls every cell back — the
+        # reference applies a statement's mutation atomically or not at
+        # all. A condition evaluating false is NOT an error (the clock
+        # stays ticked: a rejected proposal still consumed a round).
+        mark = self._mark()
         self._clock += 1
-        handler, m = self._match(stmt)
-        cond = self._cond_text(m)
-        if cond is None:
+        try:
+            handler, m = self._match(stmt)
+            cond = self._cond_text(m)
+            if cond is None:
+                handler(m, self._clock)
+                self._maybe_flush()
+                return None
+            self._lwt_guard(m)
+            if not self._eval_cond(cond, *self._cond_key(handler, m)):
+                return False
             handler(m, self._clock)
             self._maybe_flush()
-            return None
-        self._lwt_guard(m)
-        if not self._eval_cond(cond, *self._cond_key(handler, m)):
-            return False
-        handler(m, self._clock)
-        self._maybe_flush()
-        return True
+            return True
+        except Exception:
+            self._restore(mark)
+            raise
 
     # --- atomicity support (logged-batch all-or-nothing) -------------------
 
@@ -1133,9 +1174,12 @@ class CqlTable:
             if not self._segments
             else list(self._segment_rows_for_pk(pk)) + self._log
         )
+        n_tombs = 0
         for (lpk, lck, col, elem, val, kind, wt, ttl, seq, lo, hi, li, hi_i) in rows:
             if lpk != pk:
                 continue
+            if kind in (PART_TOMB, RANGE_TOMB, ROW_TOMB, COLL_TOMB, CELL_TOMB):
+                n_tombs += 1
             if kind == PART_TOMB:
                 pt = wt if pt is None else max(pt, wt)
                 continue
@@ -1156,6 +1200,12 @@ class CqlTable:
             prev = best.get(key)
             if prev is None or rank > prev[0]:
                 best[key] = (rank, kind, val, ttl)
+        # the TombstoneOverwhelmingException analogue: a partition read
+        # that scans too many deletion markers warns, then aborts
+        self._check_guardrail(
+            "tombstones_per_read", n_tombs,
+            f"tombstones scanned reading partition {pk!r}",
+        )
         horizons = [h for h in (pt, rt, rg) if h is not None]
         horizon = max(horizons) if horizons else None
         live: dict = {}
@@ -1286,10 +1336,18 @@ class CqlTable:
 
     # --- collection element emission --------------------------------------
 
+    def _check_guardrail(self, name: str, actual: int, what: str) -> None:
+        check_guardrail(
+            self.guardrails, self.client_warnings, name, actual, what
+        )
+
     def _emit_elements(self, pk, ckj, col, ckind, parsed, ts, ttl) -> None:
         """Element cells for a collection write. ``parsed`` is the
         ``_parse_value`` result for the right-hand side."""
         pkind, items = parsed
+        self._check_guardrail(
+            "items_per_collection", len(items), f"collection {col!r} items"
+        )
         if ckind == "list":
             if pkind != "list":
                 raise CQLError(f"list column {col!r} needs a [..] literal")

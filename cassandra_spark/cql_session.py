@@ -932,6 +932,13 @@ class CqlSession:
         # table → {vector col → ANN similarity function} from the SAI
         # index's WITH OPTIONS (cosine when absent, the reference default)
         self.sai_similarity: dict[str, dict[str, str]] = {}
+        # guardrails (`[C* db/guardrails/Guardrails — the 4.1 framework,
+        # unverified]`): name → (warn, fail); shared by reference with
+        # every table (see create_table). Empty = all disabled, the
+        # reference default. Client warnings accumulate here and drain
+        # via pop_warnings() (the protocol's warning frame).
+        self.guardrails: dict[str, tuple] = {}
+        self.client_warnings: list[str] = []
         self.entry_indexes: dict[str, set[str]] = {}  # table → ENTRIES maps
         self.full_indexes: dict[str, set[str]] = {}  # table → FULL frozen
         # name → (table, col, kind), kind in {"values","keys","entries",
@@ -994,6 +1001,40 @@ class CqlSession:
         self._traces: list[tuple] = []
         self._tracing_on = False
 
+    GUARDRAIL_NAMES = (
+        "items_per_collection",
+        "partition_keys_in_select",
+        "columns_per_table",
+        "tombstones_per_read",
+    )
+
+    def set_guardrail(
+        self, name: str, warn: int | None = None, fail: int | None = None
+    ) -> None:
+        """Configure one guardrail's warn/fail thresholds (`[C* db/
+        guardrails — cassandra.yaml guardrails section, unverified]`;
+        the reference configures them node-wide, settable live via JMX —
+        this engine's analogue is session-wide). ``None`` leaves that
+        threshold disabled; both None removes the guardrail."""
+        if name not in self.GUARDRAIL_NAMES:
+            raise CQLError(
+                f"unknown guardrail {name!r} "
+                f"(supported: {', '.join(self.GUARDRAIL_NAMES)})"
+            )
+        if warn is not None and fail is not None and warn > fail:
+            raise CQLError("guardrail warn threshold must be <= fail")
+        if warn is None and fail is None:
+            self.guardrails.pop(name, None)
+        else:
+            self.guardrails[name] = (warn, fail)
+
+    def pop_warnings(self) -> list[str]:
+        """Drain accumulated client warnings (the protocol warning
+        frame: cqlsh prints these after the result)."""
+        out = list(self.client_warnings)
+        self.client_warnings.clear()
+        return out
+
     def create_table(
         self, schema: TableSchema, keyspace: str | None = None
     ) -> CqlTable:
@@ -1010,9 +1051,6 @@ class CqlSession:
                 f"table {schema.name!r} already exists"
                 + (f" in keyspace {owner!r}" if owner != ks else "")
             )
-        self.table_keyspace[schema.name] = ks
-        if schema.masks:
-            self.masks.setdefault(schema.name, {}).update(schema.masks)
         spill = (
             os.path.join(self.spill_dir, schema.name)
             if self.spill_dir is not None
@@ -1022,6 +1060,19 @@ class CqlSession:
             self.spark, schema,
             spill_dir=spill, spill_threshold=self.spill_threshold,
         )
+        # guardrails are session-scoped: share the live dict + warning
+        # sink BY REFERENCE so set_guardrail() governs every table;
+        # columns_per_table rejects BEFORE any registration side effect
+        t.guardrails = self.guardrails
+        t.client_warnings = self.client_warnings
+        t._check_guardrail(
+            "columns_per_table",
+            len(schema.regular) + len(schema.static) + len(schema.key_cols),
+            f"columns in table {schema.name!r}",
+        )
+        self.table_keyspace[schema.name] = ks
+        if schema.masks:
+            self.masks.setdefault(schema.name, {}).update(schema.masks)
         self.tables[schema.name] = t
         return t
 
@@ -1333,6 +1384,42 @@ class CqlSession:
             self.sai_vector_index.setdefault(tname, {})[col] = (
                 build_lsh_bucket_index(self.spark, self.sf_dir, tname, col)
             )
+
+    def _check_in_guardrail(self, stmt: str, key: str) -> None:
+        """partition_keys_in_select guardrail (`[C* db/guardrails ::
+        partitionKeysInSelect, unverified]`): the size of a partition-key
+        IN list bounds the multi-partition fan-out one SELECT may ask a
+        coordinator for. Quote-masked so commas inside string literals
+        never miscount."""
+        if "partition_keys_in_select" not in self.guardrails:
+            return
+        if key in self.tables:
+            pk_col = self.tables[key].schema.partition_key
+        else:
+            from cassandra_spark.catalog import SCHEMA
+
+            meta = SCHEMA.get(key)
+            if meta is None:
+                return
+            pk_col = meta.partition_key[0]
+        masked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
+            stmt,
+        )
+        im = re.search(
+            rf"\b{re.escape(pk_col)}\s+IN\s*\(([^)]*)\)", masked,
+            re.IGNORECASE,
+        )
+        if not im:
+            return
+        from cassandra_spark.cql_dml import check_guardrail
+
+        check_guardrail(
+            self.guardrails, self.client_warnings,
+            "partition_keys_in_select", im.group(1).count(",") + 1,
+            f"partition keys in IN on {key!r}",
+        )
 
     def _masked_conjunctive_where(self, stmt: str):
         """(where_text, offset_into_stmt) for a statement whose WHERE is
@@ -2933,6 +3020,7 @@ class CqlSession:
             fm_ = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
             if fm_:
                 key = self._resolve(fm_.group(1))
+                self._check_in_guardrail(stmt, key)
                 if key in self.tables:
                     self._check_perm("SELECT", key)
                     # 2i-accelerated read: index probe → candidate

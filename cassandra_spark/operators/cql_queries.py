@@ -1730,3 +1730,75 @@ def cql39_compaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id, columnfamily_name, compaction_type, n_inputs, "
         "n_outputs, rows_in, rows_out FROM system.compaction_history"
     )
+
+
+@query(
+    "cql40_guardrails",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS BIGINT) AS u,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 30)
+    )
+    SELECT k, u, CAST(3 AS BIGINT) AS n_tags FROM src WHERE rn <= 30
+    """,
+)
+def cql40_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guardrails end-to-end (`[C* db/guardrails/Guardrails — the 4.1
+    framework, unverified]`): warn thresholds record client warnings
+    (the protocol warning frame, drained via ``pop_warnings``), fail
+    thresholds ABORT the statement atomically — the aborted write's row
+    marker does not leak (inline-asserted; the reference applies a
+    mutation atomically or not at all). 30 events-derived rows insert
+    3-item tag sets under ``items_per_collection`` (warn 2, fail 4):
+    every insert warns, none fail; a 5-item insert is refused and
+    leaves nothing; ``partition_keys_in_select`` bounds the IN fan-out.
+    The returned table is the surviving data, whose oracle proves the
+    guardrail never corrupted a passing write."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.cql import CQLError
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(30)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 30 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(
+        spark, spill_dir=tempfile.mkdtemp(prefix="cql40_guard_")
+    )
+    sess.execute(
+        "CREATE TABLE gd (k text PRIMARY KEY, u bigint, tags set<text>)"
+    )
+    sess.set_guardrail("items_per_collection", warn=2, fail=4)
+    sess.set_guardrail("partition_keys_in_select", fail=3)
+    for r in rows:
+        sess.execute(
+            f"INSERT INTO gd (k, u, tags) VALUES ('{r.event_id}', "
+            f"{r.user_id}, {{'t1', 't2', 't3'}})"
+        )
+    warns = sess.pop_warnings()
+    assert len(warns) == len(rows), "every 3-item set must warn at warn=2"
+    try:
+        sess.execute(
+            "INSERT INTO gd (k, u, tags) VALUES ('zz', 1, "
+            "{'a','b','c','d','e'})"
+        )
+        raise AssertionError("5-item set must violate fail=4")
+    except CQLError:
+        pass
+    assert sess.execute("SELECT k FROM gd WHERE k = 'zz'").count() == 0, (
+        "aborted write must not leak its row marker"
+    )
+    try:
+        sess.execute("SELECT k FROM gd WHERE k IN ('a','b','c','d')")
+        raise AssertionError("IN of 4 partitions must violate fail=3")
+    except CQLError:
+        pass
+    return sess.execute(
+        "SELECT k, u, size(tags) AS n_tags FROM gd"
+    )
