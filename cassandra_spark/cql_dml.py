@@ -1839,6 +1839,145 @@ class CqlTable:
         )
         return path
 
+    def garbage_collect(self, gc_horizon_us: int) -> dict:
+        """``nodetool garbagecollect`` analogue (`[C* db/compaction/
+        CompactionController :: getPurgeEvaluator — gc_grace_seconds,
+        unverified]`): the EXPLICITLY destructive rewrite that ordinary
+        compaction here deliberately is not (merges preserve history
+        byte-for-byte so asof/PITR reads keep working). Drops, across
+        the full flushed history, exactly what the reference's purge
+        evaluator drops:
+
+        - data cells SHADOWED by a partition/row/range/collection
+          tombstone (cell_wt <= tomb_wt, the engine's strict-> rule) or
+          out-ranked by a cell tombstone on the same (col, elem) —
+          droppable even under a YOUNG tombstone, which itself survives
+          to keep shadowing other replicas' data;
+        - whole (col, elem) cell groups whose LWW winner is TTL-EXPIRED
+          at the current clock AND older than the horizon — winner and
+          every older cell together, never separately: dropping only
+          the expired winner would resurrect the older value;
+        - tombstones of every scope with writetime < ``gc_horizon_us``
+          (past gc_grace; younger markers survive).
+
+        Superseded-but-unshadowed older data cells are KEPT (pinned
+        conservative divergence: they cost bytes, not correctness, and
+        asof reads between generations stay exact). After GC, PITR to a
+        time before the horizon is lossy — exactly the reference's
+        contract (you cannot restore past purged tombstones).
+
+        Flushes the memtable first, rewrites survivors as one ``gc``
+        segment, retires the inputs, records compaction history.
+        Returns {"dropped": n, "kept": n}. Snapshot-at-head equality is
+        pinned by tests/test_gc.py's differential fuzz."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
+
+        self.flush()
+        if not self._segments:
+            return {"dropped": 0, "kept": 0}
+        rows: list[tuple] = []
+        for seg in self._segments:
+            tbl = pq.read_table(seg)
+            rows.extend(zip(*(tbl.column(c).to_pylist() for c in _MUT_COLS)))
+
+        part: dict = {}
+        rowt: dict = {}
+        collt: dict = {}
+        ranges: list[tuple] = []
+        cell_tomb_rank: dict = {}
+        for r in rows:
+            pk, ck, col, elem, _v, kind, wt, _ttl, seq = r[:9]
+            if kind == PART_TOMB:
+                part[pk] = max(part.get(pk, -1), wt)
+            elif kind == ROW_TOMB:
+                rowt[(pk, ck)] = max(rowt.get((pk, ck), -1), wt)
+            elif kind == COLL_TOMB:
+                k = (pk, ck, col)
+                collt[k] = max(collt.get(k, -1), wt)
+            elif kind == RANGE_TOMB:
+                ranges.append(r)
+            elif kind == CELL_TOMB:
+                k = (pk, ck, col, elem)
+                rank = (wt, 1, seq)
+                if rank > cell_tomb_rank.get(k, (-1, 0, -1)):
+                    cell_tomb_rank[k] = rank
+
+        def scope_horizon(pk, ck, col):
+            hor = max(part.get(pk, -1), rowt.get((pk, ck), -1))
+            if col is not None:
+                hor = max(hor, collt.get((pk, ck, col), -1))
+            if ck:  # range tombstones cover clustering tuples only
+                ckt = tuple(ck.split(SEP))
+                for rr in ranges:
+                    if rr[0] != pk:
+                        continue
+                    if self._range_covers(rr[1], rr[9], rr[10], rr[11],
+                                          rr[12], ckt):
+                        hor = max(hor, rr[6])
+            return hor
+
+        # pass 1: tombstone-shadow drops on data cells
+        survivors: list[tuple] = []
+        groups: dict = {}  # (pk,ck,col,elem) -> [surviving data rows]
+        for r in rows:
+            pk, ck, col, elem, _v, kind, wt, _ttl, seq = r[:9]
+            if kind in (PART_TOMB, ROW_TOMB, COLL_TOMB, RANGE_TOMB,
+                        CELL_TOMB):
+                if wt >= gc_horizon_us:  # young marker: keep shadowing
+                    survivors.append(r)
+                continue
+            if wt <= scope_horizon(pk, ck, col):
+                continue
+            if (wt, 0, seq) < cell_tomb_rank.get(
+                (pk, ck, col, elem), (-1, 0, -1)
+            ):
+                continue
+            groups.setdefault((pk, ck, col, elem), []).append(r)
+        # pass 2: expired-winner groups drop WHOLE (resurrection guard)
+        for key, grp in groups.items():
+            win = max(grp, key=lambda r: (r[6], 0, r[8]))
+            wt, ttl = win[6], win[7]
+            if ttl and wt + ttl <= self._clock and wt < gc_horizon_us:
+                continue  # winner expired and past grace: purge the group
+            survivors.extend(grp)
+
+        bytes_in = sum(os.path.getsize(s) for s in self._segments)
+        n_in = len(self._segments)
+        rows_in = len(rows)
+        created: list[str] = []
+        if survivors:
+            cols = list(zip(*survivors))
+            arrays = [
+                pa.array(cols[i], type=t)
+                for i, t in enumerate(_mut_arrow_types())
+            ]
+            out = pa.table(dict(zip(_MUT_COLS, arrays)))
+            mdl = _max_deletion_us(cols[5], cols[6], cols[7])
+            out = out.replace_schema_metadata(
+                {b"max_deletion_us": str(mdl).encode()}
+            )
+            self._seg_counter += 1
+            path = os.path.join(
+                self.spill_dir,
+                f"{self.schema.name}-gc{self._seg_counter:06d}.parquet",
+            )
+            pq.write_table(out, path, compression=self._codec())
+            bf = BloomFilter.for_keys(set(cols[0]))
+            bf.save(sidecar_path(path))
+            self._blooms[path] = bf
+            created = [path]
+        self._retire_into(list(self._segments), created)
+        self._value_blooms.clear()  # cell sets changed: rebuild lazily
+        self._record_compaction(
+            "gc", n_in, len(created), bytes_in,
+            sum(os.path.getsize(p) for p in created),
+            rows_in, len(survivors),
+        )
+        return {"dropped": rows_in - len(survivors), "kept": len(survivors)}
+
     def _record_compaction(
         self, tag, n_in, n_out, bytes_in, bytes_out, rows_in, rows_out
     ) -> None:

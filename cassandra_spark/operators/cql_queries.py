@@ -1802,3 +1802,78 @@ def cql40_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT k, u, size(tags) AS n_tags FROM gd"
     )
+
+
+@query(
+    "w25_garbage_collect",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CAST(user_id AS BIGINT) AS u,
+             row_number() OVER (ORDER BY event_id) - 1 AS i
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 36)
+    )
+    SELECT k,
+           CASE WHEN i % 3 = 0 THEN u + 3000 ELSE u END AS u
+    FROM src
+    WHERE NOT (i % 4 = 0 AND i % 3 <> 0)
+    """,
+)
+def w25_garbage_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool garbagecollect`` end-to-end (`[C* db/compaction/
+    CompactionController :: getPurgeEvaluator, unverified]`): inserts
+    @100, deletes of every 4th key @200, overwrites of every 3rd @300;
+    ``garbage_collect(gc_horizon_us=250)`` purges the @200 tombstones
+    (past grace) together with the data they shadow, while the @300
+    overwrites — newer than their tombstones — survive untouched. The
+    physical reduction is inline-asserted (per-key logs of purged keys
+    empty; tombstone kinds gone) and the oracle states the visible LWW
+    state, proving the destructive rewrite changed bytes, never
+    answers."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(36)
+        .select("event_id", "user_id")
+        .collect()
+    )  # bounded: 36 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(spark, spill_dir=tempfile.mkdtemp(prefix="w25_gc_"))
+    sess.execute("CREATE TABLE gct (k text PRIMARY KEY, u bigint)")
+    t = sess.table("gct")
+    for r in rows:
+        sess.execute(
+            f"INSERT INTO gct (k, u) VALUES ('{r.event_id}', {r.user_id}) "
+            f"USING TIMESTAMP 100"
+        )
+    t.flush()
+    for i, r in enumerate(rows):
+        if i % 4 == 0:
+            sess.execute(
+                f"DELETE FROM gct USING TIMESTAMP 200 "
+                f"WHERE k = '{r.event_id}'"
+            )
+    for i, r in enumerate(rows):
+        if i % 3 == 0:
+            sess.execute(
+                f"INSERT INTO gct (k, u) VALUES "
+                f"('{r.event_id}', {r.user_id + 3000}) USING TIMESTAMP 300"
+            )
+    stats = t.garbage_collect(gc_horizon_us=250)
+    assert stats["dropped"] > 0, "the @200 tombstones must purge"
+    log = t.mutation_log()
+    assert log.filter("kind LIKE '%TOMB%'").count() == 0, (
+        "no tombstone is younger than the 250 horizon"
+    )
+    purged = [
+        r.event_id for i, r in enumerate(rows) if i % 4 == 0 and i % 3 != 0
+    ]
+    from pyspark.sql import functions as F
+
+    assert log.filter(F.col("pk").isin(purged)).count() == 0, (
+        "fully-shadowed keys must leave no physical trace"
+    )
+    return sess.execute("SELECT k, u FROM gct")
