@@ -376,6 +376,14 @@ class TableSchema:
     # change-data-capture feed. The reference exposes commitlog segments
     # to CDC consumers only for flagged tables; false is its default.
     cdc: bool = False
+    # WITH gc_grace_seconds (`[C* schema/TableParams gcGraceSeconds,
+    # unverified]`; reference default 864000 = 10 days): how long a
+    # tombstone must survive before garbage_collect() may purge it —
+    # the default horizon is clock - gc_grace_seconds * 1e6, coherent
+    # for wall-µs pinned-timestamp workloads (the session's unpinned
+    # logical clock ticks 1/statement, so unpinned sessions should pass
+    # an explicit horizon).
+    gc_grace_seconds: int = 864_000
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
@@ -1839,7 +1847,7 @@ class CqlTable:
         )
         return path
 
-    def garbage_collect(self, gc_horizon_us: int) -> dict:
+    def garbage_collect(self, gc_horizon_us: int | None = None) -> dict:
         """``nodetool garbagecollect`` analogue (`[C* db/compaction/
         CompactionController :: getPurgeEvaluator — gc_grace_seconds,
         unverified]`): the EXPLICITLY destructive rewrite that ordinary
@@ -1875,6 +1883,12 @@ class CqlTable:
 
         from cassandra_spark.operators.bloom import BloomFilter, sidecar_path
 
+        if gc_horizon_us is None:
+            # WITH gc_grace_seconds: tombstones younger than the grace
+            # window survive (coherent for wall-µs-stamped workloads)
+            gc_horizon_us = max(
+                0, self._clock - self.schema.gc_grace_seconds * 1_000_000
+            )
         self.flush()
         if not self._segments:
             return {"dropped": 0, "kept": 0}

@@ -183,6 +183,7 @@ def parse_create_table(
     ucs_target = topts.get("ucs_target_bytes", 1 << 30)
     ucs_shards = topts.get("ucs_base_shards", 1)
     cdc = topts.get("cdc", False)
+    gc_grace = topts.get("gc_grace_seconds", 864_000)
     # WITH CLUSTERING ORDER BY (c ASC|DESC, ...): retain the DESC set
     clustering_desc: tuple[str, ...] = ()
     co_ = re.search(
@@ -348,6 +349,7 @@ def parse_create_table(
         ucs_target_bytes=ucs_target,
         ucs_base_shards=ucs_shards,
         cdc=cdc,
+        gc_grace_seconds=gc_grace,
     )
 
 
@@ -756,6 +758,9 @@ def _parse_table_options(with_text: str) -> dict:
     cdcm = re.search(r"\bcdc\s*=\s*(true|false)\b", unquoted, re.IGNORECASE)
     if cdcm:
         out["cdc"] = cdcm.group(1).lower() == "true"
+    gm = re.search(r"gc_grace_seconds\s*=\s*(\d+)", unquoted, re.IGNORECASE)
+    if gm:
+        out["gc_grace_seconds"] = int(gm.group(1))
     cm_ = re.search(
         r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
         with_text, re.IGNORECASE,
@@ -3281,6 +3286,7 @@ class CqlSession:
                     "ucs_target_bytes": s.ucs_target_bytes,
                     "ucs_base_shards": s.ucs_base_shards,
                     "cdc": s.cdc,
+                    "gc_grace_seconds": s.gc_grace_seconds,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3412,6 +3418,7 @@ class CqlSession:
                     ucs_target_bytes=sch.get("ucs_target_bytes", 1 << 30),
                     ucs_base_shards=sch.get("ucs_base_shards", 1),
                     cdc=sch.get("cdc", False),
+                    gc_grace_seconds=sch.get("gc_grace_seconds", 864_000),
                 )
             )
             if t.spill_dir is None:
@@ -3588,6 +3595,8 @@ class CqlSession:
             )
         if s.cdc:
             clauses.append("cdc = true")
+        if s.gc_grace_seconds != 864_000:
+            clauses.append(f"gc_grace_seconds = {s.gc_grace_seconds}")
         if s.compaction == "TimeWindowCompactionStrategy":
             # render in MINUTES: every supported unit is a whole multiple
             minutes = s.compaction_window_us // 60_000_000

@@ -129,3 +129,28 @@ def test_gc_never_changes_the_head_snapshot(
     # GC is idempotent at the same horizon
     t.garbage_collect(gc_horizon_us=10 * horizon_i)
     assert _rows(sess.execute("SELECT k, v FROM t")) == before
+
+
+def test_gc_grace_seconds_option_is_the_default_horizon(spark, tmp_path):
+    sess = CqlSession(spark, spill_dir=str(tmp_path))
+    sess.execute(
+        "CREATE TABLE gg (k text PRIMARY KEY, v int) "
+        "WITH gc_grace_seconds = 2"
+    )
+    t = sess.table("gg")
+    assert t.schema.gc_grace_seconds == 2
+    ddl = sess.execute("DESCRIBE TABLE gg").collect()[0].create_statement
+    assert "gc_grace_seconds = 2" in ddl
+    # wall-µs pinned workload: tombstone at now-5s is past a 2s grace
+    import time
+
+    now = int(time.time() * 1_000_000)
+    sess.execute(
+        f"INSERT INTO gg (k, v) VALUES ('a', 1) USING TIMESTAMP {now - 9_000_000}"
+    )
+    sess.execute(
+        f"DELETE FROM gg USING TIMESTAMP {now - 5_000_000} WHERE k = 'a'"
+    )
+    t._clock = now  # the session clock tracks max writetime ~ wall µs
+    stats = t.garbage_collect()  # horizon from gc_grace_seconds
+    assert stats["dropped"] == 3 and stats["kept"] == 0
