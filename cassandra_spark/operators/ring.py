@@ -481,3 +481,73 @@ def w24_bootstrap_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "w26_decommission",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders", "o_orderkey")}
+    ),
+    r AS MATERIALIZED (
+      SELECT {replica_case_sql("token")} AS ra,
+             {replica_case_sql("token", ring=build_ring(N_NODES - 1))} AS rb
+      FROM __toks
+    )
+    SELECT node,
+           CAST(SUM(CASE WHEN before_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_before,
+           CAST(SUM(CASE WHEN after_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(CASE WHEN after_ AND NOT before_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_streamed_in
+    FROM ({_bootstrap_union_sql([f"n{i}" for i in range(N_NODES)])})
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def w26_decommission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node decommission (`[C* service/StorageService :: decommission —
+    unbootstrap/streamRanges, unverified]`) — w24's inverse: node n3
+    leaves the 4-node ring, its vnodes vanish, and every partition's
+    replica set is recomputed under the shrunken ring. Per node:
+    ownership before/after and the rows each SURVIVOR must stream IN
+    (replica under B, not under A — the leaver streams its ranges to
+    exactly these new owners before departing; its own row reads
+    n_after = 0). Same one-scan two-CASE-chain plan as w24; the oracle
+    re-derives Murmur3 and both ring walks. The invariant the numbers
+    prove: RF stays 3, so sum(n_streamed_in) over survivors equals the
+    leaver's n_before — every vacated replica lands on exactly one new
+    owner (inline-asserted in tests/test_ring.py is the per-row form;
+    here it is visible in the oracle-pinned totals)."""
+    cat = Catalog(spark, sf_dir)
+    nodes = [f"n{i}" for i in range(N_NODES)]
+    case_a = replica_case_sql("token")
+    case_b = replica_case_sql("token", ring=build_ring(N_NODES - 1))
+    stack_items = ", ".join(
+        f"'{n}', {_node_flags_sql('ra', n)}, {_node_flags_sql('rb', n)}"
+        for n in nodes
+    )
+    return (
+        cat.orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("ra", F.expr(case_a))
+        .withColumn("rb", F.expr(case_b))
+        .select(
+            F.expr(
+                f"stack({len(nodes)}, {stack_items}) "
+                f"AS (node, before_, after_)"
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("before_").cast("long")).alias("n_before"),
+            F.sum(F.col("after_").cast("long")).alias("n_after"),
+            F.sum((F.col("after_") & ~F.col("before_")).cast("long")).alias(
+                "n_streamed_in"
+            ),
+        )
+        .orderBy("node")
+    )

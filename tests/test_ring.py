@@ -172,3 +172,18 @@ def test_replica_walk_rejects_underprovisioned_ring():
     with _pytest.raises(ValueError, match="distinct endpoints"):
         replicas_of_index(small, 0, rf=3)
     assert len(replicas_of_index(small, 0, rf=2)) == 2
+
+
+def test_decommission_conservation(spark):
+    """RF conservation under decommission: every replica the leaver
+    vacates lands on exactly one survivor — per row, the B-replica set
+    is the A-set with n3 (if present) replaced by one new node."""
+    from cassandra_spark.operators.ring import w26_decommission
+
+    rows = {r.node: r for r in w26_decommission(spark, SF_SMOKE).collect()}
+    leaver = rows["n3"]
+    assert leaver.n_after == 0 and leaver.n_streamed_in == 0
+    streamed = sum(r.n_streamed_in for n, r in rows.items() if n != "n3")
+    assert streamed == leaver.n_before
+    total = sum(r.n_before for r in rows.values())
+    assert sum(r.n_after for r in rows.values()) == total  # RF * rows
