@@ -1862,22 +1862,37 @@ class CqlTable:
           droppable even under a YOUNG tombstone, which itself survives
           to keep shadowing other replicas' data;
         - whole (col, elem) cell groups whose LWW winner is TTL-EXPIRED
-          at the current clock AND older than the horizon — winner and
-          every older cell together, never separately: dropping only
-          the expired winner would resurrect the older value;
+          at the current clock AND whose EXPIRY time (wt + ttl, the
+          reference's localDeletionTime) is past the horizon — winner
+          and every older cell together, never separately: dropping
+          only the expired winner would resurrect the older value.
+          Gating on expiry (not write time) keeps ``snapshot_pitr(ts)``
+          exact for every horizon < ts < wt + ttl, where the cell was
+          still live;
         - tombstones of every scope with writetime < ``gc_horizon_us``
           (past gc_grace; younger markers survive).
 
         Superseded-but-unshadowed older data cells are KEPT (pinned
         conservative divergence: they cost bytes, not correctness, and
-        asof reads between generations stay exact). After GC, PITR to a
-        time before the horizon is lossy — exactly the reference's
-        contract (you cannot restore past purged tombstones).
+        asof reads between generations stay exact). After GC, PITR to
+        a time before the newest covering tombstone may be lossy —
+        shadow-dropped data is purged even under a young (post-horizon)
+        tombstone, exactly as the reference's compaction drops shadowed
+        cells regardless of gc_grace, so ``snapshot_pitr(ts)`` for ts
+        between a purged write and its covering tombstone no longer
+        resurrects the write. The head snapshot and every post-
+        tombstone PITR are unaffected; both contracts are pinned by
+        tests/test_gc.py's GC-then-PITR differential fuzz.
 
-        Flushes the memtable first, rewrites survivors as one ``gc``
-        segment, retires the inputs, records compaction history.
-        Returns {"dropped": n, "kept": n}. Snapshot-at-head equality is
-        pinned by tests/test_gc.py's differential fuzz."""
+        Flushes the memtable first, rewrites survivors as ``gc``
+        segments, retires the inputs, records compaction history.
+        Past ``distributed_merge_bytes`` the whole reconcile runs as
+        ONE Spark write action (:meth:`_garbage_collect_spark`) — the
+        same distribute-past-a-threshold rule as every other segment
+        rewrite in this file; below it the pyarrow driver path is
+        faster. Returns {"dropped": n, "kept": n}. Snapshot-at-head
+        equality and driver≡Spark path equality are pinned by
+        tests/test_gc.py's differential fuzzes."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1892,6 +1907,12 @@ class CqlTable:
         self.flush()
         if not self._segments:
             return {"dropped": 0, "kept": 0}
+        bytes_in = sum(os.path.getsize(s) for s in self._segments)
+        if (
+            self.distributed_merge_bytes is not None
+            and bytes_in >= self.distributed_merge_bytes
+        ):
+            return self._garbage_collect_spark(gc_horizon_us, bytes_in)
         rows: list[tuple] = []
         for seg in self._segments:
             tbl = pq.read_table(seg)
@@ -1954,11 +1975,13 @@ class CqlTable:
         for key, grp in groups.items():
             win = max(grp, key=lambda r: (r[6], 0, r[8]))
             wt, ttl = win[6], win[7]
-            if ttl and wt + ttl <= self._clock and wt < gc_horizon_us:
-                continue  # winner expired and past grace: purge the group
+            # eligibility keys on EXPIRY (wt + ttl = localDeletionTime),
+            # not write time: a cell with wt < horizon < wt+ttl is still
+            # live after the horizon and must stay PITR-restorable
+            if ttl and wt + ttl <= self._clock and wt + ttl < gc_horizon_us:
+                continue  # winner expired and expiry past grace: purge group
             survivors.extend(grp)
 
-        bytes_in = sum(os.path.getsize(s) for s in self._segments)
         n_in = len(self._segments)
         rows_in = len(rows)
         created: list[str] = []
@@ -1991,6 +2014,144 @@ class CqlTable:
             rows_in, len(survivors),
         )
         return {"dropped": rows_in - len(survivors), "kept": len(survivors)}
+
+    def _garbage_collect_spark(
+        self, gc_horizon_us: int, bytes_in: int
+    ) -> dict:
+        """Distributed form of :meth:`garbage_collect` (input bytes >=
+        ``distributed_merge_bytes``): the SAME purge rules expressed as
+        DataFrame algebra — per-scope tombstone horizons are map-side
+        aggregates joined back on the key the data already shuffles by
+        (pk), the expired-winner group purge is one window over the
+        cell key, and survivors write executor-side via
+        :meth:`_spark_write_merge`. Range-tombstone coverage reuses
+        :meth:`_range_cover_cond` (the snapshot read path's tested join
+        condition) against the distinct row keys — the tombstone side
+        is aggregated-to-small, never row×row.
+        ONE write action; the driver never materializes table rows
+        (row counts come from parquet footers). Path equivalence with
+        the pyarrow form is pinned by tests/test_gc.py's differential
+        fuzz with the threshold forced to 1."""
+        inputs = list(self._segments)
+        df = self.spark.read.schema(_MUT_SCHEMA).parquet(*inputs)
+        tomb_kinds = [PART_TOMB, ROW_TOMB, COLL_TOMB, RANGE_TOMB, CELL_TOMB]
+        neg1 = F.lit(-1).cast("long")
+        tombs = df.filter(F.col("kind").isin(tomb_kinds))
+        data = df.filter(~F.col("kind").isin(tomb_kinds))
+
+        def _scope(kind, keys, alias):
+            return (
+                tombs.filter(F.col("kind") == kind)
+                .groupBy(*keys)
+                .agg(F.max("writetime").alias(alias))
+            )
+
+        part = _scope(PART_TOMB, ["pk"], "part_wt")
+        rowt = _scope(ROW_TOMB, ["pk", "ck"], "row_wt")
+        collt = _scope(COLL_TOMB, ["pk", "ck", "col"], "coll_wt")
+        # cell-tombstone rank (wt, TOMB=1, seq) beats a data cell's
+        # (wt, 0, seq) whenever tomb_wt >= cell_wt — the flag dominates
+        # at equal writetime, so only max(wt) matters. The join key
+        # NULL-matches col/elem via a sentinel (python-dict semantics:
+        # a scalar-column cell tombstone has elem = None, as its data).
+        sent = F.lit("\x00\x00gcnull")
+        cellt = (
+            tombs.filter(F.col("kind") == CELL_TOMB)
+            .groupBy(
+                "pk",
+                "ck",
+                F.coalesce(F.col("col"), sent).alias("col_k"),
+                F.coalesce(F.col("elem"), sent).alias("elem_k"),
+            )
+            .agg(F.max("writetime").alias("cell_wt"))
+        )
+        # range-tombstone horizon per distinct row key, via the snapshot
+        # read path's tested cover condition (typed bounds per schema)
+        range_tombs = tombs.filter(F.col("kind") == RANGE_TOMB).select(
+            F.col("pk").alias("rt_pk"),
+            F.when(F.col("ck") == "", F.array().cast("array<string>"))
+            .otherwise(F.split("ck", SEP))
+            .alias("pref_arr"),
+            "lo", "hi", "lo_incl", "hi_incl", "writetime",
+        )
+        rkeys = (
+            data.filter(F.col("ck").isNotNull() & (F.col("ck") != ""))
+            .select("pk", "ck")
+            .distinct()
+            .withColumn("ck_arr", F.split("ck", SEP))
+        )
+        rcov = (
+            rkeys.join(
+                F.broadcast(range_tombs),
+                (F.col("pk") == F.col("rt_pk")) & self._range_cover_cond(),
+            )
+            .groupBy("pk", "ck")
+            .agg(F.max("writetime").alias("rg_wt"))
+        )
+
+        d = (
+            data.join(part, ["pk"], "left")
+            .join(rowt, ["pk", "ck"], "left")
+            .join(collt, ["pk", "ck", "col"], "left")
+            .withColumn("col_k", F.coalesce(F.col("col"), sent))
+            .withColumn("elem_k", F.coalesce(F.col("elem"), sent))
+            .join(cellt, ["pk", "ck", "col_k", "elem_k"], "left")
+            .join(rcov, ["pk", "ck"], "left")
+        )
+        scope_hor = F.greatest(
+            F.coalesce(F.col("rg_wt"), neg1),
+            F.coalesce(F.col("part_wt"), neg1),
+            F.coalesce(F.col("row_wt"), neg1),
+            F.coalesce(F.col("coll_wt"), neg1),
+        )
+        # pass 1: tombstone-shadow drops on data cells
+        d = d.filter(
+            (F.col("writetime") > scope_hor)
+            & (
+                F.col("cell_wt").isNull()
+                | (F.col("writetime") > F.col("cell_wt"))
+            )
+        )
+        # pass 2: expired-winner groups drop WHOLE (resurrection guard);
+        # winner = max (wt, seq) per cell key, expiry gates on wt + ttl
+        win = F.max(
+            F.struct(F.col("writetime"), F.col("seq"), F.col("ttl"))
+        ).over(Window.partitionBy("pk", "ck", "col_k", "elem_k"))
+        d = (
+            d.withColumn("__w", win)
+            .filter(
+                ~(
+                    F.col("__w.ttl").isNotNull()
+                    & (F.col("__w.ttl") != 0)
+                    & (
+                        F.col("__w.writetime") + F.col("__w.ttl")
+                        <= F.lit(self._clock)
+                    )
+                    & (
+                        F.col("__w.writetime") + F.col("__w.ttl")
+                        < F.lit(gc_horizon_us)
+                    )
+                )
+            )
+            .select(*_MUT_COLS)
+        )
+        survivors = tombs.filter(
+            F.col("writetime") >= F.lit(gc_horizon_us)
+        ).unionByName(d)
+        # whole partitions per output segment; ~128 MiB input per part
+        n_parts = max(1, -(-bytes_in // (128 << 20)))
+        created = self._spark_write_merge(
+            survivors.repartition(n_parts, "pk"), "gc"
+        )
+        rows_in = sum(_pq_num_rows(p) for p in inputs)
+        rows_out = sum(_pq_num_rows(p) for p in created)
+        self._retire_into(inputs, created)
+        self._value_blooms.clear()  # cell sets changed: rebuild lazily
+        self._record_compaction(
+            "gc", len(inputs), len(created), bytes_in,
+            sum(os.path.getsize(p) for p in created), rows_in, rows_out,
+        )
+        return {"dropped": rows_in - rows_out, "kept": rows_out}
 
     def _record_compaction(
         self, tag, n_in, n_out, bytes_in, bytes_out, rows_in, rows_out
@@ -2040,10 +2201,11 @@ class CqlTable:
             )
             os.replace(f, path)
             out.append(path)
-        try:
-            os.rmdir(sub) if not os.listdir(sub) else None
-        except OSError:
-            pass
+        # Spark leaves _SUCCESS + .crc markers behind: remove the temp
+        # dir unconditionally or every merge leaks a -dist-<uuid> dir
+        import shutil
+
+        shutil.rmtree(sub, ignore_errors=True)
         return out
 
     def _retire_into(self, inputs: list[str], created: list[str]) -> None:

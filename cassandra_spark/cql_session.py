@@ -806,8 +806,16 @@ def _parse_table_options(with_text: str) -> dict:
                 km_.group("body"), re.IGNORECASE,
             )
             if ts:
-                shift = {"KB": 10, "KIB": 10, "MB": 20, "MIB": 20,
-                         "GB": 30, "GIB": 30}[ts.group(2).upper()]
+                unit = ts.group(2).upper()
+                if unit in ("KB", "MB", "GB"):
+                    # the reference's data-storage spec only accepts
+                    # binary units; silently aliasing KB->KiB would
+                    # round-trip through DESCRIBE as a different string
+                    raise CQLError(
+                        "target_sstable_size accepts binary units "
+                        f"(KiB/MiB/GiB); got {ts.group(1)}{ts.group(2)!r}"
+                    )
+                shift = {"KIB": 10, "MIB": 20, "GIB": 30}[unit]
                 out["ucs_target_bytes"] = int(ts.group(1)) << shift
                 if out["ucs_target_bytes"] < 1024:
                     raise CQLError("target_sstable_size must be >= 1KiB")

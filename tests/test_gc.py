@@ -62,7 +62,11 @@ def test_expired_ttl_resurrection_guard(spark, tmp_path):
         sess.execute(f"INSERT INTO t (k, v) VALUES ('pad{i % 5}', {i})")
     before = _rows(sess.execute("SELECT k, v FROM t"))
     assert before.get("a") is None  # expired, and expiry never resurrects
+    # eligibility keys on EXPIRY (wt + ttl = 250), not write time: at
+    # horizon 250 the expiry is NOT yet past grace (250 < 250 is false)
     t.garbage_collect(gc_horizon_us=250)
+    assert t.mutation_log().filter("pk = 'a'").count() > 0
+    t.garbage_collect(gc_horizon_us=251)
     after = _rows(sess.execute("SELECT k, v FROM t"))
     assert after == before, (
         "purging the expired winner must take the older v=1 with it"
@@ -123,12 +127,152 @@ def test_gc_never_changes_the_head_snapshot(
             t.flush()
     before = _rows(sess.execute("SELECT k, v FROM t"))
     log_before = t.mutation_log().count()
-    stats = t.garbage_collect(gc_horizon_us=10 * horizon_i)
+    horizon = 10 * horizon_i
+    # PITR at/after the newest covering tombstone AND the horizon is
+    # exact through GC (the documented contract: only views before a
+    # covering tombstone or before the horizon may be lossy)
+    tomb_max = max(
+        (10 * (i + 1) for i, (k, _, _) in enumerate(history) if k == "d"),
+        default=0,
+    )
+    safe_ts = max(horizon, tomb_max)
+    pitr_before = {r.k: r.v for r in t.snapshot_pitr(safe_ts).collect()}
+    stats = t.garbage_collect(gc_horizon_us=horizon)
     assert _rows(sess.execute("SELECT k, v FROM t")) == before
     assert stats["kept"] + stats["dropped"] == log_before
+    assert {
+        r.k: r.v for r in t.snapshot_pitr(safe_ts).collect()
+    } == pitr_before
     # GC is idempotent at the same horizon
-    t.garbage_collect(gc_horizon_us=10 * horizon_i)
+    t.garbage_collect(gc_horizon_us=horizon)
     assert _rows(sess.execute("SELECT k, v FROM t")) == before
+
+
+# --- distributed GC (input bytes >= distributed_merge_bytes) -----------
+
+_RICH_STMTS = [
+    # three partitions, clustering int, scalar + set columns
+    *[
+        f"INSERT INTO r (k, c, v, tags) VALUES ('{k}', {c}, {c * 10 + i}, "
+        f"{{'t{c}'}}) USING TIMESTAMP {100 + 10 * (i * 6 + c)}"
+        for i, k in enumerate(("a", "b", "c"))
+        for c in range(6)
+    ],
+    # every tombstone scope
+    "DELETE FROM r USING TIMESTAMP 400 WHERE k = 'a'",  # partition
+    "DELETE FROM r USING TIMESTAMP 410 WHERE k = 'b' AND c = 2",  # row
+    "DELETE FROM r USING TIMESTAMP 420 WHERE k = 'b' AND c > 3",  # range
+    "DELETE tags FROM r USING TIMESTAMP 430 WHERE k = 'c' AND c = 1",
+    "DELETE v FROM r USING TIMESTAMP 440 WHERE k = 'c' AND c = 0",  # cell
+    # post-tombstone resurrections (must survive GC)
+    "INSERT INTO r (k, c, v) VALUES ('a', 1, 99) USING TIMESTAMP 500",
+    "INSERT INTO r (k, c, v) VALUES ('b', 5, 98) USING TIMESTAMP 510",
+    # TTL'd generations (expired-winner group purge exercises pass 2)
+    "INSERT INTO r (k, c, v) VALUES ('c', 4, 1) USING TIMESTAMP 200",
+    "INSERT INTO r (k, c, v) VALUES ('c', 4, 2) USING TIMESTAMP 300 "
+    "AND TTL 50",
+]
+
+
+def _replay_rich(spark, base, force_spark):
+    sess = CqlSession(spark, spill_dir=str(base))
+    sess.execute(
+        "CREATE TABLE r (k text, c int, v int, tags set<text>, "
+        "PRIMARY KEY (k, c))"
+    )
+    t = sess.table("r")
+    if force_spark:
+        t.distributed_merge_bytes = 1
+    for i, stmt in enumerate(_RICH_STMTS):
+        sess.execute(stmt)
+        if i % 7 == 6:
+            t.flush()
+    # advance the logical clock past every TTL expiry
+    for i in range(600):
+        sess.execute(f"INSERT INTO r (k, c, v) VALUES ('pad', {i % 3}, {i})")
+    return sess, t
+
+
+def _log_rows(t):
+    return sorted(
+        (tuple(r) for r in t.mutation_log().collect()),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+
+
+def _head(sess):
+    return {
+        (r.k, r.c): (r.v, r.tags)
+        for r in sess.execute("SELECT k, c, v, tags FROM r").collect()
+    }
+
+
+def test_gc_spark_path_equals_driver_path(spark, tmp_path):
+    """Differential: the distributed GC (threshold forced to 1) must
+    leave byte-identical survivor sets and identical heads across every
+    tombstone scope, resurrection, and TTL group purge."""
+    sa, ta = _replay_rich(spark, tmp_path / "driver", force_spark=False)
+    sb, tb = _replay_rich(spark, tmp_path / "spark", force_spark=True)
+    stats_a = ta.garbage_collect(gc_horizon_us=425)
+    stats_b = tb.garbage_collect(gc_horizon_us=425)
+    assert stats_a == stats_b
+    assert _log_rows(ta) == _log_rows(tb)
+    assert _head(sa) == _head(sb)
+    assert ta.compaction_history[-1][1] == "gc"
+    assert tb.compaction_history[-1][1] == "gc"
+    # second horizon past the TTL expiry: group purge, both paths
+    stats_a = ta.garbage_collect(gc_horizon_us=460)
+    stats_b = tb.garbage_collect(gc_horizon_us=460)
+    assert stats_a == stats_b
+    assert _log_rows(ta) == _log_rows(tb)
+    assert _head(sa) == _head(sb)
+
+
+def test_gc_past_threshold_never_materializes_rows_on_driver(
+    spark, tmp_path, monkeypatch
+):
+    """Past distributed_merge_bytes the GC reconcile is executor-side:
+    the driver never pyarrow-reads a segment's rows, and the survivor
+    write is exactly ONE Spark write action."""
+    import pyarrow.parquet as pq
+
+    from cassandra_spark import cql_dml
+
+    sess, t = _mk(spark, tmp_path)
+    for i in range(40):
+        sess.execute(
+            f"INSERT INTO t (k, v) VALUES ('k{i % 9}', {i}) "
+            f"USING TIMESTAMP {10 * (i + 1)}"
+        )
+        if i % 2 == 0:
+            sess.execute(
+                f"DELETE FROM t USING TIMESTAMP {10 * (i + 1) + 5} "
+                f"WHERE k = 'k{(i + 3) % 9}'"
+            )
+    t.flush()
+    t.distributed_merge_bytes = 1
+    writes = []
+    real_write = cql_dml.CqlTable._spark_write_merge
+    monkeypatch.setattr(
+        cql_dml.CqlTable,
+        "_spark_write_merge",
+        lambda self, df, tag: writes.append(tag) or real_write(self, df, tag),
+    )
+
+    def _no_driver_read(*a, **k):
+        raise AssertionError("driver-side pq.read_table during spark GC")
+
+    monkeypatch.setattr(pq, "read_table", _no_driver_read)
+    stats = t.garbage_collect(gc_horizon_us=200)
+    assert writes == ["gc"], "exactly one Spark write action"
+    assert stats["dropped"] > 0
+    rec = t.compaction_history[-1]
+    assert rec[1] == "gc" and rec[7] == stats["kept"] + stats["dropped"]
+    monkeypatch.undo()
+    # and below the threshold the driver path stays (no Spark job)
+    t.distributed_merge_bytes = 256 << 20
+    t.garbage_collect(gc_horizon_us=250)
+    assert t.compaction_history[-1][1] == "gc"
 
 
 def test_gc_grace_seconds_option_is_the_default_horizon(spark, tmp_path):
