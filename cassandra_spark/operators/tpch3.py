@@ -119,16 +119,19 @@ def x33_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand")
     cand = (
         _supply(cat)
-        # broadcast-ok: sup_nat is a narrow region slice of supplier
-        # (1/5 rows x 4 columns). WITHOUT the hint Catalyst's static
-        # estimate picks the categorically worse build side — it
-        # broadcasts the SF-linear derived SUPPLY aggregate (measured
-        # round-9: 2.45x the sf1 floor isolated, and a guaranteed OOM
-        # at 100x where |supply| ~ |lineitem pairs|). At true cluster
-        # scale both sides outgrow broadcast and the keyed shuffle
-        # wins; until stats-based planning sees that, the hint keeps
-        # the build side on the smaller-by-construction slice.
-        .join(F.broadcast(sup_nat), F.col("ps_suppkey") == F.col("s_suppkey"))
+        # SHUFFLE_HASH, not broadcast: BOTH sides of this join are
+        # SF-linear (sup_nat is 1/5 of supplier; supply derives from
+        # lineitem pairs), so at cluster scale broadcasting either side
+        # OOMs — and hint-free, Catalyst's static estimate picks the
+        # categorically worse build side (it broadcasts the even larger
+        # SUPPLY aggregate; measured round-9: 2.45x the sf1 floor
+        # isolated). The shuffle-hash hint forbids BOTH broadcasts: the
+        # join keys on suppkey with sup_nat as the per-partition build
+        # side, a plan that survives every scale.
+        .join(
+            sup_nat.hint("shuffle_hash"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
         .join(F.broadcast(part_sel), F.col("p_partkey") == F.col("ps_partkey"))
     )
     w = Window.partitionBy("ps_partkey")

@@ -310,13 +310,31 @@ def test_no_global_windows_anywhere_in_source():
 
 def test_min_cost_supplier_single_fact_pass(spark):
     """x33 (Q2 shape): lineitem feeds the derived supply ONCE with partial
-    map-side min; every dimension broadcasts; the LIMIT is TakeOrdered."""
+    map-side min; the supply⋈sup_nat join is a keyed SHUFFLE (both sides
+    SF-linear — broadcasting either one dies at cluster scale); the
+    LIMIT is TakeOrdered."""
     plan = plan_of(spark, "x33_min_cost_supplier")
     assert plan.count("lineitem.parquet") == 1
     assert "partial_min" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the suppkey join must not broadcast EITHER SF-linear side: it
+    # appears as a shuffled hash join keyed on suppkey, and no
+    # BroadcastExchange block feeds supplier-derived columns (s_acctbal
+    # travels only through the keyed exchange)
+    import re as _re
+
+    shj = _re.search(
+        r"\((\d+)\) ShuffledHashJoin[^\n]*\nLeft keys[^\n]*suppkey", plan
+    )
+    assert shj is not None, plan
+    for m in _re.finditer(
+        r"\(\d+\) BroadcastExchange\nInput[^\n]*", plan
+    ):
+        assert "s_acctbal" not in m.group(0), (
+            "sup_nat (SF-linear supplier slice) must not broadcast"
+        )
 
 
 def test_product_profit_prunes_before_fact_join(spark):
@@ -800,17 +818,9 @@ def test_no_broadcast_hints_on_fact_growth_tables():
                 seg = ast.get_source_segment(src, arg) or ""
                 if not forbidden.search(seg):
                     continue
-                # escape hatch (round-9): a site may keep its hint with
-                # an in-source "broadcast-ok:" justification in the
-                # lines just above — reserved for provably-better
-                # build-side choices (e.g. x33: the alternative is
-                # Catalyst broadcasting the SF-linear supply aggregate)
-                lines = src.splitlines()
-                ctx = "\n".join(
-                    lines[max(0, node.lineno - 12) : node.lineno]
-                )
-                if "broadcast-ok:" in ctx:
-                    continue
+                # (the round-9 "broadcast-ok:" escape hatch is GONE —
+                # its one user, x33, now shuffle-hash-hints instead of
+                # broadcasting; a fact-growth broadcast has no excuse)
                 offenders.append(f"{py.name}:{node.lineno}: {seg}")
     assert not offenders, (
         "broadcast hints on fact-growth tables (drop the hint, let AQE "
