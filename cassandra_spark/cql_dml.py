@@ -789,12 +789,22 @@ class CqlTable:
             "skipped": 0,
             "range_skipped": 0,
             "distributed_jobs": 0,
+            "probe_overflows": 0,
         }
         # past this many Bloom/stats-surviving segments, phase 1 of the
         # 2i probe runs as ONE Spark job over the survivor list instead
         # of a driver-side pyarrow loop (N sequential reads); below it
         # the pyarrow path is faster (no job-scheduling overhead)
         self.index_probe_distribute_threshold = 8
+        # the candidate-pk set a probe may materialize on the driver:
+        # past this many DISTINCT candidates the index gives no useful
+        # selectivity (the reference's low-cardinality-2i anti-pattern)
+        # and the probe reports None — the read falls back to the full
+        # reconcile, which at that selectivity is the better plan
+        # anyway. In the distributed form the cap is enforced INSIDE
+        # the Spark job (limit cap+1 on the distinct-pk aggregate), so
+        # driver memory is O(cap) regardless of match count.
+        self.index_probe_collect_cap = 20_000
         # LCS bookkeeping: segment -> level (absent = L0, where every
         # flush/bulk-load lands), cached [min,max] pk-token ranges, and
         # read-path range-skip counters (the leveled manifest analogue)
@@ -2954,31 +2964,12 @@ class CqlTable:
         return bf
 
     def _probe_pairs(self, survivors: list[str], col: str):
-        """Phase-1 cell fetch: (pk, val) pairs of ``col``'s cell mutations
-        across the Bloom/stats-surviving segments. Below the distribute
-        threshold this is a driver-side pyarrow loop (no job-scheduling
-        overhead for a handful of files); past it — an STCS backlog, a
-        heavy LCS L0 — it is ONE Spark job over the whole survivor list,
-        so the reads parallelize across executors the way the reference
-        probes per-node, instead of serializing on the driver."""
-        if (
-            len(survivors) > self.index_probe_distribute_threshold
-            and self.spark is not None
-        ):
-            self.index_stats["distributed_jobs"] += 1
-            rows = (
-                self.spark.read.schema(_MUT_SCHEMA)
-                .parquet(*survivors)
-                .filter(
-                    (F.col("col") == col)
-                    & (F.col("kind") == CELL)
-                    & F.col("val").isNotNull()
-                )
-                .select("pk", "val")
-                .distinct()
-                .collect()
-            )
-            return [(r.pk, r.val) for r in rows]
+        """Phase-1 cell fetch, driver form: (pk, val) pairs of ``col``'s
+        cell mutations across the Bloom/stats-surviving segments — a
+        pyarrow loop, used below the distribute threshold where job-
+        scheduling overhead would dominate a handful of file reads.
+        Past the threshold callers use :meth:`_probe_pks_spark`, which
+        filters AND caps inside the Spark job."""
         import pyarrow.parquet as pq
 
         pairs: list[tuple] = []
@@ -2996,7 +2987,60 @@ class CqlTable:
             )
         return pairs
 
-    def index_candidate_pks(self, col: str, lit: str) -> set[str]:
+    def _use_distributed_probe(self, survivors: list[str]) -> bool:
+        return (
+            len(survivors) > self.index_probe_distribute_threshold
+            and self.spark is not None
+        )
+
+    def _probe_pks_spark(self, survivors, col: str, val_pred) -> set | None:
+        """Phase-1 cell fetch, distributed form (survivor count past
+        ``index_probe_distribute_threshold``): ONE Spark job — the value
+        predicate filters executor-side, candidates aggregate to
+        DISTINCT pks, and the collect is capped at
+        ``index_probe_collect_cap`` + 1 INSIDE the job, so the driver
+        never materializes an unbounded candidate set (the round-9
+        verdict's O(matches) term). Returns None on overflow — the
+        index has no useful selectivity and the caller full-scans."""
+        self.index_stats["distributed_jobs"] += 1
+        cap = self.index_probe_collect_cap
+        rows = (
+            self.spark.read.schema(_MUT_SCHEMA)
+            .parquet(*survivors)
+            .filter(
+                (F.col("col") == col)
+                & (F.col("kind") == CELL)
+                & F.col("val").isNotNull()
+                & val_pred
+            )
+            .select("pk")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            self.index_stats["probe_overflows"] += 1
+            return None
+        return {r.pk for r in rows}
+
+    @staticmethod
+    def _eq_pred_spark(typ: str, probe: str):
+        """Spark Column twin of ``_index_norm(val, typ) == probe`` for
+        the executor-side phase-1 filter. Int-family equality compares
+        through a decimal cast — the SAME cast the phase-2 snapshot
+        applies, so an unparseable cell (NULL both phases) can never be
+        a phase-2 hit the phase-1 filter missed; rounding collisions
+        only ADD candidates (superset, rechecked)."""
+        t = typ.split("<")[0].strip().lower()
+        if t in ("int", "bigint", "smallint", "tinyint", "varint"):
+            return F.col("val").cast("decimal(38,0)") == F.lit(probe).cast(
+                "decimal(38,0)"
+            )
+        if t == "boolean":
+            return F.lower(F.col("val")) == F.lit(probe)
+        return F.col("val") == F.lit(probe)
+
+    def index_candidate_pks(self, col: str, lit: str) -> set[str] | None:
         """2i read, phase 1 (`[C* index/internal CassandraIndexSearcher,
         unverified]`): the partition keys whose CURRENT row could satisfy
         ``col = lit`` — every winning cell with that value was written by
@@ -3006,8 +3050,11 @@ class CqlTable:
         Each segment's value Bloom is consulted first; definitely-absent
         segments are skipped without touching the file (tablestats-style
         ``index_stats`` counters record it). The surviving segments are
-        read via ``_probe_pairs`` — one distributed Spark job past the
-        segment-count threshold, pyarrow below it."""
+        read via ``_probe_pks_spark`` (one capped Spark job) past the
+        segment-count threshold, ``_probe_pairs`` (pyarrow) below it.
+        Returns None past ``index_probe_collect_cap`` candidates — the
+        unselective-index signal; the caller falls back to the full
+        reconcile."""
         typ = index_probe_type(self.schema, col) or ""
         probe = _index_norm(lit, typ)
         survivors: list[str] = []
@@ -3017,11 +3064,18 @@ class CqlTable:
                 self.index_stats["skipped"] += 1
                 continue
             survivors.append(path)
-        cand = {
-            p
-            for p, v in self._probe_pairs(survivors, col)
-            if v is not None and _index_norm(v, typ) == probe
-        }
+        if self._use_distributed_probe(survivors):
+            cand = self._probe_pks_spark(
+                survivors, col, self._eq_pred_spark(typ, probe)
+            )
+            if cand is None:
+                return None
+        else:
+            cand = {
+                p
+                for p, v in self._probe_pairs(survivors, col)
+                if v is not None and _index_norm(v, typ) == probe
+            }
         pi, ci, vi, ki = (
             _MUT_COLS.index("pk"),
             _MUT_COLS.index("col"),
@@ -3036,6 +3090,9 @@ class CqlTable:
                 and _index_norm(row[vi], typ) == probe
             ):
                 cand.add(row[pi])
+        if len(cand) > self.index_probe_collect_cap:
+            self.index_stats["probe_overflows"] += 1
+            return None
         return cand
 
     def _value_range_for(self, path: str, col: str) -> tuple:
@@ -3105,7 +3162,7 @@ class CqlTable:
         hi: str | None = None,
         lo_incl: bool = True,
         hi_incl: bool = True,
-    ) -> set[str]:
+    ) -> set[str] | None:
         """2i read, phase 1, RANGE form (`[C* index/sai, unverified]`:
         SAI serves range restrictions from its per-SSTable index). The
         partition keys whose CURRENT row could satisfy
@@ -3113,9 +3170,12 @@ class CqlTable:
         Segments whose [min, max] value range (``_value_range_for``)
         cannot intersect the probe interval are skipped without reading
         data — ``index_stats['range_skipped']`` records it; survivors
-        read via ``_probe_pairs`` (one Spark job past the threshold).
-        Candidates are a superset: the phase-2 recheck re-applies the
-        statement's full WHERE, so a stale cell value never leaks."""
+        read via ``_probe_pks_spark`` (one capped Spark job, widened
+        prefilter) past the threshold, the exact-Decimal pyarrow loop
+        below it. Candidates are a superset: the phase-2 recheck
+        re-applies the statement's full WHERE, so a stale cell value
+        never leaks. Returns None past ``index_probe_collect_cap``
+        candidates (unselective index → caller full-scans)."""
         from decimal import Decimal, InvalidOperation
 
         dlo = Decimal(lo) if lo is not None else None
@@ -3147,16 +3207,24 @@ class CqlTable:
                     self.index_stats["range_skipped"] += 1
                     continue
             survivors.append(path)
-        cand: set[str] = set()
-        for p, v in self._probe_pairs(survivors, col):
-            if v is None:
-                continue
-            try:
-                d = Decimal(v)
-            except InvalidOperation:
-                continue  # non-numeric cell can't satisfy a numeric range
-            if _in_range(d):
-                cand.add(p)
+        if self._use_distributed_probe(survivors):
+            maybe = self._probe_pks_spark(
+                survivors, col, self._range_pred_spark(dlo, dhi)
+            )
+            if maybe is None:
+                return None
+            cand: set[str] = maybe
+        else:
+            cand = set()
+            for p, v in self._probe_pairs(survivors, col):
+                if v is None:
+                    continue
+                try:
+                    d = Decimal(v)
+                except InvalidOperation:
+                    continue  # non-numeric cell can't satisfy numeric range
+                if _in_range(d):
+                    cand.add(p)
         pi, ci, vi, ki = (
             _MUT_COLS.index("pk"),
             _MUT_COLS.index("col"),
@@ -3171,7 +3239,35 @@ class CqlTable:
                     continue
                 if _in_range(d):
                     cand.add(row[pi])
+        if len(cand) > self.index_probe_collect_cap:
+            self.index_stats["probe_overflows"] += 1
+            return None
         return cand
+
+    @staticmethod
+    def _range_pred_spark(dlo, dhi):
+        """Spark Column prefilter for the distributed RANGE probe — a
+        SOUND SUPERSET of the driver path's exact-Decimal interval test:
+        comparisons run on a decimal(38,18) cast with INCLUSIVE bounds
+        (cast rounding is monotonic, so widening-inclusive can only add
+        candidates, never drop an in-range value), a NULL cast (non-
+        numeric or overflow — where exact Decimal might still be in
+        range) keeps the row, and a bound too large for the cast is
+        simply not pushed. Phase 2 re-applies the statement's exact
+        WHERE, so extras never leak."""
+        from decimal import Decimal as _D
+
+        vd = F.col("val").cast("decimal(38,18)")
+        fits = lambda d: abs(d) < _D(10) ** 19  # noqa: E731
+        conds = []
+        if dlo is not None and fits(dlo):
+            conds.append(vd >= F.lit(str(dlo)).cast("decimal(38,18)"))
+        if dhi is not None and fits(dhi):
+            conds.append(vd <= F.lit(str(dhi)).cast("decimal(38,18)"))
+        if not conds:
+            return F.lit(True)
+        rng = conds[0] if len(conds) == 1 else conds[0] & conds[1]
+        return vd.isNull() | rng
 
     def _segment_rows_for_pk(self, pk: str | None):
         """Mutation rows for one partition from all flushed segments, in

@@ -456,3 +456,66 @@ def test_range_fuzz_matches_full_scan(spark, tmp_path):
             assert got == want, (history, threshold, q)
 
     run()
+
+
+# --- round-10: the probe's driver-side candidate set is bounded -----------
+
+
+def test_constant_value_probe_overflows_to_full_scan(spark, tmp_path):
+    """Every row matches the indexed value (the low-cardinality-2i
+    anti-pattern): with the collect cap forced below the match count the
+    probe must report overflow (None -> full-scan fallback) instead of
+    materializing an unbounded candidate set — on BOTH the pyarrow and
+    the distributed path — and answers stay identical."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=6)
+    s.execute("CREATE TABLE cst (k text PRIMARY KEY, tag text)")
+    s.execute("CREATE INDEX cst_tag ON cst (tag)")
+    for i in range(30):
+        s.execute(f"INSERT INTO cst (k, tag) VALUES ('u{i:02d}', 'same')")
+    t = s.table("cst")
+    t.index_probe_collect_cap = 5
+    q = "SELECT k FROM cst WHERE tag = 'same'"
+    want = {f"u{i:02d}" for i in range(30)}
+
+    # pyarrow path (survivors below the distribute threshold)
+    t.index_probe_distribute_threshold = 10_000
+    before = t.index_stats["probe_overflows"]
+    assert {r.k for r in s.execute(q).collect()} == want
+    assert t.index_stats["probe_overflows"] == before + 1
+    assert t.index_candidate_pks("tag", "same") is None
+
+    # distributed path: the cap is enforced INSIDE the Spark job
+    t.index_probe_distribute_threshold = 0
+    before = dict(t.index_stats)
+    assert {r.k for r in s.execute(q).collect()} == want
+    assert t.index_stats["probe_overflows"] == before["probe_overflows"] + 1
+    assert t.index_stats["distributed_jobs"] > before["distributed_jobs"]
+
+
+def test_range_probe_overflow_bounded(spark, tmp_path):
+    """RANGE form of the same guarantee: an interval matching every row
+    overflows the cap and falls back, identically on both paths."""
+    s = CqlSession(spark, spill_dir=str(tmp_path), spill_threshold=6)
+    s.execute("CREATE TABLE rof (k text PRIMARY KEY, v int)")
+    s.execute(
+        "CREATE CUSTOM INDEX rof_v ON rof (v) USING 'StorageAttachedIndex'"
+    )
+    for i in range(30):
+        s.execute(f"INSERT INTO rof (k, v) VALUES ('u{i:02d}', {i})")
+    t = s.table("rof")
+    t.index_probe_collect_cap = 5
+    q = "SELECT k, v FROM rof WHERE v >= -100"
+    want = {(f"u{i:02d}", i) for i in range(30)}
+    for threshold in (10_000, 0):
+        t.index_probe_distribute_threshold = threshold
+        before = t.index_stats["probe_overflows"]
+        assert {(r.k, r.v) for r in s.execute(q).collect()} == want
+        assert t.index_stats["probe_overflows"] == before + 1
+    assert t.index_candidate_pks_range("v", lo="-100") is None
+    # a selective probe still prunes (no overflow): candidates are a
+    # small superset (the distributed prefilter is widened-inclusive,
+    # so the exclusive bound itself may survive to the phase-2 recheck)
+    before = t.index_stats["probe_overflows"]
+    got = t.index_candidate_pks_range("v", lo="27", lo_incl=False)
+    assert {"u28", "u29"} <= got <= {"u27", "u28", "u29"}
+    assert t.index_stats["probe_overflows"] == before
