@@ -521,13 +521,13 @@ def _compile_ann(
             # the probe set is plan-time literal, so filtering the
             # bucket-PARTITIONED layout is static partition pruning — the
             # scan lists only the probed buckets' directories, never the
-            # corpus (the Filter.db narrowing, Spark-shaped)
-            import os as _os
+            # corpus (the Filter.db narrowing, Spark-shaped). The read is
+            # the FAMILY view (base + committed append generations, each
+            # keeping the bucket partitioning — cql41), not one directory.
+            from cassandra_spark.operators.vector_index import read_family
 
             df = (
-                df.sparkSession.read.parquet(
-                    _os.path.join(vidx[col], "buckets")
-                )
+                read_family(df.sparkSession, vidx[col], "buckets")
                 .filter(F.col("__bucket").isin(probes))
                 .drop("__bucket")
             )

@@ -703,6 +703,82 @@ def cql33_sai_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql41_sai_ann_appended",
+    # cql17's FULL-CORPUS oracle verbatim: bucket assignment is per-row
+    # and data-independent, so base build (6/7 of vectors) + appended
+    # generation (1/7) must answer the ANN probe bit-identically to a
+    # one-shot full build — the equality that proves the append path
+    # indexes exactly the missing rows and nothing was re-bucketed.
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {BUCKET_DUCK} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM bucketed
+      WHERE bucket IN ({", ".join(map(str, _ANN_PROBES))})
+    )
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             {dot_duck('embedding', f'[{_ANN_V}]')}
+             / (sqrt({dot_duck('embedding', 'embedding')})
+                * sqrt({dot_duck(f'[{_ANN_V}]', f'[{_ANN_V}]')})) AS score
+      FROM cand
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def cql41_sai_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAI LSH-bucket artifact's SSTable lifecycle (round-10 —
+    closing the one persisted index that was still build-once): base
+    CREATE-INDEX build over vec_id % 7 <> 3, an APPENDED generation
+    holding the remaining vectors (only the batch is hashed — the
+    indexed corpus is never re-bucketed, monkeypatch-asserted in
+    tests/test_vector_index.py), then `ANN OF` through the session
+    front-end serves from base + generation with the same multiprobe
+    partition pruning. A compact_index fold then collapses the family
+    to one segment and the probe re-answers IDENTICALLY (inline-
+    asserted). Runs against a CLONE of the cached base artifact so
+    bench re-runs never see a previous run's generations."""
+    import tempfile
+
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_lsh_bucket_index(
+        spark,
+        sf_dir,
+        "embeddings",
+        "embedding",
+        index_dir=vi.index_root(sf_dir, "lsh_embedding_base7"),
+        where=vi._APPEND_SPLIT_BASE,
+    )
+    work = vi.clone_index(base, tempfile.mkdtemp(prefix="cql41_idx_"))
+    vi.append_lsh_bucket_index(spark, sf_dir, work, vi._APPEND_SPLIT_NEW, "b1")
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_ann_idx ON embeddings (embedding) "
+        "USING 'StorageAttachedIndex'"
+    )
+    # route the probe through the appended artifact (the DDL built the
+    # cached full-corpus one; the scenario's private clone is the
+    # append-lifecycle view under test)
+    sess.sai_vector_index["embeddings"]["embedding"] = work
+    stmt = (
+        f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF "
+        f"[{_ANN_V}] LIMIT 10"
+    )
+    assert vi.index_generations(work) == ["b1"]
+    before = [r.vec_id for r in sess.execute(stmt).collect()]
+    assert vi.compact_index(spark, work) is True
+    assert vi.index_generations(work) == []
+    out = sess.execute(stmt)
+    assert [r.vec_id for r in out.collect()] == before, (
+        "the folded artifact must answer identically"
+    )
+    return out
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

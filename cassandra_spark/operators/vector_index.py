@@ -162,6 +162,7 @@ FAMILY_LAYOUT: dict[str, dict[str, list[str]]] = {
     "minhash": {"signatures": [], "bands": ["band_id", "pband"]},
     "ivf": {"postings": ["bucket"]},
     "pq": {"codes": []},
+    "lsh": {"buckets": ["__bucket"]},
 }
 
 
@@ -438,22 +439,32 @@ def l35_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_lsh_bucket_index(
-    spark: SparkSession, sf_dir: str, tname: str, col: str
+    spark: SparkSession,
+    sf_dir: str,
+    tname: str,
+    col: str,
+    index_dir: str | None = None,
+    where: str | None = None,
 ) -> str:
     """The StorageAttachedIndex artifact for `CREATE CUSTOM INDEX ON
     t (vector_col)`: the table re-laid-out PARTITIONED BY the column's
     sign-LSH bucket. An `ANN OF` probe then reads ONLY its multiprobe
     buckets' partitions — static partition pruning, the Filter.db-style
     narrowing a real SAI performs — instead of recomputing the bucket
-    hash over every corpus row per query. Built once at index-DDL time
-    (the reference builds SAI on CREATE INDEX too), keyed to the corpus
-    fingerprint."""
+    hash over every corpus row per query. Built at index-DDL time (the
+    reference builds SAI on CREATE INDEX too), keyed to the corpus
+    fingerprint. ``where`` (SQL over the table's columns) restricts the
+    indexed rows — the base half of an append scenario (cql41): bucket
+    assignment is per-row and data-independent, so base + appended
+    generations is bit-identical to a one-shot full build."""
     from cassandra_spark.operators.llm_vectors import N_PLANES, bucket_spark
 
-    index_dir = index_root(sf_dir, f"lsh_{col}", table=tname)
+    index_dir = index_dir or index_root(sf_dir, f"lsh_{col}", table=tname)
     if _committed(index_dir):
         return index_dir
     df = Catalog(spark, sf_dir).table(tname)
+    if where:
+        df = df.filter(F.expr(where))
     (
         df.withColumn("__bucket", F.expr(bucket_spark(N_PLANES, col)))
         .write.mode("overwrite")
@@ -462,9 +473,51 @@ def build_lsh_bucket_index(
     )
     _commit(
         index_dir,
-        {"kind": "lsh", "table": tname, "col": col, "planes": N_PLANES},
+        {
+            "kind": "lsh",
+            "table": tname,
+            "col": col,
+            "planes": N_PLANES,
+            "generations": [],
+        },
     )
     return index_dir
+
+
+def append_lsh_bucket_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    where: str,
+    batch_id: str,
+) -> bool:
+    """Append new rows to a committed SAI LSH-bucket artifact — the last
+    persisted index to gain the round-9 SSTable lifecycle (its siblings:
+    MinHash l40, IVF l41, PQ l42). ONLY the batch is hashed and bucket-
+    partitioned into ``buckets_g_<batch_id>`` (the indexed corpus is
+    never re-bucketed — monkeypatch-asserted in
+    tests/test_vector_index.py); the atomic manifest commit then makes
+    the generation visible to every later `ANN OF` probe (cql.py reads
+    the family, so partition pruning applies to base and generations
+    alike). Idempotent on batch_id; returns False for a replay."""
+    from cassandra_spark.operators.llm_vectors import bucket_spark
+
+    if not _committed(index_dir):
+        raise ValueError(f"no committed index at {index_dir}")
+    if _has_generation(index_dir, batch_id):
+        return False
+    man = _manifest(index_dir)
+    df = Catalog(spark, sf_dir).table(man["table"]).filter(F.expr(where))
+    (
+        df.withColumn(
+            "__bucket", F.expr(bucket_spark(man["planes"], man["col"]))
+        )
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(os.path.join(index_dir, f"buckets_g_{batch_id}"))
+    )
+    _commit_generation(index_dir, batch_id)
+    return True
 
 
 # --- PQ: persisted codebook + code table -------------------------------------

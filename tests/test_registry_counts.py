@@ -25,6 +25,17 @@ def test_survey_inventory_count_matches_registry():
     )
 
 
+def test_readme_count_matches_registry():
+    registry.load_all()
+    readme = (SURVEY.parent / "README.md").read_text()
+    m = re.search(r"`queries\(\)` \((\d+) named operators\)", readme)
+    assert m, "README.md operator-count sentence not found"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"README.md says {m.group(1)} operators, registry has "
+        f"{len(registry.QUERIES)} — update the README sentence"
+    )
+
+
 def test_entry_module_mirrors_registry():
     import sys
 

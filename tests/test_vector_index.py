@@ -301,3 +301,120 @@ def test_vector_append_after_compact_replay_and_new_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in vi.ivf_query_topk(spark, work).collect())
     want = sorted(tuple(r) for r in vi.ivf_query_topk(spark, full).collect())
     assert got == want and got
+
+
+# --- round-10: the SAI LSH-bucket artifact joins the lifecycle ------------
+
+
+def test_lsh_append_hashes_only_the_batch(spark, tmp_path):
+    """The appended generation holds exactly the batch rows; the base
+    bucket layout is byte-untouched (the indexed corpus is never
+    re-bucketed on the append path)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_lsh_bucket_index(
+        spark, SF_SMOKE, "embeddings", "embedding",
+        index_dir=str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE,
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    before = {
+        (p, os.path.getmtime(os.path.join(work, "buckets", p)))
+        for p in os.listdir(os.path.join(work, "buckets"))
+    }
+    assert vi.append_lsh_bucket_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    ) is True
+    after = {
+        (p, os.path.getmtime(os.path.join(work, "buckets", p)))
+        for p in os.listdir(os.path.join(work, "buckets"))
+    }
+    assert before == after, "base buckets must not be rewritten"
+    gen = spark.read.parquet(os.path.join(work, "buckets_g_b1"))
+    assert gen.filter(~F.expr(vi._APPEND_SPLIT_NEW)).count() == 0
+    assert gen.count() > 0
+    # family view = full corpus, bit-identical to a one-shot build
+    full = vi.build_lsh_bucket_index(
+        spark, SF_SMOKE, "embeddings", "embedding",
+        index_dir=str(tmp_path / "full"),
+    )
+    got = sorted(
+        (r.vec_id, r["__bucket"])
+        for r in vi.read_family(spark, work, "buckets")
+        .select("vec_id", "__bucket").collect()
+    )
+    want = sorted(
+        (r.vec_id, r["__bucket"])
+        for r in spark.read.parquet(os.path.join(full, "buckets"))
+        .select("vec_id", "__bucket").collect()
+    )
+    assert got == want and got
+
+
+def test_lsh_append_idempotent_and_batching_independent(spark, tmp_path):
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_lsh_bucket_index(
+        spark, SF_SMOKE, "embeddings", "embedding",
+        index_dir=str(tmp_path / "base"), where="vec_id % 7 < 5",
+    )
+    # one batch vs two batches of the same rows -> identical family
+    one = vi.clone_index(base, str(tmp_path / "one"))
+    two = vi.clone_index(base, str(tmp_path / "two"))
+    assert vi.append_lsh_bucket_index(
+        spark, SF_SMOKE, one, "vec_id % 7 >= 5", "all"
+    ) is True
+    assert vi.append_lsh_bucket_index(  # replay: no-op
+        spark, SF_SMOKE, one, "vec_id % 7 >= 5", "all"
+    ) is False
+    assert vi.index_generations(one) == ["all"]
+    assert vi.append_lsh_bucket_index(
+        spark, SF_SMOKE, two, "vec_id % 7 = 5", "b5"
+    ) is True
+    assert vi.append_lsh_bucket_index(
+        spark, SF_SMOKE, two, "vec_id % 7 = 6", "b6"
+    ) is True
+    rows = lambda d: sorted(  # noqa: E731
+        (r.vec_id, r["__bucket"])
+        for r in vi.read_family(spark, d, "buckets")
+        .select("vec_id", "__bucket").collect()
+    )
+    assert rows(one) == rows(two) and rows(one)
+
+
+def test_lsh_compact_folds_generations(spark, tmp_path):
+    """compact_index folds base + generations to ONE bucket-partitioned
+    segment; folded batch ids keep replay protection; the family view
+    is unchanged."""
+    from cassandra_spark.operators import vector_index as vi
+
+    base = vi.build_lsh_bucket_index(
+        spark, SF_SMOKE, "embeddings", "embedding",
+        index_dir=str(tmp_path / "base"), where=vi._APPEND_SPLIT_BASE,
+    )
+    work = vi.clone_index(base, str(tmp_path / "work"))
+    vi.append_lsh_bucket_index(spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1")
+    before = sorted(
+        (r.vec_id, r["__bucket"])
+        for r in vi.read_family(spark, work, "buckets")
+        .select("vec_id", "__bucket").collect()
+    )
+    assert vi.compact_index(spark, work) is True
+    assert vi.index_generations(work) == []
+    assert not os.path.exists(os.path.join(work, "buckets_g_b1"))
+    (newdir,) = vi._manifest(work)["families"]["buckets"]
+    assert any(
+        d.startswith("__bucket=")
+        for d in os.listdir(os.path.join(work, newdir))
+    ), "the folded family must keep the bucket partitioning"
+    # an absorbed batch id must stay a no-op after the fold
+    assert vi.append_lsh_bucket_index(
+        spark, SF_SMOKE, work, vi._APPEND_SPLIT_NEW, "b1"
+    ) is False
+    after = sorted(
+        (r.vec_id, r["__bucket"])
+        for r in vi.read_family(spark, work, "buckets")
+        .select("vec_id", "__bucket").collect()
+    )
+    assert before == after and after
