@@ -55,6 +55,30 @@ def build_ring(
     return ring
 
 
+def build_ring_moved(
+    moved: str = "n1",
+    n_nodes: int = N_NODES,
+    vnodes: int = VNODES_PER_NODE,
+) -> list[tuple[int, str]]:
+    """The ring after ``nodetool move`` on one node: ITS vnode tokens
+    are re-drawn (seed strings ``"node<i>@moved#<j>"``), every other
+    node's tokens are untouched — the third ring mutation next to
+    bootstrap (w24) and decommission (w26). Node count and RF are
+    conserved; only ownership boundaries shift."""
+    ring = [
+        (
+            murmur3.token_of_text(
+                f"node{i}@moved#{j}" if f"n{i}" == moved else f"node{i}#{j}"
+            ),
+            f"n{i}",
+        )
+        for i in range(n_nodes)
+        for j in range(vnodes)
+    ]
+    ring.sort()
+    return ring
+
+
 def replicas_of_index(
     ring: list[tuple[int, str]], idx: int, rf: int = RF
 ) -> list[str]:
@@ -547,6 +571,89 @@ def w26_decommission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("after_").cast("long")).alias("n_after"),
             F.sum((F.col("after_") & ~F.col("before_")).cast("long")).alias(
                 "n_streamed_in"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+@query(
+    "w27_move",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders", "o_orderkey")}
+    ),
+    r AS MATERIALIZED (
+      SELECT {replica_case_sql("token")} AS ra,
+             {replica_case_sql("token", ring=build_ring_moved())} AS rb
+      FROM __toks
+    )
+    SELECT node,
+           CAST(SUM(CASE WHEN before_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_before,
+           CAST(SUM(CASE WHEN after_ THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(CASE WHEN after_ AND NOT before_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_streamed_in,
+           CAST(SUM(CASE WHEN before_ AND NOT after_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_streamed_out
+    FROM ({_bootstrap_union_sql([f"n{i}" for i in range(N_NODES)])})
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def w27_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool move`` (`[C* service/StorageService :: move —
+    RangeRelocator/calculateRangesToStreamWithEndpoints, unverified]`)
+    — the third ring mutation, completing the triptych with bootstrap
+    (w24) and decommission (w26): node n1's vnode tokens are re-drawn
+    in place (node count and RF conserved), and every partition's
+    natural-replica set is recomputed under BOTH rings. Per node:
+    ownership before/after, the rows it must STREAM IN (replica under
+    B, not under A — fetched from the old owners before the move
+    completes) and STREAM OUT (replica under A, not under B — handed
+    off; until cleanup they are dead weight). Unlike w24/w26, EVERY
+    node can appear on both sides — the mover's shifted ranges cascade
+    through successor walks, so bystanders exchange rows too.
+
+    Same Spark-first shape as w24/w26: both ring walks are plan-time
+    CASE chains inside whole-stage codegen over ONE orders scan, the
+    per-node flags unpivot via ``stack`` (projection, no shuffle), and
+    the only exchange is the final 4-group aggregate. The invariant the
+    numbers prove: RF stays {RF} under both rings, so
+    sum(n_streamed_in) == sum(n_streamed_out) — every relocated
+    replica leaves exactly one old owner and lands on exactly one new
+    owner (per-row form pinned in tests/test_ring.py)."""
+    cat = Catalog(spark, sf_dir)
+    nodes = [f"n{i}" for i in range(N_NODES)]
+    case_a = replica_case_sql("token")
+    case_b = replica_case_sql("token", ring=build_ring_moved())
+    stack_items = ", ".join(
+        f"'{n}', {_node_flags_sql('ra', n)}, {_node_flags_sql('rb', n)}"
+        for n in nodes
+    )
+    return (
+        cat.orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("ra", F.expr(case_a))
+        .withColumn("rb", F.expr(case_b))
+        .select(
+            F.expr(
+                f"stack({len(nodes)}, {stack_items}) "
+                f"AS (node, before_, after_)"
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("before_").cast("long")).alias("n_before"),
+            F.sum(F.col("after_").cast("long")).alias("n_after"),
+            F.sum((F.col("after_") & ~F.col("before_")).cast("long")).alias(
+                "n_streamed_in"
+            ),
+            F.sum((F.col("before_") & ~F.col("after_")).cast("long")).alias(
+                "n_streamed_out"
             ),
         )
         .orderBy("node")

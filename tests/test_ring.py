@@ -187,3 +187,51 @@ def test_decommission_conservation(spark):
     assert streamed == leaver.n_before
     total = sum(r.n_before for r in rows.values())
     assert sum(r.n_after for r in rows.values()) == total  # RF * rows
+
+
+def test_move_conservation(spark):
+    """RF conservation under nodetool move: replica count is conserved
+    globally (RF x rows on both sides), so total streamed-in equals
+    total streamed-out; the moved node (n1) actually shifts ownership,
+    and — unlike bootstrap/decommission — bystanders may exchange rows
+    in BOTH directions as the mover's ranges cascade."""
+    from cassandra_spark.operators.ring import RF, w27_move
+
+    rows = {r.node: r for r in w27_move(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"n0", "n1", "n2", "n3"}
+    total_before = sum(r.n_before for r in rows.values())
+    total_after = sum(r.n_after for r in rows.values())
+    assert total_before == total_after  # RF x rows, both rings
+    assert total_before % RF == 0
+    streamed_in = sum(r.n_streamed_in for r in rows.values())
+    streamed_out = sum(r.n_streamed_out for r in rows.values())
+    assert streamed_in == streamed_out > 0
+    mover = rows["n1"]
+    assert mover.n_streamed_in > 0 and mover.n_streamed_out > 0, (
+        "re-drawn tokens must shift the mover's ownership both ways"
+    )
+    # per-row form: |ra| == |rb| == RF for every partition, so each
+    # relocated replica leaves one owner and lands on one new owner
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators import murmur3
+    from cassandra_spark.operators.ring import (
+        build_ring_moved,
+        replica_case_sql,
+    )
+
+    cat = Catalog(spark, SF_SMOKE)
+    df = (
+        cat.orders.limit(200)
+        .select(murmur3.token_col(F.col("o_orderkey")).alias("token"))
+        .withColumn("ra", F.expr(replica_case_sql("token")))
+        .withColumn(
+            "rb", F.expr(replica_case_sql("token", ring=build_ring_moved()))
+        )
+    )
+    bad = df.filter(
+        (F.size(F.split("ra", ",")) != RF)
+        | (F.size(F.split("rb", ",")) != RF)
+    ).count()
+    assert bad == 0
