@@ -1366,6 +1366,22 @@ class CqlTable:
         self._check_guardrail(
             "items_per_collection", len(items), f"collection {col!r} items"
         )
+        if "collection_size" in self.guardrails:
+            # serialized-size analogue (`[C* db/guardrails ::
+            # collectionSize, unverified]`): UTF-8 bytes of the element
+            # values (+ keys for maps) — the canonical-string form this
+            # engine stores, checked BEFORE any cell is emitted so a
+            # failure leaves the statement un-applied
+            if pkind == "map":
+                nbytes = sum(
+                    len(str(k).encode()) + len(str(v).encode())
+                    for k, v in items
+                )
+            else:
+                nbytes = sum(len(str(v).encode()) for v in items)
+            self._check_guardrail(
+                "collection_size", nbytes, f"collection {col!r} bytes"
+            )
         if ckind == "list":
             if pkind != "list":
                 raise CQLError(f"list column {col!r} needs a [..] literal")

@@ -1019,6 +1019,16 @@ class CqlSession:
         "partition_keys_in_select",
         "columns_per_table",
         "tombstones_per_read",
+        # round-10 additions (`[C* db/guardrails — collectionSize,
+        # inSelectCartesianProduct, allowFiltering, unverified]`):
+        # collection SIZE in serialized bytes; the cartesian product of
+        # key-column IN lists one SELECT may expand to; and ALLOW
+        # FILTERING itself — the reference's boolean enable maps onto
+        # this warn/fail framework as thresholds over actual=1 per use
+        # (warn=0 -> client warning each use, fail=0 -> rejected)
+        "collection_size",
+        "in_select_cartesian_product",
+        "allow_filtering",
     )
 
     def set_guardrail(
@@ -1433,6 +1443,65 @@ class CqlSession:
             "partition_keys_in_select", im.group(1).count(",") + 1,
             f"partition keys in IN on {key!r}",
         )
+
+    def _select_key_cols(self, key: str) -> set[str]:
+        if key in self.tables:
+            s = self.tables[key].schema
+            return {c.lower() for c in s.key_cols}
+        from cassandra_spark.catalog import SCHEMA
+
+        meta = SCHEMA.get(key)
+        if meta is None:
+            return set()
+        return {
+            c.lower() for c in (*meta.partition_key, *meta.clustering)
+        }
+
+    def _check_select_guardrails(self, stmt: str, key: str) -> None:
+        """The round-10 SELECT-side guardrails, enforced at the same
+        choke point as partition_keys_in_select:
+
+        - ``allow_filtering`` (`[C* db/guardrails :: allowFiltering,
+          unverified]` — a boolean enable in the reference, mapped here
+          to warn/fail thresholds over actual=1 per use);
+        - ``in_select_cartesian_product`` (`[C* db/guardrails ::
+          inSelectCartesianProduct, unverified]`): the product of the
+          statement's key-column IN-list sizes — the number of
+          (partition, clustering) combinations one SELECT fans out to.
+          String literals are masked so commas inside them never
+          miscount."""
+        from cassandra_spark.cql_dml import check_guardrail
+
+        if "allow_filtering" in self.guardrails and re.search(
+            r"\bALLOW\s+FILTERING\b", stmt, re.IGNORECASE
+        ):
+            check_guardrail(
+                self.guardrails, self.client_warnings,
+                "allow_filtering", 1, "ALLOW FILTERING use",
+            )
+        if "in_select_cartesian_product" not in self.guardrails:
+            return
+        key_cols = self._select_key_cols(key)
+        if not key_cols:
+            return
+        masked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
+            stmt,
+        )
+        product, found = 1, False
+        for im in re.finditer(
+            r"\b(\w+)\s+IN\s*\(([^)]*)\)", masked, re.IGNORECASE
+        ):
+            if im.group(1).lower() in key_cols:
+                found = True
+                product *= im.group(2).count(",") + 1
+        if found:
+            check_guardrail(
+                self.guardrails, self.client_warnings,
+                "in_select_cartesian_product", product,
+                f"IN cartesian product on {key!r}",
+            )
 
     def _masked_conjunctive_where(self, stmt: str):
         """(where_text, offset_into_stmt) for a statement whose WHERE is
@@ -3034,6 +3103,7 @@ class CqlSession:
             if fm_:
                 key = self._resolve(fm_.group(1))
                 self._check_in_guardrail(stmt, key)
+                self._check_select_guardrails(stmt, key)
                 if key in self.tables:
                     self._check_perm("SELECT", key)
                     # 2i-accelerated read: index probe → candidate

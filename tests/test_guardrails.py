@@ -111,3 +111,71 @@ def test_failed_statement_is_atomic(sess):
         sess.execute("INSERT INTO g (k, tags, v) VALUES ('z', ['w'], 5)")
     assert sess.execute("SELECT k FROM g WHERE k = 'z'").count() == 0
     assert len(sess.table("g")._log) == 0
+
+
+# --- round-10 guardrails: collection_size, IN cartesian, ALLOW FILTERING --
+
+
+def test_collection_size_bytes(sess):
+    sess.set_guardrail("collection_size", warn=8, fail=16)
+    sess.execute("INSERT INTO g (k, tags) VALUES ('a', {'tiny'})")
+    assert sess.pop_warnings() == []
+    sess.execute("INSERT INTO g (k, tags) VALUES ('b', {'0123456789'})")
+    w = sess.pop_warnings()
+    assert len(w) == 1 and "collection_size" in w[0]
+    with pytest.raises(CQLError, match="collection_size"):
+        sess.execute(
+            "INSERT INTO g (k, tags, v) VALUES "
+            "('c', {'0123456789abcdefghij'}, 1)"
+        )
+    # statement atomicity: the failed write left NOTHING behind
+    assert sess.execute("SELECT k FROM g WHERE k = 'c'").count() == 0
+    assert sess.pop_warnings() == []
+
+
+def test_in_select_cartesian_product(sess):
+    s2 = CqlSession(sess.spark, spill_dir=None)
+    s2.execute(
+        "CREATE TABLE cc (k text, c text, v int, PRIMARY KEY (k, c))"
+    )
+    for k in ("a", "b", "c"):
+        for c in ("x", "y", "z"):
+            s2.execute(
+                f"INSERT INTO cc (k, c, v) VALUES ('{k}', '{c}', 1)"
+            )
+    s2.set_guardrail("in_select_cartesian_product", warn=4, fail=8)
+    s2.execute("SELECT v FROM cc WHERE k IN ('a', 'b') AND c = 'x'")
+    assert s2.pop_warnings() == []
+    # 3 x 2 = 6 > warn 4
+    s2.execute(
+        "SELECT v FROM cc WHERE k IN ('a', 'b', 'c') AND c IN ('x', 'y')"
+    )
+    w = s2.pop_warnings()
+    assert len(w) == 1 and "in_select_cartesian_product" in w[0]
+    # 3 x 3 = 9 > fail 8
+    with pytest.raises(CQLError, match="in_select_cartesian_product"):
+        s2.execute(
+            "SELECT v FROM cc WHERE k IN ('a', 'b', 'c') "
+            "AND c IN ('x', 'y', 'z')"
+        )
+    # commas inside string literals never miscount ('a,b' is ONE key)
+    s2.execute("SELECT v FROM cc WHERE k IN ('a,b,c', 'b') AND c = 'x'")
+    assert s2.pop_warnings() == []
+
+
+def test_allow_filtering_guardrail(sess):
+    sess.execute("INSERT INTO g (k, v) VALUES ('a', 5)")
+    q = "SELECT k FROM g WHERE v = 5 ALLOW FILTERING"
+    sess.execute(q)  # no guardrail: silent
+    assert sess.pop_warnings() == []
+    sess.set_guardrail("allow_filtering", warn=0)
+    sess.execute(q)
+    w = sess.pop_warnings()
+    assert len(w) == 1 and "allow_filtering" in w[0]
+    sess.execute("SELECT k FROM g WHERE k = 'a'")  # no AF: no warning
+    assert sess.pop_warnings() == []
+    sess.set_guardrail("allow_filtering", fail=0)
+    with pytest.raises(CQLError, match="allow_filtering"):
+        sess.execute(q)
+    sess.set_guardrail("allow_filtering")  # removed: allowed again
+    assert sess.execute(q).count() == 1
