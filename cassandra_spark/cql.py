@@ -277,7 +277,7 @@ _AGG_RE = re.compile(
 )
 
 _SELECTOR_RE = re.compile(
-    r"^(writetime|ttl)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
+    r"^(writetime|maxwritetime|ttl)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -375,12 +375,16 @@ def _rewrite_masks(item: str, df: DataFrame | None = None) -> str:
 
 
 def _rewrite_selectors(items, df, meta, table):
-    """WRITETIME(col) / TTL(col) selectors (`[C* cql3/selection/
-    WritetimeOrTTLSelector]`, unverified) → projections of the §1.2
-    ``__writetime_<col>`` / ``__ttl_<col>`` shadow columns, which carriers
-    of real cell metadata (a Cassandra connector source, the DML snapshot)
-    produce natively and the events fixture synthesizes (ts → writetime,
-    constant TTL). Default output names: ``writetime_<col>`` / ``ttl_<col>``."""
+    """WRITETIME(col) / MAXWRITETIME(col) / TTL(col) selectors (`[C*
+    cql3/selection/WritetimeOrTTLSelector; CASSANDRA-17425 — 4.1,
+    unverified]`) → projections of the §1.2 ``__writetime_<col>`` /
+    ``__maxwritetime_<col>`` / ``__ttl_<col>`` shadow columns, which
+    carriers of real cell metadata (a Cassandra connector source, the
+    DML snapshot) produce natively and the events fixture synthesizes
+    (ts → writetime, constant TTL). MAXWRITETIME on a multi-cell
+    (collection) column reads the max live element-cell writetime; on a
+    single-cell column it equals WRITETIME, so it falls back to that
+    shadow. Default output names: ``<fn>_<col>``."""
     needed = [_SELECTOR_RE.match(i) for i in items]
     if not any(needed):
         return items, df
@@ -401,7 +405,12 @@ def _rewrite_selectors(items, df, meta, table):
             raise CQLError(
                 f"Cannot use selection function {fn} on PRIMARY KEY part {col}"
             )
-        shadow = f"__{'writetime' if fn == 'writetime' else 'ttl'}_{col}"
+        if fn == "ttl":
+            shadow = f"__ttl_{col}"
+        elif fn == "maxwritetime" and f"__maxwritetime_{col}" in have:
+            shadow = f"__maxwritetime_{col}"
+        else:  # writetime, or maxwritetime of a single-cell column
+            shadow = f"__writetime_{col}"
         if shadow not in have:
             raise CQLError(
                 f"{fn}() is not available for column {col!r}: the source "

@@ -3607,6 +3607,13 @@ class CqlTable:
                 )
             # an empty non-frozen collection IS null (reference semantics)
             aggs.append(F.when(F.size(agg) > 0, agg).alias(c))
+            # MAXWRITETIME shadow (`[C* CASSANDRA-17425 — 4.1, unverified]`):
+            # for a multi-cell column the selector reads the max LIVE
+            # element-cell writetime; null when the collection is null
+            aggs.append(
+                F.max(F.when(F.col("col") == c, F.col("writetime")))
+                .alias(f"__maxwritetime_{c}")
+            )
         wide = live.groupBy("pk", "ck").agg(*aggs)
 
         # typed like _empty(): a bigint partition key reads back as bigint,
@@ -3666,6 +3673,7 @@ class CqlTable:
 
         out_cols += [F.col(f"__writetime_{c}") for c in s.scalar_regular]
         out_cols += [F.col(f"__writetime_{c}") for c in s.static]
+        out_cols += [F.col(f"__maxwritetime_{c}") for c in s.coll_regular]
         return wide.select(*out_cols).orderBy(
             s.partition_key, *s.clustering
         )
@@ -3752,4 +3760,5 @@ class CqlTable:
         if not s.counter:
             fields += [f"__writetime_{c} long" for c in s.scalar_regular]
             fields += [f"__writetime_{c} long" for c in s.static]
+            fields += [f"__maxwritetime_{c} long" for c in s.coll_regular]
         return self.spark.createDataFrame([], ", ".join(fields))

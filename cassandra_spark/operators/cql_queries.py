@@ -779,6 +779,66 @@ def cql41_sai_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql42_maxwritetime",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             row_number() OVER (ORDER BY event_id) - 1 AS i
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 24)
+    )
+    SELECT k,
+           CAST(100 + i AS BIGINT) AS wt_v,
+           CAST(CASE WHEN i % 2 = 0 THEN 500 + i ELSE 200 + i END
+                AS BIGINT) AS mwt_tags
+    FROM src
+    """,
+)
+def cql42_maxwritetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXWRITETIME selector (`[C* CASSANDRA-17425 — 4.1, unverified]`):
+    the max LIVE cell writetime of a column — equal to WRITETIME on a
+    single-cell column, and the max element-cell writetime on a
+    multi-cell collection. Scenario: v written @100+i, tags overwritten
+    @200+i, every 2nd key's set APPENDED to @500+i — so
+    maxwritetime(tags) reads the append time exactly where an append
+    happened and the overwrite time elsewhere, while writetime(v) stays
+    the scalar cell time. The oracle re-derives all three timelines in
+    SQL."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(24)
+        .select("event_id")
+        .collect()
+    )  # bounded: 24 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(spark, spill_dir=tempfile.mkdtemp(prefix="cql42_"))
+    sess.execute(
+        "CREATE TABLE mwt (k text PRIMARY KEY, v int, tags set<text>)"
+    )
+    for i, r in enumerate(rows):
+        sess.execute(
+            f"INSERT INTO mwt (k, v) VALUES ('{r.event_id}', {i}) "
+            f"USING TIMESTAMP {100 + i}"
+        )
+        sess.execute(
+            f"UPDATE mwt USING TIMESTAMP {200 + i} SET tags = {{'a'}} "
+            f"WHERE k = '{r.event_id}'"
+        )
+        if i % 2 == 0:
+            sess.execute(
+                f"UPDATE mwt USING TIMESTAMP {500 + i} "
+                f"SET tags = tags + {{'b'}} WHERE k = '{r.event_id}'"
+            )
+    return sess.execute(
+        "SELECT k, writetime(v) AS wt_v, maxwritetime(tags) AS mwt_tags "
+        "FROM mwt"
+    )
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

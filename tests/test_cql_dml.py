@@ -425,3 +425,42 @@ def test_copy_parquet_rejects_complex_tables_and_overwrites(spark, tmp_path):
     # re-export must overwrite, like the CSV branch
     s.execute("INSERT INTO ok (k, v) VALUES (2, 'b')")
     assert s.execute(f"COPY ok TO '{out}' WITH FORMAT = 'PARQUET'") == 2
+
+
+def test_maxwritetime_selector(spark, tmp_path):
+    """MAXWRITETIME (CASSANDRA-17425): max live element-cell writetime
+    on a collection, WRITETIME fallback on single-cell columns, PRIMARY
+    KEY parts rejected like the other metadata selectors."""
+    import pytest as _pytest
+
+    from cassandra_spark.cql import CQLError
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute("CREATE TABLE mw (k text PRIMARY KEY, v int, tags set<text>)")
+    s.execute(
+        "INSERT INTO mw (k, v, tags) VALUES ('a', 1, {'x'}) "
+        "USING TIMESTAMP 100"
+    )
+    s.execute("UPDATE mw USING TIMESTAMP 250 SET tags = tags + {'y'} WHERE k = 'a'")
+    s.execute("INSERT INTO mw (k, v) VALUES ('b', 2) USING TIMESTAMP 300")
+    got = {
+        r.k: (r.mwt, r.wt, r.mwv)
+        for r in s.execute(
+            "SELECT k, maxwritetime(tags) AS mwt, writetime(v) AS wt, "
+            "maxwritetime(v) AS mwv FROM mw"
+        ).collect()
+    }
+    assert got == {"a": (250, 100, 100), "b": (None, 300, 300)}
+    # element deletion moves the max BACK to the surviving cell
+    s.execute("UPDATE mw USING TIMESTAMP 400 SET tags = tags - {'y'} WHERE k = 'a'")
+    row = s.execute(
+        "SELECT maxwritetime(tags) AS mwt FROM mw WHERE k = 'a'"
+    ).collect()[0]
+    assert row.mwt == 100
+    # default output name + key-part rejection
+    assert "maxwritetime_tags" in s.execute(
+        "SELECT maxwritetime(tags) FROM mw"
+    ).columns
+    with _pytest.raises(CQLError, match="PRIMARY KEY"):
+        s.execute("SELECT maxwritetime(k) FROM mw")
