@@ -703,3 +703,112 @@ def l33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "l46_repetition_metrics",
+    # integer-exact char counts; ONE double division at the end, so the
+    # cross-engine values are bit-identical
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 1),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2]))
+               AS gram
+      FROM w
+    ),
+    c2 AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram
+    ),
+    t2 AS (
+      SELECT doc_id, MAX(cnt * length(gram)) AS top2_chars
+      FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 2),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2]
+                                        || ' ' || ws[i + 3])) AS gram
+      FROM w
+    ),
+    c3 AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, gram
+    ),
+    d3 AS (
+      SELECT doc_id, SUM(cnt * length(gram)) AS dup3_chars
+      FROM c3 WHERE cnt > 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(top2_chars, 0) AS DOUBLE) / n_chars AS top2_frac,
+           CAST(COALESCE(dup3_chars, 0) AS DOUBLE) / n_chars AS dup3_frac,
+           (CAST(COALESCE(top2_chars, 0) AS DOUBLE) / n_chars > 0.20
+            OR CAST(COALESCE(dup3_chars, 0) AS DOUBLE) / n_chars > 0.18)
+             AS repetitive
+    FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def l46_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality rules from the MassiveText/Gopher filtering
+    recipe ([Rae et al. 2021, public]): per document, the character
+    fraction occupied by (a) the single most character-occupying word
+    2-gram (count x gram length — unique as a number even under count
+    ties, so no cross-engine tie-break is needed) and (b) all word
+    3-grams occurring more than once (all occurrences counted); a doc
+    is flagged ``repetitive`` past the published-style thresholds
+    (0.20 / 0.18).
+
+    Spark-first shape: n-gram expansion is a JVM-side ``transform`` +
+    ``explode`` (no Python), counts shuffle on the content key
+    (doc_id, gram) with map-side partial aggregation, and the per-doc
+    reductions are plain MAX/SUM — never a collect, never all-pairs;
+    the whole plan is flat per document and scales with the corpus."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select(
+        "doc_id", "n_chars", F.split("text", " ").alias("ws")
+    )
+
+    def grams(n: int):
+        # guard: Spark's sequence(0, -k) generates DESCENDING values,
+        # so short docs must short-circuit to an empty array
+        expr = (
+            f"CASE WHEN size(ws) >= {n} THEN "
+            f"transform(sequence(0, size(ws) - {n}), i -> "
+            f"concat_ws(' ', {', '.join(f'ws[i + {j}]' for j in range(n))}"
+            f")) ELSE array() END"
+        )
+        return docs.select(
+            "doc_id", F.explode(F.expr(expr)).alias("gram")
+        ).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    t2 = grams(2).groupBy("doc_id").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top2_chars")
+    )
+    d3 = (
+        grams(3)
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup3_chars"))
+    )
+    top2 = F.coalesce(F.col("top2_chars"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_chars")
+    dup3 = F.coalesce(F.col("dup3_chars"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(t2, "doc_id", "left")
+        .join(d3, "doc_id", "left")
+        .select(
+            "doc_id",
+            top2.alias("top2_frac"),
+            dup3.alias("dup3_frac"),
+            ((top2 > 0.20) | (dup3 > 0.18)).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -952,3 +952,21 @@ def test_l34_representative_is_cluster_argmax(spark):
         assert r.n_members == len(members)
         best = max(members, key=score)
         assert r.rep_doc == best, (cid, r.rep_doc, best)
+
+
+def test_repetition_metrics_bounds_and_flag(spark):
+    from cassandra_spark.operators.llm_text import l46_repetition_metrics
+    from tests.conftest import SF_SMOKE
+
+    rows = l46_repetition_metrics(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.top2_frac <= 1.0 and 0.0 <= r.dup3_frac <= 1.0
+        assert r.repetitive == (r.top2_frac > 0.20 or r.dup3_frac > 0.18)
+    # word-soup fixture: the repetition signal must actually separate
+    # docs (not all-zero, not all-flagged)
+    flags = {r.repetitive for r in rows}
+    assert any(r.top2_frac > 0 for r in rows)
+    assert flags <= {True, False} and len(rows) > sum(
+        r.repetitive for r in rows
+    )
