@@ -658,3 +658,66 @@ def w27_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# portable "first dc1 replica in walk order" / "the dc2 replica" over the
+# 3-element NTS replica CSV (dc1 rf=2, dc2 rf=1) — shared by the w28
+# Spark plan and its DuckDB oracle verbatim
+_NTS_E = [f"split_part({{r}}, ',', {i})" for i in (1, 2, 3)]
+_NTS_TARGET_SQL = (
+    "CASE WHEN (',' || {r} || ',') LIKE '%,n2,%' THEN 'n2' ELSE 'n3' END"
+)
+_NTS_SOURCE_SQL = (
+    f"CASE WHEN {_NTS_E[0]} IN ('n0', 'n1') THEN {_NTS_E[0]} "
+    f"WHEN {_NTS_E[1]} IN ('n0', 'n1') THEN {_NTS_E[1]} "
+    f"ELSE {_NTS_E[2]} END"
+)
+
+
+@query(
+    "w28_rebuild",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders", "o_orderkey")}
+    ),
+    r AS MATERIALIZED (
+      SELECT {nts_case_sql("token")} AS reps FROM __toks
+    )
+    SELECT {_NTS_TARGET_SQL.format(r='reps')} AS target_node,
+           {_NTS_SOURCE_SQL.format(r='reps')} AS source_node,
+           CAST(COUNT(*) AS BIGINT) AS n_streamed
+    FROM r
+    GROUP BY 1, 2
+    ORDER BY target_node, source_node
+    """,
+)
+def w28_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool rebuild -- dc1`` (`[C* service/StorageService ::
+    rebuild — RangeStreamer with a source-DC filter, unverified]`): the
+    dc2 nodes re-fetch every partition they own under
+    NetworkTopologyStrategy from a replica in the SOURCE DC — the
+    operation that populates a freshly-added datacenter. Per
+    (target, source) pair: the rows streamed, where the target is the
+    partition's dc2 replica (rf_dc2 = 1) and the source is the first
+    dc1 replica in natural-walk order (the reference's RangeStreamer
+    picks one source replica per range from the allowed DC).
+
+    Same one-scan shape as the w24/w26/w27 transfer-set family: the
+    NTS walk is a plan-time CASE chain, target/source derive from the
+    replica CSV with split_part (portable to DuckDB verbatim), and the
+    only exchange is the final few-group aggregate. Conservation —
+    every dc2-owned partition streams exactly once — is pinned in
+    tests/test_ring.py."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("reps", F.expr(nts_case_sql("token")))
+        .withColumn("target_node", F.expr(_NTS_TARGET_SQL.format(r="reps")))
+        .withColumn("source_node", F.expr(_NTS_SOURCE_SQL.format(r="reps")))
+        .groupBy("target_node", "source_node")
+        .agg(F.count(F.lit(1)).alias("n_streamed"))
+        .orderBy("target_node", "source_node")
+    )

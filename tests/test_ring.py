@@ -235,3 +235,20 @@ def test_move_conservation(spark):
         | (F.size(F.split("rb", ",")) != RF)
     ).count()
     assert bad == 0
+
+
+def test_rebuild_conservation(spark):
+    """Every dc2-owned partition streams exactly once (targets n2/n3
+    partition the keyspace by their NTS ownership), and every source is
+    a dc1 node — the source-DC filter the reference's RangeStreamer
+    applies."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.ring import w28_rebuild
+
+    rows = w28_rebuild(spark, SF_SMOKE).collect()
+    assert rows
+    assert {r.target_node for r in rows} <= {"n2", "n3"}
+    assert {r.source_node for r in rows} <= {"n0", "n1"}
+    total = sum(r.n_streamed for r in rows)
+    n_orders = Catalog(spark, SF_SMOKE).orders.count()
+    assert total == n_orders, "each partition streams exactly once"
