@@ -327,6 +327,55 @@ _NUMERIC_SPARK_TYPES = frozenset(
     "int bigint smallint tinyint double float decimal long".split()
 )
 
+# Cassandra 5 collection functions (`[C* CASSANDRA-18060 —
+# cql3/functions/CollectionFcts, unverified]`): textual expansion into
+# Spark SQL collection algebra, same strategy as similarity/masking —
+# the expanded text stays whole-stage-codegen. map_keys/map_values take
+# maps only; the collection_* family takes sets/lists directly and maps
+# through their values (the reference's rule). Null collection → null
+# result (empty non-frozen collections ARE null, so size/min/sum never
+# see an empty array from the DML snapshot).
+_COLLFN_RE = re.compile(
+    r"\b(collection_(?:count|min|max|sum|avg)|map_keys|map_values)"
+    r"\s*\(\s*(\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_collection_fns(item: str, df: DataFrame | None = None) -> str:
+    dtypes = dict(df.dtypes) if df is not None else {}
+
+    def repl(m: re.Match) -> str:
+        fn, col = m.group(1).lower(), m.group(2)
+        t = dtypes.get(col, dtypes.get(col.lower(), ""))
+        if fn in ("map_keys", "map_values"):
+            if not t.startswith("map"):
+                raise CQLError(f"{fn} requires a map column, got {col!r}")
+            return f"{fn}({col})"
+        if t.startswith("map"):
+            src = f"map_values({col})"
+        elif t.startswith("array"):
+            src = col
+        else:
+            raise CQLError(
+                f"{fn} requires a collection column, got {col!r}"
+            )
+        if fn == "collection_count":
+            return f"size({src})"
+        if fn == "collection_min":
+            return f"array_min({src})"
+        if fn == "collection_max":
+            return f"array_max({src})"
+        total = (
+            f"aggregate({src}, cast(0 AS double), "
+            f"(a, x) -> a + cast(x AS double))"
+        )
+        if fn == "collection_sum":
+            return total
+        return f"({total} / size({src}))"
+
+    return _COLLFN_RE.sub(repl, item)
+
 
 def _rewrite_masks(item: str, df: DataFrame | None = None) -> str:
     from cassandra_spark.operators.masking import (
@@ -713,7 +762,12 @@ def cql_select(
         if proj != "*":
             df = df.selectExpr(
                 *[
-                    _rewrite_masks(_rewrite_similarity(p.strip()), df)
+                    _rewrite_masks(
+                        _rewrite_collection_fns(
+                            _rewrite_similarity(p.strip()), df
+                        ),
+                        df,
+                    )
                     for p in _split_projection(proj)
                 ]
             )
@@ -773,7 +827,12 @@ def cql_select(
                 for i in items
             ]
         df = df.selectExpr(
-            *[_rewrite_masks(_rewrite_similarity(i), df) for i in items]
+            *[
+                _rewrite_masks(
+                    _rewrite_collection_fns(_rewrite_similarity(i), df), df
+                )
+                for i in items
+            ]
         )
     if s.json:
         df = _to_json_row(df)

@@ -839,6 +839,64 @@ def cql42_maxwritetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql43_collection_functions",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             row_number() OVER (ORDER BY event_id) - 1 AS i
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 24)
+    )
+    SELECT k,
+           CAST(CASE WHEN i = 0 THEN 2 ELSE 3 END AS INT) AS s_cnt,
+           CAST(i AS INT) AS s_min,
+           CAST(100 + i AS INT) AS s_max,
+           CAST(CASE WHEN i = 0 THEN 100 ELSE 4 * i + 100 END AS DOUBLE)
+             AS s_sum,
+           CAST(CASE WHEN i = 0 THEN 100 ELSE 4 * i + 100 END AS DOUBLE)
+             / (CASE WHEN i = 0 THEN 2 ELSE 3 END) AS s_avg,
+           CAST(2 * i + 1 AS DOUBLE) AS m_sum
+    FROM src
+    """,
+)
+def cql43_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra 5 collection functions (`[C* CASSANDRA-18060 —
+    cql3/functions/CollectionFcts, unverified]`): collection_count /
+    _min / _max / _sum / _avg over a set column and collection_sum over
+    a map (through its values, the reference's rule), compiled to
+    whole-stage-codegen Spark collection algebra (size / array_min /
+    array_max / aggregate folds — no Python). Each key's set is
+    {i, 2i, 100+i} (i=0 collapses two elements — set semantics feed the
+    count) and its map {'a': i, 'b': i+1}; the oracle re-derives every
+    aggregate closed-form."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(24)
+        .select("event_id")
+        .collect()
+    )  # bounded: 24 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(spark, spill_dir=tempfile.mkdtemp(prefix="cql43_"))
+    sess.execute(
+        "CREATE TABLE cf (k text PRIMARY KEY, s set<int>, m map<text, int>)"
+    )
+    for i, r in enumerate(rows):
+        sess.execute(
+            f"INSERT INTO cf (k, s, m) VALUES ('{r.event_id}', "
+            f"{{{i}, {2 * i}, {100 + i}}}, {{'a': {i}, 'b': {i + 1}}})"
+        )
+    return sess.execute(
+        "SELECT k, collection_count(s) AS s_cnt, "
+        "collection_min(s) AS s_min, collection_max(s) AS s_max, "
+        "collection_sum(s) AS s_sum, collection_avg(s) AS s_avg, "
+        "collection_sum(m) AS m_sum FROM cf"
+    )
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

@@ -464,3 +464,42 @@ def test_maxwritetime_selector(spark, tmp_path):
     ).columns
     with _pytest.raises(CQLError, match="PRIMARY KEY"):
         s.execute("SELECT maxwritetime(k) FROM mw")
+
+
+def test_collection_functions(spark, tmp_path):
+    """CASSANDRA-18060 collection functions: map_keys/map_values, the
+    collection_* family over sets and (via values) maps, null
+    collection -> null result, non-collection columns rejected."""
+    import pytest as _pytest
+
+    from cassandra_spark.cql import CQLError
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE cf (k text PRIMARY KEY, s set<int>, "
+        "m map<text, int>, v int)"
+    )
+    s.execute(
+        "INSERT INTO cf (k, s, m, v) VALUES "
+        "('a', {3, 1, 8}, {'x': 10, 'y': 4}, 5)"
+    )
+    s.execute("INSERT INTO cf (k, v) VALUES ('b', 6)")
+    got = {
+        r.k: (r.cnt, r.mn, r.mx, r.sm, r.av, r.keys, r.vals, r.msum)
+        for r in s.execute(
+            "SELECT k, collection_count(s) AS cnt, "
+            "collection_min(s) AS mn, collection_max(s) AS mx, "
+            "collection_sum(s) AS sm, collection_avg(s) AS av, "
+            "map_keys(m) AS keys, map_values(m) AS vals, "
+            "collection_sum(m) AS msum FROM cf"
+        ).collect()
+    }
+    assert got["a"] == (3, 1, 8, 12.0, 4.0, ["x", "y"], [10, 4], 14.0)
+    assert got["b"] == (
+        None, None, None, None, None, None, None, None,
+    ), "null collections yield null everywhere"
+    with _pytest.raises(CQLError, match="requires a collection"):
+        s.execute("SELECT collection_min(v) FROM cf")
+    with _pytest.raises(CQLError, match="requires a map"):
+        s.execute("SELECT map_keys(s) FROM cf")
