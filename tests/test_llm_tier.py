@@ -955,10 +955,11 @@ def test_l34_representative_is_cluster_argmax(spark):
 
 
 def test_repetition_metrics_bounds_and_flag(spark):
-    from cassandra_spark.operators.llm_text import l46_repetition_metrics
+    from cassandra_spark import registry
     from tests.conftest import SF_SMOKE
 
-    rows = l46_repetition_metrics(spark, SF_SMOKE).collect()
+    registry.load_all()  # llm_text must load via the registry order
+    rows = registry.QUERIES["l46_repetition_metrics"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.top2_frac <= 1.0 and 0.0 <= r.dup3_frac <= 1.0
@@ -970,3 +971,21 @@ def test_repetition_metrics_bounds_and_flag(spark):
     assert flags <= {True, False} and len(rows) > sum(
         r.repetitive for r in rows
     )
+
+
+def test_pii_scrub_total_and_counts(spark):
+    """The scrub is total (zero residual matches) and detection matches
+    the deterministic injection: every 3rd doc one email, every doc in
+    the all-multiples-of-5 fixture sources one phone."""
+    from cassandra_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()  # llm_text must load via the registry order
+    rows = registry.QUERIES["l47_pii_scrub"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.n_residual == 0 for r in rows)
+    assert sum(r.n_emails for r in rows) == sum(
+        r.n_email_docs for r in rows
+    ) > 0
+    assert all(r.n_phones <= r.n_docs for r in rows)
+    assert all(r.chars_delta != 0 for r in rows)
