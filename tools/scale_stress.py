@@ -490,11 +490,72 @@ def replay_stress(spark: SparkSession, factor: int) -> dict:
     return results
 
 
+# --- GC stress: the distributed garbage_collect path (round 10) ------------
+#
+# nodetool garbagecollect rewrites the WHOLE table, so its scale axis is
+# table volume. Rows ingest via bulk_load (Spark write bandwidth), 2% of
+# keys get shadowing tombstones, and the purge runs through BOTH forms:
+# the pyarrow driver reconcile (distributed_merge_bytes=None) and the
+# one-Spark-action algebra (threshold forced to 1) — the production
+# config routes by input bytes; forcing both at identical inputs is the
+# honest path-scaling comparison.
+
+GC_BASE_N = 50_000
+
+
+def _time_gc(spark: SparkSession, n: int, spark_path: bool):
+    import tempfile
+
+    from cassandra_spark.cql_session import CqlSession
+
+    sess = CqlSession(
+        spark,
+        spill_dir=tempfile.mkdtemp(prefix="gc_stress_"),
+        spill_threshold=10_000,
+    )
+    sess.execute("CREATE TABLE gk (k text PRIMARY KEY, v bigint)")
+    t = sess.table("gk")
+    t.bulk_load(
+        spark.range(n).selectExpr("concat('k', id) AS k", "id AS v"),
+        timestamp=100,
+    )
+    for i in range(0, n, 50):
+        sess.execute(f"DELETE FROM gk USING TIMESTAMP 200 WHERE k = 'k{i}'")
+    t.flush()
+    t.distributed_merge_bytes = 1 if spark_path else None
+    t0 = time.perf_counter()
+    stats = t.garbage_collect(gc_horizon_us=300)
+    dt = time.perf_counter() - t0
+    assert stats["dropped"] >= n // 50, stats
+    return dt
+
+
+def gc_stress(spark: SparkSession, factor: int) -> dict:
+    results: dict[str, dict] = {}
+    for label, spark_path in (
+        ("gc_driver", False),
+        ("gc_spark", True),
+    ):
+        b = _time_gc(spark, GC_BASE_N, spark_path)
+        a = _time_gc(spark, GC_BASE_N * factor, spark_path)
+        results[label] = {
+            "base_sec": round(b, 3),
+            "amp_sec": round(a, 3),
+            "ratio": round(a / b, 2),
+        }
+        print(
+            f"[gc] {label}: {b:.2f}->{a:.2f}s (x{a / b:.1f} vs ideal "
+            f"x{factor})",
+            file=sys.stderr,
+        )
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "cmd", nargs="?", default="all",
-        choices=["build", "run", "replay", "all"],
+        choices=["build", "run", "replay", "gc", "all"],
     )
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--repeat", type=int, default=1)
@@ -533,9 +594,12 @@ def main() -> None:
         out_path = Path(args.out)
         if out_path.exists():
             prev = json.loads(out_path.read_text())
-            # keep replay curves and other factors' runs across re-runs
+            # keep replay/gc curves and other factors' runs across re-runs
             if "replay" in prev:
                 report["replay"] = prev["replay"]
+            for k in ("gc", "gc_prov", "replay_prov"):
+                if k in prev:
+                    report[k] = prev[k]
             runs = prev.get("runs", {})
             prev_key = f"x{prev.get('factor')}"
             if prev_key not in runs and "queries" in prev:
@@ -584,6 +648,17 @@ def main() -> None:
             )
         report["replay"] = replay
         report["replay_prov"] = prov
+    if args.cmd == "gc":
+        gc = gc_stress(spark, args.factor)
+        if report is None:
+            out_path = Path(args.out)
+            report = (
+                json.loads(out_path.read_text())
+                if out_path.exists()
+                else {"factor": args.factor}
+            )
+        report["gc"] = gc
+        report["gc_prov"] = prov
     if report is not None:
         line = json.dumps(report)
         print(line)
