@@ -327,6 +327,59 @@ _NUMERIC_SPARK_TYPES = frozenset(
     "int bigint smallint tinyint double float decimal long".split()
 )
 
+# CQL CAST selector (`[C* cql3/functions/castFcts — 3.10, unverified]`):
+# CQL type names → Spark type names. Only the reference's castable
+# scalar targets are accepted — a Spark-native spelling ('string',
+# 'long') is NOT CQL and is rejected like any unknown type.
+_CQL_CAST_MAP = {
+    "ascii": "string", "text": "string", "varchar": "string",
+    "tinyint": "tinyint", "smallint": "smallint", "int": "int",
+    "bigint": "bigint", "float": "float", "double": "double",
+    "decimal": "decimal(38,18)", "varint": "decimal(38,0)",
+    "boolean": "boolean", "date": "date", "timestamp": "timestamp",
+}
+_CAST_RE = re.compile(
+    r"\bCAST\s*\(([^()]+?\s+AS\s+)(\w+)\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_cql_casts(item: str) -> str:
+    def repl(m: re.Match) -> str:
+        t = m.group(2).lower()
+        if t not in _CQL_CAST_MAP:
+            raise CQLError(f"unsupported CAST target type {m.group(2)!r}")
+        return f"CAST({m.group(1)}{_CQL_CAST_MAP[t]})"
+
+    return _CAST_RE.sub(repl, item)
+
+
+# CQL arithmetic (`[C* cql3/functions/OperationFcts — 4.0, unverified]`):
+# +, -, *, % pass through (Spark's integer semantics coincide), but CQL
+# `/` on two integer operands is INTEGER division where Spark promotes
+# to double — rewrite the simple identifier/literal form to `div`.
+# Nested arithmetic operands keep Spark's promotion (documented gate:
+# parenthesize and CAST for exact integer division of expressions).
+_INT_SPARK_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+_DIV_RE = re.compile(r"(?<![\w.])(\w+|\d+)\s*/\s*(\w+|\d+)(?![\w.])")
+
+
+def _rewrite_int_division(item: str, df: DataFrame | None = None) -> str:
+    dtypes = {c.lower(): t for c, t in (df.dtypes if df is not None else [])}
+
+    def integral(tok: str) -> bool:
+        if tok.isdigit():
+            return True
+        return dtypes.get(tok.lower(), "").split("(")[0] in _INT_SPARK_TYPES
+
+    def repl(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if integral(a) and integral(b):
+            return f"({a} div {b})"
+        return m.group(0)
+
+    return _DIV_RE.sub(repl, item)
+
+
 # Cassandra 5 collection functions (`[C* CASSANDRA-18060 —
 # cql3/functions/CollectionFcts, unverified]`): textual expansion into
 # Spark SQL collection algebra, same strategy as similarity/masking —
@@ -764,7 +817,13 @@ def cql_select(
                 *[
                     _rewrite_masks(
                         _rewrite_collection_fns(
-                            _rewrite_similarity(p.strip()), df
+                            _rewrite_int_division(
+                                _rewrite_cql_casts(
+                                    _rewrite_similarity(p.strip())
+                                ),
+                                df,
+                            ),
+                            df,
                         ),
                         df,
                     )
@@ -829,7 +888,13 @@ def cql_select(
         df = df.selectExpr(
             *[
                 _rewrite_masks(
-                    _rewrite_collection_fns(_rewrite_similarity(i), df), df
+                    _rewrite_collection_fns(
+                        _rewrite_int_division(
+                            _rewrite_cql_casts(_rewrite_similarity(i)), df
+                        ),
+                        df,
+                    ),
+                    df,
                 )
                 for i in items
             ]

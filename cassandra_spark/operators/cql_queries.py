@@ -897,6 +897,58 @@ def cql43_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql44_arithmetic_cast",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             row_number() OVER (ORDER BY event_id) - 1 AS i
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 24)
+    )
+    SELECT k,
+           CAST(7 * i + 3 + i AS INT) AS s_add,
+           CAST((7 * i + 3) * i AS INT) AS s_mul,
+           CAST((7 * i + 3) // (i + 1) AS INT) AS s_div,
+           CAST((7 * i + 3) % (i + 1) AS INT) AS s_mod,
+           CAST(7 * i + 3 AS VARCHAR) AS a_text,
+           CAST(i AS DOUBLE) / 2 AS b_half
+    FROM src
+    """,
+)
+def cql44_arithmetic_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL 4.0 arithmetic operators + the 3.10 CAST selector (`[C*
+    cql3/functions/OperationFcts, castFcts, unverified]`): +, *, %
+    delegate to Catalyst (semantics coincide), `/` on two integer
+    operands rewrites to integer division (`div`) — the reference's
+    rule, where Spark alone would promote to double — and CAST maps
+    CQL type names (text/varchar/...) onto Spark's. The oracle
+    re-derives each expression closed-form (DuckDB's `//` is the
+    integer-division twin)."""
+    import tempfile
+
+    from cassandra_spark.catalog import Catalog
+
+    rows = (
+        Catalog(spark, sf_dir)
+        .events.orderBy("event_id")
+        .limit(24)
+        .select("event_id")
+        .collect()
+    )  # bounded: 24 rows through the (inherently driver-side) CQL FE
+    sess = CqlSession(spark, spill_dir=tempfile.mkdtemp(prefix="cql44_"))
+    sess.execute("CREATE TABLE ar (k text PRIMARY KEY, a int, b int)")
+    for i, r in enumerate(rows):
+        sess.execute(
+            f"INSERT INTO ar (k, a, b) VALUES "
+            f"('{r.event_id}', {7 * i + 3}, {i + 1})"
+        )
+    return sess.execute(
+        "SELECT k, a + b - 1 AS s_add, a * (b - 1) AS s_mul, "
+        "a / b AS s_div, a % b AS s_mod, CAST(a AS text) AS a_text, "
+        "CAST(b - 1 AS double) / 2 AS b_half FROM ar"
+    )
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

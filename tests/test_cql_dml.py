@@ -503,3 +503,35 @@ def test_collection_functions(spark, tmp_path):
         s.execute("SELECT collection_min(v) FROM cf")
     with _pytest.raises(CQLError, match="requires a map"):
         s.execute("SELECT map_keys(s) FROM cf")
+
+
+def test_arithmetic_and_cast_selectors(spark, tmp_path):
+    """CQL 4.0 arithmetic + 3.10 CAST: integer `/` is INTEGER division
+    (the reference's rule), CQL type names map onto Spark's, unknown
+    CAST targets (incl. Spark-native spellings, which are not CQL) are
+    rejected."""
+    import pytest as _pytest
+
+    from cassandra_spark.cql import CQLError
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute("CREATE TABLE ar (k text PRIMARY KEY, a int, b int, d double)")
+    s.execute("INSERT INTO ar (k, a, b, d) VALUES ('x', 7, 2, 7.0)")
+    r = s.execute(
+        "SELECT a + b AS s, a - b AS df, a * b AS p, a / b AS q, "
+        "a % b AS m, d / b AS fq, 9 / b AS lq, "
+        "CAST(a AS text) AS at, CAST(a AS double) AS ad, "
+        "CAST(a AS decimal) AS adec FROM ar"
+    ).collect()[0]
+    assert (r.s, r.df, r.p, r.q, r.m) == (9, 5, 14, 3, 1), (
+        "integer division must truncate (7 / 2 = 3)"
+    )
+    assert r.fq == 3.5, "a double operand keeps float division"
+    assert r.lq == 4, "integer literal / integer column divides integrally"
+    assert (r.at, r.ad) == ("7", 7.0)
+    assert float(r.adec) == 7.0
+    with _pytest.raises(CQLError, match="unsupported CAST target"):
+        s.execute("SELECT CAST(a AS string) FROM ar")
+    with _pytest.raises(CQLError, match="unsupported CAST target"):
+        s.execute("SELECT CAST(a AS blob) FROM ar")
