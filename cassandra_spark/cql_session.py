@@ -1106,7 +1106,7 @@ class CqlSession:
         if "." in n:
             ks, _, t = n.partition(".")
             if ks in ("system", "system_schema", "system_auth",
-                      "system_traces"):
+                      "system_traces", "system_views"):
                 return n  # virtual keyspaces pass through
             if ks not in self.keyspaces:
                 raise CQLError(f"unknown keyspace {ks!r}")
@@ -3996,6 +3996,34 @@ class CqlSession:
             ),
             "system.local": (local, TableMeta("system.local", ("key",))),
             "system.peers": (peers, TableMeta("system.peers", ("peer",))),
+            # `[C* db/virtual/SettingsTable — 4.0, unverified]`: the
+            # runtime-readable settings view. Surfaced here: the static
+            # node identity plus every CONFIGURED guardrail threshold —
+            # exactly the knobs this engine lets an operator change live
+            # (set_guardrail ≡ the reference's JMX/yaml setters); an
+            # unset threshold shows the reference's empty value.
+            "system_views.settings": (
+                spark.createDataFrame(
+                    sorted(
+                        [
+                            ("cluster_name", "cassandra_spark"),
+                            ("partitioner",
+                             "MultiplicativeHashPartitioner"),
+                            ("release_version", "4.0-spark"),
+                        ]
+                        + [
+                            (f"guardrails.{n}_{kind}_threshold",
+                             "" if v is None else str(v))
+                            for n, (w, f_) in sorted(
+                                self.guardrails.items()
+                            )
+                            for kind, v in (("warn", w), ("fail", f_))
+                        ]
+                    ),
+                    "name string, value string",
+                ),
+                TableMeta("system_views.settings", ("name",)),
+            ),
             # `[C* db/SystemKeyspace :: updateCompactionHistory,
             # unverified]` — one row per merge/drop across every table.
             # Pinned divergences from the reference shape: id is the

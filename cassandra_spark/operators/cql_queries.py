@@ -949,6 +949,34 @@ def cql44_arithmetic_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cql45_settings_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cluster_name', 'cassandra_spark'),
+      ('guardrails.allow_filtering_fail_threshold', ''),
+      ('guardrails.allow_filtering_warn_threshold', '0'),
+      ('guardrails.tombstones_per_read_fail_threshold', '500'),
+      ('guardrails.tombstones_per_read_warn_threshold', '100'),
+      ('partitioner', 'MultiplicativeHashPartitioner'),
+      ('release_version', '4.0-spark')
+    ) AS t(name, value)
+    """,
+)
+def cql45_settings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system_views.settings`` (`[C* db/virtual/SettingsTable — 4.0,
+    unverified]`): the runtime-readable settings view — node identity
+    plus every CONFIGURED guardrail threshold, i.e. exactly the knobs
+    this engine lets an operator change live (set_guardrail ≡ the
+    reference's JMX/yaml setters). Unset thresholds render as the
+    reference's empty value; full CQL SELECT semantics apply to the
+    virtual table like any other."""
+    sess = CqlSession(spark, sf_dir)
+    sess.set_guardrail("tombstones_per_read", warn=100, fail=500)
+    sess.set_guardrail("allow_filtering", warn=0)
+    return sess.execute("SELECT name, value FROM system_views.settings")
+
+
+@query(
     "cql19_masked_select",
     oracle="""
     SELECT c_custkey,

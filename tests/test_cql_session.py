@@ -1727,3 +1727,28 @@ def test_clustering_restriction_gate(sess):
     sess.execute("CREATE INDEX ON msgs (posted)")
     r = sess.execute("SELECT room FROM msgs WHERE posted = 2").collect()
     assert [x.room for x in r] == ["ops"]
+
+
+def test_settings_virtual_table_tracks_guardrails(spark):
+    """system_views.settings reflects the LIVE guardrail configuration:
+    rows appear on set, update on change, vanish on removal; WHERE on
+    the virtual table's key works like any table."""
+    s = CqlSession(spark)
+    base = {r.name for r in s.execute(
+        "SELECT name, value FROM system_views.settings").collect()}
+    assert {"cluster_name", "partitioner", "release_version"} <= base
+    assert not any(n.startswith("guardrails.") for n in base)
+    s.set_guardrail("items_per_collection", warn=5, fail=10)
+    got = {r.name: r.value for r in s.execute(
+        "SELECT name, value FROM system_views.settings").collect()}
+    assert got["guardrails.items_per_collection_warn_threshold"] == "5"
+    assert got["guardrails.items_per_collection_fail_threshold"] == "10"
+    row = s.execute(
+        "SELECT value FROM system_views.settings "
+        "WHERE name = 'release_version'"
+    ).collect()
+    assert [r.value for r in row] == ["4.0-spark"]
+    s.set_guardrail("items_per_collection")  # remove
+    after = {r.name for r in s.execute(
+        "SELECT name FROM system_views.settings").collect()}
+    assert not any("items_per_collection" in n for n in after)
