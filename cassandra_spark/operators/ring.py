@@ -721,3 +721,65 @@ def w28_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_streamed"))
         .orderBy("target_node", "source_node")
     )
+
+
+@query(
+    "w29_tablehistograms",
+    oracle="""
+    WITH per_part AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+      SELECT CAST(power(2, floor(log2(n_rows))) AS BIGINT) AS bucket_lo,
+             n_rows
+      FROM per_part
+    )
+    SELECT bucket_lo,
+           CAST(2 * bucket_lo - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows
+    FROM bucketed
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+)
+def w29_tablehistograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool tablehistograms`` / wide-partition detection (`[C*
+    utils/EstimatedHistogram; tools/nodetool/TableHistograms,
+    unverified]`): the per-partition row-count distribution in
+    exponential buckets — the reference keeps EstimatedHistogram's
+    ~1.2x bucket ladder; this engine's canonical ladder is powers of
+    two (documented divergence: bucket boundaries, not the underlying
+    distribution, and integer-exact so the oracle can re-derive it).
+    The operational question it answers — "do I have oversized
+    partitions, and how big is the tail?" — reads off max_rows in the
+    top bucket.
+
+    Scale shape: ONE map-side-combined groupBy on the partition key
+    (the natural key the data shuffles by), then a few-group bucket
+    rollup — flat in corpus size, the same two-exchange plan at
+    100 TB."""
+    cat = Catalog(spark, sf_dir)
+    per_part = cat.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    bucket_lo = F.pow(F.lit(2.0), F.floor(F.log2("n_rows"))).cast("bigint")
+    return (
+        per_part.select(bucket_lo.alias("bucket_lo"), "n_rows")
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").alias("n_rows"),
+            F.max("n_rows").alias("max_rows"),
+        )
+        .select(
+            "bucket_lo",
+            (F.col("bucket_lo") * 2 - 1).alias("bucket_hi"),
+            "n_partitions",
+            "n_rows",
+            "max_rows",
+        )
+        .orderBy("bucket_lo")
+    )

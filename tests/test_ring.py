@@ -252,3 +252,22 @@ def test_rebuild_conservation(spark):
     total = sum(r.n_streamed for r in rows)
     n_orders = Catalog(spark, SF_SMOKE).orders.count()
     assert total == n_orders, "each partition streams exactly once"
+
+
+def test_tablehistograms_buckets_partition_everything(spark):
+    """Exponential buckets tile the distribution: every partition lands
+    in exactly one bucket (totals reconcile with the raw groupBy), each
+    bucket's max fits its [lo, 2lo) range."""
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.ring import w29_tablehistograms
+
+    rows = w29_tablehistograms(spark, SF_SMOKE).collect()
+    assert rows
+    ev = Catalog(spark, SF_SMOKE).events
+    assert sum(r.n_partitions for r in rows) == (
+        ev.select("user_id").distinct().count()
+    )
+    assert sum(r.n_rows for r in rows) == ev.count()
+    for r in rows:
+        assert r.bucket_lo <= r.max_rows <= r.bucket_hi
+        assert r.bucket_lo & (r.bucket_lo - 1) == 0, "power-of-two lo"
