@@ -964,3 +964,109 @@ def stage_id_ordered_files(
         dst = os.path.join(src, f"f{k}.parquet")
         shutil.move(pf, dst)
         os.utime(dst, (stamp + 60 * k, stamp + 60 * k))
+
+
+_S19_STOP = "'the', 'a', 'an', 'of', 'to', 'in', 'is', 'and'"
+
+
+@query(
+    "s19_streaming_quality_gate",
+    # batch twin of the zero-state per-row rules: the union of epoch
+    # outputs must equal this one-shot scoring of the same subset —
+    # stateless rules are batching-independent by construction, and the
+    # equality PROVES the streaming machinery changed nothing
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    base AS (
+      SELECT doc_id, n_chars, len(ws) AS n_words,
+             len(list_filter(ws, x -> x IN ({_S19_STOP}))) AS n_stop
+      FROM w
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 1),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2]))
+               AS gram
+      FROM w
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2
+           GROUP BY doc_id, gram),
+    t2 AS (SELECT doc_id, MAX(cnt * length(gram)) AS t2c FROM c2
+           GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 2),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2]
+                                        || ' ' || ws[i + 3])) AS gram
+      FROM w
+    ),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3
+           GROUP BY doc_id, gram),
+    d3 AS (SELECT doc_id, SUM(cnt * length(gram)) AS d3c FROM c3
+           WHERE cnt > 1 GROUP BY doc_id),
+    j AS (
+      SELECT base.doc_id, n_chars, n_words, n_stop,
+             COALESCE(t2c, 0) AS t2c, COALESCE(d3c, 0) AS d3c
+      FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_emails,
+           CASE WHEN n_words < 5 THEN 'too_short'
+                WHEN CAST(n_stop AS DOUBLE) / n_words > 0.6
+                  THEN 'stopword_ratio'
+                WHEN CAST(t2c AS DOUBLE) / n_chars > 0.20
+                  THEN 'repetitive_top2'
+                WHEN CAST(d3c AS DOUBLE) / n_chars > 0.18
+                  THEN 'repetitive_dup3'
+           END AS reject_reason,
+           (n_words >= 5
+            AND CAST(n_stop AS DOUBLE) / n_words <= 0.6
+            AND CAST(t2c AS DOUBLE) / n_chars <= 0.20
+            AND CAST(d3c AS DOUBLE) / n_chars <= 0.18) AS keep,
+           (doc_id % 3 = 0) AS redacted
+    FROM j ORDER BY doc_id
+    """,
+)
+def s19_streaming_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S19 end-to-end: the QUALITY gatekeeper ahead of the dedup
+    gatekeepers (s17/s18) — a 4-file staged stream drains through the
+    REAL foreachBatch job (jobs.streaming_quality_gate), which scores
+    every document with the zero-state per-row filtering rules (length
+    + stopword-ratio bounds, the l46 Gopher repetition char-fractions,
+    l47's PII email detection under deterministic injection) and
+    appends verdict rows per epoch. Stateless rules are batching-
+    independent BY CONSTRUCTION; the union of epoch outputs equals the
+    one-shot batch scoring the oracle computes, proving the streaming
+    machinery changed nothing and held zero state-store bytes."""
+    import os
+    import tempfile
+
+    from cassandra_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="s19_quality_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "text", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    jobs.streaming_quality_gate(spark, src, out)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "doc_id", "n_words", "n_emails", "reject_reason", "keep",
+            "redacted",
+        )
+        .orderBy("doc_id")
+    )

@@ -1198,3 +1198,113 @@ def streaming_admission_append(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_quality_gate(
+    spark: SparkSession, src: str, out_dir: str
+) -> None:
+    """S19: the QUALITY gatekeeper in front of the dedup gatekeeper
+    (s17/s18) — every arriving micro-batch is scored with the per-row
+    filtering rules a training-data pipeline runs first (length /
+    stopword-ratio Gopher bounds, the l46 repetition char-fractions,
+    l47's PII email detection with deterministic injection), and per-doc
+    verdict rows append to the sink. State is ZERO — every rule is a
+    function of the document alone, so the result set is independent of
+    batching by construction (the batch SQL twin is the s19 oracle) and
+    the state store holds nothing at any corpus size. Per batch: one
+    narrow scan-bound pass plus two batch-local content-keyed n-gram
+    aggregations — the same flat shapes as l46."""
+    from cassandra_spark.operators.llm_text import (
+        _PII_EMAIL_SPARK,
+        STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    inject = (
+        "concat(text, CASE WHEN doc_id % 3 = 0 THEN "
+        "concat(' user', doc_id, '@example.com') ELSE '' END)"
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def gate(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        base = batch.select(
+            "doc_id",
+            "n_chars",
+            F.split(F.col("text"), " ").alias("ws"),
+            F.size(F.split(F.col("text"), " ")).alias("n_words"),
+            F.size(
+                F.expr(f"filter(split(text, ' '), w -> w IN ({stop_list}))")
+            ).alias("n_stop"),
+            F.size(
+                F.expr(
+                    f"regexp_extract_all({inject}, "
+                    f"'{_PII_EMAIL_SPARK}', 0)"
+                )
+            ).alias("n_emails"),
+        )
+
+        def grams(n: int) -> DataFrame:
+            expr = (
+                f"CASE WHEN size(ws) >= {n} THEN "
+                f"transform(sequence(0, size(ws) - {n}), i -> "
+                f"concat_ws(' ', "
+                + ", ".join(f"ws[i + {j}]" for j in range(n))
+                + ")) ELSE array() END"
+            )
+            return (
+                base.select("doc_id", F.explode(F.expr(expr)).alias("gram"))
+                .groupBy("doc_id", "gram")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+
+        t2 = grams(2).groupBy("doc_id").agg(
+            F.max(F.col("cnt") * F.length("gram")).alias("t2c")
+        )
+        d3 = (
+            grams(3)
+            .filter(F.col("cnt") > 1)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.length("gram")).alias("d3c"))
+        )
+        j = base.join(t2, "doc_id", "left").join(d3, "doc_id", "left")
+        t2f = F.coalesce(F.col("t2c"), F.lit(0)).cast("double") / F.col(
+            "n_chars"
+        )
+        d3f = F.coalesce(F.col("d3c"), F.lit(0)).cast("double") / F.col(
+            "n_chars"
+        )
+        reason = (
+            F.when(F.col("n_words") < 5, "too_short")
+            .when(
+                F.col("n_stop").cast("double") / F.col("n_words") > 0.6,
+                "stopword_ratio",
+            )
+            .when(t2f > 0.20, "repetitive_top2")
+            .when(d3f > 0.18, "repetitive_dup3")
+        )
+        (
+            j.select(
+                "doc_id",
+                "n_words",
+                "n_emails",
+                reason.alias("reject_reason"),
+            )
+            .withColumn("keep", F.col("reject_reason").isNull())
+            .withColumn("redacted", F.col("n_emails") > 0)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ck")
+        .start()
+    )
+    q.awaitTermination()

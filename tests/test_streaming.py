@@ -964,3 +964,37 @@ def test_mv_epoch_write_cost_tracks_batch_not_base(
         for r in jobs.read_mv(spark, table, "view").collect()
     }
     assert got == want
+
+
+def test_quality_gate_batching_independent(spark, tmp_path):
+    """s19's claim, held directly: the zero-state quality rules produce
+    IDENTICAL verdict sets whether the stream drains as one batch or
+    four."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.streaming import jobs
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        Catalog(spark, SF_SMOKE)
+        .documents.filter(F.col("doc_id") % 7 == 1)
+        .select("doc_id", "text", "n_chars")
+    )
+    outs = []
+    for label, nfiles in (("one", 1), ("four", 4)):
+        src = str(tmp_path / f"src_{label}")
+        out = str(tmp_path / f"out_{label}")
+        docs.repartition(nfiles).write.mode("overwrite").parquet(src)
+        jobs.streaming_quality_gate(spark, src, out)
+        outs.append(
+            sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        )
+        # maxFilesPerTrigger=1: four files means four epochs really ran
+        n_parts = len(
+            [f for f in os.listdir(out) if f.startswith("part-")]
+        )
+        assert n_parts >= nfiles
+    assert outs[0] == outs[1] and outs[0]
