@@ -783,3 +783,82 @@ def w29_tablehistograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# first SURVIVING replica (n3 is dead) in natural-walk order over the
+# old ring's replica CSV — shared verbatim by w30's Spark plan and its
+# DuckDB oracle. RF=3 so three split_part arms suffice.
+_RM_SOURCE_SQL = (
+    "CASE WHEN split_part({r}, ',', 1) <> 'n3' THEN split_part({r}, ',', 1) "
+    "WHEN split_part({r}, ',', 2) <> 'n3' THEN split_part({r}, ',', 2) "
+    "ELSE split_part({r}, ',', 3) END"
+)
+
+
+@query(
+    "w30_removenode",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {murmur3.duckdb_token_query(
+          "SELECT o_orderkey FROM orders", "o_orderkey")}
+    ),
+    r AS MATERIALIZED (
+      SELECT {replica_case_sql("token")} AS ra,
+             {replica_case_sql("token", ring=build_ring(N_NODES - 1))} AS rb
+      FROM __toks
+    ),
+    moved AS (
+      SELECT {_RM_SOURCE_SQL.format(r='ra')} AS source_node,
+             rb, ra
+      FROM r WHERE (',' || ra || ',') LIKE '%,n3,%'
+    )
+    SELECT node AS new_owner, source_node,
+           CAST(COUNT(*) AS BIGINT) AS n_streamed
+    FROM (
+      SELECT source_node,
+             unnest(string_split(rb, ',')) AS node, ra
+      FROM moved
+    )
+    WHERE NOT (',' || ra || ',') LIKE ('%,' || node || ',%')
+    GROUP BY node, source_node
+    ORDER BY new_owner, source_node
+    """,
+)
+def w30_removenode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool removenode`` (`[C* service/StorageService ::
+    removeNode — restoreReplicaCount, unverified]`) — decommission's
+    DEAD-node sibling: n3 is gone and cannot stream, so for every
+    partition it replicated, each NEW owner (replica under the shrunken
+    ring, not under the old) fetches from the FIRST SURVIVING replica
+    of the OLD set — the key operational difference from w26, where the
+    leaver itself streams its ranges out. Per (new_owner, source) pair:
+    rows streamed; sum over pairs equals the dead node's replica count
+    (RF restoration, pinned in tests/test_ring.py).
+
+    Same one-scan shape as the rest of the transfer-set family: both
+    ring walks and the surviving-source derivation are plan-time CASE
+    chains; the per-new-owner unpivot explodes the (at most 3-element)
+    replica CSV; the only exchange is the final few-group aggregate."""
+    cat = Catalog(spark, sf_dir)
+    case_a = replica_case_sql("token")
+    case_b = replica_case_sql("token", ring=build_ring(N_NODES - 1))
+    moved = (
+        cat.orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("ra", F.expr(case_a))
+        .withColumn("rb", F.expr(case_b))
+        .filter(F.expr("(',' || ra || ',') LIKE '%,n3,%'"))
+        .withColumn("source_node", F.expr(_RM_SOURCE_SQL.format(r="ra")))
+        .select(
+            "source_node",
+            "ra",
+            F.explode(F.split("rb", ",")).alias("new_owner"),
+        )
+        .filter(~F.expr("(',' || ra || ',') LIKE ('%,' || new_owner || ',%')"))
+    )
+    return (
+        moved.groupBy("new_owner", "source_node")
+        .agg(F.count(F.lit(1)).alias("n_streamed"))
+        .orderBy("new_owner", "source_node")
+    )

@@ -271,3 +271,35 @@ def test_tablehistograms_buckets_partition_everything(spark):
     for r in rows:
         assert r.bucket_lo <= r.max_rows <= r.bucket_hi
         assert r.bucket_lo & (r.bucket_lo - 1) == 0, "power-of-two lo"
+
+
+def test_removenode_restores_rf(spark):
+    """Dead-node removal restores RF: total rows streamed equals the
+    dead node's replica count under the old ring; every source is a
+    SURVIVOR that replicated the partition before (never the dead
+    node); new owners are survivors only."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators import murmur3
+    from cassandra_spark.operators.ring import (
+        replica_case_sql,
+        w30_removenode,
+    )
+
+    rows = w30_removenode(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.new_owner != "n3" and r.source_node != "n3" for r in rows)
+    streamed = sum(r.n_streamed for r in rows)
+    dead_replicas = (
+        Catalog(spark, SF_SMOKE)
+        .orders.select(
+            murmur3.token_col(F.col("o_orderkey")).alias("token")
+        )
+        .withColumn("ra", F.expr(replica_case_sql("token")))
+        .filter(F.expr("(',' || ra || ',') LIKE '%,n3,%'"))
+        .count()
+    )
+    assert streamed == dead_replicas, (
+        "every vacated replica lands on exactly one new owner"
+    )
