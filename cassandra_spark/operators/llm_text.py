@@ -814,12 +814,10 @@ def l46_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# l47: PII span scrubbing. The synthetic corpus is clean word soup, so
-# ground-truth PII is INJECTED deterministically (every 3rd doc an email,
-# every 5th a phone) — the mechanism (regex span detection + global
-# redaction) is what is exercised, with closed-form expected counts.
-# Patterns stay in the common RE2/Java subset so Spark and DuckDB match
-# the same spans.
+# PII span patterns for the s19 streaming quality gate (the batch PII
+# scrub itself is l14_pii_scrub in llm_pipeline.py). RE2/Java-common
+# subset so Spark and DuckDB match the same spans; ground-truth PII is
+# injected deterministically (the corpus is clean word soup).
 _PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
 _PII_PHONE_RE = r"\d{3}-\d{4}"
 # Spark SQL string literals treat backslash as an escape — the same
@@ -840,84 +838,3 @@ _PII_T2_DUCK = (
     "' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
     "ELSE '' END)"
 )
-
-
-@query(
-    "l47_pii_scrub",
-    oracle=f"""
-    WITH t AS (
-      SELECT source, doc_id, {_PII_T2_DUCK} AS t2 FROM documents
-    ),
-    d AS (
-      SELECT source,
-             len(regexp_extract_all(t2, '{_PII_EMAIL_RE}')) AS n_email,
-             len(regexp_extract_all(t2, '{_PII_PHONE_RE}')) AS n_phone,
-             length(t2) - length(
-               regexp_replace(
-                 regexp_replace(t2, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                 '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS delta,
-             len(regexp_extract_all(
-               regexp_replace(
-                 regexp_replace(t2, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                 '{_PII_PHONE_RE}', '<PHONE>', 'g'),
-               '{_PII_EMAIL_RE}')) AS residual
-      FROM t
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_email_docs,
-           CAST(SUM(n_email) AS BIGINT) AS n_emails,
-           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
-           CAST(SUM(delta) AS BIGINT) AS chars_delta,
-           CAST(SUM(residual) AS BIGINT) AS n_residual
-    FROM d GROUP BY source ORDER BY source
-    """,
-)
-def l47_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII span scrubbing — the redaction pass a training-data pipeline
-    runs before tokenization: detect email/phone-shaped spans with
-    RE2-subset regexes and redact them globally, reporting per-source
-    detection counts, the redaction's character delta, and the residual
-    match count (0 = the scrub is total, asserted by the oracle).
-
-    Spark-first: regexp_extract_all + regexp_replace are JVM-side
-    codegen string ops inside the scan stage — per-row projection, no
-    shuffle until the final per-source rollup (map-side combined). At
-    100 TB this is scan-bound, exactly as a scrub pass should be."""
-    cat = Catalog(spark, sf_dir)
-    t2 = F.expr(_PII_T2_SPARK)
-    red = F.expr(
-        f"regexp_replace(regexp_replace({_PII_T2_SPARK}, "
-        f"'{_PII_EMAIL_SPARK}', '<EMAIL>'), '{_PII_PHONE_SPARK}', '<PHONE>')"
-    )
-    d = cat.documents.select(
-        "source",
-        F.size(F.expr(
-            f"regexp_extract_all({_PII_T2_SPARK}, '{_PII_EMAIL_SPARK}', 0)"
-        )).alias("n_email"),
-        F.size(F.expr(
-            f"regexp_extract_all({_PII_T2_SPARK}, '{_PII_PHONE_SPARK}', 0)"
-        )).alias("n_phone"),
-        (F.length(t2) - F.length(red)).alias("delta"),
-        F.size(
-            F.expr(f"regexp_extract_all({{r}}, '{_PII_EMAIL_SPARK}', 0)".format(
-                r=f"regexp_replace(regexp_replace({_PII_T2_SPARK}, "
-                  f"'{_PII_EMAIL_SPARK}', '<EMAIL>'), "
-                  f"'{_PII_PHONE_SPARK}', '<PHONE>')"
-            ))
-        ).alias("residual"),
-    )
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
-            .cast("long").alias("n_email_docs"),
-            F.sum("n_email").cast("long").alias("n_emails"),
-            F.sum("n_phone").cast("long").alias("n_phones"),
-            F.sum("delta").cast("long").alias("chars_delta"),
-            F.sum("residual").cast("long").alias("n_residual"),
-        )
-        .orderBy("source")
-    )

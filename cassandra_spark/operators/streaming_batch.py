@@ -1040,7 +1040,7 @@ def s19_streaming_quality_gate(
     REAL foreachBatch job (jobs.streaming_quality_gate), which scores
     every document with the zero-state per-row filtering rules (length
     + stopword-ratio bounds, the l46 Gopher repetition char-fractions,
-    l47's PII email detection under deterministic injection) and
+    l14-style PII email detection under deterministic injection) and
     appends verdict rows per epoch. Stateless rules are batching-
     independent BY CONSTRUCTION; the union of epoch outputs equals the
     one-shot batch scoring the oracle computes, proving the streaming

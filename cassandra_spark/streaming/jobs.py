@@ -1207,7 +1207,7 @@ def streaming_quality_gate(
     (s17/s18) — every arriving micro-batch is scored with the per-row
     filtering rules a training-data pipeline runs first (length /
     stopword-ratio Gopher bounds, the l46 repetition char-fractions,
-    l47's PII email detection with deterministic injection), and per-doc
+    l14-style PII email detection with deterministic injection), per-doc
     verdict rows append to the sink. State is ZERO — every rule is a
     function of the document alone, so the result set is independent of
     batching by construction (the batch SQL twin is the s19 oracle) and

@@ -971,21 +971,3 @@ def test_repetition_metrics_bounds_and_flag(spark):
     assert flags <= {True, False} and len(rows) > sum(
         r.repetitive for r in rows
     )
-
-
-def test_pii_scrub_total_and_counts(spark):
-    """The scrub is total (zero residual matches) and detection matches
-    the deterministic injection: every 3rd doc one email, every doc in
-    the all-multiples-of-5 fixture sources one phone."""
-    from cassandra_spark import registry
-    from tests.conftest import SF_SMOKE
-
-    registry.load_all()  # llm_text must load via the registry order
-    rows = registry.QUERIES["l47_pii_scrub"](spark, SF_SMOKE).collect()
-    assert rows
-    assert all(r.n_residual == 0 for r in rows)
-    assert sum(r.n_emails for r in rows) == sum(
-        r.n_email_docs for r in rows
-    ) > 0
-    assert all(r.n_phones <= r.n_docs for r in rows)
-    assert all(r.chars_delta != 0 for r in rows)
