@@ -797,7 +797,11 @@ def cql42_maxwritetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAXWRITETIME selector (`[C* CASSANDRA-17425 — 4.1, unverified]`):
     the max LIVE cell writetime of a column — equal to WRITETIME on a
     single-cell column, and the max element-cell writetime on a
-    multi-cell collection. Scenario: v written @100+i, tags overwritten
+    multi-cell collection. NOT a twin of f9_maxwritetime: f9 models the
+    aggregate SHAPE over the events fixture's synthesized shadows; this
+    entry is the CQL FRONT-END selector (previously rejected by the
+    selector grammar) over the DML snapshot's real per-collection
+    element-cell shadows. Scenario: v written @100+i, tags overwritten
     @200+i, every 2nd key's set APPENDED to @500+i — so
     maxwritetime(tags) reads the append time exactly where an append
     happened and the overwrite time elsewhere, while writetime(v) stays
@@ -862,7 +866,9 @@ def cql43_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cassandra 5 collection functions (`[C* CASSANDRA-18060 —
     cql3/functions/CollectionFcts, unverified]`): collection_count /
     _min / _max / _sum / _avg over a set column and collection_sum over
-    a map (through its values, the reference's rule), compiled to
+    a map (through its values, the reference's rule) — the CQL FRONT-END
+    selector surface, distinct from f4_collections' raw DataFrame
+    collection ops over tokenized text — compiled to
     whole-stage-codegen Spark collection algebra (size / array_min /
     array_max / aggregate folds — no Python). Each key's set is
     {i, 2i, 100+i} (i=0 collapses two elements — set semantics feed the

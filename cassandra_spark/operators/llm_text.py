@@ -754,7 +754,9 @@ def l33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l46_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-quality rules from the MassiveText/Gopher filtering
-    recipe ([Rae et al. 2021, public]): per document, the character
+    recipe ([Rae et al. 2021, public]) — the per-document CHARACTER-
+    fraction form (l15_repetition is the complementary per-language
+    rollup over word/gram COUNTS): per document, the character
     fraction occupied by (a) the single most character-occupying word
     2-gram (count x gram length — unique as a number even under count
     ties, so no cross-engine tie-break is needed) and (b) all word
