@@ -63,7 +63,7 @@ SF1_QUERIES = (
     "l29_temperature_mix l2_minhash_neardup l2_minhash_neardup_prod "
     "l2b_simhash l2d_embedding_neardup_prod l30_sq8_ann "
     "l31_incremental_dedup l32_dedup_triangles l33_ngram_novelty "
-    "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query "
+    "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query l46_repetition_metrics "
     "l37_video_sampling l38_minhash_index_build l38_minhash_index_query "
     "l39_stratified_sample l40_minhash_index_append l41_ivf_index_append "
     "l42_pq_index_append l43_minhash_index_compact "
@@ -75,7 +75,7 @@ SF1_QUERIES = (
     "s10_cdc_stream s11_streaming_hll s12_streaming_session "
     "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
     "s16_streaming_dedup_bounded s17_streaming_admission "
-    "s18_streaming_admission_append "
+    "s18_streaming_admission_append s19_streaming_quality_gate "
     "s5_streaming_dedup s6_stateful_totals "
     "s7_streaming_upsert s9_streaming_mv "
     "w18_hinted_handoff w22_bulk_load w4_upsert_merge "
