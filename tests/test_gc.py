@@ -298,3 +298,83 @@ def test_gc_grace_seconds_option_is_the_default_horizon(spark, tmp_path):
     t._clock = now  # the session clock tracks max writetime ~ wall µs
     stats = t.garbage_collect()  # horizon from gc_grace_seconds
     assert stats["dropped"] == 3 and stats["kept"] == 0
+
+
+gc_op_st = st.one_of(
+    # (kind, pk 0-2, ck 0-3, val)
+    st.tuples(st.just("w"), st.integers(0, 2), st.integers(0, 3),
+              st.integers(-9, 9)),
+    st.tuples(st.just("ttl"), st.integers(0, 2), st.integers(0, 3),
+              st.integers(-9, 9)),
+    st.tuples(st.just("drow"), st.integers(0, 2), st.integers(0, 3),
+              st.just(0)),
+    st.tuples(st.just("dpart"), st.integers(0, 2), st.just(0), st.just(0)),
+    st.tuples(st.just("drange"), st.integers(0, 2), st.integers(0, 3),
+              st.just(0)),
+)
+
+
+@given(history=st.lists(gc_op_st, min_size=1, max_size=14),
+       horizon_i=st.integers(0, 18))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gc_spark_path_fuzz_equals_driver(
+    spark, tmp_path_factory, history, horizon_i
+):
+    """Differential fuzz over CLUSTERING histories (row / partition /
+    RANGE tombstones, TTLs): the distributed GC must leave the same
+    survivor set and head as the pyarrow driver path for every random
+    history and horizon — the range-coverage join and the sentinel
+    cell-key matching are the code under fire."""
+    def replay(base):
+        sess = CqlSession(spark, spill_dir=str(base))
+        sess.execute(
+            "CREATE TABLE f (k text, c int, v int, PRIMARY KEY (k, c))"
+        )
+        t = sess.table("f")
+        for i, (kind, pk, ck, val) in enumerate(history):
+            ts = 10 * (i + 1)
+            if kind == "w":
+                sess.execute(
+                    f"INSERT INTO f (k, c, v) VALUES ('k{pk}', {ck}, {val}) "
+                    f"USING TIMESTAMP {ts}"
+                )
+            elif kind == "ttl":
+                sess.execute(
+                    f"INSERT INTO f (k, c, v) VALUES ('k{pk}', {ck}, {val}) "
+                    f"USING TIMESTAMP {ts} AND TTL 25"
+                )
+            elif kind == "drow":
+                sess.execute(
+                    f"DELETE FROM f USING TIMESTAMP {ts} "
+                    f"WHERE k = 'k{pk}' AND c = {ck}"
+                )
+            elif kind == "dpart":
+                sess.execute(
+                    f"DELETE FROM f USING TIMESTAMP {ts} WHERE k = 'k{pk}'"
+                )
+            else:
+                sess.execute(
+                    f"DELETE FROM f USING TIMESTAMP {ts} "
+                    f"WHERE k = 'k{pk}' AND c > {ck}"
+                )
+            if i % 4 == 3:
+                t.flush()
+        return sess, t
+
+    base = tmp_path_factory.mktemp("gc_spark_fuzz")
+    sa, ta = replay(base / "driver")
+    sb, tb = replay(base / "spark")
+    tb.distributed_merge_bytes = 1
+    stats_a = ta.garbage_collect(gc_horizon_us=10 * horizon_i)
+    stats_b = tb.garbage_collect(gc_horizon_us=10 * horizon_i)
+    assert stats_a == stats_b
+    assert _log_rows(ta) == _log_rows(tb)
+    ha = {(r.k, r.c): r.v for r in sa.execute(
+        "SELECT k, c, v FROM f").collect()}
+    hb = {(r.k, r.c): r.v for r in sb.execute(
+        "SELECT k, c, v FROM f").collect()}
+    assert ha == hb
