@@ -505,11 +505,33 @@ _DELETE_RE = re.compile(
 )
 _COND_RE = re.compile(r"^(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.DOTALL)
 _BATCH_RE = re.compile(
-    r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\s+"
+    r"^\s*BEGIN\s+(?P<kind>UNLOGGED\s+|LOGGED\s+|COUNTER\s+)?BATCH\s+"
     r"(?:USING\s+TIMESTAMP\s+(?P<bts>\d+)\s+)?(?P<body>.+?)\s*"
     r"APPLY\s+BATCH\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def batch_kind(m: re.Match) -> str:
+    """'logged' (the default) / 'unlogged' / 'counter'."""
+    return (m.group("kind") or "logged").strip().lower()
+
+
+def check_batch_kind(kind: str, any_counter: bool, any_plain: bool) -> None:
+    """The reference's batch-kind gate (`[C* cql3/statements/
+    BatchStatement :: verifyBatchType, unverified]`): counter mutations
+    may appear ONLY in a COUNTER batch (they are not idempotent, so the
+    logged batch's replay guarantee cannot cover them), and a COUNTER
+    batch may hold nothing else."""
+    if kind == "counter" and any_plain:
+        raise CQLError(
+            "cannot include non-counter statement in a counter batch"
+        )
+    if kind != "counter" and any_counter:
+        raise CQLError(
+            f"cannot include a counter statement in a {kind} batch "
+            "(use BEGIN COUNTER BATCH)"
+        )
 _REL_RE = re.compile(r"^(\w+)\s*(<=|>=|<|>|=)\s*(.+)$", re.DOTALL)
 
 
@@ -823,6 +845,11 @@ class CqlTable:
         condition fails — a rejected proposal still consumed a round."""
         batch = _BATCH_RE.match(stmt)
         if batch:
+            check_batch_kind(
+                batch_kind(batch),
+                any_counter=self.schema.counter,
+                any_plain=not self.schema.counter,
+            )
             # all statements in a batch share one default timestamp — the
             # reference applies the batch atomically at one write time.
             # Atomicity includes failure: any error mid-application rolls

@@ -4349,6 +4349,13 @@ class CqlSession:
             raise CQLError(
                 "cannot mix counter and non-counter mutations in a batch"
             )
+        from cassandra_spark.cql_dml import batch_kind, check_batch_kind
+
+        check_batch_kind(
+            batch_kind(bm),
+            any_counter=any(t.schema.counter for t in involved.values()),
+            any_plain=any(not t.schema.counter for t in involved.values()),
+        )
         marks = {n: t._mark() for n, t in involved.items()}
         # One shared write time. Semantics mirror CqlTable.execute's batch
         # path exactly (the two paths previously diverged): every involved

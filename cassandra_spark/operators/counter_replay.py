@@ -40,7 +40,11 @@ COUNTER_SCRIPT: tuple[str, ...] = (
     "DELETE FROM hits WHERE pk = 'b'",
     # resurrects the partition for this cell only
     "UPDATE hits SET clicks = clicks + 9 WHERE pk = 'b' AND ck = '1'",
-    "BEGIN BATCH "
+    # counter mutations require the COUNTER batch kind (`[C* cql3/
+    # statements/BatchStatement :: verifyBatchType, unverified]` —
+    # they are not idempotent, so the logged batch's replay guarantee
+    # cannot cover them; a plain BEGIN BATCH here is a CQLError)
+    "BEGIN COUNTER BATCH "
     "UPDATE hits SET views = views + 1 WHERE pk = 'c' AND ck = '1'; "
     "UPDATE hits SET views = views + 1 WHERE pk = 'c' AND ck = '1'; "
     "APPLY BATCH",
