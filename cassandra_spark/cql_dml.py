@@ -384,6 +384,10 @@ class TableSchema:
     # logical clock ticks 1/statement, so unpinned sessions should pass
     # an explicit horizon).
     gc_grace_seconds: int = 864_000
+    # WITH comment = '...' (`[C* schema/TableParams comment, unverified]`):
+    # free-text schema documentation, retained and DESCRIBE-round-tripped
+    # ('' = unset, the reference default)
+    comment: str = ""
     # WITH CLUSTERING ORDER BY: clustering columns declared DESC (the
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)

@@ -350,6 +350,7 @@ def parse_create_table(
         ucs_base_shards=ucs_shards,
         cdc=cdc,
         gc_grace_seconds=gc_grace,
+        comment=topts.get("comment", ""),
     )
 
 
@@ -761,6 +762,13 @@ def _parse_table_options(with_text: str) -> dict:
     gm = re.search(r"gc_grace_seconds\s*=\s*(\d+)", unquoted, re.IGNORECASE)
     if gm:
         out["gc_grace_seconds"] = int(gm.group(1))
+    # comment keeps its QUOTED text ('' = escaped quote), so it must be
+    # extracted from the original, not the literal-masked copy
+    cmt = re.search(
+        r"comment\s*=\s*'((?:[^']|'')*)'", with_text, re.IGNORECASE
+    )
+    if cmt:
+        out["comment"] = cmt.group(1).replace("''", "'")
     cm_ = re.search(
         r"compression\s*=\s*\{[^}]*'class'\s*:\s*'(\w+)'[^}]*\}",
         with_text, re.IGNORECASE,
@@ -3365,6 +3373,7 @@ class CqlSession:
                     "ucs_base_shards": s.ucs_base_shards,
                     "cdc": s.cdc,
                     "gc_grace_seconds": s.gc_grace_seconds,
+                    "comment": s.comment,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3497,6 +3506,7 @@ class CqlSession:
                     ucs_base_shards=sch.get("ucs_base_shards", 1),
                     cdc=sch.get("cdc", False),
                     gc_grace_seconds=sch.get("gc_grace_seconds", 864_000),
+                    comment=sch.get("comment", ""),
                 )
             )
             if t.spill_dir is None:
@@ -3675,6 +3685,10 @@ class CqlSession:
             clauses.append("cdc = true")
         if s.gc_grace_seconds != 864_000:
             clauses.append(f"gc_grace_seconds = {s.gc_grace_seconds}")
+        if s.comment:
+            clauses.append(
+                "comment = '" + s.comment.replace("'", "''") + "'"
+            )
         if s.compaction == "TimeWindowCompactionStrategy":
             # render in MINUTES: every supported unit is a whole multiple
             minutes = s.compaction_window_us // 60_000_000

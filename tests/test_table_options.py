@@ -393,3 +393,26 @@ def test_cdc_option_gates_the_feed(spark, tmp_path):
     sess2 = CqlSession(spark, spill_dir=str(tmp_path / "b"))
     sess2.restore_keyspace(snap)
     assert sess2.table("nc").schema.cdc is True
+
+
+def test_comment_option_roundtrips(spark, tmp_path):
+    """WITH comment: retained (including embedded quotes via '' escaping),
+    DESCRIBE-round-tripped, live-changeable via ALTER ... WITH, and the
+    round-tripped DDL re-parses to the same comment."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE cm (k text PRIMARY KEY, v int) "
+        "WITH comment = 'users'' activity rollup'"
+    )
+    assert s.table("cm").schema.comment == "users' activity rollup"
+    ddl = s.execute("DESCRIBE TABLE cm").collect()[0].create_statement
+    assert "comment = 'users'' activity rollup'" in ddl
+    s.execute("ALTER TABLE cm WITH comment = 'v2'")
+    assert s.table("cm").schema.comment == "v2"
+    ddl2 = s.execute("DESCRIBE TABLE cm").collect()[0].create_statement
+    # the emitted DDL re-parses to the same comment (canonical round-trip)
+    s2 = CqlSession(spark, spill_dir=None)
+    s2.execute(ddl2)
+    assert s2.table("cm").schema.comment == "v2"
