@@ -1132,7 +1132,10 @@ def test_default_time_to_live_option(spark):
         r.id for r in s.execute("SELECT id FROM tdl").collect()
     ) == [2, 3, 4]
     ddl = s.execute("DESCRIBE TABLE tdl").collect()[0].create_statement
-    assert ddl.rstrip().endswith("WITH default_time_to_live = 3;")
+    # round-10: comment is retained too, so the WITH clause chain
+    # carries both options now
+    assert "WITH default_time_to_live = 3" in ddl
+    assert ddl.rstrip().endswith("AND comment = 'x';")
     # round-trip: the emitted DDL re-creates the option
     s2 = CqlSession(spark)
     s2.execute(ddl.replace("session.", ""))
