@@ -439,6 +439,7 @@ _ALTER_RE = re.compile(
     r"|ALTER\s+(?P<maskcol>\w+)\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?"
     r"(?P<maskfn>\w+)\s*\((?P<maskargs>[^)]*)\)"
     r"|DROP\s+(?P<dropcol>\w+)"
+    r"|RENAME\s+(?P<renfrom>\w+)\s+TO\s+(?P<rento>\w+)"
     r"|WITH\s+(?P<withopts>.+?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1780,6 +1781,48 @@ class CqlSession:
             args = m.group("maskargs").strip()
             self.masks.setdefault(s.name, {})[col] = (
                 f"{fn}({col}, {args})" if args else f"{fn}({col})"
+            )
+            return
+        if m.group("renfrom"):
+            # ALTER TABLE ... RENAME (`[C* cql3/statements/
+            # AlterTableStatement :: RENAME, unverified]`): ONLY primary-
+            # key columns are renamable — regular column names are baked
+            # into stored cells (this engine's mutation log stores them
+            # in the `col` column, the same physical reason the
+            # reference's cell paths give), while key names are pure
+            # metadata (pk/ck store VALUES). Indexed columns and tables
+            # with materialized views are rejected like the reference.
+            src = m.group("renfrom").lower()
+            dst = m.group("rento").lower()
+            if src in s.regular or src in s.static:
+                raise CQLError(
+                    f"cannot rename non PRIMARY KEY column {src!r}"
+                )
+            if src not in s.key_cols:
+                raise CQLError(f"unknown column {src!r} in {s.name!r}")
+            if dst in s.regular or dst in s.static or dst in s.key_cols:
+                raise CQLError(f"column {dst!r} already exists")
+            for idx in (
+                self.indexes, self.key_indexes, self.entry_indexes,
+                self.full_indexes, self.sai_indexes,
+            ):
+                if src in idx.get(s.name, set()):
+                    raise CQLError(f"cannot rename indexed column {src!r}")
+            if any(v[0] == s.name for v in self.mat_views.values()):
+                raise CQLError(
+                    "cannot rename a column on a table with "
+                    "materialized views (they select its key columns)"
+                )
+            if src == s.partition_key:
+                s.partition_key = dst
+            else:
+                s.clustering = tuple(
+                    dst if c == src else c for c in s.clustering
+                )
+            if src in s.key_types:
+                s.key_types[dst] = s.key_types.pop(src)
+            s.clustering_desc = tuple(
+                dst if c == src else c for c in s.clustering_desc
             )
             return
         if m.group("addcol"):

@@ -1755,3 +1755,49 @@ def test_settings_virtual_table_tracks_guardrails(spark):
     after = {r.name for r in s.execute(
         "SELECT name FROM system_views.settings").collect()}
     assert not any("items_per_collection" in n for n in after)
+
+
+def test_alter_rename_primary_key_columns(spark, tmp_path):
+    """ALTER TABLE RENAME: only PRIMARY KEY columns (their names are
+    metadata — pk/ck store VALUES; regular names are baked into stored
+    cells, the reference's physical rule). Reads, WHERE restrictions,
+    DESCRIBE, and LWT all follow the new names; indexed columns and
+    MV'd tables are rejected."""
+    s = CqlSession(spark, spill_dir=str(tmp_path))
+    s.execute("CREATE TABLE rn (k text, c int, v int, PRIMARY KEY (k, c))")
+    s.execute("INSERT INTO rn (k, c, v) VALUES ('a', 1, 10)")
+    s.execute("ALTER TABLE rn RENAME c TO seq")
+    s.execute("ALTER TABLE rn RENAME k TO pk2")
+    assert [
+        tuple(r) for r in s.execute(
+            "SELECT pk2, seq, v FROM rn WHERE pk2 = 'a' AND seq = 1"
+        ).collect()
+    ] == [("a", 1, 10)]
+    ddl = s.execute("DESCRIBE TABLE rn").collect()[0].create_statement
+    assert "PRIMARY KEY ((pk2), seq)" in ddl
+    # writes under the new names merge with pre-rename cells (values,
+    # not names, key the log)
+    s.execute("INSERT INTO rn (pk2, seq, v) VALUES ('a', 1, 11)")
+    assert s.execute(
+        "SELECT v FROM rn WHERE pk2 = 'a' AND seq = 1"
+    ).collect()[0].v == 11
+    with pytest.raises(CQLError, match="non PRIMARY KEY"):
+        s.execute("ALTER TABLE rn RENAME v TO w")
+    with pytest.raises(CQLError, match="already exists"):
+        s.execute("ALTER TABLE rn RENAME seq TO v")
+    # indexed key column: rejected like the reference
+    s.execute("CREATE TABLE rn2 (k text, c int, v int, PRIMARY KEY (k, c))")
+    s.execute("CREATE INDEX rn2_c ON rn2 (c)")
+    with pytest.raises(CQLError, match="indexed"):
+        s.execute("ALTER TABLE rn2 RENAME c TO d")
+    # MV'd table: rejected (every MV selects the base key columns)
+    s.execute(
+        "CREATE TABLE rn3 (k text, c int, v int, PRIMARY KEY (k, c))"
+    )
+    s.execute(
+        "CREATE MATERIALIZED VIEW rn3_by_v AS SELECT v, k, c FROM rn3 "
+        "WHERE v IS NOT NULL AND k IS NOT NULL AND c IS NOT NULL "
+        "PRIMARY KEY (v, k, c)"
+    )
+    with pytest.raises(CQLError, match="materialized view"):
+        s.execute("ALTER TABLE rn3 RENAME c TO d")
