@@ -14,8 +14,11 @@ Scope and validation (documented honestly):
   conditioning markers (DC L/U, AC Kx), restart markers (statistics +
   coder reinit per F.1.4.1), full Annex G progressive models (DC
   first/refine, AC spectral-selection first + successive-approximation
-  refine with EOBx). Lossless/hierarchical/12-bit variants still raise
-  ValueError.
+  refine with EOBx). SOF11 lossless-arithmetic decode ships below
+  (decode_scan_lossless_arith, Annex H predictors + the 16-bit-wide
+  X/M conditioning areas) and hierarchical frames are driven from
+  operators/jpeg.py's pyramid; 12-bit sample precision is the one
+  variant that still raises ValueError.
 - **encode**: SOF9 (optional restart interval) and SOF10 (the Huffman
   progressive encoder's 10-scan script), YCbCr 4:4:4, default
   conditioning (L=0, U=1, Kx=5) — all four (sequential|progressive) ×
