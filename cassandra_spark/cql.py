@@ -253,6 +253,41 @@ def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
     return where
 
 
+def _composite_token_rewrite(text: str, meta, df, spark) -> str:
+    """token() over a COMPOSITE partition key: rewrite the 1-arg-UDF
+    spelling ``cassandra_token(a, b, ...)`` into the CompositeType-framed
+    blob hash (murmur3.composite_token_sql + cassandra_token_blob), since
+    a SQL UDF registration is fixed-arity. The argument list must be the
+    full partition key in declared order — the reference's TokenFct
+    validation `[C* cql3/functions/TokenFct, unverified]`. Single-column
+    keys keep the registered 1-arg UDF untouched."""
+    pk = [c.lower() for c in meta.partition_key]
+    if len(pk) <= 1 or "cassandra_token" not in text.lower():
+        return text
+    types = {
+        f.name.lower(): f.dataType.simpleString() for f in df.schema.fields
+    }
+
+    def _sub(m: re.Match) -> str:
+        args = [a.strip().lower() for a in m.group(1).split(",") if a.strip()]
+        if args != pk:
+            raise CQLError(
+                "token() arguments must be the full partition key in "
+                f"declared order ({', '.join(pk)})"
+            )
+        murmur3.ensure_blob_token_registered(spark)
+        try:
+            return "(" + murmur3.composite_token_sql(
+                [(c, types.get(c, "")) for c in pk]
+            ) + ")"
+        except ValueError as e:
+            raise CQLError(str(e)) from None
+
+    return re.sub(
+        r"\bcassandra_token\s*\(([^()]*)\)", _sub, text, flags=re.IGNORECASE
+    )
+
+
 def _split_projection(proj: str) -> list[str]:
     """Split a projection on top-level commas (aggregate args stay intact)."""
     items, depth, cur = [], 0, []
@@ -722,6 +757,25 @@ def cql_select(
         if not set(meta.partition_key) <= restricted:
             non_key = non_key | (restricted & set(meta.clustering_cols))
         uses_token = re.search(r"\btoken\s*\(", s.where, re.IGNORECASE)
+        # a PARTIAL composite-partition-key restriction is a filtered
+        # ring scan, exactly like a restricted clustering column without
+        # its partition — the reference demands ALLOW FILTERING for it
+        # (`[C* cql3/restrictions/StatementRestrictions ::
+        # processPartitionKeyRestrictions, unverified]`)
+        pk_set = set(meta.partition_key)
+        pk_restricted = restricted & pk_set
+        if (
+            pk_restricted
+            and not pk_set <= restricted
+            and not uses_token
+            and not s.allow_filtering
+        ):
+            raise CQLError(
+                "Cannot execute this query: the partition key is only "
+                f"partially restricted (missing "
+                f"{sorted(pk_set - restricted)}); restrict every "
+                "component or use ALLOW FILTERING"
+            )
         # a secondary index admits restrictions on its column without
         # ALLOW FILTERING (the reference's 2i rule), but the index KIND
         # must match the predicate: a values index admits equality /
@@ -786,6 +840,8 @@ def cql_select(
         if uses_token:
             murmur3.ensure_token_registered(spark)
         where_expr = _rewrite_where(s.where, map_cols)
+        if uses_token:
+            where_expr = _composite_token_rewrite(where_expr, meta, df, spark)
         df = df.filter(F.expr(where_expr))
 
     if s.distinct:
@@ -879,9 +935,12 @@ def cql_select(
             # convention as the WHERE-clause rewrite
             murmur3.ensure_token_registered(spark)
             items = [
-                re.sub(
-                    r"\btoken\s*\(", "cassandra_token(", i,
-                    flags=re.IGNORECASE,
+                _composite_token_rewrite(
+                    re.sub(
+                        r"\btoken\s*\(", "cassandra_token(", i,
+                        flags=re.IGNORECASE,
+                    ),
+                    meta, df, spark,
                 )
                 for i in items
             ]

@@ -392,6 +392,14 @@ class TableSchema:
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
     clustering_desc: tuple[str, ...] = ()
+    # COMPOSITE partition key `PRIMARY KEY ((a, b), ...)`: the full
+    # ordered component list (`[C* db/marshal/CompositeType, unverified]`).
+    # None/() normalizes to the single ``partition_key`` column. The
+    # mutation log keys every partition on ONE string — for a composite
+    # key that string is the SEP-joined component values (the analogue of
+    # the reference's serialized composite key bytes); snapshot() splits
+    # it back into the typed user columns, exactly like clustering.
+    partition_cols: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         if self.clustering is None:
@@ -400,13 +408,52 @@ class TableSchema:
             self.clustering = (self.clustering,)
         else:
             self.clustering = tuple(self.clustering)
+        if not self.partition_cols:
+            self.partition_cols = (self.partition_key,)
+        else:
+            self.partition_cols = tuple(self.partition_cols)
+            # the legacy single-name field tracks the first component so
+            # pre-composite callers keep a stable label; every semantic
+            # site branches on partition_cols
+            self.partition_key = self.partition_cols[0]
         for c in self.static:
             if parse_coll_type(self.static[c]):
                 raise CQLError("static collection columns are not supported")
 
     @property
     def key_cols(self) -> list[str]:
-        return [self.partition_key, *self.clustering]
+        return [*self.partition_cols, *self.clustering]
+
+    @property
+    def pk_composite(self) -> bool:
+        return len(self.partition_cols) > 1
+
+    def pk_from_pairs(self, pairs: dict[str, str | None]) -> str | None:
+        """The mutation-log partition key of a statement's equality
+        pairs: the raw value for a single-column key, the SEP-joined
+        component values for a composite (all components required — the
+        reference rejects partial/null composite partition keys)."""
+        missing = [c for c in self.partition_cols if c not in pairs]
+        if missing:
+            if len(self.partition_cols) == 1:
+                raise CQLError(f"missing partition key {missing[0]}")
+            raise CQLError(f"missing partition key component(s) {missing}")
+        if not self.pk_composite:
+            return pairs[self.partition_cols[0]]
+        vals = []
+        for c in self.partition_cols:
+            v = pairs[c]
+            if v is None:
+                raise CQLError(
+                    f"null is not a valid partition key component ({c!r})"
+                )
+            if SEP in v:
+                raise CQLError(
+                    f"partition key component {c!r} contains the reserved "
+                    "key separator byte 0x1f"
+                )
+            vals.append(v)
+        return SEP.join(vals)
 
     def key_type(self, col: str) -> str:
         return self.key_types.get(col, "string")
@@ -1098,10 +1145,7 @@ class CqlTable:
         return eq
 
     def _stmt_pk(self, handler, m: re.Match) -> str | None:
-        pairs = self._stmt_eq_pairs(m)
-        if self.schema.partition_key not in pairs:
-            raise CQLError(f"missing partition key {self.schema.partition_key}")
-        return pairs[self.schema.partition_key]
+        return self.schema.pk_from_pairs(self._stmt_eq_pairs(m))
 
     def _cond_key(self, handler, m: re.Match):
         pairs = self._stmt_eq_pairs(m)
@@ -1370,9 +1414,7 @@ class CqlTable:
         """(pk, full clustering tuple). ``require_full=False`` returns
         ck=None when no clustering value is present (static scope)."""
         s = self.schema
-        if s.partition_key not in pairs:
-            raise CQLError(f"missing partition key {s.partition_key}")
-        pk = pairs[s.partition_key]
+        pk = s.pk_from_pairs(pairs)
         if not s.clustering:
             return pk, ()  # no clustering cols: the row key is always (pk,)
         have = [c for c in s.clustering if c in pairs]
@@ -1510,7 +1552,7 @@ class CqlTable:
             if m.group(2) == "=":
                 eq[col] = _parse_literal(m.group(3))
             else:
-                if col == self.schema.partition_key:
+                if col in self.schema.partition_cols:
                     raise CQLError("range WHERE on the partition key")
                 ranges.append((col, m.group(2), _parse_literal(m.group(3))))
         return eq, ranges
@@ -1675,9 +1717,7 @@ class CqlTable:
         ts = int(m.group("ts")) if m.group("ts") else default_ts
         eq, ranges = self._where_parse(m.group("where"))
         cols = [c.strip() for c in _split_csv(m.group("cols")) if c.strip()]
-        if s.partition_key not in eq:
-            raise CQLError(f"missing partition key {s.partition_key}")
-        pk = eq[s.partition_key]
+        pk = s.pk_from_pairs(eq)
 
         # clustering equalities must form a prefix
         have = [c for c in s.clustering if c in eq]
@@ -2764,7 +2804,7 @@ class CqlTable:
         s = self.schema
         if s.counter:
             raise CQLError("bulk_load does not support counter tables")
-        key_cols = [s.partition_key, *s.clustering]
+        key_cols = s.key_cols
         exact_key_types = {"string", "bigint", "int", "smallint", "tinyint"}
         bad_keys = [
             c for c in key_cols if s.key_type(c) not in exact_key_types
@@ -2798,7 +2838,15 @@ class CqlTable:
         seq = self._seq
         ttl = s.default_ttl or 0
 
-        pk = F.col(s.partition_key).cast("string").alias("pk")
+        if s.pk_composite:
+            pk_parts: list = []
+            for i, c in enumerate(s.partition_cols):
+                if i:
+                    pk_parts.append(F.lit(SEP))
+                pk_parts.append(F.col(c).cast("string"))
+            pk = F.concat(*pk_parts).alias("pk")
+        else:
+            pk = F.col(s.partition_key).cast("string").alias("pk")
         # null-PROPAGATING concat (not concat_ws, which silently drops
         # null components and would collapse distinct keys): a null
         # clustering value yields ck NULL, which validation rejects below
@@ -3648,12 +3696,9 @@ class CqlTable:
         wide = live.groupBy("pk", "ck").agg(*aggs)
 
         # typed like _empty(): a bigint partition key reads back as bigint,
-        # not the memtable's raw key string
-        out_cols = [
-            F.col("pk")
-            .cast(s.key_type(s.partition_key))
-            .alias(s.partition_key)
-        ]
+        # not the memtable's raw key string (composite keys split back
+        # into their typed component columns, like clustering)
+        out_cols = self._pk_out_cols()
         ck_arr = F.split("ck", SEP)
         for i, c in enumerate(s.clustering):
             out_cols.append(ck_arr[i].cast(s.key_type(c)).alias(c))
@@ -3706,8 +3751,22 @@ class CqlTable:
         out_cols += [F.col(f"__writetime_{c}") for c in s.static]
         out_cols += [F.col(f"__maxwritetime_{c}") for c in s.coll_regular]
         return wide.select(*out_cols).orderBy(
-            s.partition_key, *s.clustering
+            *s.partition_cols, *s.clustering
         )
+
+    def _pk_out_cols(self) -> list:
+        """Typed user-facing partition-key columns from the log's single
+        ``pk`` string: a cast for single-column keys, a SEP-split (the
+        clustering convention) for composites."""
+        s = self.schema
+        if not s.pk_composite:
+            c = s.partition_cols[0]
+            return [F.col("pk").cast(s.key_type(c)).alias(c)]
+        pk_arr = F.split("pk", SEP)
+        return [
+            pk_arr[i].cast(s.key_type(c)).alias(c)
+            for i, c in enumerate(s.partition_cols)
+        ]
 
     def _counter_snapshot(self, max_wt_us: int | None = None) -> DataFrame:
         """Counter reconcile (W6 driven from statement text): a counter cell
@@ -3763,19 +3822,17 @@ class CqlTable:
         wide = live.groupBy("pk", "ck").agg(*aggs)
         ck_arr = F.split("ck", SEP)
         return wide.select(
-            F.col("pk")
-            .cast(s.key_type(s.partition_key))
-            .alias(s.partition_key),
+            *self._pk_out_cols(),
             *[
                 ck_arr[i].cast(s.key_type(c)).alias(c)
                 for i, c in enumerate(s.clustering)
             ],
             *[c for c in s.regular],
-        ).orderBy(s.partition_key, *s.clustering)
+        ).orderBy(*s.partition_cols, *s.clustering)
 
     def _empty(self) -> DataFrame:
         s = self.schema
-        fields = [f"{s.partition_key} {s.key_type(s.partition_key)}"]
+        fields = [f"{c} {s.key_type(c)}" for c in s.partition_cols]
         for c in s.clustering:
             fields.append(f"{c} {s.key_type(c)}")
         for c, t in s.regular.items():

@@ -158,11 +158,13 @@ def _create_parts(stmt: str):
 def parse_create_table(
     stmt: str, udts: dict[str, str] | None = None
 ) -> TableSchema:
-    """CREATE TABLE subset → TableSchema. Single partition-key column
-    (composite partition keys are rejected — the mutation-log model keys
-    on one pk string), composite clustering, STATIC columns, collections,
-    UDT/tuple/duration columns (``udts``: CREATE TYPE registry), counter
-    tables (any counter column makes the table counter-only)."""
+    """CREATE TABLE subset → TableSchema. Composite partition keys
+    (``PRIMARY KEY ((a, b), c)`` — the mutation log keys them on the
+    SEP-joined component serialization, the analogue of the reference's
+    CompositeType key bytes), composite clustering, STATIC columns,
+    collections, UDT/tuple/duration columns (``udts``: CREATE TYPE
+    registry), counter tables (any counter column makes the table
+    counter-only)."""
     parts = _create_parts(stmt)
     if not parts:
         raise CQLError(f"unsupported or malformed CREATE TABLE: {stmt!r}")
@@ -265,24 +267,24 @@ def parse_create_table(
         first = parts[0]
         if first.startswith("("):
             inner = _split_generics(first[1:-1])
-            if len(inner) != 1:
-                raise CQLError(
-                    "composite partition keys are not supported by the "
-                    "DML front-end (single pk column; model composites as "
-                    "one concatenated column)"
-                )
-            pk = inner[0].lower()
+            pk_cols = tuple(c.strip().lower() for c in inner)
+            if not pk_cols or any(not c for c in pk_cols):
+                raise CQLError(f"bad partition key spec: {first!r}")
         else:
-            pk = first.lower()
+            pk_cols = (first.lower(),)
         clustering = tuple(p.lower() for p in parts[1:])
     else:
-        pk, clustering = inline_pk, ()
+        pk_cols, clustering = (inline_pk,), ()
+    if len(set(pk_cols)) != len(pk_cols):
+        raise CQLError("duplicate partition key column")
 
-    for c in (pk, *clustering):
+    for c in (*pk_cols, *clustering):
         if c not in cols:
             raise CQLError(f"PRIMARY KEY column {c!r} is not declared")
+    if set(pk_cols) & set(clustering):
+        raise CQLError("a column cannot be both partition and clustering key")
     key_types = {
-        c: _map_type(cols[c], udts) for c in (pk, *clustering)
+        c: _map_type(cols[c], udts) for c in (*pk_cols, *clustering)
     }
     for c, t in key_types.items():
         if parse_coll_type(t):
@@ -293,7 +295,7 @@ def parse_create_table(
     static = {}
     counter_cols = 0
     for c, t in cols.items():
-        if c == pk or c in clustering:
+        if c in pk_cols or c in clustering:
             continue
         mapped = _map_type(t, udts)
         if (
@@ -331,7 +333,8 @@ def parse_create_table(
         )
     return TableSchema(
         name=name,
-        partition_key=pk,
+        partition_key=pk_cols[0],
+        partition_cols=pk_cols,
         clustering=clustering,
         regular=regular,
         counter=bool(counter_cols),
@@ -1148,7 +1151,7 @@ class CqlSession:
     def _meta(self, schema: TableSchema) -> TableMeta:
         return TableMeta(
             name=schema.name,
-            partition_key=(schema.partition_key,),
+            partition_key=tuple(schema.partition_cols),
             clustering=tuple(
                 ("-" + c) if c in schema.clustering_desc else c
                 for c in schema.clustering
@@ -1276,10 +1279,10 @@ class CqlSession:
                     "secondary indexes are not supported on counters"
                 )
             # clustering columns ARE indexable (`[C* cql3/statements/
-            # CreateIndexStatement, unverified]` — only the sole
-            # partition-key component is rejected); the index admits a
+            # CreateIndexStatement, unverified]` — only partition-key
+            # components are rejected); the index admits a
             # partition-free restriction through the gate
-            if col == s.partition_key:
+            if col in s.partition_cols:
                 raise CQLError(f"cannot index partition key column {col!r}")
             if (
                 col not in s.regular
@@ -1303,7 +1306,7 @@ class CqlSession:
             if fn:
                 self.sai_similarity.setdefault(s.name, {})[col] = fn
             return
-        if col == s.partition_key:
+        if col in s.partition_cols:
             raise CQLError(f"cannot index partition key column {col!r}")
         if (
             col not in s.regular
@@ -1426,30 +1429,39 @@ class CqlSession:
         if "partition_keys_in_select" not in self.guardrails:
             return
         if key in self.tables:
-            pk_col = self.tables[key].schema.partition_key
+            pk_cols = self.tables[key].schema.partition_cols
         else:
             from cassandra_spark.catalog import SCHEMA
 
             meta = SCHEMA.get(key)
             if meta is None:
                 return
-            pk_col = meta.partition_key[0]
+            pk_cols = meta.partition_key
         masked = re.sub(
             r"'(?:[^']|'')*'",
             lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'",
             stmt,
         )
-        im = re.search(
-            rf"\b{re.escape(pk_col)}\s+IN\s*\(([^)]*)\)", masked,
-            re.IGNORECASE,
-        )
-        if not im:
+        # the guardrail bounds SELECTED PARTITIONS: with a composite key,
+        # per-component IN lists multiply (the reference's fan-out is the
+        # cartesian product of the component restrictions)
+        fanout = 1
+        hit = False
+        for pk_col in pk_cols:
+            im = re.search(
+                rf"\b{re.escape(pk_col)}\s+IN\s*\(([^)]*)\)", masked,
+                re.IGNORECASE,
+            )
+            if im:
+                hit = True
+                fanout *= im.group(1).count(",") + 1
+        if not hit:
             return
         from cassandra_spark.cql_dml import check_guardrail
 
         check_guardrail(
             self.guardrails, self.client_warnings,
-            "partition_keys_in_select", im.group(1).count(",") + 1,
+            "partition_keys_in_select", fanout,
             f"partition keys in IN on {key!r}",
         )
 
@@ -1813,8 +1825,11 @@ class CqlSession:
                     "cannot rename a column on a table with "
                     "materialized views (they select its key columns)"
                 )
-            if src == s.partition_key:
-                s.partition_key = dst
+            if src in s.partition_cols:
+                s.partition_cols = tuple(
+                    dst if c == src else c for c in s.partition_cols
+                )
+                s.partition_key = s.partition_cols[0]
             else:
                 s.clustering = tuple(
                     dst if c == src else c for c in s.clustering
@@ -2513,7 +2528,7 @@ class CqlSession:
             raise CQLError(f"unknown table {m.group('base')!r}")
         self._check_perm("ALTER", base)
         bs = bt.schema
-        base_keys = [bs.partition_key, *bs.clustering]
+        base_keys = [*bs.partition_cols, *bs.clustering]
         all_cols = set(base_keys) | set(bs.regular) | set(bs.static)
         # view key: first component = partition key (composites rejected,
         # like base tables), rest clustering
@@ -2656,7 +2671,7 @@ class CqlSession:
         cols = (
             [c.strip().lower() for c in m.group("cols").split(",")]
             if m.group("cols")
-            else [sch.partition_key, *sch.clustering]
+            else [*sch.partition_cols, *sch.clustering]
             + sorted(sch.static) + sorted(sch.regular)
         )
         # scalar columns only: collection/UDT literals don't round-trip
@@ -3397,6 +3412,7 @@ class CqlSession:
                 "schema": {
                     "name": s.name,
                     "partition_key": s.partition_key,
+                    "partition_cols": list(s.partition_cols),
                     "clustering": list(s.clustering),
                     "regular": s.regular,
                     "counter": s.counter,
@@ -3526,6 +3542,12 @@ class CqlSession:
                 TableSchema(
                     name=sch["name"],
                     partition_key=sch["partition_key"],
+                    # pre-composite manifests carry no partition_cols:
+                    # fall back to the single-column key
+                    partition_cols=tuple(
+                        sch.get("partition_cols")
+                        or (sch["partition_key"],)
+                    ),
                     clustering=tuple(sch["clustering"]),
                     regular=dict(sch["regular"]),
                     counter=sch["counter"],
@@ -3705,10 +3727,11 @@ class CqlSession:
                 + mask_clause(col)
             )
         ck = ", ".join(s.clustering)
+        pk_body = ", ".join(s.partition_cols)
         pk = (
-            f"    PRIMARY KEY (({s.partition_key}), {ck})"
+            f"    PRIMARY KEY (({pk_body}), {ck})"
             if ck
-            else f"    PRIMARY KEY (({s.partition_key}))"
+            else f"    PRIMARY KEY (({pk_body}))"
         )
         lines.append(pk)
         clauses = []
@@ -3884,13 +3907,18 @@ class CqlSession:
                 for c in s.regular
             ] or ["0"]
             snap = t.snapshot()
+            if s.pk_composite:
+                murmur3.ensure_blob_token_registered(self.spark)
+                tok_expr = murmur3.composite_token_sql(
+                    [(c, s.key_type(c)) for c in s.partition_cols]
+                )
+            else:
+                tok_expr = f"cassandra_token({s.partition_key})"
             per_part = (
                 snap.withColumn("__rsize", F.expr(" + ".join(size_cols)))
-                .groupBy(s.partition_key)
+                .groupBy(*s.partition_cols)
                 .agg(F.sum("__rsize").alias("__psize"))
-                .withColumn(
-                    "token", F.expr(f"cassandra_token({s.partition_key})")
-                )
+                .withColumn("token", F.expr(tok_expr))
                 .withColumn("ridx", F.expr(idx_case))
             )
             parts.append(
@@ -3949,8 +3977,9 @@ class CqlSession:
         crows = []
         for name in sorted(self.tables):
             s = self.tables[name].schema
-            crows.append(("session", name, s.partition_key, "partition_key",
-                          s.key_type(s.partition_key)))
+            for c in s.partition_cols:
+                crows.append(("session", name, c, "partition_key",
+                              s.key_type(c)))
             for c in s.clustering:
                 crows.append(("session", name, c, "clustering", s.key_type(c)))
             for c, t in sorted(s.regular.items()):

@@ -2157,3 +2157,83 @@ def w25_garbage_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fully-shadowed keys must leave no physical trace"
     )
     return sess.execute("SELECT k, u FROM gct")
+
+
+from cassandra_spark.operators import murmur3 as _murmur3  # noqa: E402
+
+# the synthetic lineitem is not TPC-H-unique on (orderkey, linenumber):
+# aggregate to one row per composite key on BOTH sides
+_CQL46_STAGE = (
+    "SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity "
+    "FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1, 2"
+)
+
+
+@query(
+    "cql46_composite_pk",
+    oracle=f"""
+    WITH __toks AS MATERIALIZED (
+      {_murmur3.duckdb_token_query_composite(
+          _CQL46_STAGE, "l_orderkey", "l_linenumber", out="tok")}
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity, tok FROM __toks
+    WHERE tok > 0
+    """,
+)
+def cql46_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE partition keys end-to-end in the session FE (`[C*
+    db/marshal/CompositeType; cql3/statements/CreateTableStatement,
+    unverified]`): ``PRIMARY KEY ((l_orderkey, l_linenumber))`` parses,
+    bulk-loads executor-side (the log keys each partition on the
+    SEP-joined component serialization — the analogue of the reference's
+    composite key bytes), point-reads under the full-equality gate, and
+    serves a ``token(a, b)``-range scan whose tokens are the bit-exact
+    Murmur3 hash of the CompositeType framing (2-byte BE length + bytes
+    + 0x00 per component), assembled in Spark SQL and recomputed
+    independently by the DuckDB oracle's 18-lane chain. DESCRIBE
+    round-trips the composite spec through re-parse; partial-partition
+    restrictions are rejected without ALLOW FILTERING (asserted
+    in-body)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.cql import CQLError
+    from cassandra_spark.catalog import Catalog
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE li (l_orderkey bigint, l_linenumber int, "
+        "l_quantity double, PRIMARY KEY ((l_orderkey, l_linenumber)))"
+    )
+    src = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+    sess.table("li").bulk_load(src)
+
+    # proof obligation 1: point read under the full-composite-equality
+    # gate returns exactly one row (first staged key — SF-independent)
+    k = src.orderBy("l_orderkey", "l_linenumber").first()
+    assert sess.execute(
+        f"SELECT l_quantity FROM li WHERE l_orderkey = {k.l_orderkey} "
+        f"AND l_linenumber = {k.l_linenumber}"
+    ).count() == 1, "composite point read must hit one row"
+    # proof obligation 2: a partial partition restriction is rejected
+    try:
+        sess.execute("SELECT * FROM li WHERE l_orderkey = 1")
+        raise AssertionError("partial composite pk must require "
+                             "ALLOW FILTERING")
+    except CQLError:
+        pass
+    # proof obligation 3: DESCRIBE re-parses to the same composite key
+    reparsed = parse_create_table(sess._table_ddl("li"))
+    assert reparsed.partition_cols == ("l_orderkey", "l_linenumber"), (
+        "DESCRIBE must round-trip the composite partition key"
+    )
+
+    return sess.execute(
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "token(l_orderkey, l_linenumber) AS tok FROM li "
+        "WHERE token(l_orderkey, l_linenumber) > 0"
+    )

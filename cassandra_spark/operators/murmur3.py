@@ -546,6 +546,84 @@ def tokens_of_composite_bigint_int(
     return tokens_of_byte_matrix(mat)
 
 
+def ensure_blob_token_registered(spark) -> None:
+    """Register ``cassandra_token_blob(binary) -> bigint``: the Murmur3
+    ring token of an already-serialized partition key. This is the
+    session FE's general composite-key path — the CompositeType framing
+    is assembled in Spark SQL from the typed key columns (see
+    :func:`composite_token_sql`), so ONE registered UDF serves every
+    composite arity/type mix. Length-grouped byte-matrix vectorization,
+    same SIMD passes as the text-key path. Memoized per session."""
+    if getattr(spark, "_cassandra_token_blob_registered", False):
+        return
+
+    @F.pandas_udf(LongType())
+    def cassandra_token_blob(blobs: pd.Series) -> pd.Series:
+        mask = blobs.notna().to_numpy()
+        result = pd.array([None] * len(blobs), dtype="Int64")
+        if mask.any():
+            vals = [bytes(b) for b in blobs[mask]]
+            toks = np.empty(len(vals), dtype=np.int64)
+            by_len: dict[int, list[int]] = {}
+            for i, b in enumerate(vals):
+                by_len.setdefault(len(b), []).append(i)
+            for L, idxs in by_len.items():
+                if L == 0:
+                    for i in idxs:
+                        toks[i] = murmur3_token(b"")
+                    continue
+                mat = np.frombuffer(
+                    b"".join(vals[i] for i in idxs), dtype=np.uint8
+                ).reshape(len(idxs), L)
+                toks[np.array(idxs)] = tokens_of_byte_matrix(mat)
+            result[mask] = toks
+        return pd.Series(result, dtype="Int64")
+
+    spark.udf.register("cassandra_token_blob", cassandra_token_blob)
+    spark._cassandra_token_blob_registered = True
+
+
+# fixed-width integer key serializations the SQL framing below supports:
+# spark type -> byte width (big-endian two's complement, the reference's
+# LongType/Int32Type/ShortType/ByteType serializations)
+_INT_KEY_WIDTHS = {"bigint": 8, "long": 8, "int": 4, "smallint": 2,
+                   "tinyint": 1}
+
+
+def composite_token_sql(components: list[tuple[str, str]]) -> str:
+    """Spark-SQL expression computing the ring token of a COMPOSITE
+    partition key: CompositeType framing (2-byte BE length + component
+    bytes + 0x00 per component, `[C* db/marshal/CompositeType :: build,
+    unverified]`) assembled with built-in binary functions, hashed by the
+    registered ``cassandra_token_blob`` UDF. ``components`` is
+    ``[(sql_expr, spark_type), ...]`` over the TYPED key columns; integer
+    widths serialize as big-endian two's complement via hex()'s 16-digit
+    bigint form, text as UTF-8 bytes with a computed length prefix."""
+    parts = []
+    for expr, typ in components:
+        t = typ.strip().lower()
+        if t in _INT_KEY_WIDTHS:
+            w = _INT_KEY_WIDTHS[t]
+            # low w bytes of the 8-byte BE two's-complement form
+            body = (
+                f"unhex(substr(lpad(hex(cast(({expr}) as bigint)), 16, '0'),"
+                f" {17 - 2 * w}, {2 * w}))"
+            )
+            parts.append(f"X'{w:04x}'")
+            parts.append(body)
+        elif t == "string":
+            body = f"cast(({expr}) as binary)"
+            parts.append(f"unhex(lpad(hex(length({body})), 4, '0'))")
+            parts.append(body)
+        else:
+            raise ValueError(
+                f"composite partition-key token over type {typ!r} is not "
+                "supported (integer widths / text components only)"
+            )
+        parts.append("X'00'")
+    return f"cassandra_token_blob(concat({', '.join(parts)}))"
+
+
 def composite_token_col(big_col, int_col):
     """``token(bigint_key, int_key)`` as a Column — the composite-ring
     convention, Arrow-batched."""

@@ -1,0 +1,207 @@
+"""Composite partition keys in the session FE: ``PRIMARY KEY ((a, b), c)``
+end-to-end — DDL parse, DML under the full-equality gate, snapshot
+re-typing, token() over the CompositeType framing, DESCRIBE round-trip,
+ALTER RENAME, snapshot/restore, and the partial-restriction gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import CQLError
+from cassandra_spark.cql_session import CqlSession, parse_create_table
+from cassandra_spark.operators import murmur3
+
+
+@pytest.fixture()
+def sess(spark):
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE KEYSPACE ks WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}"
+    )
+    s.execute("USE ks")
+    s.execute(
+        "CREATE TABLE readings (sensor text, day int, ts bigint, "
+        "val double, PRIMARY KEY ((sensor, day), ts))"
+    )
+    for i in range(6):
+        s.execute(
+            f"INSERT INTO readings (sensor, day, ts, val) VALUES "
+            f"('s{i % 2}', {i % 3}, {100 + i}, {i * 1.5})"
+        )
+    return s
+
+
+def test_parse_composite_pk():
+    s = parse_create_table(
+        "CREATE TABLE t (a text, b int, c bigint, v int, "
+        "PRIMARY KEY ((a, b), c))"
+    )
+    assert s.partition_cols == ("a", "b")
+    assert s.clustering == ("c",)
+    assert s.pk_composite
+    assert s.key_cols == ["a", "b", "c"]
+    assert s.key_types == {"a": "string", "b": "int", "c": "bigint"}
+
+
+def test_parse_single_pk_unchanged():
+    s = parse_create_table(
+        "CREATE TABLE t (a text, c bigint, v int, PRIMARY KEY ((a), c))"
+    )
+    assert s.partition_cols == ("a",)
+    assert not s.pk_composite
+
+
+def test_parse_rejects_dup_and_overlap():
+    with pytest.raises(CQLError):
+        parse_create_table(
+            "CREATE TABLE t (a text, v int, PRIMARY KEY ((a, a)))"
+        )
+    with pytest.raises(CQLError):
+        parse_create_table(
+            "CREATE TABLE t (a text, b int, v int, PRIMARY KEY ((a, b), b))"
+        )
+
+
+def test_point_read_and_typed_snapshot(sess):
+    df = sess.execute(
+        "SELECT sensor, day, ts, val FROM readings "
+        "WHERE sensor = 's0' AND day = 2 AND ts = 102"
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.sensor, r.day, r.ts, r.val) == ("s0", 2, 102, 3.0)
+    # typed: day reads back as int, ts as bigint
+    types = dict(df.dtypes)
+    assert types["day"] == "int" and types["ts"] == "bigint"
+
+
+def test_partial_pk_needs_allow_filtering(sess):
+    with pytest.raises(CQLError, match="partially restricted"):
+        sess.execute("SELECT * FROM readings WHERE sensor = 's0'")
+    assert (
+        sess.execute(
+            "SELECT ts FROM readings WHERE sensor = 's0' ALLOW FILTERING"
+        ).count()
+        == 3
+    )
+
+
+def test_update_delete_scoped_to_one_partition(sess):
+    sess.execute(
+        "UPDATE readings SET val = 99.0 "
+        "WHERE sensor = 's1' AND day = 1 AND ts = 101"
+    )
+    # partition delete: only ('s0', 0) vanishes, not every sensor='s0'
+    sess.execute("DELETE FROM readings WHERE sensor = 's0' AND day = 0")
+    snap = sess.execute("SELECT sensor, day, ts, val FROM readings")
+    vals = {(r.sensor, r.day, r.ts): r.val for r in snap.collect()}
+    assert ("s0", 0, 100) not in vals
+    assert vals[("s1", 1, 101)] == 99.0
+    assert len(vals) == 5
+
+
+def test_dml_requires_full_composite(sess):
+    with pytest.raises(CQLError, match="partition key"):
+        sess.execute(
+            "INSERT INTO readings (sensor, ts, val) VALUES ('s9', 1, 1.0)"
+        )
+    with pytest.raises(CQLError, match="partition key"):
+        sess.execute("DELETE FROM readings WHERE sensor = 's0'")
+
+
+def test_token_matches_pure_python(sess):
+    rows = sess.execute(
+        "SELECT sensor, day, token(sensor, day) AS tok FROM readings"
+    ).collect()
+    assert rows
+    for r in rows:
+        exp = murmur3.token_of_composite(
+            [r.sensor.encode(), int(r.day).to_bytes(4, "big", signed=True)]
+        )
+        assert r.tok == exp
+
+
+def test_token_requires_full_pk_in_order(sess):
+    with pytest.raises(CQLError, match="full partition key"):
+        sess.execute("SELECT * FROM readings WHERE token(sensor) > 0")
+    with pytest.raises(CQLError, match="full partition key"):
+        sess.execute("SELECT * FROM readings WHERE token(day, sensor) > 0")
+
+
+def test_token_range_read(sess):
+    all_rows = sess.execute(
+        "SELECT ts, token(sensor, day) AS tok FROM readings"
+    ).collect()
+    pos = {r.ts for r in all_rows if r.tok > 0}
+    got = {
+        r.ts
+        for r in sess.execute(
+            "SELECT ts FROM readings WHERE token(sensor, day) > 0"
+        ).collect()
+    }
+    assert got == pos and pos
+
+
+def test_describe_round_trip(sess):
+    ddl = sess._table_ddl("readings")
+    assert "PRIMARY KEY ((sensor, day), ts)" in ddl
+    s2 = parse_create_table(ddl)
+    assert s2.partition_cols == ("sensor", "day")
+    assert s2.clustering == ("ts",)
+
+
+def test_rename_pk_component(sess):
+    sess.execute("ALTER TABLE readings RENAME day TO d")
+    s = sess.table("readings").schema
+    assert s.partition_cols == ("sensor", "d")
+    assert s.key_types["d"] == "int"
+    assert (
+        sess.execute(
+            "SELECT val FROM readings "
+            "WHERE sensor = 's0' AND d = 2 AND ts = 102"
+        ).count()
+        == 1
+    )
+
+
+def test_cannot_index_pk_component(sess):
+    with pytest.raises(CQLError, match="partition key"):
+        sess.execute("CREATE INDEX ON readings (day)")
+
+
+def test_snapshot_restore_round_trip(sess, spark, tmp_path):
+    out = str(tmp_path / "snap")
+    sess.snapshot_keyspace(out)
+    fresh = CqlSession(spark, None)
+    fresh.execute(
+        "CREATE KEYSPACE ks WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}"
+    )
+    fresh.execute("USE ks")
+    fresh.restore_keyspace(out)
+    s = fresh.table("readings").schema
+    assert s.partition_cols == ("sensor", "day")
+    assert (
+        fresh.execute(
+            "SELECT val FROM readings "
+            "WHERE sensor = 's0' AND day = 2 AND ts = 102"
+        ).count()
+        == 1
+    )
+
+
+def test_in_guardrail_multiplies_components(sess):
+    sess.set_guardrail("partition_keys_in_select", fail=5)
+    with pytest.raises(CQLError, match="partition_keys_in_select"):
+        sess.execute(
+            "SELECT * FROM readings WHERE sensor IN ('s0', 's1', 's2') "
+            "AND day IN (0, 1) AND ts = 100"
+        )
+    # 2 x 2 = 4 <= 5 passes
+    sess.execute(
+        "SELECT * FROM readings WHERE sensor IN ('s0', 's1') "
+        "AND day IN (0, 1) AND ts = 100"
+    )

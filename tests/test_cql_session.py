@@ -36,11 +36,11 @@ def test_parse_create_table_shapes():
         "author": "string", "body": "string", "tags": "set<string>",
     }
     assert s.static == {"topic": "string"}
-    # counter + composite-partition rejections
-    with pytest.raises(CQLError, match="composite partition"):
-        parse_create_table(
-            "CREATE TABLE t (a text, b text, v int, PRIMARY KEY ((a, b)))"
-        )
+    # composite partition keys parse (round 11); counter rejections hold
+    s2 = parse_create_table(
+        "CREATE TABLE t (a text, b text, v int, PRIMARY KEY ((a, b)))"
+    )
+    assert s2.partition_cols == ("a", "b") and s2.clustering == ()
     with pytest.raises(CQLError, match="counter"):
         parse_create_table(
             "CREATE TABLE t (a text PRIMARY KEY, c counter, v int)"

@@ -243,3 +243,111 @@ def _cql_engine(spark, history):
 @given(history=cql_history_st)
 def test_cql_range_tombstone_histories_match_model(spark, history):
     assert _cql_engine(spark, history) == _cql_model(history)
+
+
+# --- composite-partition-key fuzz: the SEP-joined log key must behave
+# exactly like an opaque (pk1, pk2) pair — writes, row deletes, and
+# PARTITION tombstones must shadow per composite partition, never
+# bleeding across partitions that share one component value.
+
+_CPK_SCHEMA = TableSchema(
+    "t2", "pk1", ("ck",), {"v": "int"},
+    key_types={"pk2": "int", "ck": "int"},
+    partition_cols=("pk1", "pk2"),
+)
+
+cpk_write_st = st.tuples(
+    st.just("w"), st.sampled_from("ab"), st.integers(0, 2),
+    st.integers(0, 1), st.integers(1, 9), st.integers(0, 99),
+)
+cpk_insert_st = st.tuples(
+    st.just("i"), st.sampled_from("ab"), st.integers(0, 2),
+    st.integers(0, 1), st.integers(1, 9), st.integers(0, 99),
+)
+cpk_rowdel_st = st.tuples(
+    st.just("dr"), st.sampled_from("ab"), st.integers(0, 2),
+    st.integers(0, 1), st.integers(1, 9), st.just(0),
+)
+cpk_partdel_st = st.tuples(
+    st.just("dp"), st.sampled_from("ab"), st.integers(0, 2),
+    st.just(0), st.integers(1, 9), st.just(0),
+)
+cpk_history_st = st.lists(
+    cpk_write_st | cpk_insert_st | cpk_rowdel_st | cpk_partdel_st,
+    min_size=1, max_size=14,
+)
+
+
+def _cpk_model(history):
+    cells: dict = {}
+    markers: dict = {}
+    row_t: dict = {}
+    part_t: dict = {}
+
+    def put(store, key, wt, val, seq):
+        cur = store.get(key)
+        if cur is None or (wt, seq) > (cur[0], cur[1]):
+            store[key] = (wt, seq, val)
+
+    for seq, (op, pk1, pk2, ck, ts, v) in enumerate(history):
+        if op == "w":
+            put(cells, (pk1, pk2, ck), ts, v, seq)
+        elif op == "i":
+            put(cells, (pk1, pk2, ck), ts, v, seq)
+            put(markers, (pk1, pk2, ck), ts, None, seq)
+        elif op == "dr":
+            key = (pk1, pk2, ck)
+            row_t[key] = max(row_t.get(key, -1), ts)
+        else:
+            part_t[(pk1, pk2)] = max(part_t.get((pk1, pk2), -1), ts)
+
+    out = {}
+    for key in set(cells) | set(markers):
+        pk1, pk2, ck = key
+        h = max(part_t.get((pk1, pk2), -1), row_t.get(key, -1))
+        c, mk = cells.get(key), markers.get(key)
+        c_live = c is not None and c[0] > h
+        mk_live = mk is not None and mk[0] > h
+        if c_live or mk_live:
+            out[key] = c[2] if c_live else None
+    return out
+
+
+def _cpk_engine(spark, history):
+    table = CqlTable(spark, _CPK_SCHEMA)
+    for (op, pk1, pk2, ck, ts, v) in history:
+        if op == "w":
+            table.execute(
+                f"UPDATE t2 USING TIMESTAMP {ts} SET v = {v} "
+                f"WHERE pk1 = '{pk1}' AND pk2 = {pk2} AND ck = {ck}"
+            )
+        elif op == "i":
+            table.execute(
+                f"INSERT INTO t2 (pk1, pk2, ck, v) VALUES "
+                f"('{pk1}', {pk2}, {ck}, {v}) USING TIMESTAMP {ts}"
+            )
+        elif op == "dr":
+            table.execute(
+                f"DELETE FROM t2 USING TIMESTAMP {ts} "
+                f"WHERE pk1 = '{pk1}' AND pk2 = {pk2} AND ck = {ck}"
+            )
+        else:
+            table.execute(
+                f"DELETE FROM t2 USING TIMESTAMP {ts} "
+                f"WHERE pk1 = '{pk1}' AND pk2 = {pk2}"
+            )
+    if not table._log:
+        return {}
+    return {
+        (r.pk1, r.pk2, r.ck): r.v for r in table.snapshot().collect()
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(history=cpk_history_st)
+def test_composite_pk_histories_match_model(spark, history):
+    assert _cpk_engine(spark, history) == _cpk_model(history)
