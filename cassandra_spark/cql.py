@@ -253,6 +253,87 @@ def _rewrite_where(where: str, map_cols: frozenset[str] = frozenset()) -> str:
     return where
 
 
+_TUPLE_REL_RE = re.compile(
+    r"(?<!\w)\(\s*(?P<cols>\w+(?:\s*,\s*\w+)+)\s*\)\s*"
+    r"(?P<op><=|>=|<|>|=)\s*\((?P<vals>[^()]*)\)"
+)
+
+
+def _split_quoted_csv(text: str) -> list[str]:
+    """Split on commas outside single-quoted literals."""
+    out, cur, quoted = [], [], False
+    for ch in text:
+        if ch == "'":
+            quoted = not quoted
+        if ch == "," and not quoted:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return [t for t in out if t]
+
+
+def _rewrite_tuple_relations(where: str, meta) -> str:
+    """Multi-column clustering relations ``(c1, c2) >= (x, y)`` (`[C*
+    cql3/restrictions/MultiColumnRestriction, unverified]`) expanded to
+    the equivalent boolean form — the same fully-pushdown-able
+    disjunction of per-column range filters the batch tier uses
+    (p3_tuple_range) and the keyset pager emits for its resume cursor.
+    The named columns must be a contiguous run of clustering columns in
+    declared order, like the reference's validation. The comparison
+    respects the CLUSTERING ORDER: a DESC column's component flips its
+    value comparison (rows "greater" in clustering order have SMALLER
+    values), matching the reference's slice semantics."""
+    ck = list(meta.clustering_cols)
+    desc = {
+        c.lstrip("-") for c in meta.clustering if str(c).startswith("-")
+    }
+
+    def _sub(m: re.Match) -> str:
+        cols = [c.strip().lower() for c in m.group("cols").split(",")]
+        op = m.group("op")
+        vals = _split_quoted_csv(m.group("vals"))
+        if not set(cols) <= set(ck):
+            raise CQLError(
+                "multi-column relations are only supported on clustering "
+                f"columns (got {cols}, clustering {ck})"
+            )
+        start = ck.index(cols[0])
+        if ck[start : start + len(cols)] != cols:
+            raise CQLError(
+                "multi-column relation columns must be a contiguous run "
+                f"of the clustering key in declared order ({ck})"
+            )
+        if len(vals) != len(cols):
+            raise CQLError(
+                f"multi-column relation arity mismatch: {len(cols)} "
+                f"columns vs {len(vals)} values"
+            )
+        if op == "=":
+            return "(" + " AND ".join(
+                f"{c} = {v}" for c, v in zip(cols, vals)
+            ) + ")"
+        base, final_strict = op[0], len(op) == 1
+
+        def comp(col: str, val: str, strict: bool) -> str:
+            o = base
+            if col in desc:
+                o = "<" if o == ">" else ">"
+            return f"{col} {o}{'' if strict else '='} {val}"
+
+        terms = []
+        for k in range(len(cols)):
+            parts = [f"{cols[j]} = {vals[j]}" for j in range(k)]
+            parts.append(
+                comp(cols[k], vals[k], k < len(cols) - 1 or final_strict)
+            )
+            terms.append("(" + " AND ".join(parts) + ")")
+        return "(" + " OR ".join(terms) + ")"
+
+    return _TUPLE_REL_RE.sub(_sub, where)
+
+
 def _composite_token_rewrite(text: str, meta, df, spark) -> str:
     """token() over a COMPOSITE partition key: rewrite the 1-arg-UDF
     spelling ``cassandra_token(a, b, ...)`` into the CompositeType-framed
@@ -745,7 +826,10 @@ def cql_select(
     key_cols = set(meta.partition_key) | set(meta.clustering_cols)
 
     if s.where:
-        restricted = _where_columns(s.where, columns)
+        # multi-column clustering relations expand FIRST, so the gate and
+        # every later rewrite see plain per-column range relations
+        where_text = _rewrite_tuple_relations(s.where, meta)
+        restricted = _where_columns(where_text, columns)
         non_key = restricted - key_cols
         # clustering restrictions are free only under a restricted
         # partition key (the reference's slice rule: without the
@@ -756,7 +840,7 @@ def cql_select(
         # clustering-prefix CONTIGUITY is not enforced.
         if not set(meta.partition_key) <= restricted:
             non_key = non_key | (restricted & set(meta.clustering_cols))
-        uses_token = re.search(r"\btoken\s*\(", s.where, re.IGNORECASE)
+        uses_token = re.search(r"\btoken\s*\(", where_text, re.IGNORECASE)
         # a PARTIAL composite-partition-key restriction is a filtered
         # ring scan, exactly like a restricted clustering column without
         # its partition — the reference demands ALLOW FILTERING for it
@@ -788,7 +872,7 @@ def cql_select(
             for m_ in re.finditer(
                 rf"\b{re.escape(col)}\s*"
                 rf"(\[[^\]]+\]\s*=|=[^=]|CONTAINS(?:\s+KEY)?\b)",
-                s.where,
+                where_text,
                 re.IGNORECASE,
             ):
                 tok = m_.group(1).upper()
@@ -839,7 +923,7 @@ def cql_select(
         )
         if uses_token:
             murmur3.ensure_token_registered(spark)
-        where_expr = _rewrite_where(s.where, map_cols)
+        where_expr = _rewrite_where(where_text, map_cols)
         if uses_token:
             where_expr = _composite_token_rewrite(where_expr, meta, df, spark)
         df = df.filter(F.expr(where_expr))

@@ -133,21 +133,52 @@ def mut_row(
 
 
 _COLL_RE = re.compile(
-    r"^\s*(list|set|map)\s*<\s*(\w+)\s*(?:,\s*(\w+)\s*)?>\s*$", re.IGNORECASE
+    r"^\s*(list|set|map)\s*<(.+)>\s*$", re.IGNORECASE | re.DOTALL
 )
+
+
+def _split_type_params(body: str) -> list[str]:
+    """Top-level comma split of a generic type's parameter list."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    out.append("".join(cur).strip())
+    return [t for t in out if t]
 
 
 def parse_coll_type(typ: str) -> tuple[str, str, str | None] | None:
     """'list<int>' → ('list', 'int', None); 'map<string,int>' →
-    ('map', 'string', 'int'); scalar types → None."""
+    ('map', 'string', 'int'); element types may be STRUCT types
+    (UDT/tuple/duration — stored as canonical-JSON element cells, round
+    11); scalar and struct types → None. A nested-collection element
+    ('list<list<int>>') also returns None — the DDL gate rejects it."""
     m = _COLL_RE.match(typ)
     if not m:
         return None
-    kind, t1, t2 = m.group(1).lower(), m.group(2), m.group(3)
-    if kind == "map" and t2 is None:
-        raise CQLError(f"map type needs key and value types: {typ!r}")
-    if kind != "map" and t2 is not None:
+    kind = m.group(1).lower()
+    params = _split_type_params(m.group(2))
+    if kind == "map":
+        if len(params) != 2:
+            raise CQLError(f"map type needs key and value types: {typ!r}")
+    elif len(params) != 1:
         raise CQLError(f"{kind} type takes one parameter: {typ!r}")
+
+    def _elem_ok(t: str) -> bool:
+        # scalar or struct element; a collection element is unsupported
+        return not re.match(r"^\s*(list|set|map|array)\s*<", t, re.IGNORECASE)
+
+    if not all(_elem_ok(t) for t in params):
+        return None
+    t1 = params[0]
+    t2 = params[1] if kind == "map" else None
     return kind, t1, t2
 
 
@@ -706,18 +737,28 @@ def _split_csv(text: str) -> list[str]:
     return [t.strip() for t in out]
 
 
-def _parse_value(tok: str):
+def _parse_value(tok: str, elem_type: str | None = None,
+                 val_type: str | None = None):
     """Scalar or collection literal.
 
     Returns ``("scalar", v)``, ``("list", [v, ...])``, ``("set", [v, ...])``
     or ``("map", [(k, v), ...])`` with scalar parts in canonical string
     form. ``{}`` is a set/map ambiguity resolved as empty map (both mean
-    "no elements" here)."""
+    "no elements" here). ``elem_type`` / ``val_type``: when the declared
+    list/set element (or map value) type is a STRUCT, items canonicalize
+    through :func:`struct_json` instead of the scalar literal parser —
+    one JSON string per element cell, the same convention struct-typed
+    scalar columns use. Map KEYS stay scalar (pinned envelope)."""
+    def lit(item: str, typ: str | None):
+        if typ is not None and parse_struct_type(typ) is not None:
+            return struct_json(item, typ)
+        return _parse_literal(item)
+
     tok = tok.strip()
     if tok.startswith("[") and tok.endswith("]"):
         body = tok[1:-1].strip()
         items = _split_csv(body) if body else []
-        return "list", [_parse_literal(i) for i in items]
+        return "list", [lit(i, elem_type) for i in items]
     if tok.startswith("{") and tok.endswith("}"):
         body = tok[1:-1].strip()
         items = _split_csv(body) if body else []
@@ -725,28 +766,45 @@ def _parse_value(tok: str):
             pairs = []
             for i in items:
                 k, v = _split_colon(i)
-                pairs.append((_parse_literal(k), _parse_literal(v)))
+                pairs.append((_parse_literal(k), lit(v.strip(), val_type)))
             return "map", pairs
-        return ("map", []) if not items else ("set", [_parse_literal(i) for i in items])
+        return ("map", []) if not items else (
+            "set", [lit(i, elem_type) for i in items]
+        )
     return "scalar", _parse_literal(tok)
 
 
 def _top_level_colon(item: str) -> bool:
-    quoted = False
+    """A colon outside quotes AND outside any bracket nesting — a struct
+    literal's field colons ({a: 1} as a set element) sit at depth > 0 and
+    must not read as a map separator."""
+    quoted, depth = False, 0
     for ch in item:
         if ch == "'":
             quoted = not quoted
-        elif ch == ":" and not quoted:
+        elif quoted:
+            continue
+        elif ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth -= 1
+        elif ch == ":" and depth == 0:
             return True
     return False
 
 
 def _split_colon(item: str) -> tuple[str, str]:
-    quoted = False
+    quoted, depth = False, 0
     for i, ch in enumerate(item):
         if ch == "'":
             quoted = not quoted
-        elif ch == ":" and not quoted:
+        elif quoted:
+            continue
+        elif ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth -= 1
+        elif ch == ":" and depth == 0:
             return item[:i], item[i + 1 :]
     raise CQLError(f"bad map entry: {item!r}")
 
@@ -1044,14 +1102,28 @@ class CqlTable:
             return typ
         return None
 
+    def _coll_elem_types(self, col: str) -> tuple[str | None, str | None]:
+        """(elem_type, val_type) for _parse_value: the declared element
+        type of a list/set column, or the VALUE type of a map column
+        (map keys stay scalar — the pinned envelope)."""
+        coll = self.schema.coll_regular.get(col)
+        if coll is None:
+            return None, None
+        kind, t1, t2 = coll
+        if kind == "map":
+            return None, t2
+        return t1, None
+
     def _parse_rhs(self, col: str, tok: str):
         """Type-aware right-hand-side parse: struct-typed columns take UDT /
         tuple / duration literals (→ one canonical-JSON scalar cell);
-        everything else parses type-blind as before."""
+        collections with struct element/value types canonicalize each
+        item through struct_json; everything else parses type-blind."""
         styp = self._struct_type_of(col)
         if styp is not None:
             return "scalar", struct_json(tok, styp)
-        return _parse_value(tok)
+        e, v = self._coll_elem_types(col)
+        return _parse_value(tok, elem_type=e, val_type=v)
 
     def _json_pairs(self, m: re.Match):
         """INSERT JSON document → the same parsed-pairs shape the VALUES
@@ -1611,7 +1683,13 @@ class CqlTable:
                 k = self._list_elem_at(pk, ckj, c, im.group(2).strip())
             else:
                 k = _parse_literal(im.group(2))
-            v = _parse_literal(im.group(3))
+            # the written element takes the list's element type or the
+            # map's VALUE type — struct-typed ones canonicalize to JSON
+            vtyp = coll[1] if coll[0] == "list" else coll[2]
+            if parse_struct_type(vtyp) is not None:
+                v = struct_json(im.group(3), vtyp)
+            else:
+                v = _parse_literal(im.group(3))
             if v is not None:
                 self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=k)
             else:
@@ -1624,7 +1702,9 @@ class CqlTable:
             coll = s.coll_regular.get(c)
             if coll is None or coll[0] != "list":
                 raise CQLError(f"prepend needs a list column: {assign!r}")
-            _, items = _parse_value(pm.group(2))
+            _, items = _parse_value(
+                pm.group(2), *self._coll_elem_types(c)
+            )
             # [x, y] + l: x sorts before y, both before everything existing
             n = len(items)
             for i, v in enumerate(items):
@@ -1646,7 +1726,7 @@ class CqlTable:
                 )
             ckind = coll[0]
             op = pm.group(3)
-            parsed = _parse_value(pm.group(4))
+            parsed = _parse_value(pm.group(4), *self._coll_elem_types(c))
             if op == "+":
                 self._emit_elements(pk, ckj, c, ckind, parsed, ts, ttl)
                 return
@@ -1685,7 +1765,7 @@ class CqlTable:
             raise CQLError(f"unknown column {c!r}")
         coll = s.coll_regular.get(c)
         if coll is not None:
-            parsed = _parse_value(am.group(2))
+            parsed = _parse_value(am.group(2), *self._coll_elem_types(c))
             if parsed[0] == "scalar":
                 if parsed[1] is not None:
                     raise CQLError(f"collection column {c!r} needs a collection literal")
@@ -3666,22 +3746,32 @@ class CqlTable:
             else:
                 aggs.append(F.max(cell_val).cast(typ).alias(c))
             aggs.append(F.max(cell_wt).alias(f"__writetime_{c}"))
+        def _cell_expr(src: str, typ: str) -> str:
+            # struct-typed elements store canonical JSON (round 11):
+            # from_json re-types them; a string cast can't build a struct
+            if parse_struct_type(typ) is not None:
+                return f"from_json({src}, '{typ}')"
+            return f"cast({src} AS {typ})"
+
         for c, (ckind, t1, t2) in s.coll_regular.items():
             if ckind == "list":
                 agg = F.expr(
                     f"transform(array_sort(collect_list(CASE WHEN col = '{c}' "
-                    f"THEN struct(elem, val) END)), x -> cast(x.val AS {t1}))"
+                    f"THEN struct(elem, val) END)), "
+                    f"x -> {_cell_expr('x.val', t1)})"
                 )
             elif ckind == "set":
                 agg = F.expr(
                     f"array_sort(array_distinct(collect_list("
-                    f"CASE WHEN col = '{c}' THEN cast(val AS {t1}) END)))"
+                    f"CASE WHEN col = '{c}' THEN {_cell_expr('val', t1)} "
+                    f"END)))"
                 )
             else:  # map: entries sorted by key for deterministic rendering
                 agg = F.expr(
                     f"map_from_entries(array_sort(collect_list("
                     f"CASE WHEN col = '{c}' THEN struct("
-                    f"cast(elem AS {t1}) AS key, cast(val AS {t2}) AS value) "
+                    f"cast(elem AS {t1}) AS key, "
+                    f"{_cell_expr('val', t2)} AS value) "
                     f"END)))"
                 )
             # an empty non-frozen collection IS null (reference semantics)

@@ -298,19 +298,31 @@ def parse_create_table(
         if c in pk_cols or c in clustering:
             continue
         mapped = _map_type(t, udts)
+        coll_p = (
+            parse_coll_type(mapped)
+            if re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
+            else None
+        )
         if (
             re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
-            and parse_coll_type(mapped) is None
+            and coll_p is None
         ):
-            # a collection whose element type is not a plain scalar (UDT/
-            # tuple/duration/nested collection): the snapshot pivot casts
-            # element strings and would fail at query time
-            # (AnalysisException) — mirror the key-column guard and reject
-            # at DDL time instead
+            # a collection whose element type is ITSELF a collection:
+            # the snapshot pivot stores one string per element cell and
+            # cannot reconstruct two nesting levels — reject at DDL time
+            # (struct elements — UDT/tuple/duration — are supported since
+            # round 11 via canonical-JSON element cells)
             raise CQLError(
-                f"collection column {c!r} must have scalar element types "
-                "(UDT/tuple/nested collections unsupported by the DML "
-                "front-end)"
+                f"collection column {c!r} must have scalar or UDT/tuple "
+                "element types (nested collections unsupported by the "
+                "DML front-end)"
+            )
+        if coll_p is not None and coll_p[0] == "map" and (
+            parse_struct_type(coll_p[1]) is not None
+        ):
+            raise CQLError(
+                f"map column {c!r} must have a scalar key type "
+                "(UDT/tuple map keys unsupported by the DML front-end)"
             )
         if t.strip().lower() == "counter":
             counter_cols += 1

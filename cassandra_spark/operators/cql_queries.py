@@ -2237,3 +2237,168 @@ def cql46_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token(l_orderkey, l_linenumber) AS tok FROM li "
         "WHERE token(l_orderkey, l_linenumber) > 0"
     )
+
+
+@query(
+    "cql48_tuple_relations",
+    oracle="""
+    SELECT o_custkey AS custkey, CAST(o_orderdate AS VARCHAR) AS odate,
+           o_orderkey AS okey, o_totalprice AS total
+    FROM orders
+    WHERE o_custkey IN (5, 16, 33, 52)
+      AND (CAST(o_orderdate AS VARCHAR), o_orderkey) >= ('1995-06-01', 0)
+    """,
+)
+def cql48_tuple_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column clustering relations in the CQL gate (`[C*
+    cql3/restrictions/MultiColumnRestriction, unverified]`): ``(odate,
+    okey) >= ('..', 0)`` compiles to the expanded per-column boolean form
+    the batch tier pins (p3_tuple_range) — fully pushdown-able, no struct
+    comparison at scan time — while DuckDB evaluates the native row
+    comparison, a true cross-engine differential of the expansion. The
+    in-body proof drives R9's keyset pager over one partition and checks
+    the tuple-relation spelling reproduces exactly the pager's remaining
+    rows after page one (the cursor IS a multi-column relation)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE cust_orders (custkey bigint, odate text, "
+        "okey bigint, total double, PRIMARY KEY (custkey, odate, okey))"
+    )
+    src = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_custkey").isin(5, 16, 33, 52))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("string").alias("odate"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    sess.table("cust_orders").bulk_load(src)
+
+    # keyset-paging parity: page 1 of the fullest partition, then the
+    # tuple relation from its last key must equal the pager's remainder
+    # (partition + page size are data-driven so every SF tier pages)
+    top = (
+        src.groupBy("custkey").count()
+        .orderBy(F.desc("count"), "custkey").first()
+    )
+    pk_val, n = int(top["custkey"]), int(top["count"])
+    assert n >= 2, "fixture needs a partition with at least two rows"
+    psize = max(1, min(8, n // 2))
+    stmt1 = (
+        f"SELECT custkey, odate, okey FROM cust_orders "
+        f"WHERE custkey = {pk_val}"
+    )
+    page = sess.execute_paged(stmt1, psize)
+    rows1 = page.df.collect()
+    assert len(rows1) == psize, "fixture must fill the first page"
+    last = rows1[-1]
+    rest_pager = []
+    state = page.paging_state()
+    while state is not None:
+        nxt = sess.execute_paged(stmt1, psize, state)
+        rest_pager.extend(nxt.df.collect())
+        state = nxt.paging_state()
+    rest_tuple = sess.execute(
+        f"SELECT odate, okey FROM cust_orders WHERE custkey = {pk_val} "
+        f"AND (odate, okey) > ('{last.odate}', {last.okey})"
+    ).collect()
+    assert {(r.odate, r.okey) for r in rest_pager} == {
+        (r.odate, r.okey) for r in rest_tuple
+    }, "tuple relation must reproduce the keyset cursor's remainder"
+
+    return sess.execute(
+        "SELECT custkey, odate, okey, total FROM cust_orders "
+        "WHERE custkey IN (5, 16, 33, 52) "
+        "AND (odate, okey) >= ('1995-06-01', 0)"
+    )
+
+
+@query(
+    "cql47_udt_columns",
+    oracle="""
+    SELECT p_partkey AS pk,
+           to_json({'name': p_name, 'size': p_size}) AS info,
+           to_json([{'c0': p_brand, 'c1': p_size},
+                    {'c0': p_type, 'c1': p_size + 1}]) AS variants,
+           CAST(100 AS BIGINT) AS wt
+    FROM part WHERE p_partkey <= 40
+    """,
+)
+def cql47_udt_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-collection columns in the session FE (`[C* cql3/CQL3Type —
+    frozen<udt> / frozen<tuple>, unverified]`): ``list<frozen<tuple<text,
+    int>>>`` and a ``frozen<udt>`` scalar round-trip through CQL literals
+    → canonical-JSON element cells in the mutation log → from_json
+    re-typing at snapshot. The oracle rebuilds the same structs natively
+    in DuckDB and compares the canonical JSON renderings byte-for-byte
+    (the w14 convention), plus the pinned WRITETIME shadow. In-body:
+    ALTER TYPE ADD interop (a field added to the UDT appears in new
+    writes while old cells read back unchanged) and element append."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TYPE pinfo (name text, size int)")
+    sess.execute(
+        "CREATE TABLE parts (pk bigint, info frozen<pinfo>, "
+        "variants list<frozen<tuple<text, int>>>, PRIMARY KEY (pk))"
+    )
+    rows = (
+        Catalog(spark, sf_dir)
+        .part.filter(F.col("p_partkey") <= 40)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .collect()
+    )  # bounded: <=41 rows through the (inherently driver-side) CQL FE
+    for r in rows:
+
+        def q(s: str) -> str:
+            return s.replace("'", "''")
+
+        sess.execute(
+            f"INSERT INTO parts (pk, info, variants) VALUES ({r.p_partkey}, "
+            f"{{name: '{q(r.p_name)}', size: {r.p_size}}}, "
+            f"[('{q(r.p_brand)}', {r.p_size})]) USING TIMESTAMP 100"
+        )
+        # element append is a first-class collection write, same shadow
+        sess.execute(
+            f"UPDATE parts USING TIMESTAMP 100 SET variants = variants + "
+            f"[('{q(r.p_type)}', {r.p_size + 1})] WHERE pk = {r.p_partkey}"
+        )
+
+    # ALTER TYPE ADD interop: new writes carry the field, old cells are
+    # untouched (asserted against pinned JSON, not part of the oracle)
+    sess.execute("ALTER TYPE pinfo ADD grade text")
+    sess.execute(
+        "INSERT INTO parts (pk, info) VALUES "
+        "(999999, {name: 'new', size: 1, grade: 'a'}) USING TIMESTAMP 100"
+    )
+    js = {
+        r.pk: r.j
+        for r in sess.execute("SELECT pk, info FROM parts")
+        .select("pk", F.to_json("info").alias("j"))
+        .collect()
+        if r.pk in (999999, rows[0].p_partkey)
+    }
+    assert js[999999] == '{"name":"new","size":1,"grade":"a"}', js
+    first = rows[0]
+    assert js[first.p_partkey] == (
+        '{"name":"%s","size":%d}' % (first.p_name, first.p_size)
+    ), js
+    # pinned-timestamp session: the tombstone must outrank the @100 writes
+    sess.execute("DELETE FROM parts USING TIMESTAMP 200 WHERE pk = 999999")
+
+    snap = sess.execute("SELECT pk, info, variants, WRITETIME(info) AS wt "
+                        "FROM parts")
+    return snap.select(
+        "pk",
+        F.to_json("info").alias("info"),
+        F.to_json("variants").alias("variants"),
+        "wt",
+    )

@@ -157,15 +157,18 @@ def test_drop_type_guards_nested_and_collection_use():
     sess.execute("DROP TYPE address")  # now free
 
     sess.execute("CREATE TYPE address (street text, city text)")
-    with pytest.raises(CQLError, match="scalar element"):
+    # collection-of-UDT columns are SUPPORTED since round 11 — and a
+    # type used only inside a collection element still blocks DROP TYPE
+    sess.execute(
+        "CREATE TABLE tl (k text PRIMARY KEY, addrs list<frozen<address>>)"
+    )
+    with pytest.raises(CQLError, match="in use"):
+        sess.execute("DROP TYPE address")
+    # nested collections stay rejected
+    with pytest.raises(CQLError, match="nested collections"):
         sess.execute(
             "CREATE TABLE t (k text PRIMARY KEY, "
-            "addrs list<frozen<address>>)"
-        )
-    with pytest.raises(CQLError, match="scalar element"):
-        sess.execute(
-            "CREATE TABLE t (k text PRIMARY KEY, "
-            "m map<text, frozen<address>>)"
+            "m map<text, frozen<list<int>>>)"
         )
     # plain scalar collections still pass
     sess.execute(
