@@ -530,14 +530,14 @@ _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>\w+)\s+AS\s+SELECT\s+(?P<cols>[\w\s,*]+?)\s+FROM\s+"
+    r"(?P<name>[\w.]+)\s+AS\s+SELECT\s+(?P<cols>[\w\s,*]+?)\s+FROM\s+"
     r"(?P<base>[\w.]+)\s+WHERE\s+(?P<where>.+?)\s+"
     r"PRIMARY\s+KEY\s*\((?P<pk>.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MV_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
-    r"(?P<name>\w+)\s*;?\s*$",
+    r"(?P<name>[\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1018,19 +1018,20 @@ class CqlSession:
         self.role_perms: dict[str, set[tuple[str, str]]] = {}
         self.current_role: str = "cassandra"
         # materialized views (`[C* db/view/View, cql3/statements/
-        # CreateViewStatement, unverified]`): name -> (base table, view
-        # partition key, clustering tuple, selected cols or None for *)
+        # CreateViewStatement, unverified]`): qualified "ks.view" ->
+        # (base registry key, view partition key, clustering tuple,
+        # selected cols or None for *); a view must live in its base's
+        # keyspace, like the reference
         self.mat_views: dict[str, tuple] = {}
         # keyspaces (`[C* schema/KeyspaceParams, locator/
         # AbstractReplicationStrategy, unverified]`): name -> parsed
-        # replication params. PINNED REDUCTION, documented: table names
-        # stay unique ACROSS keyspaces (one flat registry tagged by
-        # keyspace), so cross-keyspace name reuse is rejected at CREATE
-        # rather than silently shadowed.
+        # replication params. Since round 11 the table registry keys by
+        # the QUALIFIED "keyspace.table" name, so ks1.t and ks2.t
+        # coexist — the reference's per-keyspace schema (the earlier
+        # flat-namespace reduction is lifted).
         self.keyspaces: dict[str, dict] = {
             "session": {"class": "SimpleStrategy", "replication_factor": 1}
         }
-        self.table_keyspace: dict[str, str] = {}
         self.current_ks: str | None = "session"
         # --- query tracing (`[C* tracing/Tracing, TraceKeyspace,
         # unverified]`): recorded (session_row, [event_rows]) pairs
@@ -1082,24 +1083,38 @@ class CqlSession:
         self.client_warnings.clear()
         return out
 
+    # --- registry keys (round 11): tables key by the QUALIFIED
+    # "keyspace.table" name, so ks1.t and ks2.t coexist like the
+    # reference's per-keyspace schema. Every per-table side registry
+    # (indexes, masks, triggers, MVs, SAI artifacts) uses the same key.
+
+    @staticmethod
+    def _key_ks(key: str) -> str:
+        """Keyspace component of a registry key."""
+        return key.partition(".")[0]
+
+    @staticmethod
+    def _key_bare(key: str) -> str:
+        """Bare table name of a registry key."""
+        return key.partition(".")[2]
+
     def create_table(
         self, schema: TableSchema, keyspace: str | None = None
     ) -> CqlTable:
         ks = keyspace or self.current_ks
         if ks is None:
             raise CQLError("no keyspace selected (USE <keyspace> first)")
-        if schema.name in self.mat_views:
+        key = f"{ks}.{schema.name}"
+        if key in self.mat_views:
             raise CQLError(
                 f"{schema.name!r} is a materialized view"
             )
-        if schema.name in self.tables:
-            owner = self.table_keyspace.get(schema.name, "session")
+        if key in self.tables:
             raise CQLError(
-                f"table {schema.name!r} already exists"
-                + (f" in keyspace {owner!r}" if owner != ks else "")
+                f"table {schema.name!r} already exists in keyspace {ks!r}"
             )
         spill = (
-            os.path.join(self.spill_dir, schema.name)
+            os.path.join(self.spill_dir, f"{ks}_{schema.name}")
             if self.spill_dir is not None
             else None
         )
@@ -1117,15 +1132,15 @@ class CqlSession:
             len(schema.regular) + len(schema.static) + len(schema.key_cols),
             f"columns in table {schema.name!r}",
         )
-        self.table_keyspace[schema.name] = ks
         if schema.masks:
-            self.masks.setdefault(schema.name, {}).update(schema.masks)
-        self.tables[schema.name] = t
+            self.masks.setdefault(key, {}).update(schema.masks)
+        self.tables[key] = t
         return t
 
     def _resolve(self, name: str) -> str:
-        """Bare or ``ks.table`` qualified name -> registry key, validating
-        the keyspace tag. Bare names need a selected keyspace (USE)."""
+        """Bare or ``ks.table`` qualified name -> the qualified registry
+        key, validating the keyspace tag. Bare names scope to the
+        current keyspace (USE)."""
         n = name.lower()
         if "." in n:
             ks, _, t = n.partition(".")
@@ -1134,24 +1149,12 @@ class CqlSession:
                 return n  # virtual keyspaces pass through
             if ks not in self.keyspaces:
                 raise CQLError(f"unknown keyspace {ks!r}")
-            if self.table_keyspace.get(t, "session") != ks:
-                raise CQLError(f"unknown table {name!r}")
-            return t
+            return n
         if self.current_ks is None:
             raise CQLError(
                 "no keyspace selected (USE <keyspace> first)"
             )
-        if (
-            n in self.tables
-            and self.table_keyspace.get(n, "session") != self.current_ks
-        ):
-            # a bare name only sees the CURRENT keyspace (the fuzz
-            # harness caught the session resolving session-owned tables
-            # while USE'd into another keyspace)
-            raise CQLError(
-                f"unknown table {name!r} in keyspace {self.current_ks!r}"
-            )
-        return n
+        return f"{self.current_ks}.{n}"
 
     def table(self, name: str) -> CqlTable:
         key = self._resolve(name)
@@ -1160,7 +1163,12 @@ class CqlSession:
         except KeyError:
             raise CQLError(f"unknown table {name!r}") from None
 
-    def _meta(self, schema: TableSchema) -> TableMeta:
+    def _meta(self, schema: TableSchema, key: str | None = None) -> TableMeta:
+        """TableMeta for a session table; ``key`` is the qualified
+        registry key the index registries are filed under (defaults to
+        the current keyspace's key for the schema's name)."""
+        if key is None:
+            key = f"{self.current_ks or 'session'}.{schema.name}"
         return TableMeta(
             name=schema.name,
             partition_key=tuple(schema.partition_cols),
@@ -1168,15 +1176,15 @@ class CqlSession:
                 ("-" + c) if c in schema.clustering_desc else c
                 for c in schema.clustering
             ),
-            indexed=tuple(sorted(self.indexes.get(schema.name, ()))),
-            indexed_keys=tuple(sorted(self.key_indexes.get(schema.name, ()))),
-            indexed_sai=tuple(sorted(self.sai_indexes.get(schema.name, ()))),
+            indexed=tuple(sorted(self.indexes.get(key, ()))),
+            indexed_keys=tuple(sorted(self.key_indexes.get(key, ()))),
+            indexed_sai=tuple(sorted(self.sai_indexes.get(key, ()))),
             indexed_entries=tuple(
-                sorted(self.entry_indexes.get(schema.name, ()))
+                sorted(self.entry_indexes.get(key, ()))
             ),
-            indexed_full=tuple(sorted(self.full_indexes.get(schema.name, ()))),
+            indexed_full=tuple(sorted(self.full_indexes.get(key, ()))),
             sai_similarity=tuple(
-                sorted(self.sai_similarity.get(schema.name, {}).items())
+                sorted(self.sai_similarity.get(key, {}).items())
             ),
         )
 
@@ -1249,21 +1257,16 @@ class CqlSession:
         collection. The scan strategy itself stays
         Spark's — an index here changes semantics, not physical access
         (SURVEY §2.1 R5/R6: Z-order / bucketing is the perf analogue)."""
-        tname = m.group("table").lower()
-        if tname in self.tables:
-            # keyspace scoping applies to session tables (bare names see
-            # only the current keyspace; qualified names validate tags)
-            tname = self._resolve(m.group("table"))
-        elif "." in tname:
-            # qualified session-table name: resolve to the registry key;
-            # anything unresolvable falls to the catalog handler, which
-            # rejects unknown names with its own message
-            try:
-                tname = self._resolve(m.group("table"))
-            except CQLError:
-                pass
+        raw = m.group("table").lower()
+        try:
+            tname = self._resolve(raw)
+        except CQLError:
+            tname = raw
         if tname not in self.tables:
-            return self._create_catalog_index(m, tname)
+            # catalog (parquet-corpus) tables register under their bare
+            # names — keyspace-less, so no key collision with the
+            # qualified session registry
+            return self._create_catalog_index(m, raw)
         # the reference requires ALTER on the table to manage its indexes
         self._check_perm("ALTER", tname)
         table = self.tables[tname]
@@ -1305,8 +1308,8 @@ class CqlSession:
             name = (m.group("name") or f"{s.name}_{col}_idx").lower()
             if name in self.index_names:
                 raise CQLError(f"index {name!r} already exists")
-            self.sai_indexes.setdefault(s.name, set()).add(col)
-            self.index_names[name] = (s.name, col, "sai")
+            self.sai_indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "sai")
             # vector<T, n> maps to list<T> in the session schema; the
             # float/double element bound is the vector-typed subset
             typ = (s.regular | s.static).get(col, "")
@@ -1316,7 +1319,7 @@ class CqlSession:
                 bool(re.match(r"(list|array)<(float|double)", typ)),
             )
             if fn:
-                self.sai_similarity.setdefault(s.name, {})[col] = fn
+                self.sai_similarity.setdefault(tname, {})[col] = fn
             return
         if col in s.partition_cols:
             raise CQLError(f"cannot index partition key column {col!r}")
@@ -1353,17 +1356,17 @@ class CqlSession:
         if name in self.index_names:
             raise CQLError(f"index {name!r} already exists")
         if kind == "KEYS":
-            self.key_indexes.setdefault(s.name, set()).add(col)
-            self.index_names[name] = (s.name, col, "keys")
+            self.key_indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "keys")
         elif kind == "ENTRIES":
-            self.entry_indexes.setdefault(s.name, set()).add(col)
-            self.index_names[name] = (s.name, col, "entries")
+            self.entry_indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "entries")
         elif kind == "FULL":
-            self.full_indexes.setdefault(s.name, set()).add(col)
-            self.index_names[name] = (s.name, col, "full")
+            self.full_indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "full")
         else:
-            self.indexes.setdefault(s.name, set()).add(col)
-            self.index_names[name] = (s.name, col, "values")
+            self.indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "values")
 
     def _create_catalog_index(self, m: re.Match, tname: str) -> None:
         """CREATE CUSTOM INDEX on a CATALOG (parquet-corpus) table — the
@@ -1445,7 +1448,8 @@ class CqlSession:
         else:
             from cassandra_spark.catalog import SCHEMA
 
-            meta = SCHEMA.get(key)
+            # catalog tables are keyspace-less: fall back to the bare name
+            meta = SCHEMA.get(self._key_bare(key) if "." in key else key)
             if meta is None:
                 return
             pk_cols = meta.partition_key
@@ -1483,7 +1487,7 @@ class CqlSession:
             return {c.lower() for c in s.key_cols}
         from cassandra_spark.catalog import SCHEMA
 
-        meta = SCHEMA.get(key)
+        meta = SCHEMA.get(self._key_bare(key) if "." in key else key)
         if meta is None:
             return set()
         return {
@@ -1723,6 +1727,8 @@ class CqlSession:
             set(self.indexes) | set(self.key_indexes) | set(self.sai_indexes)
         )
         for tname in indexed - set(self.tables):
+            if "." in tname:
+                continue  # qualified session keys are never catalog tables
             try:
                 df, meta = cat.table(tname), cat.meta(tname)
             except KeyError:
@@ -1766,6 +1772,7 @@ class CqlSession:
         dropped-column timestamp machinery, which exists to make a
         re-added name not resurrect old cells; eager purge gives the same
         visible behavior."""
+        key = self._resolve(m.group("table"))
         table = self.table(m.group("table"))
         s = table.schema
         if s.counter:
@@ -1794,7 +1801,7 @@ class CqlSession:
             ):
                 raise CQLError(f"unknown column {col!r} in {s.name!r}")
             if m.group("unmaskcol"):
-                self.masks.get(s.name, {}).pop(col, None)
+                self.masks.get(key, {}).pop(col, None)
                 return
             fn = m.group("maskfn").lower()
             if fn not in (
@@ -1803,7 +1810,7 @@ class CqlSession:
             ):
                 raise CQLError(f"unknown masking function {fn!r}")
             args = m.group("maskargs").strip()
-            self.masks.setdefault(s.name, {})[col] = (
+            self.masks.setdefault(key, {})[col] = (
                 f"{fn}({col}, {args})" if args else f"{fn}({col})"
             )
             return
@@ -1830,9 +1837,9 @@ class CqlSession:
                 self.indexes, self.key_indexes, self.entry_indexes,
                 self.full_indexes, self.sai_indexes,
             ):
-                if src in idx.get(s.name, set()):
+                if src in idx.get(key, set()):
                     raise CQLError(f"cannot rename indexed column {src!r}")
-            if any(v[0] == s.name for v in self.mat_views.values()):
+            if any(v[0] == key for v in self.mat_views.values()):
                 raise CQLError(
                     "cannot rename a column on a table with "
                     "materialized views (they select its key columns)"
@@ -1874,13 +1881,13 @@ class CqlSession:
         else:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
         table.drop_column_cells(col)
-        self.indexes.get(s.name, set()).discard(col)
-        self.key_indexes.get(s.name, set()).discard(col)
-        self.sai_indexes.get(s.name, set()).discard(col)
+        self.indexes.get(key, set()).discard(col)
+        self.key_indexes.get(key, set()).discard(col)
+        self.sai_indexes.get(key, set()).discard(col)
         self.index_names = {
             n: v
             for n, v in self.index_names.items()
-            if not (v[0] == s.name and v[1] == col)
+            if not (v[0] == key and v[1] == col)
         }
 
     def prepare(self, text: str) -> PreparedStatement:
@@ -1921,8 +1928,9 @@ class CqlSession:
                 "paged execution supports plain SELECT ... [WHERE ...] only"
             )
         df = self.execute(stmt)
-        if s.table in self.tables:
-            meta = self._meta(self.tables[s.table].schema)
+        tkey = self._resolve(s.table)
+        if tkey in self.tables:
+            meta = self._meta(self.tables[tkey].schema, tkey)
         else:
             from cassandra_spark.catalog import SCHEMA
 
@@ -2131,8 +2139,11 @@ class CqlSession:
                 keyspace, scope = name.split(".", 1)
             else:
                 scope = name
-                if name in self.tables:
-                    keyspace = self.table_keyspace.get(name, "session")
+                if (
+                    self.current_ks is not None
+                    and f"{self.current_ks}.{name}" in self.tables
+                ):
+                    keyspace = self.current_ks
         return cat, typ, keyspace, scope
 
     def _audit_passes(self, category: str, keyspace) -> bool:
@@ -2229,11 +2240,11 @@ class CqlSession:
         read path's value-Bloom probe counters (segments consulted /
         skipped by indexed-equality reads)."""
         rows = [
-            (self.table_keyspace.get(name, "session"), name,
+            (self._key_ks(key), self._key_bare(key),
              len(t._log), len(t._segments),
              t.bloom_stats["checked"], t.bloom_stats["skipped"],
              t.index_stats["checked"], t.index_stats["skipped"])
-            for name, t in sorted(self.tables.items())
+            for key, t in sorted(self.tables.items())
         ]
         schema = (
             "keyspace_name string, table_name string, memtable_rows long, "
@@ -2312,9 +2323,12 @@ class CqlSession:
             return
         resources = {"data"}
         if table is not None:
-            tks = self.table_keyspace.get(table.lower(), "session")
+            key = table.lower()
+            if "." not in key and self.current_ks is not None:
+                key = f"{self.current_ks}.{key}"
+            tks, tname = self._key_ks(key), self._key_bare(key)
             resources.add(f"data/{tks}")
-            resources.add(f"data/{tks}/{table.lower()}")
+            resources.add(f"data/{tks}/{tname}")
         elif self.current_ks is not None:
             resources.add(f"data/{self.current_ks}")
         for r in roles:
@@ -2367,21 +2381,21 @@ class CqlSession:
                 raise CQLError(f"unknown keyspace {ks!r}")
             return f"data/{ks}"
         t = r.split()[-1].lower()
-        t = self._resolve(t) if "." in t else t
-        if t not in self.tables:
+        key = self._resolve(t)
+        if key not in self.tables:
             # catalog (parquet-corpus) tables are grantable resources too
             # — index DDL on them is ALTER-gated, so ALTER must be
             # grantable on them (symmetry with the check)
-            if self.sf_dir is not None:
+            if self.sf_dir is not None and "." not in t:
                 from cassandra_spark.catalog import Catalog
 
                 try:
                     Catalog(self.spark, self.sf_dir).meta(t)
                 except KeyError:
                     raise CQLError(f"unknown table {t!r}") from None
-                return f"data/{self.table_keyspace.get(t, 'session')}/{t}"
+                return f"data/session/{t}"
             raise CQLError(f"unknown table {t!r}")
-        return f"data/{self.table_keyspace.get(t, 'session')}/{t}"
+        return f"data/{self._key_ks(key)}/{self._key_bare(key)}"
 
     def _auth_stmt(self, stmt: str) -> DataFrame | None:
         cm = _CREATE_ROLE_RE.match(stmt)
@@ -2525,7 +2539,7 @@ class CqlSession:
         m = _CREATE_MV_RE.match(stmt)
         if not m:
             raise CQLError(f"unsupported CREATE MATERIALIZED VIEW: {stmt!r}")
-        name = m.group("name").lower()
+        name = self._resolve(m.group("name"))
         if name in self.mat_views:
             if re.search(r"IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE):
                 return None
@@ -2535,6 +2549,11 @@ class CqlSession:
         # resolve: a qualified base must key (and permission-check) the
         # same registry entry the bare name does
         base = self._resolve(m.group("base"))
+        if self._key_ks(name) != self._key_ks(base):
+            raise CQLError(
+                "a materialized view must be in the same keyspace as "
+                "its base table"
+            )
         bt = self.tables.get(base)
         if bt is None:
             raise CQLError(f"unknown table {m.group('base')!r}")
@@ -2617,7 +2636,7 @@ class CqlSession:
                 df = df.select(*sel)
             out[name] = (
                 df,
-                TableMeta(name, (vpk,), tuple(vck)),
+                TableMeta(self._key_bare(name), (vpk,), tuple(vck)),
             )
         return out
 
@@ -2799,7 +2818,7 @@ class CqlSession:
                         ) from None
                 # fully qualify: the generated INSERT must resolve to the
                 # SAME table regardless of the session's current keyspace
-                qname = f"{self.table_keyspace.get(name, 'session')}.{name}"
+                qname = name if "." in name else f"{self.current_ks}.{name}"
                 inserts.append(
                     f"INSERT INTO {qname} "
                     f"({', '.join(c for c, _ in pairs)}) "
@@ -2865,14 +2884,13 @@ class CqlSession:
                     return None
                 raise CQLError(f"unknown keyspace {name!r}")
             owned = [
-                t for t, ks in self.table_keyspace.items() if ks == name
+                k for k in self.tables if self._key_ks(k) == name
             ]
-            for t in owned:
+            for k in owned:
                 # qualified: bare names resolve against current_ks, so
                 # dropping a non-current keyspace's tables would raise
                 # "unknown table" (round-6 ADVICE)
-                self._execute_stmt(f"DROP TABLE {name}.{t}")
-                self.table_keyspace.pop(t, None)
+                self._execute_stmt(f"DROP TABLE {k}")
             self.mat_views = {
                 v: spec
                 for v, spec in self.mat_views.items()
@@ -2888,7 +2906,7 @@ class CqlSession:
             dm = _DROP_MV_RE.match(stmt)
             if not dm:
                 raise CQLError(f"unsupported DROP MATERIALIZED VIEW: {stmt!r}")
-            name = dm.group("name").lower()
+            name = self._resolve(dm.group("name"))
             if name not in self.mat_views:
                 if dm.group("ie"):
                     return None
@@ -3141,7 +3159,7 @@ class CqlSession:
             schema = parse_create_table(stmt, self.types)
             if re.match(
                 r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.IGNORECASE
-            ) and schema.name in self.tables:
+            ) and f"{target_ks or self.current_ks}.{schema.name}" in self.tables:
                 return None
             self._check_perm("CREATE")
             self.create_table(schema, keyspace=target_ks)
@@ -3149,8 +3167,8 @@ class CqlSession:
         if head.startswith("SELECT"):
             snapshots = self._catalog_overrides()
             snapshots.update(
-                (name, (t.snapshot(), self._meta(t.schema)))
-                for name, t in self.tables.items()
+                (key, (t.snapshot(), self._meta(t.schema, key)))
+                for key, t in self.tables.items()
             )
             snapshots.update(self._mv_snapshots())
             # system.* / system_schema.* virtual tables: built only when
@@ -3172,14 +3190,27 @@ class CqlSession:
                         ("table_name", "range_start", "range_end"),
                     ),
                 )
-            # qualified ks.table aliases for every session table, so
-            # SELECT ... FROM ks.t resolves (tag validated by _resolve)
-            for tname, t in self.tables.items():
-                ks = self.table_keyspace.get(tname, "session")
-                snapshots[f"{ks}.{tname}"] = snapshots[tname]
+            # bare aliases for CURRENT-keyspace tables/views, so
+            # SELECT ... FROM t resolves under USE scoping (registry
+            # keys are qualified since round 11)
+            for key in list(snapshots):
+                if (
+                    "." in key
+                    and self._key_ks(key) == self.current_ks
+                ):
+                    snapshots[self._key_bare(key)] = snapshots[key]
             fm_ = re.search(r"\bFROM\s+([\w.]+)", stmt, re.IGNORECASE)
             if fm_:
                 key = self._resolve(fm_.group(1))
+                if (
+                    "." in fm_.group(1)
+                    and self._key_ks(key) in self.keyspaces
+                    and key not in snapshots
+                ):
+                    # an explicitly-qualified name must exist under that
+                    # keyspace (catalog tables are keyspace-less and
+                    # always addressed bare)
+                    raise CQLError(f"unknown table {fm_.group(1)!r}")
                 self._check_in_guardrail(stmt, key)
                 self._check_select_guardrails(stmt, key)
                 if key in self.tables:
@@ -3207,11 +3238,11 @@ class CqlSession:
                         # fall back to the full scan above that size
                         pruned = (
                             t.snapshot(pk_in=pks),
-                            self._meta(t.schema),
+                            self._meta(t.schema, key),
                         )
                         snapshots[key] = pruned
-                        ks_ = self.table_keyspace.get(key, "session")
-                        snapshots[f"{ks_}.{key}"] = pruned
+                        if self._key_ks(key) == self.current_ks:
+                            snapshots[self._key_bare(key)] = pruned
                 elif key in self.mat_views:
                     # view reads are reads of the base table's data
                     self._check_perm("SELECT", self.mat_views[key][0])
@@ -3254,7 +3285,7 @@ class CqlSession:
             # keyspace A must not let a role grant UNMASK on keyspace B
             self._check_perm_on(
                 "AUTHORIZE",
-                f"data/{self.table_keyspace.get(t, 'session')}/{t}",
+                f"data/{self._key_ks(t)}/{self._key_bare(t)}",
             )
             if um.group("verb").upper() == "GRANT":
                 self.unmasked.add(t)
@@ -3287,10 +3318,10 @@ class CqlSession:
             r"\bIF\b", re.sub(r"'[^']*'", "''", stmt), re.IGNORECASE
         ):
             self._check_perm("SELECT", tkey)
-        if tm.group(1).lower() != tkey:
+        if tm.group(1).lower() != self._key_bare(tkey):
             # strip the keyspace qualifier for the table's own DML parser
             stmt = (
-                stmt[: tm.start(1)] + tkey + stmt[tm.end(1):]
+                stmt[: tm.start(1)] + self._key_bare(tkey) + stmt[tm.end(1):]
             )
         t_ = self.tables.get(tkey)
         if t_ is None:
@@ -3383,7 +3414,9 @@ class CqlSession:
                 n: list(v) for n, v in self.index_names.items()
             },
             "keyspaces": self.keyspaces,
-            "table_keyspace": self.table_keyspace,
+            "table_keyspace": {
+                k: self._key_ks(k) for k in self.tables
+            },
             "mat_views": {
                 v: [spec[0], spec[1], list(spec[2]), spec[3]]
                 for v, spec in self.mat_views.items()
@@ -3395,7 +3428,9 @@ class CqlSession:
             if t._log and t.spill_dir is None:
                 import tempfile
 
-                t.spill_dir = tempfile.mkdtemp(prefix=f"cql-snap-{name}-")
+                t.spill_dir = tempfile.mkdtemp(
+                    prefix=f"cql-snap-{name.replace(chr(46), chr(95))}-"
+                )
             t.flush()
             tdir = os.path.join(out_dir, name)
             os.makedirs(tdir, exist_ok=True)
@@ -3550,6 +3585,15 @@ class CqlSession:
             )
         for name, entry in manifest["tables"].items():
             sch = entry["schema"]
+            target_ks = (
+                self._key_ks(name)
+                if "." in name
+                else restored_tags.get(name) or self.current_ks or "session"
+            )
+            if target_ks not in self.keyspaces:
+                self.keyspaces[target_ks] = {
+                    "class": "SimpleStrategy", "replication_factor": 1,
+                }
             t = self.create_table(
                 TableSchema(
                     name=sch["name"],
@@ -3584,11 +3628,12 @@ class CqlSession:
                     cdc=sch.get("cdc", False),
                     gc_grace_seconds=sch.get("gc_grace_seconds", 864_000),
                     comment=sch.get("comment", ""),
-                )
+                ),
+                keyspace=target_ks,
             )
             if t.spill_dir is None:
                 t.spill_dir = tempfile.mkdtemp(
-                    prefix=f"cql-restore-{name}-"
+                    prefix=f"cql-restore-{name.replace(chr(46), chr(95))}-"
                 )
             os.makedirs(t.spill_dir, exist_ok=True)
             from cassandra_spark.operators.bloom import sidecar_path
@@ -3623,8 +3668,6 @@ class CqlSession:
             t._clock, t._seq = st["clock"], st["seq"]
             t._max_wt, t._seg_counter = st["max_wt"], st["seg_counter"]
             t._pos, t._neg = st["pos"], st["neg"]
-            if name in restored_tags:
-                self.table_keyspace[name] = restored_tags[name]
         for iname, (tbl, col, kind) in manifest["indexes"].items():
             self.index_names[iname] = (tbl, col, kind)
             target = {
@@ -3711,8 +3754,10 @@ class CqlSession:
         DESCRIBE, CASSANDRA-14825, unverified]`), including attached
         masks, WITH options, and CLUSTERING ORDER BY when any clustering
         column is declared DESC."""
+        if name not in self.tables:
+            name = self._resolve(name)
         t = self.tables[name]
-        ksname = self.table_keyspace.get(name, "session")
+        ksname = self._key_ks(name)
         s = t.schema
         masks = self.masks.get(name, {})
         lines = []
@@ -3805,7 +3850,7 @@ class CqlSession:
             )
         opts = " WITH " + " AND ".join(clauses) if clauses else ""
         return (
-            f"CREATE TABLE {ksname}.{name} (\n"
+            f"CREATE TABLE {ksname}.{self._key_bare(name)} (\n"
             + ",\n".join(lines)
             + f"\n){opts};"
         )
@@ -3834,7 +3879,7 @@ class CqlSession:
             ]
         elif what.upper() == "TABLES":
             rows = [
-                (self.table_keyspace.get(n, "session"), "table", n,
+                (self._key_ks(n), "table", self._key_bare(n),
                  self._table_ddl(n))
                 for n in sorted(self.tables)
             ]
@@ -3843,11 +3888,22 @@ class CqlSession:
             # qualified targets resolve through the registry like every
             # other statement; bare names keep their historical behavior
             # (DESCRIBE is a whole-registry reflection surface)
-            name = self._resolve(raw) if "." in raw else raw.lower()
+            name = self._resolve(raw)
+            if name not in self.tables and "." not in raw:
+                # DESCRIBE is a whole-registry reflection surface: a bare
+                # name not in the current keyspace still describes when
+                # it names exactly one table across keyspaces
+                matches = [
+                    k for k in self.tables
+                    if self._key_bare(k) == raw.lower()
+                ]
+                if len(matches) == 1:
+                    name = matches[0]
             if name not in self.tables:
                 raise CQLError(f"unknown table {raw!r}")
-            tks = self.table_keyspace.get(name, "session")
-            rows = [(tks, "table", name, self._table_ddl(name))]
+            tks = self._key_ks(name)
+            rows = [(tks, "table", self._key_bare(name),
+                     self._table_ddl(name))]
             for iname, (tbl, col, kind) in sorted(self.index_names.items()):
                 if tbl == name:
                     target = (
@@ -3871,7 +3927,8 @@ class CqlSession:
                  f"CREATE TYPE session.{n} ...;  -- struct: {s}")
                 for n, s in sorted(self.types.items())
             ] + [
-                ("session", "table", n, self._table_ddl(n))
+                (self._key_ks(n), "table", self._key_bare(n),
+                 self._table_ddl(n))
                 for n in sorted(self.tables)
             ]
         return self.spark.createDataFrame(
@@ -3942,8 +3999,8 @@ class CqlSession:
                     ),
                 )
                 .select(
-                    F.lit("session").alias("keyspace_name"),
-                    F.lit(name).alias("table_name"),
+                    F.lit(self._key_ks(name)).alias("keyspace_name"),
+                    F.lit(self._key_bare(name)).alias("table_name"),
                     F.expr(f"CASE {start_arms} END").alias("range_start"),
                     F.expr(f"CASE {end_arms} END").alias("range_end"),
                     "mean_partition_size",
@@ -3982,22 +4039,26 @@ class CqlSession:
         peers = spark.createDataFrame(
             [], "peer string, data_center string, release_version string"
         )
-        trows = [("session", name) for name in sorted(self.tables)]
+        trows = [
+            (self._key_ks(k), self._key_bare(k))
+            for k in sorted(self.tables)
+        ]
         tables_df = spark.createDataFrame(
             trows, "keyspace_name string, table_name string"
         )
         crows = []
-        for name in sorted(self.tables):
-            s = self.tables[name].schema
+        for key in sorted(self.tables):
+            s = self.tables[key].schema
+            tks, name = self._key_ks(key), self._key_bare(key)
             for c in s.partition_cols:
-                crows.append(("session", name, c, "partition_key",
+                crows.append((tks, name, c, "partition_key",
                               s.key_type(c)))
             for c in s.clustering:
-                crows.append(("session", name, c, "clustering", s.key_type(c)))
+                crows.append((tks, name, c, "clustering", s.key_type(c)))
             for c, t in sorted(s.regular.items()):
-                crows.append(("session", name, c, "regular", t))
+                crows.append((tks, name, c, "regular", t))
             for c, t in sorted(s.static.items()):
-                crows.append(("session", name, c, "static", t))
+                crows.append((tks, name, c, "static", t))
         cols_schema = (
             "keyspace_name string, table_name string, column_name string, "
             "kind string, type string"
@@ -4033,7 +4094,10 @@ class CqlSession:
             "fold_template string",
         )
         irows = [
-            ("session", tbl, iname,
+            # catalog-table indexes key by bare name (keyspace-less →
+            # shown under 'session'); session tables by qualified key
+            (self._key_ks(tbl) if "." in tbl else "session",
+             self._key_bare(tbl) if "." in tbl else tbl, iname,
              "CUSTOM" if kind == "sai" else "COMPOSITES",
              (f"{kind.upper()}({col})"
               if kind in ("keys", "entries", "full") else col))
@@ -4079,7 +4143,7 @@ class CqlSession:
             "system_schema.triggers": (
                 spark.createDataFrame(
                     [
-                        (self.table_keyspace.get(tbl, "session"), tbl,
+                        (self._key_ks(tbl), self._key_bare(tbl),
                          name, cls)
                         for tbl, trigs in sorted(self.triggers.items())
                         for name, cls in sorted(trigs.items())
@@ -4134,8 +4198,8 @@ class CqlSession:
                     [
                         (
                             seq,
-                            self.table_keyspace.get(tbl, "session"),
-                            tbl, tag, at, n_in, n_out,
+                            self._key_ks(tbl),
+                            self._key_bare(tbl), tag, at, n_in, n_out,
                             b_in, b_out, r_in, r_out,
                         )
                         for tbl, t_ in sorted(self.tables.items())
@@ -4172,7 +4236,8 @@ class CqlSession:
             "system_schema.views": (
                 spark.createDataFrame(
                     [
-                        ("session", name, base)
+                        (self._key_ks(name), self._key_bare(name),
+                         self._key_bare(base))
                         for name, (base, _, _, _) in sorted(
                             self.mat_views.items()
                         )
@@ -4417,8 +4482,9 @@ class CqlSession:
                 raise CQLError(f"unsupported statement in batch: {sub!r}")
             key = self._resolve(tm.group(1))
             names.append(key)
-            if tm.group(1).lower() != key:
-                subs[i] = sub[: tm.start(1)] + key + sub[tm.end(1):]
+            bare = self._key_bare(key)
+            if tm.group(1).lower() != bare:
+                subs[i] = sub[: tm.start(1)] + bare + sub[tm.end(1):]
         stmt = (
             stmt[: bm.start("body")]
             + "; ".join(subs) + "; "
@@ -4442,7 +4508,7 @@ class CqlSession:
             # scoping to a table the qualifier already selected)
             return self.tables[names[0]].execute(stmt) if names else None
         tables = [self.tables[n] for n in names]
-        involved: dict[str, CqlTable] = {t.schema.name: t for t in tables}
+        involved: dict[str, CqlTable] = dict(zip(names, tables))
         if len({t.schema.counter for t in involved.values()}) > 1:
             raise CQLError(
                 "cannot mix counter and non-counter mutations in a batch"

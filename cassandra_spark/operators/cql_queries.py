@@ -1563,7 +1563,7 @@ _AUDIT_SCRIPT: tuple[str, ...] = (
        'login analyst', NULL),
       (6, 'analyst', 'ERROR', 'UPDATE', 'session', 'audlog',
        'INSERT INTO audlog (k, v) VALUES (''b'', 2)',
-       'role ''analyst'' has no MODIFY permission on table audlog'),
+       'role ''analyst'' has no MODIFY permission on table session.audlog'),
       (7, 'cassandra', 'AUTH', 'LOGIN_SUCCESS', NULL, NULL,
        'login cassandra', NULL)
     ) AS t(seq, "user", category, type, keyspace, scope, operation, error)
@@ -1866,7 +1866,7 @@ def w23_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spill_dir=tempfile.mkdtemp(prefix="w23_restored_")
     )
     restored.restore_keyspace(snap)
-    rt = restored.tables["pt"]
+    rt = restored.table("pt")
     n_now = rt.snapshot().count()
     assert n_now == len(rows) - 8 + 1, (
         f"current view must show the deletes + late key, got {n_now}"

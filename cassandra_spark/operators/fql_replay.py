@@ -50,5 +50,5 @@ def w20_fql_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = recorded.fql_replay(replayed)
     assert n == len(DML_SCRIPT) + 1  # DDL + every DML statement logged
     return (
-        replayed.tables["kv"].snapshot().select("pk", "ck", "v", "s", "st")
+        replayed.table("kv").snapshot().select("pk", "ck", "v", "s", "st")
     )

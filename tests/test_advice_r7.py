@@ -237,9 +237,9 @@ def test_qualified_names_truncate_alter_index_copy(spark, tmp_path):
     s.execute("INSERT INTO qt (k, v) VALUES ('x', 1)")
     s.execute("USE session")  # q7 is NOT current for everything below
     s.execute("ALTER TABLE q7.qt ADD extra int")
-    assert "extra" in s.tables["qt"].schema.regular
+    assert "extra" in s.table("q7.qt").schema.regular
     s.execute("CREATE INDEX ON q7.qt (v)")
-    assert "v" in s.indexes.get("qt", set())
+    assert "v" in s.indexes.get("q7.qt", set())
     out = str(tmp_path / "q.csv")
     assert s.execute(f"COPY q7.qt TO '{out}'") == 1
     s.execute("TRUNCATE q7.qt")
@@ -283,11 +283,18 @@ def test_qualified_names_describe_and_mv(spark):
     s.execute("USE session")
     d = s.execute("DESCRIBE TABLE q8.qt").collect()
     assert d and d[0].keyspace_name == "q8"
+    # reference rule: a view lives in its base table's keyspace — a
+    # bare view name in another current keyspace is rejected
+    with pytest.raises(CQLError, match="same keyspace"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW mv1 AS SELECT * FROM q8.qt "
+            "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)"
+        )
     s.execute(
-        "CREATE MATERIALIZED VIEW mv1 AS SELECT * FROM q8.qt "
+        "CREATE MATERIALIZED VIEW q8.mv1 AS SELECT * FROM q8.qt "
         "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)"
     )
-    assert len(s.execute("SELECT * FROM mv1 WHERE v = 2").collect()) == 1
+    assert len(s.execute("SELECT * FROM q8.mv1 WHERE v = 2").collect()) == 1
     with pytest.raises(CQLError, match="unknown table"):
         s.execute("DESCRIBE TABLE session.qt")
 

@@ -358,7 +358,7 @@ def test_create_index_rejections(sess):
     # clustering columns ARE indexable (reference-faithful since r9);
     # the index admits a partition-free equality through the gate
     sess.execute("CREATE INDEX ON msgs (posted)")
-    assert "posted" in sess.indexes.get("msgs", set())
+    assert "posted" in sess.indexes.get("session.msgs", set())
     with pytest.raises(CQLError, match="unknown column"):
         sess.execute("CREATE INDEX ON msgs (nope)")
     with pytest.raises(CQLError, match="counter"):
@@ -978,7 +978,7 @@ def test_catalog_sai_index_drops_cleanly(spark):
     s = _sai_session(spark)
     assert "embeddings" in s.sai_indexes
     s.execute("DROP INDEX emb_idx")
-    assert not s.sai_indexes.get("embeddings")
+    assert not s.sai_indexes.get("embeddings") and not s.sai_indexes.get("session.embeddings")
 
 
 def test_size_estimates_virtual_table(spark):
@@ -1034,7 +1034,7 @@ def test_describe_table_and_roundtrip(spark):
     # round-trip: the canonical DDL parses back to the identical schema
     s2 = CqlSession(spark)
     s2.execute(ddl.replace("session.", ""))
-    a, b = s.tables["dmsg"].schema, s2.tables["dmsg"].schema
+    a, b = s.table("dmsg").schema, s2.table("dmsg").schema
     assert (a.partition_key, a.clustering) == (b.partition_key, b.clustering)
     assert a.regular == b.regular and a.static == b.static
 
@@ -1056,7 +1056,7 @@ def test_describe_shows_masks_and_udts(spark):
     s3 = CqlSession(spark)
     s3.execute("CREATE TYPE addr (street text, zip int)")
     s3.execute(ddl.replace("session.", ""))
-    assert s3.masks["dppl"] == {"ssn": "mask_hash(ssn)"}
+    assert s3.masks["session.dppl"] == {"ssn": "mask_hash(ssn)"}
     ks = s.execute("DESCRIBE KEYSPACE").collect()
     assert [r.type for r in ks] == ["type", "table"]
 
@@ -1119,7 +1119,7 @@ def test_default_time_to_live_option(spark):
         "CREATE TABLE tdl (id bigint PRIMARY KEY, v text) "
         "WITH default_time_to_live = 3 AND comment = 'x'"
     )
-    assert s.tables["tdl"].schema.default_ttl == 3
+    assert s.table("tdl").schema.default_ttl == 3
     s.execute("INSERT INTO tdl (id, v) VALUES (1, 'a')")          # wt 1
     s.execute("INSERT INTO tdl (id, v) VALUES (2, 'b') USING TTL 0")
     assert sorted(
@@ -1139,7 +1139,7 @@ def test_default_time_to_live_option(spark):
     # round-trip: the emitted DDL re-creates the option
     s2 = CqlSession(spark)
     s2.execute(ddl.replace("session.", ""))
-    assert s2.tables["tdl"].schema.default_ttl == 3
+    assert s2.table("tdl").schema.default_ttl == 3
     with _pytest.raises(CQLError, match="counter"):
         s.execute(
             "CREATE TABLE cdl (id bigint PRIMARY KEY, c counter) "
@@ -1210,7 +1210,7 @@ def test_snapshot_restore_keyspace(spark, tmp_path):
     rows = {r.id: r.v for r in s2.execute("SELECT id, v FROM sr_kv").collect()}
     assert set(rows) == {0, 1, 2, 4, 5, 6, 7}       # tombstone kept, 99 absent
     assert set(rows.values()) == {"X"}               # mask restored
-    assert s2.index_names["sr_v"] == ("sr_kv", "v", "values")
+    assert s2.index_names["sr_v"] == ("session.sr_kv", "v", "values")
     assert s2.execute(
         "SELECT c FROM sr_hits WHERE k = 'a'").collect()[0].c == 5
     # clocks resumed: a new write shadows the restored tombstone era
@@ -1246,13 +1246,13 @@ def test_review_fix_mask_and_ttl_edges(spark):
         "top text STATIC MASKED WITH mask_replace('T')) "
         "WITH comment = 'default_time_to_live = 9 lives here'"
     )
-    assert s.tables["rf"].schema.default_ttl == 0  # comment didn't match
-    assert s.masks["rf"] == {"top": "mask_replace(top, 'T')"}
+    assert s.table("rf").schema.default_ttl == 0  # comment didn't match
+    assert s.masks["session.rf"] == {"top": "mask_replace(top, 'T')"}
     ddl = s.execute("DESCRIBE TABLE rf").collect()[0].create_statement
     assert "top text STATIC MASKED WITH mask_replace('T')" in ddl
     s2 = CqlSession(spark)
     s2.execute(ddl.replace("session.", ""))
-    assert s2.masks["rf"] == {"top": "mask_replace(top, 'T')"}
+    assert s2.masks["session.rf"] == {"top": "mask_replace(top, 'T')"}
     # DROP clears mask + grant state; a recreated table starts clean
     s.execute("GRANT UNMASK ON rf TO me")
     s.execute("DROP TABLE rf")
@@ -1426,7 +1426,7 @@ def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
     s.execute("INSERT INTO t (k, v) VALUES (2, 'b')")
     full = str(tmp_path / "full")
     s.snapshot_keyspace(full)
-    n_full = len(os.listdir(os.path.join(full, "t")))
+    n_full = len(os.listdir(os.path.join(full, "session.t")))
     assert n_full >= 1
 
     # more writes -> a NEW segment; also overwrite an old key
@@ -1435,13 +1435,13 @@ def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
     inc = str(tmp_path / "inc")
     man = s.snapshot_keyspace(inc, base_dir=full)
     # only the post-base segment was physically copied
-    assert len(man["tables"]["t"]["copied"]) == 1
+    assert len(man["tables"]["session.t"]["copied"]) == 1
     inc_parquet = [
-        f for f in os.listdir(os.path.join(inc, "t"))
+        f for f in os.listdir(os.path.join(inc, "session.t"))
         if f.endswith(".parquet")
     ]
     assert len(inc_parquet) == 1
-    assert len(man["tables"]["t"]["segments"]) == 2
+    assert len(man["tables"]["session.t"]["segments"]) == 2
     assert json.load(open(os.path.join(inc, "manifest.json")))["base"]
 
     # restore from the INCREMENTAL image alone: chain resolution
@@ -1454,7 +1454,7 @@ def test_incremental_snapshot_copies_only_new_segments(spark, tmp_path):
     s.execute("INSERT INTO t (k, v) VALUES (4, 'd')")
     inc2 = str(tmp_path / "inc2")
     man2 = s.snapshot_keyspace(inc2, base_dir=inc)
-    assert len(man2["tables"]["t"]["copied"]) == 1
+    assert len(man2["tables"]["session.t"]["copied"]) == 1
     s3 = CqlSession(spark, spill_dir=str(tmp_path / "r2"))
     s3.restore_keyspace(inc2)
     assert s3.execute("SELECT count(*) AS n FROM t").collect()[0].n == 4
@@ -1503,7 +1503,7 @@ def test_incremental_snapshot_detects_recycled_and_rewritten_segments(
     inc = str(tmp_path / "inc")
     man = s.snapshot_keyspace(inc, base_dir=full)
     # the recycled-name segment MUST be copied (meta mismatch)
-    assert man["tables"]["t"]["copied"] == man["tables"]["t"]["segments"]
+    assert man["tables"]["session.t"]["copied"] == man["tables"]["session.t"]["segments"]
 
     s2 = CqlSession(spark, spill_dir=str(tmp_path / "r"))
     s2.restore_keyspace(inc)

@@ -46,7 +46,7 @@ def _workload(sess: CqlSession) -> None:
 
 def _snap(sess: CqlSession):
     return sorted(
-        tuple(r) for r in sess.tables["msgs"].snapshot().collect()
+        tuple(r) for r in sess.table("msgs").snapshot().collect()
     )
 
 
@@ -83,7 +83,7 @@ def test_fql_excludes_failed_statements(spark):
     # and the replay of a log containing only valid statements succeeds
     b = CqlSession(spark)
     a.fql_replay(b)
-    assert "t" in b.tables
+    assert "session.t" in b.tables
 
 
 def test_fql_disabled_by_default(spark):

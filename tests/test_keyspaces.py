@@ -1,7 +1,6 @@
 """CREATE KEYSPACE / USE / DROP KEYSPACE and qualified table names
-(SURVEY.md §2.13). Pinned reduction (documented in CqlSession): table
-names stay unique across keyspaces — cross-keyspace reuse is rejected
-at CREATE instead of shadowed."""
+(SURVEY.md §2.13). Since round 11 the registry keys tables by the
+QUALIFIED name, so ks1.t and ks2.t coexist like the reference."""
 
 from __future__ import annotations
 
@@ -69,16 +68,42 @@ def test_replication_validation_and_nts(spark):
     assert "'dc1': '3'" in ks["geo"] and "'dc2': '2'" in ks["geo"]
 
 
-def test_flat_namespace_reduction_is_explicit(spark):
+def test_cross_keyspace_same_name_coexists(spark):
+    # round 11: the flat-namespace reduction is lifted — ks1.t and
+    # ks2.t coexist like the reference's per-keyspace schema
     s = CqlSession(spark)
-    s.execute("CREATE TABLE t1 (k text PRIMARY KEY)")
+    s.execute("CREATE TABLE t1 (k text PRIMARY KEY, v int)")
+    s.execute("INSERT INTO t1 (k, v) VALUES ('sess', 1)")
     s.execute(
         "CREATE KEYSPACE other WITH replication = "
         "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
     )
     s.execute("USE other")
-    with pytest.raises(CQLError, match="already exists in keyspace"):
-        s.execute("CREATE TABLE t1 (k text PRIMARY KEY)")
+    s.execute("CREATE TABLE t1 (k text PRIMARY KEY, v int)")
+    s.execute("INSERT INTO t1 (k, v) VALUES ('oth', 2)")
+    # bare names scope to the current keyspace
+    assert {r.k for r in s.execute("SELECT * FROM t1").collect()} == {"oth"}
+    # qualified names reach both from anywhere
+    assert {
+        r.k for r in s.execute("SELECT * FROM session.t1").collect()
+    } == {"sess"}
+    assert {
+        r.k for r in s.execute("SELECT * FROM other.t1").collect()
+    } == {"oth"}
+    # DML routes by qualifier; DESCRIBE shows both under their keyspaces
+    s.execute("INSERT INTO session.t1 (k, v) VALUES ('sess2', 3)")
+    assert s.execute("SELECT * FROM session.t1").count() == 2
+    desc = {
+        (r.keyspace_name, r.name)
+        for r in s.execute("DESCRIBE TABLES").collect()
+    }
+    assert {("session", "t1"), ("other", "t1")} <= desc
+    # dropping one leaves the other intact
+    s.execute("DROP TABLE other.t1")
+    assert s.execute("SELECT * FROM session.t1").count() == 2
+    # re-creating the same-ks duplicate still rejects
+    with pytest.raises(CQLError, match="already exists"):
+        s.execute("CREATE TABLE session.t1 (k text PRIMARY KEY)")
 
 
 def test_drop_keyspace_drops_tables_and_unselects(spark):
@@ -256,7 +281,7 @@ def test_second_review_fixes(spark, tmp_path):
     sch = s2.table("opts2").schema
     assert sch.clustering_desc == ("c",)
     assert sch.compression == "ZstdCompressor"
-    assert "by_v" in s2.mat_views
+    assert "session.by_v" in s2.mat_views
     assert {r.k for r in s2.execute("SELECT * FROM by_v").collect()} == {"x"}
 
 
@@ -288,11 +313,12 @@ _op_st = st.lists(
 @given(_op_st)
 def test_keyspace_namespace_fuzz(spark, ops):
     s = CqlSession(spark)
-    # model state
+    # model state: tables live per (keyspace, name) — the round-11
+    # per-keyspace namespace, matching the reference
     m_ks = {"session"}
     m_cur = "session"
-    m_tab: dict[str, str] = {}  # table -> keyspace
-    m_rows: dict[str, int] = {}
+    m_tab: set[tuple[str, str]] = set()  # (keyspace, table)
+    m_rows: dict[tuple[str, str], int] = {}
     for kind, arg in ops:
         if kind == "cks":
             ok = arg not in m_ks
@@ -314,12 +340,12 @@ def test_keyspace_namespace_fuzz(spark, ops):
             except CQLError:
                 assert not ok
         elif kind == "ct":
-            ok = m_cur is not None and arg not in m_tab
+            ok = m_cur is not None and (m_cur, arg) not in m_tab
             try:
                 s.execute(f"CREATE TABLE {arg} (k text PRIMARY KEY, n int)")
                 assert ok, f"CREATE TABLE {arg} should have failed"
-                m_tab[arg] = m_cur
-                m_rows[arg] = 0
+                m_tab.add((m_cur, arg))
+                m_rows[(m_cur, arg)] = 0
             except CQLError:
                 assert not ok
         elif kind == "dks":
@@ -328,23 +354,22 @@ def test_keyspace_namespace_fuzz(spark, ops):
                 s.execute(f"DROP KEYSPACE {arg}")
                 assert ok
                 m_ks.discard(arg)
-                dropped = [t for t, ks in m_tab.items() if ks == arg]
-                for t in dropped:
-                    del m_tab[t]
-                    del m_rows[t]
+                for kt in [kt for kt in m_tab if kt[0] == arg]:
+                    m_tab.discard(kt)
+                    del m_rows[kt]
                 if m_cur == arg:
                     m_cur = None
             except CQLError:
                 assert not ok
         elif kind == "ins":
-            ok = m_cur is not None and m_tab.get(arg) == m_cur
+            ok = m_cur is not None and (m_cur, arg) in m_tab
             try:
                 s.execute(
                     f"INSERT INTO {arg} (k, n) "
-                    f"VALUES ('k{m_rows.get(arg, 0)}', 1)"
+                    f"VALUES ('k{m_rows.get((m_cur, arg), 0)}', 1)"
                 )
                 assert ok, f"INSERT INTO {arg} should have failed"
-                m_rows[arg] += 1
+                m_rows[(m_cur, arg)] += 1
             except CQLError:
                 assert not ok
     # final state agrees: keyspaces, table ownership, row counts
@@ -353,7 +378,9 @@ def test_keyspace_namespace_fuzz(spark, ops):
         for r in s.execute("SELECT * FROM system_schema.keyspaces").collect()
     }
     assert got_ks == m_ks
-    assert {t: s.table_keyspace[t] for t in m_tab} == m_tab
-    for t, n in m_rows.items():
-        got_n = s.table(f"{m_tab[t]}.{t}").snapshot().count()
+    assert {
+        (s._key_ks(k), s._key_bare(k)) for k in s.tables
+    } == m_tab
+    for (ks, t), n in m_rows.items():
+        got_n = s.table(f"{ks}.{t}").snapshot().count()
         assert got_n == len({f"k{i}" for i in range(n)})

@@ -94,7 +94,7 @@ def test_pitr_survives_flush_compact_restore(spark, tmp_path):
     sess.snapshot_keyspace(snap)
     restored = CqlSession(spark, spill_dir=str(tmp_path / "restored"))
     restored.restore_keyspace(snap)
-    rt = restored.tables["pt"]
+    rt = restored.table("pt")
     exp_250 = {f"k{i}": (i + 100 if i % 2 == 0 else i) for i in range(10)}
     assert _rows(rt.snapshot_pitr(250)) == exp_250
     exp_now = {k: v for k, v in exp_250.items() if int(k[1:]) % 3 != 0}
