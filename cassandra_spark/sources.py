@@ -20,12 +20,21 @@ CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
 
 def connector_available(spark: SparkSession) -> bool:
-    """True iff the spark-cassandra-connector classes are on the JVM
-    classpath."""
+    """True iff the spark-cassandra-connector classes are reachable from
+    the classloader Spark resolves data sources with. Utils.classForName
+    consults the context/Spark classloader, so jars added via
+    ``spark.jars`` / ``--packages`` count (py4j's root ``Class.forName``
+    would only see the launch classpath and miss them)."""
+    probe = "com.datastax.spark.connector.datasource.CassandraCatalog"
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "com.datastax.spark.connector.datasource.CassandraCatalog"
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # type: ignore[union-attr]
+            probe, True, False
         )
+        return True
+    except Exception:
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(probe)  # type: ignore[union-attr]
         return True
     except Exception:
         return False
