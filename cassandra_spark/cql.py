@@ -257,6 +257,29 @@ _TUPLE_REL_RE = re.compile(
     r"(?<!\w)\(\s*(?P<cols>\w+(?:\s*,\s*\w+)+)\s*\)\s*"
     r"(?P<op><=|>=|<|>|=)\s*\((?P<vals>[^()]*)\)"
 )
+_TUPLE_IN_HEAD_RE = re.compile(
+    r"(?<!\w)\(\s*(?P<cols>\w+(?:\s*,\s*\w+)+)\s*\)\s+IN\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _scan_to_close(text: str, start: int) -> int:
+    """Index just past the parenthesis group opening at ``start`` (which
+    must point at '('), quote-aware."""
+    depth, quoted = 0, False
+    for i in range(start, len(text)):
+        ch = text[i]
+        if ch == "'":
+            quoted = not quoted
+        elif quoted:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise CQLError(f"unbalanced parentheses in {text!r}")
 
 
 def _split_quoted_csv(text: str) -> list[str]:
@@ -290,10 +313,7 @@ def _rewrite_tuple_relations(where: str, meta) -> str:
         c.lstrip("-") for c in meta.clustering if str(c).startswith("-")
     }
 
-    def _sub(m: re.Match) -> str:
-        cols = [c.strip().lower() for c in m.group("cols").split(",")]
-        op = m.group("op")
-        vals = _split_quoted_csv(m.group("vals"))
+    def _validate(cols: list[str]) -> None:
         if not set(cols) <= set(ck):
             raise CQLError(
                 "multi-column relations are only supported on clustering "
@@ -305,6 +325,55 @@ def _rewrite_tuple_relations(where: str, meta) -> str:
                 "multi-column relation columns must be a contiguous run "
                 f"of the clustering key in declared order ({ck})"
             )
+
+    # the IN variant first: `(c1, c2) IN ((1, 2), (3, 4))` → a
+    # disjunction of per-tuple equality conjunctions (`[C* cql3/
+    # restrictions/MultiColumnRestriction.InRestriction, unverified]`).
+    # Scanned, not regexed — the value list nests parentheses.
+    while True:
+        m_in = _TUPLE_IN_HEAD_RE.search(where)
+        if not m_in:
+            break
+        cols = [c.strip().lower() for c in m_in.group("cols").split(",")]
+        _validate(cols)
+        end = _scan_to_close(where, m_in.end() - 1)
+        body = where[m_in.end() : end - 1].strip()
+        terms = []
+        i = 0
+        while i < len(body):
+            if body[i] == "(":
+                j = _scan_to_close(body, i)
+                vals = _split_quoted_csv(body[i + 1 : j - 1])
+                if len(vals) != len(cols):
+                    raise CQLError(
+                        f"multi-column IN arity mismatch: {len(cols)} "
+                        f"columns vs {len(vals)} values"
+                    )
+                terms.append(
+                    "(" + " AND ".join(
+                        f"{c} = {v}" for c, v in zip(cols, vals)
+                    ) + ")"
+                )
+                i = j
+            elif body[i] in ", \t\n":
+                i += 1
+            else:
+                raise CQLError(
+                    f"multi-column IN takes a list of tuples: {body!r}"
+                )
+        if not terms:
+            raise CQLError("multi-column IN needs at least one tuple")
+        where = (
+            where[: m_in.start()]
+            + "(" + " OR ".join(terms) + ")"
+            + where[end:]
+        )
+
+    def _sub(m: re.Match) -> str:
+        cols = [c.strip().lower() for c in m.group("cols").split(",")]
+        op = m.group("op")
+        vals = _split_quoted_csv(m.group("vals"))
+        _validate(cols)
         if len(vals) != len(cols):
             raise CQLError(
                 f"multi-column relation arity mismatch: {len(cols)} "

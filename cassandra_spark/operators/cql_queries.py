@@ -2312,6 +2312,18 @@ def cql48_tuple_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.odate, r.okey) for r in rest_tuple
     }, "tuple relation must reproduce the keyset cursor's remainder"
 
+    # the IN variant of the multi-column restriction: a tuple list is a
+    # disjunction of per-tuple equality conjunctions
+    two = [(r.odate, r.okey) for r in rows1[:2]]
+    in_rows = sess.execute(
+        f"SELECT odate, okey FROM cust_orders WHERE custkey = {pk_val} "
+        f"AND (odate, okey) IN (('{two[0][0]}', {two[0][1]}), "
+        f"('{two[1][0]}', {two[1][1]}))"
+    ).collect()
+    assert {(r.odate, r.okey) for r in in_rows} == set(two), (
+        "multi-column IN must select exactly the named tuples"
+    )
+
     return sess.execute(
         "SELECT custkey, odate, okey, total FROM cust_orders "
         "WHERE custkey IN (5, 16, 33, 52) "

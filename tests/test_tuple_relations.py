@@ -123,3 +123,41 @@ def test_session_fe_tuple_relation(spark):
     # without the partition key the relation needs ALLOW FILTERING
     with pytest.raises(CQLError, match="ALLOW FILTERING"):
         sess.execute("SELECT c1 FROM ts WHERE (c1, c2) >= (1, 2)")
+
+
+def test_tuple_in_expansion():
+    m = _Meta(("c1", "c2"))
+    out = _rewrite_tuple_relations(
+        "pk = 1 AND (c1, c2) IN ((1, 2), (3, 4))", m
+    )
+    assert out == (
+        "pk = 1 AND ((c1 = 1 AND c2 = 2) OR (c1 = 3 AND c2 = 4))"
+    )
+    with pytest.raises(CQLError, match="list of tuples"):
+        _rewrite_tuple_relations("(c1, c2) IN (1, 2)", m)
+    with pytest.raises(CQLError, match="arity"):
+        _rewrite_tuple_relations("(c1, c2) IN ((1, 2, 3))", m)
+    with pytest.raises(CQLError, match="at least one"):
+        _rewrite_tuple_relations("(c1, c2) IN ()", m)
+
+
+def test_session_fe_tuple_in(spark):
+    sess = CqlSession(spark, None)
+    sess.execute(
+        "CREATE TABLE ti (pk int, c1 int, c2 int, v text, "
+        "PRIMARY KEY (pk, c1, c2))"
+    )
+    for c1 in range(2):
+        for c2 in range(3):
+            sess.execute(
+                f"INSERT INTO ti (pk, c1, c2, v) VALUES "
+                f"(1, {c1}, {c2}, 'x')"
+            )
+    got = {
+        (r.c1, r.c2)
+        for r in sess.execute(
+            "SELECT c1, c2 FROM ti WHERE pk = 1 "
+            "AND (c1, c2) IN ((0, 2), (1, 0))"
+        ).collect()
+    }
+    assert got == {(0, 2), (1, 0)}
