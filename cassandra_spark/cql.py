@@ -1001,12 +1001,15 @@ def cql_select(
         if s.group_by or s.order_by or s.ann or s.per_partition_limit is not None:
             raise CQLError("SELECT DISTINCT only supports WHERE and LIMIT")
         items = [p.strip().lower() for p in s.projection.split(",")]
-        if s.projection.strip() == "*" or not set(items) <= set(
+        # the reference requires DISTINCT to request exactly the
+        # partition key — ALL components (a composite subset would be a
+        # different, unindexed grouping), nothing else
+        if s.projection.strip() == "*" or set(items) != set(
             meta.partition_key
         ):
             raise CQLError(
-                "SELECT DISTINCT queries must only request partition key "
-                "columns"
+                "SELECT DISTINCT queries must request exactly the "
+                "partition key columns"
             )
         df = df.select(*items).distinct()
         if s.json:

@@ -205,3 +205,77 @@ def test_in_guardrail_multiplies_components(sess):
         "SELECT * FROM readings WHERE sensor IN ('s0', 's1') "
         "AND day IN (0, 1) AND ts = 100"
     )
+
+
+def test_composite_pk_with_secondary_index(sess):
+    # 2i on a regular column of a composite-pk table: the index stores
+    # the log's joined-pk strings, so candidate pruning + pk_in
+    # reconcile work unchanged
+    sess.execute("CREATE INDEX ON readings (val)")
+    rows = sess.execute(
+        "SELECT sensor, day, ts FROM readings WHERE val = 3.0"
+    ).collect()
+    assert {(r.sensor, r.day, r.ts) for r in rows} == {("s0", 2, 102)}
+
+
+def test_composite_pk_materialized_view(sess):
+    # MV over a composite-pk base: the view key must contain every base
+    # pk component; re-keyed reads filter on the new partition key
+    sess.execute(
+        "CREATE MATERIALIZED VIEW by_ts AS SELECT * FROM readings "
+        "WHERE ts IS NOT NULL AND sensor IS NOT NULL AND day IS NOT NULL "
+        "PRIMARY KEY (ts, sensor, day)"
+    )
+    rows = sess.execute("SELECT sensor, day FROM by_ts WHERE ts = 102")
+    assert [(r.sensor, r.day) for r in rows.collect()] == [("s0", 2)]
+
+
+def test_composite_pk_distinct_and_per_partition_limit(sess):
+    # SELECT DISTINCT must name ALL partition-key columns
+    got = {
+        (r.sensor, r.day)
+        for r in sess.execute(
+            "SELECT DISTINCT sensor, day FROM readings"
+        ).collect()
+    }
+    assert len(got) == 6
+    with pytest.raises(CQLError, match="partition key"):
+        sess.execute("SELECT DISTINCT sensor FROM readings")
+    # PER PARTITION LIMIT partitions by the full composite
+    n = sess.execute(
+        "SELECT sensor, day, ts FROM readings PER PARTITION LIMIT 1 "
+        "ALLOW FILTERING"
+    ).count()
+    assert n == 6
+
+
+def test_composite_pk_static_columns(spark):
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE cs (a text, b int, c bigint, v double, "
+        "note text STATIC, PRIMARY KEY ((a, b), c))"
+    )
+    s.execute("INSERT INTO cs (a, b, c, v) VALUES ('x', 1, 10, 1.0)")
+    s.execute("INSERT INTO cs (a, b, c, v) VALUES ('x', 1, 11, 2.0)")
+    s.execute("INSERT INTO cs (a, b, note) VALUES ('x', 1, 'shared')")
+    s.execute("INSERT INTO cs (a, b, c, v) VALUES ('x', 2, 10, 3.0)")
+    rows = s.execute("SELECT a, b, c, v, note FROM cs").collect()
+    by_key = {(r.a, r.b, r.c): r.note for r in rows}
+    # the static is partition-scoped: both (x,1) rows see it, (x,2) not
+    assert by_key[("x", 1, 10)] == "shared"
+    assert by_key[("x", 1, 11)] == "shared"
+    assert by_key[("x", 2, 10)] is None
+
+
+def test_composite_pk_counter_table(spark):
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE hits (site text, day int, n counter, "
+        "PRIMARY KEY ((site, day)))"
+    )
+    s.execute("UPDATE hits SET n = n + 3 WHERE site = 'a' AND day = 1")
+    s.execute("UPDATE hits SET n = n + 2 WHERE site = 'a' AND day = 1")
+    s.execute("UPDATE hits SET n = n + 7 WHERE site = 'a' AND day = 2")
+    rows = {(r.site, r.day): r.n for r in s.execute(
+        "SELECT site, day, n FROM hits").collect()}
+    assert rows == {("a", 1): 5, ("a", 2): 7}
