@@ -59,6 +59,15 @@ class TableMeta:
     indexed_entries: tuple[str, ...] = ()
     # FULL()-indexed frozen collections: whole-value equality passes.
     indexed_full: tuple[str, ...] = ()
+    # SASI (CREATE CUSTOM INDEX .. USING '..SASIIndex') columns: LIKE
+    # 'prefix%' / '%contains%' passes the gate IN ADDITION to the SAI
+    # predicate kinds — the reference's SASI is the only index class
+    # admitting arbitrary LIKE (`[C* index/sasi/SASIIndex, unverified]`).
+    indexed_sasi: tuple[str, ...] = ()
+    # STATIC columns (per-partition values): legal SELECT DISTINCT
+    # selectors alongside the full partition key (CASSANDRA-8087 lineage
+    # `[C* cql3/statements/SelectStatement, unverified]`).
+    statics: tuple[str, ...] = ()
     # parquet TIMESTAMP(NANOS) columns: Spark 4 refuses them natively; we
     # read them as long (legacy.parquet.nanosAsLong) and convert to µs
     # TimestampType. Lossless for this corpus (all values µs-aligned —

@@ -282,6 +282,32 @@ def _scan_to_close(text: str, start: int) -> int:
     raise CQLError(f"unbalanced parentheses in {text!r}")
 
 
+def _mask_quoted(text: str) -> str:
+    """Same-length copy with the CONTENT of single-quoted literals (and
+    any '' escape pairs) replaced by 'x', outer quotes kept — regex scans
+    over the masked text can never match inside a string literal, and
+    every match position maps 1:1 back onto the original (the
+    _check_in_guardrail convention)."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        out[j] = out[j + 1] = "x"
+                        j += 2
+                        continue
+                    break
+                out[j] = "x"
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _split_quoted_csv(text: str) -> list[str]:
     """Split on commas outside single-quoted literals."""
     out, cur, quoted = [], [], False
@@ -329,9 +355,12 @@ def _rewrite_tuple_relations(where: str, meta) -> str:
     # the IN variant first: `(c1, c2) IN ((1, 2), (3, 4))` → a
     # disjunction of per-tuple equality conjunctions (`[C* cql3/
     # restrictions/MultiColumnRestriction.InRestriction, unverified]`).
-    # Scanned, not regexed — the value list nests parentheses.
+    # Scanned, not regexed — the value list nests parentheses. Both
+    # searches run over the QUOTE-MASKED text so a string literal that
+    # happens to contain tuple-relation-looking text is never rewritten
+    # (positions map 1:1 back onto the original).
     while True:
-        m_in = _TUPLE_IN_HEAD_RE.search(where)
+        m_in = _TUPLE_IN_HEAD_RE.search(_mask_quoted(where))
         if not m_in:
             break
         cols = [c.strip().lower() for c in m_in.group("cols").split(",")]
@@ -369,10 +398,9 @@ def _rewrite_tuple_relations(where: str, meta) -> str:
             + where[end:]
         )
 
-    def _sub(m: re.Match) -> str:
-        cols = [c.strip().lower() for c in m.group("cols").split(",")]
-        op = m.group("op")
-        vals = _split_quoted_csv(m.group("vals"))
+    def _expand(cols_txt: str, op: str, vals_txt: str) -> str:
+        cols = [c.strip().lower() for c in cols_txt.split(",")]
+        vals = _split_quoted_csv(vals_txt)
         _validate(cols)
         if len(vals) != len(cols):
             raise CQLError(
@@ -400,7 +428,23 @@ def _rewrite_tuple_relations(where: str, meta) -> str:
             terms.append("(" + " AND ".join(parts) + ")")
         return "(" + " OR ".join(terms) + ")"
 
-    return _TUPLE_REL_RE.sub(_sub, where)
+    # comparison form: finditer over the masked text, splice the ORIGINAL
+    # by the match spans (group contents are read from the original, so
+    # literal values — including ones containing parens — survive intact)
+    masked = _mask_quoted(where)
+    out, pos = [], 0
+    for m in _TUPLE_REL_RE.finditer(masked):
+        out.append(where[pos : m.start()])
+        out.append(
+            _expand(
+                where[m.start("cols") : m.end("cols")],
+                where[m.start("op") : m.end("op")],
+                where[m.start("vals") : m.end("vals")],
+            )
+        )
+        pos = m.end()
+    out.append(where[pos:])
+    return "".join(out)
 
 
 def _composite_token_rewrite(text: str, meta, df, spark) -> str:
@@ -935,12 +979,17 @@ def cql_select(
         # CONTAINS (not CONTAINS KEY), a KEYS() map index admits
         # CONTAINS KEY only, an ENTRIES() map index admits subscript
         # equality (col['k'] = v) only, a FULL() index admits whole-value
-        # equality; range predicates always still need ALLOW FILTERING
+        # equality. The custom classes differ BY CLASS (`[C* index/sai;
+        # index/sasi/SASIIndex, unverified]`): SAI admits equality /
+        # range / CONTAINS (+ CONTAINS KEY and entries on maps) but NOT
+        # LIKE; SASI admits equality / range / LIKE. Plain 2i range
+        # predicates always still need ALLOW FILTERING.
         def _restrictions(col: str) -> set[str]:
             kinds = set()
             for m_ in re.finditer(
-                rf"\b{re.escape(col)}\s*"
-                rf"(\[[^\]]+\]\s*=|=[^=]|CONTAINS(?:\s+KEY)?\b)",
+                rf"\b{re.escape(col)}(?!\w)\s*"
+                rf"(\[[^\]]+\]\s*=|=[^=]|<=|>=|<|>|LIKE\b"
+                rf"|CONTAINS(?:\s+KEY)?\b)",
                 where_text,
                 re.IGNORECASE,
             ):
@@ -949,6 +998,10 @@ def cql_select(
                     kinds.add("entries")
                 elif tok.startswith("CONTAINS"):
                     kinds.add("keys" if "KEY" in tok else "contains")
+                elif tok == "LIKE":
+                    kinds.add("like")
+                elif tok[0] in "<>":
+                    kinds.add("range")
                 else:
                     kinds.add("eq")
             return kinds
@@ -958,17 +1011,23 @@ def cql_select(
         sai_idx = set(getattr(meta, "indexed_sai", ()))
         ent_idx = set(getattr(meta, "indexed_entries", ()))
         full_idx = set(getattr(meta, "indexed_full", ()))
+        sasi_idx = set(getattr(meta, "indexed_sasi", ()))
         indexed_ok = set()
         for c in non_key:
             kinds = _restrictions(c)
-            if c in sai_idx:
-                # SAI admits equality, CONTAINS, and RANGE restrictions —
-                # any appearance of the column in WHERE passes the gate
-                indexed_ok.add(c)
-                continue
             if not kinds:
+                # the column appears in WHERE outside every recognized
+                # predicate shape (IN list, IS NOT NULL, function args):
+                # the custom index classes keep the historical
+                # any-appearance admission for those, 2i kinds do not
+                if c in sai_idx or c in sasi_idx:
+                    indexed_ok.add(c)
                 continue
             admitted = set()
+            if c in sai_idx:
+                admitted |= {"eq", "range", "contains", "keys", "entries"}
+            if c in sasi_idx:
+                admitted |= {"eq", "range", "like"}
             if c in val_idx:
                 admitted |= {"eq", "contains"}
             if c in key_idx:
@@ -1001,15 +1060,20 @@ def cql_select(
         if s.group_by or s.order_by or s.ann or s.per_partition_limit is not None:
             raise CQLError("SELECT DISTINCT only supports WHERE and LIMIT")
         items = [p.strip().lower() for p in s.projection.split(",")]
-        # the reference requires DISTINCT to request exactly the
-        # partition key — ALL components (a composite subset would be a
-        # different, unindexed grouping), nothing else
-        if s.projection.strip() == "*" or set(items) != set(
-            meta.partition_key
+        # the reference requires DISTINCT to request ALL partition-key
+        # components (a composite subset would be a different, unindexed
+        # grouping); STATIC columns are additionally legal selectors —
+        # they are per-partition values (CASSANDRA-8087 lineage `[C*
+        # cql3/statements/SelectStatement, unverified]`)
+        statics = set(getattr(meta, "statics", ()))
+        pk = set(meta.partition_key)
+        if s.projection.strip() == "*" or not (
+            pk <= set(items) and set(items) <= pk | statics
         ):
             raise CQLError(
-                "SELECT DISTINCT queries must request exactly the "
-                "partition key columns"
+                "SELECT DISTINCT queries must request all the partition "
+                "key columns (static columns may be added, other columns "
+                "may not)"
             )
         df = df.select(*items).distinct()
         if s.json:

@@ -2990,6 +2990,15 @@ class CqlTable:
             # null-propagating); pk NULL = null partition key — both are
             # keys the statement path can never produce
             null_keys = F.col("pk").isNull() | F.col("ck").isNull()
+            if s.pk_composite:
+                # a string key component containing the reserved 0x1f
+                # separator would mis-split in _pk_out_cols and silently
+                # collide two distinct composite keys — reject, mirroring
+                # pk_from_pairs on the statement path (detected as a
+                # component count mismatch in the joined key)
+                null_keys = null_keys | (
+                    F.size(F.split("pk", SEP)) != len(s.partition_cols)
+                )
             problem = (
                 markers.groupBy("pk", "ck")
                 .agg(
@@ -3002,9 +3011,10 @@ class CqlTable:
             if problem.count():
                 shutil.rmtree(sub, ignore_errors=True)
                 raise CQLError(
-                    "bulk_load input has duplicate or NULL primary keys "
-                    "(pass validate=False only if upstream guarantees "
-                    "non-null unique keys)"
+                    "bulk_load input has duplicate or NULL primary keys, "
+                    "or a composite key component containing the reserved "
+                    "separator byte 0x1f (pass validate=False only if "
+                    "upstream guarantees clean unique keys)"
                 )
         n = markers.count()
         # blooms rebuild lazily per segment on first point read
@@ -3677,9 +3687,12 @@ class CqlTable:
             .agg(F.max("writetime").alias("gt_ts"))
         )
 
-        # range-tombstone coverage per distinct row key (tiny broadcast join)
+        # range-tombstone coverage per distinct row key (tiny broadcast
+        # join). Both frames derive from one log DataFrame: the join key
+        # is RENAMED on the tombstone side (rt_pk, the cql_dml convention)
+        # so Spark never sees an ambiguous self-join equality predicate.
         range_tombs = mut.filter(F.col("kind") == RANGE_TOMB).select(
-            "pk",
+            F.col("pk").alias("rt_pk"),
             F.when(F.col("ck") == "", F.array().cast("array<string>"))
             .otherwise(F.split("ck", SEP))
             .alias("pref_arr"),
@@ -3693,9 +3706,9 @@ class CqlTable:
         rcov = (
             rkeys.join(
                 F.broadcast(range_tombs),
-                (rkeys["pk"] == range_tombs["pk"]) & self._range_cover_cond(),
+                (F.col("pk") == F.col("rt_pk")) & self._range_cover_cond(),
             )
-            .select(rkeys["pk"], rkeys["ck"], "writetime")
+            .select("pk", "ck", "writetime")
             .groupBy("pk", "ck")
             .agg(F.max("writetime").alias("rg_ts"))
         )

@@ -4,9 +4,9 @@ A user of the reference talks to a session: DDL declares tables, DML
 mutates them, SELECT reads them. This module stitches the engine's three
 front-ends into that single surface:
 
-- ``CREATE TABLE`` (subset: single partition-key column, composite
-  clustering, STATIC columns, collection types, counter tables) compiles
-  to a :class:`cassandra_spark.cql_dml.TableSchema`;
+- ``CREATE TABLE`` (subset: composite partition keys, composite
+  clustering, STATIC columns, collection/tuple/UDT types, counter
+  tables) compiles to a :class:`cassandra_spark.cql_dml.TableSchema`;
 - INSERT / UPDATE / DELETE / BATCH route to the table's
   :class:`~cassandra_spark.cql_dml.CqlTable` mutation log (LWT flags
   returned as in the reference);
@@ -964,6 +964,10 @@ class CqlSession:
         self.indexes: dict[str, set[str]] = {}  # table → value-indexed cols
         self.key_indexes: dict[str, set[str]] = {}  # table → KEYS-indexed maps
         self.sai_indexes: dict[str, set[str]] = {}  # table → SAI-indexed cols
+        # table → SASI-indexed cols (CREATE CUSTOM INDEX .. USING
+        # '..SASIIndex'): the only index class admitting LIKE through the
+        # restriction gate (`[C* index/sasi/SASIIndex, unverified]`)
+        self.sasi_indexes: dict[str, set[str]] = {}
         # table → {vector col → persisted bucket-layout artifact dir}
         self.sai_vector_index: dict[str, dict[str, str]] = {}
         # table → {vector col → ANN similarity function} from the SAI
@@ -1183,6 +1187,8 @@ class CqlSession:
                 sorted(self.entry_indexes.get(key, ()))
             ),
             indexed_full=tuple(sorted(self.full_indexes.get(key, ()))),
+            indexed_sasi=tuple(sorted(self.sasi_indexes.get(key, ()))),
+            statics=tuple(sorted(schema.static)),
             sai_similarity=tuple(
                 sorted(self.sai_similarity.get(key, {}).items())
             ),
@@ -1276,11 +1282,15 @@ class CqlSession:
         using = (m.group("using") or "").lower()
         if m.group("custom"):
             # CREATE CUSTOM INDEX ... USING 'StorageAttachedIndex'/'...SAI...'
-            # (Cassandra 5 SAI / legacy SASI DDL): admits equality AND
-            # range restrictions through the gate; other custom classes
-            # are rejected honestly
-            if "sai" not in using and "storageattachedindex" not in using \
-                    and "sasi" not in using:
+            # (Cassandra 5 SAI) or '...SASIIndex' (legacy SASI DDL). The two
+            # classes register DISTINCT kinds because their admitted
+            # predicate sets differ: SAI = equality / range / CONTAINS,
+            # SASI = equality / range / LIKE (`[C* index/sasi/SASIIndex;
+            # index/sai, unverified]`). Other custom classes are rejected
+            # honestly.
+            is_sasi = "sasi" in using
+            if not is_sasi and "sai" not in using \
+                    and "storageattachedindex" not in using:
                 raise CQLError(
                     f"unsupported custom index class {m.group('using')!r} "
                     "(StorageAttachedIndex/SASI accepted)"
@@ -1308,6 +1318,17 @@ class CqlSession:
             name = (m.group("name") or f"{s.name}_{col}_idx").lower()
             if name in self.index_names:
                 raise CQLError(f"index {name!r} already exists")
+            if is_sasi:
+                # SASI indexes scalar (text/numeric) columns only — the
+                # reference never supported collections under SASI
+                if parse_coll_type((s.regular | s.static).get(col, "")):
+                    raise CQLError(
+                        "SASI does not support collection columns "
+                        f"({col!r}); use SAI or a 2i kind index"
+                    )
+                self.sasi_indexes.setdefault(tname, set()).add(col)
+                self.index_names[name] = (tname, col, "sasi")
+                return
             self.sai_indexes.setdefault(tname, set()).add(col)
             self.index_names[name] = (tname, col, "sai")
             # vector<T, n> maps to list<T> in the session schema; the
@@ -1414,9 +1435,20 @@ class CqlSession:
         name = (m.group("name") or f"{tname}_{col}_idx").lower()
         if name in self.index_names:
             raise CQLError(f"index {name!r} already exists")
+        dtypes = {c.lower(): t for c, t in df.dtypes}
+        if "sasi" in using:
+            # SASI on a corpus text/numeric column: registers the LIKE-
+            # admitting kind; no persisted artifact (SASI's value is the
+            # gate relaxation — the scan strategy stays Spark's)
+            if dtypes.get(col, "").startswith(("array", "map", "struct")):
+                raise CQLError(
+                    f"SASI does not support collection columns ({col!r})"
+                )
+            self.sasi_indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "sasi")
+            return
         self.sai_indexes.setdefault(tname, set()).add(col)
         self.index_names[name] = (tname, col, "sai")
-        dtypes = {c.lower(): t for c, t in df.dtypes}
         fn = _parse_sai_options(
             m.group("opts"), col, dtypes.get(col, "").startswith("array")
         )
@@ -1594,8 +1626,10 @@ class CqlSession:
             parse_coll_type,
         )
 
-        eq_cols = set(self.indexes.get(tname, ())) | set(
-            self.sai_indexes.get(tname, ())
+        eq_cols = (
+            set(self.indexes.get(tname, ()))
+            | set(self.sai_indexes.get(tname, ()))
+            | set(self.sasi_indexes.get(tname, ()))
         )
         if not eq_cols:
             return None
@@ -1661,7 +1695,9 @@ class CqlSession:
 
         from cassandra_spark.cql_dml import index_range_type
 
-        sai_cols = set(self.sai_indexes.get(tname, ()))
+        sai_cols = set(self.sai_indexes.get(tname, ())) | set(
+            self.sasi_indexes.get(tname, ())
+        )
         if not sai_cols:
             return None
         mw = self._masked_conjunctive_where(stmt)
@@ -1724,7 +1760,8 @@ class CqlSession:
 
         cat = Catalog(self.spark, self.sf_dir)
         indexed = (
-            set(self.indexes) | set(self.key_indexes) | set(self.sai_indexes)
+            set(self.indexes) | set(self.key_indexes)
+            | set(self.sai_indexes) | set(self.sasi_indexes)
         )
         for tname in indexed - set(self.tables):
             if "." in tname:
@@ -1752,6 +1789,12 @@ class CqlSession:
                         sorted(
                             set(meta.indexed_sai)
                             | self.sai_indexes.get(tname, set())
+                        )
+                    ),
+                    indexed_sasi=tuple(
+                        sorted(
+                            set(meta.indexed_sasi)
+                            | self.sasi_indexes.get(tname, set())
                         )
                     ),
                     vector_index=tuple(
@@ -1835,7 +1878,7 @@ class CqlSession:
                 raise CQLError(f"column {dst!r} already exists")
             for idx in (
                 self.indexes, self.key_indexes, self.entry_indexes,
-                self.full_indexes, self.sai_indexes,
+                self.full_indexes, self.sai_indexes, self.sasi_indexes,
             ):
                 if src in idx.get(key, set()):
                     raise CQLError(f"cannot rename indexed column {src!r}")
@@ -1884,6 +1927,9 @@ class CqlSession:
         self.indexes.get(key, set()).discard(col)
         self.key_indexes.get(key, set()).discard(col)
         self.sai_indexes.get(key, set()).discard(col)
+        self.sasi_indexes.get(key, set()).discard(col)
+        self.entry_indexes.get(key, set()).discard(col)
+        self.full_indexes.get(key, set()).discard(col)
         self.index_names = {
             n: v
             for n, v in self.index_names.items()
@@ -2995,6 +3041,9 @@ class CqlSession:
             self.indexes.pop(name, None)
             self.key_indexes.pop(name, None)
             self.sai_indexes.pop(name, None)
+            self.sasi_indexes.pop(name, None)
+            self.entry_indexes.pop(name, None)
+            self.full_indexes.pop(name, None)
             self.index_names = {
                 n: v for n, v in self.index_names.items() if v[0] != name
             }
@@ -3014,6 +3063,7 @@ class CqlSession:
             target = {
                 "keys": self.key_indexes,
                 "sai": self.sai_indexes,
+                "sasi": self.sasi_indexes,
                 "entries": self.entry_indexes,
                 "full": self.full_indexes,
             }.get(kind, self.indexes)
@@ -3669,10 +3719,21 @@ class CqlSession:
             t._max_wt, t._seg_counter = st["max_wt"], st["seg_counter"]
             t._pos, t._neg = st["pos"], st["neg"]
         for iname, (tbl, col, kind) in manifest["indexes"].items():
+            if "." not in tbl and tbl in restored_tags:
+                # pre-round-11 manifests key indexes by BARE table name
+                # while the live registries are qualified: qualify via
+                # the table's restored keyspace or the restored index is
+                # silently inert (catalog-table indexes stay bare — they
+                # carry no keyspace tag)
+                tbl = f"{restored_tags[tbl]}.{tbl}"
+            elif "." not in tbl and f"{self.current_ks or 'session'}.{tbl}" \
+                    in self.tables:
+                tbl = f"{self.current_ks or 'session'}.{tbl}"
             self.index_names[iname] = (tbl, col, kind)
             target = {
                 "keys": self.key_indexes,
                 "sai": self.sai_indexes,
+                "sasi": self.sasi_indexes,
                 "entries": self.entry_indexes,
                 "full": self.full_indexes,
             }.get(kind, self.indexes)
@@ -3911,15 +3972,17 @@ class CqlSession:
                         if kind in ("keys", "entries", "full")
                         else col
                     )
-                    custom = (
-                        " USING 'StorageAttachedIndex'"
-                        if kind == "sai"
-                        else ""
-                    )
+                    custom = {
+                        "sai": " USING 'StorageAttachedIndex'",
+                        "sasi": (
+                            " USING "
+                            "'org.apache.cassandra.index.sasi.SASIIndex'"
+                        ),
+                    }.get(kind, "")
                     rows.append(
                         (tks, "index", iname,
                          f"CREATE {'CUSTOM ' if custom else ''}INDEX {iname} "
-                         f"ON {tks}.{name} ({target}){custom};")
+                         f"ON {name} ({target}){custom};")
                     )
         else:  # KEYSPACE
             rows = [

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_spark.cql import cql_select
+from cassandra_spark.cql import CQLError, cql_select
 from cassandra_spark.registry import query
 
 
@@ -110,7 +110,27 @@ def cql4_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cql5_distinct_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CQL SELECT DISTINCT partition keys: the partition directory listing
     (the reference streams distinct partition boundaries; here it is a
-    hash-distinct over the single projected column, map-side combined)."""
+    hash-distinct over the single projected column, map-side combined).
+    In-body (compile-time gate proofs, no extra Spark jobs): STATIC
+    columns are legal DISTINCT selectors alongside the full partition key
+    (CASSANDRA-8087 lineage), a regular column is not, and a static
+    without the full partition key is not."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE dst (a text, b int, c bigint, v double, "
+        "note text STATIC, PRIMARY KEY ((a, b), c))"
+    )
+    sess.execute("INSERT INTO dst (a, b, note) VALUES ('x', 1, 's')")
+    sess.execute("SELECT DISTINCT a, b, note FROM dst")  # must compile
+    for bad in (
+        "SELECT DISTINCT a, b, v FROM dst",  # regular column
+        "SELECT DISTINCT a, note FROM dst",  # partial partition key
+    ):
+        try:
+            sess.execute(bad)
+            raise AssertionError(f"DISTINCT gate must reject: {bad}")
+        except CQLError:
+            pass
     return cql_select(spark, sf_dir, "SELECT DISTINCT user_id FROM events")
 
 

@@ -613,7 +613,18 @@ def composite_token_sql(components: list[tuple[str, str]]) -> str:
             parts.append(body)
         elif t == "string":
             body = f"cast(({expr}) as binary)"
-            parts.append(f"unhex(lpad(hex(length({body})), 4, '0'))")
+            # Spark's lpad TRUNCATES strings longer than the pad width: a
+            # text component over 65535 bytes would silently frame a
+            # wrong length prefix (wrong token). Fail loudly instead —
+            # the reference's 64KB key bound (`[C* db/marshal/
+            # CompositeType — unsigned short length, unverified]`).
+            guarded = (
+                f"if(length({body}) > 65535, "
+                f"raise_error('composite partition-key text component "
+                f"exceeds the 64KB CompositeType bound'), "
+                f"hex(length({body})))"
+            )
+            parts.append(f"unhex(lpad({guarded}, 4, '0'))")
             parts.append(body)
         else:
             raise ValueError(

@@ -279,3 +279,48 @@ def test_composite_pk_counter_table(spark):
     rows = {(r.site, r.day): r.n for r in s.execute(
         "SELECT site, day, n FROM hits").collect()}
     assert rows == {("a", 1): 5, ("a", 2): 7}
+
+
+def test_distinct_admits_static_columns(spark):
+    """CASSANDRA-8087 lineage: SELECT DISTINCT may add STATIC columns to
+    the (full) partition key — statics are per-partition values. Regular
+    columns and partial partition keys stay rejected."""
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE ds (a text, b int, c bigint, v double, "
+        "note text STATIC, PRIMARY KEY ((a, b), c))"
+    )
+    s.execute("INSERT INTO ds (a, b, c, v) VALUES ('x', 1, 10, 1.0)")
+    s.execute("INSERT INTO ds (a, b, c, v) VALUES ('x', 1, 11, 2.0)")
+    s.execute("INSERT INTO ds (a, b, note) VALUES ('x', 1, 'shared')")
+    s.execute("INSERT INTO ds (a, b, c, v) VALUES ('x', 2, 10, 3.0)")
+    rows = {
+        (r.a, r.b): r.note
+        for r in s.execute("SELECT DISTINCT a, b, note FROM ds").collect()
+    }
+    # one row per partition; the static rides along (null where unset)
+    assert rows == {("x", 1): "shared", ("x", 2): None}
+    with pytest.raises(CQLError, match="static"):
+        s.execute("SELECT DISTINCT a, b, v FROM ds")
+    with pytest.raises(CQLError, match="partition key"):
+        s.execute("SELECT DISTINCT a, note FROM ds")
+
+
+def test_bulk_load_rejects_separator_in_composite_component(spark):
+    """A string key component containing the reserved 0x1f separator
+    would mis-split the joined log key and silently collide two distinct
+    composite keys — the bulk path must reject it like pk_from_pairs
+    does on the statement path."""
+    from pyspark.sql import Row
+
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE bl (a text, b int, v double, PRIMARY KEY ((a, b)))"
+    )
+    bad = spark.createDataFrame(
+        [Row(a="x\x1fy", b=1, v=1.0), Row(a="z", b=2, v=2.0)]
+    )
+    with pytest.raises(CQLError, match="0x1f"):
+        s.table("bl").bulk_load(bad)
+    ok = spark.createDataFrame([Row(a="z", b=2, v=2.0)])
+    assert s.table("bl").bulk_load(ok) == 1

@@ -1801,3 +1801,54 @@ def test_alter_rename_primary_key_columns(spark, tmp_path):
     )
     with pytest.raises(CQLError, match="materialized view"):
         s.execute("ALTER TABLE rn3 RENAME c TO d")
+
+
+def test_restore_qualifies_legacy_bare_index_names(spark, tmp_path):
+    """ADVICE r11: pre-round-11 snapshots key manifest indexes by BARE
+    table name while the live registries are qualified — restore must
+    qualify them (via the manifest's table_keyspace tags) or restored
+    indexes are silently inert and previously index-admitted queries
+    start demanding ALLOW FILTERING."""
+    import json
+
+    d = str(tmp_path / "snap")
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE it (k int PRIMARY KEY, v text)")
+    s.execute("INSERT INTO it (k, v) VALUES (1, 'a')")
+    s.execute("CREATE INDEX ON it (v)")
+    s.snapshot_keyspace(d)
+    # simulate the legacy manifest: strip the keyspace off index tables
+    mf = json.load(open(f"{d}/manifest.json"))
+    mf["indexes"] = {
+        n: [t.partition(".")[2] if "." in t else t, c, k]
+        for n, (t, c, k) in mf["indexes"].items()
+    }
+    json.dump(mf, open(f"{d}/manifest.json", "w"))
+    s2 = CqlSession(spark, None)
+    s2.restore_keyspace(d)
+    # the restored index must admit the equality without ALLOW FILTERING
+    assert s2.execute("SELECT k FROM it WHERE v = 'a'").count() == 1
+    assert s2.indexes.get("session.it") == {"v"}
+
+
+def test_describe_index_ddl_qualified_once(spark):
+    """DESCRIBE emitted 'ON ks.ks.t' (the table name was already
+    qualified when prefixed again); pin the single-qualification form
+    and the SASI class round-trip."""
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE dt (k int PRIMARY KEY, v text, w text)")
+    s.execute("CREATE INDEX vi ON dt (v)")
+    s.execute(
+        "CREATE CUSTOM INDEX wi ON dt (w) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    ddls = {
+        r.name: r.create_statement
+        for r in s.execute("DESCRIBE TABLE dt").collect()
+        if r.type == "index"
+    }
+    assert ddls["vi"] == "CREATE INDEX vi ON session.dt (v);"
+    assert ddls["wi"] == (
+        "CREATE CUSTOM INDEX wi ON session.dt (w) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex';"
+    )

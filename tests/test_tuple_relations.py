@@ -161,3 +161,21 @@ def test_session_fe_tuple_in(spark):
         ).collect()
     }
     assert got == {(0, 2), (1, 0)}
+
+
+def test_quoted_literals_never_rewritten():
+    """ADVICE r11: a string literal containing tuple-relation-looking
+    text must pass through verbatim — both the comparison and the IN
+    spelling — and literals mentioning non-clustering names must not
+    trip _validate."""
+    m = _Meta(("c1", "c2"))
+    s = "v = '(c1, c2) IN ((1,2))' AND (c1, c2) = (1, 2)"
+    assert _rewrite_tuple_relations(s, m) == (
+        "v = '(c1, c2) IN ((1,2))' AND (c1 = 1 AND c2 = 2)"
+    )
+    # a literal alone: untouched, no CQLError about non-clustering cols
+    s2 = "v = '(pk, other) >= (9, 9)'"
+    assert _rewrite_tuple_relations(s2, m) == s2
+    # literal VALUES containing parens survive the comparison rewrite
+    s3 = "(c1, c2) = ('(a)', 2)"
+    assert _rewrite_tuple_relations(s3, m) == "(c1 = '(a)' AND c2 = 2)"
