@@ -2434,3 +2434,53 @@ def cql47_udt_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("variants").alias("variants"),
         "wt",
     )
+
+
+@query(
+    "cql49_like_search",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE 'key %'
+    """,
+)
+def cql49_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE through the CQL FE on a SASI-indexed column (`[C*
+    index/sasi/SASIIndex — the reference's only LIKE-admitting index
+    class, unverified]`): ``CREATE CUSTOM INDEX .. USING '..SASIIndex'``
+    on ``documents (text)`` relaxes the restriction gate so ``WHERE text
+    LIKE 'key %'`` compiles — Catalyst turns the prefix form into a
+    StartsWith that pushes into the parquet scan, so at 100 TB the scan
+    skips row groups on column statistics instead of evaluating a regex
+    per row. In-body negatives (compile-time, no jobs): LIKE on a
+    plain-2i column and on an SAI column is rejected without ALLOW
+    FILTERING — SAI admits eq/range/CONTAINS but never LIKE, the
+    kind-faithful class split — while ALLOW FILTERING still runs it, and
+    the CONTAINS-mode spelling ``LIKE '%mid%'`` is admitted by the same
+    SASI index."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX doc_text_sasi ON documents (text) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
+    )
+    neg = CqlSession(spark, None)
+    neg.execute("CREATE TABLE lt (k int PRIMARY KEY, v text, w text)")
+    neg.execute("CREATE INDEX ON lt (v)")
+    neg.execute(
+        "CREATE CUSTOM INDEX ON lt (w) USING 'StorageAttachedIndex'"
+    )
+    for bad in (
+        "SELECT k FROM lt WHERE v LIKE 'a%'",  # plain 2i: no LIKE
+        "SELECT k FROM lt WHERE w LIKE 'a%'",  # SAI: no LIKE either
+    ):
+        try:
+            neg.execute(bad)
+            raise AssertionError(f"LIKE must require SASI: {bad}")
+        except CQLError:
+            pass
+    neg.execute("SELECT k FROM lt WHERE v LIKE 'a%' ALLOW FILTERING")
+    # CONTAINS-mode LIKE admitted through the same index (compile only)
+    sess.execute("SELECT doc_id FROM documents WHERE text LIKE '%window%'")
+    return sess.execute(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE text LIKE 'key %'"
+    )

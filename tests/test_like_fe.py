@@ -1,0 +1,79 @@
+"""LIKE through the CQL FE: SASI is the only index class admitting it
+(kind-faithful gate split vs SAI), prefix form pushes into the scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_spark.cql import CQLError
+from cassandra_spark.cql_session import CqlSession
+from tests.conftest import SF_SMOKE
+
+
+def test_sasi_admits_like_sai_does_not(spark):
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE lk (k int PRIMARY KEY, a text, b text, c text)")
+    s.execute(
+        "CREATE CUSTOM INDEX ON lk (a) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    s.execute("CREATE CUSTOM INDEX ON lk (b) USING 'StorageAttachedIndex'")
+    s.execute("CREATE INDEX ON lk (c)")
+    s.execute("INSERT INTO lk (k, a, b, c) VALUES (1, 'apple', 'x', 'y')")
+    s.execute("INSERT INTO lk (k, a, b, c) VALUES (2, 'banana', 'x', 'y')")
+    # SASI: prefix and contains forms both admitted, values correct
+    assert s.execute(
+        "SELECT k FROM lk WHERE a LIKE 'app%'"
+    ).collect()[0].k == 1
+    assert s.execute(
+        "SELECT k FROM lk WHERE a LIKE '%nan%'"
+    ).collect()[0].k == 2
+    # SAI and plain 2i: LIKE demands ALLOW FILTERING
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT k FROM lk WHERE b LIKE 'x%'")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT k FROM lk WHERE c LIKE 'y%'")
+    # ALLOW FILTERING runs them anyway (the reference's escape hatch)
+    assert s.execute(
+        "SELECT k FROM lk WHERE b LIKE 'x%' ALLOW FILTERING"
+    ).count() == 2
+    # SAI keeps its own kinds: equality and range still pass on b
+    assert s.execute("SELECT k FROM lk WHERE b = 'x'").count() == 2
+    assert s.execute("SELECT k FROM lk WHERE b >= 'x'").count() == 2
+
+
+def test_sasi_rejects_collections_and_drops_clean(spark):
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE lc (k int PRIMARY KEY, tags set<text>, t text)")
+    with pytest.raises(CQLError, match="collection"):
+        s.execute(
+            "CREATE CUSTOM INDEX ON lc (tags) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex'"
+        )
+    s.execute(
+        "CREATE CUSTOM INDEX ts ON lc (t) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    s.execute("INSERT INTO lc (k, t) VALUES (1, 'zebra')")
+    assert s.execute("SELECT k FROM lc WHERE t LIKE 'ze%'").count() == 1
+    s.execute("DROP INDEX ts")
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT k FROM lc WHERE t LIKE 'ze%'")
+
+
+def test_prefix_like_pushes_into_parquet_scan(spark):
+    """The 100 TB posture: Catalyst compiles LIKE 'pre%' to StartsWith
+    and pushes it into the parquet source, so the scan prunes on column
+    statistics instead of post-filtering every row."""
+    sess = CqlSession(spark, SF_SMOKE)
+    sess.execute(
+        "CREATE CUSTOM INDEX ON documents (text) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    df = sess.execute(
+        "SELECT doc_id FROM documents WHERE text LIKE 'key %'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith(text,key )" in plan.replace("'", ""), plan
+    assert "PushedFilters: [" in plan and "StringStartsWith" in plan, plan
