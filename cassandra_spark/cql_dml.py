@@ -154,12 +154,21 @@ def _split_type_params(body: str) -> list[str]:
     return [t for t in out if t]
 
 
+def is_coll_type(typ: str) -> bool:
+    """True when the Spark type text is a collection (list/set/map/array)."""
+    return bool(
+        re.match(r"^\s*(list|set|map|array)\s*<", typ, re.IGNORECASE)
+    )
+
+
 def parse_coll_type(typ: str) -> tuple[str, str, str | None] | None:
     """'list<int>' → ('list', 'int', None); 'map<string,int>' →
     ('map', 'string', 'int'); element types may be STRUCT types
     (UDT/tuple/duration — stored as canonical-JSON element cells, round
-    11); scalar and struct types → None. A nested-collection element
-    ('list<list<int>>') also returns None — the DDL gate rejects it."""
+    11) or COLLECTION types (the reference's frozen nested collections —
+    also canonical-JSON element cells, round 12); scalar and struct
+    top-level types → None. The DDL gate enforces the reference's rule
+    that a nested collection must be spelled ``frozen<...>``."""
     m = _COLL_RE.match(typ)
     if not m:
         return None
@@ -170,13 +179,6 @@ def parse_coll_type(typ: str) -> tuple[str, str, str | None] | None:
             raise CQLError(f"map type needs key and value types: {typ!r}")
     elif len(params) != 1:
         raise CQLError(f"{kind} type takes one parameter: {typ!r}")
-
-    def _elem_ok(t: str) -> bool:
-        # scalar or struct element; a collection element is unsupported
-        return not re.match(r"^\s*(list|set|map|array)\s*<", t, re.IGNORECASE)
-
-    if not all(_elem_ok(t) for t in params):
-        return None
     t1 = params[0]
     t2 = params[1] if kind == "map" else None
     return kind, t1, t2
@@ -343,6 +345,122 @@ def struct_json(tok: str, typ: str) -> str | None:
     else:
         raise CQLError(f"bad struct literal for {typ!r}: {tok!r}")
     return _json.dumps(out, separators=(",", ":"), ensure_ascii=False)
+
+
+def _coll_pyval(tok: str, typ: str):
+    """CQL literal text → the Python value ``json.dumps`` renders exactly
+    as Spark's ``to_json`` would for the Spark type ``typ``. Recursive
+    over frozen nested collections and struct elements. Canonical forms:
+    set elements sorted by their typed value, map keys sorted (and
+    rendered as JSON-object string keys, Spark's convention) — the same
+    deterministic order the top-level snapshot pivot produces with
+    ``array_sort`` / sorted ``map_from_entries``."""
+    import json as _json
+
+    tok = tok.strip()
+    if re.fullmatch(r"NULL", tok, re.IGNORECASE):
+        return None
+    if parse_struct_type(typ) is not None:
+        j = struct_json(tok, typ)
+        return None if j is None else _json.loads(j)
+    if is_coll_type(typ):
+        coll = parse_coll_type(typ)
+        kind, t1, t2 = coll
+        if kind in ("list", "set", "array"):
+            if not (
+                (tok.startswith("[") and tok.endswith("]"))
+                or (tok.startswith("{") and tok.endswith("}"))
+            ):
+                raise CQLError(f"bad {kind} literal for {typ!r}: {tok!r}")
+            body = tok[1:-1].strip()
+            items = [
+                _coll_pyval(i, t1) for i in (_split_csv(body) if body else [])
+            ]
+            if any(i is None for i in items):
+                raise CQLError("null is not a valid collection element")
+            if kind == "set":
+                # canonical set order = the element's natural order (the
+                # reference renders sets sorted); dedup on the rendered
+                # form, order by typed value where comparable
+                dedup = {_json.dumps(i): i for i in items}
+                try:
+                    items = sorted(dedup.values())
+                except TypeError:
+                    items = [dedup[k] for k in sorted(dedup)]
+            return items
+        # map: keys scalar, values recurse; JSON-object keys are strings
+        if not (tok.startswith("{") and tok.endswith("}")):
+            raise CQLError(f"bad map literal for {typ!r}: {tok!r}")
+        body = tok[1:-1].strip()
+        out = {}
+        for item in _split_csv(body) if body else []:
+            k, v = _split_colon(item)
+            kv = _parse_literal(k.strip())
+            vv = _coll_pyval(v.strip(), t2)
+            if kv is None or vv is None:
+                raise CQLError("null is not a valid map key/value")
+            out[str(kv)] = vv
+        return {k: out[k] for k in sorted(out)}
+    v = _parse_literal(tok)
+    return None if v is None else _json_field_value(v, typ)
+
+
+def spark_type_text(typ: str) -> str:
+    """Engine type text → text Spark's type parser accepts: the engine
+    keeps CQL's ``list<>`` / ``set<>`` spellings in schemas (set-ness is
+    semantic — element-cell identity), but ``from_json`` needs Spark's
+    ``array<>`` for both."""
+    return re.sub(r"\b(?:list|set)\s*<", "array<", typ, flags=re.IGNORECASE)
+
+
+def _canon_py(x, typ: str):
+    """Python JSON value → the value whose ``json.dumps`` rendering is
+    canonical for ``typ``: struct fields in declared order with nulls
+    omitted (the struct_json convention), set elements sorted, map keys
+    sorted and stringified. Scalar leaves pass through."""
+    import json as _json
+
+    if x is None:
+        return None
+    fields = parse_struct_type(typ)
+    if fields is not None:
+        if not isinstance(x, dict):
+            raise CQLError(f"struct value must be a JSON object: {x!r}")
+        return {
+            n: _canon_py(x[n], ft)
+            for n, ft in fields
+            if x.get(n) is not None
+        }
+    if is_coll_type(typ):
+        kind, t1, t2 = parse_coll_type(typ)
+        if kind in ("list", "array"):
+            return [_canon_py(i, t1) for i in x]
+        if kind == "set":
+            items = [_canon_py(i, t1) for i in x]
+            dedup = {_json.dumps(i): i for i in items}
+            try:
+                return sorted(dedup.values())
+            except TypeError:
+                return [dedup[k] for k in sorted(dedup)]
+        if not isinstance(x, dict):
+            raise CQLError(f"map value must be a JSON object: {x!r}")
+        out = {str(k): _canon_py(v, t2) for k, v in x.items()}
+        return {k: out[k] for k in sorted(out)}
+    return x
+
+
+def coll_json(tok: str, typ: str) -> str | None:
+    """Frozen nested-collection CQL literal → ONE canonical JSON string
+    for the element cell (round 12; the reference's frozen<list/set/map>
+    nesting `[C* cql3/CQL3Type.Raw, unverified]`) — the same convention
+    struct-typed elements use, so snapshot re-typing is a uniform
+    ``from_json`` and the DuckDB oracle compares identical bytes."""
+    import json as _json
+
+    v = _coll_pyval(tok, typ)
+    return None if v is None else _json.dumps(
+        v, separators=(",", ":"), ensure_ascii=False
+    )
 
 
 @dataclass
@@ -752,6 +870,10 @@ def _parse_value(tok: str, elem_type: str | None = None,
     def lit(item: str, typ: str | None):
         if typ is not None and parse_struct_type(typ) is not None:
             return struct_json(item, typ)
+        if typ is not None and is_coll_type(typ):
+            # frozen nested collection element (round 12): one
+            # canonical-JSON string per element cell, like structs
+            return coll_json(item, typ)
         return _parse_literal(item)
 
     tok = tok.strip()
@@ -1188,16 +1310,34 @@ class CqlTable:
         coll = s.coll_regular.get(col)
         if coll is None:
             return "scalar", canon(v)
-        ckind = coll[0]
+        ckind, t1, t2 = coll
         if v is None:
             return "scalar", None
+
+        def elem(x, typ):
+            # struct / frozen-nested-collection elements canonicalize to
+            # one JSON string per element cell, like the VALUES form
+            if typ is not None and (
+                parse_struct_type(typ) is not None or is_coll_type(typ)
+            ):
+                if x is None:
+                    return None
+                import json as _json
+
+                return _json.dumps(
+                    _canon_py(x, typ),
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+            return canon(x)
+
         if ckind in ("list", "set"):
             if not isinstance(v, list):
                 raise CQLError(f"{ckind} column {col!r} needs a JSON array")
-            return ckind, [canon(x) for x in v]
+            return ckind, [elem(x, t1) for x in v]
         if not isinstance(v, dict):
             raise CQLError(f"map column {col!r} needs a JSON object")
-        return "map", [(canon(k), canon(x)) for k, x in v.items()]
+        return "map", [(canon(k), elem(x, t2)) for k, x in v.items()]
 
     def _stmt_eq_pairs(self, m: re.Match) -> dict[str, str | None]:
         """Key equalities of a statement (INSERT column list or WHERE)."""
@@ -1684,10 +1824,13 @@ class CqlTable:
             else:
                 k = _parse_literal(im.group(2))
             # the written element takes the list's element type or the
-            # map's VALUE type — struct-typed ones canonicalize to JSON
+            # map's VALUE type — struct-typed and frozen-nested-collection
+            # ones canonicalize to JSON
             vtyp = coll[1] if coll[0] == "list" else coll[2]
             if parse_struct_type(vtyp) is not None:
                 v = struct_json(im.group(3), vtyp)
+            elif is_coll_type(vtyp):
+                v = coll_json(im.group(3), vtyp)
             else:
                 v = _parse_literal(im.group(3))
             if v is not None:
@@ -3760,10 +3903,11 @@ class CqlTable:
                 aggs.append(F.max(cell_val).cast(typ).alias(c))
             aggs.append(F.max(cell_wt).alias(f"__writetime_{c}"))
         def _cell_expr(src: str, typ: str) -> str:
-            # struct-typed elements store canonical JSON (round 11):
-            # from_json re-types them; a string cast can't build a struct
-            if parse_struct_type(typ) is not None:
-                return f"from_json({src}, '{typ}')"
+            # struct-typed (round 11) and frozen-nested-collection
+            # (round 12) elements store canonical JSON: from_json
+            # re-types them; a string cast can't build a struct or array
+            if parse_struct_type(typ) is not None or is_coll_type(typ):
+                return f"from_json({src}, '{spark_type_text(typ)}')"
             return f"cast({src} AS {typ})"
 
         for c, (ckind, t1, t2) in s.coll_regular.items():
@@ -3774,11 +3918,23 @@ class CqlTable:
                     f"x -> {_cell_expr('x.val', t1)})"
                 )
             elif ckind == "set":
-                agg = F.expr(
-                    f"array_sort(array_distinct(collect_list("
-                    f"CASE WHEN col = '{c}' THEN {_cell_expr('val', t1)} "
-                    f"END)))"
-                )
+                if is_coll_type(t1):
+                    # nested-collection elements: MAP types are not
+                    # orderable in Spark, but their canonical-JSON cell
+                    # strings are — dedup/sort the strings (canonical
+                    # JSON = element identity), then re-type each
+                    agg = F.expr(
+                        f"transform(array_sort(array_distinct("
+                        f"collect_list(CASE WHEN col = '{c}' THEN val "
+                        f"END))), x -> from_json(x, "
+                        f"'{spark_type_text(t1)}'))"
+                    )
+                else:
+                    agg = F.expr(
+                        f"array_sort(array_distinct(collect_list("
+                        f"CASE WHEN col = '{c}' THEN {_cell_expr('val', t1)} "
+                        f"END)))"
+                    )
             else:  # map: entries sorted by key for deterministic rendering
                 agg = F.expr(
                     f"map_from_entries(array_sort(collect_list("

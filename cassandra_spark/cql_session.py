@@ -41,6 +41,7 @@ from cassandra_spark.cql_dml import (
     DURATION_STRUCT,
     CqlTable,
     TableSchema,
+    is_coll_type,
     parse_coll_type,
     parse_struct_type,
 )
@@ -110,6 +111,33 @@ def _map_type(cql_type: str, udts: dict[str, str] | None = None) -> str:
     if t not in _CQL_TYPES:
         raise CQLError(f"unsupported CQL type {cql_type!r}")
     return _CQL_TYPES[t]
+
+
+def _validate_nested_frozen(
+    raw: str, col: str, udts: dict[str, str] | None = None
+) -> None:
+    """Enforce the reference's nesting rule on a RAW CQL collection type:
+    a collection directly inside a non-frozen collection must be spelled
+    ``frozen<...>`` (`[C* cql3/CQL3Type.Raw — "Non-frozen collections
+    are not allowed inside collections", unverified]`). A frozen OUTER
+    collection freezes everything inside it, so no inner spelling is
+    required there."""
+    t = raw.strip()
+    if re.fullmatch(r"frozen\s*<.+>", t, re.IGNORECASE | re.DOTALL):
+        return  # inside frozen, everything is frozen
+    m = re.fullmatch(
+        r"\s*(list|set|map)\s*<(.+)>\s*", t, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return
+    for p in _split_generics(m.group(2)):
+        p = p.strip()
+        if re.match(r"^(list|set|map)\s*<", p, re.IGNORECASE):
+            raise CQLError(
+                f"non-frozen collections are not allowed inside "
+                f"collections: column {col!r} ({t}) — wrap the inner "
+                "collection in frozen<>"
+            )
 
 
 def _split_generics(text: str) -> list[str]:
@@ -303,26 +331,21 @@ def parse_create_table(
             if re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
             else None
         )
-        if (
-            re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
-            and coll_p is None
-        ):
-            # a collection whose element type is ITSELF a collection:
-            # the snapshot pivot stores one string per element cell and
-            # cannot reconstruct two nesting levels — reject at DDL time
-            # (struct elements — UDT/tuple/duration — are supported since
-            # round 11 via canonical-JSON element cells)
-            raise CQLError(
-                f"collection column {c!r} must have scalar or UDT/tuple "
-                "element types (nested collections unsupported by the "
-                "DML front-end)"
-            )
+        if coll_p is not None:
+            # nested collections must be spelled frozen<...> (the
+            # reference's rule — non-frozen collections are not allowed
+            # inside collections `[C* cql3/CQL3Type.Raw, unverified]`);
+            # a frozen nested element stores as one canonical-JSON
+            # element cell, the round-11 struct convention (round 12)
+            _validate_nested_frozen(t, c, udts)
         if coll_p is not None and coll_p[0] == "map" and (
             parse_struct_type(coll_p[1]) is not None
+            or is_coll_type(coll_p[1])
         ):
             raise CQLError(
                 f"map column {c!r} must have a scalar key type "
-                "(UDT/tuple map keys unsupported by the DML front-end)"
+                "(UDT/tuple/collection map keys unsupported by the DML "
+                "front-end)"
             )
         if t.strip().lower() == "counter":
             counter_cols += 1
@@ -1907,6 +1930,16 @@ class CqlSession:
             if col in s.regular or col in s.static or col in s.key_cols:
                 raise CQLError(f"column {col!r} already exists")
             mapped = _map_type(m.group("addtype"), self.types)
+            if is_coll_type(mapped):
+                _validate_nested_frozen(m.group("addtype"), col, self.types)
+                p = parse_coll_type(mapped)
+                if p and p[0] == "map" and (
+                    parse_struct_type(p[1]) is not None
+                    or is_coll_type(p[1])
+                ):
+                    raise CQLError(
+                        f"map column {col!r} must have a scalar key type"
+                    )
             if m.group("static"):
                 if parse_coll_type(mapped):
                     raise CQLError("static collection columns are not supported")

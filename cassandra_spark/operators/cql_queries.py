@@ -2484,3 +2484,80 @@ def cql49_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE text LIKE 'key %'"
     )
+
+
+@query(
+    "cql50_nested_collections",
+    oracle="""
+    SELECT p_partkey AS pk,
+           to_json(CASE WHEN p_partkey % 2 = 1
+             THEN MAP {'a': [p_size * 2]}
+             ELSE MAP {'a': [p_size * 2], 'b': [p_size, p_size + 1]}
+           END) AS m,
+           to_json([list_sort(list_distinct([p_brand, p_type]))]) AS l
+    FROM part WHERE p_partkey <= 40
+    """,
+)
+def cql50_nested_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen NESTED collections in the session FE (`[C* cql3/CQL3Type.Raw
+    — frozen<list/set/map> inside collections, unverified]`):
+    ``map<text, frozen<list<int>>>`` and ``list<frozen<set<text>>>``
+    round-trip through CQL literals → canonical-JSON element cells in the
+    mutation log (the round-11 struct convention extended one nesting
+    level) → from_json re-typing at snapshot. Exercised per row: INSERT
+    with nested literals, a SUBSCRIPT overwrite of one nested value
+    (``m['a'] = [..]``), and a nested-key tombstone (``DELETE m['b']``)
+    on odd keys — LWW across all three. The DuckDB oracle rebuilds the
+    same maps/lists natively and compares the canonical JSON renderings
+    byte-for-byte (the cql47 convention). In-body: non-frozen nesting is
+    rejected at DDL time (the reference's rule)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+
+    sess = CqlSession(spark, sf_dir)
+    try:
+        sess.execute(
+            "CREATE TABLE badnest (pk int PRIMARY KEY, "
+            "m map<text, list<int>>)"
+        )
+        raise AssertionError("non-frozen nested collection must be "
+                             "rejected at DDL time")
+    except CQLError:
+        pass
+    sess.execute(
+        "CREATE TABLE np (pk bigint, m map<text, frozen<list<int>>>, "
+        "l list<frozen<set<text>>>, PRIMARY KEY (pk))"
+    )
+    rows = (
+        Catalog(spark, sf_dir)
+        .part.filter(F.col("p_partkey") <= 40)
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .collect()
+    )  # bounded: <=41 rows through the (inherently driver-side) CQL FE
+    for r in rows:
+
+        def q(s: str) -> str:
+            return s.replace("'", "''")
+
+        sess.execute(
+            f"INSERT INTO np (pk, m, l) VALUES ({r.p_partkey}, "
+            f"{{'b': [{r.p_size}, {r.p_size + 1}], 'a': [{r.p_size}]}}, "
+            f"[{{'{q(r.p_type)}', '{q(r.p_brand)}'}}]) USING TIMESTAMP 100"
+        )
+        sess.execute(
+            f"UPDATE np USING TIMESTAMP 200 SET m['a'] = "
+            f"[{r.p_size * 2}] WHERE pk = {r.p_partkey}"
+        )
+        if r.p_partkey % 2 == 1:
+            sess.execute(
+                f"DELETE m['b'] FROM np USING TIMESTAMP 300 "
+                f"WHERE pk = {r.p_partkey}"
+            )
+
+    snap = sess.execute("SELECT pk, m, l FROM np")
+    return snap.select(
+        "pk",
+        F.to_json("m").alias("m"),
+        F.to_json("l").alias("l"),
+    )

@@ -25,8 +25,9 @@ def test_parse_coll_type_struct_elements():
         "map", "string", "struct<a:int>",
     )
     assert parse_coll_type("set<int>") == ("set", "int", None)
-    # nested collections stay unsupported (None -> DDL gate rejects)
-    assert parse_coll_type("list<list<int>>") is None
+    # nested collections parse too (round 12; the DDL gate enforces the
+    # frozen spelling on the RAW CQL text, not here)
+    assert parse_coll_type("list<list<int>>") == ("list", "list<int>", None)
     assert parse_coll_type("struct<a:int>") is None
     with pytest.raises(CQLError):
         parse_coll_type("map<int>")
@@ -101,10 +102,14 @@ def test_collection_ops_on_struct_elements(sess):
 
 
 def test_ddl_gates(sess):
-    with pytest.raises(CQLError, match="nested collections"):
+    # frozen nested collections are SUPPORTED since round 12; the
+    # non-frozen spelling is what the gate rejects (the reference's rule)
+    sess.execute(
+        "CREATE TABLE okn (k int PRIMARY KEY, x list<frozen<list<int>>>)"
+    )
+    with pytest.raises(CQLError, match="frozen"):
         sess.execute(
-            "CREATE TABLE bad (k int PRIMARY KEY, "
-            "x list<frozen<list<int>>>)"
+            "CREATE TABLE bad (k int PRIMARY KEY, x list<list<int>>)"
         )
     with pytest.raises(CQLError, match="scalar key type"):
         sess.execute(

@@ -164,11 +164,15 @@ def test_drop_type_guards_nested_and_collection_use():
     )
     with pytest.raises(CQLError, match="in use"):
         sess.execute("DROP TYPE address")
-    # nested collections stay rejected
-    with pytest.raises(CQLError, match="nested collections"):
+    # frozen nested collections are supported since round 12; only the
+    # non-frozen spelling is rejected (the reference's rule)
+    sess.execute(
+        "CREATE TABLE tn (k text PRIMARY KEY, "
+        "m map<text, frozen<list<int>>>)"
+    )
+    with pytest.raises(CQLError, match="frozen"):
         sess.execute(
-            "CREATE TABLE t (k text PRIMARY KEY, "
-            "m map<text, frozen<list<int>>>)"
+            "CREATE TABLE tn2 (k text PRIMARY KEY, m map<text, list<int>>)"
         )
     # plain scalar collections still pass
     sess.execute(
