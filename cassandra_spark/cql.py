@@ -83,6 +83,11 @@ _ANN_RE = re.compile(
     r"^\s*(\w+)\s+ANN\s+OF\s+(\[[^\]]*\])\s*$", re.IGNORECASE | re.DOTALL
 )
 
+# time-bucket GROUP BY element (CASSANDRA-11871 lineage `[C* cql3/
+# functions/TimeFcts :: FloorTimestampFunction, unverified]`):
+# `floor(<clustering col>, <duration literal>)`
+_FLOOR_ITEM_RE = re.compile(r"floor\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)")
+
 
 def _parse(stmt: str) -> _Stmt:
     m = _SELECT_RE.match(stmt)
@@ -106,9 +111,16 @@ def _parse(stmt: str) -> _Stmt:
                 )
     group_by = None
     if m.group("group"):
-        group_by = [c.strip().lower() for c in m.group("group").split(",")]
-        if not all(re.fullmatch(r"\w+", c) for c in group_by):
-            raise CQLError(f"bad GROUP BY clause: {m.group('group')!r}")
+        # depth-aware split: floor(ck, 5m) carries a comma of its own
+        group_by = [
+            c.strip().lower() for c in _split_projection(m.group("group"))
+        ]
+        for c in group_by:
+            if not (
+                re.fullmatch(r"\w+", c)
+                or re.fullmatch(_FLOOR_ITEM_RE, c)
+            ):
+                raise CQLError(f"bad GROUP BY clause: {m.group('group')!r}")
     proj = m.group("proj").strip()
     jm = re.match(r"^JSON\s+(.+)$", proj, re.IGNORECASE | re.DOTALL)
     return _Stmt(
@@ -762,23 +774,110 @@ def _to_json_row(df: DataFrame) -> DataFrame:
     )
 
 
+def _floor_bucket_sql(df: DataFrame, meta, col: str, dur: str) -> str:
+    """Spark-SQL expression for the epoch-aligned time bucket
+    ``floor(col, duration)`` (`[C* cql3/functions/TimeFcts ::
+    FloorTimestampFunction — CASSANDRA-11871, unverified]`). Integer
+    microsecond arithmetic (no double round-trip: µs epochs exceed
+    2^53 in ns, and floor(a/b)*b in doubles drifts by ulps)."""
+    from cassandra_spark.cql_dml import parse_duration
+
+    dtypes = {c.lower(): t for c, t in df.dtypes}
+    t = dtypes.get(col, "")
+    if t not in ("timestamp", "timestamp_ntz", "date"):
+        raise CQLError(
+            f"floor() in GROUP BY needs a timestamp/date column, "
+            f"{col!r} is {t or 'unknown'!r}"
+        )
+    try:
+        months, days, nanos = parse_duration(dur)
+    except CQLError:
+        raise
+    if months:
+        raise CQLError(
+            "floor() bucket must be a fixed-length duration "
+            "(month/year durations vary in length)"
+        )
+    if nanos % 1000:
+        raise CQLError("floor() bucket must be microsecond-aligned")
+    dur_us = days * 86_400_000_000 + nanos // 1000
+    if dur_us <= 0:
+        raise CQLError("floor() bucket duration must be positive")
+    return (
+        f"timestamp_micros((unix_micros(cast({col} AS timestamp)) "
+        f"div {dur_us}) * {dur_us})"
+    )
+
+
 def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     """CQL GROUP BY (`[C* CASSANDRA-10707]`, unverified): keys must be a
     primary-key prefix covering the full partition key; non-grouped plain
     columns return the group's FIRST row value in clustering order (the
     reference's semantics), compiled as min_by over a clustering-order
     row_number — the window and the aggregate hash-partition on the same
-    keys, so it costs one shuffle, not two."""
-    g = [c for c in (s.group_by or [])]
+    keys, so it costs one shuffle, not two. The LAST element may be a
+    time-bucket ``floor(ck, duration)`` over the next clustering column
+    after the prefix (CASSANDRA-11871 lineage) — compiled to epoch-
+    aligned integer µs bucketing, which stays whole-stage-codegen and
+    keeps the single group-shuffle plan."""
+    g_raw = [c for c in (s.group_by or [])]
+    floor_spec: tuple[str, str] | None = None
+    g: list[str] = []
+    for i, item in enumerate(g_raw):
+        fm = re.fullmatch(_FLOOR_ITEM_RE, item)
+        if fm:
+            if i != len(g_raw) - 1:
+                raise CQLError(
+                    "floor() must be the last GROUP BY element"
+                )
+            floor_spec = (fm.group(1).lower(), fm.group(2))
+        else:
+            g.append(item)
     pkck = list(meta.partition_key) + list(meta.clustering_cols)
     if g != pkck[: len(g)] or len(g) < len(meta.partition_key):
         raise CQLError(
             "Group by is currently only supported on the columns of the "
-            f"PRIMARY KEY, got {g}"
+            f"PRIMARY KEY, got {g_raw}"
         )
+    bucket_sql = None
+    if floor_spec is not None:
+        fcol, dur = floor_spec
+        # the reference's rule: the floored column is the NEXT primary-
+        # key column after the grouped prefix (a gap would group by a
+        # non-prefix, the same error as a plain non-prefix GROUP BY)
+        if len(g) >= len(pkck) or pkck[len(g)] != fcol:
+            raise CQLError(
+                "floor() in GROUP BY must apply to the next clustering "
+                f"column after the grouped prefix ({pkck})"
+            )
+        bucket_sql = _floor_bucket_sql(df, meta, fcol, dur)
     items = _split_projection(s.projection)
     if s.projection.strip() == "*":
         raise CQLError("SELECT * with GROUP BY is not supported; name columns")
+
+    def _floor_proj(item: str) -> str | None:
+        """Alias when the projection item is THE grouped floor bucket."""
+        fm = re.fullmatch(
+            rf"{_FLOOR_ITEM_RE.pattern}(?:\s+AS\s+(\w+))?",
+            item,
+            re.IGNORECASE,
+        )
+        if not fm or floor_spec is None:
+            return None
+        if (fm.group(1).lower(), fm.group(2).lower()) != floor_spec:
+            raise CQLError(
+                f"projection floor() must match the GROUP BY bucket "
+                f"{floor_spec}"
+            )
+        return (fm.group(3) or f"floor_{floor_spec[0]}").lower()
+
+    bucket_alias = None
+    for i in items:
+        a = _floor_proj(i)
+        if a is not None:
+            bucket_alias = a
+    if floor_spec is not None and bucket_alias is None:
+        bucket_alias = f"floor_{floor_spec[0]}"
     first_cols = [
         i.lower()
         for i in items
@@ -787,35 +886,48 @@ def _compile_group_by(df: DataFrame, meta, s: "_Stmt") -> DataFrame:
     bad = [c for c in first_cols if c not in {x.lower() for x in df.columns}]
     if bad:
         raise CQLError(f"undefined columns in projection: {bad}")
+    group_cols = [F.col(c) for c in g]
+    if bucket_sql is not None:
+        group_cols.append(F.expr(bucket_sql).alias(bucket_alias))
     aggs: list = []
     if first_cols:
         order = [
             F.col(c.lstrip("-")).desc() if c.startswith("-") else F.col(c).asc()
             for c in meta.clustering
         ] or [F.lit(1)]
-        w = Window.partitionBy(*g).orderBy(*order)
+        wparts: list = list(g)
+        if bucket_sql is not None:
+            wparts.append(F.expr(bucket_sql))
+        w = Window.partitionBy(*wparts).orderBy(*order)
         df = df.withColumn("__rn", F.row_number().over(w))
         aggs += [F.expr(f"min_by({c}, __rn)").alias(c) for c in first_cols]
     for i in items:
-        if re.fullmatch(r"\w+", i):
-            continue  # group key or first-value column, handled above
+        if re.fullmatch(r"\w+", i) or _floor_proj(i) is not None:
+            continue  # group key / first-value / bucket, handled above
         if not _AGG_RE.match(i):
             raise CQLError(
                 f"projection item {i!r} must be a primary-key column, a "
                 f"selected-first column, or one of {AGG_FNS}"
             )
         aggs.append(F.expr(i))
-    out = df.groupBy(*[F.col(c) for c in g]).agg(*aggs) if aggs else (
-        df.select(*g).distinct()
+    out = df.groupBy(*group_cols).agg(*aggs) if aggs else (
+        df.select(*group_cols).distinct()
     )
     # restore the user's projection order where names are knowable
     names = {c.lower(): c for c in out.columns}
-    wanted = [
-        names.get(re.split(r"\s+AS\s+", i, flags=re.IGNORECASE)[-1].lower())
-        if not re.fullmatch(r"\w+", i)
-        else names.get(i.lower())
-        for i in items
-    ]
+    wanted = []
+    for i in items:
+        fa = _floor_proj(i)
+        if fa is not None:
+            wanted.append(names.get(fa))
+        elif re.fullmatch(r"\w+", i):
+            wanted.append(names.get(i.lower()))
+        else:
+            wanted.append(
+                names.get(
+                    re.split(r"\s+AS\s+", i, flags=re.IGNORECASE)[-1].lower()
+                )
+            )
     if all(wanted):
         out = out.select(*wanted)
     return out

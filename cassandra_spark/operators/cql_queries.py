@@ -2561,3 +2561,33 @@ def cql50_nested_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("m").alias("m"),
         F.to_json("l").alias("l"),
     )
+
+
+@query(
+    "cql51_group_by_time_bucket",
+    oracle="""
+    SELECT user_id,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS bucket,
+           count(event_id) AS n,
+           min(value) AS lo
+    FROM events GROUP BY user_id, bucket
+    """,
+)
+def cql51_group_by_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket GROUP BY (`[C* cql3/functions/TimeFcts ::
+    FloorTimestampFunction — CASSANDRA-11871 lineage, unverified]`):
+    ``GROUP BY user_id, floor(ts, 1h)`` in the CQL FE grammar, compiled
+    to epoch-aligned integer-µs bucketing — ``timestamp_micros((
+    unix_micros(ts) div 3600000000) * 3600000000)`` — which stays
+    whole-stage-codegen inside the single hash-aggregate shuffle (no
+    second exchange, no UDF). The gate keeps the PK-prefix rule: the
+    floored column must be the next clustering column after the grouped
+    prefix; months/years (variable length) are rejected. The DuckDB
+    oracle recomputes the same integer bucket arithmetic independently."""
+    return cql_select(
+        spark, sf_dir,
+        "SELECT user_id, floor(ts, 1h) AS bucket, "
+        "count(event_id) AS n, min(value) AS lo "
+        "FROM events GROUP BY user_id, floor(ts, 1h)",
+    )

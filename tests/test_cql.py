@@ -257,3 +257,55 @@ def test_token_is_bit_exact_murmur3(spark):
     assert rows
     for r in rows:
         assert r["tok"] == token_of_bigint(r["o_custkey"])
+
+
+def test_group_by_floor_time_bucket(spark):
+    """CASSANDRA-11871 lineage: GROUP BY pk, floor(ck, dur) — epoch-
+    aligned buckets, gate rejections for every malformed spelling."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError, cql_select
+    from tests.conftest import SF_SMOKE
+
+    df = cql_select(
+        spark, SF_SMOKE,
+        "SELECT user_id, floor(ts, 1h) AS bucket, count(event_id) AS n "
+        "FROM events GROUP BY user_id, floor(ts, 1h)",
+    )
+    assert dict(df.dtypes)["bucket"] == "timestamp"
+    rows = df.collect()
+    assert rows and all(
+        r.bucket.minute == 0 and r.bucket.second == 0 for r in rows
+    )
+    # buckets partition the events: totals must reconcile
+    total = cql_select(
+        spark, SF_SMOKE,
+        "SELECT count(event_id) AS n FROM events GROUP BY user_id",
+    ).groupBy().sum("n").collect()[0][0]
+    assert sum(r.n for r in rows) == total
+    for bad, why in [
+        # floor on a non-clustering column
+        ("SELECT user_id, floor(event_id, 1h) AS b FROM events "
+         "GROUP BY user_id, floor(event_id, 1h)", "next clustering"),
+        # floor must come last
+        ("SELECT user_id, floor(ts, 1h) AS b FROM events "
+         "GROUP BY floor(ts, 1h), user_id", "last"),
+        # partition key still required
+        ("SELECT floor(ts, 1h) AS b FROM events GROUP BY floor(ts, 1h)",
+         "PRIMARY KEY"),
+        # variable-length durations rejected
+        ("SELECT user_id, floor(ts, 1mo) AS b FROM events "
+         "GROUP BY user_id, floor(ts, 1mo)", "fixed-length"),
+        # non-temporal column rejected
+        ("SELECT user_id, floor(value, 1h) AS b FROM events "
+         "GROUP BY user_id, floor(value, 1h)", ""),
+    ]:
+        with pytest.raises(CQLError):
+            cql_select(spark, SF_SMOKE, bad)
+    # projection floor must match the grouped bucket
+    with pytest.raises(CQLError, match="match"):
+        cql_select(
+            spark, SF_SMOKE,
+            "SELECT user_id, floor(ts, 5m) AS b FROM events "
+            "GROUP BY user_id, floor(ts, 1h)",
+        )
