@@ -72,6 +72,7 @@ SF1_QUERIES = (
     "l3c_ivf_ann l4_multimodal_meta l5_text_stats l6_langid "
     "l7_token_count l8_fingerprint l9_quality_score "
     "p10_nts_replicas p9_ring_ownership q_flagship_revenue_by_nation "
+    "cql51_group_by_time_bucket "
     "s10_cdc_stream s11_streaming_hll s12_streaming_session "
     "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
     "s16_streaming_dedup_bounded s17_streaming_admission "

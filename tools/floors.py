@@ -148,27 +148,25 @@ def check(bench_paths: list[str], gate: float) -> int:
             }
             med = statistics.median(ratios.values()) if ratios else None
             mx = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
-            print(
-                json.dumps(
-                    {
-                        "bench": bp,
-                        "floors": sf_key,
-                        "compared": len(ratios),
-                        "no_floor": sorted(unknown),
-                        "median_ratio": round(med, 3) if med else None,
-                        "max_ratio": (
-                            {"query": mx[0], "ratio": round(mx[1], 3)}
-                            if mx
-                            else None
-                        ),
-                        "over_gate": {
-                            n: round(r, 3) for n, r in over.items()
-                        },
-                        "isolated_only_informational": iso_over,
-                        "gate": gate,
-                    }
-                )
-            )
+            out_doc = {
+                "bench": bp,
+                "floors": sf_key,
+                "compared": len(ratios),
+                "no_floor": sorted(unknown),
+                "median_ratio": round(med, 3) if med else None,
+                "max_ratio": (
+                    {"query": mx[0], "ratio": round(mx[1], 3)}
+                    if mx
+                    else None
+                ),
+                "over_gate": {n: round(r, 3) for n, r in over.items()},
+                "gate": gate,
+            }
+            # only present when an isolated-only floor actually tripped
+            # in-sweep — an empty key was round-11 bookkeeping noise
+            if iso_over:
+                out_doc["isolated_only_informational"] = iso_over
+            print(json.dumps(out_doc))
             if over:
                 rc = 1
     return rc
