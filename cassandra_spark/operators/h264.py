@@ -1,0 +1,1398 @@
+"""H.264/AVC baseline-profile INTRA codec subset — the round-12 step into
+inter-coded video (SURVEY §2.12; round-11 verdict "what's missing" #2).
+
+Scope (honest): IDR pictures only, CAVLC entropy coding, I_16x16 and
+I_PCM macroblocks, 4:2:0 chroma, frame_mbs_only, deblocking disabled by
+the slice header. That is exactly the subset a frame-sampling pipeline
+needs at 100 TB — sample only the IDR (sync) pictures of a GOP and skip
+the inter frames — and it is the subset this module's own writer emits,
+so the decoder is round-trip-tested without external samples (the
+jpeg.py / avi.py self-validation contract). Everything outside the
+subset raises NotImplementedError with the reason: I_4x4 / inter slices
+/ CABAC remain gated.
+
+Clean-room transcription from the PUBLIC ITU-T H.264 (ISO/IEC 14496-10)
+specification: exp-Golomb (9.1), CAVLC residual (9.2 with tables
+9-5..9-10), intra prediction (8.3), transform/scaling (8.5), NAL/RBSP
+emulation prevention (7.3/7.4). Caveat recorded: with no reference
+decoder in the container, table transcription is validated structurally
+(prefix-freeness + completeness tests) and by encoder/decoder
+round-trip; cross-implementation interop is asserted only to the spec
+text, the same standing caveat as jpeg_arith.py.
+
+Pure functions over bytes (codecs.py contract) — worker-safe, no Spark
+imports.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# bit I/O + exp-Golomb (spec 9.1)
+
+
+class BitWriter:
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((val >> i) & 1)
+
+    def ue(self, val: int) -> None:
+        code = val + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, val: int) -> None:
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def bits(self, s: str) -> None:
+        for ch in s:
+            self._bits.append(1 if ch == "1" else 0)
+
+    def rbsp_trailing(self) -> None:
+        self._bits.append(1)
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def tobytes(self) -> bytes:
+        assert len(self._bits) % 8 == 0, "call rbsp_trailing() first"
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def peek(self, n: int) -> int:
+        save = self.pos
+        try:
+            return self.u(n)
+        finally:
+            self.pos = save
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def rbsp_to_ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (spec 7.4.1.1): any 00 00 0x
+    (x<=3) sequence gets 03 stuffed after the two zeros."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def ebsp_to_rbsp(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and i + 1 < n and ebsp[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    """One NAL unit (header byte + emulation-prevented payload)."""
+    return bytes([(ref_idc << 5) | nal_type]) + rbsp_to_ebsp(rbsp)
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (spec tables 9-5, 9-7, 9-8, 9-9(a), 9-10) — bitstring form.
+# Keys: (TotalCoeff, TrailingOnes) -> codeword. Transcribed clean-room;
+# prefix-freeness + completeness are pinned by tests/test_h264.py.
+
+COEFF_TOKEN_NC0 = {  # 0 <= nC < 2
+    (0, 0): "1",
+    (1, 0): "000101", (1, 1): "01",
+    (2, 0): "00000111", (2, 1): "000100", (2, 2): "001",
+    (3, 0): "000000111", (3, 1): "00000110", (3, 2): "0000101",
+    (3, 3): "00011",
+    (4, 0): "0000000111", (4, 1): "000000110", (4, 2): "00000101",
+    (4, 3): "000011",
+    (5, 0): "00000000111", (5, 1): "0000000110", (5, 2): "000000101",
+    (5, 3): "0000100",
+    (6, 0): "0000000001111", (6, 1): "00000000110", (6, 2): "0000000101",
+    (6, 3): "00000100",
+    (7, 0): "0000000001011", (7, 1): "0000000001110", (7, 2): "00000000101",
+    (7, 3): "000000100",
+    (8, 0): "0000000001000", (8, 1): "0000000001010",
+    (8, 2): "0000000001101", (8, 3): "0000000100",
+    (9, 0): "00000000001111", (9, 1): "00000000001110",
+    (9, 2): "0000000001001", (9, 3): "00000000100",
+    (10, 0): "00000000001011", (10, 1): "00000000001010",
+    (10, 2): "00000000001101", (10, 3): "0000000001100",
+    (11, 0): "000000000001111", (11, 1): "000000000001110",
+    (11, 2): "00000000001001", (11, 3): "00000000001100",
+    (12, 0): "000000000001011", (12, 1): "000000000001010",
+    (12, 2): "000000000001101", (12, 3): "00000000001000",
+    (13, 0): "0000000000001111", (13, 1): "000000000000001",
+    (13, 2): "000000000001001", (13, 3): "000000000001100",
+    (14, 0): "0000000000001011", (14, 1): "0000000000001110",
+    (14, 2): "0000000000001101", (14, 3): "000000000001000",
+    (15, 0): "0000000000000111", (15, 1): "0000000000001010",
+    (15, 2): "0000000000001001", (15, 3): "0000000000001100",
+    (16, 0): "0000000000000100", (16, 1): "0000000000000110",
+    (16, 2): "0000000000000101", (16, 3): "0000000000001000",
+}
+
+COEFF_TOKEN_NC2 = {  # 2 <= nC < 4
+    (0, 0): "11",
+    (1, 0): "001011", (1, 1): "10",
+    (2, 0): "000111", (2, 1): "00111", (2, 2): "011",
+    (3, 0): "0000111", (3, 1): "001010", (3, 2): "001001", (3, 3): "0101",
+    (4, 0): "00000111", (4, 1): "000110", (4, 2): "000101", (4, 3): "0100",
+    (5, 0): "00000100", (5, 1): "0000110", (5, 2): "0000101", (5, 3): "00110",
+    (6, 0): "000000111", (6, 1): "00000110", (6, 2): "00000101",
+    (6, 3): "001000",
+    (7, 0): "00000001111", (7, 1): "000000110", (7, 2): "000000101",
+    (7, 3): "000100",
+    (8, 0): "00000001011", (8, 1): "00000001110", (8, 2): "00000001101",
+    (8, 3): "0000100",
+    (9, 0): "000000001111", (9, 1): "00000001010", (9, 2): "00000001001",
+    (9, 3): "000000100",
+    (10, 0): "000000001011", (10, 1): "000000001110",
+    (10, 2): "000000001101", (10, 3): "00000001100",
+    (11, 0): "000000001000", (11, 1): "000000001010",
+    (11, 2): "000000001001", (11, 3): "00000001000",
+    (12, 0): "0000000001111", (12, 1): "0000000001110",
+    (12, 2): "0000000001101", (12, 3): "000000001100",
+    (13, 0): "0000000001011", (13, 1): "0000000001010",
+    (13, 2): "0000000001001", (13, 3): "0000000001100",
+    (14, 0): "0000000000111", (14, 1): "00000000001011",
+    (14, 2): "0000000000110", (14, 3): "0000000001000",
+    (15, 0): "00000000001001", (15, 1): "00000000001000",
+    (15, 2): "00000000001010", (15, 3): "0000000000001",
+    (16, 0): "00000000000111", (16, 1): "00000000000110",
+    (16, 2): "00000000000101", (16, 3): "00000000000100",
+}
+
+COEFF_TOKEN_NC4 = {  # 4 <= nC < 8
+    (0, 0): "1111",
+    (1, 0): "001111", (1, 1): "1110",
+    (2, 0): "001011", (2, 1): "01111", (2, 2): "1101",
+    (3, 0): "001000", (3, 1): "01100", (3, 2): "01110", (3, 3): "1100",
+    (4, 0): "0001111", (4, 1): "01010", (4, 2): "01011", (4, 3): "1011",
+    (5, 0): "0001011", (5, 1): "01000", (5, 2): "01001", (5, 3): "1010",
+    (6, 0): "0001001", (6, 1): "001110", (6, 2): "001101", (6, 3): "1001",
+    (7, 0): "0001000", (7, 1): "001010", (7, 2): "001001", (7, 3): "1000",
+    (8, 0): "00001111", (8, 1): "0001110", (8, 2): "0001101", (8, 3): "01101",
+    (9, 0): "00001011", (9, 1): "00001110", (9, 2): "0001010",
+    (9, 3): "001100",
+    (10, 0): "000001111", (10, 1): "00001010", (10, 2): "00001101",
+    (10, 3): "0001100",
+    (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001",
+    (11, 3): "00001100",
+    (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101",
+    (12, 3): "00001000",
+    (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001",
+    (13, 3): "000001100",
+    (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011",
+    (14, 3): "0000001010",
+    (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111",
+    (15, 3): "0000000110",
+    (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011",
+    (16, 3): "0000000010",
+}
+
+COEFF_TOKEN_CHROMA_DC = {  # nC == -1 (4:2:0)
+    (0, 0): "01",
+    (1, 0): "000111", (1, 1): "1",
+    (2, 0): "000100", (2, 1): "000110", (2, 2): "001",
+    (3, 0): "000011", (3, 1): "0000011", (3, 2): "0000010", (3, 3): "000101",
+    (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010",
+    (4, 3): "0000000",
+}
+
+# total_zeros for 4x4 blocks (tables 9-7/9-8): TOTAL_ZEROS[tc][tz]
+TOTAL_ZEROS_4x4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+        "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+        "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+        "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+        "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# total_zeros for chroma DC 2x2 (table 9-9(a), 4:2:0)
+TOTAL_ZEROS_CHROMA_DC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
+# run_before (table 9-10): RUN_BEFORE[min(zerosLeft,7)][run] — runs >= 7
+# (zerosLeft > 6 only) continue unary: "000" + (run-7 zeros) + "1"... see
+# _read_run_before / _write_run_before.
+RUN_BEFORE = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001"],
+}
+
+
+def _decode_table(table: dict | list) -> dict[str, object]:
+    """codeword -> value lookup; dict tables map code -> (tc, t1), list
+    tables map code -> index."""
+    if isinstance(table, dict):
+        return {code: key for key, code in table.items()}
+    return {code: i for i, code in enumerate(table)}
+
+
+_REV = {}
+
+
+def _rev(table_id: str, table) -> dict:
+    if table_id not in _REV:
+        _REV[table_id] = _decode_table(table)
+    return _REV[table_id]
+
+
+def _read_vlc(r: BitReader, rev: dict, what: str):
+    code = ""
+    for _ in range(20):
+        code += str(r.u(1))
+        if code in rev:
+            return rev[code]
+    raise ValueError(f"bad {what} VLC code {code!r}")
+
+
+def _coeff_token_table(nc: int):
+    if nc == -1:
+        return "cdc", COEFF_TOKEN_CHROMA_DC
+    if nc < 2:
+        return "nc0", COEFF_TOKEN_NC0
+    if nc < 4:
+        return "nc2", COEFF_TOKEN_NC2
+    if nc < 8:
+        return "nc4", COEFF_TOKEN_NC4
+    return "flc", None
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block codec (spec 9.2). Coefficients are in scan order
+# (zig-zag), length = maxNumCoeff (16 DC / 15 AC / 4 chroma DC).
+
+ZIGZAG_4x4 = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+
+
+def write_residual_block(w: BitWriter, coeffs: list[int], nc: int) -> int:
+    """Encode one scan-ordered coefficient list; returns TotalCoeff (the
+    caller stores it for nC context derivation)."""
+    max_coeff = len(coeffs)
+    nz = [(i, c) for i, c in enumerate(coeffs) if c]
+    total = len(nz)
+    # trailing ones: up to three |1| values at the end of the nz list
+    t1 = 0
+    while t1 < min(3, total) and abs(nz[total - 1 - t1][1]) == 1:
+        t1 += 1
+    tid, table = _coeff_token_table(nc)
+    if table is None:  # nC >= 8: 6-bit FLC
+        w.u(3 if total == 0 else ((total - 1) << 2) | t1, 6)
+    else:
+        w.bits(table[(total, t1)])
+    if total == 0:
+        return 0
+    # trailing-one signs, high frequency first
+    for k in range(t1):
+        w.u(1 if nz[total - 1 - k][1] < 0 else 0, 1)
+    # remaining levels, high frequency first (spec 9.2.2)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    first = True
+    for k in range(total - 1 - t1, -1, -1):
+        level = nz[k][1]  # actual level: suffixLength adapts on THIS
+        sent = level
+        if first and t1 < 3:
+            # the decoder adds 2 to the first levelCode (a first
+            # non-trailing level can never be +-1 when t1 < 3)
+            sent = level - 1 if level > 0 else level + 1
+        code = 2 * sent - 2 if sent > 0 else -2 * sent - 1
+        first = False
+        if suffix_len == 0:
+            if code < 14:
+                w.u(0, code)
+                w.u(1, 1)
+            elif code < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(code - 14, 4)
+            else:
+                esc = code - 30
+                size = 12
+                prefix = 15
+                while esc >= (1 << size):
+                    esc -= 1 << size
+                    size += 1
+                    prefix += 1
+                w.u(0, prefix)
+                w.u(1, 1)
+                w.u(esc, size)
+        else:
+            if (code >> suffix_len) < 15:
+                w.u(0, code >> suffix_len)
+                w.u(1, 1)
+                w.u(code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                esc = code - (15 << suffix_len)
+                size = 12
+                prefix = 15
+                while esc >= (1 << size):
+                    esc -= 1 << size
+                    size += 1
+                    prefix += 1
+                w.u(0, prefix)
+                w.u(1, 1)
+                w.u(esc, size)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    last_idx = nz[-1][0]
+    total_zeros = last_idx + 1 - total
+    if total < max_coeff:
+        if nc == -1:
+            w.bits(TOTAL_ZEROS_CHROMA_DC[total][total_zeros])
+        else:
+            w.bits(TOTAL_ZEROS_4x4[total][total_zeros])
+    # run_before, high frequency first; last coefficient's run implied
+    zeros_left = total_zeros
+    for k in range(total - 1, 0, -1):
+        if zeros_left <= 0:
+            break
+        run = nz[k][0] - nz[k - 1][0] - 1
+        _write_run_before(w, run, zeros_left)
+        zeros_left -= run
+    return total
+
+
+def _write_run_before(w: BitWriter, run: int, zeros_left: int) -> None:
+    zl = min(zeros_left, 7)
+    if zl < 7 or run < 7:
+        w.bits(RUN_BEFORE[zl][run])
+    else:
+        w.u(0, run - 4)  # "000" already covers run 6... unary extension:
+        w.u(1, 1)
+
+
+def _read_run_before(r: BitReader, zeros_left: int) -> int:
+    zl = min(zeros_left, 7)
+    if zl < 7:
+        return _read_vlc(r, _rev(f"rb{zl}", RUN_BEFORE[zl]), "run_before")
+    # zerosLeft > 6: 3-bit codes for run 0..6, then unary for 7..14
+    code = ""
+    for _ in range(3):
+        code += str(r.u(1))
+    if code in _rev("rb7", RUN_BEFORE[7]):
+        return _rev("rb7", RUN_BEFORE[7])[code]
+    if code != "000":
+        raise ValueError(f"bad run_before code {code!r}")
+    run = 7
+    while r.u(1) == 0:
+        run += 1
+        if run > 14:
+            raise ValueError("bad run_before escape")
+    return run
+
+
+def read_residual_block(
+    r: BitReader, max_coeff: int, nc: int
+) -> tuple[list[int], int]:
+    """Decode one residual block; returns (scan-ordered coeffs, TotalCoeff)."""
+    tid, table = _coeff_token_table(nc)
+    if table is None:
+        v = r.u(6)
+        total, t1 = (0, 0) if v == 3 else ((v >> 2) + 1, v & 3)
+    else:
+        total, t1 = _read_vlc(r, _rev(tid, table), "coeff_token")
+    coeffs = [0] * max_coeff
+    if total == 0:
+        return coeffs, 0
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for i in range(total - t1):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("bad level_prefix")
+        if suffix_len == 0:
+            size = 4 if prefix == 14 else (prefix - 3 if prefix >= 15 else 0)
+        else:
+            size = prefix - 3 if prefix >= 15 else suffix_len
+        code = min(15, prefix) << suffix_len
+        if size:
+            code += r.u(size)
+        if prefix >= 15 and suffix_len == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1 < 3:
+            code += 2
+        level = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # levels[] is high-frequency-first; positions via total_zeros + runs
+    if total < max_coeff:
+        if nc == -1:
+            tz = _read_vlc(
+                r, _rev(f"tzc{total}", TOTAL_ZEROS_CHROMA_DC[total]),
+                "total_zeros",
+            )
+        else:
+            tz = _read_vlc(
+                r, _rev(f"tz{total}", TOTAL_ZEROS_4x4[total]), "total_zeros"
+            )
+    else:
+        tz = 0
+    zeros_left = tz
+    pos = total - 1 + tz  # index of the highest-frequency coefficient
+    for k, level in enumerate(levels):
+        if pos < 0 or pos >= max_coeff:
+            raise ValueError("residual position out of range")
+        coeffs[pos] = level
+        if k == total - 1:
+            break
+        run = (
+            _read_run_before(r, zeros_left) if zeros_left > 0 else 0
+        )
+        zeros_left -= run
+        pos -= 1 + run
+    return coeffs, total
+
+
+# ---------------------------------------------------------------------------
+# transforms + quantization (spec 8.5)
+
+_V_TABLE = [  # dequant weights (v0, v1, v2) per qp%6
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+]
+_M_TABLE = [  # forward quant multipliers per qp%6
+    (13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+    (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559),
+]
+
+
+def _pos_class(i: int, j: int) -> int:
+    if (i % 2 == 0) and (j % 2 == 0):
+        return 0
+    if (i % 2 == 1) and (j % 2 == 1):
+        return 1
+    return 2
+
+
+def forward4x4(block: list[list[int]]) -> list[list[int]]:
+    """Core 4x4 forward transform (integer, spec-equivalent)."""
+    tmp = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a = [block[i][j] for j in range(4)]
+        s0, s1 = a[0] + a[3], a[1] + a[2]
+        d0, d1 = a[0] - a[3], a[1] - a[2]
+        tmp[i][0] = s0 + s1
+        tmp[i][2] = s0 - s1
+        tmp[i][1] = 2 * d0 + d1
+        tmp[i][3] = d0 - 2 * d1
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a = [tmp[i][j] for i in range(4)]
+        s0, s1 = a[0] + a[3], a[1] + a[2]
+        d0, d1 = a[0] - a[3], a[1] - a[2]
+        out[0][j] = s0 + s1
+        out[2][j] = s0 - s1
+        out[1][j] = 2 * d0 + d1
+        out[3][j] = d0 - 2 * d1
+    return out
+
+
+def inverse4x4(block: list[list[int]]) -> list[list[int]]:
+    """Core 4x4 inverse transform including the final (x+32)>>6."""
+    tmp = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a = [block[i][j] for j in range(4)]
+        e0 = a[0] + a[2]
+        e1 = a[0] - a[2]
+        e2 = (a[1] >> 1) - a[3]
+        e3 = a[1] + (a[3] >> 1)
+        tmp[i][0] = e0 + e3
+        tmp[i][1] = e1 + e2
+        tmp[i][2] = e1 - e2
+        tmp[i][3] = e0 - e3
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a = [tmp[i][j] for i in range(4)]
+        e0 = a[0] + a[2]
+        e1 = a[0] - a[2]
+        e2 = (a[1] >> 1) - a[3]
+        e3 = a[1] + (a[3] >> 1)
+        out[0][j] = (e0 + e3 + 32) >> 6
+        out[1][j] = (e1 + e2 + 32) >> 6
+        out[2][j] = (e1 - e2 + 32) >> 6
+        out[3][j] = (e0 - e3 + 32) >> 6
+    return out
+
+
+def hadamard4x4(block: list[list[int]], forward: bool) -> list[list[int]]:
+    tmp = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a = [block[i][j] for j in range(4)]
+        s0, s1 = a[0] + a[3], a[1] + a[2]
+        d0, d1 = a[0] - a[3], a[1] - a[2]
+        tmp[i][0] = s0 + s1
+        tmp[i][2] = s0 - s1
+        tmp[i][1] = d0 + d1
+        tmp[i][3] = d0 - d1
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a = [tmp[i][j] for i in range(4)]
+        s0, s1 = a[0] + a[3], a[1] + a[2]
+        d0, d1 = a[0] - a[3], a[1] - a[2]
+        out[0][j] = s0 + s1
+        out[2][j] = s0 - s1
+        out[1][j] = d0 + d1
+        out[3][j] = d0 - d1
+    if forward:
+        for i in range(4):
+            for j in range(4):
+                out[i][j] = out[i][j] // 2 if out[i][j] >= 0 else -((-out[i][j]) // 2)
+    return out
+
+
+def quant4x4(coef: list[list[int]], qp: int, skip_dc: bool) -> list[list[int]]:
+    mf = _M_TABLE[qp % 6]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding offset
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if skip_dc and i == 0 and j == 0:
+                continue
+            c = coef[i][j]
+            m = mf[_pos_class(i, j)]
+            v = (abs(c) * m + f) >> qbits
+            out[i][j] = v if c >= 0 else -v
+    return out
+
+
+def dequant4x4(levels: list[list[int]], qp: int, skip_dc: bool) -> list[list[int]]:
+    v = _V_TABLE[qp % 6]
+    shift = qp // 6
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if skip_dc and i == 0 and j == 0:
+                continue
+            c = levels[i][j]
+            w = v[_pos_class(i, j)]
+            if shift >= 4:
+                out[i][j] = (c * w) << (shift - 4)
+            else:
+                out[i][j] = (c * w + (1 << (3 - shift))) >> (4 - shift)
+    return out
+
+
+def quant_luma_dc(dc: list[list[int]], qp: int) -> list[list[int]]:
+    mf = _M_TABLE[qp % 6][0]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            c = dc[i][j]
+            v = (abs(c) * mf + 2 * f) >> (qbits + 1)
+            out[i][j] = v if c >= 0 else -v
+    return out
+
+
+def scale_luma_dc(f4x4: list[list[int]], qp: int) -> list[list[int]]:
+    """Spec 8.5.10: applied AFTER the inverse 4x4 Hadamard."""
+    w = _V_TABLE[qp % 6][0]
+    shift = qp // 6
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            f = f4x4[i][j]
+            if qp >= 36:
+                out[i][j] = (f * w) << (shift - 6)
+            else:
+                out[i][j] = (f * w + (1 << (5 - shift))) >> (6 - shift)
+    return out
+
+
+def quant_chroma_dc(dc: list[list[int]], qp: int) -> list[list[int]]:
+    mf = _M_TABLE[qp % 6][0]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    out = [[0] * 2 for _ in range(2)]
+    for i in range(2):
+        for j in range(2):
+            c = dc[i][j]
+            v = (abs(c) * mf + 2 * f) >> (qbits + 1)
+            out[i][j] = v if c >= 0 else -v
+    return out
+
+
+def scale_chroma_dc(f2x2: list[list[int]], qp: int) -> list[list[int]]:
+    """Spec 8.5.11 (4:2:0): applied AFTER the inverse 2x2 Hadamard."""
+    w = _V_TABLE[qp % 6][0]
+    shift = qp // 6
+    return [
+        [((f2x2[i][j] * w) << shift) >> 5 for j in range(2)]
+        for i in range(2)
+    ]
+
+
+def hadamard2x2(block: list[list[int]]) -> list[list[int]]:
+    a, b = block[0]
+    c, d = block[1]
+    return [[a + b + c + d, a - b + c - d], [a + b - c - d, a - b - c + d]]
+
+
+# chroma QP mapping (table 8-15, chroma_qp_index_offset = 0)
+_CHROMA_QP = {
+    30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33, 36: 34, 37: 34,
+    38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37, 44: 37, 45: 38,
+    46: 38, 47: 38, 48: 39, 49: 39, 50: 39, 51: 39,
+}
+
+
+def chroma_qp(qp: int) -> int:
+    return _CHROMA_QP.get(qp, qp if qp < 30 else 39)
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (spec 8.3.3 / 8.3.4)
+
+
+def pred16x16(mode: int, left, top, topleft) -> list[list[int]]:
+    """16x16 luma prediction from reconstructed neighbors. ``left``/``top``
+    are length-16 lists or None; ``topleft`` a sample or None."""
+    if mode == 2 or (mode in (0, 1, 3) and (
+        (mode == 0 and top is None)
+        or (mode == 1 and left is None)
+        or (mode == 3 and (top is None or left is None or topleft is None))
+    )):
+        mode = 2  # unavailable-neighbor fallbacks only legal for DC
+    if mode == 0:  # vertical
+        return [list(top) for _ in range(16)]
+    if mode == 1:  # horizontal
+        return [[left[y]] * 16 for y in range(16)]
+    if mode == 3:  # plane
+        h = sum(
+            (x + 1) * (top[8 + x] - (top[6 - x] if 6 - x >= 0 else topleft))
+            for x in range(8)
+        )
+        v = sum(
+            (y + 1) * (left[8 + y] - (left[6 - y] if 6 - y >= 0 else topleft))
+            for y in range(8)
+        )
+        a = 16 * (left[15] + top[15])
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        return [
+            [max(0, min(255, (a + b * (x - 7) + c * (y - 7) + 16) >> 5))
+             for x in range(16)]
+            for y in range(16)
+        ]
+    # DC
+    if top is not None and left is not None:
+        dc = (sum(top) + sum(left) + 16) >> 5
+    elif top is not None:
+        dc = (sum(top) + 8) >> 4
+    elif left is not None:
+        dc = (sum(left) + 8) >> 4
+    else:
+        dc = 128
+    return [[dc] * 16 for _ in range(16)]
+
+
+def pred_chroma8x8(mode: int, left, top, topleft) -> list[list[int]]:
+    """8x8 chroma prediction (mode 0=DC, 1=H, 2=V, 3=plane)."""
+    if mode == 1 and left is None:
+        mode = 0
+    if mode == 2 and top is None:
+        mode = 0
+    if mode == 3 and (top is None or left is None or topleft is None):
+        mode = 0
+    if mode == 1:
+        return [[left[y]] * 8 for y in range(8)]
+    if mode == 2:
+        return [list(top) for _ in range(8)]
+    if mode == 3:
+        h = sum(
+            (x + 1) * (top[4 + x] - (top[2 - x] if 2 - x >= 0 else topleft))
+            for x in range(4)
+        )
+        v = sum(
+            (y + 1) * (left[4 + y] - (left[2 - y] if 2 - y >= 0 else topleft))
+            for y in range(4)
+        )
+        a = 16 * (left[7] + top[7])
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        return [
+            [max(0, min(255, (a + b * (x - 3) + c * (y - 3) + 16) >> 5))
+             for x in range(8)]
+            for y in range(8)
+        ]
+    # DC: per-4x4 sub-block neighbor rules (8.3.4.1)
+    out = [[0] * 8 for _ in range(8)]
+
+    def seg(vals, base):
+        return sum(vals[base : base + 4])
+
+    for by in (0, 4):
+        for bx in (0, 4):
+            t_ok = top is not None
+            l_ok = left is not None
+            if (bx, by) in ((0, 0), (4, 4)):
+                if t_ok and l_ok:
+                    dc = (seg(top, bx) + seg(left, by) + 4) >> 3
+                elif t_ok:
+                    dc = (seg(top, bx) + 2) >> 2
+                elif l_ok:
+                    dc = (seg(left, by) + 2) >> 2
+                else:
+                    dc = 128
+            elif (bx, by) == (4, 0):
+                if t_ok:
+                    dc = (seg(top, bx) + 2) >> 2
+                elif l_ok:
+                    dc = (seg(left, by) + 2) >> 2
+                else:
+                    dc = 128
+            else:  # (0, 4)
+                if l_ok:
+                    dc = (seg(left, by) + 2) >> 2
+                elif t_ok:
+                    dc = (seg(top, bx) + 2) >> 2
+                else:
+                    dc = 128
+            for y in range(4):
+                for x in range(4):
+                    out[by + y][bx + x] = dc
+    return out
+
+
+def _clip(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+# luma4x4BlkIdx -> (x4, y4) within the MB (spec 6.4.3 scan)
+def blk_xy(blk: int) -> tuple[int, int]:
+    quad, sub = blk >> 2, blk & 3
+    return ((quad & 1) * 2 + (sub & 1), (quad >> 1) * 2 + (sub >> 1))
+
+
+@dataclass
+class Sps:
+    width: int
+    height: int
+    log2_max_frame_num: int = 4
+
+
+def write_sps(width: int, height: int) -> bytes:
+    if width % 16 or height % 16:
+        raise NotImplementedError(
+            "this writer emits uncropped streams: dimensions must be "
+            "multiples of 16"
+        )
+    w = BitWriter()
+    w.u(66, 8)     # profile_idc: baseline
+    w.u(0, 8)      # constraint flags + reserved
+    w.u(20, 8)     # level_idc 2.0
+    w.ue(0)        # sps id
+    w.ue(0)        # log2_max_frame_num_minus4
+    w.ue(2)        # pic_order_cnt_type 2 (order = decode order)
+    w.ue(0)        # max_num_ref_frames
+    w.u(0, 1)      # gaps_in_frame_num_value_allowed
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)      # frame_mbs_only
+    w.u(0, 1)      # direct_8x8_inference
+    w.u(0, 1)      # frame_cropping
+    w.u(0, 1)      # vui_parameters_present
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+def parse_sps(rbsp: bytes) -> Sps:
+    r = BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)
+    r.u(8)
+    r.ue()  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError(
+            f"high-profile SPS (profile_idc {profile}) is outside the "
+            "baseline intra subset"
+        )
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        raise NotImplementedError("pic_order_cnt_type 1 unsupported")
+    r.ue()  # max_num_ref_frames
+    r.u(1)
+    w_mbs = r.ue() + 1
+    h_mbs = r.ue() + 1
+    if r.u(1) != 1:
+        raise NotImplementedError("interlaced (frame_mbs_only=0) unsupported")
+    r.u(1)
+    if r.u(1):  # frame_cropping
+        raise NotImplementedError("cropped streams unsupported")
+    return Sps(width=w_mbs * 16, height=h_mbs * 16, log2_max_frame_num=log2_mfn)
+
+
+def write_pps(qp: int) -> bytes:
+    w = BitWriter()
+    w.ue(0)        # pps id
+    w.ue(0)        # sps id
+    w.u(0, 1)      # entropy_coding_mode: CAVLC
+    w.u(0, 1)      # bottom_field_pic_order_in_frame_present
+    w.ue(0)        # num_slice_groups_minus1
+    w.ue(0)        # num_ref_idx_l0_default_active_minus1
+    w.ue(0)        # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)      # weighted_pred
+    w.u(0, 2)      # weighted_bipred_idc
+    w.se(qp - 26)  # pic_init_qp_minus26
+    w.se(0)        # pic_init_qs_minus26
+    w.se(0)        # chroma_qp_index_offset
+    w.u(1, 1)      # deblocking_filter_control_present
+    w.u(0, 1)      # constrained_intra_pred
+    w.u(0, 1)      # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    r.ue()
+    r.ue()
+    if r.u(1):
+        raise NotImplementedError("CABAC entropy coding unsupported (CAVLC only)")
+    r.u(1)
+    if r.ue() != 0:
+        raise NotImplementedError("slice groups (FMO) unsupported")
+    r.ue()
+    r.ue()
+    r.u(1)
+    r.u(2)
+    qp = 26 + r.se()
+    r.se()
+    cqo = r.se()
+    dbc = r.u(1)
+    r.u(1)
+    r.u(1)
+    if cqo != 0:
+        raise NotImplementedError("chroma_qp_index_offset != 0 unsupported")
+    return {"init_qp": qp, "deblock_control": dbc}
+
+
+# ---------------------------------------------------------------------------
+# frame codec
+
+
+class _FrameState:
+    """Reconstruction state shared by the encoder (which decodes in the
+    loop) and the decoder: planes + per-4x4-block TotalCoeff grids."""
+
+    def __init__(self, width: int, height: int):
+        self.w, self.h = width, height
+        self.y = [[0] * width for _ in range(height)]
+        self.cb = [[0] * (width // 2) for _ in range(height // 2)]
+        self.cr = [[0] * (width // 2) for _ in range(height // 2)]
+        self.nnz_y = [[0] * (width // 4) for _ in range(height // 4)]
+        self.nnz_cb = [[0] * (width // 8 * 2) for _ in range(height // 8 * 2)]
+        self.nnz_cr = [[0] * (width // 8 * 2) for _ in range(height // 8 * 2)]
+
+    def nc_luma(self, gx: int, gy: int) -> int:
+        a = self.nnz_y[gy][gx - 1] if gx > 0 else None
+        b = self.nnz_y[gy - 1][gx] if gy > 0 else None
+        if a is not None and b is not None:
+            return (a + b + 1) >> 1
+        if a is not None:
+            return a
+        if b is not None:
+            return b
+        return 0
+
+    def nc_chroma(self, grid, gx: int, gy: int) -> int:
+        a = grid[gy][gx - 1] if gx > 0 else None
+        b = grid[gy - 1][gx] if gy > 0 else None
+        if a is not None and b is not None:
+            return (a + b + 1) >> 1
+        if a is not None:
+            return a
+        if b is not None:
+            return b
+        return 0
+
+
+def _zigzag_flat(block4x4: list[list[int]]) -> list[int]:
+    return [block4x4[i][j] for i, j in ZIGZAG_4x4]
+
+
+def _unzigzag(flat: list[int]) -> list[list[int]]:
+    out = [[0] * 4 for _ in range(4)]
+    for k, (i, j) in enumerate(ZIGZAG_4x4):
+        out[i][j] = flat[k]
+    return out
+
+
+def _mb_neighbors_luma(st: _FrameState, mbx: int, mby: int):
+    x0, y0 = mbx * 16, mby * 16
+    left = [st.y[y0 + k][x0 - 1] for k in range(16)] if x0 > 0 else None
+    top = st.y[y0 - 1][x0 : x0 + 16] if y0 > 0 else None
+    tl = st.y[y0 - 1][x0 - 1] if x0 > 0 and y0 > 0 else None
+    return left, top, tl
+
+
+def _mb_neighbors_chroma(plane, mbx: int, mby: int):
+    x0, y0 = mbx * 8, mby * 8
+    left = [plane[y0 + k][x0 - 1] for k in range(8)] if x0 > 0 else None
+    top = plane[y0 - 1][x0 : x0 + 8] if y0 > 0 else None
+    tl = plane[y0 - 1][x0 - 1] if x0 > 0 and y0 > 0 else None
+    return left, top, tl
+
+
+def _encode_mb(
+    w: BitWriter, st: _FrameState, src_y, src_cb, src_cr,
+    mbx: int, mby: int, qp: int, pred_mode: int, chroma_mode: int,
+) -> None:
+    """Encode one I_16x16 macroblock and reconstruct it into ``st`` (the
+    encoder decodes in the loop so prediction uses what the decoder will
+    see)."""
+    x0, y0 = mbx * 16, mby * 16
+    left, top, tl = _mb_neighbors_luma(st, mbx, mby)
+    pred = pred16x16(pred_mode, left, top, tl)
+    # residual -> per-4x4 forward transform; DC coefficients split out
+    dc = [[0] * 4 for _ in range(4)]
+    ac_levels = [None] * 16  # per luma4x4BlkIdx: 4x4 level grid (DC pos 0)
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        res = [
+            [
+                src_y[y0 + by * 4 + i][x0 + bx * 4 + j]
+                - pred[by * 4 + i][bx * 4 + j]
+                for j in range(4)
+            ]
+            for i in range(4)
+        ]
+        coef = forward4x4(res)
+        dc[by][bx] = coef[0][0]
+        ac_levels[blk] = quant4x4(coef, qp, skip_dc=True)
+    dc_levels = quant_luma_dc(hadamard4x4(dc, forward=True), qp)
+    cbp_luma = 15 if any(
+        any(any(row) for row in lv) for lv in ac_levels
+    ) else 0
+
+    # chroma: DC + AC per component
+    qpc = chroma_qp(qp)
+    ch_data = []
+    for plane, src in ((st.cb, src_cb), (st.cr, src_cr)):
+        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
+        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
+        cdc = [[0] * 2 for _ in range(2)]
+        cac = [None] * 4
+        cx0, cy0 = mbx * 8, mby * 8
+        for blk in range(4):
+            bx, by = (blk & 1), (blk >> 1)
+            res = [
+                [
+                    src[cy0 + by * 4 + i][cx0 + bx * 4 + j]
+                    - cpred[by * 4 + i][bx * 4 + j]
+                    for j in range(4)
+                ]
+                for i in range(4)
+            ]
+            coef = forward4x4(res)
+            cdc[by][bx] = coef[0][0]
+            cac[blk] = quant4x4(coef, qpc, skip_dc=True)
+        cdc_levels = quant_chroma_dc(hadamard2x2(cdc), qpc)
+        ch_data.append((cpred, cdc_levels, cac))
+    has_cdc = any(
+        any(any(row) for row in d[1]) for d in ch_data
+    )
+    has_cac = any(
+        any(any(any(r) for r in lv) for lv in d[2]) for d in ch_data
+    )
+    cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+
+    # mb_type: 1 + predMode + 4*cbp_chroma + 12*(cbp_luma == 15)
+    w.ue(1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+    w.ue(chroma_mode)  # intra_chroma_pred_mode
+    w.se(0)            # mb_qp_delta (slice QP everywhere)
+
+    # ---- residuals (and in-loop reconstruction) ----
+    gx0, gy0 = mbx * 4, mby * 4
+    # Intra16x16DCLevel: nC of luma blk 0
+    nc = st.nc_luma(gx0, gy0)
+    write_residual_block(w, _zigzag_flat(dc_levels), nc)
+    dcr = scale_luma_dc(hadamard4x4(dc_levels, forward=False), qp)
+    ac_total = [0] * 16
+    recon_blocks = {}
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        if cbp_luma:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            flat = _zigzag_flat(ac_levels[blk])[1:]
+            total = write_residual_block(w, flat, nc)
+        else:
+            total = 0
+        ac_total[blk] = total
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+        deq = dequant4x4(
+            ac_levels[blk] if cbp_luma else [[0] * 4 for _ in range(4)],
+            qp, skip_dc=True,
+        )
+        deq[0][0] = dcr[by][bx]
+        recon_blocks[blk] = inverse4x4(deq)
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        r4 = recon_blocks[blk]
+        for i in range(4):
+            for j in range(4):
+                st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
+                    pred[by * 4 + i][bx * 4 + j] + r4[i][j]
+                )
+    # chroma DC blocks (Cb then Cr), then AC (all Cb, then all Cr)
+    if cbp_chroma:
+        for _, cdc_levels, _ in ch_data:
+            write_residual_block(w, [
+                cdc_levels[0][0], cdc_levels[0][1],
+                cdc_levels[1][0], cdc_levels[1][1],
+            ], -1)
+    cgx0, cgy0 = mbx * 2, mby * 2
+    for comp, (cpred, cdc_levels, cac) in enumerate(ch_data):
+        plane = st.cb if comp == 0 else st.cr
+        grid = st.nnz_cb if comp == 0 else st.nnz_cr
+        cdcr = (
+            scale_chroma_dc(hadamard2x2(cdc_levels), qpc)
+            if cbp_chroma
+            else [[0, 0], [0, 0]]
+        )
+        cx0, cy0 = mbx * 8, mby * 8
+        for blk in range(4):
+            bx, by = (blk & 1), (blk >> 1)
+            if cbp_chroma == 2:
+                nc = st.nc_chroma(grid, cgx0 + bx, cgy0 + by)
+                flat = _zigzag_flat(cac[blk])[1:]
+                total = write_residual_block(w, flat, nc)
+            else:
+                total = 0
+            grid[cgy0 + by][cgx0 + bx] = total
+            deq = dequant4x4(
+                cac[blk] if cbp_chroma == 2 else [[0] * 4 for _ in range(4)],
+                qpc, skip_dc=True,
+            )
+            deq[0][0] = cdcr[by][bx]
+            r4 = inverse4x4(deq)
+            for i in range(4):
+                for j in range(4):
+                    plane[cy0 + by * 4 + i][cx0 + bx * 4 + j] = _clip(
+                        cpred[by * 4 + i][bx * 4 + j] + r4[i][j]
+                    )
+
+
+def _decode_mb(
+    r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int
+) -> None:
+    mb_type = r.ue()
+    if mb_type == 0:
+        raise NotImplementedError(
+            "I_4x4 macroblocks are outside the decoded subset (I_16x16 "
+            "and I_PCM are in)"
+        )
+    if mb_type == 25:  # I_PCM
+        r.byte_align()
+        x0, y0 = mbx * 16, mby * 16
+        for i in range(16):
+            for j in range(16):
+                st.y[y0 + i][x0 + j] = r.u(8)
+        cx0, cy0 = mbx * 8, mby * 8
+        for plane in (st.cb, st.cr):
+            for i in range(8):
+                for j in range(8):
+                    plane[cy0 + i][cx0 + j] = r.u(8)
+        gx0, gy0 = mbx * 4, mby * 4
+        for by in range(4):
+            for bx in range(4):
+                st.nnz_y[gy0 + by][gx0 + bx] = 16
+        for grid in (st.nnz_cb, st.nnz_cr):
+            for by in range(2):
+                for bx in range(2):
+                    grid[mby * 2 + by][mbx * 2 + bx] = 16
+        return
+    if mb_type > 25:
+        raise ValueError(f"invalid I-slice mb_type {mb_type}")
+    k = mb_type - 1
+    pred_mode = k % 4
+    cbp_chroma = (k // 4) % 3
+    cbp_luma = 15 if k >= 12 else 0
+    chroma_mode = r.ue()
+    if r.se() != 0:
+        raise NotImplementedError(
+            "mb_qp_delta != 0 unsupported (the writer pins slice QP)"
+        )
+    x0, y0 = mbx * 16, mby * 16
+    left, top, tl = _mb_neighbors_luma(st, mbx, mby)
+    pred = pred16x16(pred_mode, left, top, tl)
+    gx0, gy0 = mbx * 4, mby * 4
+    nc = st.nc_luma(gx0, gy0)
+    dc_flat, _ = read_residual_block(r, 16, nc)
+    dcr = scale_luma_dc(hadamard4x4(_unzigzag(dc_flat), forward=False), qp)
+    recon = {}
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        if cbp_luma:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            flat, total = read_residual_block(r, 15, nc)
+            levels = _unzigzag([0] + flat)
+        else:
+            total, levels = 0, [[0] * 4 for _ in range(4)]
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+        deq = dequant4x4(levels, qp, skip_dc=True)
+        deq[0][0] = dcr[by][bx]
+        recon[blk] = inverse4x4(deq)
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        r4 = recon[blk]
+        for i in range(4):
+            for j in range(4):
+                st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
+                    pred[by * 4 + i][bx * 4 + j] + r4[i][j]
+                )
+    qpc = chroma_qp(qp)
+    cdc_levels = []
+    for _ in range(2):
+        if cbp_chroma:
+            flat, _ = read_residual_block(r, 4, -1)
+        else:
+            flat = [0, 0, 0, 0]
+        cdc_levels.append([[flat[0], flat[1]], [flat[2], flat[3]]])
+    cgx0, cgy0 = mbx * 2, mby * 2
+    for comp in range(2):
+        plane = st.cb if comp == 0 else st.cr
+        grid = st.nnz_cb if comp == 0 else st.nnz_cr
+        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
+        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
+        cdcr = scale_chroma_dc(hadamard2x2(cdc_levels[comp]), qpc)
+        cx0, cy0 = mbx * 8, mby * 8
+        for blk in range(4):
+            bx, by = (blk & 1), (blk >> 1)
+            if cbp_chroma == 2:
+                nc = st.nc_chroma(grid, cgx0 + bx, cgy0 + by)
+                flat, total = read_residual_block(r, 15, nc)
+                levels = _unzigzag([0] + flat)
+            else:
+                total, levels = 0, [[0] * 4 for _ in range(4)]
+            grid[cgy0 + by][cgx0 + bx] = total
+            deq = dequant4x4(levels, qpc, skip_dc=True)
+            deq[0][0] = cdcr[by][bx]
+            r4 = inverse4x4(deq)
+            for i in range(4):
+                for j in range(4):
+                    plane[cy0 + by * 4 + i][cx0 + bx * 4 + j] = _clip(
+                        cpred[by * 4 + i][bx * 4 + j] + r4[i][j]
+                    )
+
+
+def encode_idr(
+    y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
+    qp: int = 26, pred_mode: int = 2, chroma_mode: int = 0,
+    frame_num: int = 0, idr_pic_id: int = 0,
+) -> tuple[bytes, tuple]:
+    """Encode one IDR picture (coded-slice NAL only — SPS/PPS travel in
+    avcC). Returns (slice NAL bytes, reconstructed (y, cb, cr) planes) —
+    the reconstruction is what a conforming decoder must produce, byte-
+    exact, which is the round-trip contract."""
+    height, width = len(y), len(y[0])
+    if width % 16 or height % 16:
+        raise NotImplementedError("dimensions must be multiples of 16")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    st = _FrameState(width, height)
+    w = BitWriter()
+    w.ue(0)          # first_mb_in_slice
+    w.ue(7)          # slice_type: I (all slices in picture)
+    w.ue(0)          # pps id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.ue(idr_pic_id)
+    w.se(0)          # slice_qp_delta (pps init_qp is the slice QP)
+    w.ue(1)          # disable_deblocking_filter_idc: off
+    for mby in range(height // 16):
+        for mbx in range(width // 16):
+            _encode_mb(w, st, y, cb, cr, mbx, mby, qp, pred_mode, chroma_mode)
+    w.rbsp_trailing()
+    return nal(5, w.tobytes()), (st.y, st.cb, st.cr)
+
+
+def decode_idr(
+    slice_nal: bytes, sps: Sps, init_qp: int
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """Decode one IDR coded-slice NAL into (y, cb, cr) planes."""
+    hdr = slice_nal[0]
+    if hdr & 0x1F != 5:
+        raise NotImplementedError(
+            f"NAL type {hdr & 0x1F} is not an IDR slice: inter-coded "
+            "pictures are outside the decoded subset (sample IDR "
+            "pictures only)"
+        )
+    r = BitReader(ebsp_to_rbsp(slice_nal[1:]))
+    if r.ue() != 0:
+        raise NotImplementedError("multi-slice pictures unsupported")
+    st_type = r.ue()
+    if st_type % 5 != 2:
+        raise NotImplementedError(
+            f"slice_type {st_type} is not I: inter slices are gated"
+        )
+    r.ue()  # pps id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    r.ue()  # idr_pic_id
+    qp = init_qp + r.se()
+    idc = r.ue()  # disable_deblocking_filter_idc
+    if idc != 1:
+        if idc in (0, 2):
+            r.se()
+            r.se()
+        raise NotImplementedError(
+            "in-loop deblocking unsupported (writer disables it; "
+            "disable_deblocking_filter_idc must be 1)"
+        )
+    st = _FrameState(sps.width, sps.height)
+    for mby in range(sps.height // 16):
+        for mbx in range(sps.width // 16):
+            _decode_mb(r, st, mbx, mby, qp)
+    return st.y, st.cb, st.cr
+
+
+# ---------------------------------------------------------------------------
+# avcC extradata (ISO/IEC 14496-15)
+
+
+def build_avcc(sps_rbsp: bytes, pps_rbsp: bytes) -> bytes:
+    sps_n = rbsp_to_ebsp(sps_rbsp)
+    pps_n = rbsp_to_ebsp(pps_rbsp)
+    sps_nal = bytes([0x67]) + sps_n
+    pps_nal = bytes([0x68]) + pps_n
+    return (
+        bytes([1, sps_rbsp[0], sps_rbsp[1], sps_rbsp[2], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+
+
+def parse_avcc(avcc: bytes) -> tuple[Sps, dict]:
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("bad avcC record")
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps = None
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", avcc, pos)[0]
+        pos += 2
+        sps = parse_sps(ebsp_to_rbsp(avcc[pos + 1 : pos + ln]))
+        pos += ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = None
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", avcc, pos)[0]
+        pos += 2
+        pps = parse_pps(ebsp_to_rbsp(avcc[pos + 1 : pos + ln]))
+        pos += ln
+    if sps is None or pps is None:
+        raise ValueError("avcC missing SPS or PPS")
+    return sps, pps
+
+
+def split_avcc_sample(sample: bytes, length_size: int = 4) -> list[bytes]:
+    """AVCC length-prefixed sample -> list of NAL units."""
+    out = []
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if pos + ln > len(sample):
+            raise ValueError("AVCC NAL length past sample end")
+        out.append(sample[pos : pos + ln])
+        pos += ln
+    return out

@@ -38,6 +38,11 @@ class Mp4Stream:
     timescale: int       # mdhd ticks/second
     durations: list[int]  # per-sample ticks (expanded stts)
     frames: list[bytes]  # raw sample bytes (mdat slices)
+    # avc1 tracks (round 12): the avcC decoder-configuration record from
+    # the sample entry, and the stss sync-sample numbers (1-based; None =
+    # no stss box = every sample is a sync sample per ISO 14496-12)
+    avcc: bytes | None = None
+    sync: list[int] | None = None
 
     @property
     def duration_ms(self) -> float:
@@ -100,6 +105,19 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 if w and h:
                     out.setdefault("width", w)
                     out.setdefault("height", h)
+            # avc1 sample entry: the avcC config box follows the fixed
+            # 78-byte VideoSampleEntry body (ISO 14496-15)
+            if out.get("codec") == "avc1" and ee - entry > 86:
+                found = _find(data, entry + 86, ee, b"avcC")
+                if found:
+                    out["avcc"] = data[found[0] : found[1]]
+        elif fc == b"stss":
+            _, p = _fullbox(data, bb)
+            n = struct.unpack_from(">I", data, p)[0]
+            out["sync"] = [
+                struct.unpack_from(">I", data, p + 4 + 4 * i)[0]
+                for i in range(n)
+            ]
         elif fc == b"stts":
             _, p = _fullbox(data, bb)
             n = struct.unpack_from(">I", data, p)[0]
@@ -226,6 +244,8 @@ def demux_mp4(data: bytes) -> Mp4Stream:
             timescale=info["timescale"],
             durations=dur[: len(frames)],
             frames=frames,
+            avcc=info.get("avcc"),
+            sync=info.get("sync"),
         )
     raise ValueError("no video track in container")
 
@@ -233,18 +253,91 @@ def demux_mp4(data: bytes) -> Mp4Stream:
 MJPEG_CODECS = ("jpeg", "mjpa", "mjpb")
 
 
+def snap_to_sync(stream: Mp4Stream, idx: int) -> int:
+    """Latest sync (IDR) sample at or before ``idx`` — the per-GOP
+    sampling rule for inter-coded tracks: a 100 TB frame pipeline decodes
+    the GOP's sync picture, never the inter frames. Non-avc1 streams
+    (every sample independently decodable) return ``idx`` unchanged."""
+    if stream.codec != "avc1" or stream.sync is None:
+        return idx
+    prior = [s - 1 for s in stream.sync if s - 1 <= idx]
+    if prior:
+        return max(prior)
+    return min(s - 1 for s in stream.sync)
+
+
+def is_sync_sample(stream: Mp4Stream, idx: int) -> bool:
+    """Sample ``idx`` (0-based) is a sync (IDR) sample: listed in stss,
+    or every sample when no stss box exists (ISO 14496-12 rule)."""
+    return stream.sync is None or (idx + 1) in stream.sync
+
+
 def decode_mp4_frame(stream: Mp4Stream, idx: int) -> bytes:
-    """Sample bytes → top-down RGB, for MJPEG tracks (each sample is a
-    self-contained JPEG — decoded by the repo's own T.81 codec)."""
+    """Sample bytes → top-down RGB. MJPEG tracks decode through the
+    repo's T.81 codec; avc1 tracks decode IDR (sync) samples through the
+    round-12 H.264 baseline-intra subset (operators/h264.py) — non-IDR
+    samples stay honestly gated (the per-GOP sampling contract: a frame
+    pipeline at 100 TB samples sync pictures and skips inter frames)."""
+    if stream.codec == "avc1":
+        if stream.avcc is None:
+            raise ValueError("avc1 track without avcC configuration")
+        if not is_sync_sample(stream, idx):
+            raise NotImplementedError(
+                f"sample {idx} is not a sync (IDR) sample: inter-coded "
+                "pictures are outside the decoded subset — sample the "
+                "IDR pictures of each GOP instead"
+            )
+        from cassandra_spark.operators.h264 import (
+            decode_idr,
+            parse_avcc,
+            split_avcc_sample,
+        )
+
+        sps, pps = parse_avcc(stream.avcc)
+        length_size = (stream.avcc[4] & 3) + 1
+        planes = None
+        for nal_unit in split_avcc_sample(stream.frames[idx], length_size):
+            ntype = nal_unit[0] & 0x1F
+            if ntype in (6, 7, 8, 9):  # SEI / SPS / PPS / AUD: skip
+                continue
+            planes = decode_idr(nal_unit, sps, pps["init_qp"])
+        if planes is None:
+            raise ValueError(f"sample {idx} carries no coded slice")
+        return _yuv420_to_rgb(*planes)
     if stream.codec not in MJPEG_CODECS:
         raise ValueError(
             f"MP4 codec {stream.codec!r} is not locally decodable "
-            "(MJPEG tracks are)"
+            "(MJPEG and IDR-only avc1 tracks are)"
         )
     from cassandra_spark.operators.jpeg import decode_jpeg
 
     w, h, _, rgb = decode_jpeg(stream.frames[idx])
     return rgb
+
+
+def _yuv420_to_rgb(y, cb, cr) -> bytes:
+    """Full-range BT.601 YCbCr 4:2:0 → top-down RGB (chroma by sample
+    replication — the writer's own convention, matching jpeg.py's JFIF
+    math so round trips are engine-consistent)."""
+    h, w = len(y), len(y[0])
+    out = bytearray(w * h * 3)
+    k = 0
+    for yy in range(h):
+        cyr = cb[yy >> 1]
+        crr = cr[yy >> 1]
+        yr = y[yy]
+        for x in range(w):
+            Y = yr[x]
+            U = cyr[x >> 1] - 128
+            V = crr[x >> 1] - 128
+            r = Y + ((91881 * V + 32768) >> 16)
+            g = Y - ((22554 * U + 46802 * V + 32768) >> 16)
+            b = Y + ((116130 * U + 32768) >> 16)
+            out[k] = 0 if r < 0 else 255 if r > 255 else r
+            out[k + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[k + 2] = 0 if b < 0 else 255 if b > 255 else b
+            k += 3
+    return bytes(out)
 
 
 def _box(fourcc: bytes, payload: bytes) -> bytes:
@@ -253,6 +346,66 @@ def _box(fourcc: bytes, payload: bytes) -> bytes:
 
 def _full(fourcc: bytes, ver: int, flags: int, payload: bytes) -> bytes:
     return _box(fourcc, struct.pack(">I", (ver << 24) | flags) + payload)
+
+
+def _video_sample_entry(width: int, height: int) -> bytes:
+    """Fixed 78-byte VideoSampleEntry body (before any extension boxes)."""
+    return (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + b"\x00" * 16                       # predefined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)               # frame count per sample
+        + b"\x00" * 32                       # compressor name
+        + struct.pack(">Hh", 24, -1)         # depth, color table id
+    )
+
+
+def encode_mp4_avc1(
+    width: int,
+    height: int,
+    frames_yuv: list[tuple],
+    fps: int = 10,
+    qp: int = 26,
+    pred_mode: int = 2,
+    chroma_mode: int = 0,
+) -> tuple[bytes, list[tuple]]:
+    """YCbCr 4:2:0 frames (each a (y, cb, cr) plane triple) → a minimal
+    valid single-track IDR-only avc1 MP4 (avcC extradata, stss marking
+    every sample sync, AVCC 4-byte length-prefixed samples). Returns
+    (container bytes, per-frame reconstructed planes) — the
+    reconstruction is the decoder's contractual output, so the demux →
+    decode round trip is asserted byte-exact without external samples."""
+    from cassandra_spark.operators.h264 import (
+        build_avcc,
+        encode_idr,
+        write_pps,
+        write_sps,
+    )
+
+    if not frames_yuv:
+        raise ValueError("at least one frame required")
+    samples: list[bytes] = []
+    recons: list[tuple] = []
+    for i, (y, cb, cr) in enumerate(frames_yuv):
+        nal_bytes, recon = encode_idr(
+            y, cb, cr, qp=qp, pred_mode=pred_mode, chroma_mode=chroma_mode,
+            frame_num=0, idr_pic_id=i % 2,
+        )
+        samples.append(struct.pack(">I", len(nal_bytes)) + nal_bytes)
+        recons.append(recon)
+    avcc = build_avcc(write_sps(width, height), write_pps(qp))
+    entry = _video_sample_entry(width, height) + _box(b"avcC", avcc)
+    stss = _full(
+        b"stss", 0, 0,
+        struct.pack(">I", len(samples))
+        + b"".join(struct.pack(">I", i + 1) for i in range(len(samples))),
+    )
+    return (
+        _single_track_mp4(width, height, samples, fps, b"avc1", entry, stss),
+        recons,
+    )
 
 
 def encode_mp4_mjpeg(
@@ -266,9 +419,19 @@ def encode_mp4_mjpeg(
     samples = [
         encode_jpeg(width, height, f, quality=quality) for f in frames_rgb
     ]
-    n = len(samples)
-    if n == 0:
+    if not samples:
         raise ValueError("at least one frame required")
+    return _single_track_mp4(
+        width, height, samples, fps, b"jpeg",
+        _video_sample_entry(width, height), b"",
+    )
+
+
+def _single_track_mp4(
+    width: int, height: int, samples: list[bytes], fps: int,
+    fourcc: bytes, sample_entry: bytes, extra_stbl: bytes,
+) -> bytes:
+    n = len(samples)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
@@ -278,17 +441,9 @@ def encode_mp4_mjpeg(
     delta = max(1, timescale // fps)
     duration = n * delta
 
-    entry = (
-        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
-        + b"\x00" * 16                       # predefined/reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)               # frame count per sample
-        + b"\x00" * 32                       # compressor name
-        + struct.pack(">Hh", 24, -1)         # depth, color table id
+    stsd = _full(
+        b"stsd", 0, 0, struct.pack(">I", 1) + _box(fourcc, sample_entry)
     )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(
@@ -297,7 +452,7 @@ def encode_mp4_mjpeg(
         + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
     stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + extra_stbl)
     url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
     dinf = _box(b"dinf", dref)

@@ -1,0 +1,256 @@
+"""H.264 baseline-intra subset (operators/h264.py): CAVLC table
+structure, entropy round-trip, frame round-trip, honest gates, and the
+avc1 MP4 integration incl. per-GOP IDR snapping."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from cassandra_spark.operators import h264
+from cassandra_spark.operators.h264 import (
+    BitReader,
+    BitWriter,
+    COEFF_TOKEN_CHROMA_DC,
+    COEFF_TOKEN_NC0,
+    COEFF_TOKEN_NC2,
+    COEFF_TOKEN_NC4,
+    RUN_BEFORE,
+    TOTAL_ZEROS_4x4,
+    TOTAL_ZEROS_CHROMA_DC,
+    decode_idr,
+    ebsp_to_rbsp,
+    encode_idr,
+    parse_avcc,
+    parse_pps,
+    parse_sps,
+    rbsp_to_ebsp,
+    read_residual_block,
+    write_pps,
+    write_residual_block,
+    write_sps,
+)
+
+
+def _assert_prefix_free(codes: list[str]) -> None:
+    codes = sorted(codes, key=len)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            assert not (b.startswith(a) and a != b), (a, b)
+    dups = [c for c, n in Counter(codes).items() if n > 1]
+    assert not dups, dups
+
+
+def test_coeff_token_tables_structurally_valid():
+    """Every (TotalCoeff, TrailingOnes) combination present, no
+    duplicate or prefix-colliding codeword — the structural half of
+    table validation (interop-grade validation needs a reference
+    decoder the container lacks; round-trip covers the rest)."""
+    for table, max_tc in (
+        (COEFF_TOKEN_NC0, 16),
+        (COEFF_TOKEN_NC2, 16),
+        (COEFF_TOKEN_NC4, 16),
+        (COEFF_TOKEN_CHROMA_DC, 4),
+    ):
+        want = {(0, 0)} | {
+            (tc, t1) for tc in range(1, max_tc + 1)
+            for t1 in range(min(tc, 3) + 1)
+        }
+        assert set(table) == want
+        _assert_prefix_free(list(table.values()))
+
+
+def test_aux_tables_structurally_valid():
+    for tc, codes in TOTAL_ZEROS_4x4.items():
+        assert len(codes) == 16 - tc + 1  # total_zeros in 0..16-tc
+        _assert_prefix_free(codes)
+    for tc, codes in TOTAL_ZEROS_CHROMA_DC.items():
+        assert len(codes) == 4 - tc + 1
+        _assert_prefix_free(codes)
+    for zl, codes in RUN_BEFORE.items():
+        if zl < 7:
+            assert len(codes) == zl + 1
+        _assert_prefix_free(codes if zl < 7 else codes + ["000"])
+
+
+def test_emulation_prevention_roundtrip():
+    for raw in (b"\x00\x00\x00", b"\x00\x00\x01\x00\x00\x02",
+                b"\x00\x00\x03\x00\x00", b"abc\x00\x00\x00\x00\x01"):
+        assert ebsp_to_rbsp(rbsp_to_ebsp(raw)) == raw
+        assert b"\x00\x00\x00" not in rbsp_to_ebsp(raw)
+        assert b"\x00\x00\x01" not in rbsp_to_ebsp(raw)
+
+
+def test_cavlc_block_roundtrip_fuzz():
+    rnd = random.Random(7)
+    for _ in range(3000):
+        max_coeff = rnd.choice([16, 15, 4])
+        nc = -1 if max_coeff == 4 else rnd.choice([0, 1, 2, 3, 5, 9])
+        coeffs = [0] * max_coeff
+        for p in rnd.sample(range(max_coeff), rnd.randrange(max_coeff + 1)):
+            coeffs[p] = rnd.randrange(1, 6000) * rnd.choice([1, -1])
+        w = BitWriter()
+        write_residual_block(w, list(coeffs), nc)
+        w.rbsp_trailing()
+        got, total = read_residual_block(BitReader(w.tobytes()), max_coeff, nc)
+        assert got == coeffs
+        assert total == sum(1 for c in coeffs if c)
+
+
+def _synth(w, h, seed):
+    rnd = random.Random(seed)
+    y = [[(x * 3 + yy * 7 + seed * 11) % 256 for x in range(w)]
+         for yy in range(h)]
+    for _ in range(30):
+        bx, by = rnd.randrange(w - 4), rnd.randrange(h - 4)
+        v = rnd.randrange(256)
+        for i in range(4):
+            for j in range(4):
+                y[by + i][bx + j] = v
+    cb = [[(x * 5 + yy * 2 + seed) % 256 for x in range(w // 2)]
+          for yy in range(h // 2)]
+    cr = [[(x + yy * 9 + seed * 3) % 256 for x in range(w // 2)]
+          for yy in range(h // 2)]
+    return y, cb, cr
+
+
+def test_idr_frame_roundtrip_across_qp_and_modes():
+    """decode(encode(frame)) must equal the encoder's in-loop
+    reconstruction EXACTLY (integer pipeline, no tolerance) across QPs
+    spanning every dequant shift regime and all 4+4 prediction modes."""
+    sps = parse_sps(write_sps(32, 32))
+    for qp in (6, 18, 26, 29, 35, 43):
+        for pm in range(4):
+            cm = (qp + pm) % 4
+            y, cb, cr = _synth(32, 32, qp * 5 + pm)
+            nal_bytes, (ry, rcb, rcr) = encode_idr(
+                y, cb, cr, qp=qp, pred_mode=pm, chroma_mode=cm
+            )
+            dy, dcb, dcr = decode_idr(nal_bytes, sps, qp)
+            assert dy == ry and dcb == rcb and dcr == rcr, (qp, pm, cm)
+
+
+def test_sps_pps_roundtrip_and_gates():
+    sps = parse_sps(write_sps(48, 32))
+    assert (sps.width, sps.height) == (48, 32)
+    assert parse_pps(write_pps(31))["init_qp"] == 31
+    with pytest.raises(NotImplementedError, match="multiples of 16"):
+        write_sps(20, 16)
+    # CABAC PPS is gated
+    w = BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        parse_pps(w.tobytes())
+
+
+def test_inter_and_i4x4_gates():
+    sps = parse_sps(write_sps(16, 16))
+    y, cb, cr = _synth(16, 16, 1)
+    nal_bytes, _ = encode_idr(y, cb, cr, qp=26)
+    # non-IDR NAL type is gated (per-GOP rule: decode sync samples only)
+    fake_p = bytes([0x41]) + nal_bytes[1:]
+    with pytest.raises(NotImplementedError, match="IDR"):
+        decode_idr(fake_p, sps, 26)
+    # an I_4x4 macroblock (mb_type ue(0) = bit '1') is gated
+    w = BitWriter()
+    w.ue(0)   # first_mb_in_slice
+    w.ue(7)   # slice_type I
+    w.ue(0)   # pps
+    w.u(0, 4)  # frame_num
+    w.ue(0)   # idr_pic_id
+    w.se(0)   # qp delta
+    w.ue(1)   # deblocking off
+    w.ue(0)   # mb_type = I_4x4
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="I_4x4"):
+        decode_idr(h264.nal(5, w.tobytes()), sps, 26)
+
+
+def test_i_pcm_macroblock_decodes():
+    """I_PCM (mb_type 25): raw samples, byte-aligned — decodes exactly."""
+    sps = parse_sps(write_sps(16, 16))
+    y, cb, cr = _synth(16, 16, 3)
+    w = BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.se(0)
+    w.ue(1)
+    w.ue(25)  # I_PCM
+    while len(w._bits) % 8:
+        w.u(0, 1)  # pcm_alignment_zero_bit
+    for row in y:
+        for v in row:
+            w.u(v, 8)
+    for plane in (cb, cr):
+        for row in plane:
+            for v in row:
+                w.u(v, 8)
+    w.rbsp_trailing()
+    dy, dcb, dcr = decode_idr(h264.nal(5, w.tobytes()), sps, 26)
+    assert dy == y and dcb == cb and dcr == cr
+
+
+def test_mp4_avc1_container_roundtrip():
+    from cassandra_spark.operators.mp4 import (
+        _yuv420_to_rgb,
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_avc1,
+        is_sync_sample,
+        snap_to_sync,
+    )
+
+    frames = [_synth(32, 32, k) for k in range(3)]
+    payload, recons = encode_mp4_avc1(32, 32, frames, fps=4, qp=24)
+    st = demux_mp4(payload)
+    assert st.codec == "avc1" and st.avcc is not None
+    assert st.sync == [1, 2, 3]
+    for i in range(3):
+        assert is_sync_sample(st, i)
+        assert snap_to_sync(st, i) == i  # IDR-only: every frame is sync
+        assert decode_mp4_frame(st, i) == _yuv420_to_rgb(*recons[i])
+    sps, pps = parse_avcc(st.avcc)
+    assert (sps.width, sps.height) == (32, 32) and pps["init_qp"] == 24
+    # a doctored stss (only sample 1 sync) snaps later samples back and
+    # gates direct decode of the "inter" ones
+    st.sync = [1]
+    assert snap_to_sync(st, 2) == 0
+    with pytest.raises(NotImplementedError, match="sync"):
+        decode_mp4_frame(st, 2)
+
+
+def test_sample_frames_decodes_avc1_idr(spark):
+    """sample_frames admits avc1 with allow_stub=False now — and the
+    sampled hashes must equal direct per-frame decodes (the per-GOP
+    IDR snap is an identity on an IDR-only track)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mp4 import (
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_avc1,
+    )
+
+    frames = [_synth(32, 32, k) for k in range(2)]
+    payload, _ = encode_mp4_avc1(32, 32, frames, fps=4, qp=26)
+    docs = spark.createDataFrame([Row(doc_id=1, payload=payload)])
+    out = sample_frames(
+        docs, every_ms=250, allow_stub=False, payload_col="payload"
+    ).collect()
+    assert len(out) == 2
+    st = demux_mp4(payload)
+    for r in out:
+        assert r.width == 32 and r.height == 32
+        want = hashlib.sha1(decode_mp4_frame(st, r.src_frame)).hexdigest()
+        assert r.frame_sha == want
