@@ -64,6 +64,10 @@ class TableMeta:
     # predicate kinds — the reference's SASI is the only index class
     # admitting arbitrary LIKE (`[C* index/sasi/SASIIndex, unverified]`).
     indexed_sasi: tuple[str, ...] = ()
+    # per-column SASI mode from WITH OPTIONS = {'mode': ...}: (col, mode)
+    # pairs with mode in {CONTAINS, SPARSE}; absent = PREFIX (the
+    # reference default — LIKE 'pre%' only).
+    sasi_mode: tuple[tuple[str, str], ...] = ()
     # STATIC columns (per-partition values): legal SELECT DISTINCT
     # selectors alongside the full partition key (CASSANDRA-8087 lineage
     # `[C* cql3/statements/SelectStatement, unverified]`).

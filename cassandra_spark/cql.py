@@ -146,6 +146,22 @@ _CQL_KEYWORDS = frozenset(
 )
 
 
+def _like_patterns(where: str, col: str) -> list[str]:
+    """The string literals compared to ``col`` via LIKE, extracted
+    quote-safely: matches scan the masked text, pattern bytes slice from
+    the original ('' unescaped)."""
+    masked = _mask_quoted(where)
+    out = []
+    for m in re.finditer(
+        rf"\b{re.escape(col)}(?!\w)\s+LIKE\s+('[^']*')",
+        masked,
+        re.IGNORECASE,
+    ):
+        lit = where[m.start(1) + 1 : m.end(1) - 1]
+        out.append(lit.replace("''", "'"))
+    return out
+
+
 def _where_columns(where: str, columns: set[str]) -> set[str]:
     return {
         t.lower()
@@ -1140,6 +1156,27 @@ def cql_select(
                 admitted |= {"eq", "range", "contains", "keys", "entries"}
             if c in sasi_idx:
                 admitted |= {"eq", "range", "like"}
+                if "like" in kinds:
+                    # the SASI index MODE bounds the LIKE shapes it can
+                    # serve (`[C* index/sasi/conf/IndexMode,
+                    # unverified]`): PREFIX (default) = 'pre%' only,
+                    # CONTAINS = any, SPARSE (dense numerics) = none
+                    mode = dict(getattr(meta, "sasi_mode", ())).get(c)
+                    pats = _like_patterns(where_text, c)
+                    if mode == "SPARSE":
+                        raise CQLError(
+                            f"LIKE is not supported on the SPARSE-mode "
+                            f"SASI index of {c!r}"
+                        )
+                    if mode != "CONTAINS" and any(
+                        not re.fullmatch(r"[^%]+%", p) for p in pats
+                    ):
+                        raise CQLError(
+                            f"the PREFIX-mode SASI index of {c!r} only "
+                            "supports LIKE '<prefix>%' queries (create "
+                            "the index WITH OPTIONS = {'mode': "
+                            "'CONTAINS'} for infix/suffix search)"
+                        )
             if c in val_idx:
                 admitted |= {"eq", "contains"}
             if c in key_idx:

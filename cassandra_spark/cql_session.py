@@ -784,6 +784,24 @@ def _parse_sai_options(
     return fn
 
 
+def _parse_sasi_mode(opts: str | None) -> str | None:
+    """``mode`` from CREATE CUSTOM INDEX ... WITH OPTIONS on a SASI
+    index (`[C* index/sasi/conf/IndexMode, unverified]`): PREFIX (the
+    default, returned as None so un-optioned indexes stay tagless),
+    CONTAINS, or SPARSE. Other values are rejected like the reference."""
+    if not opts:
+        return None
+    sm = re.search(r"'mode'\s*:\s*'(\w+)'", opts, re.IGNORECASE)
+    if not sm:
+        return None
+    mode = sm.group(1).upper()
+    if mode not in ("PREFIX", "CONTAINS", "SPARSE"):
+        raise CQLError(
+            f"unknown SASI mode {sm.group(1)!r} (PREFIX | CONTAINS | SPARSE)"
+        )
+    return None if mode == "PREFIX" else mode
+
+
 def _parse_table_options(with_text: str) -> dict:
     """The WITH option families with retained semantics (shared by
     CREATE TABLE and ALTER TABLE ... WITH): default_time_to_live,
@@ -991,6 +1009,13 @@ class CqlSession:
         # '..SASIIndex'): the only index class admitting LIKE through the
         # restriction gate (`[C* index/sasi/SASIIndex, unverified]`)
         self.sasi_indexes: dict[str, set[str]] = {}
+        # table → {col → SASI mode} from WITH OPTIONS = {'mode': ...}:
+        # PREFIX (default) admits LIKE 'pre%' only, CONTAINS admits
+        # prefix/contains/suffix, SPARSE (dense numerics) admits no LIKE
+        # (`[C* index/sasi/conf/IndexMode, unverified]`). Like
+        # sai_similarity, not persisted in snapshots — a restored SASI
+        # index reverts to the PREFIX default (documented convention).
+        self.sasi_modes: dict[str, dict[str, str]] = {}
         # table → {vector col → persisted bucket-layout artifact dir}
         self.sai_vector_index: dict[str, dict[str, str]] = {}
         # table → {vector col → ANN similarity function} from the SAI
@@ -1211,6 +1236,7 @@ class CqlSession:
             ),
             indexed_full=tuple(sorted(self.full_indexes.get(key, ()))),
             indexed_sasi=tuple(sorted(self.sasi_indexes.get(key, ()))),
+            sasi_mode=tuple(sorted(self.sasi_modes.get(key, {}).items())),
             statics=tuple(sorted(schema.static)),
             sai_similarity=tuple(
                 sorted(self.sai_similarity.get(key, {}).items())
@@ -1351,6 +1377,9 @@ class CqlSession:
                     )
                 self.sasi_indexes.setdefault(tname, set()).add(col)
                 self.index_names[name] = (tname, col, "sasi")
+                mode = _parse_sasi_mode(m.group("opts"))
+                if mode:
+                    self.sasi_modes.setdefault(tname, {})[col] = mode
                 return
             self.sai_indexes.setdefault(tname, set()).add(col)
             self.index_names[name] = (tname, col, "sai")
@@ -1469,6 +1498,9 @@ class CqlSession:
                 )
             self.sasi_indexes.setdefault(tname, set()).add(col)
             self.index_names[name] = (tname, col, "sasi")
+            mode = _parse_sasi_mode(m.group("opts"))
+            if mode:
+                self.sasi_modes.setdefault(tname, {})[col] = mode
             return
         self.sai_indexes.setdefault(tname, set()).add(col)
         self.index_names[name] = (tname, col, "sai")
@@ -1819,6 +1851,9 @@ class CqlSession:
                             set(meta.indexed_sasi)
                             | self.sasi_indexes.get(tname, set())
                         )
+                    ),
+                    sasi_mode=tuple(
+                        sorted(self.sasi_modes.get(tname, {}).items())
                     ),
                     vector_index=tuple(
                         sorted(self.sai_vector_index.get(tname, {}).items())
@@ -3103,6 +3138,8 @@ class CqlSession:
             target.get(t, set()).discard(c)
             if kind == "sai":
                 self.sai_similarity.get(t, {}).pop(c, None)
+            if kind == "sasi":
+                self.sasi_modes.get(t, {}).pop(c, None)
             return None
         if head.startswith("TRUNCATE"):
             tm = _TRUNCATE_RE.match(stmt)

@@ -16,13 +16,14 @@ def test_sasi_admits_like_sai_does_not(spark):
     s.execute("CREATE TABLE lk (k int PRIMARY KEY, a text, b text, c text)")
     s.execute(
         "CREATE CUSTOM INDEX ON lk (a) USING "
-        "'org.apache.cassandra.index.sasi.SASIIndex'"
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
     )
     s.execute("CREATE CUSTOM INDEX ON lk (b) USING 'StorageAttachedIndex'")
     s.execute("CREATE INDEX ON lk (c)")
     s.execute("INSERT INTO lk (k, a, b, c) VALUES (1, 'apple', 'x', 'y')")
     s.execute("INSERT INTO lk (k, a, b, c) VALUES (2, 'banana', 'x', 'y')")
-    # SASI: prefix and contains forms both admitted, values correct
+    # SASI CONTAINS mode: prefix and infix forms both admitted
     assert s.execute(
         "SELECT k FROM lk WHERE a LIKE 'app%'"
     ).collect()[0].k == 1
@@ -77,3 +78,47 @@ def test_prefix_like_pushes_into_parquet_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith(text,key )" in plan.replace("'", ""), plan
     assert "PushedFilters: [" in plan and "StringStartsWith" in plan, plan
+
+
+def test_sasi_mode_bounds_like_shapes(spark):
+    """SASI index MODE faithfulness: PREFIX (default) serves only
+    'pre%'; CONTAINS serves infix/suffix too; SPARSE serves no LIKE."""
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE lm (k int PRIMARY KEY, p text, c text, n bigint)"
+    )
+    s.execute(
+        "CREATE CUSTOM INDEX ON lm (p) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    s.execute(
+        "CREATE CUSTOM INDEX ON lm (c) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
+    )
+    s.execute(
+        "CREATE CUSTOM INDEX ON lm (n) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'SPARSE'}"
+    )
+    s.execute("INSERT INTO lm (k, p, c, n) VALUES (1, 'alpha', 'beta', 7)")
+    # PREFIX mode: prefix passes, infix/suffix raise the mode error
+    assert s.execute("SELECT k FROM lm WHERE p LIKE 'al%'").count() == 1
+    for bad in ("'%pha'", "'%lph%'", "'%'"):
+        with pytest.raises(CQLError, match="PREFIX"):
+            s.execute(f"SELECT k FROM lm WHERE p LIKE {bad}")
+    # CONTAINS mode: all shapes pass
+    assert s.execute("SELECT k FROM lm WHERE c LIKE '%et%'").count() == 1
+    assert s.execute("SELECT k FROM lm WHERE c LIKE '%ta'").count() == 1
+    # SPARSE mode: no LIKE at all, but ranges still index-admitted
+    with pytest.raises(CQLError, match="SPARSE"):
+        s.execute("SELECT k FROM lm WHERE n LIKE '7%'")
+    assert s.execute("SELECT k FROM lm WHERE n >= 7").count() == 1
+    # unknown mode rejected at DDL
+    s.execute("ALTER TABLE lm ADD z text")
+    with pytest.raises(CQLError, match="unknown SASI mode"):
+        s.execute(
+            "CREATE CUSTOM INDEX ON lm (z) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex' "
+            "WITH OPTIONS = {'mode': 'FUZZY'}"
+        )
