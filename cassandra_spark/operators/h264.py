@@ -853,10 +853,170 @@ def _clip(v: int) -> int:
     return 0 if v < 0 else 255 if v > 255 else v
 
 
+# Table 9-4, intra column: coded_block_pattern codeNum -> cbp value for
+# I_4x4 macroblocks ("me" mapped exp-Golomb). A permutation of 0..47 —
+# structurally pinned in tests/test_h264.py.
+CBP_INTRA_ME = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+CBP_INTRA_INV = {v: i for i, v in enumerate(CBP_INTRA_ME)}
+
+
+def pred4x4(
+    mode: int, top, topright, left, topleft
+) -> list[list[int]]:
+    """One Intra_4x4 prediction (spec 8.3.1.2.1-9). ``top`` = p[0..3,-1]
+    or None, ``topright`` = p[4..7,-1] or None (the CALLER substitutes
+    p[3,-1]x4 when top exists but top-right doesn't — 8.3.1.2.2),
+    ``left`` = p[-1,0..3] or None, ``topleft`` = p[-1,-1] or None. The
+    caller must only request modes whose inputs are available (the
+    encoder picks accordingly; a non-conforming stream fails loudly)."""
+    if mode == 2:  # DC with fallbacks
+        if top is not None and left is not None:
+            dc = (sum(top) + sum(left) + 4) >> 3
+        elif top is not None:
+            dc = (sum(top) + 2) >> 2
+        elif left is not None:
+            dc = (sum(left) + 2) >> 2
+        else:
+            dc = 128
+        return [[dc] * 4 for _ in range(4)]
+
+    def need(*conds):
+        if any(c is None for c in conds):
+            raise ValueError(f"intra4x4 mode {mode} needs unavailable samples")
+
+    out = [[0] * 4 for _ in range(4)]
+    if mode == 0:  # vertical
+        need(top)
+        return [list(top) for _ in range(4)]
+    if mode == 1:  # horizontal
+        need(left)
+        return [[left[y]] * 4 for y in range(4)]
+    if mode == 3:  # diagonal down-left
+        need(top, topright)
+        t = list(top) + list(topright)
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y][x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y][x] = (
+                        t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2
+                    ) >> 2
+        return out
+    if mode == 4:  # diagonal down-right
+        need(top, left, topleft)
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y][x] = (
+                        (topleft if x - y - 2 < 0 else top[x - y - 2])
+                        + 2 * (topleft if x - y - 1 < 0 else top[x - y - 1])
+                        + top[x - y] + 2
+                    ) >> 2
+                elif x < y:
+                    out[y][x] = (
+                        (topleft if y - x - 2 < 0 else left[y - x - 2])
+                        + 2 * (topleft if y - x - 1 < 0 else left[y - x - 1])
+                        + left[y - x] + 2
+                    ) >> 2
+                else:
+                    out[y][x] = (top[0] + 2 * topleft + left[0] + 2) >> 2
+        return out
+    if mode == 5:  # vertical-right
+        need(top, left, topleft)
+
+        def pt(i):  # p[i, -1] with i == -1 -> topleft
+            return topleft if i < 0 else top[i]
+
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (
+                        pt(x - (y >> 1) - 1) + pt(x - (y >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    out[y][x] = (
+                        pt(x - (y >> 1) - 2) + 2 * pt(x - (y >> 1) - 1)
+                        + pt(x - (y >> 1)) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y][x] = (left[0] + 2 * topleft + top[0] + 2) >> 2
+                else:
+                    out[y][x] = (
+                        left[y - 1] + 2 * left[y - 2]
+                        + (topleft if y - 3 < 0 else left[y - 3]) + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # horizontal-down
+        need(top, left, topleft)
+
+        def pl(i):  # p[-1, i] with i == -1 -> topleft
+            return topleft if i < 0 else left[i]
+
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (
+                        pl(y - (x >> 1) - 1) + pl(y - (x >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    out[y][x] = (
+                        pl(y - (x >> 1) - 2) + 2 * pl(y - (x >> 1) - 1)
+                        + pl(y - (x >> 1)) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y][x] = (left[0] + 2 * topleft + top[0] + 2) >> 2
+                else:
+                    out[y][x] = (
+                        top[x - 1] + 2 * top[x - 2]
+                        + (topleft if x - 3 < 0 else top[x - 3]) + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # vertical-left
+        need(top, topright)
+        t = list(top) + list(topright)
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y][x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y][x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # horizontal-up
+        need(left)
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    i = y + (x >> 1)
+                    out[y][x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    i = y + (x >> 1)
+                    out[y][x] = (
+                        left[i] + 2 * left[i + 1] + left[i + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    out[y][x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[y][x] = left[3]
+        return out
+    raise ValueError(f"invalid intra4x4 prediction mode {mode}")
+
+
 # luma4x4BlkIdx -> (x4, y4) within the MB (spec 6.4.3 scan)
 def blk_xy(blk: int) -> tuple[int, int]:
     quad, sub = blk >> 2, blk & 3
     return ((quad & 1) * 2 + (sub & 1), (quad >> 1) * 2 + (sub >> 1))
+
+
+_BLK_ORDER = {blk_xy(b): b for b in range(16)}
 
 
 @dataclass
@@ -981,6 +1141,11 @@ class _FrameState:
         self.nnz_y = [[0] * (width // 4) for _ in range(height // 4)]
         self.nnz_cb = [[0] * (width // 8 * 2) for _ in range(height // 8 * 2)]
         self.nnz_cr = [[0] * (width // 8 * 2) for _ in range(height // 8 * 2)]
+        # per-4x4-block Intra4x4PredMode, None where the covering MB is
+        # not I_4x4 (predIntra4x4PredMode's neighbor rule, spec 8.3.1.1)
+        self.i4_mode: list[list[int | None]] = [
+            [None] * (width // 4) for _ in range(height // 4)
+        ]
 
     def nc_luma(self, gx: int, gy: int) -> int:
         a = self.nnz_y[gy][gx - 1] if gx > 0 else None
@@ -1065,35 +1230,9 @@ def _encode_mb(
 
     # chroma: DC + AC per component
     qpc = chroma_qp(qp)
-    ch_data = []
-    for plane, src in ((st.cb, src_cb), (st.cr, src_cr)):
-        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
-        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
-        cdc = [[0] * 2 for _ in range(2)]
-        cac = [None] * 4
-        cx0, cy0 = mbx * 8, mby * 8
-        for blk in range(4):
-            bx, by = (blk & 1), (blk >> 1)
-            res = [
-                [
-                    src[cy0 + by * 4 + i][cx0 + bx * 4 + j]
-                    - cpred[by * 4 + i][bx * 4 + j]
-                    for j in range(4)
-                ]
-                for i in range(4)
-            ]
-            coef = forward4x4(res)
-            cdc[by][bx] = coef[0][0]
-            cac[blk] = quant4x4(coef, qpc, skip_dc=True)
-        cdc_levels = quant_chroma_dc(hadamard2x2(cdc), qpc)
-        ch_data.append((cpred, cdc_levels, cac))
-    has_cdc = any(
-        any(any(row) for row in d[1]) for d in ch_data
+    ch_data, cbp_chroma = _chroma_analyze(
+        st, src_cb, src_cr, mbx, mby, qpc, chroma_mode
     )
-    has_cac = any(
-        any(any(any(r) for r in lv) for lv in d[2]) for d in ch_data
-    )
-    cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
 
     # mb_type: 1 + predMode + 4*cbp_chroma + 12*(cbp_luma == 15)
     w.ue(1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
@@ -1132,7 +1271,52 @@ def _encode_mb(
                 st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
                     pred[by * 4 + i][bx * 4 + j] + r4[i][j]
                 )
-    # chroma DC blocks (Cb then Cr), then AC (all Cb, then all Cr)
+    _chroma_emit(w, st, ch_data, cbp_chroma, mbx, mby, qpc)
+
+
+def _chroma_analyze(
+    st: _FrameState, src_cb, src_cr, mbx: int, mby: int,
+    qpc: int, chroma_mode: int,
+):
+    """Predict + transform + quantize both chroma components from the
+    current reconstruction state; returns (per-component data, the
+    derived CodedBlockPatternChroma)."""
+    ch_data = []
+    for plane, src in ((st.cb, src_cb), (st.cr, src_cr)):
+        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
+        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
+        cdc = [[0] * 2 for _ in range(2)]
+        cac = [None] * 4
+        cx0, cy0 = mbx * 8, mby * 8
+        for blk in range(4):
+            bx, by = (blk & 1), (blk >> 1)
+            res = [
+                [
+                    src[cy0 + by * 4 + i][cx0 + bx * 4 + j]
+                    - cpred[by * 4 + i][bx * 4 + j]
+                    for j in range(4)
+                ]
+                for i in range(4)
+            ]
+            coef = forward4x4(res)
+            cdc[by][bx] = coef[0][0]
+            cac[blk] = quant4x4(coef, qpc, skip_dc=True)
+        cdc_levels = quant_chroma_dc(hadamard2x2(cdc), qpc)
+        ch_data.append((cpred, cdc_levels, cac))
+    has_cdc = any(any(any(row) for row in d[1]) for d in ch_data)
+    has_cac = any(
+        any(any(any(r) for r in lv) for lv in d[2]) for d in ch_data
+    )
+    return ch_data, (2 if has_cac else (1 if has_cdc else 0))
+
+
+def _chroma_emit(
+    w: BitWriter, st: _FrameState, ch_data, cbp_chroma: int,
+    mbx: int, mby: int, qpc: int,
+) -> None:
+    """Write the chroma residual blocks (DC pair then per-component AC)
+    and reconstruct both planes into ``st`` — shared by the I_16x16 and
+    I_4x4 encoders (residual order is identical, spec 7.3.5.3.1)."""
     if cbp_chroma:
         for _, cdc_levels, _ in ch_data:
             write_residual_block(w, [
@@ -1171,15 +1355,161 @@ def _encode_mb(
                     )
 
 
+def _i4_neighbors(st: _FrameState, mbx: int, mby: int, blk: int):
+    """(top, topright, left, topleft) for luma 4x4 block ``blk`` from the
+    reconstruction state, None where unavailable; top-right substitutes
+    p[3,-1] when top exists but those samples aren't decoded yet
+    (8.3.1.2.2)."""
+    bx, by = blk_xy(blk)
+    gx, gy = mbx * 16 + bx * 4, mby * 16 + by * 4
+
+    def done(px: int, py: int) -> bool:
+        if px < 0 or py < 0 or px >= st.w or py >= st.h:
+            return False
+        mx, my = px // 16, py // 16
+        if my < mby or (my == mby and mx < mbx):
+            return True
+        if (mx, my) != (mbx, mby):
+            return False
+        return _BLK_ORDER[((px % 16) // 4, (py % 16) // 4)] < blk
+
+    top = (
+        st.y[gy - 1][gx : gx + 4] if done(gx, gy - 1) else None
+    )
+    left = (
+        [st.y[gy + k][gx - 1] for k in range(4)]
+        if done(gx - 1, gy)
+        else None
+    )
+    topleft = st.y[gy - 1][gx - 1] if done(gx - 1, gy - 1) else None
+    if done(gx + 4, gy - 1):
+        topright = st.y[gy - 1][gx + 4 : gx + 8]
+    elif top is not None:
+        topright = [top[3]] * 4  # substitution rule
+    else:
+        topright = None
+    return top, topright, left, topleft
+
+
+def _i4_pred_mode(st: _FrameState, gx4: int, gy4: int) -> int:
+    """predIntra4x4PredMode (8.3.1.1): min of the left/above blocks'
+    modes, with DC (2) substituted for unavailable or non-I4x4
+    neighbors."""
+    a = st.i4_mode[gy4][gx4 - 1] if gx4 > 0 else None
+    b = st.i4_mode[gy4 - 1][gx4] if gy4 > 0 else None
+    return min(2 if a is None else a, 2 if b is None else b)
+
+
+def _i4_available_modes(top, topright, left, topleft) -> list[int]:
+    """Prediction modes whose inputs exist (encoder's menu)."""
+    out = [2]
+    if top is not None:
+        out.append(0)
+    if left is not None:
+        out += [1, 8]
+    if top is not None and topright is not None:
+        out += [3, 7]
+    if top is not None and left is not None and topleft is not None:
+        out += [4, 5, 6]
+    return out
+
+
+def _encode_i4x4_mb(
+    w: BitWriter, st: _FrameState, src_y, src_cb, src_cr,
+    mbx: int, mby: int, qp: int, chroma_mode: int,
+    cbp_luma_mask: int = 15,
+) -> None:
+    """Encode one I_4x4 macroblock (decode-in-the-loop like the I_16x16
+    path: each 4x4 block predicts from already-RECONSTRUCTED samples,
+    including earlier blocks of this same MB). ``cbp_luma_mask`` selects
+    which 8x8 quadrants carry residuals — an uncoded quadrant
+    reconstructs as pure prediction, exercising the partial-cbp decode
+    path."""
+    x0, y0 = mbx * 16, mby * 16
+    gx0, gy0 = mbx * 4, mby * 4
+    qpc = chroma_qp(qp)
+
+    # pass 1: choose modes + build residual levels IN DECODE ORDER,
+    # reconstructing as we go (predictions depend on it)
+    modes = [0] * 16
+    levels = [None] * 16
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        top, topright, left, topleft = _i4_neighbors(st, mbx, mby, blk)
+        cands = _i4_available_modes(top, topright, left, topleft)
+        mode = cands[(blk + mbx + 2 * mby) % len(cands)]
+        modes[blk] = mode
+        st.i4_mode[gy0 + by][gx0 + bx] = mode
+        pred = pred4x4(mode, top, topright, left, topleft)
+        quad_coded = (cbp_luma_mask >> (blk >> 2)) & 1
+        if quad_coded:
+            res = [
+                [
+                    src_y[y0 + by * 4 + i][x0 + bx * 4 + j] - pred[i][j]
+                    for j in range(4)
+                ]
+                for i in range(4)
+            ]
+            lv = quant4x4(forward4x4(res), qp, skip_dc=False)
+        else:
+            lv = [[0] * 4 for _ in range(4)]
+        levels[blk] = lv
+        deq = dequant4x4(lv, qp, skip_dc=False)
+        r4 = inverse4x4(deq)
+        for i in range(4):
+            for j in range(4):
+                st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
+                    pred[i][j] + r4[i][j]
+                )
+    cbp_luma = 0
+    for quad in range(4):
+        if any(
+            any(any(row) for row in levels[4 * quad + k]) for k in range(4)
+        ):
+            cbp_luma |= 1 << quad
+    ch_data, cbp_chroma = _chroma_analyze(
+        st, src_cb, src_cr, mbx, mby, qpc, chroma_mode
+    )
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    # pass 2: emit — mb_type, 16 mode signals, chroma mode, cbp,
+    # qp_delta (only when cbp != 0), residuals
+    w.ue(0)  # I_4x4 / I_NxN
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        # the PREDICTED mode uses neighbor modes as known at decode time
+        # of this block — recompute against the grid state the decoder
+        # will have (the grid was fully written in pass 1, but neighbors
+        # of block k are always earlier in decode order, so their
+        # entries match what the decoder has seen)
+        pm = _i4_pred_mode(st, gx0 + bx, gy0 + by)
+        mode = modes[blk]
+        if mode == pm:
+            w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+        else:
+            w.u(0, 1)
+            w.u(mode if mode < pm else mode - 1, 3)
+    w.ue(chroma_mode)
+    w.ue(CBP_INTRA_INV[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        if (cbp_luma >> (blk >> 2)) & 1:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            total = write_residual_block(w, _zigzag_flat(levels[blk]), nc)
+        else:
+            total = 0
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+    _chroma_emit(w, st, ch_data, cbp_chroma, mbx, mby, qpc)
+
+
 def _decode_mb(
     r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int
 ) -> None:
     mb_type = r.ue()
-    if mb_type == 0:
-        raise NotImplementedError(
-            "I_4x4 macroblocks are outside the decoded subset (I_16x16 "
-            "and I_PCM are in)"
-        )
+    if mb_type == 0:  # I_4x4 / I_NxN (round 12)
+        return _decode_i4x4_mb(r, st, mbx, mby, qp)
     if mb_type == 25:  # I_PCM
         r.byte_align()
         x0, y0 = mbx * 16, mby * 16
@@ -1239,7 +1569,15 @@ def _decode_mb(
                 st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
                     pred[by * 4 + i][bx * 4 + j] + r4[i][j]
                 )
-    qpc = chroma_qp(qp)
+    _decode_chroma(r, st, mbx, mby, chroma_qp(qp), chroma_mode, cbp_chroma)
+
+
+def _decode_chroma(
+    r: BitReader, st: _FrameState, mbx: int, mby: int,
+    qpc: int, chroma_mode: int, cbp_chroma: int,
+) -> None:
+    """Read the chroma residual blocks and reconstruct both planes —
+    shared by the I_16x16 and I_4x4 decoders."""
     cdc_levels = []
     for _ in range(2):
         if cbp_chroma:
@@ -1274,20 +1612,79 @@ def _decode_mb(
                     )
 
 
+def _decode_i4x4_mb(
+    r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int
+) -> None:
+    """Decode one I_4x4 macroblock (round 12): 16 signaled prediction
+    modes, Table 9-4 coded_block_pattern, per-block 4x4 residuals (full
+    16-coefficient blocks, no DC split), reconstruction in decode order
+    so later blocks predict from earlier ones."""
+    x0, y0 = mbx * 16, mby * 16
+    gx0, gy0 = mbx * 4, mby * 4
+    modes = [0] * 16
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        pm = _i4_pred_mode(st, gx0 + bx, gy0 + by)
+        if r.u(1):  # prev_intra4x4_pred_mode_flag
+            mode = pm
+        else:
+            rem = r.u(3)
+            mode = rem if rem < pm else rem + 1
+        modes[blk] = mode
+        st.i4_mode[gy0 + by][gx0 + bx] = mode
+    chroma_mode = r.ue()
+    code_num = r.ue()
+    if code_num >= len(CBP_INTRA_ME):
+        raise ValueError(f"bad coded_block_pattern codeNum {code_num}")
+    cbp = CBP_INTRA_ME[code_num]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp and r.se() != 0:
+        raise NotImplementedError(
+            "mb_qp_delta != 0 unsupported (the writer pins slice QP)"
+        )
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        top, topright, left, topleft = _i4_neighbors(st, mbx, mby, blk)
+        pred = pred4x4(modes[blk], top, topright, left, topleft)
+        if (cbp_luma >> (blk >> 2)) & 1:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            flat, total = read_residual_block(r, 16, nc)
+            levels = _unzigzag(flat)
+        else:
+            total, levels = 0, [[0] * 4 for _ in range(4)]
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+        r4 = inverse4x4(dequant4x4(levels, qp, skip_dc=False))
+        for i in range(4):
+            for j in range(4):
+                st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
+                    pred[i][j] + r4[i][j]
+                )
+    _decode_chroma(r, st, mbx, mby, chroma_qp(qp), chroma_mode, cbp_chroma)
+
+
 def encode_idr(
     y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
     qp: int = 26, pred_mode: int = 2, chroma_mode: int = 0,
-    frame_num: int = 0, idr_pic_id: int = 0,
+    frame_num: int = 0, idr_pic_id: int = 0, mb_mode: str = "i16",
+    cbp_luma_mask: int = 15,
 ) -> tuple[bytes, tuple]:
     """Encode one IDR picture (coded-slice NAL only — SPS/PPS travel in
     avcC). Returns (slice NAL bytes, reconstructed (y, cb, cr) planes) —
     the reconstruction is what a conforming decoder must produce, byte-
-    exact, which is the round-trip contract."""
+    exact, which is the round-trip contract. ``mb_mode``: "i16" (every
+    MB I_16x16 with ``pred_mode``), "i4" (every MB I_4x4, per-block
+    modes rotated over whatever the neighbors make legal), or "mix"
+    (checkerboard of both — exercises the predIntra4x4PredMode rule
+    that a non-I4x4 neighbor predicts as DC). ``cbp_luma_mask`` (i4
+    only) drops residuals of unselected 8x8 quadrants, exercising the
+    partial-cbp decode path."""
     height, width = len(y), len(y[0])
     if width % 16 or height % 16:
         raise NotImplementedError("dimensions must be multiples of 16")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
+    if mb_mode not in ("i16", "i4", "mix"):
+        raise ValueError(f"unknown mb_mode {mb_mode!r}")
     st = _FrameState(width, height)
     w = BitWriter()
     w.ue(0)          # first_mb_in_slice
@@ -1299,7 +1696,18 @@ def encode_idr(
     w.ue(1)          # disable_deblocking_filter_idc: off
     for mby in range(height // 16):
         for mbx in range(width // 16):
-            _encode_mb(w, st, y, cb, cr, mbx, mby, qp, pred_mode, chroma_mode)
+            use_i4 = mb_mode == "i4" or (
+                mb_mode == "mix" and (mbx + mby) % 2 == 1
+            )
+            if use_i4:
+                _encode_i4x4_mb(
+                    w, st, y, cb, cr, mbx, mby, qp, chroma_mode,
+                    cbp_luma_mask=cbp_luma_mask,
+                )
+            else:
+                _encode_mb(
+                    w, st, y, cb, cr, mbx, mby, qp, pred_mode, chroma_mode
+                )
     w.rbsp_trailing()
     return nal(5, w.tobytes()), (st.y, st.cb, st.cr)
 

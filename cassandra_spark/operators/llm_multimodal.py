@@ -532,6 +532,11 @@ def _h264_idr_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             payload, recons = encode_mp4_avc1(
                 w, h, frames, fps=4, qp=18 + d % 10,
                 pred_mode=d % 4, chroma_mode=(d // 4) % 4,
+                # rotate the macroblock tier too: pure I_16x16, pure
+                # I_4x4 (9 signaled prediction modes), and the
+                # checkerboard mix that exercises the non-I4x4-neighbor
+                # predIntra4x4PredMode rule
+                mb_mode=("i16", "i4", "mix")[d % 3],
             )
             st = demux_mp4(payload)
             err = 0

@@ -370,6 +370,7 @@ def encode_mp4_avc1(
     qp: int = 26,
     pred_mode: int = 2,
     chroma_mode: int = 0,
+    mb_mode: str = "i16",
 ) -> tuple[bytes, list[tuple]]:
     """YCbCr 4:2:0 frames (each a (y, cb, cr) plane triple) → a minimal
     valid single-track IDR-only avc1 MP4 (avcC extradata, stss marking
@@ -391,7 +392,7 @@ def encode_mp4_avc1(
     for i, (y, cb, cr) in enumerate(frames_yuv):
         nal_bytes, recon = encode_idr(
             y, cb, cr, qp=qp, pred_mode=pred_mode, chroma_mode=chroma_mode,
-            frame_num=0, idr_pic_id=i % 2,
+            frame_num=0, idr_pic_id=i % 2, mb_mode=mb_mode,
         )
         samples.append(struct.pack(">I", len(nal_bytes)) + nal_bytes)
         recons.append(recon)

@@ -148,7 +148,7 @@ def test_sps_pps_roundtrip_and_gates():
         parse_pps(w.tobytes())
 
 
-def test_inter_and_i4x4_gates():
+def test_inter_gates():
     sps = parse_sps(write_sps(16, 16))
     y, cb, cr = _synth(16, 16, 1)
     nal_bytes, _ = encode_idr(y, cb, cr, qp=26)
@@ -156,19 +156,28 @@ def test_inter_and_i4x4_gates():
     fake_p = bytes([0x41]) + nal_bytes[1:]
     with pytest.raises(NotImplementedError, match="IDR"):
         decode_idr(fake_p, sps, 26)
-    # an I_4x4 macroblock (mb_type ue(0) = bit '1') is gated
-    w = BitWriter()
-    w.ue(0)   # first_mb_in_slice
-    w.ue(7)   # slice_type I
-    w.ue(0)   # pps
-    w.u(0, 4)  # frame_num
-    w.ue(0)   # idr_pic_id
-    w.se(0)   # qp delta
-    w.ue(1)   # deblocking off
-    w.ue(0)   # mb_type = I_4x4
-    w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="I_4x4"):
-        decode_idr(h264.nal(5, w.tobytes()), sps, 26)
+
+
+def test_i4x4_roundtrip_modes_and_partial_cbp():
+    """I_4x4 macroblocks (round 12): all nine signaled prediction modes
+    (rotated over whatever availability allows), Table 9-4 cbp incl.
+    PARTIAL luma masks and the zero-cbp path (no mb_qp_delta), and the
+    checkerboard mix where a non-I4x4 neighbor predicts as DC."""
+    assert sorted(h264.CBP_INTRA_ME) == list(range(48))
+    sps = parse_sps(write_sps(48, 32))
+    for qp in (8, 26, 38):
+        for mb_mode in ("i4", "mix"):
+            for mask in (15, 9, 0):
+                y, cb, cr = _synth(48, 32, qp + mask)
+                nal_bytes, (ry, rcb, rcr) = encode_idr(
+                    y, cb, cr, qp=qp, mb_mode=mb_mode,
+                    cbp_luma_mask=mask, chroma_mode=qp % 4,
+                    pred_mode=(qp + mask) % 4,
+                )
+                dy, dcb, dcr = decode_idr(nal_bytes, sps, qp)
+                assert dy == ry and dcb == rcb and dcr == rcr, (
+                    qp, mb_mode, mask,
+                )
 
 
 def test_i_pcm_macroblock_decodes():
