@@ -142,7 +142,7 @@ def _parse(stmt: str) -> _Stmt:
 
 _IDENT_RE = re.compile(r"\b([a-z_][a-z0-9_]*)\b", re.IGNORECASE)
 _CQL_KEYWORDS = frozenset(
-    "and or not in contains key true false null like token".split()
+    "and or not in contains key true false null like token between".split()
 )
 
 
@@ -1116,7 +1116,7 @@ def cql_select(
             kinds = set()
             for m_ in re.finditer(
                 rf"\b{re.escape(col)}(?!\w)\s*"
-                rf"(\[[^\]]+\]\s*=|=[^=]|<=|>=|<|>|LIKE\b"
+                rf"(\[[^\]]+\]\s*=|=[^=]|<=|>=|<|>|LIKE\b|BETWEEN\b"
                 rf"|CONTAINS(?:\s+KEY)?\b)",
                 where_text,
                 re.IGNORECASE,
@@ -1128,7 +1128,9 @@ def cql_select(
                     kinds.add("keys" if "KEY" in tok else "contains")
                 elif tok == "LIKE":
                     kinds.add("like")
-                elif tok[0] in "<>":
+                elif tok == "BETWEEN" or tok[0] in "<>":
+                    # CQL 5.0 BETWEEN (CASSANDRA-18584) is an inclusive
+                    # range restriction — same gate class as </>
                     kinds.add("range")
                 else:
                     kinds.add("eq")

@@ -2591,3 +2591,53 @@ def cql51_group_by_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(event_id) AS n, min(value) AS lo "
         "FROM events GROUP BY user_id, floor(ts, 1h)",
     )
+
+
+@query(
+    "cql52_between",
+    oracle="""
+    SELECT o_custkey AS ck, o_orderkey AS okey, o_totalprice AS total
+    FROM orders
+    WHERE o_custkey = 16
+      AND o_orderkey BETWEEN 10000 AND 400000
+    UNION ALL
+    SELECT o_custkey AS ck, o_orderkey AS okey, o_totalprice AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000.0 AND 101000.0
+    """,
+)
+def cql52_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL 5.0 ``BETWEEN`` (`[C* CASSANDRA-18584, unverified]`): an
+    inclusive range restriction through the FE — legal on clustering
+    columns under a restricted partition (the slice rule) and on
+    SAI-indexed regular columns (SAI serves ranges); a plain-2i or
+    unindexed column still demands ALLOW FILTERING (asserted in-body).
+    Catalyst evaluates the textual BETWEEN natively (same semantics as
+    DuckDB, inclusive both ends), so both legs stay pushdown-able
+    scans."""
+    from cassandra_spark.cql import CQLError
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX ON orders (o_totalprice) "
+        "USING 'StorageAttachedIndex'"
+    )
+    # negative: BETWEEN on an unindexed regular column needs filtering
+    try:
+        sess.execute(
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_shippriority BETWEEN 0 AND 1"
+        )
+        raise AssertionError("unindexed BETWEEN must demand ALLOW FILTERING")
+    except CQLError:
+        pass
+    clustering_leg = sess.execute(
+        "SELECT o_custkey AS ck, o_orderkey AS okey, o_totalprice AS total "
+        "FROM orders WHERE o_custkey = 16 "
+        "AND o_orderkey BETWEEN 10000 AND 400000"
+    )
+    sai_leg = sess.execute(
+        "SELECT o_custkey AS ck, o_orderkey AS okey, o_totalprice AS total "
+        "FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 101000.0"
+    )
+    return clustering_leg.unionAll(sai_leg)

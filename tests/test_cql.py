@@ -309,3 +309,44 @@ def test_group_by_floor_time_bucket(spark):
             "SELECT user_id, floor(ts, 5m) AS b FROM events "
             "GROUP BY user_id, floor(ts, 1h)",
         )
+
+
+def test_between_gate(spark):
+    """CQL 5.0 BETWEEN: range class in the gate — clustering under a
+    restricted pk passes, SAI passes, SASI passes, plain 2i and
+    unindexed demand ALLOW FILTERING."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE bt (pk int, ck int, v int, w int, u int, "
+        "PRIMARY KEY (pk, ck))"
+    )
+    s.execute("CREATE CUSTOM INDEX ON bt (v) USING 'StorageAttachedIndex'")
+    s.execute(
+        "CREATE CUSTOM INDEX ON bt (w) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    s.execute("INSERT INTO bt (pk, ck, v, w, u) VALUES (1, 5, 10, 20, 30)")
+    s.execute("INSERT INTO bt (pk, ck, v, w, u) VALUES (1, 9, 11, 21, 31)")
+    # clustering BETWEEN under the pk: inclusive both ends
+    got = s.execute(
+        "SELECT ck FROM bt WHERE pk = 1 AND ck BETWEEN 5 AND 9"
+    ).collect()
+    assert sorted(r.ck for r in got) == [5, 9]
+    # SAI and SASI serve ranges
+    assert s.execute(
+        "SELECT ck FROM bt WHERE v BETWEEN 10 AND 10"
+    ).count() == 1
+    assert s.execute(
+        "SELECT ck FROM bt WHERE w BETWEEN 20 AND 21"
+    ).count() == 2
+    # unindexed column: gated
+    with pytest.raises(CQLError, match="ALLOW FILTERING"):
+        s.execute("SELECT ck FROM bt WHERE u BETWEEN 0 AND 99")
+    assert s.execute(
+        "SELECT ck FROM bt WHERE u BETWEEN 0 AND 99 ALLOW FILTERING"
+    ).count() == 2
