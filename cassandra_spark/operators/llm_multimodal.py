@@ -337,7 +337,12 @@ def sample_frames(
                 decode = decode_mp4_frame
             else:
                 stream = demux_mkv(payload)
-                ok = stream.codec in MJPEG_CODEC_IDS
+                # V_MPEG4/ISO/AVC decodes since round 12 — keyframe
+                # (IDR) blocks only, same per-GOP snap as mp4 avc1
+                ok = stream.codec in MJPEG_CODEC_IDS or (
+                    stream.codec == "V_MPEG4/ISO/AVC"
+                    and stream.codec_private is not None
+                )
                 decode = decode_mkv_frame
             if not ok:
                 if not allow_stub:
@@ -352,6 +357,7 @@ def sample_frames(
             return None
         decoded: dict[int, str] = {}
         rows = []
+        from cassandra_spark.operators.mkv import MkvStream, snap_to_key
         from cassandra_spark.operators.mp4 import Mp4Stream, snap_to_sync
 
         for i, ts in enumerate(range(0, int(stream.duration_ms), every_ms)):
@@ -359,6 +365,8 @@ def sample_frames(
             if isinstance(stream, Mp4Stream):
                 # inter-coded tracks sample the covering GOP's IDR
                 src_f = snap_to_sync(stream, src_f)
+            elif isinstance(stream, MkvStream):
+                src_f = snap_to_key(stream, src_f)
             if src_f not in decoded:
                 decoded[src_f] = hashlib.sha1(
                     decode(stream, src_f)
@@ -495,6 +503,11 @@ def _h264_idr_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     encoder's own reconstruction (the decoder's contractual output).
     Emits per-doc facts the oracle derives in closed form — the pixel
     exactness travels as err_bytes (must be 0)."""
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1,
+    )
     from cassandra_spark.operators.mp4 import (
         _yuv420_to_rgb,
         decode_mp4_frame,
@@ -529,28 +542,41 @@ def _h264_idr_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     for yy in range(h // 2)
                 ]
                 frames.append((y, cb, cr))
-            payload, recons = encode_mp4_avc1(
+            # rotate the CONTAINER (avc1 MP4 / V_MPEG4/ISO/AVC MKV) and
+            # the macroblock tier: pure I_16x16, pure I_4x4 (9 signaled
+            # prediction modes), and the checkerboard mix that exercises
+            # the non-I4x4-neighbor predIntra4x4PredMode rule
+            enc = encode_mp4_avc1 if d % 2 == 0 else encode_mkv_avc1
+            payload, recons = enc(
                 w, h, frames, fps=4, qp=18 + d % 10,
                 pred_mode=d % 4, chroma_mode=(d // 4) % 4,
-                # rotate the macroblock tier too: pure I_16x16, pure
-                # I_4x4 (9 signaled prediction modes), and the
-                # checkerboard mix that exercises the non-I4x4-neighbor
-                # predIntra4x4PredMode rule
                 mb_mode=("i16", "i4", "mix")[d % 3],
             )
-            st = demux_mp4(payload)
             err = 0
-            for i in range(len(st.frames)):
-                assert is_sync_sample(st, i)  # IDR-only track by design
-                got = decode_mp4_frame(st, i)
-                want = _yuv420_to_rgb(*recons[i])
-                if got != want:
-                    err += sum(
-                        1 for a, b in zip(got, want) if a != b
-                    ) + abs(len(got) - len(want))
+            if d % 2 == 0:
+                st = demux_mp4(payload)
+                n_sync = len(st.sync or [])
+                for i in range(len(st.frames)):
+                    assert is_sync_sample(st, i)  # IDR-only by design
+                    got = decode_mp4_frame(st, i)
+                    want = _yuv420_to_rgb(*recons[i])
+                    if got != want:
+                        err += sum(
+                            1 for a, b in zip(got, want) if a != b
+                        ) + abs(len(got) - len(want))
+            else:
+                st = demux_mkv(payload)
+                n_sync = sum(1 for k in (st.keyframe or []) if k)
+                for i in range(len(st.frames)):
+                    got = decode_mkv_frame(st, i)
+                    want = _yuv420_to_rgb(*recons[i])
+                    if got != want:
+                        err += sum(
+                            1 for a, b in zip(got, want) if a != b
+                        ) + abs(len(got) - len(want))
             rows.append(
-                (d, len(st.frames), len(st.sync or []), st.width,
-                 st.height, err)
+                (d, len(st.frames), n_sync, int(st.width),
+                 int(st.height), err)
             )
         yield pd.DataFrame(rows, columns=cols)
 

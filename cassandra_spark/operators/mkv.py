@@ -37,6 +37,10 @@ class MkvStream:
     codec: str            # Matroska CodecID, e.g. 'V_MJPEG'
     timestamps_ms: list[float]  # per-frame absolute timestamps
     frames: list[bytes]
+    # V_MPEG4/ISO/AVC tracks (round 12): the CodecPrivate element (an
+    # avcC record) and the per-frame SimpleBlock keyframe flags
+    codec_private: bytes | None = None
+    keyframe: list[bool] | None = None
 
     @property
     def duration_ms(self) -> float:
@@ -201,6 +205,8 @@ def demux_mkv(data: bytes) -> MkvStream:
                         tr["codec"] = data[b3:e3].rstrip(b"\x00").decode(
                             "ascii", "replace"
                         )
+                    elif eid3 == 0x63A2:  # CodecPrivate
+                        tr["codec_private"] = data[b3:e3]
                     elif eid3 == 0xE0:  # Video
                         for eid4, b4, e4 in _elements(data, b3, e3):
                             if eid4 == 0xB0:
@@ -218,6 +224,7 @@ def demux_mkv(data: bytes) -> MkvStream:
         raise ValueError(f"video TrackEntry missing: {missing}")
     frames: list[bytes] = []
     stamps: list[float] = []
+    keys: list[bool] = []
     for b, e in clusters:
         cluster_ts = 0
         for eid2, b2, e2 in _elements(data, b, e):
@@ -237,6 +244,7 @@ def demux_mkv(data: bytes) -> MkvStream:
                     # laced frames share the block timestamp; sorted() is
                     # stable, so intra-lace order survives the timeline sort
                     stamps.append(ts)
+                    keys.append(bool(flags & 0x80))
     if not frames:
         raise ValueError("video track has no frames")
     order = sorted(range(len(frames)), key=lambda i: stamps[i])
@@ -246,18 +254,65 @@ def demux_mkv(data: bytes) -> MkvStream:
         codec=video_track["codec"],
         timestamps_ms=[stamps[i] for i in order],
         frames=[frames[i] for i in order],
+        codec_private=video_track.get("codec_private"),
+        keyframe=[keys[i] for i in order],
     )
 
 
 MJPEG_CODEC_IDS = ("V_MJPEG",)
+AVC_CODEC_ID = "V_MPEG4/ISO/AVC"
+
+
+def snap_to_key(stream: MkvStream, idx: int) -> int:
+    """Latest keyframe at or before ``idx`` — the Matroska twin of
+    mp4.snap_to_sync (per-GOP sampling of inter-coded tracks). Non-AVC
+    streams (every frame independently decodable) return ``idx``."""
+    if stream.codec != AVC_CODEC_ID or stream.keyframe is None:
+        return idx
+    prior = [i for i, k in enumerate(stream.keyframe[: idx + 1]) if k]
+    if prior:
+        return prior[-1]
+    nxt = [i for i, k in enumerate(stream.keyframe) if k]
+    if not nxt:
+        raise ValueError("AVC track carries no keyframes")
+    return nxt[0]
 
 
 def decode_mkv_frame(stream: MkvStream, idx: int) -> bytes:
-    """Frame bytes → top-down RGB, for V_MJPEG tracks."""
+    """Frame bytes → top-down RGB. V_MJPEG decodes through the repo's
+    T.81 codec; V_MPEG4/ISO/AVC decodes IDR (keyframe) blocks through
+    the round-12 H.264 baseline-intra subset — inter frames stay
+    honestly gated (sample the GOP's keyframe instead)."""
+    if stream.codec == AVC_CODEC_ID:
+        if stream.codec_private is None:
+            raise ValueError("AVC track without CodecPrivate (avcC)")
+        if stream.keyframe is not None and not stream.keyframe[idx]:
+            raise NotImplementedError(
+                f"frame {idx} is not a keyframe: inter-coded pictures "
+                "are outside the decoded subset — sample the GOP's "
+                "keyframe instead"
+            )
+        from cassandra_spark.operators.h264 import (
+            decode_idr,
+            parse_avcc,
+            split_avcc_sample,
+        )
+        from cassandra_spark.operators.mp4 import _yuv420_to_rgb
+
+        sps, pps = parse_avcc(stream.codec_private)
+        length_size = (stream.codec_private[4] & 3) + 1
+        planes = None
+        for nal_unit in split_avcc_sample(stream.frames[idx], length_size):
+            if nal_unit[0] & 0x1F in (6, 7, 8, 9):
+                continue
+            planes = decode_idr(nal_unit, sps, pps["init_qp"])
+        if planes is None:
+            raise ValueError(f"frame {idx} carries no coded slice")
+        return _yuv420_to_rgb(*planes)
     if stream.codec not in MJPEG_CODEC_IDS:
         raise ValueError(
             f"MKV codec {stream.codec!r} is not locally decodable "
-            "(V_MJPEG is)"
+            "(V_MJPEG and IDR-only V_MPEG4/ISO/AVC are)"
         )
     from cassandra_spark.operators.jpeg import decode_jpeg
 
@@ -319,6 +374,77 @@ def _lace_payload(jpgs: list[bytes], lacing: str) -> bytes:
     else:
         raise ValueError(f"unknown lacing mode {lacing!r}")
     return head + table + b"".join(jpgs)
+
+
+def encode_mkv_avc1(
+    width: int,
+    height: int,
+    frames_yuv: list[tuple],
+    fps: int = 10,
+    qp: int = 26,
+    pred_mode: int = 2,
+    chroma_mode: int = 0,
+    mb_mode: str = "i16",
+) -> tuple[bytes, list[tuple]]:
+    """YCbCr 4:2:0 frames → a minimal valid single-track
+    V_MPEG4/ISO/AVC Matroska file (CodecPrivate = avcC, one keyframe
+    SimpleBlock per frame, AVCC length-prefixed payloads). Returns
+    (container bytes, per-frame reconstructions) — mp4.encode_mp4_avc1's
+    contract on the Matroska container."""
+    from cassandra_spark.operators.h264 import (
+        build_avcc,
+        encode_idr,
+        write_pps,
+        write_sps,
+    )
+
+    if not frames_yuv:
+        raise ValueError("at least one frame required")
+    header = _elem(
+        EBML_MAGIC,
+        _elem(b"\x42\x82", b"matroska")
+        + _elem(b"\x42\x87", b"\x04")
+        + _elem(b"\x42\x85", b"\x02"),
+    )
+    info = _elem(
+        b"\x15\x49\xa9\x66",
+        _elem(b"\x2a\xd7\xb1", _uint_payload(1_000_000)),  # 1 ms ticks
+    )
+    avcc = build_avcc(write_sps(width, height), write_pps(qp))
+    video = _elem(
+        b"\xe0",
+        _elem(b"\xb0", _uint_payload(width))
+        + _elem(b"\xba", _uint_payload(height)),
+    )
+    track = _elem(
+        b"\xae",
+        _elem(b"\xd7", b"\x01")
+        + _elem(b"\x73\xc5", b"\x01")
+        + _elem(b"\x83", b"\x01")
+        + _elem(b"\x86", AVC_CODEC_ID.encode("ascii"))
+        + _elem(b"\x63\xa2", avcc)  # CodecPrivate
+        + video,
+    )
+    tracks = _elem(b"\x16\x54\xae\x6b", track)
+    frame_ms = max(1, 1000 // fps)
+    blocks = b""
+    recons: list[tuple] = []
+    for i, (y, cb, cr) in enumerate(frames_yuv):
+        nal_bytes, recon = encode_idr(
+            y, cb, cr, qp=qp, pred_mode=pred_mode, chroma_mode=chroma_mode,
+            frame_num=0, idr_pic_id=i % 2, mb_mode=mb_mode,
+        )
+        recons.append(recon)
+        sample = struct.pack(">I", len(nal_bytes)) + nal_bytes
+        blocks += _elem(
+            b"\x1f\x43\xb6\x75",
+            _elem(b"\xe7", _uint_payload(i * frame_ms))
+            + _elem(
+                b"\xa3", b"\x81" + struct.pack(">h", 0) + b"\x80" + sample
+            ),
+        )
+    segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)
+    return header + segment, recons
 
 
 def encode_mkv_mjpeg(

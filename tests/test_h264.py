@@ -263,3 +263,55 @@ def test_sample_frames_decodes_avc1_idr(spark):
         assert r.width == 32 and r.height == 32
         want = hashlib.sha1(decode_mp4_frame(st, r.src_frame)).hexdigest()
         assert r.frame_sha == want
+
+
+def test_mkv_avc1_container_roundtrip():
+    from cassandra_spark.operators.mkv import (
+        AVC_CODEC_ID,
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1,
+        snap_to_key,
+    )
+    from cassandra_spark.operators.mp4 import _yuv420_to_rgb
+
+    frames = [_synth(32, 32, k + 9) for k in range(3)]
+    payload, recons = encode_mkv_avc1(
+        32, 32, frames, fps=4, qp=22, mb_mode="mix"
+    )
+    st = demux_mkv(payload)
+    assert st.codec == AVC_CODEC_ID and st.codec_private is not None
+    assert st.keyframe == [True, True, True]
+    for i in range(3):
+        assert snap_to_key(st, i) == i
+        assert decode_mkv_frame(st, i) == _yuv420_to_rgb(*recons[i])
+    # a doctored keyframe list snaps back and gates direct decode
+    st.keyframe = [True, False, False]
+    assert snap_to_key(st, 2) == 0
+    with pytest.raises(NotImplementedError, match="keyframe"):
+        decode_mkv_frame(st, 2)
+
+
+def test_sample_frames_decodes_mkv_avc1(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from cassandra_spark.operators.llm_multimodal import sample_frames
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1,
+    )
+
+    frames = [_synth(32, 32, k + 4) for k in range(2)]
+    payload, _ = encode_mkv_avc1(32, 32, frames, fps=4, qp=26)
+    docs = spark.createDataFrame([Row(doc_id=1, payload=payload)])
+    out = sample_frames(
+        docs, every_ms=250, allow_stub=False, payload_col="payload"
+    ).collect()
+    assert len(out) == 2
+    st = demux_mkv(payload)
+    for r in out:
+        want = hashlib.sha1(decode_mkv_frame(st, r.src_frame)).hexdigest()
+        assert r.frame_sha == want
