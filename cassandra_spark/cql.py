@@ -1136,6 +1136,22 @@ def cql_select(
                     kinds.add("eq")
             return kinds
 
+        # non-equality restrictions on PARTITION KEY components are a
+        # filtered ring scan — the reference admits only EQ / IN on the
+        # partition key unless token() reframes it or ALLOW FILTERING
+        # makes the scan explicit (`[C* cql3/restrictions/
+        # PartitionKeyRestrictions, unverified]`)
+        if pk_restricted and not uses_token and not s.allow_filtering:
+            pk_kinds = set()
+            for c in pk_restricted:
+                pk_kinds |= _restrictions(c)
+            if pk_kinds - {"eq"}:
+                raise CQLError(
+                    "Only EQ and IN relation are supported on the "
+                    "partition key (unless you use the token() function "
+                    "or ALLOW FILTERING)"
+                )
+
         val_idx = set(getattr(meta, "indexed", ()))
         key_idx = set(getattr(meta, "indexed_keys", ()))
         sai_idx = set(getattr(meta, "indexed_sai", ()))

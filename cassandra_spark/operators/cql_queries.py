@@ -194,7 +194,9 @@ def cql7_writetime_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "SELECT event_id, user_id, WRITETIME(value) AS wt, "
-        "TTL(value) AS ttl_s FROM events WHERE user_id < 5",
+        # a pk RANGE is a filtered ring scan: the reference (and now the
+        # gate) demands ALLOW FILTERING for it without token()
+        "TTL(value) AS ttl_s FROM events WHERE user_id < 5 ALLOW FILTERING",
     )
 
 

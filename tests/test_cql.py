@@ -350,3 +350,30 @@ def test_between_gate(spark):
     assert s.execute(
         "SELECT ck FROM bt WHERE u BETWEEN 0 AND 99 ALLOW FILTERING"
     ).count() == 2
+
+
+def test_partition_key_range_gate(spark):
+    """The reference admits only EQ/IN on partition-key components:
+    a pk range needs token() or ALLOW FILTERING."""
+    import pytest
+
+    from cassandra_spark.cql import CQLError, cql_select
+    from tests.conftest import SF_SMOKE
+
+    with pytest.raises(CQLError, match="EQ and IN"):
+        cql_select(spark, SF_SMOKE, "SELECT event_id FROM events "
+                                    "WHERE user_id < 5")
+    # all three escape hatches still run it
+    n = cql_select(
+        spark, SF_SMOKE,
+        "SELECT event_id FROM events WHERE user_id < 5 ALLOW FILTERING",
+    ).count()
+    assert n > 0
+    assert cql_select(
+        spark, SF_SMOKE,
+        "SELECT event_id FROM events WHERE user_id IN (1, 2)",
+    ).count() > 0
+    assert cql_select(
+        spark, SF_SMOKE,
+        "SELECT event_id FROM events WHERE token(user_id) > 0",
+    ).count() > 0
