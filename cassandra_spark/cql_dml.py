@@ -154,6 +154,16 @@ def _split_type_params(body: str) -> list[str]:
     return [t for t in out if t]
 
 
+def _str_prefix_hi(prefix: str) -> str | None:
+    """The smallest string GREATER than every string starting with
+    ``prefix`` (the exclusive upper bound of the prefix interval), or
+    None when no such string exists (all-max-codepoint prefix)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x10FFFF:
+            return prefix[:i] + chr(ord(prefix[i]) + 1)
+    return None
+
+
 def is_coll_type(typ: str) -> bool:
     """True when the Spark type text is a collection (list/set/map/array)."""
     return bool(
@@ -3567,6 +3577,110 @@ class CqlTable:
                     continue
                 if _in_range(d):
                     cand.add(row[pi])
+        if len(cand) > self.index_probe_collect_cap:
+            self.index_stats["probe_overflows"] += 1
+            return None
+        return cand
+
+    def _value_range_str_for(self, path: str, col: str) -> tuple:
+        """Lexicographic [min, max] over ``col``'s non-null cell STRING
+        values in one segment — the SASI per-SSTable term-range analogue
+        for PREFIX searches (`[C* index/sasi/disk OnDiskIndex metadata,
+        unverified]`). Strings order lexicographically exactly (unlike
+        the numeric case _value_range_for parses as Decimal). Sidecar
+        ``<segment>.<col>.svrange``; rebuilt when missing."""
+        import json
+
+        key = (path, col, "s")
+        vr = self._value_ranges.get(key)
+        if vr is not None:
+            return vr
+        sc = f"{path}.{col}.svrange"
+        if os.path.exists(sc):
+            try:
+                d = json.loads(open(sc).read())
+                vr = (
+                    ("range", d["min"], d["max"])
+                    if d["state"] == "range"
+                    else (d["state"],)
+                )
+            except Exception:
+                vr = None  # corrupt sidecar: rebuild, never fail
+        if vr is None:
+            import pyarrow.parquet as pq
+
+            vals = (
+                pq.read_table(
+                    path,
+                    columns=["val"],
+                    filters=[("col", "=", col), ("kind", "=", CELL)],
+                )
+                .column("val")
+                .to_pylist()
+            )
+            vals = [v for v in vals if v is not None]
+            vr = ("empty",) if not vals else ("range", min(vals), max(vals))
+            d = {"state": vr[0]}
+            if vr[0] == "range":
+                d["min"], d["max"] = vr[1], vr[2]
+            try:
+                with open(sc, "w") as fh:
+                    fh.write(json.dumps(d))
+            except OSError:
+                pass  # read-only segment dir: in-memory range still works
+        self._value_ranges[key] = vr
+        return vr
+
+    def index_candidate_pks_prefix(
+        self, col: str, prefix: str
+    ) -> set[str] | None:
+        """2i read, phase 1, PREFIX form — SASI ``LIKE 'prefix%'``
+        served from the index (`[C* index/sasi/SASIIndex — PREFIX mode,
+        unverified]`). Segments whose lexicographic [min, max] string
+        range cannot contain a value starting with ``prefix`` are
+        skipped without reading data; survivors probe distributed
+        (startswith prefilter) past the threshold, pyarrow below it.
+        Same superset/recheck/cap contract as the eq and range forms."""
+        hi = _str_prefix_hi(prefix)
+        survivors: list[str] = []
+        for path in self._segments:
+            self.index_stats["checked"] += 1
+            vr = self._value_range_str_for(path, col)
+            if vr[0] == "empty":
+                self.index_stats["range_skipped"] += 1
+                continue
+            mn, mx = vr[1], vr[2]
+            if mx < prefix or (hi is not None and mn >= hi):
+                self.index_stats["range_skipped"] += 1
+                continue
+            survivors.append(path)
+        if self._use_distributed_probe(survivors):
+            maybe = self._probe_pks_spark(
+                survivors, col, F.col("val").startswith(prefix)
+            )
+            if maybe is None:
+                return None
+            cand: set[str] = maybe
+        else:
+            cand = {
+                p
+                for p, v in self._probe_pairs(survivors, col)
+                if v is not None and v.startswith(prefix)
+            }
+        pi, ci, vi, ki = (
+            _MUT_COLS.index("pk"),
+            _MUT_COLS.index("col"),
+            _MUT_COLS.index("val"),
+            _MUT_COLS.index("kind"),
+        )
+        for row in self._log:
+            if (
+                row[ki] == CELL
+                and row[ci] == col
+                and row[vi] is not None
+                and row[vi].startswith(prefix)
+            ):
+                cand.add(row[pi])
         if len(cand) > self.index_probe_collect_cap:
             self.index_stats["probe_overflows"] += 1
             return None

@@ -1736,6 +1736,43 @@ class CqlSession:
                 return col, lit
         return None
 
+    def _indexed_like_prune(self, tname: str, stmt: str):
+        """(col, prefix) when the statement's WHERE carries a
+        prefix-shaped ``col LIKE 'prefix%'`` conjunct on a SASI-indexed
+        string column — SASI serves prefix searches from its index
+        (`[C* index/sasi, unverified]`); contains/suffix shapes and
+        patterns with '_' wildcards fall back to the full-scan filter
+        (correct, just unaccelerated). Same soundness rules as the
+        equality prune: quote-aware masking, pure conjunctions only."""
+        sasi_cols = set(self.sasi_indexes.get(tname, ()))
+        if not sasi_cols:
+            return None
+        mw = self._masked_conjunctive_where(stmt)
+        if mw is None:
+            return None
+        where, w_off = mw
+        schema = self.tables[tname].schema
+        head_re = r"(?:^\s*|\b[Aa][Nn][Dd]\s+)"
+        tail_re = r"(?=\s*(?:[Aa][Nn][Dd]\b|;|$))"
+        for col in sorted(sasi_cols):
+            typ = schema.regular.get(col) or schema.static.get(col) or ""
+            if typ != "string":
+                continue
+            m = re.search(
+                rf"{head_re}{re.escape(col)}\s+[Ll][Ii][Kk][Ee]\s+"
+                rf"('(?:[^']|'')*'){tail_re}",
+                where,
+            )
+            if not m:
+                continue
+            pat = stmt[w_off + m.start(1) + 1 : w_off + m.end(1) - 1]
+            pat = pat.replace("''", "'")
+            # prefix-shaped, no LIKE wildcards inside the prefix itself
+            if not re.fullmatch(r"[^%_]+%", pat):
+                continue
+            return col, pat[:-1]
+        return None
+
     def _indexed_range_prune(self, tname: str, stmt: str):
         """(col, lo, hi, lo_incl, hi_incl) when the statement's WHERE
         carries numeric RANGE conjuncts (``col > lit``, ``>=``, ``<``,
@@ -3352,6 +3389,10 @@ class CqlSession:
                         rhit = self._indexed_range_prune(key, stmt)
                         if rhit is not None:
                             pks = t.index_candidate_pks_range(*rhit)
+                        else:
+                            lhit = self._indexed_like_prune(key, stmt)
+                            if lhit is not None:
+                                pks = t.index_candidate_pks_prefix(*lhit)
                     if pks is not None and len(pks) <= 20_000:
                         # an unselective predicate would inflate the
                         # isin list past what a plan should carry —

@@ -122,3 +122,41 @@ def test_sasi_mode_bounds_like_shapes(spark):
             "'org.apache.cassandra.index.sasi.SASIIndex' "
             "WITH OPTIONS = {'mode': 'FUZZY'}"
         )
+
+
+def test_prefix_like_probes_segment_string_ranges(spark, tmp_path):
+    """SASI prefix LIKE is index-SERVED on session tables: segments
+    whose lexicographic [min, max] string range cannot hold the prefix
+    are skipped without reading data, and the candidate-pk reconcile
+    returns exactly the matching partitions."""
+    s = CqlSession(spark, None, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE sg (k int PRIMARY KEY, t text)")
+    s.execute(
+        "CREATE CUSTOM INDEX ON sg (t) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex'"
+    )
+    words = ["apple", "apricot", "banana", "cherry", "date", "elder",
+             "fig", "grape", "avocado", "berry", "cedar", "dew"]
+    for i, w in enumerate(words):
+        s.execute(f"INSERT INTO sg (k, t) VALUES ({i}, '{w}')")
+    tbl = s.table("sg")
+    assert len(tbl._segments) >= 2, "fixture must flush multiple segments"
+    tbl.index_stats.update(checked=0, range_skipped=0)
+    got = {r.k for r in s.execute(
+        "SELECT k FROM sg WHERE t LIKE 'ap%'"
+    ).collect()}
+    assert got == {0, 1}
+    assert tbl.index_stats["checked"] > 0
+    assert tbl.index_stats["range_skipped"] > 0, (
+        "segments outside the 'ap' prefix interval must be stat-skipped"
+    )
+    # '_' wildcard patterns bypass the probe but stay correct
+    assert {r.k for r in s.execute(
+        "SELECT k FROM sg WHERE t LIKE 'a_ple%'"
+    ).collect()} == {0}
+    # unflushed (log-resident) rows are probed too
+    s.execute("INSERT INTO sg (k, t) VALUES (99, 'apogee')")
+    got2 = {r.k for r in s.execute(
+        "SELECT k FROM sg WHERE t LIKE 'ap%'"
+    ).collect()}
+    assert got2 == {0, 1, 99}
