@@ -3779,12 +3779,23 @@ class CqlTable:
                 n += 1
             except OSError:
                 pass
-            try:
-                os.remove(sidecar_path(p))
-            except OSError:
-                pass
+            for side in (sidecar_path(p), *self._stat_sidecars(p)):
+                try:
+                    os.remove(side)
+                except OSError:
+                    pass
         self._retired.clear()
         return n
+
+    @staticmethod
+    def _stat_sidecars(path: str) -> list[str]:
+        """Value-range stat sidecars of one segment (*.vrange /
+        *.svrange — per-column, so globbed)."""
+        import glob as _glob
+
+        return _glob.glob(f"{path}.*.vrange") + _glob.glob(
+            f"{path}.*.svrange"
+        )
 
     def clear_data(self) -> None:
         """TRUNCATE support: drop the in-memory log and every flushed
@@ -3795,7 +3806,7 @@ class CqlTable:
         self._log.clear()
         self.purge_retired()
         for path in self._segments:
-            for f in (path, sidecar_path(path)):
+            for f in (path, sidecar_path(path), *self._stat_sidecars(path)):
                 try:
                     os.remove(f)
                 except OSError:
