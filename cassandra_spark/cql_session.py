@@ -3574,6 +3574,17 @@ class CqlSession:
             "indexes": {
                 n: list(v) for n, v in self.index_names.items()
             },
+            # custom-index options (round 12): SAI ANN similarity and
+            # SASI mode round-trip through snapshots — a restored
+            # CONTAINS-mode index must keep admitting infix LIKE
+            "index_options": {
+                "sai_similarity": {
+                    t: dict(m) for t, m in self.sai_similarity.items() if m
+                },
+                "sasi_modes": {
+                    t: dict(m) for t, m in self.sasi_modes.items() if m
+                },
+            },
             "keyspaces": self.keyspaces,
             "table_keyspace": {
                 k: self._key_ks(k) for k in self.tables
@@ -3849,6 +3860,13 @@ class CqlSession:
                 "full": self.full_indexes,
             }.get(kind, self.indexes)
             target.setdefault(tbl, set()).add(col)
+        # custom-index options (absent in pre-round-12 manifests: those
+        # indexes revert to the defaults, the documented old behavior)
+        opts = manifest.get("index_options", {})
+        for t, m in opts.get("sai_similarity", {}).items():
+            self.sai_similarity.setdefault(t, {}).update(m)
+        for t, m in opts.get("sasi_modes", {}).items():
+            self.sasi_modes.setdefault(t, {}).update(m)
 
     def _apply_masks(self, stmt: str, df):
         """Rewrite plainly-projected masked columns of the SELECT result
@@ -4090,6 +4108,22 @@ class CqlSession:
                             "'org.apache.cassandra.index.sasi.SASIIndex'"
                         ),
                     }.get(kind, "")
+                    # custom-index options re-emit so the DDL re-parses
+                    # to the same semantics (SASI mode bounds LIKE
+                    # shapes; SAI similarity picks the ANN ranking)
+                    if kind == "sasi":
+                        mode = self.sasi_modes.get(tbl, {}).get(col)
+                        if mode:
+                            custom += (
+                                f" WITH OPTIONS = {{'mode': '{mode}'}}"
+                            )
+                    elif kind == "sai":
+                        fn = self.sai_similarity.get(tbl, {}).get(col)
+                        if fn:
+                            custom += (
+                                " WITH OPTIONS = "
+                                f"{{'similarity_function': '{fn}'}}"
+                            )
                     rows.append(
                         (tks, "index", iname,
                          f"CREATE {'CUSTOM ' if custom else ''}INDEX {iname} "

@@ -160,3 +160,38 @@ def test_prefix_like_probes_segment_string_ranges(spark, tmp_path):
         "SELECT k FROM sg WHERE t LIKE 'ap%'"
     ).collect()}
     assert got2 == {0, 1, 99}
+
+
+def test_index_options_roundtrip_describe_and_snapshot(spark, tmp_path):
+    """SASI mode and SAI similarity survive DESCRIBE re-emission AND
+    snapshot/restore — a restored CONTAINS-mode index keeps admitting
+    infix LIKE (pre-round-12 manifests revert to defaults, documented)."""
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE io (k int PRIMARY KEY, t text, e list<float>)")
+    s.execute(
+        "CREATE CUSTOM INDEX ti ON io (t) USING "
+        "'org.apache.cassandra.index.sasi.SASIIndex' "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
+    )
+    s.execute(
+        "CREATE CUSTOM INDEX ei ON io (e) USING 'StorageAttachedIndex' "
+        "WITH OPTIONS = {'similarity_function': 'DOT_PRODUCT'}"
+    )
+    s.execute("INSERT INTO io (k, t) VALUES (1, 'middle')")
+    ddls = {
+        r.name: r.create_statement
+        for r in s.execute("DESCRIBE TABLE io").collect()
+        if r.type == "index"
+    }
+    assert "WITH OPTIONS = {'mode': 'CONTAINS'}" in ddls["ti"]
+    assert (
+        "WITH OPTIONS = {'similarity_function': 'dot_product'}"
+        in ddls["ei"]
+    )
+    d = str(tmp_path / "snap")
+    s.snapshot_keyspace(d)
+    s2 = CqlSession(spark, None)
+    s2.restore_keyspace(d)
+    # infix LIKE still admitted after restore (CONTAINS mode survived)
+    assert s2.execute("SELECT k FROM io WHERE t LIKE '%ddl%'").count() == 1
+    assert s2.sai_similarity.get("session.io", {}).get("e") == "dot_product"
