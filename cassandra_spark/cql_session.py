@@ -1805,12 +1805,23 @@ class CqlSession:
                 continue
             lo = hi = None  # (Decimal, literal str, inclusive)
             found = False
+            # `col BETWEEN a AND b` (CQL 5.0) normalizes to the same
+            # inclusive bound pair the <=/>= conjuncts feed below
+            rels = [
+                (m.group(1), m.group(2))
+                for m in re.finditer(
+                    rf"{head_re}{re.escape(col)}\s*(<=|>=|<|>)\s*"
+                    rf"{num_re}{tail_re}",
+                    where,
+                )
+            ]
             for m in re.finditer(
-                rf"{head_re}{re.escape(col)}\s*(<=|>=|<|>)\s*"
-                rf"{num_re}{tail_re}",
+                rf"{head_re}{re.escape(col)}\s+[Bb][Ee][Tt][Ww][Ee][Ee][Nn]"
+                rf"\s+{num_re}\s+[Aa][Nn][Dd]\s+{num_re}{tail_re}",
                 where,
             ):
-                op, lit = m.group(1), m.group(2)
+                rels += [(">=", m.group(1)), ("<=", m.group(2))]
+            for op, lit in rels:
                 d = Decimal(lit)
                 found = True
                 if op in (">", ">="):

@@ -377,3 +377,25 @@ def test_partition_key_range_gate(spark):
         spark, SF_SMOKE,
         "SELECT event_id FROM events WHERE token(user_id) > 0",
     ).count() > 0
+
+
+def test_between_uses_sai_range_probe(spark, tmp_path):
+    """BETWEEN conjuncts feed the SAI per-segment [min, max] range
+    probe: out-of-interval segments stat-skip, results stay exact."""
+    from cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, None, spill_dir=str(tmp_path), spill_threshold=4)
+    s.execute("CREATE TABLE br (k int PRIMARY KEY, v bigint)")
+    s.execute("CREATE CUSTOM INDEX ON br (v) USING 'StorageAttachedIndex'")
+    for i in range(12):
+        s.execute(f"INSERT INTO br (k, v) VALUES ({i}, {i * 100})")
+    tbl = s.table("br")
+    assert len(tbl._segments) >= 2
+    tbl.index_stats.update(checked=0, range_skipped=0)
+    got = {r.k for r in s.execute(
+        "SELECT k FROM br WHERE v BETWEEN 250 AND 410"
+    ).collect()}
+    assert got == {3, 4}
+    assert tbl.index_stats["range_skipped"] > 0, (
+        "segments outside [250, 410] must be stat-skipped"
+    )
