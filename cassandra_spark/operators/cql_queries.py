@@ -2625,14 +2625,17 @@ def cql52_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         "USING 'StorageAttachedIndex'"
     )
     # negative: BETWEEN on an unindexed regular column needs filtering
+    # (the column must EXIST in the staged table — a nonexistent one is
+    # rejected earlier, as an unresolvable reference, which would not
+    # exercise the ALLOW FILTERING gate)
     try:
         sess.execute(
             "SELECT o_orderkey FROM orders "
-            "WHERE o_shippriority BETWEEN 0 AND 1"
+            "WHERE o_orderpriority BETWEEN '1' AND '3'"
         )
         raise AssertionError("unindexed BETWEEN must demand ALLOW FILTERING")
-    except CQLError:
-        pass
+    except CQLError as exc:
+        assert "ALLOW FILTERING" in str(exc), exc
     clustering_leg = sess.execute(
         "SELECT o_custkey AS ck, o_orderkey AS okey, o_totalprice AS total "
         "FROM orders WHERE o_custkey = 16 "

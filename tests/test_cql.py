@@ -347,6 +347,13 @@ def test_between_gate(spark):
     # unindexed column: gated
     with pytest.raises(CQLError, match="ALLOW FILTERING"):
         s.execute("SELECT ck FROM bt WHERE u BETWEEN 0 AND 99")
+    # a column that does not exist at all is rejected as an invalid
+    # statement (unresolved reference) — a DIFFERENT error class than
+    # the filtering gate, so negative gate probes must restrict a real
+    # column (the cql52 probe regression: o_shippriority is not in the
+    # synthetic orders schema)
+    with pytest.raises(CQLError, match="invalid statement"):
+        s.execute("SELECT ck FROM bt WHERE nope BETWEEN 0 AND 1")
     assert s.execute(
         "SELECT ck FROM bt WHERE u BETWEEN 0 AND 99 ALLOW FILTERING"
     ).count() == 2
