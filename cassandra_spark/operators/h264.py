@@ -1026,7 +1026,7 @@ class Sps:
     log2_max_frame_num: int = 4
 
 
-def write_sps(width: int, height: int) -> bytes:
+def write_sps(width: int, height: int, num_ref_frames: int = 0) -> bytes:
     if width % 16 or height % 16:
         raise NotImplementedError(
             "this writer emits uncropped streams: dimensions must be "
@@ -1039,7 +1039,7 @@ def write_sps(width: int, height: int) -> bytes:
     w.ue(0)        # sps id
     w.ue(0)        # log2_max_frame_num_minus4
     w.ue(2)        # pic_order_cnt_type 2 (order = decode order)
-    w.ue(0)        # max_num_ref_frames
+    w.ue(num_ref_frames)  # max_num_ref_frames (1 for GOP streams)
     w.u(0, 1)      # gaps_in_frame_num_value_allowed
     w.ue(width // 16 - 1)
     w.ue(height // 16 - 1)
@@ -1146,6 +1146,14 @@ class _FrameState:
         self.i4_mode: list[list[int | None]] = [
             [None] * (width // 4) for _ in range(height // 4)
         ]
+        # per-MB motion state for P slices (this codec's inter subset is
+        # whole-MB P_L0_16x16 partitions, so MB granularity is exact):
+        # None = intra-coded MB, (mvx, mvy) quarter-pel = inter refIdx 0.
+        # Entries for not-yet-(de)coded MBs are read as unavailable by
+        # the MV predictor (raster order guarantees neighbors exist).
+        self.mb_mv: list[list[tuple[int, int] | None]] = [
+            [None] * (width // 16) for _ in range(height // 16)
+        ]
 
     def nc_luma(self, gx: int, gy: int) -> int:
         a = self.nnz_y[gy][gx - 1] if gx > 0 else None
@@ -1200,6 +1208,7 @@ def _mb_neighbors_chroma(plane, mbx: int, mby: int):
 def _encode_mb(
     w: BitWriter, st: _FrameState, src_y, src_cb, src_cr,
     mbx: int, mby: int, qp: int, pred_mode: int, chroma_mode: int,
+    mb_type_offset: int = 0,
 ) -> None:
     """Encode one I_16x16 macroblock and reconstruct it into ``st`` (the
     encoder decodes in the loop so prediction uses what the decoder will
@@ -1235,7 +1244,11 @@ def _encode_mb(
     )
 
     # mb_type: 1 + predMode + 4*cbp_chroma + 12*(cbp_luma == 15)
-    w.ue(1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+    # (+5 inside a P slice, spec Table 7-10)
+    w.ue(
+        mb_type_offset
+        + 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    )
     w.ue(chroma_mode)  # intra_chroma_pred_mode
     w.se(0)            # mb_qp_delta (slice QP everywhere)
 
@@ -1276,15 +1289,20 @@ def _encode_mb(
 
 def _chroma_analyze(
     st: _FrameState, src_cb, src_cr, mbx: int, mby: int,
-    qpc: int, chroma_mode: int,
+    qpc: int, chroma_mode: int, mc_preds=None,
 ):
     """Predict + transform + quantize both chroma components from the
     current reconstruction state; returns (per-component data, the
-    derived CodedBlockPatternChroma)."""
+    derived CodedBlockPatternChroma). ``mc_preds`` = (pred_cb, pred_cr)
+    motion-compensated 8x8 predictions for inter MBs (chroma_mode is
+    then unused); None = intra prediction from the neighbors."""
     ch_data = []
-    for plane, src in ((st.cb, src_cb), (st.cr, src_cr)):
-        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
-        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
+    for comp, (plane, src) in enumerate(((st.cb, src_cb), (st.cr, src_cr))):
+        if mc_preds is not None:
+            cpred = mc_preds[comp]
+        else:
+            cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
+            cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
         cdc = [[0] * 2 for _ in range(2)]
         cac = [None] * 4
         cx0, cy0 = mbx * 8, mby * 8
@@ -1417,7 +1435,7 @@ def _i4_available_modes(top, topright, left, topleft) -> list[int]:
 def _encode_i4x4_mb(
     w: BitWriter, st: _FrameState, src_y, src_cb, src_cr,
     mbx: int, mby: int, qp: int, chroma_mode: int,
-    cbp_luma_mask: int = 15,
+    cbp_luma_mask: int = 15, mb_type_offset: int = 0,
 ) -> None:
     """Encode one I_4x4 macroblock (decode-in-the-loop like the I_16x16
     path: each 4x4 block predicts from already-RECONSTRUCTED samples,
@@ -1474,7 +1492,7 @@ def _encode_i4x4_mb(
 
     # pass 2: emit — mb_type, 16 mode signals, chroma mode, cbp,
     # qp_delta (only when cbp != 0), residuals
-    w.ue(0)  # I_4x4 / I_NxN
+    w.ue(mb_type_offset)  # I_4x4 / I_NxN (+5 inside a P slice)
     for blk in range(16):
         bx, by = blk_xy(blk)
         # the PREDICTED mode uses neighbor modes as known at decode time
@@ -1508,6 +1526,16 @@ def _decode_mb(
     r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int
 ) -> None:
     mb_type = r.ue()
+    return _decode_intra_mb(r, st, mbx, mby, qp, mb_type)
+
+
+def _decode_intra_mb(
+    r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    mb_type: int,
+) -> None:
+    """Decode one intra macroblock given its (already-read, I-slice
+    numbering) mb_type — shared by I slices and the intra MBs of P
+    slices (whose mb_type arrives offset by 5, spec Table 7-10)."""
     if mb_type == 0:  # I_4x4 / I_NxN (round 12)
         return _decode_i4x4_mb(r, st, mbx, mby, qp)
     if mb_type == 25:  # I_PCM
@@ -1574,10 +1602,11 @@ def _decode_mb(
 
 def _decode_chroma(
     r: BitReader, st: _FrameState, mbx: int, mby: int,
-    qpc: int, chroma_mode: int, cbp_chroma: int,
+    qpc: int, chroma_mode: int, cbp_chroma: int, mc_preds=None,
 ) -> None:
     """Read the chroma residual blocks and reconstruct both planes —
-    shared by the I_16x16 and I_4x4 decoders."""
+    shared by the I_16x16 / I_4x4 decoders and (with ``mc_preds``, the
+    motion-compensated 8x8 prediction pair) the P-slice inter path."""
     cdc_levels = []
     for _ in range(2):
         if cbp_chroma:
@@ -1589,8 +1618,11 @@ def _decode_chroma(
     for comp in range(2):
         plane = st.cb if comp == 0 else st.cr
         grid = st.nnz_cb if comp == 0 else st.nnz_cr
-        cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
-        cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
+        if mc_preds is not None:
+            cpred = mc_preds[comp]
+        else:
+            cl, ct, ctl = _mb_neighbors_chroma(plane, mbx, mby)
+            cpred = pred_chroma8x8(chroma_mode, cl, ct, ctl)
         cdcr = scale_chroma_dc(hadamard2x2(cdc_levels[comp]), qpc)
         cx0, cy0 = mbx * 8, mby * 8
         for blk in range(4):
@@ -1692,6 +1724,9 @@ def encode_idr(
     w.ue(0)          # pps id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
     w.ue(idr_pic_id)
+    # dec_ref_pic_marking (7.3.3.3, nal_ref_idc != 0 and IdrPicFlag):
+    w.u(0, 1)        # no_output_of_prior_pics_flag
+    w.u(0, 1)        # long_term_reference_flag
     w.se(0)          # slice_qp_delta (pps init_qp is the slice QP)
     w.ue(1)          # disable_deblocking_filter_idc: off
     for mby in range(height // 16):
@@ -1734,6 +1769,8 @@ def decode_idr(
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
     r.ue()  # idr_pic_id
+    r.u(1)  # no_output_of_prior_pics_flag (dec_ref_pic_marking, IDR)
+    r.u(1)  # long_term_reference_flag
     qp = init_qp + r.se()
     idc = r.ue()  # disable_deblocking_filter_idc
     if idc != 1:
@@ -1749,6 +1786,546 @@ def decode_idr(
         for mbx in range(sps.width // 16):
             _decode_mb(r, st, mbx, mby, qp)
     return st.y, st.cb, st.cr
+
+
+# ---------------------------------------------------------------------------
+# P slices (round 13): motion-compensated inter prediction — quarter-pel
+# luma (8.4.2.2.1 six-tap), eighth-pel bilinear chroma (8.4.2.2.2),
+# median MV prediction (8.4.1.3), P_Skip (8.4.1.1), CAVLC mb_skip_run
+# slice data (7.3.4), Table 9-4 inter coded_block_pattern. Subset:
+# whole-MB P_L0_16x16 partitions + P_Skip + intra MBs, one reference
+# picture (the previous decoded frame), no weighted prediction (baseline
+# has none). 16x8/8x16/8x8 partitions and B slices raise
+# NotImplementedError.
+
+# Table 9-4, inter column: coded_block_pattern codeNum -> cbp for
+# P-macroblocks. A permutation of 0..47, structurally pinned in
+# tests/test_h264.py alongside the intra column.
+CBP_INTER_ME = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+CBP_INTER_INV = {v: i for i, v in enumerate(CBP_INTER_ME)}
+
+
+def _ref_pix(plane, x: int, y: int, w: int, h: int) -> int:
+    """Edge-extended reference fetch (8.4.2.2.1 coordinate clipping)."""
+    return plane[0 if y < 0 else h - 1 if y >= h else y][
+        0 if x < 0 else w - 1 if x >= w else x
+    ]
+
+
+def mc_luma(
+    ref, px: int, py: int, mvx: int, mvy: int, bw: int = 16, bh: int = 16
+):
+    """Quarter-sample luma motion compensation (8.4.2.2.1): block of
+    ``bw`` x ``bh`` predicted samples at full-pel origin (px, py)
+    displaced by (mvx, mvy) in quarter-pel units. Half-pel positions use
+    the 6-tap (1,-5,20,20,-5,1) filter; the center position j filters
+    the unclipped horizontal intermediates vertically; quarter positions
+    average per Table 8-12."""
+    h, w = len(ref), len(ref[0])
+    fx, fy = mvx & 3, mvy & 3
+    x0, y0 = px + (mvx >> 2), py + (mvy >> 2)
+
+    def P(x, y):
+        return _ref_pix(ref, x, y, w, h)
+
+    def B1(x, y):  # horizontal 6-tap intermediate at (x + 1/2, y)
+        return (
+            P(x - 2, y) - 5 * P(x - 1, y) + 20 * P(x, y)
+            + 20 * P(x + 1, y) - 5 * P(x + 2, y) + P(x + 3, y)
+        )
+
+    def H1(x, y):  # vertical 6-tap intermediate at (x, y + 1/2)
+        return (
+            P(x, y - 2) - 5 * P(x, y - 1) + 20 * P(x, y)
+            + 20 * P(x, y + 1) - 5 * P(x, y + 2) + P(x, y + 3)
+        )
+
+    def bpix(x, y):
+        return _clip((B1(x, y) + 16) >> 5)
+
+    def hpix(x, y):
+        return _clip((H1(x, y) + 16) >> 5)
+
+    def jpix(x, y):  # center: vertical 6-tap over unclipped horizontals
+        j1 = (
+            B1(x, y - 2) - 5 * B1(x, y - 1) + 20 * B1(x, y)
+            + 20 * B1(x, y + 1) - 5 * B1(x, y + 2) + B1(x, y + 3)
+        )
+        return _clip((j1 + 512) >> 10)
+
+    out = [[0] * bw for _ in range(bh)]
+    for i in range(bh):
+        for jj in range(bw):
+            x, y = x0 + jj, y0 + i
+            if fx == 0 and fy == 0:
+                v = P(x, y)
+            elif fy == 0:  # a / b / c
+                b = bpix(x, y)
+                if fx == 2:
+                    v = b
+                elif fx == 1:
+                    v = (P(x, y) + b + 1) >> 1
+                else:
+                    v = (b + P(x + 1, y) + 1) >> 1
+            elif fx == 0:  # d / h / n
+                hh = hpix(x, y)
+                if fy == 2:
+                    v = hh
+                elif fy == 1:
+                    v = (P(x, y) + hh + 1) >> 1
+                else:
+                    v = (hh + P(x, y + 1) + 1) >> 1
+            elif fx == 2 and fy == 2:  # j
+                v = jpix(x, y)
+            elif fy == 2:  # i / k
+                cj = jpix(x, y)
+                v = (
+                    (hpix(x, y) + cj + 1) >> 1
+                    if fx == 1
+                    else (cj + hpix(x + 1, y) + 1) >> 1
+                )
+            elif fx == 2:  # f / q
+                cj = jpix(x, y)
+                v = (
+                    (bpix(x, y) + cj + 1) >> 1
+                    if fy == 1
+                    else (cj + bpix(x, y + 1) + 1) >> 1
+                )
+            else:  # e / g / p / r — diagonal averages of b/s and h/m
+                bb = bpix(x, y) if fy == 1 else bpix(x, y + 1)
+                hm = hpix(x, y) if fx == 1 else hpix(x + 1, y)
+                v = (bb + hm + 1) >> 1
+            out[i][jj] = v
+    return out
+
+
+def mc_chroma(
+    plane, cx0: int, cy0: int, mvx: int, mvy: int,
+    bw: int = 8, bh: int = 8,
+):
+    """Eighth-sample bilinear chroma motion compensation (8.4.2.2.2,
+    4:2:0): the luma quarter-pel vector is an eighth-pel chroma
+    vector."""
+    h, w = len(plane), len(plane[0])
+    fx, fy = mvx & 7, mvy & 7
+    x0, y0 = cx0 + (mvx >> 3), cy0 + (mvy >> 3)
+    out = [[0] * bw for _ in range(bh)]
+    for i in range(bh):
+        for j in range(bw):
+            x, y = x0 + j, y0 + i
+            a = _ref_pix(plane, x, y, w, h)
+            b = _ref_pix(plane, x + 1, y, w, h)
+            c = _ref_pix(plane, x, y + 1, w, h)
+            d = _ref_pix(plane, x + 1, y + 1, w, h)
+            out[i][j] = (
+                (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+                + (8 - fx) * fy * c + fx * fy * d + 32
+            ) >> 6
+    return out
+
+
+def _med3(a: int, b: int, c: int) -> int:
+    return max(min(a, b), min(c, max(a, b)))
+
+
+def _mv_pred_16x16(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
+    """Median motion-vector prediction for a 16x16 partition (8.4.1.3):
+    neighbors A (left), B (top), C (top-right, D top-left substituted
+    when C is unavailable); intra or unavailable neighbors contribute
+    refIdx -1 / mv (0,0); a lone refIdx-0 match wins outright."""
+    nmb_x = st.w // 16
+
+    def nb(x, y, avail):
+        if not avail:
+            return -1, (0, 0)
+        mv = st.mb_mv[y][x]
+        return (0, mv) if mv is not None else (-1, (0, 0))
+
+    ra, mva = nb(mbx - 1, mby, mbx > 0)
+    rb, mvb = nb(mbx, mby - 1, mby > 0)
+    if mby > 0 and mbx + 1 < nmb_x:
+        rc, mvc = nb(mbx + 1, mby - 1, True)
+    else:  # D substitution
+        rc, mvc = nb(mbx - 1, mby - 1, mbx > 0 and mby > 0)
+    if mby == 0 and mbx > 0:
+        # B, C and D all unavailable, A available -> mvp = mvA
+        return mva
+    matches = [m for r, m in ((ra, mva), (rb, mvb), (rc, mvc)) if r == 0]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        _med3(mva[0], mvb[0], mvc[0]),
+        _med3(mva[1], mvb[1], mvc[1]),
+    )
+
+
+def _mv_pred_skip(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
+    """P_Skip motion vector (8.4.1.1): zero when either edge neighbor is
+    unavailable or is a zero-motion refIdx-0 inter MB; otherwise the
+    standard 16x16 prediction. An INTRA neighbor is available but
+    refIdx -1, so it falls through to the median rule."""
+    if mbx == 0 or mby == 0:
+        return (0, 0)
+    if st.mb_mv[mby][mbx - 1] == (0, 0) or st.mb_mv[mby - 1][mbx] == (0, 0):
+        return (0, 0)
+    return _mv_pred_16x16(st, mbx, mby)
+
+
+def _mc_predict_mb(ref_planes, mbx: int, mby: int, mv: tuple[int, int]):
+    """(luma 16x16, cb 8x8, cr 8x8) motion-compensated prediction."""
+    ry, rcb, rcr = ref_planes
+    return (
+        mc_luma(ry, mbx * 16, mby * 16, mv[0], mv[1], 16, 16),
+        mc_chroma(rcb, mbx * 8, mby * 8, mv[0], mv[1], 8, 8),
+        mc_chroma(rcr, mbx * 8, mby * 8, mv[0], mv[1], 8, 8),
+    )
+
+
+def _apply_inter_recon(
+    st: _FrameState, mbx: int, mby: int, pred_y, luma_levels, qp: int,
+) -> int:
+    """Reconstruct the luma of an inter MB from its prediction and
+    (possibly all-zero) residual levels; returns CodedBlockPatternLuma.
+    ``luma_levels[blk]`` is None for an uncoded quadrant's blocks."""
+    x0, y0 = mbx * 16, mby * 16
+    gx0, gy0 = mbx * 4, mby * 4
+    cbp_luma = 0
+    for quad in range(4):
+        if any(
+            luma_levels[4 * quad + k] is not None
+            and any(any(row) for row in luma_levels[4 * quad + k])
+            for k in range(4)
+        ):
+            cbp_luma |= 1 << quad
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        lv = luma_levels[blk]
+        if lv is None or not (cbp_luma >> (blk >> 2)) & 1:
+            lv = None
+        r4 = (
+            inverse4x4(dequant4x4(lv, qp, skip_dc=False))
+            if lv is not None
+            else None
+        )
+        for i in range(4):
+            for j in range(4):
+                p = pred_y[by * 4 + i][bx * 4 + j]
+                st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = _clip(
+                    p + (r4[i][j] if r4 is not None else 0)
+                )
+    return cbp_luma
+
+
+def _apply_skip(st: _FrameState, ref_planes, mbx: int, mby: int) -> None:
+    """Reconstruct one P_Skip MB: motion-compensated prediction at the
+    skip vector, zero residual, zero TotalCoeff contexts (9.2.1 treats
+    skipped neighbors as coefficient-free)."""
+    mv = _mv_pred_skip(st, mbx, mby)
+    st.mb_mv[mby][mbx] = mv
+    pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
+    x0, y0 = mbx * 16, mby * 16
+    for i in range(16):
+        row = st.y[y0 + i]
+        prow = pred_y[i]
+        for j in range(16):
+            row[x0 + j] = prow[j]
+    cx0, cy0 = mbx * 8, mby * 8
+    for plane, ppred in ((st.cb, pcb), (st.cr, pcr)):
+        for i in range(8):
+            row = plane[cy0 + i]
+            prow = ppred[i]
+            for j in range(8):
+                row[cx0 + j] = prow[j]
+    gx0, gy0 = mbx * 4, mby * 4
+    for by in range(4):
+        for bx in range(4):
+            st.nnz_y[gy0 + by][gx0 + bx] = 0
+    for grid in (st.nnz_cb, st.nnz_cr):
+        for by in range(2):
+            for bx in range(2):
+                grid[mby * 2 + by][mbx * 2 + bx] = 0
+
+
+def _quantize_inter_mb(
+    st: _FrameState, src_y, src_cb, src_cr, ref_planes,
+    mbx: int, mby: int, qp: int, mv: tuple[int, int],
+):
+    """Motion-compensate at ``mv`` and quantize the full-MB residual.
+    Returns (pred_y, (pcb, pcr), luma_levels, ch_data, cbp_chroma)."""
+    pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
+    x0, y0 = mbx * 16, mby * 16
+    luma_levels = []
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        res = [
+            [
+                src_y[y0 + by * 4 + i][x0 + bx * 4 + j]
+                - pred_y[by * 4 + i][bx * 4 + j]
+                for j in range(4)
+            ]
+            for i in range(4)
+        ]
+        luma_levels.append(quant4x4(forward4x4(res), qp, skip_dc=False))
+    ch_data, cbp_chroma = _chroma_analyze(
+        st, src_cb, src_cr, mbx, mby, chroma_qp(qp), 0,
+        mc_preds=(pcb, pcr),
+    )
+    return pred_y, (pcb, pcr), luma_levels, ch_data, cbp_chroma
+
+
+def _sad16(src_y, pred_y, x0: int, y0: int) -> int:
+    return sum(
+        abs(src_y[y0 + i][x0 + j] - pred_y[i][j])
+        for i in range(16)
+        for j in range(16)
+    )
+
+
+def encode_p(
+    y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
+    ref_planes: tuple, qp: int = 26, frame_num: int = 1,
+    mv_hint: tuple[int, int] = (0, 0), intra_mbs=frozenset(),
+    intra_mode: str = "i16", pred_mode: int = 2, chroma_mode: int = 0,
+) -> tuple[bytes, tuple]:
+    """Encode one P picture against ``ref_planes`` (the previous
+    frame's reconstruction). Returns (slice NAL bytes, reconstructed
+    planes) — in-loop reconstruction, the decoder's contractual output.
+
+    Per MB: P_Skip when the skip-vector residual quantizes to zero,
+    else P_L0_16x16 with the motion vector chosen by SAD over a small
+    candidate set (the MV prediction, zero, ``mv_hint`` in quarter-pel
+    units and its one-quarter-pel refinements — enough to exercise every
+    fractional interpolation class), else a forced intra MB for each
+    (mbx, mby) in ``intra_mbs`` (``intra_mode``: "i16" or "i4",
+    mb_type offset +5 per Table 7-10)."""
+    height, width = len(y), len(y[0])
+    if width % 16 or height % 16:
+        raise NotImplementedError("dimensions must be multiples of 16")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    st = _FrameState(width, height)
+    w = BitWriter()
+    w.ue(0)                  # first_mb_in_slice
+    w.ue(5)                  # slice_type: P (all slices in picture)
+    w.ue(0)                  # pps id
+    w.u(frame_num % 16, 4)   # frame_num
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
+    w.se(0)                  # slice_qp_delta
+    w.ue(1)                  # disable_deblocking_filter_idc: off
+    skip_run = 0
+    for mby in range(height // 16):
+        for mbx in range(width // 16):
+            if (mbx, mby) not in intra_mbs:
+                # skip test first: residual at the skip vector
+                mv_skip = _mv_pred_skip(st, mbx, mby)
+                pred_y, preds_c, levels, ch_data, cbp_c = (
+                    _quantize_inter_mb(
+                        st, y, cb, cr, ref_planes, mbx, mby, qp, mv_skip
+                    )
+                )
+                if cbp_c == 0 and not any(
+                    any(any(row) for row in lv) for lv in levels
+                ):
+                    skip_run += 1
+                    _apply_skip(st, ref_planes, mbx, mby)
+                    continue
+            w.ue(skip_run)
+            skip_run = 0
+            if (mbx, mby) in intra_mbs:
+                st.mb_mv[mby][mbx] = None
+                if intra_mode == "i4":
+                    _encode_i4x4_mb(
+                        w, st, y, cb, cr, mbx, mby, qp, chroma_mode,
+                        mb_type_offset=5,
+                    )
+                else:
+                    _encode_mb(
+                        w, st, y, cb, cr, mbx, mby, qp, pred_mode,
+                        chroma_mode, mb_type_offset=5,
+                    )
+                continue
+            # motion search over the candidate set
+            mvp = _mv_pred_16x16(st, mbx, mby)
+            cands = [mvp, (0, 0), mv_hint]
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                cands.append((mv_hint[0] + dx, mv_hint[1] + dy))
+            best_mv, best_sad = None, None
+            for cand in dict.fromkeys(cands):
+                p = mc_luma(
+                    ref_planes[0], mbx * 16, mby * 16, cand[0], cand[1]
+                )
+                sad = _sad16(y, p, mbx * 16, mby * 16)
+                if best_sad is None or sad < best_sad:
+                    best_mv, best_sad = cand, sad
+            if best_mv != mv_skip:
+                pred_y, preds_c, levels, ch_data, cbp_c = (
+                    _quantize_inter_mb(
+                        st, y, cb, cr, ref_planes, mbx, mby, qp, best_mv
+                    )
+                )
+            mv = best_mv
+            st.mb_mv[mby][mbx] = mv
+            w.ue(0)                  # mb_type: P_L0_16x16
+            w.se(mv[0] - mvp[0])     # mvd_l0 horizontal
+            w.se(mv[1] - mvp[1])     # mvd_l0 vertical
+            cbp_luma = 0
+            for quad in range(4):
+                if any(
+                    any(any(row) for row in levels[4 * quad + k])
+                    for k in range(4)
+                ):
+                    cbp_luma |= 1 << quad
+            cbp = cbp_luma | (cbp_c << 4)
+            w.ue(CBP_INTER_INV[cbp])
+            if cbp:
+                w.se(0)              # mb_qp_delta
+            gx0, gy0 = mbx * 4, mby * 4
+            for blk in range(16):
+                bx, by = blk_xy(blk)
+                if (cbp_luma >> (blk >> 2)) & 1:
+                    nc = st.nc_luma(gx0 + bx, gy0 + by)
+                    total = write_residual_block(
+                        w, _zigzag_flat(levels[blk]), nc
+                    )
+                else:
+                    total = 0
+                st.nnz_y[gy0 + by][gx0 + bx] = total
+            _apply_inter_recon(st, mbx, mby, pred_y, levels, qp)
+            _chroma_emit(
+                w, st, ch_data, cbp_c, mbx, mby, chroma_qp(qp)
+            )
+    if skip_run:
+        w.ue(skip_run)  # trailing skipped MBs (7.3.4)
+    w.rbsp_trailing()
+    return nal(1, w.tobytes(), ref_idc=2), (st.y, st.cb, st.cr)
+
+
+def _decode_p16x16_mb(
+    r: BitReader, st: _FrameState, ref_planes, mbx: int, mby: int, qp: int
+) -> None:
+    mvp = _mv_pred_16x16(st, mbx, mby)
+    mvd = (r.se(), r.se())
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    st.mb_mv[mby][mbx] = mv
+    pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
+    code_num = r.ue()
+    if code_num >= len(CBP_INTER_ME):
+        raise ValueError(f"bad inter coded_block_pattern codeNum {code_num}")
+    cbp = CBP_INTER_ME[code_num]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp and r.se() != 0:
+        raise NotImplementedError(
+            "mb_qp_delta != 0 unsupported (the writer pins slice QP)"
+        )
+    gx0, gy0 = mbx * 4, mby * 4
+    levels = []
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        if (cbp_luma >> (blk >> 2)) & 1:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            flat, total = read_residual_block(r, 16, nc)
+            levels.append(_unzigzag(flat))
+        else:
+            total = 0
+            levels.append(None)
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+    _apply_inter_recon(st, mbx, mby, pred_y, levels, qp)
+    _decode_chroma(
+        r, st, mbx, mby, chroma_qp(qp), 0, cbp_chroma,
+        mc_preds=(pcb, pcr),
+    )
+
+
+def decode_p(
+    slice_nal: bytes, sps: Sps, init_qp: int, ref_planes: tuple
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """Decode one P coded-slice NAL against ``ref_planes`` (the
+    previous decoded picture)."""
+    hdr = slice_nal[0]
+    if hdr & 0x1F != 1:
+        raise NotImplementedError(
+            f"NAL type {hdr & 0x1F} is not a non-IDR coded slice"
+        )
+    r = BitReader(ebsp_to_rbsp(slice_nal[1:]))
+    if r.ue() != 0:
+        raise NotImplementedError("multi-slice pictures unsupported")
+    st_type = r.ue()
+    if st_type % 5 != 0:
+        raise NotImplementedError(
+            f"slice_type {st_type} is not P (B/SP/SI slices are gated)"
+        )
+    r.ue()  # pps id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    if r.u(1):
+        raise NotImplementedError(
+            "num_ref_idx_active_override unsupported (one reference)"
+        )
+    if r.u(1):
+        raise NotImplementedError("ref_pic_list_modification unsupported")
+    if (hdr >> 5) & 3:  # nal_ref_idc != 0 -> dec_ref_pic_marking
+        if r.u(1):
+            raise NotImplementedError(
+                "adaptive_ref_pic_marking unsupported (sliding window)"
+            )
+    qp = init_qp + r.se()
+    idc = r.ue()
+    if idc != 1:
+        if idc in (0, 2):
+            r.se()
+            r.se()
+        raise NotImplementedError(
+            "in-loop deblocking unsupported (writer disables it)"
+        )
+    st = _FrameState(sps.width, sps.height)
+    n_x = sps.width // 16
+    total_mbs = n_x * (sps.height // 16)
+    idx = 0
+    while idx < total_mbs:
+        run = r.ue()  # mb_skip_run
+        if idx + run > total_mbs:
+            raise ValueError("mb_skip_run past end of slice")
+        for _ in range(run):
+            _apply_skip(st, ref_planes, idx % n_x, idx // n_x)
+            idx += 1
+        if idx >= total_mbs:
+            break
+        mbx, mby = idx % n_x, idx // n_x
+        mb_type = r.ue()
+        if mb_type >= 5:  # intra MB in a P slice (Table 7-10)
+            st.mb_mv[mby][mbx] = None
+            _decode_intra_mb(r, st, mbx, mby, qp, mb_type - 5)
+        elif mb_type == 0:
+            _decode_p16x16_mb(r, st, ref_planes, mbx, mby, qp)
+        else:
+            raise NotImplementedError(
+                f"P mb_type {mb_type}: 16x8/8x16/8x8 partitions are "
+                "outside the whole-MB subset"
+            )
+        idx += 1
+    return st.y, st.cb, st.cr
+
+
+def decode_frame(
+    slice_nal: bytes, sps: Sps, init_qp: int, ref_planes=None
+) -> tuple:
+    """Dispatch one coded-slice NAL: IDR (type 5) decodes standalone;
+    a non-IDR P slice (type 1) requires ``ref_planes``."""
+    ntype = slice_nal[0] & 0x1F
+    if ntype == 5:
+        return decode_idr(slice_nal, sps, init_qp)
+    if ntype == 1:
+        if ref_planes is None:
+            raise ValueError(
+                "non-IDR slice needs the previous decoded picture"
+            )
+        return decode_p(slice_nal, sps, init_qp, ref_planes)
+    raise NotImplementedError(f"NAL type {ntype} is not a coded slice")
 
 
 # ---------------------------------------------------------------------------

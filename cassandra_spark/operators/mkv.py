@@ -284,30 +284,43 @@ def decode_mkv_frame(stream: MkvStream, idx: int) -> bytes:
     the round-12 H.264 baseline-intra subset — inter frames stay
     honestly gated (sample the GOP's keyframe instead)."""
     if stream.codec == AVC_CODEC_ID:
-        if stream.codec_private is None:
-            raise ValueError("AVC track without CodecPrivate (avcC)")
-        if stream.keyframe is not None and not stream.keyframe[idx]:
-            raise NotImplementedError(
-                f"frame {idx} is not a keyframe: inter-coded pictures "
-                "are outside the decoded subset — sample the GOP's "
-                "keyframe instead"
-            )
         from cassandra_spark.operators.h264 import (
-            decode_idr,
+            decode_frame,
             parse_avcc,
             split_avcc_sample,
         )
         from cassandra_spark.operators.mp4 import _yuv420_to_rgb
 
+        if stream.codec_private is None:
+            raise ValueError("AVC track without CodecPrivate (avcC)")
         sps, pps = parse_avcc(stream.codec_private)
         length_size = (stream.codec_private[4] & 3) + 1
+
+        def _is_key(i: int) -> bool:
+            return stream.keyframe is None or bool(stream.keyframe[i])
+
+        # GOP replay (round 13): a non-keyframe (P) block decodes by
+        # chaining forward from the covering keyframe, each picture the
+        # next one's reference — a conforming player's seek behavior.
+        start = idx
+        while start > 0 and not _is_key(start):
+            start -= 1
+        if not _is_key(start):
+            raise ValueError("no keyframe at or before the requested frame")
         planes = None
-        for nal_unit in split_avcc_sample(stream.frames[idx], length_size):
-            if nal_unit[0] & 0x1F in (6, 7, 8, 9):
-                continue
-            planes = decode_idr(nal_unit, sps, pps["init_qp"])
-        if planes is None:
-            raise ValueError(f"frame {idx} carries no coded slice")
+        for i in range(start, idx + 1):
+            blk_planes = None
+            for nal_unit in split_avcc_sample(
+                stream.frames[i], length_size
+            ):
+                if nal_unit[0] & 0x1F in (6, 7, 8, 9):
+                    continue
+                blk_planes = decode_frame(
+                    nal_unit, sps, pps["init_qp"], ref_planes=planes
+                )
+            if blk_planes is None:
+                raise ValueError(f"frame {i} carries no coded slice")
+            planes = blk_planes
         return _yuv420_to_rgb(*planes)
     if stream.codec not in MJPEG_CODEC_IDS:
         raise ValueError(
@@ -385,15 +398,22 @@ def encode_mkv_avc1(
     pred_mode: int = 2,
     chroma_mode: int = 0,
     mb_mode: str = "i16",
+    gop: int | None = None,
+    mv_hints: list[tuple] | None = None,
+    intra_mbs=frozenset(),
 ) -> tuple[bytes, list[tuple]]:
     """YCbCr 4:2:0 frames → a minimal valid single-track
-    V_MPEG4/ISO/AVC Matroska file (CodecPrivate = avcC, one keyframe
-    SimpleBlock per frame, AVCC length-prefixed payloads). Returns
-    (container bytes, per-frame reconstructions) — mp4.encode_mp4_avc1's
-    contract on the Matroska container."""
+    V_MPEG4/ISO/AVC Matroska file (CodecPrivate = avcC, one SimpleBlock
+    per frame, AVCC length-prefixed payloads). ``gop=None`` keeps the
+    all-keyframe layout; ``gop=N`` (round 13) codes every Nth frame as
+    an IDR keyframe block and the rest as non-keyframe P blocks (the
+    SimpleBlock keyframe flag is clear). Returns (container bytes,
+    per-frame reconstructions) — mp4.encode_mp4_avc1's contract on the
+    Matroska container."""
     from cassandra_spark.operators.h264 import (
         build_avcc,
         encode_idr,
+        encode_p,
         write_pps,
         write_sps,
     )
@@ -410,7 +430,10 @@ def encode_mkv_avc1(
         b"\x15\x49\xa9\x66",
         _elem(b"\x2a\xd7\xb1", _uint_payload(1_000_000)),  # 1 ms ticks
     )
-    avcc = build_avcc(write_sps(width, height), write_pps(qp))
+    avcc = build_avcc(
+        write_sps(width, height, num_ref_frames=0 if gop is None else 1),
+        write_pps(qp),
+    )
     video = _elem(
         b"\xe0",
         _elem(b"\xb0", _uint_payload(width))
@@ -430,17 +453,29 @@ def encode_mkv_avc1(
     blocks = b""
     recons: list[tuple] = []
     for i, (y, cb, cr) in enumerate(frames_yuv):
-        nal_bytes, recon = encode_idr(
-            y, cb, cr, qp=qp, pred_mode=pred_mode, chroma_mode=chroma_mode,
-            frame_num=0, idr_pic_id=i % 2, mb_mode=mb_mode,
-        )
+        is_idr = gop is None or i % gop == 0
+        if is_idr:
+            nal_bytes, recon = encode_idr(
+                y, cb, cr, qp=qp, pred_mode=pred_mode,
+                chroma_mode=chroma_mode, frame_num=0, idr_pic_id=i % 2,
+                mb_mode=mb_mode,
+            )
+        else:
+            nal_bytes, recon = encode_p(
+                y, cb, cr, recons[i - 1], qp=qp, frame_num=i % gop,
+                mv_hint=(mv_hints[i] if mv_hints else (0, 0)),
+                intra_mbs=intra_mbs,
+                intra_mode=("i4" if i % 2 else "i16"),
+                pred_mode=pred_mode, chroma_mode=chroma_mode,
+            )
         recons.append(recon)
         sample = struct.pack(">I", len(nal_bytes)) + nal_bytes
+        flags = b"\x80" if is_idr else b"\x00"  # SimpleBlock keyframe bit
         blocks += _elem(
             b"\x1f\x43\xb6\x75",
             _elem(b"\xe7", _uint_payload(i * frame_ms))
             + _elem(
-                b"\xa3", b"\x81" + struct.pack(">h", 0) + b"\x80" + sample
+                b"\xa3", b"\x81" + struct.pack(">h", 0) + flags + sample
             ),
         )
     segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)

@@ -279,31 +279,7 @@ def decode_mp4_frame(stream: Mp4Stream, idx: int) -> bytes:
     samples stay honestly gated (the per-GOP sampling contract: a frame
     pipeline at 100 TB samples sync pictures and skips inter frames)."""
     if stream.codec == "avc1":
-        if stream.avcc is None:
-            raise ValueError("avc1 track without avcC configuration")
-        if not is_sync_sample(stream, idx):
-            raise NotImplementedError(
-                f"sample {idx} is not a sync (IDR) sample: inter-coded "
-                "pictures are outside the decoded subset — sample the "
-                "IDR pictures of each GOP instead"
-            )
-        from cassandra_spark.operators.h264 import (
-            decode_idr,
-            parse_avcc,
-            split_avcc_sample,
-        )
-
-        sps, pps = parse_avcc(stream.avcc)
-        length_size = (stream.avcc[4] & 3) + 1
-        planes = None
-        for nal_unit in split_avcc_sample(stream.frames[idx], length_size):
-            ntype = nal_unit[0] & 0x1F
-            if ntype in (6, 7, 8, 9):  # SEI / SPS / PPS / AUD: skip
-                continue
-            planes = decode_idr(nal_unit, sps, pps["init_qp"])
-        if planes is None:
-            raise ValueError(f"sample {idx} carries no coded slice")
-        return _yuv420_to_rgb(*planes)
+        return _yuv420_to_rgb(*_decode_avc_sample(stream, idx))
     if stream.codec not in MJPEG_CODECS:
         raise ValueError(
             f"MP4 codec {stream.codec!r} is not locally decodable "
@@ -313,6 +289,45 @@ def decode_mp4_frame(stream: Mp4Stream, idx: int) -> bytes:
 
     w, h, _, rgb = decode_jpeg(stream.frames[idx])
     return rgb
+
+
+def _decode_avc_sample(stream: Mp4Stream, idx: int) -> tuple:
+    """Decode avc1 sample ``idx`` to (y, cb, cr) planes. A non-sync
+    (P) sample decodes by GOP replay (round 13): decode forward from
+    the covering IDR, chaining each picture as the next one's
+    reference — exactly what a conforming player does on a seek. The
+    per-GOP cost is bounded by the writer's GOP length; a 100 TB
+    sampling pipeline still prefers IDR samples (see sample_frames'
+    snap), but arbitrary-frame decode is no longer gated."""
+    if stream.avcc is None:
+        raise ValueError("avc1 track without avcC configuration")
+    from cassandra_spark.operators.h264 import (
+        decode_frame,
+        parse_avcc,
+        split_avcc_sample,
+    )
+
+    sps, pps = parse_avcc(stream.avcc)
+    length_size = (stream.avcc[4] & 3) + 1
+    start = idx
+    while start > 0 and not is_sync_sample(stream, start):
+        start -= 1
+    if not is_sync_sample(stream, start):
+        raise ValueError("no sync sample at or before the requested frame")
+    planes = None
+    for i in range(start, idx + 1):
+        sample_planes = None
+        for nal_unit in split_avcc_sample(stream.frames[i], length_size):
+            ntype = nal_unit[0] & 0x1F
+            if ntype in (6, 7, 8, 9):  # SEI / SPS / PPS / AUD: skip
+                continue
+            sample_planes = decode_frame(
+                nal_unit, sps, pps["init_qp"], ref_planes=planes
+            )
+        if sample_planes is None:
+            raise ValueError(f"sample {i} carries no coded slice")
+        planes = sample_planes
+    return planes
 
 
 def _yuv420_to_rgb(y, cb, cr) -> bytes:
@@ -371,16 +386,24 @@ def encode_mp4_avc1(
     pred_mode: int = 2,
     chroma_mode: int = 0,
     mb_mode: str = "i16",
+    gop: int | None = None,
+    mv_hints: list[tuple] | None = None,
+    intra_mbs=frozenset(),
 ) -> tuple[bytes, list[tuple]]:
     """YCbCr 4:2:0 frames (each a (y, cb, cr) plane triple) → a minimal
-    valid single-track IDR-only avc1 MP4 (avcC extradata, stss marking
-    every sample sync, AVCC 4-byte length-prefixed samples). Returns
-    (container bytes, per-frame reconstructed planes) — the
+    valid single-track avc1 MP4 (avcC extradata, stss marking the sync
+    samples, AVCC 4-byte length-prefixed samples). ``gop=None`` keeps
+    the IDR-only layout; ``gop=N`` (round 13) codes every Nth frame as
+    an IDR and the rest as P pictures referencing the previous frame's
+    reconstruction (``mv_hints``: per-frame quarter-pel motion-search
+    hints; ``intra_mbs``: (mbx, mby) set forced intra inside P frames).
+    Returns (container bytes, per-frame reconstructed planes) — the
     reconstruction is the decoder's contractual output, so the demux →
     decode round trip is asserted byte-exact without external samples."""
     from cassandra_spark.operators.h264 import (
         build_avcc,
         encode_idr,
+        encode_p,
         write_pps,
         write_sps,
     )
@@ -389,19 +412,35 @@ def encode_mp4_avc1(
         raise ValueError("at least one frame required")
     samples: list[bytes] = []
     recons: list[tuple] = []
+    sync_nums: list[int] = []
     for i, (y, cb, cr) in enumerate(frames_yuv):
-        nal_bytes, recon = encode_idr(
-            y, cb, cr, qp=qp, pred_mode=pred_mode, chroma_mode=chroma_mode,
-            frame_num=0, idr_pic_id=i % 2, mb_mode=mb_mode,
-        )
+        is_idr = gop is None or i % gop == 0
+        if is_idr:
+            nal_bytes, recon = encode_idr(
+                y, cb, cr, qp=qp, pred_mode=pred_mode,
+                chroma_mode=chroma_mode, frame_num=0, idr_pic_id=i % 2,
+                mb_mode=mb_mode,
+            )
+            sync_nums.append(i + 1)
+        else:
+            nal_bytes, recon = encode_p(
+                y, cb, cr, recons[i - 1], qp=qp, frame_num=i % gop,
+                mv_hint=(mv_hints[i] if mv_hints else (0, 0)),
+                intra_mbs=intra_mbs,
+                intra_mode=("i4" if i % 2 else "i16"),
+                pred_mode=pred_mode, chroma_mode=chroma_mode,
+            )
         samples.append(struct.pack(">I", len(nal_bytes)) + nal_bytes)
         recons.append(recon)
-    avcc = build_avcc(write_sps(width, height), write_pps(qp))
+    avcc = build_avcc(
+        write_sps(width, height, num_ref_frames=0 if gop is None else 1),
+        write_pps(qp),
+    )
     entry = _video_sample_entry(width, height) + _box(b"avcC", avcc)
     stss = _full(
         b"stss", 0, 0,
-        struct.pack(">I", len(samples))
-        + b"".join(struct.pack(">I", i + 1) for i in range(len(samples))),
+        struct.pack(">I", len(sync_nums))
+        + b"".join(struct.pack(">I", s) for s in sync_nums),
     )
     return (
         _single_track_mp4(width, height, samples, fps, b"avc1", entry, stss),

@@ -190,6 +190,8 @@ def test_i_pcm_macroblock_decodes():
     w.ue(0)
     w.u(0, 4)
     w.ue(0)
+    w.u(0, 1)  # no_output_of_prior_pics_flag (dec_ref_pic_marking)
+    w.u(0, 1)  # long_term_reference_flag
     w.se(0)
     w.ue(1)
     w.ue(25)  # I_PCM
@@ -228,12 +230,13 @@ def test_mp4_avc1_container_roundtrip():
         assert decode_mp4_frame(st, i) == _yuv420_to_rgb(*recons[i])
     sps, pps = parse_avcc(st.avcc)
     assert (sps.width, sps.height) == (32, 32) and pps["init_qp"] == 24
-    # a doctored stss (only sample 1 sync) snaps later samples back and
-    # gates direct decode of the "inter" ones
+    # a doctored stss (only sample 1 sync) still snaps the SAMPLING rule
+    # back to the covering IDR — but since round 13 direct decode of a
+    # non-sync sample succeeds by GOP replay (here the chained "P"
+    # samples are really IDRs, so the replay lands on the same frame)
     st.sync = [1]
     assert snap_to_sync(st, 2) == 0
-    with pytest.raises(NotImplementedError, match="sync"):
-        decode_mp4_frame(st, 2)
+    assert decode_mp4_frame(st, 2) == _yuv420_to_rgb(*recons[2])
 
 
 def test_sample_frames_decodes_avc1_idr(spark):
@@ -285,11 +288,12 @@ def test_mkv_avc1_container_roundtrip():
     for i in range(3):
         assert snap_to_key(st, i) == i
         assert decode_mkv_frame(st, i) == _yuv420_to_rgb(*recons[i])
-    # a doctored keyframe list snaps back and gates direct decode
+    # a doctored keyframe list snaps the sampling rule back — and since
+    # round 13 direct decode replays the GOP instead of raising (the
+    # chained blocks are really IDRs, so the replay lands on the frame)
     st.keyframe = [True, False, False]
     assert snap_to_key(st, 2) == 0
-    with pytest.raises(NotImplementedError, match="keyframe"):
-        decode_mkv_frame(st, 2)
+    assert decode_mkv_frame(st, 2) == _yuv420_to_rgb(*recons[2])
 
 
 def test_sample_frames_decodes_mkv_avc1(spark):

@@ -1,0 +1,336 @@
+"""P-slice (inter) tests for the H.264 codec subset (round 13).
+
+The motion-compensation cross-check is genuinely independent of
+operators/h264.py's implementation: the center half-pel j is computed by
+the OTHER filtering order the spec proves equivalent (horizontal 6-tap
+over vertical intermediates, 8.4.2.2.1's "both orders yield the same
+result"), and the twelve quarter positions come from a 4x-grid adjacency
+table instead of nested conditionals."""
+
+import pytest
+
+from cassandra_spark.operators import h264
+from cassandra_spark.operators.h264 import (
+    BitWriter,
+    Sps,
+    decode_frame,
+    decode_idr,
+    decode_p,
+    encode_idr,
+    encode_p,
+    mc_chroma,
+    mc_luma,
+    nal,
+    parse_sps,
+    write_sps,
+)
+
+
+def _synth(w, h, seed):
+    y = [[(x * 3 + yy * 7 + seed * 11) % 256 for x in range(w)]
+         for yy in range(h)]
+    cb = [[(x * 5 + yy * 2 + seed) % 256 for x in range(w // 2)]
+          for yy in range(h // 2)]
+    cr = [[(x + yy * 9 + seed * 3) % 256 for x in range(w // 2)]
+          for yy in range(h // 2)]
+    return y, cb, cr
+
+
+def _shift_noise(plane, dx, dy, noise=0, step=7):
+    h, w = len(plane), len(plane[0])
+    return [
+        [
+            (
+                plane[min(h - 1, max(0, yy - dy))][min(w - 1, max(0, x - dx))]
+                + (noise if (x + yy) % step == 0 else 0)
+            ) % 256
+            for x in range(w)
+        ]
+        for yy in range(h)
+    ]
+
+
+def test_cbp_inter_table_structure():
+    """Table 9-4 inter column: a permutation of 0..47 whose most
+    probable code (codeNum 0) is the empty cbp and whose next ranks are
+    the single-quadrant / chroma-DC patterns."""
+    assert sorted(h264.CBP_INTER_ME) == list(range(48))
+    assert h264.CBP_INTER_ME[0] == 0
+    assert h264.CBP_INTER_ME[1] == 16          # chroma DC only
+    assert set(h264.CBP_INTER_ME[2:6]) == {1, 2, 4, 8}  # one luma quad
+    assert all(
+        h264.CBP_INTER_INV[v] == i for i, v in enumerate(h264.CBP_INTER_ME)
+    )
+
+
+def _clip255(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _independent_mc_luma(ref, px, py, mvx, mvy, bw, bh):
+    h, w = len(ref), len(ref[0])
+
+    def P(x, y):
+        return ref[0 if y < 0 else h - 1 if y >= h else y][
+            0 if x < 0 else w - 1 if x >= w else x
+        ]
+
+    def V1(x, y):  # vertical 6-tap intermediate
+        return (P(x, y - 2) - 5 * P(x, y - 1) + 20 * P(x, y)
+                + 20 * P(x, y + 1) - 5 * P(x, y + 2) + P(x, y + 3))
+
+    def H1(x, y):  # horizontal 6-tap intermediate
+        return (P(x - 2, y) - 5 * P(x - 1, y) + 20 * P(x, y)
+                + 20 * P(x + 1, y) - 5 * P(x + 2, y) + P(x + 3, y))
+
+    def val4x(qx, qy):
+        """Sample at EVEN 4x-grid coordinates (int or half positions)."""
+        x, y, fx, fy = qx >> 2, qy >> 2, qx & 3, qy & 3
+        if fx == 0 and fy == 0:
+            return P(x, y)
+        if fx == 2 and fy == 0:
+            return _clip255((H1(x, y) + 16) >> 5)
+        if fx == 0 and fy == 2:
+            return _clip255((V1(x, y) + 16) >> 5)
+        # j by the OTHER order: horizontal 6-tap over verticals
+        j1 = (V1(x - 2, y) - 5 * V1(x - 1, y) + 20 * V1(x, y)
+              + 20 * V1(x + 1, y) - 5 * V1(x + 2, y) + V1(x + 3, y))
+        return _clip255((j1 + 512) >> 10)
+
+    # quarter positions -> the two even-grid points they average
+    # (Table 8-12 restated as 4x-grid adjacency; e/g/p/r are diagonal)
+    adj = {
+        (1, 0): ((0, 0), (2, 0)), (3, 0): ((2, 0), (4, 0)),
+        (0, 1): ((0, 0), (0, 2)), (0, 3): ((0, 2), (0, 4)),
+        (2, 1): ((2, 0), (2, 2)), (2, 3): ((2, 2), (2, 4)),
+        (1, 2): ((0, 2), (2, 2)), (3, 2): ((2, 2), (4, 2)),
+        (1, 1): ((2, 0), (0, 2)), (3, 1): ((2, 0), (4, 2)),
+        (1, 3): ((0, 2), (2, 4)), (3, 3): ((4, 2), (2, 4)),
+    }
+    out = []
+    for i in range(bh):
+        row = []
+        for j in range(bw):
+            qx = 4 * (px + j) + mvx
+            qy = 4 * (py + i) + mvy
+            fx, fy = qx & 3, qy & 3
+            bx, by = qx - fx, qy - fy
+            if fx % 2 == 0 and fy % 2 == 0:  # integer or half position
+                row.append(val4x(qx, qy))
+            else:
+                (d1, e1), (d2, e2) = adj[(fx, fy)]
+                row.append(
+                    (val4x(bx + d1, by + e1) + val4x(bx + d2, by + e2) + 1)
+                    >> 1
+                )
+        out.append(row)
+    return out
+
+
+def test_mc_luma_all_16_fractional_classes_vs_independent():
+    ref = [[(x * 13 + y * 31 + (x * y) % 17) % 256 for x in range(24)]
+           for y in range(24)]
+    for mvx in range(-5, 7):
+        for mvy in range(-6, 6):
+            got = mc_luma(ref, 4, 4, mvx, mvy, 8, 8)
+            want = _independent_mc_luma(ref, 4, 4, mvx, mvy, 8, 8)
+            assert got == want, (mvx, mvy)
+
+
+def test_mc_luma_integer_shift_and_edge_extension():
+    ref = [[(x + 10 * y) % 256 for x in range(20)] for y in range(20)]
+    # pure integer motion is a plain (clipped) shift
+    got = mc_luma(ref, 8, 8, -8, 12, 4, 4)
+    assert got == [[ref[11 + i][6 + j] for j in range(4)] for i in range(4)]
+    # off-frame reads clamp to the border sample
+    got = mc_luma(ref, 0, 0, -400, -400, 2, 2)
+    assert got == [[ref[0][0]] * 2, [ref[0][0]] * 2]
+
+
+def test_mc_chroma_bilinear_weights():
+    plane = [[(x * 7 + y * 3) % 256 for x in range(12)] for y in range(12)]
+    # integer (multiple of 8) vector: plain shift
+    assert mc_chroma(plane, 2, 2, 16, -8, 2, 2) == [
+        [plane[1][4], plane[1][5]], [plane[2][4], plane[2][5]],
+    ]
+    # hand-checked eighth-pel weights at (3, 5)
+    fx, fy = 3, 5
+    a, b = plane[2][2], plane[2][3]
+    c, d = plane[3][2], plane[3][3]
+    want = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+    assert mc_chroma(plane, 2, 2, 3, 5, 1, 1) == [[want]]
+
+
+def test_mv_prediction_rules():
+    st = h264._FrameState(64, 48)  # 4 x 3 MBs
+    # row 0, A available only -> mvp = mvA
+    st.mb_mv[0][0] = (8, -4)
+    assert h264._mv_pred_16x16(st, 1, 0) == (8, -4)
+    # interior: single refIdx-0 match wins outright (A inter, B/C intra)
+    st.mb_mv[0] = [None, None, None, None]
+    st.mb_mv[1][0] = (12, 6)
+    assert h264._mv_pred_16x16(st, 1, 1) == (12, 6)
+    # interior: three inter neighbors -> componentwise median
+    st.mb_mv[0] = [(0, 0), (2, 10), (40, -2), None]
+    st.mb_mv[1][0] = (12, 6)
+    assert h264._mv_pred_16x16(st, 1, 1) == (12, 6)  # med(12,2,40), med(6,10,-2)
+    # C unavailable at the right edge -> D substitution
+    st.mb_mv[0] = [(1, 1), (2, 2), (3, 3), (4, 4)]
+    st.mb_mv[1] = [(5, 5), (6, 6), (7, 7), None]
+    assert h264._mv_pred_16x16(st, 3, 1) == (4, 4)  # med(7,4,3) / same
+    # skip: zero when an edge neighbor is missing
+    assert h264._mv_pred_skip(st, 0, 1) == (0, 0)
+    assert h264._mv_pred_skip(st, 2, 0) == (0, 0)
+    # skip: zero when A or B is a zero-motion inter MB
+    st.mb_mv[1][1] = (0, 0)
+    assert h264._mv_pred_skip(st, 2, 1) == (0, 0)
+    # skip: otherwise the 16x16 prediction (intra neighbor ≠ zero-mv)
+    st.mb_mv[1][1] = (9, 9)
+    st.mb_mv[0][2] = None
+    got = h264._mv_pred_skip(st, 2, 1)
+    assert got == h264._mv_pred_16x16(st, 2, 1) != (0, 0)
+
+
+def test_p_roundtrip_every_fractional_hint_class():
+    """encode_p/decode_p agree byte-exact across qp and all four
+    quarter-pel phase classes on each axis."""
+    sps = parse_sps(write_sps(32, 32, num_ref_frames=1))
+    y0, cb0, cr0 = _synth(32, 32, 5)
+    _, ref = encode_idr(y0, cb0, cr0, qp=20)
+    for qp in (14, 26, 34):
+        for hint in ((0, 0), (5, 2), (2, 7), (3, 3), (-6, 1), (4, -9)):
+            y1 = _shift_noise(ref[0], 1, 1, noise=9, step=5)
+            cb1 = _shift_noise(ref[1], 1, 0)
+            cr1 = _shift_noise(ref[2], 0, 1)
+            nal_b, recon = encode_p(
+                y1, cb1, cr1, ref, qp=qp, frame_num=1, mv_hint=hint
+            )
+            assert decode_p(nal_b, sps, qp, ref) == recon, (qp, hint)
+
+
+def test_p_skip_runs_including_trailing():
+    """A static frame codes as one all-skip run (4-byte slice) and
+    reconstructs identical to the reference; a frame whose LAST MBs are
+    static exercises the trailing mb_skip_run."""
+    sps = parse_sps(write_sps(48, 32, num_ref_frames=1))
+    y0, cb0, cr0 = _synth(48, 32, 2)
+    _, ref = encode_idr(y0, cb0, cr0, qp=22)
+    nal_b, recon = encode_p(ref[0], ref[1], ref[2], ref, qp=22)
+    assert len(nal_b) <= 6
+    assert decode_p(nal_b, sps, 22, ref) == recon == ref
+    # change only the top-left MB: the trailing 5 MBs are a run
+    y1 = [row[:] for row in ref[0]]
+    for i in range(16):
+        for j in range(16):
+            y1[i][j] = (y1[i][j] + 40) % 256
+    nal_b, recon = encode_p(y1, ref[1], ref[2], ref, qp=22)
+    got = decode_p(nal_b, sps, 22, ref)
+    assert got == recon
+    assert got[0] != ref[0] and [r[16:] for r in got[0]] == [
+        r[16:] for r in ref[0]
+    ]
+
+
+def test_p_intra_macroblocks_both_modes():
+    sps = parse_sps(write_sps(32, 32, num_ref_frames=1))
+    y0, cb0, cr0 = _synth(32, 32, 7)
+    _, ref = encode_idr(y0, cb0, cr0, qp=24)
+    y1 = _shift_noise(ref[0], 2, 0, noise=11, step=3)
+    for mode in ("i16", "i4"):
+        nal_b, recon = encode_p(
+            y1, ref[1], ref[2], ref, qp=24, mv_hint=(8, 0),
+            intra_mbs={(0, 0), (1, 1)}, intra_mode=mode,
+        )
+        assert decode_p(nal_b, sps, 24, ref) == recon, mode
+
+
+def test_p_gates():
+    sps = parse_sps(write_sps(16, 16, num_ref_frames=1))
+    y, cb, cr = _synth(16, 16, 1)
+    idr_nal, ref = encode_idr(y, cb, cr, qp=26)
+    # decode_frame dispatch: P NAL without a reference is an error
+    p_nal, _ = encode_p(y, cb, cr, ref, qp=26)
+    with pytest.raises(ValueError, match="previous decoded picture"):
+        decode_frame(p_nal, sps, 26)
+    # an IDR NAL handed to decode_p is gated
+    with pytest.raises(NotImplementedError, match="non-IDR"):
+        decode_p(idr_nal, sps, 26, ref)
+    # partitioned P mb_types are gated: hand-build a slice whose first
+    # coded MB claims P_8x8 (mb_type 3)
+    w = BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(5)        # slice_type P
+    w.ue(0)        # pps
+    w.u(1, 4)      # frame_num
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)        # deblocking off
+    w.ue(0)        # mb_skip_run
+    w.ue(3)        # mb_type P_8x8
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="partitions"):
+        decode_p(nal(1, w.tobytes(), ref_idc=2), sps, 26, ref)
+    # a skip run past the slice end is corrupt, not gated
+    w = BitWriter()
+    w.ue(0)
+    w.ue(5)
+    w.ue(0)
+    w.u(1, 4)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    w.ue(9)        # 9 skips in a 1-MB picture
+    w.rbsp_trailing()
+    with pytest.raises(ValueError, match="skip_run"):
+        decode_p(nal(1, w.tobytes(), ref_idc=2), sps, 26, ref)
+
+
+def test_gop_containers_roundtrip_and_sync_layout():
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1,
+    )
+    from cassandra_spark.operators.mp4 import (
+        _yuv420_to_rgb,
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_avc1,
+        is_sync_sample,
+    )
+
+    base = _synth(32, 32, 4)
+    frames = [base]
+    for k in range(1, 6):
+        frames.append((
+            _shift_noise(frames[-1][0], 1, 1, noise=6, step=4),
+            _shift_noise(frames[-1][1], 1, 0),
+            _shift_noise(frames[-1][2], 0, 1),
+        ))
+    hints = [(0, 0)] + [(5, 4)] * 5
+    payload, recons = encode_mp4_avc1(
+        32, 32, frames, fps=4, qp=21, gop=3, mv_hints=hints,
+        intra_mbs={(1, 0)},
+    )
+    st = demux_mp4(payload)
+    assert [i for i in range(6) if is_sync_sample(st, i)] == [0, 3]
+    for i in range(6):
+        assert decode_mp4_frame(st, i) == _yuv420_to_rgb(*recons[i]), i
+
+    payload, recons = encode_mkv_avc1(
+        32, 32, frames, fps=4, qp=21, gop=2, mv_hints=hints,
+    )
+    st = demux_mkv(payload)
+    assert list(map(bool, st.keyframe)) == [True, False] * 3
+    for i in range(6):
+        assert decode_mkv_frame(st, i) == _yuv420_to_rgb(*recons[i]), i
+
+
+def test_sps_num_ref_frames_roundtrip():
+    sps = parse_sps(write_sps(32, 16, num_ref_frames=1))
+    assert (sps.width, sps.height) == (32, 16)
