@@ -2085,6 +2085,24 @@ def _sad16(src_y, pred_y, x0: int, y0: int) -> int:
     )
 
 
+def _subsad16(src_y, ref_y, x0: int, y0: int, mv: tuple[int, int]) -> int:
+    """Cheap 2:1-subsampled SAD for encoder-side candidate ranking and
+    the skip precheck — INTEGER-pel only (fractional candidates rank by
+    the full interpolated SAD). Encoder-internal; never affects
+    conformance, only which MVs get the expensive evaluation."""
+    h, w = len(ref_y), len(ref_y[0])
+    dx, dy = mv[0] >> 2, mv[1] >> 2
+    s = 0
+    for i in range(0, 16, 2):
+        sy = y0 + i
+        ry = min(h - 1, max(0, sy + dy))
+        srow, rrow = src_y[sy], ref_y[ry]
+        for j in range(0, 16, 2):
+            sx = x0 + j
+            s += abs(srow[sx] - rrow[min(w - 1, max(0, sx + dx))])
+    return s
+
+
 def encode_p(
     y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
     ref_planes: tuple, qp: int = 26, frame_num: int = 1,
@@ -2121,20 +2139,28 @@ def encode_p(
     skip_run = 0
     for mby in range(height // 16):
         for mbx in range(width // 16):
+            levels = None
             if (mbx, mby) not in intra_mbs:
-                # skip test first: residual at the skip vector
+                # skip test first: residual at the skip vector. The
+                # full quantization is only worth running when the
+                # subsampled SAD says the MB is near-static (a missed
+                # skip only costs compression, never conformance).
                 mv_skip = _mv_pred_skip(st, mbx, mby)
-                pred_y, preds_c, levels, ch_data, cbp_c = (
-                    _quantize_inter_mb(
-                        st, y, cb, cr, ref_planes, mbx, mby, qp, mv_skip
+                if _subsad16(
+                    y, ref_planes[0], mbx * 16, mby * 16, mv_skip
+                ) <= 4 * (qp + 4):
+                    pred_y, preds_c, levels, ch_data, cbp_c = (
+                        _quantize_inter_mb(
+                            st, y, cb, cr, ref_planes, mbx, mby, qp,
+                            mv_skip,
+                        )
                     )
-                )
-                if cbp_c == 0 and not any(
-                    any(any(row) for row in lv) for lv in levels
-                ):
-                    skip_run += 1
-                    _apply_skip(st, ref_planes, mbx, mby)
-                    continue
+                    if cbp_c == 0 and not any(
+                        any(any(row) for row in lv) for lv in levels
+                    ):
+                        skip_run += 1
+                        _apply_skip(st, ref_planes, mbx, mby)
+                        continue
             w.ue(skip_run)
             skip_run = 0
             if (mbx, mby) in intra_mbs:
@@ -2150,20 +2176,31 @@ def encode_p(
                         chroma_mode, mb_type_offset=5,
                     )
                 continue
-            # motion search over the candidate set
+            # motion search: rank the candidate set by the cheap
+            # subsampled integer SAD, then fully interpolate only the
+            # two best (the interpolated SAD decides between them) —
+            # encoder effort only, conformance is untouched
             mvp = _mv_pred_16x16(st, mbx, mby)
             cands = [mvp, (0, 0), mv_hint]
             for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
                 cands.append((mv_hint[0] + dx, mv_hint[1] + dy))
+            ranked = sorted(
+                dict.fromkeys(cands),
+                key=lambda c: _subsad16(
+                    y, ref_planes[0], mbx * 16, mby * 16, c
+                ),
+            )
             best_mv, best_sad = None, None
-            for cand in dict.fromkeys(cands):
+            for cand in ranked[:2]:
                 p = mc_luma(
                     ref_planes[0], mbx * 16, mby * 16, cand[0], cand[1]
                 )
                 sad = _sad16(y, p, mbx * 16, mby * 16)
                 if best_sad is None or sad < best_sad:
                     best_mv, best_sad = cand, sad
-            if best_mv != mv_skip:
+                if sad == 0:
+                    break
+            if levels is None or best_mv != mv_skip:
                 pred_y, preds_c, levels, ch_data, cbp_c = (
                     _quantize_inter_mb(
                         st, y, cb, cr, ref_planes, mbx, mby, qp, best_mv
