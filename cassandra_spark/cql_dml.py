@@ -551,6 +551,17 @@ class TableSchema:
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
     clustering_desc: tuple[str, ...] = ()
+    # Dropped-column registry (`[C* schema/DroppedColumn +
+    # db/rows/Row::filter — CASSANDRA-3919 lineage, unverified]`,
+    # mirrored as system_schema.dropped_columns): col ->
+    # [drop_writetime_us, type, was_static]. The reference keeps the
+    # drop timestamp so a RE-ADDED name never resurrects pre-drop
+    # cells: any cell with writetime <= drop time is invisible forever,
+    # while a cell written BEFORE the drop with a FUTURE timestamp
+    # survives it. This engine realizes the same visible behavior at
+    # the write/drop choke points (drop purges only wt <= drop time;
+    # _emit discards born-shadowed cells), so the read path stays free.
+    dropped: dict[str, list] = field(default_factory=dict)
     # COMPOSITE partition key `PRIMARY KEY ((a, b), ...)`: the full
     # ordered component list (`[C* db/marshal/CompositeType, unverified]`).
     # None/() normalizes to the single ``partition_key`` column. The
@@ -1616,6 +1627,16 @@ class CqlTable:
         self, pk, ck, col, val, kind, ts, ttl,
         elem=None, lo=None, hi=None, lo_incl=None, hi_incl=None,
     ) -> None:
+        if col is not None:
+            d = self.schema.dropped.get(col)
+            if d is not None and ts <= d[0]:
+                # born-shadowed: a cell of a re-added column whose
+                # timestamp does not exceed the drop time is invisible
+                # forever in the reference (read-time filter against
+                # the DroppedColumn record); discarding it at the write
+                # choke point is the same visible behavior with a free
+                # read path
+                return
         self._seq += 1
         self._max_wt = ts if self._max_wt is None else max(self._max_wt, ts)
         if ttl is None and kind in (CELL, MARKER):
@@ -3815,18 +3836,30 @@ class CqlTable:
         self._blooms.clear()
         self._max_wt = None
 
-    def drop_column_cells(self, col: str) -> None:
+    def drop_column_cells(self, col: str, horizon_us: int | None = None) -> None:
         """ALTER TABLE DROP support: discard the column's cells from the
         in-memory log and rewrite any flushed segments without them (DDL
-        is rare; a driver-side segment rewrite is the honest cost)."""
+        is rare; a driver-side segment rewrite is the honest cost).
+        ``horizon_us`` keeps cells with writetime GREATER than it — the
+        reference's dropped-column rule, under which a cell written with
+        a FUTURE timestamp survives the drop and reappears when the
+        column is re-added (None purges everything, the pre-registry
+        behavior)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        self._log[:] = [r for r in self._log if r[2] != col]
+        self._log[:] = [
+            r for r in self._log
+            if r[2] != col or (horizon_us is not None and r[6] > horizon_us)
+        ]
         for path in self._segments:
             tbl = pq.read_table(path)
             mask = pc.not_equal(tbl.column("col"), col)
             mask = pc.fill_null(mask, True)  # NULL col (tombstones) kept
+            if horizon_us is not None:
+                mask = pc.or_(
+                    mask, pc.greater(tbl.column("writetime"), horizon_us)
+                )
             pq.write_table(tbl.filter(mask), path)
 
     # --- snapshot reconciliation -----------------------------------------
@@ -4077,7 +4110,13 @@ class CqlTable:
                 F.max(F.when(F.col("col") == c, F.col("writetime")))
                 .alias(f"__maxwritetime_{c}")
             )
-        wide = live.groupBy("pk", "ck").agg(*aggs)
+        # a table can legally end up with ZERO aggregated columns (every
+        # column in the primary key, or ALTER ... DROP removed the last
+        # regular one — surfaced by the round-13 dropped-column work):
+        # groupBy().agg() needs at least one expression
+        wide = live.groupBy("pk", "ck").agg(
+            *(aggs or [F.count(F.lit(1)).alias("__row_marker")])
+        )
 
         # typed like _empty(): a bigint partition key reads back as bigint,
         # not the memtable's raw key string (composite keys split back
@@ -4203,7 +4242,13 @@ class CqlTable:
             ).alias(c)
             for c in s.regular
         ]
-        wide = live.groupBy("pk", "ck").agg(*aggs)
+        # a table can legally end up with ZERO aggregated columns (every
+        # column in the primary key, or ALTER ... DROP removed the last
+        # regular one — surfaced by the round-13 dropped-column work):
+        # groupBy().agg() needs at least one expression
+        wide = live.groupBy("pk", "ck").agg(
+            *(aggs or [F.count(F.lit(1)).alias("__row_marker")])
+        )
         ck_arr = F.split("ck", SEP)
         return wide.select(
             *self._pk_out_cols(),

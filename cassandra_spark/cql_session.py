@@ -477,6 +477,7 @@ _ALTER_RE = re.compile(
     r"|ALTER\s+(?P<maskcol>\w+)\s+MASKED\s+WITH\s+(?:FUNCTION\s+)?"
     r"(?P<maskfn>\w+)\s*\((?P<maskargs>[^)]*)\)"
     r"|DROP\s+(?P<dropcol>\w+)"
+    r"(?:\s+USING\s+TIMESTAMP\s+(?P<dropts>-?\d+))?"
     r"|RENAME\s+(?P<renfrom>\w+)\s+TO\s+(?P<rento>\w+)"
     r"|WITH\s+(?P<withopts>.+?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -2013,6 +2014,25 @@ class CqlSession:
             if col in s.regular or col in s.static or col in s.key_cols:
                 raise CQLError(f"column {col!r} already exists")
             mapped = _map_type(m.group("addtype"), self.types)
+            prior = s.dropped.get(col)
+            if prior is not None:
+                # re-adding a previously dropped name (`[C*
+                # cql3/statements/AlterTableStatement re-add validation,
+                # unverified]`): the type must match the dropped type
+                # and the kind (STATIC vs regular) may not flip —
+                # stored pre-drop cells were serialized under them
+                if mapped != prior[1]:
+                    raise CQLError(
+                        f"cannot re-add previously dropped column "
+                        f"{col!r} of type {m.group('addtype').strip()}, "
+                        f"incompatible with previous type {prior[1]}"
+                    )
+                if bool(m.group("static")) != bool(prior[2]):
+                    raise CQLError(
+                        f"cannot re-add previously dropped column "
+                        f"{col!r} of a different kind (was "
+                        f"{'STATIC' if prior[2] else 'regular'})"
+                    )
             if is_coll_type(mapped):
                 _validate_nested_frozen(m.group("addtype"), col, self.types)
                 p = parse_coll_type(mapped)
@@ -2033,13 +2053,25 @@ class CqlSession:
         col = m.group("dropcol").lower()
         if col in s.key_cols:
             raise CQLError(f"cannot drop primary key column {col!r}")
+        was_static = col in s.static
         if col in s.regular:
-            del s.regular[col]
+            typ = s.regular.pop(col)
         elif col in s.static:
-            del s.static[col]
+            typ = s.static.pop(col)
         else:
             raise CQLError(f"unknown column {col!r} in {s.name!r}")
-        table.drop_column_cells(col)
+        # the drop time (`ALTER ... DROP col USING TIMESTAMP t`,
+        # CASSANDRA-7784; default = the table's statement clock, so
+        # pinned-timestamp workloads pass their own wall-µs): cells at
+        # or below it are purged, FUTURE-stamped cells survive to
+        # reappear on re-add, and the registry shadows late re-writes
+        drop_ts = (
+            int(m.group("dropts"))
+            if m.group("dropts")
+            else max(table._clock, s.dropped.get(col, [0])[0])
+        )
+        s.dropped[col] = [drop_ts, typ, was_static]
+        table.drop_column_cells(col, horizon_us=drop_ts)
         self.indexes.get(key, set()).discard(col)
         self.key_indexes.get(key, set()).discard(col)
         self.sai_indexes.get(key, set()).discard(col)
@@ -3663,6 +3695,7 @@ class CqlSession:
                     "cdc": s.cdc,
                     "gc_grace_seconds": s.gc_grace_seconds,
                     "comment": s.comment,
+                    "dropped": s.dropped,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3811,6 +3844,10 @@ class CqlSession:
                     cdc=sch.get("cdc", False),
                     gc_grace_seconds=sch.get("gc_grace_seconds", 864_000),
                     comment=sch.get("comment", ""),
+                    dropped={
+                        k: list(v)
+                        for k, v in sch.get("dropped", {}).items()
+                    },
                 ),
                 keyspace=target_ks,
             )
@@ -4373,6 +4410,28 @@ class CqlSession:
                 TableMeta(
                     "system_schema.triggers", ("keyspace_name",),
                     ("table_name", "trigger_name"),
+                ),
+            ),
+            # `[C* schema/SchemaKeyspace DROPPED_COLUMNS, unverified]`:
+            # one row per dropped column, carrying the drop time the
+            # re-add shadow rule binds against (µs of the table's
+            # statement clock, or the ALTER's USING TIMESTAMP)
+            "system_schema.dropped_columns": (
+                spark.createDataFrame(
+                    [
+                        (self._key_ks(tbl), self._key_bare(tbl), col,
+                         int(rec[0]), rec[1],
+                         "static" if rec[2] else "regular")
+                        for tbl, t in sorted(self.tables.items())
+                        for col, rec in sorted(t.schema.dropped.items())
+                    ],
+                    "keyspace_name string, table_name string, "
+                    "column_name string, dropped_time_us long, "
+                    "type string, kind string",
+                ),
+                TableMeta(
+                    "system_schema.dropped_columns", ("keyspace_name",),
+                    ("table_name", "column_name"),
                 ),
             ),
             "system.local": (local, TableMeta("system.local", ("key",))),

@@ -2646,3 +2646,67 @@ def cql52_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 101000.0"
     )
     return clustering_leg.unionAll(sai_leg)
+
+
+@query(
+    "cql53_dropped_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS INTEGER), 'x'),
+      (CAST(2 AS BIGINT), 88, 'y'),
+      (CAST(3 AS BIGINT), 30, 'z')
+    ) AS t(id, a, b)
+    """,
+)
+def cql53_dropped_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-column timestamps end-to-end (`[C* schema/DroppedColumn —
+    CASSANDRA-3919 lineage; ALTER ... DROP ... USING TIMESTAMP —
+    CASSANDRA-7784, unverified]`, round 13): DROP records the drop time
+    in the schema registry (mirrored as system_schema.dropped_columns)
+    and purges only cells at or below it, so a cell written BEFORE the
+    drop with a FUTURE timestamp survives and reappears when the name is
+    re-added — while a LATE write carrying a pre-drop timestamp stays
+    invisible forever and writetime() of the shadowed cell is NULL. A
+    re-add must keep the dropped type and kind (both rejections asserted
+    in-body). The literal oracle pins the visible end state: id 1's
+    pre-drop cell gone, id 2's fresh post-re-add write visible, id 3's
+    future-stamped cell resurrected."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE dcx (id bigint PRIMARY KEY, a int, b text)"
+    )
+    sess.execute("INSERT INTO dcx (id, a, b) VALUES (1, 10, 'x')")
+    sess.execute("INSERT INTO dcx (id, a, b) VALUES (2, 20, 'y')")
+    sess.execute(
+        "INSERT INTO dcx (id, a, b) VALUES (3, 30, 'z') "
+        "USING TIMESTAMP 999999"
+    )
+    sess.execute("ALTER TABLE dcx DROP a")
+    try:
+        sess.execute("ALTER TABLE dcx ADD a text")
+        raise AssertionError("type flip on re-add must be rejected")
+    except CQLError as exc:
+        assert "incompatible with previous type" in str(exc), exc
+    try:
+        sess.execute("ALTER TABLE dcx ADD a int STATIC")
+        raise AssertionError("kind flip on re-add must be rejected")
+    except CQLError as exc:
+        assert "different kind" in str(exc), exc
+    sess.execute("ALTER TABLE dcx ADD a int")
+    # late write with a pre-drop timestamp: applied, but born-shadowed
+    sess.execute(
+        "INSERT INTO dcx (id, a) VALUES (1, 77) USING TIMESTAMP 1"
+    )
+    sess.execute("INSERT INTO dcx (id, a) VALUES (2, 88)")
+    vt = sess.execute(
+        "SELECT table_name, column_name, type, kind "
+        "FROM system_schema.dropped_columns"
+    ).collect()
+    assert [(r.table_name, r.column_name, r.type, r.kind) for r in vt] == [
+        ("dcx", "a", "int", "regular")
+    ], vt
+    wt = sess.execute(
+        "SELECT writetime(a) AS wt FROM dcx WHERE id = 1"
+    ).collect()
+    assert [r.wt for r in wt] == [None], wt
+    return sess.execute("SELECT id, a, b FROM dcx")
