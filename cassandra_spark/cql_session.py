@@ -503,6 +503,10 @@ _DROP_ROLE_RE = re.compile(
     r"^\s*DROP\s+ROLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_ROLE_RE = re.compile(
+    r"^\s*ALTER\s+ROLE\s+(?P<name>\w+)\s+WITH\s+(?P<opts>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _PERMS = (
     "ALL", "SELECT", "MODIFY", "CREATE", "ALTER", "DROP",
     "AUTHORIZE", "DESCRIBE", "EXECUTE", "UNMASK",
@@ -1070,6 +1074,9 @@ class CqlSession:
         # reference's internal form: data, data/session, data/session/<t>
         self.role_perms: dict[str, set[tuple[str, str]]] = {}
         self.current_role: str = "cassandra"
+        # the DC this session's "connection" lands in — the network
+        # authorizer's enforcement point (ring.TOPOLOGY's first DC)
+        self.local_dc: str = "dc1"
         # materialized views (`[C* db/view/View, cql3/statements/
         # CreateViewStatement, unverified]`): qualified "ks.view" ->
         # (base registry key, view partition key, clustering tuple,
@@ -2470,16 +2477,86 @@ class CqlSession:
 
     # --- auth ---------------------------------------------------------------
 
-    def login(self, role: str) -> None:
+    def _parse_role_opts(self, text: str | None, opts: dict) -> None:
+        """Shared CREATE/ALTER ROLE option parser: LOGIN / SUPERUSER /
+        PASSWORD (accepted, unmodeled) and the 4.0 network authorizer's
+        `ACCESS TO DATACENTERS {'dc1', ...}` / `ACCESS TO ALL
+        DATACENTERS` (`[C* auth/CassandraNetworkAuthorizer —
+        CASSANDRA-13985, unverified]`). Mutates ``opts`` in place (ALTER
+        merges into the existing role)."""
+        for part in re.split(
+            r"\s+AND\s+", text or "", flags=re.IGNORECASE
+        ):
+            om = re.match(
+                r"\s*(LOGIN|SUPERUSER)\s*=\s*(true|false)\s*$",
+                part, re.IGNORECASE,
+            )
+            dm = re.match(
+                r"\s*ACCESS\s+TO\s+(?:(?P<all>ALL\s+DATACENTERS)"
+                r"|DATACENTERS\s*\{(?P<dcs>[^}]*)\})\s*$",
+                part, re.IGNORECASE,
+            )
+            if om:
+                key = (
+                    "can_login"
+                    if om.group(1).upper() == "LOGIN"
+                    else "is_superuser"
+                )
+                opts[key] = om.group(2).lower() == "true"
+            elif dm:
+                if dm.group("all"):
+                    opts.pop("datacenters", None)
+                else:
+                    dcs = sorted(
+                        t.strip().strip("'\"").lower()
+                        for t in dm.group("dcs").split(",")
+                        if t.strip()
+                    )
+                    if not dcs:
+                        raise CQLError(
+                            "ACCESS TO DATACENTERS requires at least one "
+                            "datacenter (use ACCESS TO ALL DATACENTERS)"
+                        )
+                    from cassandra_spark.operators.ring import TOPOLOGY
+
+                    known = {dc for dc, _ in TOPOLOGY.values()}
+                    bad = [d for d in dcs if d not in known]
+                    if bad:
+                        raise CQLError(
+                            f"unknown datacenter(s) {bad} (cluster has "
+                            f"{sorted(known)})"
+                        )
+                    opts["datacenters"] = dcs
+            elif part and not re.match(
+                r"\s*PASSWORD\s*=", part, re.IGNORECASE
+            ):
+                raise CQLError(f"unsupported role option: {part!r}")
+
+    def login(self, role: str, datacenter: str | None = None) -> None:
         """Switch the session's active role (the driver's auth handshake
         reduced to its authorization effect). LOGIN=false roles are
-        rejected, as the reference's role manager does."""
+        rejected, as the reference's role manager does; a role whose
+        network permissions exclude the connecting datacenter
+        (``datacenter``, default = this session's local DC) is rejected
+        by the network authorizer the way a restricted connection is —
+        superusers hold implicit ALL-datacenter access."""
         r = role.lower()
+        dc = (datacenter or self.local_dc).lower()
         try:
             if r not in self.roles:
                 raise CQLError(f"unknown role {role!r}")
             if not self.roles[r]["can_login"]:
                 raise CQLError(f"role {role!r} is not permitted to log in")
+            dcs = self.roles[r].get("datacenters")
+            if (
+                dcs is not None
+                and not self.roles[r]["is_superuser"]
+                and dc not in dcs
+            ):
+                raise CQLError(
+                    f"role {role!r} has no access to datacenter {dc!r} "
+                    f"(granted: {dcs})"
+                )
         except CQLError as exc:
             self._audit_append(
                 "AUTH", "LOGIN_ERROR", None, None, f"login {role}", str(exc)
@@ -2603,25 +2680,19 @@ class CqlSession:
                     return None
                 raise CQLError(f"role {name!r} already exists")
             opts = {"can_login": False, "is_superuser": False}
-            for part in re.split(
-                r"\s+AND\s+", cm.group("opts") or "", flags=re.IGNORECASE
-            ):
-                om = re.match(
-                    r"\s*(LOGIN|SUPERUSER)\s*=\s*(true|false)\s*$",
-                    part, re.IGNORECASE,
-                )
-                if om:
-                    key = (
-                        "can_login"
-                        if om.group(1).upper() == "LOGIN"
-                        else "is_superuser"
-                    )
-                    opts[key] = om.group(2).lower() == "true"
-                elif part and not re.match(
-                    r"\s*PASSWORD\s*=", part, re.IGNORECASE
-                ):
-                    raise CQLError(f"unsupported role option: {part!r}")
+            self._parse_role_opts(cm.group("opts"), opts)
             self.roles[name] = opts
+            return None
+        am = _ALTER_ROLE_RE.match(stmt)
+        if am:
+            # the reference lets a role ALTER itself (password) but any
+            # other target needs ALTER on roles — this engine's option
+            # set is authorization-bearing, so gate uniformly
+            self._check_perm("ALTER")
+            name = am.group("name").lower()
+            if name not in self.roles:
+                raise CQLError(f"unknown role {name!r}")
+            self._parse_role_opts(am.group("opts"), self.roles[name])
             return None
         dm = _DROP_ROLE_RE.match(stmt)
         if dm:
@@ -3297,6 +3368,8 @@ class CqlSession:
                 }
             return None
         if head.startswith("ALTER"):
+            if re.match(r"\s*ALTER\s+ROLE\b", stmt, re.IGNORECASE):
+                return self._auth_stmt(stmt)
             am = _ALTER_RE.match(stmt)
             if not am:
                 raise CQLError(f"unsupported ALTER TABLE: {stmt!r}")
@@ -4577,6 +4650,20 @@ class CqlSession:
                     "role string, member string",
                 ),
                 TableMeta("system_auth.role_members", ("role",), ("member",)),
+            ),
+            # `[C* auth/AuthKeyspace NETWORK_PERMISSIONS, unverified]`:
+            # one row per DC-restricted role; unrestricted roles have no
+            # row (implicit ALL DATACENTERS)
+            "system_auth.network_permissions": (
+                spark.createDataFrame(
+                    [
+                        (n, o["datacenters"])
+                        for n, o in sorted(self.roles.items())
+                        if o.get("datacenters") is not None
+                    ],
+                    "role string, dcs array<string>",
+                ),
+                TableMeta("system_auth.network_permissions", ("role",)),
             ),
         }
 

@@ -2710,3 +2710,67 @@ def cql53_dropped_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     assert [r.wt for r in wt] == [None], wt
     return sess.execute("SELECT id, a, b FROM dcx")
+
+
+@query(
+    "cql54_network_auth",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('etl', 'dc1'), ('regional', 'dc2')
+    ) AS t(role, dc)
+    """,
+)
+def cql54_network_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4.0 network authorizer end-to-end (`[C*
+    auth/CassandraNetworkAuthorizer — CASSANDRA-13985, unverified]`):
+    `ACCESS TO DATACENTERS {'dc'}` on CREATE/ALTER ROLE restricts which
+    datacenters a role may log in from (this cluster model's ring
+    topology has dc1/dc2); `ACCESS TO ALL DATACENTERS` lifts it;
+    superusers hold implicit all-DC access; unknown datacenters are
+    rejected against the ring topology. Enforcement, the ALTER ROLE
+    merge, the superuser bypass and the ALTER permission gate are
+    asserted in-body; the result (pinned by the literal oracle) is the
+    exploded `system_auth.network_permissions` virtual table — one row
+    per (restricted role, granted DC)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE ROLE regional WITH LOGIN = true "
+        "AND ACCESS TO DATACENTERS {'dc1'}"
+    )
+    sess.execute("CREATE ROLE etl WITH LOGIN = true")
+    sess.execute(
+        "CREATE ROLE chief WITH LOGIN = true AND SUPERUSER = true "
+        "AND ACCESS TO DATACENTERS {'dc2'}"
+    )
+    # ALTER merges: flip regional to dc2 only, restrict etl to dc1
+    sess.execute("ALTER ROLE regional WITH ACCESS TO DATACENTERS {'dc2'}")
+    sess.execute("ALTER ROLE etl WITH ACCESS TO DATACENTERS {'dc1'}")
+    # enforcement: regional may not connect through dc1 (the local DC)
+    try:
+        sess.login("regional")
+        raise AssertionError("dc-restricted login must be rejected")
+    except CQLError as exc:
+        assert "no access to datacenter" in str(exc), exc
+    sess.login("regional", datacenter="dc2")
+    sess.login("cassandra")
+    # superusers bypass the network authorizer
+    sess.login("chief")
+    sess.login("cassandra")
+    # unknown datacenters are rejected against the ring topology
+    try:
+        sess.execute("CREATE ROLE bad WITH ACCESS TO DATACENTERS {'dc9'}")
+        raise AssertionError("unknown datacenter must be rejected")
+    except CQLError as exc:
+        assert "unknown datacenter" in str(exc), exc
+    # ACCESS TO ALL DATACENTERS removes the row from the virtual table
+    sess.execute("CREATE ROLE opened WITH ACCESS TO DATACENTERS {'dc1'}")
+    sess.execute("ALTER ROLE opened WITH ACCESS TO ALL DATACENTERS")
+    from pyspark.sql import functions as F
+
+    vt = sess.execute(
+        "SELECT role, dcs FROM system_auth.network_permissions"
+    )
+    return (
+        vt.filter(F.col("role") != "chief")
+        .select("role", F.explode("dcs").alias("dc"))
+    )

@@ -275,3 +275,58 @@ def test_review_fixes_lwt_unmask_and_probing(spark):
         (e.session_id, e.activity) for e in s.trace_events().collect()
     ]
     assert (2, "Request failed") in acts
+
+
+def test_network_authorizer_dc_restrictions(spark):
+    """4.0 network authorizer: ACCESS TO DATACENTERS restricts login by
+    connecting DC; ALL DATACENTERS lifts it; superusers bypass; the
+    virtual table lists only restricted roles."""
+    s = _sess(spark)
+    s.execute(
+        "CREATE ROLE remote WITH LOGIN = true "
+        "AND ACCESS TO DATACENTERS {'dc2'}"
+    )
+    with pytest.raises(CQLError, match="no access to datacenter"):
+        s.login("remote")  # session's local DC is dc1
+    s.login("remote", datacenter="DC2")  # case-insensitive
+    s.login("cassandra")
+    # ALTER merge to ALL lifts the restriction (and clears the vt row)
+    s.execute("ALTER ROLE remote WITH ACCESS TO ALL DATACENTERS")
+    s.login("remote")
+    s.login("cassandra")
+    assert s.execute(
+        "SELECT role FROM system_auth.network_permissions"
+    ).count() == 0
+    # superuser with a restriction: row present, enforcement bypassed
+    s.execute(
+        "CREATE ROLE root2 WITH LOGIN = true AND SUPERUSER = true "
+        "AND ACCESS TO DATACENTERS {'dc2'}"
+    )
+    s.login("root2")
+    s.login("cassandra")
+    rows = s.execute(
+        "SELECT role, dcs FROM system_auth.network_permissions"
+    ).collect()
+    assert [(r.role, r.dcs) for r in rows] == [("root2", ["dc2"])]
+
+
+def test_network_authorizer_validation(spark):
+    s = _sess(spark)
+    with pytest.raises(CQLError, match="unknown datacenter"):
+        s.execute("CREATE ROLE r1 WITH ACCESS TO DATACENTERS {'dc9'}")
+    with pytest.raises(CQLError, match="at least one"):
+        s.execute("CREATE ROLE r2 WITH ACCESS TO DATACENTERS {}")
+    with pytest.raises(CQLError, match="unsupported role option"):
+        s.execute("CREATE ROLE r3 WITH ACCESS FROM CIDRS {'x'}")
+    # ALTER ROLE needs the ALTER permission; unknown role errors
+    with pytest.raises(CQLError, match="unknown role"):
+        s.execute("ALTER ROLE ghost WITH LOGIN = false")
+    s.execute("CREATE ROLE pleb WITH LOGIN = true")
+    s.execute("CREATE ROLE target")
+    s.login("pleb")
+    with pytest.raises(CQLError, match="ALTER permission"):
+        s.execute("ALTER ROLE target WITH LOGIN = true")
+    s.login("cassandra")
+    # LOGIN/SUPERUSER still parse through the shared option parser
+    s.execute("ALTER ROLE target WITH LOGIN = true AND SUPERUSER = false")
+    assert s.roles["target"]["can_login"] is True
