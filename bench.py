@@ -75,6 +75,7 @@ SF1_QUERIES = (
     "cql51_group_by_time_bucket "
     "s10_cdc_stream s11_streaming_hll s12_streaming_session "
     "s13_streaming_neardup s14_stream_stream_join s15_stream_stream_outer "
+    "s20_stream_stream_full_outer "
     "s16_streaming_dedup_bounded s17_streaming_admission "
     "s18_streaming_admission_append s19_streaming_quality_gate "
     "s5_streaming_dedup s6_stateful_totals "

@@ -657,6 +657,62 @@ def s15_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s20_stream_stream_full_outer",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM v),
+                             (SELECT max(ts) FROM p))
+                       - INTERVAL 30 MINUTE AS w)
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS amount
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id,
+           v.ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM v, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = v.user_id
+                        AND p.ts >= v.ts
+                        AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      AND v.ts + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id,
+           CAST(NULL AS TIMESTAMP), p.ts, p.value
+    FROM p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM v
+                      WHERE v.user_id = p.user_id
+                        AND p.ts >= v.ts
+                        AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      AND p.ts < wm.w
+    """,
+)
+def s20_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: FULL-OUTER stream-stream join (round 13) — both unmatched
+    sides must emit NULL rows, each gated by its own watermark horizon.
+    An unmatched VIEW emits once the global watermark passes
+    ``view_ts + 1h`` (s15's rule: no future purchase can match). An
+    unmatched PURCHASE emits once the watermark passes ``purchase_ts``
+    alone — a matching view must be OLDER than the purchase
+    (``p.ts >= v.ts``), so the moment the watermark reaches the purchase
+    time no admissible view can still arrive; the two sides' eviction
+    horizons genuinely differ, which is what this entry pins. Rows
+    younger than their horizon at end-of-drain stay in state,
+    deliberately unemitted. The oracle is the three-leg batch form:
+    inner matches + watermark-filtered unmatched views + watermark-
+    filtered unmatched purchases (exact-tie boundaries are measure-zero
+    under microsecond event times, as in s15)."""
+    from cassandra_spark.streaming import jobs
+
+    stream = jobs.streaming_purchase_attribution(
+        spark, _stage_typed_slices(spark, sf_dir, "s20"), how="full_outer"
+    )
+    return _drain_join(spark, stream, _sink_name("s20_pairs"))
+
+
+@query(
     "s16_streaming_dedup_bounded",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM events

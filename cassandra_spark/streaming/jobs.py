@@ -964,7 +964,9 @@ def streaming_purchase_attribution(
     ).select(
         "view_id",
         "purchase_id",
-        F.col("v_user").alias("user_id"),
+        # full_outer (S20): an unmatched-purchase row has NULL v_user —
+        # the user key must come from whichever side exists
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
         "view_ts",
         "purchase_ts",
         "amount",

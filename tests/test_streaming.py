@@ -756,6 +756,54 @@ def test_s15_outer_nulls_gated_by_watermark(spark):
     assert emitted | withheld == {r.event_id for r in unmatched.collect()}
 
 
+def test_s20_full_outer_both_null_legs_gated(spark):
+    """Full-outer stream-stream join: BOTH sides NULL-emit, each gated
+    by its own horizon — views by view_ts + 1h (a future purchase could
+    match until then), purchases by purchase_ts alone (a matching view
+    must be older). The purchase side's earlier horizon means a larger
+    emitted fraction of its unmatched set than the view side's."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cassandra_spark.catalog import Catalog
+    from cassandra_spark.operators.streaming_batch import (
+        s20_stream_stream_full_outer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = s20_stream_stream_full_outer(spark, SF_SMOKE)
+    null_p = out.where(F.col("purchase_id").isNull())   # unmatched views
+    null_v = out.where(F.col("view_id").isNull())       # unmatched purchases
+    assert null_p.count() > 0 and null_v.count() > 0
+    # the inner leg equals s14's batch join
+    ev = Catalog(spark, SF_SMOKE).events
+    v = ev.where("event_type = 'view'").alias("v")
+    p = ev.where("event_type = 'purchase'").alias("p")
+    cond = (
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    n_inner = v.join(p, cond).count()
+    assert out.where(
+        F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()
+    ).count() == n_inner
+    # per-side exact emitted sets against the final watermark
+    wm = (
+        v.agg(F.max("ts")).collect()[0][0],
+        p.agg(F.max("ts")).collect()[0][0],
+    )
+    final_wm = min(wm) - datetime.timedelta(minutes=30)
+    horizon = datetime.timedelta(hours=1)
+    um_v = v.join(p, cond, "left_anti").collect()
+    um_p = p.join(v, cond, "left_anti").collect()
+    want_views = {r.event_id for r in um_v if r.ts + horizon < final_wm}
+    want_purch = {r.event_id for r in um_p if r.ts < final_wm}
+    assert {r.view_id for r in null_p.collect()} == want_views
+    assert {r.purchase_id for r in null_v.collect()} == want_purch
+
+
 def test_s16_bounded_dedup_evicts_state_and_stays_exact(spark):
     """dropDuplicatesWithinWatermark: same-window duplicates drop, the
     result equals the batch distinct — AND, unlike s5's global dedup,
