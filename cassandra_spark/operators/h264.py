@@ -1129,6 +1129,11 @@ def parse_pps(rbsp: bytes) -> dict:
 # frame codec
 
 
+# sentinel for "this 4x4 block has not been (de)coded yet" in the
+# motion grid — distinct from None (= block of an intra MB)
+_MV_UNSET = object()
+
+
 class _FrameState:
     """Reconstruction state shared by the encoder (which decodes in the
     loop) and the decoder: planes + per-4x4-block TotalCoeff grids."""
@@ -1146,13 +1151,14 @@ class _FrameState:
         self.i4_mode: list[list[int | None]] = [
             [None] * (width // 4) for _ in range(height // 4)
         ]
-        # per-MB motion state for P slices (this codec's inter subset is
-        # whole-MB P_L0_16x16 partitions, so MB granularity is exact):
-        # None = intra-coded MB, (mvx, mvy) quarter-pel = inter refIdx 0.
-        # Entries for not-yet-(de)coded MBs are read as unavailable by
-        # the MV predictor (raster order guarantees neighbors exist).
-        self.mb_mv: list[list[tuple[int, int] | None]] = [
-            [None] * (width // 16) for _ in range(height // 16)
+        # per-4x4-block motion state for P slices (round 13 partitions:
+        # a 16x8/8x16 partition's MV neighbors can live INSIDE the same
+        # MB, so MV state is block-granular like the spec's): _MV_UNSET
+        # = not yet (de)coded (unavailable to the predictor), None =
+        # block of an intra MB (available, refIdx -1), (mvx, mvy)
+        # quarter-pel = inter refIdx 0.
+        self.mv4: list[list] = [
+            [_MV_UNSET] * (width // 4) for _ in range(height // 4)
         ]
 
     def nc_luma(self, gx: int, gy: int) -> int:
@@ -1932,27 +1938,62 @@ def _med3(a: int, b: int, c: int) -> int:
     return max(min(a, b), min(c, max(a, b)))
 
 
-def _mv_pred_16x16(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
-    """Median motion-vector prediction for a 16x16 partition (8.4.1.3):
-    neighbors A (left), B (top), C (top-right, D top-left substituted
-    when C is unavailable); intra or unavailable neighbors contribute
-    refIdx -1 / mv (0,0); a lone refIdx-0 match wins outright."""
-    nmb_x = st.w // 16
+def _mv_paint(
+    st: _FrameState, bx0: int, by0: int, w4: int, h4: int, mv
+) -> None:
+    """Record a partition's motion (or None for intra) over its 4x4
+    blocks — the granularity the spec's neighbor derivation reads."""
+    for y in range(by0, by0 + h4):
+        row = st.mv4[y]
+        for x in range(bx0, bx0 + w4):
+            row[x] = mv
 
-    def nb(x, y, avail):
-        if not avail:
-            return -1, (0, 0)
-        mv = st.mb_mv[y][x]
-        return (0, mv) if mv is not None else (-1, (0, 0))
 
-    ra, mva = nb(mbx - 1, mby, mbx > 0)
-    rb, mvb = nb(mbx, mby - 1, mby > 0)
-    if mby > 0 and mbx + 1 < nmb_x:
-        rc, mvc = nb(mbx + 1, mby - 1, True)
-    else:  # D substitution
-        rc, mvc = nb(mbx - 1, mby - 1, mbx > 0 and mby > 0)
-    if mby == 0 and mbx > 0:
-        # B, C and D all unavailable, A available -> mvp = mvA
+def _mv_at(st: _FrameState, bx: int, by: int):
+    """(refIdx, mv, available) of one 4x4 block (8.4.1.3.1's neighbor
+    reduction): out-of-frame or not-yet-coded blocks are unavailable;
+    blocks of intra MBs are available with refIdx -1; both contribute
+    mv (0,0) to the median."""
+    if not (0 <= bx < st.w // 4 and 0 <= by < st.h // 4):
+        return -1, (0, 0), False
+    v = st.mv4[by][bx]
+    if v is _MV_UNSET:
+        return -1, (0, 0), False
+    if v is None:
+        return -1, (0, 0), True
+    return 0, v, True
+
+
+def _mv_pred_part(
+    st: _FrameState, bx0: int, by0: int, w4: int, h4: int,
+    shape: str | None = None, part: int = 0,
+) -> tuple[int, int]:
+    """Motion-vector prediction for a partition with top-left 4x4 block
+    (bx0, by0) spanning w4 x h4 blocks (8.4.1.3): neighbors A (left of
+    the top-left), B (above the top-left), C (above-right of the
+    top-right; D top-left substituted when C is unavailable) — with
+    block granularity a 16x8/8x16 partition's neighbor can live INSIDE
+    the same MB. The directional rules (8.4.1.3.2) take precedence when
+    their neighbor's refIdx matches: 16x8 top <- B, bottom <- A; 8x16
+    left <- A, right <- C. Otherwise: mvA outright when B, C and D are
+    all unavailable; a lone refIdx-0 match wins; else componentwise
+    median."""
+    ra, mva, av_a = _mv_at(st, bx0 - 1, by0)
+    rb, mvb, av_b = _mv_at(st, bx0, by0 - 1)
+    rc, mvc, av_c = _mv_at(st, bx0 + w4, by0 - 1)
+    if not av_c:
+        rc, mvc, av_c = _mv_at(st, bx0 - 1, by0 - 1)
+    if shape == "16x8":
+        if part == 0 and rb == 0:
+            return mvb
+        if part == 1 and ra == 0:
+            return mva
+    elif shape == "8x16":
+        if part == 0 and ra == 0:
+            return mva
+        if part == 1 and rc == 0:
+            return mvc
+    if av_a and not av_b and not av_c:
         return mva
     matches = [m for r, m in ((ra, mva), (rb, mvb), (rc, mvc)) if r == 0]
     if len(matches) == 1:
@@ -1963,16 +2004,32 @@ def _mv_pred_16x16(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
     )
 
 
+def _mv_pred_16x16(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
+    return _mv_pred_part(st, mbx * 4, mby * 4, 4, 4)
+
+
 def _mv_pred_skip(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
     """P_Skip motion vector (8.4.1.1): zero when either edge neighbor is
-    unavailable or is a zero-motion refIdx-0 inter MB; otherwise the
+    unavailable or is a zero-motion refIdx-0 inter block; otherwise the
     standard 16x16 prediction. An INTRA neighbor is available but
     refIdx -1, so it falls through to the median rule."""
-    if mbx == 0 or mby == 0:
+    bx0, by0 = mbx * 4, mby * 4
+    ra, mva, av_a = _mv_at(st, bx0 - 1, by0)
+    rb, mvb, av_b = _mv_at(st, bx0, by0 - 1)
+    if not av_a or not av_b:
         return (0, 0)
-    if st.mb_mv[mby][mbx - 1] == (0, 0) or st.mb_mv[mby - 1][mbx] == (0, 0):
+    if (ra == 0 and mva == (0, 0)) or (rb == 0 and mvb == (0, 0)):
         return (0, 0)
     return _mv_pred_16x16(st, mbx, mby)
+
+
+# partition geometry per P mb_type (Table 7-13), in partition order:
+# (pixel dx, pixel dy, width, height, block dx, block dy, w4, h4)
+_P_PARTS = {
+    0: ("16x16", ((0, 0, 16, 16, 0, 0, 4, 4),)),
+    1: ("16x8", ((0, 0, 16, 8, 0, 0, 4, 2), (0, 8, 16, 8, 0, 2, 4, 2))),
+    2: ("8x16", ((0, 0, 8, 16, 0, 0, 2, 4), (8, 0, 8, 16, 2, 0, 2, 4))),
+}
 
 
 def _mc_predict_mb(ref_planes, mbx: int, mby: int, mv: tuple[int, int]):
@@ -1983,6 +2040,28 @@ def _mc_predict_mb(ref_planes, mbx: int, mby: int, mv: tuple[int, int]):
         mc_chroma(rcb, mbx * 8, mby * 8, mv[0], mv[1], 8, 8),
         mc_chroma(rcr, mbx * 8, mby * 8, mv[0], mv[1], 8, 8),
     )
+
+
+def _mc_predict_parts(ref_planes, mbx: int, mby: int, parts, mvs):
+    """Assemble the full-MB prediction from per-partition motion
+    compensation (16x8 / 8x16 / 16x16 geometries of _P_PARTS)."""
+    ry, rcb, rcr = ref_planes
+    pred_y = [[0] * 16 for _ in range(16)]
+    pcb = [[0] * 8 for _ in range(8)]
+    pcr = [[0] * 8 for _ in range(8)]
+    for (pdx, pdy, pw, ph, _bdx, _bdy, _w4, _h4), mv in zip(parts, mvs):
+        block = mc_luma(ry, mbx * 16 + pdx, mby * 16 + pdy, mv[0], mv[1],
+                        pw, ph)
+        for i in range(ph):
+            pred_y[pdy + i][pdx:pdx + pw] = block[i]
+        cw, ch_ = pw // 2, ph // 2
+        cdx, cdy = pdx // 2, pdy // 2
+        for plane, out in ((rcb, pcb), (rcr, pcr)):
+            cb_ = mc_chroma(plane, mbx * 8 + cdx, mby * 8 + cdy,
+                            mv[0], mv[1], cw, ch_)
+            for i in range(ch_):
+                out[cdy + i][cdx:cdx + cw] = cb_[i]
+    return pred_y, pcb, pcr
 
 
 def _apply_inter_recon(
@@ -2025,7 +2104,7 @@ def _apply_skip(st: _FrameState, ref_planes, mbx: int, mby: int) -> None:
     skip vector, zero residual, zero TotalCoeff contexts (9.2.1 treats
     skipped neighbors as coefficient-free)."""
     mv = _mv_pred_skip(st, mbx, mby)
-    st.mb_mv[mby][mbx] = mv
+    _mv_paint(st, mbx * 4, mby * 4, 4, 4, mv)
     pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
     x0, y0 = mbx * 16, mby * 16
     for i in range(16):
@@ -2057,6 +2136,18 @@ def _quantize_inter_mb(
     """Motion-compensate at ``mv`` and quantize the full-MB residual.
     Returns (pred_y, (pcb, pcr), luma_levels, ch_data, cbp_chroma)."""
     pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
+    levels, ch_data, cbp_c = _quantize_residual(
+        st, src_y, src_cb, src_cr, mbx, mby, qp, pred_y, pcb, pcr
+    )
+    return pred_y, (pcb, pcr), levels, ch_data, cbp_c
+
+
+def _quantize_residual(
+    st: _FrameState, src_y, src_cb, src_cr,
+    mbx: int, mby: int, qp: int, pred_y, pcb, pcr,
+):
+    """Quantize the full-MB residual against an assembled prediction
+    (shared by the whole-MB and partitioned inter encoders)."""
     x0, y0 = mbx * 16, mby * 16
     luma_levels = []
     for blk in range(16):
@@ -2074,7 +2165,7 @@ def _quantize_inter_mb(
         st, src_cb, src_cr, mbx, mby, chroma_qp(qp), 0,
         mc_preds=(pcb, pcr),
     )
-    return pred_y, (pcb, pcr), luma_levels, ch_data, cbp_chroma
+    return luma_levels, ch_data, cbp_chroma
 
 
 def _sad16(src_y, pred_y, x0: int, y0: int) -> int:
@@ -2103,11 +2194,42 @@ def _subsad16(src_y, ref_y, x0: int, y0: int, mv: tuple[int, int]) -> int:
     return s
 
 
+def _emit_inter_residual(
+    w: BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    pred_y, levels, ch_data, cbp_c: int,
+) -> None:
+    """Write an inter MB's coded_block_pattern + residual blocks and
+    reconstruct it (shared by the whole-MB and partitioned paths)."""
+    cbp_luma = 0
+    for quad in range(4):
+        if any(
+            any(any(row) for row in levels[4 * quad + k])
+            for k in range(4)
+        ):
+            cbp_luma |= 1 << quad
+    cbp = cbp_luma | (cbp_c << 4)
+    w.ue(CBP_INTER_INV[cbp])
+    if cbp:
+        w.se(0)              # mb_qp_delta
+    gx0, gy0 = mbx * 4, mby * 4
+    for blk in range(16):
+        bx, by = blk_xy(blk)
+        if (cbp_luma >> (blk >> 2)) & 1:
+            nc = st.nc_luma(gx0 + bx, gy0 + by)
+            total = write_residual_block(w, _zigzag_flat(levels[blk]), nc)
+        else:
+            total = 0
+        st.nnz_y[gy0 + by][gx0 + bx] = total
+    _apply_inter_recon(st, mbx, mby, pred_y, levels, qp)
+    _chroma_emit(w, st, ch_data, cbp_c, mbx, mby, chroma_qp(qp))
+
+
 def encode_p(
     y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
     ref_planes: tuple, qp: int = 26, frame_num: int = 1,
     mv_hint: tuple[int, int] = (0, 0), intra_mbs=frozenset(),
     intra_mode: str = "i16", pred_mode: int = 2, chroma_mode: int = 0,
+    partition_mbs=None,
 ) -> tuple[bytes, tuple]:
     """Encode one P picture against ``ref_planes`` (the previous
     frame's reconstruction). Returns (slice NAL bytes, reconstructed
@@ -2117,14 +2239,23 @@ def encode_p(
     else P_L0_16x16 with the motion vector chosen by SAD over a small
     candidate set (the MV prediction, zero, ``mv_hint`` in quarter-pel
     units and its one-quarter-pel refinements — enough to exercise every
-    fractional interpolation class), else a forced intra MB for each
-    (mbx, mby) in ``intra_mbs`` (``intra_mode``: "i16" or "i4",
-    mb_type offset +5 per Table 7-10)."""
+    fractional interpolation class); ``partition_mbs`` maps (mbx, mby)
+    to "16x8" / "8x16" to force the round-13 two-partition shapes (one
+    MV per partition, directional prediction); ``intra_mbs`` forces
+    intra MBs (``intra_mode``: "i16" or "i4", mb_type offset +5 per
+    Table 7-10)."""
     height, width = len(y), len(y[0])
     if width % 16 or height % 16:
         raise NotImplementedError("dimensions must be multiples of 16")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
+    _shape_code = {"16x8": 1, "8x16": 2}
+    part_map = {
+        k: (_shape_code[v] if isinstance(v, str) else int(v))
+        for k, v in dict(partition_mbs or {}).items()
+    }
+    if any(v not in (1, 2) for v in part_map.values()):
+        raise ValueError("partition_mbs values must be '16x8' or '8x16'")
     st = _FrameState(width, height)
     w = BitWriter()
     w.ue(0)                  # first_mb_in_slice
@@ -2140,7 +2271,8 @@ def encode_p(
     for mby in range(height // 16):
         for mbx in range(width // 16):
             levels = None
-            if (mbx, mby) not in intra_mbs:
+            mbt = part_map.get((mbx, mby), 0)
+            if (mbx, mby) not in intra_mbs and mbt == 0:
                 # skip test first: residual at the skip vector. The
                 # full quantization is only worth running when the
                 # subsampled SAD says the MB is near-static (a missed
@@ -2164,7 +2296,7 @@ def encode_p(
             w.ue(skip_run)
             skip_run = 0
             if (mbx, mby) in intra_mbs:
-                st.mb_mv[mby][mbx] = None
+                _mv_paint(st, mbx * 4, mby * 4, 4, 4, None)
                 if intra_mode == "i4":
                     _encode_i4x4_mb(
                         w, st, y, cb, cr, mbx, mby, qp, chroma_mode,
@@ -2175,6 +2307,45 @@ def encode_p(
                         w, st, y, cb, cr, mbx, mby, qp, pred_mode,
                         chroma_mode, mb_type_offset=5,
                     )
+                continue
+            if mbt:
+                # two-partition shapes: one searched MV per partition,
+                # written as sequential mvd_l0 pairs after mb_type
+                shape, parts = _P_PARTS[mbt]
+                mvs, mvps = [], []
+                for i, g in enumerate(parts):
+                    bx0, by0 = mbx * 4 + g[4], mby * 4 + g[5]
+                    mvp = _mv_pred_part(st, bx0, by0, g[6], g[7], shape, i)
+                    best_mv, best_sad = None, None
+                    for cand in dict.fromkeys([mvp, (0, 0), mv_hint]):
+                        pr = mc_luma(
+                            ref_planes[0], mbx * 16 + g[0],
+                            mby * 16 + g[1], cand[0], cand[1], g[2], g[3],
+                        )
+                        sad = sum(
+                            abs(y[mby * 16 + g[1] + ii][mbx * 16 + g[0] + jj]
+                                - pr[ii][jj])
+                            for ii in range(g[3])
+                            for jj in range(g[2])
+                        )
+                        if best_sad is None or sad < best_sad:
+                            best_mv, best_sad = cand, sad
+                    _mv_paint(st, bx0, by0, g[6], g[7], best_mv)
+                    mvs.append(best_mv)
+                    mvps.append(mvp)
+                w.ue(mbt)            # mb_type: P_L0_L0_16x8 / _8x16
+                for mv, mvp in zip(mvs, mvps):
+                    w.se(mv[0] - mvp[0])
+                    w.se(mv[1] - mvp[1])
+                pred_y, pcb, pcr = _mc_predict_parts(
+                    ref_planes, mbx, mby, parts, mvs
+                )
+                levels, ch_data, cbp_c = _quantize_residual(
+                    st, y, cb, cr, mbx, mby, qp, pred_y, pcb, pcr
+                )
+                _emit_inter_residual(
+                    w, st, mbx, mby, qp, pred_y, levels, ch_data, cbp_c
+                )
                 continue
             # motion search: rank the candidate set by the cheap
             # subsampled integer SAD, then fully interpolate only the
@@ -2207,35 +2378,12 @@ def encode_p(
                     )
                 )
             mv = best_mv
-            st.mb_mv[mby][mbx] = mv
+            _mv_paint(st, mbx * 4, mby * 4, 4, 4, mv)
             w.ue(0)                  # mb_type: P_L0_16x16
             w.se(mv[0] - mvp[0])     # mvd_l0 horizontal
             w.se(mv[1] - mvp[1])     # mvd_l0 vertical
-            cbp_luma = 0
-            for quad in range(4):
-                if any(
-                    any(any(row) for row in levels[4 * quad + k])
-                    for k in range(4)
-                ):
-                    cbp_luma |= 1 << quad
-            cbp = cbp_luma | (cbp_c << 4)
-            w.ue(CBP_INTER_INV[cbp])
-            if cbp:
-                w.se(0)              # mb_qp_delta
-            gx0, gy0 = mbx * 4, mby * 4
-            for blk in range(16):
-                bx, by = blk_xy(blk)
-                if (cbp_luma >> (blk >> 2)) & 1:
-                    nc = st.nc_luma(gx0 + bx, gy0 + by)
-                    total = write_residual_block(
-                        w, _zigzag_flat(levels[blk]), nc
-                    )
-                else:
-                    total = 0
-                st.nnz_y[gy0 + by][gx0 + bx] = total
-            _apply_inter_recon(st, mbx, mby, pred_y, levels, qp)
-            _chroma_emit(
-                w, st, ch_data, cbp_c, mbx, mby, chroma_qp(qp)
+            _emit_inter_residual(
+                w, st, mbx, mby, qp, pred_y, levels, ch_data, cbp_c
             )
     if skip_run:
         w.ue(skip_run)  # trailing skipped MBs (7.3.4)
@@ -2243,14 +2391,25 @@ def encode_p(
     return nal(1, w.tobytes(), ref_idc=2), (st.y, st.cb, st.cr)
 
 
-def _decode_p16x16_mb(
-    r: BitReader, st: _FrameState, ref_planes, mbx: int, mby: int, qp: int
+def _decode_p_inter_mb(
+    r: BitReader, st: _FrameState, ref_planes,
+    mbx: int, mby: int, qp: int, mb_type: int,
 ) -> None:
-    mvp = _mv_pred_16x16(st, mbx, mby)
-    mvd = (r.se(), r.se())
-    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-    st.mb_mv[mby][mbx] = mv
-    pred_y, pcb, pcr = _mc_predict_mb(ref_planes, mbx, mby, mv)
+    """One inter P macroblock: P_L0_16x16 (mb_type 0) or the round-13
+    two-partition shapes P_L0_L0_16x8 / P_L0_L0_8x16 (1 / 2) — per-
+    partition mvd_l0 in partition order (ref_idx_l0 absent with one
+    active reference), directional MV prediction, assembled prediction,
+    then the shared cbp/residual path."""
+    shape, parts = _P_PARTS[mb_type]
+    mvs = []
+    for i, g in enumerate(parts):
+        bx0, by0 = mbx * 4 + g[4], mby * 4 + g[5]
+        mvp = _mv_pred_part(st, bx0, by0, g[6], g[7], shape, i)
+        mvd = (r.se(), r.se())
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        _mv_paint(st, bx0, by0, g[6], g[7], mv)
+        mvs.append(mv)
+    pred_y, pcb, pcr = _mc_predict_parts(ref_planes, mbx, mby, parts, mvs)
     code_num = r.ue()
     if code_num >= len(CBP_INTER_ME):
         raise ValueError(f"bad inter coded_block_pattern codeNum {code_num}")
@@ -2335,14 +2494,14 @@ def decode_p(
         mbx, mby = idx % n_x, idx // n_x
         mb_type = r.ue()
         if mb_type >= 5:  # intra MB in a P slice (Table 7-10)
-            st.mb_mv[mby][mbx] = None
+            _mv_paint(st, mbx * 4, mby * 4, 4, 4, None)
             _decode_intra_mb(r, st, mbx, mby, qp, mb_type - 5)
-        elif mb_type == 0:
-            _decode_p16x16_mb(r, st, ref_planes, mbx, mby, qp)
+        elif mb_type in _P_PARTS:
+            _decode_p_inter_mb(r, st, ref_planes, mbx, mby, qp, mb_type)
         else:
             raise NotImplementedError(
-                f"P mb_type {mb_type}: 16x8/8x16/8x8 partitions are "
-                "outside the whole-MB subset"
+                f"P mb_type {mb_type}: 8x8 sub-macroblock partitions "
+                "are outside the decoded subset"
             )
         idx += 1
     return st.y, st.cb, st.cr

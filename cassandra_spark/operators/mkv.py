@@ -401,6 +401,7 @@ def encode_mkv_avc1(
     gop: int | None = None,
     mv_hints: list[tuple] | None = None,
     intra_mbs=frozenset(),
+    partition_mbs=None,
 ) -> tuple[bytes, list[tuple]]:
     """YCbCr 4:2:0 frames → a minimal valid single-track
     V_MPEG4/ISO/AVC Matroska file (CodecPrivate = avcC, one SimpleBlock
@@ -467,6 +468,7 @@ def encode_mkv_avc1(
                 intra_mbs=intra_mbs,
                 intra_mode=("i4" if i % 2 else "i16"),
                 pred_mode=pred_mode, chroma_mode=chroma_mode,
+                partition_mbs=partition_mbs,
             )
         recons.append(recon)
         sample = struct.pack(">I", len(nal_bytes)) + nal_bytes

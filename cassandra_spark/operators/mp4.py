@@ -389,6 +389,7 @@ def encode_mp4_avc1(
     gop: int | None = None,
     mv_hints: list[tuple] | None = None,
     intra_mbs=frozenset(),
+    partition_mbs=None,
 ) -> tuple[bytes, list[tuple]]:
     """YCbCr 4:2:0 frames (each a (y, cb, cr) plane triple) → a minimal
     valid single-track avc1 MP4 (avcC extradata, stss marking the sync
@@ -429,6 +430,7 @@ def encode_mp4_avc1(
                 intra_mbs=intra_mbs,
                 intra_mode=("i4" if i % 2 else "i16"),
                 pred_mode=pred_mode, chroma_mode=chroma_mode,
+                partition_mbs=partition_mbs,
             )
         samples.append(struct.pack(">I", len(nal_bytes)) + nal_bytes)
         recons.append(recon)

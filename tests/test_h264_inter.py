@@ -162,34 +162,97 @@ def test_mc_chroma_bilinear_weights():
     assert mc_chroma(plane, 2, 2, 3, 5, 1, 1) == [[want]]
 
 
+def _paint_mb(st, mbx, mby, mv):
+    h264._mv_paint(st, mbx * 4, mby * 4, 4, 4, mv)
+
+
 def test_mv_prediction_rules():
     st = h264._FrameState(64, 48)  # 4 x 3 MBs
     # row 0, A available only -> mvp = mvA
-    st.mb_mv[0][0] = (8, -4)
+    _paint_mb(st, 0, 0, (8, -4))
     assert h264._mv_pred_16x16(st, 1, 0) == (8, -4)
     # interior: single refIdx-0 match wins outright (A inter, B/C intra)
-    st.mb_mv[0] = [None, None, None, None]
-    st.mb_mv[1][0] = (12, 6)
+    for x in range(4):
+        _paint_mb(st, x, 0, None)
+    _paint_mb(st, 0, 1, (12, 6))
     assert h264._mv_pred_16x16(st, 1, 1) == (12, 6)
     # interior: three inter neighbors -> componentwise median
-    st.mb_mv[0] = [(0, 0), (2, 10), (40, -2), None]
-    st.mb_mv[1][0] = (12, 6)
+    for x, mv in enumerate([(0, 0), (2, 10), (40, -2), None]):
+        _paint_mb(st, x, 0, mv)
     assert h264._mv_pred_16x16(st, 1, 1) == (12, 6)  # med(12,2,40), med(6,10,-2)
     # C unavailable at the right edge -> D substitution
-    st.mb_mv[0] = [(1, 1), (2, 2), (3, 3), (4, 4)]
-    st.mb_mv[1] = [(5, 5), (6, 6), (7, 7), None]
+    for x, mv in enumerate([(1, 1), (2, 2), (3, 3), (4, 4)]):
+        _paint_mb(st, x, 0, mv)
+    for x, mv in enumerate([(5, 5), (6, 6), (7, 7)]):
+        _paint_mb(st, x, 1, mv)
     assert h264._mv_pred_16x16(st, 3, 1) == (4, 4)  # med(7,4,3) / same
     # skip: zero when an edge neighbor is missing
     assert h264._mv_pred_skip(st, 0, 1) == (0, 0)
     assert h264._mv_pred_skip(st, 2, 0) == (0, 0)
     # skip: zero when A or B is a zero-motion inter MB
-    st.mb_mv[1][1] = (0, 0)
+    _paint_mb(st, 1, 1, (0, 0))
     assert h264._mv_pred_skip(st, 2, 1) == (0, 0)
     # skip: otherwise the 16x16 prediction (intra neighbor ≠ zero-mv)
-    st.mb_mv[1][1] = (9, 9)
-    st.mb_mv[0][2] = None
+    _paint_mb(st, 1, 1, (9, 9))
+    _paint_mb(st, 2, 0, None)
     got = h264._mv_pred_skip(st, 2, 1)
     assert got == h264._mv_pred_16x16(st, 2, 1) != (0, 0)
+
+
+def test_mv_prediction_partition_directional_rules():
+    """8.4.1.3.2: 16x8 top <- B, bottom <- A; 8x16 left <- A, right <-
+    C — each taken ONLY when that neighbor is inter (refIdx 0), else
+    falling back to the general rule. With block granularity, a
+    partition's neighbor can be the sibling partition of the SAME MB."""
+    st = h264._FrameState(64, 48)
+    # surround MB (1,1): left inter, above inter, above-right inter
+    _paint_mb(st, 0, 1, (10, 1))   # A side
+    _paint_mb(st, 1, 0, (20, 2))   # B side
+    _paint_mb(st, 2, 0, (30, 3))   # C side
+    bx0, by0 = 4, 4
+    # 16x8 top takes B outright
+    assert h264._mv_pred_part(st, bx0, by0, 4, 2, "16x8", 0) == (20, 2)
+    # paint the top partition; the bottom takes A (left MB), not the top
+    h264._mv_paint(st, bx0, by0, 4, 2, (20, 2))
+    assert h264._mv_pred_part(st, bx0, by0 + 2, 4, 2, "16x8", 1) == (10, 1)
+    # 8x16 left takes A; right takes C (above-right of its top-right)
+    st2 = h264._FrameState(64, 48)
+    _paint_mb(st2, 0, 1, (10, 1))
+    _paint_mb(st2, 1, 0, (20, 2))
+    _paint_mb(st2, 2, 0, (30, 3))
+    assert h264._mv_pred_part(st2, bx0, by0, 2, 4, "8x16", 0) == (10, 1)
+    h264._mv_paint(st2, bx0, by0, 2, 4, (10, 1))
+    assert h264._mv_pred_part(st2, bx0 + 2, by0, 2, 4, "8x16", 1) == (30, 3)
+    # directional neighbor INTRA -> general rule. For the 16x8 top with
+    # B intra: A=(10,1) and C=(30,3) inter, median over A/B/C with B as
+    # (0,0) -> (med(10,0,30), med(1,0,3)) = (10, 1)
+    st3 = h264._FrameState(64, 48)
+    _paint_mb(st3, 0, 1, (10, 1))
+    _paint_mb(st3, 1, 0, None)
+    _paint_mb(st3, 2, 0, (30, 3))
+    assert h264._mv_pred_part(st3, bx0, by0, 4, 2, "16x8", 0) == (10, 1)
+
+
+def test_p_partition_roundtrip_both_shapes():
+    """16x8 and 8x16 partitioned MBs round-trip byte-exact, with
+    different per-partition motion found by the search."""
+    sps = parse_sps(write_sps(48, 32, num_ref_frames=1))
+    y0, cb0, cr0 = _synth(48, 32, 11)
+    _, ref = encode_idr(y0, cb0, cr0, qp=22)
+    for qp in (18, 30):
+        y1 = _shift_noise(ref[0], 2, 1, noise=8, step=4)
+        parts = {(0, 0): "16x8", (1, 1): "8x16", (2, 0): "16x8"}
+        nal_b, recon = encode_p(
+            y1, ref[1], ref[2], ref, qp=qp, mv_hint=(9, 5),
+            partition_mbs=parts,
+        )
+        assert decode_p(nal_b, sps, qp, ref) == recon, qp
+    # partitions mixed with intra MBs and skip in one slice
+    nal_b, recon = encode_p(
+        ref[0], ref[1], ref[2], ref, qp=24,
+        partition_mbs={(1, 0): "8x16"}, intra_mbs={(2, 1)},
+    )
+    assert decode_p(nal_b, sps, 24, ref) == recon
 
 
 def test_p_roundtrip_every_fractional_hint_class():
