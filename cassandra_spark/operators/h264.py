@@ -2031,6 +2031,31 @@ _P_PARTS = {
     2: ("8x16", ((0, 0, 8, 16, 0, 0, 2, 4), (8, 0, 8, 16, 2, 0, 2, 4))),
 }
 
+# sub-macroblock partition geometry per sub_mb_type (Table 7-17),
+# relative to the 8x8's origin, in sub-partition order (6.4.2.2)
+_SUB_PARTS = {
+    0: ((0, 0, 8, 8, 0, 0, 2, 2),),                               # P_L0_8x8
+    1: ((0, 0, 8, 4, 0, 0, 2, 1), (0, 4, 8, 4, 0, 1, 2, 1)),      # P_L0_8x4
+    2: ((0, 0, 4, 8, 0, 0, 1, 2), (4, 0, 4, 8, 1, 0, 1, 2)),      # P_L0_4x8
+    3: ((0, 0, 4, 4, 0, 0, 1, 1), (4, 0, 4, 4, 1, 0, 1, 1),
+        (0, 4, 4, 4, 0, 1, 1, 1), (4, 4, 4, 4, 1, 1, 1, 1)),      # P_L0_4x4
+}
+
+
+def _sub_geoms(sub_types):
+    """Flatten the four 8x8s' sub-partition geometries into MB-relative
+    part tuples, in decode order (8x8 raster, then sub-partition
+    order)."""
+    out = []
+    for i8, stype in enumerate(sub_types):
+        ox, oy = (i8 & 1) * 8, (i8 >> 1) * 8
+        for g in _SUB_PARTS[stype]:
+            out.append((
+                ox + g[0], oy + g[1], g[2], g[3],
+                (ox + g[0]) // 4, (oy + g[1]) // 4, g[6], g[7],
+            ))
+    return out
+
 
 def _mc_predict_mb(ref_planes, mbx: int, mby: int, mv: tuple[int, int]):
     """(luma 16x16, cb 8x8, cr 8x8) motion-compensated prediction."""
@@ -2249,13 +2274,15 @@ def encode_p(
         raise NotImplementedError("dimensions must be multiples of 16")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
-    _shape_code = {"16x8": 1, "8x16": 2}
+    _shape_code = {"16x8": 1, "8x16": 2, "8x8": 3}
     part_map = {
         k: (_shape_code[v] if isinstance(v, str) else int(v))
         for k, v in dict(partition_mbs or {}).items()
     }
-    if any(v not in (1, 2) for v in part_map.values()):
-        raise ValueError("partition_mbs values must be '16x8' or '8x16'")
+    if any(v not in (1, 2, 3) for v in part_map.values()):
+        raise ValueError(
+            "partition_mbs values must be '16x8', '8x16' or '8x8'"
+        )
     st = _FrameState(width, height)
     w = BitWriter()
     w.ue(0)                  # first_mb_in_slice
@@ -2309,9 +2336,17 @@ def encode_p(
                     )
                 continue
             if mbt:
-                # two-partition shapes: one searched MV per partition,
-                # written as sequential mvd_l0 pairs after mb_type
-                shape, parts = _P_PARTS[mbt]
+                # partitioned shapes: one searched MV per (sub-)
+                # partition, written as sequential mvd_l0 pairs after
+                # mb_type (and, for P_8x8, the four sub_mb_type)
+                if mbt == 3:
+                    # rotate every sub shape through the 8x8s so the
+                    # decode path sees 8x8/8x4/4x8/4x4 alike
+                    sub_types = [(i + mbx + 2 * mby) % 4 for i in range(4)]
+                    parts = _sub_geoms(sub_types)
+                    shape = None
+                else:
+                    shape, parts = _P_PARTS[mbt]
                 mvs, mvps = [], []
                 for i, g in enumerate(parts):
                     bx0, by0 = mbx * 4 + g[4], mby * 4 + g[5]
@@ -2333,7 +2368,10 @@ def encode_p(
                     _mv_paint(st, bx0, by0, g[6], g[7], best_mv)
                     mvs.append(best_mv)
                     mvps.append(mvp)
-                w.ue(mbt)            # mb_type: P_L0_L0_16x8 / _8x16
+                w.ue(mbt)            # mb_type: 16x8 / 8x16 / P_8x8
+                if mbt == 3:
+                    for stype in sub_types:
+                        w.ue(stype)  # sub_mb_type (7.3.5.2)
                 for mv, mvp in zip(mvs, mvps):
                     w.se(mv[0] - mvp[0])
                     w.se(mv[1] - mvp[1])
@@ -2400,7 +2438,21 @@ def _decode_p_inter_mb(
     partition mvd_l0 in partition order (ref_idx_l0 absent with one
     active reference), directional MV prediction, assembled prediction,
     then the shared cbp/residual path."""
-    shape, parts = _P_PARTS[mb_type]
+    if mb_type in (3, 4):
+        # P_8x8 / P_8x8ref0 (identical with one reference): four
+        # sub_mb_type first (7.3.5.2), then mvd_l0 per sub-partition;
+        # sub-partitions use the GENERAL prediction rule (no
+        # directional cases, 8.4.1.3)
+        sub_types = []
+        for _ in range(4):
+            stype = r.ue()
+            if stype > 3:
+                raise ValueError(f"invalid P sub_mb_type {stype}")
+            sub_types.append(stype)
+        parts = _sub_geoms(sub_types)
+        shape = None
+    else:
+        shape, parts = _P_PARTS[mb_type]
     mvs = []
     for i, g in enumerate(parts):
         bx0, by0 = mbx * 4 + g[4], mby * 4 + g[5]
@@ -2496,13 +2548,8 @@ def decode_p(
         if mb_type >= 5:  # intra MB in a P slice (Table 7-10)
             _mv_paint(st, mbx * 4, mby * 4, 4, 4, None)
             _decode_intra_mb(r, st, mbx, mby, qp, mb_type - 5)
-        elif mb_type in _P_PARTS:
+        else:  # 0..4: inter (whole-MB, 16x8/8x16, or 8x8 sub-partitions)
             _decode_p_inter_mb(r, st, ref_planes, mbx, mby, qp, mb_type)
-        else:
-            raise NotImplementedError(
-                f"P mb_type {mb_type}: 8x8 sub-macroblock partitions "
-                "are outside the decoded subset"
-            )
         idx += 1
     return st.y, st.cb, st.cr
 

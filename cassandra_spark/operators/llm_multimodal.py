@@ -681,15 +681,16 @@ def _h264_inter_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             hint = (4 * dx + d % 4, 4 * dy + (d // 4) % 4)
             enc = encode_mp4_avc1 if d % 2 == 0 else encode_mkv_avc1
             # rotate the round-13 partition shapes through the doc
-            # population: one MB per P frame coded 16x8 / 8x16 / whole
-            part_rot = d % 3
+            # population: one MB per P frame coded 16x8 / 8x16 / 8x8
+            # (sub-partitions) / whole
+            part_shape = ("16x8", "8x16", "8x8", None)[d % 4]
             payload, recons = enc(
                 w, h, frames, fps=4, qp=16 + d % 10, gop=3,
                 mv_hints=[(0, 0)] + [hint] * (n - 1),
                 intra_mbs={(d % 2, (d // 2) % 2)},
                 partition_mbs=(
-                    {(1, 0): "16x8"} if part_rot == 0
-                    else {(0, 1): "8x16"} if part_rot == 1
+                    {((d // 8) % 2, (d // 16) % 2): part_shape}
+                    if part_shape
                     else None
                 ),
                 pred_mode=d % 4, chroma_mode=(d // 4) % 4,

@@ -319,8 +319,7 @@ def test_p_gates():
     # an IDR NAL handed to decode_p is gated
     with pytest.raises(NotImplementedError, match="non-IDR"):
         decode_p(idr_nal, sps, 26, ref)
-    # partitioned P mb_types are gated: hand-build a slice whose first
-    # coded MB claims P_8x8 (mb_type 3)
+    # an out-of-range intra mb_type inside a P slice is corrupt
     w = BitWriter()
     w.ue(0)        # first_mb_in_slice
     w.ue(5)        # slice_type P
@@ -332,9 +331,9 @@ def test_p_gates():
     w.se(0)
     w.ue(1)        # deblocking off
     w.ue(0)        # mb_skip_run
-    w.ue(3)        # mb_type P_8x8
+    w.ue(31)       # intra mb_type 26: only 0..25 exist (Table 7-11)
     w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="partitions"):
+    with pytest.raises(ValueError, match="invalid I-slice mb_type"):
         decode_p(nal(1, w.tobytes(), ref_idc=2), sps, 26, ref)
     # a skip run past the slice end is corrupt, not gated
     w = BitWriter()
@@ -397,3 +396,50 @@ def test_gop_containers_roundtrip_and_sync_layout():
 def test_sps_num_ref_frames_roundtrip():
     sps = parse_sps(write_sps(32, 16, num_ref_frames=1))
     assert (sps.width, sps.height) == (32, 16)
+
+
+def test_p_8x8_sub_partitions_roundtrip():
+    """P_8x8 (mb_type 3): four sub_mb_type per MB; the encoder's
+    rotation drives all four sub shapes (8x8/8x4/4x8/4x4) through the
+    general block-granular prediction rule. Byte-exact round trip, alone
+    and mixed with the other shapes, intra MBs and skippable content."""
+    sps = parse_sps(write_sps(48, 32, num_ref_frames=1))
+    y0, cb0, cr0 = _synth(48, 32, 6)
+    _, ref = encode_idr(y0, cb0, cr0, qp=22)
+    for qp in (16, 26, 36):
+        y1 = _shift_noise(ref[0], 2, 1, noise=9, step=4)
+        nal_b, recon = encode_p(
+            y1, ref[1], ref[2], ref, qp=qp, mv_hint=(9, 5),
+            partition_mbs={(0, 0): "8x8", (1, 1): "8x8",
+                           (2, 0): "16x8", (1, 0): "8x16"},
+        )
+        assert decode_p(nal_b, sps, qp, ref) == recon, qp
+    nal_b, recon = encode_p(
+        ref[0], _shift_noise(ref[1], 1, 0), ref[2], ref, qp=24,
+        partition_mbs={(x, y): "8x8" for x in range(3) for y in range(2)
+                       if (x + y) % 2 == 0},
+        intra_mbs={(2, 1)},
+    )
+    assert decode_p(nal_b, sps, 24, ref) == recon
+
+
+def test_p_8x8_invalid_sub_mb_type_rejected():
+    sps = parse_sps(write_sps(16, 16, num_ref_frames=1))
+    y, cb, cr = _synth(16, 16, 1)
+    _, ref = encode_idr(y, cb, cr, qp=26)
+    w = BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(5)        # slice_type P
+    w.ue(0)        # pps
+    w.u(1, 4)      # frame_num
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)        # deblocking off
+    w.ue(0)        # mb_skip_run
+    w.ue(3)        # mb_type P_8x8
+    w.ue(4)        # sub_mb_type 4: only 0..3 are P sub types
+    w.rbsp_trailing()
+    with pytest.raises(ValueError, match="sub_mb_type"):
+        decode_p(nal(1, w.tobytes(), ref_idc=2), sps, 26, ref)
