@@ -64,7 +64,7 @@ SF1_QUERIES = (
     "l2b_simhash l2d_embedding_neardup_prod l30_sq8_ann "
     "l31_incremental_dedup l32_dedup_triangles l33_ngram_novelty "
     "l34_cluster_representatives l35_ivf_index_build l35_ivf_index_query l46_repetition_metrics "
-    "l37_video_sampling l38_minhash_index_build l38_minhash_index_query l48_h264_idr_decode l49_h264_inter_decode "
+    "l37_video_sampling l38_minhash_index_build l38_minhash_index_query l48_h264_idr_decode l49_h264_inter_decode l50_h264_b_gop "
     "l39_stratified_sample l40_minhash_index_append l41_ivf_index_append "
     "l42_pq_index_append l43_minhash_index_compact "
     "l44_ivf_index_compact l45_pq_index_compact "

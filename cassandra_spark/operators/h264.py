@@ -1024,22 +1024,34 @@ class Sps:
     width: int
     height: int
     log2_max_frame_num: int = 4
+    # pic_order_cnt_type (7.4.2.1.1): 2 = output order IS decode order
+    # (IDR/P-only streams); 0 = explicit pic_order_cnt_lsb in every
+    # slice header — required once B pictures reorder output (round 13)
+    poc_type: int = 2
+    log2_max_poc_lsb: int = 8
 
 
-def write_sps(width: int, height: int, num_ref_frames: int = 0) -> bytes:
+def write_sps(
+    width: int, height: int, num_ref_frames: int = 0, poc_type: int = 2
+) -> bytes:
     if width % 16 or height % 16:
         raise NotImplementedError(
             "this writer emits uncropped streams: dimensions must be "
             "multiples of 16"
         )
+    if poc_type not in (0, 2):
+        raise NotImplementedError("pic_order_cnt_type 1 unsupported")
     w = BitWriter()
-    w.u(66, 8)     # profile_idc: baseline
+    # B slices are a Main-profile tool; IDR/P-only streams stay baseline
+    w.u(77 if poc_type == 0 else 66, 8)  # profile_idc
     w.u(0, 8)      # constraint flags + reserved
     w.u(20, 8)     # level_idc 2.0
     w.ue(0)        # sps id
     w.ue(0)        # log2_max_frame_num_minus4
-    w.ue(2)        # pic_order_cnt_type 2 (order = decode order)
-    w.ue(num_ref_frames)  # max_num_ref_frames (1 for GOP streams)
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(4)    # log2_max_pic_order_cnt_lsb_minus4 (lsb = 8 bits)
+    w.ue(num_ref_frames)  # max_num_ref_frames (anchor count for GOPs)
     w.u(0, 1)      # gaps_in_frame_num_value_allowed
     w.ue(width // 16 - 1)
     w.ue(height // 16 - 1)
@@ -1064,8 +1076,9 @@ def parse_sps(rbsp: bytes) -> Sps:
         )
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_poc = 8
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_poc = r.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1 unsupported")
     r.ue()  # max_num_ref_frames
@@ -1077,7 +1090,10 @@ def parse_sps(rbsp: bytes) -> Sps:
     r.u(1)
     if r.u(1):  # frame_cropping
         raise NotImplementedError("cropped streams unsupported")
-    return Sps(width=w_mbs * 16, height=h_mbs * 16, log2_max_frame_num=log2_mfn)
+    return Sps(
+        width=w_mbs * 16, height=h_mbs * 16, log2_max_frame_num=log2_mfn,
+        poc_type=poc_type, log2_max_poc_lsb=log2_poc,
+    )
 
 
 def write_pps(qp: int) -> bytes:
@@ -1158,6 +1174,12 @@ class _FrameState:
         # block of an intra MB (available, refIdx -1), (mvx, mvy)
         # quarter-pel = inter refIdx 0.
         self.mv4: list[list] = [
+            [_MV_UNSET] * (width // 4) for _ in range(height // 4)
+        ]
+        # list-1 motion grid for B slices (round 13): same convention;
+        # a block predicted from one list only holds None (refIdx -1)
+        # in the other list's grid
+        self.mv4_l1: list[list] = [
             [_MV_UNSET] * (width // 4) for _ in range(height // 4)
         ]
 
@@ -1704,7 +1726,7 @@ def encode_idr(
     y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
     qp: int = 26, pred_mode: int = 2, chroma_mode: int = 0,
     frame_num: int = 0, idr_pic_id: int = 0, mb_mode: str = "i16",
-    cbp_luma_mask: int = 15,
+    cbp_luma_mask: int = 15, poc_lsb: int | None = None,
 ) -> tuple[bytes, tuple]:
     """Encode one IDR picture (coded-slice NAL only — SPS/PPS travel in
     avcC). Returns (slice NAL bytes, reconstructed (y, cb, cr) planes) —
@@ -1729,6 +1751,8 @@ def encode_idr(
     w.ue(7)          # slice_type: I (all slices in picture)
     w.ue(0)          # pps id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    if poc_lsb is not None:  # pic_order_cnt_type 0 stream (B GOPs)
+        w.u(poc_lsb % 256, 8)
     w.ue(idr_pic_id)
     # dec_ref_pic_marking (7.3.3.3, nal_ref_idc != 0 and IdrPicFlag):
     w.u(0, 1)        # no_output_of_prior_pics_flag
@@ -1774,6 +1798,8 @@ def decode_idr(
         )
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
+    if sps.poc_type == 0:
+        r.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
     r.ue()  # idr_pic_id
     r.u(1)  # no_output_of_prior_pics_flag (dec_ref_pic_marking, IDR)
     r.u(1)  # long_term_reference_flag
@@ -1939,24 +1965,28 @@ def _med3(a: int, b: int, c: int) -> int:
 
 
 def _mv_paint(
-    st: _FrameState, bx0: int, by0: int, w4: int, h4: int, mv
+    st: _FrameState, bx0: int, by0: int, w4: int, h4: int, mv,
+    grid=None,
 ) -> None:
-    """Record a partition's motion (or None for intra) over its 4x4
-    blocks — the granularity the spec's neighbor derivation reads."""
+    """Record a partition's motion (or None for intra / no-MV-in-this-
+    list) over its 4x4 blocks — the granularity the spec's neighbor
+    derivation reads. ``grid`` selects the reference list (default
+    L0)."""
+    g = st.mv4 if grid is None else grid
     for y in range(by0, by0 + h4):
-        row = st.mv4[y]
+        row = g[y]
         for x in range(bx0, bx0 + w4):
             row[x] = mv
 
 
-def _mv_at(st: _FrameState, bx: int, by: int):
+def _mv_at(st: _FrameState, bx: int, by: int, grid=None):
     """(refIdx, mv, available) of one 4x4 block (8.4.1.3.1's neighbor
     reduction): out-of-frame or not-yet-coded blocks are unavailable;
-    blocks of intra MBs are available with refIdx -1; both contribute
-    mv (0,0) to the median."""
+    blocks of intra MBs (or without an MV in this list) are available
+    with refIdx -1; both contribute mv (0,0) to the median."""
     if not (0 <= bx < st.w // 4 and 0 <= by < st.h // 4):
         return -1, (0, 0), False
-    v = st.mv4[by][bx]
+    v = (st.mv4 if grid is None else grid)[by][bx]
     if v is _MV_UNSET:
         return -1, (0, 0), False
     if v is None:
@@ -1966,7 +1996,7 @@ def _mv_at(st: _FrameState, bx: int, by: int):
 
 def _mv_pred_part(
     st: _FrameState, bx0: int, by0: int, w4: int, h4: int,
-    shape: str | None = None, part: int = 0,
+    shape: str | None = None, part: int = 0, grid=None,
 ) -> tuple[int, int]:
     """Motion-vector prediction for a partition with top-left 4x4 block
     (bx0, by0) spanning w4 x h4 blocks (8.4.1.3): neighbors A (left of
@@ -1978,11 +2008,11 @@ def _mv_pred_part(
     left <- A, right <- C. Otherwise: mvA outright when B, C and D are
     all unavailable; a lone refIdx-0 match wins; else componentwise
     median."""
-    ra, mva, av_a = _mv_at(st, bx0 - 1, by0)
-    rb, mvb, av_b = _mv_at(st, bx0, by0 - 1)
-    rc, mvc, av_c = _mv_at(st, bx0 + w4, by0 - 1)
+    ra, mva, av_a = _mv_at(st, bx0 - 1, by0, grid)
+    rb, mvb, av_b = _mv_at(st, bx0, by0 - 1, grid)
+    rc, mvc, av_c = _mv_at(st, bx0 + w4, by0 - 1, grid)
     if not av_c:
-        rc, mvc, av_c = _mv_at(st, bx0 - 1, by0 - 1)
+        rc, mvc, av_c = _mv_at(st, bx0 - 1, by0 - 1, grid)
     if shape == "16x8":
         if part == 0 and rb == 0:
             return mvb
@@ -2254,7 +2284,7 @@ def encode_p(
     ref_planes: tuple, qp: int = 26, frame_num: int = 1,
     mv_hint: tuple[int, int] = (0, 0), intra_mbs=frozenset(),
     intra_mode: str = "i16", pred_mode: int = 2, chroma_mode: int = 0,
-    partition_mbs=None,
+    partition_mbs=None, poc_lsb: int | None = None, ref_idc: int = 2,
 ) -> tuple[bytes, tuple]:
     """Encode one P picture against ``ref_planes`` (the previous
     frame's reconstruction). Returns (slice NAL bytes, reconstructed
@@ -2289,9 +2319,12 @@ def encode_p(
     w.ue(5)                  # slice_type: P (all slices in picture)
     w.ue(0)                  # pps id
     w.u(frame_num % 16, 4)   # frame_num
+    if poc_lsb is not None:  # pic_order_cnt_type 0 stream (B GOPs)
+        w.u(poc_lsb % 256, 8)
     w.u(0, 1)                # num_ref_idx_active_override_flag
     w.u(0, 1)                # ref_pic_list_modification_flag_l0
-    w.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
+    if ref_idc:
+        w.u(0, 1)            # adaptive_ref_pic_marking_mode_flag
     w.se(0)                  # slice_qp_delta
     w.ue(1)                  # disable_deblocking_filter_idc: off
     skip_run = 0
@@ -2426,7 +2459,7 @@ def encode_p(
     if skip_run:
         w.ue(skip_run)  # trailing skipped MBs (7.3.4)
     w.rbsp_trailing()
-    return nal(1, w.tobytes(), ref_idc=2), (st.y, st.cb, st.cr)
+    return nal(1, w.tobytes(), ref_idc=ref_idc), (st.y, st.cb, st.cr)
 
 
 def _decode_p_inter_mb(
@@ -2510,6 +2543,8 @@ def decode_p(
         )
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
+    if sps.poc_type == 0:
+        r.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
     if r.u(1):
         raise NotImplementedError(
             "num_ref_idx_active_override unsupported (one reference)"
@@ -2554,11 +2589,277 @@ def decode_p(
     return st.y, st.cb, st.cr
 
 
-def decode_frame(
-    slice_nal: bytes, sps: Sps, init_qp: int, ref_planes=None
+def _bi_avg(a, b):
+    """Default (unweighted) bi-prediction, 8.4.2.3.1: rounded average
+    of the two list predictions, per sample."""
+    return [
+        [(x + y + 1) >> 1 for x, y in zip(ra, rb)]
+        for ra, rb in zip(a, b)
+    ]
+
+
+# B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14): which lists carry
+# a motion vector. B_Direct (0), partitions (4..21) and B_8x8 (22) are
+# outside the subset; intra mb_types arrive offset by 23.
+_B_LISTS = {1: (True, False), 2: (False, True), 3: (True, True)}
+
+
+def encode_b(
+    y: list[list[int]], cb: list[list[int]], cr: list[list[int]],
+    ref0: tuple, ref1: tuple, qp: int = 26, frame_num: int = 1,
+    poc_lsb: int = 1, mv_hint0: tuple[int, int] = (0, 0),
+    mv_hint1: tuple[int, int] = (0, 0), intra_mbs=frozenset(),
+    pred_mode: int = 2, chroma_mode: int = 0,
+) -> tuple[bytes, tuple]:
+    """Encode one B picture against ``ref0`` (the preceding anchor,
+    list 0) and ``ref1`` (the following anchor, list 1) — a
+    NON-REFERENCE picture (nal_ref_idc 0), so it never enters the DPB
+    and dec_ref_pic_marking is absent. Per MB the encoder evaluates the
+    best list-0 MV, the best list-1 MV and their default bi-prediction
+    average, and codes whichever SAD wins (B_L0_16x16 / B_L1_16x16 /
+    B_Bi_16x16); ``intra_mbs`` forces I_16x16 MBs (mb_type offset 23,
+    Table 7-14). B_Skip/B_Direct and B partitions are not emitted."""
+    height, width = len(y), len(y[0])
+    if width % 16 or height % 16:
+        raise NotImplementedError("dimensions must be multiples of 16")
+    st = _FrameState(width, height)
+    w = BitWriter()
+    w.ue(0)                  # first_mb_in_slice
+    w.ue(6)                  # slice_type: B (all slices in picture)
+    w.ue(0)                  # pps id
+    w.u(frame_num % 16, 4)   # frame_num
+    w.u(poc_lsb % 256, 8)    # pic_order_cnt_lsb (poc_type 0)
+    w.u(1, 1)                # direct_spatial_mv_pred_flag (unused: no
+    #                          direct-mode MBs are emitted)
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0: no dec_ref_pic_marking
+    w.se(0)                  # slice_qp_delta
+    w.ue(1)                  # disable_deblocking_filter_idc: off
+
+    def best_for(ref, hint, grid, bx0, by0):
+        # same two-stage search as encode_p: rank by the cheap
+        # subsampled integer SAD, fully interpolate only the two best
+        mvp = _mv_pred_part(st, bx0, by0, 4, 4, grid=grid)
+        cands = [mvp, (0, 0), hint]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            cands.append((hint[0] + dx, hint[1] + dy))
+        ranked = sorted(
+            dict.fromkeys(cands),
+            key=lambda c: _subsad16(y, ref[0], bx0 * 4, by0 * 4, c),
+        )
+        best = None
+        for cand in ranked[:2]:
+            pr = mc_luma(ref[0], bx0 * 4, by0 * 4, cand[0], cand[1])
+            sad = _sad16(y, pr, bx0 * 4, by0 * 4)
+            if best is None or sad < best[1]:
+                best = (cand, sad, pr)
+            if sad == 0:
+                break
+        return mvp, best
+
+    for mby in range(height // 16):
+        for mbx in range(width // 16):
+            w.ue(0)  # mb_skip_run: this writer never emits B_Skip
+            bx0, by0 = mbx * 4, mby * 4
+            if (mbx, mby) in intra_mbs:
+                _mv_paint(st, bx0, by0, 4, 4, None)
+                _mv_paint(st, bx0, by0, 4, 4, None, grid=st.mv4_l1)
+                _encode_mb(
+                    w, st, y, cb, cr, mbx, mby, qp, pred_mode,
+                    chroma_mode, mb_type_offset=23,
+                )
+                continue
+            mvp0, (mv0, sad0, p0) = best_for(ref0, mv_hint0, None,
+                                             bx0, by0)
+            mvp1, (mv1, sad1, p1) = best_for(ref1, mv_hint1, st.mv4_l1,
+                                             bx0, by0)
+            bi = _bi_avg(p0, p1)
+            sad_bi = _sad16(y, bi, mbx * 16, mby * 16)
+            mode = min(
+                ((sad_bi, 3), (sad0, 1), (sad1, 2)), key=lambda s: s
+            )[1]
+            use0, use1 = _B_LISTS[mode]
+            w.ue(mode)
+            if use0:
+                w.se(mv0[0] - mvp0[0])
+                w.se(mv0[1] - mvp0[1])
+            if use1:
+                w.se(mv1[0] - mvp1[0])
+                w.se(mv1[1] - mvp1[1])
+            _mv_paint(st, bx0, by0, 4, 4, mv0 if use0 else None)
+            _mv_paint(st, bx0, by0, 4, 4, mv1 if use1 else None,
+                      grid=st.mv4_l1)
+            if mode == 1:
+                pred_y = p0
+                pcb = mc_chroma(ref0[1], mbx * 8, mby * 8, *mv0)
+                pcr = mc_chroma(ref0[2], mbx * 8, mby * 8, *mv0)
+            elif mode == 2:
+                pred_y = p1
+                pcb = mc_chroma(ref1[1], mbx * 8, mby * 8, *mv1)
+                pcr = mc_chroma(ref1[2], mbx * 8, mby * 8, *mv1)
+            else:
+                pred_y = bi
+                pcb = _bi_avg(
+                    mc_chroma(ref0[1], mbx * 8, mby * 8, *mv0),
+                    mc_chroma(ref1[1], mbx * 8, mby * 8, *mv1),
+                )
+                pcr = _bi_avg(
+                    mc_chroma(ref0[2], mbx * 8, mby * 8, *mv0),
+                    mc_chroma(ref1[2], mbx * 8, mby * 8, *mv1),
+                )
+            levels, ch_data, cbp_c = _quantize_residual(
+                st, y, cb, cr, mbx, mby, qp, pred_y, pcb, pcr
+            )
+            _emit_inter_residual(
+                w, st, mbx, mby, qp, pred_y, levels, ch_data, cbp_c
+            )
+    w.rbsp_trailing()
+    return nal(1, w.tobytes(), ref_idc=0), (st.y, st.cb, st.cr)
+
+
+def decode_b(
+    slice_nal: bytes, sps: Sps, init_qp: int, ref0: tuple, ref1: tuple
 ) -> tuple:
-    """Dispatch one coded-slice NAL: IDR (type 5) decodes standalone;
-    a non-IDR P slice (type 1) requires ``ref_planes``."""
+    """Decode one B coded-slice NAL against its two anchors (list 0 =
+    preceding, list 1 = following in output order)."""
+    hdr = slice_nal[0]
+    if hdr & 0x1F != 1:
+        raise NotImplementedError(
+            f"NAL type {hdr & 0x1F} is not a non-IDR coded slice"
+        )
+    r = BitReader(ebsp_to_rbsp(slice_nal[1:]))
+    if r.ue() != 0:
+        raise NotImplementedError("multi-slice pictures unsupported")
+    st_type = r.ue()
+    if st_type % 5 != 1:
+        raise NotImplementedError(f"slice_type {st_type} is not B")
+    r.ue()  # pps id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    if sps.poc_type == 0:
+        r.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
+    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs in the subset)
+    if r.u(1):
+        raise NotImplementedError(
+            "num_ref_idx_active_override unsupported (one ref per list)"
+        )
+    if r.u(1) or r.u(1):
+        raise NotImplementedError("ref_pic_list_modification unsupported")
+    if (hdr >> 5) & 3:
+        raise NotImplementedError(
+            "reference B pictures unsupported (writer emits ref_idc 0)"
+        )
+    qp = init_qp + r.se()
+    idc = r.ue()
+    if idc != 1:
+        if idc in (0, 2):
+            r.se()
+            r.se()
+        raise NotImplementedError("in-loop deblocking unsupported")
+    st = _FrameState(sps.width, sps.height)
+    n_x = sps.width // 16
+    total_mbs = n_x * (sps.height // 16)
+    for idx in range(total_mbs):
+        run = r.ue()  # mb_skip_run
+        if run:
+            raise NotImplementedError(
+                "B_Skip uses direct-mode prediction: outside the subset"
+            )
+        mbx, mby = idx % n_x, idx // n_x
+        bx0, by0 = mbx * 4, mby * 4
+        mb_type = r.ue()
+        if mb_type >= 23:  # intra MB in a B slice (Table 7-14)
+            _mv_paint(st, bx0, by0, 4, 4, None)
+            _mv_paint(st, bx0, by0, 4, 4, None, grid=st.mv4_l1)
+            _decode_intra_mb(r, st, mbx, mby, qp, mb_type - 23)
+            continue
+        if mb_type not in _B_LISTS:
+            raise NotImplementedError(
+                f"B mb_type {mb_type}: direct mode / partitions are "
+                "outside the subset"
+            )
+        use0, use1 = _B_LISTS[mb_type]
+        mv0 = mv1 = None
+        if use0:
+            mvp = _mv_pred_part(st, bx0, by0, 4, 4)
+            mvd = (r.se(), r.se())
+            mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if use1:
+            mvp = _mv_pred_part(st, bx0, by0, 4, 4, grid=st.mv4_l1)
+            mvd = (r.se(), r.se())
+            mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        _mv_paint(st, bx0, by0, 4, 4, mv0)
+        _mv_paint(st, bx0, by0, 4, 4, mv1, grid=st.mv4_l1)
+        if use0 and use1:
+            pred_y = _bi_avg(
+                mc_luma(ref0[0], mbx * 16, mby * 16, *mv0),
+                mc_luma(ref1[0], mbx * 16, mby * 16, *mv1),
+            )
+            pcb = _bi_avg(
+                mc_chroma(ref0[1], mbx * 8, mby * 8, *mv0),
+                mc_chroma(ref1[1], mbx * 8, mby * 8, *mv1),
+            )
+            pcr = _bi_avg(
+                mc_chroma(ref0[2], mbx * 8, mby * 8, *mv0),
+                mc_chroma(ref1[2], mbx * 8, mby * 8, *mv1),
+            )
+        else:
+            ref, mv = (ref0, mv0) if use0 else (ref1, mv1)
+            pred_y = mc_luma(ref[0], mbx * 16, mby * 16, *mv)
+            pcb = mc_chroma(ref[1], mbx * 8, mby * 8, *mv)
+            pcr = mc_chroma(ref[2], mbx * 8, mby * 8, *mv)
+        code_num = r.ue()
+        if code_num >= len(CBP_INTER_ME):
+            raise ValueError(
+                f"bad inter coded_block_pattern codeNum {code_num}"
+            )
+        cbp = CBP_INTER_ME[code_num]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp and r.se() != 0:
+            raise NotImplementedError("mb_qp_delta != 0 unsupported")
+        gx0, gy0 = mbx * 4, mby * 4
+        levels = []
+        for blk in range(16):
+            bx, by = blk_xy(blk)
+            if (cbp_luma >> (blk >> 2)) & 1:
+                nc = st.nc_luma(gx0 + bx, gy0 + by)
+                flat, total = read_residual_block(r, 16, nc)
+                levels.append(_unzigzag(flat))
+            else:
+                total = 0
+                levels.append(None)
+            st.nnz_y[gy0 + by][gx0 + bx] = total
+        _apply_inter_recon(st, mbx, mby, pred_y, levels, qp)
+        _decode_chroma(
+            r, st, mbx, mby, chroma_qp(qp), 0, cbp_chroma,
+            mc_preds=(pcb, pcr),
+        )
+    return st.y, st.cb, st.cr
+
+
+def slice_kind(slice_nal: bytes, sps: Sps) -> str:
+    """Peek a coded slice's type: 'I', 'P' or 'B' (7.4.3)."""
+    ntype = slice_nal[0] & 0x1F
+    if ntype == 5:
+        return "I"
+    if ntype != 1:
+        raise NotImplementedError(f"NAL type {ntype} is not a coded slice")
+    r = BitReader(ebsp_to_rbsp(slice_nal[1:33]))
+    r.ue()  # first_mb_in_slice
+    return {0: "P", 1: "B", 2: "I"}.get(
+        r.ue() % 5, "?"
+    )
+
+
+def decode_frame(
+    slice_nal: bytes, sps: Sps, init_qp: int, ref_planes=None,
+    ref_next=None,
+) -> tuple:
+    """Dispatch one coded-slice NAL: IDR (type 5) decodes standalone; a
+    P slice requires ``ref_planes`` (the previous anchor); a B slice
+    additionally requires ``ref_next`` (the following anchor, list
+    1)."""
     ntype = slice_nal[0] & 0x1F
     if ntype == 5:
         return decode_idr(slice_nal, sps, init_qp)
@@ -2567,6 +2868,12 @@ def decode_frame(
             raise ValueError(
                 "non-IDR slice needs the previous decoded picture"
             )
+        if slice_kind(slice_nal, sps) == "B":
+            if ref_next is None:
+                raise ValueError(
+                    "B slice needs the following anchor picture too"
+                )
+            return decode_b(slice_nal, sps, init_qp, ref_planes, ref_next)
         return decode_p(slice_nal, sps, init_qp, ref_planes)
     raise NotImplementedError(f"NAL type {ntype} is not a coded slice")
 

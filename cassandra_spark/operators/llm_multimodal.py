@@ -725,6 +725,167 @@ def _h264_inter_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=cols)
 
 
+def _h264_bgop_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → one synthesized closed-B-GOP avc1 track (IDR / P
+    anchors with B pictures between same-GOP anchors and a
+    non-reference P before each later IDR), encoded → demuxed → EVERY
+    frame decoded (anchor-chained GOP replay; B frames take both
+    anchors) and compared byte-exact against the encoder's in-loop
+    reconstruction. The decode-vs-display reorder is asserted
+    structurally (mp4 ctts / mkv storage order)."""
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1_bgop,
+    )
+    from cassandra_spark.operators.mp4 import (
+        _yuv420_to_rgb,
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_avc1_bgop,
+    )
+
+    cols = ["doc_id", "n_frames", "n_sync", "n_b", "width", "height",
+            "err_bytes"]
+    for pdf in pdfs:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 7 + 2 * (d % 2)          # 7 or 9 display frames (odd)
+            idr_every = 2 + d % 2        # IDR every 2nd / 3rd anchor
+            w = h = 32
+            frames = [(
+                [[(x * 3 + yy * 7 + d * 11) % 256 for x in range(w)]
+                 for yy in range(h)],
+                [[(x * 5 + yy * 2 + d) % 256 for x in range(w // 2)]
+                 for yy in range(h // 2)],
+                [[(x + yy * 9 + d * 3) % 256 for x in range(w // 2)]
+                 for yy in range(h // 2)],
+            )]
+            dx, dy = 1 + d % 2, (d // 2) % 2
+            for k in range(1, n):
+                py, pcb, pcr = frames[-1]
+                frames.append((
+                    [[(py[max(0, yy - dy)][max(0, x - dx)]
+                       + (6 if (x + yy + k) % 5 == 0 else 0)) % 256
+                      for x in range(w)] for yy in range(h)],
+                    [[pcb[max(0, yy - dy)][max(0, x - dx)]
+                      for x in range(w // 2)] for yy in range(h // 2)],
+                    [[pcr[max(0, yy - dy)][max(0, x - dx)]
+                      for x in range(w // 2)] for yy in range(h // 2)],
+                ))
+            hints = [(4 * dx + d % 4, 4 * dy + (d // 4) % 4)] * n
+            err = 0
+            if d % 2 == 0:
+                payload, recons = encode_mp4_avc1_bgop(
+                    w, h, frames, fps=4, qp=17 + d % 9,
+                    idr_every=idr_every, mv_hints=hints,
+                    intra_mbs={((d // 8) % 2, (d // 16) % 2)},
+                )
+                st = demux_mp4(payload)
+                assert st.comp_offsets is not None, "B GOP must carry ctts"
+                assert st.display_order != list(range(n)), (
+                    "decode order must differ from display order"
+                )
+                assert sorted(st.display_order) == list(range(n))
+                n_sync = len(st.sync or [])
+                for i in range(len(st.frames)):
+                    got = decode_mp4_frame(st, i)
+                    want = _yuv420_to_rgb(*recons[i])
+                    if got != want:
+                        err += sum(
+                            1 for a, b in zip(got, want) if a != b
+                        ) + abs(len(got) - len(want))
+                from cassandra_spark.operators.h264 import (
+                    parse_avcc,
+                    slice_kind,
+                    split_avcc_sample,
+                )
+
+                sps, _ = parse_avcc(st.avcc)
+                n_b = sum(
+                    1 for i in range(len(st.frames))
+                    if slice_kind(
+                        split_avcc_sample(st.frames[i])[-1], sps
+                    ) == "B"
+                )
+            else:
+                payload, recons = encode_mkv_avc1_bgop(
+                    w, h, frames, fps=4, qp=17 + d % 9,
+                    idr_every=idr_every, mv_hints=hints,
+                )
+                st = demux_mkv(payload)
+                assert st.store_order is not None, (
+                    "reordered track must expose its storage order"
+                )
+                n_sync = sum(1 for k in (st.keyframe or []) if k)
+                for i in range(len(st.frames)):
+                    got = decode_mkv_frame(st, i)
+                    want = _yuv420_to_rgb(*recons[i])
+                    if got != want:
+                        err += sum(
+                            1 for a, b in zip(got, want) if a != b
+                        ) + abs(len(got) - len(want))
+                from cassandra_spark.operators.h264 import (
+                    parse_avcc,
+                    slice_kind,
+                    split_avcc_sample,
+                )
+
+                sps, _ = parse_avcc(st.codec_private)
+                n_b = sum(
+                    1 for f in st.frames
+                    if slice_kind(split_avcc_sample(f)[-1], sps) == "B"
+                )
+            rows.append(
+                (d, len(st.frames), n_sync, n_b, int(st.width),
+                 int(st.height), err)
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@query(
+    "l50_h264_b_gop",
+    oracle="""
+    SELECT doc_id,
+           CAST(7 + 2 * (doc_id % 2) AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_sync,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_b,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(0 AS BIGINT) AS err_bytes
+    FROM documents WHERE doc_id % 80 = 29
+    """,
+)
+def l50_h264_b_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 B-picture decode end-to-end (round 13 — the bidirectional
+    half of the inter gate): each selected doc synthesizes a moving
+    scene and encodes it as a CLOSED-B-GOP avc1 track — IDR/P anchors,
+    B_L0/B_L1/B_Bi 16x16 pictures between same-GOP anchors (default
+    averaging bi-prediction, non-reference, POC type 0 / Main profile),
+    and a non-reference P in the display slot before each later IDR (a
+    B may not reference across an IDR, whose arrival resets the DPB).
+    Decode order differs from display order: the MP4 track carries a
+    real ctts box (composition offsets; asserted non-identity) and the
+    Matroska track stores decode-ordered blocks under presentation
+    timestamps (store_order asserted). EVERY frame decodes byte-exact
+    against the encoder's in-loop reconstruction — anchors chain off
+    the previous anchor (never a B), B frames take both surrounding
+    anchors — and err_bytes must be 0 on every row. B_Skip/B_Direct and
+    B partitions remain honestly gated. One Arrow-batched mapInPandas
+    over doc_id-repartitioned keys."""
+    cat = Catalog(spark, sf_dir)
+    keys = (
+        cat.documents.filter(F.col("doc_id") % 80 == 29)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    return keys.mapInPandas(
+        _h264_bgop_batch,
+        "doc_id bigint, n_frames bigint, n_sync bigint, n_b bigint, "
+        "width int, height int, err_bytes bigint",
+    )
+
+
 @query(
     "l49_h264_inter_decode",
     oracle="""

@@ -41,6 +41,11 @@ class MkvStream:
     # avcC record) and the per-frame SimpleBlock keyframe flags
     codec_private: bytes | None = None
     keyframe: list[bool] | None = None
+    # storage (decode) order of the display-sorted ``frames`` (round-13
+    # B GOPs): store_order[j] = index into frames of the j-th STORED
+    # block. Matroska stores blocks in decode order with presentation
+    # timestamps; reordered video makes the two differ. None = identity.
+    store_order: list[int] | None = None
 
     @property
     def duration_ms(self) -> float:
@@ -248,6 +253,11 @@ def demux_mkv(data: bytes) -> MkvStream:
     if not frames:
         raise ValueError("video track has no frames")
     order = sorted(range(len(frames)), key=lambda i: stamps[i])
+    # storage position -> display index (inverse of the timeline sort):
+    # identity unless the track reorders (B pictures)
+    inv = [0] * len(order)
+    for disp, storage_i in enumerate(order):
+        inv[storage_i] = disp
     return MkvStream(
         width=video_track.get("width", 0),
         height=video_track.get("height", 0),
@@ -256,6 +266,7 @@ def demux_mkv(data: bytes) -> MkvStream:
         frames=[frames[i] for i in order],
         codec_private=video_track.get("codec_private"),
         keyframe=[keys[i] for i in order],
+        store_order=(None if inv == list(range(len(inv))) else inv),
     )
 
 
@@ -299,25 +310,45 @@ def decode_mkv_frame(stream: MkvStream, idx: int) -> bytes:
         def _is_key(i: int) -> bool:
             return stream.keyframe is None or bool(stream.keyframe[i])
 
-        # GOP replay (round 13): a non-keyframe (P) block decodes by
-        # chaining forward from the covering keyframe, each picture the
-        # next one's reference — a conforming player's seek behavior.
-        start = idx
-        while start > 0 and not _is_key(start):
-            start -= 1
-        if not _is_key(start):
+        # GOP replay (round 13): a non-keyframe block decodes by
+        # chaining forward from the covering keyframe IN STORAGE
+        # (decode) order — for reordered (B) tracks storage order is
+        # the decode order, which is why Matroska preserves it.
+        sord = stream.store_order or list(range(len(stream.frames)))
+        tpos = sord.index(idx)
+        spos = tpos
+        while spos > 0 and not _is_key(sord[spos]):
+            spos -= 1
+        if not _is_key(sord[spos]):
             raise ValueError("no keyframe at or before the requested frame")
+        walk = [sord[j] for j in range(spos, tpos + 1)]
+        from cassandra_spark.operators.h264 import decode_b, slice_kind
+
+        anchors: list = []  # the last two decoded ANCHOR (I/P) pictures
         planes = None
-        for i in range(start, idx + 1):
+        for i in walk:
             blk_planes = None
             for nal_unit in split_avcc_sample(
                 stream.frames[i], length_size
             ):
                 if nal_unit[0] & 0x1F in (6, 7, 8, 9):
                     continue
-                blk_planes = decode_frame(
-                    nal_unit, sps, pps["init_qp"], ref_planes=planes
-                )
+                if slice_kind(nal_unit, sps) == "B":
+                    if len(anchors) < 2:
+                        raise ValueError(
+                            "B block before two anchor pictures"
+                        )
+                    blk_planes = decode_b(
+                        nal_unit, sps, pps["init_qp"],
+                        anchors[-2], anchors[-1],
+                    )
+                else:
+                    blk_planes = decode_frame(
+                        nal_unit, sps, pps["init_qp"],
+                        ref_planes=(anchors[-1] if anchors else None),
+                    )
+                    if (nal_unit[0] >> 5) & 3:  # reference picture
+                        anchors = (anchors + [blk_planes])[-2:]
             if blk_planes is None:
                 raise ValueError(f"frame {i} carries no coded slice")
             planes = blk_planes
@@ -482,6 +513,125 @@ def encode_mkv_avc1(
         )
     segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)
     return header + segment, recons
+
+
+def encode_mkv_avc1_bgop(
+    width: int,
+    height: int,
+    frames_yuv: list[tuple],
+    fps: int = 10,
+    qp: int = 26,
+    idr_every: int = 4,
+    mv_hints: list[tuple] | None = None,
+    intra_mbs=frozenset(),
+) -> tuple[bytes, list[tuple]]:
+    """Round-13 B-GOP Matroska writer: ``frames_yuv`` in DISPLAY order
+    (A b A b ... — odd length), blocks stored in DECODE order with
+    their true PRESENTATION timestamps (non-monotonic storage order is
+    how Matroska carries reordered video), keyframe bit on IDR blocks
+    only, closed GOPs (the display slot before an IDR is a
+    non-reference P, never a cross-IDR B). Returns (container bytes,
+    reconstructions in DISPLAY order — matching the demuxed stream's
+    timeline-sorted ``frames``)."""
+    from cassandra_spark.operators.h264 import (
+        build_avcc,
+        encode_b,
+        encode_idr,
+        encode_p,
+        write_pps,
+        write_sps,
+    )
+
+    n = len(frames_yuv)
+    if n < 3 or n % 2 == 0:
+        raise ValueError(
+            "B-GOP pattern needs an odd frame count >= 3 (A b A ...)"
+        )
+    header = _elem(
+        EBML_MAGIC,
+        _elem(b"\x42\x82", b"matroska")
+        + _elem(b"\x42\x87", b"\x04")
+        + _elem(b"\x42\x85", b"\x02"),
+    )
+    info = _elem(
+        b"\x15\x49\xa9\x66",
+        _elem(b"\x2a\xd7\xb1", _uint_payload(1_000_000)),  # 1 ms ticks
+    )
+    avcc = build_avcc(
+        write_sps(width, height, num_ref_frames=2, poc_type=0),
+        write_pps(qp),
+    )
+    video = _elem(
+        b"\xe0",
+        _elem(b"\xb0", _uint_payload(width))
+        + _elem(b"\xba", _uint_payload(height)),
+    )
+    track = _elem(
+        b"\xae",
+        _elem(b"\xd7", b"\x01")
+        + _elem(b"\x73\xc5", b"\x01")
+        + _elem(b"\x83", b"\x01")
+        + _elem(b"\x86", AVC_CODEC_ID.encode("ascii"))
+        + _elem(b"\x63\xa2", avcc)
+        + video,
+    )
+    tracks = _elem(b"\x16\x54\xae\x6b", track)
+    frame_ms = max(1, 1000 // fps)
+    blocks = b""
+    recons: list[tuple] = []
+    prev_anchor: tuple | None = None
+
+    def emit(nal_bytes, recon, disp, keyframe):
+        nonlocal blocks
+        recons.append((disp, recon))
+        sample = struct.pack(">I", len(nal_bytes)) + nal_bytes
+        flags = b"\x80" if keyframe else b"\x00"
+        blocks += _elem(
+            b"\x1f\x43\xb6\x75",
+            _elem(b"\xe7", _uint_payload(disp * frame_ms))
+            + _elem(
+                b"\xa3", b"\x81" + struct.pack(">h", 0) + flags + sample
+            ),
+        )
+
+    for k, disp in enumerate(range(0, n, 2)):
+        y, cb, cr = frames_yuv[disp]
+        is_idr = k % idr_every == 0
+        if prev_anchor is not None and is_idr:
+            bdisp = disp - 1
+            pnal, precon = encode_p(
+                *frames_yuv[bdisp], prev_anchor, qp=qp,
+                frame_num=k % 16,
+                mv_hint=(mv_hints[bdisp] if mv_hints else (0, 0)),
+                poc_lsb=(2 * bdisp) % 256, ref_idc=0,
+            )
+            emit(pnal, precon, bdisp, False)
+        if is_idr:
+            nal_bytes, recon = encode_idr(
+                y, cb, cr, qp=qp, frame_num=0, idr_pic_id=k % 2,
+                poc_lsb=(2 * disp) % 256,
+            )
+        else:
+            nal_bytes, recon = encode_p(
+                y, cb, cr, prev_anchor, qp=qp, frame_num=k % 16,
+                mv_hint=(mv_hints[disp] if mv_hints else (0, 0)),
+                poc_lsb=(2 * disp) % 256,
+            )
+        emit(nal_bytes, recon, disp, is_idr)
+        if prev_anchor is not None and not is_idr:
+            bdisp = disp - 1
+            by, bcb, bcr = frames_yuv[bdisp]
+            bnal, brecon = encode_b(
+                by, bcb, bcr, prev_anchor, recon, qp=qp,
+                frame_num=k % 16, poc_lsb=(2 * bdisp) % 256,
+                mv_hint0=(mv_hints[bdisp] if mv_hints else (0, 0)),
+                mv_hint1=(0, 0),
+                intra_mbs=intra_mbs,
+            )
+            emit(bnal, brecon, bdisp, False)
+        prev_anchor = recon
+    segment = _elem(b"\x18\x53\x80\x67", info + tracks + blocks)
+    return header + segment, [r for _, r in sorted(recons)]
 
 
 def encode_mkv_mjpeg(

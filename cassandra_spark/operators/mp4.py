@@ -43,6 +43,10 @@ class Mp4Stream:
     # no stss box = every sample is a sync sample per ISO 14496-12)
     avcc: bytes | None = None
     sync: list[int] | None = None
+    # ctts composition offsets (round 13, B GOPs): per-sample ticks
+    # added to decode time to get composition (display) time; None =
+    # no ctts box = display order is decode order
+    comp_offsets: list[int] | None = None
 
     @property
     def duration_ms(self) -> float:
@@ -52,6 +56,21 @@ class Mp4Stream:
     def frame_ms(self) -> float:
         n = max(1, len(self.frames))
         return max(1.0, self.duration_ms / n)
+
+    @property
+    def display_order(self) -> list[int]:
+        """Sample indices sorted by composition time (decode time plus
+        the ctts offset): the order a player PRESENTS the samples in.
+        Identity when no ctts box exists."""
+        n = len(self.frames)
+        if self.comp_offsets is None:
+            return list(range(n))
+        dec = 0
+        comp = []
+        for i in range(n):
+            comp.append(dec + self.comp_offsets[i])
+            dec += self.durations[i] if i < len(self.durations) else 1
+        return sorted(range(n), key=lambda i: (comp[i], i))
 
 
 def _boxes(data: bytes, pos: int, end: int):
@@ -111,6 +130,16 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 found = _find(data, entry + 86, ee, b"avcC")
                 if found:
                     out["avcc"] = data[found[0] : found[1]]
+        elif fc == b"ctts":
+            _, pview = _fullbox(data, bb)
+            n = struct.unpack_from(">I", data, pview)[0]
+            offs: list[int] = []
+            for i in range(n):
+                cnt, off = struct.unpack_from(
+                    ">Ii", data, pview + 4 + 8 * i
+                )
+                offs.extend([off] * cnt)
+            out["comp_offsets"] = offs
         elif fc == b"stss":
             _, p = _fullbox(data, bb)
             n = struct.unpack_from(">I", data, p)[0]
@@ -246,6 +275,7 @@ def demux_mp4(data: bytes) -> Mp4Stream:
             frames=frames,
             avcc=info.get("avcc"),
             sync=info.get("sync"),
+            comp_offsets=info.get("comp_offsets"),
         )
     raise ValueError("no video track in container")
 
@@ -307,6 +337,8 @@ def _decode_avc_sample(stream: Mp4Stream, idx: int) -> tuple:
         split_avcc_sample,
     )
 
+    from cassandra_spark.operators.h264 import decode_b, slice_kind
+
     sps, pps = parse_avcc(stream.avcc)
     length_size = (stream.avcc[4] & 3) + 1
     start = idx
@@ -314,6 +346,7 @@ def _decode_avc_sample(stream: Mp4Stream, idx: int) -> tuple:
         start -= 1
     if not is_sync_sample(stream, start):
         raise ValueError("no sync sample at or before the requested frame")
+    anchors: list = []  # the last two decoded ANCHOR (I/P) pictures
     planes = None
     for i in range(start, idx + 1):
         sample_planes = None
@@ -321,9 +354,29 @@ def _decode_avc_sample(stream: Mp4Stream, idx: int) -> tuple:
             ntype = nal_unit[0] & 0x1F
             if ntype in (6, 7, 8, 9):  # SEI / SPS / PPS / AUD: skip
                 continue
-            sample_planes = decode_frame(
-                nal_unit, sps, pps["init_qp"], ref_planes=planes
-            )
+            kind = slice_kind(nal_unit, sps)
+            if kind == "B":
+                # a B sample references the last TWO anchors (both
+                # already decoded — the writer emits the following
+                # anchor before the B that points at it)
+                if len(anchors) < 2:
+                    raise ValueError(
+                        "B sample before two anchor pictures"
+                    )
+                sample_planes = decode_b(
+                    nal_unit, sps, pps["init_qp"],
+                    anchors[-2], anchors[-1],
+                )
+            else:
+                # anchors chain off the previous ANCHOR, never a B;
+                # a NON-REFERENCE P (ref_idc 0 — the closed-GOP slot
+                # before an IDR) decodes but never enters the DPB
+                sample_planes = decode_frame(
+                    nal_unit, sps, pps["init_qp"],
+                    ref_planes=(anchors[-1] if anchors else None),
+                )
+                if (nal_unit[0] >> 5) & 3:
+                    anchors = (anchors + [sample_planes])[-2:]
         if sample_planes is None:
             raise ValueError(f"sample {i} carries no coded slice")
         planes = sample_planes
@@ -446,6 +499,120 @@ def encode_mp4_avc1(
     )
     return (
         _single_track_mp4(width, height, samples, fps, b"avc1", entry, stss),
+        recons,
+    )
+
+
+def encode_mp4_avc1_bgop(
+    width: int,
+    height: int,
+    frames_yuv: list[tuple],
+    fps: int = 10,
+    qp: int = 26,
+    idr_every: int = 4,
+    mv_hints: list[tuple] | None = None,
+    intra_mbs=frozenset(),
+) -> tuple[bytes, list[tuple]]:
+    """Round-13 B-GOP avc1 writer: ``frames_yuv`` in DISPLAY order with
+    anchors at even positions and a B picture between each pair (the
+    display pattern A b A b A ... — the length must be odd so the track
+    ends on an anchor). Samples are stored in DECODE order (each
+    following anchor before the B that references it), composition
+    times travel in a ctts box, anchors are IDR every ``idr_every``-th
+    (P otherwise, referencing the previous anchor), and B pictures are
+    non-reference (B_L0/B_L1/B_Bi 16x16). Returns (container bytes,
+    reconstructions in SAMPLE order) — use the demuxed stream's
+    ``display_order`` to map presentation positions back to samples."""
+    from cassandra_spark.operators.h264 import (
+        build_avcc,
+        encode_b,
+        encode_idr,
+        encode_p,
+        write_pps,
+        write_sps,
+    )
+
+    n = len(frames_yuv)
+    if n < 3 or n % 2 == 0:
+        raise ValueError(
+            "B-GOP pattern needs an odd frame count >= 3 (A b A ...)"
+        )
+    samples: list[bytes] = []
+    recons: list[tuple] = []
+    sync_nums: list[int] = []
+    ctts: list[int] = []          # composition offset per sample, ticks
+    prev_anchor: tuple | None = None
+
+    def emit(nal_bytes, recon, disp):
+        samples.append(struct.pack(">I", len(nal_bytes)) + nal_bytes)
+        recons.append(recon)
+        ctts.append(disp - (len(samples) - 1))
+
+    for k, disp in enumerate(range(0, n, 2)):
+        y, cb, cr = frames_yuv[disp]
+        is_idr = k % idr_every == 0
+        if prev_anchor is not None and is_idr:
+            # CLOSED GOPs: an IDR resets the DPB, so the display slot
+            # before it cannot be a B referencing across it — code it
+            # as a NON-REFERENCE P on the previous anchor instead,
+            # in decode order before the IDR (it also displays first)
+            bdisp = disp - 1
+            pnal, precon = encode_p(
+                *frames_yuv[bdisp], prev_anchor, qp=qp,
+                frame_num=k % 16,
+                mv_hint=(mv_hints[bdisp] if mv_hints else (0, 0)),
+                poc_lsb=(2 * bdisp) % 256, ref_idc=0,
+            )
+            emit(pnal, precon, bdisp)
+        if is_idr:
+            nal_bytes, recon = encode_idr(
+                y, cb, cr, qp=qp, frame_num=0, idr_pic_id=k % 2,
+                poc_lsb=(2 * disp) % 256,
+            )
+            sync_nums.append(len(samples) + 1)
+        else:
+            nal_bytes, recon = encode_p(
+                y, cb, cr, prev_anchor, qp=qp, frame_num=k % 16,
+                mv_hint=(mv_hints[disp] if mv_hints else (0, 0)),
+                poc_lsb=(2 * disp) % 256,
+            )
+        emit(nal_bytes, recon, disp)
+        if prev_anchor is not None and not is_idr:
+            bdisp = disp - 1
+            by, bcb, bcr = frames_yuv[bdisp]
+            bnal, brecon = encode_b(
+                by, bcb, bcr, prev_anchor, recon, qp=qp,
+                frame_num=k % 16, poc_lsb=(2 * bdisp) % 256,
+                mv_hint0=(mv_hints[bdisp] if mv_hints else (0, 0)),
+                mv_hint1=(0, 0),
+                intra_mbs=intra_mbs,
+            )
+            emit(bnal, brecon, bdisp)
+        prev_anchor = recon
+    avcc = build_avcc(
+        write_sps(width, height, num_ref_frames=2, poc_type=0),
+        write_pps(qp),
+    )
+    entry = _video_sample_entry(width, height) + _box(b"avcC", avcc)
+    stss = _full(
+        b"stss", 0, 0,
+        struct.pack(">I", len(sync_nums))
+        + b"".join(struct.pack(">I", s) for s in sync_nums),
+    )
+    timescale = 1000
+    delta = max(1, timescale // fps)
+    shift = -min(ctts)  # ctts v0 offsets are unsigned: shift to >= 0
+    ctts_box = _full(
+        b"ctts", 0, 0,
+        struct.pack(">I", len(ctts))
+        + b"".join(
+            struct.pack(">II", 1, (off + shift) * delta) for off in ctts
+        ),
+    )
+    return (
+        _single_track_mp4(
+            width, height, samples, fps, b"avc1", entry, stss + ctts_box
+        ),
         recons,
     )
 

@@ -443,3 +443,132 @@ def test_p_8x8_invalid_sub_mb_type_rejected():
     w.rbsp_trailing()
     with pytest.raises(ValueError, match="sub_mb_type"):
         decode_p(nal(1, w.tobytes(), ref_idc=2), sps, 26, ref)
+
+
+def test_b_slice_roundtrip_all_modes():
+    """B pictures (round 13): B_L0 / B_L1 / B_Bi 16x16 with default
+    (averaging) bi-prediction, list-1 MV prediction over its own grid,
+    intra-in-B (mb_type offset 23), POC type 0 headers. Byte-exact
+    encoder/decoder agreement across qp."""
+    from cassandra_spark.operators.h264 import decode_b, encode_b
+
+    sps = parse_sps(write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    assert sps.poc_type == 0
+    y0, cb0, cr0 = _synth(48, 32, 3)
+    _, r0 = encode_idr(y0, cb0, cr0, qp=22, poc_lsb=0)
+    y2 = _shift_noise(r0[0], 4, 2, noise=6)
+    _, r2 = encode_p(
+        y2, _shift_noise(r0[1], 2, 1), _shift_noise(r0[2], 2, 1), r0,
+        qp=22, frame_num=1, mv_hint=(16, 8), poc_lsb=4,
+    )
+    y1 = _shift_noise(r0[0], 2, 1, noise=5)
+    for qp in (16, 24, 34):
+        nal_b, rb = encode_b(
+            y1, _shift_noise(r0[1], 1, 0), _shift_noise(r0[2], 1, 0),
+            r0, r2, qp=qp, frame_num=2, poc_lsb=2,
+            mv_hint0=(8, 4), mv_hint1=(-8, -4),
+            intra_mbs={(1, 1)} if qp == 24 else frozenset(),
+        )
+        assert (nal_b[0] >> 5) & 3 == 0  # non-reference picture
+        assert decode_b(nal_b, sps, qp, r0, r2) == rb, qp
+    # decode_frame dispatch: a B slice without both anchors is an error
+    from cassandra_spark.operators.h264 import decode_frame, slice_kind
+
+    nal_b, _ = encode_b(y1, r0[1], r0[2], r0, r2, qp=24, poc_lsb=2)
+    assert slice_kind(nal_b, sps) == "B"
+    with pytest.raises(ValueError, match="following anchor"):
+        decode_frame(nal_b, sps, 24, ref_planes=r0)
+    assert decode_frame(nal_b, sps, 24, ref_planes=r0, ref_next=r2)
+
+
+def test_b_skip_and_direct_are_gated():
+    from cassandra_spark.operators.h264 import decode_b
+
+    sps = parse_sps(write_sps(16, 16, num_ref_frames=2, poc_type=0))
+    y, cb, cr = _synth(16, 16, 1)
+    _, ref = encode_idr(y, cb, cr, qp=26, poc_lsb=0)
+
+    def b_header(w):
+        w.ue(0)        # first_mb_in_slice
+        w.ue(6)        # slice_type B
+        w.ue(0)        # pps
+        w.u(1, 4)      # frame_num
+        w.u(2, 8)      # pic_order_cnt_lsb
+        w.u(1, 1)      # direct_spatial_mv_pred_flag
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+        w.ue(1)        # deblocking off
+
+    w = BitWriter()
+    b_header(w)
+    w.ue(1)            # mb_skip_run = 1 -> B_Skip (direct prediction)
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="B_Skip"):
+        decode_b(nal(1, w.tobytes(), ref_idc=0), sps, 26, ref, ref)
+    w = BitWriter()
+    b_header(w)
+    w.ue(0)            # mb_skip_run
+    w.ue(0)            # mb_type B_Direct_16x16
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="direct mode"):
+        decode_b(nal(1, w.tobytes(), ref_idc=0), sps, 26, ref, ref)
+
+
+def test_bgop_containers_roundtrip_and_reordering():
+    """Closed B GOPs in both containers: decode order differs from
+    display order (mp4 ctts / mkv presentation timestamps), every
+    sample decodes byte-exact incl. seeks straight to B frames, and the
+    slot before each IDR is a NON-reference P (closed GOP — a B may
+    not reference across an IDR, whose arrival resets the DPB)."""
+    from cassandra_spark.operators.h264 import parse_avcc, slice_kind, split_avcc_sample
+    from cassandra_spark.operators.mkv import (
+        decode_mkv_frame,
+        demux_mkv,
+        encode_mkv_avc1_bgop,
+    )
+    from cassandra_spark.operators.mp4 import (
+        _yuv420_to_rgb,
+        decode_mp4_frame,
+        demux_mp4,
+        encode_mp4_avc1_bgop,
+        is_sync_sample,
+    )
+
+    base = _synth(32, 32, 4)
+    frames = [base]
+    for k in range(1, 9):
+        frames.append((
+            _shift_noise(frames[-1][0], 1, 1, noise=6, step=4),
+            _shift_noise(frames[-1][1], 1, 0),
+            _shift_noise(frames[-1][2], 0, 1),
+        ))
+    payload, recons = encode_mp4_avc1_bgop(
+        32, 32, frames, fps=4, qp=21, idr_every=2,
+        mv_hints=[(4, 2)] * 9, intra_mbs={(0, 1)},
+    )
+    st = demux_mp4(payload)
+    assert st.comp_offsets is not None
+    assert st.display_order == [0, 2, 1, 3, 4, 6, 5, 7, 8]
+    assert [i for i in range(9) if is_sync_sample(st, i)] == [0, 4, 8]
+    sps, _ = parse_avcc(st.avcc)
+    kinds = [
+        slice_kind(split_avcc_sample(st.frames[i])[-1], sps)
+        for i in range(9)
+    ]
+    assert kinds == ["I", "P", "B", "P", "I", "P", "B", "P", "I"]
+    # the pre-IDR P samples are non-reference
+    for i in (3, 7):
+        assert (split_avcc_sample(st.frames[i])[-1][0] >> 5) & 3 == 0
+    for i in range(9):
+        assert decode_mp4_frame(st, i) == _yuv420_to_rgb(*recons[i]), i
+
+    payload, recons = encode_mkv_avc1_bgop(
+        32, 32, frames, fps=4, qp=21, idr_every=3, mv_hints=[(4, 2)] * 9,
+    )
+    st = demux_mkv(payload)
+    assert st.store_order is not None
+    assert st.timestamps_ms == sorted(st.timestamps_ms)  # display order
+    for i in range(9):
+        assert decode_mkv_frame(st, i) == _yuv420_to_rgb(*recons[i]), i
