@@ -1089,11 +1089,34 @@ def cql_select(
         # processPartitionKeyRestrictions, unverified]`)
         pk_set = set(meta.partition_key)
         pk_restricted = restricted & pk_set
+        # EXCEPT: an indexed COMPONENT of a composite partition key
+        # admits a lone equality restriction without ALLOW FILTERING
+        # (the reference's 2i-on-partition-component rule — indexable
+        # since the key is composite; a range still filters)
+        _idx2i = set(getattr(meta, "indexed", ()))
+        pk_index_served = (
+            len(pk_set) > 1
+            and bool(pk_restricted)
+            and pk_restricted <= _idx2i
+            and all(
+                re.search(
+                    rf"\b{re.escape(c)}(?!\w)\s*=[^=]", where_text,
+                    re.IGNORECASE,
+                )
+                and not re.search(
+                    rf"\b{re.escape(c)}(?!\w)\s*"
+                    rf"(<|>|LIKE\b|BETWEEN\b|CONTAINS\b|IN\b)",
+                    where_text, re.IGNORECASE,
+                )
+                for c in pk_restricted
+            )
+        )
         if (
             pk_restricted
             and not pk_set <= restricted
             and not uses_token
             and not s.allow_filtering
+            and not pk_index_served
         ):
             raise CQLError(
                 "Cannot execute this query: the partition key is only "
@@ -1141,7 +1164,10 @@ def cql_select(
         # partition key unless token() reframes it or ALLOW FILTERING
         # makes the scan explicit (`[C* cql3/restrictions/
         # PartitionKeyRestrictions, unverified]`)
-        if pk_restricted and not uses_token and not s.allow_filtering:
+        if (
+            pk_restricted and not uses_token and not s.allow_filtering
+            and not pk_index_served
+        ):
             pk_kinds = set()
             for c in pk_restricted:
                 pk_kinds |= _restrictions(c)

@@ -1403,7 +1403,28 @@ class CqlSession:
                 self.sai_similarity.setdefault(tname, {})[col] = fn
             return
         if col in s.partition_cols:
-            raise CQLError(f"cannot index partition key column {col!r}")
+            # a COMPONENT of a composite partition key is indexable
+            # (`[C* cql3/statements/CreateIndexStatement — rejects only
+            # the sole partition-key column, unverified]`); the gate
+            # then admits a lone equality restriction on it without
+            # ALLOW FILTERING. Only the plain-2i kind, like the
+            # reference's 2i-on-key support.
+            if len(s.partition_cols) == 1:
+                raise CQLError(
+                    f"cannot create secondary index on the only "
+                    f"partition key column {col!r}"
+                )
+            if kind:
+                raise CQLError(
+                    "partition-key component indexes take a plain "
+                    "column target"
+                )
+            name = (m.group("name") or f"{s.name}_{col}_idx").lower()
+            if name in self.index_names:
+                raise CQLError(f"index {name!r} already exists")
+            self.indexes.setdefault(tname, set()).add(col)
+            self.index_names[name] = (tname, col, "values")
+            return
         if (
             col not in s.regular
             and col not in s.static

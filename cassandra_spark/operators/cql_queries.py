@@ -2774,3 +2774,68 @@ def cql54_network_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt.filter(F.col("role") != "chief")
         .select("role", F.explode("dcs").alias("dc"))
     )
+
+
+@query(
+    "cql55_pk_component_index",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS INTEGER), CAST(1 AS INTEGER), 10),
+      (1, 2, 50), (2, 1, 20)
+    ) AS t(bucket, ck, v)
+    """,
+)
+def cql55_pk_component_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index on a composite partition-key COMPONENT (`[C*
+    cql3/statements/CreateIndexStatement — rejects only the sole
+    partition-key column, unverified]`, round 13): an indexed component
+    admits a LONE equality restriction without ALLOW FILTERING (the
+    partial-partition gate's one exception), while a range on the same
+    component still demands filtering, the sole-column case stays
+    rejected with the reference's message, and custom index classes
+    still refuse partition components — all asserted in-body. The
+    literal oracle pins the index-served read."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE pkx (region text, bucket int, ck int, v int, "
+        "PRIMARY KEY ((region, bucket), ck))"
+    )
+    for region, bucket, ck, v in [
+        ("eu", 1, 1, 10), ("eu", 2, 1, 20), ("us", 1, 1, 30),
+        ("us", 2, 1, 40), ("eu", 1, 2, 50),
+    ]:
+        sess.execute(
+            f"INSERT INTO pkx (region, bucket, ck, v) VALUES "
+            f"('{region}', {bucket}, {ck}, {v})"
+        )
+    # unindexed partial partition restriction: gated
+    try:
+        sess.execute("SELECT v FROM pkx WHERE region = 'eu'")
+        raise AssertionError("partial pk restriction must be gated")
+    except CQLError as exc:
+        assert "partially restricted" in str(exc), exc
+    sess.execute("CREATE INDEX ON pkx (region)")
+    # range on the indexed component: still gated (2i is equality-only)
+    try:
+        sess.execute("SELECT v FROM pkx WHERE region > 'a'")
+        raise AssertionError("component range must still demand filtering")
+    except CQLError:
+        pass
+    # the sole partition key of a non-composite table stays unindexable
+    sess.execute("CREATE TABLE pkx_solo (pk int PRIMARY KEY, v int)")
+    try:
+        sess.execute("CREATE INDEX ON pkx_solo (pk)")
+        raise AssertionError("sole pk column must stay unindexable")
+    except CQLError as exc:
+        assert "only" in str(exc), exc
+    try:
+        sess.execute(
+            "CREATE CUSTOM INDEX ON pkx (bucket) "
+            "USING 'StorageAttachedIndex'"
+        )
+        raise AssertionError("custom classes must refuse pk components")
+    except CQLError:
+        pass
+    return sess.execute(
+        "SELECT bucket, ck, v FROM pkx WHERE region = 'eu'"
+    )
