@@ -357,6 +357,41 @@ def struct_json(tok: str, typ: str) -> str | None:
     return _json.dumps(out, separators=(",", ":"), ensure_ascii=False)
 
 
+def udt_field_cells(
+    tok: str, typ: str
+) -> list[tuple[str, str | None]] | None:
+    """Non-frozen-UDT literal → per-FIELD canonical cell values, in
+    declared field order: [(field, value-or-None), ...] with None for
+    fields absent from (or null in) the literal. A NULL literal returns
+    None (whole-column tombstone). Scalar fields store their canonical
+    literal text (the cell convention); nested frozen struct fields
+    store canonical JSON."""
+    fields = parse_struct_type(typ)
+    assert fields is not None
+    tok = tok.strip()
+    if re.fullmatch(r"NULL", tok, re.IGNORECASE):
+        return None
+    if not (tok.startswith("{") and tok.endswith("}")):
+        raise CQLError(f"bad UDT literal for {typ!r}: {tok!r}")
+    declared = dict(fields)
+    seen: dict[str, str | None] = {}
+    body = tok[1:-1].strip()
+    for item in _split_csv(body) if body else []:
+        k, v = _split_colon(item)
+        name = k.strip().lower()
+        if name not in declared:
+            raise CQLError(f"unknown struct field {name!r} in {tok!r}")
+        ftype = declared[name]
+        v = v.strip()
+        if parse_struct_type(ftype) is not None:
+            seen[name] = struct_json(v, ftype)
+        elif is_coll_type(ftype):
+            seen[name] = coll_json(v, ftype)
+        else:
+            seen[name] = _parse_literal(v)
+    return [(name, seen.get(name)) for name, _ in fields]
+
+
 def _coll_pyval(tok: str, typ: str):
     """CQL literal text → the Python value ``json.dumps`` renders exactly
     as Spark's ``to_json`` would for the Spark type ``typ``. Recursive
@@ -551,6 +586,13 @@ class TableSchema:
     # on-disk sort the reference serves unordered reads in, and the
     # reference's ORDER BY validation baseline)
     clustering_desc: tuple[str, ...] = ()
+    # NON-FROZEN UDT columns (round 13; `[C* cql3/CQL3Type — bare UDT
+    # spellings are multi-cell since 3.6, frozen<udt> is the single-cell
+    # form, unverified]`): each field is its own cell (elem = field
+    # name), merged per-field LWW at read; `SET u.f = v` writes one
+    # field, `SET u = {..}` replaces (tombstone at ts-1 + field cells),
+    # the reference's visible semantics.
+    nonfrozen: set = field(default_factory=set)
     # Dropped-column registry (`[C* schema/DroppedColumn +
     # db/rows/Row::filter — CASSANDRA-3919 lineage, unverified]`,
     # mirrored as system_schema.dropped_columns): col ->
@@ -1245,6 +1287,13 @@ class CqlTable:
             return typ
         return None
 
+    def _nonfrozen_type_of(self, col: str) -> str | None:
+        """Declared struct type of a NON-FROZEN UDT regular column."""
+        s = self.schema
+        if col in s.nonfrozen:
+            return s.regular.get(col)
+        return None
+
     def _coll_elem_types(self, col: str) -> tuple[str | None, str | None]:
         """(elem_type, val_type) for _parse_value: the declared element
         type of a list/set column, or the VALUE type of a map column
@@ -1262,6 +1311,9 @@ class CqlTable:
         tuple / duration literals (→ one canonical-JSON scalar cell);
         collections with struct element/value types canonicalize each
         item through struct_json; everything else parses type-blind."""
+        nf = self._nonfrozen_type_of(col)
+        if nf is not None:
+            return "udt", udt_field_cells(tok, nf)
         styp = self._struct_type_of(col)
         if styp is not None:
             return "scalar", struct_json(tok, styp)
@@ -1408,6 +1460,12 @@ class CqlTable:
         return bool(cols) and all(c in s.static for c in cols)
 
     def _eval_cond(self, cond: str, pk: str | None, ck) -> bool:
+        for c in self.schema.nonfrozen:
+            if re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE):
+                raise CQLError(
+                    f"IF conditions on non-frozen UDT column {c!r} are "
+                    "not supported (use a frozen<> column)"
+                )
         cond = cond.strip()
         if re.fullmatch(r"NOT\s+EXISTS", cond, re.IGNORECASE):
             return self._row_state(pk, ck) is None
@@ -1762,6 +1820,16 @@ class CqlTable:
                 else:
                     self._emit(pk, None, c, None, CELL_TOMB, ts, None)
                 continue
+            if parsed[0] == "udt":  # non-frozen UDT: replace semantics
+                cells = parsed[1]
+                if cells is None:
+                    self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
+                    continue
+                self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
+                for fname, v in cells:
+                    if v is not None:
+                        self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=fname)
+                continue
             coll = s.coll_regular.get(c)
             if coll is not None:
                 pkind, items = parsed
@@ -1839,6 +1907,33 @@ class CqlTable:
     def _apply_assignment(self, assign: str, pk, ckj, ts, ttl) -> None:
         s = self.schema
         assign = assign.strip()
+
+        fm = re.fullmatch(r"(\w+)\.(\w+)\s*=\s*(.+)", assign, re.DOTALL)
+        if fm:  # u.field = v : one field cell of a non-frozen UDT
+            c = fm.group(1).lower()
+            nf = self._nonfrozen_type_of(c)
+            if nf is None:
+                raise CQLError(
+                    f"per-field assignment needs a non-frozen UDT "
+                    f"column: {assign!r} (frozen UDTs are set whole)"
+                )
+            fields = dict(parse_struct_type(nf))
+            fname = fm.group(2).lower()
+            if fname not in fields:
+                raise CQLError(f"unknown field {fname!r} of {c!r}")
+            ftype = fields[fname]
+            tok = fm.group(3).strip()
+            if parse_struct_type(ftype) is not None:
+                v = struct_json(tok, ftype)
+            elif is_coll_type(ftype):
+                v = coll_json(tok, ftype)
+            else:
+                v = _parse_literal(tok)
+            if v is not None:
+                self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=fname)
+            else:
+                self._emit(pk, ckj, c, None, CELL_TOMB, ts, None, elem=fname)
+            return
 
         im = self._IDX_SET_RE.match(assign)
         if im:  # m[k] = v (map put) / l[i] = v (list index write) / NULL delete
@@ -1948,6 +2043,17 @@ class CqlTable:
             self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
             self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
             return
+        nf = self._nonfrozen_type_of(c)
+        if nf is not None:  # non-frozen UDT: replace semantics
+            cells = udt_field_cells(am.group(2), nf)
+            if cells is None:
+                self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
+                return
+            self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
+            for fname, v in cells:
+                if v is not None:
+                    self._emit(pk, ckj, c, v, CELL, ts, ttl, elem=fname)
+            return
         styp = self._struct_type_of(c)
         if styp is not None:
             v = struct_json(am.group(2), styp)
@@ -1963,7 +2069,9 @@ class CqlTable:
         else:
             self._emit(pk, ckj, c, None, CELL_TOMB, ts, None)
 
-    _DEL_COL_RE = re.compile(r"^(\w+)(?:\s*\[\s*(.+?)\s*\])?$", re.DOTALL)
+    _DEL_COL_RE = re.compile(
+        r"^(\w+)(?:\s*\[\s*(.+?)\s*\]|\.(\w+))?$", re.DOTALL
+    )
 
     def _delete(self, m: re.Match, default_ts: int) -> None:
         self._check_table(m.group("table"))
@@ -1995,6 +2103,23 @@ class CqlTable:
                     raise CQLError(f"bad DELETE column: {item!r}")
                 c = cm.group(1).lower()
                 elem_tok = cm.group(2)
+                fname = cm.group(3)
+                if fname is not None:  # DELETE u.field: one field cell
+                    nf = self._nonfrozen_type_of(c)
+                    if nf is None:
+                        raise CQLError(
+                            f"field DELETE needs a non-frozen UDT "
+                            f"column: {item!r}"
+                        )
+                    fname = fname.lower()
+                    if fname not in dict(parse_struct_type(nf)):
+                        raise CQLError(
+                            f"unknown field {fname!r} of {c!r}"
+                        )
+                    self._emit(
+                        pk, ckj, c, None, CELL_TOMB, ts, None, elem=fname
+                    )
+                    continue
                 if c in s.static:
                     if elem_tok:
                         raise CQLError("static columns are scalar")
@@ -4051,6 +4176,14 @@ class CqlTable:
 
         aggs = []
         for c, typ in s.scalar_regular.items():
+            if c in s.nonfrozen:
+                # multi-cell UDT: aggregated with the collections below;
+                # writetime() of a multi-cell column is not a single
+                # value (the reference errors pre-4.1) — shadow NULL
+                aggs.append(
+                    F.lit(None).cast("long").alias(f"__writetime_{c}")
+                )
+                continue
             cell_val = F.when(F.col("col") == c, F.col("val"))
             cell_wt = F.when(F.col("col") == c, F.col("writetime"))
             if parse_struct_type(typ) is not None:
@@ -4106,6 +4239,36 @@ class CqlTable:
             # MAXWRITETIME shadow (`[C* CASSANDRA-17425 — 4.1, unverified]`):
             # for a multi-cell column the selector reads the max LIVE
             # element-cell writetime; null when the collection is null
+            aggs.append(
+                F.max(F.when(F.col("col") == c, F.col("writetime")))
+                .alias(f"__maxwritetime_{c}")
+            )
+        for c in sorted(s.nonfrozen):
+            # NON-FROZEN UDT (round 13): field cells (elem = the field
+            # name) merged per-field LWW upstream exactly like map
+            # entries; the struct materializes from the field map. A
+            # column with NO live field cells is null (the multi-cell
+            # rule); declared fields missing from the map read as NULL.
+            # The identical collect_list aggregates below deduplicate in
+            # the physical plan, so the per-field repetition costs one
+            # aggregation.
+            fields = parse_struct_type(s.regular[c])
+            m_sql = (
+                f"map_from_entries(collect_list(CASE WHEN col = '{c}' "
+                f"THEN struct(elem, val) END))"
+            )
+            field_sql = ", ".join(
+                "'{fn}', {expr}".format(
+                    fn=fn, expr=_cell_expr(f"{m_sql}['{fn}']", ftype)
+                )
+                for fn, ftype in fields
+            )
+            aggs.append(
+                F.expr(
+                    f"CASE WHEN size({m_sql}) > 0 THEN "
+                    f"named_struct({field_sql}) END"
+                ).alias(c)
+            )
             aggs.append(
                 F.max(F.when(F.col("col") == c, F.col("writetime")))
                 .alias(f"__maxwritetime_{c}")
@@ -4172,7 +4335,10 @@ class CqlTable:
 
         out_cols += [F.col(f"__writetime_{c}") for c in s.scalar_regular]
         out_cols += [F.col(f"__writetime_{c}") for c in s.static]
-        out_cols += [F.col(f"__maxwritetime_{c}") for c in s.coll_regular]
+        out_cols += [
+            F.col(f"__maxwritetime_{c}")
+            for c in (*s.coll_regular, *sorted(s.nonfrozen))
+        ]
         return wide.select(*out_cols).orderBy(
             *s.partition_cols, *s.clustering
         )
@@ -4277,5 +4443,8 @@ class CqlTable:
         if not s.counter:
             fields += [f"__writetime_{c} long" for c in s.scalar_regular]
             fields += [f"__writetime_{c} long" for c in s.static]
-            fields += [f"__maxwritetime_{c} long" for c in s.coll_regular]
+            fields += [
+                f"__maxwritetime_{c} long"
+                for c in (*s.coll_regular, *sorted(s.nonfrozen))
+            ]
         return self.spark.createDataFrame([], ", ".join(fields))

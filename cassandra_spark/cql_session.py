@@ -321,11 +321,22 @@ def parse_create_table(
             raise CQLError(f"key column {c!r} cannot be a UDT/tuple/duration")
     regular = {}
     static = {}
+    nonfrozen: set[str] = set()
     counter_cols = 0
     for c, t in cols.items():
         if c in pk_cols or c in clustering:
             continue
         mapped = _map_type(t, udts)
+        # a BARE UDT spelling is the multi-cell (non-frozen) form since
+        # 3.6; frozen<udt> keeps the single-cell JSON convention. Tuples
+        # and durations are always frozen; statics stay single-cell
+        # (pinned simplification — the per-field path is row-scoped).
+        if (
+            udts
+            and t.strip().lower() in udts
+            and c not in statics
+        ):
+            nonfrozen.add(c)
         coll_p = (
             parse_coll_type(mapped)
             if re.match(r"^\s*(list|set|map)\s*<", mapped, re.IGNORECASE)
@@ -372,6 +383,7 @@ def parse_create_table(
         partition_cols=pk_cols,
         clustering=clustering,
         regular=regular,
+        nonfrozen=nonfrozen,
         counter=bool(counter_cols),
         static=static,
         key_types=key_types,
@@ -2077,11 +2089,14 @@ class CqlSession:
                 s.static[col] = mapped
             else:
                 s.regular[col] = mapped
+                if m.group("addtype").strip().lower() in self.types:
+                    s.nonfrozen.add(col)  # bare UDT: multi-cell form
             return
         col = m.group("dropcol").lower()
         if col in s.key_cols:
             raise CQLError(f"cannot drop primary key column {col!r}")
         was_static = col in s.static
+        s.nonfrozen.discard(col)
         if col in s.regular:
             typ = s.regular.pop(col)
         elif col in s.static:
@@ -3790,6 +3805,7 @@ class CqlSession:
                     "gc_grace_seconds": s.gc_grace_seconds,
                     "comment": s.comment,
                     "dropped": s.dropped,
+                    "nonfrozen": sorted(s.nonfrozen),
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3942,6 +3958,7 @@ class CqlSession:
                         k: list(v)
                         for k, v in sch.get("dropped", {}).items()
                     },
+                    nonfrozen=set(sch.get("nonfrozen", ())),
                 ),
                 keyspace=target_ks,
             )

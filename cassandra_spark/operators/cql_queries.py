@@ -2839,3 +2839,75 @@ def cql55_pk_component_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.execute(
         "SELECT bucket, ck, v FROM pkx WHERE region = 'eu'"
     )
+
+
+@query(
+    "cql56_nonfrozen_udt",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'new st', CAST(11 AS INTEGER), 'f st'),
+      (CAST(2 AS BIGINT), 'b st', CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR))
+    ) AS t(id, street, zip, fstreet)
+    """,
+)
+def cql56_nonfrozen_udt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-frozen UDT columns end-to-end (`[C* cql3/CQL3Type — bare UDT
+    spellings are multi-cell since 3.6, unverified]`, round 13): each
+    field is its own cell merged per-field LWW, so ``SET u.f = v``
+    updates one field while siblings survive, ``DELETE u.f`` removes
+    one field, a FULL assignment replaces (its ts-1 tombstone shadows
+    even later-arriving older-stamped field cells), and a column whose
+    last live field cell is deleted reads NULL — while ``frozen<udt>``
+    keeps the single-cell form and rejects per-field writes (asserted
+    in-body alongside the LWT gate). The lifted pinned simplification:
+    this engine previously treated every UDT column as frozen. The
+    literal oracle pins the end state: id 1 with a surviving replaced+
+    re-updated struct, id 2 with a field deleted, id 3 all-fields-
+    deleted -> NULL."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TYPE naddr (street text, zip int)")
+    sess.execute(
+        "CREATE TABLE nfu (id bigint PRIMARY KEY, home naddr, "
+        "fr frozen<naddr>)"
+    )
+    sess.execute(
+        "INSERT INTO nfu (id, home, fr) VALUES "
+        "(1, {street: 'a st', zip: 7}, {street: 'f st', zip: 1})"
+    )
+    sess.execute("INSERT INTO nfu (id, home) VALUES (2, {street: 'b st', zip: 9})")
+    sess.execute("INSERT INTO nfu (id, home) VALUES (3, {street: 'c st'})")
+    # replace then field-update: the replace's tombstone shadows the
+    # old zip, the newer field write lands
+    sess.execute("UPDATE nfu SET home = {street: 'new st'} WHERE id = 1")
+    sess.execute("UPDATE nfu SET home.zip = 11 WHERE id = 1")
+    # single-field delete keeps the sibling
+    sess.execute("DELETE home.zip FROM nfu WHERE id = 2")
+    # deleting the LAST live field nulls the column
+    sess.execute("DELETE home.street FROM nfu WHERE id = 3")
+    # gates: frozen twin rejects per-field writes; LWT refuses
+    # non-frozen conditions; unknown fields error
+    try:
+        sess.execute("UPDATE nfu SET fr.street = 'x' WHERE id = 1")
+        raise AssertionError("frozen per-field write must be rejected")
+    except CQLError as exc:
+        assert "non-frozen" in str(exc), exc
+    try:
+        sess.execute(
+            "UPDATE nfu SET fr = {street: 'x', zip: 0} WHERE id = 1 "
+            "IF home = {street: 'new st'}"
+        )
+        raise AssertionError("LWT on non-frozen UDT must be rejected")
+    except CQLError as exc:
+        assert "non-frozen UDT" in str(exc), exc
+    try:
+        sess.execute("UPDATE nfu SET home.nope = 'x' WHERE id = 1")
+        raise AssertionError("unknown field must be rejected")
+    except CQLError as exc:
+        assert "unknown field" in str(exc), exc
+    return sess.execute(
+        "SELECT id, home.street AS street, home.zip AS zip, "
+        "fr.street AS fstreet FROM nfu"
+    )
