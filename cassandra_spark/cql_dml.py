@@ -593,6 +593,10 @@ class TableSchema:
     # field, `SET u = {..}` replaces (tombstone at ts-1 + field cells),
     # the reference's visible semantics.
     nonfrozen: set = field(default_factory=set)
+    # vector<T, n> columns (5.0): the declared dimension, enforced at
+    # write time like the reference's VectorType (fixed length, whole-
+    # value writes only — no element ops, no appends)
+    vector_dims: dict = field(default_factory=dict)
     # Dropped-column registry (`[C* schema/DroppedColumn +
     # db/rows/Row::filter — CASSANDRA-3919 lineage, unverified]`,
     # mirrored as system_schema.dropped_columns): col ->
@@ -1294,6 +1298,20 @@ class CqlTable:
             return s.regular.get(col)
         return None
 
+    def _check_vector_arity(self, col: str, parsed) -> None:
+        """vector<T, n> fixed-dimension rule (`[C* db/marshal/VectorType,
+        unverified]`): a full-value write must carry exactly n elements,
+        and the literal must be the list form."""
+        dims = self.schema.vector_dims.get(col)
+        if dims is None:
+            return
+        kind, items = parsed
+        if kind != "list" or len(items) != dims:
+            raise CQLError(
+                f"invalid vector literal for {col!r}: expected "
+                f"{dims} elements"
+            )
+
     def _coll_elem_types(self, col: str) -> tuple[str | None, str | None]:
         """(elem_type, val_type) for _parse_value: the declared element
         type of a list/set column, or the VALUE type of a map column
@@ -1836,6 +1854,7 @@ class CqlTable:
                 if pkind == "scalar" and items is None:
                     self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
                     continue
+                self._check_vector_arity(c, parsed)
                 # overwrite: tombstone at ts-1 so same-ts elements survive
                 self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
                 self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
@@ -1938,6 +1957,10 @@ class CqlTable:
         im = self._IDX_SET_RE.match(assign)
         if im:  # m[k] = v (map put) / l[i] = v (list index write) / NULL delete
             c = im.group(1).lower()
+            if c in s.vector_dims:
+                raise CQLError(
+                    f"vectors are fixed-length: write {c!r} whole"
+                )
             coll = s.coll_regular.get(c)
             if coll is None or coll[0] == "set":
                 raise CQLError(
@@ -1987,6 +2010,10 @@ class CqlTable:
         pm = self._PM_RE.match(assign)
         if pm and pm.group(1).lower() == pm.group(2).lower():
             c = pm.group(1).lower()
+            if c in s.vector_dims:
+                raise CQLError(
+                    f"vectors are fixed-length: write {c!r} whole"
+                )
             coll = s.coll_regular.get(c)
             if coll is None:
                 # counter form on a non-counter column
@@ -2040,6 +2067,7 @@ class CqlTable:
                     raise CQLError(f"collection column {c!r} needs a collection literal")
                 self._emit(pk, ckj, c, None, COLL_TOMB, ts, None)
                 return
+            self._check_vector_arity(c, parsed)
             self._emit(pk, ckj, c, None, COLL_TOMB, ts - 1, None)
             self._emit_elements(pk, ckj, c, coll[0], parsed, ts, ttl)
             return

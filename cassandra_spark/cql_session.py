@@ -322,11 +322,17 @@ def parse_create_table(
     regular = {}
     static = {}
     nonfrozen: set[str] = set()
+    vector_dims: dict[str, int] = {}
     counter_cols = 0
     for c, t in cols.items():
         if c in pk_cols or c in clustering:
             continue
         mapped = _map_type(t, udts)
+        vm = re.fullmatch(
+            r"vector\s*<\s*\w+\s*,\s*(\d+)\s*>", t.strip().lower()
+        )
+        if vm and c not in statics:
+            vector_dims[c] = int(vm.group(1))
         # a BARE UDT spelling is the multi-cell (non-frozen) form since
         # 3.6; frozen<udt> keeps the single-cell JSON convention. Tuples
         # and durations are always frozen; statics stay single-cell
@@ -384,6 +390,7 @@ def parse_create_table(
         clustering=clustering,
         regular=regular,
         nonfrozen=nonfrozen,
+        vector_dims=vector_dims,
         counter=bool(counter_cols),
         static=static,
         key_types=key_types,
@@ -2091,12 +2098,19 @@ class CqlSession:
                 s.regular[col] = mapped
                 if m.group("addtype").strip().lower() in self.types:
                     s.nonfrozen.add(col)  # bare UDT: multi-cell form
+                vm = re.fullmatch(
+                    r"vector\s*<\s*\w+\s*,\s*(\d+)\s*>",
+                    m.group("addtype").strip().lower(),
+                )
+                if vm:
+                    s.vector_dims[col] = int(vm.group(1))
             return
         col = m.group("dropcol").lower()
         if col in s.key_cols:
             raise CQLError(f"cannot drop primary key column {col!r}")
         was_static = col in s.static
         s.nonfrozen.discard(col)
+        s.vector_dims.pop(col, None)
         if col in s.regular:
             typ = s.regular.pop(col)
         elif col in s.static:
@@ -3806,6 +3820,7 @@ class CqlSession:
                     "comment": s.comment,
                     "dropped": s.dropped,
                     "nonfrozen": sorted(s.nonfrozen),
+                    "vector_dims": s.vector_dims,
                 },
                 "segments": segs,
                 "segment_meta": seg_meta,
@@ -3959,6 +3974,10 @@ class CqlSession:
                         for k, v in sch.get("dropped", {}).items()
                     },
                     nonfrozen=set(sch.get("nonfrozen", ())),
+                    vector_dims={
+                        k: int(v)
+                        for k, v in sch.get("vector_dims", {}).items()
+                    },
                 ),
                 keyspace=target_ks,
             )

@@ -140,3 +140,28 @@ def test_lwt_condition_gated(spark):
             "UPDATE ppl SET fr = {street: 'q', zip: 2} WHERE id = 1 "
             "IF home = {street: 'a', zip: 7}"
         )
+
+
+def test_vector_dimension_enforced(spark):
+    """vector<T, n> (5.0): fixed length enforced at write time — wrong
+    arity rejected, element ops rejected, whole-value rewrite fine."""
+    s = CqlSession(spark, None)
+    s.execute(
+        "CREATE TABLE vec (id int PRIMARY KEY, emb vector<float, 3>)"
+    )
+    assert s.table("vec").schema.vector_dims == {"emb": 3}
+    s.execute("INSERT INTO vec (id, emb) VALUES (1, [0.1, 0.2, 0.3])")
+    with pytest.raises(CQLError, match="expected 3 elements"):
+        s.execute("INSERT INTO vec (id, emb) VALUES (2, [0.1, 0.2])")
+    with pytest.raises(CQLError, match="expected 3 elements"):
+        s.execute("UPDATE vec SET emb = [1.0] WHERE id = 1")
+    with pytest.raises(CQLError, match="fixed-length"):
+        s.execute("UPDATE vec SET emb = emb + [1.0] WHERE id = 1")
+    with pytest.raises(CQLError, match="fixed-length"):
+        s.execute("UPDATE vec SET emb[0] = 9.0 WHERE id = 1")
+    s.execute("UPDATE vec SET emb = [1.0, 2.0, 3.0] WHERE id = 1")
+    got = s.execute("SELECT emb FROM vec WHERE id = 1").collect()[0].emb
+    assert [round(x, 1) for x in got] == [1.0, 2.0, 3.0]
+    # the dimension survives snapshot/restore and ALTER ADD declares it
+    s.execute("ALTER TABLE vec ADD emb2 vector<float, 2>")
+    assert s.table("vec").schema.vector_dims == {"emb": 3, "emb2": 2}
