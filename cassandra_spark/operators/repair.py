@@ -186,3 +186,132 @@ def w17_incremental_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@query(
+    "w31_repair_preview",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id, user_id, user_id % 16 AS bucket FROM events
+      WHERE ts >= TIMESTAMP '{CUTOFF}' AND {_A_DROP}
+    ), b AS (
+      SELECT event_id, user_id, user_id % 16 AS bucket FROM events
+      WHERE ts >= TIMESTAMP '{CUTOFF}' AND {_B_DROP}
+    ), sa AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(bit_xor({_CKSUM}) AS BIGINT) AS ck
+      FROM a GROUP BY bucket
+    ), sb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(bit_xor({_CKSUM}) AS BIGINT) AS ck
+      FROM b GROUP BY bucket
+    ), bad AS (
+      SELECT sa.bucket FROM sa JOIN sb ON sa.bucket = sb.bucket
+      WHERE sa.n <> sb.n OR sa.ck <> sb.ck
+    ), diff AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(a.event_id, b.event_id) AS event_id,
+             CASE WHEN b.event_id IS NULL THEN 'a_to_b'
+                  ELSE 'b_to_a' END AS direction
+      FROM (SELECT * FROM a WHERE bucket IN (SELECT bucket FROM bad)) a
+      FULL OUTER JOIN
+           (SELECT * FROM b WHERE bucket IN (SELECT bucket FROM bad)) b
+        ON a.event_id = b.event_id
+      WHERE a.event_id IS NULL OR b.event_id IS NULL
+    )
+    SELECT bucket, direction,
+           CAST(COUNT(*) AS BIGINT) AS rows_to_stream,
+           CAST(SUM(8 + 8 + len(CAST(event_id AS VARCHAR))) AS BIGINT)
+             AS est_bytes
+    FROM diff GROUP BY bucket, direction
+    ORDER BY bucket, direction
+    """,
+)
+def w31_repair_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool repair --preview`` (`[C* repair/PreviewRepairTask —
+    CASSANDRA-13257, unverified]`, round 13): run the VALIDATION phase
+    and report what a repair WOULD stream — per drifted bucket and
+    direction, the row count and an estimated byte size — without
+    streaming or marking anything. Same pruning shape as w17: the
+    sealed epoch never reads (cutoff in PushedFilters), in-sync buckets
+    prune at the 16-row summary join, and only drifted buckets' rows
+    are counted. The preview is EXACT against the repair it predicts:
+    asserted in-body by aggregating w17's actual repair stream and
+    comparing. At 100 TB preview cost = validation cost, the point of
+    the feature."""
+    cutoff = ensure_repair_marker(spark, sf_dir)
+    cat = Catalog(spark, sf_dir)
+    unrepaired = cat.events.filter(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    )
+    bucket = (F.col("user_id") % 16).alias("bucket")
+
+    def replica(drop_pred: str) -> DataFrame:
+        return unrepaired.filter(F.expr(drop_pred)).select(
+            "event_id", "user_id", bucket
+        )
+
+    def summary(drop_pred: str) -> DataFrame:
+        return (
+            replica(drop_pred)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor({_CKSUM})").cast("bigint").alias("ck"),
+            )
+        )
+
+    sa, sb = summary(_A_DROP), summary(_B_DROP)
+    bad = (
+        sa.alias("sa")
+        .join(sb.alias("sb"), "bucket")
+        .filter(
+            (F.col("sa.n") != F.col("sb.n"))
+            | (F.col("sa.ck") != F.col("sb.ck"))
+        )
+        .select("bucket")
+    )
+    a = replica(_A_DROP).join(F.broadcast(bad), "bucket")
+    b = replica(_B_DROP).join(F.broadcast(bad), "bucket")
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.event_id") == F.col("b.event_id"),
+        "full_outer",
+    )
+    preview = (
+        joined.filter(
+            F.col("a.event_id").isNull() | F.col("b.event_id").isNull()
+        )
+        .select(
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+            F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias(
+                "event_id"
+            ),
+            F.when(F.col("b.event_id").isNull(), F.lit("a_to_b"))
+            .otherwise(F.lit("b_to_a"))
+            .alias("direction"),
+        )
+        .groupBy("bucket", "direction")
+        .agg(
+            F.count(F.lit(1)).alias("rows_to_stream"),
+            # the stream-size estimate: fixed key+timestamp overhead
+            # plus the variable payload rendering, the preview's
+            # "estimated bytes" column
+            F.sum(
+                F.lit(16) + F.length(F.col("event_id").cast("string"))
+            ).alias("est_bytes"),
+        )
+        .orderBy("bucket", "direction")
+    )
+    # the preview must be EXACT against the repair it predicts
+    actual = (
+        w17_incremental_repair(spark, sf_dir)
+        .groupBy("bucket", "direction")
+        .agg(F.count(F.lit(1)).alias("rows_to_stream"))
+    )
+    mismatch = (
+        preview.select("bucket", "direction", "rows_to_stream")
+        .exceptAll(actual)
+        .count()
+    )
+    assert mismatch == 0, "preview diverged from the actual repair stream"
+    return preview
