@@ -2911,3 +2911,55 @@ def cql56_nonfrozen_udt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id, home.street AS street, home.zip AS zip, "
         "fr.street AS fstreet FROM nfu"
     )
+
+
+@query(
+    "w32_toppartitions",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST('9' AS VARCHAR), CAST(24 AS BIGINT)),
+      ('4', 14), ('1', 8), ('6', 4)
+    ) AS t(partition_key, writes)
+    """,
+)
+def w32_toppartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodetool toppartitions`` (`[C* tools/nodetool/TopPartitions —
+    sampled partition heat, unverified]`, round 13): the hottest
+    partitions of a table by WRITE count inside a sampling window. The
+    reference samples with a StreamSummary during a live window and
+    reports approximate counts; this engine's window is a writetime
+    range over the mutation log and the counts are EXACT — the honest
+    analytic recast (reads are not tracked; the reference's READS mode
+    needs coordinator sampling hooks, documented as out of scope). The
+    skewed workload below makes partition 9 hottest (24 cells), then 4,
+    1, 6; writes OUTSIDE the window must not count (pinned by the
+    pre-window burst on partition 0)."""
+    sess = CqlSession(spark, sf_dir)
+    sess.execute("CREATE TABLE hot (pk int, ck int, v int, "
+                 "PRIMARY KEY (pk, ck))")
+    t = sess.table("hot")
+    # pre-window burst: must be invisible to the windowed report
+    for i in range(30):
+        sess.execute(f"INSERT INTO hot (pk, ck, v) VALUES (0, {i}, {i})")
+    window_start = t._clock + 1
+    # skewed in-window workload: 12 rows on pk 9, 7 on 4, 4 on 1, 2 on 6
+    # (each INSERT writes a row marker + one value cell = 2 cells)
+    for pk, n in ((9, 12), (4, 7), (1, 4), (6, 2)):
+        for i in range(n):
+            sess.execute(
+                f"INSERT INTO hot (pk, ck, v) VALUES ({pk}, {i}, {i})"
+            )
+    window_end = t._clock
+    from pyspark.sql import functions as F
+
+    log = t.mutation_log()
+    return (
+        log.filter(
+            (F.col("writetime") >= window_start)
+            & (F.col("writetime") <= window_end)
+        )
+        .groupBy(F.col("pk").alias("partition_key"))
+        .agg(F.count(F.lit(1)).alias("writes"))
+        .orderBy(F.col("writes").desc(), "partition_key")
+        .limit(4)
+    )
