@@ -99,7 +99,8 @@ TYPED_SCRIPT: tuple[str, ...] = (
     # t7: STATIC UDT cell (partition-scoped)
     "UPDATE profiles SET hq = {street: 'HQ Plaza', zip: 10001} "
     "WHERE pk = 'u1'",
-    # t8: nested UDT literal
+    # t8: nested UDT literal onto a NON-FROZEN column (round 13: bare
+    # spellings are multi-cell — a replace tombstone + one cell per field)
     "UPDATE profiles SET owner = "
     "{name: 'ann', addr: {street: '2 Pine', zip: 30301}} "
     "WHERE pk = 'u1' AND ck = 1",
@@ -150,20 +151,27 @@ EXPECTED_LOG: tuple[tuple, ...] = (
     mut_row("u1", "1", "addr", '{"street":"stale","zip":0}', "cell", 2, 0, 17),
     mut_row("u1", "2", "loc", None, "cell_tomb", 6, 0, 18),
     mut_row("u1", None, "hq", '{"street":"HQ Plaza","zip":10001}', "cell", 7, 0, 19),
+    # owner is a bare (NON-FROZEN) UDT since round 13: the full
+    # assignment compiles to a replace tombstone at ts-1 plus one cell
+    # per present field (nested frozen structs stay canonical JSON)
+    mut_row("u1", "1", "owner", None, "coll_tomb", 7, 0, 20),
+    mut_row("u1", "1", "owner", "ann", "cell", 8, 0, 21, elem="name"),
     mut_row(
         "u1", "1", "owner",
-        '{"name":"ann","addr":{"street":"2 Pine","zip":30301}}',
-        "cell", 8, 0, 20,
+        '{"street":"2 Pine","zip":30301}', "cell", 8, 0, 22, elem="addr",
     ),
-    mut_row("u2", "1", None, None, "marker", 9, 0, 21),
-    mut_row("u2", "1", "addr", '{"street":"7 Maple","zip":2139}', "cell", 9, 0, 22),
-    mut_row("u2", "1", "pay", "314", "cell", 9, 0, 23),
-    mut_row("u2", "1", "ip", "192.168.0.7", "cell", 9, 0, 24),
-    mut_row("u2", "2", None, None, "marker", 10, 0, 25),
-    mut_row("u2", "2", "note", "temp", "cell", 10, 0, 26),
-    mut_row("u2", "2", None, None, "row_tomb", 11, 0, 27),
-    mut_row("u2", "1", "home", '{"street":"tmp","zip":1}', "cell", 12, 2, 28),
-    mut_row("u2", "1", "note", "gamma", "cell", 13, 0, 29),
+    mut_row("u2", "1", None, None, "marker", 9, 0, 23),
+    mut_row("u2", "1", "addr", '{"street":"7 Maple","zip":2139}', "cell", 9, 0, 24),
+    mut_row("u2", "1", "pay", "314", "cell", 9, 0, 25),
+    mut_row("u2", "1", "ip", "192.168.0.7", "cell", 9, 0, 26),
+    mut_row("u2", "2", None, None, "marker", 10, 0, 27),
+    mut_row("u2", "2", "note", "temp", "cell", 10, 0, 28),
+    mut_row("u2", "2", None, None, "row_tomb", 11, 0, 29),
+    # home too: the TTL'd full assignment writes per-field TTL'd cells
+    mut_row("u2", "1", "home", None, "coll_tomb", 11, 0, 30),
+    mut_row("u2", "1", "home", "tmp", "cell", 12, 2, 31, elem="street"),
+    mut_row("u2", "1", "home", "1", "cell", 12, 2, 32, elem="zip"),
+    mut_row("u2", "1", "note", "gamma", "cell", 13, 0, 33),
 )
 
 ASOF = 14  # default horizon: max writetime + 1

@@ -167,9 +167,17 @@ def test_rename_pk_component(sess):
     )
 
 
-def test_cannot_index_pk_component(sess):
-    with pytest.raises(CQLError, match="partition key"):
-        sess.execute("CREATE INDEX ON readings (day)")
+def test_pk_component_index_now_legal(sess):
+    """Round 13 (cql55): a COMPONENT of a composite partition key is
+    indexable — the old blanket rejection applies only to the sole
+    partition-key column of a non-composite table."""
+    sess.execute("CREATE INDEX ON readings (day)")
+    assert sess.execute(
+        "SELECT sensor, ts FROM readings WHERE day = 1"
+    ).count() > 0
+    sess.execute("CREATE TABLE solo_pk (pk int PRIMARY KEY, v int)")
+    with pytest.raises(CQLError, match="only.*partition key"):
+        sess.execute("CREATE INDEX ON solo_pk (pk)")
 
 
 def test_snapshot_restore_round_trip(sess, spark, tmp_path):
