@@ -96,7 +96,35 @@ def dml_oracle_sql(schema: TableSchema, log, asof: int) -> str:
 
     scalar_pivots = []
     for c, typ in scalars.items():
-        if parse_struct_type(typ) is not None:
+        if c in s.nonfrozen:
+            # NON-FROZEN UDT (round 13): per-FIELD cells, merged by the
+            # shared (pk, ck, col, elem) LWW window like map entries;
+            # the canonical JSON assembles in declared field order with
+            # dead fields omitted — byte-identical to Spark's
+            # to_json(named_struct(...)) of the snapshot's struct
+            fields = parse_struct_type(typ)
+            parts = []
+            for fn, ftype in fields:
+                fval = (
+                    f"max(CASE WHEN col = '{c}' AND elem = '{fn}' "
+                    f"THEN val END)"
+                )
+                if parse_struct_type(ftype) is not None:
+                    rendered = fval  # nested frozen struct: raw JSON
+                elif _dt(ftype) == "VARCHAR":
+                    rendered = f"to_json({fval})"  # quoted + escaped
+                else:
+                    rendered = f"CAST(CAST({fval} AS {_dt(ftype)}) AS VARCHAR)"
+                parts.append(
+                    f"CASE WHEN {fval} IS NOT NULL "
+                    f"THEN '\"{fn}\":' || {rendered} END"
+                )
+            joined = ", ".join(parts)
+            scalar_pivots.append(
+                f"CASE WHEN count(CASE WHEN col = '{c}' THEN 1 END) > 0 "
+                f"THEN '{{' || concat_ws(',', {joined}) || '}}' END AS {c}"
+            )
+        elif parse_struct_type(typ) is not None:
             # struct cells carry canonical JSON; the Spark replay query
             # projects to_json(col), so both sides compare the same string
             scalar_pivots.append(
