@@ -47,6 +47,7 @@ from cassandra_spark.operators.vector_index import (
     clone_index,
     index_generations,
     index_root,
+    layout_write,
     read_family,
 )
 from cassandra_spark.registry import query
@@ -84,11 +85,11 @@ def build_minhash_index(
     cat = Catalog(spark, sf_dir)
     existing = cat.documents.filter(F.expr(SPLIT_HASH) % 1000 < split)
     sig = minhash_signatures(existing)
-    sig.select("doc_id", "sh").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "signatures")
-    )
+    layout_write(sig.select("doc_id", "sh"), []).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "signatures"))
     (
-        _banded(sig)
+        layout_write(_banded(sig), ["band_id", "pband"])
         .write.mode("overwrite")
         .partitionBy("band_id", "pband")
         .parquet(os.path.join(index_dir, "bands"))
@@ -146,11 +147,11 @@ def append_minhash_index(
     if _has_generation(index_dir, batch_id):
         return False
     sig = minhash_signatures(batch)
-    sig.select("doc_id", "sh").write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"signatures_g_{batch_id}")
-    )
+    layout_write(sig.select("doc_id", "sh"), []).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, f"signatures_g_{batch_id}"))
     (
-        _banded(sig)
+        layout_write(_banded(sig), ["band_id", "pband"])
         .write.mode("overwrite")
         .partitionBy("band_id", "pband")
         .parquet(os.path.join(index_dir, f"bands_g_{batch_id}"))

@@ -268,10 +268,7 @@ def s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from cassandra_spark.catalog import restore_ts
-    from cassandra_spark.streaming.jobs import (
-        _events_raw_schema,
-        run_available_now,
-    )
+    from cassandra_spark.streaming.jobs import _events_raw_schema
 
     src, _ = _stage_events_stream(spark, sf_dir, "s5_dedup_")
     # redelivery: append the same rows again as new files
@@ -288,8 +285,7 @@ def s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     ).dropDuplicates(["event_id"])
     name = _sink_name("s5_dedup")
-    run_available_now(stream, name, output_mode="append")
-    return spark.table(name).select(
+    return _drain_state(spark, stream, name, output_mode="append").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
@@ -309,16 +305,12 @@ def s6_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per key is the emission with the highest running count. The
     oracle recomputes the totals one-shot — equal only if per-key state
     survived correctly across micro-batches."""
-    from cassandra_spark.streaming.jobs import (
-        run_available_now,
-        stateful_user_totals,
-    )
+    from cassandra_spark.streaming.jobs import stateful_user_totals
 
     stream = stateful_user_totals(spark, sf_dir)
     name = _sink_name("s6_totals")
-    run_available_now(stream, name, output_mode="update")
     return (
-        spark.table(name)
+        _drain_state(spark, stream, name, output_mode="update")
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -385,16 +377,12 @@ def s11_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch the oracle computes. Distinct-users-per-day at stream time
     with days x 256 ints of state, any corpus size."""
     from cassandra_spark.operators.sketches import hll_scaled_sum_col
-    from cassandra_spark.streaming.jobs import (
-        run_available_now,
-        streaming_window_hll,
-    )
+    from cassandra_spark.streaming.jobs import streaming_window_hll
 
     stream = streaming_window_hll(spark, sf_dir)
     name = _sink_name("s11_hll")
-    run_available_now(stream, name, output_mode="update")
     per = (
-        spark.table(name)
+        _drain_state(spark, stream, name, output_mode="update")
         .groupBy("day", "bucket")
         .agg(F.max("maxrank").alias("maxrank"))
     )
@@ -444,10 +432,7 @@ def s12_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound state (s4 semantics); the drain here is unwatermarked only so
     the availableNow result is deterministic and oracle-comparable."""
     from cassandra_spark.catalog import restore_ts
-    from cassandra_spark.streaming.jobs import (
-        _events_raw_schema,
-        run_available_now,
-    )
+    from cassandra_spark.streaming.jobs import _events_raw_schema
 
     src, _ = _stage_events_stream(spark, sf_dir, "s12_session_")
     ev = restore_ts(
@@ -470,8 +455,7 @@ def s12_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _sink_name("s12_session")
-    run_available_now(sessions, name, output_mode="complete")
-    return spark.table(name)
+    return _drain_state(spark, sessions, name, output_mode="complete")
 
 
 _S13_AGREE = " + ".join(
@@ -594,21 +578,51 @@ def _stage_typed_slices(
     return src
 
 
-def _drain_join(spark: SparkSession, stream, name: str):
-    """availableNow drain with few fat state partitions: the count is
-    fixed at query start from shuffle.partitions, and the two-sided join
-    commits per-partition state files every epoch, so a 10k-row drain
-    wants 4 (a 100 TB deployment sets this high BEFORE first start — it
-    cannot change across restarts)."""
+def _state_partitions() -> int:
+    """State-store instance count for the availableNow drains. The count
+    is fixed at query start from shuffle.partitions and every stateful
+    operator commits one state file PER PARTITION PER EPOCH
+    (HDFSBackedStateStoreProvider), so a bench-scale drain wants few fat
+    partitions — measured on s12: 32 partitions 9.6-15.4 s vs 4
+    partitions 3.0-3.6 s for the identical result (r12 opt round). A
+    100 TB deployment sets ``CASSANDRA_SPARK_STREAM_STATE_PARTITIONS``
+    high BEFORE first start (the count cannot change across restarts);
+    the local default scales with the core budget rather than pinning
+    the box's core count."""
+    import os
+
+    env = int(os.environ.get("CASSANDRA_SPARK_STREAM_STATE_PARTITIONS", "0"))
+    if env > 0:
+        return env
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        return max(4, int(cpus) // 8)
+    except ValueError:
+        return 4
+
+
+def _drain_state(
+    spark: SparkSession, stream, name: str, output_mode: str = "append"
+):
+    """availableNow drain with few fat state partitions (see
+    :func:`_state_partitions` for the measurement and the production
+    knob)."""
     from cassandra_spark.streaming import jobs
 
     cur = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions()))
     try:
-        jobs.run_available_now(stream, name, output_mode="append")
+        jobs.run_available_now(stream, name, output_mode=output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
     return spark.table(name)
+
+
+def _drain_join(spark: SparkSession, stream, name: str):
+    """availableNow drain of a two-sided join with few fat state
+    partitions (the original r11 site of the pattern — see
+    :func:`_state_partitions`)."""
+    return _drain_state(spark, stream, name, output_mode="append")
 
 
 @query(

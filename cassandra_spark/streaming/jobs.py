@@ -857,30 +857,62 @@ def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
     )
 
     def update(key, pdfs, state: GroupState):
+        # Vectorized over the whole batch (r12 opt round, guide §4.2):
+        # one (batch x stored) signature-agreement matrix against state
+        # plus one lower-triangular intra-batch matrix, instead of a
+        # per-doc Python loop with an O(n^2)-copy np.vstack per doc.
+        # Emitted pair SET and n_agree values are identical — pairs are
+        # canonical (low id, high id) and symmetric, and the triangular
+        # mask reproduces "each doc sees every earlier-arrived doc".
         import numpy as np
         import pandas as pd
 
         ids, flat = state.get if state.exists else ([], [])
-        ids = list(ids)
-        mat = np.array(flat, dtype=np.int64).reshape(-1, 8)
-        out_a, out_b, out_n = [], [], []
+        pids = np.asarray(ids, dtype=np.int64)
+        mat = np.asarray(flat, dtype=np.int64).reshape(-1, 8)
+        hits: list[tuple] = []
+
+        def _emit(a, b, nn):
+            keep = a != b
+            if keep.any():
+                hits.append(
+                    (np.minimum(a, b)[keep], np.maximum(a, b)[keep], nn[keep])
+                )
+
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
-            for doc_id, sig_arr in zip(pdf["doc_id"], pdf["sig"]):
-                s = np.asarray(sig_arr, dtype=np.int64)
-                if len(ids):
-                    agree = (mat == s[None, :]).sum(axis=1)
-                    for other, n in zip(ids, agree):
-                        if n >= 6 and other != doc_id:
-                            out_a.append(min(other, int(doc_id)))
-                            out_b.append(max(other, int(doc_id)))
-                            out_n.append(int(n))
-                ids.append(int(doc_id))
-                mat = np.vstack([mat, s[None, :]])
-        state.update((ids, [int(x) for x in mat.reshape(-1)]))
-        yield pd.DataFrame(
-            {"doc_a": out_a, "doc_b": out_b, "n_agree": out_n}
+            bids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if not len(bids):
+                continue
+            bmat = np.array(
+                [np.asarray(s, dtype=np.int64) for s in pdf["sig"]],
+                dtype=np.int64,
+            ).reshape(len(bids), 8)
+            if mat.shape[0]:
+                agree = (bmat[:, None, :] == mat[None, :, :]).sum(axis=2)
+                ii, jj = np.nonzero(agree >= 6)
+                if ii.size:
+                    _emit(bids[ii], pids[jj], agree[ii, jj])
+            if len(bids) > 1:
+                agree = (bmat[:, None, :] == bmat[None, :, :]).sum(axis=2)
+                ii, jj = np.nonzero(np.tril(agree >= 6, k=-1))
+                if ii.size:
+                    _emit(bids[ii], bids[jj], agree[ii, jj])
+            pids = np.concatenate([pids, bids])
+            mat = np.vstack([mat, bmat])
+        state.update(
+            ([int(x) for x in pids], [int(x) for x in mat.reshape(-1)])
         )
+        if hits:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate([h[0] for h in hits]),
+                    "doc_b": np.concatenate([h[1] for h in hits]),
+                    "n_agree": np.concatenate([h[2] for h in hits]).astype(
+                        np.int32
+                    ),
+                }
+            )
 
     return sig.groupBy("band_id", "band_val").applyInPandasWithState(
         update,
