@@ -3326,16 +3326,21 @@ class CqlTable:
                 null_keys = null_keys | (
                     F.size(F.split("pk", SEP)) != len(s.partition_cols)
                 )
-            problem = (
-                markers.groupBy("pk", "ck")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max(null_keys.cast("int")).alias("badkey"),
-                )
-                .filter("n > 1 OR badkey = 1")
-                .limit(1)
+            # ONE pass over the written markers answers both questions
+            # (r12 opt round): total marker count AND whether any key is
+            # duplicated or malformed — the old shape read the segments
+            # twice (a validation aggregate, then a separate count job)
+            per_key = markers.groupBy("pk", "ck").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(null_keys.cast("int")).alias("badkey"),
             )
-            if problem.count():
+            stats = per_key.agg(
+                F.sum("n").alias("total"),
+                F.max(
+                    ((F.col("n") > 1) | (F.col("badkey") == 1)).cast("int")
+                ).alias("bad"),
+            ).collect()[0]
+            if stats["bad"]:
                 shutil.rmtree(sub, ignore_errors=True)
                 raise CQLError(
                     "bulk_load input has duplicate or NULL primary keys, "
@@ -3343,7 +3348,9 @@ class CqlTable:
                     "separator byte 0x1f (pass validate=False only if "
                     "upstream guarantees clean unique keys)"
                 )
-        n = markers.count()
+            n = int(stats["total"] or 0)
+        else:
+            n = markers.count()
         # blooms rebuild lazily per segment on first point read
         self._segments.extend(files)
         return n

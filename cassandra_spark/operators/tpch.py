@@ -16,7 +16,7 @@ top-k finals are TakeOrderedAndProject, never global sorts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_spark.catalog import Catalog
@@ -239,32 +239,49 @@ def x23_core(
     lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
 ) -> DataFrame:
     """Q21 plan over explicit inputs (also consumed by the bucketed-layout
-    variant in operators/bucketing.py)."""
-    late = lineitem.join(
-        orders.filter(F.col("o_orderstatus") == "F"),
+    variant in operators/bucketing.py).
+
+    One-fact-shuffle form (r12 opt round, guide §2.4): the original plan
+    scanned lineitem THREE times — the late branch, a self-SEMI-join
+    ("another supplier exists") and a self-ANTI-join ("no other late
+    supplier") — shuffling the fact on l_orderkey for each branch. Both
+    existence tests are per-order aggregates over the same rows, so one
+    pass computes them: pre-aggregate to (l_orderkey, l_suppkey) with a
+    late-row count, then two window sums over l_orderkey give the
+    per-order supplier count and late-supplier count. A sole-late
+    supplier's rows are exactly (n_late_rows > 0, n_supp >= 2,
+    n_late_supp == 1), and its late-row count is the numwait
+    contribution. After the join's exchange on l_orderkey, the pre-agg
+    (subset-key clustering) and the windows reuse the partitioning — the
+    fact crosses the network once. Result-identical to the semi/anti
+    form (same oracle; parity pinned in tests/test_bucketing.py)."""
+    lo = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
-    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).alias("is_late"),
     )
-    l3 = (
-        lineitem.join(
-            orders.select(
-                F.col("o_orderkey").alias("k3o"), F.col("o_orderdate").alias("d3")
-            ),
-            F.col("l_orderkey") == F.col("k3o"),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("long")).alias("n_late_rows")
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_rows") > 0).cast("long")).over(w),
         )
-        .filter(F.col("l_shipdate") > F.col("d3") + F.expr("INTERVAL 90 DAY"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    )
-    sole_late = late.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-        "left_anti",
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         # supplier is SF-linear (10k x SF): no broadcast hint — AQE picks
@@ -273,7 +290,7 @@ def x23_core(
             supplier, F.col("s_suppkey") == F.col("l_suppkey")
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )

@@ -567,7 +567,14 @@ def streaming_mv(
         if batch.isEmpty():  # live triggers fire on idle sources
             return
         s = batch.sparkSession
-        batch = batch.localCheckpoint()  # one evaluation, three uses
+        # The epoch's O(batch) base segment is written FIRST and read
+        # back as the working copy (r12 opt round): one job replaces
+        # the old localCheckpoint + separate segment write. LWW
+        # associativity makes reduce(batch) a drop-in for batch in both
+        # the touched-key set and the new image.
+        base_seg = log.seg_path(f"base-seg-{epoch:010d}")
+        _lww_reduce(batch).write.mode("overwrite").parquet(base_seg)
+        batch = s.read.parquet(base_seg)
         keys = batch.select(*UPSERT_KEYS).distinct()
         live = log.live()
         base_live = live.get("base", [])
@@ -606,9 +613,7 @@ def streaming_mv(
             ).cast("decimal(38,4)").alias("total_dec"),
         )
 
-        # O(batch) appends for both families
-        base_seg = log.seg_path(f"base-seg-{epoch:010d}")
-        _lww_reduce(batch).write.mode("overwrite").parquet(base_seg)
+        # the base segment was already written above; append the view's
         view_seg = log.seg_path(f"view-seg-{epoch:010d}")
         delta.write.mode("overwrite").parquet(view_seg)
         base_live = base_live + [base_seg]
