@@ -129,6 +129,7 @@ def append_minhash_index(
     index_dir: str,
     batch: DataFrame,
     batch_id: str,
+    sig: DataFrame | None = None,
 ) -> bool:
     """Append one admitted/ingested batch to a committed index as a NEW
     segment family — the SSTable pattern the session tables use: the
@@ -146,7 +147,11 @@ def append_minhash_index(
         raise ValueError(f"no committed index at {index_dir}")
     if _has_generation(index_dir, batch_id):
         return False
-    sig = minhash_signatures(batch)
+    if sig is None:
+        sig = minhash_signatures(batch)
+    # callers that already signatured the batch (the s18 ingestion loop
+    # probes with the same signatures) pass ``sig`` so the batch is
+    # signatured once per epoch, not once for the probe and once here
     layout_write(sig.select("doc_id", "sh"), []).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, f"signatures_g_{batch_id}"))

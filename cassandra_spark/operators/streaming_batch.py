@@ -549,32 +549,78 @@ def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_join(spark, stream, _sink_name("s14_pairs"))
 
 
+def _slice_col(cuts: list[str]):
+    """0-based slice index of ``ts`` against ordered cut timestamps."""
+    expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        expr = F.when(
+            F.col("ts") < F.lit(c).cast("timestamp"), expr
+        ).otherwise(F.lit(i + 1))
+    return expr
+
+
+def _move_staged_files(staged: str, src: str, parts: list[str]) -> None:
+    """Move one staged parquet file per partition-dir combination into
+    ``src`` with strictly increasing mtimes in ``parts`` order (the file
+    source sorts candidates by mod time, so this IS the arrival order).
+    A combination with no rows has no directory and is skipped — an
+    empty epoch neither emits rows nor moves any watermark."""
+    import glob as globmod
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    stamp = 1_000_000_000  # fixed base; only the ORDER matters
+    for k, sub in enumerate(parts):
+        hits = globmod.glob(os.path.join(staged, sub, "part-*.parquet"))
+        if not hits:
+            continue
+        (pf,) = hits
+        dst = os.path.join(src, f"f{k}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (stamp + 60 * k, stamp + 60 * k))
+
+
 def _stage_typed_slices(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> str:
     """Stage events as TIME-ORDERED single-file slices — per half-month,
     the half's VIEWS file then its PURCHASES file (strictly increasing
-    mtime -> the file source drains oldest-first)."""
+    mtime -> the file source drains oldest-first). ONE pass over events
+    (r12 opt round): a partitioned write keyed on (slice, kind) replaces
+    the four filtered scans; the staged files are then moved into
+    arrival order. ``__kind`` duplicates event_type for partitioning so
+    the data columns stay intact."""
     import os
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix=f"{prefix}_join_")
     src = os.path.join(tmp, "src")
+    staged = os.path.join(tmp, "staged")
     ev = Catalog(spark, sf_dir).events
     # half-month slices over the Jan-2024 corpus: time-ordered arrival
     cuts = ["2024-01-15"]
-    lo = [None, *cuts]
-    hi = [*cuts, None]
-    for a, b in zip(lo, hi):
-        sl = ev
-        if a is not None:
-            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
-        if b is not None:
-            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
-        for kind in ("view", "purchase"):
-            sl.where(F.col("event_type") == kind).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+    (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .withColumn("__slice", _slice_col(cuts))
+        .withColumn("__kind", F.col("event_type"))
+        # repartition (not REBALANCE): each (slice, kind) pair must land
+        # in exactly ONE file — the single-file-slice contract drives
+        # the epoch structure and the watermark advance order
+        .repartition("__slice", "__kind")
+        .write.mode("overwrite")
+        .partitionBy("__slice", "__kind")
+        .parquet(staged)
+    )
+    _move_staged_files(
+        staged,
+        src,
+        [
+            f"__slice={k}/__kind={kind}"
+            for k in range(len(cuts) + 1)
+            for kind in ("view", "purchase")
+        ],
+    )
     return src
 
 
@@ -751,18 +797,23 @@ def s16_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="s16_dedup_")
     src = os.path.join(tmp, "src")
+    staged = os.path.join(tmp, "staged")
     ev = Catalog(spark, sf_dir).events
     cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
-    lo = [None, *cuts]
-    hi = [*cuts, None]
-    for a, b in zip(lo, hi):
-        sl = ev
-        if a is not None:
-            sl = sl.where(F.col("ts") >= F.lit(a).cast("timestamp"))
-        if b is not None:
-            sl = sl.where(F.col("ts") < F.lit(b).cast("timestamp"))
-        # at-least-once delivery: the slice file carries every row twice
-        sl.unionAll(sl).coalesce(1).write.mode("append").parquet(src)
+    # ONE pass over events (r12 opt round): the doubled rows
+    # (at-least-once delivery — every slice file carries each row twice)
+    # and the weekly slicing land in a single partitioned write instead
+    # of four filtered scans; files then move into time order.
+    doubled = ev.unionAll(ev).withColumn("__slice", _slice_col(cuts))
+    (
+        doubled.repartition("__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staged)
+    )
+    _move_staged_files(
+        staged, src, [f"__slice={k}" for k in range(len(cuts) + 1)]
+    )
 
     from cassandra_spark.streaming import jobs
 

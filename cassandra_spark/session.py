@@ -45,6 +45,18 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         # wedges the py4j bridge on the first action (verified 2026-08-13:
         # a bare parquet count hangs with a ~7k msg/s py4j storm).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # State-store SNAPSHOT maintenance (default every 60s) contends
+        # with per-epoch delta commits: measured on the s13 drain at the
+        # x10 corpus, default-interval commits hit 23-161 s per epoch vs
+        # 2-4 s with maintenance deferred — the engine's streaming
+        # entries are short-lived availableNow drains that replay their
+        # few deltas on recovery and never benefit from a snapshot
+        # (r12 opt round). ALWAYS-ON deployments want periodic snapshots
+        # for bounded recovery time: set the env to e.g. "60s" there.
+        .config(
+            "spark.sql.streaming.stateStore.maintenanceInterval",
+            os.environ.get("CASSANDRA_SPARK_STATE_MAINT_INTERVAL", "1800s"),
+        )
     )
 
 
@@ -67,6 +79,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # see apply_engine_conf: snapshot maintenance vs short drains
+        "spark.sql.streaming.stateStore.maintenanceInterval": os.environ.get(
+            "CASSANDRA_SPARK_STATE_MAINT_INTERVAL", "1800s"
+        ),
     }
     for k, v in runtime_confs.items():
         try:
