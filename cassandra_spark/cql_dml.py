@@ -1090,6 +1090,15 @@ class CqlTable:
         # them as the virtual table; bounded O(compactions).
         self.compaction_history: list[tuple] = []
         self._seg_counter = 0  # monotone: segment file names never recycle
+        # Memo of the no-arg snapshot() PLAN (r12 opt round): plan
+        # construction alone costs ~0.9 s of py4j round-trips per call
+        # (profiled on cql48 at sf0.1) and every SELECT statement builds
+        # it afresh. The key captures everything the plan depends on —
+        # log length, segment paths, clock/seq/max-writetime — plus an
+        # explicit version for the two in-place mutations the key cannot
+        # see (schema evolution, dropped-column segment rewrites).
+        self._snap_cache: tuple | None = None
+        self._mutver = 0
         # per-segment partition-key Bloom filters (the SSTable Filter.db
         # analogue, operators/bloom.py) + nodetool-tablestats-style
         # counters; filters load/rebuild lazily so restored segments work
@@ -3996,6 +4005,13 @@ class CqlTable:
         self._blooms.clear()
         self._max_wt = None
 
+    def bump_schema_version(self) -> None:
+        """Invalidate the memoized snapshot plan after an in-place
+        change the cache key cannot observe: schema evolution (ALTER
+        mutates the TableSchema object in place) or a same-path segment
+        rewrite (drop_column_cells)."""
+        self._mutver += 1
+
     def drop_column_cells(self, col: str, horizon_us: int | None = None) -> None:
         """ALTER TABLE DROP support: discard the column's cells from the
         in-memory log and rewrite any flushed segments without them (DDL
@@ -4008,6 +4024,7 @@ class CqlTable:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        self.bump_schema_version()  # same-path rewrites below
         self._log[:] = [
             r for r in self._log
             if r[2] != col or (horizon_us is not None and r[6] > horizon_us)
@@ -4116,6 +4133,16 @@ class CqlTable:
             return self._empty()
         if pk_in is not None and not pk_in:
             return self._empty()
+        # memoize the unrestricted plan (see __init__): identical state
+        # -> identical lazy plan; any restricted variant bypasses
+        plain = asof_us is None and pk_in is None and max_wt_us is None
+        if plain:
+            key = (
+                self._mutver, len(self._log), tuple(self._segments),
+                self._clock, self._seq, self._max_wt,
+            )
+            if self._snap_cache is not None and self._snap_cache[0] == key:
+                return self._snap_cache[1]
         if s.counter:
             return self._counter_snapshot(max_wt_us=max_wt_us)
         mut = self.mutation_log()
@@ -4374,9 +4401,12 @@ class CqlTable:
             F.col(f"__maxwritetime_{c}")
             for c in (*s.coll_regular, *sorted(s.nonfrozen))
         ]
-        return wide.select(*out_cols).orderBy(
+        out = wide.select(*out_cols).orderBy(
             *s.partition_cols, *s.clustering
         )
+        if plain:
+            self._snap_cache = (key, out)
+        return out
 
     def _pk_out_cols(self) -> list:
         """Typed user-facing partition-key columns from the log's single

@@ -1972,6 +1972,9 @@ class CqlSession:
         key = self._resolve(m.group("table"))
         table = self.table(m.group("table"))
         s = table.schema
+        # ALTER mutates the TableSchema object in place — the memoized
+        # snapshot plan cannot see that through its state key
+        table.bump_schema_version()
         if s.counter:
             raise CQLError("ALTER is not supported on counter tables")
         if m.group("withopts"):
