@@ -199,13 +199,19 @@ def test_disjunctive_revenue_broadcasts_and_pushes(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_waiting_suppliers_semi_anti_no_extra_exchange(spark):
-    # Q21 shape: the self-semi and self-anti joins share the l_orderkey
-    # shuffle key with the main join — plan must show LeftSemi + LeftAnti
-    # and no cartesian/BNLJ anywhere in the tree
+def test_waiting_suppliers_one_fact_pass(spark):
+    # Q21 shape after the r12 optimization round: the old self-semi +
+    # self-anti joins (three lineitem scans, a fact shuffle each) are
+    # folded into per-order window sums over one (l_orderkey, l_suppkey)
+    # pre-aggregate — lineitem must be scanned ONCE, the per-order
+    # existence tests must come from a Window (no semi/anti join), and
+    # no cartesian/BNLJ anywhere in the tree
     plan = plan_of(spark, "x23_waiting_suppliers")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    # one Location line per scan detail block names the parquet file
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
