@@ -100,10 +100,18 @@ def _sweep(spark, sf_dir: str, names: list[str], repeat: int) -> dict:
     for name in names:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+        # label the jobs so the UI/event log attributes every stage to
+        # its query (guide §1.5); timing is unchanged
+        spark.sparkContext.setJobDescription(f"bench: {name}")
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            spark.sparkContext.setJobDescription(None)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
     return times
