@@ -163,7 +163,23 @@ def _emit(times: dict, sf: float, suffix: str = "") -> None:
     )
 
 
-def _sf1_tier_in_fresh_jvm(sf1_dir: str, names1: list[str]) -> None:
+def _qt_line(times: dict, sf: float) -> str:
+    """One compact driver-parseable per-query map line.
+
+    The driver tail-captures bench stdout and merges nothing: the only
+    per-query data it sees is whatever whole JSON lines survive in the
+    last few KB. r12's PERF had n_common=0 because the full map line was
+    at the HEAD of the output (truncated away) and the driver does not
+    understand query_times_chunk lines. Emit the full map as ONE compact
+    line per tier, re-printed as the very LAST stdout lines (sf1 last —
+    it is the tier PERF compares)."""
+    return json.dumps(
+        {"metric": "query_times", "sf": sf, "queries": times},
+        separators=(",", ":"),
+    )
+
+
+def _sf1_tier_in_fresh_jvm(sf1_dir: str, names1: list[str]) -> list[str]:
     """Run the sf1 tier as a CHILD bench process and relay its stdout.
 
     Round-9 finding: after a 220+-query sf0.1 sweep the shared JVM is
@@ -189,11 +205,17 @@ def _sf1_tier_in_fresh_jvm(sf1_dir: str, names1: list[str]) -> None:
         timeout=3600,
     )
     sys.stderr.write(p.stderr)
+    qt_lines: list[str] = []
     for ln in p.stdout.splitlines():
-        if ln.startswith("{") or ln.startswith("#"):
+        if ln.startswith("{") and '"query_times"' in ln:
+            # hold the child's per-query map back so main() can re-print
+            # it as the very last stdout line (tail survival)
+            qt_lines.append(ln)
+        elif ln.startswith("{") or ln.startswith("#"):
             print(ln)
     if p.returncode != 0:
         raise RuntimeError(f"sf1 child bench failed rc={p.returncode}")
+    return qt_lines
 
 
 def main() -> None:
@@ -215,6 +237,7 @@ def main() -> None:
         times1 = _sweep(spark, sf1_dir, names1, repeat)
         registry.release_caches(spark)
         _emit(times1, 1.0, suffix="_sf1")
+        print(_qt_line(times1, 1.0))
         return
     if subset:
         names = subset.split(",")
@@ -254,6 +277,9 @@ def main() -> None:
     registry.release_caches(spark)
 
     _emit(times, sf)
+    # Per-query maps re-printed as the LAST stdout lines below (sf1
+    # last); collected here in emission order.
+    qt_lines = [_qt_line(times, sf)]
 
     # Second sweep at the sf1-equivalent corpus (scale-sensitive tier
     # only) so the gate also binds past the fixed-overhead regime.
@@ -278,11 +304,15 @@ def main() -> None:
         if names1:
             if os.environ.get("BENCH_SF1_FRESH_JVM", "1") != "0":
                 spark.stop()  # free the aged JVM's 32 threads first
-                _sf1_tier_in_fresh_jvm(sf1_dir, names1)
+                qt_lines += _sf1_tier_in_fresh_jvm(sf1_dir, names1)
             else:
                 times1 = _sweep(spark, sf1_dir, names1, repeat)
                 registry.release_caches(spark)
                 _emit(times1, 1.0, suffix="_sf1")
+                qt_lines.append(_qt_line(times1, 1.0))
+    # Very last stdout lines: one full per-query map per tier, sf1 last.
+    for ln in qt_lines:
+        print(ln)
 
 
 if __name__ == "__main__":
