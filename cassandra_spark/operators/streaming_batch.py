@@ -489,13 +489,13 @@ _S13_AGREE = " + ".join(
 )
 def s13_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 end-to-end: documents staged as 4 parquet files drain through
-    the REAL stateful streaming near-dup job (maxFilesPerTrigger=1 → 4
-    micro-batch epochs, per-bucket signature state in the state store),
-    and the emitted pair set must equal the one-shot batch rule exactly —
-    possible only if bucket state survived across epochs, since most
-    pairs' members arrive in different batches. Pairs found through
-    multiple shared bands collapse by DISTINCT (same n_agree each time,
-    a pure signature function). See jobs.streaming_neardup."""
+    the REAL streaming near-dup job (maxFilesPerTrigger=1 → 4
+    micro-batch epochs, per-bucket signature state accumulated across
+    epochs), and the emitted pair set must equal the one-shot batch rule
+    exactly — possible only if bucket state survived across epochs,
+    since most pairs' members arrive in different batches. Pairs found
+    through multiple shared bands collapse by DISTINCT (same n_agree
+    each time, a pure signature function). See jobs.streaming_neardup."""
     import os
     import tempfile
 
@@ -507,10 +507,8 @@ def s13_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     ).repartition(4).write.mode("overwrite").parquet(src)
 
-    stream = jobs.streaming_neardup(spark, src)
-    name = _sink_name("s13_pairs")
-    jobs.run_available_now(stream, name, output_mode="append")
-    return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
+    pairs = jobs.streaming_neardup(spark, src)
+    return pairs.select("doc_a", "doc_b", "n_agree").distinct()
 
 
 @query(
@@ -575,6 +573,13 @@ def _move_staged_files(staged: str, src: str, parts: list[str]) -> None:
         hits = globmod.glob(os.path.join(staged, sub, "part-*.parquet"))
         if not hits:
             continue
+        if len(hits) > 1:  # the single-file-slice contract fails loudly
+            raise RuntimeError(
+                f"staged slice {sub} has {len(hits)} part files; "
+                "repartition(cols)+partitionBy must yield exactly one "
+                "(a rebalance hint or speculative writes would break "
+                "the arrival-order contract)"
+            )
         (pf,) = hits
         dst = os.path.join(src, f"f{k}.parquet")
         shutil.move(pf, dst)
@@ -601,7 +606,13 @@ def _stage_typed_slices(
     # half-month slices over the Jan-2024 corpus: time-ordered arrival
     cuts = ["2024-01-15"]
     (
-        ev.where(F.col("event_type").isin("view", "purchase"))
+        # NULL-ts guard: the pre-r12 four-scan staging (ts >= a AND
+        # ts < b per slice) silently dropped null-ts rows; _slice_col's
+        # when/otherwise would route them into the last slice instead —
+        # filter them so staging stays byte-equivalent (none exist in
+        # the synthetic corpus; this pins the contract)
+        ev.where(F.col("ts").isNotNull())
+        .where(F.col("event_type").isin("view", "purchase"))
         .withColumn("__slice", _slice_col(cuts))
         .withColumn("__kind", F.col("event_type"))
         # repartition (not REBALANCE): each (slice, kind) pair must land
@@ -637,7 +648,12 @@ def _state_partitions() -> int:
     the box's core count."""
     import os
 
-    env = int(os.environ.get("CASSANDRA_SPARK_STREAM_STATE_PARTITIONS", "0"))
+    try:
+        env = int(
+            os.environ.get("CASSANDRA_SPARK_STREAM_STATE_PARTITIONS", "0")
+        )
+    except ValueError:
+        env = 0  # malformed override: fall back to the cpu-derived default
     if env > 0:
         return env
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -804,7 +820,13 @@ def s16_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at-least-once delivery — every slice file carries each row twice)
     # and the weekly slicing land in a single partitioned write instead
     # of four filtered scans; files then move into time order.
-    doubled = ev.unionAll(ev).withColumn("__slice", _slice_col(cuts))
+    # NULL-ts guard: see _stage_typed_slices (byte-equivalence with the
+    # pre-r12 per-slice ts-range filters)
+    doubled = (
+        ev.where(F.col("ts").isNotNull())
+        .unionAll(ev.where(F.col("ts").isNotNull()))
+        .withColumn("__slice", _slice_col(cuts))
+    )
     (
         doubled.repartition("__slice")
         .write.mode("overwrite")

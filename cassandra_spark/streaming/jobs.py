@@ -223,18 +223,45 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
-) -> None:
-    """Drain the backlog into an in-memory table (demo/test harness);
-    blocks until the availableNow trigger completes. Aggregations use
-    output_mode='complete'; row streams use 'append'."""
+) -> DataFrame:
+    """Drain the backlog through a foreachBatch PARQUET sink and register
+    the read-back as a temp view named ``query_name``; blocks until the
+    availableNow trigger completes. Aggregations use
+    output_mode='complete' (each epoch overwrites — last epoch wins,
+    exactly the memory sink's truncate-per-epoch); row streams use
+    'append'/'update' (epochs append).
+
+    The previous memory sink materialized every drained row in DRIVER
+    memory — bounded at bench scale but a structural scale-killer at
+    100 TB (guide §5: the driver should do no data work). Rows now go
+    executor → local parquet; the driver only coordinates, and readers
+    get the same rows via ``spark.table(query_name)``."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=f"drain_{query_name}_")
+    out_dir = os.path.join(root, "out")
+    overwrite = output_mode == "complete"
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        batch.write.mode("overwrite" if overwrite else "append").parquet(
+            out_dir
+        )
+
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
+        stream_df.writeStream.foreachBatch(sink)
         .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    spark = stream_df.sparkSession
+    if os.path.isdir(out_dir):
+        got = spark.read.schema(stream_df.schema).parquet(out_dir)
+    else:  # zero epochs wrote (empty source): keep the contract
+        got = spark.createDataFrame([], stream_df.schema)
+    got.createOrReplaceTempView(query_name)
+    return got
 
 
 # --- always-on mode: processingTime triggers over a rate-limited source ----
@@ -791,32 +818,10 @@ def streaming_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S13: streaming MinHash near-dup detection ------------------------------
 
 
-def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
-    """S13: near-duplicate detection AGAINST GROWING STATE — the streaming
-    form of l2's shingle→MinHash→band pipeline, the shape an ingestion
-    path needs (is this incoming document a near-dup of ANYTHING already
-    ingested?).
-
-    Per micro-batch: documents project to their 8-perm MinHash signature
-    and 4 band buckets with the SAME integer expressions as the batch
-    operator (bit-identical signatures); each document then routes to its
-    4 (band_id, band_val) keys, and a per-bucket applyInPandasWithState
-    holds the signatures of every document previously seen in that
-    bucket. An arriving document emits one pair row per stored neighbor
-    whose signature agrees on >= 6 of 8 components — pairs are emitted
-    canonically (low id, high id), so the output SET is independent of
-    arrival order: whichever of the pair arrives second finds the first
-    in state. State is O(bucket occupancy) signatures, partitioned by
-    bucket key across executors — the streaming dual of the batch
-    Σ bucket² candidate bound.
-
-    The 6/8 agreement threshold is this operator's own verification
-    contract (signature agreement, NOT re-computed Jaccard: streaming
-    state holds 8 longs per doc, never shingle sets) — deterministic and
-    SQL-expressible, so the oracle replays the same rule one-shot."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import StructType
-
+def _neardup_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[8], band_id, band_val) — one row per
+    (document, band), with the SAME integer expressions as the batch
+    operator (bit-identical signatures)."""
     from cassandra_spark.operators.llm_dedup import (
         BAND_MIX,
         MH_A,
@@ -826,11 +831,6 @@ def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
         shingle_expr_spark,
     )
 
-    docs = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)  # 4 staged files -> 4 epochs
-        .parquet(src)
-    )
     sig = docs.select(
         "doc_id", F.expr(WORD_HASH_SPARK).alias("wh")
     ).filter(F.size("wh") >= 3).withColumn(
@@ -841,7 +841,7 @@ def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
             f"mh{j}",
             F.expr(f"array_min(transform(sh, s -> ({a} * s + {b}) % {MOD}))"),
         )
-    sig = sig.select(
+    return sig.select(
         "doc_id",
         F.array(*[F.col(f"mh{j}") for j in range(8)]).alias("sig"),
         F.posexplode(
@@ -854,77 +854,113 @@ def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
         ).alias("band_id", "band_val"),
     )
 
-    out_schema = StructType.fromDDL(
-        "doc_a long, doc_b long, n_agree int"
+
+# n_agree between two 8-component signatures, evaluated entirely in the
+# JVM (codegen'd higher-order functions — no Python boundary).
+_NEARDUP_AGREE = (
+    "CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> CAST(x = y AS INT)), "
+    "0, (acc, v) -> acc + v) AS INT)"
+)
+
+
+def streaming_neardup(spark: SparkSession, src: str) -> "DataFrame":
+    """S13: near-duplicate detection AGAINST GROWING STATE — the streaming
+    form of l2's shingle→MinHash→band pipeline, the shape an ingestion
+    path needs (is this incoming document a near-dup of ANYTHING already
+    ingested?). Drains the staged source with availableNow and returns
+    the emitted pair rows.
+
+    Per micro-batch (foreachBatch, the s17/s18 gatekeeper shape):
+    documents project to their 8-perm MinHash signature and 4 band
+    buckets; the batch's band rows BROADCAST-join the accumulated
+    signature generations on (band_id, band_val) — every previously
+    ingested document sharing a bucket is a candidate — plus one
+    triangular self-join for same-batch pairs; candidates agreeing on
+    >= 6 of 8 signature components emit canonically (low id, high id),
+    so the output SET is independent of arrival order. The batch's band
+    rows then append to the signature store as a new generation, so the
+    next epoch sees them — state is O(corpus) signatures in parquet
+    exactly where a 100 TB deployment keeps them (the l38 artifact's
+    layout), the per-epoch write is O(batch), and the whole compare runs
+    as JVM joins (r13 opt round, guide §4.1: the previous
+    applyInPandasWithState form paid a Python protocol round per
+    (band_id, band_val) group — ~200k groups per drain — plus a state
+    store commit per partition per epoch; both gone).
+
+    The 6/8 agreement threshold is this operator's own verification
+    contract (signature agreement, NOT re-computed Jaccard: the store
+    holds 8 longs per doc, never shingle sets) — deterministic and
+    SQL-expressible, so the oracle replays the same rule one-shot."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="s13_neardup_state_")
+    seen_dir = os.path.join(root, "seen")
+    out_dir = os.path.join(root, "pairs")
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # 4 staged files -> 4 epochs
+        .parquet(src)
     )
-    state_schema = StructType.fromDDL(
-        "ids array<long>, sigs array<long>"
-    )
 
-    def update(key, pdfs, state: GroupState):
-        # Vectorized over the whole batch (r12 opt round, guide §4.2):
-        # one (batch x stored) signature-agreement matrix against state
-        # plus one lower-triangular intra-batch matrix, instead of a
-        # per-doc Python loop with an O(n^2)-copy np.vstack per doc.
-        # Emitted pair SET and n_agree values are identical — pairs are
-        # canonical (low id, high id) and symmetric, and the triangular
-        # mask reproduces "each doc sees every earlier-arrived doc".
-        import numpy as np
-        import pandas as pd
+    band_key = ["band_id", "band_val"]
 
-        ids, flat = state.get if state.exists else ([], [])
-        pids = np.asarray(ids, dtype=np.int64)
-        mat = np.asarray(flat, dtype=np.int64).reshape(-1, 8)
-        hits: list[tuple] = []
-
-        def _emit(a, b, nn):
-            keep = a != b
-            if keep.any():
-                hits.append(
-                    (np.minimum(a, b)[keep], np.maximum(a, b)[keep], nn[keep])
-                )
-
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            bids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            if not len(bids):
-                continue
-            bmat = np.array(
-                [np.asarray(s, dtype=np.int64) for s in pdf["sig"]],
-                dtype=np.int64,
-            ).reshape(len(bids), 8)
-            if mat.shape[0]:
-                agree = (bmat[:, None, :] == mat[None, :, :]).sum(axis=2)
-                ii, jj = np.nonzero(agree >= 6)
-                if ii.size:
-                    _emit(bids[ii], pids[jj], agree[ii, jj])
-            if len(bids) > 1:
-                agree = (bmat[:, None, :] == bmat[None, :, :]).sum(axis=2)
-                ii, jj = np.nonzero(np.tril(agree >= 6, k=-1))
-                if ii.size:
-                    _emit(bids[ii], bids[jj], agree[ii, jj])
-            pids = np.concatenate([pids, bids])
-            mat = np.vstack([mat, bmat])
-        state.update(
-            ([int(x) for x in pids], [int(x) for x in mat.reshape(-1)])
-        )
-        if hits:
-            yield pd.DataFrame(
-                {
-                    "doc_a": np.concatenate([h[0] for h in hits]),
-                    "doc_b": np.concatenate([h[1] for h in hits]),
-                    "n_agree": np.concatenate([h[2] for h in hits]).astype(
-                        np.int32
-                    ),
-                }
+    def compare(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        bb = _neardup_sig(batch).persist()
+        # same-batch pairs: triangular self-join per bucket
+        pairs = (
+            bb.alias("a")
+            .join(
+                bb.alias("b"),
+                [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_key]
+                + [F.col("a.doc_id") < F.col("b.doc_id")],
             )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr(_NEARDUP_AGREE).alias("n_agree"),
+            )
+            .where("n_agree >= 6")
+        )
+        if os.path.isdir(seen_dir):
+            prior = spark.read.schema(bb.schema).parquet(seen_dir)
+            # broadcast the SMALL batch side; the growing store streams
+            # through the join unshuffled (guide §3.1)
+            cross = (
+                F.broadcast(bb)
+                .alias("a")
+                .join(
+                    prior.alias("b"),
+                    [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_key]
+                    + [F.col("a.doc_id") != F.col("b.doc_id")],
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.expr(_NEARDUP_AGREE).alias("n_agree"),
+                )
+                .where("n_agree >= 6")
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.write.mode("append").parquet(out_dir)
+        bb.write.mode("append").parquet(seen_dir)
+        bb.unpersist()
 
-    return sig.groupBy("band_id", "band_val").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    (
+        docs.writeStream.foreachBatch(compare)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if os.path.isdir(out_dir):
+        return spark.read.schema(
+            "doc_a long, doc_b long, n_agree int"
+        ).parquet(out_dir)
+    return spark.createDataFrame(
+        [], "doc_a long, doc_b long, n_agree int"
     )
 
 

@@ -1852,3 +1852,62 @@ def test_describe_index_ddl_qualified_once(spark):
         "CREATE CUSTOM INDEX wi ON session.dt (w) USING "
         "'org.apache.cassandra.index.sasi.SASIIndex';"
     )
+
+
+def test_snapshot_memo_invalidated_by_every_mutation_path(spark):
+    """The memoized unrestricted snapshot plan (cql_dml.snapshot) is
+    keyed on (mutver, log len, segment tuple, clock, seq, max_wt); a
+    mutation path that slips past the key would serve SILENT STALE
+    READS. Prime the cache before each path, mutate, and assert the
+    next snapshot reflects the change (r12 advice: enumerate the
+    DDL/maintenance sites so a future in-place mutation that forgets
+    bump_schema_version fails here, loudly)."""
+    s = CqlSession(spark, None)
+    s.execute("CREATE TABLE memo (k int PRIMARY KEY, v int, w int)")
+    t = s.table("memo")
+
+    def prime():
+        return {tuple(r) for r in s.execute("SELECT * FROM memo").collect()}
+
+    s.execute("INSERT INTO memo (k, v, w) VALUES (1, 10, 100)")
+    prime()
+    # plain write after a primed cache (log length key field)
+    s.execute("INSERT INTO memo (k, v, w) VALUES (2, 20, 200)")
+    assert {r.k for r in s.execute("SELECT k FROM memo").collect()} == {1, 2}
+    # flush (segment tuple key field)
+    prime()
+    t.flush()
+    s.execute("INSERT INTO memo (k, v, w) VALUES (3, 30, 300)")
+    assert s.execute("SELECT * FROM memo").count() == 3
+    # compaction (segment tuple changes to the merged path)
+    t.flush()
+    prime()
+    t.compact_segments()
+    assert s.execute("SELECT * FROM memo").count() == 3
+    # ALTER ADD: in-place TableSchema mutation -> explicit bump
+    prime()
+    s.execute("ALTER TABLE memo ADD z int")
+    assert "z" in s.execute("SELECT * FROM memo").columns
+    # ALTER DROP: schema mutation + same-path segment rewrite -> bump
+    prime()
+    s.execute("ALTER TABLE memo DROP w")
+    assert "w" not in s.execute("SELECT * FROM memo").columns
+    # ALTER RENAME is primary-key-only in the FE; rename a pk-ish table
+    s.execute(
+        "CREATE TABLE memo2 (a int, b int, c int, PRIMARY KEY (a, b))"
+    )
+    s.execute("INSERT INTO memo2 (a, b, c) VALUES (1, 2, 3)")
+    {tuple(r) for r in s.execute("SELECT * FROM memo2").collect()}
+    s.execute("ALTER TABLE memo2 RENAME b TO bb")
+    assert "bb" in s.execute("SELECT * FROM memo2").columns
+    # ALTER WITH (options only; content unchanged, but must not stale)
+    prime()
+    s.execute("ALTER TABLE memo WITH default_time_to_live = 0")
+    assert s.execute("SELECT * FROM memo").count() == 3
+    # delete (log length) and TRUNCATE (clears everything)
+    prime()
+    s.execute("DELETE FROM memo WHERE k = 3")
+    assert s.execute("SELECT * FROM memo").count() == 2
+    prime()
+    s.execute("TRUNCATE memo")
+    assert s.execute("SELECT * FROM memo").count() == 0

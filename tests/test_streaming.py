@@ -558,7 +558,6 @@ def test_s13_neardup_pairs_cross_microbatches(spark):
     import duckdb
 
     from cassandra_spark.catalog import Catalog
-    from cassandra_spark.operators.streaming_batch import _sink_name
     from cassandra_spark.streaming import jobs
     from tests.conftest import SF_SMOKE
 
@@ -571,12 +570,10 @@ def test_s13_neardup_pairs_cross_microbatches(spark):
     docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
         src
     )
-    stream = jobs.streaming_neardup(spark, src)
-    name = _sink_name("s13_split")
-    jobs.run_available_now(stream, name, output_mode="append")
+    pairs = jobs.streaming_neardup(spark, src)
     got = {
         (r.doc_a, r.doc_b, r.n_agree)
-        for r in spark.table(name).distinct().collect()
+        for r in pairs.distinct().collect()
     }
     # one-shot truth from the registered oracle
     from cassandra_spark import registry
