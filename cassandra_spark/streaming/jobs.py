@@ -607,36 +607,56 @@ def streaming_mv(
         base_live = live.get("base", [])
         view_live = live.get("view", [])
 
-        # the OLD image of exactly the touched keys: semi-join the live
-        # base segments down to the batch's keys FIRST (the key set is
-        # batch-sized, so Spark broadcasts it), then LWW-reduce — the
-        # only per-epoch read of the base, and it is key-restricted.
-        if base_live:
-            old_img = _lww_reduce(
-                s.read.parquet(*base_live).join(
-                    keys, list(UPSERT_KEYS), "left_semi"
-                )
-            ).localCheckpoint()  # used twice: signed union + new image
-        else:
-            old_img = batch.limit(0)
-        # LWW associativity: reduce(reduce(old cells) ∪ batch) ==
-        # reduce(old cells ∪ batch) — the new image derives from the
-        # already-reduced old image, no second base scan.
-        new_img = _lww_reduce(old_img.unionByName(batch))
-
-        signed = old_img.withColumn("m", F.lit(-1)).unionByName(
-            new_img.withColumn("m", F.lit(1))
+        # OLD and NEW LWW image of exactly the touched keys in ONE
+        # grouped pass (r13 opt round, guide §2.4): the live base cells
+        # semi-joined down to the batch's keys (batch-sized key set →
+        # broadcast) union the batch, and per key TWO null-ignoring
+        # max-struct aggregates pick the overall winner (the new image)
+        # and the old-rows-only winner (the old image; NULL when the
+        # key is new). The former shape paid a groupBy for the old
+        # image, a localCheckpoint job to reuse it, a second groupBy
+        # for the new image and a third for the signed delta — now one
+        # groupBy plus the per-group delta aggregation.
+        old_cells = (
+            s.read.parquet(*base_live).join(
+                keys, list(UPSERT_KEYS), "left_semi"
+            )
+            if base_live
+            else batch.limit(0)
         )
-        # the epoch's view contribution: touched groups only. NO
+        per_key = (
+            old_cells.withColumn("__src", F.lit(0))
+            .unionByName(batch.withColumn("__src", F.lit(1)))
+            .groupBy(*UPSERT_KEYS)
+            .agg(
+                F.max(
+                    F.struct("writetime", "event_id", "value")
+                ).alias("w_new"),
+                F.max(
+                    F.when(
+                        F.col("__src") == 0,
+                        F.struct("writetime", "event_id", "value"),
+                    )
+                ).alias("w_old"),
+            )
+        )
+        # the epoch's view contribution: touched groups only, as
+        # new - old per key (the same ±1 signed algebra, regrouped per
+        # key — decimal addition is exact, so the sum is unchanged). NO
         # cnt>0 filter here — a group's count can legitimately sum to
         # zero across delta segments; the read path filters after the
         # full delta-sum (and so do folds over the COMPLETE live set
         # only, which fold_candidates does not guarantee — so never).
-        delta = signed.groupBy(VIEW_KEY).agg(
-            F.sum("m").cast("long").alias("cnt"),
+        delta = per_key.groupBy(VIEW_KEY).agg(
             F.sum(
-                F.col("value").cast("decimal(18,4)")
-                * F.col("m").cast("decimal(2,0)")
+                F.lit(1) - F.col("w_old").isNotNull().cast("int")
+            ).cast("long").alias("cnt"),
+            F.sum(
+                F.col("w_new.value").cast("decimal(18,4)")
+                - F.coalesce(
+                    F.col("w_old.value").cast("decimal(18,4)"),
+                    F.lit(0).cast("decimal(18,4)"),
+                )
             ).cast("decimal(38,4)").alias("total_dec"),
         )
 
@@ -1326,38 +1346,53 @@ def streaming_quality_gate(
             ).alias("n_emails"),
         )
 
-        # NOTE (r12 opt round): a one-tagged-explode rewrite of the two
-        # gram aggregations was measured and REJECTED — at the one-shot
-        # corpus scale it wins (3.62 -> 2.77 s warm at x10), but per
-        # micro-batch (1/4 the rows) the streaming entry runs SLOWER
-        # (back-to-back A/B: 13.6 s this shape vs 17.5 s rewritten);
-        # the struct explode's per-row cost outweighs the saved shuffle
-        # at per-epoch volumes. Keeping the two-pass shape the batch
-        # oracle mirrors.
-        def grams(n: int) -> DataFrame:
-            expr = (
+        # r13 opt round (guide §2.3/§2.4 "aggregate before you shuffle" /
+        # remove shuffles outright): BOTH gram statistics are functions
+        # of a single document, so the former explode → groupBy(doc_id,
+        # gram) → groupBy(doc_id) → join pipeline (two full shuffles of
+        # every gram, per epoch) collapses into per-row JVM folds over
+        # the sorted gram array — run lengths in a sorted array ARE the
+        # per-gram counts. t2c updates the max eagerly (a run's maximum
+        # contribution is at its last element); d3c adds 2·len when a
+        # run reaches 2 and +len per further repeat, so a run of k>1
+        # contributes exactly k·len and a singleton 0, matching the old
+        # cnt>1 filter. Zero exchanges per epoch; the epoch is one
+        # scan-bound projection + the sink write. (The r12 attempt that
+        # was measured and rejected — one TAGGED explode instead of two
+        # — still shuffled every gram; this shuffles none.)
+        def gram_arr(n: int) -> str:
+            return (
                 f"CASE WHEN size(ws) >= {n} THEN "
-                f"transform(sequence(0, size(ws) - {n}), i -> "
+                f"array_sort(transform(sequence(0, size(ws) - {n}), i -> "
                 f"concat_ws(' ', "
                 + ", ".join(f"ws[i + {j}]" for j in range(n))
-                + ")) ELSE array() END"
-            )
-            return (
-                base.select("doc_id", F.explode(F.expr(expr)).alias("gram"))
-                .groupBy("doc_id", "gram")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                + "))) ELSE array() END"
             )
 
-        t2 = grams(2).groupBy("doc_id").agg(
-            F.max(F.col("cnt") * F.length("gram")).alias("t2c")
+        t2c = (
+            f"aggregate({gram_arr(2)}, "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+            "(s, x) -> named_struct("
+            "  'prev', x, "
+            "  'run', IF(x <=> s.prev, s.run + 1, 1), "
+            "  'best', greatest(s.best, "
+            "          IF(x <=> s.prev, s.run + 1, 1) * length(x))), "
+            "s -> s.best)"
         )
-        d3 = (
-            grams(3)
-            .filter(F.col("cnt") > 1)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.length("gram")).alias("d3c"))
+        d3c = (
+            f"aggregate({gram_arr(3)}, "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'acc', 0), "
+            "(s, x) -> named_struct("
+            "  'prev', x, "
+            "  'run', IF(x <=> s.prev, s.run + 1, 1), "
+            "  'acc', s.acc + CASE "
+            "    WHEN x <=> s.prev AND s.run = 1 THEN 2 * length(x) "
+            "    WHEN x <=> s.prev THEN length(x) ELSE 0 END), "
+            "s -> s.acc)"
         )
-        j = base.join(t2, "doc_id", "left").join(d3, "doc_id", "left")
+        j = base.withColumn("t2c", F.expr(t2c)).withColumn(
+            "d3c", F.expr(d3c)
+        )
         t2f = F.coalesce(F.col("t2c"), F.lit(0)).cast("double") / F.col(
             "n_chars"
         )
