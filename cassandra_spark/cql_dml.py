@@ -4072,22 +4072,32 @@ class CqlTable:
 
     def _range_cover_cond(self, rt_prefix="pref_arr", row_arr="ck_arr"):
         """Spark boolean Column: range tombstone (prefix array + typed
-        bounds on the next clustering col) covers the row's ck array."""
+        bounds on the next clustering col) covers the row's ck array.
+        Built as ONE SQL expression string (r13 opt round): the former
+        per-clustering-column Column-object chain cost ~12 py4j
+        round-trips per column on every snapshot build. Semantics
+        identical — ``IF(lo_incl, a, b)`` takes the b branch on NULL
+        exactly like ``when(...).otherwise(...)``."""
         s = self.schema
-        pref_match = F.expr(f"slice({row_arr}, 1, size({rt_prefix}))") == F.col(rt_prefix)
-        no_bounds = F.col("lo").isNull() & F.col("hi").isNull()
-        per_k = F.lit(False)
+        per_k = ["false"]
         for k, col in enumerate(s.clustering):
             t = s.key_type(col)
-            v = F.col(row_arr)[k].cast(t)
-            lo_ok = F.col("lo").isNull() | F.when(
-                F.col("lo_incl"), v >= F.col("lo").cast(t)
-            ).otherwise(v > F.col("lo").cast(t))
-            hi_ok = F.col("hi").isNull() | F.when(
-                F.col("hi_incl"), v <= F.col("hi").cast(t)
-            ).otherwise(v < F.col("hi").cast(t))
-            per_k = per_k | ((F.size(F.col(rt_prefix)) == k) & lo_ok & hi_ok)
-        return pref_match & (no_bounds | per_k)
+            v = f"CAST({row_arr}[{k}] AS {t})"
+            lo_ok = (
+                f"(lo IS NULL OR IF(lo_incl, {v} >= CAST(lo AS {t}), "
+                f"{v} > CAST(lo AS {t})))"
+            )
+            hi_ok = (
+                f"(hi IS NULL OR IF(hi_incl, {v} <= CAST(hi AS {t}), "
+                f"{v} < CAST(hi AS {t})))"
+            )
+            per_k.append(
+                f"(size({rt_prefix}) = {k} AND {lo_ok} AND {hi_ok})"
+            )
+        return F.expr(
+            f"slice({row_arr}, 1, size({rt_prefix})) = {rt_prefix} AND "
+            f"((lo IS NULL AND hi IS NULL) OR ({' OR '.join(per_k)}))"
+        )
 
     def snapshot_pitr(self, ts_us: int) -> DataFrame:
         """Point-in-time view: the table's visible rows AS OF writetime
@@ -4155,22 +4165,25 @@ class CqlTable:
         # everything un-expired that has no TTL.
         asof = asof_us if asof_us is not None else self._max_wt + 1
 
+        # filters/aggregates below are SQL strings, not Column chains —
+        # plan CONSTRUCTION is driver-side py4j work on every snapshot
+        # build (~1.3 s / ~1600 round-trips before the r13 conversion)
         part_tombs = (
-            mut.filter(F.col("kind") == PART_TOMB)
+            mut.filter(f"kind = '{PART_TOMB}'")
             .groupBy("pk")
             .agg(F.max("writetime").alias("pt_ts"))
         )
         row_tombs = (
-            mut.filter(F.col("kind") == ROW_TOMB)
+            mut.filter(f"kind = '{ROW_TOMB}'")
             .groupBy("pk", "ck")
             .agg(F.max("writetime").alias("rt_ts"))
         )
         clustered = mut.filter(
-            F.col("ck").isNotNull()
-            & F.col("kind").isin(CELL, MARKER, CELL_TOMB)
+            f"ck IS NOT NULL AND kind IN ('{CELL}', '{MARKER}', "
+            f"'{CELL_TOMB}')"
         )
         coll_tombs = (
-            mut.filter(F.col("kind") == COLL_TOMB)
+            mut.filter(f"kind = '{COLL_TOMB}'")
             .groupBy("pk", "ck", "col")
             .agg(F.max("writetime").alias("gt_ts"))
         )
@@ -4203,37 +4216,35 @@ class CqlTable:
 
         # per (pk, ck, col, elem) pick the winner among cells/markers and
         # their tombstones: writetime desc, tombstone beats write, arrival
-        is_tomb = (F.col("kind") == CELL_TOMB).cast("int")
-        w = Window.partitionBy("pk", "ck", "col", "elem").orderBy(
-            F.col("writetime").desc(), is_tomb.desc(), F.col("seq").desc()
+        _tomb_rank = (
+            f"row_number() OVER (PARTITION BY pk, ck, col, elem ORDER BY "
+            f"writetime DESC, CAST(kind = '{CELL_TOMB}' AS INT) DESC, "
+            f"seq DESC)"
         )
         winners = (
-            clustered.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            clustered.withColumn("__rn", F.expr(_tomb_rank))
+            .filter("__rn = 1")
             .drop("__rn")
         )
 
         live = (
-            winners.filter(F.col("kind") != CELL_TOMB)
-            # TTL expiry (W2): 0 = no ttl
-            .filter(
-                (F.col("ttl") == 0)
-                | (F.col("writetime") + F.col("ttl") > F.lit(asof))
+            # W2: TTL expiry (0 = no ttl); drop tombstone winners
+            winners.filter(
+                f"kind != '{CELL_TOMB}' AND "
+                f"(ttl = 0 OR writetime + ttl > {int(asof)})"
             )
             # row/range/partition tombstone shadowing (W3): survive if newer
             .join(F.broadcast(part_tombs), "pk", "left")
             .join(F.broadcast(row_tombs), ["pk", "ck"], "left")
             .join(F.broadcast(rcov), ["pk", "ck"], "left")
             .filter(
-                (F.col("pt_ts").isNull() | (F.col("writetime") > F.col("pt_ts")))
-                & (F.col("rt_ts").isNull() | (F.col("writetime") > F.col("rt_ts")))
-                & (F.col("rg_ts").isNull() | (F.col("writetime") > F.col("rg_ts")))
+                "(pt_ts IS NULL OR writetime > pt_ts) AND "
+                "(rt_ts IS NULL OR writetime > rt_ts) AND "
+                "(rg_ts IS NULL OR writetime > rg_ts)"
             )
             # collection tombstone horizon per column
             .join(F.broadcast(coll_tombs), ["pk", "ck", "col"], "left")
-            .filter(
-                F.col("gt_ts").isNull() | (F.col("writetime") > F.col("gt_ts"))
-            )
+            .filter("gt_ts IS NULL OR writetime > gt_ts")
         )
 
         aggs = []
@@ -4246,15 +4257,19 @@ class CqlTable:
                     F.lit(None).cast("long").alias(f"__writetime_{c}")
                 )
                 continue
-            cell_val = F.when(F.col("col") == c, F.col("val"))
-            cell_wt = F.when(F.col("col") == c, F.col("writetime"))
+            cell_val = f"max(CASE WHEN col = '{c}' THEN val END)"
+            cell_wt = f"max(CASE WHEN col = '{c}' THEN writetime END)"
             if parse_struct_type(typ) is not None:
                 # struct cells carry canonical JSON; from_json re-types them
                 # (a string cast can't produce a StructType)
-                aggs.append(F.from_json(F.max(cell_val), typ).alias(c))
+                aggs.append(
+                    F.expr(
+                        f"from_json({cell_val}, '{spark_type_text(typ)}')"
+                    ).alias(c)
+                )
             else:
-                aggs.append(F.max(cell_val).cast(typ).alias(c))
-            aggs.append(F.max(cell_wt).alias(f"__writetime_{c}"))
+                aggs.append(F.expr(f"CAST({cell_val} AS {typ})").alias(c))
+            aggs.append(F.expr(cell_wt).alias(f"__writetime_{c}"))
         def _cell_expr(src: str, typ: str) -> str:
             # struct-typed (round 11) and frozen-nested-collection
             # (round 12) elements store canonical JSON: from_json
@@ -4302,7 +4317,7 @@ class CqlTable:
             # for a multi-cell column the selector reads the max LIVE
             # element-cell writetime; null when the collection is null
             aggs.append(
-                F.max(F.when(F.col("col") == c, F.col("writetime")))
+                F.expr(f"max(CASE WHEN col = '{c}' THEN writetime END)")
                 .alias(f"__maxwritetime_{c}")
             )
         for c in sorted(s.nonfrozen):
@@ -4332,7 +4347,7 @@ class CqlTable:
                 ).alias(c)
             )
             aggs.append(
-                F.max(F.when(F.col("col") == c, F.col("writetime")))
+                F.expr(f"max(CASE WHEN col = '{c}' THEN writetime END)")
                 .alias(f"__maxwritetime_{c}")
             )
         # a table can legally end up with ZERO aggregated columns (every
@@ -4353,36 +4368,38 @@ class CqlTable:
         out_cols += [F.col(c) for c in s.regular]
 
         if s.static:
-            sw = Window.partitionBy("pk", "col").orderBy(
-                F.col("writetime").desc(), is_tomb.desc(), F.col("seq").desc()
-            )
             statics = mut.filter(
-                F.col("ck").isNull() & F.col("kind").isin(CELL, CELL_TOMB)
+                f"ck IS NULL AND kind IN ('{CELL}', '{CELL_TOMB}')"
             )
             s_live = (
-                statics.withColumn("__rn", F.row_number().over(sw))
-                .filter(F.col("__rn") == 1)
-                .filter(F.col("kind") != CELL_TOMB)
+                statics.withColumn(
+                    "__rn",
+                    F.expr(
+                        f"row_number() OVER (PARTITION BY pk, col ORDER BY "
+                        f"writetime DESC, CAST(kind = '{CELL_TOMB}' AS INT) "
+                        f"DESC, seq DESC)"
+                    ),
+                )
+                .filter("__rn = 1")
                 .filter(
-                    (F.col("ttl") == 0)
-                    | (F.col("writetime") + F.col("ttl") > F.lit(asof))
+                    f"kind != '{CELL_TOMB}' AND "
+                    f"(ttl = 0 OR writetime + ttl > {int(asof)})"
                 )
                 .join(F.broadcast(part_tombs), "pk", "left")
-                .filter(
-                    F.col("pt_ts").isNull()
-                    | (F.col("writetime") > F.col("pt_ts"))
-                )
+                .filter("pt_ts IS NULL OR writetime > pt_ts")
             )
             s_aggs = []
             for c, typ in s.static.items():
-                sv = F.max(F.when(F.col("col") == c, F.col("val")))
+                sv = f"max(CASE WHEN col = '{c}' THEN val END)"
                 s_aggs.append(
-                    F.from_json(sv, typ).alias(c)
+                    F.expr(
+                        f"from_json({sv}, '{spark_type_text(typ)}')"
+                    ).alias(c)
                     if parse_struct_type(typ) is not None
-                    else sv.cast(typ).alias(c)
+                    else F.expr(f"CAST({sv} AS {typ})").alias(c)
                 )
                 s_aggs.append(
-                    F.max(F.when(F.col("col") == c, F.col("writetime")))
+                    F.expr(f"max(CASE WHEN col = '{c}' THEN writetime END)")
                     .alias(f"__writetime_{c}")
                 )
             s_wide = s_live.groupBy("pk").agg(*s_aggs)

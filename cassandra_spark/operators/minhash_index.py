@@ -166,14 +166,16 @@ def append_minhash_index(
 
 
 def admit_against_index(
-    spark: SparkSession, index_dir: str, nsig: DataFrame
+    spark: SparkSession, index_dir: str, nsig: DataFrame, sort: bool = True
 ) -> DataFrame:
     """Per-doc admission decisions for a signatured batch against the
     persisted index (base + all generations): banded candidate probe on
     the partition-pruned posting lists, PLUS arrival-order candidacy
     among the batch docs themselves (q.doc_id < n.doc_id), then exact
     Jaccard verify against the artifact's shingle sets. Output schema =
-    l31's: (doc_id, n_dups, best_jaccard, admit)."""
+    l31's: (doc_id, n_dups, best_jaccard, admit). ``sort=False`` skips
+    the cosmetic doc_id ordering — an exchange per call that a sink
+    write does not need (s18 re-sorts once at read-back)."""
     nbands = _banded(nsig)
     art_bands = index_bands(spark, index_dir)
     n = nbands.alias("n")
@@ -222,7 +224,7 @@ def admit_against_index(
             F.max("jaccard").alias("best_jaccard"),
         )
     )
-    return (
+    out = (
         nsig.select("doc_id")
         .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
         .select(
@@ -231,8 +233,8 @@ def admit_against_index(
             "best_jaccard",
             (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admit"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if sort else out
 
 
 @query(

@@ -668,15 +668,33 @@ def _drain_state(
 ):
     """availableNow drain with few fat state partitions (see
     :func:`_state_partitions` for the measurement and the production
-    knob)."""
+    knob). ``CASSANDRA_SPARK_STATE_STORE_PROVIDER`` overrides the state
+    store provider class for the drain (A/B knob; r11 and r13 both
+    measured RocksDB slower than the in-memory HDFS provider at these
+    state sizes, so the default stands — a 100 TB deployment whose
+    per-partition state outgrows executor heap sets it to
+    ...state.RocksDBStateStoreProvider)."""
+    import os
+
     from cassandra_spark.streaming import jobs
 
     cur = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions()))
+    provider = os.environ.get("CASSANDRA_SPARK_STATE_STORE_PROVIDER")
+    prev_provider = None
+    if provider:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(key, None)
+        spark.conf.set(key, provider)
     try:
         jobs.run_available_now(stream, name, output_mode=output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
+        if provider:
+            if prev_provider:
+                spark.conf.set(key, prev_provider)
+            else:
+                spark.conf.unset(key)
     return spark.table(name)
 
 
@@ -1077,10 +1095,15 @@ def stage_id_ordered_files(
     """Stage the >= 900 split of documents as ``n_files`` parquet files
     whose id ranges AND modification times both follow doc_id order, so
     the file stream's arrival order (FileStreamSource sorts candidates
-    by mod time) is the id order the closed-form oracle assumes."""
-    import glob as globmod
+    by mod time) is the id order the closed-form oracle assumes.
+
+    ONE pass over documents (r13 opt round — the same fix
+    _stage_typed_slices got in r12): a slice column from the quantile
+    cuts drives a single partitioned write (repartition on the slice
+    keeps the single-file-slice contract), replacing ``n_files``
+    sequential filtered coalesce(1) scans — measured 9.6 s of s18's
+    ~20-28 s at the x10 corpus before this change."""
     import os
-    import shutil
 
     split = "(doc_id * 2654435761) % 4294967296"
     docs = (
@@ -1093,20 +1116,24 @@ def stage_id_ordered_files(
     else:
         qs = [k / n_files for k in range(1, n_files)]
         cuts = docs.stat.approxQuantile("doc_id", qs, 0.0)
-    os.makedirs(src, exist_ok=True)
-    bounds = [float("-inf")] + cuts + [float("inf")]
-    stamp = 1_000_000_000  # fixed base; only the ORDER matters
-    for k in range(n_files):
-        part = docs.filter(
-            (F.col("doc_id") > F.lit(bounds[k]))
-            & (F.col("doc_id") <= F.lit(bounds[k + 1]))
+    # slice index: k iff bounds[k] < doc_id <= bounds[k+1] (same
+    # half-open ranges as the old per-slice filters)
+    expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        expr = F.when(F.col("doc_id") <= F.lit(c), expr).otherwise(
+            F.lit(i + 1)
         )
-        tdir = os.path.join(src + "_stage", f"p{k}")
-        part.coalesce(1).write.mode("overwrite").parquet(tdir)
-        (pf,) = globmod.glob(os.path.join(tdir, "part-*.parquet"))
-        dst = os.path.join(src, f"f{k}.parquet")
-        shutil.move(pf, dst)
-        os.utime(dst, (stamp + 60 * k, stamp + 60 * k))
+    staged = src + "_stage"
+    (
+        docs.withColumn("__slice", expr)
+        .repartition("__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staged)
+    )
+    _move_staged_files(
+        staged, src, [f"__slice={k}" for k in range(n_files)]
+    )
 
 
 _S19_STOP = "'the', 'a', 'an', 'of', 'to', 'in', 'is', 'and'"

@@ -1268,7 +1268,7 @@ def streaming_admission_append(
             "doc_id", "sh", *[f"band{b}" for b in range(N_BANDS)]
         ).persist()
         (
-            admit_against_index(spark, index_dir, sig)
+            admit_against_index(spark, index_dir, sig, sort=False)
             .write.mode("append")
             .parquet(out_dir)
         )
