@@ -44,7 +44,14 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         # on Spark 4.1.2 that key is unreadable post-set and the combination
         # wedges the py4j bridge on the first action (verified 2026-08-13:
         # a bare parquet count hangs with a ~7k msg/s py4j storm).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local[] mode this ONE heap is driver + every executor: 8g
+        # across 32 concurrent tasks (256 MB/task) left long sweeps
+        # GC-bound — r13 measured the same 115-query tier, same code, at
+        # 8g vs 24g: untouched queries halved (a10 7.4->3.3, a11
+        # 7.6->3.8, x37 5.4->2.9 s) purely from heap room (guide §5).
+        # 24g is ~19% of the 128 GiB sandbox; a real cluster sizes
+        # executor memory per host and ignores this knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # State-store SNAPSHOT maintenance (default every 60s) contends
         # with per-epoch delta commits: measured on the s13 drain at the
         # x10 corpus, default-interval commits hit 23-161 s per epoch vs
